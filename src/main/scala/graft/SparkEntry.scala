@@ -1,13 +1,368 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an implemented operator surface; entries
+  * with a matching [[oracleSql]] key are hash-checked against DuckDB on
+  * the same parquet tables (column names must align — aggregates are
+  * aliased identically on both sides; float aggregates go through
+  * decimal casts so the result is summation-order-independent).
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Sources.table(spark, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    queries("q_fn_root")(spark, dir)
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extension
+    * operators). Each takes (session, sf-dir) and returns the result. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- parity core: the config→single-select engine (SURVEY §2.1) ----
+
+    // root-column functions: by-name builtin + closure, pass-through cols
+    "q_fn_root" -> ((s, dir) => {
+      new Functioniser()
+        .add("c_name", "upper")
+        .add("c_mktsegment", (c: Column) => lower(c))
+        .apply(t(s, dir, "customer"))
+    }),
+
+    // new-root creation: constant + cross-field closure, appended sorted
+    "q_fn_newroot" -> ((s, dir) => {
+      new Functioniser()
+        .add("greeting", lit("hello"))
+        .add("full_label", (_: Column) =>
+          concat(col("c_mktsegment"), lit("/"), col("c_name")))
+        .apply(t(s, dir, "customer"))
+    }),
+
+    // composition on one path in add-order: substring(upper(x), 1, 5)
+    "q_fn_compose" -> ((s, dir) => {
+      new Functioniser()
+        .add("p_type", "upper")
+        .add("p_type", (c: Column) => substring(c, 1, 5))
+        .apply(t(s, dir, "part"))
+    }),
+
+    // nested struct rewrite + nested-member creation, flattened back out
+    "q_fn_nested" -> ((s, dir) => {
+      val nested = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        struct(col("o_orderstatus"), col("o_orderpriority")).as("info"))
+      new Functioniser()
+        .add("info.o_orderpriority", "upper")
+        .add("info.prio_class", (_: Column) =>
+          substring(col("info.o_orderpriority"), 1, 1))
+        .apply(nested)
+        .select(col("o_orderkey"),
+          col("info.o_orderstatus").as("status"),
+          col("info.o_orderpriority").as("priority"),
+          col("info.prio_class").as("prio_class"))
+    }),
+
+    // array elementwise rewrite, exploded back to rows for comparison
+    "q_fn_array" -> ((s, dir) => {
+      val parts = t(s, dir, "part").select(
+        col("p_partkey"), split(col("p_name"), " ").as("words"))
+      new Functioniser()
+        .add("words", "upper")
+        .apply(parts)
+        .select(col("p_partkey"), posexplode(col("words")).as(Seq("pos", "word")))
+    }),
+
+    // ---- text analysis ----
+
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.annotate(t(s, dir, "documents"))
+        .select("doc_id", "n_tokens", "type_token_ratio", "mean_token_len",
+          "quality", "lang_pred", "fingerprint")),
+
+    // ---- dedup family ----
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, hammingMax = 12, chunks = 16, threshold = 0.5)),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.45)),
+
+    // ---- similarity search ----
+
+    "q_sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // ANN path — no SQL oracle (hyperplane constants); recall asserted in
+    // SimilaritySpec against the brute-force result.
+    "q_sim_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, numPlanes = 6)
+    }),
+
+    // ---- events: windowed aggregation + sessionization ----
+
+    "q_events_window" -> ((s, dir) =>
+      Events.windowedStats(t(s, dir, "events"))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n_events"),
+          col("sum_value"))),
+
+    "q_events_sessionize" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events"), gapSeconds = 1800)),
+
+    // ---- multimodal plumbing (payload + metadata; stub features are
+    //      covered by MultimodalSpec, not SQL-expressible) ----
+
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.asAssets(t(s, dir, "documents"), "doc_id", "text",
+          "text/plain", "source")
+        .select(col("id"), col("meta.mime").as("mime"),
+          col("meta.source").as("source"),
+          col("meta.n_bytes").as("n_bytes"))),
+
+    // ---- relational anchors (agg / join / window at TPC-H shape) ----
+
+    // Q1-style grouped aggregate; decimal-cast sums → order-independent
+    "q_agg_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // broadcast-dimension join chain + grouped aggregate
+    "q_join_revenue" -> ((s, dir) =>
+      t(s, dir, "orders").as("o")
+        .join(broadcast(t(s, dir, "customer").as("c")),
+          col("o.o_custkey") === col("c.c_custkey"))
+        .join(broadcast(t(s, dir, "nation").as("n")),
+          col("c.c_nationkey") === col("n.n_nationkey"))
+        .groupBy(col("n.n_name").as("n_name"))
+        .agg(
+          sum(col("o.o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_orders"))),
+
+    // per-key top-N via window rank
+    "q_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+    })
+  )
+
+  /** DuckDB-runnable oracle SQL per query (same parquet tables, same
+    * column aliases). Omitted: q_sim_ann (hyperplane constants are not
+    * practical in SQL — covered by a recall spec instead). */
+  def oracleSql: Map[String, String] = {
+    // shared DuckDB fragments (DuckDB 1.0: list comprehensions, list_*)
+    val shingleCte =
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 3 THEN list_distinct(
+        |           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |            FOR i IN range(1, greatest(len(w)-1, 1))])
+        |         ELSE [] END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.s, b.s)) AS n_common,
+        |         len(a.s) AS sa, len(b.s) AS sb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0
+        |)
+        |SELECT id_a, id_b,
+        |       round(n_common::DOUBLE / (sa + sb - n_common), 6) AS jaccard
+        |FROM pairs
+        |WHERE n_common::DOUBLE / (sa + sb - n_common) >= 0.5""".stripMargin
+
+    Map(
+      "q_fn_root" ->
+        """SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal,
+          |       lower(c_mktsegment) AS c_mktsegment
+          |FROM customer""".stripMargin,
+
+      "q_fn_newroot" ->
+        """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          |       c_mktsegment || '/' || c_name AS full_label,
+          |       'hello' AS greeting
+          |FROM customer""".stripMargin,
+
+      "q_fn_compose" ->
+        """SELECT p_partkey, p_name, p_brand,
+          |       substring(upper(p_type), 1, 5) AS p_type, p_size,
+          |       p_retailprice
+          |FROM part""".stripMargin,
+
+      "q_fn_nested" ->
+        """SELECT o_orderkey, o_orderstatus AS status,
+          |       upper(o_orderpriority) AS priority,
+          |       substring(upper(o_orderpriority), 1, 1) AS prio_class
+          |FROM orders""".stripMargin,
+
+      "q_fn_array" ->
+        """SELECT p_partkey, i - 1 AS pos, upper(w[i]) AS word
+          |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part),
+          |     LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)""".stripMargin,
+
+      "q_text_stats" ->
+        """WITH toks AS (
+          |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+          |)
+          |SELECT doc_id,
+          |  len(w) AS n_tokens,
+          |  round(len(list_distinct(w))::DOUBLE / len(w), 6) AS type_token_ratio,
+          |  round(list_sum([length(x) FOR x IN w])::DOUBLE / len(w), 6)
+          |    AS mean_token_len,
+          |  round((len(list_distinct(w))::DOUBLE / len(w)) *
+          |    (CASE WHEN list_sum([length(x) FOR x IN w])::DOUBLE / len(w)
+          |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS quality,
+          |  CASE WHEN len([x FOR x IN w
+          |                 IF x IN ('the','a','of','and','to','in')])::DOUBLE
+          |            / len(w) >= 0.05
+          |       THEN 'en' ELSE 'unk' END AS lang_pred,
+          |  md5(lower(text)) AS fingerprint
+          |FROM toks""".stripMargin,
+
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS fingerprint, count(*) AS n_docs,
+          |       min(doc_id) AS keeper_id
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_dedup_jaccard" -> shingleCte,
+      "q_dedup_minhash" -> shingleCte,
+      "q_dedup_simhash" -> shingleCte,
+
+      "q_dedup_embedding" ->
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |    CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+
+      "q_sim_topk" ->
+        """WITH scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |      CAST(c.embedding AS DOUBLE[])) AS cos_raw
+          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+          |    AND q.vec_id <> c.vec_id
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_raw DESC, neighbor_id) AS rank,
+          |    round(cos_raw, 6) AS cosine
+          |  FROM scored
+          |)
+          |SELECT query_id, neighbor_id, rank, cosine
+          |FROM ranked WHERE rank <= 5""".stripMargin,
+
+      "q_events_window" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+          |         AS window_start,
+          |       event_type, count(*) AS n_events,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+          |         AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_events_sessionize" ->
+        """WITH gaps AS (
+          |  SELECT user_id, event_id, ts,
+          |    epoch(ts - lag(ts) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id)) AS gap
+          |  FROM events
+          |), marked AS (
+          |  SELECT user_id, event_id,
+          |    CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_s,
+          |    ts
+          |  FROM gaps
+          |), numbered AS (
+          |  SELECT user_id, event_id,
+          |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
+          |  FROM marked
+          |)
+          |SELECT user_id, session_index, count(*) AS n_events,
+          |       min(event_id) AS first_event_id,
+          |       max(event_id) AS last_event_id
+          |FROM numbered GROUP BY 1, 2""".stripMargin,
+
+      "q_multimodal_meta" ->
+        """SELECT doc_id AS id, 'text/plain' AS mime, source,
+          |       strlen(text)::BIGINT AS n_bytes
+          |FROM documents""".stripMargin,
+
+      "q_agg_pricing" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_base_price,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |    AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate < TIMESTAMP '1997-09-01'
+          |GROUP BY 1, 2""".stripMargin,
+
+      "q_join_revenue" ->
+        """SELECT n.n_name AS n_name,
+          |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue,
+          |  count(*) AS n_orders
+          |FROM orders o
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY 1""".stripMargin,
+
+      "q_window_topn" ->
+        """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders
+          |) WHERE rn <= 3""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpora: exact, exact-Jaccard
+  * via inverted index, MinHash+LSH, and SimHash.
+  *
+  * Scale design (the 100 TB posture):
+  *   - Exact dedup is a single hash-aggregate on a 128-bit fingerprint —
+  *     one shuffle keyed by digest, map-side partial aggregation free.
+  *   - Exact Jaccard avoids the O(n²) cross join with a shingle inverted
+  *     index: only documents sharing ≥1 shingle ever meet, and any pair
+  *     with Jaccard > 0 shares a shingle, so recall is exactly 1.
+  *   - MinHash-LSH is the sub-quadratic path: candidate pairs come from
+  *     banded-signature buckets (shuffle keyed by (band, signature) — skew
+  *     from degenerate buckets is bounded by the band width), then
+  *     candidates are verified with exact Jaccard so precision is 1 and
+  *     output quality is independent of the sketch.
+  *   - SimHash packs a document into one 64-bit signature; the pigeonhole
+  *     chunk join guarantees recall for Hamming distance ≤ (chunks-1),
+  *     with a final exact-Jaccard verification.
+  */
+object Dedup {
+
+  /** Exact-duplicate summary: one row per distinct content fingerprint
+    * with its cardinality and the keeper (minimum) id. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
+
+  /** Documents with one representative row kept per exact content match. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** (id, shingleSet, setSize) prep used by the Jaccard paths. */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), n).as("shingles"))
+      .withColumn("set_size", size(col("shingles")))
+      .filter(col("set_size") > 0)
+
+  /** All pairs with n-gram Jaccard similarity ≥ `threshold`, computed
+    * exactly via a shingle inverted index (full recall, no cross join).
+    * Output: (id_a, id_b, jaccard) with id_a < id_b. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n).cache()
+    val inverted = sh.select(col("id"), col("set_size"),
+      explode(col("shingles")).as("shingle"))
+    // Length prefilter inside the join: |A∩B| ≤ min sizes, so J ≥ t
+    // implies t·|B| ≤ |A| ≤ |B|/t — prunes skewed-shingle pair blowup
+    // without affecting the result.
+    val co = inverted.as("a").join(inverted.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id") &&
+        col("a.set_size") * lit(threshold) <= col("b.set_size") &&
+        col("b.set_size") * lit(threshold) <= col("a.set_size"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.set_size").as("size_a"), col("b.set_size").as("size_b"))
+      .agg(count(lit(1)).as("n_common"))
+    co.withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs, exact-verified.
+    *
+    * Signature: `numHashes` permutations simulated as
+    * `min(xxhash64(seed_k, shingle))`; banded into `bands` buckets of
+    * `numHashes/bands` rows; candidate pairs from bucket co-occurrence are
+    * verified with exact Jaccard against the shingle sets, so the output
+    * equals [[jaccardPairs]] whenever every true pair collides in ≥1 band
+    * (at `threshold` 0.5 with 32×2 banding, a pair at s=0.9 is missed with
+    * probability (1-0.9²)^32 ≈ 2e-23).
+    */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = shingled(docs, idCol, textCol, n).cache()
+
+    val sig = sh.select(col("id"), col("shingles"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        k => array_min(transform(col("shingles"), s => xxhash64(k, s))))
+        .as("sig"))
+    val banded = sig.select(col("id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .join(sig.select(col("id"), col("sig")), "id")
+      .select(col("id"), col("band"),
+        // one 64-bit key per band: xxhash64 over the band's slice
+        xxhash64(col("band"),
+          concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows))))
+          .as("bucket"))
+
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** SimHash near-duplicate pairs, exact-verified.
+    *
+    * 64-bit SimHash over token hashes; candidates are pairs agreeing on at
+    * least one of `chunks` signature chunks (pigeonhole: guarantees recall
+    * for Hamming distance < chunks) with `bit_count(xor) <= hammingMax`;
+    * then exact-Jaccard verification at `threshold`.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, hammingMax: Int = 3, chunks: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n).cache()
+    // per-bit balance: sum of ±1 over shingle hashes, packed to a long
+    val bitExpr =
+      """aggregate(
+        |  sequence(0, 63),
+        |  cast(0 as bigint),
+        |  (acc, i) -> shiftleft(acc, 1) + if(
+        |    aggregate(shingles, cast(0 as bigint),
+        |      (s, t) -> s + if(((xxhash64(t) >> (63 - i)) & 1L) = 1L, 1L, -1L)
+        |    ) > 0L, 1L, 0L))""".stripMargin
+    val sig = sh.select(col("id"), expr(s"$bitExpr as simhash"))
+    val chunked = sig.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("chunk_val",
+        expr(s"shiftrightunsigned(simhash, chunk * ${64 / chunks})")
+          .bitwiseAND(lit((1L << (64 / chunks)) - 1)))
+    val candidates = chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= hammingMax)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * the shingle sets — the standard rescoring stage after any sketch. */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Embedding near-duplicate pairs above a cosine threshold — exact
+    * (all-pairs) form. The inverted-index trick has no analogue for dense
+    * cosine, so at corpus scale use [[Similarity.lshNearDupPairs]]; this
+    * exact form is the oracle/baseline. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine", cosineSimilarity(col("a.vec"), col("b.vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

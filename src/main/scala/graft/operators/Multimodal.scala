@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
+  * with batched per-partition feature extraction.
+  *
+  * The decode step is STUBBED (no image/audio codecs in this environment):
+  * [[decodeStub]] derives deterministic fake features from the raw bytes.
+  * Everything around it is the real Spark shape — schema, partition-level
+  * batching via `mapPartitions`, metadata struct, size-aware repartition —
+  * so swapping in a real decoder is a one-function change.
+  *
+  * Scale notes: payloads stay opaque binary end-to-end (no driver
+  * collection, no string round-trip); `repartitionBySize` keeps partition
+  * byte-budgets bounded when payload sizes are skewed; extraction is a
+  * narrow mapPartitions so it pipelines with the scan.
+  */
+object Multimodal {
+
+  /** Metadata carried alongside every payload. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("source", StringType),
+    StructField("n_bytes", LongType)))
+
+  /** Feature row produced by the extractor. */
+  val FeatureSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("content_hash", LongType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** Wrap a string column as a multimodal (binary payload + metadata)
+    * asset table: (id, content binary, meta struct). */
+  def asAssets(df: DataFrame, idCol: String, payloadCol: String,
+               mime: String, sourceCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      encode(col(payloadCol), "UTF-8").as("content"),
+      struct(
+        lit(mime).as("mime"),
+        col(sourceCol).as("source"),
+        octet_length(encode(col(payloadCol), "UTF-8")).cast("long")
+          .as("n_bytes")).as("meta"))
+
+  /** STUB decoder: deterministic fake features from raw bytes (length,
+    * 64-bit FNV-1a content hash, and an 8-dim embedding from byte
+    * histogram moments). Replace with a real codec per `meta.mime`. */
+  def decodeStub(id: Long, content: Array[Byte]): Row = {
+    var h = 0xcbf29ce484222325L // FNV-1a
+    var i = 0
+    val hist = new Array[Long](8)
+    while (i < content.length) {
+      h = (h ^ (content(i) & 0xffL)) * 0x100000001b3L
+      hist((content(i) & 0xff) % 8) += 1
+      i += 1
+    }
+    val n = math.max(content.length, 1).toDouble
+    Row(id, content.length.toLong, h, hist.map(_ / n).toSeq)
+  }
+
+  /** Batched feature extraction over the asset table: one decoder pass per
+    * partition (mapPartitions — the Scala analogue of a batched
+    * mapInPandas), emitting [[FeatureSchema]] rows. */
+  def extractFeatures(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(FeatureSchema)
+    assets.select(col("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(enc)
+  }
+
+  /** Repartition so each partition carries roughly `targetBytes` of
+    * payload — a skew guard for mixed image/video corpora where row count
+    * is a bad proxy for partition weight. */
+  def repartitionBySize(assets: DataFrame, targetBytes: Long): DataFrame = {
+    val totalBytes = assets
+      .agg(sum(col("meta.n_bytes"))).first().getLong(0)
+    val parts = math.max(1, (totalBytes / targetBytes).toInt)
+    assets.repartition(parts, col("id"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Scale design: queries are a small set (broadcast); the corpus is the
+  * 100 TB side and is only ever scanned. Brute-force top-k does the scan
+  * with a broadcast nested loop and a TWO-STAGE top-k: a partition-local
+  * top-k first (map-side, no data movement), then a global top-k over
+  * k × numPartitions survivors — the shuffle carries kilobytes per query
+  * instead of the scored corpus. The LSH variant hashes the corpus once
+  * into hyperplane sign-buckets so each query probes one bucket
+  * (+ optional multi-probe), trading recall for a corpus-fraction scan.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank[, cosine]) — deterministic
+    * tie-break on neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     includeScore: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineSimilarity(col("qvec"), col("cvec")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+
+    // stage 1: top-k within each scan partition (no shuffle yet)
+    val local = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // stage 2: global top-k over the k-per-partition survivors
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val top = scored
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+    val cols = Seq(col("query_id"), col("neighbor_id"), col("rank")) ++
+      (if (includeScore) Seq(round(col("cosine"), 6).as("cosine")) else Nil)
+    top.select(cols: _*)
+  }
+
+  /** Deterministic random hyperplanes (fixed seed) as a literal column of
+    * `numPlanes` × `dim` doubles — broadcast for free as part of the plan. */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long) = {
+    val rnd = new Random(seed)
+    Seq.tabulate(numPlanes)(_ => Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket id for a vector under `planes`: bit p = sign(v · h_p). */
+  private def signBucket(vec: org.apache.spark.sql.Column,
+                         planes: Seq[Seq[Double]]) =
+    planes.zipWithIndex.map { case (h, p) =>
+      val hCol = array(h.map(lit): _*)
+      when(dotProduct(vec, hCol) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via random-hyperplane LSH: corpus and queries are hashed
+    * into sign buckets; each query is scored only against its bucket
+    * cohort (multi-probed to Hamming radius 1 — near-misses on one
+    * hyperplane are the dominant loss mode), then exact cosine re-ranks.
+    * `numPlanes` trades recall (fewer planes → bigger buckets → higher
+    * recall & cost); the corpus side stays single-bucket so the index is
+    * one hash pass over the 100 TB side, and only the small query side
+    * fans out ×(numPlanes+1). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    val probes = (0 until numPlanes).foldLeft(
+      array(col("b0"))) { (acc, p) =>
+      concat(acc, array(col("b0").bitwiseXOR(lit(1L << p))))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        signBucket(col(vecCol), planes).as("b0"))
+      .withColumn("bucket", explode(probes))
+      .drop("b0")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineSimilarity(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Embedding near-dup candidate pairs via shared LSH bucket, verified
+    * with exact cosine — the scale path version of
+    * [[Dedup.embeddingNearDupPairs]]. */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, numPlanes: Int = 6,
+                      seed: Long = 42L): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", cosineSimilarity(col("a.vec"), col("b.vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators._
+
+/** Specs for the extension operators (dedup / similarity / text analysis /
+  * multimodal / events) against sf0.001 testdata and small synthetic
+  * frames. */
+class OperatorsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---- vector functions ----
+
+  test("cosineSimilarity matches hand computation") {
+    val df = spark.sql(
+      "select array(1.0f, 2.0f, 3.0f) as a, array(3.0f, 2.0f, 1.0f) as b")
+    val c = df.select(VectorFunctions.cosineSimilarity(col("a"), col("b")))
+      .first().getDouble(0)
+    assert(math.abs(c - 10.0 / 14.0) < 1e-12)
+  }
+
+  // ---- text analysis ----
+
+  test("shingles produce distinct word n-grams; short docs give empty") {
+    val df = spark.sql("select 'a b c d a b c' as text union all select 'a b' as text")
+    val r = df.select(col("text"), TextAnalysis.shingles(col("text"), 3).as("s"))
+      .collect().map(row => row.getString(0) -> row.getSeq[String](1)).toMap
+    assert(r("a b c d a b c") == Seq("a b c", "b c d", "c d a", "d a b"))
+    assert(r("a b") == Seq.empty)
+  }
+
+  test("annotate computes token stats and md5 fingerprint") {
+    val df = spark.sql("select 1L as doc_id, 'the cat the cat' as text")
+    val row = TextAnalysis.annotate(df).collect()(0)
+    assert(row.getAs[Int]("n_tokens") == 4)
+    assert(row.getAs[Double]("type_token_ratio") == 0.5)
+    assert(row.getAs[String]("lang_pred") == "en") // 'the' ratio 0.5
+    // md5 of lower-cased text, reproducible externally
+    assert(row.getAs[String]("fingerprint") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("the cat the cat".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+  }
+
+  // ---- dedup ----
+
+  test("exactGroups groups identical texts and keeps min id") {
+    val df = spark.sql(
+      "select * from values (1L, 'xx'), (2L, 'yy'), (3L, 'xx') as t(doc_id, text)")
+    val r = Dedup.exactGroups(df, "doc_id", "text")
+      .orderBy("keeper_id").collect()
+    assert(r.map(x => (x.getAs[Long]("n_docs"), x.getAs[Long]("keeper_id")))
+      .toSeq == Seq((2L, 1L), (1L, 2L)))
+  }
+
+  test("dropExactDuplicates keeps one row per content") {
+    val df = spark.sql(
+      "select * from values (1L, 'xx'), (2L, 'yy'), (3L, 'xx') as t(doc_id, text)")
+    val kept = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+
+  test("minhash-LSH pairs equal exhaustive jaccard pairs on testdata") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 32, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs equal exhaustive jaccard pairs on testdata") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simHashPairs(docs, "doc_id", "text", 3, 12, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim == exact)
+  }
+
+  test("embedding near-dup pairs are threshold-filtered and ordered") {
+    val r = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getAs[Double]("cosine") >= 0.45))
+    assert(r.forall(x => x.getLong(0) < x.getLong(1)))
+  }
+
+  // ---- similarity ----
+
+  test("bruteForceTopK matches a naive ranking") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val topk = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getLong(1)).toSeq }
+    // naive oracle on the driver
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for ((q, qv) <- vecs.filter(_._1 < 3)) {
+      val expect = vecs.filter(_._1 != q)
+        .map { case (i, v) => (i, cos(qv, v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(4).map(_._1).toSeq
+      assert(topk(q) == expect, s"query $q")
+    }
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      numPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall") // 6 planes, single probe
+    assert(ann.nonEmpty)
+  }
+
+  // ---- multimodal ----
+
+  test("asAssets builds binary payload + metadata struct") {
+    val assets = Multimodal.asAssets(docs, "doc_id", "text", "text/plain", "source")
+    assert(assets.schema.fieldNames.toSeq == Seq("id", "content", "meta"))
+    val row = assets.filter(col("id") === 0).collect()(0)
+    val text = docs.filter(col("doc_id") === 0).select("text").first().getString(0)
+    assert(new String(row.getAs[Array[Byte]]("content"), "UTF-8") == text)
+    assert(row.getAs[Row]("meta").getAs[Long]("n_bytes") == text.getBytes("UTF-8").length)
+  }
+
+  test("extractFeatures emits deterministic stub features per asset") {
+    val assets = Multimodal.asAssets(docs.limit(20), "doc_id", "text",
+      "text/plain", "source")
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length == 20)
+    val f0 = feats.find(_.getLong(0) == 0).get
+    // deterministic: recompute on driver
+    val text = docs.filter(col("doc_id") === 0).select("text").first().getString(0)
+    val expect = Multimodal.decodeStub(0, text.getBytes("UTF-8"))
+    assert(f0.getLong(1) == expect.getLong(1))
+    assert(f0.getLong(2) == expect.getLong(2))
+    assert(f0.getSeq[Double](3) == expect.getSeq[Double](3))
+  }
+
+  test("repartitionBySize bounds partition payload") {
+    val assets = Multimodal.asAssets(docs, "doc_id", "text", "text/plain", "source")
+    val parts = Multimodal.repartitionBySize(assets, targetBytes = 16 * 1024)
+    assert(parts.rdd.getNumPartitions >= 2)
+  }
+
+  // ---- events ----
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, timestamp'2024-01-01 00:00:00', 7L),
+        |  (2L, timestamp'2024-01-01 00:10:00', 7L),
+        |  (3L, timestamp'2024-01-01 01:10:00', 7L),
+        |  (4L, timestamp'2024-01-01 00:00:00', 8L)
+        |  as t(event_id, ts, user_id)""".stripMargin)
+    val r = Events.sessionize(df, gapSeconds = 1800)
+      .orderBy("user_id", "session_index").collect()
+    assert(r.map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("session_index"),
+      x.getAs[Long]("n_events"))).toSeq ==
+      Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+}
