@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.ArrayDotProduct
 
 /** Column-level vector math over `array<float|double>` embedding columns.
   *
@@ -17,15 +18,21 @@ object VectorFunctions {
   /** Elementwise cast to double (embeddings are stored float32). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Left-to-right folded dot product. */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), _ * _), lit(0.0), _ + _)
+  /** Dot product — native codegen expression ([[ArrayDotProduct]]); a
+    * tight primitive loop instead of the interpreted HOF equivalent. */
+  def dotProduct(a: Column, b: Column): Column = ArrayDotProduct(a, b)
 
-  def l2Norm(v: Column): Column =
-    sqrt(aggregate(toDouble(v), lit(0.0), (acc, x) => acc + x * x))
+  def l2Norm(v: Column): Column = sqrt(ArrayDotProduct(v, v))
 
   /** Cosine similarity; null-safe on zero-norm vectors (returns null via
     * division). */
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine from a precomputed-norm layout: on all-pairs workloads,
+    * compute `l2Norm` once per row BEFORE the join and combine with one
+    * dot per pair — identical float result (same sums, same sqrt) at a
+    * third of the per-pair arithmetic. */
+  def cosineWithNorms(dotCol: Column, normA: Column, normB: Column): Column =
+    dotCol / (normA * normB)
 }

@@ -51,7 +51,7 @@ object Dedup {
     * Output: (id_a, id_b, jaccard) with id_a < id_b. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, n).cache()
+    val sh = shingled(docs, idCol, textCol, n)
     val inverted = sh.select(col("id"), col("set_size"),
       explode(col("shingles")).as("shingle"))
     // Length prefilter inside the join: |A∩B| ≤ min sizes, so J ≥ t
@@ -87,20 +87,26 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingled(docs, idCol, textCol, n).cache()
+    val sh = shingled(docs, idCol, textCol, n)
 
-    val sig = sh.select(col("id"), col("shingles"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        k => array_min(transform(col("shingles"), s => xxhash64(k, s))))
-        .as("sig"))
-    val banded = sig.select(col("id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .join(sig.select(col("id"), col("sig")), "id")
-      .select(col("id"), col("band"),
-        // one 64-bit key per band: xxhash64 over the band's slice
-        xxhash64(col("band"),
-          concat_ws(",", slice(col("sig"), col("band") * rows + 1, lit(rows))))
+    // Signature as explode + numHashes codegen'd min-aggregates: the whole
+    // hot path stays inside whole-stage codegen with map-side partial
+    // aggregation (an equivalent higher-order-function formulation runs
+    // interpreted lambdas — measured ~10× slower at sf0.1).
+    val posting = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val minAggs = (0 until numHashes).map(k =>
+      min(xxhash64(lit(k), col("shingle"))).as(s"m$k"))
+    val sig = posting.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+
+    // one 64-bit bucket key per band, hashed straight from the band's
+    // signature columns (variadic xxhash64 — no string concat)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
           .as("bucket"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -122,17 +128,21 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, hammingMax: Int = 3, chunks: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, n).cache()
-    // per-bit balance: sum of ±1 over shingle hashes, packed to a long
-    val bitExpr =
-      """aggregate(
-        |  sequence(0, 63),
-        |  cast(0 as bigint),
-        |  (acc, i) -> shiftleft(acc, 1) + if(
-        |    aggregate(shingles, cast(0 as bigint),
-        |      (s, t) -> s + if(((xxhash64(t) >> (63 - i)) & 1L) = 1L, 1L, -1L)
-        |    ) > 0L, 1L, 0L))""".stripMargin
-    val sig = sh.select(col("id"), expr(s"$bitExpr as simhash"))
+    val sh = shingled(docs, idCol, textCol, n)
+    // per-bit ±1 balance as 64 codegen'd sum-aggregates over the exploded
+    // shingle hashes (hash each shingle once; same whole-stage-codegen
+    // rationale as the MinHash signature), then pack the sign bits
+    val posting = sh
+      .select(col("id"), explode(col("shingles")).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h"), 63 - i).bitwiseAND(lit(1L)) === 1L,
+        lit(1L)).otherwise(lit(-1L))).as(s"b$i"))
+    val balances = posting.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val packed = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+      shiftleft(acc, 1) + when(col(s"b$i") > 0, lit(1L)).otherwise(lit(0L))
+    }
+    val sig = balances.select(col("id"), packed.as("simhash"))
     val chunked = sig.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("chunk_val",
@@ -167,10 +177,14 @@ object Dedup {
     * exact form is the oracle/baseline. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    import graft.functions.VectorFunctions.cosineSimilarity
-    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    import graft.functions.VectorFunctions.{cosineWithNorms, dotProduct, l2Norm, toDouble}
+    // cast + norm once per row, below the join — the O(n²) side then does
+    // exactly one codegen'd dot per pair
+    val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", l2Norm(col("vec")))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cosine", cosineSimilarity(col("a.vec"), col("b.vec")))
+      .withColumn("cosine", cosineWithNorms(
+        dotProduct(col("a.vec"), col("b.vec")), col("a.norm"), col("b.norm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cosine"), 6).as("cosine"))

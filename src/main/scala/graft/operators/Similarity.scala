@@ -27,10 +27,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      includeScore: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineSimilarity(col("qvec"), col("cvec")))
+      .withColumn("cosine", cosineWithNorms(
+        dotProduct(col("qvec"), col("cvec")), col("qnorm"), col("cnorm")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
 
     // stage 1: top-k within each scan partition (no shuffle yet)
@@ -75,21 +80,26 @@ object Similarity {
               numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(numPlanes, dim, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      signBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cvec"),
+        signBucket(col(vecCol), planes).as("bucket"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
     val probes = (0 until numPlanes).foldLeft(
       array(col("b0"))) { (acc, p) =>
       concat(acc, array(col("b0").bitwiseXOR(lit(1L << p))))
     }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+    val q = queries.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("qvec"),
         signBucket(col(vecCol), planes).as("b0"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
       .withColumn("bucket", explode(probes))
       .drop("b0")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineSimilarity(col("qvec"), col("cvec")))
+      .withColumn("cosine", cosineWithNorms(
+        dotProduct(col("qvec"), col("cvec")), col("qnorm"), col("cnorm")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
@@ -103,11 +113,13 @@ object Similarity {
                       seed: Long = 42L): DataFrame = {
     val dim = emb.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(numPlanes, dim, seed)
-    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      signBucket(col(vecCol), planes).as("bucket"))
+    val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"),
+        signBucket(col(vecCol), planes).as("bucket"))
+      .withColumn("norm", l2Norm(col("vec")))
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosineSimilarity(col("a.vec"), col("b.vec")))
+      .withColumn("cosine", cosineWithNorms(
+        dotProduct(col("a.vec"), col("b.vec")), col("a.norm"), col("b.norm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cosine"), 6).as("cosine"))
