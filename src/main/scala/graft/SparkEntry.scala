@@ -103,8 +103,10 @@ object SparkEntry {
         n = 3, numHashes = 64, bands = 32, threshold = 0.5)),
 
     "q_dedup_simhash" -> ((s, dir) =>
+      // hammingMax=15 with 16 chunks sits exactly at the pigeonhole
+      // recall guarantee (≤ chunks-1 flipped bits always share a chunk)
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, hammingMax = 12, chunks = 16, threshold = 0.5)),
+        n = 3, hammingMax = 15, chunks = 16, threshold = 0.5)),
 
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",

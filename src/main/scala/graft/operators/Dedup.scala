@@ -37,39 +37,62 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** (id, shingleSet, setSize) prep used by the Jaccard paths. */
+  /** (id, shingleSet, setSize) prep used by the Jaccard paths. Shingles
+    * are 64-bit hashes (TextAnalysis.hashedShingles): set semantics are
+    * identical and every downstream sort/join/intersect runs on longs. */
   private def shingled(docs: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame =
     docs.select(
       col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), n).as("shingles"))
+      TextAnalysis.hashedShingles(col(textCol), n).as("shingles"))
       .withColumn("set_size", size(col("shingles")))
       .filter(col("set_size") > 0)
+      // every consumer fans out into several join branches; materialize
+      // the shingled corpus once (lazily) instead of re-shingling per
+      // branch — at scale this is the op's working set, not the raw text
+      .localCheckpoint(false)
 
   /** All pairs with n-gram Jaccard similarity ≥ `threshold`, computed
-    * exactly via a shingle inverted index (full recall, no cross join).
-    * Output: (id_a, id_b, jaccard) with id_a < id_b. */
+    * exactly via a prefix-filtered shingle inverted index.
+    *
+    * Two lossless prunes on the inverted index (both classical
+    * set-similarity-join results, cf. ppjoin):
+    *   - size filter: J ≥ t implies t·|B| ≤ |A| ≤ |B|/t;
+    *   - prefix filter: under a global shingle order, any pair with
+    *     J ≥ t must share a shingle within each set's first
+    *     |s| − ⌈t·|s|⌉ + 1 sorted shingles, so only that prefix is
+    *     indexed — at t=0.5 the postings halve and the candidate join
+    *     shrinks ~4×.
+    * Candidates are then verified against the full shingle sets, so
+    * recall is exactly 1. Output: (id_a, id_b, jaccard) with id_a < id_b. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
-    val inverted = sh.select(col("id"), col("set_size"),
+    val posting = sh.select(col("id"), col("set_size"),
       explode(col("shingles")).as("shingle"))
-    // Length prefilter inside the join: |A∩B| ≤ min sizes, so J ≥ t
-    // implies t·|B| ≤ |A| ≤ |B|/t — prunes skewed-shingle pair blowup
-    // without affecting the result.
-    val co = inverted.as("a").join(inverted.as("b"),
+    // Global order = ascending document frequency: each doc's indexed
+    // prefix then holds its RAREST shingles, so postings lists in the
+    // candidate join stay short — a frequent shingle never lands in a
+    // prefix and can't produce a quadratic bucket. One extra aggregate +
+    // join, still exact.
+    val docFreq = posting.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefixLen = col("set_size") -
+      ceil(col("set_size") * lit(threshold)) + 1
+    val prefix = posting.join(docFreq, "shingle")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen)
+      .select(col("id"), col("set_size"), col("shingle"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
         col("a.id") < col("b.id") &&
         col("a.set_size") * lit(threshold) <= col("b.set_size") &&
         col("b.set_size") * lit(threshold) <= col("a.set_size"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.set_size").as("size_a"), col("b.set_size").as("size_b"))
-      .agg(count(lit(1)).as("n_common"))
-    co.withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("size_a") + col("size_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
   }
 
   /** MinHash-LSH near-duplicate pairs, exact-verified.
@@ -134,7 +157,8 @@ object Dedup {
     // rationale as the MinHash signature), then pack the sign bits
     val posting = sh
       .select(col("id"), explode(col("shingles")).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
+      .select(col("id"), xxhash64(col("shingle")).as("h")) // re-mix the
+      // shingle hash so signature bits are independent of join keys
     val bitAggs = (0 until 64).map(i =>
       sum(when(shiftrightunsigned(col("h"), 63 - i).bitwiseAND(lit(1L)) === 1L,
         lit(1L)).otherwise(lit(-1L))).as(s"b$i"))

@@ -30,6 +30,14 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct word n-gram shingles as 64-bit hashes — same set semantics
+    * as [[shingles]] (collision probability ~n²/2⁶⁵) with longs as the
+    * set identity, making downstream sort / join / intersect cheap.
+    * Backed by the native [[org.apache.spark.sql.graftext.HashedNGramShingles]]
+    * expression (one compiled pass per document). */
+  def hashedShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftext.HashedNGramShingles(text, n)
+
   /** Type-token ratio (distinct tokens / tokens) — a simple repetition /
     * quality signal. */
   def typeTokenRatio(text: Column): Column = {

@@ -1,0 +1,96 @@
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of a text column as 64-bit hashes, in one
+  * native pass.
+  *
+  * The equivalent builtin-composition
+  * (`array_distinct(transform(sequence(...), i => xxhash64(element_at...)))`)
+  * runs the interpreted higher-order-function evaluator — measured ~20 µs
+  * per n-gram, which made shingling itself the bottleneck of every dedup
+  * operator (~10 s for 5000 docs at sf0.1). This expression tokenizes,
+  * hashes each word once (FNV-1a over its UTF-8 bytes), combines windows
+  * with a splitmix64-style mix, and dedups — microseconds per document.
+  *
+  * The hash is an internal set identity: any deterministic 64-bit mix
+  * yields the same Jaccard/MinHash/SimHash RESULTS (modulo ~n²/2⁶⁵
+  * collisions), so no external oracle depends on the constants.
+  * CodegenFallback: the single virtual call per row does all per-document
+  * work in compiled Scala, so codegen of the loop itself buys little.
+  */
+case class HashedNGramShingles(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "hashed_ngram_shingles"
+
+  private val space = UTF8String.fromString(" ")
+
+  @inline private def fnv1a(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  @inline private def mix(acc: Long, v: Long): Long = {
+    var z = acc ^ (v + 0x9e3779b97f4a7c15L + (acc << 6) + (acc >>> 2))
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val m = words.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val wordHash = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      wordHash(i) = fnv1a(words(i).getBytes)
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m)
+    var k = 0
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < n) {
+        h = mix(h, wordHash(i + j))
+        j += 1
+      }
+      if (seen.add(h)) {
+        out(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedNGramShingles =
+    copy(child = newChild)
+}
+
+object HashedNGramShingles {
+  def apply(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      HashedNGramShingles(ExpressionUtils.expression(text), n))
+}

@@ -81,7 +81,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("simhash pairs equal exhaustive jaccard pairs on testdata") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = Dedup.simHashPairs(docs, "doc_id", "text", 3, 12, 16, 0.5)
+    val sim = Dedup.simHashPairs(docs, "doc_id", "text", 3, 15, 16, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sim == exact)
   }
