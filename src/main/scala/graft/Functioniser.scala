@@ -198,6 +198,16 @@ class Functioniser {
 
 object Functioniser {
 
+  /** Build a runner from a (path → function-name) config — the map form
+    * of the reference's YAML examples ("the config format is really up to
+    * you", ref README.md:49: parse your YAML/JSON/properties to pairs and
+    * hand them over; iteration order = add order = composition order). */
+  def fromConfig(config: Iterable[(String, String)]): Functioniser = {
+    val f = new Functioniser
+    config.foreach { case (field, fnName) => f.add(field, fnName) }
+    f
+  }
+
   private val logger = LoggerFactory.getLogger(classOf[Functioniser])
 
   /** Plan IR node (ref: functioniser.py:210-233). `arrayDepth` counts `[]`

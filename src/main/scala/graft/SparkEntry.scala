@@ -179,6 +179,34 @@ object SparkEntry {
             .as("revenue"),
           count(lit(1)).as("n_orders"))),
 
+    // semi/anti join: segments of customers with vs without orders
+    "q_join_semi" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val withOrders = customer
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_active"))
+      val withoutOrders = customer
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_inactive"))
+      withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+    }),
+
+    // set operations: union / intersect / except over key domains
+    "q_set_ops" -> ((s, dir) => {
+      val custNations = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"))
+      val suppNations = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey"))
+      custNations.union(suppNations).distinct()
+        .except(t(s, dir, "nation")
+          .filter(col("n_regionkey") === 0)
+          .select(col("n_nationkey").cast("int").as("nationkey")))
+    }),
+
     // per-key top-N via window rank
     "q_window_topn" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -357,6 +385,32 @@ object SparkEntry {
           |JOIN customer c ON o.o_custkey = c.c_custkey
           |JOIN nation n ON c.c_nationkey = n.n_nationkey
           |GROUP BY 1""".stripMargin,
+
+      "q_join_semi" ->
+        """WITH active AS (
+          |  SELECT c_mktsegment, count(*) AS n_active
+          |  FROM customer c
+          |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |  GROUP BY 1
+          |), inactive AS (
+          |  SELECT c_mktsegment, count(*) AS n_inactive
+          |  FROM customer c
+          |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |  GROUP BY 1
+          |)
+          |SELECT coalesce(a.c_mktsegment, i.c_mktsegment) AS c_mktsegment,
+          |       coalesce(a.n_active, 0) AS n_active,
+          |       coalesce(i.n_inactive, 0) AS n_inactive
+          |FROM active a FULL OUTER JOIN inactive i USING (c_mktsegment)""".stripMargin,
+
+      "q_set_ops" ->
+        """SELECT CAST(nationkey AS INT) AS nationkey FROM (
+          |  SELECT c_nationkey AS nationkey FROM customer
+          |  UNION
+          |  SELECT s_nationkey AS nationkey FROM supplier
+          |)
+          |EXCEPT
+          |SELECT CAST(n_nationkey AS INT) FROM nation WHERE n_regionkey = 0""".stripMargin,
 
       "q_window_topn" ->
         """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (

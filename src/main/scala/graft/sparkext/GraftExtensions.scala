@@ -1,0 +1,58 @@
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Session extension registering the graft native expressions as SQL
+  * functions, so `spark.sql("SELECT array_dot_product(a, b)")` and
+  * `hashed_ngram_shingles(text, 3)` work for SQL-surface users.
+  *
+  * Wire up with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=org.apache.spark.sql.graftext.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("array_dot_product",
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "array_dot_product expects exactly 2 arguments")
+        ArrayDotProduct(children.head, children(1))
+      }),
+    ("hashed_ngram_shingles",
+      new ExpressionInfo(classOf[HashedNGramShingles].getName,
+        "hashed_ngram_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "hashed_ngram_shingles expects (text, n)")
+        val n = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"hashed_ngram_shingles: n must be an integer literal, got $other")
+        }
+        HashedNGramShingles(children.head, n)
+      }))
+
+  /** Register on an already-built session (the extension class covers
+    * builder-time wiring; this covers everything else). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming forms of the engine's operators.
   *
@@ -38,4 +41,63 @@ object StreamOps {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
+
+  /** Input/output/state rows for streaming sessionization. */
+  case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
+  case class SessionOut(user_id: Long, session_index: Long, n_events: Long,
+                        first_event_id: Long, last_event_id: Long)
+  case class SessionState(sessionIndex: Long, lastTsMicros: Long,
+                          n: Long, firstId: Long, lastId: Long)
+
+  /** Streaming gap sessionization — the `flatMapGroupsWithState` form of
+    * `Events.sessionize`. State is one open session per user (constant
+    * per key); a session closes and is EMITTED either when a later event
+    * arrives past the gap, or when the event-time timeout fires after the
+    * watermark passes `gap` beyond its last event. Requires a watermark
+    * on `ts` upstream. */
+  def sessionizeStream(events: Dataset[SessionEvent],
+                       gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L + t.getNanos / 1000 % 1000
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(userId, s.sessionIndex, s.n, s.firstId, s.lastId))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              open match {
+                case Some(s) if t - s.lastTsMicros <= gapMicros =>
+                  open = Some(s.copy(lastTsMicros = t, n = s.n + 1,
+                    lastId = e.event_id))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionIndex, s.n,
+                    s.firstId, s.lastId)
+                  open = Some(SessionState(s.sessionIndex + 1, t, 1,
+                    e.event_id, e.event_id))
+                case None =>
+                  open = Some(SessionState(1L, t, 1, e.event_id, e.event_id))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close the open session once the watermark passes its gap
+              state.setTimeoutTimestamp(s.lastTsMicros / 1000 + gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

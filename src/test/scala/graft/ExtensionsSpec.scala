@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration of the native expressions + config-map API. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions exposes native expressions to SQL") {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.graftext.GraftExtensions.register(s)
+    val dot = s.sql(
+      "select array_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .first().getDouble(0)
+    assert(dot == 11.0)
+    val sh = s.sql(
+      "select size(hashed_ngram_shingles('a b c d', 3))").first().getInt(0)
+    assert(sh == 2)
+    // float arrays implicitly cast
+    val dotF = s.sql(
+      "select array_dot_product(array(1.0f, 2.0f), array(3.0f, 4.0f))")
+      .first().getDouble(0)
+    assert(dotF == 11.0)
+    val e = intercept[Exception](
+      s.sql("select hashed_ngram_shingles('a b c', 1 + 2)").collect())
+    assert(e.getMessage.contains("integer literal") || e.getCause != null)
+  }
+
+  test("fromConfig builds a runner from (path, functionName) pairs") {
+    import SparkTestSession._
+    val r = Functioniser.fromConfig(Seq(
+        "a" -> "upper", "b" -> "trim"))
+      .apply(jsonDf("""[{"a": "x", "b": " y "}]""")).collect()
+    assert(r(0).getAs[String]("a") == "X")
+    assert(r(0).getAs[String]("b") == "y")
+  }
+}

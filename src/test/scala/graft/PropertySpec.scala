@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests the reference lacks (SURVEY.md §5): randomized configs
+  * against a direct-select oracle, and pure-function path laws.
+  * (Raw ScalaCheck generators sampled in a loop — the scalatest bridge
+  * artifact is not in the offline cache.) */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def forAll[A](gen: Gen[A], minSuccessful: Int)(body: A => Unit): Unit =
+    Iterator.continually(gen.sample).flatten.take(minSuccessful).foreach(body)
+
+  private val fnPool: Seq[(String, Column => Column)] = Seq(
+    "upper" -> (upper(_)),
+    "lower" -> (lower(_)),
+    "reverse" -> (reverse(_)),
+    "constant" -> ((_: Column) => lit("k")))
+
+  test("property: configured root fields equal a direct select; " +
+    "unconfigured fields pass through byte-identically") {
+    val df = jsonDf(
+      """[{"c1": "Ab", "c2": "cD", "c3": "eF", "c4": "gH"},
+         |{"c1": "iJ", "c2": "kL", "c3": "mN", "c4": "oP"}]""".stripMargin)
+    val genConfig = Gen.someOf(Seq("c1", "c2", "c3")).flatMap { cols =>
+      Gen.sequence[Seq[(String, (String, Column => Column))], (String, (String, Column => Column))](
+        cols.map(c => Gen.oneOf(fnPool).map(c -> _)))
+    }
+    forAll(genConfig, 15) { config =>
+      val runner = new Functioniser
+      config.foreach { case (field, (_, fn)) => runner.add(field, fn) }
+      val got = runner.apply(df)
+      val fnByField = config.toMap
+      val expectCols = df.columns.toSeq.map { c =>
+        fnByField.get(c).map { case (_, fn) => fn(col(c)).as(c) }
+          .getOrElse(col(c))
+      }
+      val expect = df.select(expectCols: _*)
+      assert(got.columns.toSeq == expect.columns.toSeq)
+      assert(got.collect().toSeq == expect.collect().toSeq)
+    }
+  }
+
+  test("property: composition on one path equals function composition") {
+    val df = jsonDf("""[{"x": "aBcDe"}]""")
+    forAll(Gen.listOfN(3, Gen.oneOf(fnPool.take(3))), 10) { fns =>
+      val runner = new Functioniser
+      fns.foreach { case (_, fn) => runner.add("x", fn) }
+      val direct = fns.map(_._2).foldLeft(col("x")) { (c, fn) => fn(c) }
+      assert(runner.apply(df).select("x").first() ==
+        df.select(direct.as("x")).first())
+    }
+  }
+
+  test("property: limitDepth(f, depth) keeps exactly depth segments") {
+    val seg = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(5))
+    val pathGen = for {
+      n <- Gen.choose(1, 6)
+      segs <- Gen.listOfN(n, seg)
+      marks <- Gen.listOfN(n, Gen.oneOf("", "[]", "[][]"))
+    } yield segs.zip(marks).map { case (s, m) => s + m }
+    forAll(pathGen.flatMap(p => Gen.choose(0, 8).map(p -> _)), 50) { case (segs, d) =>
+      val path = segs.mkString(".")
+      val out = SchemaPaths.limitDepth(path, d)
+      val kept = if (out.isEmpty) Nil else out.split('.').toList
+      assert(kept == segs.take(d))
+    }
+  }
+
+  test("property: limitDepth(f, like) matches like's segment count") {
+    val seg = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(5))
+    val gen = for {
+      n <- Gen.choose(1, 6)
+      segs <- Gen.listOfN(n, seg)
+      m <- Gen.choose(1, n)
+      likeSegs <- Gen.listOfN(m, seg)
+    } yield (segs, likeSegs)
+    forAll(gen, 50) { case (segs, likeSegs) =>
+      val out = SchemaPaths.limitDepth(segs.mkString("."), likeSegs.mkString("."))
+      assert(out.split('.').length == likeSegs.length)
+    }
+  }
+
+  test("property: hashedShingles cardinality equals distinct string shingles") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    forAll(Gen.listOfN(12, word), 20) { words =>
+      val text = words.mkString(" ")
+      val df = spark.sql(s"select '$text' as t")
+      val hashed = df.select(operators.TextAnalysis.hashedShingles(col("t"), 3))
+        .first().getSeq[Long](0)
+      val expect = words.sliding(3).map(_.mkString(" ")).toSet
+      assert(hashed.size == expect.size)
+    }
+  }
+}

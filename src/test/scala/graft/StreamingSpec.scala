@@ -62,6 +62,42 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
   }
 
+  test("sessionizeStream closes sessions on gap and on watermark timeout") {
+    import graft.streaming.StreamOps.{SessionEvent, SessionOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val events = input.toDF()
+      .withWatermark("ts", "0 seconds").as[SessionEvent]
+    val out = StreamOps.sessionizeStream(events, gapSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    // user 7: two events in one session, then a later event past the gap
+    input.addData(
+      SessionEvent(7, 1, Timestamp.valueOf("2024-01-01 00:00:00")),
+      SessionEvent(7, 2, Timestamp.valueOf("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    input.addData(
+      SessionEvent(7, 3, Timestamp.valueOf("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    // first session must now be emitted (gap exceeded)
+    val afterGap = s.sql("select * from sess_stream").as[SessionOut].collect()
+    assert(afterGap.toSeq == Seq(SessionOut(7, 1, 2, 1, 2)))
+    // push the watermark far past the open session -> timeout fires
+    input.addData(
+      SessionEvent(8, 9, Timestamp.valueOf("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    input.addData(
+      SessionEvent(8, 10, Timestamp.valueOf("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val all = s.sql("select * from sess_stream order by user_id, session_index")
+      .as[SessionOut].collect().toSeq
+    assert(all.contains(SessionOut(7, 2, 1, 3, 3))) // closed by timeout
+    assert(all.head == SessionOut(7, 1, 2, 1, 2))
+  }
+
   test("dedupByKey drops late duplicates within the watermark horizon") {
     val s = spark
     import s.implicits._
