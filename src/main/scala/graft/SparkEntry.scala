@@ -89,6 +89,12 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "type_token_ratio", "mean_token_len",
           "quality", "lang_pred", "fingerprint")),
 
+    "q_text_fingerprints" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.subwordTokenCount(col("text")).as("n_subwords"),
+        TextAnalysis.rollingFingerprint(col("text")).as("roll_hash"))),
+
     // ---- dedup family ----
 
     "q_dedup_exact" -> ((s, dir) =>
@@ -293,6 +299,17 @@ object SparkEntry {
           |       THEN 'en' ELSE 'unk' END AS lang_pred,
           |  md5(lower(text)) AS fingerprint
           |FROM toks""".stripMargin,
+
+      "q_text_fingerprints" ->
+        """SELECT doc_id,
+          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+          |    AS n_subwords,
+          |  list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT),
+          |      [CAST(length(t) * 31 + ord(t[1]) AS BIGINT)
+          |       FOR t IN string_split(text, ' ')]),
+          |    (acc, v) -> (acc * 131 + v) % 1000000007) AS roll_hash
+          |FROM documents""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(text) AS fingerprint, count(*) AS n_docs,

@@ -85,6 +85,8 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
       .select(col("id"), col("set_size"), col("shingle"))
+      // both sides of the candidate self-join read this; materialize once
+      .localCheckpoint(false)
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
         col("a.id") < col("b.id") &&

@@ -38,14 +38,14 @@ object Similarity {
         dotProduct(col("qvec"), col("cvec")), col("qnorm"), col("cnorm")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
 
-    // stage 1: top-k within each scan partition (no shuffle yet)
-    val local = Window.partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    // stage 2: global top-k over the k-per-partition survivors
+    // One rank window: Spark's WindowGroupLimit rewrites the rank<=k
+    // filter into partial (per scan partition, pre-shuffle) + final
+    // stages, so the exchange carries ≤ k rows per (query, partition) —
+    // the two-stage top-k, planned automatically (verified in the
+    // physical plan).
     val global = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val top = scored
-      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= k)
       .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
     val cols = Seq(col("query_id"), col("neighbor_id"), col("rank")) ++
       (if (includeScore) Seq(round(col("cosine"), 6).as("cosine")) else Nil)

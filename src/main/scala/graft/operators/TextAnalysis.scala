@@ -84,6 +84,22 @@ object TextAnalysis {
     * (MD5 rather than xxhash so external engines reproduce it.) */
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * each remaining non-space symbol count as one token — the shape a
+    * byte-pair tokenizer's pre-tokenizer produces. Plain regex, so any
+    * engine reproduces it. */
+  def subwordTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Rolling-hash (Karp-Rabin) document fingerprint over tokens: each
+    * token contributes a small integer value (length and first-char code
+    * — deliberately engine-portable), folded left with
+    * acc = (acc * 131 + v) mod 1e9+7. Order-sensitive, unlike the MD5 of
+    * a set; pure integer arithmetic so external oracles match exactly. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 131L + length(t) * 31L + ascii(t), lit(1000000007L)))
+
   /** Convenience: annotate a documents table with the full analysis set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
