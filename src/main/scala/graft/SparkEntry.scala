@@ -126,12 +126,19 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
-    // ANN path — no SQL oracle (hyperplane constants); recall asserted in
-    // SimilaritySpec against the brute-force result.
+    // ANN paths — no SQL oracle (hyperplane/centroid constants); recall
+    // asserted in OperatorsSpec against the brute-force result, and IVF
+    // with nprobe=nlist is asserted equal to exact search.
     "q_sim_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, numPlanes = 6)
+    }),
+
+    "q_sim_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
     }),
 
     // ---- events: windowed aggregation + sessionization ----
@@ -154,6 +161,12 @@ object SparkEntry {
         .select(col("id"), col("meta.mime").as("mime"),
           col("meta.source").as("source"),
           col("meta.n_bytes").as("n_bytes"))),
+
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.asAssets(t(s, dir, "documents"), "doc_id", "text",
+          "text/plain", "source"),
+        frameBytes = 64, everyN = 3)),
 
     // ---- relational anchors (agg / join / window at TPC-H shape) ----
 
@@ -379,6 +392,17 @@ object SparkEntry {
         """SELECT doc_id AS id, 'text/plain' AS mime, source,
           |       strlen(text)::BIGINT AS n_bytes
           |FROM documents""".stripMargin,
+
+      // DuckDB 1.0 has no BLOB substring; the docs are ASCII so char
+      // slicing before encode() is byte-identical
+      "q_multimodal_frames" ->
+        """SELECT doc_id AS id, i AS frame_index,
+          |       encode(substring(text, CAST(i * 64 + 1 AS BIGINT),
+          |                        CAST(64 AS BIGINT))) AS frame
+          |FROM documents,
+          |     LATERAL unnest(range(0, greatest(
+          |       CAST(ceil(octet_length(encode(text)) / 64.0) AS INT), 1))) AS t(i)
+          |WHERE i % 3 = 0""".stripMargin,
 
       "q_agg_pricing" ->
         """SELECT l_returnflag, l_linestatus,

@@ -74,6 +74,32 @@ object Multimodal {
       }(enc)
   }
 
+  /** STUB resize: real image resize needs a codec; the stub keeps the
+    * Spark shape (narrow binary→binary projection, codegen'd substring)
+    * by truncating/padding the payload to `targetBytes`. Swap the column
+    * expression for a decode→resize→encode UDF per `meta.mime`. */
+  def resizeStub(assets: DataFrame, targetBytes: Int): DataFrame =
+    assets.withColumn("content",
+      rpad(substring(col("content"), 1, targetBytes), targetBytes,
+        Array[Byte](0)))
+
+  /** Frame sampling over a chunked binary payload: treats `content` as
+    * fixed-size `frameBytes` frames and keeps every `everyN`-th one,
+    * exploded to (id, frame_index, frame). The chunk arithmetic and
+    * explode are the real distributed plumbing; for real video, frame
+    * boundaries come from the container parser instead of fixed stride. */
+  def sampleFrames(assets: DataFrame, frameBytes: Int,
+                   everyN: Int): DataFrame = {
+    val nFrames = ceil(octet_length(col("content")).cast("double") / frameBytes)
+      .cast("int")
+    assets.select(col("id"), col("content"),
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as("frame_index"))
+      .filter(col("frame_index") % everyN === 0)
+      .select(col("id"), col("frame_index"),
+        expr(s"substring(content, frame_index * $frameBytes + 1, $frameBytes)")
+          .as("frame"))
+  }
+
   /** Repartition so each partition carries roughly `targetBytes` of
     * payload — a skew guard for mixed image/video corpora where row count
     * is a bad proxy for partition weight. */

@@ -105,6 +105,89 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF (inverted-file) ANN top-k: k-means-partition the corpus into
+    * `nlist` cells, then score each query only against its `nprobe`
+    * nearest cells.
+    *
+    * Training is a few Lloyd iterations run as Spark aggregations with
+    * deterministic init (the `nlist` lowest-id vectors); only the
+    * nlist×dim centroid table ever reaches the driver. At scale the cell
+    * assignment is computed once per corpus vector (scan + broadcast
+    * centroids, no shuffle) and could be persisted as a partition column,
+    * making each query's work a `nprobe/nlist` fraction of the corpus.
+    * `nprobe = nlist` degenerates to exact search (asserted in specs). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              lloydIters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+      .localCheckpoint(false)
+
+    // deterministic init: the nlist lowest-id vectors
+    var centroids: Array[Seq[Double]] = c.orderBy(col("neighbor_id"))
+      .limit(nlist).collect()
+      .map(_.getSeq[Double](1))
+
+    def centroidDf = centroids.zipWithIndex.map { case (v, i) => (i, v) }
+    def assignExpr: org.apache.spark.sql.Column = {
+      // argmin over squared L2 distance == argmax of (dot - |c|²/2)
+      val scores = centroidDf.map { case (i, v) =>
+        val cCol = array(v.map(lit): _*)
+        struct((dotProduct(col("cvec"), cCol) -
+          lit(v.map(x => x * x).sum / 2)).as("score"), lit(i).as("cell"))
+      }
+      greatest(scores: _*).getField("cell")
+    }
+
+    (0 until lloydIters).foreach { _ =>
+      // new centroid = per-cell per-dimension mean; nlist×dim values
+      val means = c.withColumn("cell", assignExpr)
+        .select(col("cell"), posexplode(col("cvec")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(map_from_arrays(collect_list(col("pos")),
+          collect_list(col("m"))).as("byPos"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getMap[Int, Double](1))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        means.get(i)
+          .map(m => old.indices.map(p => m.getOrElse(p, 0.0)))
+          .getOrElse(old) // empty cell keeps its centroid
+      }
+    }
+
+    val assigned = c.withColumn("cell", assignExpr)
+    val q = queries.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+    // nprobe nearest cells per query
+    val probes = q.select(col("query_id"), col("qvec"), col("qnorm"),
+        explode(array(centroidDf.map { case (i, v) =>
+          val cCol = array(v.map(lit): _*)
+          struct((dotProduct(col("qvec"), cCol) -
+            lit(v.map(x => x * x).sum / 2)).as("score"), lit(i).as("cell"))
+        }: _*)).as("p"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("p.score").desc)))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        col("p.cell").as("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineWithNorms(
+        dotProduct(col("qvec"), col("cvec")), col("qnorm"), col("cnorm")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Embedding near-dup candidate pairs via shared LSH bucket, verified
     * with exact cosine — the scale path version of
     * [[Dedup.embeddingNearDupPairs]]. */

@@ -130,7 +130,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("ivfTopK with full probe equals exact brute-force search") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rank"))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 8, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rank"))).toSet
+    assert(ivf == exact)
+  }
+
+  test("ivfTopK partial probe trades recall for cost") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(ivf.nonEmpty && recall >= 0.2, s"recall $recall")
+  }
+
   // ---- multimodal ----
+
+  test("resizeStub pads/truncates payloads to the target size") {
+    val assets = Multimodal.asAssets(docs.limit(5), "doc_id", "text",
+      "text/plain", "source")
+    val sizes = Multimodal.resizeStub(assets, targetBytes = 100)
+      .select(octet_length(col("content"))).collect().map(_.getInt(0))
+    assert(sizes.forall(_ == 100))
+  }
+
+  test("sampleFrames chunks the payload on the fixed stride") {
+    val assets = Multimodal.asAssets(docs.filter(col("doc_id") === 1),
+      "doc_id", "text", "text/plain", "source")
+    val bytes = docs.filter(col("doc_id") === 1).select("text")
+      .first().getString(0).getBytes("UTF-8")
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 64, everyN = 3)
+      .orderBy("frame_index").collect()
+    val expectIdx = (0 until math.ceil(bytes.length / 64.0).toInt).filter(_ % 3 == 0)
+    assert(frames.map(_.getAs[Int]("frame_index")).toSeq == expectIdx)
+    frames.foreach { f =>
+      val i = f.getAs[Int]("frame_index")
+      val expect = bytes.slice(i * 64, math.min((i + 1) * 64, bytes.length))
+      assert(f.getAs[Array[Byte]]("frame").toSeq == expect.toSeq)
+    }
+  }
 
   test("asAssets builds binary payload + metadata struct") {
     val assets = Multimodal.asAssets(docs, "doc_id", "text", "text/plain", "source")
