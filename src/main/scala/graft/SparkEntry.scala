@@ -114,6 +114,13 @@ object SparkEntry {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, hammingMax = 15, chunks = 16, threshold = 0.5)),
 
+    "q_dedup_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dropNearDuplicates(docs, "doc_id",
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.45)),
@@ -330,6 +337,11 @@ object SparkEntry {
           |FROM documents GROUP BY 1""".stripMargin,
 
       "q_dedup_jaccard" -> shingleCte,
+
+      "q_dedup_clean" ->
+        s"""WITH dup_pairs AS ($shingleCte)
+           |SELECT doc_id, lang, source, n_chars FROM documents
+           |WHERE doc_id NOT IN (SELECT id_b FROM dup_pairs)""".stripMargin,
       "q_dedup_minhash" -> shingleCte,
       "q_dedup_simhash" -> shingleCte,
 

@@ -197,6 +197,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** Drop near-duplicates given a (id_a, id_b) pair table (any of the
+    * pair operators above): a document is dropped when ANY near-dup with
+    * a smaller id exists — one anti-join, no transitive closure needed,
+    * the standard corpus-cleaning policy. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String,
+                         pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Transitive near-duplicate clusters from a pair table: iterative
+    * min-label propagation (each member adopts the smallest id reachable
+    * over the pair edges). Converges in O(cluster diameter) rounds —
+    * near-dup clusters are shallow, so `maxIters` is a safety bound, and
+    * each round is one join + aggregate (no driver-side union-find).
+    * Output: (id, cluster_id = min member id). */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster_id", "dst_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("neighbor_min"))
+        .join(labels, "id")
+        .select(col("id"),
+          least(col("cluster_id"), col("neighbor_min")).as("cluster_id"))
+        .localCheckpoint(false)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold — exact
     * (all-pairs) form. The inverted-index trick has no analogue for dense
     * cosine, so at corpus scale use [[Similarity.lshNearDupPairs]]; this

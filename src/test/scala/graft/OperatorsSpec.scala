@@ -94,6 +94,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.forall(x => x.getLong(0) < x.getLong(1)))
   }
 
+  test("dropNearDuplicates keeps the smallest id of each pair group") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val cleaned = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+    val dropped = pairs.select("id_b").distinct().count()
+    assert(cleaned.count() == docs.count() - dropped)
+    // every surviving near-dup pair member is a minimal one
+    val survivors = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    pairs.collect().foreach { r =>
+      assert(!(survivors(r.getLong(0)) && survivors(r.getLong(1))),
+        s"pair ${r.getLong(0)},${r.getLong(1)} both survived")
+    }
+  }
+
+  test("nearDupClusters computes transitive min-label components") {
+    val pairs = spark.sql(
+      """select * from values (1L, 2L), (2L, 3L), (7L, 9L), (4L, 5L), (3L, 8L)
+        | as t(id_a, id_b)""".stripMargin)
+    val labels = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L,
+      4L -> 4L, 5L -> 4L, 7L -> 7L, 9L -> 7L))
+  }
+
   // ---- similarity ----
 
   test("bruteForceTopK matches a naive ranking") {
