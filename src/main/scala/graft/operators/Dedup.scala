@@ -235,6 +235,9 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge in $maxIters rounds — a cluster's " +
+        "diameter exceeds maxIters; raise it (rounds needed ≈ diameter)")
     labels
   }
 

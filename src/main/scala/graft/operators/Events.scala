@@ -28,9 +28,10 @@ object Events {
     * Output: one row per session with bounds and size. */
   def sessionize(events: DataFrame, gapSeconds: Long,
                  userCol: String = "user_id",
-                 tsCol: String = "ts"): DataFrame = {
+                 tsCol: String = "ts",
+                 idCol: String = "event_id"): DataFrame = {
     val byUser = Window.partitionBy(col(userCol))
-      .orderBy(col(tsCol), col("event_id"))
+      .orderBy(col(tsCol), col(idCol))
     val gap = unix_micros(col(tsCol)) - unix_micros(
       lag(col(tsCol), 1).over(byUser))
     val sessions = events
@@ -41,7 +42,7 @@ object Events {
           byUser.rowsBetween(Window.unboundedPreceding, 0)))
     sessions.groupBy(col(userCol), col("session_index"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("event_id")).as("first_event_id"),
-        max(col("event_id")).as("last_event_id"))
+        min(col(idCol)).as("first_event_id"),
+        max(col(idCol)).as("last_event_id"))
   }
 }

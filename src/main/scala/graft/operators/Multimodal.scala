@@ -51,11 +51,10 @@ object Multimodal {
     * 64-bit FNV-1a content hash, and an 8-dim embedding from byte
     * histogram moments). Replace with a real codec per `meta.mime`. */
   def decodeStub(id: Long, content: Array[Byte]): Row = {
-    var h = 0xcbf29ce484222325L // FNV-1a
-    var i = 0
+    val h = graft.functions.Hashing.fnv1a(content)
     val hist = new Array[Long](8)
+    var i = 0
     while (i < content.length) {
-      h = (h ^ (content(i) & 0xffL)) * 0x100000001b3L
       hist((content(i) & 0xff) % 8) += 1
       i += 1
     }
@@ -104,8 +103,8 @@ object Multimodal {
     * payload — a skew guard for mixed image/video corpora where row count
     * is a bad proxy for partition weight. */
   def repartitionBySize(assets: DataFrame, targetBytes: Long): DataFrame = {
-    val totalBytes = assets
-      .agg(sum(col("meta.n_bytes"))).first().getLong(0)
+    val row = assets.agg(sum(col("meta.n_bytes"))).first()
+    val totalBytes = if (row.isNullAt(0)) 0L else row.getLong(0) // empty input
     val parts = math.max(1, (totalBytes / targetBytes).toInt)
     assets.repartition(parts, col("id"))
   }

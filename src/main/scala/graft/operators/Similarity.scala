@@ -75,10 +75,17 @@ object Similarity {
     * recall & cost); the corpus side stays single-bucket so the index is
     * one hash pass over the 100 TB side, and only the small query side
     * fans out ×(numPlanes+1). */
+  /** Vector dimension probed from the SMALL queries side (one cheap
+    * action); 0 on an empty query set, which yields an empty result
+    * instead of a crash. */
+  private def probeDim(queries: DataFrame, vecCol: String): Int =
+    queries.select(size(col(vecCol))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dim = probeDim(queries, vecCol)
     val planes = hyperplanes(numPlanes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
         toDouble(col(vecCol)).as("cvec"),
@@ -194,7 +201,7 @@ object Similarity {
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, numPlanes: Int = 6,
                       seed: Long = 42L): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val dim = probeDim(emb, vecCol)
     val planes = hyperplanes(numPlanes, dim, seed)
     val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"),
         signBucket(col(vecCol), planes).as("bucket"))

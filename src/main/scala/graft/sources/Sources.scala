@@ -16,8 +16,20 @@ object Sources {
     * microsecond timestamps (integer division — the values exceed 2^53 so
     * a double round-trip would corrupt them). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } finally {
+      // don't leak the legacy flag into unrelated reads on this session;
+      // the scan itself keeps working (the relation captures the conf at
+      // read() time — exercised by SourcesSpec)
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 }

@@ -38,22 +38,7 @@ case class HashedNGramShingles(child: Expression, n: Int)
 
   private val space = UTF8String.fromString(" ")
 
-  @inline private def fnv1a(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
-      i += 1
-    }
-    h
-  }
-
-  @inline private def mix(acc: Long, v: Long): Long = {
-    var z = acc ^ (v + 0x9e3779b97f4a7c15L + (acc << 6) + (acc >>> 2))
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  import graft.functions.Hashing.{fnv1a, mix}
 
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].split(space, -1)

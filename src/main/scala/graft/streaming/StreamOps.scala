@@ -33,14 +33,15 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Streaming exact dedup: first event per key wins; state expires with
+  /** Streaming exact dedup: first event per key wins (a replayed event
+    * with a different timestamp is still a duplicate); state expires with
     * the watermark so memory is bounded by the dedup horizon. */
   def dedupByKey(events: DataFrame, keyCols: Seq[String],
                  tsCol: String = "ts",
                  watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Input/output/state rows for streaming sessionization. */
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
@@ -80,8 +81,12 @@ object StreamOps {
               val t = micros(e.ts)
               open match {
                 case Some(s) if t - s.lastTsMicros <= gapMicros =>
-                  open = Some(s.copy(lastTsMicros = t, n = s.n + 1,
-                    lastId = e.event_id))
+                  // a late (within-watermark) event joins the open session
+                  // but must not move its end backwards
+                  open = Some(s.copy(
+                    lastTsMicros = math.max(s.lastTsMicros, t),
+                    n = s.n + 1,
+                    lastId = if (t >= s.lastTsMicros) e.event_id else s.lastId))
                 case Some(s) =>
                   closed += SessionOut(userId, s.sessionIndex, s.n,
                     s.firstId, s.lastId)

@@ -85,6 +85,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: random nested-leaf configs match a hand-built rewrite") {
+    // fixed nested fixture; randomized (leaf path, function) choices
+    val df = jsonDf(
+      """[{"s": {"x": "Ab", "y": "Cd", "inner": {"z": "Ef"}},
+         | "arr": [{"p": "Gh", "q": "Ij"}, {"p": "Kl", "q": "Mn"}],
+         | "keep": "v"}]""".stripMargin)
+    val leaves = Seq("s.x", "s.y", "s.inner.z", "arr.p", "arr.q")
+    val gen = Gen.someOf(leaves).flatMap { picked =>
+      Gen.sequence[Seq[(String, (String, Column => Column))], (String, (String, Column => Column))](
+        picked.map(l => Gen.oneOf(fnPool).map(l -> _)))
+    }
+    forAll(gen, 15) { config =>
+      val runner = new Functioniser
+      config.foreach { case (path, (_, fn)) => runner.add(path, fn) }
+      val got = runner.apply(df)
+      // hand-built oracle with withField/transform
+      val byPath = config.toMap.map { case (k, v) => k -> v._2 }
+      def applyOr(path: String, c: Column): Column =
+        byPath.get(path).map(_(c)).getOrElse(c)
+      var s = col("s")
+      s = s.withField("x", applyOr("s.x", s.getField("x")))
+      s = s.withField("y", applyOr("s.y", s.getField("y")))
+      s = s.withField("inner",
+        s.getField("inner").withField("z",
+          applyOr("s.inner.z", s.getField("inner").getField("z"))))
+      val arr = transform(col("arr"), el =>
+        el.withField("p", applyOr("arr.p", el.getField("p")))
+          .withField("q", applyOr("arr.q", el.getField("q"))))
+      val expect = df.select(s.as("s"), arr.as("arr"), col("keep"))
+      // compare field-by-field (column order differs: oracle fixed order)
+      val g = got.select("s.x", "s.y", "s.inner.z", "arr.p", "arr.q", "keep")
+      val e = expect.select("s.x", "s.y", "s.inner.z", "arr.p", "arr.q", "keep")
+      assert(g.collect().toSeq == e.collect().toSeq, s"config=${config.map(_._1)}")
+    }
+  }
+
   test("property: hashedShingles cardinality equals distinct string shingles") {
     val word = Gen.oneOf("aa", "bb", "cc", "dd")
     forAll(Gen.listOfN(12, word), 20) { words =>

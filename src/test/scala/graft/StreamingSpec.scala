@@ -98,7 +98,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.head == SessionOut(7, 1, 2, 1, 2))
   }
 
-  test("dedupByKey drops late duplicates within the watermark horizon") {
+  test("dedupByKey drops replayed keys even with a different timestamp") {
     val s = spark
     import s.implicits._
     implicit val ctx = s.sqlContext
@@ -108,9 +108,40 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").start()
     val e = Ev(1, Timestamp.valueOf("2024-01-01 00:05:00"), 7, "click", 1.0)
     input.addData(e, e.copy(value = 1.0),
+      // replay of key 1 five seconds later must still dedup
+      e.copy(ts = Timestamp.valueOf("2024-01-01 00:05:05")),
       Ev(2, Timestamp.valueOf("2024-01-01 00:06:00"), 7, "view", 2.0))
     q.processAllAvailable()
     q.stop()
     assert(s.sql("select count(*) from dedup_stream").first().getLong(0) == 2L)
+  }
+
+  test("sessionizeStream: a late within-gap event cannot move the session end backwards") {
+    import graft.streaming.StreamOps.{SessionEvent, SessionOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val events = input.toDF()
+      .withWatermark("ts", "2 hours").as[SessionEvent]
+    val out = StreamOps.sessionizeStream(events, gapSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    input.addData(SessionEvent(7, 5, Timestamp.valueOf("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // late event (within watermark, earlier than lastTs, within gap)
+    input.addData(SessionEvent(7, 6, Timestamp.valueOf("2024-01-01 09:50:00")))
+    q.processAllAvailable()
+    // close the session via a far-future event for another user
+    input.addData(SessionEvent(8, 9, Timestamp.valueOf("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    input.addData(SessionEvent(8, 10, Timestamp.valueOf("2024-01-02 23:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val sess7 = s.sql("select * from sess_late where user_id = 7")
+      .as[SessionOut].collect().toSeq
+    // one session of both events, still ending at the chronologically
+    // later event id=5
+    assert(sess7 == Seq(SessionOut(7, 1, 2, 5, 5)))
   }
 }
