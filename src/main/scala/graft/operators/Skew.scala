@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators.
+  *
+  * AQE's skew-join splitting covers sort-merge joins at runtime; explicit
+  * salting is still the tool of choice when one side must be broadcast
+  * per-salt or when a single hot key dominates a shuffle. Both forms here
+  * are exact (pure plan rewrites of the unsalted equivalent). */
+object Skew {
+
+  /** Skew-safe equi-join: the big side gets a deterministic per-row salt
+    * in [0, saltFactor); the small side is replicated once per salt value;
+    * the join key becomes (keys..., salt), splitting each hot key's rows
+    * across `saltFactor` reducers. Result equals the plain inner join. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    // salt from the full row hash: deterministic, uniform, and not a
+    // function of the join key (which is exactly what's skewed)
+    val bigSalted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
+        .cast("int"))
+    val smallReplicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    bigSalted.join(smallReplicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Two-stage (salted) aggregation for re-aggregatable statistics: a hot
+    * group is first reduced across `saltFactor` sub-groups map-side-ish,
+    * then combined. Exact for count/sum/min/max. */
+  def saltedStats(df: DataFrame, keys: Seq[String], valueCol: String,
+                  saltFactor: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+    val partial = salted
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"),
+        min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    partial.groupBy(keyCols: _*)
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum"),
+        min(col("__mn")).as("min"), max(col("__mx")).as("max"))
+  }
+}

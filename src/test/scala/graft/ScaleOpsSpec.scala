@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+import graft.sources.Bucketing
+
+/** Bucketing and skew-salting: exactness plus the plan properties that
+  * make them worth using. */
+class ScaleOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bucketed join on the bucket key plans without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    for (t <- Seq("li_bucketed", "ord_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Bucketing.writeBucketed(
+      spark.read.parquet(s"$dir/lineitem.parquet"), "li_bucketed", 8,
+      Seq("l_orderkey"))
+    Bucketing.writeBucketed(
+      spark.read.parquet(s"$dir/orders.parquet")
+        .withColumnRenamed("o_orderkey", "l_orderkey"), "ord_bucketed", 8,
+      Seq("l_orderkey"))
+    // AQE wraps the plan; materialize first, then inspect the FINAL plan
+    def shuffleOps(df: org.apache.spark.sql.DataFrame): Int = {
+      df.count()
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "li_bucketed",
+        "ord_bucketed", Seq("l_orderkey"))
+      assert(joined.count() == 6000L) // every lineitem matches its order
+      assert(shuffleOps(joined) == 0, "bucketed join must not shuffle")
+      // contrast: the same join on plain parquet must shuffle both sides
+      val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(spark.read.parquet(s"$dir/orders.parquet")
+          .withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"))
+      assert(shuffleOps(plain) > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("saltedJoin equals the plain join on skewed data") {
+    // skew: 90% of rows carry one hot key
+    val big = spark.range(0, 5000).select(
+      when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100)
+        .as("k"), col("id").as("payload"))
+    val small = spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("dim_"), col("id")).as("name"))
+    val expect = big.join(small, Seq("k")).orderBy("payload")
+      .collect().toSeq
+    val got = Skew.saltedJoin(big, small, Seq("k"), saltFactor = 8)
+      .select("k", "payload", "name").orderBy("payload").collect().toSeq
+    assert(got == expect)
+  }
+
+  test("saltedStats equals direct aggregation") {
+    val events = graft.sources.Sources.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("value"))
+    val direct = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum"),
+        min("value").as("min"), max("value").as("max"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    val salted = Skew.saltedStats(events, Seq("event_type"), "value", 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("min"), r.getAs[Double]("max"))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (n, mn, mx)) =>
+      assert((n, mn, mx) == direct(k), s"key $k")
+    }
+  }
+}
