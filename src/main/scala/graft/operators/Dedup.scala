@@ -220,7 +220,10 @@ object Dedup {
       .withColumn("cluster_id", col("id"))
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
+    // maxIters propagation rounds + 1 confirming (no-change) round: a
+    // cluster of diameter exactly maxIters stabilizes on the last
+    // propagation round and must not be reported as non-converged
+    while (!converged && i < maxIters + 1) {
       val next = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("cluster_id", "dst_label"), "dst")

@@ -78,9 +78,13 @@ object Multimodal {
     * by truncating/padding the payload to `targetBytes`. Swap the column
     * expression for a decode→resize→encode UDF per `meta.mime`. */
   def resizeStub(assets: DataFrame, targetBytes: Int): DataFrame =
-    assets.withColumn("content",
-      rpad(substring(col("content"), 1, targetBytes), targetBytes,
-        Array[Byte](0)))
+    assets
+      .withColumn("content",
+        rpad(substring(col("content"), 1, targetBytes), targetBytes,
+          Array[Byte](0)))
+      // keep the metadata invariant consumed by repartitionBySize
+      .withColumn("meta",
+        col("meta").withField("n_bytes", lit(targetBytes.toLong)))
 
   /** Frame sampling over a chunked binary payload: treats `content` as
     * fixed-size `frameBytes` frames and keeps every `everyN`-th one,
@@ -91,9 +95,11 @@ object Multimodal {
                    everyN: Int): DataFrame = {
     val nFrames = ceil(octet_length(col("content")).cast("double") / frameBytes)
       .cast("int")
+    // stride directly in the sequence: only kept frame indices are ever
+    // materialized (no explode-then-filter waste)
     assets.select(col("id"), col("content"),
-        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as("frame_index"))
-      .filter(col("frame_index") % everyN === 0)
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)),
+          lit(everyN))).as("frame_index"))
       .select(col("id"), col("frame_index"),
         expr(s"substring(content, frame_index * $frameBytes + 1, $frameBytes)")
           .as("frame"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.util.Random
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,6 +67,13 @@ object Similarity {
       when(dotProduct(vec, hCol) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Vector dimension probed from the SMALL queries side (one cheap
+    * action); 0 on an empty query set, which yields an empty result
+    * instead of a crash. */
+  private def probeDim(queries: DataFrame, vecCol: String): Int =
+    queries.select(size(col(vecCol))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
   /** ANN top-k via random-hyperplane LSH: corpus and queries are hashed
     * into sign buckets; each query is scored only against its bucket
     * cohort (multi-probed to Hamming radius 1 — near-misses on one
@@ -75,13 +82,6 @@ object Similarity {
     * recall & cost); the corpus side stays single-bucket so the index is
     * one hash pass over the 100 TB side, and only the small query side
     * fans out ×(numPlanes+1). */
-  /** Vector dimension probed from the SMALL queries side (one cheap
-    * action); 0 on an empty query set, which yields an empty result
-    * instead of a crash. */
-  private def probeDim(queries: DataFrame, vecCol: String): Int =
-    queries.select(size(col(vecCol))).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
-
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
@@ -136,16 +136,26 @@ object Similarity {
     var centroids: Array[Seq[Double]] = c.orderBy(col("neighbor_id"))
       .limit(nlist).collect()
       .map(_.getSeq[Double](1))
+    if (centroids.isEmpty) {
+      // empty corpus: empty result, correct schema, no crash
+      return queries.limit(0).select(
+        col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cosine"))
+    }
 
     def centroidDf = centroids.zipWithIndex.map { case (v, i) => (i, v) }
-    def assignExpr: org.apache.spark.sql.Column = {
-      // argmin over squared L2 distance == argmax of (dot - |c|²/2)
+    // greatest() needs ≥2 args; a single cell is just that cell
+    def maxStruct(scores: Seq[Column]): Column =
+      if (scores.size == 1) scores.head else greatest(scores: _*)
+    def assignExpr: Column = {
+      // argmin over squared L2 distance == argmax of (dot - |c|²/2);
+      // struct comparison breaks score ties toward the LARGER cell index
       val scores = centroidDf.map { case (i, v) =>
         val cCol = array(v.map(lit): _*)
         struct((dotProduct(col("cvec"), cCol) -
           lit(v.map(x => x * x).sum / 2)).as("score"), lit(i).as("cell"))
       }
-      greatest(scores: _*).getField("cell")
+      maxStruct(scores).getField("cell")
     }
 
     (0 until lloydIters).foreach { _ =>
@@ -178,8 +188,12 @@ object Similarity {
           struct((dotProduct(col("qvec"), cCol) -
             lit(v.map(x => x * x).sum / 2)).as("score"), lit(i).as("cell"))
         }: _*)).as("p"))
+      // tie-break toward the larger cell to MATCH the assignment's
+      // greatest()-struct tie behavior: duplicate centroids then probe the
+      // cell the corpus actually landed in, deterministically
       .withColumn("prank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("p.score").desc)))
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("p.score").desc, col("p.cell").desc)))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("qnorm"),
         col("p.cell").as("cell"))

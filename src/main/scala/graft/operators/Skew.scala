@@ -18,11 +18,10 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
-    // salt from the full row hash: deterministic, uniform, and not a
-    // function of the join key (which is exactly what's skewed)
+    // salt from the row position, not row content: byte-identical hot-key
+    // rows (the worst skew case) must still spread across reducers
     val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
-        .cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val smallReplicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     bigSalted.join(smallReplicated, keys :+ "__salt").drop("__salt")
@@ -30,7 +29,9 @@ object Skew {
 
   /** Two-stage (salted) aggregation for re-aggregatable statistics: a hot
     * group is first reduced across `saltFactor` sub-groups map-side-ish,
-    * then combined. Exact for count/sum/min/max. */
+    * then combined. Exact for count/min/max and integral or decimal sums;
+    * floating-point sums may differ from the one-stage result in
+    * low-order bits (summation re-association). */
   def saltedStats(df: DataFrame, keys: Seq[String], valueCol: String,
                   saltFactor: Int): DataFrame = {
     val keyCols = keys.map(col)

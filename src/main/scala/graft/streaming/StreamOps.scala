@@ -82,11 +82,14 @@ object StreamOps {
               open match {
                 case Some(s) if t - s.lastTsMicros <= gapMicros =>
                   // a late (within-watermark) event joins the open session
-                  // but must not move its end backwards
+                  // but must not move its end backwards; first/last ids are
+                  // min/max like the batch operator, so batch and stream
+                  // agree even when ids are not time-ordered
                   open = Some(s.copy(
                     lastTsMicros = math.max(s.lastTsMicros, t),
                     n = s.n + 1,
-                    lastId = if (t >= s.lastTsMicros) e.event_id else s.lastId))
+                    firstId = math.min(s.firstId, e.event_id),
+                    lastId = math.max(s.lastId, e.event_id)))
                 case Some(s) =>
                   closed += SessionOut(userId, s.sessionIndex, s.n,
                     s.firstId, s.lastId)

@@ -169,8 +169,8 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val sess7 = s.sql("select * from sess_late where user_id = 7")
       .as[SessionOut].collect().toSeq
-    // one session of both events, still ending at the chronologically
-    // later event id=5
-    assert(sess7 == Seq(SessionOut(7, 1, 2, 5, 5)))
+    // one session of both events with batch-consistent min/max ids; the
+    // session window itself must not have moved backwards
+    assert(sess7 == Seq(SessionOut(7, 1, 2, 5, 6)))
   }
 }
