@@ -114,20 +114,20 @@ object Dedup {
     val rows = numHashes / bands
     val sh = shingled(docs, idCol, textCol, n)
 
-    // Signature as explode + numHashes codegen'd min-aggregates: the whole
-    // hot path stays inside whole-stage codegen with map-side partial
-    // aggregation (an equivalent higher-order-function formulation runs
-    // interpreted lambdas — measured ~10× slower at sf0.1).
-    val posting = sh.select(col("id"), explode(col("shingles")).as("shingle"))
-    val minAggs = (0 until numHashes).map(k =>
-      min(xxhash64(lit(k), col("shingle"))).as(s"m$k"))
-    val sig = posting.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    // Signature via the one-pass MinHashSketch TypedImperativeAggregate:
+    // no generator multiplying rows before the partial aggregate, O(k)
+    // state per doc, hash-identical to the xxhash64(k, shingle)
+    // expression formulation (pinned by spec).
+    val sig = sh.groupBy(col("id")).agg(
+      org.apache.spark.sql.graftext.MinHashSketch(col("shingles"), numHashes)
+        .as("sig"))
 
     // one 64-bit bucket key per band, hashed straight from the band's
-    // signature columns (variadic xxhash64 — no string concat)
+    // signature slots (variadic xxhash64 — no string concat)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(lit(b) +: (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+        xxhash64(lit(b) +:
+          (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
           .as("bucket"))
     }
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))

@@ -40,13 +40,23 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2,
           "hashed_ngram_shingles expects (text, n)")
-        val n = children(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"hashed_ngram_shingles: n must be an integer literal, got $other")
-        }
-        HashedNGramShingles(children.head, n)
+        HashedNGramShingles(children.head,
+          intLiteral(children(1), "hashed_ngram_shingles: n"))
+      }),
+    ("minhash_sketch",
+      new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "minhash_sketch expects (shingles, numHashes)")
+        MinHashSketch(children.head,
+          intLiteral(children(1), "minhash_sketch: numHashes"))
       }))
+
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Register on an already-built session (the extension class covers
     * builder-time wiring; this covers everything else). */

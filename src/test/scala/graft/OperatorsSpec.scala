@@ -69,6 +69,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 2L))
   }
 
+  test("MinHashSketch aggregate matches the xxhash64 expression formulation") {
+    val sh = docs.limit(50).select(col("doc_id").as("id"),
+      TextAnalysis.hashedShingles(col("text"), 3).as("shingles"))
+    val viaAgg = sh.groupBy("id")
+      .agg(org.apache.spark.sql.graftext.MinHashSketch(col("shingles"), 16)
+        .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExpr = sh
+      .select(col("id"), explode(col("shingles")).as("s"))
+      .groupBy("id")
+      .agg(array((0 until 16).map(k => min(xxhash64(lit(k), col("s")))): _*)
+        .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg == viaExpr)
+  }
+
+  test("minhash_sketch is usable from SQL") {
+    org.apache.spark.sql.graftext.GraftExtensions.register(spark)
+    val n = spark.sql(
+      """select size(minhash_sketch(hashed_ngram_shingles(text, 3), 32)) as k
+        |from parquet.`/root/testdata/sf0.001/documents.parquet`
+        |group by doc_id limit 1""".stripMargin).first().getInt(0)
+    assert(n == 32)
+  }
+
   test("minhash-LSH pairs equal exhaustive jaccard pairs on testdata") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
