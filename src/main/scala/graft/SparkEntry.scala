@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -161,6 +161,18 @@ object SparkEntry {
 
     "q_events_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"), gapSeconds = 1800)),
+
+    // as-of join: each purchase matched to the user's latest prior click
+    "q_events_asof" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      AsOfJoin.asOfJoin(
+          events.filter(col("event_type") === "purchase"),
+          events.filter(col("event_type") === "click")
+            .withColumnRenamed("event_id", "click_id"),
+          keyCol = "user_id", tsCol = "ts",
+          leftCols = Seq("event_id"), rightCols = Seq("click_id"))
+        .select(col("user_id"), col("event_id"), col("click_id"))
+    }),
 
     // ---- multimodal plumbing (payload + metadata; stub features are
     //      covered by MultimodalSpec, not SQL-expressible) ----
@@ -410,6 +422,15 @@ object SparkEntry {
 
       // DuckDB 1.0 has no BLOB substring; the docs are ASCII so char
       // slicing before encode() is byte-identical
+      "q_events_asof" ->
+        """SELECT p.user_id, p.event_id, c.click_id
+          |FROM (SELECT user_id, event_id, ts FROM events
+          |      WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN
+          |     (SELECT user_id, event_id AS click_id, ts FROM events
+          |      WHERE event_type = 'click') c
+          |ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
       "q_multimodal_frames" ->
         """SELECT doc_id AS id, i AS frame_index,
           |       encode(substring(text, CAST(i * 64 + 1 AS BIGINT),

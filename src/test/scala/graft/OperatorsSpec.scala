@@ -254,6 +254,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(parts.rdd.getNumPartitions >= 2)
   }
 
+  // ---- as-of join ----
+
+  test("asOfJoin attaches the latest preceding right row per key") {
+    val left = spark.sql(
+      """select * from values
+        |  (7L, timestamp'2024-01-01 10:00:00', 100L),
+        |  (7L, timestamp'2024-01-01 12:00:00', 101L),
+        |  (8L, timestamp'2024-01-01 10:00:00', 102L)
+        |  as t(user_id, ts, event_id)""".stripMargin)
+    val right = spark.sql(
+      """select * from values
+        |  (7L, timestamp'2024-01-01 09:30:00', 900L),
+        |  (7L, timestamp'2024-01-01 11:00:00', 901L),
+        |  (7L, timestamp'2024-01-01 12:00:00', 902L),
+        |  (9L, timestamp'2024-01-01 09:00:00', 903L)
+        |  as t(user_id, ts, click_id)""".stripMargin)
+    val r = operators.AsOfJoin.asOfJoin(left, right, "user_id", "ts",
+        Seq("event_id"), Seq("click_id"))
+      .orderBy("event_id").collect()
+    assert(r.map(x => (x.getAs[Long]("event_id"),
+      Option(x.getAs[java.lang.Long]("click_id")).map(_.toLong))).toSeq == Seq(
+      (100L, Some(900L)),  // latest click before 10:00
+      (101L, Some(902L)),  // tie at 12:00 admits the simultaneous click
+      (102L, None)))       // user 8 has no clicks
+  }
+
   // ---- events ----
 
   test("sessionize splits on gaps greater than the threshold") {
