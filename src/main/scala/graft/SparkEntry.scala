@@ -420,8 +420,6 @@ object SparkEntry {
           |       strlen(text)::BIGINT AS n_bytes
           |FROM documents""".stripMargin,
 
-      // DuckDB 1.0 has no BLOB substring; the docs are ASCII so char
-      // slicing before encode() is byte-identical
       "q_events_asof" ->
         """SELECT p.user_id, p.event_id, c.click_id
           |FROM (SELECT user_id, event_id, ts FROM events
@@ -431,6 +429,8 @@ object SparkEntry {
           |      WHERE event_type = 'click') c
           |ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
+      // DuckDB 1.0 has no BLOB substring; the docs are ASCII so char
+      // slicing before encode() is byte-identical
       "q_multimodal_frames" ->
         """SELECT doc_id AS id, i AS frame_index,
           |       encode(substring(text, CAST(i * 64 + 1 AS BIGINT),

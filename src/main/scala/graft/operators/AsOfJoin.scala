@@ -40,9 +40,11 @@ object AsOfJoin {
       .select("__key", "__ts", "__side", "__l", "__r") // align column order
 
     // right rows sort before left rows at equal ts, so an exactly
-    // simultaneous right row is visible to the left row (asof >=)
+    // simultaneous right row is visible to the left row (asof >=); the
+    // content-hash tail makes the order TOTAL, so duplicate (key, ts)
+    // right rows resolve deterministically across runs/partitionings
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), xxhash64(col("__r")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.select("__key", "__ts", "__side", "__l", "__r").union(r)

@@ -14,14 +14,21 @@ object Skew {
   /** Skew-safe equi-join: the big side gets a deterministic per-row salt
     * in [0, saltFactor); the small side is replicated once per salt value;
     * the join key becomes (keys..., salt), splitting each hot key's rows
-    * across `saltFactor` reducers. Result equals the plain inner join. */
+    * across `saltFactor` reducers. Result equals the plain inner join.
+    *
+    * The salt is a function of row CONTENT, never position: positional
+    * salts (mid()/rand) reassign rows on task retry after partial shuffle
+    * recomputation and silently duplicate/drop join rows (the SPARK-23207
+    * failure class). The tradeoff: byte-identical duplicate rows share a
+    * salt and do not spread — their joined outputs are identical anyway,
+    * so this costs balance, not correctness; dedupe or add a
+    * disambiguating column upstream if that skew matters. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
-    // salt from the row position, not row content: byte-identical hot-key
-    // rows (the worst skew case) must still spread across reducers
     val bigSalted = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
+        .cast("int"))
     val smallReplicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     bigSalted.join(smallReplicated, keys :+ "__salt").drop("__salt")

@@ -51,6 +51,11 @@ case class MinHashSketch(
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
+  // per-k seeds depend only on k: hash them once per task, not once per
+  // shingle (halves the hot-loop hash work)
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(k => XXH64.hashInt(k, 42L))
+
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val arr = child.eval(input)
     if (arr != null) {
@@ -62,7 +67,7 @@ case class MinHashSketch(
           var k = 0
           while (k < numHashes) {
             // == xxhash64(lit(k), shingle): int k then long, seed 42
-            val h = XXH64.hashLong(sh, XXH64.hashInt(k, 42L))
+            val h = XXH64.hashLong(sh, seeds(k))
             if (h < buffer(k)) buffer(k) = h
             k += 1
           }

@@ -47,8 +47,9 @@ object StreamOps {
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionOut(user_id: Long, session_index: Long, n_events: Long,
                         first_event_id: Long, last_event_id: Long)
-  case class SessionState(sessionIndex: Long, lastTsMicros: Long,
-                          n: Long, firstId: Long, lastId: Long)
+  case class SessionState(sessionIndex: Long, firstTsMicros: Long,
+                          lastTsMicros: Long, n: Long, firstId: Long,
+                          lastId: Long)
 
   /** Streaming gap sessionization — the `flatMapGroupsWithState` form of
     * `Events.sessionize`. State is one open session per user (constant
@@ -80,23 +81,36 @@ object StreamOps {
             sorted.foreach { e =>
               val t = micros(e.ts)
               open match {
-                case Some(s) if t - s.lastTsMicros <= gapMicros =>
-                  // a late (within-watermark) event joins the open session
-                  // but must not move its end backwards; first/last ids are
-                  // min/max like the batch operator, so batch and stream
-                  // agree even when ids are not time-ordered
+                // within-gap of the open session's span (a late event may
+                // precede lastTs but must still be within gap of the
+                // session START to belong to it, like the batch operator)
+                case Some(s) if t - s.lastTsMicros <= gapMicros &&
+                    s.firstTsMicros - t <= gapMicros =>
+                  // ids are min/max like the batch operator; the span
+                  // never moves backwards
                   open = Some(s.copy(
+                    firstTsMicros = math.min(s.firstTsMicros, t),
                     lastTsMicros = math.max(s.lastTsMicros, t),
                     n = s.n + 1,
                     firstId = math.min(s.firstId, e.event_id),
                     lastId = math.max(s.lastId, e.event_id)))
+                // a straggler older than the open session by more than the
+                // gap: it is its own (already closed) session; session
+                // INDEX order can diverge from a batch replay here — true
+                // chronological renumbering would require buffering the
+                // whole watermark horizon
+                case Some(s) if s.firstTsMicros - t > gapMicros =>
+                  closed += SessionOut(userId, s.sessionIndex, 1,
+                    e.event_id, e.event_id)
+                  open = Some(s.copy(sessionIndex = s.sessionIndex + 1))
                 case Some(s) =>
                   closed += SessionOut(userId, s.sessionIndex, s.n,
                     s.firstId, s.lastId)
-                  open = Some(SessionState(s.sessionIndex + 1, t, 1,
+                  open = Some(SessionState(s.sessionIndex + 1, t, t, 1,
                     e.event_id, e.event_id))
                 case None =>
-                  open = Some(SessionState(1L, t, 1, e.event_id, e.event_id))
+                  open = Some(SessionState(1L, t, t, 1,
+                    e.event_id, e.event_id))
               }
             }
             open.foreach { s =>

@@ -127,6 +127,28 @@ class StreamingSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("b.n_events")).isEmpty)
   }
 
+  test("sessionizeStream: a straggler older than the session-by-gap becomes its own closed session") {
+    import graft.streaming.StreamOps.{SessionEvent, SessionOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val events = input.toDF()
+      .withWatermark("ts", "24 hours").as[SessionEvent]
+    val out = StreamOps.sessionizeStream(events, gapSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("sess_straggler")
+      .outputMode("append").start()
+    input.addData(SessionEvent(7, 5, Timestamp.valueOf("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // 3 hours older than the open session: own session, emitted at once
+    input.addData(SessionEvent(7, 9, Timestamp.valueOf("2024-01-01 07:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = s.sql("select * from sess_straggler where user_id = 7")
+      .as[SessionOut].collect().toSeq
+    assert(emitted == Seq(SessionOut(7, 1, 1, 9, 9)))
+  }
+
   test("dedupByKey drops replayed keys even with a different timestamp") {
     val s = spark
     import s.implicits._
