@@ -121,6 +121,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: jaccardPairs equals a driver-side exhaustive oracle on random corpora") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(5, 14).flatMap(n => Gen.listOfN(n, word))
+    val corpus = Gen.choose(6, 12).flatMap(n => Gen.listOfN(n, doc))
+    forAll(corpus, 8) { docsList =>
+      val rows = docsList.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+      val got = operators.Dedup.jaccardPairs(df, "doc_id", "text", 2, 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exhaustive driver-side oracle over string 2-gram shingle sets
+      def sh(ws: Seq[String]) = ws.sliding(2).map(_.mkString(" ")).toSet
+      val expect = (for {
+        (a, i) <- docsList.zipWithIndex
+        (b, j) <- docsList.zipWithIndex if i < j
+        sa = sh(a); sb = sh(b)
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        if inter.toDouble / (sa.size + sb.size - inter) >= 0.3
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expect, s"docs=${rows.map(_._2)}")
+    }
+  }
+
   test("property: hashedShingles cardinality equals distinct string shingles") {
     val word = Gen.oneOf("aa", "bb", "cc", "dd")
     forAll(Gen.listOfN(12, word), 20) { words =>
