@@ -154,21 +154,11 @@ object Dedup {
                    n: Int = 3, hammingMax: Int = 3, chunks: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
-    // per-bit ±1 balance as 64 codegen'd sum-aggregates over the exploded
-    // shingle hashes (hash each shingle once; same whole-stage-codegen
-    // rationale as the MinHash signature), then pack the sign bits
-    val posting = sh
-      .select(col("id"), explode(col("shingles")).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("h")) // re-mix the
-      // shingle hash so signature bits are independent of join keys
-    val bitAggs = (0 until 64).map(i =>
-      sum(when(shiftrightunsigned(col("h"), 63 - i).bitwiseAND(lit(1L)) === 1L,
-        lit(1L)).otherwise(lit(-1L))).as(s"b$i"))
-    val balances = posting.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val packed = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
-      shiftleft(acc, 1) + when(col(s"b$i") > 0, lit(1L)).otherwise(lit(0L))
-    }
-    val sig = balances.select(col("id"), packed.as("simhash"))
+    // one-pass SimHashSketch aggregate: O(64) state per doc, no explode,
+    // bit-identical to the explode + 64 sum-aggregate formulation
+    val sig = sh.groupBy(col("id")).agg(
+      org.apache.spark.sql.graftext.SimHashSketch(col("shingles"))
+        .as("simhash"))
     val chunked = sig.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("chunk_val",
