@@ -50,6 +50,12 @@ object GraftExtensions {
           "minhash_sketch expects (shingles, numHashes)")
         MinHashSketch(children.head,
           intLiteral(children(1), "minhash_sketch: numHashes"))
+      }),
+    ("simhash_sketch",
+      new ExpressionInfo(classOf[SimHashSketch].getName, "simhash_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash_sketch expects (shingles)")
+        SimHashSketch(children.head)
       }))
 
   private def intLiteral(e: Expression, what: String): Int = e match {

@@ -85,13 +85,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaAgg == viaExpr)
   }
 
-  test("minhash_sketch is usable from SQL") {
+  test("minhash_sketch and simhash_sketch are usable from SQL") {
     org.apache.spark.sql.graftext.GraftExtensions.register(spark)
-    val n = spark.sql(
-      """select size(minhash_sketch(hashed_ngram_shingles(text, 3), 32)) as k
+    val row = spark.sql(
+      """select size(minhash_sketch(hashed_ngram_shingles(text, 3), 32)) as k,
+        |       simhash_sketch(hashed_ngram_shingles(text, 3)) as sh
         |from parquet.`/root/testdata/sf0.001/documents.parquet`
-        |group by doc_id limit 1""".stripMargin).first().getInt(0)
-    assert(n == 32)
+        |group by doc_id limit 1""".stripMargin).first()
+    assert(row.getInt(0) == 32)
+    assert(row.getLong(1) != 0L)
   }
 
   test("minhash-LSH pairs equal exhaustive jaccard pairs on testdata") {
