@@ -145,6 +145,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: embeddingNearDupPairs equals a driver-side cosine oracle") {
+    val vec = Gen.listOfN(6, Gen.choose(-5, 5).map(_.toFloat))
+    val corpus = Gen.choose(5, 10).flatMap(n => Gen.listOfN(n, vec))
+      .suchThat(_.forall(v => v.exists(_ != 0f)))
+    forAll(corpus, 8) { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      val got = operators.Dedup
+        .embeddingNearDupPairs(df, "vec_id", "embedding", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+        val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+      }
+      val expect = (for {
+        (a, i) <- vecs.zipWithIndex
+        (b, j) <- vecs.zipWithIndex if i < j
+        if cos(a, b) >= 0.5
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expect, s"vecs=$vecs")
+    }
+  }
+
   test("property: hashedShingles cardinality equals distinct string shingles") {
     val word = Gen.oneOf("aa", "bb", "cc", "dd")
     forAll(Gen.listOfN(12, word), 20) { words =>
