@@ -252,6 +252,14 @@ object SparkEntry {
           .select(col("n_nationkey").cast("int").as("nationkey")))
     }),
 
+    // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
+    "q_sort_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+
     // per-key top-N via window rank
     "q_window_topn" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -492,6 +500,12 @@ object SparkEntry {
           |)
           |EXCEPT
           |SELECT CAST(n_nationkey AS INT) FROM nation WHERE n_regionkey = 0""".stripMargin,
+
+      "q_sort_topk" ->
+        """SELECT l_orderkey, l_linenumber, l_extendedprice
+          |FROM lineitem
+          |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+          |LIMIT 100""".stripMargin,
 
       "q_window_topn" ->
         """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
