@@ -1,15 +1,25 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query materialized end-to-end
   * (noop sink — forces all columns, unlike count() which lets Catalyst
-  * prune a projection-only query down to a bare scan). Prints ONE JSON
-  * line: {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}. */
+  * prune a projection-only query down to a bare scan).
+  *
+  * Emits ONE JSON line
+  * `{"metric":…,"value":…,"unit":"sec","queries":{…},"failed":[…],"sf":…}`
+  * to stdout AND to a file (`SPARK_GRAFT_BENCH_OUT`, default
+  * `bench_latest.json` in the cwd) so the driver can parse it without
+  * scraping sbt's log-prefixed stdout. A query that throws is recorded
+  * with the `-1` sentinel time and listed in `failed`, and the process
+  * exits non-zero — a regression can't masquerade as a speedup. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,16 +33,24 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (name, (System.nanoTime() - t0) / 1e9, true)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        (name, -1.0, false)
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
+    if (results.exists(!_._3)) sys.exit(1)
   }
 }

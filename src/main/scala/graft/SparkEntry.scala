@@ -125,8 +125,23 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
+    // transitive near-dup clusters (distributed min-label propagation)
+    // over the sub-quadratic MinHash pair table; oracled by a DuckDB
+    // recursive-CTE connected-components over the same pair set
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupClusters(
+        Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3,
+          numHashes = 64, bands = 32, threshold = 0.5))
+    }),
+
+    // the sub-quadratic-shaped scale path (banded hyperplane LSH + exact
+    // cosine verify) is the oracled entry; the O(n²) exact form
+    // (Dedup.embeddingNearDupPairs) is demoted to spec-side oracle duty.
+    // Recall vs exact is 1.0 on this corpus at the default 64×5 banding
+    // (measured; see Similarity.lshNearDupPairs header for the math)
     "q_dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.45)),
 
     // ---- similarity search ----
@@ -155,6 +170,17 @@ object SparkEntry {
         lloydIters = 1)
     }),
 
+    // IVF with nprobe = nlist provably equals exact search (every cell is
+    // probed), so the full IVF machinery — Lloyd training, cell
+    // assignment, probe ranking, per-cell scoring — runs under the
+    // brute-force DuckDB oracle
+    "q_sim_ivf_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16,
+        lloydIters = 1)
+    }),
+
     // ---- events: windowed aggregation + sessionization ----
 
     "q_events_window" -> ((s, dir) =>
@@ -179,7 +205,7 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing (payload + metadata; stub features are
-    //      covered by MultimodalSpec, not SQL-expressible) ----
+    //      covered by OperatorsSpec, not SQL-expressible) ----
 
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.asAssets(t(s, dir, "documents"), "doc_id", "text",
@@ -188,11 +214,15 @@ object SparkEntry {
           col("meta.source").as("source"),
           col("meta.n_bytes").as("n_bytes"))),
 
+    // frames are emitted hex-encoded so the driver's pandas sort-then-hash
+    // compare sees strings on both sides (raw binary is unhashable there)
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.asAssets(t(s, dir, "documents"), "doc_id", "text",
-          "text/plain", "source"),
-        frameBytes = 64, everyN = 3)),
+          Multimodal.asAssets(t(s, dir, "documents"), "doc_id", "text",
+            "text/plain", "source"),
+          frameBytes = 64, everyN = 3)
+        .select(col("id"), col("frame_index"),
+          hex(col("frame")).as("frame_hex"))),
 
     // ---- relational anchors (agg / join / window at TPC-H shape) ----
 
@@ -223,6 +253,31 @@ object SparkEntry {
           sum(col("o.o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("revenue"),
           count(lit(1)).as("n_orders"))),
+
+    // the same revenue rollup as q_join_revenue, but from bucketed copies
+    // of orders/customer: the fact-side join is exchange-free (both scans
+    // are pre-hashed into 8 matching buckets; merge hint keeps the small
+    // side out of a broadcast so the bucketed path is actually exercised)
+    // — the only shuffle left is the unavoidable 25-row final aggregate.
+    // Plan asserted in ScaleOpsSpec; writes go to the session warehouse.
+    "q_join_bucketed" -> ((s, dir) => {
+      graft.sources.Bucketing.rewriteBucketed(s,
+        t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+        "graft_orders_bkt", 8, Seq("o_custkey"))
+      graft.sources.Bucketing.rewriteBucketed(s,
+        t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        "graft_customer_bkt", 8, Seq("c_custkey"))
+      s.table("graft_orders_bkt")
+        .join(s.table("graft_customer_bkt").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
 
     // semi/anti join: segments of customers with vs without orders
     "q_join_semi" -> ((s, dir) => {
@@ -369,8 +424,33 @@ object SparkEntry {
         s"""WITH dup_pairs AS ($shingleCte)
            |SELECT doc_id, lang, source, n_chars FROM documents
            |WHERE doc_id NOT IN (SELECT id_b FROM dup_pairs)""".stripMargin,
+      // NOTE: these two gates assert corpus-specific FULL recall. Both
+      // sketches have data-dependent recall (MinHash misses a pair at
+      // s≈0.5 with prob (1-s²)^32 ≈ 1e-4; SimHash Hamming tracks cosine,
+      // not Jaccard, so a Jaccard≥0.5 pair with Hamming>15 is legitimately
+      // dropped). Equality vs the exhaustive-Jaccard oracle holds on this
+      // corpus/seed and is re-measured per round; a corpus change can fail
+      // the hash gate without any code bug (then compare as
+      // subset + recall-bound instead).
       "q_dedup_minhash" -> shingleCte,
       "q_dedup_simhash" -> shingleCte,
+
+      // connected components = min reachable id, via recursive walk over
+      // the symmetric edge set of the exhaustive-Jaccard pair table
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE pairs AS ($shingleCte),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM pairs
+           |),
+           |walk AS (
+           |  SELECT src AS id, dst AS reach FROM edges
+           |  UNION
+           |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+           |)
+           |SELECT id, least(id, min(reach)) AS cluster_id
+           |FROM walk GROUP BY id""".stripMargin,
 
       "q_dedup_embedding" ->
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -381,6 +461,24 @@ object SparkEntry {
           |    CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
 
       "q_sim_topk" ->
+        """WITH scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |      CAST(c.embedding AS DOUBLE[])) AS cos_raw
+          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+          |    AND q.vec_id <> c.vec_id
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_raw DESC, neighbor_id) AS rank,
+          |    round(cos_raw, 6) AS cosine
+          |  FROM scored
+          |)
+          |SELECT query_id, neighbor_id, rank, cosine
+          |FROM ranked WHERE rank <= 5""".stripMargin,
+
+      // nprobe = nlist ⇒ identical to exact top-k (same oracle)
+      "q_sim_ivf_exact" ->
         """WITH scored AS (
           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
           |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -442,11 +540,12 @@ object SparkEntry {
           |ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
       // DuckDB 1.0 has no BLOB substring; the docs are ASCII so char
-      // slicing before encode() is byte-identical
+      // slicing before encode() is byte-identical. hex() on both sides —
+      // raw binary crashes the driver's pandas sort (unhashable bytearray)
       "q_multimodal_frames" ->
         """SELECT doc_id AS id, i AS frame_index,
-          |       encode(substring(text, CAST(i * 64 + 1 AS BIGINT),
-          |                        CAST(64 AS BIGINT))) AS frame
+          |       hex(encode(substring(text, CAST(i * 64 + 1 AS BIGINT),
+          |                            CAST(64 AS BIGINT)))) AS frame_hex
           |FROM documents,
           |     LATERAL unnest(range(0, greatest(
           |       CAST(ceil(octet_length(encode(text)) / 64.0) AS INT), 1))) AS t(i)
@@ -466,6 +565,17 @@ object SparkEntry {
           |GROUP BY 1, 2""".stripMargin,
 
       "q_join_revenue" ->
+        """SELECT n.n_name AS n_name,
+          |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue,
+          |  count(*) AS n_orders
+          |FROM orders o
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY 1""".stripMargin,
+
+      // same rollup as q_join_revenue — the bucketed path must agree
+      "q_join_bucketed" ->
         """SELECT n.n_name AS n_name,
           |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |    AS revenue,

@@ -209,23 +209,64 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Embedding near-dup candidate pairs via shared LSH bucket, verified
-    * with exact cosine — the scale path version of
-    * [[Dedup.embeddingNearDupPairs]]. */
+  /** Embedding near-dup pairs via banded (OR-amplified) hyperplane LSH,
+    * verified with exact cosine — the scale path version of
+    * [[Dedup.embeddingNearDupPairs]] (which is the O(n²) oracle/baseline).
+    *
+    * Structure mirrors MinHash-LSH banding: each vector is hashed into
+    * `tables` independent sign-buckets of `numPlanes` hyperplanes; a pair
+    * is a candidate iff it collides in ≥1 table; candidates are
+    * deduplicated and re-scored with exact cosine, so precision is 1 and
+    * the output is a subset of the exact result with per-pair miss
+    * probability (1 − p^numPlanes)^tables, p = 1 − θ/π.
+    *
+    * Recall is threshold-dependent: at cosine ≥ 0.8 (the realistic
+    * near-dup regime) p ≈ 0.80 and a handful of tables give recall ~1
+    * with tiny buckets; at this corpus's adversarial t = 0.45 (θ ≈ 63°,
+    * p ≈ 0.65) full recall needs the default 64×5 banding, whose
+    * candidate set approaches all-pairs — the information-theoretic
+    * price of sign-LSH near the 90° no-gap limit, paid in the cheap
+    * verify stage (one codegen'd dot per DISTINCT candidate). Defaults
+    * give measured recall 1.0 vs exact on the sf0.01 and sf0.1 corpora
+    * (expected misses 6e-3 resp. 6e-2 at worst-case cosine 0.45);
+    * asserted each round by `OperatorsSpec` and the `q_dedup_embedding`
+    * DuckDB gate.
+    *
+    * Shuffle posture at 100 TB: the keys frame is (id, table, bucket) —
+    * `tables` small rows per vector, no vector payload; the bucket join
+    * shuffles keys only, and vectors are joined back just for the
+    * candidate verify (shuffle ∝ candidates, not corpus²). */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, numPlanes: Int = 6,
-                      seed: Long = 42L): DataFrame = {
+                      threshold: Double, numPlanes: Int = 5,
+                      tables: Int = 64, seed: Long = 42L): DataFrame = {
     val dim = probeDim(emb, vecCol)
-    val planes = hyperplanes(numPlanes, dim, seed)
-    val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"),
-        signBucket(col(vecCol), planes).as("bucket"))
+    val planes = hyperplanes(tables * numPlanes, dim, seed)
+    val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
       .withColumn("norm", l2Norm(col("vec")))
-    v.as("a").join(v.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      // both the keys frame and both verify branches read this
+      .localCheckpoint(false)
+    val tableBuckets = (0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        signBucket(col("vec"),
+          planes.slice(t * numPlanes, (t + 1) * numPlanes)).as("bucket"))
+    }
+    val keys = v.select(col("id"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val candidates = keys.as("a").join(keys.as("b"),
+        col("a.t") === col("b.t") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("norm").as("norm_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("norm").as("norm_b")), "id_b")
       .withColumn("cosine", cosineWithNorms(
-        dotProduct(col("a.vec"), col("b.vec")), col("a.norm"), col("b.norm")))
+        dotProduct(col("vec_a"), col("vec_b")), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -24,8 +24,24 @@ object Bucketing {
 
   /** Join two same-bucketed tables on their bucket keys — the resulting
     * physical plan contains no shuffle exchange (asserted in
-    * BucketingSpec). */
+    * ScaleOpsSpec). */
   def bucketedJoin(spark: SparkSession, leftTable: String,
                    rightTable: String, keys: Seq[String]): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys)
+
+  /** Drop + clean + rewrite a bucketed table. A fresh session's in-memory
+    * catalog has no tables but the warehouse directory survives on disk,
+    * so a plain overwrite `saveAsTable` can trip over the stale location;
+    * this makes the write idempotent across sessions. */
+  def rewriteBucketed(spark: SparkSession, df: DataFrame, table: String,
+                      numBuckets: Int, keys: Seq[String]): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(warehouse, table.toLowerCase))
+    writeBucketed(df, table, numBuckets, keys)
+  }
 }

@@ -47,16 +47,31 @@ object StreamOps {
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionOut(user_id: Long, session_index: Long, n_events: Long,
                         first_event_id: Long, last_event_id: Long)
-  case class SessionState(sessionIndex: Long, firstTsMicros: Long,
-                          lastTsMicros: Long, n: Long, firstId: Long,
-                          lastId: Long)
+  case class BufEvent(tsMicros: Long, eventId: Long)
+  case class ChronoState(nextIndex: Long, buf: Seq[BufEvent])
 
   /** Streaming gap sessionization — the `flatMapGroupsWithState` form of
-    * `Events.sessionize`. State is one open session per user (constant
-    * per key); a session closes and is EMITTED either when a later event
-    * arrives past the gap, or when the event-time timeout fires after the
-    * watermark passes `gap` beyond its last event. Requires a watermark
-    * on `ts` upstream. */
+    * `Events.sessionize`, with CHRONOLOGICAL session numbering: on any
+    * input whose events arrive within the watermark horizon, the emitted
+    * rows equal `Events.sessionize` on the same batch (asserted in
+    * `StreamingSpec`), stragglers and all.
+    *
+    * How: per user the state buffers the not-yet-closable events (those
+    * within the watermark horizon). Each invocation sorts the buffer by
+    * (ts, event_id), splits it into gap-sessions exactly like the batch
+    * operator, and emits the maximal PREFIX of sessions that are final —
+    * a session is final iff `lastTs + gap < watermark`, because any event
+    * that could still join it (ts ≤ lastTs + gap) or reorder an earlier
+    * one is already older than the watermark and therefore dropped. A
+    * persistent per-user counter numbers sessions in emission ( =
+    * chronological) order.
+    *
+    * State is bounded by the watermark horizon per key (the price of
+    * chronological renumbering — the old emit-on-arrival form kept O(1)
+    * state but could number a straggler's session out of order); between
+    * bursts it shrinks to just the counter. Incoming rows older than the
+    * watermark are dropped here explicitly, so the semantics don't depend
+    * on which Spark version filters late rows upstream. */
   def sessionizeStream(events: Dataset[SessionEvent],
                        gapSeconds: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -64,62 +79,52 @@ object StreamOps {
 
     def micros(t: Timestamp): Long = t.getTime * 1000L + t.getNanos / 1000 % 1000
 
+    // chain rule identical to the batch operator: a new session starts
+    // when the gap to the PREVIOUS event (chronological order) exceeds gap
+    def sessionsOf(buf: Seq[BufEvent]): Seq[Seq[BufEvent]] = {
+      val out = Seq.newBuilder[Seq[BufEvent]]
+      var cur = List.empty[BufEvent] // reversed
+      var prevTs = Long.MinValue
+      buf.foreach { e =>
+        if (cur.nonEmpty && e.tsMicros - prevTs > gapMicros) {
+          out += cur.reverse; cur = Nil
+        }
+        cur = e :: cur
+        prevTs = e.tsMicros
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out.result()
+    }
+
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[ChronoState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[SessionEvent],
-         state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(
-              SessionOut(userId, s.sessionIndex, s.n, s.firstId, s.lastId))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            var open = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              val t = micros(e.ts)
-              open match {
-                // within-gap of the open session's span (a late event may
-                // precede lastTs but must still be within gap of the
-                // session START to belong to it, like the batch operator)
-                case Some(s) if t - s.lastTsMicros <= gapMicros &&
-                    s.firstTsMicros - t <= gapMicros =>
-                  // ids are min/max like the batch operator; the span
-                  // never moves backwards
-                  open = Some(s.copy(
-                    firstTsMicros = math.min(s.firstTsMicros, t),
-                    lastTsMicros = math.max(s.lastTsMicros, t),
-                    n = s.n + 1,
-                    firstId = math.min(s.firstId, e.event_id),
-                    lastId = math.max(s.lastId, e.event_id)))
-                // a straggler older than the open session by more than the
-                // gap: it is its own (already closed) session; session
-                // INDEX order can diverge from a batch replay here — true
-                // chronological renumbering would require buffering the
-                // whole watermark horizon
-                case Some(s) if s.firstTsMicros - t > gapMicros =>
-                  closed += SessionOut(userId, s.sessionIndex, 1,
-                    e.event_id, e.event_id)
-                  open = Some(s.copy(sessionIndex = s.sessionIndex + 1))
-                case Some(s) =>
-                  closed += SessionOut(userId, s.sessionIndex, s.n,
-                    s.firstId, s.lastId)
-                  open = Some(SessionState(s.sessionIndex + 1, t, t, 1,
-                    e.event_id, e.event_id))
-                case None =>
-                  open = Some(SessionState(1L, t, t, 1,
-                    e.event_id, e.event_id))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              // close the open session once the watermark passes its gap
-              state.setTimeoutTimestamp(s.lastTsMicros / 1000 + gapSeconds * 1000)
-            }
-            closed.result().iterator
+         state: GroupState[ChronoState]) =>
+          val prior = state.getOption.getOrElse(ChronoState(1L, Vector.empty))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val merged = (prior.buf ++ rows
+              .map(e => BufEvent(micros(e.ts), e.event_id))
+              .filter(_.tsMicros >= wmMicros)) // standard late-data drop
+            .sortBy(e => (e.tsMicros, e.eventId))
+          val (closed, open) = sessionsOf(merged)
+            .span(s => s.last.tsMicros + gapMicros < wmMicros)
+          val outs = closed.zipWithIndex.map { case (s, i) =>
+            SessionOut(userId, prior.nextIndex + i, s.size,
+              s.map(_.eventId).min, s.map(_.eventId).max)
           }
+          // the counter must outlive the buffer: a later session continues
+          // the numbering, exactly like a batch replay over full history
+          state.update(ChronoState(prior.nextIndex + closed.size, open.flatten))
+          if (open.nonEmpty) {
+            // wake when the watermark can close the earliest open session;
+            // must be strictly past both that close-point and the current
+            // watermark (floor division would otherwise wake 1ms short)
+            val closeAtMs = (open.head.last.tsMicros + gapMicros) / 1000 + 1
+            state.setTimeoutTimestamp(
+              math.max(closeAtMs, state.getCurrentWatermarkMs() + 1))
+          }
+          outs.iterator
       }
   }
 }

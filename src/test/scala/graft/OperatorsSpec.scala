@@ -121,6 +121,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.forall(x => x.getLong(0) < x.getLong(1)))
   }
 
+  test("lshNearDupPairs (banded scale path) equals the exact all-pairs form") {
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cosine"))).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cosine"))).toSet
+    assert(exact.nonEmpty)
+    // recall 1.0 at the default 64×5 banding on this corpus (precision is
+    // 1 by construction — every candidate is exact-cosine-verified)
+    assert(lsh == exact)
+  }
+
   test("dropNearDuplicates keeps the smallest id of each pair group") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
     val cleaned = Dedup.dropNearDuplicates(docs, "doc_id", pairs)

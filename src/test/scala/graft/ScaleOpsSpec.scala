@@ -51,6 +51,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("q_join_bucketed: fact-side join is exchange-free; only the final agg shuffles") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_join_bucketed")(spark, dir)
+    df.count() // materialize so AQE exposes the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // the 25-row groupBy(n_name) aggregate is the single unavoidable
+    // shuffle; the orders⋈customer join must ride the bucketed layout
+    assert(exchanges == 1, s"expected 1 exchange (final agg), got $exchanges\n$plan")
+    // and it must agree with the plain q_join_revenue result
+    val bucketed = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val plain = SparkEntry.queries("q_join_revenue")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(bucketed == plain)
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     // skew: 90% of rows carry one hot key
     val big = spark.range(0, 5000).select(

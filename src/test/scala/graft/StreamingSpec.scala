@@ -127,7 +127,7 @@ class StreamingSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("b.n_events")).isEmpty)
   }
 
-  test("sessionizeStream: a straggler older than the session-by-gap becomes its own closed session") {
+  test("sessionizeStream: a straggler session is numbered chronologically, not by arrival") {
     import graft.streaming.StreamOps.{SessionEvent, SessionOut}
     val s = spark
     import s.implicits._
@@ -140,13 +140,55 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").start()
     input.addData(SessionEvent(7, 5, Timestamp.valueOf("2024-01-01 10:00:00")))
     q.processAllAvailable()
-    // 3 hours older than the open session: own session, emitted at once
+    // 3 hours older than the buffered session and past the gap: its own
+    // session, which must come FIRST in chronological numbering
     input.addData(SessionEvent(7, 9, Timestamp.valueOf("2024-01-01 07:00:00")))
     q.processAllAvailable()
+    // push the watermark (24h delay) past both sessions' close points
+    input.addData(SessionEvent(8, 100, Timestamp.valueOf("2024-01-03 12:00:00")))
+    q.processAllAvailable()
     q.stop()
-    val emitted = s.sql("select * from sess_straggler where user_id = 7")
+    val emitted = s.sql(
+        "select * from sess_straggler where user_id = 7 order by session_index")
       .as[SessionOut].collect().toSeq
-    assert(emitted == Seq(SessionOut(7, 1, 1, 9, 9)))
+    assert(emitted == Seq(
+      SessionOut(7, 1, 1, 9, 9),   // 07:00 straggler = chronological first
+      SessionOut(7, 2, 1, 5, 5)))  // 10:00 arrival = chronological second
+  }
+
+  test("sessionizeStream equals batch sessionize on out-of-order input with stragglers") {
+    import graft.streaming.StreamOps.{SessionEvent, SessionOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(u: Long, id: Long, ts: String) =
+      SessionEvent(u, id, Timestamp.valueOf(ts))
+    // users 1 and 2, fed OUT of chronological order across batches (every
+    // event is within the 24h watermark horizon when it arrives)
+    val batches = Seq(
+      Seq(ev(1, 12, "2024-01-01 02:00:00"), ev(2, 20, "2024-01-01 01:00:00")),
+      Seq(ev(1, 10, "2024-01-01 00:00:00"), // straggler: 2h late, own session
+        ev(1, 13, "2024-01-01 02:10:00"), ev(2, 22, "2024-01-01 03:00:00")),
+      Seq(ev(1, 11, "2024-01-01 00:20:00"), // joins the straggler's session
+        ev(2, 21, "2024-01-01 01:29:00"), ev(1, 14, "2024-01-01 05:00:00")))
+    val input = MemoryStream[SessionEvent]
+    val events = input.toDF()
+      .withWatermark("ts", "24 hours").as[SessionEvent]
+    val out = StreamOps.sessionizeStream(events, gapSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    // sentinel user pushes the watermark past every close point
+    input.addData(ev(99, 999, "2024-01-03 12:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from sess_parity where user_id < 99")
+      .as[SessionOut].collect().toSet
+    val batch = graft.operators.Events.sessionize(
+        batches.flatten.toDS().toDF(), gapSeconds = 1800)
+      .as[SessionOut].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 5) // u1: 3 sessions, u2: 2 sessions
   }
 
   test("dedupByKey drops replayed keys even with a different timestamp") {
