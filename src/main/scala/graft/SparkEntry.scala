@@ -263,10 +263,10 @@ object SparkEntry {
     "q_join_bucketed" -> ((s, dir) => {
       graft.sources.Bucketing.rewriteBucketed(s,
         t(s, dir, "orders").select("o_custkey", "o_totalprice"),
-        "graft_orders_bkt", 8, Seq("o_custkey"))
+        "graft_orders_bkt", 8, Seq("o_custkey"), sourceToken = dir)
       graft.sources.Bucketing.rewriteBucketed(s,
         t(s, dir, "customer").select("c_custkey", "c_nationkey"),
-        "graft_customer_bkt", 8, Seq("c_custkey"))
+        "graft_customer_bkt", 8, Seq("c_custkey"), sourceToken = dir)
       s.table("graft_orders_bkt")
         .join(s.table("graft_customer_bkt").hint("merge"),
           col("o_custkey") === col("c_custkey"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -122,15 +122,8 @@ object Dedup {
       org.apache.spark.sql.graftext.MinHashSketch(col("shingles"), numHashes)
         .as("sig"))
 
-    // one 64-bit bucket key per band, hashed straight from the band's
-    // signature slots (variadic xxhash64 — no string concat)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(lit(b) +:
-          (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
-          .as("bucket"))
-    }
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    val banded = sig.select(col("id"),
+        explode(bandBuckets(col("sig"), bands, rows)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     val candidates = banded.as("a").join(banded.as("b"),
@@ -142,6 +135,18 @@ object Dedup {
 
     verifyJaccard(candidates, sh, threshold)
   }
+
+  /** One (band, bucket) struct per band of a MinHash signature: the
+    * bucket is a 64-bit variadic `xxhash64` of the band's signature
+    * slots (no string concat). Shared by the batch LSH join and the
+    * streaming stateful-band dedup so both hash into identical buckets. */
+  def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +:
+          (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
+          .as("bucket"))
+    }: _*)
 
   /** SimHash near-duplicate pairs, exact-verified.
     *

@@ -245,14 +245,11 @@ object Similarity {
       .withColumn("norm", l2Norm(col("vec")))
       // both the keys frame and both verify branches read this
       .localCheckpoint(false)
-    val tableBuckets = (0 until tables).map { t =>
-      struct(lit(t).as("t"),
-        signBucket(col("vec"),
-          planes.slice(t * numPlanes, (t + 1) * numPlanes)).as("bucket"))
-    }
+    // native one-pass bucketing: the equivalent Column tree (tables ×
+    // numPlanes literal-array dots) overflows codegen and interprets
     val keys = v.select(col("id"),
-        explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+        posexplode(org.apache.spark.sql.graftext.HyperplaneSignBuckets(
+          col("vec"), planes, numPlanes, tables)).as(Seq("t", "bucket")))
     val candidates = keys.as("a").join(keys.as("b"),
         col("a.t") === col("b.t") &&
         col("a.bucket") === col("b.bucket") &&

@@ -32,9 +32,17 @@ object Bucketing {
   /** Drop + clean + rewrite a bucketed table. A fresh session's in-memory
     * catalog has no tables but the warehouse directory survives on disk,
     * so a plain overwrite `saveAsTable` can trip over the stale location;
-    * this makes the write idempotent across sessions. */
+    * this makes the write idempotent across sessions. When `sourceToken`
+    * is non-empty and this session already wrote `table` from the same
+    * token, the write is skipped — bucketing pays its shuffle ONCE, which
+    * is the whole point of the layout. */
   def rewriteBucketed(spark: SparkSession, df: DataFrame, table: String,
-                      numBuckets: Int, keys: Seq[String]): Unit = {
+                      numBuckets: Int, keys: Seq[String],
+                      sourceToken: String = ""): Unit = {
+    val confKey = s"graft.bucketed.$table"
+    if (sourceToken.nonEmpty &&
+        spark.conf.getOption(confKey).contains(sourceToken) &&
+        spark.catalog.tableExists(table)) return
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath
@@ -43,5 +51,6 @@ object Bucketing {
     }
     rm(new java.io.File(warehouse, table.toLowerCase))
     writeBucketed(df, table, numBuckets, keys)
+    if (sourceToken.nonEmpty) spark.conf.set(confKey, sourceToken)
   }
 }

@@ -43,6 +43,15 @@ object GraftExtensions {
         HashedNGramShingles(children.head,
           intLiteral(children(1), "hashed_ngram_shingles: n"))
       }),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName,
+        "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "minhash_signature expects (shingles, numHashes)")
+        MinHashSignature(children.head,
+          intLiteral(children(1), "minhash_signature: numHashes"))
+      }),
     ("minhash_sketch",
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
       (children: Seq[Expression]) => {

@@ -43,6 +43,114 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Input/output/state rows for streaming MinHash dedup. */
+  case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+  case class DupCandidate(id_a: Long, id_b: Long, est_jaccard: Double)
+  case class BandedDoc(doc_id: Long, ts: Timestamp, sig: Seq[Long],
+                       band: Int, bucket: Long)
+  case class SigEntry(tsMicros: Long, docId: Long, sig: Seq[Long])
+  case class BucketState(entries: Seq[SigEntry])
+
+  /** Streaming MinHash near-dup detection via stateful LSH bands — the
+    * Structured Streaming form of `Dedup.minHashLshPairs`.
+    *
+    * Each document is shingled and MinHash-signed as a narrow projection
+    * (the scalar `minhash_signature` expression — an aggregate can't
+    * precede a stateful operator in append mode), exploded into the SAME
+    * `(band, bucket)` keys as the batch operator, and grouped by bucket:
+    * per-bucket state holds the (ts, id, signature) of every in-horizon
+    * member, and an arriving document emits a `DupCandidate` against each
+    * stored member whose signature agreement ≥ `threshold`.
+    *
+    * Two deliberate divergences from batch, both inherent to streaming:
+    *   - pairs are scored by SIGNATURE AGREEMENT (the standard unbiased
+    *     Jaccard estimator), not exact-verified — exact verify would
+    *     require holding every shingle set in state;
+    *   - a pair colliding in several bands is emitted once per colliding
+    *     band (at-least-once semantics) — cross-key dedup would need a
+    *     second stateful operator; dedup downstream (e.g. `foreachBatch`
+    *     + `dropDuplicates`) or in the consumer.
+    *
+    * State is bounded by the watermark horizon per bucket: entries older
+    * than the watermark are evicted on every visit, the whole bucket
+    * expires by event-time timeout once the watermark passes its newest
+    * entry, and incoming late rows are dropped. At 100 TB-rate ingest the
+    * shuffle is `bands` small rows per document — same keys, same
+    * volume as the batch LSH join's build side. */
+  def minHashDupPairsStream(docs: Dataset[StreamDoc], n: Int = 3,
+                            numHashes: Int = 64, bands: Int = 32,
+                            threshold: Double = 0.5,
+                            watermark: String = "2 hours"): Dataset[DupCandidate] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val session = docs.sparkSession
+    import session.implicits._
+
+    val banded = docs.toDF()
+      .withWatermark("ts", watermark)
+      .withColumn("shingles",
+        graft.operators.TextAnalysis.hashedShingles(col("text"), n))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", org.apache.spark.sql.graftext.MinHashSignature(
+        col("shingles"), numHashes))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(graft.operators.Dedup.bandBuckets(col("sig"), bands, rows))
+          .as("bb"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .as[BandedDoc]
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L + t.getNanos / 1000 % 1000
+
+    def agreement(a: Seq[Long], b: Seq[Long]): Double = {
+      var eq = 0
+      var k = 0
+      val n = math.min(a.length, b.length)
+      while (k < n) {
+        if (a(k) == b(k)) eq += 1
+        k += 1
+      }
+      eq.toDouble / math.max(n, 1)
+    }
+
+    banded.groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, DupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), in: Iterator[BandedDoc],
+         state: GroupState[BucketState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val kept = state.getOption.map(_.entries).getOrElse(Vector.empty)
+            .filter(_.tsMicros >= wmMicros) // horizon eviction
+          val incoming = in
+            .map(d => SigEntry(micros(d.ts), d.doc_id, d.sig))
+            .filter(_.tsMicros >= wmMicros) // standard late-data drop
+            .toVector.sortBy(e => (e.tsMicros, e.docId))
+          val out = Vector.newBuilder[DupCandidate]
+          var entries: Vector[SigEntry] = kept.toVector
+          incoming.foreach { e =>
+            entries.foreach { o =>
+              if (o.docId != e.docId) { // replays never pair with themselves
+                val est = agreement(o.sig, e.sig)
+                if (est >= threshold)
+                  out += DupCandidate(math.min(o.docId, e.docId),
+                    math.max(o.docId, e.docId), est)
+              }
+            }
+            entries :+= e
+          }
+          if (entries.nonEmpty) {
+            state.update(BucketState(entries))
+            // expire the bucket once the watermark passes its newest entry
+            state.setTimeoutTimestamp(math.max(
+              entries.map(_.tsMicros).max / 1000 + 1,
+              state.getCurrentWatermarkMs() + 1))
+          } else if (state.exists) {
+            state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
   /** Input/output/state rows for streaming sessionization. */
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionOut(user_id: Long, session_index: Long, n_events: Long,

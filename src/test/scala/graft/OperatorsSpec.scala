@@ -105,6 +105,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("scalar MinHashSignature equals the MinHashSketch aggregate per doc") {
+    import org.apache.spark.sql.graftext.{MinHashSignature, MinHashSketch}
+    val sh = docs.select(col("doc_id"),
+        TextAnalysis.hashedShingles(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val viaScalar = sh.select(col("doc_id"),
+        MinHashSignature(col("shingles"), 64).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaSketch = sh.groupBy(col("doc_id"))
+      .agg(MinHashSketch(col("shingles"), 64).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaScalar.nonEmpty)
+    assert(viaScalar == viaSketch)
+  }
+
   test("simhash pairs equal exhaustive jaccard pairs on testdata") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

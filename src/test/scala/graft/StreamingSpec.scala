@@ -191,6 +191,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 5) // u1: 3 sessions, u2: 2 sessions
   }
 
+  test("minHashDupPairsStream emits the batch banding+estimate pairs on out-of-order input") {
+    import graft.streaming.StreamOps.{DupCandidate, StreamDoc}
+    import graft.operators.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.graftext.MinHashSignature
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docsDf = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // deterministic scattered event times, unrelated to doc_id order
+    def tsOf(id: Long) =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        (id * 13 % 97) * 60000L)
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1), tsOf(r.getLong(0))))
+    // batch oracle: same signature, same banding, signature-agreement est
+    val sh = docsDf.select(col("doc_id"),
+        TextAnalysis.hashedShingles(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", MinHashSignature(col("shingles"), 64))
+    val sigs = sh.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("sig"))).toMap
+    val buckets = sh.select(col("doc_id"),
+        explode(Dedup.bandBuckets(col("sig"), 32, 2)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket")).collect()
+      .groupBy(r => (r.getInt(1), r.getLong(2))).values
+    val expected = buckets.flatMap { rs =>
+      val ids = rs.map(_.getLong(0)).sorted
+      for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        a = sigs(ids(i)); b = sigs(ids(j))
+        est = a.zip(b).count { case (x, y) => x == y } / 64.0
+        if est >= 0.5
+      } yield (ids(i), ids(j), est)
+    }.toSet
+    assert(expected.nonEmpty)
+    // stream the same corpus in three arbitrary out-of-order chunks
+    val input = MemoryStream[StreamDoc]
+    val out = graft.streaming.StreamOps.minHashDupPairsStream(
+      input.toDS(), watermark = "24 hours")
+    val q = out.writeStream.format("memory").queryName("dedup_minhash_stream")
+      .outputMode("append").start()
+    (0 until 3).foreach { c =>
+      input.addData(docs.filter(_.doc_id % 3 == c).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.sql("select * from dedup_minhash_stream")
+      .as[DupCandidate].collect()
+      .map(d => (d.id_a, d.id_b, d.est_jaccard)).toSet // at-least-once → set
+    assert(streamed == expected)
+  }
+
   test("dedupByKey drops replayed keys even with a different timestamp") {
     val s = spark
     import s.implicits._
