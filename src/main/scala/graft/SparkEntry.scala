@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Events, Multimodal, RangeJoin, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -203,6 +203,33 @@ object SparkEntry {
           leftCols = Seq("event_id"), rightCols = Seq("click_id"))
         .select(col("user_id"), col("event_id"), col("click_id"))
     }),
+
+    // range (interval) join via time-bin bucketing: every click within
+    // the hour BEFORE each purchase; pairs meet in exactly one bin so no
+    // dedup stage, and hot time ranges spread across (key, bin) buckets
+    "q_events_range" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      RangeJoin.rangeJoin(
+          events.filter(col("event_type") === "purchase"),
+          events.filter(col("event_type") === "click")
+            .withColumnRenamed("event_id", "click_id"),
+          keyCol = "user_id", tsCol = "ts",
+          lowerSeconds = 3600, upperSeconds = 0,
+          leftCols = Seq("event_id"), rightCols = Seq("click_id"))
+        .select(col("user_id"), col("event_id"), col("click_id"))
+    }),
+
+    // corpus composition rollup (the first report any training-data
+    // pipeline runs): per-language doc counts, volume, exact median via
+    // interpolated percentile, token totals
+    "q_text_corpus" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(expr("percentile(n_chars, 0.5D)"), 6).as("median_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))),
 
     // ---- multimodal plumbing (payload + metadata; stub features are
     //      covered by OperatorsSpec, not SQL-expressible) ----
@@ -524,6 +551,23 @@ object SparkEntry {
           |       min(event_id) AS first_event_id,
           |       max(event_id) AS last_event_id
           |FROM numbered GROUP BY 1, 2""".stripMargin,
+
+      "q_events_range" ->
+        """SELECT p.user_id, p.event_id, c.click_id
+          |FROM (SELECT user_id, event_id, ts FROM events
+          |      WHERE event_type = 'purchase') p
+          |JOIN (SELECT user_id, event_id AS click_id, ts FROM events
+          |      WHERE event_type = 'click') c
+          |ON p.user_id = c.user_id
+          |  AND c.ts >= p.ts - INTERVAL 1 HOUR
+          |  AND c.ts <= p.ts""".stripMargin,
+
+      "q_text_corpus" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+          |FROM documents GROUP BY 1""".stripMargin,
 
       "q_multimodal_meta" ->
         """SELECT doc_id AS id, 'text/plain' AS mime, source,

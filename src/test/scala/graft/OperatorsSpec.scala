@@ -312,6 +312,28 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- events ----
 
+  test("rangeJoin equals the plain inequality join, each pair exactly once") {
+    val events = graft.sources.Sources.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+    val clicks = events.filter(col("event_type") === "click")
+      .withColumnRenamed("event_id", "click_id")
+    val got = RangeJoin.rangeJoin(purchases, clicks, "user_id", "ts",
+        lowerSeconds = 3600, upperSeconds = 300,
+        leftCols = Seq("event_id"), rightCols = Seq("click_id"))
+      .select("user_id", "event_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // naive formulation: key-equi join + residual range filter
+    val expect = purchases.as("p").join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") &&
+        col("c.ts") >= col("p.ts") - expr("INTERVAL 3600 SECONDS") &&
+        col("c.ts") <= col("p.ts") + expr("INTERVAL 300 SECONDS"))
+      .select(col("p.user_id"), col("p.event_id"), col("c.click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(expect.nonEmpty)
+    // multiset equality: the bin expansion must not duplicate any pair
+    assert(got.sorted == expect.sorted)
+  }
+
   test("sessionize splits on gaps greater than the threshold") {
     val df = spark.sql(
       """select * from values

@@ -9,13 +9,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamOps
 
+/** Top-level so the encoder's generated code can call the accessors —
+  * a class-nested case class makes Janino fail and every MemoryStream
+  * row fall back to interpreted projection. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
 /** Structured Streaming behavior: the parity engine is a stateless
   * projection and runs unchanged on streams; stateful ops are watermarked. */
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
-
-  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-                        event_type: String, value: Double)
 
   test("Functioniser applies to a streaming DataFrame unchanged") {
     val s = spark
