@@ -306,6 +306,25 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
     }),
 
+    // the same rollup once more through the skew-salted join: orders get
+    // a content-derived salt (retry-safe), customer replicates per salt,
+    // so a hot customer key splits across 8 reducers — result must equal
+    // the plain join (same oracle as q_join_revenue)
+    "q_join_salted" -> ((s, dir) => {
+      val big = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val small = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      graft.operators.Skew.saltedJoin(big, small, Seq("o_custkey"),
+          saltFactor = 8)
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // semi/anti join: segments of customers with vs without orders
     "q_join_semi" -> ((s, dir) => {
       val customer = t(s, dir, "customer")
@@ -620,6 +639,18 @@ object SparkEntry {
 
       // same rollup as q_join_revenue — the bucketed path must agree
       "q_join_bucketed" ->
+        """SELECT n.n_name AS n_name,
+          |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue,
+          |  count(*) AS n_orders
+          |FROM orders o
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY 1""".stripMargin,
+
+      // same rollup as q_join_revenue — the salted plan must not change
+      // the result
+      "q_join_salted" ->
         """SELECT n.n_name AS n_name,
           |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |    AS revenue,
