@@ -221,7 +221,10 @@ object SparkEntry {
 
     // corpus composition rollup (the first report any training-data
     // pipeline runs): per-language doc counts, volume, exact median via
-    // interpolated percentile, token totals
+    // interpolated percentile, token totals. Exact percentile buffers a
+    // group's values (ObjectHashAggregate) — right for oracle-ability
+    // here; at 100 TB swap percentile → approx_percentile (t-digest,
+    // bounded state) for the same plan shape
     "q_text_corpus" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(col("lang"))

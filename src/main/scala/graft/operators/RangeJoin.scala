@@ -38,7 +38,15 @@ object RangeJoin {
     val spanMicros = (lowerSeconds + upperSeconds) * 1000000L
     require(spanMicros > 0, "window span must be positive")
 
-    def binOf(ts: Column): Column = floor(unix_micros(ts) / spanMicros)
+    // floor division in EXACT arithmetic: plain floor(micros / span) would
+    // divide as double, and a quotient within an ulp of an integer can
+    // floor to the wrong bin; (m - pmod(m, span)) is an exact multiple of
+    // span (≤2^53), so its double division is exact, and pmod keeps floor
+    // semantics for pre-1970 timestamps
+    def binOf(ts: Column): Column = {
+      val m = unix_micros(ts)
+      ((m - pmod(m, lit(spanMicros))) / lit(spanMicros)).cast("long")
+    }
 
     val l = left.select(
       (Seq(col(keyCol).as("__key"), col(tsCol).as("__lts")) ++
