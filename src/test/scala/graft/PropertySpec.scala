@@ -169,6 +169,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: rangeJoin equals a driver-side oracle, incl. boundary-aligned timestamps") {
+    // timestamps drawn from multiples of 60s so many land EXACTLY on bin
+    // boundaries — the failure surface of inexact floor division
+    val ts = Gen.choose(0L, 200L).map(m => m * 60L)
+    val side = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(1L, 3L), ts)))
+    val bounds = Gen.oneOf((60L, 60L), (120L, 0L), (0L, 300L), (90L, 30L))
+    forAll(Gen.zip(side, side, bounds), 8) { case (ls, rs, (lower, upper)) =>
+      import java.sql.Timestamp
+      val lrows = ls.zipWithIndex.map { case ((k, t), i) =>
+        (k, new Timestamp(t * 1000L), i.toLong) }
+      val rrows = rs.zipWithIndex.map { case ((k, t), i) =>
+        (k, new Timestamp(t * 1000L), (1000 + i).toLong) }
+      val ldf = spark.createDataFrame(lrows).toDF("k", "ts", "lid")
+      val rdf = spark.createDataFrame(rrows).toDF("k", "ts", "rid")
+      val got = operators.RangeJoin.rangeJoin(ldf, rdf, "k", "ts",
+          lower, upper, Seq("lid"), Seq("rid"))
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expect = (for {
+        ((lk, lt), i) <- ls.zipWithIndex
+        ((rk, rt), j) <- rs.zipWithIndex
+        if lk == rk && rt >= lt - lower && rt <= lt + upper
+      } yield (i.toLong, (1000 + j).toLong)).sorted
+      assert(got == expect,
+        s"lower=$lower upper=$upper ls=$ls rs=$rs")
+    }
+  }
+
   test("property: hashedShingles cardinality equals distinct string shingles") {
     val word = Gen.oneOf("aa", "bb", "cc", "dd")
     forAll(Gen.listOfN(12, word), 20) { words =>
