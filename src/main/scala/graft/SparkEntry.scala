@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Events, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Events, Multimodal, RangeJoin, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -233,6 +233,28 @@ object SparkEntry {
           sum(col("n_chars")).as("total_chars"),
           round(expr("percentile(n_chars, 0.5D)"), 6).as("median_chars"),
           sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))),
+
+    // ---- dataset curation: reproducible sampling + sequence packing ----
+
+    // exact-fraction stratified sample: every language represented at
+    // exactly ⌈0.2·n⌉ docs, ranked by content hash (deterministic)
+    "q_sample_stratified" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"), Seq("lang"),
+          fraction = 0.2, keyCols = Seq("doc_id"))
+        .select("doc_id", "lang", "source")),
+
+    // shuffle-free hash-threshold sample — the pure-scan 100 TB form;
+    // nested (a higher fraction is a superset), retry-stable
+    "q_sample_hash" -> ((s, dir) =>
+      Curation.sampleByHashThreshold(t(s, dir, "documents"),
+          fraction = 0.3, keyCols = Seq("doc_id"))
+        .select("doc_id", "lang")),
+
+    // token-budget sequence packing: concat-then-chunk assignment per
+    // language shard, one row per pack
+    "q_text_pack" -> ((s, dir) =>
+      Curation.packSequences(t(s, dir, "documents"), budgetTokens = 2048,
+        shardCols = Seq("lang"), idCol = "doc_id", textCol = "text")),
 
     // ---- multimodal plumbing (payload + metadata; stub features are
     //      covered by OperatorsSpec, not SQL-expressible) ----
@@ -590,6 +612,39 @@ object SparkEntry {
           |  round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
           |FROM documents GROUP BY 1""".stripMargin,
+
+      // same hash (md5 of the decimal id string), same rank/threshold math
+      "q_sample_stratified" ->
+        """WITH ranked AS (
+          |  SELECT doc_id, lang, source,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+          |    count(*) OVER (PARTITION BY lang) AS n
+          |  FROM documents
+          |)
+          |SELECT doc_id, lang, source FROM ranked
+          |WHERE rnk <= ceil(n * 0.2)""".stripMargin,
+
+      "q_sample_hash" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) <
+           |  '${f"${(0.3 * 0xFFFFFFFFFFFFL).toLong}%012x"}'""".stripMargin,
+
+      "q_text_pack" ->
+        """WITH t AS (
+          |  SELECT lang, doc_id, len(string_split(text, ' ')) AS tokens
+          |  FROM documents
+          |), c AS (
+          |  SELECT lang, doc_id, tokens,
+          |    COALESCE(CAST(sum(tokens) OVER (PARTITION BY lang
+          |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND 1 PRECEDING) AS BIGINT), 0) AS s
+          |  FROM t
+          |)
+          |SELECT lang, s // 2048 AS pack_id, count(*) AS n_docs,
+          |  CAST(sum(tokens) AS BIGINT) AS pack_tokens,
+          |  min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+          |FROM c GROUP BY 1, 2""".stripMargin,
 
       "q_multimodal_meta" ->
         """SELECT doc_id AS id, 'text/plain' AS mime, source,

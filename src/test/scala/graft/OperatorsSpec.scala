@@ -312,6 +312,56 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- events ----
 
+  test("stratifiedSample keeps exactly ceil(fraction*n) per stratum, deterministically") {
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = Curation.stratifiedSample(docs, Seq("lang"), 0.2, Seq("doc_id"))
+    val got = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == perLang.map { case (l, n) => l -> math.ceil(n * 0.2).toLong })
+    // deterministic: a second run yields the identical id set
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.stratifiedSample(docs, Seq("lang"), 0.2, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("sampleByHashThreshold is nested across fractions and roughly proportional") {
+    def ids(f: Double) =
+      Curation.sampleByHashThreshold(docs, f, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (s2, s5) = (ids(0.2), ids(0.5))
+    assert(s2.subsetOf(s5), "higher fraction must be a superset")
+    val n = docs.count().toDouble
+    assert(math.abs(s2.size / n - 0.2) < 0.08)
+    assert(math.abs(s5.size / n - 0.5) < 0.08)
+  }
+
+  test("packSequences assigns each doc to the pack of its starting offset") {
+    val budget = 1000L
+    val got = Curation.packSequences(docs, budget, Seq("lang"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // driver-side oracle: lay docs end-to-end per lang ordered by id
+    val raw = docs.select("lang", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val expect = raw.groupBy(_._1).flatMap { case (lang, rows) =>
+      var start = 0L
+      rows.sortBy(_._2).map { case (_, id, tok) =>
+        val pack = start / budget
+        start += tok
+        (lang, pack, id, tok)
+      }.groupBy { case (_, p, _, _) => p }.map { case (p, ds) =>
+        (lang, p) -> (ds.size.toLong, ds.map(_._4).sum,
+          ds.map(_._3).min, ds.map(_._3).max)
+      }
+    }
+    assert(got == expect)
+    // conservation: every doc lands in exactly one pack
+    assert(got.values.map(_._1).sum == docs.count())
+  }
+
   test("rangeJoin equals the plain inequality join, each pair exactly once") {
     val events = graft.sources.Sources.events(spark, dir)
     val purchases = events.filter(col("event_type") === "purchase")
