@@ -628,7 +628,7 @@ object SparkEntry {
       "q_sample_hash" ->
         s"""SELECT doc_id, lang FROM documents
            |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) <
-           |  '${f"${(0.3 * 0xFFFFFFFFFFFFL).toLong}%012x"}'""".stripMargin,
+           |  '${Curation.thresholdHex(0.3).get}'""".stripMargin,
 
       "q_text_pack" ->
         """WITH t AS (

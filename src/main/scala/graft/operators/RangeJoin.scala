@@ -37,6 +37,15 @@ object RangeJoin {
       "bounds must be non-negative")
     val spanMicros = (lowerSeconds + upperSeconds) * 1000000L
     require(spanMicros > 0, "window span must be positive")
+    // the post-join select resolves payload columns by bare name; any
+    // overlap would be an AMBIGUOUS_REFERENCE at analysis time — fail
+    // with a clear message instead
+    val clash = (leftCols.toSet & rightCols.toSet) ++
+      (rightCols.toSet & Set(keyCol, tsCol))
+    require(clash.isEmpty,
+      s"left/right payload column names must be disjoint (and distinct " +
+        s"from key/ts); clashing: ${clash.mkString(", ")} — rename " +
+        "upstream (e.g. withColumnRenamed)")
 
     // floor division in EXACT arithmetic: plain floor(micros / span) would
     // divide as double, and a quotient within an ulp of an integer can

@@ -13,9 +13,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `StreamingSpec`. The operators here are the stateful ones that need
   * watermarks.
   *
-  * Scale notes: all state is keyed and bounded by the watermark; nothing
-  * here holds unbounded per-key state. Output mode `update`/`append` both
-  * work for the windowed aggregate depending on sink semantics.
+  * Scale notes: all state is keyed, and everything EVENT-sized is
+  * bounded by the watermark horizon. The one exception is
+  * sessionization's per-user session counter (O(1) per user), which by
+  * default outlives the watermark so numbering matches a batch replay —
+  * see its `idleRetentionSeconds` for the TTL tradeoff. Output mode
+  * `update`/`append` both work for the windowed aggregate depending on
+  * sink semantics.
   */
 object StreamOps {
 
@@ -136,7 +140,9 @@ object StreamOps {
                     math.max(o.docId, e.docId), est)
               }
             }
-            entries :+= e
+            // a replayed doc REPLACES its entry (refreshed ts) — state is
+            // bounded by distinct docs per bucket, not the replay rate
+            entries = entries.filterNot(_.docId == e.docId) :+ e
           }
           if (entries.nonEmpty) {
             state.update(BucketState(entries))
@@ -174,14 +180,21 @@ object StreamOps {
     * persistent per-user counter numbers sessions in emission ( =
     * chronological) order.
     *
-    * State is bounded by the watermark horizon per key (the price of
-    * chronological renumbering — the old emit-on-arrival form kept O(1)
-    * state but could number a straggler's session out of order); between
-    * bursts it shrinks to just the counter. Incoming rows older than the
-    * watermark are dropped here explicitly, so the semantics don't depend
-    * on which Spark version filters late rows upstream. */
+    * The event BUFFER is bounded by the watermark horizon per key (the
+    * price of chronological renumbering — the old emit-on-arrival form
+    * kept O(1) state but could number a straggler's session out of
+    * order); between bursts it shrinks to just the session COUNTER,
+    * which by default lives forever (exact batch-replay numbering over
+    * the whole stream implies remembering how many sessions each user
+    * had). With unbounded user cardinality set `idleRetentionSeconds`:
+    * a user idle that long past the watermark is evicted, and a later
+    * event restarts their numbering at 1 — the standard TTL tradeoff.
+    * Incoming rows older than the watermark are dropped here explicitly,
+    * so the semantics don't depend on which Spark version filters late
+    * rows upstream. */
   def sessionizeStream(events: Dataset[SessionEvent],
-                       gapSeconds: Long): Dataset[SessionOut] = {
+                       gapSeconds: Long,
+                       idleRetentionSeconds: Option[Long] = None): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMicros = gapSeconds * 1000000L
 
@@ -223,14 +236,26 @@ object StreamOps {
           }
           // the counter must outlive the buffer: a later session continues
           // the numbering, exactly like a batch replay over full history
-          state.update(ChronoState(prior.nextIndex + closed.size, open.flatten))
+          val next = ChronoState(prior.nextIndex + closed.size, open.flatten)
           if (open.nonEmpty) {
+            state.update(next)
             // wake when the watermark can close the earliest open session;
             // must be strictly past both that close-point and the current
             // watermark (floor division would otherwise wake 1ms short)
             val closeAtMs = (open.head.last.tsMicros + gapMicros) / 1000 + 1
             state.setTimeoutTimestamp(
               math.max(closeAtMs, state.getCurrentWatermarkMs() + 1))
+          } else idleRetentionSeconds match {
+            case Some(r) if state.hasTimedOut && merged.isEmpty =>
+              // the retention timer fired with nothing buffered since:
+              // evict the counter (numbering restarts if the user returns)
+              state.remove()
+            case Some(r) =>
+              state.update(next)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + r * 1000 + 1)
+            case None =>
+              state.update(next)
           }
           outs.iterator
       }

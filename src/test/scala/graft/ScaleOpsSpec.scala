@@ -6,6 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Skew
 import graft.sources.Bucketing
 
+object ScaleOpsSpec {
+  /** The FINAL adaptive plan only: a finalized AdaptiveSparkPlanExec's
+    * toString prints both "== Final Plan ==" and "== Initial Plan =="
+    * sections, and counting operators across both double-counts. */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+      .split(java.util.regex.Pattern.quote("== Initial Plan ==")).head
+}
+
 /** Bucketing and skew-salting: exactness plus the plan properties that
   * make them worth using. */
 class ScaleOpsSpec extends AnyFunSuite {
@@ -30,11 +39,13 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/orders.parquet")
         .withColumnRenamed("o_orderkey", "l_orderkey"), "ord_bucketed", 8,
       Seq("l_orderkey"))
-    // AQE wraps the plan; materialize first, then inspect the FINAL plan
+    // AQE wraps the plan; materialize THIS Dataset's QueryExecution
+    // (collect — count() builds a separate one and would leave this plan
+    // un-finalized, making the assertion inspect the initial plan)
     def shuffleOps(df: org.apache.spark.sql.DataFrame): Int = {
-      df.count()
+      df.collect()
       "Exchange hashpartitioning".r
-        .findAllIn(df.queryExecution.executedPlan.toString).length
+        .findAllIn(ScaleOpsSpec.finalPlan(df)).length
     }
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
@@ -54,15 +65,15 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("q_join_bucketed: fact-side join is exchange-free; only the final agg shuffles") {
     val dir = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("q_join_bucketed")(spark, dir)
-    df.count() // materialize so AQE exposes the final plan
-    val plan = df.queryExecution.executedPlan.toString
+    // materialize THIS Dataset's QueryExecution so AQE finalizes the
+    // inspected plan (count() would execute a separate QueryExecution)
+    val bucketed = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val plan = ScaleOpsSpec.finalPlan(df)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     // the 25-row groupBy(n_name) aggregate is the single unavoidable
     // shuffle; the orders⋈customer join must ride the bucketed layout
     assert(exchanges == 1, s"expected 1 exchange (final agg), got $exchanges\n$plan")
-    // and it must agree with the plain q_join_revenue result
-    val bucketed = df.collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     val plain = SparkEntry.queries("q_join_revenue")(spark, dir).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     assert(bucketed == plain)

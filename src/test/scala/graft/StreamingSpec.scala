@@ -194,6 +194,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 5) // u1: 3 sessions, u2: 2 sessions
   }
 
+  test("sessionizeStream idle retention evicts the counter; numbering restarts") {
+    import graft.streaming.StreamOps.{SessionEvent, SessionOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val events = input.toDF()
+      .withWatermark("ts", "0 seconds").as[SessionEvent]
+    val out = StreamOps.sessionizeStream(events, gapSeconds = 1800,
+      idleRetentionSeconds = Some(3600))
+    val q = out.writeStream.format("memory").queryName("sess_ttl")
+      .outputMode("append").start()
+    input.addData(SessionEvent(7, 1, Timestamp.valueOf("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    // advance the watermark far past close + retention via another user
+    input.addData(SessionEvent(8, 2, Timestamp.valueOf("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    input.addData(SessionEvent(8, 3, Timestamp.valueOf("2024-01-03 00:00:00")))
+    q.processAllAvailable()
+    // user 7 returns long after the retention horizon
+    input.addData(SessionEvent(7, 4, Timestamp.valueOf("2024-01-03 06:00:00")))
+    q.processAllAvailable()
+    input.addData(SessionEvent(8, 5, Timestamp.valueOf("2024-01-05 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val sess7 = s.sql("select * from sess_ttl where user_id = 7 order by first_event_id")
+      .as[SessionOut].collect().toSeq
+    // counter was evicted between the two visits: both sessions number 1
+    assert(sess7 == Seq(SessionOut(7, 1, 1, 1, 1), SessionOut(7, 1, 1, 4, 4)))
+  }
+
   test("minHashDupPairsStream emits the batch banding+estimate pairs on out-of-order input") {
     import graft.streaming.StreamOps.{DupCandidate, StreamDoc}
     import graft.operators.{Dedup, TextAnalysis}
