@@ -157,6 +157,81 @@ object StreamOps {
       }
   }
 
+  /** Input/output/state rows for streaming as-of enrichment. */
+  case class LeftEvent(user_id: Long, event_id: Long, ts: Timestamp)
+  case class RightEvent(user_id: Long, right_id: Long, ts: Timestamp)
+  case class AsOfOut(user_id: Long, event_id: Long, right_id: Option[Long])
+  case class AsOfSide(tsMicros: Long, id: Long, isRight: Boolean)
+  case class AsOfState(buf: Seq[AsOfSide])
+
+  /** Streaming as-of (point-in-time) enrichment — the Structured
+    * Streaming form of `AsOfJoin.asOfJoin`: each left event is emitted
+    * with the LATEST right event of the same key with `rightTs ≤
+    * leftTs` (ties admit the right row, like batch), or None when no
+    * right precedes it.
+    *
+    * Event-time-exact, not arrival-order-approximate: a left is held in
+    * state until the watermark passes its timestamp — after that no
+    * right that could precede it can still arrive (it would be late and
+    * dropped), so the match equals a batch replay on any input delivered
+    * within the watermark horizon (spec-pinned, stragglers included).
+    *
+    * State per key: the in-horizon lefts and rights, plus ONE right — the
+    * latest already past the watermark — kept as the standing snapshot
+    * for future lefts (that right can match them forever; this is the
+    * semantic of enrichment against a keyed snapshot, and the reason the
+    * state floor is O(1) per key rather than zero). Late rows are
+    * dropped explicitly, as elsewhere. */
+  def asOfJoinStream(left: Dataset[LeftEvent], right: Dataset[RightEvent],
+                     watermark: String = "2 hours"): Dataset[AsOfOut] = {
+    val session = left.sparkSession
+    import session.implicits._
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L + t.getNanos / 1000 % 1000
+
+    val l = left.toDF().withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id").as("id"),
+        lit(false).as("isRight"))
+    val r = right.toDF().withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("right_id").as("id"),
+        lit(true).as("isRight"))
+    l.union(r).as[(Long, Timestamp, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, in: Iterator[(Long, Timestamp, Long, Boolean)],
+         state: GroupState[AsOfState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val buf = (state.getOption.map(_.buf).getOrElse(Vector.empty) ++
+              in.map { case (_, ts, id, isR) => AsOfSide(micros(ts), id, isR) }
+                .filter(_.tsMicros >= wmMicros)) // standard late-data drop
+            .toVector
+          // rights sorted for matching: latest with rts <= lts wins; at
+          // equal ts the larger id wins deterministically (total order)
+          val rights = buf.filter(_.isRight).sortBy(e => (e.tsMicros, e.id))
+          val (ready, pendingLefts) = buf.filter(!_.isRight)
+            .sortBy(e => (e.tsMicros, e.id))
+            .partition(_.tsMicros < wmMicros)
+          val outs = ready.map { lft =>
+            val m = rights.takeWhile(_.tsMicros <= lft.tsMicros).lastOption
+            AsOfOut(userId, lft.id, m.map(_.id))
+          }
+          // evict rights no pending or future left can need: everything
+          // below the floor except the single latest (the snapshot)
+          val floorMicros = (pendingLefts.map(_.tsMicros) :+ wmMicros).min
+          val (below, above) = rights.partition(_.tsMicros < floorMicros)
+          val keptRights = below.takeRight(1) ++ above
+          state.update(AsOfState(keptRights ++ pendingLefts))
+          if (pendingLefts.nonEmpty) {
+            // wake when the watermark passes the earliest pending left
+            state.setTimeoutTimestamp(math.max(
+              pendingLefts.head.tsMicros / 1000 + 1,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          outs.iterator
+      }
+  }
+
   /** Input/output/state rows for streaming sessionization. */
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionOut(user_id: Long, session_index: Long, n_events: Long,

@@ -225,6 +225,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(sess7 == Seq(SessionOut(7, 1, 1, 1, 1), SessionOut(7, 1, 1, 4, 4)))
   }
 
+  test("asOfJoinStream equals the batch as-of join on out-of-order input with late rights") {
+    import graft.streaming.StreamOps.{AsOfOut, LeftEvent, RightEvent}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def L(u: Long, id: Long, ts: String) = LeftEvent(u, id, Timestamp.valueOf(ts))
+    def R(u: Long, id: Long, ts: String) = RightEvent(u, id, Timestamp.valueOf(ts))
+    val lefts = Seq(
+      L(1, 10, "2024-01-01 01:00:00"), L(1, 11, "2024-01-01 03:00:00"),
+      L(1, 12, "2024-01-01 00:10:00"), // before any right → None
+      L(2, 20, "2024-01-01 02:00:00"))
+    val rights = Seq(
+      R(1, 100, "2024-01-01 00:30:00"), R(1, 101, "2024-01-01 02:30:00"),
+      R(2, 200, "2024-01-01 05:00:00")) // after the only left-2 → unused
+    val lin = MemoryStream[LeftEvent]
+    val rin = MemoryStream[RightEvent]
+    val out = graft.streaming.StreamOps.asOfJoinStream(
+      lin.toDS(), rin.toDS(), watermark = "24 hours")
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    // out-of-order delivery: a left arrives BEFORE the right that should
+    // match it, and a late right (00:30) lands after later events
+    lin.addData(lefts(0), lefts(1)); q.processAllAvailable()
+    rin.addData(rights(1)); q.processAllAvailable()
+    lin.addData(lefts(2), lefts(3)); q.processAllAvailable()
+    rin.addData(rights(0), rights(2)); q.processAllAvailable()
+    // sentinel on both inputs: union watermark is the MIN of the two
+    lin.addData(L(99, 999, "2024-01-05 00:00:00"))
+    rin.addData(R(99, 998, "2024-01-05 00:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from asof_stream where user_id < 99")
+      .as[AsOfOut].collect()
+      .map(o => (o.user_id, o.event_id, o.right_id)).toSet
+    val batch = graft.operators.AsOfJoin.asOfJoin(
+        lefts.toDS().toDF(), rights.toDS().toDF()
+          .withColumnRenamed("right_id", "rid"),
+        "user_id", "ts", Seq("event_id"), Seq("rid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (1L, 10L, Some(100L)), (1L, 11L, Some(101L)),
+      (1L, 12L, None), (2L, 20L, None)))
+  }
+
   test("minHashDupPairsStream emits the batch banding+estimate pairs on out-of-order input") {
     import graft.streaming.StreamOps.{DupCandidate, StreamDoc}
     import graft.operators.{Dedup, TextAnalysis}
