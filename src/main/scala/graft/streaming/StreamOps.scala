@@ -216,10 +216,10 @@ object StreamOps {
             val m = rights.takeWhile(_.tsMicros <= lft.tsMicros).lastOption
             AsOfOut(userId, lft.id, m.map(_.id))
           }
-          // evict rights no pending or future left can need: everything
-          // below the floor except the single latest (the snapshot)
-          val floorMicros = (pendingLefts.map(_.tsMicros) :+ wmMicros).min
-          val (below, above) = rights.partition(_.tsMicros < floorMicros)
+          // evict rights no pending or future left can need: pending and
+          // future lefts all have lts ≥ wm, so of the rights below the
+          // watermark only the single latest (the snapshot) can still win
+          val (below, above) = rights.partition(_.tsMicros < wmMicros)
           val keptRights = below.takeRight(1) ++ above
           state.update(AsOfState(keptRights ++ pendingLefts))
           if (pendingLefts.nonEmpty) {
