@@ -23,6 +23,19 @@ class ExtensionsSpec extends AnyFunSuite {
     val e = intercept[Exception](
       s.sql("select hashed_ngram_shingles('a b c', 1 + 2)").collect())
     assert(e.getMessage.contains("integer literal") || e.getCause != null)
+    // scalar signature == aggregate sketch, straight from SQL
+    val sig = s.sql(
+      """select minhash_signature(hashed_ngram_shingles('a b c d e', 3), 8)
+        |     = minhash_sketch(hashed_ngram_shingles('a b c d e', 3), 8)
+        |""".stripMargin).first().getBoolean(0)
+    assert(sig)
+    // hyperplane_sign_buckets is deliberately NOT SQL-registered (the
+    // plane matrix is a constructor arg, not SQL-passable) — analysis
+    // must reject it as an unknown routine
+    val e2 = intercept[Exception](
+      s.sql("select hyperplane_sign_buckets(array(1.0d, -1.0d))"))
+    assert(e2.getMessage.toLowerCase.contains("unresolved") ||
+      e2.getMessage.toLowerCase.contains("cannot resolve"))
   }
 
   test("fromConfig builds a runner from (path, functionName) pairs") {
