@@ -38,14 +38,16 @@ object RangeJoin {
     val spanMicros = (lowerSeconds + upperSeconds) * 1000000L
     require(spanMicros > 0, "window span must be positive")
     // the post-join select resolves payload columns by bare name; any
-    // overlap would be an AMBIGUOUS_REFERENCE at analysis time — fail
-    // with a clear message instead
+    // overlap — across sides, with key/ts, or with the internal working
+    // columns — would silently shadow or throw AMBIGUOUS_REFERENCE
+    // downstream, so fail up front with a clear message
+    val reserved = Set(keyCol, tsCol, "__key", "__bin", "__lts", "__rts")
     val clash = (leftCols.toSet & rightCols.toSet) ++
-      (rightCols.toSet & Set(keyCol, tsCol))
+      ((leftCols.toSet ++ rightCols.toSet) & reserved)
     require(clash.isEmpty,
-      s"left/right payload column names must be disjoint (and distinct " +
-        s"from key/ts); clashing: ${clash.mkString(", ")} — rename " +
-        "upstream (e.g. withColumnRenamed)")
+      s"left/right payload column names must be disjoint and distinct " +
+        s"from key/ts/internal names; clashing: ${clash.mkString(", ")} " +
+        "— rename upstream (e.g. withColumnRenamed)")
 
     // floor division in EXACT arithmetic: plain floor(micros / span) would
     // divide as double, and a quotient within an ulp of an integer can

@@ -23,6 +23,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Event-time in microseconds — shared by every stateful operator. */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + t.getNanos / 1000 % 1000
+
   /** Watermarked tumbling-window stats per event type — the streaming
     * form of `Events.windowedStats`. */
   def windowedStats(events: DataFrame, tsCol: String = "ts",
@@ -104,8 +108,6 @@ object StreamOps {
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .as[BandedDoc]
 
-    def micros(t: Timestamp): Long = t.getTime * 1000L + t.getNanos / 1000 % 1000
-
     def agreement(a: Seq[Long], b: Seq[Long]): Double = {
       var eq = 0
       var k = 0
@@ -140,9 +142,13 @@ object StreamOps {
                     math.max(o.docId, e.docId), est)
               }
             }
-            // a replayed doc REPLACES its entry (refreshed ts) — state is
-            // bounded by distinct docs per bucket, not the replay rate
-            entries = entries.filterNot(_.docId == e.docId) :+ e
+            // a replayed doc REPLACES its entry only when the replay is
+            // NEWER — state stays bounded by distinct docs per bucket,
+            // and an out-of-order older replay can't shorten the doc's
+            // horizon (it would evict earlier and miss later pairs)
+            if (!entries.exists(o => o.docId == e.docId &&
+                o.tsMicros >= e.tsMicros))
+              entries = entries.filterNot(_.docId == e.docId) :+ e
           }
           if (entries.nonEmpty) {
             state.update(BucketState(entries))
@@ -187,8 +193,6 @@ object StreamOps {
     val session = left.sparkSession
     import session.implicits._
 
-    def micros(t: Timestamp): Long = t.getTime * 1000L + t.getNanos / 1000 % 1000
-
     val l = left.toDF().withWatermark("ts", watermark)
       .select(col("user_id"), col("ts"), col("event_id").as("id"),
         lit(false).as("isRight"))
@@ -206,27 +210,48 @@ object StreamOps {
               in.map { case (_, ts, id, isR) => AsOfSide(micros(ts), id, isR) }
                 .filter(_.tsMicros >= wmMicros)) // standard late-data drop
             .toVector
-          // rights sorted for matching: latest with rts <= lts wins; at
-          // equal ts the larger id wins deterministically (total order)
-          val rights = buf.filter(_.isRight).sortBy(e => (e.tsMicros, e.id))
+          // rights sorted for matching: latest with rts <= lts wins; ties
+          // on the timestamp order by xxhash64(struct(right_id)) — i.e.
+          // XXH64(id, seed 42) — so the winner is BIT-IDENTICAL to the
+          // batch operator's content-hash tie-break
+          val rights = buf.filter(_.isRight).sortBy(e =>
+            (e.tsMicros,
+              org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashLong(e.id, 42L),
+              e.id))
           val (ready, pendingLefts) = buf.filter(!_.isRight)
             .sortBy(e => (e.tsMicros, e.id))
             .partition(_.tsMicros < wmMicros)
+          // single merge pass over the two sorted sequences: O(L + R),
+          // not O(L × R) — hot keys stay linear per micro-batch
+          var ri = 0
+          var latest: Option[AsOfSide] = None
           val outs = ready.map { lft =>
-            val m = rights.takeWhile(_.tsMicros <= lft.tsMicros).lastOption
-            AsOfOut(userId, lft.id, m.map(_.id))
+            while (ri < rights.length &&
+                rights(ri).tsMicros <= lft.tsMicros) {
+              latest = Some(rights(ri))
+              ri += 1
+            }
+            AsOfOut(userId, lft.id, latest.map(_.id))
           }
           // evict rights no pending or future left can need: pending and
           // future lefts all have lts ≥ wm, so of the rights below the
           // watermark only the single latest (the snapshot) can still win
           val (below, above) = rights.partition(_.tsMicros < wmMicros)
           val keptRights = below.takeRight(1) ++ above
-          state.update(AsOfState(keptRights ++ pendingLefts))
-          if (pendingLefts.nonEmpty) {
-            // wake when the watermark passes the earliest pending left
-            state.setTimeoutTimestamp(math.max(
-              pendingLefts.head.tsMicros / 1000 + 1,
-              state.getCurrentWatermarkMs() + 1))
+          if (keptRights.isEmpty && pendingLefts.isEmpty) {
+            // left-only keys fully drain — don't leave a zero-value
+            // state entry behind (the kept snapshot is the only
+            // deliberately-persistent state)
+            if (state.exists) state.remove()
+          } else {
+            state.update(AsOfState(keptRights ++ pendingLefts))
+            if (pendingLefts.nonEmpty) {
+              // wake when the watermark passes the earliest pending left
+              state.setTimeoutTimestamp(math.max(
+                pendingLefts.head.tsMicros / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
           }
           outs.iterator
       }
@@ -273,8 +298,6 @@ object StreamOps {
     import events.sparkSession.implicits._
     val gapMicros = gapSeconds * 1000000L
 
-    def micros(t: Timestamp): Long = t.getTime * 1000L + t.getNanos / 1000 % 1000
-
     // chain rule identical to the batch operator: a new session starts
     // when the gap to the PREVIOUS event (chronological order) exceeds gap
     def sessionsOf(buf: Seq[BufEvent]): Seq[Seq[BufEvent]] = {
@@ -320,18 +343,22 @@ object StreamOps {
             val closeAtMs = (open.head.last.tsMicros + gapMicros) / 1000 + 1
             state.setTimeoutTimestamp(
               math.max(closeAtMs, state.getCurrentWatermarkMs() + 1))
-          } else idleRetentionSeconds match {
-            case Some(r) if state.hasTimedOut && merged.isEmpty =>
-              // the retention timer fired with nothing buffered since:
-              // evict the counter (numbering restarts if the user returns)
-              state.remove()
-            case Some(r) =>
-              state.update(next)
-              state.setTimeoutTimestamp(
-                state.getCurrentWatermarkMs() + r * 1000 + 1)
-            case None =>
-              state.update(next)
+          } else if (state.hasTimedOut && merged.isEmpty &&
+              idleRetentionSeconds.isDefined) {
+            // the retention timer fired with nothing buffered since:
+            // evict the counter (numbering restarts if the user returns)
+            state.remove()
+          } else if (closed.nonEmpty) {
+            // sessions just closed and the buffer drained — retain the
+            // counter and, with a TTL configured, start the idle clock
+            state.update(next)
+            idleRetentionSeconds.foreach(r => state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + r * 1000 + 1))
           }
+          // remaining case (nothing open, nothing closed): an all-late
+          // batch. Existing idle state is left untouched so late noise
+          // can't postpone a pending retention eviction, and no state is
+          // created for a user whose only data was discarded
           outs.iterator
       }
   }

@@ -272,6 +272,41 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 12L, None), (2L, 20L, None)))
   }
 
+  test("asOfJoinStream breaks right-timestamp ties exactly like the batch operator") {
+    import graft.streaming.StreamOps.{AsOfOut, LeftEvent, RightEvent}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // two rights at the IDENTICAL timestamp: the winner must be the
+    // batch operator's content-hash pick, not id order
+    val lefts = Seq(LeftEvent(1, 10, Timestamp.valueOf("2024-01-01 02:00:00")))
+    val rights = Seq(
+      RightEvent(1, 5, Timestamp.valueOf("2024-01-01 01:00:00")),
+      RightEvent(1, 9, Timestamp.valueOf("2024-01-01 01:00:00")))
+    val lin = MemoryStream[LeftEvent]
+    val rin = MemoryStream[RightEvent]
+    val q = graft.streaming.StreamOps.asOfJoinStream(
+        lin.toDS(), rin.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("asof_ties")
+      .outputMode("append").start()
+    rin.addData(rights: _*); lin.addData(lefts: _*)
+    q.processAllAvailable()
+    lin.addData(LeftEvent(99, 999, Timestamp.valueOf("2024-01-02 00:00:00")))
+    rin.addData(RightEvent(99, 998, Timestamp.valueOf("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from asof_ties where user_id = 1")
+      .as[AsOfOut].collect().map(o => (o.event_id, o.right_id)).toSet
+    val batch = graft.operators.AsOfJoin.asOfJoin(
+        lefts.toDS().toDF(), rights.toDS().toDF()
+          .withColumnRenamed("right_id", "rid"),
+        "user_id", "ts", Seq("event_id"), Seq("rid"))
+      .collect().map(r => (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(streamed == batch)
+    assert(streamed.head._2.nonEmpty) // some right matched
+  }
+
   test("minHashDupPairsStream emits the batch banding+estimate pairs on out-of-order input") {
     import graft.streaming.StreamOps.{DupCandidate, StreamDoc}
     import graft.operators.{Dedup, TextAnalysis}
