@@ -3,7 +3,7 @@ package graft
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{call_function, col, transform}
+import org.apache.spark.sql.functions.{call_function, col, transform, transform_values}
 import org.slf4j.LoggerFactory
 
 /** Config-driven nested-field transformation engine — the parity core.
@@ -37,9 +37,13 @@ import org.slf4j.LoggerFactory
   *
   * Documented divergences (strictly more capable; identical results on all
   * reference-expressible inputs — SURVEY.md §2.2-9/10):
-  *   - doubly-nested arrays (`a[][]`) work: nodes carry an `arrayDepth`
-  *     count and nest `transform`s, where the reference's single boolean
-  *     fails analysis.
+  *   - doubly-nested arrays (`a[][]`) work: nodes carry the segment's
+  *     container-token sequence and nest `transform`s, where the
+  *     reference's single boolean fails analysis.
+  *   - `MapType` (which crashes the reference): a bare path targets the
+  *     whole map; a `{}`-token path (`m{}`, `m{}.field`) rewrites map
+  *     VALUES element-wise via `transform_values`, the map analogue of
+  *     the `[]` array convention. Keys are never rewritten.
   *   - all configured members of one array node are rewritten in ONE
   *     `transform` pass instead of one `transform` per member (the
   *     reference's N passes rebuild the struct N times and Catalyst does
@@ -146,30 +150,42 @@ class Functioniser {
           n.fn.foreach { f => el = f(el) }
           el
         }
+        // fold container wrappers innermost-first so the leftmost token
+        // (outermost container) is applied last
         var wrapped: Column => Column = rewriteElement
-        (0 until n.arrayDepth).foreach { _ =>
-          val inner = wrapped
-          wrapped = (arr: Column) => transform(arr, inner)
+        n.wrappers.reverse.foreach {
+          case ArrayWrap =>
+            val inner = wrapped
+            wrapped = (arr: Column) => transform(arr, inner)
+          case MapWrap =>
+            val inner = wrapped
+            wrapped = (m: Column) =>
+              transform_values(m, (_: Column, v: Column) => inner(v))
         }
         wrapped(ctx)
     }
   }
 
   /** Resolve a config path against the flat schema: case-insensitive with
-    * `[]` stripped; prefix match addresses a subtree; result depth-trimmed
-    * back to the input path (ref: functioniser.py:130-149). */
+    * `[]`/`{}` stripped; prefix match addresses a subtree; result
+    * depth-trimmed back to the input path (ref: functioniser.py:130-149).
+    * A config path carrying a `{}` token requests MAP-VALUE targeting and
+    * only matches schema paths that descend into the map's values — a
+    * bare path keeps matching the whole-map leaf (back-compat). */
   private[graft] def getFieldNameWithTokens(field: String): Option[String] = {
-    val target = field.toLowerCase
+    val wantsValues = field.contains("{}")
+    val target = field.toLowerCase.replace("{}", "")
     flatSchema.find { f =>
-      val stripped = f.replace("[]", "").toLowerCase
-      stripped == target || stripped.startsWith(target + ".")
+      val stripped = f.replace("[]", "").replace("{}", "").toLowerCase
+      (stripped == target || stripped.startsWith(target + ".")) &&
+        (!wantsValues || f.contains("{}"))
     }.map(t => SchemaPaths.limitDepth(t, field))
   }
 
   /** Build the plan tree: one node per struct level on the path from a
     * root to each configured leaf (ref: functioniser.py:152-196). */
   private[graft] def buildNodes(): Node = {
-    val root = new Node("root", 0)
+    val root = new Node("root", Some(Nil))
     functions.foreach { case (field, function) =>
       val fieldWithTokens = getFieldNameWithTokens(field).getOrElse {
         val msg = s"Field $field not found in input schema. " +
@@ -187,7 +203,7 @@ class Functioniser {
       }
       var current = root
       fieldWithTokens.split('.').foreach { member =>
-        val clean = member.replace("[]", "")
+        val clean = member.replace("[]", "").replace("{}", "")
         current = current.children.getOrElseUpdate(clean, new Node(member))
       }
       current.fn = Some(function)
@@ -210,13 +226,25 @@ object Functioniser {
 
   private val logger = LoggerFactory.getLogger(classOf[Functioniser])
 
-  /** Plan IR node (ref: functioniser.py:210-233). `arrayDepth` counts `[]`
-    * tokens on the segment (the reference's single `is_array` boolean is
-    * the `a[][]` limitation we lift). Children are insertion-ordered. */
-  private[graft] final class Node(rawName: String, depth: Int = -1) {
-    val name: String = rawName.replace("[]", "")
-    val arrayDepth: Int =
-      if (depth >= 0) depth else "\\[\\]".r.findAllIn(rawName).length
+  /** Container wrappers on a path segment, outermost first: `[]` = array
+    * (rewrite element-wise via `transform`), `{}` = map values (rewrite
+    * value-wise via `transform_values`; keys untouched). */
+  private[graft] sealed trait Wrapper
+  private[graft] case object ArrayWrap extends Wrapper
+  private[graft] case object MapWrap extends Wrapper
+
+  /** Plan IR node (ref: functioniser.py:210-233). `wrappers` records the
+    * segment's container tokens in order (the reference's single
+    * `is_array` boolean is the `a[][]` limitation we lift; `{}` extends
+    * the same mechanism to map values). Children are insertion-ordered. */
+  private[graft] final class Node(rawName: String,
+                                  explicitWrappers: Option[Seq[Wrapper]] = None) {
+    val name: String = rawName.replace("[]", "").replace("{}", "")
+    val wrappers: Seq[Wrapper] = explicitWrappers.getOrElse(
+      "\\[\\]|\\{\\}".r.findAllIn(rawName).map {
+        case "[]" => ArrayWrap
+        case _    => MapWrap
+      }.toSeq)
     var fn: Option[Column => Column] = None
     val children: mutable.LinkedHashMap[String, Node] =
       mutable.LinkedHashMap.empty

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Schema flattening + path-depth helpers.
   *
@@ -12,12 +12,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   *
   * Divergence (documented, strictly more capable): a `MapType` anywhere in
   * the schema crashes the reference (`KeyError: 'fields'`, SURVEY.md §8);
-  * here a map is a terminal leaf, so maps pass through untouched and can be
-  * targeted as whole-column leaves.
+  * here a map flattens to its whole-column leaf (so maps pass through
+  * untouched and can be targeted as whole-column leaves) PLUS `{}`-token
+  * paths into its VALUE type — `m{}` for primitive values,
+  * `m{}.field` for struct values — mirroring the `[]` array convention,
+  * so a configured `{}` path rewrites map values element-wise
+  * (`transform_values`; keys are never touched).
   */
 object SchemaPaths {
 
-  /** Flatten a schema to `[]`-tokenised dotted paths
+  /** Flatten a schema to `[]`/`{}`-tokenised dotted paths
     * (ref: `utils.py:6-31`). Arrays of arrays yield `path[][]`. */
   def flattenSchema(schema: StructType): Seq[String] = {
     def flattenType(dt: DataType, prefix: String): Seq[String] = dt match {
@@ -25,18 +29,28 @@ object SchemaPaths {
         val p = prefix + "[]"
         elementType match {
           case s: StructType => flattenStruct(s, p)
-          case a: ArrayType  => flattenType(a, p)
+          case nested @ (_: ArrayType | _: MapType) => flattenType(nested, p)
           case _             => Seq(p)
         }
+      case m: MapType =>
+        // the whole-map leaf first (a bare config path targets the map
+        // itself — back-compat), then the value paths
+        val p = prefix + "{}"
+        Seq(prefix) ++ (m.valueType match {
+          case s: StructType => flattenStruct(s, p)
+          case nested @ (_: ArrayType | _: MapType) => flattenType(nested, p)
+          case _             => Seq(p)
+        })
       case s: StructType => flattenStruct(s, prefix)
-      case _             => Seq(prefix) // primitive / map leaf
+      case _             => Seq(prefix) // primitive leaf
     }
     def flattenStruct(s: StructType, prefix: String): Seq[String] =
       s.fields.toSeq.flatMap { f =>
         val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
         f.dataType match {
-          case nested @ (_: StructType | _: ArrayType) => flattenType(nested, name)
-          case _                                       => Seq(name)
+          case nested @ (_: StructType | _: ArrayType | _: MapType) =>
+            flattenType(nested, name)
+          case _ => Seq(name)
         }
       }
     flattenStruct(schema, "")

@@ -353,6 +353,35 @@ class FunctioniserSpec extends AnyFunSuite {
     assert(mapped(0).getAs[Map[String, Int]]("m") == Map("a" -> 1, "b" -> 2))
   }
 
+  test("divergence: a {} path rewrites map VALUES element-wise, keys untouched") {
+    val df = spark.sql("select map('a', 'x', 'b', 'y') as m, 'z' as s")
+    val out = new Functioniser().add("m{}", "upper").apply(df).collect()
+    assert(out(0).getAs[Map[String, String]]("m") ==
+      Map("a" -> "X", "b" -> "Y"))
+    assert(out(0).getAs[String]("s") == "z") // pass-through untouched
+  }
+
+  test("divergence: a path into struct-valued map values rewrites one field per value") {
+    val df = spark.sql(
+      "select map('k1', named_struct('x', 'ab', 'y', 7)," +
+        "          'k2', named_struct('x', 'cd', 'y', 9)) as m")
+    val out = new Functioniser()
+      .add("m{}.x", "upper")
+      .add("m{}.y", (c: Column) => c + 1)
+      .apply(df).collect()
+    val m = out(0).getMap[String, org.apache.spark.sql.Row](0)
+    assert(m("k1").getAs[String]("x") == "AB" && m("k1").getAs[Int]("y") == 8)
+    assert(m("k2").getAs[String]("x") == "CD" && m("k2").getAs[Int]("y") == 10)
+  }
+
+  test("divergence: map inside an array rewrites per element per value") {
+    val df = spark.sql(
+      "select array(map('a', 'p'), map('b', 'q')) as am")
+    val out = new Functioniser().add("am{}", "upper").apply(df).collect()
+    val seq = out(0).getSeq[Map[String, String]](0)
+    assert(seq == Seq(Map("a" -> "P"), Map("b" -> "Q")))
+  }
+
   test("single Project: whole rewrite compiles to one narrow select") {
     val result = new Functioniser()
       .add("pets.has_pets", upper _)

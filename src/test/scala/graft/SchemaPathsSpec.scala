@@ -30,6 +30,17 @@ class SchemaPathsSpec extends AnyFunSuite {
     assert(SchemaPaths.flattenSchema(df.schema) == Seq("aa[][]"))
   }
 
+  test("maps flatten to a whole-column leaf plus {}-token value paths") {
+    val df = spark.sql(
+      """select map('a', 1) as m,
+        |  map('k', named_struct('x', 'v', 'y', 2)) as ms,
+        |  array(map('a', 1)) as am""".stripMargin)
+    assert(SchemaPaths.flattenSchema(df.schema) == Seq(
+      "m", "m{}",
+      "ms", "ms{}.x", "ms{}.y",
+      "am[]", "am[]{}"))
+  }
+
   test("limit_depth with int depth") {
     assert(SchemaPaths.limitDepth("a.b.c.d", 2) == "a.b")
     assert(SchemaPaths.limitDepth("a.b.c.d", 10) == "a.b.c.d")
