@@ -82,6 +82,19 @@ object SparkEntry {
         .select(col("p_partkey"), posexplode(col("words")).as(Seq("pos", "word")))
     }),
 
+    // map-value rewrite ({} token): each map value doubled element-wise,
+    // then exploded to rows so the driver can hash-compare (maps don't
+    // survive the pandas comparator)
+    "q_fn_map" -> ((s, dir) => {
+      val df = t(s, dir, "documents").select(col("doc_id"),
+        map(lit("chars"), col("n_chars"),
+          lit("double_id"), col("doc_id")).as("m"))
+      new Functioniser()
+        .add("m{}", (c: Column) => c * 2)
+        .apply(df)
+        .select(col("doc_id"), explode(col("m")).as(Seq("k", "v")))
+    }),
+
     // ---- text analysis ----
 
     "q_text_stats" -> ((s, dir) =>
@@ -453,6 +466,11 @@ object SparkEntry {
         """SELECT p_partkey, i - 1 AS pos, upper(w[i]) AS word
           |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part),
           |     LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)""".stripMargin,
+
+      "q_fn_map" ->
+        """SELECT doc_id, 'chars' AS k, n_chars * 2 AS v FROM documents
+          |UNION ALL
+          |SELECT doc_id, 'double_id' AS k, doc_id * 2 AS v FROM documents""".stripMargin,
 
       "q_text_stats" ->
         """WITH toks AS (
