@@ -166,35 +166,43 @@ class Functioniser {
     }
   }
 
-  /** Resolve a config path against the flat schema: case-insensitive with
-    * `[]`/`{}` stripped; prefix match addresses a subtree; result
+  /** Resolve a config path against the flat schema, segment-wise and
+    * case-insensitive; prefix match addresses a subtree; result
     * depth-trimmed back to the input path (ref: functioniser.py:130-149).
-    * A config path carrying a `{}` token requests MAP-VALUE targeting and
-    * only matches schema paths that descend into the map's values — a
-    * bare path keeps matching the whole-map leaf (back-compat). */
+    * `[]` tokens are schema-derived and ignored in matching (a bare
+    * config path traverses arrays, as in the reference); `{}` tokens are
+    * CONFIG-requested map-value targeting and must match the schema
+    * segment exactly — a bare segment only matches the whole-map leaf,
+    * and a `{}` segment only matches a value descent at that very
+    * level (so `m{}.inner` and `m{}.inner{}` are distinct targets). */
   private[graft] def getFieldNameWithTokens(field: String): Option[String] = {
-    val wantsValues = field.contains("{}")
-    val target = field.toLowerCase.replace("{}", "")
+    val targetSegs = field.toLowerCase.split('.')
     flatSchema.find { f =>
-      val stripped = f.replace("[]", "").replace("{}", "").toLowerCase
-      (stripped == target || stripped.startsWith(target + ".")) &&
-        (!wantsValues || f.contains("{}"))
+      val fSegs = f.toLowerCase.split('.').map(_.replace("[]", ""))
+      fSegs.length >= targetSegs.length &&
+        fSegs.zip(targetSegs).forall { case (fs, ts) => fs == ts }
     }.map(t => SchemaPaths.limitDepth(t, field))
   }
 
   /** Build the plan tree: one node per struct level on the path from a
     * root to each configured leaf (ref: functioniser.py:152-196). */
   private[graft] def buildNodes(): Node = {
-    val root = new Node("root", Some(Nil))
+    val root = new Node("root")
     functions.foreach { case (field, function) =>
       val fieldWithTokens = getFieldNameWithTokens(field).getOrElse {
+        val cut = field.lastIndexOf('.')
+        // an unmatched {}-token leaf/root has nothing whose values it
+        // could rewrite — transform_values cannot ignore its input the
+        // way the new-root contract allows a constant to
+        if (field.substring(cut + 1).contains("{}"))
+          throw new IllegalArgumentException(
+            s"Map-value path $field matches no schema path")
         val msg = s"Field $field not found in input schema. " +
           "Will attempt to create on parent."
         logger.warn(msg)
         recordedWarnings += msg
-        if (!field.contains(".")) field // new root
+        if (cut < 0) field // new root
         else {
-          val cut = field.lastIndexOf('.')
           val parent = getFieldNameWithTokens(field.substring(0, cut))
             .getOrElse(throw new IllegalArgumentException(
               s"Parent struct for $field not found in input schema"))
@@ -204,7 +212,17 @@ class Functioniser {
       var current = root
       fieldWithTokens.split('.').foreach { member =>
         val clean = member.replace("[]", "").replace("{}", "")
-        current = current.children.getOrElseUpdate(clean, new Node(member))
+        val node = current.children.getOrElseUpdate(clean, new Node(member))
+        // one physical column, one container interpretation: a whole-map
+        // path and a value-wise path (or different {} nesting levels)
+        // cannot share a plan node — reject instead of silently letting
+        // one clobber the other
+        if (node.wrappers != Node.parseWrappers(member))
+          throw new IllegalArgumentException(
+            s"Conflicting container targeting for '$clean' (e.g. both a " +
+              "whole-map path and a {}-value path): configure one form, " +
+              "composing functions on it as needed")
+        current = node
       }
       current.fn = Some(function)
     }
@@ -237,20 +255,23 @@ object Functioniser {
     * segment's container tokens in order (the reference's single
     * `is_array` boolean is the `a[][]` limitation we lift; `{}` extends
     * the same mechanism to map values). Children are insertion-ordered. */
-  private[graft] final class Node(rawName: String,
-                                  explicitWrappers: Option[Seq[Wrapper]] = None) {
+  private[graft] final class Node(rawName: String) {
     val name: String = rawName.replace("[]", "").replace("{}", "")
-    val wrappers: Seq[Wrapper] = explicitWrappers.getOrElse(
-      "\\[\\]|\\{\\}".r.findAllIn(rawName).map {
-        case "[]" => ArrayWrap
-        case _    => MapWrap
-      }.toSeq)
+    val wrappers: Seq[Wrapper] = Node.parseWrappers(rawName)
     var fn: Option[Column => Column] = None
     val children: mutable.LinkedHashMap[String, Node] =
       mutable.LinkedHashMap.empty
     /** Case-insensitive child lookup (ref: functioniser.py:229-233). */
     def iget(key: String): Option[Node] =
       children.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+  }
+
+  private[graft] object Node {
+    def parseWrappers(rawName: String): Seq[Wrapper] =
+      "\\[\\]|\\{\\}".r.findAllIn(rawName).map {
+        case "[]" => ArrayWrap
+        case _    => MapWrap
+      }.toSeq
   }
 
   /** Builtin by-name surface = Catalyst's builtin FunctionRegistry (the

@@ -374,6 +374,50 @@ class FunctioniserSpec extends AnyFunSuite {
     assert(m("k2").getAs[String]("x") == "CD" && m("k2").getAs[Int]("y") == 10)
   }
 
+  test("divergence: whole-map and {}-value paths on one column are rejected, not merged") {
+    val df = spark.sql("select map('a', 1) as m")
+    val e = intercept[IllegalArgumentException] {
+      new Functioniser()
+        .add("m", (c: Column) => map_concat(c, map(lit("b"), lit(2))))
+        .add("m{}", (c: Column) => c * 10)
+        .apply(df)
+    }
+    assert(e.getMessage.contains("Conflicting container targeting"))
+  }
+
+  test("divergence: nested-map {} tokens resolve at the exact level") {
+    val df = spark.sql(
+      "select map('k', named_struct('inner', map('a', 2))) as m")
+    val out = new Functioniser()
+      .add("m{}.inner{}", (c: Column) => c * 3)
+      .apply(df).collect()
+    val inner = out(0).getMap[String, org.apache.spark.sql.Row](0)("k")
+      .getMap[String, Int](0)
+    assert(inner == Map("a" -> 6))
+  }
+
+  test("divergence: an unmatched {} path errors instead of becoming a broken new root") {
+    val df = spark.sql("select 1 as a")
+    val e = intercept[IllegalArgumentException] {
+      new Functioniser().add("x{}", (c: Column) => c).apply(df)
+    }
+    assert(e.getMessage.contains("matches no schema path"))
+  }
+
+  test("divergence: a bare dotted path does NOT silently target map values") {
+    val df = spark.sql("select map('k', named_struct('x', 'ab')) as ms")
+    val f = new Functioniser().add("ms.x", "upper")
+    f.flatSchema = SchemaPaths.flattenSchema(df.schema)
+    // no {} token → must not resolve into the map's value structs
+    assert(f.getFieldNameWithTokens("ms.x").isEmpty)
+    // full apply goes down the reference's unknown-leaf path (warn +
+    // create-on-parent, which then fails analysis on the map parent) —
+    // never a silent value rewrite
+    val g = new Functioniser().add("ms.x", "upper")
+    intercept[Exception](g.apply(df).collect())
+    assert(g.recordedWarnings.exists(_.contains("ms.x not found")))
+  }
+
   test("divergence: map inside an array rewrites per element per value") {
     val df = spark.sql(
       "select array(map('a', 'p'), map('b', 'q')) as am")
