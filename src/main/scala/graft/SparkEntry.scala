@@ -269,6 +269,26 @@ object SparkEntry {
       Curation.packSequences(t(s, dir, "documents"), budgetTokens = 2048,
         shardCols = Seq("lang"), idCol = "doc_id", textCol = "text")),
 
+    // benchmark decontamination: every 10th doc plays the benchmark set;
+    // corpus docs sharing ≥5 distinct trigram shingles with it are
+    // flagged (the benchmark shingle index broadcasts — map-side sweep)
+    "q_curation_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contaminationFlags(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, minShared = 5)
+    }),
+
+    // PII scrubbing over synthetic-augmented text (the corpus carries no
+    // PII, so each doc gets a planted email + phone; both must come out
+    // typed)
+    "q_text_scrub" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.scrubPii(concat(col("text"),
+          lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-123-4567"))).as("scrubbed"))),
+
     // ---- multimodal plumbing (payload + metadata; stub features are
     //      covered by OperatorsSpec, not SQL-expressible) ----
 
@@ -466,6 +486,36 @@ object SparkEntry {
         """SELECT p_partkey, i - 1 AS pos, upper(w[i]) AS word
           |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part),
           |     LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)""".stripMargin,
+
+      // string-shingle mirror of the hashed-shingle sweep (hash is
+      // injective on this corpus — pinned by the cardinality property)
+      "q_curation_decontaminate" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |), sh AS (
+          |  SELECT doc_id,
+          |         CASE WHEN len(w) >= 3 THEN list_distinct(
+          |           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            FOR i IN range(1, greatest(len(w)-1, 1))])
+          |         ELSE [] END AS s
+          |  FROM toks
+          |), bench AS (
+          |  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 10 = 0
+          |), corpus AS (
+          |  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 10 <> 0
+          |)
+          |SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shared
+          |FROM corpus c JOIN bench b USING (shingle)
+          |GROUP BY 1 HAVING count(DISTINCT c.shingle) >= 5""".stripMargin,
+
+      "q_text_scrub" ->
+        """SELECT doc_id, regexp_replace(regexp_replace(
+          |    text || ' contact: user' || CAST(doc_id AS VARCHAR)
+          |         || '@example.com or 555-123-4567',
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |    '[EMAIL]', 'g'),
+          |  '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS scrubbed
+          |FROM documents""".stripMargin,
 
       "q_fn_map" ->
         """SELECT doc_id, 'chars' AS k, n_chars * 2 AS v FROM documents

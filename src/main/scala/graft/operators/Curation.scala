@@ -65,6 +65,34 @@ object Curation {
     if (scaled >= 281474976710656L) None else Some(f"$scaled%012x")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` distinct n-gram shingles with the benchmark set — the
+    * standard test-set-contamination sweep run before training.
+    *
+    * Sub-quadratic by construction: the benchmark's distinct shingles
+    * form an inverted index (generally small — benchmarks are), the
+    * corpus joins against it shingle-wise, and the count of DISTINCT
+    * matching shingles per document is compared to the threshold. At
+    * 100 TB the benchmark shingle set broadcasts and the whole sweep is
+    * a map-side join over the corpus scan — no corpus×corpus pairing
+    * ever happens. Output: (doc_id, n_shared) for flagged docs; feed to
+    * an anti-join to drop them. */
+  def contaminationFlags(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, minShared: Int = 5): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    def shingleRows(df: DataFrame) = df.select(
+        col(idCol).as("id"),
+        explode(TextAnalysis.hashedShingles(col(textCol), n)).as("shingle"))
+    val benchShingles = shingleRows(benchmark)
+      .select(col("shingle")).distinct()
+    shingleRows(corpus)
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy(col("id").as(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Token-budget sequence packing: documents are laid end-to-end per
     * shard in a deterministic order and each is assigned to the pack its
     * STARTING token offset falls in — the standard concat-then-chunk

@@ -100,6 +100,17 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 131L + length(t) * 31L + ascii(t), lit(1000000007L)))
 
+  /** PII scrubbing: emails and US-style phone numbers replaced with
+    * typed placeholders. Patterns are RE2-safe (no backrefs/lookaround)
+    * so external engines reproduce them byte-identically; a narrow
+    * codegen'd projection at parquet-scan speed — extend the pattern
+    * list per policy. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]")
+
   /** Convenience: annotate a documents table with the full analysis set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

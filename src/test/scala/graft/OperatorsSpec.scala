@@ -362,6 +362,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == docs.count())
   }
 
+  test("contaminationFlags equals a driver-side shared-shingle count") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val got = Curation.contaminationFlags(corpus, bench, "doc_id", "text",
+        n = 3, minShared = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side oracle over string shingles
+    def sh(t: String) = {
+      val w = t.split(" ", -1)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set.empty[String]
+    }
+    val benchSh = bench.select("text").collect()
+      .flatMap(r => sh(r.getString(0))).toSet
+    val expect = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (sh(r.getString(1)) & benchSh).size.toLong)
+      .filter(_._2 >= 3).toMap
+    assert(expect.nonEmpty)
+    assert(got == expect)
+  }
+
+  test("scrubPii replaces emails and phone numbers with typed placeholders") {
+    val df = spark.sql(
+      "select 'mail a.b-c%d@ex-ample.co.uk or call 555-123-4567 now' as t " +
+        "union all select 'clean text stays' as t")
+    val out = df.select(TextAnalysis.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("mail [EMAIL] or call [PHONE] now", "clean text stays"))
+  }
+
   test("rangeJoin equals the plain inequality join, each pair exactly once") {
     val events = graft.sources.Sources.events(spark, dir)
     val purchases = events.filter(col("event_type") === "purchase")
