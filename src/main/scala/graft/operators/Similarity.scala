@@ -127,48 +127,66 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               lloydIters: Int = 2): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        toDouble(col(vecCol)).as("cvec"))
-      .withColumn("cnorm", l2Norm(col("cvec")))
-      .localCheckpoint(false)
-
-    // deterministic init: the nlist lowest-id vectors
-    var centroids: Array[Seq[Double]] = c.orderBy(col("neighbor_id"))
-      .limit(nlist).collect()
-      .map(_.getSeq[Double](1))
+    val c = ivfPrep(corpus, idCol, vecCol)
+    val centroids = trainCentroids(c, nlist, lloydIters)
     if (centroids.isEmpty) {
       // empty corpus: empty result, correct schema, no crash
       return queries.limit(0).select(
         col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
         lit(1).as("rank"), lit(0.0).as("cosine"))
     }
+    val assigned = c.withColumn("cell",
+      assignExpr(col("cvec"), centroids.toSeq))
+    ivfScoreTopK(assigned,
+      probeCells(queries, idCol, vecCol, centroids.toSeq, nprobe), k)
+  }
 
-    def centroidDf = centroids.zipWithIndex.map { case (v, i) => (i, v) }
-    // greatest() needs ≥2 args; a single cell is just that cell
-    def maxStruct(scores: Seq[Column]): Column =
-      if (scores.size == 1) scores.head else greatest(scores: _*)
-    def assignExpr: Column = {
-      // argmin over squared L2 distance == argmax of (dot - |c|²/2);
-      // struct comparison breaks score ties toward the LARGER cell index
-      val scores = centroidDf.map { case (i, v) =>
-        val cCol = array(v.map(lit): _*)
-        struct((dotProduct(col("cvec"), cCol) -
-          lit(v.map(x => x * x).sum / 2)).as("score"), lit(i).as("cell"))
-      }
-      maxStruct(scores).getField("cell")
+  /** (neighbor_id, cvec, cnorm) prep shared by the IVF paths. */
+  private def ivfPrep(corpus: DataFrame, idCol: String,
+                      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+      .localCheckpoint(false)
+
+  /** One struct per centroid: (score = dot − |c|²/2, cell). argmax of the
+    * score is the nearest cell by squared L2. */
+  private def centroidStructs(vec: Column,
+                              centroids: Seq[Seq[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (v, i) =>
+      val cCol = array(v.map(lit): _*)
+      struct((dotProduct(vec, cCol) - lit(v.map(x => x * x).sum / 2))
+        .as("score"), lit(i).as("cell"))
     }
 
+  // greatest() needs ≥2 args; a single cell is just that cell; struct
+  // comparison breaks score ties toward the LARGER cell index
+  private def assignExpr(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scores = centroidStructs(vec, centroids)
+    (if (scores.size == 1) scores.head else greatest(scores: _*))
+      .getField("cell")
+  }
+
+  /** Lloyd training over the prepped corpus. Deterministic init (the
+    * `nlist` lowest-id vectors); only nlist×dim values ever reach the
+    * driver. Empty corpus → empty result. */
+  private def trainCentroids(c: DataFrame, nlist: Int,
+                             lloydIters: Int): Array[Seq[Double]] = {
+    var centroids: Array[Seq[Double]] = c.orderBy(col("neighbor_id"))
+      .limit(nlist).collect()
+      .map(_.getSeq[Double](1))
+    if (centroids.isEmpty) return centroids
     (0 until lloydIters).foreach { _ =>
       // new centroid = per-cell per-dimension mean; nlist×dim values
-      val means = c.withColumn("cell", assignExpr)
+      val means = c
+        .withColumn("cell", assignExpr(col("cvec"), centroids.toSeq))
         .select(col("cell"), posexplode(col("cvec")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
         .groupBy(col("cell"))
         .agg(map_from_arrays(collect_list(col("pos")),
           collect_list(col("m"))).as("byPos"))
         .collect()
-        .map(r => r.getInt(0) ->
-          r.getMap[Int, Double](1))
+        .map(r => r.getInt(0) -> r.getMap[Int, Double](1))
         .toMap
       centroids = centroids.zipWithIndex.map { case (old, i) =>
         means.get(i)
@@ -176,21 +194,21 @@ object Similarity {
           .getOrElse(old) // empty cell keeps its centroid
       }
     }
+    centroids
+  }
 
-    val assigned = c.withColumn("cell", assignExpr)
-    val q = queries.select(col(idCol).as("query_id"),
+  /** Each query's `nprobe` nearest cells: (query_id, qvec, qnorm, cell).
+    * Tie-break toward the larger cell to MATCH the assignment's
+    * greatest()-struct tie behavior: duplicate centroids then probe the
+    * cell the corpus actually landed in, deterministically. */
+  private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+                         centroids: Seq[Seq[Double]],
+                         nprobe: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"),
         toDouble(col(vecCol)).as("qvec"))
       .withColumn("qnorm", l2Norm(col("qvec")))
-    // nprobe nearest cells per query
-    val probes = q.select(col("query_id"), col("qvec"), col("qnorm"),
-        explode(array(centroidDf.map { case (i, v) =>
-          val cCol = array(v.map(lit): _*)
-          struct((dotProduct(col("qvec"), cCol) -
-            lit(v.map(x => x * x).sum / 2)).as("score"), lit(i).as("cell"))
-        }: _*)).as("p"))
-      // tie-break toward the larger cell to MATCH the assignment's
-      // greatest()-struct tie behavior: duplicate centroids then probe the
-      // cell the corpus actually landed in, deterministically
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        explode(array(centroidStructs(col("qvec"), centroids): _*)).as("p"))
       .withColumn("prank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("p.score").desc, col("p.cell").desc)))
@@ -198,6 +216,9 @@ object Similarity {
       .select(col("query_id"), col("qvec"), col("qnorm"),
         col("p.cell").as("cell"))
 
+  /** Score each query against its probed cells; two-stage rank-limit. */
+  private def ivfScoreTopK(assigned: DataFrame, probes: DataFrame,
+                           k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     assigned.join(broadcast(probes), Seq("cell"))
@@ -207,6 +228,42 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Train and PERSIST an IVF index: the corpus is written cell-partitioned
+    * (`partitionBy("cell")`) so probed queries prune at the FILE level.
+    * This is the 100 TB form: assignment is computed once (scan +
+    * broadcast centroids, no shuffle), and every later query batch reads
+    * only its probed cells' files. Returns the centroid table (nlist×dim)
+    * — persist it next to the index for reuse. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    indexPath: String, nlist: Int = 16,
+                    lloydIters: Int = 2): Seq[Seq[Double]] = {
+    val c = ivfPrep(corpus, idCol, vecCol)
+    val centroids = trainCentroids(c, nlist, lloydIters)
+    if (centroids.nonEmpty) {
+      c.withColumn("cell", assignExpr(col("cvec"), centroids.toSeq))
+        .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    }
+    centroids.toSeq
+  }
+
+  /** ANN top-k over a persisted IVF index: the union of the query batch's
+    * probed cells (≤ nlist ids — a bounded driver value, never vectors)
+    * becomes a literal partition filter, so the parquet scan reads only
+    * those cells' files (`PartitionFilters` in the plan, asserted in
+    * specs). Results are identical to [[ivfTopK]] at equal parameters. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, centroids: Seq[Seq[Double]],
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int = 4): DataFrame = {
+    val probes = probeCells(queries, idCol, vecCol, centroids, nprobe)
+      .localCheckpoint(false) // read twice: cell-id collect + score join
+    val cellIds = probes.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cellIds: _*))
+    ivfScoreTopK(assigned, probes, k)
   }
 
   /** Embedding near-dup pairs via banded (OR-amplified) hyperplane LSH,
