@@ -244,6 +244,13 @@ object Similarity {
     if (centroids.nonEmpty) {
       c.withColumn("cell", assignExpr(col("cvec"), centroids.toSeq))
         .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    } else {
+      // an empty corpus must not leave a STALE index behind: a caller
+      // holding old centroids would silently query deleted data
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(indexPath))
     }
     centroids.toSeq
   }
@@ -252,16 +259,21 @@ object Similarity {
     * probed cells (≤ nlist ids — a bounded driver value, never vectors)
     * becomes a literal partition filter, so the parquet scan reads only
     * those cells' files (`PartitionFilters` in the plan, asserted in
-    * specs). Results are identical to [[ivfTopK]] at equal parameters. */
-  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
-                     indexPath: String, centroids: Seq[Seq[Double]],
+    * specs). Results are identical to [[ivfTopK]] at equal parameters;
+    * empty centroids (empty-corpus build) yield the same empty frame. */
+  def ivfTopKIndexed(indexPath: String, centroids: Seq[Seq[Double]],
                      queries: DataFrame, idCol: String, vecCol: String,
                      k: Int, nprobe: Int = 4): DataFrame = {
+    if (centroids.isEmpty) {
+      return queries.limit(0).select(
+        col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cosine"))
+    }
     val probes = probeCells(queries, idCol, vecCol, centroids, nprobe)
       .localCheckpoint(false) // read twice: cell-id collect + score join
     val cellIds = probes.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).toSeq
-    val assigned = spark.read.parquet(indexPath)
+    val assigned = queries.sparkSession.read.parquet(indexPath)
       .filter(col("cell").isin(cellIds: _*))
     ivfScoreTopK(assigned, probes, k)
   }

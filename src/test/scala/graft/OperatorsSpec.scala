@@ -218,26 +218,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
-  test("persisted IVF index equals in-memory IVF and prunes partitions") {
+  test("persisted IVF index equals exact search at full probe and prunes partitions") {
     val dir2 = java.nio.file.Files.createTempDirectory("ivf-index").toString
     val queries = emb.filter(col("vec_id") < 5)
     val centroids = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
       dir2, nlist = 8, lloydIters = 1)
     assert(centroids.size == 8)
-    val indexed = Similarity.ivfTopKIndexed(spark, dir2, centroids,
-      queries, "vec_id", "embedding", k = 5, nprobe = 3)
-    val inMem = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
-      k = 5, nlist = 8, nprobe = 3, lloydIters = 1)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rank"))).toSet
-    assert(rows(indexed) == rows(inMem))
-    assert(rows(indexed).nonEmpty)
-    // the probed-cell filter must reach the FILE level: partition filters
-    // present and non-empty in the final scan
-    indexed.collect()
-    val plan = ScaleOpsSpec.finalPlan(indexed)
+    // correctness: full probe is assignment-independent (== exact), so
+    // this cannot flake on Lloyd's float-aggregation order across jobs
+    val full = Similarity.ivfTopKIndexed(dir2, centroids, queries,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5)
+    assert(rows(full) == rows(exact))
+    // pruning: a 1-probe batch over 5 queries touches ≤5 of 8 cells, and
+    // the probed-cell filter must reach the FILE level
+    val pruned = Similarity.ivfTopKIndexed(dir2, centroids, queries,
+      "vec_id", "embedding", k = 5, nprobe = 1)
+    assert(pruned.collect().nonEmpty)
+    val plan = ScaleOpsSpec.finalPlan(pruned)
     assert(plan.contains("PartitionFilters: ["), plan)
     assert(!plan.matches("(?s).*PartitionFilters: \\[\\].*"), plan)
+    val inList = "cell#\\d+ IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(inList.nonEmpty && inList.split(",").length <= 5, plan)
   }
 
   test("ivfTopK partial probe trades recall for cost") {
