@@ -217,6 +217,12 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("click_id"))
     }),
 
+    // anchored funnel: view → click → purchase within a day of each
+    // user's first view; one narrow filtered stage per step
+    "q_events_funnel" -> ((s, dir) =>
+      Events.funnel(t(s, dir, "events"),
+        steps = Seq("view", "click", "purchase"), windowSeconds = 86400)),
+
     // range (interval) join via time-bin bucketing: every click within
     // the hour BEFORE each purchase; pairs meet in exactly one bin so no
     // dedup stage, and hot time ranges spread across (key, bin) buckets
@@ -663,6 +669,29 @@ object SparkEntry {
           |       min(event_id) AS first_event_id,
           |       max(event_id) AS last_event_id
           |FROM numbered GROUP BY 1, 2""".stripMargin,
+
+      // anchored first-touch funnel, same greedy-min chain per step
+      "q_events_funnel" ->
+        """WITH s1 AS (
+          |  SELECT user_id, min(ts) AS t1 FROM events
+          |  WHERE event_type = 'view' GROUP BY 1
+          |), s2 AS (
+          |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+          |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+          |    AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1
+          |), s3 AS (
+          |  SELECT e.user_id, min(e.ts) AS t3
+          |  FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+          |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          |    AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1
+          |)
+          |SELECT s1.user_id,
+          |  CAST(1 + (s2.user_id IS NOT NULL)::INT
+          |         + (s3.user_id IS NOT NULL)::INT AS INT) AS n_steps,
+          |  (s3.user_id IS NOT NULL) AS completed
+          |FROM s1
+          |LEFT JOIN s2 USING (user_id)
+          |LEFT JOIN s3 USING (user_id)""".stripMargin,
 
       "q_events_range" ->
         """SELECT p.user_id, p.event_id, c.click_id

@@ -22,6 +22,49 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Anchored funnel analysis: how far each user progresses through an
+    * ordered sequence of event types, anchored at their FIRST
+    * `steps(0)` event. Step k completes with the user's earliest
+    * `steps(k)` event STRICTLY after step k−1's completion and within
+    * `windowSeconds` of the anchor (first-touch attribution — the
+    * deterministic product-analytics convention; a sliding-anchor
+    * variant would need per-candidate chains). Progress stops at the
+    * first missed step.
+    *
+    * Output: one row per user who entered the funnel:
+    * (user, n_steps, completed). Cost: one (join + per-user min)
+    * stage per step — each a single shuffle keyed by user; the event
+    * scan is filtered to one type per stage so predicate pushdown
+    * keeps every stage narrow. */
+  def funnel(events: DataFrame, steps: Seq[String], windowSeconds: Long,
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var frame = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__anchor"))
+      .withColumn("__t_prev", col("__anchor"))
+      .withColumn("n_steps", lit(1))
+    steps.drop(1).foreach { st =>
+      val nxt = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("__ts"))
+      // __t_prev is null once a step was missed: the chain stays dead
+      frame = frame.join(nxt, Seq(userCol), "left")
+        .withColumn("__ok", col("__t_prev").isNotNull &&
+          col("__ts") > col("__t_prev") &&
+          col("__ts") <= col("__anchor") +
+            expr(s"INTERVAL $windowSeconds SECONDS"))
+        .groupBy(col(userCol), col("__anchor"), col("__t_prev"),
+          col("n_steps"))
+        .agg(min(when(col("__ok"), col("__ts"))).as("__t_next"))
+        .withColumn("n_steps",
+          col("n_steps") + when(col("__t_next").isNotNull, 1).otherwise(0))
+        .withColumn("__t_prev", col("__t_next"))
+        .drop("__t_next")
+    }
+    frame.select(col(userCol), col("n_steps"),
+      (col("n_steps") === steps.length).as("completed"))
+  }
+
   /** Gap-based sessionization (batch form): a new session starts after
     * `gapSeconds` of inactivity per user. Single shuffle keyed by user;
     * the running sum is a narrow window cumulation within partitions.

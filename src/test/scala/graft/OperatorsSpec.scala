@@ -442,6 +442,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.sorted == expect.sorted)
   }
 
+  test("funnel counts anchored ordered steps; strict order, window, dead chains") {
+    def ev(u: Long, t: String, ty: String) =
+      (u, java.sql.Timestamp.valueOf(t), ty)
+    val events = spark.createDataFrame(Seq(
+      // completes all three inside the hour
+      ev(1, "2024-01-01 00:00:00", "view"), ev(1, "2024-01-01 00:10:00", "click"),
+      ev(1, "2024-01-01 00:20:00", "purchase"),
+      // no click: purchase can't count (dead after step 2 missed)
+      ev(2, "2024-01-01 00:00:00", "view"), ev(2, "2024-01-01 00:05:00", "purchase"),
+      // click outside the window
+      ev(3, "2024-01-01 00:00:00", "view"), ev(3, "2024-01-01 02:00:00", "click"),
+      // purchase at the SAME instant as the click: strict > rejects it
+      ev(5, "2024-01-01 00:00:00", "view"), ev(5, "2024-01-01 00:10:00", "click"),
+      ev(5, "2024-01-01 00:10:00", "purchase"),
+      // never entered the funnel (no view)
+      ev(4, "2024-01-01 00:00:00", "click")))
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(events, Seq("view", "click", "purchase"),
+        windowSeconds = 3600)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> (3, true), 2L -> (1, false), 3L -> (1, false), 5L -> (2, false)))
+  }
+
   test("sessionize splits on gaps greater than the threshold") {
     val df = spark.sql(
       """select * from values
