@@ -183,6 +183,15 @@ object SparkEntry {
         lloydIters = 1)
     }),
 
+    // zero hyperplanes ⇒ one shared bucket ⇒ the LSH pipeline provably
+    // equals exact search, so the full machinery (hashing, probing,
+    // bucket join, rank) runs under the brute-force oracle
+    "q_sim_ann_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, numPlanes = 0)
+    }),
+
     // IVF with nprobe = nlist provably equals exact search (every cell is
     // probed), so the full IVF machinery — Lloyd training, cell
     // assignment, probe ranking, per-cell scoring — runs under the
@@ -606,6 +615,24 @@ object SparkEntry {
           |    CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
 
       "q_sim_topk" ->
+        """WITH scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |      CAST(c.embedding AS DOUBLE[])) AS cos_raw
+          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+          |    AND q.vec_id <> c.vec_id
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_raw DESC, neighbor_id) AS rank,
+          |    round(cos_raw, 6) AS cosine
+          |  FROM scored
+          |)
+          |SELECT query_id, neighbor_id, rank, cosine
+          |FROM ranked WHERE rank <= 5""".stripMargin,
+
+      // numPlanes = 0 ⇒ identical to exact top-k (same oracle)
+      "q_sim_ann_exact" ->
         """WITH scored AS (
           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
           |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

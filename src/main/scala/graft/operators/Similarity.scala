@@ -59,10 +59,12 @@ object Similarity {
     Seq.tabulate(numPlanes)(_ => Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bucket id for a vector under `planes`: bit p = sign(v · h_p). */
+  /** Sign-bucket id for a vector under `planes`: bit p = sign(v · h_p).
+    * Zero planes = one shared bucket (the exact-search degenerate). */
   private def signBucket(vec: org.apache.spark.sql.Column,
                          planes: Seq[Seq[Double]]) =
-    planes.zipWithIndex.map { case (h, p) =>
+    if (planes.isEmpty) lit(0L)
+    else planes.zipWithIndex.map { case (h, p) =>
       val hCol = array(h.map(lit): _*)
       when(dotProduct(vec, hCol) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -85,6 +87,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    require(numPlanes >= 0 && numPlanes <= 62,
+      "numPlanes must be in [0, 62]; 0 = single shared bucket (exact)")
     val dim = probeDim(queries, vecCol)
     val planes = hyperplanes(numPlanes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
