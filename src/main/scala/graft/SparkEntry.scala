@@ -157,6 +157,25 @@ object SparkEntry {
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.45)),
 
+    // the REALISTIC-regime operating point (t = 0.8) — the headline
+    // embedding-dedup bench entry. This corpus's background cosines top
+    // out ≈ 0.6, so near-dup pairs are PLANTED (as q_text_scrub plants
+    // PII): every 20th vector gets a companion mixed with 0.2×reverse(v),
+    // cosine ≈ 0.98 to its source. At t = 0.8 a small 12×8 banding keeps
+    // buckets tiny (candidates ∝ true pairs, ~25× below all-pairs —
+    // measured; the sub-linear scale path) with per-pair miss ≈ 2e-5;
+    // t = 0.45 above remains the adversarial recall stressor.
+    "q_dedup_embedding_t08" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val aug = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          zip_with(col("e"), reverse(col("e")),
+            (x, y) => x + lit(0.2) * y).as("e"))
+      Similarity.lshNearDupPairs(emb.union(aug), "vec_id", "e",
+        threshold = 0.8, numPlanes = 8, tables = 12)
+    }),
+
     // ---- similarity search ----
 
     "q_sim_topk" -> ((s, dir) => {
@@ -201,6 +220,23 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16,
         lloydIters = 1)
+    }),
+
+    // the PERSISTED IVF index — the 100 TB similarity form: train, write
+    // the corpus cell-partitioned, then answer the query batch off the
+    // index with file-level partition pruning (PartitionFilters asserted
+    // in ScaleOpsSpec). nprobe = nlist probes every cell, which provably
+    // equals exact search, so build→persist→prune→score runs end-to-end
+    // under the same brute-force DuckDB oracle as q_sim_ivf_exact.
+    "q_sim_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val centroids = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        idx, nlist = 16, lloydIters = 1)
+      Similarity.ivfTopKIndexed(idx, centroids,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 16)
     }),
 
     // ---- events: windowed aggregation + sessionization ----
@@ -473,6 +509,26 @@ object SparkEntry {
         |FROM pairs
         |WHERE n_common::DOUBLE / (sa + sb - n_common) >= 0.5""".stripMargin
 
+    // exact cosine top-5 for the ten query vectors — the oracle for the
+    // brute-force entry AND every ANN entry run at its provably-exact
+    // degenerate parameterization (numPlanes=0 / nprobe=nlist)
+    val exactTopKSql =
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) AS cos_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+        |    AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS rank,
+        |    round(cos_raw, 6) AS cosine
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin
+
     Map(
       "q_fn_root" ->
         """SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal,
@@ -614,58 +670,33 @@ object SparkEntry {
           |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
           |    CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
 
-      "q_sim_topk" ->
-        """WITH scored AS (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-          |      CAST(c.embedding AS DOUBLE[])) AS cos_raw
-          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
-          |    AND q.vec_id <> c.vec_id
-          |), ranked AS (
-          |  SELECT query_id, neighbor_id,
-          |    row_number() OVER (PARTITION BY query_id
-          |      ORDER BY cos_raw DESC, neighbor_id) AS rank,
-          |    round(cos_raw, 6) AS cosine
-          |  FROM scored
+      // same planted-companion augmentation as the Spark side (double
+      // math, same mix order), then exhaustive pairs at t = 0.8
+      "q_dedup_embedding_t08" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), corpus AS (
+          |  SELECT vec_id, e FROM v
+          |  UNION ALL
+          |  SELECT vec_id + 100000 AS vec_id,
+          |    [e[i] + 0.2 * e[len(e)+1-i] FOR i IN range(1, len(e)+1)] AS e
+          |  FROM v WHERE vec_id % 20 = 0
           |)
-          |SELECT query_id, neighbor_id, rank, cosine
-          |FROM ranked WHERE rank <= 5""".stripMargin,
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+          |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.e, b.e) >= 0.8""".stripMargin,
+
+      "q_sim_topk" -> exactTopKSql,
 
       // numPlanes = 0 ⇒ identical to exact top-k (same oracle)
-      "q_sim_ann_exact" ->
-        """WITH scored AS (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-          |      CAST(c.embedding AS DOUBLE[])) AS cos_raw
-          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
-          |    AND q.vec_id <> c.vec_id
-          |), ranked AS (
-          |  SELECT query_id, neighbor_id,
-          |    row_number() OVER (PARTITION BY query_id
-          |      ORDER BY cos_raw DESC, neighbor_id) AS rank,
-          |    round(cos_raw, 6) AS cosine
-          |  FROM scored
-          |)
-          |SELECT query_id, neighbor_id, rank, cosine
-          |FROM ranked WHERE rank <= 5""".stripMargin,
+      "q_sim_ann_exact" -> exactTopKSql,
 
       // nprobe = nlist ⇒ identical to exact top-k (same oracle)
-      "q_sim_ivf_exact" ->
-        """WITH scored AS (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-          |      CAST(c.embedding AS DOUBLE[])) AS cos_raw
-          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
-          |    AND q.vec_id <> c.vec_id
-          |), ranked AS (
-          |  SELECT query_id, neighbor_id,
-          |    row_number() OVER (PARTITION BY query_id
-          |      ORDER BY cos_raw DESC, neighbor_id) AS rank,
-          |    round(cos_raw, 6) AS cosine
-          |  FROM scored
-          |)
-          |SELECT query_id, neighbor_id, rank, cosine
-          |FROM ranked WHERE rank <= 5""".stripMargin,
+      "q_sim_ivf_exact" -> exactTopKSql,
+
+      // persisted index probed at nprobe = nlist ⇒ exact (same oracle)
+      "q_sim_ivf_indexed" -> exactTopKSql,
 
       "q_events_window" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -250,11 +250,14 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     } else {
       // an empty corpus must not leave a STALE index behind: a caller
-      // holding old centroids would silently query deleted data
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(indexPath))
+      // holding old centroids would silently query deleted data. Hadoop
+      // FS API, not java.io.File — the delete must also work when the
+      // index lives on HDFS/S3 (the 100 TB deployment), where a local
+      // File recursion is a silent no-op.
+      val path = new org.apache.hadoop.fs.Path(indexPath)
+      path.getFileSystem(
+        corpus.sparkSession.sessionState.newHadoopConf())
+        .delete(path, true)
     }
     centroids.toSeq
   }

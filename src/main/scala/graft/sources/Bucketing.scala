@@ -35,7 +35,9 @@ object Bucketing {
     * this makes the write idempotent across sessions. When `sourceToken`
     * is non-empty and this session already wrote `table` from the same
     * token, the write is skipped — bucketing pays its shuffle ONCE, which
-    * is the whole point of the layout. */
+    * is the whole point of the layout. (The skip keys on the token, not
+    * file contents: if the files under the same source dir are replaced
+    * mid-session, pass a new token to force a rewrite.) */
   def rewriteBucketed(spark: SparkSession, df: DataFrame, table: String,
                       numBuckets: Int, keys: Seq[String],
                       sourceToken: String = ""): Unit = {
@@ -44,12 +46,13 @@ object Bucketing {
         spark.conf.getOption(confKey).contains(sourceToken) &&
         spark.catalog.tableExists(table)) return
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(warehouse, table.toLowerCase))
+    // Hadoop FS API so the stale-location cleanup also works when the
+    // warehouse is remote (HDFS/S3) — java.io.File would silently no-op
+    // there and the saveAsTable below could trip over the old files.
+    val stale = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    stale.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(stale, true)
     writeBucketed(df, table, numBuckets, keys)
     if (sourceToken.nonEmpty) spark.conf.set(confKey, sourceToken)
   }

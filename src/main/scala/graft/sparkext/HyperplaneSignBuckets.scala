@@ -58,7 +58,13 @@ object HyperplaneSignBuckets {
   def compute(vec: ArrayData, planes: Array[Double],
               numPlanes: Int, tables: Int): ArrayData = {
     val dim = planes.length / (numPlanes * tables)
-    val n = math.min(vec.numElements(), dim)
+    // a dim mismatch must fail LOUDLY: silently truncating the dot would
+    // put the row in a quietly wrong bucket and the recall loss would be
+    // undetectable downstream
+    if (vec.numElements() != dim) throw new IllegalArgumentException(
+      s"hyperplane_sign_buckets: vector has ${vec.numElements()} elements " +
+        s"but the planes were built for dim=$dim")
+    val n = dim
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
