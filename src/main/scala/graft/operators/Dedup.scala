@@ -223,6 +223,12 @@ object Dedup {
     // cluster of diameter exactly maxIters stabilizes on the last
     // propagation round and must not be reported as non-converged
     while (!converged && i < maxIters + 1) {
+      // the convergence flag is computed INSIDE the propagation round
+      // (the old-vs-new comparison is free — the round already joins
+      // against the previous labels), so the max(changed) probe below is
+      // the round's ONE action: it materializes the lazy checkpoint and
+      // reduces the flag in the same job. A separate isEmpty probe would
+      // double each round's latency at deep-cluster scale.
       val next = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("cluster_id", "dst_label"), "dst")
@@ -230,11 +236,12 @@ object Dedup {
         .agg(min(col("dst_label")).as("neighbor_min"))
         .join(labels, "id")
         .select(col("id"),
-          least(col("cluster_id"), col("neighbor_min")).as("cluster_id"))
+          least(col("cluster_id"), col("neighbor_min")).as("cluster_id"),
+          (col("neighbor_min") < col("cluster_id")).as("changed"))
         .localCheckpoint(false)
-      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = next
+      converged = !next.agg(coalesce(max(col("changed")), lit(false)))
+        .head.getBoolean(0)
+      labels = next.drop("changed")
       i += 1
     }
     if (!converged) throw new IllegalStateException(

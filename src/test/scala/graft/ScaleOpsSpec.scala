@@ -79,6 +79,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(bucketed == plain)
   }
 
+  test("nearDupClusters runs exactly one Spark action per propagation round") {
+    // 1-2-3-8 is a diameter-3 chain: min-label needs 3 propagation rounds
+    // + 1 confirming round = 4 actions, + the final collect() = 5. A
+    // separate isEmpty convergence probe per round (the r2 shape) would
+    // show up as 9. Counting QueryExecutions, not Spark jobs — checkpoint
+    // materialization and executeTake split one action into several jobs.
+    val pairs = spark.sql(
+      """select * from values (1L, 2L), (2L, 3L), (7L, 9L), (4L, 5L), (3L, 8L)
+        | as t(id_a, id_b)""".stripMargin)
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      // lazy localCheckpoint registers a QueryExecution too but runs no
+      // job — exclude it so the count is job-running actions only
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName != "localCheckpoint") { actions.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val labels = graft.operators.Dedup.nearDupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L,
+        4L -> 4L, 5L -> 4L, 7L -> 7L, 9L -> 7L))
+      // the listener bus is async: wait for the expected count, then a
+      // grace beat so any EXTRA action would still land and fail the ==
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (actions.size < 5 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(300)
+      assert(actions.size == 5,
+        s"expected 5 actions (4 rounds + collect), got $actions")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     // skew: 90% of rows carry one hot key
     val big = spark.range(0, 5000).select(
