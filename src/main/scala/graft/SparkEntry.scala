@@ -95,6 +95,54 @@ object SparkEntry {
         .select(col("doc_id"), explode(col("m")).as(Seq("k", "v")))
     }),
 
+    // whole-struct + array-of-struct functions via PREFIX paths (SURVEY
+    // §2.2-6): "info" resolves by prefix against the flattened leaves and
+    // the function receives the struct Column; "tags" names an
+    // array-of-structs and the function receives each ELEMENT. Flattened
+    // back to scalars for the DuckDB hash-compare.
+    "q_fn_struct" -> ((s, dir) => {
+      val df = t(s, dir, "customer").select(
+        col("c_custkey"),
+        struct(col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+          .as("info"),
+        array(struct(col("c_name").as("n")),
+          struct(col("c_mktsegment").as("n"))).as("tags"))
+      new Functioniser()
+        .add("info", (c: Column) => struct(
+          upper(c.getField("seg")).as("seg"),
+          (c.getField("bal") * 2).as("bal")))
+        .add("tags", (c: Column) =>
+          struct(concat(c.getField("n"), lit("!")).as("n")))
+        .apply(df)
+        .select(col("c_custkey"),
+          col("info.seg").as("seg"), col("info.bal").as("bal"),
+          col("tags")(0)("n").as("tag0"), col("tags")(1)("n").as("tag1"))
+    }),
+
+    // the reference's hardest fixture shape (test_functioniser.py:171-184
+    // "very nested array"): struct → array-of-struct → array-of-struct →
+    // struct → array-of-struct → leaf, 6 path segments with add-order
+    // composition (lower then trim) on the deep leaf
+    "q_fn_deep" -> ((s, dir) => {
+      val nested = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        struct(
+          col("o_orderstatus").as("has_pets"),
+          array(struct(array(struct(struct(array(struct(
+            concat(lit("   "), col("o_orderpriority"), lit("  "))
+              .as("setup"))).as("array")).as("contrived"))).as("some")))
+            .as("pet_details")).as("pets"))
+      new Functioniser()
+        .add("pets.pet_details.some.contrived.array.setup", "lower")
+        .add("pets.pet_details.some.contrived.array.setup",
+          (c: Column) => trim(c))
+        .apply(nested)
+        .select(col("o_orderkey"),
+          col("pets.has_pets").as("has_pets"),
+          col("pets.pet_details")(0)("some")(0)("contrived")("array")(0)
+            ("setup").as("deep_value"))
+    }),
+
     // ---- text analysis ----
 
     "q_text_stats" -> ((s, dir) =>
@@ -592,6 +640,21 @@ object SparkEntry {
         """SELECT doc_id, 'chars' AS k, n_chars * 2 AS v FROM documents
           |UNION ALL
           |SELECT doc_id, 'double_id' AS k, doc_id * 2 AS v FROM documents""".stripMargin,
+
+      // the struct function doubles bal and uppercases seg; the
+      // array-of-struct function appends '!' to each element's n
+      "q_fn_struct" ->
+        """SELECT c_custkey, upper(c_mktsegment) AS seg,
+          |       c_acctbal * 2 AS bal,
+          |       c_name || '!' AS tag0, c_mktsegment || '!' AS tag1
+          |FROM customer""".stripMargin,
+
+      // the planted deep leaf is '   ' || o_orderpriority || '  ';
+      // composition applies lower then trim in add-order
+      "q_fn_deep" ->
+        """SELECT o_orderkey, o_orderstatus AS has_pets,
+          |       trim(lower('   ' || o_orderpriority || '  ')) AS deep_value
+          |FROM orders""".stripMargin,
 
       "q_text_stats" ->
         """WITH toks AS (
