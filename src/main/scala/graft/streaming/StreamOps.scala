@@ -257,6 +257,119 @@ object StreamOps {
       }
   }
 
+  /** Input/output/state rows for the streaming funnel. */
+  case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
+  case class FunnelOut(user_id: Long, n_steps: Int, completed: Boolean)
+  case class FunnelEntry(tsMicros: Long, eventType: String)
+  case class FunnelState(emitted: Boolean, buf: Seq[FunnelEntry])
+
+  /** Streaming anchored funnel — the `flatMapGroupsWithState` form of
+    * `Events.funnel`, same semantics: the anchor is the user's EARLIEST
+    * `steps.head` event, each later step takes the earliest event of its
+    * type strictly after the previous step and within `anchor +
+    * windowSeconds`, and a missed step kills the chain.
+    *
+    * A user's row is emitted exactly once, when the watermark passes
+    * `anchor + window`: past that point no event that could enter the
+    * chain (ts ≤ anchor + window) or lower the anchor (ts < anchor) can
+    * still arrive — it would be late and dropped — so the emitted row
+    * equals `Events.funnel` on a batch replay of the same in-horizon
+    * input (spec-pinned, stragglers included).
+    *
+    * State: the in-horizon step-type events, PRUNED to the anchor plus
+    * the events inside its window (with no anchor yet, to events the
+    * watermark hasn't invalidated — a future anchor is ≥ the watermark,
+    * so older events can never chain). After emission a tombstone
+    * remembers the row went out (an O(1)-per-user floor, exactly like
+    * sessionization's counter — batch emits one row per user ever);
+    * `emittedRetentionSeconds` TTLs it, after which a returning user
+    * would start a NEW funnel — the standard TTL tradeoff. Non-step
+    * event types are filtered out before the shuffle. */
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
+                   windowSeconds: Long,
+                   emittedRetentionSeconds: Option[Long] = None): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val windowMicros = windowSeconds * 1000000L
+    val stepSet = steps.toSet
+
+    events.filter(e => stepSet.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmMicros = wmMs * 1000L
+          val prior = state.getOption.getOrElse(FunnelState(false, Vector.empty))
+          if (prior.emitted) {
+            // tombstone: the row is out; swallow stragglers. With a TTL the
+            // eviction clock restarts only when the timer actually fired.
+            if (state.hasTimedOut) state.remove()
+            else emittedRetentionSeconds.foreach(r =>
+              state.setTimeoutTimestamp(wmMs + r * 1000 + 1))
+            Iterator.empty
+          } else {
+            val merged = prior.buf ++ rows
+              .map(e => FunnelEntry(micros(e.ts), e.event_type))
+              .filter(_.tsMicros >= wmMicros) // standard late-data drop
+            val headTs = merged.collect {
+              case e if e.eventType == steps.head => e.tsMicros
+            }
+            if (headTs.isEmpty) {
+              // no anchor yet: a future anchor is ≥ wm, so only events the
+              // watermark hasn't passed can ever chain after it
+              val kept = merged.filter(_.tsMicros >= wmMicros)
+              if (kept.nonEmpty) {
+                state.update(FunnelState(false, kept))
+                // when the watermark passes the newest buffered event the
+                // whole buffer is unchainable — wake to self-clean
+                state.setTimeoutTimestamp(math.max(
+                  kept.map(_.tsMicros).max / 1000 + 1, wmMs + 1))
+              } else if (state.exists) state.remove()
+              Iterator.empty
+            } else {
+              val anchor = headTs.min
+              if (wmMicros > anchor + windowMicros) {
+                // final: no arrival can lower the anchor or enter the window
+                var tPrev = anchor
+                var n = 1
+                var dead = false
+                steps.drop(1).foreach { st =>
+                  if (!dead) {
+                    val cand = merged.collect {
+                      case e if e.eventType == st && e.tsMicros > tPrev &&
+                        e.tsMicros <= anchor + windowMicros => e.tsMicros
+                    }
+                    if (cand.isEmpty) dead = true
+                    else { tPrev = cand.min; n += 1 }
+                  }
+                }
+                state.update(FunnelState(true, Vector.empty))
+                emittedRetentionSeconds.foreach(r =>
+                  state.setTimeoutTimestamp(wmMs + r * 1000 + 1))
+                Iterator.single(FunnelOut(userId, n, n == steps.length))
+              } else {
+                // provisional: keep the anchor + its window, PLUS anything
+                // the watermark hasn't passed — a head straggler with
+                // ts ∈ [wm, anchor) can still LOWER the anchor, and its
+                // chain needs events below the current one. Events below
+                // both the watermark and the anchor can never chain again.
+                val kept = merged.filter(e =>
+                  (e.eventType == steps.head && e.tsMicros == anchor) ||
+                    (e.tsMicros > anchor &&
+                      e.tsMicros <= anchor + windowMicros) ||
+                    e.tsMicros >= wmMicros)
+                state.update(FunnelState(false, kept))
+                state.setTimeoutTimestamp(math.max(
+                  (anchor + windowMicros) / 1000 + 1, wmMs + 1))
+                Iterator.empty
+              }
+            }
+          }
+      }
+  }
+
   /** Input/output/state rows for streaming sessionization. */
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionOut(user_id: Long, session_index: Long, n_events: Long,

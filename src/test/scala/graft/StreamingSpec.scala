@@ -405,4 +405,101 @@ class StreamingSpec extends AnyFunSuite {
     // session window itself must not have moved backwards
     assert(sess7 == Seq(SessionOut(7, 1, 2, 5, 6)))
   }
+
+  test("funnelStream equals batch funnel on out-of-order input with stragglers") {
+    import graft.streaming.StreamOps.{FunnelEvent, FunnelOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(u: Long, tpe: String, ts: String) =
+      FunnelEvent(u, tpe, Timestamp.valueOf(ts))
+    // u1 completes out of order; u2 misses the middle step; u3's FIRST
+    // view arrives last (the anchor must move DOWN and re-admit the
+    // earlier cart); u4's cart lands outside the 1h window; u5 has a
+    // non-step event type (must be ignored, not buffered)
+    val batches = Seq(
+      Seq(ev(1, "view", "2024-01-01 00:00:00"),
+        ev(1, "buy", "2024-01-01 00:30:00"),
+        ev(3, "cart", "2024-01-01 02:05:00"),
+        ev(5, "view", "2024-01-01 03:00:00")),
+      Seq(ev(1, "cart", "2024-01-01 00:10:00"), // straggler completes u1
+        ev(2, "view", "2024-01-01 01:00:00"),
+        ev(2, "buy", "2024-01-01 01:20:00"),
+        ev(3, "view", "2024-01-01 02:30:00"),
+        ev(5, "scroll", "2024-01-01 03:10:00")),
+      Seq(ev(3, "view", "2024-01-01 02:00:00"), // lowers u3's anchor
+        ev(3, "buy", "2024-01-01 02:50:00"),
+        ev(4, "view", "2024-01-01 04:00:00"),
+        ev(4, "cart", "2024-01-01 05:30:00")))
+    val input = MemoryStream[FunnelEvent]
+    val events = input.toDF()
+      .withWatermark("ts", "24 hours").as[FunnelEvent]
+    val out = StreamOps.funnelStream(events,
+      steps = Seq("view", "cart", "buy"), windowSeconds = 3600)
+    val q = out.writeStream.format("memory").queryName("funnel_parity")
+      .outputMode("append").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    // sentinel pushes the watermark past every user's anchor + window
+    input.addData(ev(99, "view", "2024-01-03 12:00:00"))
+    q.processAllAvailable()
+    // a straggler AFTER u1's row went out: the tombstone must swallow it
+    input.addData(ev(1, "cart", "2024-01-03 11:00:00"))
+    q.processAllAvailable()
+    input.addData(ev(99, "view", "2024-01-05 12:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from funnel_parity where user_id < 99")
+      .as[FunnelOut].collect().toSeq
+    assert(streamed.size == streamed.map(_.user_id).distinct.size,
+      "one row per user, even with post-emission stragglers")
+    // batch replay of the SAME in-horizon input (the post-emission
+    // straggler is outside u1's window, so it changes nothing there)
+    val all = (batches.flatten :+ ev(1, "cart", "2024-01-03 11:00:00")).toDS()
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val batch = graft.operators.Events.funnel(all,
+        Seq("view", "cart", "buy"), windowSeconds = 3600)
+      .select(col("user_id"), col("n_steps").cast("int").as("n_steps"),
+        col("completed"))
+      .as[FunnelOut].collect().toSeq
+    assert(streamed.toSet == batch.toSet)
+    assert(streamed.toSet == Set(
+      FunnelOut(1, 3, true),  // straggler cart completed the chain
+      FunnelOut(2, 1, false), // no cart: chain dead at step 2
+      FunnelOut(3, 3, true),  // late-arriving earlier view re-anchored
+      FunnelOut(4, 1, false), // cart outside the window
+      FunnelOut(5, 1, false))) // non-step event ignored
+  }
+
+  test("funnelStream tombstone TTL: a returning user starts a fresh funnel") {
+    import graft.streaming.StreamOps.{FunnelEvent, FunnelOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(u: Long, tpe: String, ts: String) =
+      FunnelEvent(u, tpe, Timestamp.valueOf(ts))
+    val input = MemoryStream[FunnelEvent]
+    val events = input.toDF()
+      .withWatermark("ts", "0 seconds").as[FunnelEvent]
+    val out = StreamOps.funnelStream(events, Seq("view", "buy"),
+      windowSeconds = 3600, emittedRetentionSeconds = Some(3600))
+    val q = out.writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode("append").start()
+    input.addData(ev(7, "view", "2024-01-01 00:00:00"))
+    q.processAllAvailable()
+    // close the window, then age past the retention horizon
+    input.addData(ev(8, "view", "2024-01-01 02:00:00"))
+    q.processAllAvailable()
+    input.addData(ev(8, "view", "2024-01-02 00:00:00"))
+    q.processAllAvailable()
+    // user 7 returns after the TTL: new funnel, completed this time
+    input.addData(ev(7, "view", "2024-01-02 06:00:00"),
+      ev(7, "buy", "2024-01-02 06:10:00"))
+    q.processAllAvailable()
+    input.addData(ev(8, "view", "2024-01-04 00:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val u7 = s.sql("select * from funnel_ttl where user_id = 7 order by n_steps")
+      .as[FunnelOut].collect().toSeq
+    assert(u7 == Seq(FunnelOut(7, 1, false), FunnelOut(7, 2, true)))
+  }
 }
