@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Dev utility: measured scaling of the similarity operators (the source
+  * of BASELINE.md's "Similarity scale behavior" table).
+  *
+  * Corpus construction mirrors the dedup scale probe: the sf0.1
+  * embeddings table (2,000 × dim-64) is replicated R times, replica r
+  * circularly shifted by r positions — shifts preserve norms and
+  * intra-replica dot products exactly, while cross-replica cosines stay
+  * at background level, so the planted near-dup structure scales
+  * linearly and replicas never pair with each other. Every 20th vector
+  * gets a planted companion (`e + 0.2·reverse(e)`, cosine ≈ 0.98 — the
+  * q_dedup_embedding_t08 construction), i.e. 100 true pairs per replica.
+  *
+  * For each scale it reports, at threshold 0.8:
+  *   - lshNearDupPairs wall time, DISTINCT candidate-pair count, found
+  *     pairs, and recall vs the planted count. `numPlanes` grows with
+  *     log₂(n) so expected bucket occupancy stays O(1) — the knob that
+  *     keeps candidates ∝ true pairs instead of ∝ n²/2^planes.
+  *   - buildIvfIndex + ivfTopKIndexed wall times (nlist ~ √n, nprobe=4)
+  *     vs bruteForceTopK as the linear-scan contrast, 10 queries each.
+  *
+  * Usage: runMain graft.ScaleProbe [replicas...]   (default 1 5 20 50)
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(1, 5, 20, 50)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val dim = 64
+
+    def corpusOf(r: Int): DataFrame = {
+      val shift = r % dim
+      val shifted = base.select(
+        (col("vec_id") + r * 1000000L).as("vec_id"),
+        (if (shift == 0) col("e")
+         else concat(slice(col("e"), shift + 1, dim - shift),
+           slice(col("e"), 1, shift))).as("e"))
+      val companions = shifted.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          zip_with(col("e"), reverse(col("e")),
+            (x, y) => x + lit(0.2) * y).as("e"))
+      shifted.union(companions)
+    }
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    replicas.foreach { rep =>
+      val corpus = (0 until rep).map(corpusOf).reduce(_ union _)
+        .localCheckpoint(true)
+      val n = corpus.count()
+      val planted = rep * 100L
+      // occupancy-preserving banding: 2^planes buckets ∝ n
+      val planes = math.max(8, (math.log(n.toDouble / 8) / math.log(2)).ceil.toInt)
+      val tables = 16
+      // warm once (plane broadcast, codegen), then measure
+      val (pairs, tLsh) = timed {
+        Similarity.lshNearDupPairs(corpus, "vec_id", "e", threshold = 0.8,
+          numPlanes = planes, tables = tables).count()
+      }
+      // distinct colliding pairs — the verify-stage volume (same seed)
+      val planesSeq = Similarity.hyperplanes(tables * planes, dim, 42L)
+      val keys = corpus.select(col("vec_id").as("id"),
+        posexplode(org.apache.spark.sql.graftext.HyperplaneSignBuckets(
+          col("e"), planesSeq, planes, tables)).as(Seq("t", "bucket")))
+      val cands = keys.as("a").join(keys.as("b"),
+          col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+        .select("a.id", "b.id").distinct().count()
+
+      val queries = corpus.filter(col("vec_id") < 10)
+      val nlist = math.max(16,
+        math.pow(2, (math.log(math.sqrt(n.toDouble)) / math.log(2)).round.toInt).toInt)
+      val idxPath = s"/tmp/graft_scaleprobe_ivf_$rep"
+      val (centroids, tBuild) = timed {
+        Similarity.buildIvfIndex(corpus, "vec_id", "e", idxPath,
+          nlist = nlist, lloydIters = 1)
+      }
+      val (_, tIvf) = timed {
+        Similarity.ivfTopKIndexed(idxPath, centroids, queries, "vec_id", "e",
+          k = 5, nprobe = 4).count()
+      }
+      // rows the pruned scan actually reads: the query batch's probed
+      // cells, counted off the persisted index
+      val probedCells = Similarity.probeCells(queries, "vec_id", "e",
+          centroids, 4).select("cell").distinct().collect().map(_.getInt(0))
+      val scanned = spark.read.parquet(idxPath)
+        .filter(col("cell").isin(probedCells.toIndexedSeq: _*)).count()
+      val (_, tBrute) = timed {
+        Similarity.bruteForceTopK(corpus, queries, "vec_id", "e", 5).count()
+      }
+      println(f"SCALE n=$n%7d planes=$planes%2d tables=$tables " +
+        f"lsh=$tLsh%6.1fs cands=$cands%9d pairs=$pairs%6d " +
+        f"recall=${pairs.toDouble / planted}%.4f | " +
+        f"nlist=$nlist%4d build=$tBuild%6.1fs ivf(nprobe=4)=$tIvf%5.2fs " +
+        f"scanned=$scanned%7d (${100.0 * scanned / n}%.1f%%) " +
+        f"brute=$tBrute%5.2fs")
+    }
+    spark.stop()
+  }
+}

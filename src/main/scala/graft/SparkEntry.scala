@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Curation, Dedup, Events, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Events, Multimodal, RangeJoin, Similarity, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -388,6 +388,17 @@ object SparkEntry {
           lit(" contact: user"), col("doc_id").cast("string"),
           lit("@example.com or 555-123-4567"))).as("scrubbed"))),
 
+    // exact BM25 top-10 for five fixed queries over the corpus — the
+    // retrieval operator; per-term scores decimal-summed so document
+    // scores are summation-order-independent (hash-comparable)
+    "q_text_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq((0L, "spark join fast"), (1L, "vector scan slow"),
+        (2L, "customer order line"), (3L, "window agg group"),
+        (4L, "hash merge sort batch")).toDF("query_id", "qtext")
+      TextSearch.bm25TopK(t(s, dir, "documents"), queries, k = 10)
+    }),
+
     // ---- multimodal plumbing (payload + metadata; stub features are
     //      covered by OperatorsSpec, not SQL-expressible) ----
 
@@ -635,6 +646,52 @@ object SparkEntry {
           |    '[EMAIL]', 'g'),
           |  '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS scrubbed
           |FROM documents""".stripMargin,
+
+      // mirrors TextSearch.bm25TopK exactly: same smoothed idf, same
+      // arithmetic shape (so IEEE ops match), per-term round(9) then
+      // DECIMAL sum for order independence, same (score, doc_id) ranking
+      "q_text_bm25" ->
+        """WITH q(query_id, qtext) AS (
+          |  VALUES (0, 'spark join fast'), (1, 'vector scan slow'),
+          |         (2, 'customer order line'), (3, 'window agg group'),
+          |         (4, 'hash merge sort batch')
+          |), toks AS (
+          |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+          |         unnest(string_split(text, ' ')) AS term
+          |  FROM documents
+          |), stats AS (
+          |  SELECT count(*)::DOUBLE AS n,
+          |         avg(len(string_split(text, ' ')))::DOUBLE AS avgdl
+          |  FROM documents
+          |), qterms AS (
+          |  SELECT DISTINCT query_id,
+          |         unnest(string_split(qtext, ' ')) AS term
+          |  FROM q
+          |), tf AS (
+          |  SELECT term, doc_id, dl, count(*)::DOUBLE AS tf
+          |  FROM toks WHERE term IN (SELECT term FROM qterms)
+          |  GROUP BY 1, 2, 3
+          |), posting AS (
+          |  SELECT tf.*, count(*) OVER (PARTITION BY term)::DOUBLE AS df
+          |  FROM tf
+          |), scored AS (
+          |  SELECT qt.query_id, p.doc_id,
+          |    sum(CAST(round(
+          |      ln(1 + (s.n - p.df + 0.5) / (p.df + 0.5))
+          |        * p.tf * (1.2 + 1)
+          |        / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)),
+          |      9) AS DECIMAL(28,9))) AS score_dec
+          |  FROM posting p JOIN qterms qt USING (term), stats s
+          |  GROUP BY 1, 2
+          |), ranked AS (
+          |  SELECT query_id, doc_id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score_dec DESC, doc_id) AS rank,
+          |    round(CAST(score_dec AS DOUBLE), 6) AS score
+          |  FROM scored
+          |)
+          |SELECT query_id, doc_id, rank, score FROM ranked
+          |WHERE rank <= 10""".stripMargin,
 
       "q_fn_map" ->
         """SELECT doc_id, 'chars' AS k, n_chars * 2 AS v FROM documents

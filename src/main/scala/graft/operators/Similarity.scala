@@ -54,7 +54,7 @@ object Similarity {
 
   /** Deterministic random hyperplanes (fixed seed) as a literal column of
     * `numPlanes` × `dim` doubles — broadcast for free as part of the plan. */
-  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long) = {
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long) = {
     val rnd = new Random(seed)
     Seq.tabulate(numPlanes)(_ => Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -205,7 +205,7 @@ object Similarity {
     * Tie-break toward the larger cell to MATCH the assignment's
     * greatest()-struct tie behavior: duplicate centroids then probe the
     * cell the corpus actually landed in, deterministically. */
-  private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+  private[graft] def probeCells(queries: DataFrame, idCol: String, vecCol: String,
                          centroids: Seq[Seq[Double]],
                          nprobe: Int): DataFrame =
     queries.select(col(idCol).as("query_id"),

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over a document corpus: exact BM25 top-k.
+  *
+  * Scale design (the 100 TB posture): the query set is small and the
+  * corpus is the big side, so the corpus is only ever SCANNED — tokens
+  * are exploded map-side and immediately semi-joined against the
+  * broadcast query vocabulary, so the one shuffle (the tf groupBy)
+  * carries only postings of query terms, ∝ matches rather than corpus
+  * size. Document frequencies come from those same postings (the filter
+  * keeps every document containing a query term, so per-term counts are
+  * corpus-exact). Corpus cardinality and average document length are the
+  * only driver-side values — two bounded scalars. The final top-k rides
+  * the rank-filter rewrite (`WindowGroupLimit`): partition-local top-k
+  * before the shuffle, ≤ k × partitions rows moved per query.
+  *
+  * Scoring is the standard Okapi BM25 with the +1 idf smoothing (always
+  * positive, Lucene-style): idf = ln(1 + (N − df + ½)/(df + ½)),
+  * tf-part = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)). Per-term scores
+  * are rounded to 9 decimals and summed as DECIMAL so the document score
+  * is independent of term summation order — reproducible across
+  * partitionings and engines (the DuckDB oracle sums the same way).
+  *
+  * Tokenization is whitespace splitting, shared with the rest of the
+  * text stack ([[TextAnalysis]]); plug a smarter tokenizer upstream if
+  * needed — scoring only sees (term, doc) postings. */
+object TextSearch {
+
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id",
+               queryTextCol: String = "qtext",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).as("dl"),
+      explode(split(col(textCol), " ")).as("term"))
+    // two bounded driver scalars; everything else stays distributed
+    val (nDocs, avgdl) = {
+      val r = docs.agg(count(lit(1)),
+        avg(size(split(col(textCol), " ")))).head
+      (r.getLong(0).toDouble, r.getDouble(1))
+    }
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(split(col(queryTextCol), " ")).as("term"))
+      .distinct() // classic BM25: sum over DISTINCT query terms
+    val vocab = qterms.select("term").distinct()
+    // ONE exchange, keyed by term alone: hash(term) colocates every
+    // (term, doc) group AND the per-term df window, so the tf groupBy
+    // (map-side partial first) and df count reuse the same partitioning
+    val postings = toks
+      .join(broadcast(vocab), Seq("term"), "left_semi")
+      .repartition(col("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = postings.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val perTerm = withDf
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("term_score",
+        round(col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)),
+          9).cast("decimal(28,9)"))
+    val scored = perTerm.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score_dec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("score_dec").cast("double"), 6).as("score"))
+  }
+}

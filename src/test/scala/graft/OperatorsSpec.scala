@@ -50,6 +50,46 @@ class OperatorsSpec extends AnyFunSuite {
         .map("%02x".format(_)).mkString)
   }
 
+  test("bm25TopK matches a naive driver-side BM25") {
+    val s = spark
+    import s.implicits._
+    val queries = Seq((0L, "spark join fast"), (1L, "the data table"))
+      .toDF("query_id", "qtext")
+    val got = TextSearch.bm25TopK(docs, queries, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("score"))).toMap
+    // naive oracle on the driver: same formula, same rounding discipline
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = corpus.length.toDouble
+    val avgdl = corpus.map(_._2.length).sum.toDouble / n
+    val dfOf = corpus.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toDouble }
+    def score(terms: Seq[String], docToks: Seq[String]): BigDecimal =
+      terms.distinct.flatMap { t =>
+        val tf = docToks.count(_ == t).toDouble
+        if (tf == 0) None else {
+          val df = dfOf(t)
+          val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+          val x = idf * tf * (1.2 + 1) /
+            (tf + 1.2 * (1 - 0.75 + 0.75 * docToks.length / avgdl))
+          Some(BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        }
+      }.sum
+    for ((qid, qtext) <- Seq((0L, "spark join fast"), (1L, "the data table"))) {
+      val expect = corpus
+        .map { case (id, ts) => (id, score(qtext.split(" ").toSeq, ts)) }
+        .filter(_._2 > 0)
+        .sortBy { case (id, sc) => (-sc, id) }.take(5).zipWithIndex
+      expect.foreach { case ((id, sc), i) =>
+        val (rank, scr) = got((qid, id))
+        assert(rank == i + 1, s"query $qid doc $id rank")
+        assert(math.abs(scr - sc.toDouble) < 1e-6, s"query $qid doc $id score")
+      }
+    }
+  }
+
   // ---- dedup ----
 
   test("exactGroups groups identical texts and keeps min id") {
