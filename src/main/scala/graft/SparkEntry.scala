@@ -362,6 +362,15 @@ object SparkEntry {
           fraction = 0.3, keyCols = Seq("doc_id"))
         .select("doc_id", "lang")),
 
+    // weighted deterministic sample: acceptance probability = per-row
+    // quality proxy (n_chars/400, capped at 1) — longer docs always
+    // survive, shorter ones at a downweighted rate, reproducibly
+    "q_sample_weighted" -> ((s, dir) =>
+      Curation.sampleByWeightedHash(t(s, dir, "documents"),
+          least(col("n_chars").cast("double") / 400.0, lit(1.0)),
+          keyCols = Seq("doc_id"))
+        .select("doc_id", "n_chars")),
+
     // token-budget sequence packing: concat-then-chunk assignment per
     // language shard, one row per pack
     "q_text_pack" -> ((s, dir) =>
@@ -904,6 +913,13 @@ object SparkEntry {
         s"""SELECT doc_id, lang FROM documents
            |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) <
            |  '${Curation.thresholdHex(0.3).get}'""".stripMargin,
+
+      // same 48-bit hash fraction, same double arithmetic shape
+      "q_sample_weighted" ->
+        """SELECT doc_id, n_chars FROM documents
+          |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+          |        ::BIGINT::DOUBLE / 281474976710656.0::DOUBLE
+          |  < least(n_chars::DOUBLE / 400.0::DOUBLE, 1.0::DOUBLE)""".stripMargin,
 
       "q_text_pack" ->
         """WITH t AS (

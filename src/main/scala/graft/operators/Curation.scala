@@ -57,6 +57,23 @@ object Curation {
     }
   }
 
+  /** Weighted deterministic sample: each row is kept with probability
+    * equal to its own `weight` (clamped to [0, 1]) — the
+    * importance/quality weighting of a training mix, e.g. keep
+    * high-quality documents always and low-quality ones at a downweighted
+    * rate. Row-local like [[sampleByHashThreshold]] (a narrow filter at
+    * parquet-scan speed, retry-stable, no `rand()`): the content hash's
+    * first 48 bits give the row a uniform u ∈ [0, 1), kept iff
+    * u < weight. Monotone per row — raising a weight can only move the
+    * row INTO the sample, and weight ≥ 1 always keeps it — so
+    * re-weighted mixes nest the same way threshold samples do. */
+  def sampleByWeightedHash(df: DataFrame, weight: Column,
+                           keyCols: Seq[String]): DataFrame = {
+    val u = conv(substring(hashKey(keyCols), 1, 12), 16, 10)
+      .cast("double") / 281474976710656.0 // / 2^48
+    df.filter(u < least(greatest(weight, lit(0.0)), lit(1.0)))
+  }
+
   /** The 12-hex-digit threshold for `fraction`, or None when the whole
     * corpus qualifies. Public so external oracles (e.g. the harness
     * DuckDB SQL) can embed the byte-identical constant. */

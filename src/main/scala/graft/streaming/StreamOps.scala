@@ -257,6 +257,58 @@ object StreamOps {
       }
   }
 
+  /** Streaming range (interval) join — the Structured Streaming form of
+    * `RangeJoin.rangeJoin`: all (left, right) pairs with the same key and
+    * `rightTs ∈ [leftTs − lower, leftTs + upper]`.
+    *
+    * This one needs NO custom state machine: Spark's symmetric
+    * stream-stream hash join plans the equi-key with the range predicate
+    * as its state-eviction condition — with both sides watermarked, a
+    * buffered row is dropped exactly when the watermark proves no future
+    * partner can reach it. That is the whole batch operator's semantics,
+    * obtained by declaring the join and letting the engine own the state,
+    * so the batch-side bin fan-out trick isn't reproduced here (streaming
+    * state is already bounded by the time window, which is the problem
+    * the bins solve for a batch shuffle).
+    *
+    * Matches equal a batch `rangeJoin` replay on any input delivered
+    * within the watermark horizon (spec-pinned, out-of-order included);
+    * output columns are identical: (key, left ts, leftCols, rightCols).
+    * Inner-join semantics — unmatched rows drop out. */
+  def rangeJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                      tsCol: String, lowerSeconds: Long, upperSeconds: Long,
+                      leftCols: Seq[String], rightCols: Seq[String],
+                      watermark: String = "2 hours"): DataFrame = {
+    require(lowerSeconds >= 0 && upperSeconds >= 0,
+      "bounds must be non-negative")
+    require(lowerSeconds + upperSeconds > 0, "window span must be positive")
+    val reserved = Set(keyCol, tsCol, "__key", "__rkey", "__lts", "__rts")
+    val clash = (leftCols.toSet & rightCols.toSet) ++
+      ((leftCols.toSet ++ rightCols.toSet) & reserved)
+    require(clash.isEmpty,
+      s"left/right payload column names must be disjoint and distinct " +
+        s"from key/ts/internal names; clashing: ${clash.mkString(", ")} " +
+        "— rename upstream (e.g. withColumnRenamed)")
+    // rename FIRST, then watermark the renamed column — the event-time
+    // tag must sit on the column the join condition references
+    val l = left.select(
+        (Seq(col(keyCol).as("__key"), col(tsCol).as("__lts")) ++
+          leftCols.map(col)): _*)
+      .withWatermark("__lts", watermark)
+    val r = right.select(
+        (Seq(col(keyCol).as("__rkey"), col(tsCol).as("__rts")) ++
+          rightCols.map(col)): _*)
+      .withWatermark("__rts", watermark)
+    l.join(r, col("__key") === col("__rkey") &&
+        col("__rts") >= col("__lts") -
+          expr(s"INTERVAL $lowerSeconds SECONDS") &&
+        col("__rts") <= col("__lts") +
+          expr(s"INTERVAL $upperSeconds SECONDS"))
+      .select(
+        Seq(col("__key").as(keyCol), col("__lts").as(tsCol)) ++
+          leftCols.map(col) ++ rightCols.map(col): _*)
+  }
+
   /** Input/output/state rows for the streaming funnel. */
   case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
   case class FunnelOut(user_id: Long, n_steps: Int, completed: Boolean)

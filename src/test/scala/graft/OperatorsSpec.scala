@@ -405,6 +405,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(s5.size / n - 0.5) < 0.08)
   }
 
+  test("sampleByWeightedHash keeps weight>=1 rows, drops weight-0, nests monotonically") {
+    def ids(w: org.apache.spark.sql.Column) =
+      Curation.sampleByWeightedHash(docs, w, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val n = docs.count().toDouble
+    assert(ids(lit(1.0)).size == n.toLong, "weight 1 keeps everything")
+    assert(ids(lit(0.0)).isEmpty, "weight 0 keeps nothing")
+    assert(ids(lit(-3.0)).isEmpty && ids(lit(7.0)).size == n.toLong,
+      "weights clamp to [0, 1]")
+    val (w3, w6) = (ids(lit(0.3)), ids(lit(0.6)))
+    assert(w3.subsetOf(w6), "raising every weight only ADDS rows")
+    assert(math.abs(w3.size / n - 0.3) < 0.08)
+    assert(math.abs(w6.size / n - 0.6) < 0.08)
+    // constant weight f must agree exactly with the threshold sample at
+    // fraction f (same hash bits, same acceptance region)... up to the
+    // two forms' rounding: threshold uses a 48-bit-rounded constant,
+    // weighted compares the raw double — identical for f = k/2^48 grids
+    val t3 = Curation.sampleByHashThreshold(docs, 0.3, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((w3 -- t3).isEmpty && (t3 -- w3).size <= 1)
+  }
+
   test("packSequences assigns each doc to the pack of its starting offset") {
     val budget = 1000L
     val got = Curation.packSequences(docs, budget, Seq("lang"), "doc_id", "text")

@@ -406,6 +406,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(sess7 == Seq(SessionOut(7, 1, 2, 5, 6)))
   }
 
+  test("rangeJoinStream equals batch rangeJoin on out-of-order input") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def t(ts: String) = Timestamp.valueOf(ts)
+    // (user, id, ts) — lefts are purchases, rights are clicks; window is
+    // [lts − 1h, lts]: same shape as the batch harness entry
+    val lefts = Seq(
+      (7L, 100L, t("2024-01-01 10:00:00")),
+      (7L, 101L, t("2024-01-01 12:00:00")),
+      (8L, 102L, t("2024-01-01 10:30:00")))
+    val rights = Seq(
+      (7L, 200L, t("2024-01-01 09:30:00")), // in 100's window
+      (7L, 201L, t("2024-01-01 10:00:00")), // boundary: == lts, in
+      (7L, 202L, t("2024-01-01 11:30:00")), // in 101's window
+      (7L, 203L, t("2024-01-01 08:30:00")), // outside every window
+      (8L, 204L, t("2024-01-01 10:29:00")), // in 102's window
+      (9L, 205L, t("2024-01-01 10:00:00"))) // key with no lefts
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp)]
+    val out = StreamOps.rangeJoinStream(
+      lIn.toDF().toDF("user_id", "event_id", "ts"),
+      rIn.toDF().toDF("user_id", "click_id", "ts"),
+      keyCol = "user_id", tsCol = "ts",
+      lowerSeconds = 3600, upperSeconds = 0,
+      leftCols = Seq("event_id"), rightCols = Seq("click_id"),
+      watermark = "24 hours")
+    val q = out.writeStream.format("memory").queryName("range_parity")
+      .outputMode("append").start()
+    // out-of-order interleave: some rights before their lefts, some after
+    rIn.addData(rights(2), rights(3)); q.processAllAvailable()
+    lIn.addData(lefts(0), lefts(2)); q.processAllAvailable()
+    rIn.addData(rights(0), rights(4), rights(5)); q.processAllAvailable()
+    lIn.addData(lefts(1)); q.processAllAvailable()
+    rIn.addData(rights(1)); q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from range_parity")
+      .as[(Long, Timestamp, Long, Long)].collect().toSet
+    val batch = graft.operators.RangeJoin.rangeJoin(
+        lefts.toDF("user_id", "event_id", "ts"),
+        rights.toDF("user_id", "click_id", "ts"),
+        keyCol = "user_id", tsCol = "ts",
+        lowerSeconds = 3600, upperSeconds = 0,
+        leftCols = Seq("event_id"), rightCols = Seq("click_id"))
+      .as[(Long, Timestamp, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(r => (r._3, r._4)) ==
+      Set((100L, 200L), (100L, 201L), (101L, 202L), (102L, 204L)))
+  }
+
   test("funnelStream equals batch funnel on out-of-order input with stragglers") {
     import graft.streaming.StreamOps.{FunnelEvent, FunnelOut}
     val s = spark
