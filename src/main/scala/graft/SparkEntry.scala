@@ -371,6 +371,15 @@ object SparkEntry {
           keyCols = Seq("doc_id"))
         .select("doc_id", "n_chars")),
 
+    // corpus-relative quality gate: keep docs at/above the 0.6-quantile
+    // of a simple length-quality proxy (distinct-token count)
+    "q_curation_quantile" -> ((s, dir) =>
+      Curation.filterByQuantile(
+          t(s, dir, "documents").withColumn("n_types",
+            size(array_distinct(split(col("text"), " "))).cast("double")),
+          col("n_types"), q = 0.6)
+        .select(col("doc_id"), col("n_types"))),
+
     // token-budget sequence packing: concat-then-chunk assignment per
     // language shard, one row per pack
     "q_text_pack" -> ((s, dir) =>
@@ -920,6 +929,18 @@ object SparkEntry {
           |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
           |        ::BIGINT::DOUBLE / 281474976710656.0::DOUBLE
           |  < least(n_chars::DOUBLE / 400.0::DOUBLE, 1.0::DOUBLE)""".stripMargin,
+
+      // same distinct-token score; DuckDB's quantile_cont matches Spark's
+      // exact percentile after the shared round-6 discipline
+      "q_curation_quantile" ->
+        """WITH s AS (
+          |  SELECT doc_id,
+          |    len(list_distinct(string_split(text, ' ')))::DOUBLE AS n_types
+          |  FROM documents
+          |)
+          |SELECT doc_id, n_types FROM s
+          |WHERE n_types >= round(
+          |  (SELECT quantile_cont(n_types, 0.6) FROM s), 6)""".stripMargin,
 
       "q_text_pack" ->
         """WITH t AS (

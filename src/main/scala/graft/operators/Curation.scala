@@ -74,6 +74,32 @@ object Curation {
     df.filter(u < least(greatest(weight, lit(0.0)), lit(1.0)))
   }
 
+  /** Corpus-relative quality gate: keep rows whose `score` is at or
+    * above the corpus `q`-quantile — "drop the bottom 60% by quality"
+    * without knowing the score distribution up front.
+    *
+    * Two jobs by necessity (the threshold depends on the whole corpus):
+    * one aggregate producing a single driver-side scalar, then a narrow
+    * filter at scan speed. `exact = true` uses the exact interpolated
+    * percentile (sort-based — fine into the millions); at 100 TB flip to
+    * `exact = false` for `approx_percentile` (one pass, fixed memory,
+    * ±accuracy trade documented by Spark). The threshold is rounded to 6
+    * decimals so the kept set is reproducible across engines (same
+    * discipline as the corpus-rollup percentiles). */
+  def filterByQuantile(df: DataFrame, score: Column, q: Double,
+                       exact: Boolean = true): DataFrame = {
+    require(q >= 0 && q <= 1, "quantile must be in [0, 1]")
+    val agg = if (exact) percentile(score, lit(q))
+      else percentile_approx(score, lit(q), lit(10000))
+    val row = df.agg(agg.cast("double")).head
+    if (row.isNullAt(0)) return df // empty corpus: nothing to gate
+    // HALF_UP like round() in Spark SQL and DuckDB — rint's half-even
+    // would diverge from both on .5 boundaries
+    val thr = BigDecimal(row.getDouble(0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    df.filter(score >= thr)
+  }
+
   /** The 12-hex-digit threshold for `fraction`, or None when the whole
     * corpus qualifies. Public so external oracles (e.g. the harness
     * DuckDB SQL) can embed the byte-identical constant. */

@@ -427,6 +427,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert((w3 -- t3).isEmpty && (t3 -- w3).size <= 1)
   }
 
+  test("filterByQuantile keeps exactly the rows at/above the corpus quantile") {
+    val scored = docs.select(col("doc_id"),
+      col("n_chars").cast("double").as("sc"))
+    val kept = Curation.filterByQuantile(scored, col("sc"), 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // driver oracle: interpolated (type-7) quantile, then HALF_UP round 6
+    val xs = scored.select("sc").collect().map(_.getDouble(0)).sorted
+    val h = 0.7 * (xs.length - 1)
+    val lo = xs(h.toInt)
+    val q = lo + (h - h.toInt) * (xs(math.min(h.toInt + 1, xs.length - 1)) - lo)
+    val thr = BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = scored.collect()
+      .filter(_.getDouble(1) >= thr).map(_.getLong(0)).toSet
+    assert(kept == expect)
+    assert(kept.size < docs.count() && kept.nonEmpty)
+    // empty input passes through
+    assert(Curation.filterByQuantile(scored.limit(0), col("sc"), 0.5)
+      .count() == 0)
+  }
+
   test("packSequences assigns each doc to the pack of its starting offset") {
     val budget = 1000L
     val got = Curation.packSequences(docs, budget, Seq("lang"), "doc_id", "text")
