@@ -1,6 +1,5 @@
 package graft.operators
 
-import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -53,11 +52,13 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes (fixed seed) as a literal column of
-    * `numPlanes` × `dim` doubles — broadcast for free as part of the plan. */
-  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long) = {
-    val rnd = new Random(seed)
-    Seq.tabulate(numPlanes)(_ => Seq.fill(dim)(rnd.nextGaussian()))
-  }
+    * `numPlanes` × `dim` doubles — broadcast for free as part of the plan.
+    * Delegates to the graftext generator so the SQL surface
+    * (`hyperplane_sign_buckets(...)` via `GraftExtensions`) hashes into
+    * byte-identical buckets. */
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long) =
+    org.apache.spark.sql.graftext.HyperplaneSignBuckets
+      .gaussianPlanes(numPlanes, dim, seed)
 
   /** Sign-bucket id for a vector under `planes`: bit p = sign(v · h_p).
     * Zero planes = one shared bucket (the exact-search degenerate). */

@@ -65,6 +65,24 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "simhash_sketch expects (shingles)")
         SimHashSketch(children.head)
+      }),
+    ("hyperplane_sign_buckets",
+      new ExpressionInfo(classOf[HyperplaneSignBuckets].getName,
+        "hyperplane_sign_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "hyperplane_sign_buckets expects (vec, dim, numPlanes, tables, seed)")
+        val dim = intLiteral(children(1), "hyperplane_sign_buckets: dim")
+        val numPlanes =
+          intLiteral(children(2), "hyperplane_sign_buckets: numPlanes")
+        val tables = intLiteral(children(3), "hyperplane_sign_buckets: tables")
+        val seed =
+          intLiteral(children(4), "hyperplane_sign_buckets: seed").toLong
+        HyperplaneSignBuckets(children.head,
+          HyperplaneSignBuckets
+            .gaussianPlanes(tables * numPlanes, dim, seed)
+            .flatten.toIndexedSeq,
+          numPlanes, tables)
       }))
 
   private def intLiteral(e: Expression, what: String): Int = e match {

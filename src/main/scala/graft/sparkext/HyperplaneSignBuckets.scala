@@ -93,4 +93,14 @@ object HyperplaneSignBuckets {
     ExpressionUtils.column(HyperplaneSignBuckets(
       ExpressionUtils.expression(vec),
       planes.flatten.toIndexedSeq, numPlanes, tables))
+
+  /** Deterministic Gaussian plane matrix — the ONE source of truth shared
+    * by the Column-API callers (`Similarity`) and the SQL registration
+    * (`GraftExtensions`); a divergent copy would silently change every
+    * bucket. */
+  def gaussianPlanes(numPlanes: Int, dim: Int,
+                     seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.tabulate(numPlanes)(_ => Seq.fill(dim)(rnd.nextGaussian()))
+  }
 }

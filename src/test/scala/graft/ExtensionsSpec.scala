@@ -29,13 +29,27 @@ class ExtensionsSpec extends AnyFunSuite {
         |     = minhash_sketch(hashed_ngram_shingles('a b c d e', 3), 8)
         |""".stripMargin).first().getBoolean(0)
     assert(sig)
-    // hyperplane_sign_buckets is deliberately NOT SQL-registered (the
-    // plane matrix is a constructor arg, not SQL-passable) — analysis
-    // must reject it as an unknown routine
+    // hyperplane_sign_buckets: the SQL form takes (vec, dim, numPlanes,
+    // tables, seed) literals and generates the SAME deterministic plane
+    // matrix as the Column API — buckets must be byte-identical
+    import org.apache.spark.sql.functions.col
+    val fromSql = s.sql(
+      "select hyperplane_sign_buckets(array(0.5d, -1.5d, 2.0d), 3, 4, 2, 42)")
+      .first().getSeq[Long](0)
+    val planes = org.apache.spark.sql.graftext.HyperplaneSignBuckets
+      .gaussianPlanes(2 * 4, 3, 42L)
+    val fromApi = s.sql("select array(0.5d, -1.5d, 2.0d) as v")
+      .select(org.apache.spark.sql.graftext.HyperplaneSignBuckets(
+        col("v"), planes, 4, 2))
+      .first().getSeq[Long](0)
+    assert(fromSql == fromApi && fromSql.length == 2)
+    // a dim-mismatched vector still fails loudly through the SQL surface
     val e2 = intercept[Exception](
-      s.sql("select hyperplane_sign_buckets(array(1.0d, -1.0d))"))
-    assert(e2.getMessage.toLowerCase.contains("unresolved") ||
-      e2.getMessage.toLowerCase.contains("cannot resolve"))
+      s.sql("select hyperplane_sign_buckets(array(1.0d), 3, 4, 2, 42)")
+        .collect())
+    assert(e2.getMessage.contains("planes were built for dim") ||
+      (e2.getCause != null &&
+        e2.getCause.getMessage.contains("planes were built for dim")))
   }
 
   test("fromConfig builds a runner from (path, functionName) pairs") {
