@@ -31,15 +31,13 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val replicas = if (args.nonEmpty) args.map(_.toInt).toSeq
       else Seq(1, 5, 20, 50)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shift = r % dim would alias replica r with replica r-64: identical
+    // vectors under different ids would flood the pair counts and
+    // silently corrupt the recorded scaling table
+    require(replicas.forall(r => r >= 1 && r <= 64),
+      s"replicas must be in [1, 64] (dim-64 circular shifts are only " +
+        s"injective that far); got ${replicas.mkString(",")}")
+    val spark = LocalSession()
     val base = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.1", "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -78,15 +76,13 @@ object ScaleProbe {
         Similarity.lshNearDupPairs(corpus, "vec_id", "e", threshold = 0.8,
           numPlanes = planes, tables = tables).count()
       }
-      // distinct colliding pairs — the verify-stage volume (same seed)
-      val planesSeq = Similarity.hyperplanes(tables * planes, dim, 42L)
-      val keys = corpus.select(col("vec_id").as("id"),
-        posexplode(org.apache.spark.sql.graftext.HyperplaneSignBuckets(
-          col("e"), planesSeq, planes, tables)).as(Seq("t", "bucket")))
-      val cands = keys.as("a").join(keys.as("b"),
-          col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-        .select("a.id", "b.id").distinct().count()
+      // distinct colliding pairs — counted through the operator's OWN
+      // candidate pipeline (same planes, same seed), so the number can't
+      // drift from what lshNearDupPairs actually verifies
+      val cands = Similarity.lshCandidates(
+          corpus.select(col("vec_id").as("id"), col("e").as("vec")),
+          Similarity.hyperplanes(tables * planes, dim, 42L),
+          planes, tables).count()
 
       val queries = corpus.filter(col("vec_id") < 10)
       val nlist = math.max(16,

@@ -313,6 +313,26 @@ object Similarity {
     * `tables` small rows per vector, no vector payload; the bucket join
     * shuffles keys only, and vectors are joined back just for the
     * candidate verify (shuffle ∝ candidates, not corpus²). */
+  /** Distinct colliding (id_a < id_b) pairs of `v` (columns `id`, `vec`)
+    * under the banded sign-bucket layout — the verify-stage candidate
+    * volume. `private[graft]` so the scale probe measures the operator's
+    * OWN candidate pipeline rather than a re-implementation that could
+    * silently drift. Native one-pass bucketing: the equivalent Column
+    * tree (tables × numPlanes literal-array dots) overflows codegen and
+    * interprets. */
+  private[graft] def lshCandidates(v: DataFrame, planes: Seq[Seq[Double]],
+                                   numPlanes: Int, tables: Int): DataFrame = {
+    val keys = v.select(col("id"),
+      posexplode(org.apache.spark.sql.graftext.HyperplaneSignBuckets(
+        col("vec"), planes, numPlanes, tables)).as(Seq("t", "bucket")))
+    keys.as("a").join(keys.as("b"),
+        col("a.t") === col("b.t") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, numPlanes: Int = 5,
                       tables: Int = 64, seed: Long = 42L): DataFrame = {
@@ -322,18 +342,7 @@ object Similarity {
       .withColumn("norm", l2Norm(col("vec")))
       // both the keys frame and both verify branches read this
       .localCheckpoint(false)
-    // native one-pass bucketing: the equivalent Column tree (tables ×
-    // numPlanes literal-array dots) overflows codegen and interprets
-    val keys = v.select(col("id"),
-        posexplode(org.apache.spark.sql.graftext.HyperplaneSignBuckets(
-          col("vec"), planes, numPlanes, tables)).as(Seq("t", "bucket")))
-    val candidates = keys.as("a").join(keys.as("b"),
-        col("a.t") === col("b.t") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    candidates
+    lshCandidates(v, planes, numPlanes, tables)
       .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"),
         col("norm").as("norm_a")), "id_a")
       .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"),

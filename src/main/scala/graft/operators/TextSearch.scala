@@ -39,11 +39,17 @@ object TextSearch {
       size(split(col(textCol), " ")).as("dl"),
       explode(split(col(textCol), " ")).as("term"))
     // two bounded driver scalars; everything else stays distributed
-    val (nDocs, avgdl) = {
-      val r = docs.agg(count(lit(1)),
-        avg(size(split(col(textCol), " ")))).head
-      (r.getLong(0).toDouble, r.getDouble(1))
+    val statsRow = docs.agg(count(lit(1)),
+      avg(size(split(col(textCol), " ")))).head
+    if (statsRow.getLong(0) == 0L) {
+      // empty corpus: empty result with the right schema, no crash (the
+      // avg is null here and the idf/avgdl math would NPE) — same
+      // discipline as the ANN operators' empty-corpus path
+      return queries.limit(0).select(
+        col(queryIdCol).as("query_id"), col(queryIdCol).as("doc_id"),
+        lit(1).as("rank"), lit(0.0).as("score"))
     }
+    val (nDocs, avgdl) = (statsRow.getLong(0).toDouble, statsRow.getDouble(1))
     val qterms = queries.select(col(queryIdCol).as("query_id"),
         explode(split(col(queryTextCol), " ")).as("term"))
       .distinct() // classic BM25: sum over DISTINCT query terms

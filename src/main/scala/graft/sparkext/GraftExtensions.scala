@@ -78,6 +78,14 @@ object GraftExtensions {
         val tables = intLiteral(children(3), "hyperplane_sign_buckets: tables")
         val seed =
           intLiteral(children(4), "hyperplane_sign_buckets: seed").toLong
+        // validate HERE with named errors — malformed literals would
+        // otherwise surface per-row as a bare ArithmeticException from
+        // the plane-matrix arithmetic
+        require(dim >= 1, s"hyperplane_sign_buckets: dim must be >= 1, got $dim")
+        require(numPlanes >= 1 && numPlanes <= 63,
+          s"hyperplane_sign_buckets: numPlanes must be in [1, 63], got $numPlanes")
+        require(tables >= 1,
+          s"hyperplane_sign_buckets: tables must be >= 1, got $tables")
         HyperplaneSignBuckets(children.head,
           HyperplaneSignBuckets
             .gaussianPlanes(tables * numPlanes, dim, seed)

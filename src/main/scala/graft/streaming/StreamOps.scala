@@ -355,8 +355,13 @@ object StreamOps {
           val wmMicros = wmMs * 1000L
           val prior = state.getOption.getOrElse(FunnelState(false, Vector.empty))
           if (prior.emitted) {
-            // tombstone: the row is out; swallow stragglers. With a TTL the
-            // eviction clock restarts only when the timer actually fired.
+            // tombstone: the row is out; swallow stragglers. A firing
+            // timer here can only be the retention timer: Spark CLEARS a
+            // pending timeout on every function invocation (empirically
+            // pinned — a data visit that doesn't re-set the timer kills
+            // it), so the provisional window timer cannot leak past a
+            // data-path emission and evict the tombstone early. The
+            // one-row-per-user invariant is spec-pinned on that sequence.
             if (state.hasTimedOut) state.remove()
             else emittedRetentionSeconds.foreach(r =>
               state.setTimeoutTimestamp(wmMs + r * 1000 + 1))

@@ -50,6 +50,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("planes were built for dim") ||
       (e2.getCause != null &&
         e2.getCause.getMessage.contains("planes were built for dim")))
+    // malformed literals are rejected at analysis with a NAMED error,
+    // not per-row arithmetic exceptions
+    val e3 = intercept[Exception](
+      s.sql("select hyperplane_sign_buckets(array(1.0d), 1, 0, 2, 42)"))
+    assert(e3.getMessage.contains("numPlanes must be in [1, 63]") ||
+      (e3.getCause != null &&
+        e3.getCause.getMessage.contains("numPlanes must be in [1, 63]")))
   }
 
   test("fromConfig builds a runner from (path, functionName) pairs") {

@@ -106,11 +106,18 @@ class ScaleOpsSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L,
         4L -> 4L, 5L -> 4L, 7L -> 7L, 9L -> 7L))
-      // the listener bus is async: wait for the expected count, then a
-      // grace beat so any EXTRA action would still land and fail the ==
+      // the listener bus is async: wait for the expected count, then for
+      // QUIESCENCE (count stable across consecutive polls) so an extra
+      // regression-indicating action can't land after the assertion —
+      // a fixed grace beat would race a loaded bus
       val deadline = System.nanoTime() + 10_000_000_000L
       while (actions.size < 5 && System.nanoTime() < deadline) Thread.sleep(50)
-      Thread.sleep(300)
+      var stable = 0
+      var last = -1
+      while (stable < 10 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        if (actions.size == last) stable += 1 else { stable = 0; last = actions.size }
+      }
       assert(actions.size == 5,
         s"expected 5 actions (4 rounds + collect), got $actions")
     } finally spark.listenerManager.unregister(listener)

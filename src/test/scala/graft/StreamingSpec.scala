@@ -520,6 +520,51 @@ class StreamingSpec extends AnyFunSuite {
       FunnelOut(5, 1, false))) // non-step event ignored
   }
 
+  test("funnelStream without TTL: a stale provisional timer must not evict the tombstone") {
+    import graft.streaming.StreamOps.{FunnelEvent, FunnelOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(u: Long, tpe: String, ts: String) =
+      FunnelEvent(u, tpe, Timestamp.valueOf(ts))
+    val input = MemoryStream[FunnelEvent]
+    val events = input.toDF()
+      .withWatermark("ts", "0 seconds").as[FunnelEvent]
+    val out = StreamOps.funnelStream(events, Seq("view", "buy"),
+      windowSeconds = 3600) // retention None: tombstone must be immortal
+    val q = out.writeStream.format("memory").queryName("funnel_stale")
+      .outputMode("append").start()
+    // b1: provisional anchor for u7, timer set at anchor+window
+    input.addData(ev(7, "view", "2024-01-01 00:00:00"))
+    q.processAllAvailable()
+    // b2: sentinel raises the post-batch watermark past the window close
+    input.addData(ev(8, "view", "2024-01-01 02:00:00"))
+    q.processAllAvailable()
+    // b3: u7 gets DATA in the same batch the watermark is already past —
+    // emission rides the data path and the provisional timer goes stale
+    input.addData(ev(7, "view", "2024-01-01 02:30:00"))
+    q.processAllAvailable()
+    // b4: unrelated data lets the stale timer fire on u7's tombstone
+    input.addData(ev(8, "view", "2024-01-01 03:00:00"))
+    q.processAllAvailable()
+    // b5+b6: if the tombstone died, this in-horizon chain would emit a
+    // SECOND row for u7
+    input.addData(ev(7, "view", "2024-01-01 03:30:00"),
+      ev(7, "buy", "2024-01-01 03:40:00"))
+    q.processAllAvailable()
+    // two more watermark advances: one to pass the would-be second
+    // window's close, one more so its timeout can actually fire
+    input.addData(ev(8, "view", "2024-01-01 06:00:00"))
+    q.processAllAvailable()
+    input.addData(ev(8, "view", "2024-01-01 07:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val u7 = s.sql("select * from funnel_stale where user_id = 7")
+      .as[FunnelOut].collect().toSeq
+    assert(u7 == Seq(FunnelOut(7, 1, false)),
+      s"exactly one row per user ever; got $u7")
+  }
+
   test("funnelStream tombstone TTL: a returning user starts a fresh funnel") {
     import graft.streaming.StreamOps.{FunnelEvent, FunnelOut}
     val s = spark
