@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Curation, Dedup, Events, Multimodal, RangeJoin, Similarity, TextAnalysis, TextSearch}
+import graft.operators.{AsOfJoin, Curation, Dedup, Events, LanguageModel, Multimodal, RangeJoin, Similarity, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -406,6 +406,15 @@ object SparkEntry {
           lit(" contact: user"), col("doc_id").cast("string"),
           lit("@example.com or 555-123-4567"))).as("scrubbed"))),
 
+    // corpus-trained bigram LM, self-scored: mean log-probability per
+    // document (the perplexity-proxy quality signal); per-bigram
+    // log-probs decimal-summed for order independence
+    "q_text_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = LanguageModel.trainBigram(docs, "doc_id", "text")
+      LanguageModel.scoreByBigram(docs, lm, "doc_id", "text", k = 0.5)
+    }),
+
     // exact BM25 top-10 for five fixed queries over the corpus — the
     // retrieval operator; per-term scores decimal-summed so document
     // scores are summation-order-independent (hash-comparable)
@@ -664,6 +673,36 @@ object SparkEntry {
           |    '[EMAIL]', 'g'),
           |  '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS scrubbed
           |FROM documents""".stripMargin,
+
+      // mirrors LanguageModel exactly: same add-k arithmetic SHAPE in
+      // doubles (the ::DOUBLE casts defeat DuckDB's DECIMAL literal
+      // math), per-bigram round(9) then DECIMAL sum
+      "q_text_lm" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |), bg AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+          |), lm AS (
+          |  SELECT w1, w2, count(*)::BIGINT AS n FROM bg GROUP BY 1, 2
+          |), ctx AS (
+          |  SELECT w1, sum(n)::BIGINT AS ctx FROM lm GROUP BY 1
+          |), v AS (
+          |  SELECT count(DISTINCT tok)::BIGINT AS nv
+          |  FROM (SELECT unnest(w) AS tok FROM toks)
+          |), scored AS (
+          |  SELECT bg.doc_id,
+          |    CAST(round(ln(
+          |      (COALESCE(lm.n, 0)::DOUBLE + 0.5::DOUBLE)
+          |      / (COALESCE(ctx.ctx, 0)::DOUBLE
+          |         + (0.5::DOUBLE * v.nv::DOUBLE))), 9)
+          |      AS DECIMAL(28,9)) AS logp
+          |  FROM bg LEFT JOIN lm USING (w1, w2)
+          |          LEFT JOIN ctx USING (w1), v
+          |)
+          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+          |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob
+          |FROM scored GROUP BY 1""".stripMargin,
 
       // mirrors TextSearch.bm25TopK exactly: same smoothed idf, same
       // arithmetic shape (so IEEE ops match), per-term round(9) then

@@ -90,6 +90,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM scoring matches hand computation, incl. unseen bigrams") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = LanguageModel.trainBigram(train, "doc_id", "text")
+    val got = lm.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1; ctx: a=3, b=2
+    assert(got == Map(("a", "b") -> (3L, 3L), ("b", "a") -> (1L, 2L),
+      ("b", "c") -> (1L, 2L)))
+    // score a doc with an UNSEEN bigram (c,a): w1=c unknown -> ctx 0;
+    // and (a,c): w1=a known -> ctx 3 must still apply
+    val test = Seq((9L, "c a c")).toDF("doc_id", "text")
+    val r = LanguageModel.scoreByBigram(test, lm, "doc_id", "text",
+        k = 0.5, vocab = Some(3L)).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 2)
+    def lp(n: Long, ctx: Long) =
+      BigDecimal(math.log((n + 0.5) / (ctx + 0.5 * 3)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    // (c,a): both unknown -> ln(0.5/1.5); (a,c): unseen but ctx(a)=3
+    val expect = ((lp(0, 0) + lp(0, 3)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r(0).getDouble(2) - expect) < 1e-9,
+      s"got ${r(0).getDouble(2)}, want $expect")
+  }
+
   // ---- dedup ----
 
   test("exactGroups groups identical texts and keeps min id") {
