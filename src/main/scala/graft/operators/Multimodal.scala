@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
   * with batched per-partition feature extraction.
   *
-  * The decode step is STUBBED (no image/audio codecs in this environment):
-  * [[decodeStub]] derives deterministic fake features from the raw bytes.
-  * Everything around it is the real Spark shape — schema, partition-level
-  * batching via `mapPartitions`, metadata struct, size-aware repartition —
-  * so swapping in a real decoder is a one-function change.
+  * Decoding: `audio/wav` payloads are decoded FOR REAL ([[decodeWavPcm]]
+  * — RIFF/PCM needs no codec library) into genuine signal features;
+  * image/video formats are STUBBED ([[decodeStub]] derives deterministic
+  * fake features from the raw bytes) because no codecs exist in this
+  * environment. Everything around the decoders is the real Spark shape —
+  * schema, partition-level batching via `mapPartitions`, metadata
+  * struct, size-aware repartition — so adding a decoder is a
+  * one-function change dispatched on `meta.mime`.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no driver
   * collection, no string round-trip); `repartitionBySize` keeps partition
@@ -62,14 +65,90 @@ object Multimodal {
     Row(id, content.length.toLong, h, hist.map(_ / n).toSeq)
   }
 
+  /** REAL decoder for RIFF/WAVE PCM payloads — pure JVM, no codec
+    * libraries: walks the RIFF chunk list, decodes 8/16-bit PCM samples,
+    * and emits genuine audio features as the 8-dim vector
+    * [duration_s, rms, peak, zero_crossing_rate, mean, sample_rate,
+    * channels, bits]. Returns None when the payload is not a
+    * well-formed PCM WAV (the caller falls back to [[decodeStub]]), so
+    * a corrupt file degrades instead of killing the task. */
+  def decodeWavPcm(id: Long, content: Array[Byte]): Option[Row] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    if (content.length < 44) return None
+    val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    if (bb.getInt(0) != 0x46464952 || bb.getInt(8) != 0x45564157)
+      return None // "RIFF" ... "WAVE" (little-endian magic)
+    var pos = 12
+    var fmtOk = false
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= content.length) {
+      val ckId = bb.getInt(pos)
+      val ckSz = bb.getInt(pos + 4)
+      if (ckSz < 0 || pos + 8 + ckSz > content.length) return None
+      if (ckId == 0x20746d66) { // "fmt "
+        if (ckSz < 16) return None
+        val audioFormat = bb.getShort(pos + 8) & 0xffff
+        channels = bb.getShort(pos + 10) & 0xffff
+        sampleRate = bb.getInt(pos + 12)
+        bits = bb.getShort(pos + 22) & 0xffff
+        fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) &&
+          channels >= 1 && sampleRate > 0
+      } else if (ckId == 0x61746164) { // "data"
+        dataOff = pos + 8
+        dataLen = ckSz
+      }
+      pos += 8 + ckSz + (ckSz & 1) // RIFF chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val bytesPerSample = bits / 8
+    val n = dataLen / bytesPerSample
+    if (n == 0) return None
+    var sum = 0.0
+    var sumSq = 0.0
+    var peak = 0.0
+    var zc = 0
+    var prevSign = 0
+    var i = 0
+    while (i < n) {
+      val v = if (bits == 16) bb.getShort(dataOff + i * 2).toDouble / 32768.0
+        else ((content(dataOff + i) & 0xff) - 128).toDouble / 128.0
+      sum += v
+      sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      val sign = if (v > 0) 1 else if (v < 0) -1 else prevSign
+      if (prevSign != 0 && sign != prevSign) zc += 1
+      prevSign = sign
+      i += 1
+    }
+    val duration = (n / channels).toDouble / sampleRate
+    Some(Row(id, content.length.toLong,
+      graft.functions.Hashing.fnv1a(content),
+      Seq(duration, math.sqrt(sumSq / n), peak, zc.toDouble / n, sum / n,
+        sampleRate.toDouble, channels.toDouble, bits.toDouble)))
+  }
+
   /** Batched feature extraction over the asset table: one decoder pass per
     * partition (mapPartitions — the Scala analogue of a batched
-    * mapInPandas), emitting [[FeatureSchema]] rows. */
+    * mapInPandas), emitting [[FeatureSchema]] rows. Dispatches on
+    * `meta.mime`: `audio/wav` payloads go through the REAL PCM decoder
+    * ([[decodeWavPcm]], falling back to the stub on malformed bytes);
+    * everything else uses [[decodeStub]] (no image/video codecs exist in
+    * this environment). */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(FeatureSchema)
-    assets.select(col("id"), col("content"))
+    assets.select(col("id"), col("content"), col("meta.mime").as("mime"))
       .mapPartitions { rows =>
-        rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          if (r.getString(2) == "audio/wav")
+            decodeWavPcm(id, bytes).getOrElse(decodeStub(id, bytes))
+          else decodeStub(id, bytes)
+        }
       }(enc)
   }
 

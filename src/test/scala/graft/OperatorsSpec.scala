@@ -373,6 +373,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f0.getSeq[Double](3) == expect.getSeq[Double](3))
   }
 
+  test("decodeWavPcm extracts real signal features from a synthesized WAV") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val s = spark
+    import s.implicits._
+    // 440 Hz sine, amplitude 0.5, 16-bit mono PCM at 8 kHz, 0.1 s
+    val sampleRate = 8000
+    val nSamples = 800
+    val pcm = Array.tabulate(nSamples)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / sampleRate) * 32767).toShort)
+    val dataLen = nSamples * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("ASCII"))
+      .put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("ASCII")).putInt(dataLen)
+    pcm.foreach(bb.putShort)
+    val wav = bb.array()
+
+    val assets = Seq((1L, wav), (2L, "not a wav at all".getBytes("UTF-8")))
+      .toDF("id", "content")
+      .select(col("id"), col("content"),
+        struct(lit("audio/wav").as("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val feats = Multimodal.extractFeatures(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val f = feats(1L).getSeq[Double](3)
+    // [duration, rms, peak, zcr, mean, sample_rate, channels, bits]
+    assert(math.abs(f(0) - 0.1) < 1e-9, s"duration ${f(0)}")
+    assert(math.abs(f(1) - 0.5 / math.sqrt(2)) < 0.01, s"rms ${f(1)}")
+    assert(math.abs(f(2) - 0.5) < 0.01, s"peak ${f(2)}")
+    assert(math.abs(f(3) - 2.0 * 440 / sampleRate) < 0.01, s"zcr ${f(3)}")
+    assert(math.abs(f(4)) < 0.01, s"mean ${f(4)}")
+    assert(f(5) == 8000.0 && f(6) == 1.0 && f(7) == 16.0)
+    // a malformed audio/wav payload falls back to the stub, not a crash
+    val fallback = Multimodal.decodeStub(2L, "not a wav at all".getBytes("UTF-8"))
+    assert(feats(2L).getLong(2) == fallback.getLong(2))
+    assert(feats(2L).getSeq[Double](3) == fallback.getSeq[Double](3))
+  }
+
   test("repartitionBySize bounds partition payload") {
     val assets = Multimodal.asAssets(docs, "doc_id", "text", "text/plain", "source")
     val parts = Multimodal.repartitionBySize(assets, targetBytes = 16 * 1024)
