@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   * Tokenization is whitespace splitting, shared with the text stack. */
 object LanguageModel {
 
-  private def tokens(textCol: String) = split(col(textCol), " ")
+  // the text stack's ONE tokenizer — a private copy would silently
+  // desynchronize LM training/scoring from the other text operators
+  private def tokens(textCol: String) = TextAnalysis.tokens(col(textCol))
 
   private def bigramRows(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
@@ -67,11 +69,15 @@ object LanguageModel {
         .agg(count_distinct(col("w"))).head.getLong(0))
     // two left joins, not one: an UNSEEN bigram whose w1 IS known must
     // still be penalized against ctx(w1), not against an empty context —
-    // a (w1,w2)-join alone would null out ctx for exactly those rows
+    // a (w1,w2)-join alone would null out ctx for exactly those rows.
+    // The model is read by BOTH joins: one lazy materialization so the
+    // training pipeline (shuffle + window) doesn't execute twice
+    val lmOnce = lm.localCheckpoint(false)
     val scored = bigramRows(docs, idCol, textCol)
-      .join(lm.select(col("w1"), col("w2"), col("n")),
+      .join(lmOnce.select(col("w1"), col("w2"), col("n")),
         Seq("w1", "w2"), "left")
-      .join(lm.select(col("w1"), col("ctx")).distinct(), Seq("w1"), "left")
+      .join(lmOnce.select(col("w1"), col("ctx")).distinct(),
+        Seq("w1"), "left")
       .withColumn("logp", round(
         log((coalesce(col("n"), lit(0L)) + k) /
           (coalesce(col("ctx"), lit(0L)) + k * v)), 9)

@@ -88,7 +88,10 @@ object Multimodal {
     while (pos + 8 <= content.length) {
       val ckId = bb.getInt(pos)
       val ckSz = bb.getInt(pos + 4)
-      if (ckSz < 0 || pos + 8 + ckSz > content.length) return None
+      // compare against the REMAINING length — `pos + 8 + ckSz` in Int
+      // would wrap negative for a corrupt near-MaxValue size and slip
+      // past the guard into an out-of-bounds read
+      if (ckSz < 0 || ckSz > content.length - pos - 8) return None
       if (ckId == 0x20746d66) { // "fmt "
         if (ckSz < 16) return None
         val audioFormat = bb.getShort(pos + 8) & 0xffff
@@ -146,7 +149,10 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           if (r.getString(2) == "audio/wav")
-            decodeWavPcm(id, bytes).getOrElse(decodeStub(id, bytes))
+            // belt and braces: a decoder bug on adversarial bytes must
+            // degrade to the stub, never kill the task
+            scala.util.Try(decodeWavPcm(id, bytes)).toOption.flatten
+              .getOrElse(decodeStub(id, bytes))
           else decodeStub(id, bytes)
         }
       }(enc)

@@ -313,26 +313,6 @@ object Similarity {
     * `tables` small rows per vector, no vector payload; the bucket join
     * shuffles keys only, and vectors are joined back just for the
     * candidate verify (shuffle ∝ candidates, not corpus²). */
-  /** Distinct colliding (id_a < id_b) pairs of `v` (columns `id`, `vec`)
-    * under the banded sign-bucket layout — the verify-stage candidate
-    * volume. `private[graft]` so the scale probe measures the operator's
-    * OWN candidate pipeline rather than a re-implementation that could
-    * silently drift. Native one-pass bucketing: the equivalent Column
-    * tree (tables × numPlanes literal-array dots) overflows codegen and
-    * interprets. */
-  private[graft] def lshCandidates(v: DataFrame, planes: Seq[Seq[Double]],
-                                   numPlanes: Int, tables: Int): DataFrame = {
-    val keys = v.select(col("id"),
-      posexplode(org.apache.spark.sql.graftext.HyperplaneSignBuckets(
-        col("vec"), planes, numPlanes, tables)).as(Seq("t", "bucket")))
-    keys.as("a").join(keys.as("b"),
-        col("a.t") === col("b.t") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-  }
-
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, numPlanes: Int = 5,
                       tables: Int = 64, seed: Long = 42L): DataFrame = {
@@ -351,5 +331,25 @@ object Similarity {
         dotProduct(col("vec_a"), col("vec_b")), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Distinct colliding (id_a < id_b) pairs of `v` (columns `id`, `vec`)
+    * under the banded sign-bucket layout — the verify-stage candidate
+    * volume of [[lshNearDupPairs]]. `private[graft]` so the scale probe
+    * measures the operator's OWN candidate pipeline rather than a
+    * re-implementation that could silently drift. Native one-pass
+    * bucketing: the equivalent Column tree (tables × numPlanes
+    * literal-array dots) overflows codegen and interprets. */
+  private[graft] def lshCandidates(v: DataFrame, planes: Seq[Seq[Double]],
+                                   numPlanes: Int, tables: Int): DataFrame = {
+    val keys = v.select(col("id"),
+      posexplode(org.apache.spark.sql.graftext.HyperplaneSignBuckets(
+        col("vec"), planes, numPlanes, tables)).as(Seq("t", "bucket")))
+    keys.as("a").join(keys.as("b"),
+        col("a.t") === col("b.t") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 }

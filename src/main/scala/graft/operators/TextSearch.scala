@@ -43,11 +43,13 @@ object TextSearch {
       avg(size(split(col(textCol), " ")))).head
     if (statsRow.getLong(0) == 0L) {
       // empty corpus: empty result with the right schema, no crash (the
-      // avg is null here and the idf/avgdl math would NPE) — same
-      // discipline as the ANN operators' empty-corpus path
-      return queries.limit(0).select(
-        col(queryIdCol).as("query_id"), col(queryIdCol).as("doc_id"),
-        lit(1).as("rank"), lit(0.0).as("score"))
+      // avg is null here and the idf/avgdl math would NPE). doc_id takes
+      // its type from DOCS — typing it off the query id would flip the
+      // column type exactly when the corpus is empty
+      return queries.limit(0).select(col(queryIdCol).as("query_id"))
+        .crossJoin(docs.limit(0).select(col(idCol).as("doc_id")))
+        .select(col("query_id"), col("doc_id"),
+          lit(1).as("rank"), lit(0.0).as("score"))
     }
     val (nDocs, avgdl) = (statsRow.getLong(0).toDouble, statsRow.getDouble(1))
     val qterms = queries.select(col(queryIdCol).as("query_id"),

@@ -86,6 +86,13 @@ object GraftExtensions {
           s"hyperplane_sign_buckets: numPlanes must be in [1, 63], got $numPlanes")
         require(tables >= 1,
           s"hyperplane_sign_buckets: tables must be >= 1, got $tables")
+        // checked in Long: tables * numPlanes * dim can overflow Int and
+        // sail through the per-factor checks; also bound the literal
+        // plane matrix the driver must materialize (and codegen ship)
+        require(tables.toLong * numPlanes * dim <= 4000000L,
+          s"hyperplane_sign_buckets: plane matrix tables*numPlanes*dim = " +
+            s"${tables.toLong * numPlanes * dim} doubles exceeds the " +
+            "4e6 bound")
         HyperplaneSignBuckets(children.head,
           HyperplaneSignBuckets
             .gaussianPlanes(tables * numPlanes, dim, seed)
