@@ -406,6 +406,24 @@ object SparkEntry {
           lit(" contact: user"), col("doc_id").cast("string"),
           lit("@example.com or 555-123-4567"))).as("scrubbed"))),
 
+    // symmetric int8 embedding quantization: per-vector scale, exact
+    // integer code checksum, and the dequantized self-cosine (the
+    // fidelity the compression trades storage for)
+    "q_sim_quantized" -> ((s, dir) => {
+      import graft.functions.{Quantize, VectorFunctions => VF}
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      emb.withColumn("scale", Quantize.int8Scale(col("e")))
+        .withColumn("codes", Quantize.int8Codes(col("e"), col("scale")))
+        .withColumn("deq", Quantize.int8Dequantize(col("codes"), col("scale")))
+        .select(col("vec_id"),
+          round(col("scale"), 9).as("scale"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c)
+            .as("code_sum"),
+          round(VF.cosineWithNorms(VF.dotProduct(col("e"), col("deq")),
+            VF.l2Norm(col("e")), VF.l2Norm(col("deq"))), 6).as("fidelity"))
+    }),
+
     // corpus-trained bigram LM, self-scored: mean log-probability per
     // document (the perplexity-proxy quality signal); per-bigram
     // log-probs decimal-summed for order independence
@@ -673,6 +691,28 @@ object SparkEntry {
           |    '[EMAIL]', 'g'),
           |  '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS scrubbed
           |FROM documents""".stripMargin,
+
+      // same scale/round/dequantize arithmetic in doubles; round-half
+      // -away-from-zero agrees between Spark and DuckDB
+      "q_sim_quantized" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), q AS (
+          |  SELECT vec_id, e,
+          |    COALESCE(list_max([abs(x) FOR x IN e]), 0) / 127.0 AS scale
+          |  FROM v
+          |), c AS (
+          |  SELECT vec_id, e, scale,
+          |    CASE WHEN scale = 0 THEN [0 FOR x IN e]
+          |         ELSE [CAST(round(x / scale, 0) AS INTEGER) FOR x IN e]
+          |    END AS codes
+          |  FROM q
+          |)
+          |SELECT vec_id, round(scale, 9) AS scale,
+          |  list_sum(codes)::BIGINT AS code_sum,
+          |  round(list_cosine_similarity(e,
+          |    [cd * scale FOR cd IN codes]), 6) AS fidelity
+          |FROM c""".stripMargin,
 
       // mirrors LanguageModel exactly: same add-k arithmetic SHAPE in
       // doubles (the ::DOUBLE casts defeat DuckDB's DECIMAL literal

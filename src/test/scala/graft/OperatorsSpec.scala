@@ -117,6 +117,35 @@ class OperatorsSpec extends AnyFunSuite {
       s"got ${r(0).getDouble(2)}, want $expect")
   }
 
+  test("int8 quantization: codes bounded, roundtrip error bounded, zero-vector safe") {
+    import graft.functions.Quantize
+    val df = spark.sql(
+      """select array(0.5d, -1.0d, 0.25d, 0.0d) as e
+        |union all select array(0.0d, 0.0d, 0.0d, 0.0d) as e""".stripMargin)
+      .withColumn("scale", Quantize.int8Scale(col("e")))
+      .withColumn("codes", Quantize.int8Codes(col("e"), col("scale")))
+      .withColumn("deq", Quantize.int8Dequantize(col("codes"), col("scale")))
+    val rows = df.collect()
+    val r0 = rows.find(_.getSeq[Double](0).head == 0.5).get
+    assert(r0.getDouble(1) == 1.0 / 127)
+    assert(r0.getSeq[Byte](2) == Seq[Byte](64, -127, 32, 0)) // round(0.5*127)=64
+    r0.getSeq[Double](0).zip(r0.getSeq[Double](3)).foreach { case (x, d) =>
+      assert(math.abs(x - d) <= r0.getDouble(1) / 2 + 1e-12,
+        s"roundtrip error above scale/2: $x vs $d")
+    }
+    val rz = rows.find(_.getSeq[Double](0).head == 0.0).get
+    assert(rz.getDouble(1) == 0.0)
+    assert(rz.getSeq[Byte](2) == Seq[Byte](0, 0, 0, 0))
+    assert(rz.getSeq[Double](3) == Seq(0.0, 0.0, 0.0, 0.0))
+    // corpus-wide: every code within [-127, 127]
+    val bad = emb.select(col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale", Quantize.int8Scale(col("e")))
+      .withColumn("codes", Quantize.int8Codes(col("e"), col("scale")))
+      .select(explode(col("codes")).as("c"))
+      .filter(col("c") > 127 || col("c") < -127).count()
+    assert(bad == 0)
+  }
+
   // ---- dedup ----
 
   test("exactGroups groups identical texts and keeps min id") {
