@@ -117,6 +117,37 @@ class OperatorsSpec extends AnyFunSuite {
       s"got ${r(0).getDouble(2)}, want $expect")
   }
 
+  test("int8 quantization property: roundtrip bound holds on random vectors") {
+    import graft.functions.Quantize
+    import org.scalacheck.Gen
+    val vecGen = for {
+      n <- Gen.choose(1, 32)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6,
+        0.0, 1e-12, -1e-12, 127.0, -127.0))
+    } yield xs
+    val cases = Iterator.continually(vecGen.sample).flatten.take(40).toSeq
+    val s = spark
+    import s.implicits._
+    val rows = cases.zipWithIndex.map { case (xs, i) => (i.toLong, xs) }
+      .toDF("i", "e")
+      .withColumn("scale", Quantize.int8Scale(col("e")))
+      .withColumn("codes", Quantize.int8Codes(col("e"), col("scale")))
+      .withColumn("deq", Quantize.int8Dequantize(col("codes"), col("scale")))
+      .collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Double](1)
+      val scale = r.getDouble(2)
+      val codes = r.getSeq[Byte](3)
+      val deq = r.getSeq[Double](4)
+      assert(scale == e.map(math.abs).foldLeft(0.0)(math.max) / 127.0)
+      codes.foreach(c => assert(c >= -127 && c <= 127, s"code $c"))
+      e.zip(deq).foreach { case (x, d) =>
+        assert(math.abs(x - d) <= scale / 2 * (1 + 1e-9),
+          s"|$x - $d| > scale/2 = ${scale / 2}")
+      }
+    }
+  }
+
   test("int8 quantization: codes bounded, roundtrip error bounded, zero-vector safe") {
     import graft.functions.Quantize
     val df = spark.sql(
