@@ -424,6 +424,14 @@ object SparkEntry {
             VF.l2Norm(col("e")), VF.l2Norm(col("deq"))), 6).as("fidelity"))
     }),
 
+    // top-5 over the int8-quantized corpus, scored ENTIRELY in integer
+    // dots (scales cancel in cosine) — deterministic, exactly oracled
+    "q_sim_topk_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
     // corpus-trained bigram LM, self-scored: mean log-probability per
     // document (the perplexity-proxy quality signal); per-bigram
     // log-probs decimal-summed for order independence
@@ -691,6 +699,42 @@ object SparkEntry {
           |    '[EMAIL]', 'g'),
           |  '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS scrubbed
           |FROM documents""".stripMargin,
+
+      // integer code dots are exact in both engines (64×127² < 2^53),
+      // and the double cosine division has identical shape
+      "q_sim_topk_int8" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), qz AS (
+          |  SELECT vec_id,
+          |    COALESCE(list_max([abs(x) FOR x IN e]), 0) / 127.0 AS scale, e
+          |  FROM v
+          |), cd AS (
+          |  SELECT vec_id,
+          |    CASE WHEN scale = 0 THEN [0 FOR x IN e]
+          |         ELSE [CAST(round(x / scale, 0) AS INTEGER) FOR x IN e]
+          |    END AS codes
+          |  FROM qz
+          |), sd AS (
+          |  SELECT vec_id, codes,
+          |    list_sum([c * c FOR c IN codes])::BIGINT::DOUBLE AS selfdot
+          |  FROM cd
+          |), scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    list_sum([q.codes[i] * c.codes[i]
+          |              FOR i IN range(1, len(q.codes) + 1)])
+          |      ::BIGINT::DOUBLE
+          |      / (sqrt(q.selfdot) * sqrt(c.selfdot)) AS cos_raw
+          |  FROM sd q JOIN sd c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_raw DESC, neighbor_id) AS rank,
+          |    round(cos_raw, 6) AS cosine
+          |  FROM scored
+          |)
+          |SELECT query_id, neighbor_id, rank, cosine
+          |FROM ranked WHERE rank <= 5""".stripMargin,
 
       // same scale/round/dequantize arithmetic in doubles; round-half
       // -away-from-zero agrees between Spark and DuckDB

@@ -66,6 +66,13 @@ object GraftExtensions {
         require(children.size == 1, "simhash_sketch expects (shingles)")
         SimHashSketch(children.head)
       }),
+    ("int8_dot_product",
+      new ExpressionInfo(classOf[Int8DotProduct].getName, "int8_dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "int8_dot_product expects exactly 2 arguments")
+        Int8DotProduct(children.head, children(1))
+      }),
     ("hyperplane_sign_buckets",
       new ExpressionInfo(classOf[HyperplaneSignBuckets].getName,
         "hyperplane_sign_buckets"),

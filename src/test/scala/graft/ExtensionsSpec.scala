@@ -29,6 +29,12 @@ class ExtensionsSpec extends AnyFunSuite {
         |     = minhash_sketch(hashed_ngram_shingles('a b c d e', 3), 8)
         |""".stripMargin).first().getBoolean(0)
     assert(sig)
+    // int8 kernel from SQL: exact integer dot over tinyint arrays
+    val i8 = s.sql(
+      """select int8_dot_product(array(cast(3 as tinyint), cast(-2 as tinyint)),
+        |       array(cast(10 as tinyint), cast(5 as tinyint)))""".stripMargin)
+      .first().getLong(0)
+    assert(i8 == 20L)
     // hyperplane_sign_buckets: the SQL form takes (vec, dim, numPlanes,
     // tables, seed) literals and generates the SAME deterministic plane
     // matrix as the Column API — buckets must be byte-identical

@@ -117,6 +117,39 @@ class OperatorsSpec extends AnyFunSuite {
       s"got ${r(0).getDouble(2)}, want $expect")
   }
 
+  test("Int8DotProduct matches a driver loop; quantizedTopK tracks exact top-k") {
+    import org.apache.spark.sql.graftext.Int8DotProduct
+    import org.scalacheck.Gen
+    val s = spark
+    import s.implicits._
+    val byteArr = Gen.listOfN(16,
+      Gen.chooseNum(-127, 127).map(_.toByte))
+    val pairs = Iterator.continually(
+      (for { a <- byteArr; b <- byteArr } yield (a, b)).sample)
+      .flatten.take(25).toSeq
+    val got = pairs.toDF("a", "b")
+      .select(Int8DotProduct(col("a"), col("b"))).collect().map(_.getLong(0))
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      val expect = a.zip(b).map { case (x, y) => x.toLong * y }.sum
+      assert(g == expect)
+    }
+    // the quantized ranking is near-exact at fidelity >= 0.99995:
+    // top-1 agrees for every query; top-5 overlap stays high
+    val queries = emb.filter(col("vec_id") < 5)
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank")) -> r.getLong(1)).toMap
+    val exact = ranks(Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 5))
+    val quant = ranks(Similarity.quantizedTopK(emb, queries, "vec_id",
+      "embedding", 5))
+    (0L until 5L).foreach { q =>
+      assert(quant((q, 1)) == exact((q, 1)), s"top-1 mismatch for query $q")
+      val overlap = (1 to 5).map(r => quant((q, r))).toSet
+        .intersect((1 to 5).map(r => exact((q, r))).toSet).size
+      assert(overlap >= 3, s"query $q top-5 overlap $overlap")
+    }
+  }
+
   test("int8 quantization property: roundtrip bound holds on random vectors") {
     import graft.functions.Quantize
     import org.scalacheck.Gen
