@@ -441,6 +441,21 @@ object SparkEntry {
       LanguageModel.scoreByBigram(docs, lm, "doc_id", "text", k = 0.5)
     }),
 
+    // cross-corpus LM scoring: train on 90% of the corpus, score the
+    // held-out 10% — exercises the unseen-bigram paths (unknown w1 AND
+    // known-w1/unknown-w2) under the gate; vocab passed explicitly from
+    // the TRAINING split, as a real held-out evaluation would
+    "q_text_lm_heldout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val held = docs.filter(col("doc_id") % 10 === 0)
+      val lm = LanguageModel.trainBigram(train, "doc_id", "text")
+      val v = train.select(explode(split(col("text"), " ")).as("w"))
+        .agg(count_distinct(col("w"))).head.getLong(0)
+      LanguageModel.scoreByBigram(held, lm, "doc_id", "text", k = 0.5,
+        vocab = Some(v))
+    }),
+
     // exact BM25 top-10 for five fixed queries over the corpus — the
     // retrieval operator; per-term scores decimal-summed so document
     // scores are summation-order-independent (hash-comparable)
@@ -699,6 +714,41 @@ object SparkEntry {
           |    '[EMAIL]', 'g'),
           |  '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS scrubbed
           |FROM documents""".stripMargin,
+
+      // held-out split: lm/ctx/vocab from the 90% TRAIN side only
+      "q_text_lm_heldout" ->
+        """WITH train AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+          |), held AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+          |), tbg AS (
+          |  SELECT w[i] AS w1, w[i+1] AS w2
+          |  FROM (SELECT string_split(text, ' ') AS w FROM train),
+          |       LATERAL (SELECT unnest(range(1, len(w))) AS i)
+          |), lm AS (
+          |  SELECT w1, w2, count(*)::BIGINT AS n FROM tbg GROUP BY 1, 2
+          |), ctx AS (
+          |  SELECT w1, sum(n)::BIGINT AS ctx FROM lm GROUP BY 1
+          |), v AS (
+          |  SELECT count(DISTINCT tok)::BIGINT AS nv FROM
+          |    (SELECT unnest(string_split(text, ' ')) AS tok FROM train)
+          |), hbg AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM held),
+          |       LATERAL (SELECT unnest(range(1, len(w))) AS i)
+          |), scored AS (
+          |  SELECT hbg.doc_id,
+          |    CAST(round(ln(
+          |      (COALESCE(lm.n, 0)::DOUBLE + 0.5::DOUBLE)
+          |      / (COALESCE(ctx.ctx, 0)::DOUBLE
+          |         + (0.5::DOUBLE * v.nv::DOUBLE))), 9)
+          |      AS DECIMAL(28,9)) AS logp
+          |  FROM hbg LEFT JOIN lm USING (w1, w2)
+          |           LEFT JOIN ctx USING (w1), v
+          |)
+          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+          |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob
+          |FROM scored GROUP BY 1""".stripMargin,
 
       // integer code dots are exact in both engines (64×127² < 2^53),
       // and the double cosine division has identical shape
