@@ -432,6 +432,20 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // the persisted SQ8 (IVF + int8) index — train float, persist codes,
+    // prune files, score integers; nprobe = nlist probes every cell so
+    // the ranking provably equals quantizedTopK (same oracle)
+    "q_sim_ivf_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_sq8_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val centroids = Similarity.buildIvfIndexQuantized(emb, "vec_id",
+        "embedding", idx, nlist = 16, lloydIters = 1)
+      Similarity.ivfTopKIndexedQuantized(idx, centroids,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 16)
+    }),
+
     // corpus-trained bigram LM, self-scored: mean log-probability per
     // document (the perplexity-proxy quality signal); per-bigram
     // log-probs decimal-summed for order independence
@@ -656,6 +670,44 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank, cosine
         |FROM ranked WHERE rank <= 5""".stripMargin
 
+    // quantized-cosine top-5: integer code dots are exact in both
+    // engines (64×127² < 2^53), the double cosine division has
+    // identical shape. Oracle for the integer-scored brute force AND
+    // the SQ8 index probed at nprobe = nlist (provably the same search)
+    val int8TopKSql =
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), qz AS (
+        |  SELECT vec_id,
+        |    COALESCE(list_max([abs(x) FOR x IN e]), 0) / 127.0 AS scale, e
+        |  FROM v
+        |), cd AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN [0 FOR x IN e]
+        |         ELSE [CAST(round(x / scale, 0) AS INTEGER) FOR x IN e]
+        |    END AS codes
+        |  FROM qz
+        |), sd AS (
+        |  SELECT vec_id, codes,
+        |    list_sum([c * c FOR c IN codes])::BIGINT::DOUBLE AS selfdot
+        |  FROM cd
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum([q.codes[i] * c.codes[i]
+        |              FOR i IN range(1, len(q.codes) + 1)])
+        |      ::BIGINT::DOUBLE
+        |      / (sqrt(q.selfdot) * sqrt(c.selfdot)) AS cos_raw
+        |  FROM sd q JOIN sd c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS rank,
+        |    round(cos_raw, 6) AS cosine
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin
+
     Map(
       "q_fn_root" ->
         """SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal,
@@ -752,39 +804,11 @@ object SparkEntry {
 
       // integer code dots are exact in both engines (64×127² < 2^53),
       // and the double cosine division has identical shape
-      "q_sim_topk_int8" ->
-        """WITH v AS (
-          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-          |), qz AS (
-          |  SELECT vec_id,
-          |    COALESCE(list_max([abs(x) FOR x IN e]), 0) / 127.0 AS scale, e
-          |  FROM v
-          |), cd AS (
-          |  SELECT vec_id,
-          |    CASE WHEN scale = 0 THEN [0 FOR x IN e]
-          |         ELSE [CAST(round(x / scale, 0) AS INTEGER) FOR x IN e]
-          |    END AS codes
-          |  FROM qz
-          |), sd AS (
-          |  SELECT vec_id, codes,
-          |    list_sum([c * c FOR c IN codes])::BIGINT::DOUBLE AS selfdot
-          |  FROM cd
-          |), scored AS (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |    list_sum([q.codes[i] * c.codes[i]
-          |              FOR i IN range(1, len(q.codes) + 1)])
-          |      ::BIGINT::DOUBLE
-          |      / (sqrt(q.selfdot) * sqrt(c.selfdot)) AS cos_raw
-          |  FROM sd q JOIN sd c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
-          |), ranked AS (
-          |  SELECT query_id, neighbor_id,
-          |    row_number() OVER (PARTITION BY query_id
-          |      ORDER BY cos_raw DESC, neighbor_id) AS rank,
-          |    round(cos_raw, 6) AS cosine
-          |  FROM scored
-          |)
-          |SELECT query_id, neighbor_id, rank, cosine
-          |FROM ranked WHERE rank <= 5""".stripMargin,
+      "q_sim_topk_int8" -> int8TopKSql,
+
+      // SQ8 index probed at nprobe = nlist ⇒ exact over the quantized
+      // corpus (same oracle)
+      "q_sim_ivf_int8" -> int8TopKSql,
 
       // same scale/round/dequantize arithmetic in doubles; round-half
       // -away-from-zero agrees between Spark and DuckDB

@@ -286,6 +286,78 @@ object Similarity {
     ivfScoreTopK(assigned, probes, k)
   }
 
+  /** Train and persist the SQ8 (int8-quantized) IVF index — IVF + scalar
+    * quantization, the standard large-scale vector-store layout:
+    * training and cell assignment run on the FLOAT vectors (quantization
+    * never degrades the partitioning), but the persisted payload is
+    * tinyint codes + the integer self-dot, so the index files shrink
+    * ~8× vs float64 payloads and queries score in pure integer
+    * arithmetic. Same file-level cell pruning as [[buildIvfIndex]];
+    * same empty-corpus stale-index cleanup. */
+  def buildIvfIndexQuantized(corpus: DataFrame, idCol: String,
+                             vecCol: String, indexPath: String,
+                             nlist: Int = 16,
+                             lloydIters: Int = 2): Seq[Seq[Double]] = {
+    import graft.functions.Quantize
+    import org.apache.spark.sql.graftext.Int8DotProduct
+    val c = ivfPrep(corpus, idCol, vecCol)
+    val centroids = trainCentroids(c, nlist, lloydIters)
+    if (centroids.nonEmpty) {
+      c.withColumn("cell", assignExpr(col("cvec"), centroids.toSeq))
+        .withColumn("scale", Quantize.int8Scale(col("cvec")))
+        .withColumn("codes", Quantize.int8Codes(col("cvec"), col("scale")))
+        .withColumn("selfdot", Int8DotProduct(col("codes"), col("codes")))
+        .select(col("neighbor_id"), col("codes"), col("selfdot"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    } else {
+      val path = new org.apache.hadoop.fs.Path(indexPath)
+      path.getFileSystem(
+        corpus.sparkSession.sessionState.newHadoopConf())
+        .delete(path, true)
+    }
+    centroids.toSeq
+  }
+
+  /** ANN top-k over a persisted SQ8 IVF index: probing is float (the
+    * centroids are float — the probe cost is nlist×dim per query, tiny),
+    * scoring is pure integer ([[quantizedTopK]]'s cancelled-scale
+    * cosine) over the file-pruned cells. At nprobe = nlist this equals
+    * [[quantizedTopK]] exactly (every cell probed ⇒ exact search over
+    * the quantized corpus — the oracle form). */
+  def ivfTopKIndexedQuantized(indexPath: String, centroids: Seq[Seq[Double]],
+                              queries: DataFrame, idCol: String,
+                              vecCol: String, k: Int,
+                              nprobe: Int = 4): DataFrame = {
+    import graft.functions.Quantize
+    import org.apache.spark.sql.graftext.Int8DotProduct
+    if (centroids.isEmpty) {
+      return queries.limit(0).select(
+        col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cosine"))
+    }
+    val probes = probeCells(queries, idCol, vecCol, centroids, nprobe)
+      .withColumn("qscale", Quantize.int8Scale(col("qvec")))
+      .withColumn("qcodes", Quantize.int8Codes(col("qvec"), col("qscale")))
+      .withColumn("qselfdot",
+        Int8DotProduct(col("qcodes"), col("qcodes")).cast("double"))
+      .select(col("query_id"), col("qcodes"), col("qselfdot"), col("cell"))
+      .localCheckpoint(false) // read twice: cell-id collect + score join
+    val cellIds = probes.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val idx = queries.sparkSession.read.parquet(indexPath)
+      .filter(col("cell").isin(cellIds: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    idx.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Int8DotProduct(col("qcodes"), col("codes")).cast("double") /
+          (sqrt(col("qselfdot")) * sqrt(col("selfdot").cast("double"))))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Embedding near-dup pairs via banded (OR-amplified) hyperplane LSH,
     * verified with exact cosine — the scale path version of
     * [[Dedup.embeddingNearDupPairs]] (which is the O(n²) oracle/baseline).

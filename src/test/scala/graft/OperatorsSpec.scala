@@ -406,6 +406,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inList.nonEmpty && inList.split(",").length <= 5, plan)
   }
 
+  test("persisted SQ8 index equals quantizedTopK at full probe and prunes partitions") {
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf-sq8").toString
+    val queries = emb.filter(col("vec_id") < 5)
+    val centroids = Similarity.buildIvfIndexQuantized(emb, "vec_id",
+      "embedding", dir2, nlist = 8, lloydIters = 1)
+    assert(centroids.size == 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rank"))).toSet
+    // full probe == exact search over the QUANTIZED corpus, which is
+    // quantizedTopK by definition — assignment-independent, can't flake
+    val full = Similarity.ivfTopKIndexedQuantized(dir2, centroids, queries,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    val quant = Similarity.quantizedTopK(emb, queries,
+      "vec_id", "embedding", k = 5)
+    assert(rows(full) == rows(quant))
+    // the persisted payload is codes, not vectors: schema check
+    val idx = spark.read.parquet(dir2)
+    assert(idx.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    assert(!idx.schema.fieldNames.contains("cvec"))
+    // pruning reaches the file level, same as the float index
+    val pruned = Similarity.ivfTopKIndexedQuantized(dir2, centroids, queries,
+      "vec_id", "embedding", k = 5, nprobe = 1)
+    assert(pruned.collect().nonEmpty)
+    val plan = ScaleOpsSpec.finalPlan(pruned)
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(!plan.matches("(?s).*PartitionFilters: \\[\\].*"), plan)
+  }
+
   test("ivfTopK partial probe trades recall for cost") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
