@@ -72,6 +72,8 @@ object ScaleProbe {
       val planes = math.max(8, (math.log(n.toDouble / 8) / math.log(2)).ceil.toInt)
       val tables = 16
       // warm once (plane broadcast, codegen), then measure
+      Similarity.lshNearDupPairs(corpus, "vec_id", "e", threshold = 0.8,
+        numPlanes = planes, tables = tables).count()
       val (pairs, tLsh) = timed {
         Similarity.lshNearDupPairs(corpus, "vec_id", "e", threshold = 0.8,
           numPlanes = planes, tables = tables).count()

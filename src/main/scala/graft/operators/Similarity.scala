@@ -22,16 +22,22 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank[, cosine]) — deterministic
-    * tie-break on neighbor id. */
+    * tie-break on neighbor id. Zero vectors have no direction (cosine is
+    * 0/0 = NaN, which Spark ORDERS FIRST under desc), so they are
+    * excluded from both sides up front: a zero corpus vector never
+    * appears as a neighbor, a zero query emits no rows. Every cosine
+    * path in this object applies the same rule. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      includeScore: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
+      .filter(col("cnorm") > 0)
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qvec"))
       .withColumn("qnorm", l2Norm(col("qvec")))
+      .filter(col("qnorm") > 0)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineWithNorms(
         dotProduct(col("qvec"), col("cvec")), col("qnorm"), col("cnorm")))
@@ -96,6 +102,7 @@ object Similarity {
         toDouble(col(vecCol)).as("cvec"),
         signBucket(col(vecCol), planes).as("bucket"))
       .withColumn("cnorm", l2Norm(col("cvec")))
+      .filter(col("cnorm") > 0) // zero vectors: no direction, no rank
     val probes = (0 until numPlanes).foldLeft(
       array(col("b0"))) { (acc, p) =>
       concat(acc, array(col("b0").bitwiseXOR(lit(1L << p))))
@@ -104,6 +111,7 @@ object Similarity {
         toDouble(col(vecCol)).as("qvec"),
         signBucket(col(vecCol), planes).as("b0"))
       .withColumn("qnorm", l2Norm(col("qvec")))
+      .filter(col("qnorm") > 0)
       .withColumn("bucket", explode(probes))
       .drop("b0")
     val w = Window.partitionBy(col("query_id"))
@@ -146,12 +154,15 @@ object Similarity {
       probeCells(queries, idCol, vecCol, centroids.toSeq, nprobe), k)
   }
 
-  /** (neighbor_id, cvec, cnorm) prep shared by the IVF paths. */
+  /** (neighbor_id, cvec, cnorm) prep shared by the IVF paths. Zero
+    * vectors are dropped here — before training, assignment, and
+    * persistence — so no IVF form can rank a NaN cosine. */
   private def ivfPrep(corpus: DataFrame, idCol: String,
                       vecCol: String): DataFrame =
     corpus.select(col(idCol).as("neighbor_id"),
         toDouble(col(vecCol)).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
+      .filter(col("cnorm") > 0)
       .localCheckpoint(false)
 
   /** One struct per centroid: (score = dot − |c|²/2, cell). argmax of the
@@ -212,6 +223,7 @@ object Similarity {
     queries.select(col(idCol).as("query_id"),
         toDouble(col(vecCol)).as("qvec"))
       .withColumn("qnorm", l2Norm(col("qvec")))
+      .filter(col("qnorm") > 0) // zero queries emit no rows
       .select(col("query_id"), col("qvec"), col("qnorm"),
         explode(array(centroidStructs(col("qvec"), centroids): _*)).as("p"))
       .withColumn("prank", row_number().over(
@@ -307,6 +319,9 @@ object Similarity {
         .withColumn("scale", Quantize.int8Scale(col("cvec")))
         .withColumn("codes", Quantize.int8Codes(col("cvec"), col("scale")))
         .withColumn("selfdot", Int8DotProduct(col("codes"), col("codes")))
+        // a tiny-but-nonzero float vector can quantize to all-zero codes;
+        // selfdot = 0 would score NaN, so it is excluded like a zero vector
+        .filter(col("selfdot") > 0)
         .select(col("neighbor_id"), col("codes"), col("selfdot"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     } else {
@@ -340,6 +355,7 @@ object Similarity {
       .withColumn("qcodes", Quantize.int8Codes(col("qvec"), col("qscale")))
       .withColumn("qselfdot",
         Int8DotProduct(col("qcodes"), col("qcodes")).cast("double"))
+      .filter(col("qselfdot") > 0) // codes-all-zero query: no direction
       .select(col("query_id"), col("qcodes"), col("qselfdot"), col("cell"))
       .localCheckpoint(false) // read twice: cell-id collect + score join
     val cellIds = probes.select(col("cell")).distinct().collect()
@@ -392,6 +408,9 @@ object Similarity {
     val planes = hyperplanes(tables * numPlanes, dim, seed)
     val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
       .withColumn("norm", l2Norm(col("vec")))
+      // NaN >= threshold is TRUE under Spark's NaN-largest ordering, so a
+      // zero vector would pair with its whole bucket; exclude it instead
+      .filter(col("norm") > 0)
       // both the keys frame and both verify branches read this
       .localCheckpoint(false)
     lshCandidates(v, planes, numPlanes, tables)
@@ -416,8 +435,10 @@ object Similarity {
     * all-pairs scoring is memory-bandwidth-limited. Results differ from
     * [[bruteForceTopK]] only by the quantization error (measured
     * fidelity ≥ 0.99995 cosine on the test corpus); the ranking itself
-    * is deterministic and exactly oracle-able. A zero vector scores NaN
-    * cosine (0/0) and never ranks — same as its exact-path behavior. */
+    * is deterministic and exactly oracle-able. Vectors whose codes are
+    * all zero (a zero vector, or one too small to quantize) are
+    * EXCLUDED before ranking — their cosine is 0/0 = NaN, which Spark
+    * would otherwise order first under desc. */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
     import graft.functions.Quantize
@@ -429,6 +450,7 @@ object Similarity {
           Quantize.int8Codes(col("e"), col("scale")).as(s"${p}codes"))
         .withColumn(s"${p}selfdot", Int8DotProduct(
           col(s"${p}codes"), col(s"${p}codes")).cast("double"))
+        .filter(col(s"${p}selfdot") > 0)
     val c = quantized(corpus, "neighbor_id", "c")
     val q = quantized(queries, "query_id", "q")
     val w = Window.partitionBy(col("query_id"))

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Session extension registering the graft native expressions as SQL
   * functions, so `spark.sql("SELECT array_dot_product(a, b)")` and
@@ -83,8 +83,9 @@ object GraftExtensions {
         val numPlanes =
           intLiteral(children(2), "hyperplane_sign_buckets: numPlanes")
         val tables = intLiteral(children(3), "hyperplane_sign_buckets: tables")
-        val seed =
-          intLiteral(children(4), "hyperplane_sign_buckets: seed").toLong
+        // the seed is a Long in the Column API; accept either literal
+        // width so `42L`-style SQL seeds aren't rejected
+        val seed = longLiteral(children(4), "hyperplane_sign_buckets: seed")
         // validate HERE with named errors — malformed literals would
         // otherwise surface per-row as a bare ArithmeticException from
         // the plane-matrix arithmetic
@@ -111,6 +112,13 @@ object GraftExtensions {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def longLiteral(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer or long literal, got $other")
   }
 
   /** Register on an already-built session (the extension class covers

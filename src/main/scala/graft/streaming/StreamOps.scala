@@ -335,11 +335,16 @@ object StreamOps {
     * remembers the row went out (an O(1)-per-user floor, exactly like
     * sessionization's counter — batch emits one row per user ever);
     * `emittedRetentionSeconds` TTLs it, after which a returning user
-    * would start a NEW funnel — the standard TTL tradeoff. Non-step
-    * event types are filtered out before the shuffle. */
+    * would start a NEW funnel — the standard TTL tradeoff. The default
+    * is a finite 7 days so a long-running query's state stays bounded
+    * by its active-user window; pass `None` to opt in EXPLICITLY to
+    * keep tombstones forever (exact once-per-user-ever semantics, state
+    * grows with every user ever seen). Non-step event types are
+    * filtered out before the shuffle. */
   def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
                    windowSeconds: Long,
-                   emittedRetentionSeconds: Option[Long] = None): Dataset[FunnelOut] = {
+                   emittedRetentionSeconds: Option[Long] =
+                     Some(7L * 24 * 3600)): Dataset[FunnelOut] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     import events.sparkSession.implicits._
     val windowMicros = windowSeconds * 1000000L

@@ -49,6 +49,12 @@ class ExtensionsSpec extends AnyFunSuite {
         col("v"), planes, 4, 2))
       .first().getSeq[Long](0)
     assert(fromSql == fromApi && fromSql.length == 2)
+    // the seed is a Long in the Column API; a long-typed SQL literal
+    // (42L) must be accepted too, not just an int literal
+    val fromSqlLong = s.sql(
+      "select hyperplane_sign_buckets(array(0.5d, -1.5d, 2.0d), 3, 4, 2, 42L)")
+      .first().getSeq[Long](0)
+    assert(fromSqlLong == fromApi)
     // a dim-mismatched vector still fails loudly through the SQL surface
     val e2 = intercept[Exception](
       s.sql("select hyperplane_sign_buckets(array(1.0d), 3, 4, 2, 42)")

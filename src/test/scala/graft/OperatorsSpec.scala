@@ -356,6 +356,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("zero vectors are excluded from every cosine ranking path") {
+    val s = spark
+    import s.implicits._
+    // NaN cosine (0/0) sorts FIRST under desc in Spark, so without the
+    // exclusion a zero vector would occupy ranks 1..k
+    val rows = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)), // zero: no direction
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = rows.filter(col("vec_id") <= 1)
+    for ((name, df) <- Seq(
+      "bruteForceTopK" -> Similarity.bruteForceTopK(
+        rows, queries, "vec_id", "embedding", 3),
+      "quantizedTopK" -> Similarity.quantizedTopK(
+        rows, queries, "vec_id", "embedding", 3),
+      "ivfTopK" -> Similarity.ivfTopK(rows, queries, "vec_id", "embedding",
+        3, nlist = 2, nprobe = 2, lloydIters = 1),
+      "lshTopK" -> Similarity.lshTopK(
+        rows, queries, "vec_id", "embedding", 3, numPlanes = 0))) {
+      val out = df.collect()
+      assert(!out.exists(_.getLong(0) == 0L), s"$name: zero query ranked")
+      assert(!out.exists(_.getLong(1) == 0L), s"$name: zero neighbor ranked")
+      assert(out.nonEmpty, s"$name: nonzero vectors must still rank")
+      assert(!out.exists(r => r.getDouble(3).isNaN), s"$name: NaN cosine")
+    }
+    val pairs = Similarity.lshNearDupPairs(rows, "vec_id", "embedding",
+      threshold = 0.5, numPlanes = 2, tables = 4).collect()
+    assert(!pairs.exists(r => r.getLong(0) == 0L || r.getLong(1) == 0L),
+      "lshNearDupPairs: zero vector paired (NaN >= t is true in Spark)")
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("lshTopK achieves reasonable recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)

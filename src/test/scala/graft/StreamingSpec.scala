@@ -531,7 +531,8 @@ class StreamingSpec extends AnyFunSuite {
     val events = input.toDF()
       .withWatermark("ts", "0 seconds").as[FunnelEvent]
     val out = StreamOps.funnelStream(events, Seq("view", "buy"),
-      windowSeconds = 3600) // retention None: tombstone must be immortal
+      windowSeconds = 3600,
+      emittedRetentionSeconds = None) // immortal-tombstone opt-in
     val q = out.writeStream.format("memory").queryName("funnel_stale")
       .outputMode("append").start()
     // b1: provisional anchor for u7, timer set at anchor+window
