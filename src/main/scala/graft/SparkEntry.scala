@@ -161,6 +161,12 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
 
+    // passage-level (repeated-span) exact dedup: windows of 10 words,
+    // first corpus occurrence kept, documents reassembled
+    "q_dedup_passages" -> ((s, dir) =>
+      Dedup.dedupPassages(t(s, dir, "documents"), "doc_id", "text",
+        windowWords = 10)),
+
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
@@ -962,6 +968,25 @@ object SparkEntry {
         """SELECT md5(text) AS fingerprint, count(*) AS n_docs,
           |       min(doc_id) AS keeper_id
           |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_dedup_passages" ->
+        """WITH chunks AS (
+          |  SELECT doc_id, i AS ci,
+          |         array_to_string(ws[(i*10+1):((i+1)*10)], ' ') AS chunk
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |       unnest(range(CAST(greatest(ceil(len(ws)/10.0), 1) AS BIGINT)))
+          |         AS t(i)),
+          |marked AS (
+          |  SELECT doc_id, ci, chunk,
+          |         row_number() OVER (PARTITION BY chunk
+          |                            ORDER BY doc_id, ci) = 1 AS first
+          |  FROM chunks)
+          |SELECT doc_id,
+          |  coalesce(array_to_string(list(chunk ORDER BY ci)
+          |             FILTER (first), ' '), '') AS text_deduped,
+          |  count(*) FILTER (first) AS n_kept,
+          |  count(*) FILTER (NOT first) AS n_dropped
+          |FROM marked GROUP BY doc_id""".stripMargin,
 
       "q_dedup_jaccard" -> shingleCte,
 

@@ -250,6 +250,53 @@ object Dedup {
     labels
   }
 
+  /** Passage-level exact dedup (C4/RefinedWeb-style repeated-span
+    * removal): each document
+    * is split into consecutive non-overlapping `windowWords`-word
+    * passages, every passage whose exact text already occurred EARLIER
+    * in the corpus (smaller (doc_id, passage index)) is dropped, and the
+    * surviving passages are reassembled in document order. Unlike
+    * whole-document dedup this removes boilerplate and quoted spans
+    * shared between otherwise-distinct documents.
+    *
+    * Output: (doc_id, text_deduped, n_kept, n_dropped) — one row per
+    * input document; a fully-duplicated document survives with
+    * text_deduped = "" and n_kept = 0.
+    *
+    * Scale shape: "first occurrence" is computed as a min(struct(doc,
+    * pos)) hash-aggregate keyed by passage text, NOT a row_number
+    * window — partial aggregation collapses hot passages map-side, and
+    * the join back is AQE-skew-splittable, where a window over a
+    * degenerate passage (e.g. boilerplate occurring millions of times)
+    * would pin one task. Two keyed shuffles total (passage, then
+    * doc_id), both with map-side partials. */
+  def dedupPassages(docs: DataFrame, idCol: String, textCol: String,
+                    windowWords: Int = 10): DataFrame = {
+    require(windowWords >= 1, "windowWords must be >= 1")
+    val w = lit(windowWords)
+    val chunks = docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          greatest(ceil(size(col("ws")) / w.cast("double")), lit(1L))
+            .cast("int") - 1),
+        i => array_join(slice(col("ws"), i * w + 1, w), " ")))
+        .as(Seq("ci", "chunk")))
+    val firsts = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("ci"))).as("keeper"))
+    chunks.join(firsts, "chunk")
+      .withColumn("first",
+        struct(col("doc_id"), col("ci")) === col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("first"),
+            struct(col("ci"), col("chunk"))))),
+          _.getField("chunk")), " ").as("text_deduped"),
+        sum(when(col("first"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("first"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold — exact
     * (all-pairs) form. The inverted-index trick has no analogue for dense
     * cosine, so at corpus scale use [[Similarity.lshNearDupPairs]]; this

@@ -229,6 +229,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 2L))
   }
 
+  test("dedupPassages drops later passage occurrences and reassembles in order") {
+    // window of 2 words; doc 1 sets the canon, doc 2 repeats one passage
+    // mid-document, doc 3 is entirely doc-1 passages, doc 4 has a short
+    // tail passage
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'a b c d'),
+        |  (2L, 'x y c d z w'),
+        |  (3L, 'c d a b'),
+        |  (4L, 'p q r') as t(doc_id, text)""".stripMargin)
+    val out = Dedup.dedupPassages(df, "doc_id", "text", windowWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d", 2L, 0L)))
+    // 'c d' already seen in doc 1: excised from the middle
+    assert(out(2L) == (("x y z w", 2L, 1L)))
+    // every passage already seen: the document survives, empty
+    assert(out(3L) == (("", 0L, 2L)))
+    // odd word count: the 1-word tail is its own passage
+    assert(out(4L) == (("p q r", 2L, 0L)))
+  }
+
   test("MinHashSketch aggregate matches the xxhash64 expression formulation") {
     val sh = docs.limit(50).select(col("doc_id").as("id"),
       TextAnalysis.hashedShingles(col("text"), 3).as("shingles"))
