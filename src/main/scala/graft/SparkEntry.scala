@@ -150,6 +150,11 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "type_token_ratio", "mean_token_len",
           "quality", "lang_pred", "fingerprint")),
 
+    // intra-document repetition: duplicated n-gram fractions, the
+    // template-spam / degenerate-repetition quality gate
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScores(t(s, dir, "documents"), "doc_id")),
+
     "q_text_fingerprints" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -952,6 +957,28 @@ object SparkEntry {
           |       THEN 'en' ELSE 'unk' END AS lang_pred,
           |  md5(lower(text)) AS fingerprint
           |FROM toks""".stripMargin,
+
+      "q_text_repetition" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT doc_id, w,
+          |    [array_to_string(w[i:(i+1)], ' ') FOR i IN range(1, len(w))]
+          |      AS g2,
+          |    [array_to_string(w[i:(i+2)], ' ') FOR i IN range(1, len(w)-1)]
+          |      AS g3
+          |  FROM toks)
+          |SELECT doc_id, len(w) AS n_words,
+          |  CASE WHEN len(w) >= 1 THEN
+          |    round(1 - len(list_distinct(w))::DOUBLE / len(w), 6)
+          |    ELSE 0.0 END AS dup_frac_1,
+          |  CASE WHEN len(g2) >= 1 THEN
+          |    round(1 - len(list_distinct(g2))::DOUBLE / len(g2), 6)
+          |    ELSE 0.0 END AS dup_frac_2,
+          |  CASE WHEN len(g3) >= 1 THEN
+          |    round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+          |    ELSE 0.0 END AS dup_frac_3
+          |FROM grams""".stripMargin,
 
       "q_text_fingerprints" ->
         """SELECT doc_id,

@@ -111,6 +111,35 @@ object TextAnalysis {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
       "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]")
 
+  /** Fraction of duplicated word n-grams in a document — the
+    * repetition-quality signal used by large-LM data pipelines (a high
+    * value flags template spam and degenerate repetition): 1 −
+    * distinct/total over the document's consecutive n-grams (NOT the
+    * deduplicated shingle set — duplicates are the point). 0.0 for
+    * documents shorter than n words. Pure per-row projection of
+    * codegen'd builtins — zero shuffle at any scale. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val total = size(toks) - lit(n - 1)
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(total >= 1,
+      round(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / total.cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Per-document repetition report over unigrams..trigrams. */
+  def repetitionScores(docs: DataFrame, idCol: String,
+                       textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      tokenCount(t).as("n_words"),
+      dupNgramFraction(t, 1).as("dup_frac_1"),
+      dupNgramFraction(t, 2).as("dup_frac_2"),
+      dupNgramFraction(t, 3).as("dup_frac_3"))
+  }
+
   /** Convenience: annotate a documents table with the full analysis set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -50,6 +50,25 @@ class OperatorsSpec extends AnyFunSuite {
         .map("%02x".format(_)).mkString)
   }
 
+  test("repetitionScores computes duplicated n-gram fractions per doc") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'a b a b a'),
+        |  (2L, 'x y z w'),
+        |  (3L, 'q') as t(doc_id, text)""".stripMargin)
+    val out = TextAnalysis.repetitionScores(df, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // doc 1: 5 words {a,b} -> 1-2/5; bigrams [ab,ba,ab,ba] -> 1-2/4;
+    // trigrams [aba,bab,aba] -> 1-2/3
+    assert(out(1L) == ((5, 0.6, 0.5, round6(1.0 - 2.0 / 3))))
+    assert(out(2L) == ((4, 0.0, 0.0, 0.0))) // all distinct
+    assert(out(3L) == ((1, 0.0, 0.0, 0.0))) // shorter than n: defined 0
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("bm25TopK matches a naive driver-side BM25") {
     val s = spark
     import s.implicits._
