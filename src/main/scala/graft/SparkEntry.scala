@@ -235,6 +235,22 @@ object SparkEntry {
         threshold = 0.8, numPlanes = 8, tables = 12)
     }),
 
+    // SemDeDup: k-means cells bound the pairwise sweep; lloydIters = 0
+    // keeps the deterministic lowest-id centroid init, so the cell
+    // layout (and thus the kept set) is exactly reproducible in the
+    // DuckDB oracle. Same planted-companion corpus as t08 above, so the
+    // sweep has real near-dups (cos ≈ 0.98) to drop at t = 0.8.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val aug = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          zip_with(col("e"), reverse(col("e")),
+            (x, y) => x + lit(0.2) * y).as("e"))
+      Similarity.semDedup(emb.union(aug), "vec_id", "e",
+        threshold = 0.8, nlist = 8, lloydIters = 0)
+    }),
+
     // ---- similarity search ----
 
     "q_sim_topk" -> ((s, dir) => {
@@ -1073,6 +1089,40 @@ object SparkEntry {
           |  round(list_cosine_similarity(a.e, b.e), 6) AS cosine
           |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
           |WHERE list_cosine_similarity(a.e, b.e) >= 0.8""".stripMargin,
+
+      // SemDeDup oracle: replicate the deterministic centroid init (8
+      // lowest-id vectors, lloydIters=0), the argmax cell assignment
+      // (score = dot − |c|²/2, ties toward the larger cell — DESC, DESC
+      // mirrors Spark's greatest()-struct), then keep a vector iff no
+      // lower-id cellmate has cosine >= t
+      "q_dedup_semantic" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), corpus AS (
+          |  SELECT vec_id, e FROM v
+          |  UNION ALL
+          |  SELECT vec_id + 100000 AS vec_id,
+          |    [e[i] + 0.2 * e[len(e)+1-i] FOR i IN range(1, len(e)+1)] AS e
+          |  FROM v WHERE vec_id % 20 = 0
+          |), cent AS (
+          |  SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+          |  FROM corpus ORDER BY vec_id LIMIT 8
+          |), scored AS (
+          |  SELECT c.vec_id, c.e, ct.cell,
+          |    list_dot_product(c.e, ct.e) - list_dot_product(ct.e, ct.e) / 2
+          |      AS score
+          |  FROM corpus c CROSS JOIN cent ct
+          |), assigned AS (
+          |  SELECT vec_id, e, cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY score DESC, cell DESC) AS rn FROM scored)
+          |  WHERE rn = 1
+          |)
+          |SELECT a.vec_id AS id, a.cell::INT AS cell FROM assigned a
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM assigned b
+          |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+          |    AND list_cosine_similarity(a.e, b.e) >= 0.8)""".stripMargin,
 
       "q_sim_topk" -> exactTopKSql,
 

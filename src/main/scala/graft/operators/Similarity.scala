@@ -424,6 +424,42 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Semantic dedup (SemDeDup-style, Abbas et al. 2023): k-means the
+    * corpus into `nlist` cells, then WITHIN each cell drop every vector
+    * whose cosine to a lower-id cellmate is ≥ `threshold`; returns the
+    * kept rows as (id, cell). This is the parallel (index-order)
+    * variant of the paper's per-cluster sweep: vector i is dropped iff
+    * some j < i in its cell has cos(i, j) ≥ t — a pure anti-join, no
+    * sequential greedy state.
+    *
+    * Scale shape: the cells BOUND the quadratic — the pair join is
+    * keyed by cell, so cost is Σ|cell|² instead of n², and nlist scales
+    * with the corpus (the paper uses n/1000-ish cells at web scale).
+    * One keyed shuffle for the join; assignment is scan + broadcast
+    * centroids. `nlist = 1` degenerates to exact all-pairs dedup (the
+    * oracle form); `lloydIters = 0` keeps the deterministic lowest-id
+    * init, making the cell layout reproducible across engines (Lloyd
+    * refinement aggregates floats in nondeterministic order). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nlist: Int = 16,
+               lloydIters: Int = 0): DataFrame = {
+    val c = ivfPrep(emb, idCol, vecCol)
+    val centroids = trainCentroids(c, nlist, lloydIters)
+    if (centroids.isEmpty) {
+      return emb.limit(0).select(col(idCol).as("id"), lit(0).as("cell"))
+    }
+    val assigned = c
+      .withColumn("cell", assignExpr(col("cvec"), centroids.toSeq))
+      .select(col("neighbor_id").as("id"), col("cvec").as("vec"),
+        col("cnorm").as("norm"), col("cell"))
+    val dup = col("a.cell") === col("b.cell") &&
+      col("b.id") < col("a.id") &&
+      cosineWithNorms(dotProduct(col("a.vec"), col("b.vec")),
+        col("a.norm"), col("b.norm")) >= threshold
+    assigned.as("a").join(assigned.as("b"), dup, "left_anti")
+      .select(col("id"), col("cell"))
+  }
+
   /** Exact top-k over the int8-QUANTIZED corpus — the reduced-bandwidth
     * scoring path for quantized embedding stores: both sides quantize to
     * tinyint codes ([[graft.functions.Quantize]]) and every pair is

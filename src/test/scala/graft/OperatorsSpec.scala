@@ -397,6 +397,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup at nlist=1 equals exact all-pairs dedup; cells bound the sweep") {
+    // nlist = 1: every vector shares one cell, so the kept set must be
+    // exactly {i : no j < i with cos(i,j) >= t} from the O(n²) oracle.
+    // t = 0.45 because this corpus has real pairs there (cf. the
+    // embeddingNearDupPairs specs above)
+    val t = 0.45
+    val dupPairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expectKept = allIds.filter(i =>
+      !dupPairs.exists { case (a, b) => b == i && a < i })
+    val kept1 = Similarity.semDedup(emb, "vec_id", "embedding", t,
+      nlist = 1, lloydIters = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 == expectKept)
+    // more cells can only SHRINK the dropped set: a pair is swept only
+    // if both land in the same cell
+    val kept8 = Similarity.semDedup(emb, "vec_id", "embedding", t,
+      nlist = 8, lloydIters = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1.subsetOf(kept8))
+    // and every drop is justified by a lower-id true near-dup
+    val dropped8 = allIds -- kept8
+    assert(dropped8.forall(i =>
+      dupPairs.exists { case (a, b) => b == i && a < i }))
+  }
+
   test("zero vectors are excluded from every cosine ranking path") {
     val s = spark
     import s.implicits._
