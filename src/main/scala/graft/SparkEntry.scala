@@ -150,6 +150,11 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "type_token_ratio", "mean_token_len",
           "quality", "lang_pred", "fingerprint")),
 
+    // corpus vocabulary: top tokens by frequency with doc frequency —
+    // the tokenizer-training / stopword-derivation precursor
+    "q_text_vocab" -> ((s, dir) =>
+      TextAnalysis.buildVocab(t(s, dir, "documents"), "text", topN = 20)),
+
     // intra-document repetition: duplicated n-gram fractions, the
     // template-spam / degenerate-repetition quality gate
     "q_text_repetition" -> ((s, dir) =>
@@ -973,6 +978,19 @@ object SparkEntry {
           |       THEN 'en' ELSE 'unk' END AS lang_pred,
           |  md5(lower(text)) AS fingerprint
           |FROM toks""".stripMargin,
+
+      "q_text_vocab" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          |  FROM documents),
+          |per AS (
+          |  SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+          |agg AS (
+          |  SELECT token, CAST(sum(c) AS BIGINT) AS tf,
+          |         count(*) AS df FROM per GROUP BY 1)
+          |SELECT token, tf, df,
+          |  CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank
+          |FROM agg ORDER BY tf DESC, token LIMIT 20""".stripMargin,
 
       "q_text_repetition" ->
         """WITH toks AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -110,6 +111,31 @@ object TextAnalysis {
       regexp_replace(text,
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
       "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]")
+
+  /** Corpus vocabulary: the `topN` tokens by total frequency with their
+    * document frequency and a deterministic rank (frequency desc, token
+    * asc) — the precursor table for tokenizer training and stopword
+    * derivation.
+    *
+    * Scale shape: aggregation is two-level — (doc, token) partials
+    * first, then token totals — so a hot token (every "the" in a 100 TB
+    * corpus) is pre-collapsed per document before the token-keyed
+    * shuffle, and df falls out as a count instead of a count-distinct
+    * expansion. The global top-N is orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject: each partition keeps its own top N and only
+    * N-row heaps reach the driver-side merge — no global sort. The rank
+    * window then runs on ≤ N rows. */
+  def buildVocab(docs: DataFrame, textCol: String = "text", topN: Int = 1000,
+                 idCol: String = "doc_id"): DataFrame = {
+    val per = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+    per.groupBy(col("token"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token")).limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("token"))))
+  }
 
   /** Fraction of duplicated word n-grams in a document — the
     * repetition-quality signal used by large-LM data pipelines (a high

@@ -50,6 +50,19 @@ class OperatorsSpec extends AnyFunSuite {
         .map("%02x".format(_)).mkString)
   }
 
+  test("buildVocab ranks tokens by frequency with doc frequency") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'a b a'),
+        |  (2L, 'b c'),
+        |  (3L, 'b') as t(doc_id, text)""".stripMargin)
+    val out = TextAnalysis.buildVocab(df, "text", topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    // b: tf 3 df 3; a: tf 2 df 1; c cut by topN
+    assert(out == Seq(("b", 3L, 3L, 1), ("a", 2L, 1L, 2)))
+  }
+
   test("repetitionScores computes duplicated n-gram fractions per doc") {
     val df = spark.sql(
       """select * from values
