@@ -163,6 +163,45 @@ object StreamOps {
       }
   }
 
+  /** Streaming benchmark decontamination — the Structured Streaming form
+    * of `Curation.contaminationFlags`: each arriving document is flagged
+    * when it shares ≥ `minShared` distinct n-gram shingles with the
+    * STATIC benchmark set. Emits (doc_id, n_shared) for flagged docs.
+    *
+    * Shape: shingle the stream (narrow projection), stream-static
+    * broadcast-join against the benchmark's distinct shingle index (the
+    * join is stateless — the static side broadcasts exactly as in
+    * batch), then a per-document windowed count finalized by the
+    * watermark. `hashedShingles` is already distinct per document, so
+    * the plain count IS the distinct-shingle count (streaming forbids
+    * exact count-distinct; none is needed). State is one counter per
+    * (window, flagged-candidate doc) within the watermark horizon —
+    * the broadcast join discards non-benchmark shingles BEFORE state,
+    * so an uncontaminated corpus contributes almost nothing. Each
+    * doc_id arrives once, so every count closes with its window; at
+    * scale pre-materialize the benchmark shingle index to parquet
+    * instead of re-deriving it per micro-batch. */
+  def decontaminateStream(docs: Dataset[StreamDoc], benchmark: DataFrame,
+                          benchTextCol: String = "text", n: Int = 3,
+                          minShared: Int = 5,
+                          watermark: String = "2 hours"): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val benchShingles = benchmark.select(
+        explode(graft.operators.TextAnalysis
+          .hashedShingles(col(benchTextCol), n)).as("shingle"))
+      .distinct()
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.TextAnalysis.hashedShingles(col("text"), n))
+          .as("shingle"))
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy(window(col("ts"), "1 second"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("n_shared"))
+  }
+
   /** Input/output/state rows for streaming as-of enrichment. */
   case class LeftEvent(user_id: Long, event_id: Long, ts: Timestamp)
   case class RightEvent(user_id: Long, right_id: Long, ts: Timestamp)

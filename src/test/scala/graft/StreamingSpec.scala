@@ -598,4 +598,43 @@ class StreamingSpec extends AnyFunSuite {
       .as[FunnelOut].collect().toSeq
     assert(u7 == Seq(FunnelOut(7, 1, false), FunnelOut(7, 2, true)))
   }
+
+  test("decontaminateStream equals batch contaminationFlags on out-of-order input") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val bench = Seq((100L, "a b c d e f g"), (101L, "m n o p q"))
+      .toDF("doc_id", "text")
+    def doc(id: Long, text: String, ts: String) =
+      StreamDoc(id, text, Timestamp.valueOf(ts))
+    // doc 1 quotes a 7-word benchmark span (5 shared 3-gram shingles);
+    // doc 2 is clean; doc 3 shares only 2 shingles (below minShared);
+    // doc 4 quotes the second benchmark doc
+    val d1 = doc(1, "x a b c d e f g y", "2024-01-01 00:00:05")
+    val d2 = doc(2, "p q r s t u v w z", "2024-01-01 00:00:02")
+    val d3 = doc(3, "a b c d h i j", "2024-01-01 00:00:08")
+    val d4 = doc(4, "k m n o p q k", "2024-01-01 00:00:01")
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.decontaminateStream(input.toDS(), bench,
+      n = 3, minShared = 3, watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    // out-of-order arrival within the horizon
+    input.addData(d1); q.processAllAvailable()
+    input.addData(d3, d2); q.processAllAvailable()
+    input.addData(d4); q.processAllAvailable()
+    // sentinel (clean text) pushes the watermark past every window
+    input.addData(doc(99, "z z", "2024-01-01 01:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from decontam")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Curation.contaminationFlags(
+        Seq(d1, d2, d3, d4).toDF(), bench, "doc_id", "text",
+        n = 3, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(1L, 4L))
+  }
 }
