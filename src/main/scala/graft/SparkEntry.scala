@@ -155,6 +155,14 @@ object SparkEntry {
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.buildVocab(t(s, dir, "documents"), "text", topN = 20)),
 
+    // domain-mixture resampling: rebalance the corpus to target
+    // proportions (the scarcest requested domain caps the total)
+    "q_sample_mixture" -> ((s, dir) =>
+      Curation.resampleToMixture(t(s, dir, "documents"), "source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          keyCols = Seq("doc_id"))
+        .select("doc_id", "source", "lang")),
+
     // intra-document repetition: duplicated n-gram fractions, the
     // template-spam / degenerate-repetition quality gate
     "q_text_repetition" -> ((s, dir) =>
@@ -1234,6 +1242,28 @@ object SparkEntry {
           |)
           |SELECT doc_id, lang, source FROM ranked
           |WHERE rnk <= ceil(n * 0.2)""".stripMargin,
+
+      // mixture oracle: same normalized weights, same T = min(n_d/w_d)
+      // double math (LEFT JOIN keeps an absent requested domain as n=0),
+      // same floor(w*T) per-domain cap, same md5 rank as stratified
+      "q_sample_mixture" ->
+        """WITH w AS (
+          |  SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+          |                        ('src2', 0.2)) AS t(source, wt)),
+          |n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+          |t AS (
+          |  SELECT min(coalesce(n.n, 0) / w.wt) AS total
+          |  FROM w LEFT JOIN n USING (source)),
+          |k AS (
+          |  SELECT w.source, CAST(floor(w.wt * t.total) AS BIGINT) AS k
+          |  FROM w, t),
+          |ranked AS (
+          |  SELECT doc_id, source, lang,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+          |  FROM documents)
+          |SELECT r.doc_id, r.source, r.lang
+          |FROM ranked r JOIN k USING (source) WHERE r.rnk <= k.k""".stripMargin,
 
       "q_sample_hash" ->
         s"""SELECT doc_id, lang FROM documents

@@ -36,6 +36,48 @@ object Curation {
       .drop("__rnk", "__n")
   }
 
+  /** Resample a corpus to a target domain mixture — the data-mixing
+    * step of training-set assembly ("40% web, 30% code, 30% books"):
+    * given desired PROPORTIONS per domain, compute the largest total T
+    * the corpus can support (T = min over requested domains of
+    * n_d / w_d — the scarcest domain caps the mix), keep
+    * ⌊w_d · T⌋ rows per domain, and drop unrequested domains. A
+    * requested domain with no rows makes the mixture infeasible and the
+    * result empty.
+    *
+    * Only weight RATIOS matter — (0.5, 0.3, 0.2) and (5, 3, 2) produce
+    * the same mix — so weights are used RAW, never normalized: dividing
+    * by a float sum would shift every boundary by an ulp and make
+    * ⌊w_d · T⌋ engine-dependent.
+    *
+    * Selection within a domain is the same deterministic content-hash
+    * rank as [[stratifiedSample]] (exact counts, retry-stable,
+    * engine-reproducible). Driver work is one count per domain —
+    * bounded metadata, like IVF centroids. Cost: one count aggregate +
+    * one ranked shuffle keyed by domain. */
+  def resampleToMixture(df: DataFrame, domainCol: String,
+                        targetWeights: Map[String, Double],
+                        keyCols: Seq[String]): DataFrame = {
+    require(targetWeights.nonEmpty, "targetWeights must be non-empty")
+    require(targetWeights.values.forall(_ >= 0) &&
+      targetWeights.values.exists(_ > 0),
+      "weights must be >= 0 with at least one > 0")
+    val norm = targetWeights.filter { case (_, w) => w > 0 }
+    val counts = df.groupBy(col(domainCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = norm.map { case (d, w) => counts.getOrElse(d, 0L) / w }.min
+    val keep = norm.map { case (d, w) =>
+      d -> math.floor(w * total).toLong }
+    val keepExpr = map(keep.toSeq.flatMap {
+      case (d, k) => Seq(lit(d), lit(k)) }: _*)
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(hashKey(keyCols) +: keyCols.map(col): _*)
+    df.withColumn("__rnk", row_number().over(w))
+      // element_at is null for unrequested domains: the filter drops them
+      .filter(col("__rnk") <= element_at(keepExpr, col(domainCol)))
+      .drop("__rnk")
+  }
+
   /** Shuffle-free deterministic sample: keep rows whose content-hash
     * falls under a threshold prefix. The kept fraction is `fraction` in
     * expectation per stratum (hash-uniform), the decision is purely

@@ -710,6 +710,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(s5.size / n - 0.5) < 0.08)
   }
 
+  test("resampleToMixture hits exact per-domain counts; scarcest domain caps the mix") {
+    // lang strata in the test corpus are unequal; ask for proportions
+    // that make a SMALL domain the binding constraint
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = counts.keys.toSeq.sorted
+    val scarce = counts.minBy(_._2)._1
+    val weights = langs.map(l =>
+      l -> (if (l == scarce) 0.5 else 0.5 / (langs.size - 1))).toMap
+    val out = Curation.resampleToMixture(docs, "lang", weights, Seq("doc_id"))
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = weights.map { case (l, w) => counts(l) / w }.min
+    val expect = weights.map { case (l, w) =>
+      l -> math.floor(w * total).toLong }.filter(_._2 > 0)
+    assert(got == expect)
+    // the scarce domain is fully consumed (it capped the mixture)
+    assert(got(scarce) == counts(scarce))
+    // determinism: same call, same rows
+    val again = Curation.resampleToMixture(docs, "lang", weights, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // an unrequested domain is dropped entirely
+    val partial = Curation.resampleToMixture(docs, "lang",
+      Map(langs.head -> 1.0), Seq("doc_id"))
+    assert(partial.select("lang").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(langs.head))
+    // a requested-but-absent domain makes the mixture infeasible
+    val infeasible = Curation.resampleToMixture(docs, "lang",
+      Map(langs.head -> 0.5, "no_such_lang" -> 0.5), Seq("doc_id"))
+    assert(infeasible.count() == 0)
+  }
+
   test("sampleByWeightedHash keeps weight>=1 rows, drops weight-0, nests monotonically") {
     def ids(w: org.apache.spark.sql.Column) =
       Curation.sampleByWeightedHash(docs, w, Seq("doc_id"))
