@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   * with batched per-partition feature extraction.
   *
   * Decoding: `audio/wav` payloads are decoded FOR REAL ([[decodeWavPcm]]
-  * — RIFF/PCM needs no codec library) into genuine signal features;
-  * image/video formats are STUBBED ([[decodeStub]] derives deterministic
-  * fake features from the raw bytes) because no codecs exist in this
-  * environment. Everything around the decoders is the real Spark shape —
+  * — RIFF/PCM needs no codec library) into genuine signal features, and
+  * `image/bmp` likewise ([[decodeBmp]] — uncompressed BMP is plain
+  * header + pixel rows); compressed image/video formats are STUBBED
+  * ([[decodeStub]] derives deterministic fake features from the raw
+  * bytes) because no codecs exist in this environment. Everything
+  * around the decoders is the real Spark shape —
   * schema, partition-level batching via `mapPartitions`, metadata
   * struct, size-aware repartition — so adding a decoder is a
   * one-function change dispatched on `meta.mime`.
@@ -134,13 +136,75 @@ object Multimodal {
         sampleRate.toDouble, channels.toDouble, bits.toDouble)))
   }
 
+  /** REAL decoder for uncompressed (BI_RGB) 24/32-bit BMP payloads —
+    * pure JVM, no codec libraries: parses the file + info headers, walks
+    * the 4-byte-aligned pixel rows, and emits genuine image features as
+    * the 8-dim vector [width, height, mean_r, mean_g, mean_b, luma_mean,
+    * luma_std, bits]. Handles bottom-up and top-down (negative height)
+    * storage — the statistics are row-order-free. Returns None for
+    * anything that isn't a well-formed uncompressed BMP (palette, RLE,
+    * PNG-in-BMP, truncated pixel array), so corrupt bytes degrade to the
+    * stub instead of killing the task. All size arithmetic runs in Long:
+    * an adversarial width near Int.MaxValue would overflow the stride
+    * check and read out of bounds otherwise. */
+  def decodeBmp(id: Long, content: Array[Byte]): Option[Row] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    if (content.length < 54) return None
+    val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    if (content(0) != 'B'.toByte || content(1) != 'M'.toByte) return None
+    val dataOff = bb.getInt(10)
+    val hdrSize = bb.getInt(14)
+    val width = bb.getInt(18)
+    val heightRaw = bb.getInt(22)
+    val planes = bb.getShort(26) & 0xffff
+    val bits = bb.getShort(28) & 0xffff
+    val compression = bb.getInt(30)
+    if (hdrSize < 40 || width <= 0 || heightRaw == 0 || planes != 1 ||
+      (bits != 24 && bits != 32) || compression != 0) return None
+    val height = math.abs(heightRaw.toLong)
+    val bpp = bits / 8
+    val stride = ((width.toLong * bpp + 3) / 4) * 4
+    if (dataOff < 54 ||
+      dataOff.toLong + stride * height > content.length) return None
+    var sr = 0.0
+    var sg = 0.0
+    var sb = 0.0
+    var lsum = 0.0
+    var lsq = 0.0
+    var y = 0L
+    while (y < height) {
+      val rowOff = dataOff + y * stride
+      var x = 0
+      while (x < width) {
+        // bounds proven by the Long stride check above; BMP stores BGR
+        val p = (rowOff + x.toLong * bpp).toInt
+        val b = content(p) & 0xff
+        val g = content(p + 1) & 0xff
+        val r = content(p + 2) & 0xff
+        sr += r; sg += g; sb += b
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        lsum += l
+        lsq += l * l
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toDouble * height
+    val lmean = lsum / n
+    Some(Row(id, content.length.toLong,
+      graft.functions.Hashing.fnv1a(content),
+      Seq(width.toDouble, height.toDouble, sr / n, sg / n, sb / n, lmean,
+        math.sqrt(math.max(lsq / n - lmean * lmean, 0.0)), bits.toDouble)))
+  }
+
   /** Batched feature extraction over the asset table: one decoder pass per
     * partition (mapPartitions — the Scala analogue of a batched
     * mapInPandas), emitting [[FeatureSchema]] rows. Dispatches on
     * `meta.mime`: `audio/wav` payloads go through the REAL PCM decoder
-    * ([[decodeWavPcm]], falling back to the stub on malformed bytes);
-    * everything else uses [[decodeStub]] (no image/video codecs exist in
-    * this environment). */
+    * ([[decodeWavPcm]]) and `image/bmp` through the REAL BMP decoder
+    * ([[decodeBmp]]), both falling back to the stub on malformed bytes;
+    * everything else uses [[decodeStub]] (compressed image/video formats
+    * need codecs that don't exist in this environment). */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(FeatureSchema)
     assets.select(col("id"), col("content"), col("meta.mime").as("mime"))
@@ -148,12 +212,16 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          if (r.getString(2) == "audio/wav")
-            // belt and braces: a decoder bug on adversarial bytes must
-            // degrade to the stub, never kill the task
-            scala.util.Try(decodeWavPcm(id, bytes)).toOption.flatten
-              .getOrElse(decodeStub(id, bytes))
-          else decodeStub(id, bytes)
+          // belt and braces: a decoder bug on adversarial bytes must
+          // degrade to the stub, never kill the task
+          val decoded = r.getString(2) match {
+            case "audio/wav" =>
+              scala.util.Try(decodeWavPcm(id, bytes)).toOption.flatten
+            case "image/bmp" =>
+              scala.util.Try(decodeBmp(id, bytes)).toOption.flatten
+            case _ => None
+          }
+          decoded.getOrElse(decodeStub(id, bytes))
         }
       }(enc)
   }

@@ -610,6 +610,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f0.getSeq[Double](3) == expect.getSeq[Double](3))
   }
 
+  test("decodeBmp extracts real image features from a synthesized BMP") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val s = spark
+    import s.implicits._
+    // 3x2 24-bit bottom-up BMP: stride 12 (3*3=9 padded to 12). Pixels
+    // (r,g,b): row0 = red green blue, row1 = white black gray(128)
+    val px = Array( // (r, g, b) in raster (top-down) order
+      (255, 0, 0), (0, 255, 0), (0, 0, 255),
+      (255, 255, 255), (0, 0, 0), (128, 128, 128))
+    def bmp(topDown: Boolean): Array[Byte] = {
+      val stride = 12
+      val bb = ByteBuffer.allocate(54 + stride * 2)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * 2)
+        .putInt(0).putInt(54) // reserved, pixel offset
+        .putInt(40).putInt(3).putInt(if (topDown) -2 else 2) // w, h
+        .putShort(1).putShort(24).putInt(0) // planes, bits, BI_RGB
+        .putInt(stride * 2).putInt(0).putInt(0).putInt(0).putInt(0)
+      val rows = if (topDown) Seq(0, 1) else Seq(1, 0) // bottom-up flips
+      for (row <- rows; xcol <- 0 until 3) {
+        val (r, g, b) = px(row * 3 + xcol)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte) // BGR on disk
+        if (xcol == 2) { bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte) }
+      }
+      bb.array()
+    }
+    val assets = Seq((1L, bmp(false)), (2L, bmp(true)),
+        (3L, "not a bmp".getBytes("UTF-8")))
+      .toDF("id", "content")
+      .select(col("id"), col("content"),
+        struct(lit("image/bmp").as("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val feats = Multimodal.extractFeatures(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val meanR = px.map(_._1).sum / 6.0
+    val meanG = px.map(_._2).sum / 6.0
+    val meanB = px.map(_._3).sum / 6.0
+    val lumas = px.map { case (r, g, b) => 0.299 * r + 0.587 * g + 0.114 * b }
+    val lmean = lumas.sum / 6.0
+    val lstd = math.sqrt(lumas.map(l => l * l).sum / 6.0 - lmean * lmean)
+    for (id <- Seq(1L, 2L)) { // stats are storage-order-free
+      val f = feats(id).getSeq[Double](3)
+      // [width, height, mean_r, mean_g, mean_b, luma_mean, luma_std, bits]
+      assert(f(0) == 3.0 && f(1) == 2.0 && f(7) == 24.0, s"id $id: $f")
+      assert(math.abs(f(2) - meanR) < 1e-9 && math.abs(f(3) - meanG) < 1e-9 &&
+        math.abs(f(4) - meanB) < 1e-9, s"id $id: $f")
+      assert(math.abs(f(5) - lmean) < 1e-9 && math.abs(f(6) - lstd) < 1e-9)
+    }
+    // malformed image/bmp falls back to the stub, not a crash
+    val fallback = Multimodal.decodeStub(3L, "not a bmp".getBytes("UTF-8"))
+    assert(feats(3L).getLong(2) == fallback.getLong(2))
+    assert(feats(3L).getSeq[Double](3) == fallback.getSeq[Double](3))
+  }
+
   test("decodeWavPcm extracts real signal features from a synthesized WAV") {
     import java.nio.{ByteBuffer, ByteOrder}
     val s = spark
