@@ -1148,6 +1148,8 @@ object SparkEntry {
           |WHERE NOT EXISTS (
           |  SELECT 1 FROM assigned b
           |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+          |    AND list_dot_product(a.e, a.e) > 0
+          |    AND list_dot_product(b.e, b.e) > 0
           |    AND list_cosine_similarity(a.e, b.e) >= 0.8)""".stripMargin,
 
       "q_sim_topk" -> exactTopKSql,

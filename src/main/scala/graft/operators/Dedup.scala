@@ -274,8 +274,11 @@ object Dedup {
                     windowWords: Int = 10): DataFrame = {
     require(windowWords >= 1, "windowWords must be >= 1")
     val w = lit(windowWords)
+    // coalesce: a NULL text must survive as (doc_id, "", ...) like an
+    // empty one — a null chunk key would never match the first-occurrence
+    // join and the document would vanish from the output
     val chunks = docs.select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("ws"))
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("ws"))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0),
           greatest(ceil(size(col("ws")) / w.cast("double")), lit(1L))

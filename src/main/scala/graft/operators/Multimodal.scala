@@ -164,8 +164,10 @@ object Multimodal {
     val height = math.abs(heightRaw.toLong)
     val bpp = bits / 8
     val stride = ((width.toLong * bpp + 3) / 4) * 4
-    if (dataOff < 54 ||
-      dataOff.toLong + stride * height > content.length) return None
+    // division form: stride * height can overflow even Long for an
+    // adversarial width × height, silently bypassing a product check
+    if (dataOff < 54 || dataOff > content.length ||
+      height > (content.length - dataOff).toLong / stride) return None
     var sr = 0.0
     var sg = 0.0
     var sb = 0.0

@@ -443,7 +443,16 @@ object Similarity {
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int = 16,
                lloydIters: Int = 0): DataFrame = {
-    val c = ivfPrep(emb, idCol, vecCol)
+    // NOT ivfPrep: its zero-norm exclusion is ranking semantics. A
+    // dedup operator must KEEP a zero vector (it duplicates nothing —
+    // cosine is undefined), so zero rows stay in the frame and the dup
+    // condition below guards the norms instead: without the guard,
+    // NaN >= t is TRUE under Spark's NaN-largest ordering and a zero
+    // vector would be swept as a duplicate of any lower-id cellmate.
+    val c = emb.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+      .localCheckpoint(false)
     val centroids = trainCentroids(c, nlist, lloydIters)
     if (centroids.isEmpty) {
       return emb.limit(0).select(col(idCol).as("id"), lit(0).as("cell"))
@@ -454,6 +463,7 @@ object Similarity {
         col("cnorm").as("norm"), col("cell"))
     val dup = col("a.cell") === col("b.cell") &&
       col("b.id") < col("a.id") &&
+      col("a.norm") > 0 && col("b.norm") > 0 &&
       cosineWithNorms(dotProduct(col("a.vec"), col("b.vec")),
         col("a.norm"), col("b.norm")) >= threshold
     assigned.as("a").join(assigned.as("b"), dup, "left_anti")
@@ -471,20 +481,23 @@ object Similarity {
     * all-pairs scoring is memory-bandwidth-limited. Results differ from
     * [[bruteForceTopK]] only by the quantization error (measured
     * fidelity ≥ 0.99995 cosine on the test corpus); the ranking itself
-    * is deterministic and exactly oracle-able. Zero vectors (cosine
-    * 0/0 = NaN, which Spark would order FIRST under desc) are excluded
-    * up front on the cheap float side — under the max-based scale a
-    * NONZERO vector always codes its max element to ±127, so the float
-    * zero check is exactly the all-zero-codes check, without
-    * duplicating the quantize+dot tree into a pushed-down predicate
-    * (measured 5× on the sf0.1 bench when filtering on selfdot). */
+    * is deterministic and exactly oracle-able. Zero-norm vectors
+    * (cosine 0/0 = NaN, which Spark would order FIRST under desc) are
+    * excluded up front on the cheap float side with the SAME l2-norm
+    * predicate as [[bruteForceTopK]] — so both paths agree on which ids
+    * participate, and the filter never duplicates the quantize+dot tree
+    * into a pushed-down predicate (measured 5× on the sf0.1 bench when
+    * filtering on selfdot instead). */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
     import graft.functions.Quantize
     import org.apache.spark.sql.graftext.Int8DotProduct
     def quantized(df: DataFrame, as: String, p: String) =
       df.select(col(idCol).as(as), toDouble(col(vecCol)).as("e"))
-        .filter(exists(col("e"), _ =!= 0.0))
+        // the SAME norm predicate as the exact path, so both paths agree
+        // on which ids participate even for subnormal vectors (where
+        // dot(v,v) underflows to 0) or NaN elements (norm NaN > 0 false)
+        .filter(l2Norm(col("e")) > 0)
         .withColumn("scale", Quantize.int8Scale(col("e")))
         .select(col(as),
           Quantize.int8Codes(col("e"), col("scale")).as(s"${p}codes"))

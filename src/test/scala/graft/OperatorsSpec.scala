@@ -270,7 +270,8 @@ class OperatorsSpec extends AnyFunSuite {
         |  (1L, 'a b c d'),
         |  (2L, 'x y c d z w'),
         |  (3L, 'c d a b'),
-        |  (4L, 'p q r') as t(doc_id, text)""".stripMargin)
+        |  (4L, 'p q r'),
+        |  (5L, cast(null as string)) as t(doc_id, text)""".stripMargin)
     val out = Dedup.dedupPassages(df, "doc_id", "text", windowWords = 2)
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
@@ -281,6 +282,9 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == (("", 0L, 2L)))
     // odd word count: the 1-word tail is its own passage
     assert(out(4L) == (("p q r", 2L, 0L)))
+    // NULL text survives as an empty doc — it must NOT vanish (a null
+    // chunk key would never match the first-occurrence join)
+    assert(out(5L) == (("", 1L, 0L)))
   }
 
   test("MinHashSketch aggregate matches the xxhash64 expression formulation") {
@@ -435,6 +439,18 @@ class OperatorsSpec extends AnyFunSuite {
     val dropped8 = allIds -- kept8
     assert(dropped8.forall(i =>
       dupPairs.exists { case (a, b) => b == i && a < i }))
+    // zero vectors duplicate NOTHING: they are kept, never swept (and
+    // never sweep others via NaN >= t, which is true in Spark)
+    val s = spark
+    import s.implicits._
+    val z = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val keptZ = Similarity.semDedup(z, "vec_id", "embedding", 0.9,
+      nlist = 1, lloydIters = 0).collect().map(_.getLong(0)).toSet
+    assert(keptZ == Set(0L, 1L, 3L)) // only the true dup (id 2) swept
   }
 
   test("zero vectors are excluded from every cosine ranking path") {
