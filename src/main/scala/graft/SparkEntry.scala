@@ -155,6 +155,14 @@ object SparkEntry {
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.buildVocab(t(s, dir, "documents"), "text", topN = 20)),
 
+    // deterministic train/val/test assignment: pure-integer hash
+    // bucketing, no float boundary for engines to disagree on
+    "q_sample_split" -> ((s, dir) =>
+      Curation.splitByHash(t(s, dir, "documents"),
+          Seq("train" -> 90L, "val" -> 5L, "test" -> 5L),
+          keyCols = Seq("doc_id"))
+        .select("doc_id", "source", "split")),
+
     // domain-mixture resampling: rebalance the corpus to target
     // proportions (the scarcest requested domain caps the total)
     "q_sample_mixture" -> ((s, dir) =>
@@ -1244,6 +1252,19 @@ object SparkEntry {
           |)
           |SELECT doc_id, lang, source FROM ranked
           |WHERE rnk <= ceil(n * 0.2)""".stripMargin,
+
+      // split oracle: same 48-bit hash prefix, same exact integer
+      // scale-and-shift bucketing (>> 48), same cumulative parts
+      "q_sample_split" ->
+        """SELECT doc_id, source,
+          |  CASE WHEN b < 90 THEN 'train'
+          |       WHEN b < 95 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM (
+          |  SELECT doc_id, source,
+          |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+          |      * 100) >> 48 AS b
+          |  FROM documents)""".stripMargin,
 
       // mixture oracle: same normalized weights, same T = min(n_d/w_d)
       // double math (LEFT JOIN keeps an absent requested domain as n=0),

@@ -36,6 +36,35 @@ object Curation {
       .drop("__rnk", "__n")
   }
 
+  /** Deterministic named split assignment (train/val/test): each row's
+    * content hash places it in exactly one split, with sizes
+    * proportional to integer `parts` (e.g. train 90, val 5, test 5).
+    * Row-local — a narrow projection at parquet-scan speed, retry- and
+    * repartition-stable, and engine-reproducible because the bucketing
+    * is PURE INTEGER math: the hash's first 48 bits are scaled by
+    * total-parts and floor-divided by 2⁴⁸, so there is no float
+    * boundary for two engines to disagree on. Stable under re-runs:
+    * a row's split never changes unless the parts themselves change.
+    * Returns the input plus a `split` column. */
+  def splitByHash(df: DataFrame, splits: Seq[(String, Long)],
+                  keyCols: Seq[String]): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 > 0), "every split needs parts > 0")
+    val total = splits.map(_._2).sum
+    // u48 * total must stay < 2^63 (Spark / in SQL is DOUBLE division,
+    // so the bucket uses an exact shift instead)
+    require(total <= (1L << 14), "total parts must fit 2^14 (hash is 48-bit)")
+    val bucket = shiftright(
+      conv(substring(hashKey(keyCols), 1, 12), 16, 10).cast("long") * total,
+      48)
+    val cum = splits.scanLeft(0L)(_ + _._2).tail
+    val expr = splits.zip(cum).dropRight(1).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), c), acc) =>
+      when(bucket < c, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Resample a corpus to a target domain mixture — the data-mixing
     * step of training-set assembly ("40% web, 30% code, 30% books"):
     * given desired PROPORTIONS per domain, compute the largest total T

@@ -780,6 +780,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(s5.size / n - 0.5) < 0.08)
   }
 
+  test("splitByHash assigns every row to exactly one split, stable and proportional") {
+    val splits = Seq("train" -> 90L, "val" -> 5L, "test" -> 5L)
+    val out = Curation.splitByHash(docs, splits, Seq("doc_id"))
+    val n = docs.count()
+    val byName = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total partition of the corpus, roughly proportional (hash-uniform)
+    assert(byName.values.sum == n)
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > n * 8 / 10 && byName("train") < n)
+    // stability: a re-run assigns identical splits per row
+    val a = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Curation.splitByHash(docs, splits, Seq("doc_id"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // refinement: splitting train further never moves val/test rows
+    // (buckets are a fixed function of the hash, independent of names)
+    val fine = Curation.splitByHash(docs,
+      Seq("t1" -> 45L, "t2" -> 45L, "val" -> 5L, "test" -> 5L),
+      Seq("doc_id")).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.filter(_._2 != "train").forall { case (id, s) => fine(id) == s })
+    assert(a.filter(_._2 == "train").forall { case (id, _) =>
+      fine(id) == "t1" || fine(id) == "t2" })
+  }
+
   test("resampleToMixture hits exact per-domain counts; scarcest domain caps the mix") {
     // lang strata in the test corpus are unequal; ask for proportions
     // that make a SMALL domain the binding constraint
