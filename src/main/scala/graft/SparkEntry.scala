@@ -176,6 +176,13 @@ object SparkEntry {
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionScores(t(s, dir, "documents"), "doc_id")),
 
+    // winnowing fingerprints: any shared (w+k-1)-word run between two
+    // docs shares a fingerprint, at ~2/(w+1) the density of shingles
+    "q_text_winnow" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(TextAnalysis.winnowedFingerprints(col("text"), 3, 4))
+          .as("fingerprint"))),
+
     "q_text_fingerprints" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1029,6 +1036,25 @@ object SparkEntry {
           |    round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
           |    ELSE 0.0 END AS dup_frac_3
           |FROM grams""".stripMargin,
+
+      // winnow oracle: identical 48-bit md5-prefix gram hashes, and the
+      // fingerprint SET depends only on window-minimum VALUES — no
+      // tie-break replication needed
+      "q_text_winnow" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |    [('0x' || substr(md5(array_to_string(w[i:(i+2)], ' ')), 1, 12))
+          |       ::BIGINT FOR i IN range(1, len(w) - 1)] AS h
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+          |f AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(h) = 0 THEN NULL
+          |         WHEN len(h) <= 4 THEN [list_min(h)]
+          |         ELSE list_distinct([list_min(h[i:(i+3)])
+          |                             FOR i IN range(1, len(h) - 2)])
+          |    END AS fps
+          |  FROM g)
+          |SELECT doc_id, unnest(fps) AS fingerprint FROM f""".stripMargin,
 
       "q_text_fingerprints" ->
         """SELECT doc_id,

@@ -112,6 +112,14 @@ object TextAnalysis {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
       "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]")
 
+  /** Winnowing fingerprints (see
+    * [[org.apache.spark.sql.graftext.WinnowedFingerprints]]): the
+    * sorted distinct window-minimum gram hashes — a ~2/(w+1)-density
+    * sketch with the guarantee that any shared `w + k − 1`-word run
+    * between two documents shares a fingerprint. */
+  def winnowedFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    org.apache.spark.sql.graftext.WinnowedFingerprints(text, k, w)
+
   /** Corpus vocabulary: the `topN` tokens by total frequency with their
     * document frequency and a deterministic rank (frequency desc, token
     * asc) — the precursor table for tokenizer training and stopword

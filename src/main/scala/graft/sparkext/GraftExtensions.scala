@@ -66,6 +66,16 @@ object GraftExtensions {
         require(children.size == 1, "simhash_sketch expects (shingles)")
         SimHashSketch(children.head)
       }),
+    ("winnowed_fingerprints",
+      new ExpressionInfo(classOf[WinnowedFingerprints].getName,
+        "winnowed_fingerprints"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "winnowed_fingerprints expects (text, k, w)")
+        WinnowedFingerprints(children.head,
+          intLiteral(children(1), "winnowed_fingerprints: k"),
+          intLiteral(children(2), "winnowed_fingerprints: w"))
+      }),
     ("int8_dot_product",
       new ExpressionInfo(classOf[Int8DotProduct].getName, "int8_dot_product"),
       (children: Seq[Expression]) => {

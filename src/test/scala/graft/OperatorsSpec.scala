@@ -50,6 +50,39 @@ class OperatorsSpec extends AnyFunSuite {
         .map("%02x".format(_)).mkString)
   }
 
+  test("winnowedFingerprints: guarantee, density, short docs, determinism") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7 words
+    val df = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"nine eight $shared seven six"),
+      (3L, "tiny doc"),          // < k words: no grams
+      (4L, "a b c"),             // exactly one gram: one fingerprint
+      (5L, s"one two $shared three four")) // identical to 1
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.winnowedFingerprints(col("text"), 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // winnowing guarantee: a shared w+k-1 = 6-word run forces a shared
+    // fingerprint; these docs share 7 words
+    assert((out(1L).toSet & out(2L).toSet).nonEmpty)
+    // identical docs: identical fingerprints; sorted, distinct
+    assert(out(1L) == out(5L))
+    assert(out(1L) == out(1L).distinct.sorted)
+    // density: far fewer fingerprints than grams (m = 9 grams here)
+    assert(out(1L).size < 9 && out(1L).nonEmpty)
+    assert(out(3L).isEmpty)
+    assert(out(4L).size == 1)
+    // SQL surface produces byte-identical fingerprints
+    org.apache.spark.sql.graftext.GraftExtensions.register(s)
+    df.createOrReplaceTempView("winnow_docs")
+    val viaSql = s.sql(
+      "select doc_id, winnowed_fingerprints(text, 3, 4) from winnow_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == out)
+  }
+
   test("buildVocab ranks tokens by frequency with doc frequency") {
     val df = spark.sql(
       """select * from values
