@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Dev utility: measured scaling of the round-4 dedup operators (the
+  * source of BASELINE.md's "Passage dedup / SemDeDup scale behavior"
+  * table).
+  *
+  * Corpus construction follows the established probes:
+  *   - documents are replicated with a per-replica suffix on EVERY word
+  *     — intra-replica repeated-passage structure is preserved exactly
+  *     (the same rewrite applies to every doc), while cross-replica
+  *     passages can never collide, so true duplicate volume scales
+  *     linearly with R;
+  *   - embeddings are replicated with circular shifts + planted
+  *     companions (the ScaleProbe construction — 100 true near-dups per
+  *     replica, replicas mutually at background cosine).
+  *
+  * For each scale it reports wall time and found-duplicate volume:
+  * passage dedup should scale ~linearly (two keyed shuffles), and
+  * semDedup ~linearly when nlist grows ∝ n (constant expected cell
+  * size keeps the within-cell pairwise sweep ∝ n·|cell|, the SemDeDup
+  * contract).
+  *
+  * Usage: runMain graft.CurationScaleProbe [replicas...] (default 1 4 16)
+  */
+object CurationScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(1, 4, 16)
+    val spark = LocalSession()
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id"), col("text"))
+    val emb = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val dim = 64
+
+    def docCorpus(r: Int): DataFrame = docs.select(
+      (col("doc_id") + r * 10000000L).as("doc_id"),
+      array_join(transform(split(col("text"), " "),
+        w => concat(w, lit("#" + r))), " ").as("text"))
+
+    def embCorpus(r: Int): DataFrame = {
+      val shift = r % dim
+      val shifted = emb.select(
+        (col("vec_id") + r * 1000000L).as("vec_id"),
+        (if (shift == 0) col("e")
+         else concat(slice(col("e"), shift + 1, dim - shift),
+           slice(col("e"), 1, shift))).as("e"))
+      val companions = shifted.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          zip_with(col("e"), reverse(col("e")),
+            (x, y) => x + lit(0.2) * y).as("e"))
+      shifted.union(companions)
+    }
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    replicas.foreach { rep =>
+      require(rep >= 1 && rep <= 64, "replicas in [1, 64] (shift injectivity)")
+      val dc = (0 until rep).map(docCorpus).reduce(_ union _)
+        .localCheckpoint(true)
+      val nd = dc.count()
+      // warm once, then measure (codegen + scan bring-up)
+      Dedup.dedupPassages(dc, "doc_id", "text", 10).count()
+      val (dropped, tPass) = timed {
+        Dedup.dedupPassages(dc, "doc_id", "text", 10)
+          .agg(sum(col("n_dropped"))).first().getLong(0)
+      }
+
+      val ec = (0 until rep).map(embCorpus).reduce(_ union _)
+        .localCheckpoint(true)
+      val ne = ec.count()
+      val planted = rep * 100L
+      // constant expected cell size (~64) — the SemDeDup scaling knob
+      val nlist = math.max(8, (ne / 64).toInt)
+      Similarity.semDedup(ec, "vec_id", "e", 0.8, nlist, 1).count()
+      val (kept, tSem) = timed {
+        Similarity.semDedup(ec, "vec_id", "e", 0.8, nlist, 1).count()
+      }
+      println(f"CURSCALE docs=$nd%7d passes=$tPass%6.1fs dropped=$dropped%7d | " +
+        f"vecs=$ne%7d nlist=$nlist%5d sem=$tSem%6.1fs " +
+        f"swept=${ne - kept}%6d (planted=$planted)")
+    }
+    spark.stop()
+  }
+}

@@ -175,13 +175,13 @@ object Similarity {
         .as("score"), lit(i).as("cell"))
     }
 
-  // greatest() needs ≥2 args; a single cell is just that cell; struct
-  // comparison breaks score ties toward the LARGER cell index
-  private def assignExpr(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scores = centroidStructs(vec, centroids)
-    (if (scores.size == 1) scores.head else greatest(scores: _*))
-      .getField("cell")
-  }
+  // One compiled argmax over the centroid matrix. The previous
+  // greatest()-over-structs Column tree grew the plan O(nlist·dim) —
+  // at nlist ≈ 500 (a 33k-vector SemDeDup probe) task binaries passed
+  // 1.6 MB and assignment dominated the runtime. Same scores, same
+  // larger-cell tie-break (oracle-pinned).
+  private def assignExpr(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftext.NearestCentroid(vec, centroids)
 
   /** Lloyd training over the prepped corpus. Deterministic init (the
     * `nlist` lowest-id vectors); only nlist×dim values ever reach the
