@@ -208,6 +208,18 @@ object SparkEntry {
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 64, bands = 32, threshold = 0.5)),
 
+    // incremental ingest: dedup an arriving batch (doc_id % 5 == 0)
+    // against the already-stored corpus (the rest) — cross-side pairs
+    // only, never corpus x corpus
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minHashLshPairsAgainst(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", n = 3, numHashes = 64, bands = 32,
+        threshold = 0.5)
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       // hammingMax=15 with 16 chunks sits exactly at the pigeonhole
       // recall guarantee (≤ chunks-1 flipped bits always share a chunk)
@@ -1107,6 +1119,31 @@ object SparkEntry {
       // subset + recall-bound instead).
       "q_dedup_minhash" -> shingleCte,
       "q_dedup_simhash" -> shingleCte,
+
+      // incremental oracle: exhaustive Jaccard restricted to
+      // corpus-side x batch-side pairs (same recall caveat as minhash)
+      "q_dedup_incremental" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |), sh AS (
+          |  SELECT doc_id,
+          |         CASE WHEN len(w) >= 3 THEN list_distinct(
+          |           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            FOR i IN range(1, greatest(len(w)-1, 1))])
+          |         ELSE [] END AS s
+          |  FROM toks
+          |), pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |         len(list_intersect(a.s, b.s)) AS n_common,
+          |         len(a.s) AS sa, len(b.s) AS sb
+          |  FROM sh a JOIN sh b
+          |    ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+          |  WHERE len(a.s) > 0 AND len(b.s) > 0
+          |)
+          |SELECT id_a, id_b,
+          |       round(n_common::DOUBLE / (sa + sb - n_common), 6) AS jaccard
+          |FROM pairs
+          |WHERE n_common::DOUBLE / (sa + sb - n_common) >= 0.5""".stripMargin,
 
       // connected components = min reachable id, via recursive walk over
       // the symmetric edge set of the exhaustive-Jaccard pair table

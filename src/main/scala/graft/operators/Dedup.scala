@@ -116,17 +116,11 @@ object Dedup {
     val rows = numHashes / bands
     val sh = shingled(docs, idCol, textCol, n)
 
-    // Signature via the one-pass MinHashSketch TypedImperativeAggregate:
-    // no generator multiplying rows before the partial aggregate, O(k)
-    // state per doc, hash-identical to the xxhash64(k, shingle)
-    // expression formulation (pinned by spec).
-    val sig = sh.groupBy(col("id")).agg(
-      org.apache.spark.sql.graftext.MinHashSketch(col("shingles"), numHashes)
-        .as("sig"))
-
-    val banded = sig.select(col("id"),
-        explode(bandBuckets(col("sig"), bands, rows)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Signature via the one-pass MinHashSketch TypedImperativeAggregate
+    // (inside bandedSignatures): no generator multiplying rows before
+    // the partial aggregate, O(k) state per doc, hash-identical to the
+    // xxhash64(k, shingle) expression formulation (pinned by spec).
+    val banded = bandedSignatures(sh, numHashes, bands, rows)
 
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -136,6 +130,54 @@ object Dedup {
       .distinct()
 
     verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** (id, band, bucket) rows of every document's banded MinHash
+    * signature — the LSH index layout shared by the one-corpus and
+    * incremental joins. */
+  private def bandedSignatures(sh: DataFrame, numHashes: Int,
+                               bands: Int, rows: Int): DataFrame =
+    sh.groupBy(col("id")).agg(
+        org.apache.spark.sql.graftext.MinHashSketch(col("shingles"), numHashes)
+          .as("sig"))
+      .select(col("id"),
+        explode(bandBuckets(col("sig"), bands, rows)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+
+  /** Near-duplicate pairs between a NEW batch and an EXISTING corpus —
+    * the incremental-ingest form of [[minHashLshPairs]]: an arriving
+    * batch is deduped against what is already stored without ever
+    * pairing corpus×corpus (that work happened when those documents
+    * arrived) or batch×batch (run [[minHashLshPairs]] on the batch for
+    * that). Candidates come from banded-signature buckets BETWEEN the
+    * sides only, then exact-Jaccard verification, so precision is 1.
+    * Output: (id_a = corpus id, id_b = batch id, jaccard) — feed to
+    * [[dropNearDuplicates]] with the batch frame to reject already-seen
+    * content.
+    *
+    * Scale shape: the corpus's banded signatures are re-derived here,
+    * but in steady state they are write-once — persist the
+    * (id, band, bucket) frame next to the corpus and append each
+    * accepted batch's bands — after which per-batch work is hashing the
+    * batch plus one bucket-keyed join ∝ the batch's bands, independent
+    * of corpus size. */
+  def minHashLshPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 3, numHashes: Int = 64,
+                             bands: Int = 32,
+                             threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val shNew = shingled(newDocs, idCol, textCol, n)
+    val shOld = shingled(corpus, idCol, textCol, n)
+    val candidates = bandedSignatures(shOld, numHashes, bands, rows).as("a")
+      .join(bandedSignatures(shNew, numHashes, bands, rows).as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard2(candidates, shOld, shNew, threshold)
   }
 
   /** One (band, bucket) struct per band of a MinHash signature: the
@@ -185,9 +227,17 @@ object Dedup {
     * the shingle sets — the standard rescoring stage after any sketch. */
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame =
+    verifyJaccard2(candidates, sh, sh, threshold)
+
+  /** Exact-Jaccard verification with distinct shingle frames per pair
+    * side (id_a from `shA`, id_b from `shB`) — the two-corpus form the
+    * incremental path needs; the one-corpus operators pass the same
+    * frame twice. */
+  private def verifyJaccard2(candidates: DataFrame, shA: DataFrame,
+                             shB: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(shA.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shB.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("n_common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))

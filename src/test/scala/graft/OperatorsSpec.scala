@@ -356,6 +356,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("minHashLshPairsAgainst finds exactly the cross-side near-dup pairs") {
+    // split the corpus: batch = ids % 5 == 0, corpus = the rest; the
+    // incremental pairs must be EXACTLY the exhaustive cross-side pairs
+    // (minhash recall is full on this corpus — same caveat as the
+    // one-corpus gate) and contain no same-side pair
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val got = Dedup.minHashLshPairsAgainst(batch, corpus,
+        "doc_id", "text", n = 3, numHashes = 64, bands = 32,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustive = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) } // both orientations
+      .filter { case (c, nw) => c % 5 != 0 && nw % 5 == 0 }
+      .toSet
+    assert(got == exhaustive)
+    assert(got.nonEmpty, "fixture must actually cross the split")
+    assert(got.forall { case (c, nw) => c % 5 != 0 && nw % 5 == 0 })
+  }
+
   test("scalar MinHashSignature equals the MinHashSketch aggregate per doc") {
     import org.apache.spark.sql.graftext.{MinHashSignature, MinHashSketch}
     val sh = docs.select(col("doc_id"),
