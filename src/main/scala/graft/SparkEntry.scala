@@ -155,6 +155,20 @@ object SparkEntry {
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.buildVocab(t(s, dir, "documents"), "text", topN = 20)),
 
+    // end-to-end curation pipeline: the oracled operators COMPOSE —
+    // exact dedup, then a repetition + length quality gate, then
+    // deterministic split assignment, one oracle over the whole chain
+    "q_pipeline_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .withColumn("dup2", TextAnalysis.dupNgramFraction(col("text"), 2))
+        .filter(col("dup2") <= 0.05 && col("n_tokens") >= 30)
+      Curation.splitByHash(gated,
+          Seq("train" -> 90L, "val" -> 5L, "test" -> 5L), Seq("doc_id"))
+        .select("doc_id", "lang", "source", "n_tokens", "split")
+    }),
+
     // deterministic train/val/test assignment: pure-integer hash
     // bucketing, no float boundary for engines to disagree on
     "q_sample_split" -> ((s, dir) =>
@@ -1315,6 +1329,31 @@ object SparkEntry {
           |)
           |SELECT doc_id, lang, source FROM ranked
           |WHERE rnk <= ceil(n * 0.2)""".stripMargin,
+
+      // pipeline oracle: the composed CTE chain of the per-operator
+      // oracles (dedup keep-min-id, dup-bigram + length gate, integer
+      // split bucketing)
+      "q_pipeline_curate" ->
+        """WITH keep AS (
+          |  SELECT *, row_number() OVER (PARTITION BY md5(text)
+          |    ORDER BY doc_id) AS rn FROM documents),
+          |gated AS (
+          |  SELECT doc_id, lang, source, len(w) AS n_tokens
+          |  FROM (SELECT *, string_split(text, ' ') AS w
+          |        FROM keep WHERE rn = 1)
+          |  WHERE len(w) >= 30 AND (CASE WHEN len(w) - 1 >= 1 THEN
+          |    round(1 - len(list_distinct(
+          |      [array_to_string(w[i:(i+1)], ' ') FOR i IN range(1, len(w))]
+          |      ))::DOUBLE / (len(w) - 1), 6) ELSE 0.0 END) <= 0.05)
+          |SELECT doc_id, lang, source, n_tokens,
+          |  CASE WHEN b < 90 THEN 'train'
+          |       WHEN b < 95 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM (
+          |  SELECT *,
+          |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+          |      * 100) >> 48 AS b
+          |  FROM gated)""".stripMargin,
 
       // split oracle: same 48-bit hash prefix, same exact integer
       // scale-and-shift bucketing (>> 48), same cumulative parts
