@@ -709,27 +709,47 @@ object SparkEntry {
     * practical in SQL — covered by a recall spec instead). */
   def oracleSql: Map[String, String] = {
     // shared DuckDB fragments (DuckDB 1.0: list comprehensions, list_*)
-    val shingleCte =
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(w) >= 3 THEN list_distinct(
-        |           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |            FOR i IN range(1, greatest(len(w)-1, 1))])
-        |         ELSE [] END AS s
-        |  FROM toks
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         len(list_intersect(a.s, b.s)) AS n_common,
-        |         len(a.s) AS sa, len(b.s) AS sb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(a.s) > 0 AND len(b.s) > 0
-        |)
-        |SELECT id_a, id_b,
-        |       round(n_common::DOUBLE / (sa + sb - n_common), 6) AS jaccard
-        |FROM pairs
-        |WHERE n_common::DOUBLE / (sa + sb - n_common) >= 0.5""".stripMargin
+    // exhaustive-Jaccard pair table, parameterized on the pair join
+    // predicate so the one-corpus and incremental gates share ONE
+    // definition of shingling and the jaccard math
+    def shingleCteOn(joinOn: String) =
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(w) >= 3 THEN list_distinct(
+         |           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |            FOR i IN range(1, greatest(len(w)-1, 1))])
+         |         ELSE [] END AS s
+         |  FROM toks
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_intersect(a.s, b.s)) AS n_common,
+         |         len(a.s) AS sa, len(b.s) AS sb
+         |  FROM sh a JOIN sh b ON $joinOn
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |)
+         |SELECT id_a, id_b,
+         |       round(n_common::DOUBLE / (sa + sb - n_common), 6) AS jaccard
+         |FROM pairs
+         |WHERE n_common::DOUBLE / (sa + sb - n_common) >= 0.5""".stripMargin
+    val shingleCte = shingleCteOn("a.doc_id < b.doc_id")
+    // 48-bit integer split bucketing + named-split CASE — shared by the
+    // standalone split gate and the composed pipeline gate
+    val splitBucketSql =
+      "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT" +
+        " * 100) >> 48"
+    val splitCaseSql =
+      """CASE WHEN b < 90 THEN 'train'
+        |       WHEN b < 95 THEN 'val'
+        |       ELSE 'test' END AS split""".stripMargin
+    // duplicated-bigram fraction over a token list column `w` — shared
+    // by the repetition gate and the pipeline quality gate
+    val dupBigramSql =
+      """(CASE WHEN len(w) - 1 >= 1 THEN
+        |    round(1 - len(list_distinct(
+        |      [array_to_string(w[i:(i+1)], ' ') FOR i IN range(1, len(w))]
+        |      ))::DOUBLE / (len(w) - 1), 6) ELSE 0.0 END)""".stripMargin
 
     // exact cosine top-5 for the ten query vectors — the oracle for the
     // brute-force entry AND every ANN entry run at its provably-exact
@@ -1042,26 +1062,22 @@ object SparkEntry {
           |FROM agg ORDER BY tf DESC, token LIMIT 20""".stripMargin,
 
       "q_text_repetition" ->
-        """WITH toks AS (
-          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-          |grams AS (
-          |  SELECT doc_id, w,
-          |    [array_to_string(w[i:(i+1)], ' ') FOR i IN range(1, len(w))]
-          |      AS g2,
-          |    [array_to_string(w[i:(i+2)], ' ') FOR i IN range(1, len(w)-1)]
-          |      AS g3
-          |  FROM toks)
-          |SELECT doc_id, len(w) AS n_words,
-          |  CASE WHEN len(w) >= 1 THEN
-          |    round(1 - len(list_distinct(w))::DOUBLE / len(w), 6)
-          |    ELSE 0.0 END AS dup_frac_1,
-          |  CASE WHEN len(g2) >= 1 THEN
-          |    round(1 - len(list_distinct(g2))::DOUBLE / len(g2), 6)
-          |    ELSE 0.0 END AS dup_frac_2,
-          |  CASE WHEN len(g3) >= 1 THEN
-          |    round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
-          |    ELSE 0.0 END AS dup_frac_3
-          |FROM grams""".stripMargin,
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |grams AS (
+           |  SELECT doc_id, w,
+           |    [array_to_string(w[i:(i+2)], ' ') FOR i IN range(1, len(w)-1)]
+           |      AS g3
+           |  FROM toks)
+           |SELECT doc_id, len(w) AS n_words,
+           |  CASE WHEN len(w) >= 1 THEN
+           |    round(1 - len(list_distinct(w))::DOUBLE / len(w), 6)
+           |    ELSE 0.0 END AS dup_frac_1,
+           |  $dupBigramSql AS dup_frac_2,
+           |  CASE WHEN len(g3) >= 1 THEN
+           |    round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+           |    ELSE 0.0 END AS dup_frac_3
+           |FROM grams""".stripMargin,
 
       // winnow oracle: identical 48-bit md5-prefix gram hashes, and the
       // fingerprint SET depends only on window-minimum VALUES — no
@@ -1137,27 +1153,7 @@ object SparkEntry {
       // incremental oracle: exhaustive Jaccard restricted to
       // corpus-side x batch-side pairs (same recall caveat as minhash)
       "q_dedup_incremental" ->
-        """WITH toks AS (
-          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-          |), sh AS (
-          |  SELECT doc_id,
-          |         CASE WHEN len(w) >= 3 THEN list_distinct(
-          |           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-          |            FOR i IN range(1, greatest(len(w)-1, 1))])
-          |         ELSE [] END AS s
-          |  FROM toks
-          |), pairs AS (
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |         len(list_intersect(a.s, b.s)) AS n_common,
-          |         len(a.s) AS sa, len(b.s) AS sb
-          |  FROM sh a JOIN sh b
-          |    ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
-          |  WHERE len(a.s) > 0 AND len(b.s) > 0
-          |)
-          |SELECT id_a, id_b,
-          |       round(n_common::DOUBLE / (sa + sb - n_common), 6) AS jaccard
-          |FROM pairs
-          |WHERE n_common::DOUBLE / (sa + sb - n_common) >= 0.5""".stripMargin,
+        shingleCteOn("a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0"),
 
       // connected components = min reachable id, via recursive walk over
       // the symmetric edge set of the exhaustive-Jaccard pair table
@@ -1334,39 +1330,28 @@ object SparkEntry {
       // oracles (dedup keep-min-id, dup-bigram + length gate, integer
       // split bucketing)
       "q_pipeline_curate" ->
-        """WITH keep AS (
-          |  SELECT *, row_number() OVER (PARTITION BY md5(text)
-          |    ORDER BY doc_id) AS rn FROM documents),
-          |gated AS (
-          |  SELECT doc_id, lang, source, len(w) AS n_tokens
-          |  FROM (SELECT *, string_split(text, ' ') AS w
-          |        FROM keep WHERE rn = 1)
-          |  WHERE len(w) >= 30 AND (CASE WHEN len(w) - 1 >= 1 THEN
-          |    round(1 - len(list_distinct(
-          |      [array_to_string(w[i:(i+1)], ' ') FOR i IN range(1, len(w))]
-          |      ))::DOUBLE / (len(w) - 1), 6) ELSE 0.0 END) <= 0.05)
-          |SELECT doc_id, lang, source, n_tokens,
-          |  CASE WHEN b < 90 THEN 'train'
-          |       WHEN b < 95 THEN 'val'
-          |       ELSE 'test' END AS split
-          |FROM (
-          |  SELECT *,
-          |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-          |      * 100) >> 48 AS b
-          |  FROM gated)""".stripMargin,
+        s"""WITH keep AS (
+           |  SELECT *, row_number() OVER (PARTITION BY md5(text)
+           |    ORDER BY doc_id) AS rn FROM documents),
+           |gated AS (
+           |  SELECT doc_id, lang, source, len(w) AS n_tokens
+           |  FROM (SELECT *, string_split(text, ' ') AS w
+           |        FROM keep WHERE rn = 1)
+           |  WHERE len(w) >= 30 AND $dupBigramSql <= 0.05)
+           |SELECT doc_id, lang, source, n_tokens,
+           |  $splitCaseSql
+           |FROM (
+           |  SELECT *, $splitBucketSql AS b
+           |  FROM gated)""".stripMargin,
 
       // split oracle: same 48-bit hash prefix, same exact integer
       // scale-and-shift bucketing (>> 48), same cumulative parts
       "q_sample_split" ->
-        """SELECT doc_id, source,
-          |  CASE WHEN b < 90 THEN 'train'
-          |       WHEN b < 95 THEN 'val'
-          |       ELSE 'test' END AS split
-          |FROM (
-          |  SELECT doc_id, source,
-          |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-          |      * 100) >> 48 AS b
-          |  FROM documents)""".stripMargin,
+        s"""SELECT doc_id, source,
+           |  $splitCaseSql
+           |FROM (
+           |  SELECT doc_id, source, $splitBucketSql AS b
+           |  FROM documents)""".stripMargin,
 
       // mixture oracle: same normalized weights, same T = min(n_d/w_d)
       // double math (LEFT JOIN keeps an absent requested domain as n=0),

@@ -165,16 +165,6 @@ object Similarity {
       .filter(col("cnorm") > 0)
       .localCheckpoint(false)
 
-  /** One struct per centroid: (score = dot − |c|²/2, cell). argmax of the
-    * score is the nearest cell by squared L2. */
-  private def centroidStructs(vec: Column,
-                              centroids: Seq[Seq[Double]]): Seq[Column] =
-    centroids.zipWithIndex.map { case (v, i) =>
-      val cCol = array(v.map(lit): _*)
-      struct((dotProduct(vec, cCol) - lit(v.map(x => x * x).sum / 2))
-        .as("score"), lit(i).as("cell"))
-    }
-
   // One compiled argmax over the centroid matrix. The previous
   // greatest()-over-structs Column tree grew the plan O(nlist·dim) —
   // at nlist ≈ 500 (a 33k-vector SemDeDup probe) task binaries passed
@@ -214,9 +204,13 @@ object Similarity {
   }
 
   /** Each query's `nprobe` nearest cells: (query_id, qvec, qnorm, cell).
-    * Tie-break toward the larger cell to MATCH the assignment's
-    * greatest()-struct tie behavior: duplicate centroids then probe the
-    * cell the corpus actually landed in, deterministically. */
+    * Tie-break toward the larger cell to MATCH the assignment's tie
+    * behavior: duplicate centroids then probe the cell the corpus
+    * actually landed in, deterministically. One narrow projection — the
+    * native top-K kernel replaced an explode-over-nlist-literal-structs
+    * + rank-window form that both carried the O(nlist·dim) plan-size
+    * flaw (see [[org.apache.spark.sql.graftext.NearestCentroid]]) and
+    * shuffled the query side for the window. */
   private[graft] def probeCells(queries: DataFrame, idCol: String, vecCol: String,
                          centroids: Seq[Seq[Double]],
                          nprobe: Int): DataFrame =
@@ -225,13 +219,8 @@ object Similarity {
       .withColumn("qnorm", l2Norm(col("qvec")))
       .filter(col("qnorm") > 0) // zero queries emit no rows
       .select(col("query_id"), col("qvec"), col("qnorm"),
-        explode(array(centroidStructs(col("qvec"), centroids): _*)).as("p"))
-      .withColumn("prank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("p.score").desc, col("p.cell").desc)))
-      .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        col("p.cell").as("cell"))
+        explode(org.apache.spark.sql.graftext.NearestCentroidsTopK(
+          col("qvec"), centroids, nprobe)).as("cell"))
 
   /** Score each query against its probed cells; two-stage rank-limit. */
   private def ivfScoreTopK(assigned: DataFrame, probes: DataFrame,
