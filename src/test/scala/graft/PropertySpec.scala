@@ -209,4 +209,53 @@ class PropertySpec extends AnyFunSuite {
       assert(hashed.size == expect.size)
     }
   }
+
+  test("property: winnowing guarantee — a shared (w+k-1)-word run forces a shared fingerprint") {
+    val s = spark
+    import s.implicits._
+    val word = Gen.oneOf((1 to 12).map(i => s"t$i"))
+    val gen = for {
+      a <- Gen.listOfN(8, word)
+      b <- Gen.listOfN(8, word)
+      run <- Gen.listOfN(6, word) // w + k - 1 = 4 + 3 - 1 = 6
+      posA <- Gen.choose(0, a.size)
+      posB <- Gen.choose(0, b.size)
+    } yield (
+      (a.take(posA) ++ run ++ a.drop(posA)).mkString(" "),
+      (b.take(posB) ++ run ++ b.drop(posB)).mkString(" "))
+    forAll(gen, 20) { case (ta, tb) =>
+      val out = Seq((1L, ta), (2L, tb)).toDF("id", "t")
+        .select(col("id"),
+          operators.TextAnalysis.winnowedFingerprints(col("t"), 3, 4).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert((out(1L) & out(2L)).nonEmpty,
+        s"no shared fingerprint:\n  $ta\n  $tb")
+    }
+  }
+
+  test("property: dedupPassages keeps each distinct passage exactly once, corpus-wide") {
+    val s = spark
+    import s.implicits._
+    val word = Gen.oneOf("a", "b", "c") // tiny vocab forces collisions
+    val doc = Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, word))
+    val gen = Gen.listOfN(5, doc)
+    forAll(gen, 10) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = operators.Dedup.dedupPassages(df, "doc_id", "text", 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // every input doc comes back, and kept+dropped = its chunk count
+      assert(out.length == docs.size)
+      out.foreach { case (id, _, kept, dropped) =>
+        val n = docs(id.toInt).size
+        assert(kept + dropped == (n + 1) / 2, s"doc $id")
+      }
+      // corpus-wide: each distinct passage's first occurrence is kept
+      // exactly once, so total kept = distinct chunk count
+      val allChunks = docs.flatMap(_.grouped(2).map(_.mkString(" ")))
+      assert(out.map(_._3).sum == allChunks.distinct.size)
+    }
+  }
 }

@@ -137,6 +137,47 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("dedupPassages plans a map-side partial min, not a window") {
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.Dedup.dedupPassages(docs, "doc_id", "text", 10)
+    out.collect() // finalize AQE before inspecting
+    val plan = ScaleOpsSpec.finalPlan(out)
+    // the first-occurrence computation must be the skew-safe aggregate
+    // form: partial_min below the passage-keyed exchange, and no Window
+    // operator anywhere (a window over a hot passage pins one task)
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("buildVocab plans the top-N as TakeOrderedAndProject") {
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.TextAnalysis.buildVocab(docs, "text", 10)
+    out.collect()
+    // orderBy+limit must plan as the per-partition-heap form — a global
+    // Sort before the limit would materialize the whole token table
+    val plan = ScaleOpsSpec.finalPlan(out)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("IVF probe side is a narrow projection (no exchange, no window)") {
+    val emb = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val centroids = (0 until 8).map(i =>
+      (0 until 64).map(j => (i * 64 + j) * 0.01))
+    val probes = graft.operators.Similarity.probeCells(
+      queries, "vec_id", "embedding", centroids, 2)
+    probes.collect()
+    val plan = ScaleOpsSpec.finalPlan(probes)
+    // the native top-K kernel replaced an explode+rank-window form that
+    // shuffled the query side; probing must stay shuffle-free
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("nearest_centroids_topk"), plan)
+  }
+
   test("saltedStats equals direct aggregation") {
     val events = graft.sources.Sources.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type"), col("value"))
