@@ -163,6 +163,67 @@ object StreamOps {
       }
   }
 
+  /** Streaming passage-level dedup — the Structured Streaming form of
+    * `Dedup.dedupPassages`: each arriving document is split into
+    * non-overlapping `windowWords`-word passages, a passage already
+    * seen IN ARRIVAL ORDER within the watermark horizon is dropped, and
+    * the survivors are reassembled per document. Emits
+    * (doc_id, text_deduped, n_kept, n_dropped) once the watermark
+    * closes the document's window — one row per document, a
+    * fully-duplicated document included (a per-document marker row
+    * rides through the chunk dedup so no document can vanish).
+    *
+    * Inherent divergence from batch, documented rather than hidden:
+    * batch "first occurrence" is (doc_id, position) order; streaming is
+    * ARRIVAL order, and two documents sharing a new passage in the SAME
+    * micro-batch race for it (exactly one wins). Feed in id order, one
+    * batch at a time, and the output equals the batch operator
+    * (spec-pinned). State: one row per distinct passage within the
+    * watermark horizon (`dropDuplicatesWithinWatermark`) plus the
+    * per-window reassembly counters — both engine-owned, both
+    * watermark-bounded. */
+  def dedupPassagesStream(docs: Dataset[StreamDoc], windowWords: Int = 10,
+                          watermark: String = "2 hours"): DataFrame = {
+    require(windowWords >= 1, "windowWords must be >= 1")
+    val w = lit(windowWords)
+    val nChunks = greatest(
+      ceil(size(col("ws")) / w.cast("double")), lit(1L)).cast("int")
+    val withWs = docs.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        graft.operators.TextAnalysis.tokens(coalesce(col("text"), lit("")))
+          .as("ws"))
+    val chunked = withWs
+      .select(col("doc_id"), col("ts"),
+        lit(null).cast("long").as("total"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("ws"), i * w + 1, w), " ")))
+          .as(Seq("ci", "chunk")))
+    // one marker row per document: its key is NUL-prefixed (the same
+    // reserved separator hashKey uses), so no whitespace-split passage
+    // can collide with it unless the text itself contains NUL; it
+    // always survives the chunk dedup, so a fully-duplicated document
+    // still emits its row, and it carries the doc's total chunk count
+    // for the dropped computation
+    val markers = withWs
+      .select(col("doc_id"), col("ts"), nChunks.cast("long").as("total"),
+        lit(-1).as("ci"),
+        concat(lit("\u0000doc:"), col("doc_id")).as("chunk"))
+    chunked.unionByName(markers)
+      .dropDuplicatesWithinWatermark("chunk")
+      .groupBy(window(col("ts"), "1 second"), col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("ci") >= 0,
+            struct(col("ci"), col("chunk"))))),
+          _.getField("chunk")), " ").as("text_deduped"),
+        sum(when(col("ci") >= 0, 1L).otherwise(0L)).as("n_kept"),
+        (max(col("total")) -
+          sum(when(col("ci") >= 0, 1L).otherwise(0L))).as("n_dropped"))
+      .select(col("doc_id"), col("text_deduped"),
+        col("n_kept"), col("n_dropped"))
+  }
+
   /** Streaming benchmark decontamination — the Structured Streaming form
     * of `Curation.contaminationFlags`: each arriving document is flagged
     * when it shares ≥ `minShared` distinct n-gram shingles with the

@@ -599,6 +599,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(u7 == Seq(FunnelOut(7, 1, false), FunnelOut(7, 2, true)))
   }
 
+  test("dedupPassagesStream equals batch dedupPassages under id-order arrival") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def doc(id: Long, text: String, sec: Int) =
+      StreamDoc(id, text, Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"))
+    // mirrors the batch spec's fixture: repeated span, full duplicate,
+    // short tail, null text
+    val ds = Seq(
+      doc(1, "a b c d", 1),
+      doc(2, "x y c d z w", 2),
+      doc(3, "c d a b", 3),
+      doc(4, "p q r", 4),
+      doc(5, null, 5))
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.dedupPassagesStream(input.toDS(), windowWords = 2,
+      watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("passages_stream")
+      .outputMode("append").start()
+    // one doc per micro-batch, in id order: streaming first-ARRIVAL
+    // equals batch first-(doc_id, position)
+    ds.foreach { d => input.addData(d); q.processAllAvailable() }
+    // sentinel pushes the watermark past every document's window
+    input.addData(StreamDoc(99, "zz", Timestamp.valueOf("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql(
+        "select * from passages_stream where doc_id < 99")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val batch = graft.operators.Dedup.dedupPassages(
+        ds.toDF().select(col("doc_id"), col("text")),
+        "doc_id", "text", windowWords = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(streamed == batch)
+    // the fully-duplicated doc 3 must still be present, empty
+    assert(streamed(3L) == (("", 0L, 2L)))
+  }
+
   test("decontaminateStream equals batch contaminationFlags on out-of-order input") {
     import graft.streaming.StreamOps.StreamDoc
     val s = spark
