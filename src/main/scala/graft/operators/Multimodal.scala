@@ -147,7 +147,17 @@ object Multimodal {
     * stub instead of killing the task. All size arithmetic runs in Long:
     * an adversarial width near Int.MaxValue would overflow the stride
     * check and read out of bounds otherwise. */
-  def decodeBmp(id: Long, content: Array[Byte]): Option[Row] = {
+  /** Parsed uncompressed-BMP layout: (width, height, topDown, bytes per
+    * pixel, pixel-array offset, row stride). */
+  private[operators] case class BmpLayout(width: Int, height: Int,
+                                          topDown: Boolean, bpp: Int,
+                                          dataOff: Int, stride: Long)
+
+  /** Header parse + bounds proof shared by decode and resize. All size
+    * arithmetic runs in Long with the DIVISION-form bound: an
+    * adversarial width × height can overflow even a Long product and
+    * silently bypass a product check. */
+  private[operators] def parseBmp(content: Array[Byte]): Option[BmpLayout] = {
     import java.nio.{ByteBuffer, ByteOrder}
     if (content.length < 54) return None
     val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
@@ -164,10 +174,19 @@ object Multimodal {
     val height = math.abs(heightRaw.toLong)
     val bpp = bits / 8
     val stride = ((width.toLong * bpp + 3) / 4) * 4
-    // division form: stride * height can overflow even Long for an
-    // adversarial width × height, silently bypassing a product check
     if (dataOff < 54 || dataOff > content.length ||
       height > (content.length - dataOff).toLong / stride) return None
+    Some(BmpLayout(width, height.toInt, heightRaw < 0, bpp, dataOff, stride))
+  }
+
+  def decodeBmp(id: Long, content: Array[Byte]): Option[Row] = {
+    val layout = parseBmp(content).getOrElse(return None)
+    val width = layout.width
+    val height = layout.height.toLong
+    val bpp = layout.bpp
+    val dataOff = layout.dataOff
+    val stride = layout.stride
+    val bits = bpp * 8
     var sr = 0.0
     var sg = 0.0
     var sb = 0.0
@@ -228,10 +247,75 @@ object Multimodal {
       }(enc)
   }
 
-  /** STUB resize: real image resize needs a codec; the stub keeps the
-    * Spark shape (narrow binary→binary projection, codegen'd substring)
-    * by truncating/padding the payload to `targetBytes`. Swap the column
-    * expression for a decode→resize→encode UDF per `meta.mime`. */
+  /** REAL image resize for the decodable format: `image/bmp` payloads
+    * are nearest-neighbor-resampled to `targetW` × `targetH` and
+    * re-encoded as minimal 24-bit bottom-up BMPs (metadata n_bytes
+    * updated); every other row — other mimes, malformed BMPs — passes
+    * through unchanged, so the operator is safe to run over a mixed
+    * corpus. Batched per partition like [[extractFeatures]]; compressed
+    * formats would slot into the same dispatch with a codec. */
+  def resizeBmp(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, "target dims must be >= 1")
+    val enc = ExpressionEncoder(
+      org.apache.spark.sql.types.StructType(Seq(
+        StructField("id", LongType),
+        StructField("content", BinaryType),
+        StructField("meta", MetaSchema))))
+    assets.select(col("id"), col("content"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val meta = r.getStruct(2)
+          val resized =
+            if (meta.getString(0) == "image/bmp")
+              scala.util.Try(resampleBmp(bytes, targetW, targetH))
+                .toOption.flatten
+            else None
+          resized match {
+            case Some(out) => Row(id, out,
+              Row(meta.getString(0), meta.getString(1), out.length.toLong))
+            case None => Row(id, bytes, meta)
+          }
+        }
+      }(enc)
+  }
+
+  /** Nearest-neighbor BMP resample, re-encoded 24-bit bottom-up. */
+  private def resampleBmp(content: Array[Byte], targetW: Int,
+                          targetH: Int): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val l = parseBmp(content).getOrElse(return None)
+    val outStride = ((targetW * 3 + 3) / 4) * 4
+    val out = ByteBuffer.allocate(54 + outStride * targetH)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + outStride * targetH)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(targetW).putInt(targetH)
+      .putShort(1).putShort(24).putInt(0)
+      .putInt(outStride * targetH).putInt(0).putInt(0).putInt(0).putInt(0)
+    var yOut = targetH - 1 // write bottom-up: last raster row first
+    while (yOut >= 0) {
+      var x = 0
+      while (x < targetW) {
+        val srcX = (x.toLong * l.width / targetW).toInt
+        val srcYRaster = (yOut.toLong * l.height / targetH).toInt
+        val srcRow = if (l.topDown) srcYRaster else l.height - 1 - srcYRaster
+        val p = (l.dataOff + srcRow * l.stride + srcX.toLong * l.bpp).toInt
+        out.put(content(p)).put(content(p + 1)).put(content(p + 2)) // BGR
+        x += 1
+      }
+      var pad = targetW * 3
+      while (pad < outStride) { out.put(0.toByte); pad += 1 }
+      yOut -= 1
+    }
+    Some(out.array())
+  }
+
+  /** STUB resize for formats without a codec in this environment: keeps
+    * the Spark shape (narrow binary→binary projection, codegen'd
+    * substring) by truncating/padding the payload to `targetBytes`.
+    * `image/bmp` has the real path above ([[resizeBmp]]). */
   def resizeStub(assets: DataFrame, targetBytes: Int): DataFrame =
     assets
       .withColumn("content",

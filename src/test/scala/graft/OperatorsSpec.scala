@@ -734,6 +734,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(3L).getSeq[Double](3) == fallback.getSeq[Double](3))
   }
 
+  test("resizeBmp nearest-neighbor-resamples BMPs; other rows pass through") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val s = spark
+    import s.implicits._
+    // 4x1 24-bit bottom-up BMP, pixels (r,g,b) left-to-right:
+    // red, green, blue, white — stride 12 (4*3, already aligned)
+    val px = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255))
+    val bb = ByteBuffer.allocate(54 + 12).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + 12).putInt(0).putInt(54)
+      .putInt(40).putInt(4).putInt(1).putShort(1).putShort(24).putInt(0)
+      .putInt(12).putInt(0).putInt(0).putInt(0).putInt(0)
+    px.foreach { case (r, g, b) =>
+      bb.put(b.toByte).put(g.toByte).put(r.toByte) }
+    val bmp = bb.array()
+    val assets = Seq((1L, bmp, "image/bmp"),
+        (2L, "not an image".getBytes("UTF-8"), "text/plain"),
+        (3L, "corrupt".getBytes("UTF-8"), "image/bmp"))
+      .toDF("id", "content", "mime")
+      .select(col("id"), col("content"),
+        struct(col("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val out = Multimodal.resizeBmp(assets, targetW = 2, targetH = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // nearest neighbor at 4->2: srcX = x*4/2 = {0, 2} -> red, blue
+    val resized = out(1L).getAs[Array[Byte]](1)
+    val feats = Multimodal.decodeBmp(1L, resized).get.getSeq[Double](3)
+    assert(feats(0) == 2.0 && feats(1) == 1.0) // new dims
+    assert(feats(2) == 127.5 && feats(3) == 0.0 && feats(4) == 127.5,
+      s"means $feats") // mean of red+blue channels
+    assert(out(1L).getStruct(2).getLong(2) == resized.length.toLong)
+    // non-BMP and malformed rows pass through byte-identical
+    assert(out(2L).getAs[Array[Byte]](1).sameElements(
+      "not an image".getBytes("UTF-8")))
+    assert(out(3L).getAs[Array[Byte]](1).sameElements(
+      "corrupt".getBytes("UTF-8")))
+  }
+
   test("decodeWavPcm extracts real signal features from a synthesized WAV") {
     import java.nio.{ByteBuffer, ByteOrder}
     val s = spark
