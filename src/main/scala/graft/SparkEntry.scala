@@ -289,6 +289,15 @@ object SparkEntry {
         threshold = 0.8, numPlanes = 8, tables = 12)
     }),
 
+    // PQ ANN: 8 subspaces x 16 codes = 8 bytes/vector corpus storage,
+    // ADC-scored; lloydIters = 0 makes train->encode->score->rank
+    // exactly replicable by the oracle
+    "q_sim_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, m = 8, ksub = 16, lloydIters = 0)
+    }),
+
     // SemDeDup: k-means cells bound the pairwise sweep; lloydIters = 0
     // keeps the deterministic lowest-id centroid init, so the cell
     // layout (and thus the kept set) is exactly reproducible in the
@@ -1196,6 +1205,56 @@ object SparkEntry {
           |  round(list_cosine_similarity(a.e, b.e), 6) AS cosine
           |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
           |WHERE list_cosine_similarity(a.e, b.e) >= 0.8""".stripMargin,
+
+      // PQ oracle: replicate the lowest-id codebook init, the
+      // per-subspace argmax encoding (score desc, cid desc — mirrors
+      // NearestCentroid), and the ADC cosine with pinned fold orders
+      // (list_reduce == the kernel's left-to-right accumulation)
+      "q_sim_pq" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), cb AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+          |  FROM v ORDER BY vec_id LIMIT 16
+          |), cbl AS (
+          |  SELECT list(ce ORDER BY cid) AS cbs FROM cb
+          |), codes AS (
+          |  SELECT vec_id, list(cid ORDER BY j) AS code FROM (
+          |    SELECT vec_id, j, cid FROM (
+          |      SELECT v.vec_id, t.j AS j, cb.cid,
+          |        row_number() OVER (PARTITION BY v.vec_id, t.j ORDER BY
+          |          list_dot_product(v.e[(t.j*8+1):((t.j+1)*8)],
+          |                           cb.ce[(t.j*8+1):((t.j+1)*8)])
+          |          - list_dot_product(cb.ce[(t.j*8+1):((t.j+1)*8)],
+          |                             cb.ce[(t.j*8+1):((t.j+1)*8)]) / 2
+          |          DESC, cb.cid DESC) AS rn
+          |      FROM v, range(8) t(j), cb
+          |      WHERE list_dot_product(v.e, v.e) > 0)
+          |    WHERE rn = 1)
+          |  GROUP BY vec_id
+          |), scored AS (
+          |  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+          |    list_reduce(
+          |      [list_dot_product(q.e[(j*8+1):((j+1)*8)],
+          |         cbl.cbs[cd.code[j+1]+1][(j*8+1):((j+1)*8)])
+          |       FOR j IN range(8)], (a, b) -> a + b)
+          |    / (sqrt(list_dot_product(q.e, q.e)) *
+          |       sqrt(list_reduce(
+          |         [list_dot_product(cbl.cbs[cd.code[j+1]+1][(j*8+1):((j+1)*8)],
+          |            cbl.cbs[cd.code[j+1]+1][(j*8+1):((j+1)*8)])
+          |          FOR j IN range(8)], (a, b) -> a + b))) AS cos_raw
+          |  FROM v q, codes cd, cbl
+          |  WHERE q.vec_id < 10 AND q.vec_id <> cd.vec_id
+          |    AND list_dot_product(q.e, q.e) > 0
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
+          |    round(cos_raw, 6) AS cosine
+          |  FROM scored
+          |)
+          |SELECT query_id, neighbor_id, rank, cosine
+          |FROM ranked WHERE rank <= 5""".stripMargin,
 
       // SemDeDup oracle: replicate the deterministic centroid init (8
       // lowest-id vectors, lloydIters=0), the argmax cell assignment

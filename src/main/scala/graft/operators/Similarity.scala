@@ -413,6 +413,83 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Product-quantization codebooks: the vector space is split into `m`
+    * contiguous subspaces and each gets its own `ksub`-centroid
+    * codebook. `lloydIters = 0` keeps the deterministic lowest-id init
+    * (codebook j = subspace-j slices of the `ksub` lowest-id vectors) —
+    * one bounded driver collect, exactly replicable by an external
+    * oracle; `lloydIters > 0` runs per-subspace Lloyd refinement via
+    * the shared trainer (m bounded Spark aggregations). */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, ksub: Int,
+                       lloydIters: Int = 0): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && ksub >= 1, "m and ksub must be >= 1")
+    val base = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cvec"))
+    val dim = probeDim(corpus, vecCol)
+    if (dim == 0) return Seq.fill(m)(Seq.empty)
+    require(dim % m == 0, s"m = $m must divide dim = $dim")
+    val dsub = dim / m
+    if (lloydIters == 0) {
+      val init = base.orderBy(col("neighbor_id")).limit(ksub).collect()
+        .map(_.getSeq[Double](1))
+      (0 until m).map(j =>
+        init.map(v => v.slice(j * dsub, (j + 1) * dsub)).toSeq)
+    } else {
+      (0 until m).map { j =>
+        val sliced = base.select(col("neighbor_id"),
+          slice(col("cvec"), j * dsub + 1, dsub).as("cvec"))
+        trainCentroids(sliced, ksub, lloydIters).toSeq
+      }
+    }
+  }
+
+  /** PQ ANN top-k (asymmetric distance): the corpus is stored as `m`
+    * small codebook indices per vector (32–64× smaller than float —
+    * the standard billion-vector layout), queries stay float, and every
+    * pair is scored with the compiled ADC kernel
+    * ([[org.apache.spark.sql.graftext.PqAdcCosine]] — the codebook
+    * rides inside the expression, never in the plan). Encoding reuses
+    * the [[org.apache.spark.sql.graftext.NearestCentroid]] argmax per
+    * subspace, so assignment ties and scores are engine-replicable;
+    * with `lloydIters = 0` the whole path — train, encode, score,
+    * rank — is deterministic and exactly oracle-able. `ksub` ≥ corpus
+    * size degenerates to exact search (every vector reconstructs
+    * itself; spec-pinned). Zero-norm vectors are excluded like every
+    * ranking path. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+             lloydIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.graftext.{NearestCentroid, PqAdcCosine}
+    val cbs = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, lloydIters)
+    if (cbs.head.isEmpty) {
+      return queries.limit(0).select(
+        col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cosine"))
+    }
+    val dsub = cbs.head.head.size
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+      .filter(col("cnorm") > 0)
+      .withColumn("codes", array((0 until m).map(j =>
+        NearestCentroid(slice(col("cvec"), j * dsub + 1, dsub),
+          cbs(j))): _*))
+      .select(col("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+      .filter(col("qnorm") > 0)
+      .select(col("query_id"), col("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", PqAdcCosine(col("qvec"), col("codes"), cbs))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Semantic dedup (SemDeDup-style, Abbas et al. 2023): k-means the
     * corpus into `nlist` cells, then WITHIN each cell drop every vector
     * whose cosine to a lower-id cellmate is ≥ `threshold`; returns the

@@ -552,6 +552,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("pqTopK: self-encoding degenerate equals exact search; lossy recall is sane") {
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rank"))).toSet
+    val n = emb.count().toInt
+    // ksub >= corpus: every vector's nearest codebook entry per subspace
+    // is its own slice, reconstruction is exact, so ADC cosine = exact
+    // cosine and the ranking must match brute force
+    val exact = rows(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", 5))
+    assert(rows(Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+      m = 8, ksub = n)) == exact)
+    // realistic compression (16 codes x 8 subspaces = 8 bytes/vector):
+    // top-5 recall well above chance
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+        m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & exact.map(t => (t._1, t._2))).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("ivfTopK with full probe equals exact brute-force search") {
     val queries = emb.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
