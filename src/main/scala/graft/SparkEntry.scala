@@ -377,6 +377,24 @@ object SparkEntry {
         k = 5, nprobe = 16)
     }),
 
+    // the persisted IVF-PQ index — coarse cells prune at the file level
+    // (like q_sim_ivf_indexed) and the payload is 8 codebook indices per
+    // vector (like q_sim_pq). nprobe = nlist probes every cell, which
+    // provably equals pqTopK at the same codebooks, so
+    // build→persist→prune→ADC-score runs end-to-end under the q_sim_pq
+    // DuckDB oracle.
+    "q_sim_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfpq_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val (centroids, codebooks) = Similarity.buildIvfPqIndex(
+        emb, "vec_id", "embedding", idx,
+        nlist = 16, m = 8, ksub = 16, lloydIters = 1, pqLloydIters = 0)
+      Similarity.ivfTopKIndexedPq(idx, centroids, codebooks,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 16)
+    }),
+
     // ---- events: windowed aggregation + sessionization ----
 
     "q_events_window" -> ((s, dir) =>
@@ -759,6 +777,58 @@ object SparkEntry {
         |    round(1 - len(list_distinct(
         |      [array_to_string(w[i:(i+1)], ' ') FOR i IN range(1, len(w))]
         |      ))::DOUBLE / (len(w) - 1), 6) ELSE 0.0 END)""".stripMargin
+
+    // PQ ADC cosine top-5: lowest-id codebook init, per-subspace argmax
+    // encoding (score desc, cid desc — mirrors NearestCentroid), ADC
+    // cosine with pinned fold orders (list_reduce == the kernel's
+    // left-to-right accumulation). Oracle for the brute-force PQ entry
+    // AND the persisted IVF-PQ index probed at nprobe = nlist (provably
+    // the same search)
+    val pqTopKSql =
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), cb AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |  FROM v ORDER BY vec_id LIMIT 16
+        |), cbl AS (
+        |  SELECT list(ce ORDER BY cid) AS cbs FROM cb
+        |), codes AS (
+        |  SELECT vec_id, list(cid ORDER BY j) AS code FROM (
+        |    SELECT vec_id, j, cid FROM (
+        |      SELECT v.vec_id, t.j AS j, cb.cid,
+        |        row_number() OVER (PARTITION BY v.vec_id, t.j ORDER BY
+        |          list_dot_product(v.e[(t.j*8+1):((t.j+1)*8)],
+        |                           cb.ce[(t.j*8+1):((t.j+1)*8)])
+        |          - list_dot_product(cb.ce[(t.j*8+1):((t.j+1)*8)],
+        |                             cb.ce[(t.j*8+1):((t.j+1)*8)]) / 2
+        |          DESC, cb.cid DESC) AS rn
+        |      FROM v, range(8) t(j), cb
+        |      WHERE list_dot_product(v.e, v.e) > 0)
+        |    WHERE rn = 1)
+        |  GROUP BY vec_id
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+        |    list_reduce(
+        |      [list_dot_product(q.e[(j*8+1):((j+1)*8)],
+        |         cbl.cbs[cd.code[j+1]+1][(j*8+1):((j+1)*8)])
+        |       FOR j IN range(8)], (a, b) -> a + b)
+        |    / (sqrt(list_dot_product(q.e, q.e)) *
+        |       sqrt(list_reduce(
+        |         [list_dot_product(cbl.cbs[cd.code[j+1]+1][(j*8+1):((j+1)*8)],
+        |            cbl.cbs[cd.code[j+1]+1][(j*8+1):((j+1)*8)])
+        |          FOR j IN range(8)], (a, b) -> a + b))) AS cos_raw
+        |  FROM v q, codes cd, cbl
+        |  WHERE q.vec_id < 10 AND q.vec_id <> cd.vec_id
+        |    AND list_dot_product(q.e, q.e) > 0
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
+        |    round(cos_raw, 6) AS cosine
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin
 
     // exact cosine top-5 for the ten query vectors — the oracle for the
     // brute-force entry AND every ANN entry run at its provably-exact
@@ -1210,51 +1280,11 @@ object SparkEntry {
       // per-subspace argmax encoding (score desc, cid desc — mirrors
       // NearestCentroid), and the ADC cosine with pinned fold orders
       // (list_reduce == the kernel's left-to-right accumulation)
-      "q_sim_pq" ->
-        """WITH v AS (
-          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-          |), cb AS (
-          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
-          |  FROM v ORDER BY vec_id LIMIT 16
-          |), cbl AS (
-          |  SELECT list(ce ORDER BY cid) AS cbs FROM cb
-          |), codes AS (
-          |  SELECT vec_id, list(cid ORDER BY j) AS code FROM (
-          |    SELECT vec_id, j, cid FROM (
-          |      SELECT v.vec_id, t.j AS j, cb.cid,
-          |        row_number() OVER (PARTITION BY v.vec_id, t.j ORDER BY
-          |          list_dot_product(v.e[(t.j*8+1):((t.j+1)*8)],
-          |                           cb.ce[(t.j*8+1):((t.j+1)*8)])
-          |          - list_dot_product(cb.ce[(t.j*8+1):((t.j+1)*8)],
-          |                             cb.ce[(t.j*8+1):((t.j+1)*8)]) / 2
-          |          DESC, cb.cid DESC) AS rn
-          |      FROM v, range(8) t(j), cb
-          |      WHERE list_dot_product(v.e, v.e) > 0)
-          |    WHERE rn = 1)
-          |  GROUP BY vec_id
-          |), scored AS (
-          |  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
-          |    list_reduce(
-          |      [list_dot_product(q.e[(j*8+1):((j+1)*8)],
-          |         cbl.cbs[cd.code[j+1]+1][(j*8+1):((j+1)*8)])
-          |       FOR j IN range(8)], (a, b) -> a + b)
-          |    / (sqrt(list_dot_product(q.e, q.e)) *
-          |       sqrt(list_reduce(
-          |         [list_dot_product(cbl.cbs[cd.code[j+1]+1][(j*8+1):((j+1)*8)],
-          |            cbl.cbs[cd.code[j+1]+1][(j*8+1):((j+1)*8)])
-          |          FOR j IN range(8)], (a, b) -> a + b))) AS cos_raw
-          |  FROM v q, codes cd, cbl
-          |  WHERE q.vec_id < 10 AND q.vec_id <> cd.vec_id
-          |    AND list_dot_product(q.e, q.e) > 0
-          |), ranked AS (
-          |  SELECT query_id, neighbor_id,
-          |    CAST(row_number() OVER (PARTITION BY query_id
-          |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
-          |    round(cos_raw, 6) AS cosine
-          |  FROM scored
-          |)
-          |SELECT query_id, neighbor_id, rank, cosine
-          |FROM ranked WHERE rank <= 5""".stripMargin,
+      "q_sim_pq" -> pqTopKSql,
+
+      // persisted IVF-PQ index probed at nprobe = nlist ⇒ identical to
+      // pqTopK at the same codebooks (same oracle)
+      "q_sim_ivfpq" -> pqTopKSql,
 
       // SemDeDup oracle: replicate the deterministic centroid init (8
       // lowest-id vectors, lloydIters=0), the argmax cell assignment

@@ -490,6 +490,81 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Train and PERSIST the IVF-PQ index — coarse IVF cells for
+    * file-level pruning with PQ codes as the payload, the standard
+    * billion-vector layout (inverted file + asymmetric distance,
+    * Jégou et al. 2011). The persisted row is (neighbor_id, codes[m]) —
+    * m small codebook indices instead of dim floats, so the index pays
+    * neither the float storage of [[buildIvfIndex]] nor the dim-bytes
+    * payload of the SQ8 index, on top of the same partition pruning.
+    * Codebooks are trained on the RAW vectors (not cell residuals) so
+    * indexed scoring is bit-identical to [[pqTopK]] under the same
+    * codebooks — at nprobe = nlist the two are provably equal (every
+    * cell probed ⇒ exact search over the PQ-coded corpus — the oracle
+    * form). Same empty-corpus stale-index cleanup as the other
+    * builders. Returns (coarse centroids, PQ codebooks) — persist both
+    * next to the index for reuse. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      indexPath: String, nlist: Int = 16, m: Int = 8,
+                      ksub: Int = 16, lloydIters: Int = 2,
+                      pqLloydIters: Int = 0)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    import org.apache.spark.sql.graftext.NearestCentroid
+    val c = ivfPrep(corpus, idCol, vecCol)
+    val centroids = trainCentroids(c, nlist, lloydIters)
+    if (centroids.isEmpty) {
+      val path = new org.apache.hadoop.fs.Path(indexPath)
+      path.getFileSystem(
+        corpus.sparkSession.sessionState.newHadoopConf())
+        .delete(path, true)
+      return (Seq.empty, Seq.empty)
+    }
+    val cbs = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, pqLloydIters)
+    val dsub = cbs.head.head.size
+    c.withColumn("cell", assignExpr(col("cvec"), centroids.toSeq))
+      .withColumn("codes", array((0 until m).map(j =>
+        NearestCentroid(slice(col("cvec"), j * dsub + 1, dsub),
+          cbs(j))): _*))
+      .select(col("neighbor_id"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    (centroids.toSeq, cbs)
+  }
+
+  /** ANN top-k over a persisted IVF-PQ index: the query batch's probed
+    * cells become a literal partition filter like [[ivfTopKIndexed]]
+    * (the scan reads only those cells' FILES), and each surviving row
+    * costs one compiled ADC pass over m ints like [[pqTopK]]. At
+    * nprobe = nlist this equals [[pqTopK]] at the same (m, ksub,
+    * pqLloydIters) exactly — the oracle form; empty centroids (empty
+    * corpus) yield the same empty frame as every ranking path. */
+  def ivfTopKIndexedPq(indexPath: String, centroids: Seq[Seq[Double]],
+                       codebooks: Seq[Seq[Seq[Double]]],
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftext.PqAdcCosine
+    if (centroids.isEmpty) {
+      return queries.limit(0).select(
+        col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cosine"))
+    }
+    val probes = probeCells(queries, idCol, vecCol, centroids, nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+      .localCheckpoint(false) // read twice: cell-id collect + score join
+    val cellIds = probes.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val idx = queries.sparkSession.read.parquet(indexPath)
+      .filter(col("cell").isin(cellIds: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    idx.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        PqAdcCosine(col("qvec"), col("codes"), codebooks))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Semantic dedup (SemDeDup-style, Abbas et al. 2023): k-means the
     * corpus into `nlist` cells, then WITHIN each cell drop every vector
     * whose cosine to a lower-id cellmate is ≥ `threshold`; returns the

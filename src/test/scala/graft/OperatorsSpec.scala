@@ -641,6 +641,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.matches("(?s).*PartitionFilters: \\[\\].*"), plan)
   }
 
+  test("persisted IVF-PQ index equals pqTopK at full probe and prunes partitions") {
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf-pq").toString
+    val queries = emb.filter(col("vec_id") < 5)
+    val (centroids, codebooks) = Similarity.buildIvfPqIndex(emb, "vec_id",
+      "embedding", dir2, nlist = 8, m = 8, ksub = 16, lloydIters = 1,
+      pqLloydIters = 0)
+    assert(centroids.size == 8 && codebooks.size == 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rank"),
+        r.getAs[Double]("cosine"))).toSet
+    // full probe == exact search over the PQ-coded corpus, which is
+    // pqTopK at the same codebooks by definition — assignment-
+    // independent, can't flake on Lloyd's float-aggregation order
+    val full = Similarity.ivfTopKIndexedPq(dir2, centroids, codebooks,
+      queries, "vec_id", "embedding", k = 5, nprobe = 8)
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+      m = 8, ksub = 16, lloydIters = 0)
+    assert(rows(full) == rows(pq))
+    // the persisted payload is m codebook indices, not vectors
+    val idx = spark.read.parquet(dir2)
+    assert(idx.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = true))
+    assert(!idx.schema.fieldNames.contains("cvec"))
+    // pruning reaches the file level, same as the float and SQ8 indexes
+    val pruned = Similarity.ivfTopKIndexedPq(dir2, centroids, codebooks,
+      queries, "vec_id", "embedding", k = 5, nprobe = 1)
+    assert(pruned.collect().nonEmpty)
+    val plan = ScaleOpsSpec.finalPlan(pruned)
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(!plan.matches("(?s).*PartitionFilters: \\[\\].*"), plan)
+  }
+
   test("ivfTopK partial probe trades recall for cost") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
