@@ -76,6 +76,15 @@ object CurationScaleProbe {
         Dedup.dedupPassages(dc, "doc_id", "text", 10)
           .agg(sum(col("n_dropped"))).first().getLong(0)
       }
+      // boilerplate shares the chunking and shuffle structure with
+      // passage dedup; chunks never collide across replicas (per-replica
+      // word suffix), so each replica's df distribution is identical and
+      // a fixed threshold keeps dropped volume exactly ∝ R
+      Dedup.removeBoilerplate(dc, "doc_id", "text", 10, 3).count()
+      val (bpDropped, tBp) = timed {
+        Dedup.removeBoilerplate(dc, "doc_id", "text", 10, 3)
+          .agg(sum(col("n_dropped"))).first().getLong(0)
+      }
 
       val ec = (0 until rep).map(embCorpus).reduce(_ union _)
         .localCheckpoint(true)
@@ -87,7 +96,8 @@ object CurationScaleProbe {
       val (kept, tSem) = timed {
         Similarity.semDedup(ec, "vec_id", "e", 0.8, nlist, 1).count()
       }
-      println(f"CURSCALE docs=$nd%7d passes=$tPass%6.1fs dropped=$dropped%7d | " +
+      println(f"CURSCALE docs=$nd%7d passes=$tPass%6.1fs dropped=$dropped%7d " +
+        f"boiler=$tBp%6.1fs bpDropped=$bpDropped%7d | " +
         f"vecs=$ne%7d nlist=$nlist%5d sem=$tSem%6.1fs " +
         f"swept=${ne - kept}%6d (planted=$planted)")
     }

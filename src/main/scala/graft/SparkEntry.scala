@@ -214,6 +214,14 @@ object SparkEntry {
       Dedup.dedupPassages(t(s, dir, "documents"), "doc_id", "text",
         windowWords = 10)),
 
+    // boilerplate (line-frequency) filter: a 10-word passage present in
+    // >= 3 distinct documents is template, not content — dropped from
+    // ALL of them (dedupPassages spares the first occurrence; this
+    // spares none)
+    "q_text_boilerplate" -> ((s, dir) =>
+      Dedup.removeBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+        windowWords = 10, minDocs = 3)),
+
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
@@ -315,6 +323,13 @@ object SparkEntry {
     }),
 
     // ---- similarity search ----
+
+    // per-label centroids: mean-pool + unit-normalize — the standard
+    // reduction for domain profiles / cluster summaries / k-NN
+    // prototypes; decimal summation makes the means bit-stable
+    "q_sim_centroids" -> ((s, dir) =>
+      Similarity.meanPoolByKey(t(s, dir, "embeddings"), "label",
+        "embedding", normalize = true)),
 
     "q_sim_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -453,6 +468,21 @@ object SparkEntry {
           sum(col("n_chars")).as("total_chars"),
           round(expr("percentile(n_chars, 0.5D)"), 6).as("median_chars"),
           sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))),
+
+    // multi-dimensional rollup (grouping sets): per-(lang, source),
+    // per-lang, and grand-total stats in ONE pass — Spark expands the
+    // grouping sets inside a single hash aggregate (one shuffle), vs
+    // three scans + a union by hand. Integer aggregates only, so the
+    // rollup is hash-stable by construction.
+    "q_text_rollup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(size(split(col("text"), " ")).cast("long"))
+            .as("total_tokens"))),
 
     // ---- dataset curation: reproducible sampling + sequence packing ----
 
@@ -1212,6 +1242,28 @@ object SparkEntry {
           |  count(*) FILTER (NOT first) AS n_dropped
           |FROM marked GROUP BY doc_id""".stripMargin,
 
+      // same chunking CTE as q_dedup_passages; boilerplate = chunk in
+      // >= 3 distinct docs, dropped everywhere (no keeper)
+      "q_text_boilerplate" ->
+        """WITH chunks AS (
+          |  SELECT doc_id, i AS ci,
+          |         array_to_string(ws[(i*10+1):((i+1)*10)], ' ') AS chunk
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |       unnest(range(CAST(greatest(ceil(len(ws)/10.0), 1) AS BIGINT)))
+          |         AS t(i)),
+          |boiler AS (
+          |  SELECT chunk FROM chunks
+          |  GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3),
+          |flagged AS (
+          |  SELECT c.doc_id, c.ci, c.chunk, b.chunk IS NULL AS keep
+          |  FROM chunks c LEFT JOIN boiler b USING (chunk))
+          |SELECT doc_id,
+          |  coalesce(array_to_string(list(chunk ORDER BY ci)
+          |             FILTER (keep), ' '), '') AS text_cleaned,
+          |  count(*) FILTER (keep) AS n_kept,
+          |  count(*) FILTER (NOT keep) AS n_dropped
+          |FROM flagged GROUP BY doc_id""".stripMargin,
+
       "q_dedup_jaccard" -> shingleCte,
 
       "q_dedup_clean" ->
@@ -1322,6 +1374,31 @@ object SparkEntry {
           |    AND list_dot_product(b.e, b.e) > 0
           |    AND list_cosine_similarity(a.e, b.e) >= 0.8)""".stripMargin,
 
+      // centroid oracle: identical shape — round-9 elements, DECIMAL
+      // sums (order-independent), one double division, round-6 mean,
+      // unit-normalize from the ROUNDED mean
+      "q_sim_centroids" ->
+        """WITH v AS (
+          |  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), dims AS (
+          |  SELECT label, i AS pos,
+          |    CAST(sum(CAST(round(e[i], 9) AS DECIMAL(38,12))) AS DOUBLE)
+          |      / count(*) AS m,
+          |    count(*) AS cnt
+          |  FROM v, unnest(range(1, CAST(len(e) AS BIGINT) + 1)) AS t(i)
+          |  GROUP BY label, i
+          |), pooled AS (
+          |  SELECT label, max(cnt) AS n_vectors,
+          |    [round(m, 6) FOR m IN list(m ORDER BY pos)] AS mean6
+          |  FROM dims GROUP BY label
+          |)
+          |SELECT label AS key, n_vectors,
+          |  CASE WHEN sqrt(list_dot_product(mean6, mean6)) > 0
+          |       THEN [round(x / sqrt(list_dot_product(mean6, mean6)), 6)
+          |             FOR x IN mean6]
+          |       ELSE mean6 END AS centroid
+          |FROM pooled""".stripMargin,
+
       "q_sim_topk" -> exactTopKSql,
 
       // numPlanes = 0 ⇒ identical to exact top-k (same oracle)
@@ -1402,6 +1479,16 @@ object SparkEntry {
           |  round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
           |FROM documents GROUP BY 1""".stripMargin,
+
+      // ROLLUP grouping sets: DuckDB's subtotal rows carry NULL in the
+      // rolled-up columns exactly like Spark's
+      "q_text_rollup" ->
+        """SELECT lang, source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+          |    AS total_tokens
+          |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
 
       // same hash (md5 of the decimal id string), same rank/threshold math
       "q_sample_stratified" ->

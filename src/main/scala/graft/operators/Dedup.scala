@@ -322,19 +322,7 @@ object Dedup {
     * doc_id), both with map-side partials. */
   def dedupPassages(docs: DataFrame, idCol: String, textCol: String,
                     windowWords: Int = 10): DataFrame = {
-    require(windowWords >= 1, "windowWords must be >= 1")
-    val w = lit(windowWords)
-    // coalesce: a NULL text must survive as (doc_id, "", ...) like an
-    // empty one — a null chunk key would never match the first-occurrence
-    // join and the document would vanish from the output
-    val chunks = docs.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("ws"))
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0),
-          greatest(ceil(size(col("ws")) / w.cast("double")), lit(1L))
-            .cast("int") - 1),
-        i => array_join(slice(col("ws"), i * w + 1, w), " ")))
-        .as(Seq("ci", "chunk")))
+    val chunks = wordChunks(docs, idCol, textCol, windowWords)
     val firsts = chunks.groupBy(col("chunk"))
       .agg(min(struct(col("doc_id"), col("ci"))).as("keeper"))
     chunks.join(firsts, "chunk")
@@ -348,6 +336,68 @@ object Dedup {
           _.getField("chunk")), " ").as("text_deduped"),
         sum(when(col("first"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("first"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  /** (doc_id, ci, chunk): each document split into consecutive
+    * non-overlapping `windowWords`-word passages — shared by the
+    * passage dedup and boilerplate operators. coalesce: a NULL text
+    * must survive as (doc_id, "", ...) like an empty one — a null chunk
+    * key would never match the frequency join and the document would
+    * vanish from the output. */
+  private def wordChunks(docs: DataFrame, idCol: String, textCol: String,
+                         windowWords: Int): DataFrame = {
+    require(windowWords >= 1, "windowWords must be >= 1")
+    val w = lit(windowWords)
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("ws"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          greatest(ceil(size(col("ws")) / w.cast("double")), lit(1L))
+            .cast("int") - 1),
+        i => array_join(slice(col("ws"), i * w + 1, w), " ")))
+        .as(Seq("ci", "chunk")))
+  }
+
+  /** Boilerplate removal (C4/RefinedWeb-style line-frequency filter):
+    * every `windowWords`-word passage whose exact text occurs in at
+    * least `minDocs` DISTINCT documents is dropped from ALL of them
+    * (headers, footers, cookie banners — spans whose corpus-wide
+    * document frequency marks them as template, not content), and the
+    * survivors are reassembled in document order. Differs from
+    * [[dedupPassages]] in both the trigger (distinct-document
+    * frequency, not any repeat) and the action (no first occurrence is
+    * spared).
+    *
+    * Output: (doc_id, text_cleaned, n_kept, n_dropped) — one row per
+    * input document; a fully-boilerplate document survives with
+    * text_cleaned = "" and n_kept = 0.
+    *
+    * Scale shape: document frequency is a two-level hash aggregate
+    * (chunk+doc partial collapse map-side, then per-chunk distinct
+    * count); the boilerplate set is bounded by corpusPassages/minDocs
+    * and shrinks as the threshold rises, so AQE broadcasts the join
+    * back at realistic thresholds. Two keyed shuffles (chunk, then
+    * doc_id), both with map-side partials — the same posture as
+    * [[dedupPassages]]. */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        windowWords: Int = 10,
+                        minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 — 1 would drop everything")
+    val chunks = wordChunks(docs, idCol, textCol, windowWords)
+    val boiler = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("chunk"), lit(true).as("bp"))
+    chunks.join(boiler, Seq("chunk"), "left")
+      .withColumn("keep", col("bp").isNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("ci"), col("chunk"))))),
+          _.getField("chunk")), " ").as("text_cleaned"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold — exact

@@ -657,6 +657,45 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Group-wise embedding pooling: the per-key mean vector (domain /
+    * label / cluster centroids — the standard reduction for
+    * source-level semantic profiles, retrieval-cluster summaries, and
+    * k-NN classifier prototypes). Output: (key, n_vectors, centroid),
+    * centroid elements rounded to 6 decimals; `normalize = true`
+    * rescales the (rounded) mean to unit L2 norm — zero means stay
+    * zero rather than dividing by 0.
+    *
+    * Determinism: each element is rounded to 9 decimals and summed as
+    * DECIMAL — exact, order-independent addition — then one double
+    * division by the count, so the centroid is bit-identical across
+    * partitionings (and engines), like the BM25/LM scores. Scale
+    * shape: posexplode + two-level hash aggregate — per-(key, dim)
+    * partials collapse map-side, the shuffle carries keys × dim skinny
+    * rows, and nothing collects. */
+  def meanPoolByKey(emb: DataFrame, keyCol: String, vecCol: String,
+                    normalize: Boolean = false): DataFrame = {
+    val byDim = emb
+      .select(col(keyCol).as("key"), toDouble(col(vecCol)).as("vec"))
+      .select(col("key"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("key"), col("pos"))
+      .agg((sum(round(col("x"), 9).cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("m"), count(lit(1)).as("cnt"))
+    val pooled = byDim.groupBy(col("key"))
+      // per-dim counts are all the group size for a well-formed (fixed
+      // dim) embedding column; max() also gives ragged input a defined
+      // meaning (densest dimension's support)
+      .agg(max(col("cnt")).as("n_vectors"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => round(s.getField("m"), 6)).as("mean"))
+    val out =
+      if (!normalize) pooled.withColumn("centroid", col("mean"))
+      else pooled.withColumn("centroid",
+        when(l2Norm(col("mean")) > 0,
+          transform(col("mean"), x => round(x / l2Norm(col("mean")), 6)))
+          .otherwise(col("mean")))
+    out.select(col("key"), col("n_vectors"), col("centroid"))
+  }
+
   /** Distinct colliding (id_a < id_b) pairs of `v` (columns `id`, `vec`)
     * under the banded sign-bucket layout — the verify-stage candidate
     * volume of [[lshNearDupPairs]]. `private[graft]` so the scale probe

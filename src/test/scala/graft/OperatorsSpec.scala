@@ -320,6 +320,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) == (("", 1L, 0L)))
   }
 
+  test("removeBoilerplate drops frequent passages from every document") {
+    // window of 2; 'c d' is in 3 distinct docs (boilerplate at
+    // minDocs=3), 'a b' in only 2 (content), and doc 4 repeats 'c d'
+    // twice — df counts DISTINCT docs, so that inflates nothing
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'a b c d'),
+        |  (2L, 'x y c d z w'),
+        |  (3L, 'a b e f'),
+        |  (4L, 'c d c d'),
+        |  (5L, cast(null as string)) as t(doc_id, text)""".stripMargin)
+    val out = Dedup.removeBoilerplate(df, "doc_id", "text",
+        windowWords = 2, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // unlike dedupPassages, NO occurrence is spared — not even the first
+    assert(out(1L) == (("a b", 1L, 1L)))
+    assert(out(2L) == (("x y z w", 2L, 1L)))
+    assert(out(3L) == (("a b e f", 2L, 0L)))
+    // fully-boilerplate document survives, empty
+    assert(out(4L) == (("", 0L, 2L)))
+    // NULL text survives as an empty doc
+    assert(out(5L) == (("", 1L, 0L)))
+  }
+
   test("MinHashSketch aggregate matches the xxhash64 expression formulation") {
     val sh = docs.limit(50).select(col("doc_id").as("id"),
       TextAnalysis.hashedShingles(col("text"), 3).as("shingles"))
@@ -672,6 +697,29 @@ class OperatorsSpec extends AnyFunSuite {
     val plan = ScaleOpsSpec.finalPlan(pruned)
     assert(plan.contains("PartitionFilters: ["), plan)
     assert(!plan.matches("(?s).*PartitionFilters: \\[\\].*"), plan)
+  }
+
+  test("meanPoolByKey computes per-key means; normalize yields unit centroids") {
+    val df = spark.sql(
+      """select * from values
+        |  (1, array(1.0D, 0.0D)),
+        |  (1, array(3.0D, 2.0D)),
+        |  (2, array(0.0D, 0.0D)),
+        |  (3, array(0.0D, 5.0D)) as t(label, emb)""".stripMargin)
+    val raw = Similarity.meanPoolByKey(df, "label", "emb")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(raw(1) == ((2L, Seq(2.0, 1.0))))
+    assert(raw(2) == ((1L, Seq(0.0, 0.0))))
+    assert(raw(3) == ((1L, Seq(0.0, 5.0))))
+    val unit = Similarity.meanPoolByKey(df, "label", "emb",
+        normalize = true)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](2)).toMap
+    // |(2,1)| = sqrt(5); rounded to 6 decimals
+    assert(unit(1) == Seq(0.894427, 0.447214))
+    // a zero mean stays zero instead of dividing by 0
+    assert(unit(2) == Seq(0.0, 0.0))
+    assert(unit(3) == Seq(0.0, 1.0))
   }
 
   test("ivfTopK partial probe trades recall for cost") {
