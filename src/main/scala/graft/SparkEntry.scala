@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Curation, Dedup, Events, LanguageModel, Multimodal, RangeJoin, Similarity, TextAnalysis, TextSearch}
+import graft.operators.{AsOfJoin, Curation, Dedup, Events, LanguageModel, Multimodal, RangeJoin, Similarity, TextAnalysis, TextClassify, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -517,6 +517,38 @@ object SparkEntry {
             size(array_distinct(split(col("text"), " "))).cast("double")),
           col("n_types"), q = 0.6)
         .select(col("doc_id"), col("n_types"))),
+
+    // token-budget curriculum selection: per language, take documents
+    // best-first (longest here — the deterministic stand-in for a model
+    // quality score) until the 2k-token budget is spent; prefix
+    // semantics make the kept set a contiguous quality prefix
+    "q_curation_budget" -> ((s, dir) =>
+      Curation.selectByTokenBudget(t(s, dir, "documents"),
+          budgetTokens = 2000, domainCols = Seq("lang"),
+          quality = col("n_chars"), idCol = "doc_id",
+          tokens = size(split(col("text"), " ")))
+        .select("doc_id", "lang", "cum_tokens")),
+
+    // DSIR-style importance weights: every doc scored by target-vs-raw
+    // hashed-unigram log-likelihood ratio (target = the English split);
+    // positive log_ratio = looks like the target corpus
+    "q_sample_importance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.importanceWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 1024)
+    }),
+
+    // Naive-Bayes language classifier: train on 90% of the corpus with
+    // its lang labels, classify the held-out 10% — the exact-arithmetic
+    // stand-in for a fastText-style curation filter model
+    "q_text_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextClassify.naiveBayesClassify(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        labelCol = "lang", idCol = "doc_id", textCol = "text",
+        keepCols = Seq("lang"))
+    }),
 
     // token-budget sequence packing: concat-then-chunk assignment per
     // language shard, one row per pack
@@ -1071,6 +1103,94 @@ object SparkEntry {
           |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
           |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob
           |FROM scored GROUP BY 1""".stripMargin,
+
+      // prefix-of-the-ranked-stream budget semantics: inclusive running
+      // token sum per lang ordered (n_chars DESC, doc_id), kept while
+      // it fits — exact integers, no float boundary
+      "q_curation_budget" ->
+        """WITH c AS (
+          |  SELECT doc_id, lang,
+          |    CAST(sum(len(string_split(text, ' '))) OVER (
+          |      PARTITION BY lang ORDER BY n_chars DESC, doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          |  FROM documents
+          |)
+          |SELECT doc_id, lang, cum_tokens FROM c
+          |WHERE cum_tokens <= 2000""".stripMargin,
+
+      // DSIR weights: same md5-prefix bucket hash as the weighted-sample
+      // oracle, add-k unigram models over 1024 buckets, per-token
+      // round-9 log-ratios subtracted and summed as DECIMAL
+      "q_sample_importance" ->
+        """WITH tok AS (
+          |  SELECT doc_id, lang,
+          |    ('0x' || substr(md5(tk), 1, 12))::BIGINT % 1024 AS b
+          |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk
+          |        FROM documents)
+          |), tgt AS (
+          |  SELECT b, count(*)::BIGINT AS ct FROM tok WHERE lang = 'en'
+          |  GROUP BY 1
+          |), raw AS (
+          |  SELECT b, count(*)::BIGINT AS cr FROM tok GROUP BY 1
+          |), nt AS (SELECT sum(ct)::BIGINT AS n FROM tgt),
+          |nr AS (SELECT sum(cr)::BIGINT AS n FROM raw),
+          |lr AS (
+          |  SELECT tok.doc_id,
+          |    CAST(round(ln((COALESCE(tgt.ct, 0)::DOUBLE + 0.5)
+          |      / (nt.n::DOUBLE + (0.5 * 1024))), 9) AS DECIMAL(28,9))
+          |    - CAST(round(ln((COALESCE(raw.cr, 0)::DOUBLE + 0.5)
+          |      / (nr.n::DOUBLE + (0.5 * 1024))), 9) AS DECIMAL(28,9)) AS d
+          |  FROM tok LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b), nt, nr
+          |)
+          |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+          |  round(CAST(sum(d) AS DOUBLE), 6) AS log_ratio
+          |FROM lr GROUP BY 1""".stripMargin,
+
+      // Naive Bayes: add-k token likelihoods vs the class total (unseen
+      // tokens penalized against N_c — the LEFT JOIN keeps them), prior
+      // added as a round-9 decimal, arg-max with label-asc tie-break
+      "q_text_classify" ->
+        """WITH train AS (
+          |  SELECT * FROM documents WHERE doc_id % 10 <> 0
+          |), test AS (
+          |  SELECT * FROM documents WHERE doc_id % 10 = 0
+          |), ttok AS (
+          |  SELECT lang AS label, unnest(string_split(text, ' ')) AS token
+          |  FROM train
+          |), lik AS (
+          |  SELECT label, token, count(*)::BIGINT AS n FROM ttok GROUP BY 1, 2
+          |), tot AS (
+          |  SELECT label, sum(n)::BIGINT AS tot FROM lik GROUP BY 1
+          |), v AS (
+          |  SELECT count(DISTINCT token)::BIGINT AS nv FROM ttok
+          |), pri AS (
+          |  SELECT lang AS label, count(*)::BIGINT AS nd FROM train GROUP BY 1
+          |), ntr AS (SELECT count(*)::BIGINT AS n FROM train),
+          |dtok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test
+          |), scored AS (
+          |  SELECT dtok.doc_id, pri.label,
+          |    sum(CAST(round(ln((COALESCE(lik.n, 0)::DOUBLE + 0.5)
+          |      / (tot.tot::DOUBLE + (0.5 * v.nv::DOUBLE))), 9)
+          |      AS DECIMAL(28,9))) AS s
+          |  FROM dtok CROSS JOIN pri
+          |  LEFT JOIN lik ON lik.token = dtok.token AND lik.label = pri.label
+          |  JOIN tot ON tot.label = pri.label, v
+          |  GROUP BY 1, 2
+          |), ranked AS (
+          |  SELECT sc.doc_id, sc.label,
+          |    sc.s + CAST(round(ln(pri.nd::DOUBLE / ntr.n::DOUBLE), 9)
+          |      AS DECIMAL(28,9)) AS score_dec
+          |  FROM scored sc JOIN pri USING (label), ntr
+          |), best AS (
+          |  SELECT doc_id, label AS pred_label,
+          |    round(CAST(score_dec AS DOUBLE), 6) AS score,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY score_dec DESC, label) AS rn
+          |  FROM ranked
+          |)
+          |SELECT b.doc_id, b.pred_label, b.score, t.lang
+          |FROM best b JOIN test t USING (doc_id) WHERE b.rn = 1""".stripMargin,
 
       // mirrors TextSearch.bm25TopK exactly: same smoothed idf, same
       // arithmetic shape (so IEEE ops match), per-term round(9) then

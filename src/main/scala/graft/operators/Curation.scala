@@ -171,6 +171,84 @@ object Curation {
     df.filter(score >= thr)
   }
 
+  /** Token-budget curriculum selection: within each domain, take
+    * documents best-first until the token budget is spent — the
+    * "assemble the highest-quality T tokens per domain" step of
+    * training-mix construction (a token-denominated quota, where
+    * [[resampleToMixture]] is row-denominated).
+    *
+    * Semantics are PREFIX-of-the-ranked-stream: documents are ordered by
+    * (`quality` DESC, `idCol` ASC — the deterministic tie-break) and a
+    * document is kept iff the running token total THROUGH ITSELF fits
+    * the budget. A single over-budget document therefore ends its
+    * domain's intake — by construction the kept set is a contiguous
+    * quality prefix (reproducible and engine-checkable), not the
+    * NP-hard best-fit packing. Exact integer arithmetic throughout; one
+    * shuffle keyed by domain (the window). Returns the kept rows plus
+    * their `cum_tokens` running total. */
+  def selectByTokenBudget(df: DataFrame, budgetTokens: Long,
+                          domainCols: Seq[String], quality: Column,
+                          idCol: String, tokens: Column): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(domainCols.map(col): _*)
+      .orderBy(quality.desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokens.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
+  /** Hashed-token importance weights (the DSIR recipe: Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how much more likely its tokens are
+    * under the TARGET distribution than under the RAW distribution, both
+    * estimated as add-k-smoothed unigram models over `buckets` hash
+    * buckets. A positive `log_ratio` marks a document that looks like
+    * the trusted target corpus; feed the weights to
+    * [[sampleByWeightedHash]] (e.g. `least(exp(log_ratio), 1)`) to
+    * resample the corpus toward the target.
+    *
+    * Hashing tokens into a fixed bucket space keeps both models at
+    * exactly `buckets` rows regardless of corpus size — at 100 TB the
+    * two count tables broadcast and scoring is a map-side join over the
+    * token explode, no vocabulary-sized state anywhere. The bucket hash
+    * is an md5 prefix (engine-reproducible, like every sampling hash
+    * here). Per-token log-ratios round to 9 decimals and sum as DECIMAL,
+    * so weights are summation-order-independent.
+    *
+    * Output: one row per `df` document — (idCol, n_tokens, log_ratio)
+    * with log_ratio rounded to 6 decimals. */
+  def importanceWeights(df: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, buckets: Int = 4096,
+                        k: Double = 0.5): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(k > 0, "smoothing k must be positive")
+    def bucket(tok: Column): Column =
+      conv(substring(md5(tok), 1, 12), 16, 10).cast("long") % buckets
+    def bucketRows(d: DataFrame, id: Column) = d.select(id.as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+      .select(col("doc_id"), bucket(col("tok")).as("b"))
+    val targetCounts = bucketRows(target, lit(0L))
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rawRows = bucketRows(df, col(idCol))
+    val rawCounts = rawRows.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    // two scalars of bounded metadata (like IVF centroid counts)
+    val nt = targetCounts.agg(sum(col("ct"))).head.getLong(0)
+    val nr = rawCounts.agg(sum(col("cr"))).head.getLong(0)
+    rawRows
+      .join(broadcast(targetCounts), Seq("b"), "left")
+      .join(broadcast(rawCounts), Seq("b"), "left")
+      // each side rounds to 9 decimals and subtracts as DECIMAL (exact),
+      // mirroring the oracle's arithmetic bit for bit
+      .withColumn("lr",
+        round(log((coalesce(col("ct"), lit(0L)) + k) / (nt + k * buckets)), 9)
+          .cast("decimal(28,9)") -
+        round(log((coalesce(col("cr"), lit(0L)) + k) / (nr + k * buckets)), 9)
+          .cast("decimal(28,9)"))
+      .groupBy(col("doc_id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lr")).cast("double"), 6).as("log_ratio"))
+  }
+
   /** The 12-hex-digit threshold for `fraction`, or None when the whole
     * corpus qualifies. Public so external oracles (e.g. the harness
     * DuckDB SQL) can embed the byte-identical constant. */

@@ -1191,4 +1191,79 @@ class OperatorsSpec extends AnyFunSuite {
       x.getAs[Long]("n_events"))).toSeq ==
       Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
+
+  test("selectByTokenBudget keeps the quality prefix; an over-budget doc ends intake") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'a b c',     30L, 'x'),  -- 3 tokens, quality 30 -> cum 3
+        |  (2L, 'a b',       20L, 'x'),  -- 2 tokens, quality 20 -> cum 5
+        |  (3L, 'a b c d e', 10L, 'x'),  -- 5 tokens -> cum 10 > 6: dropped
+        |  (4L, 'a',          5L, 'x'),  -- behind the over-budget doc: dropped
+        |  (5L, 'a b c d',   99L, 'y')   -- own domain, cum 4 <= 6
+        |  as t(doc_id, text, q, dom)""".stripMargin)
+    val got = Curation.selectByTokenBudget(df, budgetTokens = 6,
+        domainCols = Seq("dom"), quality = col("q"), idCol = "doc_id",
+        tokens = size(split(col("text"), " ")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cum_tokens")).toMap
+    assert(got == Map(1L -> 3L, 2L -> 5L, 5L -> 4L))
+  }
+
+  test("selectByTokenBudget ties on quality break by id, deterministically") {
+    val df = spark.sql(
+      """select * from values
+        |  (2L, 'a b', 1L, 'x'), (1L, 'a b', 1L, 'x'), (3L, 'a b', 1L, 'x')
+        |  as t(doc_id, text, q, dom)""".stripMargin)
+    val got = Curation.selectByTokenBudget(df, budgetTokens = 4,
+        domainCols = Seq("dom"), quality = col("q"), idCol = "doc_id",
+        tokens = size(split(col("text"), " ")))
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("importanceWeights: self-target gives exactly zero; target-like docs rank higher") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'alpha alpha beta'), (2L, 'gamma delta epsilon'),
+        |  (3L, 'alpha beta alpha')
+        |  as t(doc_id, text)""".stripMargin)
+    // target == raw: every bucket count cancels, log_ratio is exactly 0
+    val self = Curation.importanceWeights(df, df, "doc_id", "text",
+        buckets = 64)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("log_ratio")))
+    assert(self.map(_._3).forall(_ == 0.0))
+    assert(self.map(x => x._1 -> x._2).toMap ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // target favors 'alpha'/'beta': docs 1 and 3 must outrank doc 2
+    val target = spark.sql("select 0L as doc_id, 'alpha beta alpha beta' as text")
+    val w = Curation.importanceWeights(df, target, "doc_id", "text",
+        buckets = 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("log_ratio")).toMap
+    assert(w(1L) > w(2L) && w(3L) > w(2L))
+  }
+
+  test("naiveBayesClassify separates disjoint vocabularies; unseen tokens fall to the tie-break") {
+    val train = spark.sql(
+      """select * from values
+        |  (1L, 'aa aa aa', 'x'), (2L, 'aa aa', 'x'),
+        |  (3L, 'bb bb bb', 'y'), (4L, 'bb bb', 'y')
+        |  as t(doc_id, text, lab)""".stripMargin)
+    val test_ = spark.sql(
+      """select * from values
+        |  (10L, 'aa aa', 'x'), (11L, 'bb', 'y'), (12L, 'zz zz', '?')
+        |  as t(doc_id, text, lab)""".stripMargin)
+    val got = TextClassify.naiveBayesClassify(train, test_,
+        labelCol = "lab", idCol = "doc_id", textCol = "text",
+        keepCols = Seq("lab"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_label"), r.getAs[Double]("score"))).toMap
+    assert(got(10L)._1 == "x")
+    assert(got(11L)._1 == "y")
+    // classes are exactly symmetric (same counts, same priors), the test
+    // token is unseen by both: scores tie and the label-asc break wins
+    assert(got(12L)._1 == "x")
+    assert(got.values.forall(_._2 < 0.0))
+  }
 }
