@@ -331,6 +331,20 @@ object SparkEntry {
       Similarity.meanPoolByKey(t(s, dir, "embeddings"), "label",
         "embedding", normalize = true)),
 
+    // distance-to-centroid outlier flags: vectors whose cosine distance
+    // to their k-means cell centroid is an extreme z-score within the
+    // cell — the embedding-corpus QA pass. This synthetic corpus is
+    // near-isotropic (within-cell distances concentrate around ~0.75
+    // with max natural z ≈ 1.4, and cosine ignores norm, so no plantable
+    // vector lands far from EVERY centroid), so the gate runs at the
+    // empirical tail (zMax = 1) and flags the corpus's most atypical
+    // vectors; the 2σ default stays spec-pinned on a planted cluster.
+    // lloydIters = 0 keeps the deterministic lowest-id init so the
+    // oracle replicates the cell layout exactly.
+    "q_sim_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nlist = 16, zMax = 1.0, lloydIters = 0)),
+
     "q_sim_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
@@ -1493,6 +1507,50 @@ object SparkEntry {
           |    AND list_dot_product(a.e, a.e) > 0
           |    AND list_dot_product(b.e, b.e) > 0
           |    AND list_cosine_similarity(a.e, b.e) >= 0.8)""".stripMargin,
+
+      // outlier oracle: the semDedup cell-assignment replica (lowest-id
+      // centroids, dot − |c|²/2 argmax, larger-cell ties), then round-9
+      // distances, DECIMAL first/second moments per cell, identical
+      // double shapes for mean/std/z
+      "q_sim_outliers" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+          |                         CAST(embedding AS DOUBLE[])) > 0
+          |), cent AS (
+          |  SELECT e AS ce, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+          |  FROM v ORDER BY vec_id LIMIT 16
+          |), scored AS (
+          |  SELECT v.vec_id, v.e, cent.cell, cent.ce,
+          |    list_dot_product(v.e, cent.ce)
+          |      - list_dot_product(cent.ce, cent.ce) / 2 AS score
+          |  FROM v CROSS JOIN cent
+          |), assigned AS (
+          |  SELECT vec_id, e, cell, ce FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY score DESC, cell DESC) AS rn FROM scored)
+          |  WHERE rn = 1
+          |), d AS (
+          |  SELECT vec_id, cell,
+          |    round(1 - list_dot_product(e, ce)
+          |      / (sqrt(list_dot_product(e, e))
+          |         * sqrt(list_dot_product(ce, ce))), 9) AS dist
+          |  FROM assigned
+          |), stats AS (
+          |  SELECT cell, count(*)::BIGINT AS n,
+          |    CAST(sum(CAST(dist AS DECIMAL(18,9))) AS DOUBLE) AS s1,
+          |    CAST(sum(CAST(dist AS DECIMAL(18,9))
+          |             * CAST(dist AS DECIMAL(18,9))) AS DOUBLE) AS s2
+          |  FROM d GROUP BY 1
+          |), z AS (
+          |  SELECT d.vec_id, d.cell, d.dist,
+          |    s1 / n AS mean,
+          |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS std
+          |  FROM d JOIN stats USING (cell)
+          |)
+          |SELECT vec_id AS id, cell::INT AS cell, round(dist, 6) AS dist,
+          |  round((dist - mean) / std, 6) AS z
+          |FROM z WHERE std > 0 AND (dist - mean) / std > 1""".stripMargin,
 
       // centroid oracle: identical shape — round-9 elements, DECIMAL
       // sums (order-independent), one double division, round-6 mean,

@@ -611,6 +611,65 @@ object Similarity {
       .select(col("id"), col("cell"))
   }
 
+  /** Embedding outlier detection — the "flag mislabeled / off-domain /
+    * corrupt vectors" pass of embedding-corpus QA: assign every vector
+    * to its nearest k-means cell (the [[semDedup]] machinery), measure
+    * each vector's cosine DISTANCE to its cell centroid, and flag
+    * vectors whose distance z-score within the cell exceeds `zMax` —
+    * far-from-every-prototype points that cluster structure can't
+    * explain.
+    *
+    * Scale shape: assignment is a broadcast-centroid scan (no shuffle);
+    * per-cell moment stats aggregate to nlist rows (map-side partials,
+    * a metadata-sized exchange) and broadcast back; the flag itself is
+    * a narrow filter. The corpus is scanned, never shuffled — the same
+    * posture as the IVF build. Distances round to 9 decimals and the
+    * moments sum as DECIMAL, so mean/std/z are summation-order-
+    * independent and engine-reproducible. `lloydIters = 0` keeps the
+    * deterministic lowest-id centroid init (exactly replicable by the
+    * DuckDB oracle — the [[semDedup]] precedent); zero vectors have no
+    * direction and are excluded like every ranking path here. Cells
+    * with zero distance variance flag nothing.
+    *
+    * Output: flagged rows only — (id, cell, dist, z), z rounded to 6. */
+  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int = 16, zMax: Double = 2.0,
+                        lloydIters: Int = 0): DataFrame = {
+    require(zMax > 0, "zMax must be positive")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val c = ivfPrep(emb, idCol, vecCol)
+    val centroids = trainCentroids(c, nlist, lloydIters)
+    if (centroids.isEmpty)
+      return emb.limit(0).select(col(idCol).as("id"), lit(0).as("cell"),
+        lit(0.0).as("dist"), lit(0.0).as("z"))
+    val centDf = centroids.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("cell", "centroid")
+    val withDist = c
+      .withColumn("cell", assignExpr(col("cvec"), centroids.toSeq))
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("dist", round(lit(1.0) -
+        dotProduct(col("cvec"), col("centroid")) /
+          (col("cnorm") * l2Norm(col("centroid"))), 9))
+    // per-cell first/second moments as exact decimals: nlist rows out
+    val dd = col("dist").cast("decimal(18,9)")
+    val stats = withDist
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(dd).as("s1"), sum(dd * dd).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("std", sqrt(greatest(
+        col("s2").cast("double") / col("n") - col("mean") * col("mean"),
+        lit(0.0))))
+      .select(col("cell"), col("mean"), col("std"))
+    withDist.join(broadcast(stats), Seq("cell"))
+      .filter(col("std") > 0 &&
+        (col("dist") - col("mean")) / col("std") > zMax)
+      .select(col("neighbor_id").as("id"), col("cell"),
+        round(col("dist"), 6).as("dist"),
+        round((col("dist") - col("mean")) / col("std"), 6).as("z"))
+  }
+
   /** Exact top-k over the int8-QUANTIZED corpus — the reduced-bandwidth
     * scoring path for quantized embedding stores: both sides quantize to
     * tinyint codes ([[graft.functions.Quantize]]) and every pair is

@@ -1244,6 +1244,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(w(1L) > w(2L) && w(3L) > w(2L))
   }
 
+  test("embeddingOutliers flags exactly the planted far vector; zero vectors excluded") {
+    val s = spark
+    import s.implicits._
+    // ten vectors hugging e1 (tiny per-id jitter on e2 so the cell has
+    // nonzero distance variance), one orthogonal outlier, one zero vector
+    val rows = (1L to 10L).map(i => (i, Seq(1.0, i * 1e-3, 0.0))) ++
+      Seq((99L, Seq(0.0, 0.0, 1.0)), (100L, Seq(0.0, 0.0, 0.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.embeddingOutliers(df, "vec_id", "embedding",
+        nlist = 1, zMax = 2.0, lloydIters = 0)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("z")))
+    assert(got.map(_._1).toSeq == Seq(99L))
+    assert(got.head._2 > 2.0)
+  }
+
   test("naiveBayesClassify separates disjoint vocabularies; unseen tokens fall to the tie-break") {
     val train = spark.sql(
       """select * from values
