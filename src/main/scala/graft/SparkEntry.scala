@@ -787,6 +787,17 @@ object SparkEntry {
           .select(col("n_nationkey").cast("int").as("nationkey")))
     }),
 
+    // the Morton (Z-order) clustering key over (l_partkey, l_suppkey):
+    // pure integer bit interleaving — the write-time layout that bounds
+    // BOTH columns' spans per file (zOrderWrite itself + the measured
+    // per-file bounding boxes are asserted in ScaleOpsSpec; the key is
+    // what an engine must agree on bit for bit)
+    "q_layout_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.sources.Layout.zValue(
+          Seq(col("l_partkey"), col("l_suppkey")), bits = 16).as("zval"))),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -853,6 +864,12 @@ object SparkEntry {
         |    round(1 - len(list_distinct(
         |      [array_to_string(w[i:(i+1)], ' ') FOR i IN range(1, len(w))]
         |      ))::DOUBLE / (len(w) - 1), 6) ELSE 0.0 END)""".stripMargin
+
+    // the Morton key as generated SQL: bit i of l_partkey -> position
+    // 2i, of l_suppkey -> 2i+1 — the exact Layout.zValue interleave
+    val zorderExprSql = (0 until 16).flatMap(i => Seq(
+      s"(((l_partkey >> $i) & 1) << ${2 * i})",
+      s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
     // PQ ADC cosine top-5: lowest-id codebook init, per-subspace argmax
     // encoding (score desc, cid desc — mirrors NearestCentroid), ADC
@@ -1866,6 +1883,11 @@ object SparkEntry {
           |)
           |EXCEPT
           |SELECT CAST(n_nationkey AS INT) FROM nation WHERE n_regionkey = 0""".stripMargin,
+
+      "q_layout_zorder" ->
+        s"""SELECT l_orderkey, l_linenumber,
+           |  ($zorderExprSql) AS zval
+           |FROM lineitem""".stripMargin,
 
       "q_sort_topk" ->
         """SELECT l_orderkey, l_linenumber, l_extendedprice

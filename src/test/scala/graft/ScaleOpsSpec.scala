@@ -178,6 +178,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("nearest_centroids_topk"), plan)
   }
 
+  test("zValue interleaves bits; zOrderWrite preserves rows and bounds per-file boxes") {
+    // bit-exact interleave: a's bits land at positions 0,2,4 and b's at
+    // 1,3,5
+    val z = spark.range(1)
+      .select(graft.sources.Layout.zValue(
+        Seq(lit(5L), lit(3L)), bits = 3).as("z"))
+      .head.getLong(0)
+    // a=101: bit0->pos0, bit1->pos2, bit2->pos4 = 1 + 0 + 16 = 17
+    // b=011: bit0->pos1, bit1->pos3, bit2->pos5 = 2 + 8 + 0  = 10
+    assert(z == 27L)
+
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val out = "/tmp/graft_zorder_spec"
+    graft.sources.Layout.zOrderWrite(li, Seq("l_partkey", "l_suppkey"),
+      out, numFiles = 8)
+    val back = spark.read.parquet(out)
+    // the rewrite is a relayout, not a transform: same row multiset
+    assert(back.count() == li.count())
+    assert(back.except(li).isEmpty && li.except(back).isEmpty)
+    // measured per-file bounding boxes: range-partitioning on the Morton
+    // key must bound BOTH dimensions' spans — the avg per-file box area
+    // stays well under the global box (single-column layouts bound one
+    // dimension and leave the other at full span)
+    val boxes = back.withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg((max("l_partkey") - min("l_partkey")).as("dp"),
+        (max("l_suppkey") - min("l_suppkey")).as("ds"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val g = li.agg((max("l_partkey") - min("l_partkey")).as("gp"),
+      (max("l_suppkey") - min("l_suppkey")).as("gs")).head
+    val (gp, gs) = (g.getLong(0), g.getLong(1))
+    assert(boxes.length >= 4, s"expected several files, got ${boxes.length}")
+    val avgArea = boxes.map { case (dp, ds) =>
+      dp.toDouble * ds }.sum / boxes.length
+    assert(avgArea <= 0.4 * gp * gs,
+      s"avg per-file box $avgArea vs global ${gp.toDouble * gs}")
+  }
+
   test("saltedStats equals direct aggregation") {
     val events = graft.sources.Sources.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type"), col("value"))
