@@ -297,6 +297,24 @@ object SparkEntry {
         threshold = 0.8, numPlanes = 8, tables = 12)
     }),
 
+    // semantic benchmark decontamination: corpus documents whose
+    // embeddings sit too close to a benchmark embedding (cross-side
+    // banded LSH + exact verify — corpus never pairs with itself). The
+    // benchmark is every 20th vector; its planted companion (the t08
+    // construction, cosine ≈ 0.98) lives in the corpus and must be
+    // flagged.
+    "q_sim_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val bench = emb.filter(col("vec_id") % 20 === 0)
+      val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+        .union(bench.select((col("vec_id") + 100000).as("vec_id"),
+          zip_with(col("e"), reverse(col("e")),
+            (x, y) => x + lit(0.2) * y).as("e")))
+      Similarity.lshNearDupPairsAgainst(bench, corpus, "vec_id", "e",
+        threshold = 0.8, numPlanes = 8, tables = 12)
+    }),
+
     // PQ ANN: 8 subspaces x 16 codes = 8 bytes/vector corpus storage,
     // ADC-scored; lloydIters = 0 makes train->encode->score->rank
     // exactly replicable by the oracle
@@ -1477,6 +1495,25 @@ object SparkEntry {
           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |  round(list_cosine_similarity(a.e, b.e), 6) AS cosine
           |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.e, b.e) >= 0.8""".stripMargin,
+
+      // cross-side exhaustive pairs: the same planted-companion corpus,
+      // benchmark side = every 20th vector, corpus x bench only
+      "q_sim_decontaminate" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), bench AS (
+          |  SELECT vec_id, e FROM v WHERE vec_id % 20 = 0
+          |), corpus AS (
+          |  SELECT vec_id, e FROM v WHERE vec_id % 20 <> 0
+          |  UNION ALL
+          |  SELECT vec_id + 100000 AS vec_id,
+          |    [e[i] + 0.2 * e[len(e)+1-i] FOR i IN range(1, len(e)+1)] AS e
+          |  FROM v WHERE vec_id % 20 = 0
+          |)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+          |FROM corpus a CROSS JOIN bench b
           |WHERE list_cosine_similarity(a.e, b.e) >= 0.8""".stripMargin,
 
       // PQ oracle: replicate the lowest-id codebook init, the

@@ -413,6 +413,51 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Cross-corpus semantic near-dup detection — the embedding analog of
+    * [[Dedup.minHashLshPairsAgainst]]: find (corpus, newEmb) pairs with
+    * cosine ≥ threshold WITHOUT ever pairing the corpus against itself.
+    * The two use cases of corpus maintenance: semantic benchmark
+    * decontamination (newEmb = the benchmark's embeddings; every flagged
+    * id_a is a training document semantically too close to a test item)
+    * and incremental ingest dedup (newEmb = the arriving batch).
+    *
+    * Same banded hyperplane-LSH shape as [[lshNearDupPairs]] — both
+    * sides hash with the SAME planes, candidates are cross-side bucket
+    * collisions only, then exact-cosine verification. At 100 TB the
+    * corpus is hashed in one scan and the join output is bounded by
+    * cross-side collisions (∝ true matches at a realistic threshold —
+    * the t08 regime), never |corpus|². Output: (id_a = corpus id,
+    * id_b = newEmb id, cosine). */
+  def lshNearDupPairsAgainst(newEmb: DataFrame, corpus: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double, numPlanes: Int = 5,
+                             tables: Int = 64, seed: Long = 42L): DataFrame = {
+    val dim = probeDim(newEmb, vecCol)
+    val planes = hyperplanes(tables * numPlanes, dim, seed)
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", l2Norm(col("vec")))
+      .filter(col("norm") > 0) // NaN >= t is TRUE; exclude zero vectors
+      .localCheckpoint(false)  // keys + verify both read each side
+    val old = prep(corpus)
+    val nw = prep(newEmb)
+    def keys(v: DataFrame) = v.select(col("id"),
+      posexplode(org.apache.spark.sql.graftext.HyperplaneSignBuckets(
+        col("vec"), planes, numPlanes, tables)).as(Seq("t", "bucket")))
+    keys(old).as("a").join(keys(nw).as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .join(old.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("norm").as("norm_a")), "id_a")
+      .join(nw.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("norm").as("norm_b")), "id_b")
+      .withColumn("cosine", cosineWithNorms(
+        dotProduct(col("vec_a"), col("vec_b")), col("norm_a"), col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Product-quantization codebooks: the vector space is split into `m`
     * contiguous subspaces and each gets its own `ksub`-centroid
     * codebook. `lloydIters = 0` keeps the deterministic lowest-id init

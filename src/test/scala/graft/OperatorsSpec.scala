@@ -1259,6 +1259,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head._2 > 2.0)
   }
 
+  test("lshNearDupPairsAgainst finds cross-side pairs only, never corpus x corpus") {
+    val s = spark
+    import s.implicits._
+    // corpus holds an INTERNAL near-dup pair (1,2) that must NOT appear;
+    // 3 matches benchmark vector 10; 4 is far from everything
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.01, 0.0)), (2L, Seq(1.0, 0.02, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.01)), (4L, Seq(0.5, 0.5, 0.7))
+    ).toDF("vec_id", "e")
+    val bench = Seq(
+      (10L, Seq(0.0, 1.0, 0.0)), (11L, Seq(-1.0, 0.0, 0.0))
+    ).toDF("vec_id", "e")
+    val got = Similarity.lshNearDupPairsAgainst(bench, corpus, "vec_id",
+        "e", threshold = 0.9, numPlanes = 1, tables = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    // the near-identical pair collides in some table (cos 0.99995 —
+    // miss would need every plane to split a 0.6° angle) and exact
+    // verification kills everything else; the internal corpus pair
+    // (1, 2) can never appear — candidates are cross-side by shape
+    assert(got == Set((3L, 10L)))
+  }
+
   test("naiveBayesClassify separates disjoint vocabularies; unseen tokens fall to the tie-break") {
     val train = spark.sql(
       """select * from values
