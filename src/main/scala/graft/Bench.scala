@@ -8,18 +8,29 @@ import org.apache.spark.sql.SparkSession
   * (noop sink — forces all columns, unlike count() which lets Catalyst
   * prune a projection-only query down to a bare scan).
   *
-  * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) back-to-back
-  * and the recorded time is the per-query MIN: timings on a shared box
-  * swing 2-3× under ambient load, and one contaminated sample must not
-  * corrupt the round record (the r2 official run recorded 84 s for a
-  * 40 s suite that way). The min of back-to-back runs is the
-  * load-independent estimator of the code's cost.
+  * Contamination discipline (two lessons from official records):
+  *
+  *  1. The suite runs as `SPARK_GRAFT_BENCH_RUNS` FULL PASSES (default 3)
+  *     and records the per-query MIN ACROSS PASSES. Back-to-back
+  *     min-of-N demonstrably failed in the r4 official record — a
+  *     sustained ambient spike spanned all three consecutive samples of
+  *     q_text_stats (2.15 s recorded vs 0.27 s quiet). Interleaving a
+  *     full suite (~40 s) between a query's samples decorrelates them
+  *     from any one load window, so a spike must persist for minutes —
+  *     not seconds — to corrupt a query's record.
+  *
+  *  2. Every sfDir table is warmed with one untimed full scan before
+  *     timing starts, in addition to the sf0.001 `entry` warm-up for
+  *     session/codegen bring-up. Without this the first alphabetical
+  *     query was charged the first cold sf0.1 lineitem scan
+  *     (q_agg_pricing 1.92 s quiet vs 0.70 s warm in the r3-era record
+  *     for unchanged code).
   *
   * Emits ONE JSON line
   * `{"metric":…,"value":…,"unit":"sec","queries":{…},"failed":[…],"runs":…,"sf":…}`
   * to stdout AND to a file (`SPARK_GRAFT_BENCH_OUT`, default
   * `bench_latest.json` in the cwd) so the driver can parse it without
-  * scraping sbt's log-prefixed stdout. A query that throws on every run
+  * scraping sbt's log-prefixed stdout. A query that throws on every pass
   * is recorded with the `-1` sentinel time and listed in `failed`, and
   * the process exits non-zero — a regression can't masquerade as a
   * speedup. */
@@ -27,23 +38,33 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = LocalSession()
-    // warm up codegen/IO paths so the first timed query isn't charged
-    // for session bring-up
+    // session bring-up: codegen, noop sink, shuffle machinery
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
+    // IO bring-up: one untimed full scan of each sfDir table so no timed
+    // query is charged cold page-cache / parquet-footer costs. Via
+    // Sources.table — events needs the nanos-timestamp normalization.
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        sources.Sources.table(spark, sfDir, f.getName.stripSuffix(".parquet"))
+          .write.format("noop").mode("overwrite").save()
       }
-      if (times.isEmpty) (name, -1.0, false) else (name, times.min, true)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to passes; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+    }
+    val results = names.map { case (name, _) =>
+      (name, best.getOrElse(name, -1.0), best.contains(name))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -51,7 +72,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$passes,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()

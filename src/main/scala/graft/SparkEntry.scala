@@ -344,10 +344,15 @@ object SparkEntry {
 
     // per-label centroids: mean-pool + unit-normalize — the standard
     // reduction for domain profiles / cluster summaries / k-NN
-    // prototypes; decimal summation makes the means bit-stable
+    // prototypes; decimal summation makes the means bit-stable.
+    // The centroid array is exploded to (pos, value) rows for the
+    // harness: the driver's pandas sort-then-hash comparator cannot
+    // hash array cells (the q_fn_map / q_multimodal_frames precedent).
     "q_sim_centroids" -> ((s, dir) =>
       Similarity.meanPoolByKey(t(s, dir, "embeddings"), "label",
-        "embedding", normalize = true)),
+        "embedding", normalize = true)
+        .select(col("key"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("pos", "value")))),
 
     // distance-to-centroid outlier flags: vectors whose cosine distance
     // to their k-means cell centroid is an extreme z-score within the
@@ -1624,12 +1629,18 @@ object SparkEntry {
           |    [round(m, 6) FOR m IN list(m ORDER BY pos)] AS mean6
           |  FROM dims GROUP BY label
           |)
-          |SELECT label AS key, n_vectors,
-          |  CASE WHEN sqrt(list_dot_product(mean6, mean6)) > 0
-          |       THEN [round(x / sqrt(list_dot_product(mean6, mean6)), 6)
-          |             FOR x IN mean6]
-          |       ELSE mean6 END AS centroid
-          |FROM pooled""".stripMargin,
+          |, cent AS (
+          |  SELECT label AS key, n_vectors,
+          |    CASE WHEN sqrt(list_dot_product(mean6, mean6)) > 0
+          |         THEN [round(x / sqrt(list_dot_product(mean6, mean6)), 6)
+          |               FOR x IN mean6]
+          |         ELSE mean6 END AS centroid
+          |  FROM pooled
+          |)
+          |SELECT key, n_vectors, i - 1 AS pos, centroid[i] AS value
+          |FROM cent,
+          |  unnest(range(1, CAST(len(centroid) AS BIGINT) + 1)) AS t(i)
+          |""".stripMargin,
 
       "q_sim_topk" -> exactTopKSql,
 

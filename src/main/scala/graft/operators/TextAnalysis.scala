@@ -141,8 +141,15 @@ object TextAnalysis {
     per.groupBy(col("token"))
       .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("token")).limit(topN)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("tf").desc, col("token"))))
+      // rank WITHOUT a global window: an empty-partition-spec window makes
+      // WindowExec log the scary "Moving all data to a single partition"
+      // WARN on every run (and a literal partition key is stripped right
+      // back to empty by Spark 4's EliminateWindowPartitions). The ≤ topN
+      // surviving rows legitimately fit one partition, so say so: an
+      // explicit coalesce(1) + local sort, with row position as the rank.
+      .coalesce(1)
+      .sortWithinPartitions(col("tf").desc, col("token"))
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
   }
 
   /** Fraction of duplicated word n-grams in a document — the
