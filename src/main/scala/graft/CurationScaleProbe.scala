@@ -86,6 +86,27 @@ object CurationScaleProbe {
           .agg(sum(col("n_dropped"))).first().getLong(0)
       }
 
+      // persisted LSH signature store: write cost scales with the corpus
+      // (one-time), but PROBE cost for a fixed batch must stay ~flat as
+      // the stored corpus grows — that is the operator's whole point.
+      // The fixed batch is 1/5 of the sf0.1 documents; replica-0 text in
+      // the store matches it exactly, and cross-replica text can never
+      // collide (per-replica word suffix), so true pair volume is ∝
+      // batch at every scale.
+      val storeDir = s"/tmp/graft-sigstore-probe-r$rep"
+      val (_, tWrite) = timed {
+        Dedup.writeBandSignatures(dc, "doc_id", "text", storeDir)
+      }
+      val batch = docCorpus(0).filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      Dedup.minHashLshPairsAgainstStore(batch, storeDir,
+        "doc_id", "text", 0.5).count()
+      val (nPairs, tProbe) = timed {
+        Dedup.minHashLshPairsAgainstStore(batch, storeDir,
+          "doc_id", "text", 0.5).count()
+      }
+
       val ec = (0 until rep).map(embCorpus).reduce(_ union _)
         .localCheckpoint(true)
       val ne = ec.count()
@@ -98,6 +119,7 @@ object CurationScaleProbe {
       }
       println(f"CURSCALE docs=$nd%7d passes=$tPass%6.1fs dropped=$dropped%7d " +
         f"boiler=$tBp%6.1fs bpDropped=$bpDropped%7d | " +
+        f"store: write=$tWrite%6.1fs probe=$tProbe%6.1fs pairs=$nPairs%6d | " +
         f"vecs=$ne%7d nlist=$nlist%5d sem=$tSem%6.1fs " +
         f"swept=${ne - kept}%6d (planted=$planted)")
     }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -191,6 +191,101 @@ object Dedup {
           (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
           .as("bucket"))
     }: _*)
+
+  // ---- persisted LSH signature store (steady-state incremental dedup) ----
+
+  /** Write the persisted LSH signature store for `corpus` at `path`: the
+    * steady-state layout promised by [[minHashLshPairsAgainst]] — each
+    * document's signatures are derived ONCE, when it is accepted into the
+    * corpus, and every later batch joins against the stored frames
+    * instead of re-shingling and re-hashing the whole corpus.
+    *
+    * Layout under `path`:
+    *   - `meta`: one row (n, num_hashes, bands) — the sketch contract.
+    *     [[appendBandSignatures]] and [[minHashLshPairsAgainstStore]]
+    *     read their parameters FROM it, so a store can never mix
+    *     incompatible signatures or be probed with mismatched banding.
+    *   - `bands`: (id, bucket) parquet, directory-partitioned by `band`
+    *     and sorted by `bucket` within files — the LSH index.
+    *   - `shingles`: (id, shingles) — the hashed shingle sets, so
+    *     candidate verification stays exact (precision 1) without ever
+    *     re-reading corpus text.
+    *
+    * Scale shape: per-batch cost is hashing the batch (∝ batch text),
+    * one bucket-keyed join of the batch's bands against a SKINNY stored
+    * index (two longs + a partition int per row — at 100 TB of text the
+    * band index is ~10⁻⁴ of corpus bytes), and an id-keyed verify join
+    * against stored shingles for candidate ids only. Nothing re-derives
+    * corpus signatures, so per-batch time stays near-flat as the stored
+    * corpus grows (measured: CurationScaleProbe store table in
+    * BASELINE.md). */
+  def writeBandSignatures(corpus: DataFrame, idCol: String, textCol: String,
+                          path: String, n: Int = 3, numHashes: Int = 64,
+                          bands: Int = 32): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    corpus.sparkSession.range(1)
+      .select(lit(n).as("n"), lit(numHashes).as("num_hashes"),
+        lit(bands).as("bands"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    storeWrite(corpus, idCol, textCol, path, n, numHashes, bands,
+      SaveMode.Overwrite)
+  }
+
+  /** Append an accepted batch's signatures to a store created by
+    * [[writeBandSignatures]]. Sketch parameters come from the store's own
+    * meta, so appended signatures are always layout-compatible; id
+    * uniqueness across appends is the caller's contract (use the corpus
+    * ids). */
+  def appendBandSignatures(batch: DataFrame, idCol: String, textCol: String,
+                           path: String): Unit = {
+    val (n, numHashes, bands) = readStoreMeta(batch.sparkSession, path)
+    storeWrite(batch, idCol, textCol, path, n, numHashes, bands,
+      SaveMode.Append)
+  }
+
+  private def storeWrite(docs: DataFrame, idCol: String, textCol: String,
+                         path: String, n: Int, numHashes: Int, bands: Int,
+                         mode: SaveMode): Unit = {
+    val sh = shingled(docs, idCol, textCol, n)
+    bandedSignatures(sh, numHashes, bands, numHashes / bands)
+      // band-directory layout + bucket-sorted files: a probe join ships
+      // one band's buckets together and row-group min/max stats stay tight
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+    sh.select(col("id"), col("shingles"))
+      .write.mode(mode).parquet(s"$path/shingles")
+  }
+
+  private def readStoreMeta(spark: SparkSession,
+                            path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getAs[Int]("n"), r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"))
+  }
+
+  /** [[minHashLshPairsAgainst]] against a persisted signature store:
+    * near-duplicate pairs (id_a = stored id, id_b = batch id, jaccard ≥
+    * threshold) between `newDocs` and the corpus whose signatures live at
+    * `path` — identical output, but per-batch cost scales with the batch
+    * instead of the corpus. Feed to [[dropNearDuplicates]] with the batch
+    * frame, then [[appendBandSignatures]] the survivors. */
+  def minHashLshPairsAgainstStore(newDocs: DataFrame, path: String,
+                                  idCol: String, textCol: String,
+                                  threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (n, numHashes, bands) = readStoreMeta(spark, path)
+    val shNew = shingled(newDocs, idCol, textCol, n)
+    val candidates = spark.read.parquet(s"$path/bands")
+      .select(col("id"), col("band"), col("bucket")).as("a")
+      .join(bandedSignatures(shNew, numHashes, bands,
+          numHashes / bands).as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard2(candidates, spark.read.parquet(s"$path/shingles"),
+      shNew, threshold)
+  }
 
   /** SimHash near-duplicate pairs, exact-verified.
     *

@@ -402,6 +402,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall { case (c, nw) => c % 5 != 0 && nw % 5 == 0 })
   }
 
+  test("persisted signature store reproduces minHashLshPairsAgainst") {
+    // same split as the incremental test above, but the corpus side goes
+    // through the persisted store: write half the corpus, APPEND the
+    // other half (exercising the meta-driven append path), then probe.
+    // Store-based pairs must equal the in-memory incremental operator's
+    // — same candidates, same exact-Jaccard verification.
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigstore").toString
+    Dedup.writeBandSignatures(corpus.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", dir, n = 3, numHashes = 64, bands = 32)
+    Dedup.appendBandSignatures(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir)
+    val viaStore = Dedup
+      .minHashLshPairsAgainstStore(batch, dir, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val direct = Dedup.minHashLshPairsAgainst(batch, corpus,
+        "doc_id", "text", n = 3, numHashes = 64, bands = 32,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(viaStore.nonEmpty)
+    assert(viaStore == direct)
+  }
+
+  test("signature store rejects probing with mismatched layout gracefully") {
+    // the probe derives its sketch parameters FROM the store meta — a
+    // store written at 16x8 banding must reproduce the 16x8 in-memory
+    // operator even when the caller never restates the parameters
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigstore16").toString
+    Dedup.writeBandSignatures(corpus, "doc_id", "text", dir,
+      n = 3, numHashes = 16, bands = 8)
+    val viaStore = Dedup
+      .minHashLshPairsAgainstStore(batch, dir, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.minHashLshPairsAgainst(batch, corpus,
+        "doc_id", "text", n = 3, numHashes = 16, bands = 8,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStore == direct)
+  }
+
   test("scalar MinHashSignature equals the MinHashSketch aggregate per doc") {
     import org.apache.spark.sql.graftext.{MinHashSignature, MinHashSketch}
     val sh = docs.select(col("doc_id"),
