@@ -263,6 +263,79 @@ object StreamOps {
       .select(col("doc_id"), col("n_shared"))
   }
 
+  /** Input rows for streaming embedding decontamination. */
+  case class StreamEmb(vec_id: Long, vec: Seq[Double], ts: Timestamp)
+
+  /** Streaming semantic decontamination / ingest near-dup — the
+    * Structured Streaming form of `Similarity.lshNearDupPairsAgainst`:
+    * each arriving embedding is checked against the STATIC corpus and
+    * every (corpus, stream) pair with cosine ≥ `threshold` is emitted as
+    * (id_a = corpus id, id_b = stream id, cosine), exactly the batch
+    * operator's output on the same rows.
+    *
+    * Shape: the corpus side is prepared ONCE — (id, vec, norm) verify
+    * frame and the banded hyperplane keys frame, both lazily
+    * local-checkpointed so micro-batches reuse the materialized
+    * partitions instead of re-hashing the corpus each trigger (at scale,
+    * persist the keys frame next to the corpus like the MinHash
+    * signature store). Each micro-batch hashes only its own rows with
+    * the SAME planes, stream-static-joins the corpus keys on
+    * (table, bucket) — stateless, the candidate join is inner and the
+    * static side is hot — then re-scores candidates with exact cosine,
+    * so precision is 1 and recall is the batch operator's banded-LSH
+    * recall. The only STATE is the windowed per-pair dedup (a pair
+    * colliding in several tables must emit once, mirroring the batch
+    * `distinct()`), keyed by (window, id_a, id_b) and finalized by the
+    * watermark. Zero-norm stream rows are excluded exactly as in batch
+    * (NaN ≥ t is TRUE under Spark's NaN ordering). */
+  def embeddingDecontaminateStream(stream: Dataset[StreamEmb],
+                                   corpus: DataFrame, idCol: String,
+                                   vecCol: String, threshold: Double,
+                                   numPlanes: Int = 5, tables: Int = 64,
+                                   seed: Long = 42L,
+                                   watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.graftext.HyperplaneSignBuckets
+    val old = corpus
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", l2Norm(col("vec")))
+      .filter(col("norm") > 0)
+      .localCheckpoint(false) // keys + every micro-batch's verify read this
+    val dim = old.select(size(col("vec"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val planes = graft.operators.Similarity
+      .hyperplanes(tables * numPlanes, dim, seed)
+    val corpusKeys = old.select(col("id"),
+        posexplode(HyperplaneSignBuckets(col("vec"), planes, numPlanes,
+          tables)).as(Seq("t", "bucket")))
+      .localCheckpoint(false) // hashed once, joined every micro-batch
+    val arriving = stream.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("vec_id"), col("ts"), toDouble(col("vec")).as("vec"))
+      .withColumn("norm", l2Norm(col("vec")))
+      .filter(col("norm") > 0)
+      .select(col("vec_id"), col("ts"), col("vec"), col("norm"),
+        posexplode(HyperplaneSignBuckets(col("vec"), planes, numPlanes,
+          tables)).as(Seq("t", "bucket")))
+    arriving.as("b").join(corpusKeys.as("a"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("b.ts").as("ts"), col("b.vec").as("vec_b"),
+        col("b.norm").as("norm_b"))
+      .join(old.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("norm").as("norm_a")), "id_a")
+      .withColumn("cosine", cosineWithNorms(
+        dotProduct(col("vec_a"), col("vec_b")),
+        col("norm_a"), col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      // per-pair dedup: the cosine is identical for every table collision
+      // of a pair, so max() under the windowed group reproduces the batch
+      // distinct-then-score result
+      .groupBy(window(col("ts"), "1 second"), col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Input/output/state rows for streaming as-of enrichment. */
   case class LeftEvent(user_id: Long, event_id: Long, ts: Timestamp)
   case class RightEvent(user_id: Long, right_id: Long, ts: Timestamp)

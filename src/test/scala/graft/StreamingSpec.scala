@@ -680,4 +680,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.map(_._1) == Set(1L, 4L))
   }
+
+  test("embeddingDecontaminateStream equals batch lshNearDupPairsAgainst " +
+       "on out-of-order input") {
+    import graft.streaming.StreamOps.StreamEmb
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val corpus = Seq(
+      (100L, Seq(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0)),
+      (101L, Seq(0.0, 1.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0)),
+      (102L, Seq(0.5, 0.5, 0.5, 0.0, 0.0, 0.5, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    def emb(id: Long, v: Seq[Double], ts: String) =
+      StreamEmb(id, v, Timestamp.valueOf(ts))
+    // e1 ~ corpus 100, e3 ~ corpus 101, e2 clean, e4 the zero vector
+    // (must be excluded, not paired with everything via NaN >= t)
+    val e1 = emb(1, Seq(1.0, 0.01, 0.0, 0.0, 0.99, 0.02, 0.0, 1.01),
+      "2024-01-01 00:00:05")
+    val e2 = emb(2, Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      "2024-01-01 00:00:02")
+    val e3 = emb(3, Seq(0.01, 0.99, 0.0, 1.0, 0.01, 0.0, 1.02, 0.0),
+      "2024-01-01 00:00:08")
+    val e4 = emb(4, Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      "2024-01-01 00:00:03")
+    val input = MemoryStream[StreamEmb]
+    val out = StreamOps.embeddingDecontaminateStream(input.toDS(), corpus,
+      "vec_id", "embedding", threshold = 0.9, numPlanes = 3, tables = 8,
+      watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("embdecontam")
+      .outputMode("append").start()
+    // out-of-order arrival within the horizon
+    input.addData(e1); q.processAllAvailable()
+    input.addData(e3, e2); q.processAllAvailable()
+    input.addData(e4); q.processAllAvailable()
+    // clean sentinel pushes the watermark past every window
+    input.addData(emb(99, Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      "2024-01-01 01:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from embdecontam where id_b < 99")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batchSide = Seq(e1, e2, e3, e4).toDF()
+      .select(col("vec_id"), col("vec").as("embedding"))
+    val batch = graft.operators.Similarity.lshNearDupPairsAgainst(
+        batchSide, corpus, "vec_id", "embedding",
+        threshold = 0.9, numPlanes = 3, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._2) == Set(1L, 3L))
+  }
 }
