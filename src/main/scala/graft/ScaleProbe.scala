@@ -107,12 +107,37 @@ object ScaleProbe {
       val (_, tBrute) = timed {
         Similarity.bruteForceTopK(corpus, queries, "vec_id", "e", 5).count()
       }
+
+      // IVF-PQ (raw-encoded headline form): same coarse layout, but the
+      // persisted payload is m=8 small ints per vector instead of 64
+      // floats — measure build, probe, and actual on-disk bytes/vector
+      val pqPath = s"/tmp/graft_scaleprobe_ivfpq_$rep"
+      val ((pqCents, pqCbs), tPqBuild) = timed {
+        Similarity.buildIvfPqIndex(corpus, "vec_id", "e", pqPath,
+          nlist = nlist, m = 8, ksub = 16, lloydIters = 1,
+          pqLloydIters = 0)
+      }
+      val (_, tPq) = timed {
+        Similarity.ivfTopKIndexedPq(pqPath, pqCents, pqCbs, queries,
+          "vec_id", "e", k = 5, nprobe = 4).count()
+      }
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(p))
+      }
+      val pqBpv = dirBytes(pqPath).toDouble / n
+      val floatBpv = dirBytes(idxPath).toDouble / n
+
       println(f"SCALE n=$n%7d planes=$planes%2d tables=$tables " +
         f"lsh=$tLsh%6.1fs cands=$cands%9d pairs=$pairs%6d " +
         f"recall=${pairs.toDouble / planted}%.4f | " +
         f"nlist=$nlist%4d build=$tBuild%6.1fs ivf(nprobe=4)=$tIvf%5.2fs " +
         f"scanned=$scanned%7d (${100.0 * scanned / n}%.1f%%) " +
-        f"brute=$tBrute%5.2fs")
+        f"brute=$tBrute%5.2fs | " +
+        f"pq: build=$tPqBuild%6.1fs probe=$tPq%5.2fs " +
+        f"B/vec=$pqBpv%5.1f (float $floatBpv%5.1f)")
     }
     spark.stop()
   }
