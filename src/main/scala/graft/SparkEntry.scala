@@ -242,6 +242,22 @@ object SparkEntry {
         threshold = 0.5)
     }),
 
+    // the persisted-signature-store form of the incremental join
+    // (build → persist → probe inside the entry, the q_sim_ivf_indexed
+    // pattern): the corpus signatures are written once and the batch
+    // joins the STORE — output must equal the in-memory incremental
+    // operator, hence the same oracle
+    "q_dedup_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_sigstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      Dedup.writeBandSignatures(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", store, n = 3, numHashes = 64, bands = 32)
+      Dedup.minHashLshPairsAgainstStore(
+        docs.filter(col("doc_id") % 5 === 0), store, "doc_id", "text",
+        threshold = 0.5)
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       // hammingMax=15 with 16 chunks sits exactly at the pigeonhole
       // recall guarantee (≤ chunks-1 flipped bits always share a chunk)
@@ -445,6 +461,28 @@ object SparkEntry {
       Similarity.ivfTopKIndexedPq(idx, centroids, codebooks,
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nprobe = 16)
+    }),
+
+    // residual-encoded IVF-PQ under a full DuckDB oracle: lloydIters = 0
+    // makes the coarse cells deterministic (lowest-id init, the
+    // q_sim_outliers precedent), so the oracle can replicate cell
+    // assignment → residuals → residual-codebook init → per-subspace
+    // argmax encode → shifted ADC scoring exactly. Full probe scores
+    // every coded row, but UNLIKE raw mode the scores depend on each
+    // row's cell centroid — which is why the oracle replicates the
+    // cells rather than falling back to the pqTopK equivalence.
+    "q_sim_ivfpq_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfpq_res_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        .getPath
+      val (centroids, codebooks) = Similarity.buildIvfPqIndex(
+        emb, "vec_id", "embedding", idx,
+        nlist = 16, m = 8, ksub = 16, lloydIters = 0, pqLloydIters = 0,
+        residuals = true)
+      Similarity.ivfTopKIndexedPq(idx, centroids, codebooks,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 16, residuals = true)
     }),
 
     // ---- events: windowed aggregation + sessionization ----
@@ -1460,6 +1498,10 @@ object SparkEntry {
       "q_dedup_incremental" ->
         shingleCteOn("a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0"),
 
+      // the persisted store must reproduce the incremental join exactly
+      "q_dedup_store" ->
+        shingleCteOn("a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0"),
+
       // connected components = min reachable id, via recursive walk over
       // the symmetric edge set of the exhaustive-Jaccard pair table
       "q_dedup_clusters" ->
@@ -1530,6 +1572,77 @@ object SparkEntry {
       // persisted IVF-PQ index probed at nprobe = nlist ⇒ identical to
       // pqTopK at the same codebooks (same oracle)
       "q_sim_ivfpq" -> pqTopKSql,
+
+      // residual-encoded IVF-PQ: deterministic coarse cells (lowest-id
+      // init, score = dot − |c|²/2 with ties toward the larger cell),
+      // residuals r = e − µ_cell, residual codebook = the 16 lowest-id
+      // residuals, per-subspace argmax encode (score DESC, cid DESC —
+      // NearestCentroid's tie-break), then the SHIFTED ADC cosine: the
+      // reconstruction w = µ_cell + codebook entries, scored with plain
+      // left-to-right dots (PqAdcCosineShifted folds one global
+      // accumulator over the whole vector, unlike the per-subspace
+      // list_reduce of the raw kernel)
+      "q_sim_ivfpq_residual" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+          |                         CAST(embedding AS DOUBLE[])) > 0
+          |), cent AS (
+          |  SELECT e AS ce, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+          |  FROM v ORDER BY vec_id LIMIT 16
+          |), scored0 AS (
+          |  SELECT v.vec_id, v.e, cent.cell, cent.ce,
+          |    list_dot_product(v.e, cent.ce)
+          |      - list_dot_product(cent.ce, cent.ce) / 2 AS score
+          |  FROM v CROSS JOIN cent
+          |), assigned AS (
+          |  SELECT vec_id, e, cell, ce FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY score DESC, cell DESC) AS rn FROM scored0)
+          |  WHERE rn = 1
+          |), resid AS (
+          |  SELECT vec_id, e, cell, ce,
+          |    [e[i] - ce[i] FOR i IN range(1, 65)] AS r
+          |  FROM assigned
+          |), cb AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, r AS cr
+          |  FROM resid ORDER BY vec_id LIMIT 16
+          |), cbl AS (
+          |  SELECT list(cr ORDER BY cid) AS cbs FROM cb
+          |), codes AS (
+          |  SELECT vec_id, list(cid ORDER BY j) AS code FROM (
+          |    SELECT vec_id, j, cid FROM (
+          |      SELECT resid.vec_id, t.j AS j, cb.cid,
+          |        row_number() OVER (PARTITION BY resid.vec_id, t.j ORDER BY
+          |          list_dot_product(resid.r[(t.j*8+1):((t.j+1)*8)],
+          |                           cb.cr[(t.j*8+1):((t.j+1)*8)])
+          |          - list_dot_product(cb.cr[(t.j*8+1):((t.j+1)*8)],
+          |                             cb.cr[(t.j*8+1):((t.j+1)*8)]) / 2
+          |          DESC, cb.cid DESC) AS rn
+          |      FROM resid, range(8) t(j), cb)
+          |    WHERE rn = 1)
+          |  GROUP BY vec_id
+          |), recon AS (
+          |  SELECT cd.vec_id, a.cell,
+          |    [a.ce[i] + cbl.cbs[cd.code[((i-1)//8)+1]+1][i]
+          |     FOR i IN range(1, 65)] AS w
+          |  FROM codes cd, assigned a, cbl WHERE cd.vec_id = a.vec_id
+          |), scored AS (
+          |  SELECT q.vec_id AS query_id, rc.vec_id AS neighbor_id,
+          |    list_dot_product(q.e, rc.w)
+          |      / (sqrt(list_dot_product(q.e, q.e))
+          |         * sqrt(list_dot_product(rc.w, rc.w))) AS cos_raw
+          |  FROM v q, recon rc
+          |  WHERE q.vec_id < 10 AND q.vec_id <> rc.vec_id
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
+          |    round(cos_raw, 6) AS cosine
+          |  FROM scored
+          |)
+          |SELECT query_id, neighbor_id, rank, cosine
+          |FROM ranked WHERE rank <= 5""".stripMargin,
 
       // SemDeDup oracle: replicate the deterministic centroid init (8
       // lowest-id vectors, lloydIters=0), the argmax cell assignment
