@@ -257,8 +257,8 @@ object Dedup {
       .write.mode(mode).parquet(s"$path/shingles")
   }
 
-  private def readStoreMeta(spark: SparkSession,
-                            path: String): (Int, Int, Int) = {
+  private[graft] def readStoreMeta(spark: SparkSession,
+                                   path: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").head()
     (r.getAs[Int]("n"), r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"))
   }

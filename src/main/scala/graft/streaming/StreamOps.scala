@@ -263,6 +263,68 @@ object StreamOps {
       .select(col("doc_id"), col("n_shared"))
   }
 
+  /** Streaming ingest dedup against a persisted LSH signature store —
+    * the Structured Streaming form of
+    * `Dedup.minHashLshPairsAgainstStore`: each arriving document is
+    * checked against the corpus whose signatures live at `path`
+    * (written by `Dedup.writeBandSignatures`), and every near-dup pair
+    * with exact Jaccard ≥ `threshold` is emitted as (id_a = stored id,
+    * id_b = stream doc id, jaccard) — the batch operator's output on
+    * the same rows.
+    *
+    * Shape: the store's band index and shingle sets load as STATIC
+    * frames, so per-batch cost is ∝ the batch and the corpus is never
+    * re-derived (the store IS the corpus's signatures — the streaming
+    * payoff of the persisted layout). Stream docs shingle and sign with
+    * the SCALAR `MinHashSignature` (value-identical to the store's
+    * aggregate — spec-pinned; an aggregate ahead of the join would be
+    * illegal in append mode anyway), bucket-join the store bands,
+    * exact-verify against stored shingles (precision 1, like every LSH
+    * path), and a watermark-bounded windowed aggregate dedups per-pair
+    * band collisions, mirroring the batch `distinct()`. All joins are
+    * stream-static and stateless; sketch parameters come from the
+    * store's meta. */
+  def dedupAgainstStoreStream(docs: Dataset[StreamDoc], path: String,
+                              threshold: Double = 0.5,
+                              watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.graftext.MinHashSignature
+    val spark = docs.sparkSession
+    val (n, numHashes, bands) =
+      graft.operators.Dedup.readStoreMeta(spark, path)
+    val rows = numHashes / bands
+    val storeBands = spark.read.parquet(s"$path/bands")
+      .select(col("id"), col("band"), col("bucket"))
+    val storeShingles = spark.read.parquet(s"$path/shingles")
+      .select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        graft.operators.TextAnalysis.hashedShingles(col("text"), n)
+          .as("sh_b"))
+      .filter(size(col("sh_b")) > 0)
+      .withColumn("sig", MinHashSignature(col("sh_b"), numHashes))
+      .select(col("doc_id"), col("ts"), col("sh_b"),
+        explode(graft.operators.Dedup.bandBuckets(col("sig"), bands, rows))
+          .as("bb"))
+      .select(col("doc_id"), col("ts"), col("sh_b"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .join(storeBands, Seq("band", "bucket"))
+      .select(col("id").as("id_a"), col("doc_id").as("id_b"), col("ts"),
+        col("sh_b"))
+      .join(storeShingles, "id_a")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common"))
+          .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      // per-pair dedup: jaccard is identical across a pair's band
+      // collisions, so max() under the windowed group reproduces the
+      // batch distinct-then-verify result
+      .groupBy(window(col("ts"), "1 second"), col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Input rows for streaming embedding decontamination. */
   case class StreamEmb(vec_id: Long, vec: Seq[Double], ts: Timestamp)
 

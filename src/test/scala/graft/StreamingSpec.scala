@@ -681,6 +681,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._1) == Set(1L, 4L))
   }
 
+  test("dedupAgainstStoreStream equals the batch store probe " +
+       "on out-of-order input") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigstore-stream").toString
+    graft.operators.Dedup.writeBandSignatures(corpus, "doc_id", "text", dir)
+    // deterministic scramble: stream arrival order is unrelated to id
+    // order, timestamps spread inside the watermark horizon
+    val rows = batch.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(x => (x._1 * 2654435761L) % 1009)
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.dedupAgainstStoreStream(input.toDS(), dir,
+      threshold = 0.5, watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("storededup")
+      .outputMode("append").start()
+    rows.grouped(40).zipWithIndex.foreach { case (chunk, i) =>
+      input.addData(chunk.map { case (id, text) =>
+        StreamDoc(id, text, Timestamp.valueOf(f"2024-01-01 00:00:0${i % 9}"))
+      }.toSeq)
+      q.processAllAvailable()
+    }
+    // sentinel pushes the watermark past every window; its text must
+    // SURVIVE shingling (>= 3 words) because the empty-shingle filter
+    // can be pushed below the event-time watermark node — a sub-shingle
+    // sentinel would be dropped before advancing the watermark. Its
+    // unique token pairs with nothing.
+    input.addData(StreamDoc(999999L, "sentinelx sentinelx sentinelx",
+      Timestamp.valueOf("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from storededup where id_b < 999999")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batchPairs = graft.operators.Dedup
+      .minHashLshPairsAgainstStore(batch, dir, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batchPairs)
+  }
+
   test("embeddingDecontaminateStream equals batch lshNearDupPairsAgainst " +
        "on out-of-order input") {
     import graft.streaming.StreamOps.StreamEmb
