@@ -150,6 +150,17 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "type_token_ratio", "mean_token_len",
           "quality", "lang_pred", "fingerprint")),
 
+    // Gopher-style rule gate (Rae 2021 App. A): word-count bounds,
+    // mean-word-length bounds, symbol ratio, bullet/ellipsis line
+    // fractions, alphabetic-word fraction, stopword floor.
+    // minStopwords = 1 — the synthetic vocabulary carries English
+    // stopwords sparsely (382/500 docs at sf0.01), so 1 discriminates
+    // where the English-prose default of 2 would mostly gate on
+    // vocabulary luck.
+    "q_text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherQualityFlags(t(s, dir, "documents"),
+        minStopwords = 1)),
+
     // corpus vocabulary: top tokens by frequency with doc frequency —
     // the tokenizer-training / stopword-derivation precursor
     "q_text_vocab" -> ((s, dir) =>
@@ -1368,6 +1379,47 @@ object SparkEntry {
           |       THEN 'en' ELSE 'unk' END AS lang_pred,
           |  md5(lower(text)) AS fingerprint
           |FROM toks""".stripMargin,
+
+      // Gopher rules: same tokenization (single-space split), same
+      // integer char sums, double divisions, round-6 display values,
+      // UNROUNDED keep comparisons
+      "q_text_gopher" ->
+        """WITH d AS (
+          |  SELECT doc_id, text, string_split(text, ' ') AS w,
+          |         string_split(text, chr(10)) AS ln
+          |  FROM documents
+          |), m AS (
+          |  SELECT doc_id,
+          |    len(w)::BIGINT AS n_words,
+          |    list_reduce([len(x)::BIGINT FOR x IN w], (a, b) -> a + b)::DOUBLE
+          |      / len(w) AS mean_len,
+          |    ((len(text) - len(replace(text, '#', '')))
+          |      + (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE
+          |      / len(w) AS sym,
+          |    len(list_filter(ln, l -> starts_with(l, '- ')
+          |        OR starts_with(l, '* ') OR starts_with(l, '• ')))::DOUBLE
+          |      / len(ln) AS bullet,
+          |    len(list_filter(ln, l -> ends_with(l, '...')))::DOUBLE
+          |      / len(ln) AS ellip,
+          |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+          |      / len(w) AS alpha,
+          |    len(list_filter(w, x -> list_contains(
+          |      ['the','be','to','of','and','that','have','with'],
+          |      lower(x))))::BIGINT AS n_stop
+          |  FROM d
+          |)
+          |SELECT doc_id, n_words,
+          |  round(mean_len, 6) AS mean_word_len,
+          |  round(sym, 6) AS symbol_ratio,
+          |  round(bullet, 6) AS bullet_frac,
+          |  round(ellip, 6) AS ellipsis_frac,
+          |  round(alpha, 6) AS alpha_frac,
+          |  n_stop,
+          |  (n_words >= 50 AND n_words <= 100000
+          |   AND mean_len >= 3.0 AND mean_len <= 10.0
+          |   AND sym <= 0.1 AND bullet <= 0.9 AND ellip <= 0.3
+          |   AND alpha >= 0.8 AND n_stop >= 1) AS keep
+          |FROM m""".stripMargin,
 
       "q_text_vocab" ->
         """WITH tok AS (

@@ -152,6 +152,80 @@ object TextAnalysis {
       .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
   }
 
+  /** The Gopher quality-rule stopword list (Rae et al. 2021 App. A —
+    * "the, be, to, of, and, that, have, with"): a document passing the
+    * other gates but containing fewer than `minStopwords` of these is
+    * overwhelmingly boilerplate/navigation, not prose. */
+  private val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 Appendix A —
+    * the standard pre-filter every large-LM text pipeline runs before
+    * model-based scoring). One row per document with each rule's
+    * measurement and the combined `keep` flag:
+    *
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [minMeanWordLen, maxMeanWordLen]
+    *   - symbol-to-word ratio (`#` and `...` occurrences) ≤ maxSymbolRatio
+    *   - fraction of lines starting with a bullet ≤ maxBulletFrac
+    *   - fraction of lines ending in an ellipsis ≤ maxEllipsisFrac
+    *   - fraction of words with ≥1 alphabetic char ≥ minAlphaFrac
+    *   - ≥ minStopwords hits from the fixed stopword list (pass 0 for
+    *     corpora where the rule doesn't apply, e.g. non-English)
+    *
+    * Ratios are rounded to 6 decimals for engine-replicable output; the
+    * keep decision uses the UNROUNDED values (a rule boundary must not
+    * move with the display rounding). Pure codegen'd projection — zero
+    * shuffle at any scale, the 100 TB shape of a scan-speed gate. */
+  def gopherQualityFlags(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanWordLen: Double = 3.0,
+                         maxMeanWordLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         maxBulletFrac: Double = 0.9,
+                         maxEllipsisFrac: Double = 0.3,
+                         minAlphaFrac: Double = 0.8,
+                         minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val ws = tokens(t)
+    val nWords = size(ws).cast("long")
+    // integer char sum / long count — exact, then one double division
+    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords.cast("double")
+    val nSymbols =
+      ((length(t) - length(regexp_replace(t, "#", ""))) +
+        (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+        .cast("double")
+    val symbolRatio = nSymbols / nWords.cast("double")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / nLines
+    val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords.cast("double")
+    val stopLit = array(gopherStopwords.map(lit): _*)
+    val nStop = size(filter(ws, w => array_contains(stopLit, lower(w))))
+      .cast("long")
+    docs.select(col(idCol), nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      nStop.as("n_stop"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        symbolRatio <= maxSymbolRatio &&
+        bulletFrac <= maxBulletFrac &&
+        ellipsisFrac <= maxEllipsisFrac &&
+        alphaFrac >= minAlphaFrac &&
+        nStop >= minStopwords).as("keep"))
+  }
+
   /** Fraction of duplicated word n-grams in a document — the
     * repetition-quality signal used by large-LM data pipelines (a high
     * value flags template spam and degenerate repetition): 1 −

@@ -402,6 +402,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall { case (c, nw) => c % 5 != 0 && nw % 5 == 0 })
   }
 
+  test("gopherQualityFlags applies each rule; keep uses unrounded values") {
+    val good = (Seq.fill(10)("the quick brown fox jumps over lazy dogs " +
+      "with great energy and that determination") :+ "end").mkString(" ")
+    val fixture = spark.createDataFrame(Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short to keep"),                   // < minWords
+      (3L, Seq.fill(60)("ab").mkString(" ")),      // mean word len 2 < 3
+      (4L, Seq.fill(60)("####").mkString(" ")),    // symbol ratio 1 > 0.1
+      (5L, (Seq.fill(30)("- bullet line") ++ Seq.fill(30)("x"))
+        .mkString("\n")),                          // all-bullet doc
+      (6L, Seq.fill(60)("12345").mkString(" ")),   // alpha frac 0 < 0.8
+      (7L, good.replaceAll(
+        "\\b(the|with|and|that)\\b", "xyz"))       // no stopwords
+    )).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFlags(fixture, minStopwords = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(out(1L))
+    assert(!out(2L) && !out(3L) && !out(4L) && !out(6L) && !out(7L))
+    // doc 5: 30 of 60 lines are bullets (0.5 <= 0.9 passes) but the
+    // bullet words push mean length / stopword rules — verify the
+    // bullet fraction itself computed correctly instead of keep
+    val r5 = TextAnalysis.gopherQualityFlags(fixture, minStopwords = 1)
+      .filter(col("doc_id") === 5L).collect().head
+    assert(r5.getAs[Double]("bullet_frac") == 0.5)
+    // boundary: a doc at exactly minWords with boundary mean length
+    // keeps — the unrounded comparison, not the rounded display value
+    val boundary = spark.createDataFrame(Seq(
+      (8L, Seq.fill(50)("the").mkString(" ")))).toDF("doc_id", "text")
+    val r8 = TextAnalysis.gopherQualityFlags(boundary, minStopwords = 1)
+      .collect().head
+    assert(r8.getAs[Long]("n_words") == 50L)
+    assert(r8.getAs[Boolean]("keep"))
+  }
+
   test("persisted signature store reproduces minHashLshPairsAgainst") {
     // same split as the incremental test above, but the corpus side goes
     // through the persisted store: write half the corpus, APPEND the
