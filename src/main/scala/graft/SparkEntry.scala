@@ -208,6 +208,13 @@ object SparkEntry {
         explode(TextAnalysis.winnowedFingerprints(col("text"), 3, 4))
           .as("fingerprint"))),
 
+    // MOSS-style overlap pairs over the winnow sketch: copied/templated
+    // runs found sub-quadratically (fingerprint inverted index; any
+    // shared (w+k-1)-word run guarantees a hit)
+    "q_text_overlap" -> ((s, dir) =>
+      TextAnalysis.winnowOverlapPairs(t(s, dir, "documents"), "doc_id",
+        "text", k = 3, w = 4, minShared = 2)),
+
     "q_text_fingerprints" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1470,6 +1477,28 @@ object SparkEntry {
           |    END AS fps
           |  FROM g)
           |SELECT doc_id, unnest(fps) AS fingerprint FROM f""".stripMargin,
+
+      // overlap pairs: the winnow CTE again (fps are engine-replicable
+      // md5-prefix hashes), self-joined on shared fingerprints
+      "q_text_overlap" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |    [('0x' || substr(md5(array_to_string(w[i:(i+2)], ' ')), 1, 12))
+          |       ::BIGINT FOR i IN range(1, len(w) - 1)] AS h
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+          |f AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(h) = 0 THEN NULL
+          |         WHEN len(h) <= 4 THEN [list_min(h)]
+          |         ELSE list_distinct([list_min(h[i:(i+3)])
+          |                             FOR i IN range(1, len(h) - 2)])
+          |    END AS fps
+          |  FROM g),
+          |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       count(*) AS n_shared
+          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
       "q_text_fingerprints" ->
         """SELECT doc_id,

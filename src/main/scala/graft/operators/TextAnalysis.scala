@@ -120,6 +120,42 @@ object TextAnalysis {
   def winnowedFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
     org.apache.spark.sql.graftext.WinnowedFingerprints(text, k, w)
 
+  /** MOSS-style document-overlap detection (Schleimer et al. 2003, the
+    * winnowing paper's own application): pairs of documents sharing ≥
+    * `minShared` winnowing fingerprints, with the shared count as the
+    * overlap score. Because any common `w + k − 1`-word run guarantees a
+    * shared fingerprint, this finds copied/templated passages at
+    * ~2/(w+1) the index density of full shingling.
+    *
+    * Scale shape: a fingerprint inverted index — only documents sharing
+    * a fingerprint ever meet, so cost is Σ(posting²) not n². `maxDf`
+    * (the MOSS "too common to be interesting" knob) drops fingerprints
+    * appearing in more than that many documents before the join: at web
+    * scale boilerplate fingerprints are the quadratic hazard, and
+    * dropping them bounds every posting list. Output:
+    * (id_a, id_b, n_shared) with id_a < id_b. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String,
+                         textCol: String = "text", k: Int = 3, w: Int = 4,
+                         minShared: Int = 2,
+                         maxDf: Int = Int.MaxValue): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      explode(winnowedFingerprints(col(textCol), k, w)).as("fp"))
+    val posting =
+      if (maxDf == Int.MaxValue) fps
+      else {
+        val df = fps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+        fps.join(df.select(col("fp")), "fp")
+      }
+    posting.as("a").join(posting.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id"), col("b.id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("n_shared"))
+  }
+
   /** Corpus vocabulary: the `topN` tokens by total frequency with their
     * document frequency and a deterministic rank (frequency desc, token
     * asc) — the precursor table for tokenizer training and stopword

@@ -402,6 +402,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall { case (c, nw) => c % 5 != 0 && nw % 5 == 0 })
   }
 
+  test("winnowOverlapPairs matches a driver-side recount; maxDf bounds postings") {
+    val fps = docs.select(col("doc_id"),
+        explode(TextAnalysis.winnowedFingerprints(col("text"), 3, 4))
+          .as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = fps.groupBy(_._2).values.flatMap { g =>
+      val ids = g.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j))
+    }.groupBy(identity).map { case (p, v) => (p._1, p._2, v.size.toLong) }
+      .filter(_._3 >= 2).toSet
+    val got = TextAnalysis
+      .winnowOverlapPairs(docs, "doc_id", "text", 3, 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got == expected)
+    // maxDf = 1: every fingerprint shared by 2+ docs is dropped before
+    // the join, so no pair can survive
+    assert(TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text", 3, 4,
+      minShared = 1, maxDf = 1).count() == 0)
+  }
+
   test("gopherQualityFlags applies each rule; keep uses unrounded values") {
     val good = (Seq.fill(10)("the quick brown fox jumps over lazy dogs " +
       "with great energy and that determination") :+ "end").mkString(" ")
