@@ -402,6 +402,13 @@ object SparkEntry {
       Similarity.embeddingOutliers(t(s, dir, "embeddings"), "vec_id",
         "embedding", nlist = 16, zMax = 1.0, lloydIters = 0)),
 
+    // k-means corpus clustering (topic/layout partitioning):
+    // lloydIters = 0 keeps the deterministic lowest-id init so the
+    // oracle replicates the full assignment
+    "q_sim_cluster" -> ((s, dir) =>
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nlist = 16, lloydIters = 0)),
+
     "q_sim_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
@@ -1765,6 +1772,28 @@ object SparkEntry {
       // centroids, dot − |c|²/2 argmax, larger-cell ties), then round-9
       // distances, DECIMAL first/second moments per cell, identical
       // double shapes for mean/std/z
+      // the deterministic-init assignment, shared with the outliers /
+      // residual-IVFPQ oracles (score = dot − |c|²/2, ties toward the
+      // larger cell)
+      "q_sim_cluster" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+          |                         CAST(embedding AS DOUBLE[])) > 0
+          |), cent AS (
+          |  SELECT e AS ce, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+          |  FROM v ORDER BY vec_id LIMIT 16
+          |), scored AS (
+          |  SELECT v.vec_id, cent.cell,
+          |    list_dot_product(v.e, cent.ce)
+          |      - list_dot_product(cent.ce, cent.ce) / 2 AS score
+          |  FROM v CROSS JOIN cent
+          |)
+          |SELECT vec_id AS id, cell::INT AS cell FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY vec_id
+          |    ORDER BY score DESC, cell DESC) AS rn FROM scored)
+          |WHERE rn = 1""".stripMargin,
+
       "q_sim_outliers" ->
         """WITH v AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

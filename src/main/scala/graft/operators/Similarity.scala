@@ -599,6 +599,25 @@ object Similarity {
     (centroids.toSeq, cbs)
   }
 
+  /** K-means cluster assignment of an embedding corpus: (id, cell) for
+    * every non-zero vector — the topic-clustering / corpus-partitioning
+    * surface of the same machinery the IVF indexes and SemDeDup use
+    * (shared trainer, shared compiled argmax, so an external oracle that
+    * replicates one replicates all). `lloydIters = 0` keeps the
+    * deterministic lowest-id init — the exactly-replicable form; higher
+    * values run Lloyd refinement (one bounded aggregation per round).
+    * Scale shape: training collects nlist×dim doubles; assignment is a
+    * broadcast-centroid scan — zero shuffle. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, lloydIters: Int = 2): DataFrame = {
+    val c = ivfPrep(emb, idCol, vecCol)
+    val centroids = trainCentroids(c, nlist, lloydIters)
+    if (centroids.isEmpty)
+      return emb.limit(0).select(col(idCol).as("id"), lit(0).as("cell"))
+    c.select(col("neighbor_id").as("id"),
+      assignExpr(col("cvec"), centroids.toSeq).as("cell"))
+  }
+
   /** Small (cell, centroid) frame for broadcast joins — nlist rows. */
   private def centroidFrame(spark: SparkSession,
                             centroids: Seq[Seq[Double]]): DataFrame = {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Skew
+import graft.operators.{Skew, TextAnalysis}
 import graft.sources.Bucketing
 
 object ScaleOpsSpec {
@@ -216,6 +216,32 @@ class ScaleOpsSpec extends AnyFunSuite {
       dp.toDouble * ds }.sum / boxes.length
     assert(avgArea <= 0.4 * gp * gs,
       s"avg per-file box $avgArea vs global ${gp.toDouble * gs}")
+  }
+
+  test("gopher gate and kmeans assignment plan with zero exchanges") {
+    // both claim scan-speed shapes: the rule gate is a pure projection,
+    // and cluster assignment is a broadcast-centroid scan (training
+    // collects nlist×dim bounded metadata, not corpus rows)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val gate = TextAnalysis.gopherQualityFlags(docs, minStopwords = 1)
+    gate.collect()
+    assert(!ScaleOpsSpec.finalPlan(gate).contains("Exchange"),
+      ScaleOpsSpec.finalPlan(gate))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = graft.operators.Similarity.kmeansAssign(emb, "vec_id",
+      "embedding", nlist = 8, lloydIters = 0)
+    cells.collect()
+    assert(!ScaleOpsSpec.finalPlan(cells).contains("Exchange"),
+      ScaleOpsSpec.finalPlan(cells))
+  }
+
+  test("winnowOverlapPairs plans an equi-join, never a nested-loop sweep") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text")
+    pairs.collect()
+    val plan = ScaleOpsSpec.finalPlan(pairs)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("saltedStats equals direct aggregation") {
