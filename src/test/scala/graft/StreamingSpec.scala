@@ -681,6 +681,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._1) == Set(1L, 4L))
   }
 
+  test("gopherQualityFlags runs on a stream unchanged (stateless gate)") {
+    // the rule gate is a pure projection, so it needs no watermark, no
+    // state, and no streaming-specific form — the parity-core property
+    // extended to the curation surface
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val good = Seq.fill(60)("the word").mkString(" ")
+    val input = MemoryStream[StreamDoc]
+    val out = graft.operators.TextAnalysis.gopherQualityFlags(
+      input.toDS().toDF(), idCol = "doc_id", minStopwords = 1)
+    val q = out.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    input.addData(
+      StreamDoc(1L, good, Timestamp.valueOf("2024-01-01 00:00:01")),
+      StreamDoc(2L, "too short", Timestamp.valueOf("2024-01-01 00:00:02")))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("select doc_id, keep from gopher_stream")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false))
+  }
+
   test("dedupAgainstStoreStream equals the batch store probe " +
        "on out-of-order input") {
     import graft.streaming.StreamOps.StreamDoc
