@@ -130,6 +130,19 @@ object ScaleProbe {
       val pqBpv = dirBytes(pqPath).toDouble / n
       val floatBpv = dirBytes(idxPath).toDouble / n
 
+      // residual-encoded IVF-PQ: same layout and byte budget, codes
+      // quantize v − µ_cell (the accuracy-per-byte mode)
+      val pqrPath = s"/tmp/graft_scaleprobe_ivfpqr_$rep"
+      val ((prCents, prCbs), tPqrBuild) = timed {
+        Similarity.buildIvfPqIndex(corpus, "vec_id", "e", pqrPath,
+          nlist = nlist, m = 8, ksub = 16, lloydIters = 1,
+          pqLloydIters = 0, residuals = true)
+      }
+      val (_, tPqr) = timed {
+        Similarity.ivfTopKIndexedPq(pqrPath, prCents, prCbs, queries,
+          "vec_id", "e", k = 5, nprobe = 4, residuals = true).count()
+      }
+
       println(f"SCALE n=$n%7d planes=$planes%2d tables=$tables " +
         f"lsh=$tLsh%6.1fs cands=$cands%9d pairs=$pairs%6d " +
         f"recall=${pairs.toDouble / planted}%.4f | " +
@@ -137,7 +150,8 @@ object ScaleProbe {
         f"scanned=$scanned%7d (${100.0 * scanned / n}%.1f%%) " +
         f"brute=$tBrute%5.2fs | " +
         f"pq: build=$tPqBuild%6.1fs probe=$tPq%5.2fs " +
-        f"B/vec=$pqBpv%5.1f (float $floatBpv%5.1f)")
+        f"B/vec=$pqBpv%5.1f (float $floatBpv%5.1f) | " +
+        f"pq-resid: build=$tPqrBuild%6.1fs probe=$tPqr%5.2fs")
     }
     spark.stop()
   }
