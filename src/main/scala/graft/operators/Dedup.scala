@@ -275,16 +275,31 @@ object Dedup {
     val spark = newDocs.sparkSession
     val (n, numHashes, bands) = readStoreMeta(spark, path)
     val shNew = shingled(newDocs, idCol, textCol, n)
-    val candidates = spark.read.parquet(s"$path/bands")
-      .select(col("id"), col("band"), col("bucket")).as("a")
-      .join(bandedSignatures(shNew, numHashes, bands,
-          numHashes / bands).as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    verifyJaccard2(candidates, spark.read.parquet(s"$path/shingles"),
-      shNew, threshold)
+    // a store written from an EMPTY corpus has meta but no band/shingle
+    // files (a partitioned write of zero rows emits no files), so the
+    // parquet read cannot infer a schema — that store legitimately
+    // matches nothing
+    val frames = try {
+      Some((spark.read.parquet(s"$path/bands"),
+        spark.read.parquet(s"$path/shingles")))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+    frames match {
+      case None =>
+        shNew.limit(0).select(col("id").as("id_a"), col("id").as("id_b"),
+          lit(0.0).as("jaccard"))
+      case Some((storeBands, storeShingles)) =>
+        val candidates = storeBands
+          .select(col("id"), col("band"), col("bucket")).as("a")
+          .join(bandedSignatures(shNew, numHashes, bands,
+              numHashes / bands).as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        verifyJaccard2(candidates, storeShingles, shNew, threshold)
+    }
   }
 
   /** SimHash near-duplicate pairs, exact-verified.

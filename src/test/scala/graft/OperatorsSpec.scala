@@ -485,6 +485,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaStore == direct)
   }
 
+  test("signature store built from an empty corpus matches nothing") {
+    // a partitioned write of zero rows emits no parquet files, so the
+    // probe must not crash on schema inference — an empty store is a
+    // legitimate cold-start state (write empty, append batches later)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigstore-empty").toString
+    Dedup.writeBandSignatures(docs.limit(0), "doc_id", "text", dir)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    assert(Dedup.minHashLshPairsAgainstStore(batch, dir,
+      "doc_id", "text", 0.5).count() == 0)
+    // cold-start append then probe: behaves like a fresh store
+    Dedup.appendBandSignatures(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", dir)
+    val viaStore = Dedup
+      .minHashLshPairsAgainstStore(batch, dir, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.minHashLshPairsAgainst(batch,
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStore == direct && viaStore.nonEmpty)
+  }
+
   test("signature store rejects probing with mismatched layout gracefully") {
     // the probe derives its sketch parameters FROM the store meta — a
     // store written at 16x8 banding must reproduce the 16x8 in-memory
