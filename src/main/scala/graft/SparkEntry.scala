@@ -196,6 +196,19 @@ object SparkEntry {
           keyCols = Seq("doc_id"))
         .select("doc_id", "source", "lang")),
 
+    // temperature-flattened mixture at alpha = 0.5: sqrt weights are
+    // correctly rounded in every IEEE engine, so the whole derivation
+    // (counts -> weights -> floor keeps -> ranked prefix) oracles
+    // exactly; a general pow could differ in the last ulp
+    // (the raw corpus is source-uniform — flattening it is the identity
+    // — so the entry induces skew first: all of src0, a third elsewhere)
+    "q_sample_temperature" -> ((s, dir) =>
+      Curation.resampleByTemperature(
+          t(s, dir, "documents")
+            .filter(col("source") === "src0" || col("doc_id") % 3 === 0),
+          "source", alpha = 0.5, keyCols = Seq("doc_id"))
+        .select("doc_id", "source", "lang")),
+
     // intra-document repetition: duplicated n-gram fractions, the
     // template-spam / degenerate-repetition quality gate
     "q_text_repetition" -> ((s, dir) =>
@@ -2014,6 +2027,27 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY source
           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
           |  FROM documents)
+          |SELECT r.doc_id, r.source, r.lang
+          |FROM ranked r JOIN k USING (source) WHERE r.rnk <= k.k""".stripMargin,
+
+      // temperature mixture: sqrt(count) weights, same floor/rank shape,
+      // over the same induced-skew frame
+      "q_sample_temperature" ->
+        """WITH d AS (
+          |  SELECT doc_id, source, lang FROM documents
+          |  WHERE source = 'src0' OR doc_id % 3 = 0),
+          |n AS (
+          |  SELECT source, count(*) AS n FROM d GROUP BY 1),
+          |w AS (SELECT source, n, sqrt(n::DOUBLE) AS wt FROM n),
+          |t AS (SELECT min(n / wt) AS total FROM w),
+          |k AS (
+          |  SELECT w.source, CAST(floor(w.wt * t.total) AS BIGINT) AS k
+          |  FROM w, t),
+          |ranked AS (
+          |  SELECT doc_id, source, lang,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+          |  FROM d)
           |SELECT r.doc_id, r.source, r.lang
           |FROM ranked r JOIN k USING (source) WHERE r.rnk <= k.k""".stripMargin,
 

@@ -107,6 +107,30 @@ object Curation {
       .drop("__rnk")
   }
 
+  /** Temperature-flattened domain mixture — the multilingual/multi-source
+    * LM mixing standard (exponential smoothing, cf. mBERT / XLM-R):
+    * target weight for domain d is count_d^alpha, i.e. the natural
+    * distribution raised to a temperature. `alpha = 1` reproduces the
+    * corpus unchanged (weights ∝ counts keep every row — spec-pinned);
+    * `alpha → 0` approaches a uniform mix, downsampling head domains
+    * hard. Delegates to [[resampleToMixture]] (whose keep computation is
+    * scale-invariant in the weights, so the powers need no
+    * normalization); driver-side work is one bounded count per domain,
+    * exactly like the explicit-weights form. `alpha = 0.5` is the
+    * engine-replicable choice for an external oracle: sqrt is correctly
+    * rounded under IEEE-754 in every engine, while a general pow may
+    * differ in the last ulp across math libraries. */
+  def resampleByTemperature(df: DataFrame, domainCol: String, alpha: Double,
+                            keyCols: Seq[String]): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(domainCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df
+    resampleToMixture(df, domainCol,
+      counts.map { case (d, n) => d -> math.pow(n.toDouble, alpha) },
+      keyCols)
+  }
+
   /** Shuffle-free deterministic sample: keep rows whose content-hash
     * falls under a threshold prefix. The kept fraction is `fraction` in
     * expectation per stratum (hash-uniform), the decision is purely

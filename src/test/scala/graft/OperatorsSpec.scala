@@ -402,6 +402,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall { case (c, nw) => c % 5 != 0 && nw % 5 == 0 })
   }
 
+  test("resampleByTemperature: alpha=1 is the identity; alpha=0.5 flattens") {
+    // the raw corpus is source-uniform (flattening a uniform mix is the
+    // identity), so induce skew: keep all of src0 but only a third of
+    // every other domain
+    val df = docs.select(col("doc_id"), col("source"))
+      .filter(col("source") === "src0" || col("doc_id") % 3 === 0)
+    assert(Curation.resampleByTemperature(df, "source", 1.0, Seq("doc_id"))
+      .count() == df.count())
+    val counts = df.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total = min(n_d / sqrt(n_d)) = min(sqrt(n_d));
+    // keep_d = floor(sqrt(n_d) * total)
+    val total = counts.values.map(v => v / math.sqrt(v.toDouble)).min
+    val kept = Curation
+      .resampleByTemperature(df, "source", 0.5, Seq("doc_id"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (d, c) =>
+      assert(kept.getOrElse(d, 0L) ==
+        math.floor(math.sqrt(c.toDouble) * total).toLong, s"domain $d")
+    }
+    assert(kept.values.sum < counts.values.sum) // the head was downsampled
+  }
+
   test("winnowOverlapPairs matches a driver-side recount; maxDf bounds postings") {
     val fps = docs.select(col("doc_id"),
         explode(TextAnalysis.winnowedFingerprints(col("text"), 3, 4))
