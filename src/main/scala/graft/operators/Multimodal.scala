@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * with batched per-partition feature extraction.
   *
   * Decoding: `audio/wav` payloads are decoded FOR REAL ([[decodeWavPcm]]
-  * — RIFF/PCM needs no codec library) into genuine signal features, and
-  * `image/bmp` likewise ([[decodeBmp]] — uncompressed BMP is plain
-  * header + pixel rows); compressed image/video formats are STUBBED
-  * ([[decodeStub]] derives deterministic fake features from the raw
-  * bytes) because no codecs exist in this environment. Everything
+  * — RIFF/PCM needs no codec library), `image/bmp` likewise
+  * ([[decodeBmp]] — uncompressed BMP is plain header + pixel rows), and
+  * `image/png` too ([[decodePng]] — PNG's only compression is DEFLATE,
+  * which the JVM ships in `java.util.zip`); the remaining compressed
+  * image/video formats (JPEG, H.264, …) are STUBBED ([[decodeStub]]
+  * derives deterministic fake features from the raw bytes) because
+  * their codecs don't exist in this environment. Everything
   * around the decoders is the real Spark shape —
   * schema, partition-level batching via `mapPartitions`, metadata
   * struct, size-aware repartition — so adding a decoder is a
@@ -218,14 +220,156 @@ object Multimodal {
         math.sqrt(math.max(lsq / n - lmean * lmean, 0.0)), bits.toDouble)))
   }
 
+  /** REAL decoder for PNG payloads — pure JVM: PNG's only external
+    * dependency is DEFLATE, which `java.util.zip.Inflater` provides, so
+    * "compressed formats need codecs" does not apply to it. Parses the
+    * chunk list, inflates the concatenated IDAT stream, reverses the
+    * per-row filters (None/Sub/Up/Average/Paeth — the full spec set),
+    * and emits the same 8-dim image features as [[decodeBmp]]:
+    * [width, height, mean_r, mean_g, mean_b, luma_mean, luma_std,
+    * channels]. Supported: bit depth 8, color types 0 (gray), 2 (RGB),
+    * 4 (gray+alpha), 6 (RGBA), non-interlaced; palette / 16-bit / Adam7
+    * return None → stub fallback, like every malformed payload. Size
+    * arithmetic runs in Long and the raw buffer is bounds-checked
+    * BEFORE allocation, so an adversarial IHDR cannot OOM or overflow. */
+  def decodePng(id: Long, content: Array[Byte]): Option[Row] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    if (content.length < 45) return None
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var si = 0
+    while (si < 8) {
+      if ((content(si) & 0xff) != sig(si)) return None
+      si += 1
+    }
+    val bb = ByteBuffer.wrap(content).order(ByteOrder.BIG_ENDIAN)
+    var pos = 8
+    var width = 0
+    var height = 0
+    var bitDepth = 0
+    var colorType = -1
+    var interlace = 0
+    var sawIhdr = false
+    var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 12 <= content.length && !sawIend) {
+      val len = bb.getInt(pos)
+      if (len < 0 || len > content.length - pos - 12) return None
+      bb.getInt(pos + 4) match {
+        case 0x49484452 => // IHDR
+          if (len < 13) return None
+          width = bb.getInt(pos + 8)
+          height = bb.getInt(pos + 12)
+          bitDepth = content(pos + 16) & 0xff
+          colorType = content(pos + 17) & 0xff
+          if ((content(pos + 18) & 0xff) != 0 ||
+            (content(pos + 19) & 0xff) != 0) return None
+          interlace = content(pos + 20) & 0xff
+          sawIhdr = true
+        case 0x49444154 => idat.write(content, pos + 8, len) // IDAT
+        case 0x49454e44 => sawIend = true // IEND
+        case _ => ()
+      }
+      pos += 12 + len
+    }
+    if (!sawIhdr || !sawIend || width <= 0 || height <= 0 ||
+      bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => return None
+    }
+    val stride = width.toLong * channels
+    val rawLen = (stride + 1) * height // +1 filter byte per row
+    if (rawLen > Int.MaxValue - 8) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val got =
+      try {
+        var off = 0
+        var stalled = false
+        while (!stalled && off < raw.length) {
+          val k = inf.inflate(raw, off, raw.length - off)
+          off += k
+          if (k == 0 && (inf.finished() || inf.needsInput())) stalled = true
+        }
+        off
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+    if (got < raw.length) return None
+    // reverse the per-row filter, accumulating stats as rows complete
+    val w = stride.toInt
+    val bpp = channels
+    var prev = new Array[Int](w)
+    var cur = new Array[Int](w)
+    var sr = 0.0
+    var sg = 0.0
+    var sb = 0.0
+    var lsum = 0.0
+    var lsq = 0.0
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (w + 1)
+      val ft = raw(rowOff) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < w) {
+        val f = raw(rowOff + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = prev(x)
+        val c = if (x >= bpp) prev(x - bpp) else 0
+        val recon = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        cur(x) = recon & 0xff
+        x += 1
+      }
+      var px = 0
+      while (px < width) {
+        val base = px * channels
+        val (r, g, bl) = colorType match {
+          case 0 | 4 => (cur(base), cur(base), cur(base))
+          case _     => (cur(base), cur(base + 1), cur(base + 2))
+        }
+        sr += r; sg += g; sb += bl
+        val l = 0.299 * r + 0.587 * g + 0.114 * bl
+        lsum += l
+        lsq += l * l
+        px += 1
+      }
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    val n = width.toDouble * height
+    val lmean = lsum / n
+    Some(Row(id, content.length.toLong,
+      graft.functions.Hashing.fnv1a(content),
+      Seq(width.toDouble, height.toDouble, sr / n, sg / n, sb / n, lmean,
+        math.sqrt(math.max(lsq / n - lmean * lmean, 0.0)),
+        channels.toDouble)))
+  }
+
   /** Batched feature extraction over the asset table: one decoder pass per
     * partition (mapPartitions — the Scala analogue of a batched
     * mapInPandas), emitting [[FeatureSchema]] rows. Dispatches on
     * `meta.mime`: `audio/wav` payloads go through the REAL PCM decoder
-    * ([[decodeWavPcm]]) and `image/bmp` through the REAL BMP decoder
-    * ([[decodeBmp]]), both falling back to the stub on malformed bytes;
-    * everything else uses [[decodeStub]] (compressed image/video formats
-    * need codecs that don't exist in this environment). */
+    * ([[decodeWavPcm]]), `image/bmp` through the REAL BMP decoder
+    * ([[decodeBmp]]), and `image/png` through the REAL PNG decoder
+    * ([[decodePng]]), all falling back to the stub on malformed bytes;
+    * everything else uses [[decodeStub]] (the remaining compressed
+    * formats need codecs that don't exist in this environment). */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(FeatureSchema)
     assets.select(col("id"), col("content"), col("meta.mime").as("mime"))
@@ -240,6 +384,8 @@ object Multimodal {
               scala.util.Try(decodeWavPcm(id, bytes)).toOption.flatten
             case "image/bmp" =>
               scala.util.Try(decodeBmp(id, bytes)).toOption.flatten
+            case "image/png" =>
+              scala.util.Try(decodePng(id, bytes)).toOption.flatten
             case _ => None
           }
           decoded.getOrElse(decodeStub(id, bytes))

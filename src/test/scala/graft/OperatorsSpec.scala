@@ -1024,6 +1024,96 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(3L).getSeq[Double](3) == fallback.getSeq[Double](3))
   }
 
+  test("decodePng inflates and unfilters a real PNG (all five filter types)") {
+    import java.util.zip.{CRC32, Deflater}
+    val s = spark
+    import s.implicits._
+    val (w, h) = (37, 23)
+    val bpp = 3
+    val stride = w * bpp
+    def pix(x: Int, y: Int) =
+      ((x * 5 + y * 3) % 256, (x + y * 7) % 256, (x * 11 + y) % 256)
+    val rawRows = Array.tabulate(h, stride) { (y, i) =>
+      val x = i / bpp
+      val (r, g, b) = pix(x, y)
+      (i % bpp match { case 0 => r; case 1 => g; case _ => b }).toByte
+    }
+    // forward-filter row y with type y % 5 — the decoder must reverse
+    // every filter the spec defines, not just None
+    val filtered = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val ft = y % 5
+      filtered.write(ft)
+      for (i <- 0 until stride) {
+        val cur = rawRows(y)(i) & 0xff
+        val a = if (i >= bpp) rawRows(y)(i - bpp) & 0xff else 0
+        val b = if (y > 0) rawRows(y - 1)(i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) rawRows(y - 1)(i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case _ =>
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        filtered.write((cur - pred) & 0xff)
+      }
+    }
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(ctype.getBytes("US-ASCII")).put(data)
+      val crc = new CRC32()
+      crc.update(ctype.getBytes("US-ASCII"))
+      crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // depth 8, RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val defl = new Deflater()
+    defl.setInput(filtered.toByteArray)
+    defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+    val f = Multimodal.decodePng(1L, png).get.getSeq[Double](3)
+    val all = for (y <- 0 until h; x <- 0 until w) yield pix(x, y)
+    val n = (w * h).toDouble
+    val lumas = all.map { case (r, g, b) => 0.299 * r + 0.587 * g + 0.114 * b }
+    val lmean = lumas.sum / n
+    // [width, height, mean_r, mean_g, mean_b, luma_mean, luma_std, chans]
+    assert(f(0) == w.toDouble && f(1) == h.toDouble && f(7) == 3.0, f)
+    assert(math.abs(f(2) - all.map(_._1).sum / n) < 1e-9, f)
+    assert(math.abs(f(3) - all.map(_._2).sum / n) < 1e-9, f)
+    assert(math.abs(f(4) - all.map(_._3).sum / n) < 1e-9, f)
+    assert(math.abs(f(5) - lmean) < 1e-9, f)
+    assert(math.abs(f(6) -
+      math.sqrt(lumas.map(l => l * l).sum / n - lmean * lmean)) < 1e-6, f)
+    // dispatched through extractFeatures by mime, stub fallback on
+    // truncated bytes
+    val assets = Seq((1L, png), (2L, png.dropRight(30)))
+      .toDF("id", "content")
+      .select(col("id"), col("content"),
+        struct(lit("image/png").as("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val feats = Multimodal.extractFeatures(assets).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](3)).toMap
+    assert(feats(1L) == f)
+    assert(feats(2L) ==
+      Multimodal.decodeStub(2L, png.dropRight(30)).getSeq[Double](3))
+  }
+
   test("resizeBmp nearest-neighbor-resamples BMPs; other rows pass through") {
     import java.nio.{ByteBuffer, ByteOrder}
     val s = spark
