@@ -231,8 +231,14 @@ object Multimodal {
     * 4 (gray+alpha), 6 (RGBA), non-interlaced; palette / 16-bit / Adam7
     * return None → stub fallback, like every malformed payload. Size
     * arithmetic runs in Long and the raw buffer is bounds-checked
-    * BEFORE allocation, so an adversarial IHDR cannot OOM or overflow. */
-  def decodePng(id: Long, content: Array[Byte]): Option[Row] = {
+    * BEFORE allocation, so an adversarial IHDR cannot OOM or overflow.
+    * [[decodePngRaw]] exposes the dense pixel buffer shared by feature
+    * extraction and [[resizePng]]. */
+  private[operators] case class PngImage(width: Int, height: Int,
+                                         channels: Int, pixels: Array[Byte])
+
+  private[operators] def decodePngRaw(
+      content: Array[Byte]): Option[PngImage] = {
     import java.nio.{ByteBuffer, ByteOrder}
     if (content.length < 45) return None
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
@@ -300,27 +306,23 @@ object Multimodal {
         case _: java.util.zip.DataFormatException => return None
       } finally inf.end()
     if (got < raw.length) return None
-    // reverse the per-row filter, accumulating stats as rows complete
+    // reverse the per-row filter into a dense pixel buffer
     val w = stride.toInt
     val bpp = channels
-    var prev = new Array[Int](w)
-    var cur = new Array[Int](w)
-    var sr = 0.0
-    var sg = 0.0
-    var sb = 0.0
-    var lsum = 0.0
-    var lsq = 0.0
+    val pixels = new Array[Byte](w * height)
     var y = 0
     while (y < height) {
       val rowOff = y * (w + 1)
+      val outOff = y * w
+      val prevOff = outOff - w
       val ft = raw(rowOff) & 0xff
       if (ft > 4) return None
       var x = 0
       while (x < w) {
         val f = raw(rowOff + 1 + x) & 0xff
-        val a = if (x >= bpp) cur(x - bpp) else 0
-        val b = prev(x)
-        val c = if (x >= bpp) prev(x - bpp) else 0
+        val a = if (x >= bpp) pixels(outOff + x - bpp) & 0xff else 0
+        val b = if (y > 0) pixels(prevOff + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) pixels(prevOff + x - bpp) & 0xff else 0
         val recon = ft match {
           case 0 => f
           case 1 => f + a
@@ -333,31 +335,43 @@ object Multimodal {
             val pc = math.abs(p - c)
             f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
         }
-        cur(x) = recon & 0xff
+        pixels(outOff + x) = (recon & 0xff).toByte
         x += 1
       }
-      var px = 0
-      while (px < width) {
-        val base = px * channels
-        val (r, g, bl) = colorType match {
-          case 0 | 4 => (cur(base), cur(base), cur(base))
-          case _     => (cur(base), cur(base + 1), cur(base + 2))
-        }
-        sr += r; sg += g; sb += bl
-        val l = 0.299 * r + 0.587 * g + 0.114 * bl
-        lsum += l
-        lsq += l * l
-        px += 1
-      }
-      val t = prev; prev = cur; cur = t
       y += 1
     }
-    val n = width.toDouble * height
+    Some(PngImage(width, height, channels, pixels))
+  }
+
+  def decodePng(id: Long, content: Array[Byte]): Option[Row] = {
+    val img = decodePngRaw(content).getOrElse(return None)
+    val channels = img.channels
+    var sr = 0.0
+    var sg = 0.0
+    var sb = 0.0
+    var lsum = 0.0
+    var lsq = 0.0
+    var i = 0
+    val total = img.width * img.height
+    while (i < total) {
+      val base = i * channels
+      val r = img.pixels(base) & 0xff
+      val (g, bl) =
+        if (channels >= 3)
+          (img.pixels(base + 1) & 0xff, img.pixels(base + 2) & 0xff)
+        else (r, r) // gray / gray+alpha
+      sr += r; sg += g; sb += bl
+      val l = 0.299 * r + 0.587 * g + 0.114 * bl
+      lsum += l
+      lsq += l * l
+      i += 1
+    }
+    val n = total.toDouble
     val lmean = lsum / n
     Some(Row(id, content.length.toLong,
       graft.functions.Hashing.fnv1a(content),
-      Seq(width.toDouble, height.toDouble, sr / n, sg / n, sb / n, lmean,
-        math.sqrt(math.max(lsq / n - lmean * lmean, 0.0)),
+      Seq(img.width.toDouble, img.height.toDouble, sr / n, sg / n, sb / n,
+        lmean, math.sqrt(math.max(lsq / n - lmean * lmean, 0.0)),
         channels.toDouble)))
   }
 
@@ -458,10 +472,111 @@ object Multimodal {
     Some(out.array())
   }
 
+  /** Minimal PNG encoder for [[resizePng]]'s re-encode: filter-0 rows,
+    * one deflated IDAT, CRC32 per chunk — a valid baseline PNG any
+    * reader accepts. Color type follows the channel count (1 → gray,
+    * 2 → gray+alpha, 3 → RGB, 4 → RGBA), bit depth 8. */
+  private[operators] def encodePng(img: PngImage): Array[Byte] = {
+    import java.util.zip.{CRC32, Deflater}
+    val colorType = img.channels match {
+      case 1 => 0
+      case 2 => 4
+      case 3 => 2
+      case _ => 6
+    }
+    val stride = img.width * img.channels
+    val filtered = new Array[Byte]((stride + 1) * img.height)
+    var y = 0
+    while (y < img.height) {
+      // filter byte 0 then the raw row
+      System.arraycopy(img.pixels, y * stride, filtered,
+        y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val defl = new Deflater()
+    defl.setInput(filtered)
+    defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(ctype.getBytes("US-ASCII")).put(data)
+      val crc = new CRC32()
+      crc.update(ctype.getBytes("US-ASCII"))
+      crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(img.width).putInt(img.height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Nearest-neighbor PNG resample: decode, sample with the same
+    * source-index mapping as the BMP path, re-encode. */
+  private def resamplePng(content: Array[Byte], targetW: Int,
+                          targetH: Int): Option[Array[Byte]] = {
+    val img = decodePngRaw(content).getOrElse(return None)
+    val ch = img.channels
+    val out = new Array[Byte](targetW * targetH * ch)
+    var y = 0
+    while (y < targetH) {
+      val srcY = (y.toLong * img.height / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        val srcX = (x.toLong * img.width / targetW).toInt
+        System.arraycopy(img.pixels, (srcY * img.width + srcX) * ch,
+          out, (y * targetW + x) * ch, ch)
+        x += 1
+      }
+      y += 1
+    }
+    Some(encodePng(PngImage(targetW, targetH, ch, out)))
+  }
+
+  /** REAL image resize for PNG payloads — the [[resizeBmp]] counterpart:
+    * `image/png` rows are nearest-neighbor-resampled and re-encoded as
+    * baseline filter-0 PNGs (metadata n_bytes updated); every other
+    * row passes through unchanged. */
+  def resizePng(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, "target dims must be >= 1")
+    val enc = ExpressionEncoder(
+      org.apache.spark.sql.types.StructType(Seq(
+        StructField("id", LongType),
+        StructField("content", BinaryType),
+        StructField("meta", MetaSchema))))
+    assets.select(col("id"), col("content"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val meta = r.getStruct(2)
+          val resized =
+            if (meta.getString(0) == "image/png")
+              scala.util.Try(resamplePng(bytes, targetW, targetH))
+                .toOption.flatten
+            else None
+          resized match {
+            case Some(out) => Row(id, out,
+              Row(meta.getString(0), meta.getString(1), out.length.toLong))
+            case None => Row(id, bytes, meta)
+          }
+        }
+      }(enc)
+  }
+
   /** STUB resize for formats without a codec in this environment: keeps
     * the Spark shape (narrow binary→binary projection, codegen'd
     * substring) by truncating/padding the payload to `targetBytes`.
-    * `image/bmp` has the real path above ([[resizeBmp]]). */
+    * `image/bmp` and `image/png` have the real paths above
+    * ([[resizeBmp]] / [[resizePng]]). */
   def resizeStub(assets: DataFrame, targetBytes: Int): DataFrame =
     assets
       .withColumn("content",

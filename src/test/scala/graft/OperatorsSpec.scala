@@ -1114,6 +1114,81 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.decodeStub(2L, png.dropRight(30)).getSeq[Double](3))
   }
 
+  test("resizePng resamples and re-encodes; identity roundtrip is lossless") {
+    import java.util.zip.{CRC32, Deflater}
+    val s = spark
+    import s.implicits._
+    val (w, h) = (37, 23)
+    def pix(x: Int, y: Int) =
+      ((x * 5 + y * 3) % 256, (x + y * 7) % 256, (x * 11 + y) % 256)
+    // filter-0 synthesis (the decoder's filter coverage is pinned above)
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(ctype.getBytes("US-ASCII")).put(data)
+      val crc = new CRC32()
+      crc.update(ctype.getBytes("US-ASCII"))
+      crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val filtered = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      filtered.write(0)
+      for (x <- 0 until w) {
+        val (r, g, b) = pix(x, y)
+        filtered.write(r); filtered.write(g); filtered.write(b)
+      }
+    }
+    val defl = new Deflater()
+    defl.setInput(filtered.toByteArray)
+    defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+    def assets(rows: Seq[(Long, Array[Byte], String)]) = rows
+      .toDF("id", "content", "mime")
+      .select(col("id"), col("content"),
+        struct(col("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    // identity resize: re-encoded bytes differ but every pixel survives,
+    // so the decoded features match the original exactly
+    val same = Multimodal.resizePng(
+        assets(Seq((1L, png, "image/png"))), w, h)
+      .collect().head
+    val f0 = Multimodal.decodePng(1L, png).get.getSeq[Double](3)
+    val f1 = Multimodal
+      .decodePng(1L, same.getAs[Array[Byte]](1)).get.getSeq[Double](3)
+    assert(f0 == f1)
+    assert(same.getStruct(2).getLong(2) ==
+      same.getAs[Array[Byte]](1).length.toLong)
+    // downsize: nearest-neighbor mapping srcX = x*w/tw, srcY = y*h/th
+    val (tw, th) = (10, 7)
+    val down = Multimodal.resizePng(
+        assets(Seq((1L, png, "image/png"))), tw, th)
+      .collect().head.getAs[Array[Byte]](1)
+    val fd = Multimodal.decodePng(1L, down).get.getSeq[Double](3)
+    val sampled = for (y <- 0 until th; x <- 0 until tw)
+      yield pix(x * w / tw, y * h / th)
+    val n = (tw * th).toDouble
+    assert(fd(0) == tw.toDouble && fd(1) == th.toDouble)
+    assert(math.abs(fd(2) - sampled.map(_._1).sum / n) < 1e-9, fd)
+    assert(math.abs(fd(3) - sampled.map(_._2).sum / n) < 1e-9, fd)
+    assert(math.abs(fd(4) - sampled.map(_._3).sum / n) < 1e-9, fd)
+    // non-PNG rows pass through byte-identical
+    val other = Multimodal.resizePng(
+        assets(Seq((2L, "plain".getBytes("UTF-8"), "text/plain"))), tw, th)
+      .collect().head
+    assert(other.getAs[Array[Byte]](1).toSeq == "plain".getBytes("UTF-8").toSeq)
+  }
+
   test("resizeBmp nearest-neighbor-resamples BMPs; other rows pass through") {
     import java.nio.{ByteBuffer, ByteOrder}
     val s = spark
