@@ -428,7 +428,10 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
-    // ANN paths — no SQL oracle (hyperplane/centroid constants); recall
+    // ANN paths: q_sim_ann is FULLY oracled (the deterministic seed-42
+    // planes interpolate into the SQL as literals); q_sim_ivf has no
+    // SQL oracle (Lloyd-refined centroids depend on float aggregation
+    // order) — its recall
     // asserted in OperatorsSpec against the brute-force result, and IVF
     // with nprobe=nlist is asserted equal to exact search.
     "q_sim_ann" -> ((s, dir) => {
@@ -918,8 +921,10 @@ object SparkEntry {
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same
-    * column aliases). Omitted: q_sim_ann (hyperplane constants are not
-    * practical in SQL — covered by a recall spec instead). */
+    * column aliases). Omitted: q_sim_ivf only (its Lloyd-refined
+    * centroids depend on float aggregation order, which no external
+    * engine can replicate — covered by a recall spec plus the
+    * provably-exact degenerate gates instead). */
   def oracleSql: Map[String, String] = {
     // shared DuckDB fragments (DuckDB 1.0: list comprehensions, list_*)
     // exhaustive-Jaccard pair table, parameterized on the pair join
@@ -969,6 +974,16 @@ object SparkEntry {
     val zorderExprSql = (0 until 16).flatMap(i => Seq(
       s"(((l_partkey >> $i) & 1) << ${2 * i})",
       s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+    // q_sim_ann oracle: the hyperplane constants are DETERMINISTIC
+    // (seed 42), so they interpolate into the SQL as literal arrays —
+    // the same programmatic-oracle trick as the Morton key above. The
+    // oracle replicates the ALGORITHM (sign buckets, Hamming-1
+    // multi-probe, cosine re-rank), not just its recall.
+    val annPlanesSql = graft.operators.Similarity.hyperplanes(6, 64, 42L)
+      .zipWithIndex.map { case (h, p) =>
+        s"($p, [${h.mkString(", ")}])"
+      }.mkString(",\n          |    ")
 
     // PQ ADC cosine top-5: lowest-id codebook init, per-subspace argmax
     // encoding (score desc, cid desc — mirrors NearestCentroid), ADC
@@ -1882,6 +1897,49 @@ object SparkEntry {
 
       // numPlanes = 0 ⇒ identical to exact top-k (same oracle)
       "q_sim_ann_exact" -> exactTopKSql,
+
+      // full algorithm replication: seed-42 planes as literals, sign
+      // buckets (dot >= 0 per plane), query-side Hamming-1 multi-probe
+      // (b0 plus each single-bit flip), exact-cosine re-rank
+      "q_sim_ann" ->
+        s"""WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), nz AS (
+          |  SELECT vec_id, e FROM v
+          |  WHERE sqrt(list_dot_product(e, e)) > 0
+          |), planes(p, hv) AS (
+          |  VALUES
+          |    $annPlanesSql
+          |), bkt AS (
+          |  SELECT nz.vec_id,
+          |    CAST(sum(CASE WHEN list_dot_product(nz.e, planes.hv) >= 0
+          |             THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS b
+          |  FROM nz CROSS JOIN planes GROUP BY nz.vec_id
+          |), qp AS (
+          |  SELECT b1.vec_id AS query_id, xor(b1.b, f.f) AS bucket
+          |  FROM bkt b1, (VALUES (0), (1), (2), (4), (8), (16), (32)) f(f)
+          |  WHERE b1.vec_id < 10
+          |), cand AS (
+          |  SELECT qp.query_id, cb.vec_id AS neighbor_id
+          |  FROM qp JOIN bkt cb ON cb.b = qp.bucket
+          |  WHERE cb.vec_id <> qp.query_id
+          |), scored AS (
+          |  SELECT c.query_id, c.neighbor_id,
+          |    list_dot_product(q.e, n.e)
+          |      / (sqrt(list_dot_product(q.e, q.e))
+          |         * sqrt(list_dot_product(n.e, n.e))) AS cos_raw
+          |  FROM cand c
+          |  JOIN nz q ON q.vec_id = c.query_id
+          |  JOIN nz n ON n.vec_id = c.neighbor_id
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
+          |    round(cos_raw, 6) AS cosine
+          |  FROM scored
+          |)
+          |SELECT query_id, neighbor_id, rank, cosine
+          |FROM ranked WHERE rank <= 5""".stripMargin,
 
       // nprobe = nlist ⇒ identical to exact top-k (same oracle)
       "q_sim_ivf_exact" -> exactTopKSql,
