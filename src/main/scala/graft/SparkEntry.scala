@@ -442,11 +442,14 @@ object SparkEntry {
 
     "q_sim_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      // one Lloyd round: training cost halves, recall on this corpus is
-      // unchanged (cells are seeded from real vectors)
+      // lloydIters = 0 keeps the deterministic lowest-id cell init so
+      // the PARTIAL probe (nprobe = 4 of 16 — the real ANN regime, not
+      // the degenerate full probe) runs under a full DuckDB oracle;
+      // Lloyd-refined training stays recall-spec'd in OperatorsSpec
+      // (its float aggregation order is not externally replicable)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
-        lloydIters = 1)
+        lloydIters = 0)
     }),
 
     // zero hyperplanes ⇒ one shared bucket ⇒ the LSH pipeline provably
@@ -1892,6 +1895,52 @@ object SparkEntry {
           |FROM cent,
           |  unnest(range(1, CAST(len(centroid) AS BIGINT) + 1)) AS t(i)
           |""".stripMargin,
+
+      // partial-probe IVF at the deterministic init: corpus assignment
+      // is the shared lowest-id-centroid CTE; each query ranks all 16
+      // cells by the SAME score (dot − |c|²/2, ties toward the larger
+      // cell — NearestCentroidsTopK's order) and probes the top 4; then
+      // exact cosine re-ranks within the probed cells
+      "q_sim_ivf" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+          |                         CAST(embedding AS DOUBLE[])) > 0
+          |), cent AS (
+          |  SELECT e AS ce, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+          |  FROM v ORDER BY vec_id LIMIT 16
+          |), scored0 AS (
+          |  SELECT v.vec_id, v.e, cent.cell, cent.ce,
+          |    list_dot_product(v.e, cent.ce)
+          |      - list_dot_product(cent.ce, cent.ce) / 2 AS score
+          |  FROM v CROSS JOIN cent
+          |), assigned AS (
+          |  SELECT vec_id, e, cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY score DESC, cell DESC) AS rn FROM scored0)
+          |  WHERE rn = 1
+          |), probes AS (
+          |  SELECT vec_id AS query_id, e AS qe, cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY score DESC, cell DESC) AS rn
+          |    FROM scored0 WHERE vec_id < 10)
+          |  WHERE rn <= 4
+          |), scored AS (
+          |  SELECT p.query_id, a.vec_id AS neighbor_id,
+          |    list_dot_product(p.qe, a.e)
+          |      / (sqrt(list_dot_product(p.qe, p.qe))
+          |         * sqrt(list_dot_product(a.e, a.e))) AS cos_raw
+          |  FROM probes p JOIN assigned a ON a.cell = p.cell
+          |  WHERE a.vec_id <> p.query_id
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
+          |    round(cos_raw, 6) AS cosine
+          |  FROM scored
+          |)
+          |SELECT query_id, neighbor_id, rank, cosine
+          |FROM ranked WHERE rank <= 5""".stripMargin,
 
       "q_sim_topk" -> exactTopKSql,
 
