@@ -60,4 +60,27 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Write `df` with parquet BLOOM FILTERS on `bloomCols` — the
+    * point-lookup complement to [[zOrderWrite]]'s range clustering:
+    * min/max stats skip row groups for RANGE predicates on clustered
+    * columns, while bloom filters skip them for EQUALITY predicates on
+    * high-cardinality columns that no sort order helps (the id-lookup /
+    * needle-in-100TB case). Spark's vectorized parquet reader consults
+    * the filters automatically on `col = literal` pushdown; `fpp` and
+    * `ndv` size each filter (parquet's split-block bloom,
+    * ~1.2 bytes/value at 1% fpp). Footer-verified in SourcesSpec via
+    * the parquet-hadoop API that ships with Spark. */
+  def bloomFilteredWrite(df: DataFrame, bloomCols: Seq[String],
+                         path: String, ndv: Long = 100000L,
+                         fpp: Double = 0.01): Unit = {
+    require(bloomCols.nonEmpty, "bloomFilteredWrite needs >= 1 column")
+    val w = df.write.mode("overwrite")
+    val configured = bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+        .option(s"parquet.bloom.filter.fpp#$c", fpp.toString)
+    }
+    configured.parquet(path)
+  }
 }

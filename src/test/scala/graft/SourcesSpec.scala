@@ -17,4 +17,47 @@ class SourcesSpec extends AnyFunSuite {
     val first = events.orderBy("event_id").select("ts").first().getTimestamp(0)
     assert(first.toString.startsWith("2024-01-01 00:09:58"))
   }
+
+  test("bloomFilteredWrite persists parquet bloom filters on the listed " +
+       "columns only") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bloom").toString
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.sources.Layout.bloomFilteredWrite(orders, Seq("o_orderkey"),
+      dir, ndv = 2000L)
+    // footer proof via the parquet-hadoop API that ships with Spark: a
+    // bloom filter is recorded as a non-negative offset on the column
+    // chunk metadata — present for the configured column, absent
+    // elsewhere (filters cost bytes; opting in per column must not
+    // silently bloom everything)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        for (block <- reader.getFooter.getBlocks.asScala) {
+          val byName = block.getColumns.asScala
+            .map(c => c.getPath.toDotString -> c.getBloomFilterOffset)
+            .toMap
+          assert(byName("o_orderkey") >= 0, s"missing bloom in $f")
+          assert(byName("o_custkey") < 0 && byName("o_totalprice") < 0,
+            s"unconfigured column grew a bloom filter in $f")
+        }
+      } finally reader.close()
+    }
+    // equality lookup over the bloom-filtered layout stays correct
+    val key = orders.select("o_orderkey").first().getLong(0)
+    val direct = orders.filter(col("o_orderkey") === key).count()
+    val viaBloom = spark.read.parquet(dir)
+      .filter(col("o_orderkey") === key).count()
+    assert(direct == viaBloom && viaBloom >= 1)
+  }
 }
