@@ -116,6 +116,50 @@ object GraftExtensions {
             .gaussianPlanes(tables * numPlanes, dim, seed)
             .flatten.toIndexedSeq,
           numPlanes, tables)
+      }),
+    ("nearest_centroid",
+      new ExpressionInfo(classOf[NearestCentroid].getName,
+        "nearest_centroid"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "nearest_centroid expects (vec, centroids)")
+        val m = matrixLiteral(children(1), "nearest_centroid: centroids")
+        NearestCentroid(children.head, m.flatten.toIndexedSeq,
+          m.size, m.head.size)
+      }),
+    ("nearest_centroids_topk",
+      new ExpressionInfo(classOf[NearestCentroidsTopK].getName,
+        "nearest_centroids_topk"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "nearest_centroids_topk expects (vec, centroids, nprobe)")
+        val m = matrixLiteral(children(1),
+          "nearest_centroids_topk: centroids")
+        NearestCentroidsTopK(children.head, m.flatten.toIndexedSeq,
+          m.size, m.head.size,
+          intLiteral(children(2), "nearest_centroids_topk: nprobe"))
+      }),
+    ("pq_adc_cosine",
+      new ExpressionInfo(classOf[PqAdcCosine].getName, "pq_adc_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "pq_adc_cosine expects (vec, codes, codebooks)")
+        val cb = cubeLiteral(children(2), "pq_adc_cosine: codebooks")
+        PqAdcCosine(children.head, children(1),
+          cb.flatten.flatten.toIndexedSeq,
+          cb.size, cb.head.size, cb.head.head.size)
+      }),
+    ("pq_adc_cosine_shifted",
+      new ExpressionInfo(classOf[PqAdcCosineShifted].getName,
+        "pq_adc_cosine_shifted"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "pq_adc_cosine_shifted expects (vec, codes, shift, codebooks)")
+        val cb = cubeLiteral(children(3),
+          "pq_adc_cosine_shifted: codebooks")
+        PqAdcCosineShifted(children.head, children(1), children(2),
+          cb.flatten.flatten.toIndexedSeq,
+          cb.size, cb.head.size, cb.head.head.size)
       }))
 
   private def intLiteral(e: Expression, what: String): Int = e match {
@@ -129,6 +173,60 @@ object GraftExtensions {
     case Literal(v: Long, LongType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer or long literal, got $other")
+  }
+
+  // centroid / codebook matrices arrive from SQL as FOLDABLE nested
+  // array literals (`array(array(1.0D, …), …)`) and are evaluated once
+  // at resolution time — the constants then ride inside the compiled
+  // expression exactly as in the Column API, never in the plan tree
+  private def foldedNonEmptyArray(
+      e: Expression,
+      what: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(e.foldable, s"$what must be a foldable array literal")
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData
+          if a.numElements() > 0 => a
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a non-empty array literal")
+    }
+  }
+
+  private def matrixLiteral(e: Expression,
+                            what: String): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => ()
+      case dt => throw new IllegalArgumentException(
+        s"$what must be array<array<double>> (write 1.0D-style literals), " +
+          s"got $dt")
+    }
+    val outer = foldedNonEmptyArray(e, what)
+    val rows = (0 until outer.numElements())
+      .map(i => outer.getArray(i).toDoubleArray().toSeq)
+    require(rows.forall(_.size == rows.head.size) && rows.head.nonEmpty,
+      s"$what must be rectangular and non-empty")
+    rows
+  }
+
+  private def cubeLiteral(e: Expression,
+                          what: String): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    e.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => ()
+      case dt => throw new IllegalArgumentException(
+        s"$what must be array<array<array<double>>>, got $dt")
+    }
+    val outer = foldedNonEmptyArray(e, what)
+    val books = (0 until outer.numElements()).map { j =>
+      val inner = outer.getArray(j)
+      require(inner.numElements() > 0, s"$what: empty codebook $j")
+      (0 until inner.numElements())
+        .map(i => inner.getArray(i).toDoubleArray().toSeq)
+    }
+    require(books.forall(b => b.size == books.head.size &&
+        b.forall(_.size == books.head.head.size)),
+      s"$what must be rectangular (equal ksub and dsub per subspace)")
+    books
   }
 
   /** Register on an already-built session (the extension class covers

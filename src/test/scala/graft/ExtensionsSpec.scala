@@ -71,6 +71,45 @@ class ExtensionsSpec extends AnyFunSuite {
         e3.getCause.getMessage.contains("numPlanes must be in [1, 63]")))
   }
 
+  test("matrix-constant kernels work from SQL via foldable array literals") {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.graftext.GraftExtensions.register(s)
+    // nearest_centroid: argmax of dot - |c|^2/2, ties to the larger cell
+    val cell = s.sql(
+      """select nearest_centroid(array(1.0d, 0.0d),
+        |  array(array(1.0d, 0.0d), array(0.0d, 1.0d)))""".stripMargin)
+      .first().getInt(0)
+    assert(cell == 0)
+    // nearest_centroids_topk: ordered probe list (score desc, cell desc)
+    val probes = s.sql(
+      """select nearest_centroids_topk(array(1.0d, 0.2d),
+        |  array(array(1.0d, 0.0d), array(0.0d, 1.0d)), 2)""".stripMargin)
+      .first().getSeq[Int](0)
+    assert(probes == Seq(0, 1))
+    // pq_adc_cosine: m=2 subspaces, ksub=2, dsub=1 — codes (0, 1)
+    // reconstruct [1.0, 4.0]; query [1.0, 4.0] => cosine 1.0
+    val adc = s.sql(
+      """select pq_adc_cosine(array(1.0d, 4.0d), array(0, 1),
+        |  array(array(array(1.0d), array(2.0d)),
+        |        array(array(3.0d), array(4.0d))))""".stripMargin)
+      .first().getDouble(0)
+    assert(math.abs(adc - 1.0) < 1e-12)
+    // shifted form: reconstruction = shift + codebook entries
+    val shifted = s.sql(
+      """select pq_adc_cosine_shifted(array(2.0d, 6.0d), array(0, 1),
+        |  array(1.0d, 2.0d),
+        |  array(array(array(1.0d), array(2.0d)),
+        |        array(array(3.0d), array(4.0d))))""".stripMargin)
+      .first().getDouble(0)
+    assert(math.abs(shifted - 1.0) < 1e-12) // [1+1, 2+4] ∥ [2, 6]
+    // non-foldable or non-double matrices are rejected with named errors
+    val e = intercept[Exception](s.sql(
+      "select nearest_centroid(array(1.0d), array(array(1)))"))
+    assert(e.getMessage.contains("array<array<double>>") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("array<array<double>>")))
+  }
+
   test("fromConfig builds a runner from (path, functionName) pairs") {
     import SparkTestSession._
     val r = Functioniser.fromConfig(Seq(
