@@ -316,6 +316,18 @@ object SparkEntry {
           numHashes = 64, bands = 32, threshold = 0.5))
     }),
 
+    // quality-aware resolution: every duplicate cluster keeps its
+    // LONGEST member (n_chars priority, ties to the smaller id) — the
+    // production keep-the-best policy, vs q_dedup_clean's keep-first
+    "q_dedup_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepBestOfClusters(docs, "doc_id",
+          Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3,
+            numHashes = 64, bands = 32, threshold = 0.5),
+          "n_chars")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // the sub-quadratic-shaped scale path (banded hyperplane LSH + exact
     // cosine verify) is the oracled entry; the O(n²) exact form
     // (Dedup.embeddingNearDupPairs) is demoted to spec-side oracle duty.
@@ -1637,6 +1649,38 @@ object SparkEntry {
            |)
            |SELECT id, least(id, min(reach)) AS cluster_id
            |FROM walk GROUP BY id""".stripMargin,
+
+      // keep-the-best: the same recursive cluster walk, then one keeper
+      // per cluster by (n_chars DESC, doc_id) and every unclustered doc
+      "q_dedup_best" ->
+        s"""WITH RECURSIVE pairs AS ($shingleCte),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM pairs
+           |),
+           |walk AS (
+           |  SELECT src AS id, dst AS reach FROM edges
+           |  UNION
+           |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+           |),
+           |clusters AS (
+           |  SELECT id, least(id, min(reach)) AS cluster_id
+           |  FROM walk GROUP BY id
+           |),
+           |keepers AS (
+           |  SELECT doc_id, lang, source, n_chars FROM (
+           |    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           |      row_number() OVER (PARTITION BY c.cluster_id
+           |        ORDER BY d.n_chars DESC, d.doc_id) AS rn
+           |    FROM documents d JOIN clusters c ON d.doc_id = c.id)
+           |  WHERE rn = 1
+           |)
+           |SELECT doc_id, lang, source, n_chars FROM keepers
+           |UNION ALL
+           |SELECT d.doc_id, d.lang, d.source, d.n_chars
+           |FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT id FROM clusters)""".stripMargin,
 
       "q_dedup_embedding" ->
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

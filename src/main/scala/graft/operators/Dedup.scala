@@ -363,6 +363,34 @@ object Dedup {
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Quality-aware near-duplicate resolution: keep the BEST document of
+    * every transitive duplicate cluster instead of the lowest-id one —
+    * the policy production pipelines actually run (a near-dup set often
+    * contains one clean original and several mangled copies; keeping by
+    * id keeps whichever was crawled first). Clusters come from
+    * [[nearDupClusters]] over the pair table; within each cluster the
+    * keeper maximizes `priorityCol` (ties to the smaller id, so the
+    * result is deterministic); documents in no cluster survive
+    * untouched.
+    *
+    * Scale shape: label propagation (O(diameter) keyed rounds) + one
+    * per-cluster rank window — the window partitions on cluster_id,
+    * whose groups are near-dup cluster sizes (small by construction),
+    * never a corpus-wide key. */
+  def keepBestOfClusters(docs: DataFrame, idCol: String,
+                         pairs: DataFrame,
+                         priorityCol: String): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+      .withColumnRenamed("id", idCol)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(priorityCol).desc, col(idCol))
+    val members = docs.join(clusters, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+    members.filter(col("__rn") === 1).drop("__rn", "cluster_id")
+      .unionByName(docs.join(clusters.select(col(idCol)), Seq(idCol),
+        "left_anti"))
+  }
+
   /** Transitive near-duplicate clusters from a pair table: iterative
     * min-label propagation (each member adopts the smallest id reachable
     * over the pair edges). Converges in O(cluster diameter) rounds —

@@ -402,6 +402,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall { case (c, nw) => c % 5 != 0 && nw % 5 == 0 })
   }
 
+  test("keepBestOfClusters keeps the max-priority member per cluster") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 5L),
+      (5L, 50L)).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // cluster {1,2,3} keeps 2 (quality 30); 4 and 5 are untouched
+    val kept = Dedup.keepBestOfClusters(fixture, "doc_id", pairs, "quality")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L))
+    // priority tie keeps the smaller id — deterministic resolution
+    val tied = Seq((1L, 10L), (2L, 10L)).toDF("doc_id", "quality")
+    val keptTied = Dedup.keepBestOfClusters(tied, "doc_id",
+        Seq((1L, 2L)).toDF("id_a", "id_b"), "quality")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptTied == Set(1L))
+  }
+
   test("resampleByTemperature: alpha=1 is the identity; alpha=0.5 flattens") {
     // the raw corpus is source-uniform (flattening a uniform mix is the
     // identity), so induce skew: keep all of src0 but only a third of
