@@ -86,14 +86,23 @@ object Curation {
     * one ranked shuffle keyed by domain. */
   def resampleToMixture(df: DataFrame, domainCol: String,
                         targetWeights: Map[String, Double],
-                        keyCols: Seq[String]): DataFrame = {
+                        keyCols: Seq[String]): DataFrame =
+    resampleWithCounts(df, domainCol, targetWeights,
+      df.groupBy(col(domainCol)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap, keyCols)
+
+  /** [[resampleToMixture]] with the per-domain counts already in hand —
+    * lets [[resampleByTemperature]] derive its weights from the SAME
+    * single count aggregation instead of scanning the corpus twice. */
+  private def resampleWithCounts(df: DataFrame, domainCol: String,
+                                 targetWeights: Map[String, Double],
+                                 counts: Map[String, Long],
+                                 keyCols: Seq[String]): DataFrame = {
     require(targetWeights.nonEmpty, "targetWeights must be non-empty")
     require(targetWeights.values.forall(_ >= 0) &&
       targetWeights.values.exists(_ > 0),
       "weights must be >= 0 with at least one > 0")
     val norm = targetWeights.filter { case (_, w) => w > 0 }
-    val counts = df.groupBy(col(domainCol)).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = norm.map { case (d, w) => counts.getOrElse(d, 0L) / w }.min
     val keep = norm.map { case (d, w) =>
       d -> math.floor(w * total).toLong }
@@ -126,9 +135,16 @@ object Curation {
     val counts = df.groupBy(col(domainCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (counts.isEmpty) return df
-    resampleToMixture(df, domainCol,
-      counts.map { case (d, n) => d -> math.pow(n.toDouble, alpha) },
-      keyCols)
+    // alpha = 0.5 dispatches to sqrt, not pow: Math.sqrt is correctly
+    // rounded (the exactness the oracle relies on) while Math.pow is
+    // only 1-ulp-accurate and platform-dependent — a last-ulp weight
+    // difference could flip a floor() keep count against the oracle
+    def weight(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else if (alpha == 1.0) n.toDouble
+      else math.pow(n.toDouble, alpha)
+    resampleWithCounts(df, domainCol,
+      counts.map { case (d, n) => d -> weight(n) }, counts, keyCols)
   }
 
   /** Shuffle-free deterministic sample: keep rows whose content-hash

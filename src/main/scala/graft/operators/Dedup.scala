@@ -275,21 +275,25 @@ object Dedup {
     val spark = newDocs.sparkSession
     val (n, numHashes, bands) = readStoreMeta(spark, path)
     val shNew = shingled(newDocs, idCol, textCol, n)
-    // a store written from an EMPTY corpus has meta but no band/shingle
-    // files (a partitioned write of zero rows emits no files), so the
-    // parquet read cannot infer a schema — that store legitimately
-    // matches nothing
-    val frames = try {
-      Some((spark.read.parquet(s"$path/bands"),
-        spark.read.parquet(s"$path/shingles")))
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => None
-    }
-    frames match {
-      case None =>
+    // a store written from an EMPTY corpus has meta but no BAND files
+    // (a partitioned write of zero rows emits no files, while the
+    // non-partitioned shingles write leaves a schema-only empty file) —
+    // that store legitimately matches nothing. The OPPOSITE asymmetry
+    // (bands readable, shingles unreadable) can only come from a crash
+    // between storeWrite's two writes; silently matching nothing there
+    // would admit every near-duplicate — fail loudly instead.
+    def tryRead(sub: String) =
+      try Some(spark.read.parquet(s"$path/$sub"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    (tryRead("bands"), tryRead("shingles")) match {
+      case (None, _) =>
         shNew.limit(0).select(col("id").as("id_a"), col("id").as("id_b"),
           lit(0.0).as("jaccard"))
-      case Some((storeBands, storeShingles)) =>
+      case (Some(_), None) =>
+        throw new IllegalStateException(
+          s"signature store at $path is partially written (bands " +
+            "without shingles) — rebuild with writeBandSignatures")
+      case (Some(storeBands), Some(storeShingles)) =>
         val candidates = storeBands
           .select(col("id"), col("band"), col("bucket")).as("a")
           .join(bandedSignatures(shNew, numHashes, bands,

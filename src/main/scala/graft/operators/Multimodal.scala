@@ -227,7 +227,9 @@ object Multimodal {
     * per-row filters (None/Sub/Up/Average/Paeth — the full spec set),
     * and emits the same 8-dim image features as [[decodeBmp]]:
     * [width, height, mean_r, mean_g, mean_b, luma_mean, luma_std,
-    * channels]. Supported: bit depth 8, color types 0 (gray), 2 (RGB),
+    * bits] (bits = channels × 8, matching the BMP decoder's last slot
+    * so a format-identical image yields the same vector from either
+    * container). Supported: bit depth 8, color types 0 (gray), 2 (RGB),
     * 4 (gray+alpha), 6 (RGBA), non-interlaced; palette / 16-bit / Adam7
     * return None → stub fallback, like every malformed payload. Size
     * arithmetic runs in Long and the raw buffer is bounds-checked
@@ -288,7 +290,12 @@ object Multimodal {
     }
     val stride = width.toLong * channels
     val rawLen = (stride + 1) * height // +1 filter byte per row
-    if (rawLen > Int.MaxValue - 8) return None
+    // decode budget: IHDR-declared dims drive the allocation BEFORE any
+    // pixel data is validated, so a ~100-byte adversarial header could
+    // otherwise demand gigabytes (OutOfMemoryError is an Error — the
+    // Try wrapper in extractFeatures would NOT degrade it to the stub).
+    // 256 MB covers a 8192×8192 RGBA frame; larger payloads stub.
+    if (rawLen > (256L << 20)) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -372,7 +379,7 @@ object Multimodal {
       graft.functions.Hashing.fnv1a(content),
       Seq(img.width.toDouble, img.height.toDouble, sr / n, sg / n, sb / n,
         lmean, math.sqrt(math.max(lsq / n - lmean * lmean, 0.0)),
-        channels.toDouble)))
+        channels * 8.0)))
   }
 
   /** Batched feature extraction over the asset table: one decoder pass per

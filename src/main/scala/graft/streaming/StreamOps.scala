@@ -292,9 +292,28 @@ object StreamOps {
     val (n, numHashes, bands) =
       graft.operators.Dedup.readStoreMeta(spark, path)
     val rows = numHashes / bands
-    val storeBands = spark.read.parquet(s"$path/bands")
+    // cold-start store (meta, no band files — the batch probe's guarded
+    // state; an empty partitioned write emits nothing while the
+    // shingles write leaves a schema-only file): match nothing instead
+    // of failing schema inference at query construction. Bands WITHOUT
+    // shingles can only be a crash between storeWrite's two writes and
+    // stays a loud error, exactly like the batch guard.
+    val frames =
+      (scala.util.Try(spark.read.parquet(s"$path/bands")).toOption,
+        scala.util.Try(spark.read.parquet(s"$path/shingles")).toOption)
+    val (storeBands0, storeShingles0) = frames match {
+      case (Some(b), Some(sh)) => (b, sh)
+      case (None, _) =>
+        return docs.toDF().filter(lit(false))
+          .select(col("doc_id").as("id_a"), col("doc_id").as("id_b"),
+            lit(0.0).as("jaccard"))
+      case (Some(_), None) => throw new IllegalStateException(
+        s"signature store at $path is partially written (bands without " +
+          "shingles) — rebuild with writeBandSignatures")
+    }
+    val storeBands = storeBands0
       .select(col("id"), col("band"), col("bucket"))
-    val storeShingles = spark.read.parquet(s"$path/shingles")
+    val storeShingles = storeShingles0
       .select(col("id").as("id_a"), col("shingles").as("sh_a"))
     docs.toDF()
       .withWatermark("ts", watermark)
@@ -365,6 +384,14 @@ object StreamOps {
       .localCheckpoint(false) // keys + every micro-batch's verify read this
     val dim = old.select(size(col("vec"))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim == 0) {
+      // cold-start: an empty (or all-zero-vector) corpus matches
+      // nothing — dim-0 planes would instead make the sign-bucket
+      // kernel throw on the first real arriving row and kill the query
+      return stream.toDF().filter(lit(false))
+        .select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
+          lit(0.0).as("cosine"))
+    }
     val planes = graft.operators.Similarity
       .hyperplanes(tables * numPlanes, dim, seed)
     val corpusKeys = old.select(col("id"),

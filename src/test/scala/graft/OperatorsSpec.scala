@@ -1110,8 +1110,9 @@ class OperatorsSpec extends AnyFunSuite {
     val n = (w * h).toDouble
     val lumas = all.map { case (r, g, b) => 0.299 * r + 0.587 * g + 0.114 * b }
     val lmean = lumas.sum / n
-    // [width, height, mean_r, mean_g, mean_b, luma_mean, luma_std, chans]
-    assert(f(0) == w.toDouble && f(1) == h.toDouble && f(7) == 3.0, f)
+    // [width, height, mean_r, mean_g, mean_b, luma_mean, luma_std, bits]
+    // (bits = channels*8, the BMP decoder's slot semantics)
+    assert(f(0) == w.toDouble && f(1) == h.toDouble && f(7) == 24.0, f)
     assert(math.abs(f(2) - all.map(_._1).sum / n) < 1e-9, f)
     assert(math.abs(f(3) - all.map(_._2).sum / n) < 1e-9, f)
     assert(math.abs(f(4) - all.map(_._3).sum / n) < 1e-9, f)

@@ -681,6 +681,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._1) == Set(1L, 4L))
   }
 
+  test("streaming decontamination cold-starts on empty corpus and store") {
+    import graft.streaming.StreamOps.{StreamDoc, StreamEmb}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // empty embedding corpus: dim probes to 0 — the query must run and
+    // emit nothing, not crash the first micro-batch on dim-0 planes
+    val emptyCorpus = Seq.empty[(Long, Seq[Double])]
+      .toDF("vec_id", "embedding")
+    val in1 = MemoryStream[StreamEmb]
+    val out1 = StreamOps.embeddingDecontaminateStream(in1.toDS(),
+      emptyCorpus, "vec_id", "embedding", threshold = 0.9,
+      watermark = "10 seconds")
+    val q1 = out1.writeStream.format("memory").queryName("cold_emb")
+      .outputMode("append").start()
+    in1.addData(StreamEmb(1L, Seq(1.0, 0.0),
+      Timestamp.valueOf("2024-01-01 00:00:01")))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(s.sql("select * from cold_emb").count() == 0)
+    // signature store written from an empty corpus (meta, no frames):
+    // same contract as the batch probe — match nothing
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cold-store").toString
+    graft.operators.Dedup.writeBandSignatures(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val in2 = MemoryStream[StreamDoc]
+    val out2 = StreamOps.dedupAgainstStoreStream(in2.toDS(), dir,
+      threshold = 0.5, watermark = "10 seconds")
+    val q2 = out2.writeStream.format("memory").queryName("cold_store")
+      .outputMode("append").start()
+    in2.addData(StreamDoc(1L, "a b c d",
+      Timestamp.valueOf("2024-01-01 00:00:01")))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(s.sql("select * from cold_store").count() == 0)
+  }
+
   test("gopherQualityFlags runs on a stream unchanged (stateless gate)") {
     // the rule gate is a pure projection, so it needs no watermark, no
     // state, and no streaming-specific form — the parity-core property
