@@ -236,10 +236,10 @@ object Multimodal {
     * BEFORE allocation, so an adversarial IHDR cannot OOM or overflow.
     * [[decodePngRaw]] exposes the dense pixel buffer shared by feature
     * extraction and [[resizePng]]. */
-  private[operators] case class PngImage(width: Int, height: Int,
-                                         channels: Int, pixels: Array[Byte])
+  private[graft] case class PngImage(width: Int, height: Int,
+                                     channels: Int, pixels: Array[Byte])
 
-  private[operators] def decodePngRaw(
+  private[graft] def decodePngRaw(
       content: Array[Byte]): Option[PngImage] = {
     import java.nio.{ByteBuffer, ByteOrder}
     if (content.length < 45) return None
@@ -483,7 +483,7 @@ object Multimodal {
     * one deflated IDAT, CRC32 per chunk — a valid baseline PNG any
     * reader accepts. Color type follows the channel count (1 → gray,
     * 2 → gray+alpha, 3 → RGB, 4 → RGBA), bit depth 8. */
-  private[operators] def encodePng(img: PngImage): Array[Byte] = {
+  private[graft] def encodePng(img: PngImage): Array[Byte] = {
     import java.util.zip.{CRC32, Deflater}
     val colorType = img.channels match {
       case 1 => 0

@@ -258,4 +258,25 @@ class PropertySpec extends AnyFunSuite {
       assert(out.map(_._3).sum == allChunks.distinct.size)
     }
   }
+
+  test("property: PNG decode inverts encode for arbitrary images") {
+    // pure-JVM codec law, no Spark: decodePngRaw(encodePng(img)) == img
+    // for random dimensions, channel counts, and pixel bytes — the
+    // filter reconstruction, inflate, and chunk walk all roundtrip
+    import graft.operators.Multimodal
+    val genImg = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      ch <- Gen.oneOf(1, 2, 3, 4)
+      px <- Gen.listOfN(w * h * ch, Gen.choose(0, 255))
+    } yield Multimodal.PngImage(w, h, ch, px.map(_.toByte).toArray)
+    forAll(genImg, 25) { img =>
+      val decoded = Multimodal.decodePngRaw(Multimodal.encodePng(img))
+      assert(decoded.nonEmpty)
+      val d = decoded.get
+      assert(d.width == img.width && d.height == img.height &&
+        d.channels == img.channels)
+      assert(java.util.Arrays.equals(d.pixels, img.pixels))
+    }
+  }
 }
