@@ -382,6 +382,185 @@ object Multimodal {
         channels * 8.0)))
   }
 
+  /** REAL decoder for GIF payloads — pure JVM: GIF's compression is the
+    * self-contained LZW variant (variable code width, clear/EOI codes,
+    * table growth to 12 bits), no codec library needed. Parses the
+    * logical screen descriptor and global color table, skips extension
+    * blocks, decodes the FIRST image descriptor (an animation's later
+    * frames are ignored — documented), maps indices through the active
+    * palette, and emits the shared 8-dim feature vector with bits = 24
+    * (the decoded RGB depth, matching the other decoders' slot
+    * semantics). Interlaced images and malformed streams return None →
+    * stub fallback; the pixel buffer is bounded by the same 256 MB
+    * decode budget as PNG. */
+  def decodeGif(id: Long, content: Array[Byte]): Option[Row] = {
+    val img = decodeGifRaw(content).getOrElse(return None)
+    var sr = 0.0
+    var sg = 0.0
+    var sb = 0.0
+    var lsum = 0.0
+    var lsq = 0.0
+    var i = 0
+    val total = img.width * img.height
+    while (i < total) {
+      val base = i * 3
+      val r = img.pixels(base) & 0xff
+      val g = img.pixels(base + 1) & 0xff
+      val bl = img.pixels(base + 2) & 0xff
+      sr += r; sg += g; sb += bl
+      val l = 0.299 * r + 0.587 * g + 0.114 * bl
+      lsum += l
+      lsq += l * l
+      i += 1
+    }
+    val n = total.toDouble
+    val lmean = lsum / n
+    Some(Row(id, content.length.toLong,
+      graft.functions.Hashing.fnv1a(content),
+      Seq(img.width.toDouble, img.height.toDouble, sr / n, sg / n, sb / n,
+        lmean, math.sqrt(math.max(lsq / n - lmean * lmean, 0.0)), 24.0)))
+  }
+
+  /** First-frame GIF decode to a dense RGB buffer (channels = 3). */
+  private[graft] def decodeGifRaw(
+      content: Array[Byte]): Option[PngImage] = {
+    def u8(i: Int) = content(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8) // little-endian
+    if (content.length < 13) return None
+    val sig = new String(content, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    var pos = 6
+    val screenFlags = u8(pos + 4)
+    pos += 7 // logical screen descriptor
+    var palette: Array[Byte] = null
+    if ((screenFlags & 0x80) != 0) { // global color table
+      val size = 3 * (2 << (screenFlags & 7))
+      if (pos + size > content.length) return None
+      palette = java.util.Arrays.copyOfRange(content, pos, pos + size)
+      pos += size
+    }
+    // walk blocks to the first image descriptor
+    while (pos < content.length && u8(pos) == 0x21) { // extension
+      pos += 2 // introducer + label
+      while (pos < content.length && u8(pos) != 0) {
+        val blockLen = u8(pos)
+        pos += 1 + blockLen
+      }
+      pos += 1 // block terminator
+    }
+    if (pos + 10 > content.length || u8(pos) != 0x2c) return None
+    val width = u16(pos + 5)
+    val height = u16(pos + 7)
+    val imgFlags = u8(pos + 9)
+    pos += 10
+    if ((imgFlags & 0x40) != 0) return None // interlaced: stub fallback
+    if ((imgFlags & 0x80) != 0) { // local color table wins
+      val size = 3 * (2 << (imgFlags & 7))
+      if (pos + size > content.length) return None
+      palette = java.util.Arrays.copyOfRange(content, pos, pos + size)
+      pos += size
+    }
+    if (palette == null || width <= 0 || height <= 0) return None
+    val total = width.toLong * height
+    if (total * 3 > (256L << 20)) return None // PNG's decode budget
+    if (pos >= content.length) return None
+    val minCode = u8(pos)
+    pos += 1
+    if (minCode < 2 || minCode > 8) return None
+    // concatenate the data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (pos < content.length && u8(pos) != 0) {
+      val blockLen = u8(pos)
+      if (pos + 1 + blockLen > content.length) return None
+      data.write(content, pos + 1, blockLen)
+      pos += 1 + blockLen
+    }
+    val bytes = data.toByteArray
+    // GIF-variant LZW: codes are packed LSB-first; the table holds
+    // index STRINGS, rebuilt on every clear code
+    val clearCode = 1 << minCode
+    val eoi = clearCode + 1
+    val indices = new Array[Byte](total.toInt)
+    var out = 0
+    var codeSize = minCode + 1
+    var nextCode = eoi + 1
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Byte](4096)
+    var prev = -1
+    var acc = 0L
+    var accBits = 0
+    var bi = 0
+    val stack = new Array[Byte](4096)
+    var done = false
+    while (!done && out < indices.length) {
+      while (accBits < codeSize && bi < bytes.length) {
+        acc |= (bytes(bi) & 0xffL) << accBits
+        accBits += 8
+        bi += 1
+      }
+      if (accBits < codeSize) return None // truncated stream
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>= codeSize
+      accBits -= codeSize
+      if (code == clearCode) {
+        codeSize = minCode + 1
+        nextCode = eoi + 1
+        prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else {
+        // expand `code` (or prev+head for the not-yet-defined code)
+        var sp = 0
+        var cur = code
+        if (code >= nextCode) {
+          if (prev < 0 || code > nextCode) return None
+          // KwKwK case: expand prev then append its head
+          cur = prev
+          stack(sp) = 0 // placeholder, patched below
+          sp += 1
+        }
+        while (cur >= clearCode + 2) { // composite code
+          stack(sp) = suffixOf(cur)
+          sp += 1
+          cur = prefixOf(cur)
+          if (sp >= stack.length) return None
+        }
+        val head = cur.toByte // root code = literal palette index
+        stack(sp) = head
+        sp += 1
+        if (code >= nextCode) stack(0) = head // patch the KwKwK tail
+        // emit reversed
+        var k = sp - 1
+        while (k >= 0 && out < indices.length) {
+          indices(out) = stack(k)
+          out += 1
+          k -= 1
+        }
+        if (prev >= 0 && nextCode < 4096) {
+          prefixOf(nextCode) = prev
+          suffixOf(nextCode) = head
+          nextCode += 1
+          if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    if (out < indices.length) return None
+    // palette lookup → dense RGB
+    val nColors = palette.length / 3
+    val px = new Array[Byte](indices.length * 3)
+    var i = 0
+    while (i < indices.length) {
+      val idx = indices(i) & 0xff
+      if (idx >= nColors) return None
+      px(i * 3) = palette(idx * 3)
+      px(i * 3 + 1) = palette(idx * 3 + 1)
+      px(i * 3 + 2) = palette(idx * 3 + 2)
+      i += 1
+    }
+    Some(PngImage(width, height, 3, px))
+  }
+
   /** Batched feature extraction over the asset table: one decoder pass per
     * partition (mapPartitions — the Scala analogue of a batched
     * mapInPandas), emitting [[FeatureSchema]] rows. Dispatches on
@@ -407,6 +586,8 @@ object Multimodal {
               scala.util.Try(decodeBmp(id, bytes)).toOption.flatten
             case "image/png" =>
               scala.util.Try(decodePng(id, bytes)).toOption.flatten
+            case "image/gif" =>
+              scala.util.Try(decodeGif(id, bytes)).toOption.flatten
             case _ => None
           }
           decoded.getOrElse(decodeStub(id, bytes))

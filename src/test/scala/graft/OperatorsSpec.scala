@@ -1133,6 +1133,101 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.decodeStub(2L, png.dropRight(30)).getSeq[Double](3))
   }
 
+  test("decodeGif inflates a real LZW stream through code-width growth") {
+    val s = spark
+    import s.implicits._
+    // 4-color palette, 13x9 pattern (x + y) % 4 — 117 pixels grow the
+    // LZW table well past two code-width bumps
+    val (w, h) = (13, 9)
+    val palette = Array(
+      (255, 0, 0), (0, 255, 0), (0, 0, 255), (200, 100, 50))
+    val indices = Array.tabulate(w * h)(i => (i % w + i / w) % 4)
+    // GIF-variant LZW compressor. Pass 1 symbolizes with the encoder's
+    // dictionary; pass 2 packs with DECODER-timed code widths — the
+    // decoder's table lags the encoder by exactly one entry (the first
+    // code after clear defines nothing), so the width of each wire code
+    // follows the decoder's post-add counter, not the encoder's.
+    val minCode = 2
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var nextCode = eoi + 1
+    val dict = scala.collection.mutable.Map[List[Int], Int]()
+    def codeOf(word: List[Int]): Int =
+      if (word.size == 1) word.head else dict(word)
+    val dataCodes = scala.collection.mutable.ArrayBuffer[Int]()
+    var word = List(indices(0))
+    for (i <- 1 until indices.length) {
+      val k = indices(i)
+      if (dict.contains(word :+ k)) word = word :+ k
+      else {
+        dataCodes += codeOf(word)
+        if (nextCode < 4096) { dict(word :+ k) = nextCode; nextCode += 1 }
+        word = List(k)
+      }
+    }
+    dataCodes += codeOf(word)
+    var codeSize = minCode + 1
+    var decoderNext = eoi + 1
+    val codes = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    codes += ((clear, codeSize))
+    for ((c, i) <- dataCodes.zipWithIndex) {
+      codes += ((c, codeSize))
+      if (i >= 1 && decoderNext < 4096) { // decoder adds from the 2nd code
+        decoderNext += 1
+        if (decoderNext == (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+    }
+    codes += ((eoi, codeSize))
+    val packed = scala.collection.mutable.ArrayBuffer[Byte]()
+    var acc = 0L
+    var accBits = 0
+    for ((c, sz) <- codes) {
+      acc |= c.toLong << accBits
+      accBits += sz
+      while (accBits >= 8) {
+        packed += (acc & 0xff).toByte
+        acc >>= 8
+        accBits -= 8
+      }
+    }
+    if (accBits > 0) packed += (acc & 0xff).toByte
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    out ++= "GIF89a".getBytes("US-ASCII")
+    def u16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, (v >> 8).toByte)
+    out ++= u16(w); out ++= u16(h)
+    out += 0x91.toByte // global table, 4 entries (2 size bits -> 1)
+    out += 0; out += 0
+    palette.foreach { case (r, g, b) =>
+      out += r.toByte; out += g.toByte; out += b.toByte }
+    out += 0x2c.toByte // image descriptor
+    out ++= u16(0); out ++= u16(0); out ++= u16(w); out ++= u16(h)
+    out += 0 // no local table, not interlaced
+    out += minCode.toByte
+    packed.grouped(255).foreach { blk =>
+      out += blk.size.toByte; out ++= blk }
+    out += 0 // terminator
+    out += 0x3b.toByte // trailer
+    val gif = out.toArray
+    val f = Multimodal.decodeGif(1L, gif).get.getSeq[Double](3)
+    val all = indices.map(palette)
+    val n = indices.length.toDouble
+    assert(f(0) == w.toDouble && f(1) == h.toDouble && f(7) == 24.0, f)
+    assert(math.abs(f(2) - all.map(_._1).sum / n) < 1e-9, f)
+    assert(math.abs(f(3) - all.map(_._2).sum / n) < 1e-9, f)
+    assert(math.abs(f(4) - all.map(_._3).sum / n) < 1e-9, f)
+    // dispatch + truncation fallback through the distributed surface
+    val assets = Seq((1L, gif), (2L, gif.dropRight(12)))
+      .toDF("id", "content")
+      .select(col("id"), col("content"),
+        struct(lit("image/gif").as("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val feats = Multimodal.extractFeatures(assets).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](3)).toMap
+    assert(feats(1L) == f)
+    assert(feats(2L) ==
+      Multimodal.decodeStub(2L, gif.dropRight(12)).getSeq[Double](3))
+  }
+
   test("resizePng resamples and re-encodes; identity roundtrip is lossless") {
     import java.util.zip.{CRC32, Deflater}
     val s = spark
