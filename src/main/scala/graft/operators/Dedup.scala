@@ -247,14 +247,19 @@ object Dedup {
                          path: String, n: Int, numHashes: Int, bands: Int,
                          mode: SaveMode): Unit = {
     val sh = shingled(docs, idCol, textCol, n)
+    // shingles FIRST: a crash between the two writes then leaves only
+    // orphan shingle rows, which are recall-neutral (candidates come from
+    // the band join; an id with shingles but no bands is never a
+    // candidate). The reverse order would leave band rows whose candidate
+    // ids silently drop out of the verify join — near-dups admitted.
+    sh.select(col("id"), col("shingles"))
+      .write.mode(mode).parquet(s"$path/shingles")
     bandedSignatures(sh, numHashes, bands, numHashes / bands)
       // band-directory layout + bucket-sorted files: a probe join ships
       // one band's buckets together and row-group min/max stats stay tight
       .repartition(col("band"))
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
-    sh.select(col("id"), col("shingles"))
-      .write.mode(mode).parquet(s"$path/shingles")
   }
 
   private[graft] def readStoreMeta(spark: SparkSession,
@@ -275,17 +280,27 @@ object Dedup {
     val spark = newDocs.sparkSession
     val (n, numHashes, bands) = readStoreMeta(spark, path)
     val shNew = shingled(newDocs, idCol, textCol, n)
-    // a store written from an EMPTY corpus has meta but no BAND files
-    // (a partitioned write of zero rows emits no files, while the
-    // non-partitioned shingles write leaves a schema-only empty file) —
-    // that store legitimately matches nothing. The OPPOSITE asymmetry
-    // (bands readable, shingles unreadable) can only come from a crash
-    // between storeWrite's two writes; silently matching nothing there
-    // would admit every near-duplicate — fail loudly instead.
+    // storeWrite puts shingles on disk BEFORE bands, so the readable
+    // states decode as:
+    //   - no bands dir, EMPTY shingles: a store written from an empty
+    //     corpus (a partitioned write of zero rows emits no files, while
+    //     the non-partitioned shingles write leaves a schema-only empty
+    //     file) — legitimately matches nothing.
+    //   - no bands dir, NON-empty shingles: a crash between storeWrite's
+    //     initial shingle and band writes; matching nothing would admit
+    //     every near-duplicate — fail loudly.
+    //   - bands without shingles: impossible under the current write
+    //     order; only a pre-fix torn store — fail loudly.
+    //   - both present: sound. A crash mid-APPEND can at worst leave
+    //     orphan shingle rows (recall-neutral: never candidates).
     def tryRead(sub: String) =
       try Some(spark.read.parquet(s"$path/$sub"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     (tryRead("bands"), tryRead("shingles")) match {
+      case (None, Some(storeShingles)) if !storeShingles.isEmpty =>
+        throw new IllegalStateException(
+          s"signature store at $path is partially written (shingles " +
+            "without bands) — rebuild with writeBandSignatures")
       case (None, _) =>
         shNew.limit(0).select(col("id").as("id_a"), col("id").as("id_b"),
           lit(0.0).as("jaccard"))

@@ -306,7 +306,11 @@ object Multimodal {
         while (!stalled && off < raw.length) {
           val k = inf.inflate(raw, off, raw.length - off)
           off += k
-          if (k == 0 && (inf.finished() || inf.needsInput())) stalled = true
+          // needsDictionary: the zlib stream set FDICT — inflate would return
+          // 0 forever without ever finishing, so treat it as malformed
+          // (a hang here could not be caught by the Try in extractFeatures)
+          if (k == 0 && (inf.finished() || inf.needsInput() || inf.needsDictionary()))
+            stalled = true
         }
         off
       } catch {

@@ -292,17 +292,21 @@ object StreamOps {
     val (n, numHashes, bands) =
       graft.operators.Dedup.readStoreMeta(spark, path)
     val rows = numHashes / bands
-    // cold-start store (meta, no band files — the batch probe's guarded
-    // state; an empty partitioned write emits nothing while the
-    // shingles write leaves a schema-only file): match nothing instead
-    // of failing schema inference at query construction. Bands WITHOUT
-    // shingles can only be a crash between storeWrite's two writes and
-    // stays a loud error, exactly like the batch guard.
+    // cold-start store (meta, empty shingles file, no band files — the
+    // batch probe's guarded state; an empty partitioned write emits
+    // nothing while the shingles write leaves a schema-only file): match
+    // nothing instead of failing schema inference at query construction.
+    // NON-empty shingles without bands is a crash between storeWrite's
+    // shingle and band writes (and bands without shingles a pre-fix torn
+    // store) — both stay loud errors, exactly like the batch guard.
     val frames =
       (scala.util.Try(spark.read.parquet(s"$path/bands")).toOption,
         scala.util.Try(spark.read.parquet(s"$path/shingles")).toOption)
     val (storeBands0, storeShingles0) = frames match {
       case (Some(b), Some(sh)) => (b, sh)
+      case (None, Some(sh)) if !sh.isEmpty => throw new IllegalStateException(
+        s"signature store at $path is partially written (shingles " +
+          "without bands) — rebuild with writeBandSignatures")
       case (None, _) =>
         return docs.toDF().filter(lit(false))
           .select(col("doc_id").as("id_a"), col("doc_id").as("id_b"),

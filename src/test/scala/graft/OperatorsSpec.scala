@@ -570,6 +570,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaStore == direct)
   }
 
+  test("signature store torn between shingle and band writes fails loudly") {
+    // storeWrite persists shingles BEFORE bands, so a crash between the
+    // two writes leaves non-empty shingles with no bands directory — the
+    // probe must refuse (matching nothing would admit every near-dup of
+    // the half-written corpus), in both the batch and streaming guards.
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigstore-torn").toString
+    Dedup.writeBandSignatures(corpus, "doc_id", "text", dir)
+    // simulate the crash: bands never landed
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree(_))
+      java.nio.file.Files.delete(p)
+    }
+    rmTree(java.nio.file.Paths.get(dir, "bands"))
+    intercept[IllegalStateException] {
+      Dedup.minHashLshPairsAgainstStore(batch, dir, "doc_id", "text", 0.5)
+    }
+    // streaming guard fires at query-construction time, before any
+    // stream starts, so a batch-backed empty Dataset[StreamDoc] suffices
+    val s2 = spark
+    import s2.implicits._
+    intercept[IllegalStateException] {
+      graft.streaming.StreamOps.dedupAgainstStoreStream(
+        Seq.empty[graft.streaming.StreamOps.StreamDoc].toDS(), dir)
+    }
+  }
+
   test("scalar MinHashSignature equals the MinHashSketch aggregate per doc") {
     import org.apache.spark.sql.graftext.{MinHashSignature, MinHashSketch}
     val sh = docs.select(col("doc_id"),
@@ -1131,6 +1161,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(1L) == f)
     assert(feats(2L) ==
       Multimodal.decodeStub(2L, png.dropRight(30)).getSeq[Double](3))
+  }
+
+  test("decodePng rejects a preset-dictionary (FDICT) zlib stream as stub") {
+    import java.util.zip.CRC32
+    // an IDAT whose zlib header sets FDICT makes Inflater.inflate return
+    // 0 with finished()=false and needsInput()=false forever — the decode
+    // loop must treat needsDictionary() as malformed (a hang could never
+    // be caught by the Try wrapper) and fall through to None/stub.
+    // CMF=0x78, FLG=0x20: FDICT bit set and (0x7820 = 31*992) passes the
+    // FCHECK divisibility test, so Inflater accepts the header and then
+    // requests the dictionary.
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(ctype.getBytes("US-ASCII")).put(data)
+      val crc = new CRC32()
+      crc.update(ctype.getBytes("US-ASCII"))
+      crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(4).putInt(4).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val idat = Array(0x78.toByte, 0x20.toByte, // zlib header, FDICT set
+      1.toByte, 2.toByte, 3.toByte, 4.toByte,  // DICTID
+      0x00.toByte, 0x01.toByte)                // opaque deflate bytes
+    val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.empty[Byte])
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = done.submit(new java.util.concurrent.Callable[Option[Row]] {
+        def call(): Option[Row] = Multimodal.decodePng(9L, png)
+      })
+      // terminates promptly (no inflate spin) and degrades to the stub
+      assert(fut.get(30, java.util.concurrent.TimeUnit.SECONDS).isEmpty)
+    } finally done.shutdownNow()
   }
 
   test("decodeGif inflates a real LZW stream through code-width growth") {
