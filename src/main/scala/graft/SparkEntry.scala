@@ -223,10 +223,14 @@ object SparkEntry {
 
     // MOSS-style overlap pairs over the winnow sketch: copied/templated
     // runs found sub-quadratically (fingerprint inverted index; any
-    // shared (w+k-1)-word run guarantees a hit)
+    // shared (w+k-1)-word run guarantees a hit). maxDf = 100 engages the
+    // boilerplate cap: a corpus-common fingerprint would otherwise form
+    // one quadratic posting bucket — the df filter bounds every bucket
+    // at 100²/2 join rows regardless of corpus size (mirrored in the
+    // oracle's keep CTE)
     "q_text_overlap" -> ((s, dir) =>
       TextAnalysis.winnowOverlapPairs(t(s, dir, "documents"), "doc_id",
-        "text", k = 3, w = 4, minShared = 2)),
+        "text", k = 3, w = 4, minShared = 2, maxDf = 100)),
 
     "q_text_fingerprints" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1544,10 +1548,12 @@ object SparkEntry {
           |                             FOR i IN range(1, len(h) - 2)])
           |    END AS fps
           |  FROM g),
-          |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+          |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+          |keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100)
           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           |       count(*) AS n_shared
           |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |     JOIN keep k ON k.fp = a.fp
           |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
       "q_text_fingerprints" ->

@@ -131,13 +131,17 @@ object TextAnalysis {
     * a fingerprint ever meet, so cost is Σ(posting²) not n². `maxDf`
     * (the MOSS "too common to be interesting" knob) drops fingerprints
     * appearing in more than that many documents before the join: at web
-    * scale boilerplate fingerprints are the quadratic hazard, and
-    * dropping them bounds every posting list. Output:
+    * scale boilerplate fingerprints are the quadratic hazard (a 6-word
+    * navigation snippet shared by f docs makes one f²/2-row join bucket),
+    * and dropping them bounds every posting list. The default is FINITE
+    * so the cap is structural, not opt-in — a 1000-doc posting is already
+    * a 500k-row bucket; pass `Int.MaxValue` explicitly to disable (the
+    * all-pairs oracle form, small corpora only). Output:
     * (id_a, id_b, n_shared) with id_a < id_b. */
   def winnowOverlapPairs(docs: DataFrame, idCol: String,
                          textCol: String = "text", k: Int = 3, w: Int = 4,
                          minShared: Int = 2,
-                         maxDf: Int = Int.MaxValue): DataFrame = {
+                         maxDf: Int = 1000): DataFrame = {
     val fps = docs.select(col(idCol).as("id"),
       explode(winnowedFingerprints(col(textCol), k, w)).as("fp"))
     val posting =

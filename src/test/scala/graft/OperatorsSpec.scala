@@ -466,6 +466,38 @@ class OperatorsSpec extends AnyFunSuite {
       minShared = 1, maxDf = 1).count() == 0)
   }
 
+  test("winnowOverlapPairs maxDf excludes a planted boilerplate fingerprint") {
+    val s = spark
+    import s.implicits._
+    // 40 docs all end with the same 6-word boilerplate run (k=3, w=4 →
+    // any common k+w-1 = 6-word run guarantees a shared fingerprint);
+    // only docs 1 and 2 also share a unique 12-word copied passage.
+    // Without the cap the boilerplate key alone would emit 40·39/2 join
+    // rows — the classic skewed-bucket blowup the cap exists to stop.
+    val boiler = "copyright footer all rights reserved worldwide"
+    val copied = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliett kilo lima"
+    def noise(i: Int) = (0 until 12).map(j => s"w${i}x$j").mkString(" ")
+    val fixture = (1 to 40).map { i =>
+      val body = if (i <= 2) copied else noise(i)
+      (i.toLong, s"$body $boiler")
+    }.toDF("doc_id", "text")
+    // capped: only the genuinely-copied pair survives, and its n_shared
+    // counts ONLY the unique passage's fingerprints (boilerplate
+    // fingerprints are dropped before the join, not just down-weighted)
+    val capped = TextAnalysis
+      .winnowOverlapPairs(fixture, "doc_id", "text", 3, 4,
+        minShared = 2, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+    // uncapped oracle form: every doc pairs with every other through the
+    // boilerplate run — the quadratic shape the default now prevents
+    val uncapped = TextAnalysis
+      .winnowOverlapPairs(fixture, "doc_id", "text", 3, 4,
+        minShared = 1, maxDf = Int.MaxValue).count()
+    assert(uncapped == 40L * 39 / 2)
+  }
+
   test("gopherQualityFlags applies each rule; keep uses unrounded values") {
     val good = (Seq.fill(10)("the quick brown fox jumps over lazy dogs " +
       "with great energy and that determination") :+ "end").mkString(" ")
