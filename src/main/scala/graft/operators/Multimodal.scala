@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   *
   * Decoding: `audio/wav` payloads are decoded FOR REAL ([[decodeWavPcm]]
   * — RIFF/PCM needs no codec library), `image/bmp` likewise
-  * ([[decodeBmp]] — uncompressed BMP is plain header + pixel rows), and
-  * `image/png` too ([[decodePng]] — PNG's only compression is DEFLATE,
-  * which the JVM ships in `java.util.zip`); the remaining compressed
-  * image/video formats (JPEG, H.264, …) are STUBBED ([[decodeStub]]
+  * ([[decodeBmp]] — uncompressed BMP is plain header + pixel rows),
+  * `image/png` ([[decodePng]] — PNG's only compression is DEFLATE,
+  * which the JVM ships in `java.util.zip`), `image/gif`
+  * ([[decodeGif]] — self-contained LZW), and `image/jpeg`
+  * ([[decodeJpeg]] — the JDK's own `javax.imageio` JPEG plugin, public
+  * API, zero added dependencies); the remaining compressed video
+  * formats (H.264, …) are STUBBED ([[decodeStub]]
   * derives deterministic fake features from the raw bytes) because
   * their codecs don't exist in this environment. Everything
   * around the decoders is the real Spark shape —
@@ -386,6 +389,150 @@ object Multimodal {
         channels * 8.0)))
   }
 
+  /** REAL decoder for JPEG payloads via `javax.imageio` — public JDK
+    * API, zero new dependencies: every JDK ships JPEG (and PNG/GIF/BMP)
+    * ImageIO plugins, so the dominant web-crawl image format needs no
+    * hand-rolled entropy decoder. Reads dimensions FIRST and applies the
+    * same 256 MB decode budget as PNG before any pixel allocation, uses
+    * a memory-cached image input stream (no executor temp files), and
+    * converts through `getRGB` so CMYK/YCbCr color spaces land in sRGB.
+    * Emits the shared 8-dim feature vector; bits follows the decoded
+    * channel count (gray → 8, color → 24). Malformed bytes → None →
+    * stub fallback, like every other decoder. */
+  def decodeJpeg(id: Long, content: Array[Byte]): Option[Row] = {
+    val img = decodeJpegRaw(content).getOrElse(return None)
+    val channels = img.channels
+    var sr = 0.0
+    var sg = 0.0
+    var sb = 0.0
+    var lsum = 0.0
+    var lsq = 0.0
+    var i = 0
+    val total = img.width * img.height
+    while (i < total) {
+      val base = i * channels
+      val r = img.pixels(base) & 0xff
+      val (g, bl) =
+        if (channels >= 3)
+          (img.pixels(base + 1) & 0xff, img.pixels(base + 2) & 0xff)
+        else (r, r)
+      sr += r; sg += g; sb += bl
+      val l = 0.299 * r + 0.587 * g + 0.114 * bl
+      lsum += l
+      lsq += l * l
+      i += 1
+    }
+    val n = total.toDouble
+    val lmean = lsum / n
+    Some(Row(id, content.length.toLong,
+      graft.functions.Hashing.fnv1a(content),
+      Seq(img.width.toDouble, img.height.toDouble, sr / n, sg / n, sb / n,
+        lmean, math.sqrt(math.max(lsq / n - lmean * lmean, 0.0)),
+        channels * 8.0)))
+  }
+
+  /** JPEG decode to the shared dense-pixel form (gray 1-channel or RGB
+    * 3-channel). Dimension check and budget run BEFORE `reader.read`
+    * allocates the frame. */
+  private[graft] def decodeJpegRaw(
+      content: Array[Byte]): Option[PngImage] = {
+    // SOI magic gate: don't even open a reader on non-JPEG bytes
+    if (content.length < 4 || (content(0) & 0xff) != 0xff ||
+      (content(1) & 0xff) != 0xd8) return None
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0) return None
+        if (w.toLong * h * 4 > (256L << 20)) return None // PNG's budget
+        val bi = reader.read(0)
+        val channels =
+          if (bi.getColorModel.getNumColorComponents >= 3) 3 else 1
+        val px = new Array[Byte](w * h * channels)
+        if (channels == 1) {
+          // raster samples, NOT getRGB: the gray ColorModel's sRGB
+          // conversion is non-identity and would skew every sample
+          val raster = bi.getRaster
+          val rowBuf = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            raster.getSamples(0, y, w, 1, 0, rowBuf)
+            var x = 0
+            while (x < w) {
+              px(y * w + x) = (rowBuf(x) & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          val rowBuf = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            bi.getRGB(0, y, w, 1, rowBuf, 0, w)
+            var x = 0
+            while (x < w) {
+              val argb = rowBuf(x)
+              val base = (y * w + x) * 3
+              px(base) = ((argb >> 16) & 0xff).toByte
+              px(base + 1) = ((argb >> 8) & 0xff).toByte
+              px(base + 2) = (argb & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+        }
+        Some(PngImage(w, h, channels, px))
+      } finally reader.dispose()
+    } catch {
+      case _: java.io.IOException => None
+    } finally iis.close()
+  }
+
+  /** JPEG re-encode of the dense-pixel form via the JDK's ImageIO
+    * writer (default quality). */
+  private[graft] def encodeJpeg(img: PngImage): Option[Array[Byte]] = {
+    import java.awt.image.BufferedImage
+    val biType =
+      if (img.channels == 1) BufferedImage.TYPE_BYTE_GRAY
+      else BufferedImage.TYPE_3BYTE_BGR
+    val bi = new BufferedImage(img.width, img.height, biType)
+    val rowBuf = new Array[Int](img.width)
+    var y = 0
+    while (y < img.height) {
+      if (img.channels == 1) {
+        // raster samples, mirroring decodeJpegRaw's gray path (setRGB
+        // would run the non-identity sRGB→gray conversion)
+        var x = 0
+        while (x < img.width) {
+          rowBuf(x) = img.pixels(y * img.width + x) & 0xff
+          x += 1
+        }
+        bi.getRaster.setSamples(0, y, img.width, 1, 0, rowBuf)
+      } else {
+        var x = 0
+        while (x < img.width) {
+          val base = (y * img.width + x) * 3
+          rowBuf(x) = 0xff000000 |
+            ((img.pixels(base) & 0xff) << 16) |
+            ((img.pixels(base + 1) & 0xff) << 8) |
+            (img.pixels(base + 2) & 0xff)
+          x += 1
+        }
+        bi.setRGB(0, y, img.width, 1, rowBuf, 0, img.width)
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(bi, "jpeg", out)) None
+    else Some(out.toByteArray)
+  }
+
   /** REAL decoder for GIF payloads — pure JVM: GIF's compression is the
     * self-contained LZW variant (variable code width, clear/EOI codes,
     * table growth to 12 bits), no codec library needed. Parses the
@@ -570,10 +717,12 @@ object Multimodal {
     * mapInPandas), emitting [[FeatureSchema]] rows. Dispatches on
     * `meta.mime`: `audio/wav` payloads go through the REAL PCM decoder
     * ([[decodeWavPcm]]), `image/bmp` through the REAL BMP decoder
-    * ([[decodeBmp]]), and `image/png` through the REAL PNG decoder
-    * ([[decodePng]]), all falling back to the stub on malformed bytes;
+    * ([[decodeBmp]]), `image/png` through the REAL PNG decoder
+    * ([[decodePng]]), `image/gif` through the REAL LZW decoder
+    * ([[decodeGif]]), and `image/jpeg` through the JDK ImageIO decoder
+    * ([[decodeJpeg]]), all falling back to the stub on malformed bytes;
     * everything else uses [[decodeStub]] (the remaining compressed
-    * formats need codecs that don't exist in this environment). */
+    * video formats need codecs that don't exist in this environment). */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(FeatureSchema)
     assets.select(col("id"), col("content"), col("meta.mime").as("mime"))
@@ -592,6 +741,8 @@ object Multimodal {
               scala.util.Try(decodePng(id, bytes)).toOption.flatten
             case "image/gif" =>
               scala.util.Try(decodeGif(id, bytes)).toOption.flatten
+            case "image/jpeg" | "image/jpg" =>
+              scala.util.Try(decodeJpeg(id, bytes)).toOption.flatten
             case _ => None
           }
           decoded.getOrElse(decodeStub(id, bytes))
@@ -764,11 +915,65 @@ object Multimodal {
       }(enc)
   }
 
+  /** Nearest-neighbor JPEG resample: ImageIO decode, the same
+    * source-index mapping as the BMP/PNG paths, ImageIO re-encode. */
+  private def resampleJpeg(content: Array[Byte], targetW: Int,
+                           targetH: Int): Option[Array[Byte]] = {
+    val img = decodeJpegRaw(content).getOrElse(return None)
+    val ch = img.channels
+    val out = new Array[Byte](targetW * targetH * ch)
+    var y = 0
+    while (y < targetH) {
+      val srcY = (y.toLong * img.height / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        val srcX = (x.toLong * img.width / targetW).toInt
+        System.arraycopy(img.pixels, (srcY * img.width + srcX) * ch,
+          out, (y * targetW + x) * ch, ch)
+        x += 1
+      }
+      y += 1
+    }
+    encodeJpeg(PngImage(targetW, targetH, ch, out))
+  }
+
+  /** REAL image resize for JPEG payloads — the [[resizeBmp]]/[[resizePng]]
+    * counterpart via the JDK's ImageIO codec: `image/jpeg` rows are
+    * nearest-neighbor-resampled and re-encoded (metadata n_bytes
+    * updated); every other row passes through unchanged. */
+  def resizeJpeg(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, "target dims must be >= 1")
+    val enc = ExpressionEncoder(
+      org.apache.spark.sql.types.StructType(Seq(
+        StructField("id", LongType),
+        StructField("content", BinaryType),
+        StructField("meta", MetaSchema))))
+    assets.select(col("id"), col("content"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val meta = r.getStruct(2)
+          val resized =
+            if (meta.getString(0) == "image/jpeg" ||
+              meta.getString(0) == "image/jpg")
+              scala.util.Try(resampleJpeg(bytes, targetW, targetH))
+                .toOption.flatten
+            else None
+          resized match {
+            case Some(out) => Row(id, out,
+              Row(meta.getString(0), meta.getString(1), out.length.toLong))
+            case None => Row(id, bytes, meta)
+          }
+        }
+      }(enc)
+  }
+
   /** STUB resize for formats without a codec in this environment: keeps
     * the Spark shape (narrow binary→binary projection, codegen'd
     * substring) by truncating/padding the payload to `targetBytes`.
-    * `image/bmp` and `image/png` have the real paths above
-    * ([[resizeBmp]] / [[resizePng]]). */
+    * `image/bmp`, `image/png` and `image/jpeg` have the real paths above
+    * ([[resizeBmp]] / [[resizePng]] / [[resizeJpeg]]). */
   def resizeStub(assets: DataFrame, targetBytes: Int): DataFrame =
     assets
       .withColumn("content",

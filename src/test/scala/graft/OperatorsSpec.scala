@@ -1233,6 +1233,89 @@ class OperatorsSpec extends AnyFunSuite {
     } finally done.shutdownNow()
   }
 
+  test("decodeJpeg extracts real features from an ImageIO-encoded JPEG") {
+    import java.awt.image.BufferedImage
+    val s = spark
+    import s.implicits._
+    // smooth horizontal gradient: JPEG's DCT quantization error on a
+    // low-frequency signal is small, so channel means stay within a few
+    // levels of the analytic values — enough to prove the pixels are
+    // genuinely decoded (the stub's byte-histogram features are nowhere
+    // near these)
+    val (w, h) = (64, 48)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = x * 4 % 256; val g = 128; val b = 255 - x * 4 % 256
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpeg", baos))
+    val jpeg = baos.toByteArray
+    val f = Multimodal.decodeJpeg(1L, jpeg).get.getSeq[Double](3)
+    val means = (for (x <- 0 until w)
+      yield (x * 4 % 256, 128, 255 - x * 4 % 256))
+    val (mr, mg, mb) = (means.map(_._1).sum / w.toDouble,
+      means.map(_._2).sum / w.toDouble, means.map(_._3).sum / w.toDouble)
+    assert(f(0) == w.toDouble && f(1) == h.toDouble && f(7) == 24.0, f)
+    assert(math.abs(f(2) - mr) < 4.0, f)
+    assert(math.abs(f(3) - mg) < 4.0, f)
+    assert(math.abs(f(4) - mb) < 4.0, f)
+    // grayscale JPEG: raster-direct path, bits = 8, mean survives the
+    // gray color space (no sRGB skew)
+    val gi = new BufferedImage(32, 32, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 32; x <- 0 until 32)
+      gi.getRaster.setSample(x, y, 0, (x * 8) % 256)
+    val gos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gi, "jpeg", gos))
+    val gf = Multimodal.decodeJpeg(2L, gos.toByteArray).get.getSeq[Double](3)
+    val gMean = (0 until 32).map(x => (x * 8) % 256).sum / 32.0
+    assert(gf(7) == 8.0, gf)
+    assert(math.abs(gf(2) - gMean) < 4.0, gf)
+    // extractFeatures dispatch + corrupt-bytes stub fallback
+    val assets = Seq((1L, jpeg), (2L, jpeg.take(40))).toDF("id", "content")
+      .select(col("id"), col("content"),
+        struct(lit("image/jpeg").as("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val feats = Multimodal.extractFeatures(assets).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](3)).toMap
+    assert(feats(1L) == f)
+    assert(feats(2L) ==
+      Multimodal.decodeStub(2L, jpeg.take(40)).getSeq[Double](3))
+  }
+
+  test("resizeJpeg downsamples a JPEG; non-JPEG rows pass through") {
+    import java.awt.image.BufferedImage
+    val s = spark
+    import s.implicits._
+    val (w, h) = (64, 48)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 4 % 256) << 16) | (128 << 8) | (y * 5 % 256))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpeg", baos)
+    val jpeg = baos.toByteArray
+    val other = "not an image".getBytes("UTF-8")
+    val assets = Seq(
+      (1L, jpeg, "image/jpeg"), (2L, other, "text/plain"),
+      (3L, jpeg.take(10), "image/jpeg")). // corrupt → passthrough
+      toDF("id", "content", "mime")
+      .select(col("id"), col("content"),
+        struct(col("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val out = Multimodal.resizeJpeg(assets, 16, 12).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // resized row: decodes to the target dims with the gradient intact
+    val f = Multimodal.decodeJpeg(1L, out(1L)).get.getSeq[Double](3)
+    assert(f(0) == 16.0 && f(1) == 12.0, f)
+    // n_bytes metadata tracks the re-encoded payload
+    val metaBytes = Multimodal.resizeJpeg(assets, 16, 12)
+      .filter(col("id") === 1L).select(col("meta.n_bytes")).head().getLong(0)
+    assert(metaBytes == out(1L).length.toLong)
+    // non-JPEG and corrupt rows pass through untouched
+    assert(out(2L).sameElements(other))
+    assert(out(3L).sameElements(jpeg.take(10)))
+  }
+
   test("decodeGif inflates a real LZW stream through code-width growth") {
     val s = spark
     import s.implicits._
