@@ -445,11 +445,11 @@ object SparkEntry {
     }),
 
     // ANN paths: q_sim_ann is FULLY oracled (the deterministic seed-42
-    // planes interpolate into the SQL as literals); q_sim_ivf has no
-    // SQL oracle (Lloyd-refined centroids depend on float aggregation
-    // order) — its recall
-    // asserted in OperatorsSpec against the brute-force result, and IVF
-    // with nprobe=nlist is asserted equal to exact search.
+    // planes interpolate into the SQL as literals); q_sim_ivf oracles
+    // the deterministic lowest-id init at the real nprobe=4 probe, and
+    // q_sim_ivf_lloyd oracles REFINED training too (the decimal-summed
+    // Lloyd mean is order-independent, so one training round replicates
+    // exactly in DuckDB SQL).
     "q_sim_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
@@ -466,6 +466,20 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
         lloydIters = 0)
+    }),
+
+    // Lloyd-REFINED partial-probe IVF under a full DuckDB oracle: the
+    // refinement mean is decimal-summed (round-9 elements, exact
+    // order-independent addition, one double division — the
+    // meanPoolByKey discipline), so one training round replicates
+    // bit-exactly in SQL. Removes the last "not externally replicable"
+    // carve-out: training, assignment, partial probe, and re-rank all
+    // run under the oracle together.
+    "q_sim_ivf_lloyd" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+        lloydIters = 1)
     }),
 
     // zero hyperplanes ⇒ one shared bucket ⇒ the LSH pipeline provably
@@ -1974,6 +1988,74 @@ object SparkEntry {
           |    SELECT *, row_number() OVER (PARTITION BY vec_id
           |      ORDER BY score DESC, cell DESC) AS rn
           |    FROM scored0 WHERE vec_id < 10)
+          |  WHERE rn <= 4
+          |), scored AS (
+          |  SELECT p.query_id, a.vec_id AS neighbor_id,
+          |    list_dot_product(p.qe, a.e)
+          |      / (sqrt(list_dot_product(p.qe, p.qe))
+          |         * sqrt(list_dot_product(a.e, a.e))) AS cos_raw
+          |  FROM probes p JOIN assigned a ON a.cell = p.cell
+          |  WHERE a.vec_id <> p.query_id
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
+          |    round(cos_raw, 6) AS cosine
+          |  FROM scored
+          |)
+          |SELECT query_id, neighbor_id, rank, cosine
+          |FROM ranked WHERE rank <= 5""".stripMargin,
+
+      // one Lloyd round replicated: assign to the lowest-id init, take
+      // per-(cell, dim) decimal means (round-9 elements, DECIMAL(38,12)
+      // sums, one double division — exactly trainCentroids' aggregate),
+      // empty cells keep their init centroid (the coalesce), then the
+      // same partial-probe pipeline as q_sim_ivf against the REFINED
+      // centroids
+      "q_sim_ivf_lloyd" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+          |                         CAST(embedding AS DOUBLE[])) > 0
+          |), cent0 AS (
+          |  SELECT e AS ce, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+          |  FROM v ORDER BY vec_id LIMIT 16
+          |), s0 AS (
+          |  SELECT v.vec_id, v.e, cent0.cell,
+          |    list_dot_product(v.e, cent0.ce)
+          |      - list_dot_product(cent0.ce, cent0.ce) / 2 AS score
+          |  FROM v CROSS JOIN cent0
+          |), a0 AS (
+          |  SELECT vec_id, e, cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY score DESC, cell DESC) AS rn FROM s0)
+          |  WHERE rn = 1
+          |), dims AS (
+          |  SELECT cell, i AS pos,
+          |    CAST(sum(CAST(round(e[i], 9) AS DECIMAL(38,12))) AS DOUBLE)
+          |      / count(*) AS m
+          |  FROM a0, unnest(range(1, CAST(len(e) AS BIGINT) + 1)) AS t(i)
+          |  GROUP BY cell, i
+          |), refined AS (
+          |  SELECT cell, list(m ORDER BY pos) AS ce FROM dims GROUP BY cell
+          |), cent1 AS (
+          |  SELECT cent0.cell, coalesce(refined.ce, cent0.ce) AS ce
+          |  FROM cent0 LEFT JOIN refined ON refined.cell = cent0.cell
+          |), s1 AS (
+          |  SELECT v.vec_id, v.e, cent1.cell,
+          |    list_dot_product(v.e, cent1.ce)
+          |      - list_dot_product(cent1.ce, cent1.ce) / 2 AS score
+          |  FROM v CROSS JOIN cent1
+          |), assigned AS (
+          |  SELECT vec_id, e, cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY score DESC, cell DESC) AS rn FROM s1)
+          |  WHERE rn = 1
+          |), probes AS (
+          |  SELECT vec_id AS query_id, e AS qe, cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY score DESC, cell DESC) AS rn
+          |    FROM s1 WHERE vec_id < 10)
           |  WHERE rn <= 4
           |), scored AS (
           |  SELECT p.query_id, a.vec_id AS neighbor_id,

@@ -175,7 +175,15 @@ object Similarity {
 
   /** Lloyd training over the prepped corpus. Deterministic init (the
     * `nlist` lowest-id vectors); only nlist×dim values ever reach the
-    * driver. Empty corpus → empty result. */
+    * driver. Empty corpus → empty result.
+    *
+    * The refinement mean uses the [[meanPoolByKey]] decimal discipline
+    * (round-9 elements summed as DECIMAL, one double division): exact,
+    * order-independent addition makes refined centroids bit-identical
+    * across partitionings AND externally replicable — a `lloydIters > 0`
+    * IVF query runs under a full DuckDB oracle (q_sim_ivf_lloyd), not
+    * just a recall spec. Same shuffle shape as the float form; the
+    * decimal partials are map-side-combined identically. */
   private def trainCentroids(c: DataFrame, nlist: Int,
                              lloydIters: Int): Array[Seq[Double]] = {
     var centroids: Array[Seq[Double]] = c.orderBy(col("neighbor_id"))
@@ -187,7 +195,9 @@ object Similarity {
       val means = c
         .withColumn("cell", assignExpr(col("cvec"), centroids.toSeq))
         .select(col("cell"), posexplode(col("cvec")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(round(col("v"), 9).cast("decimal(38,12)")).cast("double")
+          / count(lit(1))).as("m"))
         .groupBy(col("cell"))
         .agg(map_from_arrays(collect_list(col("pos")),
           collect_list(col("m"))).as("byPos"))
