@@ -86,6 +86,30 @@ object CurationScaleProbe {
           .agg(sum(col("n_dropped"))).first().getLong(0)
       }
 
+      // token-granularity substring dedup: same two-keyed-shuffle family
+      // as passage dedup but over the stride-1 shingle index (~k× the
+      // corpus through the first shuffle) — time should stay ~linear in
+      // R and dropped volume exactly ∝ R (intra-replica repeated spans
+      // are preserved by the per-word suffix rewrite; cross-replica
+      // shingles can never collide)
+      Dedup.dedupTokenSpans(dc, "doc_id", "text", 10).count()
+      val (spanDropped, tSpan) = timed {
+        Dedup.dedupTokenSpans(dc, "doc_id", "text", 10)
+          .agg(sum(col("n_dropped"))).first().getLong(0)
+      }
+
+      // winnow overlap pairs WITH the boilerplate cap engaged (the
+      // q_text_overlap parameterization): posting lists are bounded by
+      // maxDf, fingerprints never collide across replicas, so pair
+      // volume is ∝ R and time ~linear — the sub-quadratic contract the
+      // cap guarantees
+      graft.operators.TextAnalysis.winnowOverlapPairs(
+        dc, "doc_id", "text", 3, 4, 2, maxDf = 100).count()
+      val (nOverlap, tOverlap) = timed {
+        graft.operators.TextAnalysis.winnowOverlapPairs(
+          dc, "doc_id", "text", 3, 4, 2, maxDf = 100).count()
+      }
+
       // persisted LSH signature store: write cost scales with the corpus
       // (one-time), but PROBE cost for a fixed batch must stay ~flat as
       // the stored corpus grows — that is the operator's whole point.
@@ -118,7 +142,9 @@ object CurationScaleProbe {
         Similarity.semDedup(ec, "vec_id", "e", 0.8, nlist, 1).count()
       }
       println(f"CURSCALE docs=$nd%7d passes=$tPass%6.1fs dropped=$dropped%7d " +
-        f"boiler=$tBp%6.1fs bpDropped=$bpDropped%7d | " +
+        f"boiler=$tBp%6.1fs bpDropped=$bpDropped%7d " +
+        f"spans=$tSpan%6.1fs spanDropped=$spanDropped%8d " +
+        f"winnow=$tOverlap%6.1fs overlapPairs=$nOverlap%7d | " +
         f"store: write=$tWrite%6.1fs probe=$tProbe%6.1fs pairs=$nPairs%6d | " +
         f"vecs=$ne%7d nlist=$nlist%5d sem=$tSem%6.1fs " +
         f"swept=${ne - kept}%6d (planted=$planted)")

@@ -249,6 +249,14 @@ object SparkEntry {
       Dedup.dedupPassages(t(s, dir, "documents"), "doc_id", "text",
         windowWords = 10)),
 
+    // exact substring dedup at token granularity (Lee 2021): ANY
+    // repeated >= 10-token run is removed from all but its corpus-first
+    // occurrence — stride-1 shingles + merged-span removal, so partial
+    // overlaps a fixed-window chunking misses are caught
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.dedupTokenSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 10)),
+
     // boilerplate (line-frequency) filter: a 10-word passage present in
     // >= 3 distinct documents is template, not content — dropped from
     // ALL of them (dedupPassages spares the first occurrence; this
@@ -1604,6 +1612,46 @@ object SparkEntry {
           |  count(*) FILTER (first) AS n_kept,
           |  count(*) FILTER (NOT first) AS n_dropped
           |FROM marked GROUP BY doc_id""".stripMargin,
+
+      // stride-1 10-token shingles, corpus-first marked by a (doc, pos)
+      // window per shingle text, non-first shingles unrolled to covered
+      // token positions (merged spans), anti-joined against the tokens
+      "q_dedup_spans" ->
+        """WITH d AS (
+          |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+          |  FROM documents
+          |), sh AS (
+          |  SELECT doc_id, i AS s,
+          |         array_to_string(ws[(i+1):(i+10)], ' ') AS key
+          |  FROM d, unnest(range(CAST(len(ws) - 9 AS BIGINT))) AS t(i)
+          |  WHERE len(ws) >= 10
+          |), marked AS (
+          |  SELECT doc_id, s,
+          |         row_number() OVER (PARTITION BY key
+          |                            ORDER BY doc_id, s) = 1 AS first
+          |  FROM sh
+          |), covered AS (
+          |  SELECT DISTINCT doc_id, s + j AS p
+          |  FROM marked, unnest(range(10)) AS t(j)
+          |  WHERE NOT first
+          |), toks AS (
+          |  SELECT doc_id, i AS p, ws[i+1] AS token
+          |  FROM d, unnest(range(CAST(len(ws) AS BIGINT))) AS t(i)
+          |), kept AS (
+          |  SELECT t.doc_id, t.p, t.token
+          |  FROM toks t ANTI JOIN covered c
+          |    ON c.doc_id = t.doc_id AND c.p = t.p
+          |), agg AS (
+          |  SELECT doc_id,
+          |    array_to_string(list(token ORDER BY p), ' ') AS text_deduped,
+          |    count(*) AS n_kept
+          |  FROM kept GROUP BY doc_id
+          |)
+          |SELECT d.doc_id,
+          |  coalesce(a.text_deduped, '') AS text_deduped,
+          |  coalesce(a.n_kept, 0) AS n_kept,
+          |  len(d.ws) - coalesce(a.n_kept, 0) AS n_dropped
+          |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
       // same chunking CTE as q_dedup_passages; boilerplate = chunk in
       // >= 3 distinct docs, dropped everywhere (no keeper)

@@ -495,6 +495,70 @@ object Dedup {
         sum(when(col("first"), 0L).otherwise(1L)).as("n_dropped"))
   }
 
+  /** Exact substring dedup at TOKEN granularity (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * suffix-array contract): any repeated run of ≥ `k` tokens is
+    * removed from every occurrence except the corpus-first one.
+    * Realized distributively as stride-1 `k`-token shingles + merged-
+    * span removal: an occurrence of a repeated run of length L ≥ k has
+    * ALL of its L−k+1 stride-1 shingles duplicated (each has an earlier
+    * (doc, pos) twin inside the first occurrence), so deleting every
+    * token covered by a non-first shingle removes exactly the repeated
+    * spans — including partial overlaps a fixed-window chunking
+    * ([[dedupPassages]]) misses. First occurrences keep their tokens
+    * unless some shingle of theirs duplicates a still-earlier span.
+    *
+    * Output: (doc_id, text_deduped, n_kept, n_dropped) — token counts;
+    * every input document survives (empty/NULL text included).
+    *
+    * Scale shape: like [[dedupPassages]] the first-occurrence marker is
+    * a min(struct(doc, pos)) hash-aggregate keyed by shingle text (hot
+    * boilerplate shingles collapse map-side; no windows), then covered
+    * positions are a doc-keyed distinct and the token filter is a
+    * doc-keyed anti-join — all shuffles keyed and partial-aggregated.
+    * The stride-1 index carries ~k× the corpus bytes through the first
+    * shuffle (the cost of exactness vs a suffix array); for corpora
+    * where that dominates, shingle TEXT can be swapped for the winnow
+    * md5-prefix hash at the usual collision trade. */
+  def dedupTokenSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 10): DataFrame = {
+    require(k >= 2, "k must be >= 2 — k = 1 is plain token dedup")
+    // recomputed by each consumer on purpose: the tokenization is a
+    // narrow scan-speed projection, and materializing corpus tokens
+    // (localCheckpoint) would cost ~corpus bytes of executor storage —
+    // the same call the chunk frame in dedupPassages makes
+    val toks0 = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("ws"))
+    val toks = toks0.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("p", "token")))
+    val shingles = toks0
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("ws")) - k),
+          i => array_join(slice(col("ws"), i + 1, lit(k)), " ")))
+        .as(Seq("s", "key")))
+    val firsts = shingles.groupBy(col("key"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("keeper"))
+    val covered = shingles.join(firsts, "key")
+      .filter(struct(col("doc_id"), col("s")) =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(k - 1))).as("p"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("token")))),
+          _.getField("token")), " ").as("text_deduped"),
+        count(lit(1)).as("n_kept"))
+    toks0.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** (doc_id, ci, chunk): each document split into consecutive
     * non-overlapping `windowWords`-word passages — shared by the
     * passage dedup and boilerplate operators. coalesce: a NULL text

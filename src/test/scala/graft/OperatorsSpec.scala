@@ -320,6 +320,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) == (("", 1L, 0L)))
   }
 
+  test("dedupTokenSpans removes any repeated >= k-token run, unaligned included") {
+    // k = 3. doc 1 is canon. doc 2 repeats a 4-token run of doc 1 at an
+    // UNALIGNED offset (a fixed-window chunker would miss it); the two
+    // stride-1 3-shingles of that run are both non-first, and their
+    // merged span covers all 4 tokens. doc 3 repeats a doc-1 run at its
+    // start and has fresh tokens after. doc 4 repeats doc 1 entirely.
+    // doc 5 is an internal repeat WITHIN one document: the second
+    // occurrence dedups against the first.
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'a b c d e f'),
+        |  (2L, 'x b c d e y'),
+        |  (3L, 'a b c p q r'),
+        |  (4L, 'a b c d e f'),
+        |  (5L, 'm n o z m n o'),
+        |  (6L, cast(null as string)) as t(doc_id, text)""".stripMargin)
+    val out = Dedup.dedupTokenSpans(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d e f", 6L, 0L)))
+    // 'b c d e' repeated mid-doc: excised, flanks kept
+    assert(out(2L) == (("x y", 2L, 4L)))
+    // leading 'a b c' repeated: excised, fresh tail kept
+    assert(out(3L) == (("p q r", 3L, 3L)))
+    // full repeat: survives empty
+    assert(out(4L) == (("", 0L, 6L)))
+    // internal repeat: second 'm n o' removed, separator kept
+    assert(out(5L) == (("m n o z", 4L, 3L)))
+    // NULL text survives as an empty doc with its 1 split token kept
+    assert(out(6L) == (("", 1L, 0L)))
+  }
+
   test("removeBoilerplate drops frequent passages from every document") {
     // window of 2; 'c d' is in 3 distinct docs (boilerplate at
     // minDocs=3), 'a b' in only 2 (content), and doc 4 repeats 'c d'
