@@ -19,6 +19,48 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Sources.table(spark, dir, name)
 
+  /** Unrolled DuckDB replica of [[graft.operators.TextAnalysis.trainBpe]]
+    * for a fixed merge count: round k picks the top pair from the w{k}
+    * vocabulary and w{k+1} applies it with the same greedy left-to-right
+    * non-overlapping fold. The fold accumulates a SPACE-DELIMITED string
+    * (DuckDB's list_reduce accumulator must match the element type, so
+    * it can't build a list of strings): symbols never contain spaces —
+    * they come from a space-split — so the `' ' || l` suffix test is an
+    * exact trailing-SYMBOL test, equivalent to Spark's
+    * element_at(acc, -1) check. */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val rounds = (0 until numMerges).map { k =>
+      s"""p$k AS (
+  SELECT syms[i+1] AS l, syms[i+2] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+  FROM w$k, unnest(range(CAST(len(syms) - 1 AS BIGINT))) AS t(i)
+  GROUP BY 1, 2
+), t$k AS (
+  SELECT CAST(${k + 1} AS INT) AS merge_rank, l, r, l || r AS merged, pc
+  FROM p$k ORDER BY pc DESC, l, r LIMIT 1
+), w${k + 1} AS (
+  SELECT cnt,
+    string_split(list_reduce(list_prepend('', syms), (acc, x) ->
+      CASE WHEN acc = '' THEN x
+           WHEN x = m.r AND (acc = m.l OR
+                right(acc, length(m.l) + 1) = ' ' || m.l)
+           THEN left(acc, length(acc) - length(m.l)) || m.merged
+           ELSE acc || ' ' || x END), ' ') AS syms
+  FROM w$k CROSS JOIN t$k m
+)"""
+    }.mkString(", ")
+    val union = (0 until numMerges)
+      .map(k => s"SELECT * FROM t$k").mkString(" UNION ALL ")
+    s"""WITH w0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+    [substring(token, i, 1) FOR i IN range(1, length(token) + 1)] AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token
+), $rounds
+SELECT merge_rank, l AS left_sym, r AS right_sym, merged, pc AS pair_count
+FROM ($union)"""
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -165,6 +207,15 @@ object SparkEntry {
     // the tokenizer-training / stopword-derivation precursor
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.buildVocab(t(s, dir, "documents"), "text", topN = 20)),
+
+    // BPE tokenizer training (Sennrich 2016) on top of the vocab
+    // statistics: 6 pair-merge rounds, pair count weighted by word
+    // frequency, deterministic (count desc, pair asc) tie-break — the
+    // merge table is the artifact a tokenizer ships, and every round
+    // replicates exactly in the unrolled DuckDB oracle
+    "q_text_bpe" -> ((s, dir) =>
+      TextAnalysis.trainBpe(t(s, dir, "documents"), "text",
+        numMerges = 6)),
 
     // end-to-end curation pipeline: the oracled operators COMPOSE —
     // exact dedup, then a repetition + length quality gate, then
@@ -1503,6 +1554,14 @@ object SparkEntry {
           |   AND sym <= 0.1 AND bullet <= 0.9 AND ellip <= 0.3
           |   AND alpha >= 0.8 AND n_stop >= 1) AS keep
           |FROM m""".stripMargin,
+
+      // BPE training replicated round-by-round: each unrolled round
+      // counts pairs from w{k}, picks the top one (count desc, pair asc
+      // — trainBpe's tie-break), and applies it with the same greedy
+      // left-to-right fold (list_reduce over a space-delimited string
+      // accumulator: DuckDB's fold can't accumulate lists, and the
+      // space delimiter makes the trailing-symbol check exact)
+      "q_text_bpe" -> bpeOracleSql(6),
 
       "q_text_vocab" ->
         """WITH tok AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -190,6 +190,117 @@ object TextAnalysis {
       .coalesce(1)
       .sortWithinPartitions(col("tf").desc, col("token"))
       .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+  }
+
+  /** BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units") — the iterative
+    * pair-merge loop on top of the [[buildVocab]] word statistics:
+    * starting from characters, each round counts adjacent symbol pairs
+    * (weighted by word frequency, overlapping occurrences counted like
+    * the reference implementation's zip) and merges the most frequent
+    * pair everywhere, greedily left-to-right within each word.
+    * Deterministic tie-break: pair count desc, then (left, right)
+    * lexicographic — replicable in any engine, no hash order involved.
+    *
+    * Returns the merge table (merge_rank, left_sym, right_sym, merged,
+    * pair_count), `numMerges` rows (fewer if the corpus runs out of
+    * repeated pairs) — the artifact a tokenizer ships.
+    *
+    * Scale shape: ONE corpus-scale shuffle total (the distinct-word
+    * count, token-keyed with map-side partials — identical to
+    * buildVocab's first level). Every merge round then runs on the
+    * VOCABULARY frame (distinct words × their symbol arrays), which is
+    * corpus-size-independent; the winning pair rides into the next
+    * round's rewrite as a literal inside a compiled higher-order
+    * function — the broadcast-merge-table pattern with zero extra
+    * shuffles. The vocab frame is localCheckpoint'd each round: it is
+    * vocab-scale (small), and truncating the lineage keeps round R's
+    * plan from re-deriving R−1 rewrite layers. */
+  def trainBpe(docs: DataFrame, textCol: String = "text",
+               numMerges: Int = 10): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = docs.sparkSession
+    val chars = expr(
+      "transform(sequence(1, length(token)), i -> substring(token, i, 1))")
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), chars.as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var exhausted = false
+    (0 until numMerges).foreach { rank =>
+      if (!exhausted) {
+        val top = words
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(
+            transform(sequence(lit(0), size(col("syms")) - 2),
+              i => struct(element_at(col("syms"), i + 1).as("l"),
+                element_at(col("syms"), i + 2).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("pc"))
+          .orderBy(col("pc").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, pc) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += Row(rank + 1, l, r, l + r, pc)
+          words = words
+            .withColumn("syms", mergePairGreedy(col("syms"), l, r))
+            .localCheckpoint(true)
+        }
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("merge_rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("left_sym",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("right_sym",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("merged",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pair_count",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Greedy left-to-right single-merge application: fold the symbol
+    * array, replacing each non-overlapping adjacent (l, r) with the
+    * merged symbol — `[a a a]` under (a, a) becomes `[aa a]`, and the
+    * just-created symbol never re-matches within the same round
+    * (reference BPE semantics). Pure codegen'd aggregate HOF. */
+  private def mergePairGreedy(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Apply a trained merge table: tokenize `textCol` into BPE subwords
+    * — per whitespace word, start from characters and apply every
+    * merge in rank order (each a compiled greedy fold, the merge table
+    * riding as literals — broadcast-by-codegen like training). Output:
+    * (id, word_pos, sym_pos, subword) rows — positions come from
+    * posexplode, so ordering is deterministic with zero windows and
+    * zero shuffles: the whole tokenization is one narrow scan-speed
+    * projection. */
+  def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)],
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val chars = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    val applied = merges.foldLeft(chars) { case (c, (l, r)) =>
+      mergePairGreedy(c, l, r)
+    }
+    docs.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("word_pos", "word")))
+      .filter(col("word") =!= "")
+      .select(col("id"), col("word_pos"),
+        posexplode(applied).as(Seq("sym_pos", "subword")))
   }
 
   /** The Gopher quality-rule stopword list (Rae et al. 2021 App. A —

@@ -530,6 +530,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(uncapped == 40L * 39 / 2)
   }
 
+  test("trainBpe learns frequency-ordered merges; bpeTokenize applies them") {
+    // word counts: ab×4, cd×3, abc×1 → round 1 merges (a,b) pc=5
+    // (4 from 'ab' + 1 from 'abc'), round 2 (c,d) pc=3, round 3
+    // (ab,c) pc=1 — then the corpus is out of pairs, so numMerges=5
+    // stops at 3 rows instead of inventing merges
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'ab ab ab cd'),
+        |  (2L, 'ab cd cd abc') as t(doc_id, text)""".stripMargin)
+    val merges = TextAnalysis.trainBpe(df, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      (1, "a", "b", "ab", 5L),
+      (2, "c", "d", "cd", 3L),
+      (3, "ab", "c", "abc", 1L)))
+    // tokenize a pinned string with the learned table: multi-round
+    // merges compose ('abc' needs rank 1 then rank 3) and repeated
+    // words re-merge independently
+    val toTok = spark.sql(
+      "select * from values (9L, 'abc cd ab x abab') as t(doc_id, text)")
+    val toks = TextAnalysis.bpeTokenize(toTok,
+        merges.map(m => (m._2, m._3)).toSeq)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(toks == Set(
+      (9L, 0, 0, "abc"), (9L, 1, 0, "cd"), (9L, 2, 0, "ab"),
+      (9L, 3, 0, "x"), (9L, 4, 0, "ab"), (9L, 4, 1, "ab")))
+    // greedy left-to-right non-overlap: 'aaa' under (a,a) is [aa, a] —
+    // the just-created symbol never re-matches within the round
+    val greedy = TextAnalysis.bpeTokenize(
+        spark.sql("select * from values (1L, 'aaa aaaa') as t(doc_id, text)"),
+        Seq(("a", "a")))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(greedy == Set(
+      (0, 0, "aa"), (0, 1, "a"), (1, 0, "aa"), (1, 1, "aa")))
+  }
+
   test("gopherQualityFlags applies each rule; keep uses unrounded values") {
     val good = (Seq.fill(10)("the quick brown fox jumps over lazy dogs " +
       "with great energy and that determination") :+ "end").mkString(" ")
