@@ -327,7 +327,10 @@ object TextAnalysis {
     * Ratios are rounded to 6 decimals for engine-replicable output; the
     * keep decision uses the UNROUNDED values (a rule boundary must not
     * move with the display rounding). Pure codegen'd projection — zero
-    * shuffle at any scale, the 100 TB shape of a scan-speed gate. */
+    * shuffle at any scale, the 100 TB shape of a scan-speed gate.
+    * `passthroughCols` ride along unchanged (e.g. the event time in the
+    * streaming form, which cannot re-join them later — a stream-stream
+    * self-join would need state the gate otherwise doesn't). */
   def gopherQualityFlags(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text",
                          minWords: Int = 50, maxWords: Int = 100000,
@@ -337,7 +340,8 @@ object TextAnalysis {
                          maxBulletFrac: Double = 0.9,
                          maxEllipsisFrac: Double = 0.3,
                          minAlphaFrac: Double = 0.8,
-                         minStopwords: Int = 2): DataFrame = {
+                         minStopwords: Int = 2,
+                         passthroughCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val ws = tokens(t)
     val nWords = size(ws).cast("long")
@@ -361,7 +365,7 @@ object TextAnalysis {
     val stopLit = array(gopherStopwords.map(lit): _*)
     val nStop = size(filter(ws, w => array_contains(stopLit, lower(w))))
       .cast("long")
-    docs.select(col(idCol), nWords.as("n_words"),
+    docs.select(Seq(col(idCol), nWords.as("n_words"),
       round(meanLen, 6).as("mean_word_len"),
       round(symbolRatio, 6).as("symbol_ratio"),
       round(bulletFrac, 6).as("bullet_frac"),
@@ -374,7 +378,8 @@ object TextAnalysis {
         bulletFrac <= maxBulletFrac &&
         ellipsisFrac <= maxEllipsisFrac &&
         alphaFrac >= minAlphaFrac &&
-        nStop >= minStopwords).as("keep"))
+        nStop >= minStopwords).as("keep")) ++
+      passthroughCols.map(col): _*)
   }
 
   /** Fraction of duplicated word n-grams in a document — the

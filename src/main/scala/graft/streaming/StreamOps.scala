@@ -263,6 +263,36 @@ object StreamOps {
       .select(col("doc_id"), col("n_shared"))
   }
 
+  /** Streaming Gopher quality gate — the Structured Streaming form of
+    * `TextAnalysis.gopherQualityFlags`: each arriving document is
+    * measured against the Rae 2021 Appendix-A rules and emitted with
+    * the per-rule measurements and combined `keep` flag, plus the event
+    * time for downstream windowing.
+    *
+    * Shape: the batch operator is a pure codegen'd projection (zero
+    * shuffle, zero state), so the streaming form is IDENTICAL code
+    * applied to the micro-batch — stateless, append-mode, no watermark
+    * required; rows flow at scan speed. This is the 100 TB ingest
+    * pattern: gate text quality inline on arrival, before any stateful
+    * dedup spends shuffle capacity on junk. */
+  def gopherGateStream(docs: Dataset[StreamDoc],
+                       minWords: Int = 50, maxWords: Int = 100000,
+                       minMeanWordLen: Double = 3.0,
+                       maxMeanWordLen: Double = 10.0,
+                       maxSymbolRatio: Double = 0.1,
+                       maxBulletFrac: Double = 0.9,
+                       maxEllipsisFrac: Double = 0.3,
+                       minAlphaFrac: Double = 0.8,
+                       minStopwords: Int = 2): DataFrame = {
+    graft.operators.TextAnalysis.gopherQualityFlags(
+      docs.toDF(), "doc_id", "text", minWords, maxWords, minMeanWordLen,
+      maxMeanWordLen, maxSymbolRatio, maxBulletFrac, maxEllipsisFrac,
+      minAlphaFrac, minStopwords,
+      // ts passes through the projection — re-joining it here would be
+      // a stateful stream-stream self-join for a stateless gate
+      passthroughCols = Seq("ts"))
+  }
+
   /** Streaming ingest dedup against a persisted LSH signature store —
     * the Structured Streaming form of
     * `Dedup.minHashLshPairsAgainstStore`: each arriving document is

@@ -41,6 +41,49 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, "ADA", "ada!"), (2L, "GRACE", "grace!")))
   }
 
+  test("gopherGateStream emits the batch gopherQualityFlags rows per micro-batch") {
+    import StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // real corpus text so every rule path (words, symbols, stopwords,
+    // bullets) is exercised with non-trivial values, streamed in two
+    // out-of-order chunks — the gate is stateless, so arrival order
+    // must not matter
+    val docsDf = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    def tsOf(id: Long) =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        (id * 17 % 89) * 60000L)
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1), tsOf(r.getLong(0))))
+    val batch = graft.operators.TextAnalysis
+      .gopherQualityFlags(docsDf, minStopwords = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7),
+        r.getBoolean(8))).toSet
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.gopherGateStream(input.toDS(), minStopwords = 1)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    (0 until 2).foreach { c =>
+      input.addData(docs.filter(_.doc_id % 2 == c).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.sql("select * from gopher_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7),
+        r.getBoolean(8))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // ts passes through for downstream windowing
+    val tsRows = s.sql("select doc_id, ts from gopher_stream").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(docs.forall(d => tsRows(d.doc_id) == d.ts))
+  }
+
   test("windowedStats aggregates a watermarked stream") {
     val s = spark
     import s.implicits._
