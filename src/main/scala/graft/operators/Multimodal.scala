@@ -234,7 +234,8 @@ object Multimodal {
     * so a format-identical image yields the same vector from either
     * container). Supported: bit depth 8, color types 0 (gray), 2 (RGB),
     * 4 (gray+alpha), 6 (RGBA), non-interlaced; palette / 16-bit / Adam7
-    * return None → stub fallback, like every malformed payload. Size
+    * return None → the ImageIO fallback in [[extractFeatures]] decodes
+    * them for real, and only malformed payloads reach the stub. Size
     * arithmetic runs in Long and the raw buffer is bounds-checked
     * BEFORE allocation, so an adversarial IHDR cannot OOM or overflow.
     * [[decodePngRaw]] exposes the dense pixel buffer shared by feature
@@ -399,8 +400,19 @@ object Multimodal {
     * Emits the shared 8-dim feature vector; bits follows the decoded
     * channel count (gray → 8, color → 24). Malformed bytes → None →
     * stub fallback, like every other decoder. */
-  def decodeJpeg(id: Long, content: Array[Byte]): Option[Row] = {
-    val img = decodeJpegRaw(content).getOrElse(return None)
+  def decodeJpeg(id: Long, content: Array[Byte]): Option[Row] =
+    decodeJpegRaw(content).map(imageFeatureRow(id, content, _))
+
+  /** ImageIO-backed feature decode for payloads the hand-rolled PNG/GIF
+    * decoders decline (interlaced variants, exotic bit depths). */
+  def decodeImageIo(id: Long, content: Array[Byte]): Option[Row] =
+    decodeImageIoRaw(content).map(imageFeatureRow(id, content, _))
+
+  /** The shared 8-dim image feature vector ([width, height, mean_r,
+    * mean_g, mean_b, luma_mean, luma_std, channels*8]) from a decoded
+    * dense-pixel frame — one stats pass used by every image decoder. */
+  private def imageFeatureRow(id: Long, content: Array[Byte],
+                              img: PngImage): Row = {
     val channels = img.channels
     var sr = 0.0
     var sg = 0.0
@@ -424,11 +436,11 @@ object Multimodal {
     }
     val n = total.toDouble
     val lmean = lsum / n
-    Some(Row(id, content.length.toLong,
+    Row(id, content.length.toLong,
       graft.functions.Hashing.fnv1a(content),
       Seq(img.width.toDouble, img.height.toDouble, sr / n, sg / n, sb / n,
         lmean, math.sqrt(math.max(lsq / n - lmean * lmean, 0.0)),
-        channels * 8.0)))
+        channels * 8.0))
   }
 
   /** JPEG decode to the shared dense-pixel form (gray 1-channel or RGB
@@ -439,6 +451,17 @@ object Multimodal {
     // SOI magic gate: don't even open a reader on non-JPEG bytes
     if (content.length < 4 || (content(0) & 0xff) != 0xff ||
       (content(1) & 0xff) != 0xd8) return None
+    decodeImageIoRaw(content)
+  }
+
+  /** Format-sniffing ImageIO decode to the dense-pixel form — the
+    * JPEG path's engine, and the fallback for the variants the
+    * hand-rolled decoders decline (Adam7-interlaced PNG, interlaced
+    * GIF, 16-bit/palette PNG): the JDK ships readers for all of them,
+    * so those payloads produce REAL features instead of the stub. Same
+    * budget discipline: dims checked before frame allocation. */
+  private[graft] def decodeImageIoRaw(
+      content: Array[Byte]): Option[PngImage] = {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(content))
     try {
@@ -541,8 +564,9 @@ object Multimodal {
     * frames are ignored — documented), maps indices through the active
     * palette, and emits the shared 8-dim feature vector with bits = 24
     * (the decoded RGB depth, matching the other decoders' slot
-    * semantics). Interlaced images and malformed streams return None →
-    * stub fallback; the pixel buffer is bounded by the same 256 MB
+    * semantics). Interlaced images return None → the ImageIO fallback
+    * in [[extractFeatures]] decodes them for real; malformed streams
+    * reach the stub. The pixel buffer is bounded by the same 256 MB
     * decode budget as PNG. */
   def decodeGif(id: Long, content: Array[Byte]): Option[Row] = {
     val img = decodeGifRaw(content).getOrElse(return None)
@@ -604,7 +628,7 @@ object Multimodal {
     val height = u16(pos + 7)
     val imgFlags = u8(pos + 9)
     pos += 10
-    if ((imgFlags & 0x40) != 0) return None // interlaced: stub fallback
+    if ((imgFlags & 0x40) != 0) return None // interlaced: ImageIO path
     if ((imgFlags & 0x80) != 0) { // local color table wins
       val size = 3 * (2 << (imgFlags & 7))
       if (pos + size > content.length) return None
@@ -737,10 +761,17 @@ object Multimodal {
               scala.util.Try(decodeWavPcm(id, bytes)).toOption.flatten
             case "image/bmp" =>
               scala.util.Try(decodeBmp(id, bytes)).toOption.flatten
+            // the hand-rolled PNG/GIF decoders decline interlaced and
+            // exotic-depth variants; ImageIO picks those up (the JDK
+            // ships Adam7/interlace-capable readers) before the stub
             case "image/png" =>
               scala.util.Try(decodePng(id, bytes)).toOption.flatten
+                .orElse(scala.util.Try(decodeImageIo(id, bytes))
+                  .toOption.flatten)
             case "image/gif" =>
               scala.util.Try(decodeGif(id, bytes)).toOption.flatten
+                .orElse(scala.util.Try(decodeImageIo(id, bytes))
+                  .toOption.flatten)
             case "image/jpeg" | "image/jpg" =>
               scala.util.Try(decodeJpeg(id, bytes)).toOption.flatten
             case _ => None
@@ -866,7 +897,10 @@ object Multimodal {
     * source-index mapping as the BMP path, re-encode. */
   private def resamplePng(content: Array[Byte], targetW: Int,
                           targetH: Int): Option[Array[Byte]] = {
-    val img = decodePngRaw(content).getOrElse(return None)
+    // interlaced/exotic PNGs decode via ImageIO and re-encode as
+    // baseline filter-0 (the resize normalizes the variant away)
+    val img = decodePngRaw(content)
+      .orElse(decodeImageIoRaw(content)).getOrElse(return None)
     val ch = img.channels
     val out = new Array[Byte](targetW * targetH * ch)
     var y = 0

@@ -1386,6 +1386,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).sameElements(jpeg.take(10)))
   }
 
+  test("interlaced PNG and GIF decode for real via the ImageIO fallback") {
+    import java.awt.image.BufferedImage
+    val s = spark
+    import s.implicits._
+    // write GENUINELY interlaced payloads (Adam7 PNG / interlaced GIF)
+    // with ImageIO's progressive mode — the hand-rolled decoders must
+    // decline them, and the ImageIO fallback must produce REAL features
+    // (exact dims + channel means), not the byte-histogram stub
+    def interlaced(format: String, bi: BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName(format).next()
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+      writer.dispose(); ios.close()
+      baos.toByteArray
+    }
+    val (w, h) = (24, 16)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 10 % 256) << 16) | (64 << 8) | (y * 15 % 256))
+    val png = interlaced("png", bi)
+    // Adam7 bit set → hand decoder declines…
+    assert(Multimodal.decodePngRaw(png).isEmpty)
+    val mr = (0 until w).map(_ * 10 % 256).sum / w.toDouble
+    val assets = Seq((1L, png, "image/png")).toDF("id", "content", "mime")
+      .select(col("id"), col("content"),
+        struct(col("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val f = Multimodal.extractFeatures(assets).head().getSeq[Double](3)
+    // …but the pipeline still yields exact dims and LOSSLESS means
+    assert(f(0) == w.toDouble && f(1) == h.toDouble && f(7) == 24.0, f)
+    assert(math.abs(f(2) - mr) < 1e-9 && math.abs(f(3) - 64.0) < 1e-9, f)
+    // interlaced PNG resize also works through the fallback
+    val resized = Multimodal.resizePng(assets, 12, 8).head()
+      .getAs[Array[Byte]](1)
+    val rimg = Multimodal.decodePngRaw(resized).get
+    assert(rimg.width == 12 && rimg.height == 8)
+    // interlaced GIF: same contract
+    val gifBi = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      gifBi.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    val gif = interlaced("gif", gifBi)
+    assert(new String(gif, 0, 6, "US-ASCII").startsWith("GIF"))
+    val gAssets = Seq((2L, gif, "image/gif")).toDF("id", "content", "mime")
+      .select(col("id"), col("content"),
+        struct(col("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val gf = Multimodal.extractFeatures(gAssets).head().getSeq[Double](3)
+    assert(gf(0) == w.toDouble && gf(1) == h.toDouble, gf)
+    // checkerboard: means at ~127.5 from a real decode (the stub's
+    // histogram moments land nowhere near all three channels equal)
+    assert(math.abs(gf(2) - 127.5) < 1.0 && math.abs(gf(4) - 127.5) < 1.0, gf)
+  }
+
   test("decodeGif inflates a real LZW stream through code-width growth") {
     val s = spark
     import s.implicits._
