@@ -291,6 +291,10 @@ object Dedup {
     //     every near-duplicate — fail loudly.
     //   - bands without shingles: impossible under the current write
     //     order; only a pre-fix torn store — fail loudly.
+    //   - NEITHER readable: meta committed but the shingles write never
+    //     finished (writeBandSignatures writes meta first) — also torn;
+    //     an empty-corpus store always leaves the schema-only shingles
+    //     file, so (None, None) never means "legitimately empty".
     //   - both present: sound. A crash mid-APPEND can at worst leave
     //     orphan shingle rows (recall-neutral: never candidates).
     def tryRead(sub: String) =
@@ -301,9 +305,13 @@ object Dedup {
         throw new IllegalStateException(
           s"signature store at $path is partially written (shingles " +
             "without bands) — rebuild with writeBandSignatures")
-      case (None, _) =>
+      case (None, Some(_)) =>
         shNew.limit(0).select(col("id").as("id_a"), col("id").as("id_b"),
           lit(0.0).as("jaccard"))
+      case (None, None) =>
+        throw new IllegalStateException(
+          s"signature store at $path is partially written (meta without " +
+            "shingles) — rebuild with writeBandSignatures")
       case (Some(_), None) =>
         throw new IllegalStateException(
           s"signature store at $path is partially written (bands " +

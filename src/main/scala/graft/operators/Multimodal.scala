@@ -358,37 +358,8 @@ object Multimodal {
     Some(PngImage(width, height, channels, pixels))
   }
 
-  def decodePng(id: Long, content: Array[Byte]): Option[Row] = {
-    val img = decodePngRaw(content).getOrElse(return None)
-    val channels = img.channels
-    var sr = 0.0
-    var sg = 0.0
-    var sb = 0.0
-    var lsum = 0.0
-    var lsq = 0.0
-    var i = 0
-    val total = img.width * img.height
-    while (i < total) {
-      val base = i * channels
-      val r = img.pixels(base) & 0xff
-      val (g, bl) =
-        if (channels >= 3)
-          (img.pixels(base + 1) & 0xff, img.pixels(base + 2) & 0xff)
-        else (r, r) // gray / gray+alpha
-      sr += r; sg += g; sb += bl
-      val l = 0.299 * r + 0.587 * g + 0.114 * bl
-      lsum += l
-      lsq += l * l
-      i += 1
-    }
-    val n = total.toDouble
-    val lmean = lsum / n
-    Some(Row(id, content.length.toLong,
-      graft.functions.Hashing.fnv1a(content),
-      Seq(img.width.toDouble, img.height.toDouble, sr / n, sg / n, sb / n,
-        lmean, math.sqrt(math.max(lsq / n - lmean * lmean, 0.0)),
-        channels * 8.0)))
-  }
+  def decodePng(id: Long, content: Array[Byte]): Option[Row] =
+    decodePngRaw(content).map(imageFeatureRow(id, content, _))
 
   /** REAL decoder for JPEG payloads via `javax.imageio` — public JDK
     * API, zero new dependencies: every JDK ships JPEG (and PNG/GIF/BMP)
@@ -473,22 +444,28 @@ object Multimodal {
         val w = reader.getWidth(0)
         val h = reader.getHeight(0)
         if (w <= 0 || h <= 0) return None
-        if (w.toLong * h * 4 > (256L << 20)) return None // PNG's budget
+        // PNG's 256 MB budget at the raster's worst case: reader.read
+        // materializes 8 bytes/px for 16-bit RGBA before our px copy
+        if (w.toLong * h * 8 > (256L << 20)) return None
         val bi = reader.read(0)
         val channels =
           if (bi.getColorModel.getNumColorComponents >= 3) 3 else 1
         val px = new Array[Byte](w * h * channels)
         if (channels == 1) {
           // raster samples, NOT getRGB: the gray ColorModel's sRGB
-          // conversion is non-identity and would skew every sample
+          // conversion is non-identity and would skew every sample.
+          // 16-bit samples scale down by their excess bits — low-byte
+          // truncation would map mid-gray 0x8000 to black.
           val raster = bi.getRaster
+          val shift =
+            math.max(0, raster.getSampleModel.getSampleSize(0) - 8)
           val rowBuf = new Array[Int](w)
           var y = 0
           while (y < h) {
             raster.getSamples(0, y, w, 1, 0, rowBuf)
             var x = 0
             while (x < w) {
-              px(y * w + x) = (rowBuf(x) & 0xff).toByte
+              px(y * w + x) = ((rowBuf(x) >> shift) & 0xff).toByte
               x += 1
             }
             y += 1
@@ -568,33 +545,8 @@ object Multimodal {
     * in [[extractFeatures]] decodes them for real; malformed streams
     * reach the stub. The pixel buffer is bounded by the same 256 MB
     * decode budget as PNG. */
-  def decodeGif(id: Long, content: Array[Byte]): Option[Row] = {
-    val img = decodeGifRaw(content).getOrElse(return None)
-    var sr = 0.0
-    var sg = 0.0
-    var sb = 0.0
-    var lsum = 0.0
-    var lsq = 0.0
-    var i = 0
-    val total = img.width * img.height
-    while (i < total) {
-      val base = i * 3
-      val r = img.pixels(base) & 0xff
-      val g = img.pixels(base + 1) & 0xff
-      val bl = img.pixels(base + 2) & 0xff
-      sr += r; sg += g; sb += bl
-      val l = 0.299 * r + 0.587 * g + 0.114 * bl
-      lsum += l
-      lsq += l * l
-      i += 1
-    }
-    val n = total.toDouble
-    val lmean = lsum / n
-    Some(Row(id, content.length.toLong,
-      graft.functions.Hashing.fnv1a(content),
-      Seq(img.width.toDouble, img.height.toDouble, sr / n, sg / n, sb / n,
-        lmean, math.sqrt(math.max(lsq / n - lmean * lmean, 0.0)), 24.0)))
-  }
+  def decodeGif(id: Long, content: Array[Byte]): Option[Row] =
+    decodeGifRaw(content).map(imageFeatureRow(id, content, _))
 
   /** First-frame GIF decode to a dense RGB buffer (channels = 3). */
   private[graft] def decodeGifRaw(
@@ -789,7 +741,26 @@ object Multimodal {
     * corpus. Batched per partition like [[extractFeatures]]; compressed
     * formats would slot into the same dispatch with a codec. */
   def resizeBmp(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    requireTargetDims(targetW, targetH)
+    resizeWith(assets, Set("image/bmp"), resampleBmp(_, targetW, targetH))
+  }
+
+  /** Target-dims gate shared by every resize operator: positive, and
+    * inside the decoders' 256 MB budget at the worst-case 8 bytes/px
+    * (so the resample output buffer is always Int-addressable). */
+  private def requireTargetDims(targetW: Int, targetH: Int): Unit = {
     require(targetW >= 1 && targetH >= 1, "target dims must be >= 1")
+    require(targetW.toLong * targetH * 8 <= (256L << 20),
+      "target dims exceed the 256 MB decode budget")
+  }
+
+  /** Shared resize driver: rows whose mime is in `mimes` are resampled
+    * via `resample` (metadata n_bytes updated); every other row —
+    * other mimes, malformed payloads — passes through unchanged, so
+    * the resize operators are safe over a mixed corpus. Batched per
+    * partition like [[extractFeatures]]. */
+  private def resizeWith(assets: DataFrame, mimes: Set[String],
+      resample: Array[Byte] => Option[Array[Byte]]): DataFrame = {
     val enc = ExpressionEncoder(
       org.apache.spark.sql.types.StructType(Seq(
         StructField("id", LongType),
@@ -802,9 +773,8 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val meta = r.getStruct(2)
           val resized =
-            if (meta.getString(0) == "image/bmp")
-              scala.util.Try(resampleBmp(bytes, targetW, targetH))
-                .toOption.flatten
+            if (mimes(meta.getString(0)))
+              scala.util.Try(resample(bytes)).toOption.flatten
             else None
           resized match {
             case Some(out) => Row(id, out,
@@ -813,6 +783,27 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  /** The one nearest-neighbor source-index mapping every resize path
+    * uses, over the shared dense-pixel form. */
+  private def resampleDense(img: PngImage, targetW: Int,
+                            targetH: Int): PngImage = {
+    val ch = img.channels
+    val out = new Array[Byte](targetW * targetH * ch)
+    var y = 0
+    while (y < targetH) {
+      val srcY = (y.toLong * img.height / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        val srcX = (x.toLong * img.width / targetW).toInt
+        System.arraycopy(img.pixels, (srcY * img.width + srcX) * ch,
+          out, (y * targetW + x) * ch, ch)
+        x += 1
+      }
+      y += 1
+    }
+    PngImage(targetW, targetH, ch, out)
   }
 
   /** Nearest-neighbor BMP resample, re-encoded 24-bit bottom-up. */
@@ -896,111 +887,36 @@ object Multimodal {
   /** Nearest-neighbor PNG resample: decode, sample with the same
     * source-index mapping as the BMP path, re-encode. */
   private def resamplePng(content: Array[Byte], targetW: Int,
-                          targetH: Int): Option[Array[Byte]] = {
+                          targetH: Int): Option[Array[Byte]] =
     // interlaced/exotic PNGs decode via ImageIO and re-encode as
     // baseline filter-0 (the resize normalizes the variant away)
-    val img = decodePngRaw(content)
-      .orElse(decodeImageIoRaw(content)).getOrElse(return None)
-    val ch = img.channels
-    val out = new Array[Byte](targetW * targetH * ch)
-    var y = 0
-    while (y < targetH) {
-      val srcY = (y.toLong * img.height / targetH).toInt
-      var x = 0
-      while (x < targetW) {
-        val srcX = (x.toLong * img.width / targetW).toInt
-        System.arraycopy(img.pixels, (srcY * img.width + srcX) * ch,
-          out, (y * targetW + x) * ch, ch)
-        x += 1
-      }
-      y += 1
-    }
-    Some(encodePng(PngImage(targetW, targetH, ch, out)))
-  }
+    decodePngRaw(content).orElse(decodeImageIoRaw(content))
+      .map(img => encodePng(resampleDense(img, targetW, targetH)))
 
   /** REAL image resize for PNG payloads — the [[resizeBmp]] counterpart:
     * `image/png` rows are nearest-neighbor-resampled and re-encoded as
     * baseline filter-0 PNGs (metadata n_bytes updated); every other
     * row passes through unchanged. */
   def resizePng(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    require(targetW >= 1 && targetH >= 1, "target dims must be >= 1")
-    val enc = ExpressionEncoder(
-      org.apache.spark.sql.types.StructType(Seq(
-        StructField("id", LongType),
-        StructField("content", BinaryType),
-        StructField("meta", MetaSchema))))
-    assets.select(col("id"), col("content"), col("meta"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val meta = r.getStruct(2)
-          val resized =
-            if (meta.getString(0) == "image/png")
-              scala.util.Try(resamplePng(bytes, targetW, targetH))
-                .toOption.flatten
-            else None
-          resized match {
-            case Some(out) => Row(id, out,
-              Row(meta.getString(0), meta.getString(1), out.length.toLong))
-            case None => Row(id, bytes, meta)
-          }
-        }
-      }(enc)
+    requireTargetDims(targetW, targetH)
+    resizeWith(assets, Set("image/png"), resamplePng(_, targetW, targetH))
   }
 
-  /** Nearest-neighbor JPEG resample: ImageIO decode, the same
-    * source-index mapping as the BMP/PNG paths, ImageIO re-encode. */
+  /** Nearest-neighbor JPEG resample: ImageIO decode, the shared
+    * source-index mapping, ImageIO re-encode. */
   private def resampleJpeg(content: Array[Byte], targetW: Int,
-                           targetH: Int): Option[Array[Byte]] = {
-    val img = decodeJpegRaw(content).getOrElse(return None)
-    val ch = img.channels
-    val out = new Array[Byte](targetW * targetH * ch)
-    var y = 0
-    while (y < targetH) {
-      val srcY = (y.toLong * img.height / targetH).toInt
-      var x = 0
-      while (x < targetW) {
-        val srcX = (x.toLong * img.width / targetW).toInt
-        System.arraycopy(img.pixels, (srcY * img.width + srcX) * ch,
-          out, (y * targetW + x) * ch, ch)
-        x += 1
-      }
-      y += 1
-    }
-    encodeJpeg(PngImage(targetW, targetH, ch, out))
-  }
+                           targetH: Int): Option[Array[Byte]] =
+    decodeJpegRaw(content)
+      .flatMap(img => encodeJpeg(resampleDense(img, targetW, targetH)))
 
   /** REAL image resize for JPEG payloads — the [[resizeBmp]]/[[resizePng]]
     * counterpart via the JDK's ImageIO codec: `image/jpeg` rows are
     * nearest-neighbor-resampled and re-encoded (metadata n_bytes
     * updated); every other row passes through unchanged. */
   def resizeJpeg(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    require(targetW >= 1 && targetH >= 1, "target dims must be >= 1")
-    val enc = ExpressionEncoder(
-      org.apache.spark.sql.types.StructType(Seq(
-        StructField("id", LongType),
-        StructField("content", BinaryType),
-        StructField("meta", MetaSchema))))
-    assets.select(col("id"), col("content"), col("meta"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val meta = r.getStruct(2)
-          val resized =
-            if (meta.getString(0) == "image/jpeg" ||
-              meta.getString(0) == "image/jpg")
-              scala.util.Try(resampleJpeg(bytes, targetW, targetH))
-                .toOption.flatten
-            else None
-          resized match {
-            case Some(out) => Row(id, out,
-              Row(meta.getString(0), meta.getString(1), out.length.toLong))
-            case None => Row(id, bytes, meta)
-          }
-        }
-      }(enc)
+    requireTargetDims(targetW, targetH)
+    resizeWith(assets, Set("image/jpeg", "image/jpg"),
+      resampleJpeg(_, targetW, targetH))
   }
 
   /** STUB resize for formats without a codec in this environment: keeps

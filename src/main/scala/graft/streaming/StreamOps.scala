@@ -327,8 +327,12 @@ object StreamOps {
     // nothing while the shingles write leaves a schema-only file): match
     // nothing instead of failing schema inference at query construction.
     // NON-empty shingles without bands is a crash between storeWrite's
-    // shingle and band writes (and bands without shingles a pre-fix torn
-    // store) — both stay loud errors, exactly like the batch guard.
+    // shingle and band writes, bands without shingles a pre-fix torn
+    // store, and NEITHER readable a crash during the very first shingles
+    // write (meta lands first; even an empty-corpus store leaves the
+    // schema-only shingles file, so (None, None) never means
+    // "legitimately empty") — all three stay loud errors, exactly like
+    // the batch guard.
     val frames =
       (scala.util.Try(spark.read.parquet(s"$path/bands")).toOption,
         scala.util.Try(spark.read.parquet(s"$path/shingles")).toOption)
@@ -337,10 +341,13 @@ object StreamOps {
       case (None, Some(sh)) if !sh.isEmpty => throw new IllegalStateException(
         s"signature store at $path is partially written (shingles " +
           "without bands) — rebuild with writeBandSignatures")
-      case (None, _) =>
+      case (None, Some(_)) =>
         return docs.toDF().filter(lit(false))
           .select(col("doc_id").as("id_a"), col("doc_id").as("id_b"),
             lit(0.0).as("jaccard"))
+      case (None, None) => throw new IllegalStateException(
+        s"signature store at $path is partially written (meta without " +
+          "shingles) — rebuild with writeBandSignatures")
       case (Some(_), None) => throw new IllegalStateException(
         s"signature store at $path is partially written (bands without " +
           "shingles) — rebuild with writeBandSignatures")

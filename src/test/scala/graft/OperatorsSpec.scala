@@ -700,6 +700,17 @@ class OperatorsSpec extends AnyFunSuite {
       graft.streaming.StreamOps.dedupAgainstStoreStream(
         Seq.empty[graft.streaming.StreamOps.StreamDoc].toDS(), dir)
     }
+    // meta-only store (crash during the very first shingles write):
+    // also torn — a legitimately empty store always leaves the
+    // schema-only shingles file, so neither guard may match nothing
+    rmTree(java.nio.file.Paths.get(dir, "shingles"))
+    intercept[IllegalStateException] {
+      Dedup.minHashLshPairsAgainstStore(batch, dir, "doc_id", "text", 0.5)
+    }
+    intercept[IllegalStateException] {
+      graft.streaming.StreamOps.dedupAgainstStoreStream(
+        Seq.empty[graft.streaming.StreamOps.StreamDoc].toDS(), dir)
+    }
   }
 
   test("scalar MinHashSignature equals the MinHashSketch aggregate per doc") {
@@ -1442,6 +1453,29 @@ class OperatorsSpec extends AnyFunSuite {
     // checkerboard: means at ~127.5 from a real decode (the stub's
     // histogram moments land nowhere near all three channels equal)
     assert(math.abs(gf(2) - 127.5) < 1.0 && math.abs(gf(4) - 127.5) < 1.0, gf)
+  }
+
+  test("16-bit grayscale PNG decodes at full scale, not low-byte noise") {
+    import java.awt.image.BufferedImage
+    // gray ramp with a NONZERO low byte in every 16-bit sample: low-byte
+    // truncation would yield constant 0x7f everywhere, while the correct
+    // sample-size shift recovers the exact 8-bit ramp
+    val (w, h) = (32, 8)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, (((x * 8) % 256) << 8) | 0x7f)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", baos))
+    val png = baos.toByteArray
+    // 16-bit depth → hand decoder declines, ImageIO fallback decodes
+    assert(Multimodal.decodePngRaw(png).isEmpty)
+    val f = Multimodal.decodeImageIo(7L, png).get.getSeq[Double](3)
+    val gMean = (0 until w).map(x => (x * 8) % 256).sum / w.toDouble
+    assert(f(0) == w.toDouble && f(1) == h.toDouble && f(7) == 8.0, f)
+    assert(math.abs(f(2) - gMean) < 1e-9, f)
+    // and a 16-bit gray PNG resizes through the same fallback
+    val img = Multimodal.decodeImageIoRaw(png).get
+    assert(img.channels == 1 && (img.pixels(1) & 0xff) == 8)
   }
 
   test("decodeGif inflates a real LZW stream through code-width growth") {
