@@ -61,6 +61,77 @@ SELECT merge_rank, l AS left_sym, r AS right_sym, merged, pc AS pair_count
 FROM ($union)"""
   }
 
+  /** The q_text_gopher_rep oracle: the 13 Gopher repetition rules
+    * replicated in DuckDB — per-n gram CTEs (counts by the gram STRING;
+    * the engine counts by 64-bit hash, identical up to ~m²/2⁶⁵
+    * collisions), line/paragraph segment counts, and the same
+    * integer-exact char sums, double divisions, 1.0 caps, round-6
+    * display values and UNROUNDED keep comparisons as the operator. */
+  private def gopherRepOracleSql: String = {
+    val tops = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dups = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
+      8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    val gramCtes = (tops ++ dups).map(_._1).map { n =>
+      s"""g$n AS (
+  SELECT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS g
+  FROM d, unnest(range(1, len(w) - ${n - 2})) AS t(i)
+), s$n AS (
+  SELECT doc_id, max(c * length(g))::DOUBLE AS topv,
+    coalesce(sum(CASE WHEN c >= 2 THEN c * length(g) END), 0)::DOUBLE AS dupv
+  FROM (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2)
+  GROUP BY 1
+)"""
+    }.mkString(", ")
+    def segCtes(p: String, sep: String) =
+      s"""${p}cnt AS (
+  SELECT doc_id, seg, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, $sep)) AS seg FROM d)
+  GROUP BY 1, 2
+), ${p}stat AS (
+  SELECT doc_id,
+    1.0 - count(*)::DOUBLE / sum(c) AS dup_frac,
+    CASE WHEN sum(c * length(seg)) > 0
+         THEN coalesce(sum(CASE WHEN c >= 2 THEN c * length(seg) END),
+                0)::DOUBLE / sum(c * length(seg))
+         ELSE 0.0 END AS dup_char
+  FROM ${p}cnt GROUP BY 1
+)"""
+    def frac(v: String) =
+      s"(CASE WHEN tc > 0 THEN least(coalesce($v, 0) / tc, 1.0) ELSE 0.0 END)"
+    val gramCols = tops.map { case (n, _) =>
+      s"round(${frac(s"s$n.topv")}, 6) AS top_${n}gram_char_frac" } ++
+      dups.map { case (n, _) =>
+        s"round(${frac(s"s$n.dupv")}, 6) AS dup_${n}gram_char_frac" }
+    val keepTerms = Seq(
+      "l.dup_frac <= 0.3", "p.dup_frac <= 0.3",
+      "l.dup_char <= 0.2", "p.dup_char <= 0.2") ++
+      tops.map { case (n, th) => s"${frac(s"s$n.topv")} <= $th" } ++
+      dups.map { case (n, th) => s"${frac(s"s$n.dupv")} <= $th" }
+    val joins = (tops ++ dups).map(_._1)
+      .map(n => s"LEFT JOIN s$n USING (doc_id)").mkString(" ")
+    s"""WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), tot AS (
+  SELECT doc_id,
+    (list_reduce([length(x) FOR x IN w], (a, b) -> a + b)
+      + len(w) - 1)::DOUBLE AS tc
+  FROM d
+), ${segCtes("l", "chr(10)")}, ${segCtes("p", "chr(10) || chr(10)")},
+$gramCtes
+SELECT d.doc_id,
+  round(l.dup_frac, 6) AS dup_line_frac,
+  round(p.dup_frac, 6) AS dup_para_frac,
+  round(l.dup_char, 6) AS dup_line_char_frac,
+  round(p.dup_char, 6) AS dup_para_char_frac,
+  ${gramCols.mkString(",\n  ")},
+  (${keepTerms.mkString(" AND ")}) AS keep
+FROM d
+JOIN tot USING (doc_id)
+JOIN lstat l USING (doc_id)
+JOIN pstat p USING (doc_id)
+$joins"""
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -202,6 +273,34 @@ FROM ($union)"""
     "q_text_gopher" -> ((s, dir) =>
       TextAnalysis.gopherQualityFlags(t(s, dir, "documents"),
         minStopwords = 1)),
+
+    // Gopher repetition rules (Rae 2021 App. A.2) — the companion gate
+    // to q_text_gopher: duplicate line/paragraph (char) fractions plus
+    // top 2-4-gram and dup 5-10-gram character fractions at the
+    // published Table A1 thresholds. 13/500 sf0.01 docs trip the
+    // top-2-gram rule; the corpus is single-line so the segment rules
+    // measure an honest 0.
+    "q_text_gopher_rep" -> ((s, dir) =>
+      TextAnalysis.gopherRepetitionFlags(t(s, dir, "documents"))),
+
+    // C4 line-level cleaning (Raffel 2020 §2.2): the corpus is a
+    // single-line word stream, so the entry first derives a
+    // deterministic page structure — 8-word lines, a line ends with '.'
+    // iff (doc_id + line_idx) % 4 != 3 — replicated verbatim in the
+    // oracle; the operator then keeps terminal-punctuation lines with
+    // >= 3 words and gates pages on >= 4 surviving sentences
+    // (150/500 sf0.01 pages fail)
+    "q_text_c4" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = TextAnalysis.tokens(col("text"))
+      val nLines = ceil(size(w).cast("double") / 8).cast("int")
+      val structured = docs.select(col("doc_id"),
+        concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+          i => concat(array_join(slice(w, i * 8 + 1, lit(8)), " "),
+            when((col("doc_id") + i) % 4 =!= 3, lit("."))
+              .otherwise(lit(""))))).as("text"))
+      TextAnalysis.c4Clean(structured, minSentences = 4)
+    }),
 
     // corpus vocabulary: top tokens by frequency with doc frequency —
     // the tokenizer-training / stopword-derivation precursor
@@ -1554,6 +1653,52 @@ FROM ($union)"""
           |   AND sym <= 0.1 AND bullet <= 0.9 AND ellip <= 0.3
           |   AND alpha >= 0.8 AND n_stop >= 1) AS keep
           |FROM m""".stripMargin,
+
+      // the 13 Gopher repetition rules, counts by gram string (engine:
+      // by 64-bit hash — identical up to negligible collisions)
+      "q_text_gopher_rep" -> gopherRepOracleSql,
+
+      // C4 cleaning over the SAME deterministically-derived page
+      // structure as the entry (8-word lines, '.' iff
+      // (doc_id + idx) % 4 != 3), then the same line filter and
+      // page gates
+      "q_text_c4" ->
+        """WITH d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |), s AS (
+          |  SELECT doc_id,
+          |    array_to_string([array_to_string(w[(i*8+1):(i*8+8)], ' ') ||
+          |        (CASE WHEN (doc_id + i) % 4 <> 3 THEN '.' ELSE '' END)
+          |      FOR i IN range(0, CAST(ceil(len(w) / 8.0) AS INT))],
+          |      chr(10)) AS text
+          |  FROM d
+          |), f AS (
+          |  SELECT doc_id, text, string_split(text, chr(10)) AS ln,
+          |    list_filter(string_split(text, chr(10)), l ->
+          |      (ends_with(l, '.') OR ends_with(l, '!')
+          |        OR ends_with(l, '?') OR ends_with(l, '"'))
+          |      AND len(string_split(l, ' ')) >= 3
+          |      AND NOT contains(lower(l), 'javascript')) AS kept
+          |  FROM s
+          |), c AS (
+          |  -- coalesce: DuckDB's array_to_string of an EMPTY list is
+          |  -- NULL where Spark's array_join is '' (the all-lines-dropped
+          |  -- page)
+          |  SELECT doc_id, text, ln, kept,
+          |    coalesce(array_to_string(kept, chr(10)), '') AS tc,
+          |    (length(coalesce(array_to_string(kept, chr(10)), ''))
+          |      - length(replace(replace(replace(coalesce(array_to_string(
+          |          kept, chr(10)), ''), '.', ''), '!', ''), '?', ''))
+          |      )::BIGINT AS ns
+          |  FROM f
+          |)
+          |SELECT doc_id, tc AS text_clean,
+          |  len(ln)::BIGINT AS n_lines,
+          |  len(kept)::BIGINT AS n_lines_kept,
+          |  ns AS n_sentences,
+          |  (ns >= 4 AND NOT contains(lower(text), 'lorem ipsum')
+          |    AND NOT contains(text, '{')) AS keep
+          |FROM c""".stripMargin,
 
       // BPE training replicated round-by-round: each unrolled round
       // counts pairs from w{k}, picks the top one (count desc, pair asc

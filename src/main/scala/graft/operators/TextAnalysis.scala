@@ -415,6 +415,115 @@ object TextAnalysis {
       dupNgramFraction(t, 3).as("dup_frac_3"))
   }
 
+  /** Gopher repetition-removal gate (Rae et al. 2021, Appendix A —
+    * the companion to [[gopherQualityFlags]], which covers the quality
+    * rules; this covers the 13 published REPETITION rules):
+    *
+    *   - duplicate line / paragraph fraction (1 − distinct/total
+    *     segments) ≤ maxDupLineFrac / maxDupParaFrac
+    *   - duplicate line / paragraph CHARACTER fraction (chars in
+    *     segments occurring ≥ 2 times, all occurrences, over all
+    *     segment chars) ≤ maxDupLineCharFrac / maxDupParaCharFrac
+    *   - top n-gram character fraction for n = 2..4 (largest
+    *     occurrences × gramLen share of any single n-gram) ≤ the
+    *     per-n threshold
+    *   - duplicated n-gram character fraction for n = 5..10 (share of
+    *     chars in n-grams occurring ≥ 2 times, capped at 1 — see
+    *     [[org.apache.spark.sql.graftext.NgramCharFraction]] for the
+    *     exact overlap semantics) ≤ the per-n threshold
+    *
+    * Default thresholds are the published Table A1 values. Paragraphs
+    * split on a blank line (`\n\n`), lines on `\n` — both literal, so
+    * an external SQL oracle's `string_split` agrees exactly.
+    *
+    * Ratios are rounded to 6 decimals for engine-replicable output; the
+    * keep decision uses the UNROUNDED values ([[gopherQualityFlags]]'
+    * discipline). Per-document work happens in native one-pass
+    * expressions and codegen'd builtins — zero shuffle at any scale,
+    * the same scan-speed shape as the quality gate, so the two compose
+    * into the full Gopher filter at one scan's cost.
+    * `passthroughCols` ride along unchanged (streaming form). */
+  def gopherRepetitionFlags(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            maxDupLineFrac: Double = 0.30,
+                            maxDupParaFrac: Double = 0.30,
+                            maxDupLineCharFrac: Double = 0.20,
+                            maxDupParaCharFrac: Double = 0.20,
+                            maxTopGramCharFrac: Seq[(Int, Double)] =
+                              Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+                            maxDupGramCharFrac: Seq[(Int, Double)] =
+                              Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
+                                8 -> 0.12, 9 -> 0.11, 10 -> 0.10),
+                            passthroughCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graftext.{DupSegmentCharFraction, NgramCharFraction}
+    val t = col(textCol)
+    def dupSegFrac(segs: Column): Column =
+      lit(1.0) - size(array_distinct(segs)).cast("double") /
+        size(segs).cast("double")
+    val dupLine = dupSegFrac(split(t, "\n"))
+    val dupPara = dupSegFrac(split(t, "\n\n"))
+    val dupLineChars = DupSegmentCharFraction(t, "\n")
+    val dupParaChars = DupSegmentCharFraction(t, "\n\n")
+    val tops = maxTopGramCharFrac.map { case (n, th) =>
+      (n, th, NgramCharFraction(t, n, dup = false)) }
+    val dups = maxDupGramCharFrac.map { case (n, th) =>
+      (n, th, NgramCharFraction(t, n, dup = true)) }
+    val keep = Seq(
+      dupLine <= maxDupLineFrac, dupPara <= maxDupParaFrac,
+      dupLineChars <= maxDupLineCharFrac,
+      dupParaChars <= maxDupParaCharFrac) ++
+      (tops ++ dups).map { case (_, th, c) => c <= th }
+    docs.select(Seq(col(idCol),
+      round(dupLine, 6).as("dup_line_frac"),
+      round(dupPara, 6).as("dup_para_frac"),
+      round(dupLineChars, 6).as("dup_line_char_frac"),
+      round(dupParaChars, 6).as("dup_para_char_frac")) ++
+      tops.map { case (n, _, c) => round(c, 6).as(s"top_${n}gram_char_frac") } ++
+      dups.map { case (n, _, c) => round(c, 6).as(s"dup_${n}gram_char_frac") } ++
+      Seq(keep.reduce(_ && _).as("keep")) ++
+      passthroughCols.map(col): _*)
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning", §2.2 — the "colossal clean crawled
+    * corpus" heuristics): keep only lines that end in terminal
+    * punctuation (`.` `!` `?` `"`), have ≥ `minWordsPerLine` words, and
+    * don't mention "javascript"; then gate the cleaned document on
+    * ≥ `minSentences` sentences (terminal-punctuation count over the
+    * KEPT lines) and on the page-level rules — no "lorem ipsum", no
+    * `{` (the code-page heuristic) anywhere in the ORIGINAL text.
+    *
+    * Emits (id, text_clean, n_lines, n_lines_kept, n_sentences, keep).
+    * Line-span dedup — C4's other stage — is [[graft.operators.Dedup
+    * .dedupPassages]]/`dedupTokenSpans`; this operator is the
+    * heuristic-cleaning stage. Pure codegen'd projection (split +
+    * filter + array_join + translate) — zero shuffle at any scale.
+    * `passthroughCols` ride along unchanged (streaming form). */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text",
+              minWordsPerLine: Int = 3, minSentences: Int = 5,
+              passthroughCols: Seq[String] = Nil): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        size(split(l, " ")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(kept, "\n")
+    val nSentences =
+      (length(cleaned) - length(translate(cleaned, ".!?", ""))).cast("long")
+    val keep = nSentences >= minSentences &&
+      !lower(t).contains("lorem ipsum") && !t.contains("{")
+    docs.select(Seq(col(idCol),
+      cleaned.as("text_clean"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_lines_kept"),
+      nSentences.as("n_sentences"),
+      keep.as("keep")) ++
+      passthroughCols.map(col): _*)
+  }
+
   /** Convenience: annotate a documents table with the full analysis set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -293,6 +293,30 @@ object StreamOps {
       passthroughCols = Seq("ts"))
   }
 
+  /** Streaming Gopher repetition gate — the Structured Streaming form
+    * of `TextAnalysis.gopherRepetitionFlags` (Rae 2021 App. A
+    * repetition rules: duplicate line/paragraph fractions, top/dup
+    * n-gram character fractions). Like [[gopherGateStream]] the batch
+    * operator is a stateless per-row projection (native one-pass
+    * expressions, zero shuffle), so the streaming form is IDENTICAL
+    * code on the micro-batch — append-mode, no watermark; the two
+    * gates compose into the full Gopher filter on the ingest path. */
+  def repetitionGateStream(docs: Dataset[StreamDoc]): DataFrame =
+    graft.operators.TextAnalysis.gopherRepetitionFlags(
+      docs.toDF(), "doc_id", "text", passthroughCols = Seq("ts"))
+
+  /** Streaming C4 line-level cleaning — the Structured Streaming form
+    * of `TextAnalysis.c4Clean` (Raffel 2020 §2.2 heuristics:
+    * terminal-punctuation line filter, short-line drop, page gates).
+    * Stateless per-row projection like the Gopher gates — append-mode,
+    * no watermark, scan-speed on arrival. */
+  def c4CleanStream(docs: Dataset[StreamDoc],
+                    minWordsPerLine: Int = 3,
+                    minSentences: Int = 5): DataFrame =
+    graft.operators.TextAnalysis.c4Clean(
+      docs.toDF(), "doc_id", "text", minWordsPerLine, minSentences,
+      passthroughCols = Seq("ts"))
+
   /** Streaming ingest dedup against a persisted LSH signature store —
     * the Structured Streaming form of
     * `Dedup.minHashLshPairsAgainstStore`: each arriving document is

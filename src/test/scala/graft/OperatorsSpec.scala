@@ -115,6 +115,75 @@ class OperatorsSpec extends AnyFunSuite {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("gopherRepetitionFlags measures the 13 Rae 2021 repetition rules") {
+    val clean = (1 to 30).map(i => f"w$i%02d").mkString(" ") // 30 distinct
+    val spam = "spam ham spam ham spam ham"
+    val dupLines = "hello world\nfoo bar\nhello world\nbaz qux quux"
+    val dupParas = "p one\n\np two\n\np one"
+    val dupRun = "a b c d e x a b c d e"
+    val overlap = "a a a a"
+    val df = spark.createDataFrame(Seq(
+      (1L, clean), (2L, spam), (3L, dupLines), (4L, dupParas),
+      (5L, dupRun), (6L, overlap))).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetitionFlags(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def v(id: Long, name: String) =
+      out(id).getDouble(out(id).fieldIndex(name))
+    // clean doc: nothing repeats anywhere -> every dup measure 0, keep
+    assert(v(1L, "dup_line_frac") == 0.0 && v(1L, "dup_5gram_char_frac") == 0.0)
+    assert(v(1L, "top_2gram_char_frac") == round6(7.0 / 119)) // one w01 w02
+    assert(out(1L).getBoolean(out(1L).fieldIndex("keep")))
+    // bigram spam: "spam ham" x3, len 8; total 3*4+3*3+5 spaces = 26
+    assert(v(2L, "top_2gram_char_frac") == round6(24.0 / 26))
+    assert(!out(2L).getBoolean(out(2L).fieldIndex("keep")))
+    // duplicate line: 4 lines, 3 distinct; chars 2*11 of 41
+    assert(v(3L, "dup_line_frac") == 0.25)
+    assert(v(3L, "dup_line_char_frac") == round6(22.0 / 41))
+    assert(v(3L, "dup_para_frac") == 0.0) // one paragraph
+    assert(!out(3L).getBoolean(out(3L).fieldIndex("keep")))
+    // duplicate paragraph: 3 paras, 2 distinct; chars 2*5 of 15
+    assert(v(4L, "dup_para_frac") == round6(1.0 - 2.0 / 3))
+    assert(v(4L, "dup_para_char_frac") == round6(10.0 / 15))
+    // repeated 5-token run: "a b c d e" x2 (len 9) of 21 chars;
+    // 6-grams and up all distinct
+    assert(v(5L, "dup_5gram_char_frac") == round6(18.0 / 21))
+    assert(v(5L, "dup_6gram_char_frac") == 0.0)
+    assert(!out(5L).getBoolean(out(5L).fieldIndex("keep")))
+    // overlapping occurrences over-count ("a a" x3, len 3, total 7):
+    // the fraction caps at 1.0
+    assert(v(6L, "top_2gram_char_frac") == 1.0)
+  }
+
+  test("c4Clean keeps terminal-punctuation lines and gates pages") {
+    val page =
+      "This line stays right here.\nshort.\nno terminal punct line\n" +
+        "Another good line stays!\nJavaScript is in this line.\n" +
+        "Quote ends well \""
+    val goodPage = (1 to 6).map(i => s"Sentence number $i stays.").mkString("\n")
+    val lorem = "Lorem Ipsum dolor sit amet.\n" + goodPage
+    val code = "if (x) { return. }\n" + goodPage
+    val df = spark.createDataFrame(Seq(
+      (1L, page), (2L, goodPage), (3L, lorem), (4L, code)))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // line rules: terminal punctuation, >= 3 words, no "javascript"
+    assert(out(1L).getString(1) ==
+      "This line stays right here.\nAnother good line stays!\n" +
+        "Quote ends well \"")
+    assert(out(1L).getLong(2) == 6L && out(1L).getLong(3) == 3L)
+    // sentences counted over KEPT lines only: one '.', one '!'
+    assert(out(1L).getLong(4) == 2L)
+    assert(!out(1L).getBoolean(5)) // < 5 sentences
+    // clean page: all 6 lines kept, 6 sentences, keep
+    assert(out(2L).getLong(3) == 6L && out(2L).getLong(4) == 6L)
+    assert(out(2L).getBoolean(5))
+    // page-level gates fire on the ORIGINAL text even when enough
+    // clean sentences survive
+    assert(out(3L).getLong(4) >= 5L && !out(3L).getBoolean(5)) // lorem ipsum
+    assert(out(4L).getLong(4) >= 5L && !out(4L).getBoolean(5)) // '{' code page
+  }
+
   test("bm25TopK matches a naive driver-side BM25") {
     val s = spark
     import s.implicits._

@@ -787,6 +787,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> true, 2L -> false))
   }
 
+  test("repetitionGateStream emits the batch gopherRepetitionFlags rows") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // real corpus text (heavy natural n-gram repetition from the small
+    // vocabulary) streamed in two out-of-order chunks — stateless, so
+    // arrival order must not matter
+    val docsDf = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    def tsOf(id: Long) =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        (id * 13 % 83) * 60000L)
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1), tsOf(r.getLong(0))))
+    def asKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), (1 to 13).map(r.getDouble).toList,
+        r.getBoolean(14))
+    val batch = graft.operators.TextAnalysis
+      .gopherRepetitionFlags(docsDf).collect().map(asKey).toSet
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.repetitionGateStream(input.toDS())
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("rep_stream")
+      .outputMode("append").start()
+    (0 until 2).foreach { c =>
+      input.addData(docs.filter(_.doc_id % 2 == c).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.sql("select * from rep_stream").collect()
+      .map(asKey).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // ts passes through for downstream windowing
+    val tsRows = s.sql("select doc_id, ts from rep_stream").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(docs.forall(d => tsRows(d.doc_id) == d.ts))
+  }
+
+  test("c4CleanStream cleans pages on arrival like the batch operator") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // crafted multi-line pages (the corpus is single-line): one page
+    // passing, one failing the sentence floor, one failing a page gate
+    val pages = Seq(
+      1L -> (1 to 6).map(i => s"Sentence number $i stays.").mkString("\n"),
+      2L -> "Only one good line here.\nno punct",
+      3L -> ("Lorem ipsum dolor sit amet.\n" +
+        (1 to 5).map(i => s"Sentence number $i stays.").mkString("\n")))
+    val batchDf = s.createDataFrame(pages.map(p => (p._1, p._2)))
+      .toDF("doc_id", "text")
+    val batch = graft.operators.TextAnalysis.c4Clean(batchDf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.c4CleanStream(input.toDS())
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    input.addData(pages.map { case (id, text) =>
+      StreamDoc(id, text, Timestamp.valueOf("2024-01-01 00:00:01")) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql(
+      "select doc_id, text_clean, n_lines, n_lines_kept, n_sentences, keep " +
+        "from c4_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(streamed == batch)
+    assert(streamed.count(_._6) == 1) // only the clean page passes
+  }
+
   test("dedupAgainstStoreStream equals the batch store probe " +
        "on out-of-order input") {
     import graft.streaming.StreamOps.StreamDoc
