@@ -958,6 +958,27 @@ $joins"""
       TextSearch.bm25TopK(t(s, dir, "documents"), queries, k = 10)
     }),
 
+    // hybrid retrieval: the same five text queries' BM25 top-20 fused
+    // with their query VECTORS' exact cosine top-20 (vec_id 0-4 ↔
+    // query_id 0-4; the corpus id spaces align 1:1) via reciprocal-rank
+    // fusion — only ranks cross the fusion boundary, so no score
+    // calibration; decimal-summed contributions keep the fused score
+    // hash-comparable
+    "q_text_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq((0L, "spark join fast"), (1L, "vector scan slow"),
+        (2L, "customer order line"), (3L, "window agg group"),
+        (4L, "hash merge sort batch")).toDF("query_id", "qtext")
+      val sparse = TextSearch.bm25TopK(t(s, dir, "documents"), queries,
+        k = 20)
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20,
+          includeScore = false)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      TextSearch.rrfFuse(Seq(sparse, dense), k = 10)
+    }),
+
     // ---- multimodal plumbing (payload + metadata; stub features are
     //      covered by OperatorsSpec, not SQL-expressible) ----
 
@@ -1572,6 +1593,78 @@ $joins"""
           |  FROM scored
           |)
           |SELECT query_id, doc_id, rank, score FROM ranked
+          |WHERE rank <= 10""".stripMargin,
+
+      // hybrid RRF: the BM25 oracle (top-20) and the exact dense top-20
+      // re-derived as CTEs, then the same round(9)-decimal-summed
+      // 1/(60+rank) fusion and (score desc, doc_id) tie-break
+      "q_text_hybrid" ->
+        """WITH q(query_id, qtext) AS (
+          |  VALUES (0, 'spark join fast'), (1, 'vector scan slow'),
+          |         (2, 'customer order line'), (3, 'window agg group'),
+          |         (4, 'hash merge sort batch')
+          |), toks AS (
+          |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+          |         unnest(string_split(text, ' ')) AS term
+          |  FROM documents
+          |), stats AS (
+          |  SELECT count(*)::DOUBLE AS n,
+          |         avg(len(string_split(text, ' ')))::DOUBLE AS avgdl
+          |  FROM documents
+          |), qterms AS (
+          |  SELECT DISTINCT query_id,
+          |         unnest(string_split(qtext, ' ')) AS term
+          |  FROM q
+          |), tf AS (
+          |  SELECT term, doc_id, dl, count(*)::DOUBLE AS tf
+          |  FROM toks WHERE term IN (SELECT term FROM qterms)
+          |  GROUP BY 1, 2, 3
+          |), posting AS (
+          |  SELECT tf.*, count(*) OVER (PARTITION BY term)::DOUBLE AS df
+          |  FROM tf
+          |), bscored AS (
+          |  SELECT qt.query_id, p.doc_id,
+          |    sum(CAST(round(
+          |      ln(1 + (s.n - p.df + 0.5) / (p.df + 0.5))
+          |        * p.tf * (1.2 + 1)
+          |        / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)),
+          |      9) AS DECIMAL(28,9))) AS score_dec
+          |  FROM posting p JOIN qterms qt USING (term), stats s
+          |  GROUP BY 1, 2
+          |), sparse AS (
+          |  SELECT query_id::BIGINT AS query_id, doc_id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score_dec DESC, doc_id) AS rank
+          |  FROM bscored
+          |), dscored AS (
+          |  SELECT qe.vec_id AS query_id, c.vec_id AS doc_id,
+          |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+          |      CAST(c.embedding AS DOUBLE[])) AS cos_raw
+          |  FROM embeddings qe JOIN embeddings c ON qe.vec_id < 5
+          |    AND qe.vec_id <> c.vec_id
+          |), dense AS (
+          |  SELECT query_id, doc_id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_raw DESC, doc_id) AS rank
+          |  FROM dscored
+          |), runs AS (
+          |  SELECT query_id, doc_id, rank FROM sparse WHERE rank <= 20
+          |  UNION ALL
+          |  SELECT query_id, doc_id, rank FROM dense WHERE rank <= 20
+          |), fused AS (
+          |  SELECT query_id, doc_id,
+          |    sum(CAST(round(1.0 / (60 + rank), 9)
+          |      AS DECIMAL(28,9))) AS rrf_dec,
+          |    count(*)::INT AS n_runs
+          |  FROM runs GROUP BY 1, 2
+          |), ranked AS (
+          |  SELECT query_id, doc_id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY rrf_dec DESC, doc_id) AS rank,
+          |    round(CAST(rrf_dec AS DOUBLE), 6) AS rrf_score, n_runs
+          |  FROM fused
+          |)
+          |SELECT query_id, doc_id, rank, rrf_score, n_runs FROM ranked
           |WHERE rank <= 10""".stripMargin,
 
       "q_fn_map" ->

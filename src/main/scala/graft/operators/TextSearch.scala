@@ -83,4 +83,41 @@ object TextSearch {
       .select(col("query_id"), col("doc_id"), col("rank"),
         round(col("score_dec").cast("double"), 6).as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked candidate
+    * runs into one hybrid ranking — the standard way to combine a sparse
+    * retriever (BM25) with a dense one (embedding top-k) without score
+    * calibration, since only RANKS cross the fusion boundary.
+    *
+    * Each run must carry (query_id, doc_id, rank); a document's fused
+    * score is Σ over the runs that returned it of 1/(rrfK + rank). Each
+    * reciprocal is rounded to 9 decimals and summed as DECIMAL, so the
+    * fused score is independent of run order and partitioning — exactly
+    * replicable by an external SQL engine. `n_runs` reports how many
+    * retrievers returned the document (agreement is itself a signal).
+    * Ties break on doc_id, so the output ranking is deterministic.
+    *
+    * Scale: the retrievers do all the heavy work; fusion only ever sees
+    * their top-n candidates — ≤ Σ runs' n × |queries| rows — so the one
+    * groupBy here shuffles a candidate list, never a corpus. Plugging in
+    * [[bm25TopK]] and [[graft.operators.Similarity.bruteForceTopK]] (or
+    * any ivfTopK* variant) keeps each side's own pushdown/broadcast
+    * shape untouched. */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    val contribs = runs.map(_.select(col("query_id"), col("doc_id"),
+      round(lit(1.0) / (lit(rrfK.toDouble) + col("rank")), 9)
+        .cast("decimal(28,9)").as("contrib")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_dec"),
+        count(lit(1)).cast("int").as("n_runs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_dec").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("rrf_dec").cast("double"), 6).as("rrf_score"),
+        col("n_runs"))
+  }
 }

@@ -184,6 +184,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(4L).getLong(4) >= 5L && !out(4L).getBoolean(5)) // '{' code page
   }
 
+  test("rrfFuse combines ranked runs by reciprocal rank with doc tie-break") {
+    val s = spark
+    import s.implicits._
+    val sparse = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3),
+      (1L, 7L, 1)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((0L, 20L, 1), (0L, 40L, 2), (0L, 10L, 3),
+      (1L, 5L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = TextSearch.rrfFuse(Seq(sparse, dense), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getInt(4)))
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def rrf(ranks: Int*) =
+      round6(ranks.map(r => r9(1.0 / (60 + r))).sum.toDouble)
+    // q0: doc20 (1/62 + 1/61) beats doc10 (1/61 + 1/63); singletons
+    // follow in reciprocal order
+    assert(out.filter(_._1 == 0L).sortBy(_._3) === Seq(
+      (0L, 20L, 1, rrf(2, 1), 2), (0L, 10L, 2, rrf(1, 3), 2),
+      (0L, 40L, 3, rrf(2), 1), (0L, 30L, 4, rrf(3), 1)))
+    // q1: equal scores (both rank 1 in one run) break on doc_id
+    assert(out.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq ===
+      Seq(5L, 7L))
+  }
+
   test("bm25TopK matches a naive driver-side BM25") {
     val s = spark
     import s.implicits._
