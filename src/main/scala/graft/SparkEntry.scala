@@ -307,6 +307,16 @@ $joins"""
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.buildVocab(t(s, dir, "documents"), "text", topN = 20)),
 
+    // per-language top tokens via the Misra-Gries heavy-hitters
+    // aggregate: the exchange carries one <= capacity-counter summary
+    // per (partition, lang) instead of one row per distinct token —
+    // vocabulary-independent shuffle. capacity 256 >= the corpus
+    // vocabulary, so counts are exact, max_err = 0, and the result is
+    // partition-order-independent (the oracle-able parameterization)
+    "q_text_heavyhitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitterTokens(t(s, dir, "documents"), "text",
+        groupCols = Seq("lang"), capacity = 256, topN = 10)),
+
     // BPE tokenizer training (Sennrich 2016) on top of the vocab
     // statistics: 6 pair-merge rounds, pair count weighted by word
     // frequency, deterministic (count desc, pair asc) tie-break — the
@@ -1813,6 +1823,24 @@ $joins"""
           |SELECT token, tf, df,
           |  CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank
           |FROM agg ORDER BY tf DESC, token LIMIT 20""".stripMargin,
+
+      // exact-regime MG summary (capacity >= vocabulary): every count
+      // is the true count and max_err is 0, so a plain per-group
+      // count(*) + rank replicates the sketch output exactly
+      "q_text_heavyhitters" ->
+        """WITH tok AS (
+          |  SELECT lang, unnest(string_split(text, ' ')) AS term
+          |  FROM documents),
+          |agg AS (
+          |  SELECT lang, term, CAST(count(*) AS BIGINT) AS count_lb
+          |  FROM tok GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT lang, term, count_lb,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY count_lb DESC, term) AS INT) AS rank
+          |  FROM agg)
+          |SELECT lang, rank, term, count_lb, CAST(0 AS BIGINT) AS max_err
+          |FROM ranked WHERE rank <= 10""".stripMargin,
 
       "q_text_repetition" ->
         s"""WITH toks AS (

@@ -524,6 +524,37 @@ object TextAnalysis {
       passthroughCols.map(col): _*)
   }
 
+  /** Top-N frequent tokens per group via a Misra-Gries heavy-hitters
+    * summary ([[org.apache.spark.sql.graftext.HeavyHittersSketch]]) —
+    * the bounded-state alternative to [[buildVocab]]'s explode+groupBy,
+    * whose shuffle grows with corpus VOCABULARY: here each partition
+    * ships one ≤ `capacity`-counter summary per group, fixed-size at any
+    * scale.
+    *
+    * Emits one row per (group, rank): (groupCols…, rank, term,
+    * count_lb, max_err). `count_lb` is a lower bound with
+    * `true ≤ count_lb + max_err`; with `capacity ≥` the group's distinct
+    * tokens every count is exact, `max_err` = 0, and the result is
+    * partition-order-independent — the oracle-able parameterization.
+    * Ranking ties break on term, so output order is deterministic
+    * either way. */
+  def heavyHitterTokens(docs: DataFrame, textCol: String = "text",
+                        groupCols: Seq[String] = Nil,
+                        capacity: Int = 4096, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftext.HeavyHittersSketch
+    val sketch = HeavyHittersSketch(tokens(col(textCol)), capacity).as("hh")
+    val agged =
+      if (groupCols.isEmpty) docs.groupBy().agg(sketch)
+      else docs.groupBy(groupCols.map(col): _*).agg(sketch)
+    agged.select(groupCols.map(col) :+ posexplode(col("hh")): _*)
+      .filter(col("pos") < topN)
+      .select(groupCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.term").as("term"),
+        col("col.count_lb").as("count_lb"),
+        col("col.max_err").as("max_err")): _*)
+  }
+
   /** Convenience: annotate a documents table with the full analysis set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

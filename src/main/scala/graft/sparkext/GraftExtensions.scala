@@ -66,6 +66,18 @@ object GraftExtensions {
         require(children.size == 1, "simhash_sketch expects (shingles)")
         SimHashSketch(children.head)
       }),
+    ("heavy_hitters_sketch",
+      new ExpressionInfo(classOf[HeavyHittersSketch].getName,
+        "heavy_hitters_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "heavy_hitters_sketch expects (tokens, capacity)")
+        val capacity =
+          intLiteral(children(1), "heavy_hitters_sketch: capacity")
+        require(capacity >= 1,
+          s"heavy_hitters_sketch: capacity must be >= 1, got $capacity")
+        HeavyHittersSketch(children.head, capacity).toAggregateExpression()
+      }),
     ("winnowed_fingerprints",
       new ExpressionInfo(classOf[WinnowedFingerprints].getName,
         "winnowed_fingerprints"),

@@ -110,6 +110,21 @@ class ExtensionsSpec extends AnyFunSuite {
         e.getCause.getMessage.contains("array<array<double>>")))
   }
 
+  test("heavy_hitters_sketch aggregates from SQL with literal capacity") {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.graftext.GraftExtensions.register(s)
+    val rows = s.sql(
+      """select inline(hh) from (
+        |  select heavy_hitters_sketch(split(t, ' '), 8) as hh
+        |  from values ('a b a'), ('b c') as v(t))""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // capacity 8 >= 3 distinct: exact counts, (count desc, term asc) order
+    assert(rows == Seq(("a", 2L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+    val e = intercept[Exception](s.sql(
+      "select heavy_hitters_sketch(split('a', ' '), 1 + 1)").collect())
+    assert(e.getMessage.contains("capacity") || e.getCause != null)
+  }
+
   test("fromConfig builds a runner from (path, functionName) pairs") {
     import SparkTestSession._
     val r = Functioniser.fromConfig(Seq(

@@ -96,6 +96,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq(("b", 3L, 3L, 1), ("a", 2L, 1L, 2)))
   }
 
+  test("heavyHitterTokens exact regime: per-group true counts, any partitioning") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'en', 'a b a b c'),
+        |  (2L, 'en', 'b d'),
+        |  (3L, 'fr', 'x y x'),
+        |  (4L, 'fr', 'y x z') as t(doc_id, lang, text)""".stripMargin)
+      .repartition(7)
+    val out = TextAnalysis.heavyHitterTokens(df, "text",
+        groupCols = Seq("lang"), capacity = 16, topN = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // capacity >= vocabulary: exact counts, zero error; rank is
+    // (count desc, term asc) so en's 1-count tie resolves to c
+    assert(out == Set(
+      ("en", 1, "b", 3L, 0L), ("en", 2, "a", 2L, 0L), ("en", 3, "c", 1L, 0L),
+      ("fr", 1, "x", 3L, 0L), ("fr", 2, "y", 2L, 0L), ("fr", 3, "z", 1L, 0L)))
+  }
+
+  test("heavyHitterTokens approximate regime keeps the Misra-Gries bounds") {
+    import spark.implicits._
+    // one hot token (true count 50) over a 90-token singleton tail;
+    // capacity 8 is far below the 91-term vocabulary
+    val texts = Seq.fill(50)("hot") ++ (0 until 90).map(i => f"t$i%02d")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(5)
+    val n = 140L
+    val trueCounts = texts.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val out = TextAnalysis.heavyHitterTokens(df, "text",
+        capacity = 8, topN = 8)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.forall(_._3 == out.head._3))
+    val maxErr = out.head._3
+    // accumulated decrement total never exceeds n / (capacity + 1)
+    assert(maxErr <= n / 9)
+    // any token with true frequency > n / (capacity + 1) must survive
+    assert(out.exists(_._1 == "hot"))
+    // every reported count is a lower bound within max_err of the truth
+    out.foreach { case (term, lb, _) =>
+      val truth = trueCounts(term)
+      assert(lb <= truth && truth <= lb + maxErr,
+        s"$term: lb $lb truth $truth err $maxErr")
+    }
+  }
+
   test("repetitionScores computes duplicated n-gram fractions per doc") {
     val df = spark.sql(
       """select * from values
