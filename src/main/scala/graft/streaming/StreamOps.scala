@@ -317,6 +317,22 @@ object StreamOps {
       docs.toDF(), "doc_id", "text", minWordsPerLine, minSentences,
       passthroughCols = Seq("ts"))
 
+  /** Streaming heavy hitters — the Structured Streaming form of
+    * `TextAnalysis.heavyHitterTokens` (running top tokens per group via
+    * the Misra-Gries sketch aggregate): IDENTICAL batch code on the
+    * unbounded stream, complete-mode output. The streaming state per
+    * group is the sketch's own buffer — at most `capacity` counters
+    * regardless of vocabulary, so state stays bounded forever without a
+    * watermark: the streaming "trending terms" pattern, with the same
+    * exactness guarantee as batch when `capacity` covers the
+    * vocabulary. */
+  def heavyHitterTokensStream(docs: DataFrame, textCol: String = "text",
+                              groupCols: Seq[String] = Nil,
+                              capacity: Int = 4096,
+                              topN: Int = 20): DataFrame =
+    graft.operators.TextAnalysis.heavyHitterTokens(
+      docs, textCol, groupCols, capacity, topN)
+
   /** Streaming ingest dedup against a persisted LSH signature store —
     * the Structured Streaming form of
     * `Dedup.minHashLshPairsAgainstStore`: each arriving document is

@@ -15,6 +15,8 @@ import graft.streaming.StreamOps
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+case class LangDoc(doc_id: Long, lang: String, text: String)
+
 /** Structured Streaming behavior: the parity engine is a stateless
   * projection and runs unchanged on streams; stateful ops are watermarked. */
 class StreamingSpec extends AnyFunSuite {
@@ -82,6 +84,39 @@ class StreamingSpec extends AnyFunSuite {
     val tsRows = s.sql("select doc_id, ts from gopher_stream").collect()
       .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
     assert(docs.forall(d => tsRows(d.doc_id) == d.ts))
+  }
+
+  test("heavyHitterTokensStream matches batch heavyHitterTokens in complete mode") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // real corpus text streamed in two chunks; exact regime (capacity
+    // >= vocabulary) so the running totals must equal a batch pass over
+    // everything seen so far, independent of chunking
+    val docsDf = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(80).select("doc_id", "lang", "text")
+    val docs = docsDf.collect()
+      .map(r => LangDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    val batch = graft.operators.TextAnalysis
+      .heavyHitterTokens(docsDf, "text", Seq("lang"), capacity = 256, topN = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val input = MemoryStream[LangDoc]
+    val out = StreamOps.heavyHitterTokensStream(input.toDF(), "text",
+      Seq("lang"), capacity = 256, topN = 5)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    (0 until 2).foreach { c =>
+      input.addData(docs.filter(_.doc_id % 2 == c).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.sql("select * from hh_stream").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
   }
 
   test("windowedStats aggregates a watermarked stream") {
