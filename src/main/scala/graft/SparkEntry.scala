@@ -299,7 +299,8 @@ $joins"""
           i => concat(array_join(slice(w, i * 8 + 1, lit(8)), " "),
             when((col("doc_id") + i) % 4 =!= 3, lit("."))
               .otherwise(lit(""))))).as("text"))
-      TextAnalysis.c4Clean(structured, minSentences = 4)
+      TextAnalysis.c4Clean(structured, minWordsPerLine = 3,
+        minSentences = 4)
     }),
 
     // corpus vocabulary: top tokens by frequency with doc frequency —

@@ -455,7 +455,7 @@ object TextAnalysis {
                               Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
                                 8 -> 0.12, 9 -> 0.11, 10 -> 0.10),
                             passthroughCols: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.graftext.{DupSegmentCharFraction, NgramCharFraction}
+    import org.apache.spark.sql.graftext.{DupSegmentCharFraction, NgramCharFractions}
     val t = col(textCol)
     def dupSegFrac(segs: Column): Column =
       lit(1.0) - size(array_distinct(segs)).cast("double") /
@@ -464,16 +464,25 @@ object TextAnalysis {
     val dupPara = dupSegFrac(split(t, "\n\n"))
     val dupLineChars = DupSegmentCharFraction(t, "\n")
     val dupParaChars = DupSegmentCharFraction(t, "\n\n")
-    val tops = maxTopGramCharFrac.map { case (n, th) =>
-      (n, th, NgramCharFraction(t, n, dup = false)) }
-    val dups = maxDupGramCharFrac.map { case (n, th) =>
-      (n, th, NgramCharFraction(t, n, dup = true)) }
+    // ONE fused pass for all 9 gram widths (split + word hashing once);
+    // materialized behind an alias in a first projection so every
+    // downstream reference is a cheap array index — CollapseProject
+    // keeps the non-cheap multi-use producer in its own Project, so the
+    // expression is evaluated once per row
+    val repCol = "_graft_rep_fracs"
+    val staged = docs.withColumn(repCol,
+      NgramCharFractions(t, maxTopGramCharFrac.map(_._1),
+        maxDupGramCharFrac.map(_._1)))
+    val tops = maxTopGramCharFrac.zipWithIndex.map { case ((n, th), i) =>
+      (n, th, col(repCol)(i)) }
+    val dups = maxDupGramCharFrac.zipWithIndex.map { case ((n, th), i) =>
+      (n, th, col(repCol)(maxTopGramCharFrac.size + i)) }
     val keep = Seq(
       dupLine <= maxDupLineFrac, dupPara <= maxDupParaFrac,
       dupLineChars <= maxDupLineCharFrac,
       dupParaChars <= maxDupParaCharFrac) ++
       (tops ++ dups).map { case (_, th, c) => c <= th }
-    docs.select(Seq(col(idCol),
+    staged.select(Seq(col(idCol),
       round(dupLine, 6).as("dup_line_frac"),
       round(dupPara, 6).as("dup_para_frac"),
       round(dupLineChars, 6).as("dup_line_char_frac"),
@@ -498,10 +507,13 @@ object TextAnalysis {
     * .dedupPassages]]/`dedupTokenSpans`; this operator is the
     * heuristic-cleaning stage. Pure codegen'd projection (split +
     * filter + array_join + translate) — zero shuffle at any scale.
-    * `passthroughCols` ride along unchanged (streaming form). */
+    * `passthroughCols` ride along unchanged (streaming form).
+    *
+    * Defaults are the paper's constants: lines kept at ≥ 5 words,
+    * pages kept at ≥ 3 sentences. */
   def c4Clean(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text",
-              minWordsPerLine: Int = 3, minSentences: Int = 5,
+              minWordsPerLine: Int = 5, minSentences: Int = 3,
               passthroughCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val lines = split(t, "\n")

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** Session extension registering the graft native expressions as SQL
   * functions, so `spark.sql("SELECT array_dot_product(a, b)")` and
@@ -76,7 +76,39 @@ object GraftExtensions {
           intLiteral(children(1), "heavy_hitters_sketch: capacity")
         require(capacity >= 1,
           s"heavy_hitters_sketch: capacity must be >= 1, got $capacity")
-        HeavyHittersSketch(children.head, capacity).toAggregateExpression()
+        // return the raw AggregateFunction (sibling-sketch pattern):
+        // the analyzer wraps it itself, so FILTER/DISTINCT clauses
+        // still attach
+        HeavyHittersSketch(children.head, capacity)
+      }),
+    ("top_ngram_char_fraction",
+      new ExpressionInfo(classOf[NgramCharFraction].getName,
+        "top_ngram_char_fraction"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "top_ngram_char_fraction expects (text, n)")
+        NgramCharFraction(children.head,
+          intLiteral(children(1), "top_ngram_char_fraction: n"),
+          dup = false)
+      }),
+    ("dup_ngram_char_fraction",
+      new ExpressionInfo(classOf[NgramCharFraction].getName,
+        "dup_ngram_char_fraction"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "dup_ngram_char_fraction expects (text, n)")
+        NgramCharFraction(children.head,
+          intLiteral(children(1), "dup_ngram_char_fraction: n"),
+          dup = true)
+      }),
+    ("dup_segment_char_fraction",
+      new ExpressionInfo(classOf[DupSegmentCharFraction].getName,
+        "dup_segment_char_fraction"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "dup_segment_char_fraction expects (text, separator)")
+        DupSegmentCharFraction(children.head,
+          stringLiteral(children(1), "dup_segment_char_fraction: separator"))
       }),
     ("winnowed_fingerprints",
       new ExpressionInfo(classOf[WinnowedFingerprints].getName,
@@ -178,6 +210,13 @@ object GraftExtensions {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def stringLiteral(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 
   private def longLiteral(e: Expression, what: String): Long = e match {

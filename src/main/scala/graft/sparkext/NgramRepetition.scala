@@ -160,3 +160,95 @@ object DupSegmentCharFraction {
     ExpressionUtils.column(
       DupSegmentCharFraction(ExpressionUtils.expression(text), sep))
 }
+
+/** All of Gopher's n-gram repetition measurements in ONE token pass —
+  * the fused form of [[NgramCharFraction]]: emits
+  * `array<double>` of `topNs.map(top-fraction) ++ dupNs.map(
+  * dup-fraction)`, each element exactly equal to the corresponding
+  * single-width expression (same hashes, same cap, same zero cases).
+  *
+  * Why: the repetition gate needs 9 widths (top 2..4, dup 5..10);
+  * nine independent expressions each re-split the text and re-hash
+  * every word — ~9× the per-row CPU of this fused pass on what is
+  * designed to be a scan-speed ingest gate. Here the split, per-word
+  * FNV hashing, and length accounting happen once; only the per-width
+  * gram-counting loop (inherent work) repeats, reusing one cleared
+  * hash map. */
+case class NgramCharFractions(child: Expression, topNs: Seq[Int],
+                              dupNs: Seq[Int])
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  require((topNs ++ dupNs).forall(_ >= 1), "n-gram widths must be >= 1")
+  require(topNs.nonEmpty || dupNs.nonEmpty, "at least one width")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "ngram_char_fractions"
+
+  private val space = UTF8String.fromString(" ")
+  private val widths: Array[(Int, Boolean)] =
+    (topNs.map((_, false)) ++ dupNs.map((_, true))).toArray
+
+  import graft.functions.Hashing.{fnv1a, mix}
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val wordHash = new Array[Long](words.length)
+    val wordLen = new Array[Long](words.length)
+    var total = (words.length - 1).toLong
+    var i = 0
+    while (i < words.length) {
+      wordHash(i) = fnv1a(words(i).getBytes)
+      wordLen(i) = words(i).numChars().toLong
+      total += wordLen(i)
+      i += 1
+    }
+    val out = new Array[Any](widths.length)
+    val counts = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    var k = 0
+    while (k < widths.length) {
+      val (n, dup) = widths(k)
+      val m = words.length - n + 1
+      if (m <= 0 || total <= 0L) out(k) = 0.0
+      else {
+        counts.clear()
+        i = 0
+        while (i < m) {
+          var h = 42L
+          var len = (n - 1).toLong
+          var j = 0
+          while (j < n) {
+            h = mix(h, wordHash(i + j))
+            len += wordLen(i + j)
+            j += 1
+          }
+          val e = counts.get(h)
+          if (e == null) counts.put(h, Array(1L, len)) else e(0) += 1L
+          i += 1
+        }
+        var chars = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (dup) { if (e(0) >= 2L) chars += e(0) * e(1) }
+          else chars = math.max(chars, e(0) * e(1))
+        }
+        out(k) = math.min(chars.toDouble / total.toDouble, 1.0)
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramCharFractions =
+    copy(child = newChild)
+}
+
+object NgramCharFractions {
+  def apply(text: Column, topNs: Seq[Int], dupNs: Seq[Int]): Column =
+    ExpressionUtils.column(
+      NgramCharFractions(ExpressionUtils.expression(text), topNs, dupNs))
+}

@@ -311,8 +311,8 @@ object StreamOps {
     * Stateless per-row projection like the Gopher gates — append-mode,
     * no watermark, scan-speed on arrival. */
   def c4CleanStream(docs: Dataset[StreamDoc],
-                    minWordsPerLine: Int = 3,
-                    minSentences: Int = 5): DataFrame =
+                    minWordsPerLine: Int = 5,
+                    minSentences: Int = 3): DataFrame =
     graft.operators.TextAnalysis.c4Clean(
       docs.toDF(), "doc_id", "text", minWordsPerLine, minSentences,
       passthroughCols = Seq("ts"))

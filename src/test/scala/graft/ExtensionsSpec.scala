@@ -120,9 +120,41 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     // capacity 8 >= 3 distinct: exact counts, (count desc, term asc) order
     assert(rows == Seq(("a", 2L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+    // the builder returns a raw AggregateFunction, so SQL aggregate
+    // modifiers like FILTER still attach
+    val filtered = s.sql(
+      """select inline(heavy_hitters_sketch(split(t, ' '), 8)
+        |  filter (where t != 'b c'))
+        |from values ('a b a'), ('b c') as v(t)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(filtered == Seq(("a", 2L), ("b", 1L)))
     val e = intercept[Exception](s.sql(
       "select heavy_hitters_sketch(split('a', ' '), 1 + 1)").collect())
-    assert(e.getMessage.contains("capacity") || e.getCause != null)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("heavy_hitters_sketch: capacity")))
+  }
+
+  test("repetition-measure expressions are SQL-registered") {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.graftext.GraftExtensions.register(s)
+    // 'a b a b': total 7 chars; 'a b' occurs 2x at len 3 -> 6/7 for
+    // both the top-gram and the duplicated-gram form ('b a' is unique)
+    val top = s.sql("select top_ngram_char_fraction('a b a b', 2)")
+      .first().getDouble(0)
+    assert(math.abs(top - 6.0 / 7.0) < 1e-12)
+    val dup = s.sql("select dup_ngram_char_fraction('a b a b', 2)")
+      .first().getDouble(0)
+    assert(math.abs(dup - 6.0 / 7.0) < 1e-12)
+    // segments x, yy, x: 4 chars, duplicated 'x' covers 2 -> 0.5
+    val seg = s.sql("select dup_segment_char_fraction('x\nyy\nx', '\n')")
+      .first().getDouble(0)
+    assert(seg == 0.5)
+    val e = intercept[Exception](s.sql(
+      "select dup_segment_char_fraction('x', concat('a', 'b'))").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("separator")))
   }
 
   test("fromConfig builds a runner from (path, functionName) pairs") {

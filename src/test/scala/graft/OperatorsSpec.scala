@@ -210,7 +210,8 @@ class OperatorsSpec extends AnyFunSuite {
     val df = spark.createDataFrame(Seq(
       (1L, page), (2L, goodPage), (3L, lorem), (4L, code)))
       .toDF("doc_id", "text")
-    val out = TextAnalysis.c4Clean(df).collect()
+    val out = TextAnalysis
+      .c4Clean(df, minWordsPerLine = 3, minSentences = 5).collect()
       .map(r => r.getLong(0) -> r).toMap
     // line rules: terminal punctuation, >= 3 words, no "javascript"
     assert(out(1L).getString(1) ==
@@ -227,6 +228,18 @@ class OperatorsSpec extends AnyFunSuite {
     // clean sentences survive
     assert(out(3L).getLong(4) >= 5L && !out(3L).getBoolean(5)) // lorem ipsum
     assert(out(4L).getLong(4) >= 5L && !out(4L).getBoolean(5)) // '{' code page
+  }
+
+  test("c4Clean defaults are the published constants (5 words, 3 sentences)") {
+    // a 4-word line is dropped by default (Raffel 2020 keeps >= 5
+    // words) and a 3-sentence page is kept (paper drops < 3 sentences)
+    val df = spark.createDataFrame(Seq(
+      (1L, "Four word line here.\nThis five word line stays.\n" +
+        "Second five word line stays.\nThird five word line stays.")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(df).collect()(0)
+    assert(r.getLong(3) == 3L)    // 4-word line dropped
+    assert(r.getBoolean(5))       // 3 sentences: kept
   }
 
   test("rrfFuse combines ranked runs by reciprocal rank with doc tie-break") {

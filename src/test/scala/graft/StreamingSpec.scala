@@ -869,10 +869,10 @@ class StreamingSpec extends AnyFunSuite {
     // crafted multi-line pages (the corpus is single-line): one page
     // passing, one failing the sentence floor, one failing a page gate
     val pages = Seq(
-      1L -> (1 to 6).map(i => s"Sentence number $i stays.").mkString("\n"),
-      2L -> "Only one good line here.\nno punct",
+      1L -> (1 to 6).map(i => s"Sentence number $i stays here.").mkString("\n"),
+      2L -> "Only one good line stays.\nno punct",
       3L -> ("Lorem ipsum dolor sit amet.\n" +
-        (1 to 5).map(i => s"Sentence number $i stays.").mkString("\n")))
+        (1 to 5).map(i => s"Sentence number $i stays here.").mkString("\n")))
     val batchDf = s.createDataFrame(pages.map(p => (p._1, p._2)))
       .toDF("doc_id", "text")
     val batch = graft.operators.TextAnalysis.c4Clean(batchDf).collect()
