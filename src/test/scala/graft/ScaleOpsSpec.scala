@@ -161,6 +161,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("heavyHitterTokens plans a map-side partial sketch before one exchange") {
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.TextAnalysis.heavyHitterTokens(
+      docs, "text", groupCols = Seq("lang"), capacity = 256, topN = 5)
+    out.collect()
+    val plan = ScaleOpsSpec.finalPlan(out)
+    // the whole point of the sketch: the exchange must carry partial
+    // summaries (one <= capacity-counter state per partition per group),
+    // not exploded token rows — partial aggregate below the lang-keyed
+    // exchange, no Generate (explode) anywhere upstream of it
+    assert(plan.contains("partial_heavy_hitters_sketch"), plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    val beforeExchange = plan.substring(plan.indexOf("Exchange"))
+    assert(beforeExchange.contains("partial_heavy_hitters_sketch"), plan)
+  }
+
   test("IVF probe side is a narrow projection (no exchange, no window)") {
     val emb = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "embeddings")
