@@ -590,6 +590,20 @@ object Multimodal {
     if (palette == null || width <= 0 || height <= 0) return None
     val total = width.toLong * height
     if (total * 3 > (256L << 20)) return None // PNG's decode budget
+    gifLzwDecode(content, pos, total.toInt).flatMap { case (indices, _) =>
+      gifIndicesToRgb(indices, palette, width, height)
+    }
+  }
+
+  /** GIF-variant LZW decode of one image's data starting at `pos0` (the
+    * min-code byte): concatenates the sub-blocks, unpacks codes
+    * LSB-first (table of index STRINGS, rebuilt on every clear code),
+    * returns the `npix` palette indices and the position just past the
+    * data's block terminator. */
+  private def gifLzwDecode(content: Array[Byte], pos0: Int,
+                           npix: Int): Option[(Array[Byte], Int)] = {
+    def u8(i: Int) = content(i) & 0xff
+    var pos = pos0
     if (pos >= content.length) return None
     val minCode = u8(pos)
     pos += 1
@@ -602,12 +616,12 @@ object Multimodal {
       data.write(content, pos + 1, blockLen)
       pos += 1 + blockLen
     }
+    if (pos >= content.length) return None
+    pos += 1 // block terminator
     val bytes = data.toByteArray
-    // GIF-variant LZW: codes are packed LSB-first; the table holds
-    // index STRINGS, rebuilt on every clear code
     val clearCode = 1 << minCode
     val eoi = clearCode + 1
-    val indices = new Array[Byte](total.toInt)
+    val indices = new Array[Byte](npix)
     var out = 0
     var codeSize = minCode + 1
     var nextCode = eoi + 1
@@ -672,8 +686,13 @@ object Multimodal {
         prev = code
       }
     }
-    if (out < indices.length) return None
-    // palette lookup → dense RGB
+    if (out < indices.length) None else Some((indices, pos))
+  }
+
+  /** Palette lookup → dense RGB buffer (shared by the first-frame and
+    * animation decoders). */
+  private def gifIndicesToRgb(indices: Array[Byte], palette: Array[Byte],
+                              width: Int, height: Int): Option[PngImage] = {
     val nColors = palette.length / 3
     val px = new Array[Byte](indices.length * 3)
     var i = 0
@@ -686,6 +705,158 @@ object Multimodal {
       i += 1
     }
     Some(PngImage(width, height, 3, px))
+  }
+
+  /** One composited animation frame: the FULL logical-screen canvas
+    * after this frame is drawn, plus its GCE delay in centiseconds. */
+  private[graft] case class GifFrame(canvas: PngImage, delayCs: Int)
+
+  /** REAL animated-GIF decoder — every frame, composited per GIF89a:
+    * walks all image descriptors (not just the first), honoring each
+    * frame's Graphic Control Extension — transparency index (pixels
+    * show what is already on the canvas), disposal method 2 (restore
+    * the frame rect to the background color) and 3 (restore the canvas
+    * to its pre-frame state) — and each frame's local palette and
+    * logical-screen offset. Emits the full composited canvas per frame:
+    * the correct input for frame-level feature extraction, where a
+    * delta-encoded frame must be seen over what it was drawn on.
+    *
+    * Budget: the canvas obeys the shared 256 MB decode budget and
+    * frames are capped at `maxFrames` (default 4096) so an adversarial
+    * block list cannot run away. Interlaced frames return None → the
+    * ImageIO fallback; malformed streams return None → the stub. */
+  private[graft] def decodeGifFramesRaw(
+      content: Array[Byte],
+      maxFrames: Int = 4096): Option[Seq[GifFrame]] = {
+    def u8(i: Int) = content(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8) // little-endian
+    if (content.length < 13) return None
+    val sig = new String(content, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val screenW = u16(6)
+    val screenH = u16(8)
+    val screenFlags = u8(10)
+    val bgIndex = u8(11)
+    if (screenW <= 0 || screenH <= 0) return None
+    if (screenW.toLong * screenH * 3 > (256L << 20)) return None
+    var pos = 13
+    var globalPalette: Array[Byte] = null
+    if ((screenFlags & 0x80) != 0) {
+      val size = 3 * (2 << (screenFlags & 7))
+      if (pos + size > content.length) return None
+      globalPalette = java.util.Arrays.copyOfRange(content, pos, pos + size)
+      pos += size
+    }
+    // canvas starts as the background color (or black without a palette)
+    val canvas = new Array[Byte](screenW * screenH * 3)
+    if (globalPalette != null && bgIndex * 3 + 2 < globalPalette.length) {
+      var i = 0
+      while (i < canvas.length) {
+        canvas(i) = globalPalette(bgIndex * 3 + (i % 3))
+        i += 1
+      }
+    }
+    val frames = Seq.newBuilder[GifFrame]
+    var nFrames = 0
+    // pending GCE state (applies to the NEXT image descriptor only)
+    var transparentIdx = -1
+    var disposal = 0
+    var delayCs = 0
+    while (pos < content.length && u8(pos) != 0x3b) { // trailer
+      u8(pos) match {
+        case 0x21 => // extension
+          if (pos + 2 > content.length) return None
+          val label = u8(pos + 1)
+          pos += 2
+          if (label == 0xf9) { // graphic control extension
+            if (pos + 6 > content.length) return None
+            val sz = u8(pos) // always 4
+            val flags = u8(pos + 1)
+            delayCs = u16(pos + 2)
+            transparentIdx = if ((flags & 1) != 0) u8(pos + 4) else -1
+            disposal = (flags >> 2) & 7
+            pos += 1 + sz
+          }
+          while (pos < content.length && u8(pos) != 0) {
+            pos += 1 + u8(pos)
+          }
+          if (pos >= content.length) return None
+          pos += 1 // terminator
+        case 0x2c => // image descriptor
+          if (pos + 10 > content.length) return None
+          val fx = u16(pos + 1)
+          val fy = u16(pos + 3)
+          val fw = u16(pos + 5)
+          val fh = u16(pos + 7)
+          val imgFlags = u8(pos + 9)
+          pos += 10
+          if ((imgFlags & 0x40) != 0) return None // interlaced: ImageIO
+          var palette = globalPalette
+          if ((imgFlags & 0x80) != 0) {
+            val size = 3 * (2 << (imgFlags & 7))
+            if (pos + size > content.length) return None
+            palette = java.util.Arrays.copyOfRange(content, pos, pos + size)
+            pos += size
+          }
+          if (palette == null || fw <= 0 || fh <= 0) return None
+          if (fx + fw > screenW || fy + fh > screenH) return None
+          val lzw = gifLzwDecode(content, pos, fw * fh)
+          if (lzw.isEmpty) return None
+          val (indices, newPos) = lzw.get
+          pos = newPos
+          val nColors = palette.length / 3
+          // disposal 3 needs the pre-frame canvas back afterwards
+          val saved = if (disposal == 3) canvas.clone() else null
+          var y = 0
+          while (y < fh) {
+            var x = 0
+            while (x < fw) {
+              val idx = indices(y * fw + x) & 0xff
+              if (idx != transparentIdx) {
+                if (idx >= nColors) return None
+                val o = ((fy + y) * screenW + (fx + x)) * 3
+                canvas(o) = palette(idx * 3)
+                canvas(o + 1) = palette(idx * 3 + 1)
+                canvas(o + 2) = palette(idx * 3 + 2)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          frames += GifFrame(
+            PngImage(screenW, screenH, 3, canvas.clone()), delayCs)
+          nFrames += 1
+          if (nFrames >= maxFrames) return Some(frames.result())
+          disposal match {
+            case 2 => // restore the frame rect to the background color
+              val bg = new Array[Byte](3)
+              if (globalPalette != null &&
+                  bgIndex * 3 + 2 < globalPalette.length) {
+                bg(0) = globalPalette(bgIndex * 3)
+                bg(1) = globalPalette(bgIndex * 3 + 1)
+                bg(2) = globalPalette(bgIndex * 3 + 2)
+              }
+              var yy = 0
+              while (yy < fh) {
+                var xx = 0
+                while (xx < fw) {
+                  val o = ((fy + yy) * screenW + (fx + xx)) * 3
+                  canvas(o) = bg(0); canvas(o + 1) = bg(1)
+                  canvas(o + 2) = bg(2)
+                  xx += 1
+                }
+                yy += 1
+              }
+            case 3 => System.arraycopy(saved, 0, canvas, 0, canvas.length)
+            case _ => // 0/1: leave the canvas as drawn
+          }
+          // GCE state is one-shot
+          transparentIdx = -1; disposal = 0; delayCs = 0
+        case _ => return None // unknown block: malformed
+      }
+    }
+    val out = frames.result()
+    if (out.isEmpty) None else Some(out)
   }
 
   /** Batched feature extraction over the asset table: one decoder pass per
@@ -937,7 +1108,9 @@ object Multimodal {
     * fixed-size `frameBytes` frames and keeps every `everyN`-th one,
     * exploded to (id, frame_index, frame). The chunk arithmetic and
     * explode are the real distributed plumbing; for real video, frame
-    * boundaries come from the container parser instead of fixed stride. */
+    * boundaries come from the container parser instead of fixed stride
+    * — [[sampleGifFrames]] is that real path for the one motion format
+    * this environment can decode. */
   def sampleFrames(assets: DataFrame, frameBytes: Int,
                    everyN: Int): DataFrame = {
     val nFrames = ceil(octet_length(col("content")).cast("double") / frameBytes)
@@ -950,6 +1123,63 @@ object Multimodal {
       .select(col("id"), col("frame_index"),
         expr(s"substring(content, frame_index * $frameBytes + 1, $frameBytes)")
           .as("frame"))
+  }
+
+  /** Per-frame row produced by [[sampleGifFrames]]. */
+  val GifFrameSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("frame_index", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("delay_cs", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** REAL video-style frame sampling for `image/gif` payloads: decodes
+    * EVERY animation frame with full GIF89a compositing
+    * ([[decodeGifFramesRaw]] — transparency, disposal methods, local
+    * palettes, screen offsets), keeps every `everyN`-th composited
+    * canvas, and emits one row per kept frame with its dimensions,
+    * GCE delay and per-channel means — the per-frame feature shape a
+    * video pipeline feeds to a sampler or embedder. Animated GIF is the
+    * one motion format this environment can decode without an external
+    * codec; a container parser for real video would slot into the same
+    * mapPartitions dispatch and row shape. Non-GIF and malformed rows
+    * are dropped (features for stills are [[extractFeatures]]'s job);
+    * the per-payload frame count and canvas obey the decode budget. */
+  def sampleGifFrames(assets: DataFrame, everyN: Int = 1): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val enc = ExpressionEncoder(GifFrameSchema)
+    assets.select(col("id"), col("content"), col("meta.mime").as("mime"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val mime = r.getString(2)
+          val frames =
+            if (mime != "image/gif") None
+            else scala.util.Try(
+              decodeGifFramesRaw(r.getAs[Array[Byte]](1))).toOption.flatten
+          frames.toSeq.flatMap { fs =>
+            fs.zipWithIndex
+              .filter { case (_, i) => i % everyN == 0 }
+              .map { case (GifFrame(img, delay), i) =>
+                var (sr, sg, sb) = (0.0, 0.0, 0.0)
+                var p = 0
+                while (p < img.pixels.length) {
+                  sr += (img.pixels(p) & 0xff)
+                  sg += (img.pixels(p + 1) & 0xff)
+                  sb += (img.pixels(p + 2) & 0xff)
+                  p += 3
+                }
+                val n = (img.width.toLong * img.height).toDouble
+                Row(id, i, fs.size, img.width, img.height, delay,
+                  sr / n, sg / n, sb / n)
+              }
+          }
+        }
+      }(enc)
   }
 
   /** Repartition so each partition carries roughly `targetBytes` of

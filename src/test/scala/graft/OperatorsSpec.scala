@@ -1724,6 +1724,101 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.decodeStub(2L, gif.dropRight(12)).getSeq[Double](3))
   }
 
+  test("sampleGifFrames composites every animation frame per GIF89a") {
+    val s = spark
+    import s.implicits._
+    val (w, h) = (4, 3)
+    // palette: 0 red (also background), 1 green, 2 blue, 3 white
+    val palette = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255))
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    def u16(v: Int): Unit = { out += (v & 0xff).toByte; out += (v >> 8).toByte }
+    val minCode = 2
+    // trivial GIF LZW: a clear code before every root code, so the code
+    // width never grows and every index is wire-encoded literally
+    def lzwTrivial(indices: Seq[Int]): Array[Byte] = {
+      val clear = 1 << minCode
+      val codes = indices.flatMap(i => Seq(clear, i)) :+ (clear + 1)
+      val cs = minCode + 1
+      val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
+      var acc = 0L
+      var bits = 0
+      codes.foreach { c =>
+        acc |= c.toLong << bits
+        bits += cs
+        while (bits >= 8) { bytes += (acc & 0xff).toByte; acc >>= 8; bits -= 8 }
+      }
+      if (bits > 0) bytes += (acc & 0xff).toByte
+      bytes.toArray
+    }
+    def gce(delayCs: Int, disposal: Int, transparent: Int): Unit = {
+      out += 0x21.toByte; out += 0xf9.toByte; out += 4
+      out += ((disposal << 2) | (if (transparent >= 0) 1 else 0)).toByte
+      u16(delayCs)
+      out += (if (transparent >= 0) transparent else 0).toByte
+      out += 0 // terminator
+    }
+    def frame(fx: Int, fy: Int, fw: Int, fh: Int, indices: Seq[Int]): Unit = {
+      out += 0x2c.toByte
+      u16(fx); u16(fy); u16(fw); u16(fh)
+      out += 0 // no local table, not interlaced
+      out += minCode.toByte
+      lzwTrivial(indices).grouped(255).foreach { blk =>
+        out += blk.length.toByte; out ++= blk
+      }
+      out += 0 // block terminator
+    }
+    out ++= "GIF89a".getBytes("US-ASCII")
+    u16(w); u16(h)
+    out += 0x91.toByte // global table, 4 entries
+    out += 0 // background index 0 (red)
+    out += 0
+    palette.foreach { case (r, g, b) =>
+      out += r.toByte; out += g.toByte; out += b.toByte }
+    gce(10, 1, -1); frame(0, 0, w, h, Seq.fill(12)(3)) // full white
+    gce(20, 2, -1); frame(1, 1, 2, 1, Seq(1, 1)) // green dash, dispose-to-bg
+    // full blue with a transparent hole at (1,1) — the hole must show
+    // the DISPOSED canvas (red), not the green that was there
+    gce(30, 1, 1); frame(0, 0, w, h, Seq.tabulate(12)(i => if (i == 5) 1 else 2))
+    out += 0x3b.toByte // trailer
+    val gif = out.toArray
+    val frames = Multimodal.decodeGifFramesRaw(gif).get
+    assert(frames.size == 3)
+    assert(frames.map(_.delayCs) == Seq(10, 20, 30))
+    def means(f: graft.operators.Multimodal.GifFrame): (Double, Double, Double) = {
+      val px = f.canvas.pixels
+      val n = px.length / 3
+      var (r, g, b) = (0.0, 0.0, 0.0)
+      for (i <- 0 until n) {
+        r += px(i * 3) & 0xff; g += px(i * 3 + 1) & 0xff
+        b += px(i * 3 + 2) & 0xff
+      }
+      (r / n, g / n, b / n)
+    }
+    assert(means(frames(0)) == ((255.0, 255.0, 255.0))) // all white
+    // white canvas + 2 green pixels
+    assert(means(frames(1)) ==
+      ((10 * 255 / 12.0, 255.0, 10 * 255 / 12.0)))
+    // all blue except the hole showing disposed-to-background red
+    assert(means(frames(2)) == ((255 / 12.0, 0.0, 11 * 255 / 12.0)))
+    // distributed surface: everyN=2 keeps frames 0 and 2; non-GIF and
+    // malformed rows are dropped
+    val assets = Seq((1L, gif, "image/gif"), (2L, gif, "text/plain"),
+        (3L, gif.dropRight(10), "image/gif"))
+      .toDF("id", "content", "mime")
+      .select(col("id"), col("content"),
+        struct(col("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val rows = Multimodal.sampleGifFrames(assets, everyN = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8))).sortBy(_._2)
+    assert(rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSeq ==
+      Seq((1L, 0, 3, w, h, 10), (1L, 2, 3, w, h, 30)))
+    assert((rows(0)._7, rows(0)._8, rows(0)._9) == ((255.0, 255.0, 255.0)))
+    assert((rows(1)._7, rows(1)._8, rows(1)._9) ==
+      ((255 / 12.0, 0.0, 11 * 255 / 12.0)))
+  }
+
   test("resizePng resamples and re-encodes; identity roundtrip is lossless") {
     import java.util.zip.{CRC32, Deflater}
     val s = spark
