@@ -1084,6 +1084,28 @@ $joins"""
           count(lit(1)).as("n_orders"))
     }),
 
+    // bloom semi-join reduction: a selective dimension (one mktsegment,
+    // ~1/5 of customers) is sketched into a bloom filter and the fact
+    // side is might_contain-filtered BEFORE its shuffle — no false
+    // negatives, so the result equals the plain join row-for-row (the
+    // oracle); false positives only cost shuffle rows. The explicit
+    // form of the optimizer's runtime filter, guaranteed at any size
+    "q_join_bloom" -> ((s, dir) => {
+      val fact = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_nationkey"))
+      graft.operators.Joins.bloomReducedJoin(fact, dim,
+          "o_custkey", "c_custkey")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // semi/anti join: segments of customers with vs without orders
     "q_join_semi" -> ((s, dir) => {
       val customer = t(s, dir, "customer")
@@ -2750,6 +2772,19 @@ $joins"""
           |  count(*) AS n_orders
           |FROM orders o
           |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY 1""".stripMargin,
+
+      // the bloom pre-filter must be invisible in the result: the
+      // oracle is the PLAIN join over the filtered dimension
+      "q_join_bloom" ->
+        """SELECT n.n_name AS n_name,
+          |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue,
+          |  count(*) AS n_orders
+          |FROM orders o
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |  AND c.c_mktsegment = 'BUILDING'
           |JOIN nation n ON c.c_nationkey = n.n_nationkey
           |GROUP BY 1""".stripMargin,
 

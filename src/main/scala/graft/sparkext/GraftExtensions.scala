@@ -81,6 +81,42 @@ object GraftExtensions {
         // still attach
         HeavyHittersSketch(children.head, capacity)
       }),
+    ("bloom_filter_sketch",
+      new ExpressionInfo(classOf[BloomKit.type].getName,
+        "bloom_filter_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "bloom_filter_sketch expects (key, expectedItems, fpp)")
+        val expected =
+          longLiteral(children(1), "bloom_filter_sketch: expectedItems")
+        require(expected > 0,
+          s"bloom_filter_sketch: expectedItems must be > 0, got $expected")
+        val fpp = children(2) match {
+          case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+          case other => throw new IllegalArgumentException(
+            s"bloom_filter_sketch: fpp must be a double literal, got $other")
+        }
+        require(fpp > 0 && fpp < 1,
+          s"bloom_filter_sketch: fpp must be in (0, 1), got $fpp")
+        val bits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(expected, fpp)
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+            new org.apache.spark.sql.catalyst.expressions.XxHash64(
+              Seq(children.head)),
+            Literal(expected), Literal(bits))
+      }),
+    ("bloom_might_contain",
+      new ExpressionInfo(classOf[BloomKit.type].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "bloom_might_contain expects (bloom, key)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head,
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(children(1))))
+      }),
     ("top_ngram_char_fraction",
       new ExpressionInfo(classOf[NgramCharFraction].getName,
         "top_ngram_char_fraction"),

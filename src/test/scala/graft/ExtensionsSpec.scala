@@ -157,6 +157,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("separator")))
   }
 
+  test("bloom sketch and probe are SQL-registered (subquery build side)") {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.graftext.GraftExtensions.register(s)
+    // keys 1..3 in the filter: 2 must be maybe-present, 99 can be
+    // definitely absent at this fpp with near-certainty
+    val rows = s.sql(
+      """select k, bloom_might_contain(
+        |  (select bloom_filter_sketch(v, 100, 0.001d)
+        |   from values (1L), (2L), (3L) as b(v)), k)
+        |from values (2L), (99L) as q(k)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(rows(2L)) // no false negatives, ever
+    assert(!rows(99L)) // 1e-3 fpp on a 2-key probe: absent stays absent
+    val e = intercept[Exception](s.sql(
+      "select bloom_filter_sketch(1L, 100, 2.0d)").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("fpp")))
+  }
+
   test("fromConfig builds a runner from (path, functionName) pairs") {
     import SparkTestSession._
     val r = Functioniser.fromConfig(Seq(

@@ -242,6 +242,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getBoolean(5))       // 3 sentences: kept
   }
 
+  test("bloomReducedJoin equals the plain join (no false negatives)") {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val dim = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_nationkey")
+    val fact = orders.select("o_custkey", "o_totalprice")
+    val plain = fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val bloomed = Joins.bloomReducedJoin(fact, dim, "o_custkey", "c_custkey")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(bloomed == plain && plain.nonEmpty)
+    // left_semi form: fact rows whose key is present, exactly
+    val semiPlain = fact
+      .join(dim, fact("o_custkey") === dim("c_custkey"), "left_semi").count()
+    val semiBloom = Joins.bloomReducedJoin(fact, dim,
+      "o_custkey", "c_custkey", joinType = "left_semi").count()
+    assert(semiBloom == semiPlain && semiPlain > 0)
+    // the pre-filter genuinely reduces the fact side BEFORE the join:
+    // at fpp 0.01 the survivor count must sit near the true match
+    // count, far below the full fact table
+    val expected = math.max(1L, dim.count())
+    val bloom = dim.agg(org.apache.spark.sql.graftext.BloomKit
+      .bloomAgg(col("c_custkey"), expected, 0.01)).head().getAs[Array[Byte]](0)
+    val survivors = fact.filter(org.apache.spark.sql.graftext.BloomKit
+      .mightContain(bloom, col("o_custkey"))).count()
+    val factN = fact.count()
+    assert(survivors >= semiPlain && survivors < factN,
+      s"survivors=$survivors semi=$semiPlain fact=$factN")
+  }
+
   test("rrfFuse combines ranked runs by reciprocal rank with doc tie-break") {
     val s = spark
     import s.implicits._
