@@ -318,6 +318,19 @@ $joins"""
       TextAnalysis.heavyHitterTokens(t(s, dir, "documents"), "text",
         groupCols = Seq("lang"), capacity = 256, topN = 10)),
 
+    // per-language vocabulary size via the KMV distinct sketch: the
+    // exchange carries <= k 8-byte hashes per group regardless of
+    // vocabulary. k = 16 < the per-lang distinct count, so this runs in
+    // the REAL sketch regime — and is still fully oracled, because the
+    // KMV estimate is a pure function of the hashed-token SET (MD5-48bit,
+    // the repo's externally-replicable hash), independent of
+    // partitioning; DuckDB reproduces the k-th-smallest-hash estimator
+    // bit-for-bit (unlike HLL, whose register layout no external engine
+    // replicates)
+    "q_text_distinct" -> ((s, dir) =>
+      TextAnalysis.approxDistinctTokens(t(s, dir, "documents"), "text",
+        groupCols = Seq("lang"), k = 16)),
+
     // BPE tokenizer training (Sennrich 2016) on top of the vocab
     // statistics: 6 pair-merge rounds, pair count weighted by word
     // frequency, deterministic (count desc, pair asc) tie-break — the
@@ -1864,6 +1877,32 @@ $joins"""
           |  FROM agg)
           |SELECT lang, rank, term, count_lb, CAST(0 AS BIGINT) AS max_err
           |FROM ranked WHERE rank <= 10""".stripMargin,
+
+      // KMV distinct estimator replicated exactly: k-th smallest
+      // distinct MD5-48bit hash per group, estimate = (k-1)*2^48/h_(k)
+      // — each operand one BIGINT->DOUBLE rounding then one IEEE
+      // division, matching the sketch's arithmetic bit-for-bit
+      "q_text_distinct" ->
+        """WITH tok AS (
+          |  SELECT lang, unnest(string_split(text, ' ')) AS token
+          |  FROM documents),
+          |h AS (
+          |  SELECT DISTINCT lang,
+          |    (('0x' || substr(md5(token), 1, 12))::BIGINT) AS hv
+          |  FROM tok),
+          |ranked AS (
+          |  SELECT lang, hv,
+          |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS r,
+          |    count(*) OVER (PARTITION BY lang) AS nd
+          |  FROM h)
+          |SELECT lang,
+          |  CASE WHEN max(nd) < 16 THEN CAST(max(nd) AS DOUBLE)
+          |       ELSE CAST(15 * 281474976710656 AS DOUBLE)
+          |            / CAST(max(CASE WHEN r = 16 THEN hv END) AS DOUBLE)
+          |  END AS est_distinct,
+          |  CAST(LEAST(max(nd), 16) AS INTEGER) AS kept,
+          |  max(nd) < 16 AS exact
+          |FROM ranked GROUP BY lang""".stripMargin,
 
       "q_text_repetition" ->
         s"""WITH toks AS (

@@ -567,6 +567,34 @@ object TextAnalysis {
         col("col.max_err").as("max_err")): _*)
   }
 
+  /** Approximate distinct-token (vocabulary-size) count per group via a
+    * k-minimum-values sketch ([[org.apache.spark.sql.graftext.KmvDistinctSketch]]).
+    *
+    * Scale story: exact `count(distinct)` shuffles every distinct key
+    * (unbounded in vocabulary); this exchange carries ≤ k 8-byte hashes
+    * per group. Unlike HLL (`approx_count_distinct`), the KMV estimate
+    * is a pure function of the SET of hashed tokens — independent of
+    * partitioning and row order — and uses the repo's standard MD5-48bit
+    * hash, so an external SQL engine replicates it bit-for-bit: a fully
+    * oracle-able approximate distinct count, in the SKETCH regime, not
+    * just a degenerate exact one. Relative error ~1/sqrt(k-2).
+    *
+    * Emits one row per group: groupCols + (est_distinct double,
+    * kept int, exact boolean). */
+  def approxDistinctTokens(docs: DataFrame, textCol: String = "text",
+                           groupCols: Seq[String] = Nil,
+                           k: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.graftext.KmvDistinctSketch
+    val sketch = KmvDistinctSketch(tokens(col(textCol)), k).as("kmv")
+    val agged =
+      if (groupCols.isEmpty) docs.groupBy().agg(sketch)
+      else docs.groupBy(groupCols.map(col): _*).agg(sketch)
+    agged.select(groupCols.map(col) ++ Seq(
+      col("kmv.estimate").as("est_distinct"),
+      col("kmv.kept").as("kept"),
+      col("kmv.exact").as("exact")): _*)
+  }
+
   /** Convenience: annotate a documents table with the full analysis set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

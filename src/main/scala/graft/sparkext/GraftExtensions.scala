@@ -81,6 +81,17 @@ object GraftExtensions {
         // still attach
         HeavyHittersSketch(children.head, capacity)
       }),
+    ("kmv_distinct_sketch",
+      new ExpressionInfo(classOf[KmvDistinctSketch].getName,
+        "kmv_distinct_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "kmv_distinct_sketch expects (tokens, k)")
+        val k = intLiteral(children(1), "kmv_distinct_sketch: k")
+        require(k >= 2,
+          s"kmv_distinct_sketch: k must be >= 2, got $k")
+        KmvDistinctSketch(children.head, k)
+      }),
     ("bloom_filter_sketch",
       new ExpressionInfo(classOf[BloomKit.type].getName,
         "bloom_filter_sketch"),

@@ -333,6 +333,20 @@ object StreamOps {
     graft.operators.TextAnalysis.heavyHitterTokens(
       docs, textCol, groupCols, capacity, topN)
 
+  /** Streaming distinct-token estimation — the Structured Streaming form
+    * of `TextAnalysis.approxDistinctTokens` (running vocabulary size per
+    * group via the KMV sketch aggregate): identical batch code on the
+    * unbounded stream, complete-mode output. Per-group state is the
+    * sketch's own buffer — at most `k` 8-byte hashes regardless of
+    * vocabulary, bounded forever without a watermark; and because the
+    * KMV estimate depends only on the hashed-token SET, the running
+    * answer after any prefix equals the batch answer on that prefix. */
+  def approxDistinctTokensStream(docs: DataFrame, textCol: String = "text",
+                                 groupCols: Seq[String] = Nil,
+                                 k: Int = 1024): DataFrame =
+    graft.operators.TextAnalysis.approxDistinctTokens(
+      docs, textCol, groupCols, k)
+
   /** Streaming ingest dedup against a persisted LSH signature store —
     * the Structured Streaming form of
     * `Dedup.minHashLshPairsAgainstStore`: each arriving document is

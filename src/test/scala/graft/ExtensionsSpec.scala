@@ -135,6 +135,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("heavy_hitters_sketch: capacity")))
   }
 
+  test("kmv_distinct_sketch aggregates from SQL with literal k") {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.graftext.GraftExtensions.register(s)
+    val r = s.sql(
+      """select kmv.* from (
+        |  select kmv_distinct_sketch(split(t, ' '), 4) as kmv
+        |  from values ('a b a'), ('b c') as v(t))""".stripMargin).first()
+    // 3 distinct < k = 4: exact regime
+    assert((r.getDouble(0), r.getInt(1), r.getBoolean(2)) == ((3.0, 3, true)))
+    // raw-AggregateFunction builder: FILTER attaches
+    val f = s.sql(
+      """select kmv.kept from (
+        |  select kmv_distinct_sketch(split(t, ' '), 4)
+        |    filter (where t != 'b c') as kmv
+        |  from values ('a b a'), ('b c') as v(t))""".stripMargin)
+      .first().getInt(0)
+    assert(f == 2)
+    val e = intercept[Exception](s.sql(
+      "select kmv_distinct_sketch(split('a', ' '), 1)").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("kmv_distinct_sketch: k")))
+  }
+
   test("repetition-measure expressions are SQL-registered") {
     val s = SparkTestSession.spark
     org.apache.spark.sql.graftext.GraftExtensions.register(s)

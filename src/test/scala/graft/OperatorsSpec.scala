@@ -141,6 +141,51 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("approxDistinctTokens exact regime: true distinct count, any partitioning") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'en', 'a b a b c'),
+        |  (2L, 'en', 'b d'),
+        |  (3L, 'fr', 'x y x') as t(doc_id, lang, text)""".stripMargin)
+      .repartition(5)
+    val out = TextAnalysis.approxDistinctTokens(df, "text",
+        groupCols = Seq("lang"), k = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2),
+        r.getBoolean(3))).toSet
+    // fewer distinct tokens than k: every hash kept, count exact
+    assert(out == Set(("en", 4.0, 4, true), ("fr", 2.0, 2, true)))
+  }
+
+  test("approxDistinctTokens sketch regime: KMV estimate, partition-order independent") {
+    import spark.implicits._
+    val texts = (0 until 500).map(i => f"w$i%03d")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val k = 32
+    def run(parts: Int): (Double, Int, Boolean) = {
+      val r = TextAnalysis.approxDistinctTokens(df.repartition(parts),
+        "text", k = k).collect().head
+      (r.getDouble(0), r.getInt(1), r.getBoolean(2))
+    }
+    val (est, kept, exact) = run(1)
+    assert(kept == k && !exact)
+    // the estimate is a pure function of the hashed-token SET, so any
+    // partitioning yields the identical double — the property the
+    // external oracle relies on
+    assert(run(7) == ((est, kept, exact)) && run(32) == ((est, kept, exact)))
+    // independently recompute the estimator from first principles
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = texts.map { t =>
+      md.reset()
+      md.digest(t.getBytes("UTF-8")).take(6)
+        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }.distinct.sorted
+    val expected = ((k - 1).toLong << 48).toDouble / hashes(k - 1).toDouble
+    assert(est == expected)
+    // ~1/sqrt(k-2) relative error: generous 3-sigma-ish envelope
+    assert(math.abs(est - 500.0) / 500.0 < 0.6)
+  }
+
   test("repetitionScores computes duplicated n-gram fractions per doc") {
     val df = spark.sql(
       """select * from values

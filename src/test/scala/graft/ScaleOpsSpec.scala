@@ -178,6 +178,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(beforeExchange.contains("partial_heavy_hitters_sketch"), plan)
   }
 
+  test("approxDistinctTokens plans a map-side partial sketch before one exchange") {
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.TextAnalysis.approxDistinctTokens(
+      docs, "text", groupCols = Seq("lang"), k = 64)
+    out.collect()
+    val plan = ScaleOpsSpec.finalPlan(out)
+    // the exchange must carry <= k-hash partial states per group, not
+    // one row per distinct token (the count(distinct) shape this
+    // replaces): partial sketch below the single lang-keyed exchange
+    assert(plan.contains("partial_kmv_distinct_sketch"), plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    val beforeExchange = plan.substring(plan.indexOf("Exchange"))
+    assert(beforeExchange.contains("partial_kmv_distinct_sketch"), plan)
+  }
+
   test("IVF probe side is a narrow projection (no exchange, no window)") {
     val emb = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "embeddings")

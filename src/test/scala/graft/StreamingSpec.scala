@@ -119,6 +119,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("approxDistinctTokensStream matches batch KMV in complete mode") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // SKETCH regime (k = 16 < per-lang vocabulary): the running
+    // estimate still equals a batch pass over everything seen, because
+    // KMV is a pure function of the hashed-token set — chunking-proof
+    val docsDf = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(80).select("doc_id", "lang", "text")
+    val docs = docsDf.collect()
+      .map(r => LangDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    val batch = graft.operators.TextAnalysis
+      .approxDistinctTokens(docsDf, "text", Seq("lang"), k = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2),
+        r.getBoolean(3))).toSet
+    val input = MemoryStream[LangDoc]
+    val out = StreamOps.approxDistinctTokensStream(input.toDF(), "text",
+      Seq("lang"), k = 16)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    (0 until 2).foreach { c =>
+      input.addData(docs.filter(_.doc_id % 2 == c).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.sql("select * from kmv_stream").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2),
+        r.getBoolean(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("windowedStats aggregates a watermarked stream") {
     val s = spark
     import s.implicits._
