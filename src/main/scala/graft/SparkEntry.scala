@@ -881,6 +881,21 @@ $joins"""
         keepCols = Seq("lang"))
     }),
 
+    // Cavnar-Trenkle rank-order language ID: per-lang char-trigram rank
+    // profiles from the train split (a labels x topN broadcast model),
+    // out-of-place distance with a topN penalty per unmatched doc gram.
+    // topM = 30 < the per-doc trigram inventory, so the doc-profile
+    // cutoff, the penalty base term, and the matched-gram adjustment
+    // are all exercised; integer arithmetic end-to-end
+    "q_text_langid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextClassify.rankOrderClassify(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        labelCol = "lang", idCol = "doc_id", textCol = "text",
+        n = 3, topN = 50, topM = 30, keepCols = Seq("lang"))
+    }),
+
     // token-budget sequence packing: concat-then-chunk assignment per
     // language shard, one row per pack
     "q_text_pack" -> ((s, dir) =>
@@ -1593,6 +1608,57 @@ $joins"""
           |  FROM ranked
           |)
           |SELECT b.doc_id, b.pred_label, b.score, t.lang
+          |FROM best b JOIN test t USING (doc_id) WHERE b.rn = 1""".stripMargin,
+
+      // Cavnar-Trenkle out-of-place replica: per-label and per-doc
+      // char-trigram rank profiles with (count desc, gram asc)
+      // tie-breaks, distance = m*topN + SUM(|dr - lr| - topN) over
+      // matched grams — all-integer, so engine-exact by construction
+      "q_text_langid" ->
+        """WITH train AS (
+          |  SELECT * FROM documents WHERE doc_id % 10 <> 0
+          |), test AS (
+          |  SELECT * FROM documents WHERE doc_id % 10 = 0
+          |), tg AS (
+          |  SELECT label, substr(text, CAST(i AS INT), 3) AS gram
+          |  FROM (SELECT lang AS label, text,
+          |          unnest(range(1, greatest(length(text) - 1, 1))) AS i
+          |        FROM train)
+          |), prof AS (
+          |  SELECT label, gram,
+          |    row_number() OVER (PARTITION BY label
+          |      ORDER BY count(*) DESC, gram) AS lr
+          |  FROM tg GROUP BY 1, 2
+          |  QUALIFY lr <= 50
+          |), dg AS (
+          |  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+          |  FROM (SELECT doc_id, text,
+          |          unnest(range(1, greatest(length(text) - 1, 1))) AS i
+          |        FROM test)
+          |), dr AS (
+          |  SELECT doc_id, gram,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY count(*) DESC, gram) AS dr
+          |  FROM dg GROUP BY 1, 2
+          |  QUALIFY dr <= 30
+          |), m AS (
+          |  SELECT doc_id, count(*)::BIGINT AS m FROM dr GROUP BY 1
+          |), adj AS (
+          |  SELECT d.doc_id, p.label,
+          |    CAST(sum(abs(d.dr - p.lr) - 50) AS BIGINT) AS adj
+          |  FROM dr d JOIN prof p USING (gram) GROUP BY 1, 2
+          |), dist AS (
+          |  SELECT m.doc_id, l.label,
+          |    CAST(m.m * 50 + COALESCE(a.adj, 0) AS BIGINT) AS dist
+          |  FROM m CROSS JOIN (SELECT DISTINCT label FROM prof) l
+          |  LEFT JOIN adj a ON a.doc_id = m.doc_id AND a.label = l.label
+          |), best AS (
+          |  SELECT doc_id, label AS pred_label, dist,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY dist, label) AS rn
+          |  FROM dist
+          |)
+          |SELECT b.doc_id, b.pred_label, b.dist, t.lang
           |FROM best b JOIN test t USING (doc_id) WHERE b.rn = 1""".stripMargin,
 
       // mirrors TextSearch.bm25TopK exactly: same smoothed idf, same

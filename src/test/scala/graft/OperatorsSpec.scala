@@ -2439,4 +2439,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(12L)._1 == "x")
     assert(got.values.forall(_._2 < 0.0))
   }
+
+  test("charNgrams slices full n-char windows and guards short text") {
+    val rows = spark.sql("select * from values ('abcd'), ('ab'), ('') as t(s)")
+      .select(TextClassify.charNgrams(col("s"), 3).as("g"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    // 'ab' and '' are shorter than n: empty array, NOT sequence(1, 0)
+    // (which Spark counts DOWN through)
+    assert(rows == Seq(Seq("abc", "bcd"), Seq(), Seq()))
+  }
+
+  test("rankOrderClassify: out-of-place distances, penalties, label-asc tie-break") {
+    val train = spark.sql(
+      """select * from values
+        |  (1L, 'aaaa', 'aa'), (2L, 'bbbb', 'bb')
+        |  as t(doc_id, text, lab)""".stripMargin)
+    val test_ = spark.sql(
+      """select * from values
+        |  (10L, 'aaab', 'aa'), (11L, 'bbbc', 'bb'), (12L, 'cccc', '?')
+        |  as t(doc_id, text, lab)""".stripMargin)
+    val got = TextClassify.rankOrderClassify(train, test_,
+        labelCol = "lab", idCol = "doc_id", textCol = "text",
+        n = 3, topN = 5, topM = 5, keepCols = Seq("lab"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_label"), r.getAs[Long]("dist"))).toMap
+    // profiles: aa -> [(aaa, 1)], bb -> [(bbb, 1)].
+    // doc 10 grams ranked (count desc, gram asc): aaa->1, aab->2; m=2.
+    // dist(aa) = 2*5 + (|1-1| - 5) = 5; dist(bb) = 10 (no matches)
+    assert(got(10L) == (("aa", 5L)))
+    assert(got(11L) == (("bb", 5L)))
+    // doc 12 matches neither profile: both dists are m*topN = 5 and the
+    // label-asc tie-break picks aa
+    assert(got(12L) == (("aa", 5L)))
+  }
 }

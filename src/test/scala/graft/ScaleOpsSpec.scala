@@ -194,6 +194,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(beforeExchange.contains("partial_kmv_distinct_sketch"), plan)
   }
 
+  test("rankOrderClassify joins the profile model by broadcast only") {
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.TextClassify.rankOrderClassify(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      labelCol = "lang", idCol = "doc_id", textCol = "text",
+      n = 3, topN = 50, topM = 30)
+    out.collect()
+    val plan = ScaleOpsSpec.finalPlan(out)
+    // the model (labels x topN) and the label list must ride as
+    // broadcasts; a sort-merge join here would shuffle the corpus
+    // against a fixed-size model
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("IVF probe side is a narrow projection (no exchange, no window)") {
     val emb = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "embeddings")
