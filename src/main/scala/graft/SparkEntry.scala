@@ -61,6 +61,53 @@ SELECT merge_rank, l AS left_sym, r AS right_sym, merged, pc AS pair_count
 FROM ($union)"""
   }
 
+  /** Unrolled DuckDB replica of trainBpe + bpeTokenize composed: the
+    * same merge rounds as [[bpeOracleSql]] but carrying the TOKEN key
+    * through every rewrite, so the final vocabulary frame w{n} IS the
+    * encoded form of each distinct word; per-doc subword rows then come
+    * from an ordered word unnest joined against it. Replicates
+    * (id, word_pos, sym_pos, subword) exactly — both folds are the same
+    * greedy left-to-right non-overlapping merge. */
+  private def bpeEncodeOracleSql(numMerges: Int, docFilter: String): String = {
+    val rounds = (0 until numMerges).map { k =>
+      s"""p$k AS (
+  SELECT syms[i+1] AS l, syms[i+2] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+  FROM w$k, unnest(range(CAST(len(syms) - 1 AS BIGINT))) AS t(i)
+  GROUP BY 1, 2
+), t$k AS (
+  SELECT l, r, l || r AS merged
+  FROM p$k ORDER BY pc DESC, l, r LIMIT 1
+), w${k + 1} AS (
+  SELECT token, cnt,
+    string_split(list_reduce(list_prepend('', syms), (acc, x) ->
+      CASE WHEN acc = '' THEN x
+           WHEN x = m.r AND (acc = m.l OR
+                right(acc, length(m.l) + 1) = ' ' || m.l)
+           THEN left(acc, length(acc) - length(m.l)) || m.merged
+           ELSE acc || ' ' || x END), ' ') AS syms
+  FROM w$k CROSS JOIN t$k m
+)"""
+    }.mkString(", ")
+    s"""WITH w0 AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+    [substring(token, i, 1) FOR i IN range(1, length(token) + 1)] AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token
+), $rounds,
+words AS (
+  SELECT doc_id AS id, CAST(i - 1 AS INT) AS word_pos, w[CAST(i AS INT)] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE $docFilter),
+       unnest(range(1, CAST(len(w) + 1 AS BIGINT))) AS t(i)
+  WHERE w[CAST(i AS INT)] <> ''
+)
+SELECT words.id, words.word_pos, CAST(j - 1 AS INT) AS sym_pos,
+  syms[CAST(j AS INT)] AS subword
+FROM words JOIN w$numMerges USING (token),
+     unnest(range(1, CAST(len(syms) + 1 AS BIGINT))) AS u(j)"""
+  }
+
   /** The q_text_gopher_rep oracle: the 13 Gopher repetition rules
     * replicated in DuckDB — per-n gram CTEs (counts by the gram STRING;
     * the engine counts by 64-bit hash, identical up to ~m²/2⁶⁵
@@ -339,6 +386,21 @@ $joins"""
     "q_text_bpe" -> ((s, dir) =>
       TextAnalysis.trainBpe(t(s, dir, "documents"), "text",
         numMerges = 6)),
+
+    // BPE tokenizer APPLICATION: train 6 merges on the full corpus
+    // (6-row driver metadata, the broadcast-merge-table pattern), then
+    // tokenize the held split into subwords — the train -> encode
+    // composition a tokenizer actually ships. The encode itself is one
+    // narrow projection (merges ride as literals inside compiled folds):
+    // zero shuffles, scan-speed
+    "q_text_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.trainBpe(docs, "text", numMerges = 6)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeTokenize(docs.filter(col("doc_id") % 10 === 0),
+        merges, "text", "doc_id")
+    }),
 
     // end-to-end curation pipeline: the oracled operators COMPOSE —
     // exact dedup, then a repetition + length quality gate, then
@@ -1912,6 +1974,10 @@ $joins"""
       // accumulator: DuckDB's fold can't accumulate lists, and the
       // space delimiter makes the trailing-symbol check exact)
       "q_text_bpe" -> bpeOracleSql(6),
+
+      // train + encode composed: same unrolled rounds, token key kept,
+      // final vocab frame joined back to the held split's ordered words
+      "q_text_bpe_encode" -> bpeEncodeOracleSql(6, "doc_id % 10 = 0"),
 
       "q_text_vocab" ->
         """WITH tok AS (

@@ -194,6 +194,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(beforeExchange.contains("partial_kmv_distinct_sketch"), plan)
   }
 
+  test("bpeTokenize is one narrow projection: no exchange, no window") {
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.TextAnalysis.bpeTokenize(
+      docs, Seq("a" -> "b", "ab" -> "c"), "text", "doc_id")
+    out.collect()
+    val plan = ScaleOpsSpec.finalPlan(out)
+    // the merge table rides as literals inside compiled folds, so
+    // tokenization must stay scan-speed: no shuffle anywhere
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("rankOrderClassify joins the profile model by broadcast only") {
     val docs = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "documents")
