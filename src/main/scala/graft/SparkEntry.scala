@@ -943,6 +943,20 @@ $joins"""
         keepCols = Seq("lang"))
     }),
 
+    // exact positional phrase search over the corpus: per distinct
+    // phrase LENGTH one map-side gram pass, broadcast phrase join, the
+    // one shuffle carries hit positions only (match-proportional, like
+    // bm25's postings); overlapping occurrences count, first position
+    // reported
+    "q_text_phrase" -> ((s, dir) => {
+      import s.implicits._
+      val phrases = Seq(
+        (0, "table hash"), (1, "customer join"), (2, "merge group"),
+        (3, "slow hash batch"), (4, "window fast query"))
+        .toDF("query_id", "phrase")
+      TextSearch.phraseSearch(t(s, dir, "documents"), phrases)
+    }),
+
     // Cavnar-Trenkle rank-order language ID: per-lang char-trigram rank
     // profiles from the train split (a labels x topN broadcast model),
     // out-of-place distance with a topN penalty per unmatched doc gram.
@@ -1671,6 +1685,32 @@ $joins"""
           |)
           |SELECT b.doc_id, b.pred_label, b.score, t.lang
           |FROM best b JOIN test t USING (doc_id) WHERE b.rn = 1""".stripMargin,
+
+      // sliding ℓ-gram replica of the positional phrase match: same
+      // 0-based positions, same overlap-counting occurrence semantics
+      "q_text_phrase" ->
+        """WITH q(query_id, phrase) AS (
+          |  VALUES (0, 'table hash'), (1, 'customer join'),
+          |         (2, 'merge group'), (3, 'slow hash batch'),
+          |         (4, 'window fast query')
+          |), ql AS (
+          |  SELECT query_id, phrase,
+          |         len(string_split(phrase, ' ')) AS l
+          |  FROM q
+          |), d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |), hits AS (
+          |  SELECT ql.query_id, d.doc_id, CAST(i - 1 AS INT) AS pos
+          |  FROM d JOIN ql ON len(d.w) >= ql.l,
+          |       unnest(range(1, CAST(len(d.w) - ql.l + 2 AS BIGINT)))
+          |         AS t(i)
+          |  WHERE array_to_string(
+          |          d.w[CAST(i AS INT):CAST(i + ql.l - 1 AS INT)], ' ')
+          |        = ql.phrase
+          |)
+          |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+          |       CAST(min(pos) AS INT) AS first_pos
+          |FROM hits GROUP BY 1, 2""".stripMargin,
 
       // Cavnar-Trenkle out-of-place replica: per-label and per-doc
       // char-trigram rank profiles with (count desc, gram asc)

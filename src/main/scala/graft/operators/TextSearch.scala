@@ -84,6 +84,51 @@ object TextSearch {
         round(col("score_dec").cast("double"), 6).as("score"))
   }
 
+  /** Exact multi-word phrase search: for each (query_id, phrase) find
+    * every document containing the phrase as consecutive whitespace
+    * tokens, with the occurrence count (overlapping occurrences each
+    * count) and the first 0-based word position — the positional-index
+    * complement to [[bm25TopK]]'s bag-of-words scoring.
+    *
+    * Scale shape, mirroring bm25: the corpus is only SCANNED. Docs
+    * explode into ℓ-gram strings map-side (one pass per DISTINCT phrase
+    * length — the lengths are a bounded driver list, ≤ a handful for any
+    * real query set) and are immediately inner-joined against the
+    * BROADCAST phrase table, so the one shuffle (the per-pair groupBy)
+    * carries only hit positions, ∝ matches rather than corpus size.
+    * Output: (query_id, doc_id, n_hits, first_pos). */
+  def phraseSearch(docs: DataFrame, queries: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   queryIdCol: String = "query_id",
+                   phraseCol: String = "phrase"): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(phraseCol).as("phrase"),
+      size(split(col(phraseCol), " ")).as("plen"))
+    // bounded driver metadata: the distinct phrase LENGTHS, not phrases
+    val lengths = q.select(col("plen")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(lengths.nonEmpty && lengths.head >= 1,
+      "phraseSearch needs at least one non-empty phrase")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val perLen = lengths.map { l =>
+      // guarded: Spark's sequence(1, 0) counts DOWN, so short docs
+      // must take the empty array, not a descending range
+      val grams = when(size(col("w")) >= l,
+        expr(s"transform(sequence(1, size(w) - ${l - 1}), " +
+          s"i -> array_join(slice(w, i, $l), ' '))"))
+        .otherwise(array().cast("array<string>"))
+      toks.select(col("doc_id"),
+          posexplode(grams).as(Seq("pos", "gram")))
+        .join(broadcast(q.filter(col("plen") === l)),
+          col("gram") === col("phrase"))
+        .select(col("query_id"), col("doc_id"), col("pos"))
+    }
+    perLen.reduce(_ unionAll _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked candidate
     * runs into one hybrid ranking — the standard way to combine a sparse
     * retriever (BM25) with a dense one (embedding top-k) without score

@@ -319,6 +319,27 @@ class OperatorsSpec extends AnyFunSuite {
       s"survivors=$survivors semi=$semiPlain fact=$factN")
   }
 
+  test("phraseSearch counts overlapping occurrences with first positions") {
+    val docs = spark.sql(
+      """select * from values
+        |  (1L, 'a a a b c'),
+        |  (2L, 'b c x a a'),
+        |  (3L, 'zz') as t(doc_id, text)""".stripMargin)
+    val queries = spark.sql(
+      """select * from values
+        |  (0, 'a a'), (1, 'b c'), (2, 'a b c'), (3, 'missing')
+        |  as t(query_id, phrase)""".stripMargin)
+    val got = TextSearch.phraseSearch(docs, queries)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    // 'a a a' contains 'a a' at word positions 0 AND 1 (overlap counts)
+    assert(got == Map(
+      (0, 1L) -> ((2L, 0)), (0, 2L) -> ((1L, 3)),
+      (1, 1L) -> ((1L, 3)), (1, 2L) -> ((1L, 0)),
+      (2, 1L) -> ((1L, 2))))
+  }
+
   test("rrfFuse combines ranked runs by reciprocal rank with doc tie-break") {
     val s = spark
     import s.implicits._

@@ -194,6 +194,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(beforeExchange.contains("partial_kmv_distinct_sketch"), plan)
   }
 
+  test("phraseSearch broadcasts phrases; the one exchange carries hits only") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val queries = Seq((0, "table hash"), (1, "slow hash batch"))
+      .toDF("query_id", "phrase")
+    val out = graft.operators.TextSearch.phraseSearch(docs, queries)
+    out.collect()
+    val plan = ScaleOpsSpec.finalPlan(out)
+    // corpus grams join the broadcast phrase table map-side; only the
+    // (query, doc) hit groupBy may shuffle — one exchange, after the
+    // match-proportional filter, never a corpus-keyed sort-merge
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // one SHUFFLE exchange (the hit groupBy); the other Exchange hits
+    // in the plan string are the two broadcasts
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("bpeTokenize is one narrow projection: no exchange, no window") {
     val docs = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "documents")
