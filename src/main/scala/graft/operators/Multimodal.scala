@@ -81,6 +81,45 @@ object Multimodal {
     * a corrupt file degrades instead of killing the task. */
   def decodeWavPcm(id: Long, content: Array[Byte]): Option[Row] = {
     import java.nio.{ByteBuffer, ByteOrder}
+    val lay = parseWav(content).getOrElse(return None)
+    val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    val (dataOff, n, sampleRate, channels, bits) =
+      (lay.dataOff, lay.n, lay.sampleRate, lay.channels, lay.bits)
+    var sum = 0.0
+    var sumSq = 0.0
+    var peak = 0.0
+    var zc = 0
+    var prevSign = 0
+    var i = 0
+    while (i < n) {
+      val v = if (bits == 16) bb.getShort(dataOff + i * 2).toDouble / 32768.0
+        else ((content(dataOff + i) & 0xff) - 128).toDouble / 128.0
+      sum += v
+      sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      val sign = if (v > 0) 1 else if (v < 0) -1 else prevSign
+      if (prevSign != 0 && sign != prevSign) zc += 1
+      prevSign = sign
+      i += 1
+    }
+    val duration = (n / channels).toDouble / sampleRate
+    Some(Row(id, content.length.toLong,
+      graft.functions.Hashing.fnv1a(content),
+      Seq(duration, math.sqrt(sumSq / n), peak, zc.toDouble / n, sum / n,
+        sampleRate.toDouble, channels.toDouble, bits.toDouble)))
+  }
+
+  /** Parsed PCM WAV layout: data offset, TOTAL sample count (all
+    * channels interleaved), rate, channels, bits. */
+  private[operators] case class WavLayout(dataOff: Int, n: Int,
+                                          sampleRate: Int, channels: Int,
+                                          bits: Int)
+
+  /** RIFF/WAVE header walk shared by [[decodeWavPcm]] and
+    * [[spectralFeatures]]: returns None for anything that is not
+    * well-formed 8/16-bit PCM. */
+  private[operators] def parseWav(content: Array[Byte]): Option[WavLayout] = {
+    import java.nio.{ByteBuffer, ByteOrder}
     if (content.length < 44) return None
     val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
     if (bb.getInt(0) != 0x46464952 || bb.getInt(8) != 0x45564157)
@@ -114,31 +153,9 @@ object Multimodal {
       pos += 8 + ckSz + (ckSz & 1) // RIFF chunks are word-aligned
     }
     if (!fmtOk || dataOff < 0) return None
-    val bytesPerSample = bits / 8
-    val n = dataLen / bytesPerSample
-    if (n == 0) return None
-    var sum = 0.0
-    var sumSq = 0.0
-    var peak = 0.0
-    var zc = 0
-    var prevSign = 0
-    var i = 0
-    while (i < n) {
-      val v = if (bits == 16) bb.getShort(dataOff + i * 2).toDouble / 32768.0
-        else ((content(dataOff + i) & 0xff) - 128).toDouble / 128.0
-      sum += v
-      sumSq += v * v
-      if (math.abs(v) > peak) peak = math.abs(v)
-      val sign = if (v > 0) 1 else if (v < 0) -1 else prevSign
-      if (prevSign != 0 && sign != prevSign) zc += 1
-      prevSign = sign
-      i += 1
-    }
-    val duration = (n / channels).toDouble / sampleRate
-    Some(Row(id, content.length.toLong,
-      graft.functions.Hashing.fnv1a(content),
-      Seq(duration, math.sqrt(sumSq / n), peak, zc.toDouble / n, sum / n,
-        sampleRate.toDouble, channels.toDouble, bits.toDouble)))
+    val n = dataLen / (bits / 8)
+    if (n == 0) None
+    else Some(WavLayout(dataOff, n, sampleRate, channels, bits))
   }
 
   /** REAL decoder for uncompressed (BI_RGB) 24/32-bit BMP payloads —
@@ -902,6 +919,169 @@ object Multimodal {
           decoded.getOrElse(decodeStub(id, bytes))
         }
       }(enc)
+  }
+
+  /** In-place iterative radix-2 Cooley-Tukey FFT (re, im same length,
+    * a power of two). Textbook butterfly with a recurrence twiddle —
+    * O(n log n), zero allocation beyond the caller's buffers. */
+  private[operators] def fftPow2(re: Array[Double],
+                                 im: Array[Double]): Unit = {
+    val n = re.length
+    var j = 0
+    var i = 1
+    while (i < n) { // bit-reversal permutation
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cwr = 1.0
+        var cwi = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(base + k); val ui = im(base + k)
+          val vr0 = re(base + k + len / 2); val vi0 = im(base + k + len / 2)
+          val vr = vr0 * cwr - vi0 * cwi
+          val vi = vr0 * cwi + vi0 * cwr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val nwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr
+          cwr = nwr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  private val SpectralSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("frames",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("dominant_hz",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("centroid_hz",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("rolloff85_hz",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("bandwidth_hz",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  /** FFT-based spectral features over `audio/wav` assets — the
+    * frequency-domain complement to [[decodeWavPcm]]'s time-domain
+    * vector, computed with a self-contained radix-2 FFT (no codec or DSP
+    * dependency). Channel 0 is framed into up to `maxFrames`
+    * non-overlapping Hann-windowed `fftSize` windows; the averaged
+    * periodogram (bins 1..fftSize/2−1, DC excluded) yields
+    * `dominant_hz` (peak bin, ties to the lowest), `centroid_hz`
+    * (power-weighted mean frequency), `rolloff85_hz` (85% cumulative
+    * power), and `bandwidth_hz` (power-weighted std around the
+    * centroid). Digital silence reports 0.0 across the board.
+    *
+    * Rows that aren't decodable PCM WAV, or are shorter than one frame,
+    * are OMITTED — this is a feature table over the audio slice of a
+    * mixed corpus, and a stub row would poison downstream aggregates.
+    * Same `mapPartitions` codec-boundary shape as [[extractFeatures]];
+    * the per-row work is `maxFrames` bounded, so the pass stays
+    * scan-speed at any corpus size. Spec-pinned against analytic sines
+    * (an FFT is not expressible in an external SQL oracle). */
+  def spectralFeatures(assets: DataFrame, fftSize: Int = 1024,
+                       maxFrames: Int = 16): DataFrame = {
+    require(fftSize >= 8 && (fftSize & (fftSize - 1)) == 0,
+      "fftSize must be a power of two >= 8")
+    require(maxFrames >= 1, "maxFrames must be >= 1")
+    val enc = ExpressionEncoder(SpectralSchema)
+    assets.select(col("id"), col("content"), col("meta.mime").as("mime"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          if (r.getString(2) != "audio/wav") None
+          else scala.util.Try(
+            spectralRow(id, bytes, fftSize, maxFrames)).toOption.flatten
+        }
+      }(enc)
+  }
+
+  private def spectralRow(id: Long, content: Array[Byte], fftSize: Int,
+                          maxFrames: Int): Option[Row] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val lay = parseWav(content).getOrElse(return None)
+    val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    val perChannel = lay.n / lay.channels
+    val frames = math.min(perChannel / fftSize, maxFrames)
+    if (frames == 0) return None
+    def sample(t: Int): Double = { // channel 0 of interleaved PCM
+      val idx = t * lay.channels
+      if (lay.bits == 16) bb.getShort(lay.dataOff + idx * 2).toDouble / 32768.0
+      else ((content(lay.dataOff + idx) & 0xff) - 128).toDouble / 128.0
+    }
+    val half = fftSize / 2
+    val power = new Array[Double](half)
+    val re = new Array[Double](fftSize)
+    val im = new Array[Double](fftSize)
+    var f = 0
+    while (f < frames) {
+      var t = 0
+      while (t < fftSize) {
+        val hann = 0.5 * (1.0 - math.cos(2.0 * math.Pi * t / (fftSize - 1)))
+        re(t) = sample(f * fftSize + t) * hann
+        im(t) = 0.0
+        t += 1
+      }
+      fftPow2(re, im)
+      var k = 1 // skip DC: the Hann mean offset is not signal content
+      while (k < half) {
+        power(k) += re(k) * re(k) + im(k) * im(k)
+        k += 1
+      }
+      f += 1
+    }
+    val binHz = lay.sampleRate.toDouble / fftSize
+    var total = 0.0
+    var best = 1
+    var weighted = 0.0
+    var k = 1
+    while (k < half) {
+      total += power(k)
+      weighted += k * power(k)
+      if (power(k) > power(best)) best = k // strict >: ties keep lowest
+      k += 1
+    }
+    if (total == 0.0) return Some(Row(id, frames, 0.0, 0.0, 0.0, 0.0))
+    val centroid = weighted / total * binHz
+    var cum = 0.0
+    var roll = half - 1
+    k = 1
+    var found = false
+    while (k < half && !found) {
+      cum += power(k)
+      if (cum >= 0.85 * total) { roll = k; found = true }
+      k += 1
+    }
+    var variance = 0.0
+    k = 1
+    while (k < half) {
+      val d = k * binHz - centroid
+      variance += power(k) * d * d
+      k += 1
+    }
+    Some(Row(id, frames, best * binHz, centroid, roll * binHz,
+      math.sqrt(variance / total)))
   }
 
   /** REAL image resize for the decodable format: `image/bmp` payloads

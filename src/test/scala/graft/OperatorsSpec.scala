@@ -2070,6 +2070,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(2L).getSeq[Double](3) == fallback.getSeq[Double](3))
   }
 
+  test("spectralFeatures recovers analytic sine frequencies via the FFT") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val s = spark
+    import s.implicits._
+    def wav(freqs: Seq[(Double, Double)], sampleRate: Int,
+            nSamples: Int): Array[Byte] = {
+      val pcm = Array.tabulate(nSamples) { i =>
+        val v = freqs.map { case (hz, amp) =>
+          amp * math.sin(2 * math.Pi * hz * i / sampleRate) }.sum
+        (v * 32767).toShort
+      }
+      val dataLen = nSamples * 2
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("ASCII"))
+        .put("fmt ".getBytes("ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("ASCII")).putInt(dataLen)
+      pcm.foreach(bb.putShort)
+      bb.array()
+    }
+    // 8 kHz / fftSize 1024 -> 7.8125 Hz bins; 1000 Hz = bin 128 exactly
+    val pure = wav(Seq(1000.0 -> 0.5), 8000, 4096)
+    // two tones: 500 Hz strong, 2000 Hz weak -> dominant 500, centroid
+    // pulled between them
+    val duo = wav(Seq(500.0 -> 0.6, 2000.0 -> 0.2), 8000, 4096)
+    // digital silence: all features zero
+    val silent = wav(Seq(1000.0 -> 0.0), 8000, 4096)
+    val assets = Seq((1L, pure), (2L, duo), (3L, silent),
+        (4L, "not audio".getBytes("UTF-8")))
+      .toDF("id", "content")
+      .select(col("id"), col("content"),
+        struct(lit("audio/wav").as("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val got = Multimodal.spectralFeatures(assets, fftSize = 1024)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // the malformed row is omitted, not stubbed
+    assert(got.keySet == Set(1L, 2L, 3L))
+    val (fr1, dom1, cen1, roll1, bw1) = got(1L)
+    assert(fr1 == 4)
+    assert(dom1 == 1000.0, s"dominant $dom1")
+    assert(math.abs(cen1 - 1000.0) < 5.0, s"centroid $cen1")
+    assert(math.abs(roll1 - 1000.0) < 10.0, s"rolloff $roll1")
+    assert(bw1 < 30.0, s"bandwidth $bw1")
+    val (_, dom2, cen2, _, bw2) = got(2L)
+    assert(dom2 == 500.0, s"dominant $dom2")
+    // power ratio 9:1 -> centroid = 0.9*500 + 0.1*2000 = 650, leakage
+    // smears it slightly
+    assert(cen2 > 550 && cen2 < 750, s"centroid $cen2")
+    assert(bw2 > 300, s"bandwidth $bw2") // genuinely two-tone spread
+    assert(got(3L) == ((4, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("repartitionBySize bounds partition payload") {
     val assets = Multimodal.asAssets(docs, "doc_id", "text", "text/plain", "source")
     val parts = Multimodal.repartitionBySize(assets, targetBytes = 16 * 1024)
