@@ -688,6 +688,15 @@ $joins"""
         "vec_id", "embedding", k = 5)
     }),
 
+    // hard-negative mining: for each anchor the closest OTHER-label
+    // vectors — contrastive training pairs; label inequality rides in
+    // the broadcast join predicate, same top-k shape as q_sim_topk
+    "q_sim_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
     // ANN paths: q_sim_ann is FULLY oracled (the deterministic seed-42
     // planes interpolate into the SQL as literals); q_sim_ivf oracles
     // the deterministic lowest-id init at the real nprobe=4 probe, and
@@ -2682,6 +2691,27 @@ $joins"""
           |FROM ranked WHERE rank <= 5""".stripMargin,
 
       "q_sim_topk" -> exactTopKSql,
+
+      // the exact top-k oracle with the label-inequality predicate and
+      // both labels carried — the hard-negative contract
+      "q_sim_negatives" ->
+        """WITH scored AS (
+          |  SELECT q.vec_id AS query_id, q.label AS anchor_label,
+          |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+          |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |      CAST(c.embedding AS DOUBLE[])) AS cos_raw
+          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+          |    AND q.vec_id <> c.vec_id AND q.label <> c.label
+          |), ranked AS (
+          |  SELECT query_id, anchor_label, neighbor_id, neighbor_label,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_raw DESC, neighbor_id) AS rank,
+          |    round(cos_raw, 6) AS cosine
+          |  FROM scored
+          |)
+          |SELECT query_id, anchor_label, neighbor_id, neighbor_label,
+          |       rank, cosine
+          |FROM ranked WHERE rank <= 5""".stripMargin,
 
       // numPlanes = 0 ⇒ identical to exact top-k (same oracle)
       "q_sim_ann_exact" -> exactTopKSql,

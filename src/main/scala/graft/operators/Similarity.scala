@@ -57,6 +57,43 @@ object Similarity {
     top.select(cols: _*)
   }
 
+  /** Hard-negative mining for contrastive / retriever training data
+    * (the in-batch-negatives upgrade of Karpukhin et al. 2020, DPR):
+    * for each anchor, the top-k highest-cosine corpus vectors whose
+    * label DIFFERS from the anchor's — the near-misses a ranker most
+    * needs to learn to separate. Same exact-cosine kernel, broadcast
+    * anchor side, and WindowGroupLimit top-k shape as
+    * [[bruteForceTopK]]; the label inequality rides in the join
+    * predicate, so excluded same-label pairs never reach the scorer.
+    * Output: (query_id, anchor_label, neighbor_id, neighbor_label,
+    * rank, cosine) — deterministic tie-break on neighbor id. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"),
+      toDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+      .filter(col("cnorm") > 0)
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(labelCol).as("anchor_label"),
+      toDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+      .filter(col("qnorm") > 0)
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+        col("anchor_label") =!= col("neighbor_label"))
+      .withColumn("cosine", cosineWithNorms(
+        dotProduct(col("qvec"), col("cvec")), col("qnorm"), col("cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("anchor_label"), col("neighbor_id"),
+        col("neighbor_label"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed) as a literal column of
     * `numPlanes` × `dim` doubles — broadcast for free as part of the plan.
     * Delegates to the graftext generator so the SQL surface

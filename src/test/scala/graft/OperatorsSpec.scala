@@ -319,6 +319,36 @@ class OperatorsSpec extends AnyFunSuite {
       s"survivors=$survivors semi=$semiPlain fact=$factN")
   }
 
+  test("hardNegatives returns nearest other-label vectors only") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val anchors = emb.filter(col("vec_id") < 8)
+    val got = graft.operators.Similarity.hardNegatives(
+      emb, anchors, "vec_id", "embedding", "label", k = 3).collect()
+    assert(got.nonEmpty)
+    val anchorLabels = anchors.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // every returned neighbor has a different label than its anchor
+    got.foreach { r =>
+      assert(r.getInt(1) == anchorLabels(r.getLong(0)))
+      assert(r.getInt(3) != r.getInt(1),
+        s"same-label neighbor leaked: $r")
+    }
+    // parity with the unfiltered top-k run over a pre-filtered corpus:
+    // for one anchor, mining against (corpus minus the anchor's label)
+    // must give the identical ranking
+    val a0 = anchors.filter(col("vec_id") === 0)
+    val lab0 = anchorLabels(0L)
+    val ref = graft.operators.Similarity.bruteForceTopK(
+      emb.filter(col("label") =!= lab0), a0, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val mined = got.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(4),
+        r.getDouble(5))).toSet
+    assert(mined == ref && ref.size == 3)
+  }
+
   test("phraseSearch counts overlapping occurrences with first positions") {
     val docs = spark.sql(
       """select * from values
