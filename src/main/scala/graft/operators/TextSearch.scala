@@ -129,6 +129,46 @@ object TextSearch {
       .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
   }
 
+  /** [[phraseSearch]] as a ZERO-SHUFFLE projection: the phrase list
+    * rides as literals inside compiled higher-order functions (the
+    * broadcast-by-codegen pattern), and each document's matches are
+    * computed entirely within its own row — no join, no aggregation,
+    * no state. Same output contract and overlap semantics as
+    * [[phraseSearch]] (spec-pinned parity).
+    *
+    * Use this form when the phrase list is a bounded driver-side list
+    * (the common case — watchlists, benchmark strings, navigation
+    * queries): per-row work is O(words × Σ phrase lengths) and the scan
+    * never shuffles. Use [[phraseSearch]] when the query set is itself
+    * a big DataFrame. Being stateless, this form runs UNCHANGED on an
+    * unbounded stream in append mode —
+    * [[graft.streaming.StreamOps.phraseSearchStream]]. */
+  def phraseSearchInline(docs: DataFrame, phrases: Seq[(Int, String)],
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         passthroughCols: Seq[String] = Nil): DataFrame = {
+    require(phrases.nonEmpty, "phraseSearchInline needs phrases")
+    val w = split(col(textCol), " ")
+    val hits = phrases.map { case (qid, p) =>
+      val l = p.split(" ", -1).length
+      // guarded: sequence(0, negative) counts DOWN in Spark
+      val pos = when(size(w) >= l,
+        filter(sequence(lit(0), size(w) - l),
+          i => array_join(slice(w, i + 1, lit(l)), " ") === p))
+        .otherwise(array().cast("array<int>"))
+      // try_: the struct is built BEFORE the n > 0 filter, so the
+      // no-match rows must yield null here, not an ANSI index error
+      struct(lit(qid).as("query_id"), size(pos).as("n"),
+        try_element_at(pos, lit(1)).as("first_pos"))
+    }
+    docs.select(col(idCol).as("doc_id") +: passthroughCols.map(col) :+
+        explode(array(hits: _*)).as("h"): _*)
+      .filter(col("h.n") > 0)
+      .select(Seq(col("h.query_id").as("query_id"), col("doc_id"),
+        col("h.n").cast("long").as("n_hits"),
+        col("h.first_pos").as("first_pos")) ++ passthroughCols.map(col): _*)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked candidate
     * runs into one hybrid ranking — the standard way to combine a sparse
     * retriever (BM25) with a dense one (embedding top-k) without score

@@ -347,6 +347,19 @@ object StreamOps {
     graft.operators.TextAnalysis.approxDistinctTokens(
       docs, textCol, groupCols, k)
 
+  /** Streaming phrase watch — the Structured Streaming form of
+    * `TextSearch.phraseSearchInline`: the phrase list rides as literals
+    * inside compiled higher-order functions and every arriving
+    * document's matches are computed within its own row, so the op is
+    * stateless, append-mode, watermark-free — the live content-watch /
+    * benchmark-leak alarm pattern, at scan speed. Event time passes
+    * through for downstream windowing. */
+  def phraseSearchStream(docs: DataFrame, phrases: Seq[(Int, String)],
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    graft.operators.TextSearch.phraseSearchInline(
+      docs, phrases, idCol, textCol, passthroughCols = Seq("ts"))
+
   /** Streaming ingest dedup against a persisted LSH signature store —
     * the Structured Streaming form of
     * `Dedup.minHashLshPairsAgainstStore`: each arriving document is

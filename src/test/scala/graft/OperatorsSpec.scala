@@ -370,6 +370,27 @@ class OperatorsSpec extends AnyFunSuite {
       (2, 1L) -> ((1L, 2))))
   }
 
+  test("phraseSearchInline matches phraseSearch with zero shuffles") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val phrases = Seq((0, "table hash"), (1, "slow hash batch"),
+      (2, "a a"), (3, "nevermatches"))
+    val ref = TextSearch.phraseSearch(docs, phrases.toDF("query_id", "phrase"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val inline = TextSearch.phraseSearchInline(docs, phrases)
+    inline.collect()
+    val got = inline.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getLong(2), r.getInt(3))).toSet
+    assert(got == ref && ref.nonEmpty)
+    // the whole point of the inline form: a pure projection
+    val plan = ScaleOpsSpec.finalPlan(inline)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("rrfFuse combines ranked runs by reciprocal rank with doc tie-break") {
     val s = spark
     import s.implicits._

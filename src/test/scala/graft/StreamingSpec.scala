@@ -119,6 +119,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("phraseSearchStream emits the batch phrase matches in append mode") {
+    import StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docsDf = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    def tsOf(id: Long) =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        (id * 17 % 89) * 60000L)
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1), tsOf(r.getLong(0))))
+    val phrases = Seq((0, "table hash"), (1, "slow hash batch"))
+    val batch = graft.operators.TextSearch
+      .phraseSearch(docsDf, phrases.toDF("query_id", "phrase"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.phraseSearchStream(input.toDF(), phrases)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("phrase_stream")
+      .outputMode("append").start()
+    (0 until 2).foreach { c =>
+      input.addData(docs.filter(_.doc_id % 2 == c).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.sql("select * from phrase_stream").collect()
+    // matches arrive with their event time; the match set equals batch
+    assert(streamed.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getInt(3))).toSet == batch && batch.nonEmpty)
+    val tsRows = streamed.map(r => r.getLong(1) -> r.getTimestamp(4)).toMap
+    assert(tsRows.forall { case (id, ts) => ts == tsOf(id) })
+  }
+
   test("approxDistinctTokensStream matches batch KMV in complete mode") {
     val s = spark
     import s.implicits._
