@@ -911,6 +911,15 @@ $joins"""
           keyCols = Seq("doc_id"))
         .select("doc_id", "n_chars")),
 
+    // per-language length distribution via the mergeable GK quantile
+    // sketch at the exact degenerate regime (eps = 0: partition-order
+    // independent, externally replicable); the eps > 0 bounded-state
+    // path and the persisted shard-merge layout are spec-pinned
+    "q_stats_quantiles" -> ((s, dir) =>
+      graft.operators.Stats.quantileStats(t(s, dir, "documents"),
+        "n_chars", qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0),
+        groupCols = Seq("lang"))),
+
     // corpus-relative quality gate: keep docs at/above the 0.6-quantile
     // of a simple length-quality proxy (distinct-token count)
     "q_curation_quantile" -> ((s, dir) =>
@@ -2938,6 +2947,22 @@ $joins"""
           |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
           |        ::BIGINT::DOUBLE / 281474976710656.0::DOUBLE
           |  < least(n_chars::DOUBLE / 400.0::DOUBLE, 1.0::DOUBLE)""".stripMargin,
+
+      // nearest-rank-lower order statistics replicated directly: the
+      // GK sketch at eps = 0 answers rank 1 + floor(q*(n-1)) exactly
+      "q_stats_quantiles" ->
+        """WITH base AS (
+          |  SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+          |), r AS (
+          |  SELECT lang, v,
+          |    row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+          |    count(*) OVER (PARTITION BY lang) AS cnt
+          |  FROM base
+          |), qs(q) AS (
+          |  VALUES (0.0), (0.25), (0.5), (0.75), (1.0)
+          |)
+          |SELECT lang, CAST(q AS DOUBLE) AS q, v AS value
+          |FROM r JOIN qs ON rn = 1 + floor(q * (cnt - 1))""".stripMargin,
 
       // same distinct-token score; DuckDB's quantile_cont matches Spark's
       // exact percentile after the shared round-6 discipline

@@ -92,6 +92,17 @@ object GraftExtensions {
           s"kmv_distinct_sketch: k must be >= 2, got $k")
         KmvDistinctSketch(children.head, k)
       }),
+    ("quantile_sketch",
+      new ExpressionInfo(classOf[QuantileSketch].getName,
+        "quantile_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size >= 3,
+          "quantile_sketch expects (value, eps, q1[, q2, ...])")
+        val eps = doubleLiteral(children(1), "quantile_sketch: eps")
+        val qs = children.drop(2)
+          .map(doubleLiteral(_, "quantile_sketch: quantile"))
+        QuantileSketch(children.head, eps, qs)
+      }),
     ("bloom_filter_sketch",
       new ExpressionInfo(classOf[BloomKit.type].getName,
         "bloom_filter_sketch"),
@@ -252,6 +263,14 @@ object GraftExtensions {
           cb.flatten.flatten.toIndexedSeq,
           cb.size, cb.head.size, cb.head.head.size)
       }))
+
+  private def doubleLiteral(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
 
   private def intLiteral(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -159,6 +159,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("kmv_distinct_sketch: k")))
   }
 
+  test("quantile_sketch aggregates from SQL with literal eps and quantiles") {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.graftext.GraftExtensions.register(s)
+    val r = s.sql(
+      """select quantile_sketch(CAST(v AS DOUBLE), 0.0, 0.0, 0.5, 1.0)
+        |from values (1), (2), (3), (4), (5) as t(v)""".stripMargin)
+      .first().getSeq[Double](0)
+    // exact regime, ranks 1 + floor(q*4): min, median, max
+    assert(r == Seq(1.0, 3.0, 5.0))
+    val e = intercept[Exception](s.sql(
+      "select quantile_sketch(CAST(v AS DOUBLE), v, 0.5) " +
+        "from values (1.0) as t(v)").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("quantile_sketch: eps")))
+  }
+
   test("repetition-measure expressions are SQL-registered") {
     val s = SparkTestSession.spark
     org.apache.spark.sql.graftext.GraftExtensions.register(s)

@@ -186,6 +186,67 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(est - 500.0) / 500.0 < 0.6)
   }
 
+  test("quantileStats exact regime: nearest-rank order statistics, any partitioning") {
+    import spark.implicits._
+    // values 0..99 shuffled deterministically across many partitions
+    val vals = (0 until 100).map(i => ((i * 37) % 100).toDouble)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartition(13)
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val got = graft.operators.Stats.quantileStats(df, "v", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // rank 1 + floor(q*99): 0 -> 0, 0.25 -> 24, 0.5 -> 49, ...
+    assert(got == Map(0.0 -> 0.0, 0.25 -> 24.0, 0.5 -> 49.0,
+      0.75 -> 74.0, 1.0 -> 99.0))
+  }
+
+  test("quantileStats sketch regime: rank error within eps at bounded state") {
+    import spark.implicits._
+    val n = 20000
+    val eps = 0.02
+    // adversarial order: strided so partitions see interleaved ranges
+    val vals = (0 until n).map(i => ((i.toLong * 9973) % n).toDouble)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartition(32)
+    val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val got = graft.operators.Stats.quantileStats(df, "v", qs, eps = eps)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // values ARE their ranks here (a permutation of 0..n-1), so the
+    // returned value's true rank is itself: check |rank - target| <= eps*n
+    qs.foreach { q =>
+      val target = math.floor(q * (n - 1))
+      val gotRank = got(q)
+      assert(math.abs(gotRank - target) <= eps * n,
+        s"q=$q got=$gotRank target=$target bound=${eps * n}")
+    }
+    // and the state is genuinely bounded: far fewer tuples than values
+    val state = df.groupBy().agg(
+      org.apache.spark.sql.graftext.QuantileSketchState(
+        col("v"), eps).as("s")).select(size(col("s"))).first().getInt(0)
+    assert(state < n / 10, s"state $state not compressed")
+  }
+
+  test("quantile shards persist and merge without rescanning") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("gk_shards").toString
+    val df = (0 until 500).map(i =>
+        (i.toLong, "s" + (i % 5), ((i * 131) % 500).toDouble))
+      .toDF("id", "shard", "v").repartition(7)
+    graft.operators.Stats.writeQuantileShards(df, dir, "v",
+      shardCols = Seq("shard"))
+    val qs = Seq(0.0, 0.5, 1.0)
+    val merged = graft.operators.Stats
+      .quantilesFromShards(spark, dir, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // exact regime: merging the 5 persisted summaries must equal the
+    // direct computation over the whole frame, bit for bit
+    val direct = graft.operators.Stats.quantileStats(df, "v", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(merged == direct &&
+      direct == Map(0.0 -> 0.0, 0.5 -> 249.0, 1.0 -> 499.0))
+  }
+
   test("repetitionScores computes duplicated n-gram fractions per doc") {
     val df = spark.sql(
       """select * from values
