@@ -355,6 +355,19 @@ $joins"""
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.buildVocab(t(s, dir, "documents"), "text", topN = 20)),
 
+    // per-document keyword extraction: top tokens by tf-idf, df riding
+    // the same token-keyed partitioning as the tf groupBy (bm25 trick)
+    "q_text_keywords" -> ((s, dir) =>
+      TextAnalysis.keywordsTfIdf(t(s, dir, "documents"), "text",
+        "doc_id", topK = 3)),
+
+    // corpus collocations: top adjacent pairs by PMI over a count >= 5
+    // floor; unigram tables broadcast onto the surviving bigrams, the
+    // global top-n via TakeOrderedAndProject (no global window)
+    "q_text_pmi" -> ((s, dir) =>
+      TextAnalysis.collocationsPmi(t(s, dir, "documents"), "text",
+        minCount = 5, topN = 20)),
+
     // per-language top tokens via the Misra-Gries heavy-hitters
     // aggregate: the exchange carries one <= capacity-counter summary
     // per (partition, lang) instead of one row per distinct token —
@@ -2049,6 +2062,64 @@ $joins"""
           |SELECT token, tf, df,
           |  CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank
           |FROM agg ORDER BY tf DESC, token LIMIT 20""".stripMargin,
+
+      // tf-idf replica: same two-level counts, same single ln and
+      // multiply (both IEEE), ranking on the rounded score both sides
+      "q_text_keywords" ->
+        """WITH per AS (
+          |  SELECT id, token, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id AS id,
+          |          unnest(string_split(text, ' ')) AS token
+          |        FROM documents)
+          |  WHERE token <> '' GROUP BY 1, 2
+          |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          |wdf AS (
+          |  SELECT id, token, tf,
+          |    CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+          |  FROM per
+          |), scored AS (
+          |  SELECT id, token, tf, df,
+          |    round(tf * ln(n.n / df), 6) AS tfidf
+          |  FROM wdf, n
+          |), ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY id
+          |      ORDER BY tfidf DESC, token) AS rank
+          |  FROM scored
+          |)
+          |SELECT id, CAST(rank AS INT) AS rank, token, tf, df, tfidf
+          |FROM ranked WHERE rank <= 3""".stripMargin,
+
+      // PMI replica: identical probability ratios and ln shape, the
+      // count floor applied before the unigram joins, rank on the
+      // rounded score with (w1, w2) tie-break
+      "q_text_pmi" ->
+        """WITH wl AS (SELECT string_split(text, ' ') AS w FROM documents),
+          |bg AS (
+          |  SELECT w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2,
+          |    CAST(count(*) AS BIGINT) AS pair_count
+          |  FROM wl, unnest(range(1, CAST(len(w) AS BIGINT))) AS t(i)
+          |  WHERE w[CAST(i AS INT)] <> '' AND w[CAST(i + 1 AS INT)] <> ''
+          |  GROUP BY 1, 2
+          |), ug AS (
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+          |        FROM documents)
+          |  WHERE tok <> '' GROUP BY 1
+          |), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tt FROM ug),
+          |tp AS (SELECT CAST(sum(pair_count) AS DOUBLE) AS tp FROM bg),
+          |scored AS (
+          |  SELECT b.w1, b.w2, b.pair_count,
+          |    round(ln((b.pair_count / tp.tp) /
+          |      ((u1.c / tot.tt) * (u2.c / tot.tt))), 6) AS pmi
+          |  FROM bg b JOIN ug u1 ON u1.tok = b.w1
+          |    JOIN ug u2 ON u2.tok = b.w2, tot, tp
+          |  WHERE b.pair_count >= 5
+          |)
+          |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2)
+          |         AS INT) AS rank,
+          |       w1, w2, pair_count, pmi
+          |FROM scored
+          |QUALIFY rank <= 20""".stripMargin,
 
       // exact-regime MG summary (capacity >= vocabulary): every count
       // is the true count and max_err is 0, so a plain per-group

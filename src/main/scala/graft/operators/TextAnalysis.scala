@@ -595,6 +595,93 @@ object TextAnalysis {
       col("kmv.exact").as("exact")): _*)
   }
 
+  /** Per-document keyword extraction by tf-idf: each document's top-k
+    * tokens ranked by tf · ln(N/df), ties broken by token — the
+    * classic summarization / tagging primitive. Output: (id, rank,
+    * token, tf, df, tfidf[rounded 6]).
+    *
+    * Scale shape: ONE corpus-scale exchange keyed by token — the
+    * (token, doc) tf groupBy — and the per-token df rides a window over
+    * that same partitioning (the bm25 trick, no second token shuffle).
+    * The per-doc ranking then shuffles ≤ the doc's distinct tokens per
+    * row and takes the WindowGroupLimit partial-top-k rewrite. N (the
+    * corpus count) is the only driver scalar. The tfidf product is one
+    * IEEE multiply of exact counts with one ln — bit-replicable. */
+  def keywordsTfIdf(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", topK: Int = 5): DataFrame = {
+    val n = docs.count()
+    val postings = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .repartition(col("token"))
+      .groupBy(col("token"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = postings.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    withDf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("rank").cast("int").as("rank"), col("token"),
+        col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Corpus collocations by pointwise mutual information: the top-n
+    * adjacent word pairs by PMI = ln(p(ab) / (p(a)·p(b))) among pairs
+    * with count ≥ `minCount` (the Church & Hanks 1990 association
+    * measure; the frequency floor keeps one-off typo pairs from
+    * dominating, as they otherwise always do — PMI is maximal for
+    * hapaxes). Output: (rank, w1, w2, pair_count, pmi[rounded 6]),
+    * ranked (pmi desc, w1, w2).
+    *
+    * Scale shape: two keyed count aggregates (bigrams, unigrams) and a
+    * broadcast of the unigram totals onto the SURVIVING bigrams (the
+    * minCount filter runs first, so the join input is already small);
+    * totals are two driver scalars. Top-n rides the rank-filter
+    * rewrite. */
+  def collocationsPmi(docs: DataFrame, textCol: String = "text",
+                      minCount: Long = 5, topN: Int = 20): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("w"))
+    // guarded: Spark's sequence(1, 0) counts DOWN, so one-word docs
+    // must yield no pairs, not a negative index
+    val bigrams = toks.select(explode(expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] as w1, w[i] as w2)) " +
+          "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) " +
+          "END")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
+    val unigrams = toks.select(explode(col("w")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val totals = unigrams.agg(sum(col("c")), count(lit(1))).head()
+    val totalTokens = totals.getLong(0).toDouble
+    val totalPairs = bigrams.agg(sum(col("pair_count"))).head().getLong(0)
+      .toDouble
+    val surviving = bigrams.filter(col("pair_count") >= minCount)
+    val scored = surviving
+      .join(broadcast(unigrams.select(col("t").as("w1"), col("c").as("c1"))),
+        Seq("w1"))
+      .join(broadcast(unigrams.select(col("t").as("w2"), col("c").as("c2"))),
+        Seq("w2"))
+      .withColumn("pmi", round(
+        log((col("pair_count") / totalPairs) /
+          ((col("c1") / totalTokens) * (col("c2") / totalTokens))), 6))
+    // global top-n WITHOUT a global window: TakeOrderedAndProject keeps
+    // per-partition heaps, then the <= topN survivors rank locally
+    // (the buildVocab pattern)
+    scored
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topN)
+      .coalesce(1)
+      .sortWithinPartitions(col("pmi").desc, col("w1"), col("w2"))
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+      .select(col("rank"), col("w1"), col("w2"),
+        col("pair_count"), col("pmi"))
+  }
+
   /** Convenience: annotate a documents table with the full analysis set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

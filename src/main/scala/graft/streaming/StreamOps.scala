@@ -347,6 +347,20 @@ object StreamOps {
     graft.operators.TextAnalysis.approxDistinctTokens(
       docs, textCol, groupCols, k)
 
+  /** Streaming distribution statistics — the Structured Streaming form
+    * of `Stats.quantileStats` (running per-group quantiles via the
+    * mergeable GK sketch aggregate): identical batch code on the
+    * unbounded stream, complete-mode output. Per-group state is the
+    * sketch's own summary — O((1/ε)·log(εn)) tuples for ε > 0, bounded
+    * without a watermark; at ε = 0 the summary is the exact sorted
+    * multiset (a pure function of the values seen), so the running
+    * answer after any prefix equals the batch answer on that prefix —
+    * the chunking-proof regime the parity spec pins. */
+  def quantileStatsStream(docs: DataFrame, valueCol: String,
+                          qs: Seq[Double], eps: Double = 0.0,
+                          groupCols: Seq[String] = Nil): DataFrame =
+    graft.operators.Stats.quantileStats(docs, valueCol, qs, eps, groupCols)
+
   /** Streaming phrase watch — the Structured Streaming form of
     * `TextSearch.phraseSearchInline`: the phrase list rides as literals
     * inside compiled higher-order functions and every arriving

@@ -141,6 +141,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("keywordsTfIdf ranks per-doc tokens by tf·ln(N/df)") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'a a b'), (2L, 'b c') as t(doc_id, text)""".stripMargin)
+    val got = TextAnalysis.keywordsTfIdf(df, "text", "doc_id", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: a has tf 2, df 1 -> 2·ln2; b is in every doc -> idf 0.
+    // doc 2: c beats b on the token tie-break at equal tfidf? no — c
+    // scores ln2 > 0, b scores 0
+    assert(got == Set(
+      (1L, 1, "a", 2L, 1L, 2 * math.log(2.0) match {
+        case v => BigDecimal(v).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }),
+      (1L, 2, "b", 1L, 2L, 0.0),
+      (2L, 1, "c", 1L, 1L, ln2),
+      (2L, 2, "b", 1L, 2L, 0.0)))
+  }
+
+  test("collocationsPmi scores adjacent pairs with a count floor") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'x y x y'), (2L, 'x y z'), (3L, 'solo')
+        |  as t(doc_id, text)""".stripMargin)
+    val got = TextAnalysis.collocationsPmi(df, "text",
+        minCount = 2, topN = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // pairs: (x,y):3, (y,x):1, (y,z):1 — only (x,y) survives the floor;
+    // the one-word doc contributes no pairs (the sequence guard)
+    assert(got == Seq((1, "x", "y", 3L)))
+    val pmi = TextAnalysis.collocationsPmi(df, "text", 2, 10)
+      .collect().head.getDouble(4)
+    // pmi = ln((3/5) / ((3/8)·(3/8))) with totals over x:3 y:3 z:1 solo:1
+    val expected = math.log((3.0 / 5.0) / ((3.0 / 8.0) * (3.0 / 8.0)))
+    assert(math.abs(pmi - expected) < 1e-6, s"pmi $pmi vs $expected")
+  }
+
   test("approxDistinctTokens exact regime: true distinct count, any partitioning") {
     val df = spark.sql(
       """select * from values

@@ -119,6 +119,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("quantileStatsStream matches batch GK quantiles in complete mode") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docsDf = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(80).select("doc_id", "lang", "n_chars")
+    val docs = docsDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val qs = Seq(0.0, 0.5, 1.0)
+    val batch = graft.operators.Stats.quantileStats(
+        docsDf, "n_chars", qs, groupCols = Seq("lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val input = MemoryStream[(Long, String, Long)]
+    val out = StreamOps.quantileStatsStream(
+      input.toDF().toDF("doc_id", "lang", "n_chars"),
+      "n_chars", qs, groupCols = Seq("lang"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("gk_stream")
+      .outputMode("complete").start()
+    (0 until 2).foreach { c =>
+      input.addData(docs.filter(_._1 % 2 == c).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.sql("select * from gk_stream").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("phraseSearchStream emits the batch phrase matches in append mode") {
     import StreamOps.StreamDoc
     val s = spark
