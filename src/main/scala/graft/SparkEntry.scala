@@ -355,6 +355,25 @@ $joins"""
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.buildVocab(t(s, dir, "documents"), "text", topN = 20)),
 
+    // overlapping context-window chunking (maxTokens 40, overlap 8):
+    // long docs become fixed-budget training windows in one zero-shuffle
+    // projection; the short final window is kept
+    "q_text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkByTokens(t(s, dir, "documents"),
+        maxTokens = 40, overlap = 8)),
+
+    // JSONL round-trip: write the corpus as line-delimited JSON (the
+    // pipeline interchange format), read it back with an explicit
+    // schema (inference would cost a full extra pass at scale), and
+    // check content + types against the parquet original
+    "q_source_jsonl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.sources.Sources.writeJsonl(docs, path)
+      graft.sources.Sources.readJsonl(s, path, docs.schema)
+    }),
+
     // per-document keyword extraction: top tokens by tf-idf, df riding
     // the same token-keyed partitioning as the tf groupBy (bm25 trick)
     "q_text_keywords" -> ((s, dir) =>
@@ -2062,6 +2081,28 @@ $joins"""
           |SELECT token, tf, df,
           |  CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank
           |FROM agg ORDER BY tf DESC, token LIMIT 20""".stripMargin,
+
+      // strided window replica: starts 0, 32, 64, ... (stride =
+      // maxTokens - overlap), inclusive list slicing both sides
+      "q_text_chunks" ->
+        """WITH wl AS (
+          |  SELECT doc_id AS id, string_split(text, ' ') AS w
+          |  FROM documents
+          |), st AS (
+          |  SELECT id, w, CAST(i AS INT) AS s, CAST(i / 32 AS INT)
+          |           AS chunk_id
+          |  FROM wl, unnest(range(0,
+          |         CAST(greatest(len(w) - 1, 0) + 1 AS BIGINT), 32))
+          |       AS t(i)
+          |)
+          |SELECT id, chunk_id,
+          |  CAST(len(w[s + 1 : s + 40]) AS INT) AS n_tokens,
+          |  array_to_string(w[s + 1 : s + 40], ' ') AS chunk
+          |FROM st""".stripMargin,
+
+      // the jsonl round-trip must reproduce the parquet source exactly
+      "q_source_jsonl" ->
+        "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
       // tf-idf replica: same two-level counts, same single ln and
       // multiply (both IEEE), ranking on the rounded score both sides

@@ -595,6 +595,32 @@ object TextAnalysis {
       col("kmv.exact").as("exact")): _*)
   }
 
+  /** Overlapping context-window chunking: split each document into
+    * token windows of `maxTokens` with `overlap` tokens shared between
+    * consecutive windows (stride = maxTokens − overlap) — how long
+    * documents become training examples under a fixed context size.
+    * Output: (id, chunk_id [0-based], n_tokens, chunk) with the final
+    * (possibly short) window included. Pure codegen'd projection: the
+    * windows of a document are computed entirely within its row, zero
+    * shuffles at any corpus size. */
+  def chunkByTokens(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", maxTokens: Int = 512,
+                    overlap: Int = 64): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, greatest(size(w) - 1, 0), $stride), " +
+          s"s -> slice(w, s + 1, $maxTokens))"))
+        .as(Seq("chunk_id", "cw")))
+      .select(col("id"), col("chunk_id"),
+        size(col("cw")).as("n_tokens"),
+        array_join(col("cw"), " ").as("chunk"))
+  }
+
   /** Per-document keyword extraction by tf-idf: each document's top-k
     * tokens ranked by tf · ln(N/df), ties broken by token — the
     * classic summarization / tagging primitive. Output: (id, rank,

@@ -11,6 +11,21 @@ object Sources {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** JSONL (one JSON object per line) sink — the interchange format
+    * LLM data pipelines actually exchange; Spark's json datasource IS
+    * line-delimited JSON, so the write distributes like any other. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL source with a REQUIRED explicit schema: schema inference
+    * reads the whole dataset once before the query even plans — at
+    * 100 TB that is a full extra pass, so it is not offered. Types and
+    * content round-trip writeJsonl -> readJsonl exactly (oracle-checked
+    * end-to-end in the harness). */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark refuses
     * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and truncate to
     * microsecond timestamps (integer division — the values exceed 2^53 so

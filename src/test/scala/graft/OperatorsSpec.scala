@@ -141,6 +141,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkByTokens windows documents with overlap, keeping the short tail") {
+    val df = spark.sql(
+      "select * from values (1L, 'a b c d e f g'), (2L, 'x') as t(doc_id, text)")
+    val got = TextAnalysis.chunkByTokens(df, maxTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSet
+    // stride 2: windows at 0, 2, 4, 6 — the last two run short
+    assert(got == Set(
+      (1L, 0, 4, "a b c d"), (1L, 1, 4, "c d e f"),
+      (1L, 2, 3, "e f g"), (1L, 3, 1, "g"),
+      (2L, 0, 1, "x")))
+    // consecutive windows genuinely share `overlap` tokens
+    val c = got.toSeq.filter(_._1 == 1L).sortBy(_._2).map(_._4)
+    assert(c(0).split(" ").takeRight(2).sameElements(
+      c(1).split(" ").take(2)))
+  }
+
   test("keywordsTfIdf ranks per-doc tokens by tf·ln(N/df)") {
     val df = spark.sql(
       """select * from values

@@ -60,4 +60,28 @@ class SourcesSpec extends AnyFunSuite {
       .filter(col("o_orderkey") === key).count()
     assert(direct == viaBloom && viaBloom >= 1)
   }
+
+  test("jsonl round-trips content, types, and JSON-hostile strings") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_jsonl_spec").toString
+    // quotes, backslashes, newlines, unicode, nulls — everything JSON
+    // escaping has to survive
+    val rows = Seq(
+      (1L, "plain text", 3.5, true),
+      (2L, "quote \" backslash \\ tab\t", -0.0, false),
+      (3L, "newline\nand unicode é中", Double.MaxValue, true),
+      (4L, null.asInstanceOf[String], 1e-300, false))
+    val df = rows.toDF("id", "s", "d", "b")
+    graft.sources.Sources.writeJsonl(df, dir)
+    val back = graft.sources.Sources.readJsonl(spark, dir, df.schema)
+    // JSON reads widen every field to nullable (a line can omit any
+    // field) — names and types must survive exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = df.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b, s"$a vs $b")
+  }
 }
