@@ -72,6 +72,14 @@ object TextAnalysis {
     when(r >= lit(0.05), lit("en")).otherwise(lit("unk"))
   }
 
+  /** Deflate compression ratio of the text (compressed/raw bytes) —
+    * the MassiveText/RefinedWeb repetitiveness signal: very low means
+    * boilerplate/template spam, ~1 means noise or encoded binary. A
+    * native codegen'd expression
+    * ([[org.apache.spark.sql.graftext.DeflateRatio]]); scan-speed. */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    org.apache.spark.sql.graftext.DeflateRatio(text, level)
+
   /** Composite quality score in [0,1]: rewards lexical diversity and
     * penalizes degenerate token lengths. */
   def qualityScore(text: Column): Column = {

@@ -92,6 +92,15 @@ object GraftExtensions {
           s"kmv_distinct_sketch: k must be >= 2, got $k")
         KmvDistinctSketch(children.head, k)
       }),
+    ("deflate_ratio",
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "deflate_ratio expects (text[, level])")
+        val level = if (children.size == 2)
+          intLiteral(children(1), "deflate_ratio: level") else 6
+        DeflateRatio(children.head, level)
+      }),
     ("quantile_sketch",
       new ExpressionInfo(classOf[QuantileSketch].getName,
         "quantile_sketch"),

@@ -176,6 +176,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("quantile_sketch: eps")))
   }
 
+  test("deflate_ratio is SQL-registered with an optional level") {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.graftext.GraftExtensions.register(s)
+    val r = s.sql(
+      "select deflate_ratio(repeat('ab ', 500)), deflate_ratio('x', 9)")
+      .first()
+    assert(r.getDouble(0) < 0.05 && r.getDouble(1) > 1.0)
+    val e = intercept[Exception](s.sql(
+      "select deflate_ratio('x', 0)").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("deflate level")))
+  }
+
   test("repetition-measure expressions are SQL-registered") {
     val s = SparkTestSession.spark
     org.apache.spark.sql.graftext.GraftExtensions.register(s)

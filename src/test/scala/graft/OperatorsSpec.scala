@@ -141,6 +141,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("compressionRatio orders template spam below prose below noise") {
+    import spark.implicits._
+    val spam = "buy now click here " * 200
+    val prose = (0 until 200).map(i =>
+      s"sentence $i mentions topic ${i % 37} in varying phrasing").mkString(" ")
+    // xorshift-ish deterministic pseudo-noise, printable
+    var s = 12345L
+    val noise = Array.fill(3000) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (33 + math.floorMod(s >>> 33, 94)).toChar
+    }.mkString
+    val got = Seq((1L, spam), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) < 0.05, s"spam ${got(1L)}")
+    assert(got(2L) > got(1L) * 4 && got(2L) < 0.6, s"prose ${got(2L)}")
+    assert(got(3L) > 0.8, s"noise ${got(3L)}")
+    assert(got(4L) == 1.0)
+    // stable across rows/threads (the per-thread Deflater resets fully)
+    val again = Seq((1L, spam)).toDF("id", "text")
+      .select(TextAnalysis.compressionRatio(col("text")))
+      .first().getDouble(0)
+    assert(again == got(1L))
+  }
+
   test("chunkByTokens windows documents with overlap, keeping the short tail") {
     val df = spark.sql(
       "select * from values (1L, 'a b c d e f g'), (2L, 'x') as t(doc_id, text)")
