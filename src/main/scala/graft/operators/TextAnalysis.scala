@@ -688,14 +688,27 @@ object TextAnalysis {
       .select(col("b.w1"), col("b.w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
-    val unigrams = toks.select(explode(col("w")).as("t"))
+    val unigramsRaw = toks.select(explode(col("w")).as("t"))
       .filter(col("t") =!= "")
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val totals = unigrams.agg(sum(col("c")), count(lit(1))).head()
+    // both count tables are read twice (a total + a broadcast join);
+    // one lazy materialization instead of re-deriving the corpus scan
+    // (the TextClassify.lik / trainBpe discipline)
+    val unigrams = unigramsRaw.localCheckpoint(false)
+    val bigramsCk = bigrams.localCheckpoint(false)
+    val totals = unigrams.agg(sum(col("c"))).head()
+    // empty corpus (or no multi-word doc): sum() is null — return the
+    // empty result instead of NPEing on the driver
+    if (totals.isNullAt(0))
+      return bigramsCk.limit(0).select(lit(1).as("rank"), col("w1"),
+        col("w2"), col("pair_count"), lit(0.0).as("pmi"))
     val totalTokens = totals.getLong(0).toDouble
-    val totalPairs = bigrams.agg(sum(col("pair_count"))).head().getLong(0)
-      .toDouble
-    val surviving = bigrams.filter(col("pair_count") >= minCount)
+    val pairTotals = bigramsCk.agg(sum(col("pair_count"))).head()
+    if (pairTotals.isNullAt(0))
+      return bigramsCk.limit(0).select(lit(1).as("rank"), col("w1"),
+        col("w2"), col("pair_count"), lit(0.0).as("pmi"))
+    val totalPairs = pairTotals.getLong(0).toDouble
+    val surviving = bigramsCk.filter(col("pair_count") >= minCount)
     val scored = surviving
       .join(broadcast(unigrams.select(col("t").as("w1"), col("c").as("c1"))),
         Seq("w1"))

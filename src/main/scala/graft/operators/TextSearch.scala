@@ -104,11 +104,17 @@ object TextSearch {
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(phraseCol).as("phrase"),
       size(split(col(phraseCol), " ")).as("plen"))
-    // bounded driver metadata: the distinct phrase LENGTHS, not phrases
-    val lengths = q.select(col("plen")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    require(lengths.nonEmpty && lengths.head >= 1,
-      "phraseSearch needs at least one non-empty phrase")
+    // bounded driver metadata: the distinct phrase LENGTHS plus one
+    // validity bit. A blank/whitespace phrase tokenizes to empty
+    // strings (split never yields an empty array), which would "match"
+    // the empty tokens consecutive spaces produce in documents — reject
+    // it here rather than return bogus hits.
+    val meta = q.agg(collect_set(col("plen")),
+      max(col("phrase").rlike("(^| )( |$)") || col("phrase") === "")).head()
+    require(!meta.isNullAt(1), "phraseSearch needs at least one phrase")
+    require(!meta.getBoolean(1),
+      "phraseSearch phrases must be non-blank with single spaces")
+    val lengths = meta.getSeq[Int](0).sorted
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("w"))
     val perLen = lengths.map { l =>
@@ -148,6 +154,12 @@ object TextSearch {
                          textCol: String = "text",
                          passthroughCols: Seq[String] = Nil): DataFrame = {
     require(phrases.nonEmpty, "phraseSearchInline needs phrases")
+    // same blank-phrase rejection as phraseSearch: an empty token in
+    // the phrase would "match" the empty tokens of consecutive spaces
+    require(phrases.forall { case (_, p) =>
+      p.nonEmpty && !p.startsWith(" ") && !p.endsWith(" ") &&
+        !p.contains("  ")
+    }, "phraseSearchInline phrases must be non-blank with single spaces")
     val w = split(col(textCol), " ")
     val hits = phrases.map { case (qid, p) =>
       val l = p.split(" ", -1).length

@@ -49,10 +49,14 @@ case class DeflateRatio(child: Expression, level: Int)
 
 object DeflateRatio {
 
-  // one Deflater per (thread, level): Deflater is stateful native
-  // memory — constructing per row would dominate the scan
+  // one Deflater per (thread, level) plus one thread-owned sink buffer:
+  // Deflater is stateful native memory, and the hot path must not
+  // allocate per row
   private val deflaters = new ThreadLocal[java.util.HashMap[Integer, Deflater]] {
     override def initialValue() = new java.util.HashMap[Integer, Deflater]()
+  }
+  private val sink = new ThreadLocal[Array[Byte]] {
+    override def initialValue() = new Array[Byte](8192)
   }
 
   /** Shared by interpreted eval and generated code (static forwarder). */
@@ -64,7 +68,7 @@ object DeflateRatio {
     d.reset()
     d.setInput(bytes)
     d.finish()
-    val buf = new Array[Byte](8192)
+    val buf = sink.get()
     var compressed = 0L
     while (!d.finished()) compressed += d.deflate(buf)
     compressed.toDouble / bytes.length

@@ -49,7 +49,10 @@ case class KmvDistinctSketch(
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
   with ImplicitCastInputTypes {
 
-  require(k >= 2, "kmv_distinct_sketch: k must be >= 2")
+  // upper bound: (k-1) << 48 must stay exact in a Long (and a larger k
+  // buys nothing — error is already ~1.8% at the cap)
+  require(k >= 2 && k <= 32768,
+    "kmv_distinct_sketch: k must be in [2, 32768]")
 
   override def children: Seq[Expression] = Seq(child)
 
@@ -67,14 +70,6 @@ case class KmvDistinctSketch(
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
-  // one digest per executor thread, not per row (MessageDigest is not
-  // thread-safe and getInstance per token would dominate the hot path)
-  @transient private lazy val mdLocal =
-    new ThreadLocal[MessageDigest] {
-      override def initialValue(): MessageDigest =
-        MessageDigest.getInstance("MD5")
-    }
-
   private def add(s: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
     if (s.size < k) { s.add(h); () }
     else if (h < s.last()) {
@@ -89,18 +84,10 @@ case class KmvDistinctSketch(
     val arr = child.eval(input)
     if (arr != null) {
       val a = arr.asInstanceOf[ArrayData]
-      val md = mdLocal.get()
       var i = 0
       while (i < a.numElements()) {
-        if (!a.isNullAt(i)) {
-          md.reset()
-          val d = md.digest(a.getUTF8String(i).getBytes)
-          // first 12 hex chars == first 6 bytes, big-endian, unsigned
-          var h = 0L
-          var j = 0
-          while (j < 6) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
-          add(s, h)
-        }
+        if (!a.isNullAt(i))
+          add(s, Md548.hashBytes(a.getUTF8String(i).getBytes))
         i += 1
       }
     }

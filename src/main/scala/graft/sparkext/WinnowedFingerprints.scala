@@ -44,31 +44,22 @@ case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
 
   private val space = UTF8String.fromString(" ")
 
-  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].split(space, -1)
     val m = words.length - k + 1
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
-    val digest = md5.get()
     val h = new Array[Long](m)
     var i = 0
     while (i < m) {
-      digest.reset()
+      val digest = Md548.digest()
       var j = 0
       while (j < k) {
         if (j > 0) digest.update(' '.toByte)
         digest.update(words(i + j).getBytes)
         j += 1
       }
-      val d = digest.digest()
       // first 12 hex chars = first 6 bytes, as an unsigned 48-bit long
-      h(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      h(i) = Md548.fold48(digest.digest())
       i += 1
     }
     val ww = math.min(w, m)

@@ -225,6 +225,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(pmi - expected) < 1e-6, s"pmi $pmi vs $expected")
   }
 
+  test("collocationsPmi returns empty (not NPE) on a pairless corpus") {
+    val oneWord = spark.sql(
+      "select * from values (1L, 'solo'), (2L, 'word') as t(doc_id, text)")
+    assert(TextAnalysis.collocationsPmi(oneWord, "text", 2, 5).count() == 0)
+    val empty = oneWord.filter(col("doc_id") < 0)
+    assert(TextAnalysis.collocationsPmi(empty, "text", 2, 5).count() == 0)
+  }
+
+  test("phraseSearch rejects blank and double-spaced phrases loudly") {
+    val docs = spark.sql("select * from values (1L, 'a  b') as t(doc_id, text)")
+    def q(p: String) = spark.sql(
+      s"select * from values (0, '$p') as t(query_id, phrase)")
+    Seq("", " ", "a ", " a", "a  b").foreach { p =>
+      val e = intercept[IllegalArgumentException](
+        TextSearch.phraseSearch(docs, q(p)).collect())
+      assert(e.getMessage.contains("non-blank"), s"'$p': ${e.getMessage}")
+      val e2 = intercept[IllegalArgumentException](
+        TextSearch.phraseSearchInline(docs, Seq(0 -> p)).collect())
+      assert(e2.getMessage.contains("non-blank"), s"inline '$p'")
+    }
+  }
+
   test("approxDistinctTokens exact regime: true distinct count, any partitioning") {
     val df = spark.sql(
       """select * from values
@@ -238,6 +260,10 @@ class OperatorsSpec extends AnyFunSuite {
         r.getBoolean(3))).toSet
     // fewer distinct tokens than k: every hash kept, count exact
     assert(out == Set(("en", 4.0, 4, true), ("fr", 2.0, 2, true)))
+    // k is capped so (k-1) << 48 stays exact in a Long
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.approxDistinctTokens(df, "text", k = 40000))
+    assert(e.getMessage.contains("[2, 32768]"))
   }
 
   test("approxDistinctTokens sketch regime: KMV estimate, partition-order independent") {
