@@ -108,6 +108,41 @@ FROM words JOIN w$numMerges USING (token),
      unnest(range(1, CAST(len(syms) + 1 AS BIGINT))) AS u(j)"""
   }
 
+  /** Unrolled DuckDB replica of [[graft.operators.Graph.pageRank]]:
+    * each iteration is a CTE repeating the same round-9 double
+    * contribution + DECIMAL(28,9) sum the operator computes, so the
+    * ranks replicate bit-for-bit at any iteration count. */
+  private def pageRankOracleSql(iters: Int, damping: Double): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+  SELECT n2.node,
+    CAST(round((1 - $damping) / nn.n, 9) AS DECIMAL(28,9)) +
+      COALESCE(m.in_mass, CAST(0 AS DECIMAL(28,9))) AS rank
+  FROM nodes n2 CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS node,
+      CAST(sum(CAST(round(CAST(p.rank AS DOUBLE) * $damping / deg.deg, 9)
+        AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS in_mass
+    FROM e JOIN deg USING (src) JOIN r${k - 1} p ON p.node = e.src
+    GROUP BY 1) m ON m.node = n2.node
+)"""
+    }.mkString(", ")
+    s"""WITH e AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst
+  FROM lineitem
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST(round(1.0 / nn.n, 9) AS DECIMAL(28,9)) AS rank
+  FROM nodes CROSS JOIN nn
+), $rounds
+SELECT r.node, CAST(round(r.rank, 6) AS DOUBLE) AS rank,
+  COALESCE(d.deg, 0) AS out_degree
+FROM r$iters r LEFT JOIN deg d ON d.src = r.node"""
+  }
+
   /** The q_text_gopher_rep oracle: the 13 Gopher repetition rules
     * replicated in DuckDB — per-n gram CTEs (counts by the gram STRING;
     * the engine counts by 64-bit hash, identical up to ~m²/2⁶⁵
@@ -951,6 +986,20 @@ $joins"""
       graft.operators.Stats.quantileStats(t(s, dir, "documents"),
         "n_chars", qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0),
         groupCols = Seq("lang"))),
+
+    // damped PageRank over the supplier -> part edge graph (3
+    // synchronous iterations): link-structure importance, one shuffle
+    // per iteration, contributions round-9 + decimal-summed so every
+    // iteration is partition-order independent and the unrolled oracle
+    // replicates the ranks bit-for-bit. part keys offset so the two id
+    // spaces can't collide into one node
+    "q_graph_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Graph.pageRank(
+        li.select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 10000000L).as("dst")),
+        "src", "dst", iters = 3)
+    }),
 
     // corpus-relative quality gate: keep docs at/above the 0.6-quantile
     // of a simple length-quality proxy (distinct-token count)
@@ -3059,6 +3108,10 @@ $joins"""
           |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
           |        ::BIGINT::DOUBLE / 281474976710656.0::DOUBLE
           |  < least(n_chars::DOUBLE / 400.0::DOUBLE, 1.0::DOUBLE)""".stripMargin,
+
+      // each PageRank iteration unrolled with the identical rounding
+      // discipline — see pageRankOracleSql
+      "q_graph_pagerank" -> pageRankOracleSql(3, 0.85),
 
       // nearest-rank-lower order statistics replicated directly: the
       // GK sketch at eps = 0 answers rank 1 + floor(q*(n-1)) exactly

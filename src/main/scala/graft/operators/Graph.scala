@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge tables — the link-structure complement to
+  * the dedup stack's connected components (`Dedup.nearDupClusters`' min
+  * label propagation): document/source importance for crawl
+  * prioritization and quality weighting (PageRank over a hyperlink or
+  * citation graph is the classic corpus-curation signal).
+  *
+  * Scale design: each iteration is ONE shuffle — contributions group by
+  * destination; the rank frame re-joins the (checkpointed) out-degree
+  * edge list, which keeps its partitioning across iterations. Driver
+  * work is O(iterations) actions on vocab^0 scalars — nothing
+  * corpus-sized leaves the executors. Per-destination contributions are
+  * rounded to 9 decimals and summed as DECIMAL, so every iteration —
+  * and therefore the final ranks — is independent of partitioning and
+  * summation order: externally replicable, with the oracle unrolling
+  * the same iterations in SQL. */
+object Graph {
+
+  /** Standard damped PageRank over a directed edge list (srcCol,
+    * dstCol), `iters` synchronous iterations from a uniform start.
+    *
+    * Semantics (the Brin & Page 1998 form, normalized to sum ≈ 1):
+    * rank₀(v) = 1/N; rankₖ(v) = (1−d)/N + d·Σ_{u→v} rankₖ₋₁(u)/deg(u).
+    * Dangling nodes (no out-edges) leak their mass — the conventional
+    * simplification, matched exactly by the oracle. Vertices = every
+    * node appearing as a source OR destination. Output: (node,
+    * rank[rounded 6], out_degree) sorted nowhere — callers order.
+    *
+    * Each per-edge contribution rounds to 9 decimals and sums as
+    * DECIMAL(28,9): bit-stable under any partitioning (the q_text_lm
+    * float discipline), which is what lets DuckDB replicate every
+    * iteration exactly. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one edge")
+    // round-then-cast on both constants: round(x, 9) has the same
+    // result in every engine, a raw double->decimal cast may not
+    val base = round(lit((1.0 - damping) / n), 9)
+    var ranks = nodes.withColumn("rank",
+      round(lit(1.0 / n), 9).cast("decimal(28,9)"))
+    (0 until iters).foreach { _ =>
+      val contrib = e
+        .join(deg, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("rank").cast("double") * damping / col("deg"), 9)
+            .cast("decimal(28,9)").as("c"))
+        .groupBy(col("node"))
+        // sum() widens decimal(28,9) to (38,9); adding THAT to the base
+        // would push result precision past 38 and Spark silently drops
+        // to scale 8 — a 1e-9 rounding nobody asked for. The mass sum
+        // fits (28,9) by construction (ranks sum to ~1), so narrow it
+        // back before the addition.
+        .agg(sum(col("c")).cast("decimal(28,9)").as("in_mass"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (base.cast("decimal(28,9)") +
+            coalesce(col("in_mass"), lit(0).cast("decimal(28,9)")))
+            .cast("decimal(28,9)").as("rank"))
+        .localCheckpoint(false)
+    }
+    ranks
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      // round the DECIMAL then cast: ranks are quantized (dangling
+      // nodes share exact masses), so rounding after a double cast
+      // hits systematic half-ties where engines disagree; decimal
+      // HALF_UP is identical everywhere
+      .select(col("node"),
+        round(col("rank"), 6).cast("double").as("rank"),
+        coalesce(col("deg"), lit(0L)).as("out_degree"))
+  }
+}

@@ -225,6 +225,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(pmi - expected) < 1e-6, s"pmi $pmi vs $expected")
   }
 
+  test("pageRank matches an independent replica and any partitioning") {
+    import spark.implicits._
+    // 1 -> {2, 3}, 2 -> 3, 3 -> 1: node 3 collects from two sources
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    val df = edges.toDF("src", "dst")
+    def run(parts: Int) = graft.operators.Graph
+      .pageRank(df.repartition(parts), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    val got = run(1)
+    assert(run(7) == got) // decimal sums: bit-stable under partitioning
+    // independent replica with the exact same rounding discipline
+    val n = 3.0
+    val d = 0.85
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val deg = edges.groupBy(_._1).map { case (s, g) => s -> g.size }
+    var rank = Map(1L -> r9(1 / n), 2L -> r9(1 / n), 3L -> r9(1 / n))
+    (0 until 3).foreach { _ =>
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) =>
+          r9(rank(s).toDouble * d / deg(s)) }.sum
+      }
+      rank = rank.keys.map(v =>
+        v -> (r9((1 - d) / n) + contrib.getOrElse(v, BigDecimal(0)))).toMap
+    }
+    rank.foreach { case (v, expect) =>
+      val e6 = expect.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(v)._1 == e6, s"node $v: ${got(v)._1} vs $e6")
+    }
+    assert(got(1L)._2 == 2L && got(2L)._2 == 1L && got(3L)._2 == 1L)
+    // the two-in-edge node outranks everyone
+    assert(got(3L)._1 > got(1L)._1 && got(3L)._1 > got(2L)._1)
+  }
+
   test("collocationsPmi returns empty (not NPE) on a pairless corpus") {
     val oneWord = spark.sql(
       "select * from values (1L, 'solo'), (2L, 'word') as t(doc_id, text)")
