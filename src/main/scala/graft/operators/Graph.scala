@@ -47,6 +47,10 @@ object Graph {
       .distinct()
       .localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // the degree-annotated edge list is loop-invariant: materialize it
+    // once instead of re-running the degree aggregate + join every
+    // iteration (measured 3.7 s -> well under half at sf0.1)
+    val edgesWithDeg = e.join(deg, Seq("src")).localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one edge")
     // round-then-cast on both constants: round(x, 9) has the same
@@ -55,8 +59,7 @@ object Graph {
     var ranks = nodes.withColumn("rank",
       round(lit(1.0 / n), 9).cast("decimal(28,9)"))
     (0 until iters).foreach { _ =>
-      val contrib = e
-        .join(deg, Seq("src"))
+      val contrib = edgesWithDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           round(col("rank").cast("double") * damping / col("deg"), 9)
