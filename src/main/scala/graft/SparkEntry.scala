@@ -1001,6 +1001,26 @@ $joins"""
         "src", "dst", iters = 3)
     }),
 
+    // connected components over a temporal co-presence graph: events of
+    // the same type within 30 min link into burst chains — path-shaped
+    // components, i.e. the worst case for diameter-bound min-label
+    // propagation and exactly where the O(log n)-round star alternation
+    // earns its keep. The oracle recovers the same components
+    // independently as gap-delimited runs
+    "q_graph_components" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = t(s, dir, "events")
+        .select(col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          (unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w))).as("gap"))
+        .filter(col("prev_id").isNotNull &&
+          col("gap") <= lit(1800L * 1000000L))
+      graft.operators.Graph.connectedComponents(
+        edges, "prev_id", "event_id")
+    }),
+
     // corpus-relative quality gate: keep docs at/above the 0.6-quantile
     // of a simple length-quality proxy (distinct-token count)
     "q_curation_quantile" -> ((s, dir) =>
@@ -3112,6 +3132,29 @@ $joins"""
       // each PageRank iteration unrolled with the identical rounding
       // discipline — see pageRankOracleSql
       "q_graph_pagerank" -> pageRankOracleSql(3, 0.85),
+
+      // components of the 30-min co-presence chains = gap-delimited
+      // runs per event_type; component id = min event_id of the run;
+      // single-event runs have no edge and so no component row
+      "q_graph_components" ->
+        """WITH g AS (
+          |  SELECT event_type, event_id, ts,
+          |    epoch(ts - lag(ts) OVER (PARTITION BY event_type
+          |      ORDER BY ts, event_id)) AS gap
+          |  FROM events
+          |), runs AS (
+          |  SELECT event_type, event_id,
+          |    sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY event_type ORDER BY ts, event_id
+          |            ROWS UNBOUNDED PRECEDING) AS run_id
+          |  FROM g
+          |)
+          |SELECT event_id AS node,
+          |       min(event_id) OVER (PARTITION BY event_type, run_id)
+          |         AS component
+          |FROM runs
+          |QUALIFY count(*) OVER (PARTITION BY event_type, run_id) >= 2"""
+          .stripMargin,
 
       // nearest-rank-lower order statistics replicated directly: the
       // GK sketch at eps = 0 answers rank 1 + floor(q*(n-1)) exactly

@@ -92,4 +92,90 @@ object Graph {
         round(col("rank"), 6).cast("double").as("rank"),
         coalesce(col("deg"), lit(0L)).as("out_degree"))
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond"): each round rewires every edge toward the
+    * minimum id seen in a local neighborhood, which contracts a
+    * component of ANY diameter in O(log n) rounds — the scale
+    * complement to [[graft.operators.Dedup.nearDupClusters]]' min-label
+    * propagation, whose round count is the cluster DIAMETER. Near-dup
+    * clusters are shallow so propagation wins on constant factors
+    * there; a path-shaped graph (temporal chains, citation threads,
+    * linked sessions) makes propagation O(n)-round while this stays
+    * logarithmic (measured: see BASELINE.md's deep-chain row).
+    *
+    * Both star steps are edge-keyed joins against a per-node min — no
+    * `collect_list` of neighborhoods ever materializes, so a
+    * high-degree hub costs a skewed-key aggregate (AQE-splittable), not
+    * executor memory. Driver work is one boolean action per round.
+    *
+    * Semantics: undirected graph from (srcCol, dstCol); self-loops
+    * contribute their node but no edge. Output: (node, component) for
+    * every node appearing in the input, component = min node id
+    * reachable — deterministic for any input, so the DuckDB oracle can
+    * replicate it independently (recursive closure or run-numbering). */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+                          dstCol: String, maxRounds: Int = 25): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    // canonical child>parent orientation; self-loops already counted in
+    // `nodes` carry no connectivity
+    var e = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    var converged = e.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: every strictly-larger neighbor v of u re-attaches to
+      // min(Γ(u) ∪ {u}). Symmetric view so both endpoints act as u.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lmin = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(lmin, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(false)
+      // small-star: u and all its (strictly smaller) parents re-attach
+      // to the smallest parent m — emitted pairwise, never collected
+      val smin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(smin, Seq("u"))
+        .select(explode(array(
+          struct(col("u").as("c"), col("m").as("p")),
+          struct(col("v").as("c"), col("m").as("p")))).as("cp"))
+        .select(col("cp.c").as("u"), col("cp.p").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(false)
+      // fixpoint test = one symmetric-difference probe over two
+      // checkpointed frames (a single job; edge frames only shrink)
+      converged = next.withColumn("__n", lit(1))
+        .join(e.withColumn("__o", lit(1)), Seq("u", "v"), "full_outer")
+        .agg(coalesce(max(col("__n").isNull || col("__o").isNull),
+          lit(false)))
+        .head.getBoolean(0) == false
+      e = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "the alternation is O(log n) rounds, so this indicates a " +
+        "pathological input; raise maxRounds")
+    // at fixpoint e is a star forest rooted at component minima
+    val comp = e.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("__c"))
+    nodes.join(comp, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__c"), col("node")).as("component"))
+  }
 }

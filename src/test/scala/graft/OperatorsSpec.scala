@@ -260,6 +260,79 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L)._1 > got(1L)._1 && got(3L)._1 > got(2L)._1)
   }
 
+  // brute-force union-find reference for connectedComponents specs
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents matches union-find on assorted topologies") {
+    import spark.implicits._
+    // bridge-merged triangles, a chain, a star, an isolated pair, and a
+    // self-loop singleton — exercises merging, paths, hubs, and the
+    // no-edge node contract
+    val edges = Seq((5L, 6L), (6L, 7L), (7L, 5L), (8L, 9L), (9L, 10L),
+      (10L, 8L), (7L, 8L), (20L, 21L), (21L, 22L), (22L, 23L),
+      (30L, 31L), (30L, 32L), (30L, 33L), (40L, 41L), (50L, 50L))
+    val got = graft.operators.Graph
+      .connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = ufComponents(edges.filter(e => e._1 != e._2)) + (50L -> 50L)
+    assert(got == expect)
+    // partitioning invariance
+    val got7 = graft.operators.Graph
+      .connectedComponents(edges.toDF("src", "dst").repartition(7),
+        "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got7 == got)
+  }
+
+  test("connectedComponents contracts a deep chain in logarithmic rounds") {
+    import spark.implicits._
+    // a 300-node path: min-label propagation needs ~300 rounds
+    // (diameter); the star alternation must finish inside the default
+    // 25-round budget or throw — this test IS the log-rounds claim
+    val chain = (0L until 299L).map(i => (i, i + 1))
+    val got = graft.operators.Graph
+      .connectedComponents(chain.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 300 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents on random graphs equals union-find") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val n = 60 + trial * 40
+      val edges = (0 until n).map(_ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      val got = graft.operators.Graph
+        .connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loops = edges.filter(e => e._1 == e._2).map(_._1)
+        .filterNot(x => edges.exists(e => e._1 != e._2 &&
+          (e._1 == x || e._2 == x)))
+      val expect = ufComponents(edges.filter(e => e._1 != e._2)) ++
+        loops.map(x => x -> x).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents returns empty on an empty edge frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graph
+      .connectedComponents(empty, "src", "dst").count() == 0)
+  }
+
   test("collocationsPmi returns empty (not NPE) on a pairless corpus") {
     val oneWord = spark.sql(
       "select * from values (1L, 'solo'), (2L, 'word') as t(doc_id, text)")
