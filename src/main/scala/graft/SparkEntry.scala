@@ -572,6 +572,12 @@ $joins"""
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
 
+    // asymmetric containment |A∩B|/|A| >= 0.6: excerpt/subset detection
+    // that symmetric Jaccard structurally misses for large containers
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6)),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 64, bands = 32, threshold = 0.5)),
@@ -2448,6 +2454,29 @@ $joins"""
       // the hash gate without any code bug (then compare as
       // subset + recall-bound instead).
       "q_dedup_minhash" -> shingleCte,
+
+      // exhaustive directed containment over the same shingle sets
+      "q_dedup_containment" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |), sh AS (
+          |  SELECT doc_id,
+          |         CASE WHEN len(w) >= 3 THEN list_distinct(
+          |           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |            FOR i IN range(1, greatest(len(w)-1, 1))])
+          |         ELSE [] END AS s
+          |  FROM toks
+          |), pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |         len(list_intersect(a.s, b.s)) AS n_common,
+          |         len(a.s) AS sa
+          |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+          |  WHERE len(a.s) > 0 AND len(b.s) > 0
+          |)
+          |SELECT id_a, id_b,
+          |       round(n_common::DOUBLE / sa, 6) AS containment
+          |FROM pairs
+          |WHERE n_common::DOUBLE / sa >= 0.6""".stripMargin,
       "q_dedup_simhash" -> shingleCte,
 
       // incremental oracle: exhaustive Jaccard restricted to

@@ -99,6 +99,62 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
+  /** All directed pairs with shingle containment |A∩B|/|A| ≥ `threshold`
+    * — the asymmetric complement to [[jaccardPairs]]: detects a document
+    * substantially CONTAINED in another (quotes, excerpts, subset
+    * crawls) that symmetric Jaccard misses whenever the container is
+    * much larger (J = |A∩B|/|A∪B| → 0 as |B| grows, containment
+    * doesn't).
+    *
+    * Exact, via an asymmetric prefix-filtered inverted index:
+    *   - the contained side indexes only its prefix — under the global
+    *     df-ascending shingle order, a pair with C ≥ t must share a
+    *     shingle within A's first |A| − ⌈t·|A|⌉ + 1 rarest shingles
+    *     (lossless, same argument as the Jaccard prefix filter; no size
+    *     filter exists because B is unbounded above);
+    *   - the container side must index ALL its shingles — but the join
+    *     key always comes from a PREFIX (rare by construction), so a
+    *     corpus-common shingle's long posting list is never probed and
+    *     no quadratic bucket can form.
+    * Candidates verify against full shingle sets: recall exactly 1.
+    * Output: (id_a, id_b, containment) — id_a contained in id_b,
+    * id_a ≠ id_b, both directions reported when both exceed t. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val sh = shingled(docs, idCol, textCol, n)
+    val posting = sh.select(col("id"), col("set_size"),
+      explode(col("shingles")).as("shingle"))
+    val docFreq = posting.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefixLen = col("set_size") -
+      ceil(col("set_size") * lit(threshold)) + 1
+    val prefix = posting.join(docFreq, "shingle")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen)
+      .select(col("id"), col("shingle"))
+    val candidates = prefix.as("a").join(
+        posting.select(col("id"), col("shingle")).as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment",
+        col("n_common").cast("double") / size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** MinHash-LSH near-duplicate pairs, exact-verified.
     *
     * Signature: `numHashes` permutations simulated as
