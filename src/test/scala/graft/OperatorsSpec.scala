@@ -992,6 +992,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("containmentPairs matches an exhaustive directed-containment oracle") {
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment")))
+      .toSet
+    // exhaustive oracle on the driver: distinct word trigrams per doc,
+    // directed |A∩B|/|A|
+    val sets = docs.collect().map { r =>
+      val w = r.getAs[String]("text").split(" ")
+      r.getAs[Long]("doc_id") -> w.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val expect = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= 0.6
+    } yield (a, b, math.rint(c * 1e6) / 1e6)).toSet
+    assert(expect.nonEmpty)
+    assert(got == expect)
+  }
+
+  test("containmentPairs finds an excerpt symmetric Jaccard misses") {
+    // a 5-shingle excerpt fully contained in a 100+-shingle container:
+    // containment(A in B) = 1.0 while Jaccard ~ 0.05
+    val container = (1 to 110).map(i => s"w$i").mkString(" ")
+    val excerpt = (40 to 46).map(i => s"w$i").mkString(" ")
+    val df = spark.sql(
+      s"select * from values (1L, '$container'), (2L, '$excerpt') as t(doc_id, text)")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont == Set((2L, 1L))) // excerpt contained in container, one direction
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("minHashLshPairsAgainst finds exactly the cross-side near-dup pairs") {
     // split the corpus: batch = ids % 5 == 0, corpus = the rest; the
     // incremental pairs must be EXACTLY the exhaustive cross-side pairs
