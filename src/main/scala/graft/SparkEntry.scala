@@ -1027,6 +1027,21 @@ $joins"""
         edges, "prev_id", "event_id")
     }),
 
+    // per-node triangles + clustering coefficient over the supplier
+    // co-order graph (suppliers sharing a high-quantity order line):
+    // community-vs-link-farm density signal; the qty>45 thinning keeps
+    // the graph sparse so clustering is non-trivial. Oracle enumerates
+    // triangles exhaustively
+    "q_graph_triangles" -> ((s, dir) => {
+      val pe = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = pe.as("x").join(pe.as("y"), "l_orderkey")
+        .filter(col("x.l_suppkey") =!= col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+    }),
+
     // corpus-relative quality gate: keep docs at/above the 0.6-quantile
     // of a simple length-quality proxy (distinct-token count)
     "q_curation_quantile" -> ((s, dir) =>
@@ -3184,6 +3199,41 @@ $joins"""
           |FROM runs
           |QUALIFY count(*) OVER (PARTITION BY event_type, run_id) >= 2"""
           .stripMargin,
+
+      // exhaustive triangle enumeration over the same co-order graph:
+      // canonical a<b edges, a<b<c closure join, membership unpivot
+      "q_graph_triangles" ->
+        """WITH pe AS (
+          |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+          |  WHERE l_quantity > 45
+          |), und AS (
+          |  SELECT DISTINCT least(x.l_suppkey, y.l_suppkey) AS a,
+          |                  greatest(x.l_suppkey, y.l_suppkey) AS b
+          |  FROM pe x JOIN pe y ON x.l_orderkey = y.l_orderkey
+          |   AND x.l_suppkey <> y.l_suppkey
+          |), deg AS (
+          |  SELECT node, count(*) AS deg FROM (
+          |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          |  GROUP BY node
+          |), tri AS (
+          |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |  FROM und e1
+          |  JOIN und e2 ON e2.a = e1.b
+          |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+          |), memb AS (
+          |  SELECT x AS node FROM tri
+          |  UNION ALL SELECT y FROM tri
+          |  UNION ALL SELECT z FROM tri
+          |), tc AS (
+          |  SELECT node, count(*) AS triangles FROM memb GROUP BY node
+          |)
+          |SELECT d.node, d.deg AS degree,
+          |       coalesce(tc.triangles, 0) AS triangles,
+          |       CASE WHEN d.deg >= 2 THEN
+          |         round(2.0 * coalesce(tc.triangles, 0)
+          |               / (d.deg * (d.deg - 1.0)), 6)
+          |       ELSE 0.0 END AS clustering
+          |FROM deg d LEFT JOIN tc USING (node)""".stripMargin,
 
       // nearest-rank-lower order statistics replicated directly: the
       // GK sketch at eps = 0 answers rank 1 + floor(q*(n-1)) exactly

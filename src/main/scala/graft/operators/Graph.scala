@@ -93,6 +93,90 @@ object Graph {
         coalesce(col("deg"), lit(0L)).as("out_degree"))
   }
 
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected graph — the density complement to [[pageRank]]'s
+    * importance: high clustering separates genuine communities (mutual
+    * citation/link cliques) from spam link farms and star-shaped
+    * scraper hubs, a standard crawl-curation signal.
+    *
+    * Scale design — degree-ordered orientation (the MapReduce
+    * node-iterator of Suri & Vassilvitskii 2011, "Counting Triangles
+    * and the Curse of the Last Reducer"): every undirected edge is
+    * directed from its lower-(degree, id) endpoint to the higher, which
+    * makes the edge relation a DAG whose out-degree is O(√m) REGARDLESS
+    * of in-degree — a celebrity node with 10⁸ followers generates no
+    * wedges at all unless its neighbors are themselves high-degree.
+    * Wedges come from one self-join of the oriented list on its source
+    * (the low-degree pivot, so the per-key fan-out is the bounded
+    * out-degree squared, never raw-degree squared); each triangle
+    * closes via exactly one (lowest-rank pivot) wedge probing the
+    * oriented edge set, so no triangle is double-counted and no
+    * neighborhood is ever collected into a row. Two shuffles total
+    * beyond the degree computation; all joins are equi-joins on keys
+    * AQE can split on skew.
+    *
+    * Semantics: undirected distinct edges from (srcCol, dstCol);
+    * self-loops contribute their node but no edge. Output: one row per
+    * node appearing in the input — (node, degree, triangles,
+    * clustering) with clustering = 2·T / (deg·(deg−1)) rounded to 6
+    * (0 when deg < 2), exactly replicable in SQL by exhaustive
+    * triangle enumeration. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node")))
+      .distinct()
+    val und = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    // orient low→high under the total order (deg, id); carry the
+    // destination's rank key so wedge endpoints can be ordered without
+    // another degree join
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint(false)
+    // wedges at each pivot: unordered out-neighbor pairs, emitted with
+    // the closing edge's own (lo → hi) orientation so the probe is a
+    // direct equi-join
+    val yLater = col("x.ddeg") < col("y.ddeg") ||
+      (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && yLater)
+      .select(col("x.src").as("pivot"),
+        col("x.dst").as("lo"), col("y.dst").as("hi"))
+    val triangles = wedges.join(
+      oriented.select(col("src").as("lo"), col("dst").as("hi")),
+      Seq("lo", "hi"))
+    val perNode = triangles
+      .select(explode(array(col("pivot"), col("lo"), col("hi"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    nodes
+      .join(deg, Seq("node"), "left")
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+            round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("deg") * (col("deg") - lit(1)).cast("double")), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al. 2014, "Connected Components in
     * MapReduce and Beyond"): each round rewires every edge toward the

@@ -326,6 +326,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCounts matches hand counts on a known graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3), a pendant 4-5, a
+    // triangle {7,8,9} sharing no nodes, a triangle-free path 20-21-22,
+    // a self-loop singleton 30, duplicate + reversed edges
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (7L, 8L), (8L, 9L), (9L, 7L),
+      (20L, 21L), (21L, 22L), (30L, 30L), (2L, 1L))
+    val got = graft.operators.Graph
+      .triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((3L, 3L, 1.0)))
+    assert(got(4L) == ((4L, 3L, 0.5)))
+    assert(got(5L) == ((1L, 0L, 0.0)))
+    assert(got(7L) == ((2L, 1L, 1.0)))
+    assert(got(20L) == ((1L, 0L, 0.0)))
+    assert(got(21L) == ((2L, 0L, 0.0)))
+    assert(got(30L) == ((0L, 0L, 0.0))) // self-loop node, no edge
+  }
+
+  test("triangleCounts on random graphs equals exhaustive enumeration") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 2).foreach { trial =>
+      val edges = (0 until 150).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val got = graft.operators.Graph
+        .triangleCounts(edges.toDF("src", "dst").repartition(5),
+          "src", "dst")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nbrs = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      for ((node, (d, t)) <- got) {
+        val nb = nbrs.getOrElse(node, Set.empty)
+        assert(d == nb.size, s"trial $trial degree of $node")
+        val expectT = nb.toSeq.combinations(2).count { pair =>
+          und((math.min(pair(0), pair(1)), math.max(pair(0), pair(1))))
+        }
+        assert(t == expectT, s"trial $trial triangles of $node")
+      }
+    }
+  }
+
   test("connectedComponents returns empty on an empty edge frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
