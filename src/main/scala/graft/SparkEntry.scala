@@ -491,6 +491,18 @@ $joins"""
           keyCols = Seq("doc_id"))
         .select("doc_id", "source", "split")),
 
+    // leakage-safe split: near-dup clusters assign as a unit (one hash
+    // per connected component), so no test doc has a train near-copy;
+    // unclustered docs keep their q_sample_split assignment
+    "q_sample_split_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.splitByCluster(docs, "doc_id",
+          Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3,
+            numHashes = 64, bands = 32, threshold = 0.5),
+          Seq("train" -> 90L, "val" -> 5L, "test" -> 5L))
+        .select("doc_id", "source", "split")
+    }),
+
     // domain-mixture resampling: rebalance the corpus to target
     // proportions (the scarcest requested domain caps the total)
     "q_sample_mixture" -> ((s, dir) =>
@@ -3117,6 +3129,38 @@ $joins"""
            |FROM (
            |  SELECT doc_id, source, $splitBucketSql AS b
            |  FROM documents)""".stripMargin,
+
+      // leakage-safe split oracle: the q_dedup_clusters recursive walk
+      // recovers components, then the standard 48-bit bucketing hashes
+      // coalesce(cluster_id, doc_id) instead of doc_id
+      "q_sample_split_safe" ->
+        s"""WITH RECURSIVE pairs AS ($shingleCte),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM pairs
+           |),
+           |walk AS (
+           |  SELECT src AS id, dst AS reach FROM edges
+           |  UNION
+           |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+           |),
+           |clusters AS (
+           |  SELECT id, least(id, min(reach)) AS cluster_id
+           |  FROM walk GROUP BY id
+           |),
+           |keyed AS (
+           |  SELECT d.doc_id, d.source,
+           |         coalesce(c.cluster_id, d.doc_id) AS grp
+           |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+           |)
+           |SELECT doc_id, source,
+           |  $splitCaseSql
+           |FROM (
+           |  SELECT doc_id, source,
+           |    (('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 12))::BIGINT
+           |     * 100) >> 48 AS b
+           |  FROM keyed)""".stripMargin,
 
       // mixture oracle: same normalized weights, same T = min(n_d/w_d)
       // double math (LEFT JOIN keeps an absent requested domain as n=0),

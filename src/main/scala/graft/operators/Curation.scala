@@ -65,6 +65,34 @@ object Curation {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle a split boundary (a test doc with a training-set
+    * near-copy silently inflates eval — the contamination mode Lee 2021
+    * §6 measures), so the unit of assignment is the near-dup CLUSTER,
+    * not the document. Given the corpus and a near-dup pair table
+    * (id_a, id_b — any of the dedup family's outputs), documents are
+    * grouped by connected component and the whole component is hashed
+    * into one split; unclustered documents hash by their own id, which
+    * keeps the assignment identical to [[splitByHash]] wherever no
+    * duplicate exists.
+    *
+    * Cost beyond the pair table: the min-label component propagation
+    * ([[Dedup.nearDupClusters]] — rounds = cluster diameter, shallow
+    * for near-dup graphs) plus one broadcast-or-shuffle left join of
+    * the skinny (id, cluster_id) frame; the split itself stays a
+    * narrow integer-hash projection. Returns the input plus a `split`
+    * column. */
+  def splitByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                     splits: Seq[(String, Long)]): DataFrame = {
+    val clusters = Dedup.nearDupClusters(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val keyed = df.join(clusters, Seq(idCol), "left")
+      .withColumn("__grp",
+        coalesce(col("cluster_id"), col(idCol)).cast("long"))
+      .drop("cluster_id")
+    splitByHash(keyed, splits, Seq("__grp")).drop("__grp")
+  }
+
   /** Resample a corpus to a target domain mixture — the data-mixing
     * step of training-set assembly ("40% web, 30% code, 30% books"):
     * given desired PROPORTIONS per domain, compute the largest total T

@@ -2629,6 +2629,31 @@ class OperatorsSpec extends AnyFunSuite {
       fine(id) == "t1" || fine(id) == "t2" })
   }
 
+  test("splitByCluster keeps every near-dup cluster in one split") {
+    val splits = Seq("train" -> 90L, "val" -> 5L, "test" -> 5L)
+    // synthetic pair table: chain {1,2,3}, pair {10,11}, and the rest
+    // of the corpus unclustered
+    val pairs = spark.sql(
+      """select * from values (1L, 2L), (2L, 3L), (10L, 11L)
+        | as t(id_a, id_b)""".stripMargin)
+    val out = Curation.splitByCluster(docs, "doc_id", pairs, splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == docs.count())
+    // each cluster entirely in one split
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(10L) == out(11L))
+    // every unclustered doc keeps its plain splitByHash assignment
+    val plain = Curation.splitByHash(docs, splits, Seq("doc_id"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(1L, 2L, 3L, 10L, 11L)
+    assert(out.filter(kv => !clustered(kv._1))
+      .forall { case (id, s) => plain(id) == s })
+    // and the cluster's shared split is the representative's plain one
+    assert(out(1L) == plain(1L) && out(10L) == plain(10L))
+  }
+
   test("resampleToMixture hits exact per-domain counts; scarcest domain caps the mix") {
     // lang strata in the test corpus are unequal; ask for proportions
     // that make a SMALL domain the binding constraint
