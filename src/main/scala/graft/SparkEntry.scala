@@ -1214,6 +1214,19 @@ $joins"""
         vocab = Some(v))
     }),
 
+    // Kneser-Ney held-out scoring: same train/held split as
+    // q_text_lm_heldout but with continuation-probability smoothing —
+    // the CCNet-style fluency filter; exercises known-context,
+    // unseen-bigram, and unknown-context paths under the gate
+    "q_text_lm_kn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val held = docs.filter(col("doc_id") % 10 === 0)
+      val lm = LanguageModel.trainBigram(train, "doc_id", "text")
+      LanguageModel.scoreByKneserNey(held, lm, "doc_id", "text",
+        discount = 0.75)
+    }),
+
     // exact BM25 top-10 for five fixed queries over the corpus — the
     // retrieval operator; per-term scores decimal-summed so document
     // scores are summation-order-independent (hash-comparable)
@@ -1685,6 +1698,58 @@ $joins"""
           |      AS DECIMAL(28,9)) AS logp
           |  FROM hbg LEFT JOIN lm USING (w1, w2)
           |           LEFT JOIN ctx USING (w1), v
+          |)
+          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+          |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob
+          |FROM scored GROUP BY 1""".stripMargin,
+
+      // Kneser-Ney mirrored exactly: same interpolated-discount double
+      // arithmetic shape (continuation probability add-half smoothed
+      // over T types and V+1 vocab), per-bigram round(9), DECIMAL sum
+      "q_text_lm_kn" ->
+        """WITH train AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+          |), held AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+          |), tbg AS (
+          |  SELECT w[i] AS w1, w[i+1] AS w2
+          |  FROM (SELECT string_split(text, ' ') AS w FROM train),
+          |       LATERAL (SELECT unnest(range(1, len(w))) AS i)
+          |), lm AS (
+          |  SELECT w1, w2, count(*)::BIGINT AS n FROM tbg GROUP BY 1, 2
+          |), ctx AS (
+          |  SELECT w1, sum(n)::BIGINT AS ctx FROM lm GROUP BY 1
+          |), n1f AS (
+          |  SELECT w1, count(*)::BIGINT AS n1f FROM lm GROUP BY 1
+          |), cont AS (
+          |  SELECT w2, count(*)::BIGINT AS cont FROM lm GROUP BY 1
+          |), tv AS (
+          |  SELECT (SELECT count(*) FROM lm)::DOUBLE AS t,
+          |         (SELECT count(DISTINCT w) FROM (
+          |            SELECT w1 AS w FROM lm
+          |            UNION SELECT w2 FROM lm))::DOUBLE AS nv
+          |), hbg AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM held),
+          |       LATERAL (SELECT unnest(range(1, len(w))) AS i)
+          |), scored AS (
+          |  SELECT hbg.doc_id,
+          |    CAST(round(ln(
+          |      CASE WHEN ctx.ctx IS NOT NULL THEN
+          |        (greatest(COALESCE(lm.n, 0)::DOUBLE - 0.75::DOUBLE,
+          |                  0::DOUBLE)
+          |         + 0.75::DOUBLE * n1f.n1f::DOUBLE *
+          |           ((COALESCE(cont.cont, 0)::DOUBLE + 0.5::DOUBLE)
+          |            / (tv.t + 0.5::DOUBLE * (tv.nv + 1::DOUBLE))))
+          |        / ctx.ctx::DOUBLE
+          |      ELSE
+          |        ((COALESCE(cont.cont, 0)::DOUBLE + 0.5::DOUBLE)
+          |         / (tv.t + 0.5::DOUBLE * (tv.nv + 1::DOUBLE)))
+          |      END), 9) AS DECIMAL(28,9)) AS logp
+          |  FROM hbg LEFT JOIN lm USING (w1, w2)
+          |           LEFT JOIN ctx USING (w1)
+          |           LEFT JOIN n1f USING (w1)
+          |           LEFT JOIN cont USING (w2), tv
           |)
           |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
           |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob

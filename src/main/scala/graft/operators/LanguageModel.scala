@@ -55,6 +55,69 @@ object LanguageModel {
       .agg(count(lit(1)).as("n"))
       .withColumn("ctx", sum(col("n")).over(Window.partitionBy(col("w1"))))
 
+  /** Mean bigram log-probability per document under interpolated
+    * Kneser–Ney smoothing — the CCNet-class perplexity filter (Wenzek
+    * 2020 trains KN models to rank CommonCrawl by fluency; add-k
+    * over-penalizes frequent-word contexts, KN's continuation
+    * probability fixes exactly that).
+    *
+    * Model math (Kneser–Ney 1995, interpolated form; D = `discount`):
+    * P(w₂|w₁) = (max(c(w₁w₂)−D, 0) + D·N₁₊(w₁•)·Pc(w₂)) / c(w₁) when
+    * context w₁ is known, else Pc(w₂), where N₁₊(w₁•) counts distinct
+    * continuations of w₁ and the continuation probability
+    * Pc(w₂) = (N₁₊(•w₂) + ½) / (T + ½·(V+1)) is add-half smoothed over
+    * the T distinct bigram types so out-of-vocabulary words keep a
+    * strictly positive floor (textbook Pc is zero on unseen w₂, which
+    * would put −∞ in a mean; V = the model's vocabulary, the distinct
+    * tokens appearing in any training bigram).
+    *
+    * Scale shape is [[scoreByBigram]]'s: the model derivatives (per-w₁
+    * continuations, per-w₂ contexts) are two aggregates of the skinny
+    * bigram table; scoring is keyed left joins, no corpus×corpus
+    * pairing; T and V are the only driver scalars. Per-bigram log-probs
+    * round to 9 decimals and sum as DECIMAL — summation-order- and
+    * engine-independent, so DuckDB replicates scores bit-for-bit.
+    * Output: (doc_id, n_bigrams, avg_logprob); docs without bigrams
+    * drop out. */
+  def scoreByKneserNey(docs: DataFrame, lm: DataFrame, idCol: String,
+                       textCol: String,
+                       discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val lmOnce = lm.select(col("w1"), col("w2"), col("n"), col("ctx"))
+      .localCheckpoint(false)
+    val types = lmOnce.count()
+    require(types > 0, "empty language model")
+    val v = lmOnce.select(col("w1").as("w"))
+      .union(lmOnce.select(col("w2").as("w")))
+      .distinct().count()
+    val contDenom = types.toDouble + 0.5 * (v.toDouble + 1.0)
+    val n1f = lmOnce.groupBy(col("w1")).agg(count(lit(1)).as("n1f"))
+    val contTbl = lmOnce.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val ctxTbl = lmOnce.select(col("w1"), col("ctx")).distinct()
+    val pc = (coalesce(col("cont"), lit(0L)).cast("double") + lit(0.5)) /
+      lit(contDenom)
+    val p = when(col("ctx").isNotNull,
+      (greatest(coalesce(col("n"), lit(0L)).cast("double") - lit(discount),
+          lit(0.0)) +
+        lit(discount) * col("n1f").cast("double") * col("pc")) /
+        col("ctx").cast("double"))
+      .otherwise(col("pc"))
+    val scored = bigramRows(docs, idCol, textCol)
+      .join(lmOnce.select(col("w1"), col("w2"), col("n")),
+        Seq("w1", "w2"), "left")
+      .join(ctxTbl, Seq("w1"), "left")
+      .join(n1f, Seq("w1"), "left")
+      .join(contTbl, Seq("w2"), "left")
+      .withColumn("pc", pc)
+      .withColumn("logp", round(log(p), 9).cast("decimal(28,9)"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp")).as("lp_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lp_sum").cast("double") / col("n_bigrams"), 6)
+          .as("avg_logprob"))
+  }
+
   /** Mean bigram log-probability per document under `lm` (a
     * [[trainBigram]] result). Output: (doc_id, n_bigrams, avg_logprob),
     * higher = more fluent; docs without bigrams drop out. `vocab`

@@ -811,6 +811,52 @@ class OperatorsSpec extends AnyFunSuite {
       s"got ${r(0).getDouble(2)}, want $expect")
   }
 
+  test("Kneser-Ney scoring matches hand computation on every context path") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = LanguageModel.trainBigram(train, "doc_id", "text")
+    // model: (a,b):3 ctx(a)=3; (b,a):1, (b,c):1 ctx(b)=2; T=3 types,
+    // V={a,b,c}=3, contDenom = 3 + 0.5*(3+1) = 5; n1f: a->1, b->2;
+    // cont: a->1, b->1, c->1 so pc(w) = 1.5/5 = 0.3 for all three
+    def lp(p: Double) =
+      BigDecimal(math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def mean(ps: Seq[Double]) =
+      (ps.map(lp).sum / ps.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val test = Seq(
+      (9L, "c a c b"), // (c,a) unknown ctx; (a,c) seen ctx, unseen bg; (c,b) unknown ctx
+      (10L, "a b"), // the fully-seen path
+      (11L, "b a")).toDF("doc_id", "text")
+    val got = LanguageModel.scoreByKneserNey(test, lm, "doc_id", "text",
+        discount = 0.75).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val pc = 0.3
+    assert(got(9L) == ((3L,
+      mean(Seq(pc, (0.0 + 0.75 * 1 * pc) / 3, pc)))))
+    assert(got(10L) == ((1L, mean(Seq((3 - 0.75 + 0.75 * 1 * pc) / 3)))))
+    assert(got(11L) == ((1L, mean(Seq((1 - 0.75 + 0.75 * 2 * pc) / 2)))))
+  }
+
+  test("Kneser-Ney beats add-k on frequent-continuation unseen bigrams") {
+    // 'york' only ever follows 'new' (one context); 'and' follows many.
+    // After an unseen context word, KN must prefer the promiscuous
+    // continuation 'and' over the single-context 'york' — add-k can't
+    // tell them apart when their unigram counts tie
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "new york new york new york"),
+      (2L, "cats and dogs"), (3L, "up and down"),
+      (4L, "salt and pepper")).toDF("doc_id", "text")
+    val lm = LanguageModel.trainBigram(train, "doc_id", "text")
+    val test = Seq((8L, "zzz york"), (9L, "zzz and")).toDF("doc_id", "text")
+    val got = LanguageModel.scoreByKneserNey(test, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(9L) > got(8L),
+      s"KN should rank 'zzz and' above 'zzz york': $got")
+  }
+
   test("Int8DotProduct matches a driver loop; quantizedTopK tracks exact top-k") {
     import org.apache.spark.sql.graftext.Int8DotProduct
     import org.scalacheck.Gen
