@@ -921,6 +921,196 @@ object Multimodal {
       }(enc)
   }
 
+  // ---- perceptual image hashing ----
+
+  /** BMP payload to the shared dense top-down RGB frame, so the
+    * perceptual hasher sees the same pixel layout from every container
+    * format (BMP stores BGR rows, usually bottom-up). */
+  private[graft] def bmpToImage(content: Array[Byte]): Option[PngImage] = {
+    val l = parseBmp(content).getOrElse(return None)
+    if (l.width.toLong * l.height * 3 > (256L << 20)) return None
+    val out = new Array[Byte](l.width * l.height * 3)
+    var y = 0
+    while (y < l.height) {
+      val srcRow = if (l.topDown) y else l.height - 1 - y
+      val rowOff = l.dataOff + srcRow * l.stride
+      var x = 0
+      while (x < l.width) {
+        val p = (rowOff + x.toLong * l.bpp).toInt
+        val base = (y * l.width + x) * 3
+        out(base) = content(p + 2) // R (BMP rows are BGR)
+        out(base + 1) = content(p + 1)
+        out(base + 2) = content(p)
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngImage(l.width, l.height, 3, out))
+  }
+
+  /** 32×32 area-averaged luma plane of a decoded frame — the
+    * downsampling step of the DCT perceptual hash. Box averaging (not
+    * point sampling) so a one-pixel shift in a large image cannot flip
+    * the plane. */
+  private[graft] def luma32(img: PngImage): Array[Double] = {
+    val out = new Array[Double](32 * 32)
+    var ty = 0
+    while (ty < 32) {
+      val y0 = (ty.toLong * img.height / 32).toInt
+      val y1 = math.max(y0 + 1, ((ty + 1).toLong * img.height / 32).toInt)
+      var tx = 0
+      while (tx < 32) {
+        val x0 = (tx.toLong * img.width / 32).toInt
+        val x1 = math.max(x0 + 1, ((tx + 1).toLong * img.width / 32).toInt)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val base = (y * img.width + x) * img.channels
+            val r = img.pixels(base) & 0xff
+            val (g, b) =
+              if (img.channels >= 3)
+                (img.pixels(base + 1) & 0xff, img.pixels(base + 2) & 0xff)
+              else (r, r)
+            s += 0.299 * r + 0.587 * g + 0.114 * b
+            x += 1
+          }
+          y += 1
+        }
+        out(ty * 32 + tx) = s / ((y1 - y0).toDouble * (x1 - x0))
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  // DCT-II basis for the 8 lowest frequencies over 32 samples
+  private val dctBasis: Array[Array[Double]] = Array.tabulate(8, 32)(
+    (u, x) => math.cos(math.Pi * (2 * x + 1) * u / 64.0))
+
+  /** 64-bit DCT perceptual hash (pHash): 32×32 luma → 2-D DCT-II → the
+    * 8×8 lowest-frequency block → one bit per AC coefficient, set when
+    * the coefficient exceeds the median of the 63 AC terms (bit 63
+    * stays 0). Excluding the DC term makes the hash invariant to
+    * uniform brightness OFFSET, and median thresholding makes it
+    * invariant to positive contrast SCALING — the two edits that, with
+    * resizing (absorbed by the 32×32 downsample), account for most
+    * re-encoded web-crawl image duplicates. Near-duplicate frames
+    * differ in a few bits; unrelated frames differ in ~32. */
+  private[graft] def perceptualHash64(img: PngImage): Long = {
+    require(img.width > 0 && img.height > 0, "empty image")
+    val f = luma32(img)
+    // separable DCT: rows first (32×8), then columns (8×8)
+    val t = new Array[Double](32 * 8)
+    var y = 0
+    while (y < 32) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += f(y * 32 + x) * dctBasis(v)(x); x += 1 }
+        t(y * 8 + v) = s
+        v += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 32) { s += t(yy * 8 + v) * dctBasis(u)(yy); yy += 1 }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31) // true median of 63 values
+    var h = 0L
+    var k = 0
+    while (k < 63) {
+      if (ac(k) > med) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
+
+  /** Per-asset perceptual hashes: (id, phash) for every decodable image
+    * payload (PNG/BMP/GIF/JPEG, with the ImageIO fallback for variants
+    * the hand-rolled decoders decline); undecodable assets are absent —
+    * a corrupt image has no principled hash, and emitting one from raw
+    * bytes would alias unrelated corrupt files into dup candidates.
+    * Same codec-boundary `mapPartitions` shape as [[extractFeatures]];
+    * the output is an 8-byte column per image, the whole point at
+    * 100 TB: the expensive decode runs ONCE per image and every
+    * downstream dedup pass joins on the fixed-size hash. */
+  def perceptualHashes(assets: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = ExpressionEncoder(schema)
+    assets.select(col("id"), col("content"), col("meta.mime").as("mime"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = r.getString(2) match {
+            case "image/png" =>
+              scala.util.Try(decodePngRaw(bytes)).toOption.flatten
+                .orElse(scala.util.Try(decodeImageIoRaw(bytes))
+                  .toOption.flatten)
+            case "image/bmp" =>
+              scala.util.Try(bmpToImage(bytes)).toOption.flatten
+            case "image/gif" =>
+              scala.util.Try(decodeGifRaw(bytes)).toOption.flatten
+                .orElse(scala.util.Try(decodeImageIoRaw(bytes))
+                  .toOption.flatten)
+            case "image/jpeg" | "image/jpg" =>
+              scala.util.Try(decodeJpegRaw(bytes)).toOption.flatten
+            case _ => None
+          }
+          img.filter(i => i.width > 0 && i.height > 0)
+            .map(i => Row(r.getLong(0), perceptualHash64(i)))
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate image pairs from a [[perceptualHashes]] frame:
+    * all (id_a < id_b) pairs with pHash Hamming distance ≤
+    * `hammingMax`. Same pigeonhole banding as the text simhash join —
+    * a pair within distance < `chunks` must agree exactly on at least
+    * one of the `chunks` hash segments, so candidates come from
+    * equi-joins on (chunk, value) keys, never an all-pairs scan; the
+    * exact `bit_count(xor)` filter then makes precision 1 (pHash IS
+    * the metric — no second verification pass exists to pay for). */
+  def phashNearDupPairs(hashes: DataFrame, hammingMax: Int = 3,
+                        chunks: Int = 4): DataFrame = {
+    require(chunks > 0 && 64 % chunks == 0, "chunks must divide 64")
+    require(hammingMax >= 0 && hammingMax < chunks,
+      s"pigeonhole banding guarantees recall only for hamming < chunks " +
+        s"(got hammingMax=$hammingMax, chunks=$chunks)")
+    val chunked = hashes.select(col("id"), col("phash"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("chunk_val",
+        expr(s"shiftrightunsigned(phash, chunk * ${64 / chunks})")
+          .bitwiseAND(lit((1L << (64 / chunks)) - 1)))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hammingMax)
+  }
+
   /** In-place iterative radix-2 Cooley-Tukey FFT (re, im same length,
     * a power of two). Textbook butterfly with a recurrence twiddle —
     * O(n log n), zero allocation beyond the caller's buffers. */

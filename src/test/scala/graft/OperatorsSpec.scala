@@ -2025,6 +2025,139 @@ class OperatorsSpec extends AnyFunSuite {
     } finally done.shutdownNow()
   }
 
+  // deterministic textured test image: LCG pixels over a gradient,
+  // values kept in [30, 215] so ±offset edits never clamp
+  private def synthImage(w: Int, h: Int, seed: Long): Multimodal.PngImage = {
+    var s = seed
+    def next(): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % 120).toInt + 48) }
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      px(base) = ((x * 100 / w + next() / 2) & 0xff).toByte
+      px(base + 1) = ((y * 100 / h + next() / 2) & 0xff).toByte
+      px(base + 2) = (next() & 0xff).toByte
+    }
+    Multimodal.PngImage(w, h, 3, px)
+  }
+
+  // natural-like test image: decaying 1/f spectrum over an 8x8
+  // frequency grid with seed-dependent phases — pHash's median
+  // threshold assumes the low-frequency block carries spread-out
+  // energy, which per-pixel noise images (all-tiny AC, median in a
+  // dense cluster) deliberately violate
+  private def naturalImage(w: Int, h: Int, seed: Long): Multimodal.PngImage = {
+    val rnd = new scala.util.Random(seed)
+    val ph = Array.fill(8, 8)(rnd.nextDouble() * 2 * math.Pi)
+    val amp = Array.tabulate(8, 8)((i, j) => 120.0 / (1 + i + j))
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val u = x.toDouble / w; val v = y.toDouble / h
+      var l = 0.0
+      for (i <- 0 until 8; j <- 0 until 8 if i + j > 0)
+        l += amp(i)(j) * math.cos(math.Pi * i * u + ph(i)(j)) *
+          math.cos(math.Pi * j * v + ph(j)(i))
+      val base = (y * w + x) * 3
+      // values kept in [25, 230] so ±20 edits never clamp
+      def cl(d: Double) =
+        math.max(25, math.min(230, 128 + d * 0.45)).toInt.toByte
+      px(base) = cl(l); px(base + 1) = cl(l * 0.8 + 10)
+      px(base + 2) = cl(l * 1.1 - 5)
+    }
+    Multimodal.PngImage(w, h, 3, px)
+  }
+
+  test("perceptualHash64: edit-invariant, discriminates content") {
+    val img = naturalImage(64, 48, 1L)
+    val h0 = Multimodal.perceptualHash64(img)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // uniform brightness offset (+20, no clamping by construction)
+    // only moves the DC coefficient, which the hash excludes
+    val brighter = Multimodal.PngImage(img.width, img.height, 3,
+      img.pixels.map(b => ((b & 0xff) + 20).toByte))
+    assert(Multimodal.perceptualHash64(brighter) == h0)
+    // contrast scaling survives byte re-rounding
+    val contrast = Multimodal.PngImage(img.width, img.height, 3,
+      img.pixels.map(b =>
+        math.min(255, math.rint((b & 0xff) * 1.08)).toInt.toByte))
+    assert(ham(h0, Multimodal.perceptualHash64(contrast)) <= 2)
+    // JPEG re-encode (quantization noise) barely moves the hash —
+    // the re-encoded-duplicate case the operator exists for
+    val jpegBack = Multimodal.encodeJpeg(img)
+      .flatMap(Multimodal.decodeJpegRaw)
+    assert(jpegBack.nonEmpty)
+    assert(ham(h0, Multimodal.perceptualHash64(jpegBack.get)) <= 4)
+    // 2x nearest-neighbor upscale of a 32-aligned image: the 32x32 box
+    // average sees the same plane up to summation-order fp noise
+    val sq = naturalImage(64, 32, 1L)
+    val up = Multimodal.PngImage(sq.width * 2, sq.height * 2, 3,
+      Array.tabulate(sq.width * 2 * sq.height * 2 * 3) { i =>
+        val p = i / 3; val c = i % 3
+        val x = (p % (sq.width * 2)) / 2; val y = (p / (sq.width * 2)) / 2
+        sq.pixels((y * sq.width + x) * 3 + c)
+      })
+    assert(ham(Multimodal.perceptualHash64(sq),
+      Multimodal.perceptualHash64(up)) <= 2)
+    // a small local edit flips few bits; different content flips ~half
+    val patched = Multimodal.PngImage(img.width, img.height, 3,
+      img.pixels.clone())
+    for (y <- 0 until 6; x <- 0 until 6; c <- 0 until 3)
+      patched.pixels((y * img.width + x) * 3 + c) = 200.toByte
+    assert(ham(h0, Multimodal.perceptualHash64(patched)) <= 12)
+    for (s <- Seq(2L, 3L, 7L, 99L)) {
+      val other = Multimodal.perceptualHash64(naturalImage(64, 48, s))
+      assert(ham(h0, other) >= 16, s"seed $s only ${ham(h0, other)} apart")
+    }
+  }
+
+  test("perceptualHashes + phashNearDupPairs find the cross-format duplicate") {
+    val s = spark
+    import s.implicits._
+    // the same pixels shipped as PNG and as bottom-up 24-bit BMP must
+    // hash identically; an unrelated image must not pair; corrupt
+    // bytes yield no hash row at all
+    val img = synthImage(40, 30, 5L)
+    def bmp(i: Multimodal.PngImage): Array[Byte] = {
+      val stride = ((i.width * 3 + 3) / 4) * 4
+      val bb = java.nio.ByteBuffer.allocate(54 + stride * i.height)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * i.height)
+        .putInt(0).putInt(54).putInt(40).putInt(i.width).putInt(i.height)
+        .putShort(1).putShort(24).putInt(0).putInt(stride * i.height)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      for (y <- (i.height - 1) to 0 by -1) { // bottom-up rows
+        for (x <- 0 until i.width) {
+          val base = (y * i.width + x) * 3
+          bb.put(i.pixels(base + 2)).put(i.pixels(base + 1))
+            .put(i.pixels(base)) // BGR
+        }
+        (i.width * 3 until stride).foreach(_ => bb.put(0.toByte))
+      }
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, Multimodal.encodePng(img), "image/png"),
+      (2L, bmp(img), "image/bmp"),
+      (3L, Multimodal.encodePng(synthImage(40, 30, 77L)), "image/png"),
+      (4L, Array[Byte](1, 2, 3), "image/png"))
+    val assets = rows.toDF("id", "content", "mime")
+      .select(col("id"), col("content"),
+        struct(col("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes"))
+          .as("meta"))
+    val hashes = Multimodal.perceptualHashes(assets)
+    val byId = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L)) // corrupt asset absent
+    assert(byId(1L) == byId(2L), "cross-container hash mismatch")
+    val pairs = Multimodal.phashNearDupPairs(hashes, hammingMax = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+    // banding recall contract is enforced, not silently lossy
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDupPairs(hashes, hammingMax = 8, chunks = 4)
+    }
+  }
+
   test("decodeJpeg extracts real features from an ImageIO-encoded JPEG") {
     import java.awt.image.BufferedImage
     val s = spark
