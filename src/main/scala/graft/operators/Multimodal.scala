@@ -1274,6 +1274,130 @@ object Multimodal {
       math.sqrt(variance / total)))
   }
 
+  private val MfccSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("mfcc_mean", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("mfcc_std", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  /** Mel-frequency cepstral coefficients per WAV asset — the standard
+    * compact audio fingerprint (speech/music front-ends, audio dedup,
+    * content clustering): per frame, Hann-windowed power spectrum →
+    * triangular mel filterbank → log → DCT-II, keeping the first
+    * `numCoeffs` cepstral coefficients; frames pool into per-asset
+    * mean and std vectors. c₀ carries overall log-energy; c₁… are
+    * amplitude-invariant up to fp (a gain change shifts every log mel
+    * energy by the same constant, which the DCT isolates into c₀ —
+    * spec-pinned). Non-WAV and malformed payloads are omitted, like
+    * [[spectralFeatures]]. Same codec-boundary `mapPartitions` shape;
+    * downstream similarity/dedup joins run on the fixed-size pooled
+    * vectors, so the expensive per-sample pass happens exactly once
+    * per asset. */
+  def mfccFeatures(assets: DataFrame, numCoeffs: Int = 13,
+                   numFilters: Int = 26, fftSize: Int = 512,
+                   maxFrames: Int = 16): DataFrame = {
+    require(fftSize >= 8 && (fftSize & (fftSize - 1)) == 0,
+      "fftSize must be a power of two >= 8")
+    require(numFilters >= 2, "numFilters must be >= 2")
+    require(numCoeffs >= 1 && numCoeffs <= numFilters,
+      "numCoeffs must be in [1, numFilters]")
+    require(maxFrames >= 1, "maxFrames must be >= 1")
+    val enc = ExpressionEncoder(MfccSchema)
+    assets.select(col("id"), col("content"), col("meta.mime").as("mime"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.getString(2) != "audio/wav") None
+          else scala.util.Try(mfccRow(r.getLong(0),
+            r.getAs[Array[Byte]](1), numCoeffs, numFilters, fftSize,
+            maxFrames)).toOption.flatten
+        }
+      }(enc)
+  }
+
+  private def mel(hz: Double): Double =
+    2595.0 * math.log10(1.0 + hz / 700.0)
+
+  private def melInv(m: Double): Double =
+    700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+
+  private def mfccRow(id: Long, content: Array[Byte], numCoeffs: Int,
+                      numFilters: Int, fftSize: Int,
+                      maxFrames: Int): Option[Row] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val lay = parseWav(content).getOrElse(return None)
+    val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    val perChannel = lay.n / lay.channels
+    val frames = math.min(perChannel / fftSize, maxFrames)
+    if (frames == 0) return None
+    def sample(t: Int): Double = {
+      val idx = t * lay.channels
+      if (lay.bits == 16) bb.getShort(lay.dataOff + idx * 2).toDouble / 32768.0
+      else ((content(lay.dataOff + idx) & 0xff) - 128).toDouble / 128.0
+    }
+    val half = fftSize / 2
+    // triangular mel filterbank: numFilters+2 points uniform in mel
+    // space from 0 Hz to Nyquist, mapped back to FFT bin units
+    val melMax = mel(lay.sampleRate / 2.0)
+    val binHz = lay.sampleRate.toDouble / fftSize
+    val pts = Array.tabulate(numFilters + 2)(i =>
+      melInv(melMax * i / (numFilters + 1)) / binHz)
+    val re = new Array[Double](fftSize)
+    val im = new Array[Double](fftSize)
+    val power = new Array[Double](half)
+    val sumC = new Array[Double](numCoeffs)
+    val sumSq = new Array[Double](numCoeffs)
+    val logE = new Array[Double](numFilters)
+    var f = 0
+    while (f < frames) {
+      var t = 0
+      while (t < fftSize) {
+        val hann = 0.5 * (1.0 - math.cos(2.0 * math.Pi * t / (fftSize - 1)))
+        re(t) = sample(f * fftSize + t) * hann
+        im(t) = 0.0
+        t += 1
+      }
+      fftPow2(re, im)
+      var k = 0
+      while (k < half) { power(k) = re(k) * re(k) + im(k) * im(k); k += 1 }
+      var m = 0
+      while (m < numFilters) {
+        val lo = pts(m); val c = pts(m + 1); val hi = pts(m + 2)
+        var e = 0.0
+        var kk = math.max(math.ceil(lo).toInt, 0)
+        val kEnd = math.min(math.floor(hi).toInt, half - 1)
+        while (kk <= kEnd) {
+          val w =
+            if (kk <= c) (kk - lo) / math.max(c - lo, 1e-12)
+            else (hi - kk) / math.max(hi - c, 1e-12)
+          if (w > 0) e += w * power(kk)
+          kk += 1
+        }
+        logE(m) = math.log(math.max(e, 1e-12))
+        m += 1
+      }
+      var n = 0
+      while (n < numCoeffs) {
+        var s = 0.0
+        var mm = 0
+        while (mm < numFilters) {
+          s += logE(mm) *
+            math.cos(math.Pi * n * (2 * mm + 1) / (2.0 * numFilters))
+          mm += 1
+        }
+        sumC(n) += s
+        sumSq(n) += s * s
+        n += 1
+      }
+      f += 1
+    }
+    val meanV = Array.tabulate(numCoeffs)(n => sumC(n) / frames)
+    val stdV = Array.tabulate(numCoeffs)(n =>
+      math.sqrt(math.max(sumSq(n) / frames - meanV(n) * meanV(n), 0.0)))
+    Some(Row(id, frames, meanV.toSeq, stdV.toSeq))
+  }
+
   /** REAL image resize for the decodable format: `image/bmp` payloads
     * are nearest-neighbor-resampled to `targetW` × `targetH` and
     * re-encoded as minimal 24-bit bottom-up BMPs (metadata n_bytes

@@ -2665,6 +2665,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(2L).getSeq[Double](3) == fallback.getSeq[Double](3))
   }
 
+  test("mfccFeatures: amplitude isolates into c0; content separates tones") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val s = spark
+    import s.implicits._
+    def wav(freqs: Seq[(Double, Double)], sampleRate: Int,
+            nSamples: Int): Array[Byte] = {
+      val pcm = Array.tabulate(nSamples) { i =>
+        val v = freqs.map { case (hz, amp) =>
+          amp * math.sin(2 * math.Pi * hz * i / sampleRate) }.sum
+        (v * 32767).toShort
+      }
+      val dataLen = nSamples * 2
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("ASCII"))
+        .put("fmt ".getBytes("ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("ASCII")).putInt(dataLen)
+      pcm.foreach(bb.putShort)
+      bb.array()
+    }
+    // broadband signal (tones spread across the mel range) at two
+    // gains — every filter needs real energy for the gain shift to be
+    // uniform; a pure tone leaves most filters at the log floor, which
+    // does NOT scale with gain — plus a pure tone and a malformed row
+    val tones = Seq(150.0, 400.0, 800.0, 1300.0, 1900.0, 2600.0, 3300.0)
+    val loud = wav(tones.map(_ -> 0.8 / tones.size), 8000, 2048)
+    val quiet = wav(tones.map(_ -> 0.2 / tones.size), 8000, 2048)
+    val high = wav(Seq(2600.0 -> 0.6), 8000, 2048)
+    val assets = Seq((1L, loud), (2L, quiet), (3L, high),
+        (4L, "not audio".getBytes("UTF-8")))
+      .toDF("id", "content")
+      .select(col("id"), col("content"),
+        struct(lit("audio/wav").as("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val got = Multimodal.mfccFeatures(assets, numCoeffs = 13,
+        fftSize = 512).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Double](2), r.getSeq[Double](3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // malformed omitted
+    val (fr, mLoud, _) = got(1L)
+    assert(fr == 4)
+    assert(mLoud.length == 13)
+    // gain change: every log mel energy shifts by ~the same constant,
+    // which the DCT isolates into c0 — c1.. move barely (quantization
+    // of the 16-bit PCM keeps this from being exact)
+    val (_, mQuiet, _) = got(2L)
+    assert(math.abs(mLoud.head - mQuiet.head) > 1.0,
+      s"c0 should carry the gain: ${mLoud.head} vs ${mQuiet.head}")
+    val tailDrift = (1 until 13)
+      .map(i => math.abs(mLoud(i) - mQuiet(i))).max
+    assert(tailDrift < 1.0, s"cepstral tail moved $tailDrift under gain")
+    // different content moves the cepstral SHAPE far more than the
+    // gain edit did (measured: ~0.3 drift vs ~107 gap)
+    val (_, mHigh, _) = got(3L)
+    val toneGap = (1 until 13)
+      .map(i => math.abs(mLoud(i) - mHigh(i))).max
+    assert(toneGap > 20 * tailDrift,
+      s"content change ($toneGap) should dwarf gain drift ($tailDrift)")
+  }
+
   test("spectralFeatures recovers analytic sine frequencies via the FFT") {
     import java.nio.{ByteBuffer, ByteOrder}
     val s = spark
