@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1081,6 +1081,37 @@ object Multimodal {
       }(enc)
   }
 
+  private def chunkGuards(hammingMax: Int, chunks: Int): Unit = {
+    require(chunks > 0 && 64 % chunks == 0, "chunks must divide 64")
+    require(hammingMax >= 0 && hammingMax < chunks,
+      s"pigeonhole banding guarantees recall only for hamming < chunks " +
+        s"(got hammingMax=$hammingMax, chunks=$chunks)")
+  }
+
+  private def chunkedHashes(df: DataFrame, chunks: Int): DataFrame =
+    df.select(col("id"), col("phash"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("chunk_val",
+        expr(s"shiftrightunsigned(phash, chunk * ${64 / chunks})")
+          .bitwiseAND(lit((1L << (64 / chunks)) - 1)))
+
+  /** Smallest chunk index on which two 64-bit hashes agree (−1 when
+    * none). A pair joining on k agreeing chunks appears k times; the
+    * `chunk === firstAgreeingChunk` filter keeps exactly one — a pure
+    * expression, so candidate dedup costs NO extra shuffle (vs
+    * `distinct()`, which exchanges the whole candidate volume) and the
+    * streaming form stays stateless. */
+  private def firstAgreeingChunk(a: Column, b: Column,
+                                 chunks: Int): Column = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    def chunkOf(c: Column, k: Int) =
+      shiftrightunsigned(c, k * width).bitwiseAND(lit(mask))
+    (0 until chunks).reverse.foldLeft(lit(-1): Column) { (acc, k) =>
+      when(chunkOf(a, k) === chunkOf(b, k), lit(k)).otherwise(acc)
+    }
+  }
+
   /** Near-duplicate image pairs from a [[perceptualHashes]] frame:
     * all (id_a < id_b) pairs with pHash Hamming distance ≤
     * `hammingMax`. Same pigeonhole banding as the text simhash join —
@@ -1088,26 +1119,48 @@ object Multimodal {
     * one of the `chunks` hash segments, so candidates come from
     * equi-joins on (chunk, value) keys, never an all-pairs scan; the
     * exact `bit_count(xor)` filter then makes precision 1 (pHash IS
-    * the metric — no second verification pass exists to pay for). */
+    * the metric — no second verification pass exists to pay for).
+    * Multi-chunk matches dedupe via [[firstAgreeingChunk]] — zero
+    * extra shuffle. */
   def phashNearDupPairs(hashes: DataFrame, hammingMax: Int = 3,
                         chunks: Int = 4): DataFrame = {
-    require(chunks > 0 && 64 % chunks == 0, "chunks must divide 64")
-    require(hammingMax >= 0 && hammingMax < chunks,
-      s"pigeonhole banding guarantees recall only for hamming < chunks " +
-        s"(got hammingMax=$hammingMax, chunks=$chunks)")
-    val chunked = hashes.select(col("id"), col("phash"),
-        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
-      .withColumn("chunk_val",
-        expr(s"shiftrightunsigned(phash, chunk * ${64 / chunks})")
-          .bitwiseAND(lit((1L << (64 / chunks)) - 1)))
+    chunkGuards(hammingMax, chunks)
+    val chunked = chunkedHashes(hashes, chunks)
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.id") < col("b.id"))
+      .filter(col("a.chunk") ===
+        firstAgreeingChunk(col("a.phash"), col("b.phash"), chunks))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
           .cast("long").as("hamming"))
-      .distinct()
+      .filter(col("hamming") <= hammingMax)
+  }
+
+  /** Cross-corpus variant of [[phashNearDupPairs]]: every (batch id,
+    * corpus id) pair within `hammingMax` — the incremental-ingest
+    * form (does this arriving image duplicate anything already
+    * stored?). Only the corpus side is corpus-sized; the batch side
+    * rides the same chunk equi-join, so per-batch cost is flat in the
+    * stored corpus (the signature-store property, here for images).
+    * Stateless end to end (candidate dedup is the
+    * [[firstAgreeingChunk]] expression), which is what lets the
+    * streaming form run append-mode with no watermark. Output:
+    * (id, corpus_id, hamming) — the batch perspective only. */
+  def phashNearDupPairsAgainst(batch: DataFrame, corpus: DataFrame,
+                               hammingMax: Int = 3,
+                               chunks: Int = 4): DataFrame = {
+    chunkGuards(hammingMax, chunks)
+    chunkedHashes(batch, chunks).as("a")
+      .join(chunkedHashes(corpus, chunks).as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val"))
+      .filter(col("a.chunk") ===
+        firstAgreeingChunk(col("a.phash"), col("b.phash"), chunks))
+      .select(col("a.id").as("id"), col("b.id").as("corpus_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= hammingMax)
   }
 
