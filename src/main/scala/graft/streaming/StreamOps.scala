@@ -305,6 +305,25 @@ object StreamOps {
     graft.operators.TextAnalysis.gopherRepetitionFlags(
       docs.toDF(), "doc_id", "text", passthroughCols = Seq("ts"))
 
+  /** Streaming perceptual-image dedup: each arriving image asset
+    * (id, content, meta.mime — the multimodal asset schema) is decoded
+    * once, pHashed, and probed against a static corpus-hash frame (a
+    * persisted [[graft.operators.Multimodal.perceptualHashes]] result);
+    * matches within `hammingMax` emit (id, corpus_id, hamming).
+    *
+    * Shape: decode is the codec-boundary `mapPartitions` on the
+    * micro-batch; the probe is a stream-static equi-join on the
+    * pigeonhole chunk keys; candidate dedup is the first-agreeing-chunk
+    * EXPRESSION rather than `distinct()`, so the whole pipeline is
+    * stateless — append-mode, no watermark, per-batch cost flat in the
+    * stored corpus. This is the image ingest mirror of
+    * [[dedupAgainstStoreStream]]. */
+  def phashDedupStream(assets: DataFrame, corpusHashes: DataFrame,
+                       hammingMax: Int = 3, chunks: Int = 4): DataFrame =
+    graft.operators.Multimodal.phashNearDupPairsAgainst(
+      graft.operators.Multimodal.perceptualHashes(assets),
+      corpusHashes, hammingMax, chunks)
+
   /** Streaming C4 line-level cleaning — the Structured Streaming form
     * of `TextAnalysis.c4Clean` (Raffel 2020 §2.2 heuristics:
     * terminal-punctuation line filter, short-line drop, page gates).

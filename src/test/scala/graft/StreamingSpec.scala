@@ -1093,4 +1093,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.map(_._2) == Set(1L, 3L))
   }
+
+  test("phashDedupStream matches the batch cross-corpus image probe") {
+    import graft.operators.Multimodal
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // natural-like images (1/f spectrum — see OperatorsSpec's pHash
+    // notes): the stored corpus hashes 4 distinct images; the stream
+    // ships PNG re-encodes of two of them, one unrelated image, and a
+    // corrupt payload, in two out-of-order chunks
+    def img(seed: Long): Multimodal.PngImage = {
+      val rnd = new scala.util.Random(seed)
+      val ph = Array.fill(6, 6)(rnd.nextDouble() * 2 * math.Pi)
+      val px = new Array[Byte](48 * 48 * 3)
+      for (y <- 0 until 48; x <- 0 until 48) {
+        var l = 0.0
+        for (i <- 0 until 6; j <- 0 until 6 if i + j > 0)
+          l += 120.0 / (1 + i + j) *
+            math.cos(math.Pi * i * x / 48.0 + ph(i)(j)) *
+            math.cos(math.Pi * j * y / 48.0 + ph(j)(i))
+        val base = (y * 48 + x) * 3
+        def cl(d: Double) =
+          math.max(25, math.min(230, 128 + d * 0.4)).toInt.toByte
+        px(base) = cl(l); px(base + 1) = cl(l * 0.9 + 8)
+        px(base + 2) = cl(l * 1.1 - 6)
+      }
+      Multimodal.PngImage(48, 48, 3, px)
+    }
+    def asAssets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("content"),
+        struct(lit("image/png").as("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes"))
+          .as("meta"))
+    val corpusAssets = asAssets((1L to 4L).map(i =>
+      (i, Multimodal.encodePng(img(i)))).toDF("id", "content"))
+    val corpusHashes = Multimodal.perceptualHashes(corpusAssets)
+      .localCheckpoint(true)
+    val batchRows = Seq(
+      (101L, Multimodal.encodePng(img(1L))), // dup of corpus 1
+      (103L, Multimodal.encodePng(img(3L))), // dup of corpus 3
+      (105L, Multimodal.encodePng(img(55L))), // unrelated
+      (106L, Array[Byte](9, 9, 9))) // corrupt: no hash, no pair
+    val input = MemoryStream[(Long, Array[Byte])]
+    val out = StreamOps.phashDedupStream(
+      asAssets(input.toDF().toDF("id", "content")), corpusHashes)
+    val q = out.writeStream.format("memory").queryName("phash_stream")
+      .outputMode("append").start()
+    input.addData(batchRows(2), batchRows(0)) // out of order
+    q.processAllAvailable()
+    input.addData(batchRows(3), batchRows(1))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from phash_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Multimodal.phashNearDupPairsAgainst(
+        Multimodal.perceptualHashes(asAssets(batchRows.toDF("id", "content"))),
+        corpusHashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(p => (p._1, p._2)) == Set((101L, 1L), (103L, 3L)))
+  }
 }
