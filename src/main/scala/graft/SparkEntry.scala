@@ -143,6 +143,57 @@ SELECT r.node, CAST(round(r.rank, 6) AS DOUBLE) AS rank,
 FROM r$iters r LEFT JOIN deg d ON d.src = r.node"""
   }
 
+  // shared by the graph entries: suppliers co-appearing on a
+  // high-quantity order line (the qty>45 thinning keeps the graph
+  // sparse enough for non-trivial structure)
+  private def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
+    val pe = t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    pe.as("x").join(pe.as("y"), "l_orderkey")
+      .filter(col("x.l_suppkey") =!= col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+  }
+
+  // the same graph in DuckDB, canonical a<b orientation
+  private val coOrderUndSql =
+    """pe AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      |  WHERE l_quantity > 45
+      |), und AS (
+      |  SELECT DISTINCT least(x.l_suppkey, y.l_suppkey) AS a,
+      |                  greatest(x.l_suppkey, y.l_suppkey) AS b
+      |  FROM pe x JOIN pe y ON x.l_orderkey = y.l_orderkey
+      |   AND x.l_suppkey <> y.l_suppkey
+      |)""".stripMargin
+
+  /** The q_graph_kcore oracle: `rounds` peeling iterations unrolled
+    * (each = degrees over the surviving edges, keep nodes ≥ k, restrict
+    * edges) — extra rounds past the fixpoint are no-ops, so any
+    * `rounds` ≥ the convergence depth replicates the operator
+    * exactly. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // each eR references eR-1 three times — AS MATERIALIZED stops the
+    // CTE chain from inlining into 3^rounds copies of the base scan
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+  GROUP BY 1
+), s$r AS (SELECT node FROM d$r WHERE deg >= $k),
+e$r AS MATERIALIZED (
+  SELECT a, b FROM e${r - 1}
+  WHERE a IN (SELECT node FROM s$r) AND b IN (SELECT node FROM s$r)
+)"""
+    }.mkString(", ")
+    s"""WITH $coOrderUndSql, e0 AS MATERIALIZED (SELECT a, b FROM und), $steps
+SELECT node, deg AS core_degree FROM (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+  GROUP BY 1)
+WHERE deg >= $k"""
+  }
+
   /** The q_text_gopher_rep oracle: the 13 Gopher repetition rules
     * replicated in DuckDB — per-n gram CTEs (counts by the gram STRING;
     * the engine counts by 64-bit hash, identical up to ~m²/2⁶⁵
@@ -1044,15 +1095,24 @@ $joins"""
     // community-vs-link-farm density signal; the qty>45 thinning keeps
     // the graph sparse so clustering is non-trivial. Oracle enumerates
     // triangles exhaustively
-    "q_graph_triangles" -> ((s, dir) => {
-      val pe = t(s, dir, "lineitem")
-        .filter(col("l_quantity") > 45)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = pe.as("x").join(pe.as("y"), "l_orderkey")
-        .filter(col("x.l_suppkey") =!= col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-      graft.operators.Graph.triangleCounts(edges, "src", "dst")
-    }),
+    "q_graph_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleCounts(
+        coOrderEdges(s, dir), "src", "dst")),
+
+    // 15-core of the same graph: iterative peeling to the maximal
+    // subgraph of min-degree >= 15 — the structural spam/ring filter;
+    // k sits inside the degree distribution (median 21), so the peel
+    // genuinely cascades (4 rounds, 18 of 100 nodes removed at sf0.01);
+    // oracle unrolls the rounds (extras past fixpoint are no-ops)
+    "q_graph_kcore" -> ((s, dir) =>
+      graft.operators.Graph.kCore(coOrderEdges(s, dir), "src", "dst",
+        k = 15)),
+
+    // degree assortativity: one-number crawl-graph health diagnostic
+    // (negative = hub-leaf wiring, the web's signature)
+    "q_graph_assortativity" -> ((s, dir) =>
+      graft.operators.Graph.assortativity(
+        coOrderEdges(s, dir), "src", "dst")),
 
     // corpus-relative quality gate: keep docs at/above the 0.6-quantile
     // of a simple length-quality proxy (distinct-token count)
@@ -3309,18 +3369,35 @@ $joins"""
           |QUALIFY count(*) OVER (PARTITION BY event_type, run_id) >= 2"""
           .stripMargin,
 
+      // peeling unrolled to 16 rounds — far past the graph's
+      // convergence depth, and no-ops once fixed
+      "q_graph_kcore" -> kCoreOracleSql(15, 16),
+
+      // same symmetric Pearson sums: integer aggregates, one double
+      // division, round 6
+      "q_graph_assortativity" ->
+        s"""WITH $coOrderUndSql, deg AS (
+           |  SELECT node, count(*) AS deg FROM (
+           |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+           |  GROUP BY 1
+           |), sym AS (
+           |  SELECT a AS x, b AS y FROM und
+           |  UNION ALL SELECT b AS x, a AS y FROM und
+           |), j AS (
+           |  SELECT dx.deg AS dx, dy.deg AS dy
+           |  FROM sym JOIN deg dx ON dx.node = sym.x
+           |           JOIN deg dy ON dy.node = sym.y
+           |)
+           |SELECT (count(*) / 2)::BIGINT AS n_edges,
+           |  round((count(*) * sum(dx * dy) - sum(dx) * sum(dx))::DOUBLE
+           |    / (count(*) * sum(dx * dx) - sum(dx) * sum(dx))::DOUBLE,
+           |    6) AS assortativity
+           |FROM j""".stripMargin,
+
       // exhaustive triangle enumeration over the same co-order graph:
       // canonical a<b edges, a<b<c closure join, membership unpivot
       "q_graph_triangles" ->
-        """WITH pe AS (
-          |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-          |  WHERE l_quantity > 45
-          |), und AS (
-          |  SELECT DISTINCT least(x.l_suppkey, y.l_suppkey) AS a,
-          |                  greatest(x.l_suppkey, y.l_suppkey) AS b
-          |  FROM pe x JOIN pe y ON x.l_orderkey = y.l_orderkey
-          |   AND x.l_suppkey <> y.l_suppkey
-          |), deg AS (
+        s"""WITH $coOrderUndSql, deg AS (
           |  SELECT node, count(*) AS deg FROM (
           |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
           |  GROUP BY node

@@ -93,6 +93,106 @@ object Graph {
         coalesce(col("deg"), lit(0L)).as("out_degree"))
   }
 
+  /** The k-core of an undirected graph: the maximal subgraph in which
+    * every node has degree ≥ k, by synchronous iterative peeling
+    * (remove all nodes with degree < k, recompute, repeat to fixpoint).
+    * The standard structural spam filter for link/interaction graphs —
+    * a crawl-farm node ring with thin attachment to the real web falls
+    * out of the 3-core while organically-embedded pages survive.
+    *
+    * Scale shape: each round is one degree aggregate over the
+    * surviving edge list plus two semi-joins restricting edges to
+    * surviving nodes — all keyed, nothing collected; the edge frame
+    * only shrinks. Rounds are bounded by `maxRounds` (peeling depth —
+    * the graph's degeneracy ordering length, small for real graphs);
+    * the fixpoint test rides the same action that materializes each
+    * round. Deterministic → the oracle unrolls the same rounds in SQL.
+    * Output: (node, core_degree) for k-core members, core_degree =
+    * degree within the core. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var e = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    var round = 0
+    var converged = false
+    var lastDeg: DataFrame = null
+    while (!converged && round < maxRounds) {
+      val deg = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
+      val survivors = deg.filter(col("deg") >= k)
+      val next = e
+        .join(survivors.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(survivors.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+      // one action per round: the dropped-node count both materializes
+      // the checkpoint and decides convergence
+      val removed = deg.filter(col("deg") < k).count()
+      lastDeg = deg
+      e = next
+      round += 1
+      converged = removed == 0
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kCore did not converge in $maxRounds rounds — raise maxRounds " +
+        "(peeling depth exceeds the budget)")
+    lastDeg.filter(col("deg") >= k)
+      .select(col("node"), col("deg").as("core_degree"))
+  }
+
+  /** Degree assortativity coefficient of an undirected graph: the
+    * Pearson correlation of endpoint degrees over edges (Newman 2002).
+    * Positive = hubs link hubs (social graphs), negative = hubs link
+    * leaves (the web, star-shaped scraper farms) — a one-number health
+    * diagnostic for a crawl graph. One degree aggregate + one keyed
+    * join + one global reduce; the sums are exact integers (degrees
+    * and their products), so the final double arithmetic has identical
+    * shape in the SQL oracle. Both edge orientations enter the sums —
+    * the standard symmetric treatment. Returns a 1-row frame
+    * (n_edges, assortativity); degenerate variance (e.g. a regular
+    * graph) yields NULL. */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .union(und.select(col("b").as("x"), col("a").as("y")))
+    val joined = sym
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+    val denom =
+      (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double")
+    joined.agg(
+        (count(lit(1)) / 2).cast("long").as("n_edges"),
+        count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .select(col("n_edges"),
+        // explicit zero-variance guard (ANSI mode turns /0 into an
+        // error, not a null)
+        when(denom =!= 0.0,
+          round((col("m2") * col("sxy") - col("sx") * col("sx"))
+            .cast("double") / denom, 6)).as("assortativity"))
+  }
+
   /** Per-node triangle counts and local clustering coefficient over an
     * undirected graph — the density complement to [[pageRank]]'s
     * importance: high clustering separates genuine communities (mutual

@@ -376,6 +376,67 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore peels to the maximal min-degree-k subgraph") {
+    import spark.implicits._
+    // K5 on {1..5}, a chain 5-10-11-12 hanging off it, a separate
+    // triangle {20,21,22}: the 4-core is exactly the K5; the 2-core
+    // adds the triangle; the chain always peels
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val edges = (k5 ++ Seq((5L, 10L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 20L))).toDF("src", "dst")
+    val core4 = graft.operators.Graph.kCore(edges, "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core4 == (1L to 5L).map(_ -> 4L).toMap)
+    val core2 = graft.operators.Graph.kCore(edges, "src", "dst", 2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(core2 == Set(1L, 2L, 3L, 4L, 5L, 20L, 21L, 22L))
+    // peeling cascades: k=5 empties the graph entirely
+    assert(graft.operators.Graph.kCore(edges, "src", "dst", 5)
+      .count() == 0)
+  }
+
+  test("kCore on random graphs equals driver-side iterative peeling") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (0 until 2).foreach { trial =>
+      val edges = (0 until 120).map(_ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      val got = graft.operators.Graph
+        .kCore(edges.toDF("src", "dst"), "src", "dst", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      var changed = true
+      while (changed) {
+        val deg = und.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= 3).keySet
+        val next = und.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != und.size
+        und = next
+      }
+      val expect = und.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("assortativity matches hand Pearson; degenerate variance is null") {
+    import spark.implicits._
+    // star K1,4: every edge joins deg-4 to deg-1 -> strongly negative
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val r = graft.operators.Graph
+      .assortativity(star.toDF("src", "dst"), "src", "dst").first()
+    assert(r.getLong(0) == 4L)
+    // symmetric sums: M=8, Σx=20, Σxy=32, Σx²=68 -> r = (8·32-400)/(8·68-400) = -1
+    assert(r.getDouble(1) == -1.0)
+    // regular graph (triangle): zero degree variance -> null
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val rt = graft.operators.Graph
+      .assortativity(tri.toDF("src", "dst"), "src", "dst").first()
+    assert(rt.isNullAt(1))
+  }
+
   test("connectedComponents returns empty on an empty edge frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
