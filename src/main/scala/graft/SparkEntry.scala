@@ -441,6 +441,11 @@ $joins"""
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.buildVocab(t(s, dir, "documents"), "text", topN = 20)),
 
+    // Zipf drift tripwire: least-squares ln(tf) ~ ln(rank) over the
+    // top-200 vocabulary head (slope near -1 = natural text)
+    "q_text_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 200)),
+
     // overlapping context-window chunking (maxTokens 40, overlap 8):
     // long docs become fixed-budget training windows in one zero-shuffle
     // projection; the short final window is kept
@@ -2308,6 +2313,49 @@ $joins"""
           |SELECT token, tf, df,
           |  CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank
           |FROM agg ORDER BY tf DESC, token LIMIT 20""".stripMargin,
+
+      // same ranked head, same round(9)-DECIMAL regression terms, same
+      // double least-squares shape
+      "q_text_zipf" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          |  FROM documents),
+          |per AS (
+          |  SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+          |agg AS (
+          |  SELECT token, CAST(sum(c) AS BIGINT) AS tf FROM per
+          |  GROUP BY 1),
+          |head AS (
+          |  SELECT tf, row_number() OVER (ORDER BY tf DESC, token)
+          |    AS rank
+          |  FROM agg ORDER BY tf DESC, token LIMIT 200),
+          |terms AS (
+          |  SELECT
+          |    CAST(round(ln(rank::DOUBLE), 9) AS DECIMAL(28,9)) AS x,
+          |    CAST(round(ln(tf::DOUBLE), 9) AS DECIMAL(28,9)) AS y,
+          |    CAST(round(ln(rank::DOUBLE) * ln(tf::DOUBLE), 9)
+          |      AS DECIMAL(28,9)) AS xy,
+          |    CAST(round(ln(rank::DOUBLE) * ln(rank::DOUBLE), 9)
+          |      AS DECIMAL(28,9)) AS xx,
+          |    CAST(round(ln(tf::DOUBLE) * ln(tf::DOUBLE), 9)
+          |      AS DECIMAL(28,9)) AS yy
+          |  FROM head),
+          |s AS (
+          |  SELECT count(*)::DOUBLE AS n,
+          |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+          |    CAST(sum(xy) AS DOUBLE) AS sxy,
+          |    CAST(sum(xx) AS DOUBLE) AS sxx,
+          |    CAST(sum(yy) AS DOUBLE) AS syy
+          |  FROM terms)
+          |SELECT n::BIGINT AS n_fit,
+          |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+          |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+          |        / n, 6) AS intercept,
+          |  CASE WHEN n * syy - sy * sy <> 0 THEN
+          |    round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+          |          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+          |  END AS r2
+          |FROM s""".stripMargin,
 
       // strided window replica: starts 0, 32, 64, ... (stride =
       // maxTokens - overlap), inclusive list slicing both sides

@@ -200,6 +200,51 @@ object TextAnalysis {
       .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
   }
 
+  /** Least-squares Zipf fit over the vocabulary head — the one-number
+    * corpus-health diagnostic (natural text sits near slope −1;
+    * template/boilerplate-heavy or synthetic corpora flatten, spammy
+    * keyword-stuffed ones steepen — Zipf drift is a standard
+    * crawl-quality tripwire). Fits ln(tf) against ln(rank) over the
+    * top `topN` tokens of [[buildVocab]] (the head is the standard fit
+    * range; the tail is dominated by hapax noise).
+    *
+    * Scale shape: everything corpus-sized happens inside buildVocab's
+    * one aggregate; the fit itself runs on ≤ topN rows. Each
+    * regression term rounds to 9 decimals and sums as DECIMAL, so the
+    * fit is partition- and engine-independent; the final slope /
+    * intercept / R² arithmetic is plain double with identical shape in
+    * the oracle. Output: one row (n_fit, slope, intercept, r2),
+    * rounded to 6. */
+  def zipfFit(docs: DataFrame, textCol: String = "text",
+              topN: Int = 1000, idCol: String = "doc_id"): DataFrame = {
+    require(topN >= 3, "topN must be >= 3 to fit a line meaningfully")
+    def dterm(c: Column) = round(c, 9).cast("decimal(28,9)")
+    val x = log(col("rank").cast("double"))
+    val y = log(col("tf").cast("double"))
+    val terms = buildVocab(docs, textCol, topN, idCol)
+      .select(dterm(x).as("x"), dterm(y).as("y"), dterm(x * y).as("xy"),
+        dterm(x * x).as("xx"), dterm(y * y).as("yy"))
+    val agg = terms.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("xy")).cast("double").as("sxy"),
+      sum(col("xx")).cast("double").as("sxx"),
+      sum(col("yy")).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val covN = n * col("sxy") - col("sx") * col("sy")
+    val varXN = n * col("sxx") - col("sx") * col("sx")
+    val varYN = n * col("syy") - col("sy") * col("sy")
+    agg.select(col("n").as("n_fit"),
+      round(covN / varXN, 6).as("slope"),
+      round((col("sy") - (covN / varXN) * col("sx")) / n, 6)
+        .as("intercept"),
+      // varX > 0 always (ranks are distinct); varY = 0 when every tf
+      // ties — R² undefined, and ANSI mode makes /0 an error
+      when(varYN =!= 0.0,
+        round(covN * covN / (varXN * varYN), 6)).as("r2"))
+  }
+
   /** BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units") — the iterative
     * pair-merge loop on top of the [[buildVocab]] word statistics:

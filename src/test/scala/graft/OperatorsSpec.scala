@@ -872,6 +872,28 @@ class OperatorsSpec extends AnyFunSuite {
       s"got ${r(0).getDouble(2)}, want $expect")
   }
 
+  test("zipfFit recovers a planted power law; flags the degenerate fit") {
+    val s = spark
+    import s.implicits._
+    // plant an exact Zipf corpus: token w_r appears round(1000/r)
+    // times -> slope ~ -1, r2 ~ 1 (integer rounding bends the tail a
+    // touch)
+    val rows = (1 to 50).flatMap(r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(s"w$r"))
+    val docs = rows.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfFit(docs, "text", topN = 50).first()
+    assert(fit.getLong(0) == 50L)
+    assert(math.abs(fit.getDouble(1) + 1.0) < 0.02, s"slope ${fit.getDouble(1)}")
+    assert(fit.getDouble(3) > 0.999, s"r2 ${fit.getDouble(3)}")
+    // uniform frequencies: slope 0, R² undefined -> null, not an error
+    val flat = (1 to 10).map(i => (i.toLong, s"a$i b$i")).toDF("doc_id", "text")
+    val ffit = TextAnalysis.zipfFit(flat, "text", topN = 10).first()
+    assert(ffit.getDouble(1) == 0.0)
+    assert(ffit.isNullAt(3))
+  }
+
   test("Kneser-Ney scoring matches hand computation on every context path") {
     val s = spark
     import s.implicits._
