@@ -1067,6 +1067,16 @@ $joins"""
     // iteration is partition-order independent and the unrolled oracle
     // replicates the ranks bit-for-bit. part keys offset so the two id
     // spaces can't collide into one node
+    // classifier-threshold calibration: sweep 20 candidate thresholds
+    // of a cheap n_chars gate against the true >=60-token label —
+    // confusion counts + P/R/F1 per threshold, cumsum via bounded
+    // self-join (no global window)
+    "q_stats_prcurve" -> ((s, dir) =>
+      graft.operators.Stats.prCurve(
+        t(s, dir, "documents")
+          .withColumn("is_long", size(split(col("text"), " ")) >= 60),
+        "n_chars", "is_long", bins = 20)),
+
     "q_graph_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       graft.operators.Graph.pageRank(
@@ -3416,6 +3426,40 @@ $joins"""
           |FROM runs
           |QUALIFY count(*) OVER (PARTITION BY event_type, run_id) >= 2"""
           .stripMargin,
+
+      // same equal-width binning over the observed range, same bounded
+      // self-join cumsum, same guarded double ratio shapes
+      "q_stats_prcurve" ->
+        """WITH base AS (
+          |  SELECT n_chars::DOUBLE AS s,
+          |         len(string_split(text, ' ')) >= 60 AS y
+          |  FROM documents
+          |), mm AS (
+          |  SELECT min(s) AS lo, max(s) - min(s) AS rng,
+          |         sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pt
+          |  FROM base
+          |), per AS (
+          |  SELECT least(floor((s - mm.lo) / mm.rng * 20)::INT, 19) AS b,
+          |         count(*)::BIGINT AS n,
+          |         sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np
+          |  FROM base, mm GROUP BY 1
+          |), cum AS (
+          |  SELECT l.b, sum(h.n)::BIGINT AS n_pred, sum(h.np)::BIGINT AS tp
+          |  FROM per l JOIN per h ON h.b >= l.b
+          |  GROUP BY 1
+          |)
+          |SELECT mm.lo + mm.rng * cum.b::DOUBLE / 20 AS threshold,
+          |  n_pred, tp, (n_pred - tp) AS fp,
+          |  round(tp::DOUBLE / n_pred::DOUBLE, 6) AS precision,
+          |  CASE WHEN mm.pt > 0
+          |    THEN round(tp::DOUBLE / mm.pt::DOUBLE, 6) END AS recall,
+          |  CASE WHEN tp > 0 AND mm.pt > 0 THEN
+          |    round(2.0 * (tp::DOUBLE / n_pred::DOUBLE)
+          |          * (tp::DOUBLE / mm.pt::DOUBLE)
+          |          / ((tp::DOUBLE / n_pred::DOUBLE)
+          |             + (tp::DOUBLE / mm.pt::DOUBLE)), 6)
+          |  END AS f1
+          |FROM cum, mm""".stripMargin,
 
       // peeling unrolled to 16 rounds — far past the graph's
       // convergence depth, and no-ops once fixed

@@ -65,4 +65,62 @@ object Stats {
       .select(element_at(qlits, col("pos") + 1).as("q"),
         col("col").as("value"))
   }
+
+  /** Precision/recall sweep for calibrating a quality-classifier
+    * threshold against labeled data — the step between training a
+    * filter model (NB, DSIR, fastText-style) and gating a corpus on
+    * it: every bin edge is a candidate threshold "predict positive
+    * when score ≥ t", reported with its confusion counts and P/R/F1.
+    *
+    * Scale shape: one pass bins every row (`bins` equal-width cells
+    * over the observed [min, max]); the per-bin aggregate is the only
+    * corpus-sized shuffle. Cumulative counts over the ≤ `bins`-row
+    * frame come from a bounded self-join (bins² ≤ 10⁴ rows at the
+    * default), NOT a global-order window — no single-partition
+    * WindowExec on any path. min/max and the positive total are the
+    * only driver scalars. All ratio arithmetic is guarded (ANSI) and
+    * has identical double shape in the oracle. Output: one row per
+    * OBSERVED bin — (threshold, n_pred, tp, fp, precision, recall,
+    * f1), threshold = the bin's lower edge. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+              bins: Int = 100): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val base = df.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .filter(col("s").isNotNull && !isnan(col("s")) &&
+        col("y").isNotNull)
+    val mm = base.agg(min(col("s")), max(col("s")),
+      sum(when(col("y"), lit(1L)).otherwise(lit(0L)))).head
+    require(!mm.isNullAt(0), "prCurve needs at least one scored row")
+    val lo = mm.getDouble(0)
+    val range = mm.getDouble(1) - lo
+    val posTotal = mm.getLong(2)
+    val bin =
+      if (range == 0) lit(0)
+      else least(floor((col("s") - lit(lo)) / lit(range) * lit(bins))
+        .cast("int"), lit(bins - 1))
+    val per = base.withColumn("b", bin)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("np"))
+      .localCheckpoint(false)
+    // cumulative-from-above via bounded self-join: row b sums every
+    // observed bin b' >= b
+    val cum = per.select(col("b")).as("lo")
+      .join(per.select(col("b").as("bh"), col("n"), col("np")).as("hi"),
+        col("bh") >= col("b"))
+      .groupBy(col("b"))
+      .agg(sum(col("n")).as("n_pred"), sum(col("np")).as("tp"))
+    val p = col("tp").cast("double") / col("n_pred").cast("double")
+    val r = col("tp").cast("double") / lit(posTotal.toDouble)
+    cum.select(
+      (lit(lo) + lit(range) * col("b").cast("double") / lit(bins))
+        .as("threshold"),
+      col("n_pred"), col("tp"),
+      (col("n_pred") - col("tp")).as("fp"),
+      round(p, 6).as("precision"),
+      when(lit(posTotal) > 0, round(r, 6)).as("recall"),
+      when(col("tp") > 0 && lit(posTotal) > 0,
+        round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+  }
 }

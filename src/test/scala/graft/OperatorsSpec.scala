@@ -872,6 +872,42 @@ class OperatorsSpec extends AnyFunSuite {
       s"got ${r(0).getDouble(2)}, want $expect")
   }
 
+  test("prCurve computes exact confusion counts at every bin threshold") {
+    val s = spark
+    import s.implicits._
+    // scores 0..9, positive iff score >= 7: with 10 bins each score
+    // lands in its own bin, so every threshold is hand-checkable
+    val df = (0 to 9).map(i => (i.toDouble, i >= 7)).toDF("score", "y")
+    val got = graft.operators.Stats.prCurve(df, "score", "y", bins = 10)
+      .collect()
+      .map(r => math.rint(r.getDouble(0) / 0.9).toInt ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.size == 10)
+    // bin 7 = the perfect threshold
+    assert(got(7) == ((3L, 3L, 0L, 1.0, 1.0, 1.0)))
+    // bin 0 predicts everything positive
+    assert(got(0) == ((10L, 3L, 7L, 0.3, 1.0, 0.461538)))
+    // bin 9 keeps only the top score
+    assert(got(9) == ((1L, 1L, 0L, 1.0, 0.333333, 0.5)))
+    // monotone: n_pred strictly decreases with the threshold
+    val preds = got.toSeq.sortBy(_._1).map(_._2._1)
+    assert(preds == preds.sorted.reverse)
+  }
+
+  test("prCurve: all-negative labels yield null recall/f1, not an error") {
+    val s = spark
+    import s.implicits._
+    val df = (0 to 5).map(i => (i.toDouble, false)).toDF("score", "y")
+    val rows = graft.operators.Stats.prCurve(df, "score", "y", bins = 3)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(5) && r.isNullAt(6))
+      assert(r.getDouble(4) == 0.0) // precision defined: tp = 0
+    }
+  }
+
   test("zipfFit recovers a planted power law; flags the degenerate fit") {
     val s = spark
     import s.implicits._
