@@ -844,6 +844,15 @@ $joins"""
     // q_sim_ivf_lloyd oracles REFINED training too (the decimal-summed
     // Lloyd mean is order-independent, so one training round replicates
     // exactly in DuckDB SQL).
+    // JL dimensionality reduction 64→16 before indexing: literal
+    // Gaussian matrix compiled into the projection, scan-speed, no
+    // join/broadcast; exploded to scalar rows for the comparator
+    "q_sim_reduce" -> ((s, dir) =>
+      Similarity.reduceDims(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 16)
+        .select(col("id").as("vec_id"),
+          posexplode(col("reduced")).as(Seq("pos", "value")))),
+
     "q_sim_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
@@ -1570,6 +1579,13 @@ $joins"""
     // oracle replicates the ALGORITHM (sign buckets, Hamming-1
     // multi-probe, cosine re-rank), not just its recall.
     val annPlanesSql = graft.operators.Similarity.hyperplanes(6, 64, 42L)
+      .zipWithIndex.map { case (h, p) =>
+        s"($p, [${h.mkString(", ")}])"
+      }.mkString(",\n          |    ")
+
+    // the q_sim_reduce projection matrix, same literal-interpolation
+    // discipline as the ANN hyperplanes
+    val jlPlanesSql = graft.operators.Similarity.hyperplanes(16, 64, 42L)
       .zipWithIndex.map { case (h, p) =>
         s"($p, [${h.mkString(", ")}])"
       }.mkString(",\n          |    ")
@@ -3148,6 +3164,20 @@ $joins"""
       // full algorithm replication: seed-42 planes as literals, sign
       // buckets (dot >= 0 per plane), query-side Hamming-1 multi-probe
       // (b0 plus each single-bit flip), exact-cosine re-rank
+      // identical literal matrix, identical dot/scale/round shape
+      "q_sim_reduce" ->
+        s"""WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          |  FROM embeddings
+          |), planes(p, hv) AS (
+          |  VALUES
+          |    $jlPlanesSql
+          |)
+          |SELECT v.vec_id, planes.p AS pos,
+          |  round(list_dot_product(v.e, planes.hv) / sqrt(16.0), 6)
+          |    AS value
+          |FROM v CROSS JOIN planes""".stripMargin,
+
       "q_sim_ann" ->
         s"""WITH v AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

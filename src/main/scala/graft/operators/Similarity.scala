@@ -120,6 +120,35 @@ object Similarity {
     queries.select(size(col(vecCol))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
 
+  /** Johnson–Lindenstrauss random projection to `k` dimensions:
+    * y = (G·v)/√k with G a fixed-seed Gaussian matrix — the standard
+    * pre-ANN compaction (JL: pairwise distances survive within 1±ε for
+    * k = O(ln n / ε²), independent of the SOURCE dimension, so a
+    * 4096-dim embedding column shrinks to 64 before any index is
+    * built, cutting every downstream shuffle and scan by dim/k).
+    *
+    * Scale shape: the projection matrix is a LITERAL inside the
+    * compiled expression (the hyperplane/codebook discipline — nothing
+    * joins, nothing broadcasts explicitly); the operator is a narrow
+    * codegen'd projection at scan speed. Components round to 6
+    * decimals — deterministic, and replicated exactly by interpolating
+    * the same literal matrix into the SQL oracle. Output: (id,
+    * reduced array<double>). */
+  def reduceDims(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                 seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val dim = probeDim(emb, vecCol)
+    val v = col(vecCol).cast("array<double>")
+    if (dim == 0)
+      return emb.select(col(idCol).as("id"), v.as("reduced")).limit(0)
+    val planes = hyperplanes(k, dim, seed)
+    val scale = math.sqrt(k.toDouble)
+    val comps = planes.map { h =>
+      round(dotProduct(v, array(h.map(lit): _*)) / lit(scale), 6)
+    }
+    emb.select(col(idCol).as("id"), array(comps: _*).as("reduced"))
+  }
+
   /** ANN top-k via random-hyperplane LSH: corpus and queries are hashed
     * into sign buckets; each query is scored only against its bucket
     * cohort (multi-probed to Hamming radius 1 — near-misses on one

@@ -1634,6 +1634,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("reduceDims projects exactly and roughly preserves geometry") {
+    val k = 16
+    val got = Similarity.reduceDims(emb, "vec_id", "embedding", k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // exact driver replication of the projection for every vector
+    val planes = Similarity.hyperplanes(k, 64, 42L)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    for ((id, v) <- vecs) {
+      val expect = planes.map { h =>
+        val d = h.zip(v).map { case (a, b) => a * b }.sum
+        BigDecimal(d / math.sqrt(k.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(got(id) == expect, s"vec $id")
+    }
+    // JL geometry: cosine similarity survives the 64->16 projection to
+    // within a loose tolerance on sampled pairs
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = vecs.keys.toSeq.sorted.take(12)
+    val errs = for (a <- ids; b <- ids if a < b) yield
+      math.abs(cos(vecs(a), vecs(b)) - cos(got(a), got(b)))
+    // k=16 is an aggressive 4x compaction: per-pair error concentrates
+    // around 1/sqrt(k) ~ 0.25, so bound the tail loosely and the mean
+    // tightly
+    assert(errs.max < 0.6, s"worst cosine distortion ${errs.max}")
+    assert(errs.sum / errs.size < 0.2,
+      s"mean cosine distortion ${errs.sum / errs.size}")
+  }
+
   test("semDedup at nlist=1 equals exact all-pairs dedup; cells bound the sweep") {
     // nlist = 1: every vector shares one cell, so the kept set must be
     // exactly {i : no j < i with cos(i,j) >= t} from the O(n²) oracle.
