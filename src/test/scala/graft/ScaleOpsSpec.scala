@@ -327,6 +327,49 @@ class ScaleOpsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("triangle counting and phash pairs plan equi-joins, never sweeps") {
+    val s = spark
+    import s.implicits._
+    val edges = (0 until 200).map(i => ((i % 37).toLong, (i % 23).toLong))
+      .toDF("src", "dst")
+    val tri = graft.operators.Graph.triangleCounts(edges, "src", "dst")
+    tri.collect()
+    val triPlan = ScaleOpsSpec.finalPlan(tri)
+    assert(!triPlan.contains("CartesianProduct") &&
+      !triPlan.contains("BroadcastNestedLoopJoin"), triPlan)
+    val hashes = (0L until 50L).map(i => (i, i * 1664525L + 1013904223L))
+      .toDF("id", "phash")
+    val pairs = graft.operators.Multimodal.phashNearDupPairs(hashes)
+    pairs.collect()
+    val pairPlan = ScaleOpsSpec.finalPlan(pairs)
+    assert(!pairPlan.contains("CartesianProduct") &&
+      !pairPlan.contains("BroadcastNestedLoopJoin"), pairPlan)
+    // the first-agreeing-chunk dedup replaced distinct(): no aggregate
+    // over the candidate pairs may appear downstream of the join
+    assert(!pairPlan.contains("HashAggregate"), pairPlan)
+  }
+
+  test("prCurve plans without any window operator (bounded-join cumsum)") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 500).map(i => (i.toDouble, i % 3 == 0))
+      .toDF("score", "y")
+    val pr = graft.operators.Stats.prCurve(df, "score", "y", bins = 50)
+    pr.collect()
+    val plan = ScaleOpsSpec.finalPlan(pr)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("reduceDims is a narrow scan-speed projection (zero exchanges)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val red = graft.operators.Similarity
+      .reduceDims(emb, "vec_id", "embedding", 8)
+    red.collect()
+    val plan = ScaleOpsSpec.finalPlan(red)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("saltedStats equals direct aggregation") {
     val events = graft.sources.Sources.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type"), col("value"))
