@@ -110,6 +110,15 @@ object CurationScaleProbe {
           dc, "doc_id", "text", 3, 4, 2, maxDf = 100).count()
       }
 
+      // exact directed containment: the asymmetric prefix filter indexes
+      // only each contained-side document's rare prefix, so posting
+      // lists stay short and pair volume ∝ R (containment structure is
+      // intra-replica by the per-word suffix rewrite)
+      Dedup.containmentPairs(dc, "doc_id", "text", 3, 0.6).count()
+      val (nContain, tContain) = timed {
+        Dedup.containmentPairs(dc, "doc_id", "text", 3, 0.6).count()
+      }
+
       // persisted LSH signature store: write cost scales with the corpus
       // (one-time), but PROBE cost for a fixed batch must stay ~flat as
       // the stored corpus grows — that is the operator's whole point.
@@ -144,7 +153,8 @@ object CurationScaleProbe {
       println(f"CURSCALE docs=$nd%7d passes=$tPass%6.1fs dropped=$dropped%7d " +
         f"boiler=$tBp%6.1fs bpDropped=$bpDropped%7d " +
         f"spans=$tSpan%6.1fs spanDropped=$spanDropped%8d " +
-        f"winnow=$tOverlap%6.1fs overlapPairs=$nOverlap%7d | " +
+        f"winnow=$tOverlap%6.1fs overlapPairs=$nOverlap%7d " +
+        f"contain=$tContain%6.1fs containPairs=$nContain%7d | " +
         f"store: write=$tWrite%6.1fs probe=$tProbe%6.1fs pairs=$nPairs%6d | " +
         f"vecs=$ne%7d nlist=$nlist%5d sem=$tSem%6.1fs " +
         f"swept=${ne - kept}%6d (planted=$planted)")

@@ -1086,6 +1086,14 @@ $joins"""
           .withColumn("is_long", size(split(col("text"), " ")) >= 60),
         "n_chars", "is_long", bins = 20)),
 
+    // the one-number companion: binned ROC-AUC of the same gate via
+    // the Mann-Whitney bin sums (no global sort or rank anywhere)
+    "q_stats_auc" -> ((s, dir) =>
+      graft.operators.Stats.aucBinned(
+        t(s, dir, "documents")
+          .withColumn("is_long", size(split(col("text"), " ")) >= 60),
+        "n_chars", "is_long", bins = 20)),
+
     "q_graph_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       graft.operators.Graph.pageRank(
@@ -3490,6 +3498,33 @@ $joins"""
           |             + (tp::DOUBLE / mm.pt::DOUBLE)), 6)
           |  END AS f1
           |FROM cum, mm""".stripMargin,
+
+      // same binning, same strictly-above self-join, same doubled
+      // integer U statistic and final halved division
+      "q_stats_auc" ->
+        """WITH base AS (
+          |  SELECT n_chars::DOUBLE AS s,
+          |         len(string_split(text, ' ')) >= 60 AS y
+          |  FROM documents
+          |), mm AS (
+          |  SELECT min(s) AS lo, max(s) - min(s) AS rng FROM base
+          |), per AS (
+          |  SELECT least(floor((s - mm.lo) / mm.rng * 20)::INT, 19) AS b,
+          |         sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np,
+          |         sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
+          |  FROM base, mm GROUP BY 1
+          |), above AS (
+          |  SELECT cur.b, cur.np, cur.nn,
+          |         coalesce(sum(high.np), 0)::BIGINT AS pos_above
+          |  FROM per cur LEFT JOIN per high ON high.b > cur.b
+          |  GROUP BY 1, 2, 3
+          |)
+          |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+          |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+          |    round(sum(nn * (2 * pos_above + np))::DOUBLE
+          |          / (2.0 * sum(np)::DOUBLE * sum(nn)::DOUBLE), 6)
+          |  END AS auc
+          |FROM above""".stripMargin,
 
       // peeling unrolled to 16 rounds — far past the graph's
       // convergence depth, and no-ops once fixed

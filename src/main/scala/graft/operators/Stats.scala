@@ -123,4 +123,60 @@ object Stats {
       when(col("tp") > 0 && lit(posTotal) > 0,
         round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
   }
+
+  /** Binned ROC-AUC — the one-number companion to [[prCurve]]: the
+    * Mann–Whitney probability that a random positive outscores a
+    * random negative, computed over the same equal-width bins
+    * (within-bin ties contribute ½, the standard mid-rank treatment;
+    * the binning quantizes scores, so this is exact for the binned
+    * scores and within one bin-width of the raw-score AUC).
+    *
+    * Same scale shape as prCurve: one corpus-sized pass into per-bin
+    * (positives, negatives) counts, then a bounded bins² self-join
+    * accumulates positives-below-each-bin — no global sort, no
+    * global-order window, no per-row rank materialization (the
+    * textbook rank-sum formula needs a global ranking, which is
+    * exactly what doesn't scale). All sums are exact integers; the
+    * single double division has identical shape in the oracle.
+    * Output: one row (n_pos, n_neg, auc); auc is null when either
+    * class is empty. */
+  def aucBinned(df: DataFrame, scoreCol: String, labelCol: String,
+                bins: Int = 100): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val base = df.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .filter(col("s").isNotNull && !isnan(col("s")) &&
+        col("y").isNotNull)
+    val mm = base.agg(min(col("s")), max(col("s"))).head
+    require(!mm.isNullAt(0), "aucBinned needs at least one scored row")
+    val lo = mm.getDouble(0)
+    val range = mm.getDouble(1) - lo
+    val bin =
+      if (range == 0) lit(0)
+      else least(floor((col("s") - lit(lo)) / lit(range) * lit(bins))
+        .cast("int"), lit(bins - 1))
+    val per = base.withColumn("b", bin)
+      .groupBy(col("b"))
+      .agg(sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("np"),
+        sum(when(col("y"), lit(0L)).otherwise(lit(1L))).as("nn"))
+      .localCheckpoint(false)
+    // positives strictly above each bin, via the bounded self-join
+    val above = per.select(col("b"), col("np"), col("nn")).as("cur")
+      .join(per.select(col("b").as("bh"), col("np").as("nph")).as("high"),
+        col("bh") > col("b"), "left")
+      .groupBy(col("b"), col("np"), col("nn"))
+      .agg(coalesce(sum(col("nph")), lit(0L)).as("pos_above"))
+    above.agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        // Σ over bins: negatives_b × (positives strictly above + ½ ties)
+        // — doubled to stay integer-exact, halved in the final division
+        sum(col("nn") * (lit(2L) * col("pos_above") + col("np")))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double")), 6)).as("auc"))
+  }
 }

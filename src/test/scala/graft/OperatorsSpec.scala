@@ -895,6 +895,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(preds == preds.sorted.reverse)
   }
 
+  test("aucBinned: separation, reversal, and mid-rank ties are exact") {
+    val s = spark
+    import s.implicits._
+    def auc(rows: Seq[(Double, Boolean)], bins: Int = 10): org.apache.spark.sql.Row =
+      graft.operators.Stats.aucBinned(rows.toDF("score", "y"),
+        "score", "y", bins).first()
+    // perfect separation (positives on top) -> 1; reversed -> 0
+    val sep = (0 to 9).map(i => (i.toDouble, i >= 7))
+    assert(auc(sep).getDouble(2) == 1.0)
+    assert(auc(sep.map { case (v, y) => (v, !y) }).getDouble(2) == 0.0)
+    // hand mid-rank case: pos {5, 9}, neg {2, 5}: pairs = (5,5) tie ½,
+    // (5,2)=1, (9,5)=1, (9,2)=1 -> 3.5/4
+    val tied = Seq((5.0, true), (9.0, true), (2.0, false), (5.0, false))
+    assert(auc(tied).getDouble(2) == 0.875)
+    // single-class degeneracy -> null auc, not an error
+    val onlyNeg = auc(Seq((1.0, false), (2.0, false)))
+    assert(onlyNeg.getLong(0) == 0L && onlyNeg.isNullAt(2))
+  }
+
   test("prCurve: all-negative labels yield null recall/f1, not an error") {
     val s = spark
     import s.implicits._
