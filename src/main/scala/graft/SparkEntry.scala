@@ -167,6 +167,60 @@ FROM r$iters r LEFT JOIN deg d ON d.src = r.node"""
       |   AND x.l_suppkey <> y.l_suppkey
       |)""".stripMargin
 
+  // frequency-ranked substring inventory shared by the piece-tokenizer
+  // oracles (topN = 200, maxPieceLen = 6)
+  private val piecesVocabCte =
+    """words AS (
+      |  SELECT w, count(*)::BIGINT AS tf FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE len(w) >= 1 GROUP BY 1
+      |), subs AS (
+      |  SELECT substr(w, s::INT, l::INT) AS piece, tf
+      |  FROM words,
+      |       LATERAL unnest(range(1, len(w) + 1)) ts(s),
+      |       LATERAL unnest(range(1, least(6, len(w) - s + 1) + 1)) tl(l)
+      |), vocab AS (
+      |  SELECT piece, sum(tf)::BIGINT AS weight
+      |  FROM subs GROUP BY 1
+      |  ORDER BY weight DESC, piece LIMIT 200
+      |)""".stripMargin
+
+  /** The q_text_pieces_encode oracle: greedy longest-match replayed as
+    * a recursive CTE — each step consumes the longest vocab piece
+    * prefixing the remainder (list membership against the one-row
+    * vocab list), or `[UNK]` + advance 1. Deterministic, so the CTE
+    * reproduces the compiled expression exactly. */
+  private def piecesEncodeOracleSql: String = {
+    // best match length at character position `p` (NULL = no match)
+    def bl(p: String) =
+      s"""list_max([l FOR l IN range(1, least(6, len(word) - $p + 1) + 1)
+         |      IF list_contains(vl.pieces, substr(word, ($p)::INT, l::INT))])"""
+        .stripMargin
+    s"""WITH RECURSIVE $piecesVocabCte,
+vl AS (SELECT list(piece) AS pieces FROM vocab),
+wrds AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS wpos, w[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 10 = 0) d,
+       LATERAL unnest(range(1, len(w) + 1)) t(i)
+),
+tok AS (
+  SELECT doc_id, wpos, word,
+    1 + coalesce(${bl("1")}, 1) AS pos,
+    0 AS ppos,
+    CASE WHEN ${bl("1")} IS NULL THEN '[UNK]'
+         ELSE substr(word, 1, (${bl("1")})::INT) END AS piece
+  FROM wrds, vl WHERE len(word) >= 1
+  UNION ALL
+  SELECT doc_id, wpos, word,
+    pos + coalesce(${bl("pos")}, 1), ppos + 1,
+    CASE WHEN ${bl("pos")} IS NULL THEN '[UNK]'
+         ELSE substr(word, pos::INT, (${bl("pos")})::INT) END
+  FROM tok, vl WHERE pos <= len(word)
+)
+SELECT doc_id, wpos, CAST(ppos AS INT) AS ppos, piece FROM tok"""
+  }
+
   /** The q_graph_kcore oracle: `rounds` peeling iterations unrolled
     * (each = degrees over the surviving edges, keep nodes ≥ k, restrict
     * edges) — extra rounds past the fixpoint are no-ops, so any
@@ -445,6 +499,25 @@ $joins"""
     // top-200 vocabulary head (slope near -1 = natural text)
     "q_text_zipf" -> ((s, dir) =>
       TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 200)),
+
+    // WordPiece-family inventory: frequency-ranked substrings (<= 6
+    // chars) of the corpus words, deterministic tie-break
+    "q_text_pieces" -> ((s, dir) =>
+      TextAnalysis.trainPieces(t(s, dir, "documents"), "text",
+        topN = 200, maxPieceLen = 6)),
+
+    // train -> greedy-encode composition: the inventory trains on the
+    // full corpus, the 10% held-out slice tokenizes against it via the
+    // compiled literal-inventory expression (zero shuffle); oracle
+    // replays the greedy longest-match as a recursive CTE
+    "q_text_pieces_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.piecesTokenize(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        TextAnalysis.trainPieces(docs, "text", topN = 200,
+          maxPieceLen = 6),
+        maxPieceLen = 6)
+    }),
 
     // overlapping context-window chunking (maxTokens 40, overlap 8):
     // long docs become fixed-budget training windows in one zero-shuffle
@@ -2347,6 +2420,17 @@ $joins"""
           |SELECT token, tf, df,
           |  CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank
           |FROM agg ORDER BY tf DESC, token LIMIT 20""".stripMargin,
+
+      // identical substring enumeration, weighting, and tie-break
+      "q_text_pieces" ->
+        s"""WITH $piecesVocabCte
+           |SELECT piece, weight,
+           |  CAST(row_number() OVER (ORDER BY weight DESC, piece)
+           |    AS INT) AS rank
+           |FROM vocab""".stripMargin,
+
+      // greedy longest-match replayed step-for-step (recursive CTE)
+      "q_text_pieces_encode" -> piecesEncodeOracleSql,
 
       // same ranked head, same round(9)-DECIMAL regression terms, same
       // double least-squares shape

@@ -245,6 +245,61 @@ object TextAnalysis {
         round(covN * covN / (varXN * varYN), 6)).as("r2"))
   }
 
+  /** WordPiece-style piece-inventory training: score every substring
+    * (length ≤ `maxPieceLen`) of every corpus word by the total
+    * frequency of the words containing it, keep the top `topN` —
+    * the frequency-ranked inventory that [[piecesTokenize]]'s greedy
+    * longest-match inference consumes (the BERT tokenizer family;
+    * next to [[trainBpe]]'s merge-rule family).
+    *
+    * Scale shape: one corpus-scale shuffle (word counts); substring
+    * explosion runs over the DISTINCT-WORD frame (vocabulary-sized,
+    * ≤ len·maxPieceLen pieces per word), and the ranked head uses the
+    * [[buildVocab]] top-N discipline — no global window. Deterministic
+    * tie-break (weight desc, piece asc) → externally replicable.
+    * Output: (piece, weight, rank), rank 1-based. */
+  def trainPieces(docs: DataFrame, textCol: String = "text",
+                  topN: Int = 500, maxPieceLen: Int = 8): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val subs = words.select(col("tf"), explode(expr(
+      s"""flatten(transform(sequence(1, char_length(w)), s ->
+         |  transform(sequence(s, least(char_length(w),
+         |                             s + ${maxPieceLen - 1})), e ->
+         |    substring(w, s, e - s + 1))))""".stripMargin)).as("piece"))
+    subs.groupBy(col("piece")).agg(sum(col("tf")).as("weight"))
+      .orderBy(col("weight").desc, col("piece")).limit(topN)
+      .coalesce(1)
+      .sortWithinPartitions(col("weight").desc, col("piece"))
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+  }
+
+  /** Greedy longest-match subword tokenization against a
+    * [[trainPieces]] inventory (WordPiece inference): each whitespace
+    * word segments independently; unmatched leading characters emit
+    * `[UNK]` and advance one. The inventory (topN rows — bounded by
+    * construction) collects to the driver ONCE and rides inside the
+    * compiled [[org.apache.spark.sql.graftext.GreedyPieces]]
+    * expression, so tokenization is a zero-shuffle scan-speed
+    * projection. Output: (id, wpos, ppos, piece) — word and piece
+    * positions 0-based. */
+  def piecesTokenize(docs: DataFrame, idCol: String, textCol: String,
+                     vocab: DataFrame,
+                     maxPieceLen: Int = 8): DataFrame = {
+    val pieces = vocab.select(col("piece")).collect()
+      .map(_.getString(0)).toIndexedSeq
+    docs
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("wpos", "w")))
+      .select(col(idCol), col("wpos"),
+        posexplode(org.apache.spark.sql.graftext.GreedyPieces(
+          col("w"), pieces, maxPieceLen)).as(Seq("ppos", "piece")))
+  }
+
   /** BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units") — the iterative
     * pair-merge loop on top of the [[buildVocab]] word statistics:

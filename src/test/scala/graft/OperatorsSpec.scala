@@ -927,6 +927,64 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("GreedyPieces segments longest-first with [UNK] fallback") {
+    val s = spark
+    import s.implicits._
+    val vocab = Seq("un", "believ", "able", "a", "b", "l", "e", "x",
+      "unbeliev")
+    val words = Seq("unbelievable", "able", "qqa", "", "zzz")
+      .toDF("w")
+    val got = words.select(col("w"),
+        org.apache.spark.sql.graftext.GreedyPieces(col("w"), vocab, 8)
+          .as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // greedy takes the LONGEST prefix: unbeliev (8) beats un (2), then
+    // 'able'; NOT the 3-piece un+believ+able segmentation
+    assert(got("unbelievable") == Seq("unbeliev", "able"))
+    assert(got("able") == Seq("able"))
+    // unknown chars emit [UNK] one at a time; known suffix still parses
+    assert(got("qqa") == Seq("[UNK]", "[UNK]", "a"))
+    assert(got("") == Seq.empty)
+    assert(got("zzz") == Seq("[UNK]", "[UNK]", "[UNK]"))
+    // maxLen caps candidate pieces even when the vocab holds longer
+    val capped = words.filter(col("w") === "unbelievable")
+      .select(org.apache.spark.sql.graftext.GreedyPieces(col("w"),
+        vocab, 4).as("p"))
+      .first().getSeq[String](0)
+    assert(capped == Seq("un", "b", "e", "l", "[UNK]", "e", "[UNK]",
+      "able")) // 'i' and 'v' are not in the inventory
+  }
+
+  test("trainPieces ranks substrings by containing-word mass; encode roundtrips") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aba aba ab"), (2L, "aba cd")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.trainPieces(docs, "text", topN = 50,
+      maxPieceLen = 3)
+    val rows = vocab.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // 'a' appears in words aba(tf 3) twice... weight counts WORD mass
+    // per occurrence: substring enumeration emits one row per
+    // occurrence position, so 'a' in aba counts twice per aba
+    assert(rows("aba") == ((3L, rows("aba")._2)))
+    assert(rows("cd")._1 == 1L)
+    assert(rows("a")._1 == 3L * 2 + 1L) // two positions in aba, one in ab
+    // ranks are 1-based, dense, deterministic
+    assert(vocab.select(min(col("rank")), max(col("rank"))).first()
+      .getInt(0) == 1)
+    // full-corpus tokenize against the trained inventory reproduces
+    // every word (concatenating pieces == word, no [UNK] since all
+    // chars are in-vocab)
+    val toks = TextAnalysis.piecesTokenize(docs, "doc_id", "text",
+        vocab, maxPieceLen = 3)
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getInt(1)))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getInt(2)).map(_.getString(3)).mkString }
+    assert(toks((1L, 0)) == "aba" && toks((1L, 2)) == "ab")
+    assert(toks((2L, 1)) == "cd")
+  }
+
   test("zipfFit recovers a planted power law; flags the degenerate fit") {
     val s = spark
     import s.implicits._
