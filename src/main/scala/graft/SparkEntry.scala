@@ -1064,6 +1064,13 @@ $joins"""
       Events.funnel(t(s, dir, "events"),
         steps = Seq("view", "click", "purchase"), windowSeconds = 86400)),
 
+    // daily cohort retention: users bucketed by first-active day,
+    // counted in each later day they act — integer period indices, one
+    // distinct + user/cohort-keyed aggregates, no window
+    "q_events_retention" -> ((s, dir) =>
+      Events.retentionCohorts(t(s, dir, "events"),
+        periodSeconds = 86400L)),
+
     // range (interval) join via time-bin bucketing: every click within
     // the hour BEFORE each purchase; pairs meet in exactly one bin so no
     // dedup stage, and hot time ranges spread across (key, bin) buckets
@@ -3347,6 +3354,26 @@ $joins"""
           |FROM numbered GROUP BY 1, 2""".stripMargin,
 
       // anchored first-touch funnel, same greedy-min chain per step
+      // same integer period floor-division, same distinct/first/join
+      // shape; offset aliased (OFFSET is reserved)
+      "q_events_retention" ->
+        """WITH act AS (
+          |  SELECT DISTINCT user_id AS u,
+          |         epoch_us(ts) // 86400000000 AS p
+          |  FROM events
+          |), fs AS (
+          |  SELECT u, min(p) AS cohort FROM act GROUP BY 1
+          |), sizes AS (
+          |  SELECT cohort, count(*)::BIGINT AS cohort_size
+          |  FROM fs GROUP BY 1
+          |)
+          |SELECT f.cohort, a.p - f.cohort AS period_offset,
+          |  count(*)::BIGINT AS n_active, s.cohort_size,
+          |  round(count(*)::DOUBLE / s.cohort_size::DOUBLE, 6)
+          |    AS retention
+          |FROM act a JOIN fs f USING (u) JOIN sizes s ON s.cohort = f.cohort
+          |GROUP BY 1, 2, 4""".stripMargin,
+
       "q_events_funnel" ->
         """WITH s1 AS (
           |  SELECT user_id, min(ts) AS t1 FROM events

@@ -22,6 +22,41 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Cohort retention: users grouped by their first-active period (the
+    * cohort), counted as retained in each later period they act in —
+    * the standard product/engagement table, and in corpus terms the
+    * contributor-survival curve of a crawl source. Period index =
+    * floor(epoch_micros / periodSeconds·10⁶) — pure integer division,
+    * no float boundary for engines to disagree on.
+    *
+    * Scale shape: one distinct over (user, period), then everything is
+    * keyed by user or by cohort — the user-keyed groupBy and the join
+    * back share partitioning; no window, no driver scalars. Output:
+    * (cohort, period_offset, n_active, cohort_size, retention), one
+    * row per cohort × active offset (offset 0 is the cohort itself,
+    * retention 1 by construction). */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts",
+                       periodSeconds: Long = 7L * 86400L): DataFrame = {
+    require(periodSeconds >= 1, "periodSeconds must be >= 1")
+    val act = events.select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) div ${periodSeconds * 1000000L}")
+          .as("p"))
+      .distinct()
+      .localCheckpoint(false)
+    val firstSeen = act.groupBy(col("u")).agg(min(col("p")).as("cohort"))
+    val sizes = firstSeen.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(firstSeen, Seq("u"))
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("period_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+  }
+
   /** Anchored funnel analysis: how far each user progresses through an
     * ordered sequence of event types, anchored at their FIRST
     * `steps(0)` event. Step k completes with the user's earliest

@@ -305,6 +305,19 @@ object StreamOps {
     graft.operators.TextAnalysis.gopherRepetitionFlags(
       docs.toDF(), "doc_id", "text", passthroughCols = Seq("ts"))
 
+  /** Streaming subword tokenization against a trained piece inventory
+    * — the ingest-side of the WordPiece family: the inventory (a
+    * [[graft.operators.TextAnalysis.trainPieces]] result, bounded topN
+    * rows) collects once at stream START and rides inside the compiled
+    * `GreedyPieces` expression, so each micro-batch tokenizes at scan
+    * speed with zero shuffle, zero state, no watermark — append-mode.
+    * Retraining the inventory means restarting the query, which is the
+    * correct semantics: a tokenizer must not drift mid-corpus. */
+  def piecesTokenizeStream(docs: Dataset[StreamDoc], vocab: DataFrame,
+                           maxPieceLen: Int = 8): DataFrame =
+    graft.operators.TextAnalysis.piecesTokenize(
+      docs.toDF(), "doc_id", "text", vocab, maxPieceLen)
+
   /** Streaming perceptual-image dedup: each arriving image asset
     * (id, content, meta.mime — the multimodal asset schema) is decoded
     * once, pHashed, and probed against a static corpus-hash frame (a

@@ -985,6 +985,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(toks((2L, 1)) == "cd")
   }
 
+  test("retentionCohorts computes the hand-checked cohort table") {
+    val s = spark
+    import s.implicits._
+    def ts(day: Int, h: Int = 1) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d $h%02d:00:00")
+    // u1 first day0, active day0/1/3 (twice on day1 — distinct per
+    // period); u2 first day0, active day0 only; u3 first day1, active
+    // day1/3
+    val ev = Seq((1L, ts(0)), (1L, ts(1)), (1L, ts(1, 5)), (1L, ts(3)),
+        (2L, ts(0)), (3L, ts(1)), (3L, ts(3)))
+      .toDF("user_id", "ts")
+    val got = graft.operators.Events
+      .retentionCohorts(ev, periodSeconds = 86400L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val c0 = got.keys.map(_._1).min // day-0 cohort id
+    assert(got((c0, 0L)) == ((2L, 2L, 1.0))) // u1+u2 on day 0
+    assert(got((c0, 1L)) == ((1L, 2L, 0.5))) // u1 on day 1
+    assert(got((c0, 3L)) == ((1L, 2L, 0.5))) // u1 on day 3
+    assert(got((c0 + 1, 0L)) == ((1L, 1L, 1.0))) // u3 cohort day 1
+    assert(got((c0 + 1, 2L)) == ((1L, 1L, 1.0))) // u3 on day 3
+    assert(got.size == 5)
+  }
+
   test("zipfFit recovers a planted power law; flags the degenerate fit") {
     val s = spark
     import s.implicits._

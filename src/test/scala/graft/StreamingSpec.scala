@@ -1094,6 +1094,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._2) == Set(1L, 3L))
   }
 
+  test("piecesTokenizeStream emits the batch greedy segmentation") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val train = Seq((1L, "spark sparse park"), (2L, "spark spa"))
+      .toDF("doc_id", "text")
+    val vocab = graft.operators.TextAnalysis
+      .trainPieces(train, "text", topN = 30, maxPieceLen = 4)
+      .localCheckpoint(true)
+    val docs = Seq(
+      StreamDoc(10L, "spark park", Timestamp.valueOf("2024-01-01 00:00:01")),
+      StreamDoc(11L, "sparkz", Timestamp.valueOf("2024-01-01 00:00:02")))
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.piecesTokenizeStream(input.toDS(), vocab,
+      maxPieceLen = 4)
+    val q = out.writeStream.format("memory").queryName("pieces_stream")
+      .outputMode("append").start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from pieces_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val batch = graft.operators.TextAnalysis.piecesTokenize(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        "doc_id", "text", vocab, maxPieceLen = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the unknown character really went through the [UNK] path
+    assert(streamed.exists(t => t._1 == 11L && t._4 == "[UNK]"))
+  }
+
   test("phashDedupStream matches the batch cross-corpus image probe") {
     import graft.operators.Multimodal
     val s = spark
