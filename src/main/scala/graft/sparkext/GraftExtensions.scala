@@ -43,6 +43,24 @@ object GraftExtensions {
         HashedNGramShingles(children.head,
           intLiteral(children(1), "hashed_ngram_shingles: n"))
       }),
+    ("greedy_pieces",
+      new ExpressionInfo(classOf[GreedyPieces].getName, "greedy_pieces"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "greedy_pieces expects (word, pieces, maxLen)")
+        children(1).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _) => ()
+          case dt => throw new IllegalArgumentException(
+            s"greedy_pieces: pieces must be array<string>, got $dt")
+        }
+        val arr = foldedNonEmptyArray(children(1),
+          "greedy_pieces: pieces")
+        val pieces = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        GreedyPieces(children.head, pieces.toIndexedSeq,
+          intLiteral(children(2), "greedy_pieces: maxLen"))
+      }),
     ("minhash_signature",
       new ExpressionInfo(classOf[MinHashSignature].getName,
         "minhash_signature"),

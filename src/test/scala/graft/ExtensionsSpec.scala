@@ -110,6 +110,20 @@ class ExtensionsSpec extends AnyFunSuite {
         e.getCause.getMessage.contains("array<array<double>>")))
   }
 
+  test("greedy_pieces segments from SQL with a literal inventory") {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.graftext.GraftExtensions.register(s)
+    val out = s.sql(
+      """select greedy_pieces('unbelievable',
+        |  array('un', 'believ', 'able', 'a'), 8) as p""".stripMargin)
+      .first().getSeq[String](0)
+    assert(out == Seq("un", "believ", "able"))
+    // non-foldable or mistyped inventories are rejected loudly
+    intercept[Exception] {
+      s.sql("select greedy_pieces('x', array(1, 2), 8)").collect()
+    }
+  }
+
   test("heavy_hitters_sketch aggregates from SQL with literal capacity") {
     val s = SparkTestSession.spark
     org.apache.spark.sql.graftext.GraftExtensions.register(s)
