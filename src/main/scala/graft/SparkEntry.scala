@@ -713,6 +713,12 @@ $joins"""
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
 
+    // exact weighted-cosine all-pairs (Bayardo APSS): tf-idf vectors,
+    // lossless L2 suffix-norm prefix filter, decimal-summed scores
+    "q_dedup_cosine" -> ((s, dir) =>
+      Dedup.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.9)),
+
     // asymmetric containment |A∩B|/|A| >= 0.6: excerpt/subset detection
     // that symmetric Jaccard structurally misses for large containers
     "q_dedup_containment" -> ((s, dir) =>
@@ -2779,6 +2785,44 @@ $joins"""
       // the hash gate without any code bug (then compare as
       // subset + recall-bound instead).
       "q_dedup_minhash" -> shingleCte,
+
+      // exhaustive weighted cosine with the identical tf-idf shape and
+      // round(9)-DECIMAL summation — the prefix filter is engine-side
+      // only and needs no replication
+      "q_dedup_cosine" ->
+        """WITH terms AS (
+          |  SELECT doc_id, w, count(*)::BIGINT AS tf FROM (
+          |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |    FROM documents) t
+          |  GROUP BY 1, 2
+          |), wdf AS (
+          |  SELECT w, count(*)::BIGINT AS df FROM terms GROUP BY 1
+          |), nn AS (
+          |  SELECT count(*)::DOUBLE AS n FROM documents
+          |), wts AS (
+          |  SELECT doc_id, t.w,
+          |    t.tf::DOUBLE * ln(1 + nn.n / wdf.df::DOUBLE) AS wt
+          |  FROM terms t JOIN wdf USING (w), nn
+          |), n2 AS (
+          |  SELECT doc_id,
+          |    sum(CAST(round(wt * wt, 9) AS DECIMAL(28,9))) AS nrm2
+          |  FROM wts GROUP BY 1
+          |), nums AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    sum(CAST(round(a.wt * b.wt, 9) AS DECIMAL(28,9))) AS num
+          |  FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT id_a, id_b,
+          |  round(CAST(num AS DOUBLE)
+          |        / (sqrt(CAST(na.nrm2 AS DOUBLE))
+          |           * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6) AS cosine
+          |FROM nums
+          |JOIN n2 na ON na.doc_id = id_a
+          |JOIN n2 nb ON nb.doc_id = id_b
+          |WHERE CAST(num AS DOUBLE)
+          |      / (sqrt(CAST(na.nrm2 AS DOUBLE))
+          |         * sqrt(CAST(nb.nrm2 AS DOUBLE))) >= 0.9""".stripMargin,
 
       // exhaustive directed containment over the same shingle sets
       "q_dedup_containment" ->

@@ -99,6 +99,82 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
+  /** All document pairs with tf-idf weighted cosine ≥ `threshold` —
+    * EXACT all-pairs similarity search over the sparse term space
+    * (Bayardo et al. 2007, "Scaling Up All Pairs Similarity Search"):
+    * the weighted complement to [[jaccardPairs]]' set semantics —
+    * token REPETITION and term RARITY both matter, so a template page
+    * differing only in its rare identifiers separates from a true
+    * near-dup in a way set overlap cannot see.
+    *
+    * Lossless L2 prefix filter: terms order canonically (df ascending,
+    * term — rare first, so indexed postings are short by
+    * construction); doc x indexes term k only while the suffix from k
+    * onward carries ≥ `threshold` of x's L2 mass (if every shared term
+    * lay strictly after the prefix, Cauchy-Schwarz caps the cosine
+    * below t, so a qualifying pair must collide on an indexed term of
+    * at least one side). Candidates verify with full sparse dot
+    * products — recall exactly 1, precision 1. Per-term products and
+    * squared weights round to 9 decimals and sum as DECIMAL, so every
+    * cosine is summation-order independent and the DuckDB oracle
+    * replicates scores exactly (the oracle is exhaustive — the filter
+    * is engine-side only and never has to be replicated).
+    *
+    * Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded 6.
+    * On suffix-disjoint corpora (replica probes) cross-group
+    * candidates vanish entirely — pair volume tracks true pairs. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val nDocs = docs.count()
+    require(nDocs > 0, "empty corpus")
+    val terms = docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfTbl = terms.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val weighted = terms.join(dfTbl, Seq("w"))
+      .withColumn("wt", col("tf").cast("double") *
+        log(lit(1.0) + lit(nDocs.toDouble) / col("df").cast("double")))
+      .withColumn("p2", round(col("wt") * col("wt"), 9)
+        .cast("decimal(28,9)"))
+      .localCheckpoint(false)
+    val norms = weighted.groupBy(col("id"))
+      .agg(sum(col("p2")).cast("decimal(28,9)").as("nrm2"))
+    // canonical rare-first order; index term k while the suffix FROM k
+    // keeps >= t of the doc's L2 mass (engine-side bound — double
+    // arithmetic here never reaches the oracle)
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("w"))
+    val prefix = weighted.join(norms, Seq("id"))
+      .withColumn("cum", sum(col("p2")).over(byRarity))
+      .filter((col("nrm2") - col("cum") + col("p2")).cast("double") >=
+        lit(threshold * threshold) * col("nrm2").cast("double"))
+      .select(col("id"), col("w"))
+    val candidates = prefix.as("a")
+      .join(weighted.select(col("id"), col("w")).as("b"),
+        col("a.w") === col("b.w") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val num = candidates
+      .join(weighted.select(col("id").as("id_a"), col("w"),
+        col("wt").as("wa")), Seq("id_a"))
+      .join(weighted.select(col("id").as("id_b"), col("w"),
+        col("wt").as("wb")), Seq("id_b", "w"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(round(col("wa") * col("wb"), 9).cast("decimal(28,9)"))
+        .cast("decimal(28,9)").as("num"))
+    val cos = col("num").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    num
+      .join(norms.select(col("id").as("id_a"), col("nrm2").as("na")),
+        Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("nrm2").as("nb")),
+        Seq("id_b"))
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+  }
+
   /** All directed pairs with shingle containment |A∩B|/|A| ≥ `threshold`
     * — the asymmetric complement to [[jaccardPairs]]: detects a document
     * substantially CONTAINED in another (quotes, excerpts, subset

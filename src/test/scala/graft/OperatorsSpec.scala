@@ -1309,6 +1309,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("tfidfCosinePairs matches an exhaustive driver oracle") {
+    val t = 0.85
+    val got = Dedup.tfidfCosinePairs(docs, "doc_id", "text", t)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exhaustive tf-idf cosine on the driver with the same weighting
+    // and round-9 decimal summation
+    val toks = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = toks.length.toDouble
+    val dfOf = toks.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length }
+    def d9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val wts = toks.map { case (id, ws) =>
+      id -> ws.groupBy(identity).map { case (w, xs) =>
+        w -> xs.length * math.log(1 + n / dfOf(w)) }
+    }.toMap
+    val nrm = wts.map { case (id, m) =>
+      id -> math.sqrt(m.values.map(w => d9(w * w)).sum.toDouble) }
+    val expect = (for {
+      (a, wa) <- wts.toSeq; (b, wb) <- wts.toSeq if a < b
+      shared = wa.keySet.intersect(wb.keySet)
+      num = shared.toSeq.map(w => d9(wa(w) * wb(w))).sum.toDouble
+      c = num / (nrm(a) * nrm(b))
+      if c >= t
+    } yield (a, b,
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSet
+    assert(expect.nonEmpty)
+    assert(got == expect)
+  }
+
+  test("tfidfCosinePairs separates repetition the set metrics cannot") {
+    // x and y share the same VOCABULARY but different repetition
+    // profiles; z repeats like x. Jaccard over distinct trigram sets
+    // can't distinguish (x,z) from (x,y) pairs built over one
+    // vocabulary — weighted cosine can (tf matters)
+    val s = spark
+    import s.implicits._
+    val x = (Seq.fill(20)("alpha") ++ Seq("beta")).mkString(" ")
+    val y = (Seq("alpha") ++ Seq.fill(20)("beta")).mkString(" ")
+    val z = (Seq.fill(19)("alpha") ++ Seq("beta", "alpha")).mkString(" ")
+    val df = Seq((1L, x), (2L, y), (3L, z)).toDF("doc_id", "text")
+    val pairs = Dedup.tfidfCosinePairs(df, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)), s"got $pairs")
+  }
+
   test("containmentPairs matches an exhaustive directed-containment oracle") {
     val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.6)
       .collect()
