@@ -1077,6 +1077,23 @@ $joins"""
       Events.retentionCohorts(t(s, dir, "events"),
         periodSeconds = 86400L)),
 
+    // time-series gap-fill: resample each user's stream onto a 6-hour
+    // grid (last event per bucket is the representative), then
+    // forward-fill and linearly interpolate the holes — per-user
+    // sequence explode + two frame-bounded user-keyed windows, no
+    // global range
+    "q_events_gapfill" -> ((s, dir) =>
+      Events.gapFill(t(s, dir, "events"), periodSeconds = 21600L)
+        .select(col("user_id"), col("period"), col("observed"),
+          col("v_ffill"), col("v_interp"))),
+
+    // rolling z-score anomalies: events > 3 sigma from the mean of the
+    // user's previous 20 events (min 8 priors) — DECIMAL-exact window
+    // sums, keep decision on the unrounded z
+    "q_events_anomalies" -> ((s, dir) =>
+      Events.rollingAnomalies(t(s, dir, "events"), nPrior = 20,
+        minPrior = 8, zThreshold = 3.0)),
+
     // range (interval) join via time-bin bucketing: every click within
     // the hour BEFORE each purchase; pairs meet in exactly one bin so no
     // dedup stage, and hot time ranges spread across (key, bin) buckets
@@ -3417,6 +3434,72 @@ $joins"""
           |    AS retention
           |FROM act a JOIN fs f USING (u) JOIN sizes s ON s.cohort = f.cohort
           |GROUP BY 1, 2, 4""".stripMargin,
+
+      // same bucket representative (last event by ts, event_id), same
+      // per-user generate_series grid, same IGNORE NULLS fill windows,
+      // same interpolation arithmetic shape
+      "q_events_gapfill" ->
+        """WITH obs0 AS (
+          |  SELECT user_id AS u, epoch_us(ts) // 21600000000 AS p, value,
+          |    row_number() OVER (
+          |      PARTITION BY user_id, epoch_us(ts) // 21600000000
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events
+          |), obs AS (SELECT u, p, value AS v FROM obs0 WHERE rn = 1),
+          |b AS (SELECT u, min(p) AS pmin, max(p) AS pmax FROM obs GROUP BY 1),
+          |grid AS (SELECT u, unnest(generate_series(pmin, pmax)) AS p FROM b),
+          |j AS (
+          |  SELECT g.u, g.p, o.v,
+          |    last_value(o.v IGNORE NULLS) OVER w1 AS v_ffill,
+          |    last_value(CASE WHEN o.v IS NOT NULL THEN g.p END IGNORE NULLS)
+          |      OVER w1 AS pp,
+          |    first_value(o.v IGNORE NULLS) OVER w2 AS nv,
+          |    first_value(CASE WHEN o.v IS NOT NULL THEN g.p END IGNORE NULLS)
+          |      OVER w2 AS np
+          |  FROM grid g LEFT JOIN obs o ON o.u = g.u AND o.p = g.p
+          |  WINDOW
+          |    w1 AS (PARTITION BY g.u ORDER BY g.p
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |    w2 AS (PARTITION BY g.u ORDER BY g.p
+          |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          |)
+          |SELECT u AS user_id, p AS period, (v IS NOT NULL) AS observed,
+          |  v_ffill,
+          |  round(CASE WHEN v IS NOT NULL THEN v
+          |             WHEN pp IS NOT NULL AND np IS NOT NULL THEN
+          |               v_ffill + (nv - v_ffill) *
+          |                 ((p - pp)::DOUBLE / (np - pp)::DOUBLE)
+          |             ELSE v_ffill END, 6) AS v_interp
+          |FROM j""".stripMargin,
+
+      // same DECIMAL(18,2)-exact window sums, same strictly-prior
+      // frame, same double arithmetic from the exact sums, keep
+      // decision on the unrounded z
+      "q_events_anomalies" ->
+        """WITH t AS (
+          |  SELECT user_id AS u, event_id, ts,
+          |         value::DECIMAL(18,2) AS vd
+          |  FROM events
+          |), w AS (
+          |  SELECT u, event_id, vd,
+          |    count(vd) OVER fr AS n_prior,
+          |    CAST(sum(vd) OVER fr AS DOUBLE) AS s1,
+          |    CAST(sum(vd * vd) OVER fr AS DOUBLE) AS s2
+          |  FROM t
+          |  WINDOW fr AS (PARTITION BY u ORDER BY ts, event_id
+          |                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+          |), z AS (
+          |  SELECT u, event_id, vd, n_prior,
+          |    s1 / n_prior::DOUBLE AS m,
+          |    (s2 - s1 * s1 / n_prior::DOUBLE) / (n_prior - 1)::DOUBLE
+          |      AS var
+          |  FROM w WHERE n_prior >= 8
+          |)
+          |SELECT u AS user_id, event_id, vd::DOUBLE AS value, n_prior,
+          |  round((vd::DOUBLE - m) / sqrt(var), 6) AS z_score
+          |FROM z
+          |WHERE var > 1e-12
+          |  AND abs((vd::DOUBLE - m) / sqrt(var)) > 3.0""".stripMargin,
 
       "q_events_funnel" ->
         """WITH s1 AS (

@@ -100,6 +100,121 @@ object Events {
       (col("n_steps") === steps.length).as("completed"))
   }
 
+  /** Time-series gap-fill: resample each user's event stream onto a
+    * regular `periodSeconds` grid and fill the holes two ways —
+    * forward-fill (the last observed value carries) and linear
+    * interpolation between the surrounding observations. The standard
+    * prep step before any per-entity rolling statistic or model
+    * feature over irregular telemetry.
+    *
+    * Per (user, period) the representative value is the LAST event in
+    * the bucket (ts, then event_id, as the tie-break) — a
+    * deterministic pick any engine reproduces. The grid spans each
+    * user's own [min, max] period, so no user pays for another's
+    * history.
+    *
+    * Scale shape: one row_number window keyed by (user, period) picks
+    * bucket representatives; the grid is a per-user `sequence` explode
+    * (rows ∝ user's own span — no global range); the fills are two
+    * frame-bounded windows keyed by user. Everything shuffles on the
+    * user key once and stays there; no global window, no driver state.
+    * Output: (user, period, observed, v_ffill, v_interp). */
+  def gapFill(events: DataFrame, periodSeconds: Long = 21600L,
+              userCol: String = "user_id", tsCol: String = "ts",
+              valueCol: String = "value",
+              idCol: String = "event_id"): DataFrame = {
+    require(periodSeconds >= 1, "periodSeconds must be >= 1")
+    val micros = periodSeconds * 1000000L
+    val byBucket = Window.partitionBy(col("u"), col("p"))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val obs = events.select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) div $micros").as("p"),
+        col(tsCol), col(idCol), col(valueCol).as("v"))
+      .withColumn("__rn", row_number().over(byBucket))
+      .filter(col("__rn") === 1)
+      .select(col("u"), col("p"), col("v"))
+      // consumed twice (grid bounds + the fill join): materialize the
+      // skinny (u, p, v) frame once instead of re-running the scan +
+      // bucket window per consumer
+      .localCheckpoint(false)
+    val grid = obs.groupBy(col("u"))
+      .agg(min(col("p")).as("pmin"), max(col("p")).as("pmax"))
+      .select(col("u"), explode(sequence(col("pmin"), col("pmax"))).as("p"))
+    val byU = Window.partitionBy(col("u")).orderBy(col("p"))
+    val back = byU.rowsBetween(Window.unboundedPreceding, 0)
+    val ahead = byU.rowsBetween(1, Window.unboundedFollowing)
+    val filled = grid.join(obs, Seq("u", "p"), "left")
+      .withColumn("v_ffill", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("__pp",
+        last(when(col("v").isNotNull, col("p")), ignoreNulls = true)
+          .over(back))
+      .withColumn("__nv", first(col("v"), ignoreNulls = true).over(ahead))
+      .withColumn("__np",
+        first(when(col("v").isNotNull, col("p")), ignoreNulls = true)
+          .over(ahead))
+    // interpolate only strictly between observations; the tail (no next
+    // observation) stays at the forward-fill, the head before the first
+    // observation is empty by grid construction
+    filled.select(col("u").as(userCol), col("p").as("period"),
+      col("v").isNotNull.as("observed"), col("v_ffill"),
+      round(when(col("v").isNotNull, col("v"))
+        .when(col("__pp").isNotNull && col("__np").isNotNull,
+          col("v_ffill") + (col("__nv") - col("v_ffill")) *
+            ((col("p") - col("__pp")).cast("double") /
+              (col("__np") - col("__pp")).cast("double")))
+        .otherwise(col("v_ffill")), 6).as("v_interp"))
+  }
+
+  /** Rolling z-score anomaly detection: flag events whose value sits
+    * more than `zThreshold` standard deviations from the mean of the
+    * user's previous `nPrior` events — the classic per-entity telemetry
+    * outlier gate (spend spikes, error bursts, sensor glitches).
+    *
+    * The baseline window is strictly PRIOR rows (`nPrior PRECEDING ..
+    * 1 PRECEDING`), so an anomaly never contaminates its own baseline,
+    * and needs at least `minPrior` observations before it votes.
+    * Sums run over `DECIMAL(18,2)` casts of the value so the window
+    * aggregate is exact regardless of evaluation order — the mean /
+    * variance / z arithmetic then happens once, in double, from those
+    * exact sums, making the result bit-replicable externally. The keep
+    * decision compares the UNROUNDED |z|; the reported z is rounded
+    * for display.
+    *
+    * Scale shape: one shuffle keyed by user, then a single
+    * frame-bounded running window — no self-join, no global state;
+    * variance via the sum-of-squares identity keeps it one pass. */
+  def rollingAnomalies(events: DataFrame, nPrior: Int = 20,
+                       minPrior: Int = 8, zThreshold: Double = 3.0,
+                       userCol: String = "user_id", tsCol: String = "ts",
+                       valueCol: String = "value",
+                       idCol: String = "event_id"): DataFrame = {
+    require(nPrior >= 2 && minPrior >= 2 && minPrior <= nPrior,
+      "need 2 <= minPrior <= nPrior")
+    val frame = Window.partitionBy(col("u"))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-nPrior.toLong, -1L)
+    val scored = events.select(col(userCol).as("u"), col(idCol),
+        col(tsCol), col(valueCol).cast("decimal(18,2)").as("vd"))
+      .withColumn("n_prior", count(col("vd")).over(frame))
+      .withColumn("__s1", sum(col("vd")).over(frame).cast("double"))
+      .withColumn("__s2",
+        sum(col("vd") * col("vd")).over(frame).cast("double"))
+      .filter(col("n_prior") >= minPrior)
+      .withColumn("__mean", col("__s1") / col("n_prior").cast("double"))
+      .withColumn("__var",
+        (col("__s2") - col("__s1") * col("__s1") /
+          col("n_prior").cast("double")) /
+          (col("n_prior") - lit(1)).cast("double"))
+      .withColumn("__z",
+        when(col("__var") > 1e-12,
+          (col("vd").cast("double") - col("__mean")) /
+            sqrt(col("__var"))))
+    scored.filter(abs(col("__z")) > zThreshold)
+      .select(col("u").as(userCol), col(idCol),
+        col("vd").cast("double").as("value"), col("n_prior"),
+        round(col("__z"), 6).as("z_score"))
+  }
+
   /** Gap-based sessionization (batch form): a new session starts after
     * `gapSeconds` of inactivity per user. Single shuffle keyed by user;
     * the running sum is a narrow window cumulation within partitions.

@@ -3389,6 +3389,56 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("gapFill resamples, forward-fills and interpolates; last event per bucket wins") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, timestamp'2024-01-01 00:10:00', 7L, 5.0D),
+        |  (2L, timestamp'2024-01-01 00:50:00', 7L, 10.0D),
+        |  (3L, timestamp'2024-01-01 03:30:00', 7L, 40.0D),
+        |  (10L, timestamp'2024-01-01 05:00:00', 8L, 1.0D),
+        |  (11L, timestamp'2024-01-01 05:00:00', 8L, 2.0D)
+        |  as t(event_id, ts, user_id, value)""".stripMargin)
+    val r = Events.gapFill(df, periodSeconds = 3600L)
+      .orderBy("user_id", "period").collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("period"),
+        x.getAs[Boolean]("observed"), x.getAs[Double]("v_ffill"),
+        x.getAs[Double]("v_interp")))
+    val base = 473352L // 2024-01-01T00 in hours since epoch
+    assert(r.toSeq == Seq(
+      // p0: two events in the bucket — the later ts (id 2, v=10) is the rep
+      (7L, base, true, 10.0, 10.0),
+      // holes: ffill carries 10; interp walks 10 -> 40 linearly
+      (7L, base + 1, false, 10.0, 20.0),
+      (7L, base + 2, false, 10.0, 30.0),
+      (7L, base + 3, true, 40.0, 40.0),
+      // same-ts tie: higher event_id (v=2) wins; single-period grid
+      (8L, base + 5, true, 2.0, 2.0)))
+  }
+
+  test("rollingAnomalies flags only the spike, from strictly-prior exact sums") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, timestamp'2024-01-01 00:00:00', 7L, 10.0D),
+        |  (2L, timestamp'2024-01-01 00:01:00', 7L, 12.0D),
+        |  (3L, timestamp'2024-01-01 00:02:00', 7L, 10.0D),
+        |  (4L, timestamp'2024-01-01 00:03:00', 7L, 12.0D),
+        |  (5L, timestamp'2024-01-01 00:04:00', 7L, 100.0D),
+        |  (6L, timestamp'2024-01-01 00:00:00', 8L, 50.0D)
+        |  as t(event_id, ts, user_id, value)""".stripMargin)
+    val r = Events.rollingAnomalies(df, nPrior = 3, minPrior = 2,
+      zThreshold = 2.0).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("user_id") == 7L &&
+      row.getAs[Long]("event_id") == 5L &&
+      row.getAs[Long]("n_prior") == 3L)
+    // priors (12, 10, 12): mean 34/3, var (388 - 34*34/3)/2
+    val mean = 34.0 / 3.0
+    val varr = (388.0 - 34.0 * 34.0 / 3.0) / 2.0
+    val z = (100.0 - mean) / math.sqrt(varr)
+    assert(math.abs(row.getAs[Double]("z_score") - z) < 1e-6)
+  }
+
   test("selectByTokenBudget keeps the quality prefix; an over-budget doc ends intake") {
     val df = spark.sql(
       """select * from values
