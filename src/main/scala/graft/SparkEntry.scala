@@ -470,6 +470,15 @@ $joins"""
     "q_text_gopher_rep" -> ((s, dir) =>
       TextAnalysis.gopherRepetitionFlags(t(s, dir, "documents"))),
 
+    // ensemble quality blend: min-max normalize TTR / mean word length
+    // / stopword density against corpus-fit bounds (six doubles riding
+    // as plan literals — no join, no window) and gate on the weighted
+    // sum; keep decision on the unrounded blend
+    "q_text_blend" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.blendQuality(docs, TextAnalysis.fitQualityStats(docs))
+    }),
+
     // C4 line-level cleaning (Raffel 2020 §2.2): the corpus is a
     // single-line word stream, so the entry first derives a
     // deterministic page structure — 8-word lines, a line ends with '.'
@@ -2383,6 +2392,39 @@ $joins"""
       // the 13 Gopher repetition rules, counts by gram string (engine:
       // by 64-bit hash — identical up to negligible collisions)
       "q_text_gopher_rep" -> gopherRepOracleSql,
+
+      // same signal fragments as q_text_stats, same min-max CASE
+      // normalization, same left-associated weighted sum; keep on the
+      // unrounded blend
+      "q_text_blend" ->
+        """WITH sig AS (
+          |  SELECT doc_id,
+          |    len(list_distinct(w))::DOUBLE / len(w) AS s1,
+          |    list_sum([length(x) FOR x IN w])::DOUBLE / len(w) AS s2,
+          |    len([x FOR x IN w
+          |         IF x IN ('the','a','of','and','to','in')])::DOUBLE
+          |      / len(w) AS s3
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+          |        FROM documents)
+          |), st AS (
+          |  SELECT min(s1) AS mn1, max(s1) AS mx1,
+          |         min(s2) AS mn2, max(s2) AS mx2,
+          |         min(s3) AS mn3, max(s3) AS mx3 FROM sig
+          |), n AS (
+          |  SELECT doc_id,
+          |    CASE WHEN mx1 > mn1 THEN (s1 - mn1) / (mx1 - mn1)
+          |         ELSE 0.5 END AS n1,
+          |    CASE WHEN mx2 > mn2 THEN (s2 - mn2) / (mx2 - mn2)
+          |         ELSE 0.5 END AS n2,
+          |    CASE WHEN mx3 > mn3 THEN (s3 - mn3) / (mx3 - mn3)
+          |         ELSE 0.5 END AS n3
+          |  FROM sig, st
+          |)
+          |SELECT doc_id, round(n1, 6) AS n_ttr, round(n2, 6) AS n_len,
+          |  round(n3, 6) AS n_stop,
+          |  round(0.4 * n1 + 0.3 * n2 + 0.3 * n3, 6) AS blend,
+          |  (0.4 * n1 + 0.3 * n2 + 0.3 * n3) >= 0.5 AS keep
+          |FROM n""".stripMargin,
 
       // C4 cleaning over the SAME deterministically-derived page
       // structure as the entry (8-word lines, '.' iff

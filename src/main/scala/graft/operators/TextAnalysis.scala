@@ -89,6 +89,59 @@ object TextAnalysis {
     round(ttr * lenOk, 6)
   }
 
+  /** Corpus-fit min/max bounds of the three blend signals — the tiny
+    * "model" [[blendQuality]] normalizes against. Six doubles: bounded
+    * driver metadata, the centroid-frame precedent. */
+  final case class QualityStats(ttrMin: Double, ttrMax: Double,
+                                lenMin: Double, lenMax: Double,
+                                stopMin: Double, stopMax: Double)
+
+  /** Fit [[QualityStats]] over a corpus: one aggregate, one row back. */
+  def fitQualityStats(docs: DataFrame,
+                      textCol: String = "text"): QualityStats = {
+    val t = col(textCol)
+    val r = docs.agg(
+      min(typeTokenRatio(t)), max(typeTokenRatio(t)),
+      min(meanTokenLength(t)), max(meanTokenLength(t)),
+      min(wordRatio(t, EnglishMarkers)),
+      max(wordRatio(t, EnglishMarkers))).head()
+    QualityStats(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+  }
+
+  /** Ensemble quality blend (the DataComp/Nemotron-style "combine weak
+    * signals into one score" gate): min-max normalize lexical diversity
+    * (type-token ratio), mean word length, and stopword density against
+    * corpus-fit [[QualityStats]], then take a weighted sum. The keep
+    * decision compares the UNROUNDED blend to `cutoff`; reported
+    * columns are rounded for display.
+    *
+    * Scale shape: the stats ride as plan literals (constant-folded into
+    * the codegen'd projection — no join, no window), so the scoring
+    * pass is scan-speed and streaming-safe. Normalizing against fitted
+    * min/max rather than a per-row percent_rank is deliberate: a global
+    * rank window would serialize the corpus through one partition;
+    * min/max (or sketch quantiles) keep the gate embarrassingly
+    * parallel at 100 TB. A degenerate signal (max == min) contributes
+    * a neutral 0.5. */
+  def blendQuality(docs: DataFrame, stats: QualityStats,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   wTtr: Double = 0.4, wLen: Double = 0.3,
+                   wStop: Double = 0.3, cutoff: Double = 0.5,
+                   passthroughCols: Seq[String] = Nil): DataFrame = {
+    val t = col(textCol)
+    def nrm(s: Column, mn: Double, mx: Double): Column =
+      if (mx > mn) (s - lit(mn)) / (lit(mx) - lit(mn)) else lit(0.5)
+    val n1 = nrm(typeTokenRatio(t), stats.ttrMin, stats.ttrMax)
+    val n2 = nrm(meanTokenLength(t), stats.lenMin, stats.lenMax)
+    val n3 = nrm(wordRatio(t, EnglishMarkers), stats.stopMin, stats.stopMax)
+    val blend = lit(wTtr) * n1 + lit(wLen) * n2 + lit(wStop) * n3
+    docs.select(col(idCol) +: round(n1, 6).as("n_ttr") +:
+      round(n2, 6).as("n_len") +: round(n3, 6).as("n_stop") +:
+      round(blend, 6).as("blend") +: (blend >= cutoff).as("keep") +:
+      passthroughCols.map(col): _*)
+  }
+
   /** Content fingerprint for exact dedup: MD5 of the normalized text.
     * (MD5 rather than xxhash so external engines reproduce it.) */
   def fingerprint(text: Column): Column = md5(lower(text))

@@ -305,6 +305,20 @@ object StreamOps {
     graft.operators.TextAnalysis.gopherRepetitionFlags(
       docs.toDF(), "doc_id", "text", passthroughCols = Seq("ts"))
 
+  /** Streaming ensemble quality blend — the Structured Streaming form
+    * of `TextAnalysis.blendQuality`: normalization bounds are fit ONCE
+    * on a reference corpus (`TextAnalysis.fitQualityStats`, six
+    * doubles) and ride as plan literals, so each micro-batch scores as
+    * a stateless constant-folded projection — append-mode, no
+    * watermark, zero shuffle. Re-fitting the bounds means restarting
+    * the query: a normalization must not drift mid-stream. */
+  def blendQualityStream(docs: Dataset[StreamDoc],
+                         stats: graft.operators.TextAnalysis.QualityStats,
+                         cutoff: Double = 0.5): DataFrame =
+    graft.operators.TextAnalysis.blendQuality(
+      docs.toDF(), stats, "doc_id", "text", cutoff = cutoff,
+      passthroughCols = Seq("ts"))
+
   /** Streaming subword tokenization against a trained piece inventory
     * — the ingest-side of the WordPiece family: the inventory (a
     * [[graft.operators.TextAnalysis.trainPieces]] result, bounded topN

@@ -3389,6 +3389,32 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("blendQuality min-max normalizes the three signals and gates on the blend") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'the of and to in a'),
+        |  (2L, 'x x x x'),
+        |  (3L, 'alpha beta gamma delta')
+        |  as t(doc_id, text)""".stripMargin)
+    val stats = TextAnalysis.fitQualityStats(df)
+    assert(stats == TextAnalysis.QualityStats(0.25, 1.0, 1.0, 4.75, 0.0, 1.0))
+    val r = TextAnalysis.blendQuality(df, stats).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getDouble(4), x.getBoolean(5)))
+    // d1: n=(1, (13/6-1)/3.75, 1) -> .4 + .3*0.311111 + .3 = 0.793333
+    // d2: all mins -> 0; d3: (1, 1, 0) -> 0.7
+    assert(r.toSeq == Seq((1L, 0.793333, true), (2L, 0.0, false),
+      (3L, 0.7, true)))
+    // degenerate signal (max == min) contributes a neutral 0.5
+    val flat = spark.sql(
+      "select * from values (1L, 'a b'), (2L, 'c d') as t(doc_id, text)")
+    val r2 = TextAnalysis
+      .blendQuality(flat, TextAnalysis.fitQualityStats(flat))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getDouble(4)))
+    // ttr and mean-len are flat (0.5 each); stopword ratio spans 0.5->0
+    assert(r2.toSeq == Seq((1L, 0.65), (2L, 0.35)))
+  }
+
   test("gapFill resamples, forward-fills and interpolates; last event per bucket wins") {
     val df = spark.sql(
       """select * from values

@@ -86,6 +86,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(docs.forall(d => tsRows(d.doc_id) == d.ts))
   }
 
+  test("blendQualityStream scores micro-batches like the batch blendQuality") {
+    import StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docsDf = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    // bounds fit once on the reference corpus, shared by both forms
+    val stats = graft.operators.TextAnalysis.fitQualityStats(docsDf)
+    def tsOf(id: Long) =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        (id * 13 % 67) * 60000L)
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1), tsOf(r.getLong(0))))
+    val batch = graft.operators.TextAnalysis.blendQuality(docsDf, stats)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSet
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.blendQualityStream(input.toDS(), stats)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("blend_stream")
+      .outputMode("append").start()
+    // two out-of-order chunks: a stateless projection must not care
+    (0 until 2).foreach { c =>
+      input.addData(docs.filter(_.doc_id % 2 == c).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.sql("select * from blend_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    val tsRows = s.sql("select doc_id, ts from blend_stream").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(docs.forall(d => tsRows(d.doc_id) == d.ts))
+  }
+
   test("heavyHitterTokensStream matches batch heavyHitterTokens in complete mode") {
     val s = spark
     import s.implicits._
