@@ -696,6 +696,16 @@ $joins"""
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
 
+    // blocked edit-distance entity resolution over the DISTINCT name
+    // inventory (representative id = min part key per name): pairs
+    // within Levenshtein 3 that share the head-noun block; the block
+    // cap is structural so no degenerate key forms a quadratic bucket
+    "q_dedup_fuzzy" -> ((s, dir) => {
+      val names = t(s, dir, "part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"))
+      Dedup.editDistancePairs(names, "name_id", "p_name", maxDist = 3)
+    }),
+
     // passage-level (repeated-span) exact dedup: windows of 10 words,
     // first corpus occurrence kept, documents reassembled
     "q_dedup_passages" -> ((s, dir) =>
@@ -2747,6 +2757,26 @@ $joins"""
         """SELECT md5(text) AS fingerprint, count(*) AS n_docs,
           |       min(doc_id) AS keeper_id
           |FROM documents GROUP BY 1""".stripMargin,
+
+      // same distinct-name inventory, same head-noun blocking + cap;
+      // the length-difference prefilter is implied by the distance
+      // bound so the plain levenshtein predicate reproduces the rows
+      "q_dedup_fuzzy" ->
+        """WITH n AS (
+          |  SELECT p_name AS s, min(p_partkey) AS name_id
+          |  FROM part GROUP BY 1
+          |), b AS (
+          |  SELECT *, string_split(s, ' ')[-1] AS blk FROM n
+          |), c AS (
+          |  SELECT blk, count(*) AS bc FROM b GROUP BY 1
+          |), k AS (
+          |  SELECT b.* FROM b JOIN c USING (blk) WHERE bc <= 1000
+          |)
+          |SELECT a.name_id AS id_a, b2.name_id AS id_b,
+          |  levenshtein(a.s, b2.s) AS dist
+          |FROM k a JOIN k b2 ON a.blk = b2.blk
+          |  AND a.name_id < b2.name_id
+          |  AND levenshtein(a.s, b2.s) <= 3""".stripMargin,
 
       "q_dedup_passages" ->
         """WITH chunks AS (

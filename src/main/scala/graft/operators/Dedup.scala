@@ -24,6 +24,46 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Blocked edit-distance pairing — entity-resolution for short
+    * strings (names, titles, canonical labels): emit (id_a, id_b,
+    * dist) for every same-block pair within Levenshtein `maxDist`.
+    * The block key is the string's last whitespace token (the head
+    * noun of name-like strings); only pairs sharing a block ever meet,
+    * which is the standard blocking recall contract — a typo in the
+    * blocking token itself escapes the net (use multiple passes with
+    * different keys to tighten).
+    *
+    * Scale shape: the self-join is keyed by block, and `maxBlock`
+    * drops blocks larger than the cap BEFORE the join (the
+    * winnowOverlapPairs maxDf lesson: one degenerate key must not
+    * form a quadratic bucket — the cap is finite by default and
+    * enforced structurally). A cheap length-difference bound prunes
+    * before the O(len²) distance; the threshold form of `levenshtein`
+    * abandons rows early once the budget is exceeded. Run it on the
+    * DISTINCT value inventory (with a representative id), not raw
+    * rows — dictionaries are small even when corpora are not. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 2,
+                        maxBlock: Int = 1000): DataFrame = {
+    require(maxDist >= 1 && maxBlock >= 2, "need maxDist >= 1, maxBlock >= 2")
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
+      element_at(split(col(strCol), " "), -1).as("__blk"))
+    val counts = base.groupBy(col("__blk")).agg(count(lit(1)).as("__bc"))
+    val capped = base.join(counts, Seq("__blk"))
+      .filter(col("__bc") <= maxBlock)
+    val left = capped.select(col("__blk"), col("__id").as("id_a"),
+      col("__s").as("__sa"))
+    val right = capped.select(col("__blk"), col("__id").as("id_b"),
+      col("__s").as("__sb"))
+    left.join(right, Seq("__blk"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Exact-duplicate summary: one row per distinct content fingerprint
     * with its cardinality and the keeper (minimum) id. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

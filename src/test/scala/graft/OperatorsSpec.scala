@@ -3389,6 +3389,22 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("editDistancePairs pairs within blocks under the cap; hot blocks drop") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'red gear'), (2L, 'bed gear'), (3L, 'blue gear'),
+        |  (4L, 'red widget'),
+        |  (5L, 'hot bolt'), (6L, 'hot bolt'), (7L, 'hot bolt'),
+        |  (8L, 'hot bolt')
+        |  as t(id, name)""".stripMargin)
+    val r = Dedup.editDistancePairs(df, "id", "name", maxDist = 2,
+        maxBlock = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    // gear block: (1,2) dist 1 in; (1,3)/(2,3) dist 3 out; widget block
+    // is a singleton; the 4-member bolt block exceeds the cap entirely
+    assert(r == Set((1L, 2L, 1)))
+  }
+
   test("blendQuality min-max normalizes the three signals and gates on the blend") {
     val df = spark.sql(
       """select * from values
