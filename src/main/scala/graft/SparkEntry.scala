@@ -1216,6 +1216,18 @@ $joins"""
           .withColumn("is_long", size(split(col("text"), " ")) >= 60),
         "n_chars", "is_long", bins = 20)),
 
+    // two-sample KS drift between the click and purchase value
+    // distributions, 5-unit bins: per-bin counts are the only
+    // corpus-sized shuffles; the CDF compare is exact-integer
+    // cross-products over the bounded bin frame
+    "q_stats_ks" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Stats.ksDrift(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", binWidth = 5.0)
+    }),
+
     "q_graph_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       graft.operators.Graph.pageRank(
@@ -3835,6 +3847,39 @@ $joins"""
           |          / (2.0 * sum(np)::DOUBLE * sum(nn)::DOUBLE), 6)
           |  END AS auc
           |FROM above""".stripMargin,
+
+      // same per-bin counts, same bounded self-join cumulation, same
+      // exact-integer |cum_a*n_b - cum_b*n_a| compare; one double
+      // division on the winner
+      "q_stats_ks" ->
+        """WITH ba AS (
+          |  SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+          |         count(*) AS ca
+          |  FROM events WHERE event_type = 'click' GROUP BY 1
+          |), bb AS (
+          |  SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+          |         count(*) AS cb
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+          |), per AS MATERIALIZED (
+          |  SELECT coalesce(ba.bin, bb.bin) AS bin,
+          |         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          |  FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin
+          |), cum AS (
+          |  SELECT p.bin, sum(h.ca)::BIGINT AS cum_a,
+          |         sum(h.cb)::BIGINT AS cum_b
+          |  FROM per p JOIN per h ON h.bin <= p.bin GROUP BY 1
+          |), tot AS (
+          |  SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+          |         count(*)::BIGINT AS n_bins FROM per
+          |), scaled AS MATERIALIZED (
+          |  SELECT bin, abs(cum_a * n_b - cum_b * n_a) AS diff
+          |  FROM cum, tot
+          |), mx AS (SELECT max(diff) AS mx FROM scaled)
+          |SELECT t.n_a, t.n_b, t.n_bins,
+          |  round(mx.mx::DOUBLE / (t.n_a * t.n_b)::DOUBLE, 6) AS d_stat,
+          |  (SELECT min(bin) FROM scaled, mx WHERE diff = mx.mx)
+          |    AS at_bin
+          |FROM tot t, mx""".stripMargin,
 
       // peeling unrolled to 16 rounds — far past the graph's
       // convergence depth, and no-ops once fixed

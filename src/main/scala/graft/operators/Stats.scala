@@ -124,6 +124,57 @@ object Stats {
         round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic over equal-width
+    * value bins — the distribution-shift monitor between two corpus
+    * slices (yesterday vs today's crawl, source A vs source B, train
+    * vs serving): D = max over bins of |CDF_a − CDF_b|, exact for the
+    * binned values (within one `binWidth` of the raw-value KS).
+    *
+    * Scale shape: each side collapses to per-bin counts in one pass
+    * (the only corpus-sized shuffles), then everything runs on ≤ bins
+    * rows: cumulative counts via the bounded bins² self-join (the
+    * prCurve/aucBinned pattern — no global-order window), and the
+    * max-diff comparison uses the exact integer cross-product
+    * |cum_a·n_b − cum_b·n_a| so there is no float accumulation at all;
+    * the single double division happens once on the winner. (The
+    * integer form is exact while cum·n fits a long — ~3·10⁹ rows per
+    * side; past that, swap to the double CDF form.) Output: one row
+    * (n_a, n_b, n_bins, d_stat, at_bin), at_bin = the lowest bin
+    * achieving D. */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String,
+              binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be > 0")
+    def binned(df: DataFrame, cName: String) =
+      df.select(floor(col(valueCol).cast("double") / lit(binWidth))
+          .cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cName))
+    val per = binned(a, "ca").join(binned(b, "cb"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint(false)
+    val cum = per.select(col("bin"))
+      .join(per.select(col("bin").as("bh"), col("ca"), col("cb")),
+        col("bh") <= col("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(col("ca")).as("cum_a"), sum(col("cb")).as("cum_b"))
+    val tot = per.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      count(lit(1)).as("n_bins"))
+    val scaled = cum.crossJoin(broadcast(tot))
+      .withColumn("diff",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+    val mx = scaled.groupBy(col("n_a"), col("n_b"), col("n_bins"))
+      .agg(max(col("diff")).as("mx"))
+    scaled.select(col("bin"), col("diff"))
+      .crossJoin(broadcast(mx))
+      .filter(col("diff") === col("mx"))
+      .groupBy(col("n_a"), col("n_b"), col("n_bins"), col("mx"))
+      .agg(min(col("bin")).as("at_bin"))
+      .select(col("n_a"), col("n_b"), col("n_bins"),
+        round(col("mx").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("d_stat"),
+        col("at_bin"))
+  }
+
   /** Binned ROC-AUC — the one-number companion to [[prCurve]]: the
     * Mann–Whitney probability that a random positive outscores a
     * random negative, computed over the same equal-width bins

@@ -3389,6 +3389,23 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("ksDrift computes the binned two-sample KS statistic exactly") {
+    val a = spark.sql(
+      "select * from values (0.0D), (1.0D), (10.0D) as t(value)")
+    val b = spark.sql(
+      "select * from values (0.0D), (10.0D), (10.0D) as t(value)")
+    val r = Stats.ksDrift(a, b, "value", binWidth = 1.0).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // CDFs agree at bins 0 and 10; at bin 1: 2/3 vs 1/3 -> D = 1/3
+    assert((row.getAs[Long]("n_a"), row.getAs[Long]("n_b"),
+      row.getAs[Long]("n_bins"), row.getAs[Double]("d_stat"),
+      row.getAs[Long]("at_bin")) == (3L, 3L, 3L, 0.333333, 1L))
+    // identical inputs -> zero drift, argmax at the lowest bin
+    val z = Stats.ksDrift(a, a, "value", binWidth = 1.0).collect().head
+    assert(z.getAs[Double]("d_stat") == 0.0 && z.getAs[Long]("at_bin") == 0L)
+  }
+
   test("editDistancePairs pairs within blocks under the cap; hot blocks drop") {
     val df = spark.sql(
       """select * from values
