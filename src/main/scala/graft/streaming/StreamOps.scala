@@ -967,4 +967,95 @@ object StreamOps {
           outs.iterator
       }
   }
+
+  case class AnomEvent(user_id: Long, event_id: Long, ts: Timestamp,
+                       value: Double)
+  case class AnomOut(user_id: Long, event_id: Long, value: Double,
+                     n_prior: Long, z_score: Double)
+  case class AnomBuf(tsMicros: Long, eventId: Long, value: Double)
+  case class AnomState(tail: Seq[AnomBuf], buf: Seq[AnomBuf])
+
+  /** Streaming rolling z-score anomaly detection — the Structured
+    * Streaming form of `Events.rollingAnomalies`, batch-replay exact:
+    * each event is scored against the mean/variance of the user's
+    * `nPrior` chronologically-previous events, in DECIMAL(18,2)-exact
+    * arithmetic with the batch operator's double shape, so a streamed
+    * corpus flags byte-identical rows to a batch pass.
+    *
+    * An event is scored only once the watermark passes it — nothing
+    * that could still arrive may precede it and change its baseline
+    * (the sessionizeStream buffering discipline; incoming rows older
+    * than the watermark are dropped explicitly). State per user is the
+    * watermark-bounded pending buffer plus a constant `nPrior`-element
+    * tail of scored values; with unbounded user cardinality set
+    * `idleRetentionSeconds` to evict idle users' tails — a returning
+    * user then rebuilds their baseline from scratch, the standard TTL
+    * tradeoff. Caller applies `withWatermark` upstream. */
+  def rollingAnomaliesStream(events: Dataset[AnomEvent], nPrior: Int = 20,
+                             minPrior: Int = 8, zThreshold: Double = 3.0,
+                             idleRetentionSeconds: Option[Long] = None): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    require(nPrior >= 2 && minPrior >= 2 && minPrior <= nPrior,
+      "need 2 <= minPrior <= nPrior")
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    def dec2(v: Double) = BigDecimal(v).setScale(2, HALF_UP)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[AnomEvent],
+         state: GroupState[AnomState]) =>
+          val prior = state.getOption
+            .getOrElse(AnomState(Vector.empty, Vector.empty))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val merged = (prior.buf ++ rows
+              .map(e => AnomBuf(micros(e.ts), e.event_id, e.value))
+              .filter(_.tsMicros >= wmMicros))
+            .sortBy(e => (e.tsMicros, e.eventId))
+          // final once the watermark passes it: any event that could
+          // precede it (and so change its priors) would now be late
+          val (ready, pending) = merged.span(_.tsMicros < wmMicros)
+          var tail = prior.tail
+          val outs = Seq.newBuilder[AnomOut]
+          ready.foreach { e =>
+            val n = tail.size
+            if (n >= minPrior) {
+              // DECIMAL-exact sums, then the batch operator's exact
+              // double expression shape on top of them
+              val vds = tail.map(b => dec2(b.value))
+              val s1 = vds.sum.toDouble
+              val s2 = vds.map(x => x * x).sum.toDouble
+              val mean = s1 / n
+              val varr = (s2 - s1 * s1 / n) / (n - 1)
+              if (varr > 1e-12) {
+                val vd = dec2(e.value).toDouble
+                val z = (vd - mean) / math.sqrt(varr)
+                if (math.abs(z) > zThreshold)
+                  outs += AnomOut(userId, e.eventId, vd, n,
+                    BigDecimal(z).setScale(6, HALF_UP).toDouble)
+              }
+            }
+            tail = (tail :+ e).takeRight(nPrior)
+          }
+          if (pending.nonEmpty) {
+            state.update(AnomState(tail, pending))
+            // wake once the watermark can release the earliest pending
+            // event (strictly past it, and past the current watermark)
+            val releaseAtMs = pending.head.tsMicros / 1000 + 1
+            state.setTimeoutTimestamp(
+              math.max(releaseAtMs, state.getCurrentWatermarkMs() + 1))
+          } else if (state.hasTimedOut && merged.isEmpty &&
+              idleRetentionSeconds.isDefined) {
+            // retention timer fired with nothing buffered since: evict
+            // the tail (the baseline rebuilds if the user returns)
+            state.remove()
+          } else if (ready.nonEmpty) {
+            state.update(AnomState(tail, Vector.empty))
+            idleRetentionSeconds.foreach(r => state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + r * 1000 + 1))
+          }
+          // all-late batch: leave any idle state untouched
+          outs.result().iterator
+      }
+  }
 }

@@ -86,6 +86,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(docs.forall(d => tsRows(d.doc_id) == d.ts))
   }
 
+  test("rollingAnomaliesStream flags byte-identical rows to the batch operator") {
+    import graft.streaming.StreamOps.{AnomEvent, AnomOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val evDf = graft.sources.Sources
+      .table(s, "/root/testdata/sf0.001", "events")
+      .filter(col("user_id") < 15)
+      .select("event_id", "ts", "user_id", "value")
+    val batch = graft.operators.Events
+      .rollingAnomalies(evDf, nPrior = 5, minPrior = 3, zThreshold = 1.5)
+      .collect()
+      .map(r => AnomOut(r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val rows = evDf.collect()
+      .map(r => AnomEvent(r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Timestamp]("ts"), r.getAs[Double]("value")))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[AnomEvent]
+    val out = StreamOps.rollingAnomaliesStream(
+      input.toDF().withWatermark("ts", "0 seconds").as[AnomEvent],
+      nPrior = 5, minPrior = 3, zThreshold = 1.5)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("anom_stream")
+      .outputMode("append").start()
+    // three time-ordered arrival chunks, each internally REVERSED: the
+    // buffer must restore chronological order before scoring
+    val third = (rows.length + 2) / 3
+    rows.grouped(third).foreach { chunk =>
+      input.addData(chunk.reverse.toSeq: _*)
+      q.processAllAvailable()
+    }
+    // sentinel advances the watermark past every real event
+    input.addData(AnomEvent(999999L, 999999L,
+      Timestamp.valueOf("2030-01-01 00:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from anom_stream").as[AnomOut]
+      .collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("blendQualityStream scores micro-batches like the batch blendQuality") {
     import StreamOps.StreamDoc
     val s = spark
