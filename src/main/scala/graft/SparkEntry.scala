@@ -936,6 +936,18 @@ $joins"""
         "vec_id", "embedding", "label", k = 5)
     }),
 
+    // MMR diversified re-ranking (Carbonell & Goldstein 1998) of the
+    // exact top-20 candidates: 5 greedy picks per query at λ=0.7 —
+    // each round is one window over the bounded per-query candidate
+    // group plus a broadcast join of the single picked row per query
+    "q_sim_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrRerank(
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 20),
+        emb, "vec_id", "embedding", k = 5)
+    }),
+
     // ANN paths: q_sim_ann is FULLY oracled (the deterministic seed-42
     // planes interpolate into the SQL as literals); q_sim_ivf oracles
     // the deterministic lowest-id init at the real nprobe=4 probe, and
@@ -1787,6 +1799,64 @@ $joins"""
     // exact cosine top-5 for the ten query vectors — the oracle for the
     // brute-force entry AND every ANN entry run at its provably-exact
     // degenerate parameterization (numPlanes=0 / nprobe=nlist)
+    // Unrolled greedy MMR replica of [[Similarity.mmrRerank]] over the
+    // exact top-`topN` candidates of queries vec_id < 10: round r picks
+    // each query's argmax of λ·score − (1−λ)·maxsim (unrounded, ties →
+    // lowest id), then the remaining frame folds the pick into the
+    // running max-sim with the same greatest() shape. `lambda` is
+    // spliced as a literal so both engines derive (1 − λ) identically.
+    def mmrOracleSql(k: Int, topN: Int, lambda: String): String = {
+      // the pick-similarity uses the EXPLICIT dot/(norm·norm) shape —
+      // the same primitive order as cosineWithNorms over precomputed
+      // l2Norms — because an mmr landing on a round-6 boundary is
+      // sensitive to the last bit, where list_cosine_similarity's
+      // internal shape can differ
+      val head =
+        s"""WITH cand AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id, round(cos_raw, 6) AS score,
+           |         emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+           |         0.0 AS maxsim
+           |  FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+           |        CAST(c.embedding AS DOUBLE[])) AS cos_raw,
+           |      CAST(c.embedding AS DOUBLE[]) AS emb
+           |    FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+           |      AND q.vec_id <> c.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_raw DESC, neighbor_id) <= $topN
+           |)""".stripMargin
+      val rounds = (1 to k).map { r =>
+        val prev = if (r == 1) "cand" else s"rem${r - 1}"
+        val sel =
+          s"""sel$r AS MATERIALIZED (
+             |  SELECT query_id, neighbor_id, emb, nrm,
+             |    $lambda * score - (1 - $lambda) * maxsim AS mmr
+             |  FROM $prev
+             |  QUALIFY row_number() OVER (PARTITION BY query_id
+             |    ORDER BY mmr DESC, neighbor_id) = 1
+             |)""".stripMargin
+        val rem = if (r == k) "" else
+          s""",
+             |rem$r AS MATERIALIZED (
+             |  SELECT c.query_id, c.neighbor_id, c.score, c.emb, c.nrm,
+             |    greatest(c.maxsim,
+             |      list_dot_product(c.emb, s.emb) / (c.nrm * s.nrm))
+             |      AS maxsim
+             |  FROM $prev c JOIN sel$r s USING (query_id)
+             |  WHERE c.neighbor_id <> s.neighbor_id
+             |)""".stripMargin
+        sel + rem
+      }.mkString(",\n")
+      // integer-scale rounding: agrees with Spark's round even when the
+      // value lands on a half boundary (see mmrRerank)
+      val finals = (1 to k).map(r =>
+        s"SELECT query_id, $r AS sel_rank, neighbor_id, " +
+          s"round(mmr * 1000000.0) / 1000000.0 AS mmr FROM sel$r")
+        .mkString("\nUNION ALL\n")
+      s"$head,\n$rounds\n$finals"
+    }
+
     val exactTopKSql =
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -3380,6 +3450,12 @@ $joins"""
           |FROM ranked WHERE rank <= 5""".stripMargin,
 
       "q_sim_topk" -> exactTopKSql,
+
+      // unrolled greedy MMR: the same top-20 candidate CTE, then one
+      // (select, remaining) CTE pair per round — running max-sim via
+      // greatest, ranking on the unrounded mmr, ties to lowest id;
+      // multi-referenced CTEs materialized (the kCore discipline)
+      "q_sim_mmr" -> mmrOracleSql(5, 20, "0.7"),
 
       // the exact top-k oracle with the label-inequality predicate and
       // both labels carried — the hard-negative contract

@@ -94,6 +94,75 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking: greedily select `k` of each query's
+    * candidates maximizing `λ·relevance − (1−λ)·max-sim-to-selected` —
+    * the standard retrieval-diversification pass between ANN candidate
+    * generation and serving (or between mining and training-pair
+    * selection, where near-identical positives waste batch slots).
+    * The running max-sim is seeded at 0, so negative-cosine candidates
+    * are never REWARDED for anti-similarity — only penalized once they
+    * resemble a pick.
+    *
+    * Scale shape: each of the k rounds is one window over the
+    * per-query candidate group (bounded by the candidate-gen k) plus
+    * one broadcast join against the single picked row per query — the
+    * corpus never re-enters; cost is k × |candidates|, embarrassingly
+    * parallel across queries. Candidate vectors join in once, norms
+    * precomputed; every round's frame is lazily checkpointed so the
+    * k-deep lineage neither re-executes nor bloats task binaries.
+    * Selection ranks on the UNROUNDED mmr (ties → lowest id); the
+    * reported mmr is rounded for display. Output: (query_id, sel_rank,
+    * neighbor_id, mmr). */
+  def mmrRerank(candidates: DataFrame, vectors: DataFrame,
+                idCol: String, vecCol: String,
+                scoreCol: String = "cosine",
+                k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && lambda >= 0.0 && lambda <= 1.0,
+      "need k >= 1 and lambda in [0, 1]")
+    val v = vectors.select(col(idCol).as("__vid"),
+        toDouble(col(vecCol)).as("__vec"))
+      .withColumn("__norm", l2Norm(col("__vec")))
+      .filter(col("__norm") > 0)
+    var rem = candidates.select(col("query_id"), col("neighbor_id"),
+        col(scoreCol).cast("double").as("__score"))
+      .join(v, col("neighbor_id") === col("__vid"))
+      .select(col("query_id"), col("neighbor_id"), col("__score"),
+        col("__vec"), col("__norm"))
+      .withColumn("__maxsim", lit(0.0))
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__mmr").desc, col("neighbor_id"))
+    val picks = (1 to k).map { r =>
+      val pick = rem
+        .withColumn("__mmr", lit(lambda) * col("__score") -
+          lit(1 - lambda) * col("__maxsim"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id").as("__sid"),
+          col("__vec").as("__svec"), col("__norm").as("__snorm"),
+          col("__mmr"))
+        .localCheckpoint(false)
+      if (r < k)
+        rem = rem.join(broadcast(pick.drop("__mmr")), Seq("query_id"))
+          .filter(col("neighbor_id") =!= col("__sid"))
+          .withColumn("__maxsim", greatest(col("__maxsim"),
+            cosineWithNorms(dotProduct(col("__vec"), col("__svec")),
+              col("__norm"), col("__snorm"))))
+          .drop("__sid", "__svec", "__snorm")
+          .localCheckpoint(false)
+      // display rounding at INTEGER scale (round(x·10⁶)/10⁶): Spark's
+      // fractional round goes through the double's shortest decimal
+      // repr while external engines round the binary value — at scale 0
+      // the two rules provably agree, so a boundary-landing mmr (seen
+      // in practice) renders identically everywhere
+      pick.select(col("query_id"), lit(r).as("sel_rank"),
+        col("__sid").as("neighbor_id"),
+        (round(col("__mmr") * lit(1e6)) / lit(1e6)).as("mmr"))
+    }
+    picks.reduce(_ unionByName _)
+  }
+
   /** Deterministic random hyperplanes (fixed seed) as a literal column of
     * `numPlanes` × `dim` doubles — broadcast for free as part of the plan.
     * Delegates to the graftext generator so the SQL surface

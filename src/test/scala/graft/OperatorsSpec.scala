@@ -3389,6 +3389,29 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("mmrRerank trades relevance for diversity in greedy rounds") {
+    val cands = spark.sql(
+      """select * from values
+        |  (100L, 1L, 0.90D), (100L, 2L, 0.89D), (100L, 3L, 0.50D),
+        |  (200L, 9L, 0.40D)
+        |  as t(query_id, neighbor_id, cosine)""".stripMargin)
+    val vecs = spark.sql(
+      """select * from values
+        |  (1L, array(1.0F, 0.0F)), (2L, array(1.0F, 0.0F)),
+        |  (3L, array(0.0F, 1.0F)), (9L, array(1.0F, 0.0F))
+        |  as t(vec_id, embedding)""".stripMargin)
+    val r = Similarity.mmrRerank(cands, vecs, "vec_id", "embedding",
+        k = 3, lambda = 0.7)
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+      .toSet
+    // q100: pick 1 (0.63); then its near-identical twin 2 is penalized
+    // to 0.323, so the orthogonal 3 wins round 2 (0.35); 2 closes at
+    // 0.323. q200's lone candidate exhausts after round 1.
+    assert(r == Set((100L, 1, 1L, 0.63), (100L, 2, 3L, 0.35),
+      (100L, 3, 2L, 0.323), (200L, 1, 9L, 0.28)))
+  }
+
   test("ksDrift computes the binned two-sample KS statistic exactly") {
     val a = spark.sql(
       "select * from values (0.0D), (1.0D), (10.0D) as t(value)")
