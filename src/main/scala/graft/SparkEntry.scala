@@ -734,9 +734,13 @@ $joins"""
 
     // exact weighted-cosine all-pairs (Bayardo APSS): tf-idf vectors,
     // lossless L2 suffix-norm prefix filter, decimal-summed scores
+    // exact idf-weighted cosine all-pairs search in the SPARSE shingle
+    // space (n=3: term df is ~1 by construction, so posting lists —
+    // and therefore candidates — track true pairs; the unigram dense
+    // regime is the spec-pinned stressor for the prefix + L2 filters)
     "q_dedup_cosine" -> ((s, dir) =>
       Dedup.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.9)),
+        threshold = 0.7, n = 3)),
 
     // asymmetric containment |A∩B|/|A| >= 0.6: excerpt/subset detection
     // that symmetric Jaccard structurally misses for large containers
@@ -2960,11 +2964,20 @@ $joins"""
       // exhaustive weighted cosine with the identical tf-idf shape and
       // round(9)-DECIMAL summation — the prefix filter is engine-side
       // only and needs no replication
+      // same distinct-trigram terms (tf = 1 by construction), same
+      // weighting, round-9 decimal sums and double shapes; exhaustive —
+      // the engine-side prefix/L2 filters never need replicating
       "q_dedup_cosine" ->
-        """WITH terms AS (
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w0 FROM documents
+          |), terms AS (
           |  SELECT doc_id, w, count(*)::BIGINT AS tf FROM (
-          |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-          |    FROM documents) t
+          |    SELECT doc_id,
+          |      unnest(CASE WHEN len(w0) >= 3 THEN list_distinct(
+          |        [w0[i] || ' ' || w0[i+1] || ' ' || w0[i+2]
+          |         FOR i IN range(1, greatest(len(w0)-1, 1))])
+          |      ELSE [] END) AS w
+          |    FROM toks) t
           |  GROUP BY 1, 2
           |), wdf AS (
           |  SELECT w, count(*)::BIGINT AS df FROM terms GROUP BY 1
@@ -2993,7 +3006,7 @@ $joins"""
           |JOIN n2 nb ON nb.doc_id = id_b
           |WHERE CAST(num AS DOUBLE)
           |      / (sqrt(CAST(na.nrm2 AS DOUBLE))
-          |         * sqrt(CAST(nb.nrm2 AS DOUBLE))) >= 0.9""".stripMargin,
+          |         * sqrt(CAST(nb.nrm2 AS DOUBLE))) >= 0.7""".stripMargin,
 
       // exhaustive directed containment over the same shingle sets
       "q_dedup_containment" ->

@@ -164,12 +164,21 @@ object Dedup {
     * On suffix-disjoint corpora (replica probes) cross-group
     * candidates vanish entirely — pair volume tracks true pairs. */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8, n: Int = 1): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    require(n >= 1, "n must be >= 1")
     val nDocs = docs.count()
     require(nDocs > 0, "empty corpus")
+    // n = 1: unigram tf-idf (repetition-sensitive, the dense regime —
+    // the prefix index degenerates when the vocabulary is tiny, see
+    // below). n > 1: distinct word n-gram shingles as terms (tf = 1,
+    // weights pure idf) — the SPARSE space all-pairs search is built
+    // for: shingle df is near-1 by construction, so posting lists and
+    // therefore candidates track true pairs
+    val toks = if (n == 1) TextAnalysis.tokens(col(textCol))
+               else TextAnalysis.shingles(col(textCol), n)
     val terms = docs.select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+        explode(toks).as("w"))
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfTbl = terms.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val weighted = terms.join(dfTbl, Seq("w"))
@@ -180,19 +189,41 @@ object Dedup {
       .localCheckpoint(false)
     val norms = weighted.groupBy(col("id"))
       .agg(sum(col("p2")).cast("decimal(28,9)").as("nrm2"))
-    // canonical rare-first order; index term k while the suffix FROM k
-    // keeps >= t of the doc's L2 mass (engine-side bound — double
+    // canonical rare-first order; every (id, term) row carries the L2
+    // mass of its suffix FROM that term (engine-side bounds — double
     // arithmetic here never reaches the oracle)
     val byRarity = Window.partitionBy(col("id"))
       .orderBy(col("df"), col("w"))
-    val prefix = weighted.join(norms, Seq("id"))
+    val withSuf = weighted.join(norms, Seq("id"))
       .withColumn("cum", sum(col("p2")).over(byRarity))
-      .filter((col("nrm2") - col("cum") + col("p2")).cast("double") >=
-        lit(threshold * threshold) * col("nrm2").cast("double"))
-      .select(col("id"), col("w"))
+      .withColumn("suf",
+        (col("nrm2") - col("cum") + col("p2")).cast("double"))
+      .select(col("id"), col("w"), col("suf"),
+        col("nrm2").cast("double").as("n2"))
+      .localCheckpoint(false)
+    // index term k while the suffix from k keeps >= t of the L2 mass
+    val prefix = withSuf.filter(col("suf") >=
+      lit(threshold * threshold) * col("n2"))
+    // PREFIX x PREFIX join (the symmetric ssjoin/ppjoin form — still
+    // lossless): consider a qualifying pair's FIRST shared term w*
+    // under the canonical order. All shared terms lie at-or-after w*
+    // in BOTH documents' local orders, so by Cauchy-Schwarz
+    // dot <= sqrt(sufA(w*))·sqrt(sufB(w*)) <= sqrt(nA)·sqrt(sufB(w*));
+    // if w* were beyond b's prefix (sufB < t²·nB) that gives
+    // cos < t — contradiction. The argument is per-side independent,
+    // so w* sits in a's prefix AND b's prefix, and the pair collides
+    // prefix-to-prefix at w*. Joining full posting lists (the previous
+    // form) admits every corpus-common-term collision: measured 97.9M
+    // raw collisions at sf0.1/t=0.9 vs 0.66M for prefix x prefix.
+    // The L2 positional filter (Anastasiu & Karypis 2014) stacks on
+    // top: at w* both suffixes are maximal over shared terms and
+    // cos >= t forces sufA·sufB >= t²·nA·nB there, so requiring it on
+    // the collision keeps every true pair's w* collision.
     val candidates = prefix.as("a")
-      .join(weighted.select(col("id"), col("w")).as("b"),
-        col("a.w") === col("b.w") && col("a.id") =!= col("b.id"))
+      .join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.id") =!= col("b.id") &&
+        col("a.suf") * col("b.suf") >=
+          lit(threshold * threshold) * col("a.n2") * col("b.n2"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()

@@ -1342,6 +1342,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("tfidfCosinePairs in shingle space matches the exhaustive oracle") {
+    val t = 0.7
+    val got = Dedup.tfidfCosinePairs(docs, "doc_id", "text", t, n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exhaustive idf-weighted cosine over DISTINCT word trigrams (tf=1)
+    val toks = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val sh = toks.map { case (id, ws) =>
+      id -> (if (ws.length >= 3) ws.sliding(3).map(_.mkString(" "))
+        .toSeq.distinct else Seq.empty[String])
+    }.filter(_._2.nonEmpty)
+    val n = toks.length.toDouble
+    val dfOf = sh.flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length }
+    def d9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val wts = sh.map { case (id, ws) =>
+      id -> ws.map(w => w -> math.log(1 + n / dfOf(w))).toMap }.toMap
+    val nrm = wts.map { case (id, m) =>
+      id -> math.sqrt(m.values.map(w => d9(w * w)).sum.toDouble) }
+    val expect = (for {
+      (a, wa) <- wts.toSeq; (b, wb) <- wts.toSeq if a < b
+      shared = wa.keySet.intersect(wb.keySet)
+      num = shared.toSeq.map(w => d9(wa(w) * wb(w))).sum.toDouble
+      c = num / (nrm(a) * nrm(b))
+      if c >= t
+    } yield (a, b,
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSet
+    assert(expect.nonEmpty)
+    assert(got == expect)
+  }
+
   test("tfidfCosinePairs separates repetition the set metrics cannot") {
     // x and y share the same VOCABULARY but different repetition
     // profiles; z repeats like x. Jaccard over distinct trigram sets
