@@ -318,6 +318,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       ScaleOpsSpec.finalPlan(cells))
   }
 
+  test("blendQuality plans with zero exchanges; fuzzy/KS/APSS plan equi-joins only") {
+    // the blend claims a scan-speed shape: fitted bounds ride as plan
+    // literals, so scoring is a pure constant-folded projection
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val blend = TextAnalysis.blendQuality(docs,
+      TextAnalysis.fitQualityStats(docs))
+    blend.collect()
+    assert(!ScaleOpsSpec.finalPlan(blend).contains("Exchange"),
+      ScaleOpsSpec.finalPlan(blend))
+    // the joins in the round-6 pair/drift operators must all be keyed —
+    // a nested-loop sweep would be the quadratic failure mode
+    val names = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("name_id"))
+    val fuzzy = graft.operators.Dedup.editDistancePairs(
+      names, "name_id", "p_name", maxDist = 3)
+    fuzzy.collect()
+    val fuzzyPlan = ScaleOpsSpec.finalPlan(fuzzy)
+    assert(!fuzzyPlan.contains("CartesianProduct") &&
+      !fuzzyPlan.contains("BroadcastNestedLoopJoin"), fuzzyPlan)
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("value", col("value").cast("double"))
+    val ks = graft.operators.Stats.ksDrift(
+      ev.limit(500), ev.limit(800), "value", binWidth = 5.0)
+    ks.collect()
+    val ksPlan = ScaleOpsSpec.finalPlan(ks)
+    assert(!ksPlan.contains("CartesianProduct"), ksPlan)
+    val apss = graft.operators.Dedup.tfidfCosinePairs(
+      docs, "doc_id", "text", 0.7, n = 3)
+    apss.collect()
+    val apssPlan = ScaleOpsSpec.finalPlan(apss)
+    assert(!apssPlan.contains("CartesianProduct") &&
+      !apssPlan.contains("BroadcastNestedLoopJoin"), apssPlan)
+  }
+
   test("winnowOverlapPairs plans an equi-join, never a nested-loop sweep") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text")
