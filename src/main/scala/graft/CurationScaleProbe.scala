@@ -119,6 +119,15 @@ object CurationScaleProbe {
         Dedup.containmentPairs(dc, "doc_id", "text", 3, 0.6).count()
       }
 
+      // exact tf-idf cosine APSS in shingle space (the q_dedup_cosine
+      // parameterization): shingles never collide across replicas, so
+      // prefix postings — and the prefix x prefix candidate join — stay
+      // intra-replica and pair volume is exactly ∝ R at ~linear time
+      Dedup.tfidfCosinePairs(dc, "doc_id", "text", 0.7, n = 3).count()
+      val (nCosine, tCosine) = timed {
+        Dedup.tfidfCosinePairs(dc, "doc_id", "text", 0.7, n = 3).count()
+      }
+
       // persisted LSH signature store: write cost scales with the corpus
       // (one-time), but PROBE cost for a fixed batch must stay ~flat as
       // the stored corpus grows — that is the operator's whole point.
@@ -154,7 +163,8 @@ object CurationScaleProbe {
         f"boiler=$tBp%6.1fs bpDropped=$bpDropped%7d " +
         f"spans=$tSpan%6.1fs spanDropped=$spanDropped%8d " +
         f"winnow=$tOverlap%6.1fs overlapPairs=$nOverlap%7d " +
-        f"contain=$tContain%6.1fs containPairs=$nContain%7d | " +
+        f"contain=$tContain%6.1fs containPairs=$nContain%7d " +
+        f"cosine=$tCosine%6.1fs cosinePairs=$nCosine%7d | " +
         f"store: write=$tWrite%6.1fs probe=$tProbe%6.1fs pairs=$nPairs%6d | " +
         f"vecs=$ne%7d nlist=$nlist%5d sem=$tSem%6.1fs " +
         f"swept=${ne - kept}%6d (planted=$planted)")
