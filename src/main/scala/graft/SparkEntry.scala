@@ -1469,6 +1469,22 @@ $joins"""
         discount = 0.75)
     }),
 
+    // CCNet-style perplexity bucketing (Wenzek 2020): the held split's
+    // KN fluency scores banded into head/middle/tail at the exact
+    // tercile thresholds — the curation step between scoring and
+    // mixing; thresholds are two bounded driver scalars, banding a
+    // scan-speed projection
+    "q_text_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val held = docs.filter(col("doc_id") % 10 === 0)
+      val lm = LanguageModel.trainBigram(train, "doc_id", "text")
+      val scored = LanguageModel.scoreByKneserNey(held, lm,
+        "doc_id", "text", discount = 0.75)
+      Curation.bucketByQuantile(scored, col("avg_logprob"))
+        .select(col("doc_id"), col("avg_logprob"), col("bucket"))
+    }),
+
     // exact BM25 top-10 for five fixed queries over the corpus — the
     // retrieval operator; per-term scores decimal-summed so document
     // scores are summation-order-independent (hash-comparable)
@@ -1861,6 +1877,57 @@ $joins"""
       s"$head,\n$rounds\n$finals"
     }
 
+    // Kneser-Ney held-out scoring, mirrored exactly (shared by the
+    // plain score entry and the perplexity-bucket composition)
+    val knOracleSql =
+        """WITH train AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+          |), held AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+          |), tbg AS (
+          |  SELECT w[i] AS w1, w[i+1] AS w2
+          |  FROM (SELECT string_split(text, ' ') AS w FROM train),
+          |       LATERAL (SELECT unnest(range(1, len(w))) AS i)
+          |), lm AS (
+          |  SELECT w1, w2, count(*)::BIGINT AS n FROM tbg GROUP BY 1, 2
+          |), ctx AS (
+          |  SELECT w1, sum(n)::BIGINT AS ctx FROM lm GROUP BY 1
+          |), n1f AS (
+          |  SELECT w1, count(*)::BIGINT AS n1f FROM lm GROUP BY 1
+          |), cont AS (
+          |  SELECT w2, count(*)::BIGINT AS cont FROM lm GROUP BY 1
+          |), tv AS (
+          |  SELECT (SELECT count(*) FROM lm)::DOUBLE AS t,
+          |         (SELECT count(DISTINCT w) FROM (
+          |            SELECT w1 AS w FROM lm
+          |            UNION SELECT w2 FROM lm))::DOUBLE AS nv
+          |), hbg AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM held),
+          |       LATERAL (SELECT unnest(range(1, len(w))) AS i)
+          |), scored AS (
+          |  SELECT hbg.doc_id,
+          |    CAST(round(ln(
+          |      CASE WHEN ctx.ctx IS NOT NULL THEN
+          |        (greatest(COALESCE(lm.n, 0)::DOUBLE - 0.75::DOUBLE,
+          |                  0::DOUBLE)
+          |         + 0.75::DOUBLE * n1f.n1f::DOUBLE *
+          |           ((COALESCE(cont.cont, 0)::DOUBLE + 0.5::DOUBLE)
+          |            / (tv.t + 0.5::DOUBLE * (tv.nv + 1::DOUBLE))))
+          |        / ctx.ctx::DOUBLE
+          |      ELSE
+          |        ((COALESCE(cont.cont, 0)::DOUBLE + 0.5::DOUBLE)
+          |         / (tv.t + 0.5::DOUBLE * (tv.nv + 1::DOUBLE)))
+          |      END), 9) AS DECIMAL(28,9)) AS logp
+          |  FROM hbg LEFT JOIN lm USING (w1, w2)
+          |           LEFT JOIN ctx USING (w1)
+          |           LEFT JOIN n1f USING (w1)
+          |           LEFT JOIN cont USING (w2), tv
+          |)
+          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+          |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob
+          |FROM scored GROUP BY 1""".stripMargin
+
     val exactTopKSql =
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2013,54 +2080,23 @@ $joins"""
       // Kneser-Ney mirrored exactly: same interpolated-discount double
       // arithmetic shape (continuation probability add-half smoothed
       // over T types and V+1 vocab), per-bigram round(9), DECIMAL sum
-      "q_text_lm_kn" ->
-        """WITH train AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
-          |), held AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
-          |), tbg AS (
-          |  SELECT w[i] AS w1, w[i+1] AS w2
-          |  FROM (SELECT string_split(text, ' ') AS w FROM train),
-          |       LATERAL (SELECT unnest(range(1, len(w))) AS i)
-          |), lm AS (
-          |  SELECT w1, w2, count(*)::BIGINT AS n FROM tbg GROUP BY 1, 2
-          |), ctx AS (
-          |  SELECT w1, sum(n)::BIGINT AS ctx FROM lm GROUP BY 1
-          |), n1f AS (
-          |  SELECT w1, count(*)::BIGINT AS n1f FROM lm GROUP BY 1
-          |), cont AS (
-          |  SELECT w2, count(*)::BIGINT AS cont FROM lm GROUP BY 1
-          |), tv AS (
-          |  SELECT (SELECT count(*) FROM lm)::DOUBLE AS t,
-          |         (SELECT count(DISTINCT w) FROM (
-          |            SELECT w1 AS w FROM lm
-          |            UNION SELECT w2 FROM lm))::DOUBLE AS nv
-          |), hbg AS (
-          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM held),
-          |       LATERAL (SELECT unnest(range(1, len(w))) AS i)
-          |), scored AS (
-          |  SELECT hbg.doc_id,
-          |    CAST(round(ln(
-          |      CASE WHEN ctx.ctx IS NOT NULL THEN
-          |        (greatest(COALESCE(lm.n, 0)::DOUBLE - 0.75::DOUBLE,
-          |                  0::DOUBLE)
-          |         + 0.75::DOUBLE * n1f.n1f::DOUBLE *
-          |           ((COALESCE(cont.cont, 0)::DOUBLE + 0.5::DOUBLE)
-          |            / (tv.t + 0.5::DOUBLE * (tv.nv + 1::DOUBLE))))
-          |        / ctx.ctx::DOUBLE
-          |      ELSE
-          |        ((COALESCE(cont.cont, 0)::DOUBLE + 0.5::DOUBLE)
-          |         / (tv.t + 0.5::DOUBLE * (tv.nv + 1::DOUBLE)))
-          |      END), 9) AS DECIMAL(28,9)) AS logp
-          |  FROM hbg LEFT JOIN lm USING (w1, w2)
-          |           LEFT JOIN ctx USING (w1)
-          |           LEFT JOIN n1f USING (w1)
-          |           LEFT JOIN cont USING (w2), tv
-          |)
-          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-          |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob
-          |FROM scored GROUP BY 1""".stripMargin,
+      "q_text_lm_kn" -> knOracleSql,
+
+      // the KN oracle composed with exact interpolated terciles (both
+      // sides round the thresholds to 6 before comparing, the
+      // q_curation_quantile discipline); banding CASE shape identical
+      "q_text_ppl_buckets" ->
+        s"""WITH kn AS ($knOracleSql
+           |), q AS (
+           |  SELECT round(quantile_cont(avg_logprob, ${1.0 / 3}), 6) AS q1,
+           |         round(quantile_cont(avg_logprob, ${2.0 / 3}), 6) AS q2
+           |  FROM kn
+           |)
+           |SELECT doc_id, avg_logprob,
+           |  CASE WHEN avg_logprob >= q2 THEN 'head'
+           |       WHEN avg_logprob >= q1 THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM kn, q""".stripMargin,
 
       // integer code dots are exact in both engines (64×127² < 2^53),
       // and the double cosine division has identical shape

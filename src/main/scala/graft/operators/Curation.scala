@@ -239,6 +239,37 @@ object Curation {
     df.filter(score >= thr)
   }
 
+  /** CCNet-style quantile bucketing (Wenzek 2020): label every row by
+    * which score band it falls in — the classic head/middle/tail split
+    * on a language-model fluency score, where "head" (most fluent)
+    * trains first-epoch data and "tail" gets dropped or downweighted.
+    * Generalizes to any cut list; labels run low→high band.
+    *
+    * Thresholds are the exact interpolated percentiles of the score
+    * (bounded driver scalars, the [[filterByQuantile]] discipline:
+    * rounded to 6 so external engines reproduce the comparison), then
+    * banding is a pure scan-speed projection — no join, no window. At
+    * 100 TB swap the exact percentile for `percentile_approx`
+    * unchanged downstream. */
+  def bucketByQuantile(df: DataFrame, score: Column,
+                       cuts: Seq[Double] = Seq(1.0 / 3.0, 2.0 / 3.0),
+                       labels: Seq[String] =
+                         Seq("tail", "middle", "head"),
+                       bucketCol: String = "bucket"): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted &&
+      cuts.forall(c => c > 0 && c < 1), "cuts must be sorted in (0,1)")
+    require(labels.size == cuts.size + 1,
+      "need one label per band (cuts.size + 1)")
+    val row = df.agg(percentile(score, array(cuts.map(lit): _*))).head
+    if (row.isNullAt(0)) return df.withColumn(bucketCol, lit(labels.head))
+    val thrs = row.getSeq[Double](0).map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val label = thrs.zip(labels.tail).foldLeft(lit(labels.head)) {
+      case (acc, (thr, lab)) => when(score >= thr, lit(lab)).otherwise(acc)
+    }
+    df.withColumn(bucketCol, label)
+  }
+
   /** Token-budget curriculum selection: within each domain, take
     * documents best-first until the token budget is spent — the
     * "assemble the highest-quality T tokens per domain" step of

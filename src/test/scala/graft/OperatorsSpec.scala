@@ -3423,6 +3423,23 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("bucketByQuantile bands rows at the exact interpolated terciles") {
+    val df = spark.sql(
+      """select * from values (1L, 1.0D), (2L, 2.0D), (3L, 3.0D),
+        |  (4L, 4.0D), (5L, 5.0D), (6L, 6.0D) as t(id, s)""".stripMargin)
+    val r = Curation.bucketByQuantile(df, col("s"))
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    // interpolated terciles of [1..6]: 2.666667 and 4.333333
+    assert(r == Map(1L -> "tail", 2L -> "tail", 3L -> "middle",
+      4L -> "middle", 5L -> "head", 6L -> "head"))
+    // custom cuts/labels: a median split
+    val r2 = Curation.bucketByQuantile(df, col("s"), Seq(0.5),
+        Seq("lo", "hi"))
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r2 == Map(1L -> "lo", 2L -> "lo", 3L -> "lo",
+      4L -> "hi", 5L -> "hi", 6L -> "hi"))
+  }
+
   test("mmrRerank trades relevance for diversity in greedy rounds") {
     val cands = spark.sql(
       """select * from values
