@@ -1327,6 +1327,107 @@ object Multimodal {
       math.sqrt(variance / total)))
   }
 
+  private val SegmentSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("seg_idx", IntegerType, nullable = false),
+    StructField("start_frame", IntegerType, nullable = false),
+    StructField("end_frame", IntegerType, nullable = false),
+    StructField("start_ms", DoubleType, nullable = false),
+    StructField("end_ms", DoubleType, nullable = false),
+    StructField("mean_rms", DoubleType, nullable = false)))
+
+  /** Energy-based activity segmentation per WAV asset (the classic
+    * VAD front-end): frame the signal at `frameMs`, mark frames whose
+    * RMS clears `relThreshold` × the asset's peak frame RMS (relative,
+    * so gain never matters; `absFloor` keeps all-silence assets from
+    * segmenting their noise), and merge active runs — runs separated
+    * by ≤ `bridgeFrames` quiet frames join, the standard hangover that
+    * keeps a syllable gap from splitting an utterance. The prep step
+    * before per-segment feature extraction ([[spectralFeatures]],
+    * [[mfccFeatures]]) or speech/music routing.
+    *
+    * One row per segment: (id, seg_idx, start_frame, end_frame
+    * inclusive, start_ms, end_ms, mean_rms across the segment's frames
+    * incl. bridged quiet ones, rounded 6). Non-WAV and malformed
+    * payloads are omitted. Same codec-boundary `mapPartitions` shape
+    * as the other audio ops — bounded per-row work, no shuffle. */
+  def energySegments(assets: DataFrame, frameMs: Int = 20,
+                     relThreshold: Double = 0.25,
+                     absFloor: Double = 0.01,
+                     bridgeFrames: Int = 1): DataFrame = {
+    require(frameMs >= 1, "frameMs must be >= 1")
+    require(relThreshold > 0 && relThreshold < 1,
+      "relThreshold must be in (0,1)")
+    require(bridgeFrames >= 0, "bridgeFrames must be >= 0")
+    val enc = ExpressionEncoder(SegmentSchema)
+    assets.select(col("id"), col("content"), col("meta.mime").as("mime"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.getString(2) != "audio/wav") Iterator.empty
+          else scala.util.Try(segmentRows(r.getLong(0),
+              r.getAs[Array[Byte]](1), frameMs, relThreshold, absFloor,
+              bridgeFrames))
+            .getOrElse(Iterator.empty)
+        }
+      }(enc)
+  }
+
+  private def segmentRows(id: Long, content: Array[Byte], frameMs: Int,
+                          relThreshold: Double, absFloor: Double,
+                          bridgeFrames: Int): Iterator[Row] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val lay = parseWav(content).getOrElse(return Iterator.empty)
+    val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    val frameLen = math.max(1, lay.sampleRate * frameMs / 1000)
+    val perChannel = lay.n / lay.channels
+    val nFrames = perChannel / frameLen
+    if (nFrames == 0) return Iterator.empty
+    def sample(t: Int): Double = { // channel 0 of interleaved PCM
+      val idx = t * lay.channels
+      if (lay.bits == 16) bb.getShort(lay.dataOff + idx * 2).toDouble / 32768.0
+      else ((content(lay.dataOff + idx) & 0xff) - 128).toDouble / 128.0
+    }
+    val rms = Array.tabulate(nFrames) { f =>
+      var acc = 0.0
+      var t = 0
+      while (t < frameLen) {
+        val v = sample(f * frameLen + t)
+        acc += v * v
+        t += 1
+      }
+      math.sqrt(acc / frameLen)
+    }
+    val thr = math.max(relThreshold * rms.max, absFloor)
+    val active = rms.map(_ >= thr)
+    if (!active.contains(true)) return Iterator.empty
+    // active runs, then hangover-merge runs separated by short gaps
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var f = 0
+    while (f < nFrames) {
+      if (active(f)) {
+        val start = f
+        while (f + 1 < nFrames && active(f + 1)) f += 1
+        runs += ((start, f))
+      }
+      f += 1
+    }
+    val merged = runs.foldLeft(
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]) {
+      case (acc, (s, e)) =>
+        if (acc.nonEmpty && s - acc.last._2 - 1 <= bridgeFrames) {
+          val (ps, _) = acc.remove(acc.length - 1)
+          acc += ((ps, e))
+        } else acc += ((s, e))
+        acc
+    }
+    merged.iterator.zipWithIndex.map { case ((s, e), i) =>
+      val mean = rms.slice(s, e + 1).sum / (e - s + 1)
+      Row(id, i, s, e, s.toDouble * frameMs, (e + 1).toDouble * frameMs,
+        BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+  }
+
   private val MfccSchema = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false),

@@ -3002,6 +3002,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(2L).getSeq[Double](3) == fallback.getSeq[Double](3))
   }
 
+  test("energySegments finds exact activity bounds; hangover bridges short gaps") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val s = spark
+    import s.implicits._
+    // frame-aligned layout at 8 kHz / 20 ms frames (160 samples):
+    // 10 silence | 10 tone | 1 silence | 10 tone | 15 silence | 10 tone
+    val sampleRate = 8000
+    val frameLen = 160
+    val pattern = Seq.fill(10)(false) ++ Seq.fill(10)(true) ++
+      Seq(false) ++ Seq.fill(10)(true) ++ Seq.fill(15)(false) ++
+      Seq.fill(10)(true)
+    val pcm = pattern.zipWithIndex.flatMap { case (tone, f) =>
+      (0 until frameLen).map { t =>
+        if (tone) (0.5 * math.sin(
+          2 * math.Pi * 440 * (f * frameLen + t) / sampleRate) * 32767)
+          .toShort
+        else 0.toShort
+      }
+    }
+    val dataLen = pcm.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("ASCII"))
+      .put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("ASCII")).putInt(dataLen)
+    pcm.foreach(bb.putShort)
+    val assets = Seq((1L, bb.array()),
+        (2L, "not audio".getBytes("UTF-8")))
+      .toDF("id", "content")
+      .select(col("id"), col("content"),
+        struct(lit("audio/wav").as("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    // bridge=1: the single-frame gap joins its neighbors; 15 frames don't
+    val bridged = Multimodal.energySegments(assets, bridgeFrames = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5)))
+    assert(bridged.toSeq == Seq(
+      (1L, 0, 10, 30, 200.0, 620.0), (1L, 1, 46, 55, 920.0, 1120.0)))
+    // bridge=0: three literal runs
+    val strict = Multimodal.energySegments(assets, bridgeFrames = 0)
+      .collect().map(r => (r.getInt(2), r.getInt(3))).toSeq
+    assert(strict == Seq((10, 19), (21, 30), (46, 55)))
+    // segment mean RMS ~ amp/sqrt(2); the bridged quiet frame dilutes
+    val m = Multimodal.energySegments(assets, bridgeFrames = 1)
+      .collect().map(r => r.getInt(1) -> r.getDouble(6)).toMap
+    assert(math.abs(m(1) - 0.5 / math.sqrt(2)) < 0.01)
+    assert(m(0) < m(1) && math.abs(m(0) - m(1) * 20 / 21) < 0.01)
+  }
+
   test("mfccFeatures: amplitude isolates into c0; content separates tones") {
     import java.nio.{ByteBuffer, ByteOrder}
     val s = spark
