@@ -1469,6 +1469,14 @@ $joins"""
         discount = 0.75)
     }),
 
+    // chi-square token-label association (one-vs-rest, df floor 5,
+    // top 10 per language): the feature-selection pass before training
+    // a curation classifier — all cell counts exact integers, one
+    // double formula, bounded per-label rank
+    "q_text_chisq" -> ((s, dir) =>
+      TextClassify.chiSquareTokens(t(s, dir, "documents"), "lang",
+        topN = 10, minDf = 5)),
+
     // CCNet-style perplexity bucketing (Wenzek 2020): the held split's
     // KN fluency scores banded into head/middle/tail at the exact
     // tercile thresholds — the curation step between scoring and
@@ -2081,6 +2089,50 @@ $joins"""
       // arithmetic shape (continuation probability add-half smoothed
       // over T types and V+1 vocab), per-bigram round(9), DECIMAL sum
       "q_text_lm_kn" -> knOracleSql,
+
+      // same presence pass, integer contingency cells, one double
+      // formula in identical left-associated shape; rank on the
+      // unrounded chi2, ties to the lexicographically-first token
+      "q_text_chisq" ->
+        """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+          |pres AS (
+          |  SELECT doc_id, lang AS label,
+          |    unnest(list_distinct(string_split(text, ' '))) AS w
+          |  FROM documents
+          |), cells AS (
+          |  SELECT w, label, count(*)::BIGINT AS n11
+          |  FROM pres GROUP BY 1, 2
+          |), tokf AS (
+          |  SELECT w, nt FROM (
+          |    SELECT w, sum(n11)::BIGINT AS nt FROM cells GROUP BY 1), nn
+          |  WHERE nt >= 5 AND nt < nn.n
+          |), labf AS (
+          |  SELECT label, nl FROM (
+          |    SELECT lang AS label, count(*)::BIGINT AS nl
+          |    FROM documents GROUP BY 1), nn
+          |  WHERE nl < nn.n
+          |), grid AS (
+          |  SELECT t.w, l.label, t.nt, l.nl,
+          |         coalesce(c.n11, 0)::BIGINT AS n11
+          |  FROM tokf t CROSS JOIN labf l
+          |  LEFT JOIN cells c ON c.w = t.w AND c.label = l.label
+          |), scored AS (
+          |  SELECT w, label, n11,
+          |    nn.n::DOUBLE
+          |      * ((n11 * (nn.n - nt - nl + n11)
+          |          - (nt - n11) * (nl - n11))::DOUBLE)
+          |      * ((n11 * (nn.n - nt - nl + n11)
+          |          - (nt - n11) * (nl - n11))::DOUBLE)
+          |      / (nt::DOUBLE * (nn.n - nt)::DOUBLE
+          |         * nl::DOUBLE * (nn.n - nl)::DOUBLE) AS chi2
+          |  FROM grid, nn
+          |)
+          |SELECT label, w AS token, n11,
+          |  row_number() OVER (PARTITION BY label
+          |    ORDER BY chi2 DESC, w) AS rank,
+          |  round(chi2, 6) AS chi2
+          |FROM scored
+          |QUALIFY rank <= 10""".stripMargin,
 
       // the KN oracle composed with exact interpolated terciles (both
       // sides round the thresholds to 6 before comparing, the

@@ -87,6 +87,68 @@ object TextClassify {
     * 1..len-n+1, each a full n-char slice (empty array when the text is
     * shorter than n — guarded because Spark's `sequence(1, 0)` counts
     * DOWN, not empty). */
+  /** Chi-square token–label association (one-vs-rest): the classic
+    * feature-selection pass before training a curation classifier —
+    * which tokens are evidence FOR each label (domain markers,
+    * language function words, spam vocabulary). For each (token,
+    * label) with token document frequency ≥ `minDf`, the 2×2
+    * presence/label contingency table yields
+    * χ² = N·(n11·n00 − n10·n01)² / ((n11+n10)(n01+n00)(n11+n01)(n10+n00)),
+    * reported for the top `topN` tokens per label.
+    *
+    * Scale shape: one (doc, token)-distinct pass into a (token, label)
+    * count groupBy — the only corpus-sized shuffles; token and label
+    * marginals join back keyed by token / broadcast by label, so every
+    * cell count derives from exact integers and the single double
+    * formula has identical shape externally. The per-label top-N rank
+    * runs over label-cardinality × vocabulary rows, bounded by
+    * construction. Cross-cell products stay exact in doubles while
+    * n < 2²⁶ per side (the 2⁵³ mantissa); past that, pre-scale to
+    * rates. Ties break (χ² desc, token asc). */
+  def chiSquareTokens(docs: DataFrame, labelCol: String,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      topN: Int = 10, minDf: Int = 5): DataFrame = {
+    require(topN >= 1 && minDf >= 1, "need topN >= 1, minDf >= 1")
+    val nTotal = docs.count()
+    val present = docs.select(col(idCol).as("id"),
+        col(labelCol).as("label"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+          .as("w"))
+    val cellCounts = present.groupBy(col("w"), col("label"))
+      .agg(count(lit(1)).as("n11"))
+    val tokTotals = cellCounts.groupBy(col("w"))
+      .agg(sum(col("n11")).as("nt"))
+      // corpus-universal tokens (nt = N) carry no signal and would
+      // zero the denominator — excluded, like the df floor
+      .filter(col("nt") >= minDf && col("nt") < nTotal)
+    val labTotals = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nl"))
+      .filter(col("nl") < nTotal)
+    // a label×token cell can be zero yet still informative only via
+    // the other cells; absent (w, label) rows have n11 = 0 and appear
+    // through the token-marginal frame crossed with the label list
+    val grid = tokTotals.crossJoin(broadcast(labTotals))
+      .join(cellCounts, Seq("w", "label"), "left")
+      .select(col("w"), col("label"), col("nt"), col("nl"),
+        coalesce(col("n11"), lit(0L)).as("n11"))
+    val n10 = col("nt") - col("n11")
+    val n01 = col("nl") - col("n11")
+    val n00 = lit(nTotal) - col("nt") - col("nl") + col("n11")
+    val diff = (col("n11") * n00 - n10 * n01).cast("double")
+    val denom = (col("nt").cast("double")) *
+      ((lit(nTotal) - col("nt")).cast("double")) *
+      (col("nl").cast("double")) *
+      ((lit(nTotal) - col("nl")).cast("double"))
+    val chi2 = lit(nTotal.toDouble) * diff * diff / denom
+    val byLabel = Window.partitionBy(col("label"))
+      .orderBy(col("__chi2").desc, col("w"))
+    grid.withColumn("__chi2", chi2)
+      .withColumn("rank", row_number().over(byLabel))
+      .filter(col("rank") <= topN)
+      .select(col("label"), col("w").as("token"), col("n11"),
+        col("rank"), round(col("__chi2"), 6).as("chi2"))
+  }
+
   def charNgrams(text: Column, n: Int): Column =
     when(length(text) >= n,
       transform(sequence(lit(1), length(text) - (n - 1)),

@@ -3474,6 +3474,25 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("chiSquareTokens ranks label-evidence tokens by the exact 2x2 statistic") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'A', 'x y'), (2L, 'A', 'x z'),
+        |  (3L, 'B', 'y z'), (4L, 'B', 'z q')
+        |  as t(doc_id, lang, text)""".stripMargin)
+    val r = TextClassify.chiSquareTokens(df, "lang", topN = 2, minDf = 1)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getInt(3), x.getDouble(4))).toSet
+    // x is perfect A-evidence (and so perfect B-counter-evidence):
+    // chi2 = 4. q and z tie at 4/3 for BOTH labels (q as counter-
+    // evidence for A, direct evidence for B) — each rank-2 breaks to
+    // the lexicographically-first token, q
+    assert(r == Set(
+      ("A", "x", 2L, 1, 4.0), ("A", "q", 0L, 2, 1.333333),
+      ("B", "x", 0L, 1, 4.0), ("B", "q", 1L, 2, 1.333333)))
+  }
+
   test("bucketByQuantile bands rows at the exact interpolated terciles") {
     val df = spark.sql(
       """select * from values (1L, 1.0D), (2L, 2.0D), (3L, 3.0D),
