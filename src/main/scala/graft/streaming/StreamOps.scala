@@ -968,6 +968,103 @@ object StreamOps {
       }
   }
 
+  case class GapEvent(user_id: Long, event_id: Long, ts: Timestamp,
+                      value: Double)
+  case class GapOut(user_id: Long, period: Long, observed: Boolean,
+                    v_ffill: Double, v_interp: Double)
+  case class GapBuf(tsMicros: Long, eventId: Long, value: Double)
+  case class GapState(anchorP: Option[Long], anchorV: Option[Double],
+                      buf: Seq[GapBuf])
+
+  /** Streaming time-series gap-fill — the Structured Streaming form of
+    * `Events.gapFill`, batch-replay exact on every emitted row: when
+    * the watermark finalizes a bucket (nothing that could still arrive
+    * can land in it or reorder its last-event representative), the
+    * rows BETWEEN the previous observed bucket and this one become
+    * decidable — the gap rows' forward-fill anchors on the previous
+    * representative and their interpolation target is this one — and
+    * they emit together with this bucket's observed row.
+    *
+    * Rows past each user's latest observed bucket are not wrong, just
+    * not yet decidable (the batch grid would extend once a later
+    * observation arrives), so they stay unemitted — streamed output is
+    * always the batch output over the finalized prefix. State per user
+    * is the watermark-bounded pending buffer plus one (period, value)
+    * anchor; `idleRetentionSeconds` evicts idle users' anchors, after
+    * which a returning user starts a fresh grid (the TTL tradeoff).
+    * Caller applies `withWatermark` upstream. */
+  def gapFillStream(events: Dataset[GapEvent],
+                    periodSeconds: Long = 21600L,
+                    idleRetentionSeconds: Option[Long] = None): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    require(periodSeconds >= 1, "periodSeconds must be >= 1")
+    val periodMicros = periodSeconds * 1000000L
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    def round6(v: Double) =
+      BigDecimal(v).setScale(6, HALF_UP).toDouble
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[GapEvent],
+         state: GroupState[GapState]) =>
+          val prior = state.getOption
+            .getOrElse(GapState(None, None, Vector.empty))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val merged = (prior.buf ++ rows
+              .map(e => GapBuf(micros(e.ts), e.event_id, e.value))
+              .filter(_.tsMicros >= wmMicros))
+            .sortBy(e => (e.tsMicros, e.eventId))
+          // a bucket is final once the watermark passes its END; bucket
+          // end is monotone in ts, so the finalized events are a prefix
+          val (ready, pending) = merged.span(e =>
+            (e.tsMicros / periodMicros + 1) * periodMicros <= wmMicros)
+          var anchorP = prior.anchorP
+          var anchorV = prior.anchorV
+          val outs = Seq.newBuilder[GapOut]
+          // per finalized bucket, the representative is the LAST event
+          // (ts, then event_id) — same pick as the batch row_number
+          ready.groupBy(_.tsMicros / periodMicros).toSeq.sortBy(_._1)
+            .foreach { case (p, es) =>
+              val rep = es.maxBy(e => (e.tsMicros, e.eventId))
+              (anchorP, anchorV) match {
+                case (Some(pp), Some(pv)) if p > pp =>
+                  var g = pp + 1
+                  while (g < p) {
+                    // the batch interpolation arithmetic, verbatim
+                    val interp = pv + (rep.value - pv) *
+                      ((g - pp).toDouble / (p - pp).toDouble)
+                    outs += GapOut(userId, g, observed = false, pv,
+                      round6(interp))
+                    g += 1
+                  }
+                case _ => ()
+              }
+              outs += GapOut(userId, p, observed = true, rep.value,
+                round6(rep.value))
+              anchorP = Some(p)
+              anchorV = Some(rep.value)
+            }
+          val emitted = outs.result()
+          if (pending.nonEmpty) {
+            state.update(GapState(anchorP, anchorV, pending))
+            val closeAtMs =
+              ((pending.head.tsMicros / periodMicros + 1) * periodMicros)
+                .max(wmMicros) / 1000 + 1
+            state.setTimeoutTimestamp(
+              math.max(closeAtMs, state.getCurrentWatermarkMs() + 1))
+          } else if (state.hasTimedOut && merged.isEmpty &&
+              idleRetentionSeconds.isDefined) {
+            state.remove()
+          } else if (emitted.nonEmpty) {
+            state.update(GapState(anchorP, anchorV, Vector.empty))
+            idleRetentionSeconds.foreach(r => state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + r * 1000 + 1))
+          }
+          emitted.iterator
+      }
+  }
+
   case class AnomEvent(user_id: Long, event_id: Long, ts: Timestamp,
                        value: Double)
   case class AnomOut(user_id: Long, event_id: Long, value: Double,

@@ -86,6 +86,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(docs.forall(d => tsRows(d.doc_id) == d.ts))
   }
 
+  test("gapFillStream emits the batch grid rows as the watermark finalizes buckets") {
+    import graft.streaming.StreamOps.{GapEvent, GapOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val evDf = graft.sources.Sources
+      .table(s, "/root/testdata/sf0.001", "events")
+      .filter(col("user_id") < 10)
+      .select("event_id", "ts", "user_id", "value")
+    val batch = graft.operators.Events.gapFill(evDf, periodSeconds = 21600L)
+      .collect()
+      .map(r => GapOut(r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val rows = evDf.collect()
+      .map(r => GapEvent(r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Timestamp]("ts"), r.getAs[Double]("value")))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[GapEvent]
+    val out = StreamOps.gapFillStream(
+      input.toDF().withWatermark("ts", "0 seconds").as[GapEvent],
+      periodSeconds = 21600L)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("gap_stream")
+      .outputMode("append").start()
+    // time-ordered chunks, each internally reversed: bucket
+    // representatives must not depend on arrival order
+    val third = (rows.length + 2) / 3
+    rows.grouped(third).foreach { chunk =>
+      input.addData(chunk.reverse.toSeq: _*)
+      q.processAllAvailable()
+    }
+    // the sentinel finalizes every real bucket (its own bucket stays
+    // pending, and a fresh user's single bucket emits observed-only)
+    input.addData(GapEvent(999999L, 999999L,
+      Timestamp.valueOf("2030-01-01 00:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from gap_stream").as[GapOut]
+      .collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(batch.exists(!_.observed)) // real gaps were interpolated
+  }
+
   test("rollingAnomaliesStream flags byte-identical rows to the batch operator") {
     import graft.streaming.StreamOps.{AnomEvent, AnomOut}
     val s = spark
