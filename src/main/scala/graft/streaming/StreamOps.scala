@@ -968,6 +968,39 @@ object StreamOps {
       }
   }
 
+  /** Streaming entity resolution against a canonical dictionary: each
+    * arriving record's string matches dictionary entries within
+    * Levenshtein `maxDist` that share its head-noun block — the
+    * stream-static form of `Dedup.editDistancePairs`, used to snap
+    * noisy incoming names/titles onto a curated inventory at ingest.
+    * STATELESS: the dictionary is a static frame (broadcast when
+    * small), blocking + the threshold distance are expressions, so
+    * each micro-batch is one equi-join — append-mode, no watermark,
+    * no state. Unmatched records pass through with a null match (left
+    * join), preserving the ingest stream. Output: every dictionary
+    * match within budget, closest first by (dist, dict_id) —
+    * downstream takes rank 1 for snap-to-canonical or all rows for
+    * review queues. */
+  def fuzzyMatchStream(stream: DataFrame, dictionary: DataFrame,
+                       streamIdCol: String, streamStrCol: String,
+                       dictIdCol: String, dictStrCol: String,
+                       maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val dict = dictionary.select(col(dictIdCol).as("dict_id"),
+      col(dictStrCol).as("__ds"),
+      element_at(split(col(dictStrCol), " "), -1).as("__blk"))
+    stream.select(col("*"),
+        element_at(split(col(streamStrCol), " "), -1).as("__sblk"))
+      .join(dict,
+        col("__sblk") === col("__blk") &&
+        abs(length(col(streamStrCol)) - length(col("__ds"))) <= maxDist &&
+        levenshtein(col(streamStrCol), col("__ds"), maxDist) >= 0,
+        "left")
+      .select(col(streamIdCol), col(streamStrCol), col("dict_id"),
+        col("__ds").as("dict_str"),
+        levenshtein(col(streamStrCol), col("__ds"), maxDist).as("dist"))
+  }
+
   case class GapEvent(user_id: Long, event_id: Long, ts: Timestamp,
                       value: Double)
   case class GapOut(user_id: Long, period: Long, observed: Boolean,

@@ -86,6 +86,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(docs.forall(d => tsRows(d.doc_id) == d.ts))
   }
 
+  test("fuzzyMatchStream snaps arriving names onto the dictionary per micro-batch") {
+    import StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dict = Seq((10L, "red gear"), (11L, "blue gear"),
+      (12L, "red widget")).toDF("id", "name")
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.fuzzyMatchStream(input.toDF(), dict,
+      "doc_id", "text", "id", "name", maxDist = 2)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("fuzzy_stream")
+      .outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData(
+      StreamDoc(1L, "red gear", t0),   // exact -> dist 0 (+ blue gear d=3 out)
+      StreamDoc(2L, "bed gear", t0),   // typo  -> red gear d=1
+      StreamDoc(3L, "red gadget", t0), // wrong block -> unmatched
+      StreamDoc(4L, "rad widget", t0)) // typo  -> red widget d=1
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("select * from fuzzy_stream").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.toString.toLong),
+        if (r.isNullAt(4)) -1 else r.getInt(4))).toSet
+    assert(got == Set((1L, Some(10L), 0), (2L, Some(10L), 1),
+      (3L, None, -1), (4L, Some(12L), 1)))
+  }
+
   test("gapFillStream emits the batch grid rows as the watermark finalizes buckets") {
     import graft.streaming.StreamOps.{GapEvent, GapOut}
     val s = spark
