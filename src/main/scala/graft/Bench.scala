@@ -57,7 +57,12 @@ object Bench {
         sources.Sources.table(spark, sfDir, f.getName.stripSuffix(".parquet"))
           .write.format("noop").mode("overwrite").save()
       }
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
+    // queries (comma-separated exact names); unset = the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to passes; (name, fn) <- names; _ <- 1 to samples) {
       val t0 = System.nanoTime()
