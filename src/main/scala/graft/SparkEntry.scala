@@ -1658,6 +1658,29 @@ $joins"""
     }),
 
     // set operations: union / intersect / except over key domains
+    // wide per-user activity-feature matrix: sum(value) by event_type.
+    // Values are pinned so the plan is ONE hash aggregate of
+    // conditional sums (no discovery pass, schema independent of the
+    // data); decimal-summed cells for order-independent comparison
+    "q_reshape_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      graft.operators.Reshape.pivotAgg(
+          t(s, dir, "events"), Seq("user_id"), "event_type",
+          sum(round(col("value"), 9).cast("decimal(28,9)")),
+          values = types)
+        .select(col("user_id") +:
+          types.map(v => round(col(v), 6).cast("double").as(v)): _*)
+    }),
+
+    // tidy long form of the four lineitem measures: zero-shuffle
+    // Expand projection, one narrow row per (line, measure)
+    "q_reshape_melt" -> ((s, dir) =>
+      graft.operators.Reshape.melt(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        "measure", "amount")),
+
     "q_set_ops" -> ((s, dir) => {
       val custNations = t(s, dir, "customer")
         .select(col("c_nationkey").as("nationkey"))
@@ -4255,6 +4278,32 @@ $joins"""
           |       coalesce(a.n_active, 0) AS n_active,
           |       coalesce(i.n_inactive, 0) AS n_inactive
           |FROM active a FULL OUTER JOIN inactive i USING (c_mktsegment)""".stripMargin,
+
+      // conditional aggregation IS the pivot contract — same decimal
+      // cell sums, same rounded display cast
+      "q_reshape_pivot" ->
+        """SELECT user_id,
+          |  round(sum(CASE WHEN event_type = 'click'
+          |    THEN CAST(round(value, 9) AS DECIMAL(28,9)) END), 6)::DOUBLE AS click,
+          |  round(sum(CASE WHEN event_type = 'error'
+          |    THEN CAST(round(value, 9) AS DECIMAL(28,9)) END), 6)::DOUBLE AS error,
+          |  round(sum(CASE WHEN event_type = 'purchase'
+          |    THEN CAST(round(value, 9) AS DECIMAL(28,9)) END), 6)::DOUBLE AS purchase,
+          |  round(sum(CASE WHEN event_type = 'signup'
+          |    THEN CAST(round(value, 9) AS DECIMAL(28,9)) END), 6)::DOUBLE AS signup,
+          |  round(sum(CASE WHEN event_type = 'view'
+          |    THEN CAST(round(value, 9) AS DECIMAL(28,9)) END), 6)::DOUBLE AS view
+          |FROM events GROUP BY user_id""".stripMargin,
+
+      "q_reshape_melt" ->
+        """SELECT l_orderkey, l_linenumber,
+          |  'l_quantity' AS measure, l_quantity AS amount FROM lineitem
+          |UNION ALL SELECT l_orderkey, l_linenumber,
+          |  'l_extendedprice', l_extendedprice FROM lineitem
+          |UNION ALL SELECT l_orderkey, l_linenumber,
+          |  'l_discount', l_discount FROM lineitem
+          |UNION ALL SELECT l_orderkey, l_linenumber,
+          |  'l_tax', l_tax FROM lineitem""".stripMargin,
 
       "q_set_ops" ->
         """SELECT CAST(nationkey AS INT) AS nationkey FROM (
