@@ -108,6 +108,32 @@ FROM words JOIN w$numMerges USING (token),
      unnest(range(1, CAST(len(syms) + 1 AS BIGINT))) AS u(j)"""
   }
 
+  /** DuckDB replica of [[graft.operators.Stats.correlationMatrix]]:
+    * the same decimal-summed moments from one aggregate, the same
+    * double formula shape per pair. */
+  private def corrOracleSql(table: String, cols: Seq[String]): String = {
+    def d(e: String) = s"sum(CAST(round($e, 9) AS DECIMAL(28,9)))::DOUBLE"
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i <= j
+    } yield (cols(i), cols(j))
+    val moments =
+      cols.map(c => s"${d(c)} AS s_$c") ++
+      pairs.map { case (a, b) => s"${d(s"$a * $b")} AS p_${a}_$b" }
+    val rows = pairs.map { case (a, b) =>
+      val num = s"n * p_${a}_$b - s_$a * s_$b"
+      val va = s"(n * p_${a}_$a - s_$a * s_$a)"
+      val vb = s"(n * p_${b}_$b - s_$b * s_$b)"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+  CASE WHEN $va > 0 AND $vb > 0
+    THEN round(($num) / (sqrt($va) * sqrt($vb)), 6) END AS corr FROM m"""
+    }
+    s"""WITH m AS (
+  SELECT count(*)::DOUBLE AS n, ${moments.mkString(",\n    ")}
+  FROM $table
+)
+${rows.mkString("\nUNION ALL ")}"""
+  }
+
   /** Unrolled DuckDB replica of [[graft.operators.Graph.pageRank]]:
     * each iteration is a CTE repeating the same round-9 double
     * contribution + DECIMAL(28,9) sum the operator computes, so the
@@ -1242,6 +1268,23 @@ $joins"""
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
         "value", binWidth = 5.0)
+    }),
+
+    // feature-redundancy screen over the four lineitem measures: every
+    // pairwise Pearson from ONE aggregate pass, decimal-summed moments
+    "q_stats_corr" -> ((s, dir) =>
+      graft.operators.Stats.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // chance-corrected agreement between consecutive event types per
+    // user — repeat-behavior beyond what the type marginals predict
+    "q_stats_kappa" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+      graft.operators.Stats.cohenKappa(pairs, "cur", "nxt")
     }),
 
     "q_graph_pagerank" -> ((s, dir) => {
@@ -4051,6 +4094,40 @@ $joins"""
       // same per-bin counts, same bounded self-join cumulation, same
       // exact-integer |cum_a*n_b - cum_b*n_a| compare; one double
       // division on the winner
+      "q_stats_corr" -> corrOracleSql("lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+
+      // same contingency counts, marginal-product join and
+      // integer-exact kappa form (n_agree·n − e_mass)/(n² − e_mass)
+      "q_stats_kappa" ->
+        """WITH p AS (
+          |  SELECT event_type AS a,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS b
+          |  FROM events
+          |), cont AS (
+          |  SELECT a, b, count(*) AS c FROM p
+          |  WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b
+          |), ma AS (SELECT a, sum(c) AS ca FROM cont GROUP BY a),
+          |mb AS (SELECT b, sum(c) AS cb FROM cont GROUP BY b),
+          |ag AS (
+          |  SELECT sum(c) AS n,
+          |    sum(CASE WHEN a = b THEN c ELSE 0 END) AS n_agree
+          |  FROM cont
+          |), ex AS (
+          |  SELECT coalesce(sum(ca * cb), 0) AS e_mass
+          |  FROM ma JOIN mb ON ma.a = mb.b
+          |)
+          |SELECT n::BIGINT AS n,
+          |  round(n_agree::DOUBLE / n::DOUBLE, 6) AS observed_agreement,
+          |  round(e_mass::DOUBLE / (n::DOUBLE * n::DOUBLE), 6)
+          |    AS expected_agreement,
+          |  CASE WHEN e_mass <> n * n THEN
+          |    round((n_agree::DOUBLE * n::DOUBLE - e_mass::DOUBLE) /
+          |      (n::DOUBLE * n::DOUBLE - e_mass::DOUBLE), 6)
+          |  END AS kappa
+          |FROM ag, ex""".stripMargin,
+
       "q_stats_ks" ->
         """WITH ba AS (
           |  SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftext.{QuantileSketch, QuantileSketchMerge, QuantileSketchState}
 
@@ -229,5 +229,104 @@ object Stats {
           round(col("u2").cast("double") /
             (lit(2.0) * col("n_pos").cast("double") *
               col("n_neg").cast("double")), 6)).as("auc"))
+  }
+
+  /** Pairwise Pearson correlation of `cols` in ONE aggregate pass —
+    * the feature-redundancy screen run before training on a wide
+    * signal matrix (two quality signals correlating at 0.98 are one
+    * signal; an anti-correlated pair flags a sign bug).
+    *
+    * Scale shape: a single hash aggregate computes every Σx, Σx² and
+    * Σxy (k + k + k(k+1)/2 aggregates over one corpus pass — the
+    * textbook `df.stat.corr` costs one pass PER PAIR); the k²-sized
+    * reshape to (col_a, col_b, corr) rows happens on the one-row
+    * aggregate inside the plan, nothing is collected. Per-row products
+    * round to 9 decimals and sum as DECIMAL, so every moment — and
+    * therefore each correlation — is partition-order independent and
+    * externally replicable. Rows with a null/NaN in ANY of `cols` are
+    * dropped first (pairwise-complete definitions make each cell see a
+    * different n; one consistent n keeps the matrix PSD and the
+    * contract simple). Output: (col_a, col_b, corr[round 6]) for every
+    * unordered pair incl. the diagonal; corr null when a variance is
+    * zero. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least 2 columns")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    val clean = df.select(cols.map(c =>
+        col(c).cast("double").as(c)): _*)
+      .na.drop("any", cols)
+      .filter(cols.map(c => !isnan(col(c))).reduce(_ && _))
+    def dsum(e: Column) =
+      sum(round(e, 9).cast("decimal(28,9)")).cast("decimal(38,9)")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i <= j
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => dsum(col(c)).as(s"s_$c")) ++
+      pairs.map { case (a, b) => dsum(col(a) * col(b)).as(s"p_${a}_$b") }
+    val m = clean.agg(count(lit(1)).as("n"), aggs: _*)
+    // reshape the single aggregate row to long form inside the plan
+    val n = col("n").cast("double")
+    def sd(c: String) = col(s"s_$c").cast("double")
+    def pd(a: String, b: String) = col(s"p_${a}_$b").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val num = n * pd(a, b) - sd(a) * sd(b)
+      val va = n * pd(a, a) - sd(a) * sd(a)
+      val vb = n * pd(b, b) - sd(b) * sd(b)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(va > 0 && vb > 0,
+          round(num / (sqrt(va) * sqrt(vb)), 6)).as("corr"))
+    }
+    m.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.corr"))
+  }
+
+  /** Cohen's kappa: agreement between two categorical columns beyond
+    * chance — the standard inter-annotator / classifier-vs-gold
+    * agreement score (κ = (p_o − p_e)/(1 − p_e), Cohen 1960).
+    *
+    * One pass builds the (a, b) contingency counts; the marginal
+    * products reduce over the label-bounded contingency frame. All
+    * counts are exact integers; the two divisions happen once at the
+    * end with oracle-identical shape. Null in either column drops the
+    * row. Output: one row (n, observed_agreement, expected_agreement,
+    * kappa[round 6]); kappa is null for the degenerate p_e = 1 (both
+    * raters constant and equal — agreement is trivially total and
+    * chance-correction undefined). */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val base = df.select(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .na.drop()
+    val cont = base.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val ma = cont.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+    val mb = cont.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val agree = cont.agg(
+      sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(lit(0L)))
+        .as("n_agree"))
+    // expected-agreement mass: Σ_k ca(k)·cb(k) over the label space —
+    // an equi-join of two label-bounded marginal frames. DECIMAL
+    // products: ca·cb is n²-sized, which overflows long for corpora
+    // past ~3e9 rows
+    val exp = ma.join(mb, col("a") === col("b"))
+      .agg(coalesce(
+        sum(col("ca").cast("decimal(19,0)") *
+          col("cb").cast("decimal(19,0)")),
+        lit(0).cast("decimal(38,0)")).as("e_mass"))
+    val n2 = col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")
+    agree.crossJoin(exp)
+      .select(col("n"),
+        round(col("n_agree").cast("double") / col("n").cast("double"), 6)
+          .as("observed_agreement"),
+        round(col("e_mass").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("expected_agreement"),
+        when(col("e_mass").cast("decimal(38,0)") =!= n2.cast("decimal(38,0)"),
+          round((col("n_agree").cast("double") * col("n").cast("double") -
+            col("e_mass").cast("double")) /
+            (col("n").cast("double") * col("n").cast("double") -
+              col("e_mass").cast("double")), 6)).as("kappa"))
   }
 }

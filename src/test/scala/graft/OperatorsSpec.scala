@@ -3550,6 +3550,69 @@ class OperatorsSpec extends AnyFunSuite {
     assert(z.getAs[Double]("d_stat") == 0.0 && z.getAs[Long]("at_bin") == 0L)
   }
 
+  test("correlationMatrix: exact Pearson, diagonal 1, zero-variance null") {
+    // y = 2x exactly (corr 1); z anti-correlated with x (corr -1 on
+    // these 3 points); w constant (variance 0 -> null)
+    val df = spark.sql(
+      """select * from values
+        |  (1.0D, 2.0D, 3.0D, 5.0D),
+        |  (2.0D, 4.0D, 2.0D, 5.0D),
+        |  (3.0D, 6.0D, 1.0D, 5.0D)
+        |  as t(x, y, z, w)""".stripMargin)
+    val r = Stats.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        (if (row.isNullAt(2)) None else Some(row.getDouble(2))))
+      .toMap
+    assert(r.size == 10)
+    assert(r(("x", "x")) == Some(1.0) && r(("y", "y")) == Some(1.0))
+    assert(r(("x", "y")) == Some(1.0))
+    assert(r(("x", "z")) == Some(-1.0) && r(("y", "z")) == Some(-1.0))
+    assert(r(("x", "w")) == None && r(("w", "w")) == None)
+  }
+
+  test("correlationMatrix drops rows with any null and is " +
+    "partitioning-invariant") {
+    val df = spark.sql(
+      """select * from values
+        |  (1.0D, 1.0D), (2.0D, 3.0D), (3.0D, 2.0D), (4.0D, 5.0D),
+        |  (CAST(null AS DOUBLE), 9.0D)
+        |  as t(x, y)""".stripMargin)
+    val one = Stats.correlationMatrix(df, Seq("x", "y"))
+      .filter(col("col_a") === "x" && col("col_b") === "y")
+      .head.getDouble(2)
+    val many = Stats.correlationMatrix(df.repartition(7), Seq("x", "y"))
+      .filter(col("col_a") === "x" && col("col_b") === "y")
+      .head.getDouble(2)
+    // hand Pearson over the 4 complete rows: num = 4·33 − 10·11 = 22,
+    // var terms 20 and 35 -> r = 22/√700 = 0.831522
+    assert(one == 0.831522 && many == 0.831522)
+  }
+
+  test("cohenKappa matches the hand formula and its degeneracies") {
+    // classic 2x2: raters agree on 15 of 20; marginals A (10y, 10n),
+    // B (11y, 9n) give pe = (10·11 + 10·9)/400 = 0.5
+    // -> kappa = (0.75 - 0.5) / 0.5 = 0.5
+    val rows = Seq.fill(8)(("y", "y")) ++ Seq.fill(7)(("n", "n")) ++
+      Seq.fill(2)(("y", "n")) ++ Seq.fill(3)(("n", "y"))
+    import spark.implicits._
+    val r = Stats.cohenKappa(rows.toDF("a", "b"), "a", "b").head
+    assert(r.getLong(0) == 20L)
+    assert(r.getDouble(1) == 0.75)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.5)
+    // both raters constant and equal: pe = 1, kappa undefined -> null
+    val const = Stats.cohenKappa(
+      Seq(("a", "a"), ("a", "a")).toDF("a", "b"), "a", "b").head
+    assert(const.isNullAt(3))
+    // independent raters with zero agreement beyond... disagreeing
+    // constants: po = 0, pe = 0 -> kappa = 0? pe = 0 only when label
+    // spaces are disjoint: kappa = (0 - 0) / 1 = 0
+    val disj = Stats.cohenKappa(
+      Seq(("a", "b"), ("a", "b")).toDF("a", "b"), "a", "b").head
+    assert(disj.getDouble(3) == 0.0)
+  }
+
   test("editDistancePairs pairs within blocks under the cap; hot blocks drop") {
     val df = spark.sql(
       """select * from values
