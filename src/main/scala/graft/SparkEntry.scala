@@ -108,6 +108,51 @@ FROM words JOIN w$numMerges USING (token),
      unnest(range(1, CAST(len(syms) + 1 AS BIGINT))) AS u(j)"""
   }
 
+  /** Shared by q_text_bm25 and q_text_bm25_indexed: the persisted
+    * inverted index reproduces direct BM25 scoring exactly. */
+  private val bm25OracleSql: String =
+    """WITH q(query_id, qtext) AS (
+      |  VALUES (0, 'spark join fast'), (1, 'vector scan slow'),
+      |         (2, 'customer order line'), (3, 'window agg group'),
+      |         (4, 'hash merge sort batch')
+      |), toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), stats AS (
+      |  SELECT count(*)::DOUBLE AS n,
+      |         avg(len(string_split(text, ' ')))::DOUBLE AS avgdl
+      |  FROM documents
+      |), qterms AS (
+      |  SELECT DISTINCT query_id,
+      |         unnest(string_split(qtext, ' ')) AS term
+      |  FROM q
+      |), tf AS (
+      |  SELECT term, doc_id, dl, count(*)::DOUBLE AS tf
+      |  FROM toks WHERE term IN (SELECT term FROM qterms)
+      |  GROUP BY 1, 2, 3
+      |), posting AS (
+      |  SELECT tf.*, count(*) OVER (PARTITION BY term)::DOUBLE AS df
+      |  FROM tf
+      |), scored AS (
+      |  SELECT qt.query_id, p.doc_id,
+      |    sum(CAST(round(
+      |      ln(1 + (s.n - p.df + 0.5) / (p.df + 0.5))
+      |        * p.tf * (1.2 + 1)
+      |        / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)),
+      |      9) AS DECIMAL(28,9))) AS score_dec
+      |  FROM posting p JOIN qterms qt USING (term), stats s
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_dec DESC, doc_id) AS rank,
+      |    round(CAST(score_dec AS DOUBLE), 6) AS score
+      |  FROM scored
+      |)
+      |SELECT query_id, doc_id, rank, score FROM ranked
+      |WHERE rank <= 10""".stripMargin
+
   /** DuckDB replica of [[graft.operators.Stats.correlationMatrix]]:
     * the same decimal-summed moments from one aggregate, the same
     * double formula shape per pair. */
@@ -1547,6 +1592,21 @@ $joins"""
       TextSearch.bm25TopK(t(s, dir, "documents"), queries, k = 10)
     }),
 
+    // the same retrieval against the PERSISTED inverted index:
+    // build -> probe inside the timed query (the store-query pattern —
+    // steady-state probe cost is the BASELINE.md scale table); scores
+    // and ranking identical to q_text_bm25 by construction
+    "q_text_bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq((0L, "spark join fast"), (1L, "vector scan slow"),
+        (2L, "customer order line"), (3L, "window agg group"),
+        (4L, "hash merge sort batch")).toDF("query_id", "qtext")
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25idx_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      TextSearch.writeSearchIndex(t(s, dir, "documents"), idx)
+      TextSearch.bm25FromIndex(s, idx, queries, k = 10)
+    }),
+
     // hybrid retrieval: the same five text queries' BM25 top-20 fused
     // with their query VECTORS' exact cosine top-20 (vec_id 0-4 ↔
     // query_id 0-4; the corpus id spaces align 1:1) via reciprocal-rank
@@ -2444,48 +2504,11 @@ $joins"""
       // mirrors TextSearch.bm25TopK exactly: same smoothed idf, same
       // arithmetic shape (so IEEE ops match), per-term round(9) then
       // DECIMAL sum for order independence, same (score, doc_id) ranking
-      "q_text_bm25" ->
-        """WITH q(query_id, qtext) AS (
-          |  VALUES (0, 'spark join fast'), (1, 'vector scan slow'),
-          |         (2, 'customer order line'), (3, 'window agg group'),
-          |         (4, 'hash merge sort batch')
-          |), toks AS (
-          |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-          |         unnest(string_split(text, ' ')) AS term
-          |  FROM documents
-          |), stats AS (
-          |  SELECT count(*)::DOUBLE AS n,
-          |         avg(len(string_split(text, ' ')))::DOUBLE AS avgdl
-          |  FROM documents
-          |), qterms AS (
-          |  SELECT DISTINCT query_id,
-          |         unnest(string_split(qtext, ' ')) AS term
-          |  FROM q
-          |), tf AS (
-          |  SELECT term, doc_id, dl, count(*)::DOUBLE AS tf
-          |  FROM toks WHERE term IN (SELECT term FROM qterms)
-          |  GROUP BY 1, 2, 3
-          |), posting AS (
-          |  SELECT tf.*, count(*) OVER (PARTITION BY term)::DOUBLE AS df
-          |  FROM tf
-          |), scored AS (
-          |  SELECT qt.query_id, p.doc_id,
-          |    sum(CAST(round(
-          |      ln(1 + (s.n - p.df + 0.5) / (p.df + 0.5))
-          |        * p.tf * (1.2 + 1)
-          |        / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)),
-          |      9) AS DECIMAL(28,9))) AS score_dec
-          |  FROM posting p JOIN qterms qt USING (term), stats s
-          |  GROUP BY 1, 2
-          |), ranked AS (
-          |  SELECT query_id, doc_id,
-          |    row_number() OVER (PARTITION BY query_id
-          |      ORDER BY score_dec DESC, doc_id) AS rank,
-          |    round(CAST(score_dec AS DOUBLE), 6) AS score
-          |  FROM scored
-          |)
-          |SELECT query_id, doc_id, rank, score FROM ranked
-          |WHERE rank <= 10""".stripMargin,
+      "q_text_bm25" -> bm25OracleSql,
+
+      // index build -> probe reproduces the direct scoring exactly, so
+      // the oracle IS the direct-BM25 SQL
+      "q_text_bm25_indexed" -> bm25OracleSql,
 
       // hybrid RRF: the BM25 oracle (top-20) and the exact dense top-20
       // re-derived as CTEs, then the same round(9)-decimal-summed

@@ -66,7 +66,16 @@ object TextSearch {
       .agg(count(lit(1)).as("tf"))
     val withDf = postings.withColumn("df",
       count(lit(1)).over(Window.partitionBy(col("term"))))
-    val perTerm = withDf
+    scorePostings(withDf, qterms, nDocs, avgdl, k, k1, b)
+  }
+
+  /** Shared Okapi scoring over a (term, doc_id, dl, tf, df) posting
+    * frame — the tail both [[bm25TopK]] (postings built per query) and
+    * [[bm25FromIndex]] (postings read from the persisted index) feed. */
+  private def scorePostings(postings: DataFrame, qterms: DataFrame,
+                            nDocs: Double, avgdl: Double, k: Int,
+                            k1: Double, b: Double): DataFrame = {
+    val perTerm = postings
       .join(broadcast(qterms), Seq("term"))
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
@@ -82,6 +91,78 @@ object TextSearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"),
         round(col("score_dec").cast("double"), 6).as("score"))
+  }
+
+  /** Persist the corpus inverted index so retrieval stops paying the
+    * corpus scan: the BM25 analogue of the LSH signature store and the
+    * IVF index. Tokenize + tf-aggregate ONCE at write time; every
+    * probe afterwards reads only the queried terms' postings.
+    *
+    * Layout under `path`:
+    *   - `postings/`: (term, doc_id, dl, tf, df) range-partitioned AND
+    *     sorted by term — each parquet file covers a contiguous term
+    *     range, so a probe's `term IN (...)` prunes to the files/row
+    *     groups whose min/max straddle a query term (same file-skipping
+    *     mechanism the Z-order layout uses, here on the natural 1-D
+    *     key). df is denormalized into the row at write time: the
+    *     probe needs no window and no second pass.
+    *   - `meta/`: one row (n_docs, avgdl) — the two corpus scalars
+    *     scoring needs.
+    *
+    * `shards` = 0 lets range partitioning pick the width from the
+    * data; pass an explicit count to pin file granularity. */
+  def writeSearchIndex(docs: DataFrame, path: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shards: Int = 0): Unit = {
+    val statsRow = docs.agg(count(lit(1)),
+      avg(size(split(col(textCol), " ")))).head
+    require(statsRow.getLong(0) > 0L,
+      "writeSearchIndex needs a non-empty corpus")
+    docs.sparkSession.range(1)
+      .select(lit(statsRow.getLong(0)).as("n_docs"),
+        lit(statsRow.getDouble(1)).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).as("dl"),
+      explode(split(col(textCol), " ")).as("term"))
+    val postings = toks
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
+    val ranged =
+      if (shards > 0) postings.repartitionByRange(shards, col("term"))
+      else postings.repartitionByRange(col("term"))
+    ranged.sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** BM25 top-k against a persisted [[writeSearchIndex]] index —
+    * identical scores and ranking to [[bm25TopK]] over the corpus the
+    * index was built from (spec-pinned parity; the DuckDB oracle is
+    * literally the same SQL), at per-probe cost ∝ the queried terms'
+    * posting lists instead of the corpus.
+    *
+    * The query vocabulary becomes a bounded driver-side IN-list so the
+    * term filter pushes down to the parquet scan (file + row-group
+    * pruning against the sorted term ranges) — same bounded-query-set
+    * contract as [[phraseSearchInline]]'s literal phrase list. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int,
+                    queryIdCol: String = "query_id",
+                    queryTextCol: String = "qtext",
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    val (nDocs, avgdl) = (meta.getLong(0).toDouble, meta.getDouble(1))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(split(col(queryTextCol), " ")).as("term"))
+      .distinct()
+    val vocab = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(vocab.nonEmpty, "bm25FromIndex needs at least one query term")
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(vocab: _*))
+    scorePostings(postings, qterms, nDocs, avgdl, k, k1, b)
   }
 
   /** Exact multi-word phrase search: for each (query_id, phrase) find

@@ -845,6 +845,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25FromIndex: persisted index reproduces direct BM25 exactly " +
+    "and the probe scan pushes the term IN-list down") {
+    val s = spark
+    import s.implicits._
+    val queries = Seq((0L, "spark join fast"), (1L, "the data table"))
+      .toDF("query_id", "qtext")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25idx_spec").toString
+    TextSearch.writeSearchIndex(docs, idx)
+    val direct = TextSearch.bm25TopK(docs, queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val probed = TextSearch.bm25FromIndex(s, idx, queries, k = 5)
+    val probedRows = probed.orderBy("query_id", "rank").collect().toSeq
+    assert(probedRows == direct)
+    // the probe plan's parquet scan must carry the pushed In filter —
+    // postings outside the query vocabulary never leave the files
+    val scanLine = probed.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("PushedFilters"))
+    assert(scanLine.exists(_.contains("In(term")),
+      s"expected In(term...) pushed to the postings scan, got $scanLine")
+    // appending nothing / rebuilding is idempotent: overwrite semantics
+    TextSearch.writeSearchIndex(docs, idx)
+    assert(TextSearch.bm25FromIndex(s, idx, queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq == direct)
+  }
+
   test("bigram LM scoring matches hand computation, incl. unseen bigrams") {
     val s = spark
     import s.implicits._
