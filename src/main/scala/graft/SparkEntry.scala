@@ -153,6 +153,54 @@ FROM words JOIN w$numMerges USING (token),
       |SELECT query_id, doc_id, rank, score FROM ranked
       |WHERE rank <= 10""".stripMargin
 
+  /** Unrolled DuckDB replica of
+    * [[graft.operators.TextClassify.trainLogisticHashed]]: each
+    * gradient-descent round repeats the same decimal residual sums and
+    * round-9 weight update, so the trained weights replicate
+    * bit-for-bit at any round count — the pageRank discipline applied
+    * to model training. */
+  private def logregOracleSql(dim: Int, iters: Int, lr: Double,
+                              labelSql: String): String = {
+    val dec0 = "CAST(0 AS DECIMAL(28,9))"
+    val rounds = (1 to iters).map { k =>
+      s"""m$k AS (
+  SELECT l.doc_id,
+    CAST(round(1.0 / (1.0 + exp(-(CAST(bw.w +
+        COALESCE(f.s, $dec0) AS DOUBLE)))), 9) AS DECIMAL(28,9)) -
+      CAST(l.y AS DECIMAL(28,9)) AS r
+  FROM labels l
+  LEFT JOIN (
+    SELECT feats.doc_id, CAST(sum(w.w) AS DECIMAL(28,9)) AS s
+    FROM feats JOIN w${k - 1} w USING (b) GROUP BY feats.doc_id
+  ) f USING (doc_id)
+  CROSS JOIN (SELECT w FROM w${k - 1} WHERE b = -1) bw(w)
+), g$k AS (
+  SELECT b, CAST(sum(r) AS DECIMAL(28,9)) AS g
+  FROM feats JOIN m$k USING (doc_id) GROUP BY b
+  UNION ALL
+  SELECT -1, CAST(sum(r) AS DECIMAL(28,9)) FROM m$k
+), w$k AS (
+  SELECT w.b, CAST(w.w - CAST(round($lr *
+      CAST(COALESCE(g.g, $dec0) AS DOUBLE) / nn.n, 9)
+    AS DECIMAL(28,9)) AS DECIMAL(28,9)) AS w
+  FROM w${k - 1} w CROSS JOIN nn LEFT JOIN g$k g USING (b)
+)"""
+    }
+    s"""WITH feats AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(tok), 1, 12))::BIGINT % $dim AS b
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+), labels AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN $labelSql THEN 1 ELSE 0 END AS y
+  FROM documents
+), nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w0 AS (SELECT range AS b, $dec0 AS w FROM range(-1, $dim)),
+${rounds.mkString(",\n")}
+SELECT b AS feature, round(CAST(w AS DOUBLE), 6) AS weight
+FROM w$iters"""
+  }
+
   /** DuckDB replica of [[graft.operators.Stats.correlationMatrix]]:
     * the same decimal-summed moments from one aggregate, the same
     * double formula shape per pair. */
@@ -1413,6 +1461,15 @@ $joins"""
         "doc_id", "text", buckets = 1024)
     }),
 
+    // distributed logistic-regression training: 3 full-batch GD rounds
+    // for an is-English classifier over 32 md5-hashed presence buckets
+    // — gradients decimal-summed, updates round-9, so the TRAINED MODEL
+    // replicates bit-for-bit in the unrolled SQL oracle
+    "q_text_logreg" -> ((s, dir) =>
+      TextClassify.trainLogisticHashed(
+        t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+        "doc_id", "text", "is_en", dim = 32, iters = 3, lr = 1.0)),
+
     // Naive-Bayes language classifier: train on 90% of the corpus with
     // its lang labels, classify the held-out 10% — the exact-arithmetic
     // stand-in for a fastText-style curation filter model
@@ -2377,6 +2434,8 @@ $joins"""
           |SELECT doc_id, count(*)::BIGINT AS n_tokens,
           |  round(CAST(sum(d) AS DOUBLE), 6) AS log_ratio
           |FROM lr GROUP BY 1""".stripMargin,
+
+      "q_text_logreg" -> logregOracleSql(32, 3, 1.0, "lang = 'en'"),
 
       // Naive Bayes: add-k token likelihoods vs the class total (unseen
       // tokens penalized against N_c — the LEFT JOIN keeps them), prior

@@ -235,4 +235,138 @@ object TextClassify {
     else pred.join(test.select(col(idCol) +: keepCols.map(col): _*),
       Seq(idCol))
   }
+
+  /** The md5-48 hashed-bag-of-words feature space shared by
+    * [[trainLogisticHashed]] and [[scoreLogisticHashed]]: one row per
+    * (doc, DISTINCT bucket) — presence features, the fastText-style
+    * representation whose dimensionality is `dim` regardless of
+    * vocabulary. Engine-reproducible bucket hash (the DSIR pattern). */
+  private def hashedFeatures(docs: DataFrame, idCol: String,
+                             textCol: String, dim: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long")
+          % dim).as("b"))
+      .distinct()
+
+  /** Train a binary logistic-regression text classifier with
+    * full-batch gradient descent ON the cluster — the GPT-3-lineage
+    * quality-filter shape (score documents by a model trained against
+    * a trusted split) with the training loop itself distributed and,
+    * unusually, EXTERNALLY REPLICABLE: every gradient is a DECIMAL sum
+    * of per-document residuals, every weight update rounds once to 9
+    * decimals, so `iters` rounds replicate bit-for-bit in unrolled SQL
+    * (the pageRank discipline applied to model training).
+    *
+    * Model: P(y=1|x) = σ(w·x + w₀) over `dim` md5-48 presence buckets;
+    * update wⱼ ← wⱼ − round(lr · gradⱼ / n, 9) from w = 0. No
+    * regularization (bounded presence features + few rounds; add an L2
+    * term upstream of the round if needed).
+    *
+    * Scale shape per round: one groupBy(doc) margin sum and one
+    * groupBy(bucket) gradient sum over the (doc, bucket) presence
+    * frame — both keyed, both map-side-combined (the gradient reduces
+    * to ≤ dim+1 rows per partition BEFORE the exchange, so the tiny
+    * key space is a partial-agg win, not a skew hazard). The model is
+    * dim+1 scalars: it rides INTO each round as decimal literals
+    * inside the margin expression (plan-constant, like the IVF
+    * codebooks) and the round's ONE action collects the dim+1
+    * gradients back — the update itself is driver arithmetic on
+    * bounded metadata, the same exact decimal ops the plan would do
+    * (IVF `trainCentroids` precedent). Nothing corpus-sized ever
+    * leaves the executors, and no per-round lineage accumulates.
+    *
+    * Output: (feature, weight) — one row per bucket 0..dim−1 plus the
+    * bias at feature = −1; weight rounded to 6 for display, training
+    * precision is the internal decimal. */
+  def trainLogisticHashed(docs: DataFrame, idCol: String, textCol: String,
+                          labelCol: String, dim: Int = 32,
+                          iters: Int = 3, lr: Double = 1.0): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = hashedFeatures(docs, idCol, textCol, dim)
+      .localCheckpoint(false)
+    val labels = docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("boolean").cast("int").as("y"))
+      .localCheckpoint(false)
+    val n = labels.count()
+    require(n > 0, "trainLogisticHashed needs a non-empty corpus")
+    val zero = lit(0).cast("decimal(28,9)")
+    // round-9 HALF_UP on a double — the engine round() convention,
+    // applied to the driver-side weight updates so they are the same
+    // exact decimals the plan-side round() would produce
+    def d9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    var w: Map[Long, BigDecimal] =
+      ((-1L until dim.toLong).map(_ -> BigDecimal(0))).toMap
+    (0 until iters).foreach { _ =>
+      // the model as a plan literal: bucket -> decimal weight
+      val wMap = map_from_arrays(
+        array(w.keys.toSeq.sorted.map(lit): _*),
+        array(w.keys.toSeq.sorted.map(b =>
+          lit(w(b).underlying.toPlainString).cast("decimal(28,9)")): _*))
+      val margins = feats
+        .select(col("doc_id"), element_at(wMap, col("b")).as("wv"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wv")).cast("decimal(28,9)").as("s"))
+      val resid = labels
+        .join(margins, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (round(lit(1.0) /
+              (lit(1.0) + exp(-((lit(w(-1L).underlying.toPlainString)
+                  .cast("decimal(28,9)") +
+                coalesce(col("s"), zero)).cast("double")))), 9)
+            .cast("decimal(28,9)") -
+            col("y").cast("decimal(28,9)")).as("r"))
+      // one action: per-bucket gradient sums plus the bias row
+      val grads = feats.join(resid, Seq("doc_id"))
+        .groupBy(col("b"))
+        .agg(sum(col("r")).cast("decimal(28,9)").as("g"))
+        .unionByName(resid
+          .agg(sum(col("r")).cast("decimal(28,9)").as("g"))
+          .select(lit(-1L).as("b"), col("g")))
+        .as[(Long, java.math.BigDecimal)]
+        .collect().toMap
+      w = w.map { case (b, wv) =>
+        val g = grads.get(b).flatMap(Option(_))
+          .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+        b -> (wv - d9(lr * g.toDouble / n))
+      }
+    }
+    // display: double-cast THEN round-6, the same shape as the SQL
+    // round(CAST(w AS DOUBLE), 6) the oracle uses
+    w.toSeq.sortBy(_._1).map { case (b, wv) =>
+      (b, BigDecimal(wv.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("feature", "weight")
+  }
+
+  /** Score documents with a [[trainLogisticHashed]] weight frame:
+    * (idCol, p) with p = σ(bias + Σ presence-bucket weights) rounded
+    * to 6. The weight frame is dim+1 rows and broadcasts; scoring is
+    * one keyed sum over the presence frame. */
+  def scoreLogisticHashed(docs: DataFrame, weights: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val dim = weights.count().toInt - 1
+    require(dim >= 1, "weights must carry the bias row plus buckets")
+    val feats = hashedFeatures(docs, idCol, textCol, dim)
+    val w = weights.select(col("feature").as("b"),
+      col("weight").cast("double").as("w"))
+    val bias = w.filter(col("b") === -1L).select(col("w").as("w_bias"))
+    val sums = feats.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(round(col("w"), 9).cast("decimal(28,9)"))
+        .cast("decimal(28,9)").as("s"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(sums, Seq("doc_id"), "left")
+      .crossJoin(broadcast(bias))
+      .select(col("doc_id").as(idCol),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("w_bias") +
+            coalesce(col("s").cast("double"), lit(0.0))))), 6).as("p"))
+  }
 }

@@ -871,6 +871,80 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("query_id", "rank").collect().toSeq == direct)
   }
 
+  test("trainLogisticHashed matches a driver-side replica of the " +
+    "decimal GD rounds and is partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "aa bb", true), (2L, "aa cc", true),
+      (3L, "dd ee", false), (4L, "dd ff", false),
+      (5L, "aa dd", true)
+    ).toDF("doc_id", "text", "y")
+    val dim = 8
+    val got = TextClassify
+      .trainLogisticHashed(df, "doc_id", "text", "y", dim = dim,
+        iters = 2, lr = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver replica with the same arithmetic discipline
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(6).map(b => f"$b%02x").mkString, 16)
+      h % dim
+    }
+    val feats = df.collect().map { r =>
+      (r.getLong(0), r.getString(1).split(" ").map(bucket).distinct.toSeq,
+        if (r.getBoolean(2)) 1 else 0)
+    }
+    val n = feats.length.toDouble
+    def d9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    var w = Map((-1L) -> BigDecimal(0)) ++
+      (0 until dim).map(b => b.toLong -> BigDecimal(0))
+    for (_ <- 1 to 2) {
+      val resid = feats.map { case (_, bs, y) =>
+        val m = (w(-1L) + bs.map(w).sum).toDouble
+        (bs, d9(1.0 / (1.0 + math.exp(-m))) - y)
+      }
+      val grads = resid.flatMap { case (bs, r) => bs.map(_ -> r) }
+        .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      val gBias = resid.map(_._2).sum
+      w = w.map { case (b, wv) =>
+        val g = if (b == -1L) gBias else grads.getOrElse(b, BigDecimal(0))
+        b -> (wv - d9(0.5 * g.toDouble / n))
+      }
+    }
+    assert(got.size == dim + 1)
+    w.foreach { case (b, wv) =>
+      val exp = wv.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(b) == exp, s"feature $b")
+    }
+    // identical under a different input partitioning
+    val re = TextClassify
+      .trainLogisticHashed(df.repartition(7), "doc_id", "text", "y",
+        dim = dim, iters = 2, lr = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(re == got)
+  }
+
+  test("scoreLogisticHashed separates the classes the model trained on") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "good clean prose here", true),
+      (2L, "good tidy prose again", true),
+      (3L, "spam junk garbage noise", false),
+      (4L, "junk spam noise filler", false)
+    ).toDF("doc_id", "text", "y")
+    val wts = TextClassify.trainLogisticHashed(df, "doc_id", "text", "y",
+      dim = 16, iters = 20, lr = 2.0)
+    val p = TextClassify.scoreLogisticHashed(df, wts)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p(1L) > 0.8 && p(2L) > 0.8, s"positives low: $p")
+    assert(p(3L) < 0.2 && p(4L) < 0.2, s"negatives high: $p")
+  }
+
   test("bigram LM scoring matches hand computation, incl. unseen bigrams") {
     val s = spark
     import s.implicits._
