@@ -1863,6 +1863,20 @@ $joins"""
         graft.sources.Layout.zValue(
           Seq(col("l_partkey"), col("l_suppkey")), bits = 16).as("zval"))),
 
+    // small-file compaction round-trip: scatter documents over 64
+    // tiny files, compact back toward the byte target (one coalesced
+    // file here), read the result — content must be row-identical to
+    // the source, which is exactly what the oracle checks
+    "q_layout_compact" -> ((s, dir) => {
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_compact_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      t(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(work)
+      graft.sources.Layout.compact(s, work, targetBytes = 512L << 20)
+      s.read.parquet(work)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -4472,6 +4486,10 @@ $joins"""
           |)
           |EXCEPT
           |SELECT CAST(n_nationkey AS INT) FROM nation WHERE n_regionkey = 0""".stripMargin,
+
+      // compaction preserves content exactly
+      "q_layout_compact" ->
+        "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
       "q_layout_zorder" ->
         s"""SELECT l_orderkey, l_linenumber,

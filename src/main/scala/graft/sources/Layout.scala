@@ -83,4 +83,70 @@ object Layout {
     }
     configured.parquet(path)
   }
+
+  /** Compact a parquet directory's files toward `targetBytes` outputs —
+    * the maintenance pass every streaming/incremental sink needs:
+    * micro-batch and per-task writes accumulate thousands of small
+    * files, and at 100 TB the scan's task-per-file scheduling plus
+    * footer reads dominate long before the data does (the
+    * Delta/Iceberg OPTIMIZE role, from public Spark primitives).
+    *
+    * The output file count derives from the LIVE byte total (one
+    * driver-side file listing — bounded metadata), never a config:
+    * ⌈Σbytes / targetBytes⌉ files. Without `sortCol` the rewrite is a
+    * `coalesce` — narrow, zero-shuffle bin-packing of existing
+    * partitions. With `sortCol` it is one range exchange that also
+    * re-establishes clustering (re-tightening min/max pruning the way
+    * [[zOrderWrite]] does at first write).
+    *
+    * Swap protocol: write to a sibling temp dir, rename the original
+    * aside, rename the rewrite in, delete the original — a failed
+    * swap-in restores the original and throws. Not atomic (HDFS
+    * renames are; object-store renames are not) — concurrent readers
+    * mid-swap see the old OR new listing, both complete; concurrent
+    * WRITERS to the directory are the caller's exclusion to hold.
+    * Returns (files_before, files_after). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L << 20,
+              sortCol: Option[String] = None): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"compact: no parquet files under $path")
+    val total = files.map(_.getLen).sum
+    val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    val rewrite = sortCol match {
+      case Some(c) =>
+        df.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
+      case None =>
+        // coalesce is the zero-shuffle path, but it can only REDUCE the
+        // scan's partition count — and a small-file scan packs many
+        // files into few input partitions (maxPartitionBytes), so when
+        // the scan under-partitions the target, fall back to a
+        // round-robin shuffle (cheap by definition: the total is small
+        // enough that more files were wanted)
+        if (df.rdd.getNumPartitions >= nOut) df.coalesce(nOut)
+        else df.repartition(nOut)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + "__compact_old")
+    rewrite.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old)) throw new IllegalStateException(
+      s"compact: could not move $path aside — directory left untouched")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore; the rewrite stays in tmp for debugging
+      throw new IllegalStateException(
+        s"compact: swap-in failed — original restored, rewrite at $tmp")
+    }
+    fs.delete(old, true)
+    val after = fs.listStatus(p)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
 }

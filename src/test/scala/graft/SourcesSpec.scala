@@ -61,6 +61,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(direct == viaBloom && viaBloom >= 1)
   }
 
+  test("compact bin-packs small files to the byte target, preserves " +
+       "content, and re-clusters when asked") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString + "/t"
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    src.repartition(32).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(before.length == 32)
+    val totalBytes = before.map(_.length).sum
+    // target half the total -> exactly 2 output files
+    val (nb, na) = graft.sources.Layout.compact(spark, dir,
+      targetBytes = (totalBytes + 1) / 2)
+    assert(nb == 32 && na == 2)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == src.count())
+    // content identical row-for-row
+    assert(after.orderBy("o_orderkey").collect().toSeq ==
+      src.orderBy("o_orderkey").collect().toSeq)
+    // sorted variant: each output file's key range must be disjoint.
+    // Re-derive the target from the CURRENT bytes — compaction shrank
+    // the total (32 tiny files carry heavy per-file overhead)
+    val nowBytes = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (_, ns) = graft.sources.Layout.compact(spark, dir,
+      targetBytes = (nowBytes + 1) / 2, sortCol = Some("o_orderkey"))
+    assert(ns == 2)
+    val ranges = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val d = spark.read.parquet(f.getPath)
+          .agg(org.apache.spark.sql.functions.min(col("o_orderkey")),
+            org.apache.spark.sql.functions.max(col("o_orderkey"))).head
+        (d.getLong(0), d.getLong(1))
+      }.sortBy(_._1)
+    assert(ranges.length == 2 && ranges(0)._2 < ranges(1)._1,
+      s"expected disjoint sorted ranges, got ${ranges.toSeq}")
+  }
+
   test("jsonl round-trips content, types, and JSON-hostile strings") {
     val spark = SparkTestSession.spark
     import spark.implicits._
