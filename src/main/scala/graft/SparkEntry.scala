@@ -1363,6 +1363,23 @@ $joins"""
         "value", binWidth = 5.0)
     }),
 
+    // robust outlier gate on event values: median/MAD thresholds are
+    // two bounded aggregates rounded-6, the gate itself scan-speed
+    "q_stats_mad" -> ((s, dir) =>
+      graft.operators.Stats.madOutliers(
+        t(s, dir, "events").select("event_id", "value"), "value",
+        k = 3.5)),
+
+    // categorical drift: KL(P_even ‖ P_odd) over the language mix of
+    // the two doc_id parities — the label-space complement to the
+    // continuous KS statistic
+    "q_stats_kl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Stats.klDivergence(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "lang")
+    }),
+
     // feature-redundancy screen over the four lineitem measures: every
     // pairwise Pearson from ONE aggregate pass, decimal-summed moments
     "q_stats_corr" -> ((s, dir) =>
@@ -4190,6 +4207,48 @@ $joins"""
       // same per-bin counts, same bounded self-join cumulation, same
       // exact-integer |cum_a*n_b - cum_b*n_a| compare; one double
       // division on the winner
+      // same interpolated quantiles (round-6 thresholds) and gate shape
+      "q_stats_mad" ->
+        """WITH med AS (
+          |  SELECT round(quantile_cont(value, 0.5), 6) AS m FROM events
+          |), mad AS (
+          |  SELECT round(quantile_cont(abs(value - med.m), 0.5), 6) AS d
+          |  FROM events, med
+          |), sc AS (SELECT round(1.4826 * mad.d, 6) AS s FROM mad)
+          |SELECT event_id, value,
+          |  round(abs(value - med.m), 6) AS abs_dev,
+          |  CASE WHEN sc.s = 0 THEN abs(value - med.m) = 0
+          |       ELSE abs(value - med.m) <= 3.5 * sc.s END AS keep
+          |FROM events, med, sc""".stripMargin,
+
+      // same union-of-categories smoothing and decimal-summed terms
+      "q_stats_kl" ->
+        """WITH ca AS (
+          |  SELECT lang AS c, count(*) AS na FROM documents
+          |  WHERE doc_id % 2 = 0 GROUP BY 1
+          |), cb AS (
+          |  SELECT lang AS c, count(*) AS nb FROM documents
+          |  WHERE doc_id % 2 = 1 GROUP BY 1
+          |), cats AS (
+          |  SELECT coalesce(ca.c, cb.c) AS c,
+          |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+          |  FROM ca FULL OUTER JOIN cb ON ca.c = cb.c
+          |), t AS (
+          |  SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS nc
+          |  FROM cats
+          |), terms AS (
+          |  SELECT CAST(round(((na + 0.5) / (t.ta + 0.5 * t.nc)) *
+          |    ln(((na + 0.5) / (t.ta + 0.5 * t.nc)) /
+          |       ((nb + 0.5) / (t.tb + 0.5 * t.nc))), 9)
+          |    AS DECIMAL(28,9)) AS trm
+          |  FROM cats, t
+          |)
+          |SELECT t.ta::BIGINT AS n_a, t.tb::BIGINT AS n_b,
+          |  t.nc::BIGINT AS n_categories,
+          |  round(CAST((SELECT CAST(sum(trm) AS DECIMAL(28,9))
+          |    FROM terms) AS DOUBLE), 6) AS kl_div
+          |FROM t""".stripMargin,
+
       "q_stats_corr" -> corrOracleSql("lineitem",
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
 

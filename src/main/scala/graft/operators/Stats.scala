@@ -231,6 +231,82 @@ object Stats {
               col("n_neg").cast("double")), 6)).as("auc"))
   }
 
+  /** Median-absolute-deviation outlier gate: flag rows whose value
+    * sits more than `k` scaled MADs from the median — the robust
+    * data-cleaning filter (a mean/stddev z-score gate moves WITH the
+    * outliers it should catch; median and MAD don't, up to 50%
+    * contamination).
+    *
+    * Two bounded aggregate passes: the exact interpolated median, then
+    * the median of |x − med|. Both thresholds are driver scalars
+    * rounded to 6 (the [[graft.operators.Curation.bucketByQuantile]]
+    * replication discipline), so the gate itself is a scan-speed
+    * projection — no join, no window. MAD scales by the normal
+    * consistency constant 1.4826 (k is then in σ-equivalent units).
+    * At 100 TB swap `percentile` for `percentile_approx` unchanged
+    * downstream. A zero MAD (> 50% of values identical) flags only
+    * exact-median rows as inliers — documented degenerate, guarded to
+    * avoid 0·k = 0 masquerading as a band.
+    *
+    * Output: input rows + (abs_dev, keep boolean). */
+  def madOutliers(df: DataFrame, valueCol: String,
+                  k: Double = 3.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val v = col(valueCol).cast("double")
+    val medRow = df.agg(percentile(v, lit(0.5))).head
+    require(!medRow.isNullAt(0), "madOutliers needs non-null values")
+    val med = r6(medRow.getDouble(0))
+    val mad = r6(df.agg(percentile(abs(v - lit(med)), lit(0.5)))
+      .head.getDouble(0))
+    val scaled = r6(1.4826 * mad)
+    val dev = abs(v - lit(med))
+    df.withColumn("abs_dev", round(dev, 6))
+      .withColumn("keep",
+        if (scaled == 0.0) dev === 0.0 else dev <= lit(k) * lit(scaled))
+  }
+
+  /** Kullback-Leibler divergence D(P‖Q) between two empirical
+    * CATEGORICAL distributions — the drift monitor for label-space
+    * columns (domain mix, language mix, event types) where [[ksDrift]]
+    * covers the continuous case. Add-k smoothing over the UNION of
+    * observed categories keeps Q(x) > 0 (unsmoothed KL is infinite the
+    * moment a new category appears — precisely when you want a finite,
+    * comparable number).
+    *
+    * Shape: two category-bounded count aggregates are the only
+    * corpus-sized work; the category-level log-ratio terms round to 9
+    * and sum as DECIMAL (order-independent, engine-replicable).
+    * Output: one row (n_a, n_b, n_categories, kl_div[round 6], in
+    * nats). */
+  def klDivergence(a: DataFrame, b: DataFrame, catCol: String,
+                   smoothK: Double = 0.5): DataFrame = {
+    require(smoothK > 0, "smoothK must be positive")
+    val ca = a.select(col(catCol).cast("string").as("c")).na.drop()
+      .groupBy(col("c")).agg(count(lit(1)).as("na"))
+    val cb = b.select(col(catCol).cast("string").as("c")).na.drop()
+      .groupBy(col("c")).agg(count(lit(1)).as("nb"))
+    val cats = ca.join(cb, Seq("c"), "full_outer")
+      .select(col("c"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .localCheckpoint(false)
+    val tot = cats.agg(sum(col("na")), sum(col("nb")),
+      count(lit(1))).head
+    val (totA, totB, nCat) =
+      (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    require(totA > 0 && totB > 0,
+      "klDivergence needs non-empty sides")
+    // p, q under add-k smoothing; term = p·ln(p/q), decimal-summed
+    val p = (col("na") + smoothK) / lit(totA + smoothK * nCat)
+    val q = (col("nb") + smoothK) / lit(totB + smoothK * nCat)
+    cats.agg(sum(round(p * log(p / q), 9).cast("decimal(28,9)"))
+        .cast("decimal(28,9)").as("kl_dec"))
+      .select(lit(totA).as("n_a"), lit(totB).as("n_b"),
+        lit(nCat).as("n_categories"),
+        round(col("kl_dec").cast("double"), 6).as("kl_div"))
+  }
+
   /** Pairwise Pearson correlation of `cols` in ONE aggregate pass —
     * the feature-redundancy screen run before training on a wide
     * signal matrix (two quality signals correlating at 0.98 are one

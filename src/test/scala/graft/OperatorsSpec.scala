@@ -3650,6 +3650,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(z.getAs[Double]("d_stat") == 0.0 && z.getAs[Long]("at_bin") == 0L)
   }
 
+  test("madOutliers gates on scaled MAD and survives the zero-MAD " +
+    "degenerate") {
+    val df = spark.sql(
+      "select * from values (1L, 10.0D), (2L, 11.0D), (3L, 12.0D), " +
+        "(4L, 13.0D), (5L, 100.0D) as t(id, v)")
+    // median 12, deviations (2,1,0,1,88), MAD 1, scaled 1.4826;
+    // k=3.5 -> cutoff 5.1891: only the 100 falls out
+    val r = Stats.madOutliers(df, "v", k = 3.5)
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(2), x.getBoolean(3))).toMap
+    assert(r(3L) == (0.0, true) && r(1L) == (2.0, true))
+    assert(r(5L) == (88.0, false))
+    // > 50% identical values: MAD 0 -> only exact-median rows keep
+    val const = spark.sql(
+      "select * from values (1L, 5.0D), (2L, 5.0D), (3L, 5.0D), " +
+        "(4L, 9.0D) as t(id, v)")
+    val c = Stats.madOutliers(const, "v")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    assert(c == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+  }
+
+  test("klDivergence matches the hand formula; zero for identical " +
+    "mixes; asymmetric") {
+    val s = spark
+    import s.implicits._
+    val a = (Seq.fill(6)("x") ++ Seq.fill(2)("y")).toDF("c")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(6)("y")).toDF("c")
+    val r = Stats.klDivergence(a, b, "c", smoothK = 0.5).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (8L, 8L, 2L))
+    // p = (6.5/9, 2.5/9), q = (2.5/9, 6.5/9)
+    def d9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expect = (d9(6.5 / 9 * math.log((6.5 / 9) / (2.5 / 9))) +
+      d9(2.5 / 9 * math.log((2.5 / 9) / (6.5 / 9))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(3) - expect) < 1e-9)
+    // identical mixes -> 0; reversed direction differs (asymmetry)
+    assert(Stats.klDivergence(a, a, "c").head.getDouble(3) == 0.0)
+    val rev = Stats.klDivergence(b, a, "c").head.getDouble(3)
+    assert(rev == r.getDouble(3)) // symmetric HERE only because mixes mirror
+    // a category unseen in q stays finite under smoothing
+    val c2 = Seq("x", "z").toDF("c")
+    assert(!Stats.klDivergence(c2, a, "c").head.isNullAt(3))
+  }
+
   test("correlationMatrix: exact Pearson, diagonal 1, zero-variance null") {
     // y = 2x exactly (corr 1); z anti-correlated with x (corr -1 on
     // these 3 points); w constant (variance 0 -> null)
