@@ -201,6 +201,29 @@ SELECT b AS feature, round(CAST(w AS DOUBLE), 6) AS weight
 FROM w$iters"""
   }
 
+  /** Train-then-score replica: the trained weights quantize through
+    * the round-6 display frame (exactly what `scoreLogisticInline`
+    * consumes), then every document scores as σ(bias + Σ distinct
+    * bucket weights) with the same decimal margin shape. */
+  private def logregScoreOracleSql(dim: Int, iters: Int, lr: Double,
+                                   labelSql: String): String = {
+    val train = logregOracleSql(dim, iters, lr, labelSql)
+    val upToRounds = train.substring(0, train.lastIndexOf("SELECT b AS"))
+    s"""$upToRounds, wq AS (
+  SELECT b, CAST(round(CAST(w AS DOUBLE), 6) AS DECIMAL(28,9)) AS w
+  FROM w$iters
+)
+SELECT l.doc_id,
+  round(1.0 / (1.0 + exp(-(CAST(bw.w +
+    COALESCE(f.s, CAST(0 AS DECIMAL(28,9))) AS DOUBLE)))), 6) AS p
+FROM labels l
+LEFT JOIN (
+  SELECT feats.doc_id, CAST(sum(w.w) AS DECIMAL(28,9)) AS s
+  FROM feats JOIN wq w USING (b) GROUP BY feats.doc_id
+) f USING (doc_id)
+CROSS JOIN (SELECT w FROM wq WHERE b = -1) bw(w)"""
+  }
+
   /** DuckDB replica of [[graft.operators.Stats.correlationMatrix]]:
     * the same decimal-summed moments from one aggregate, the same
     * double formula shape per pair. */
@@ -1487,6 +1510,17 @@ $joins"""
         t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
         "doc_id", "text", "is_en", dim = 32, iters = 3, lr = 1.0)),
 
+    // train THEN score: the round-6 published model applied to every
+    // document via the zero-shuffle compiled decimal fold — the full
+    // quality-filter inference path, end-to-end oracled
+    "q_text_logreg_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wts = TextClassify.trainLogisticHashed(
+        docs.withColumn("is_en", col("lang") === "en"),
+        "doc_id", "text", "is_en", dim = 32, iters = 3, lr = 1.0)
+      TextClassify.scoreLogisticInline(docs, wts)
+    }),
+
     // Naive-Bayes language classifier: train on 90% of the corpus with
     // its lang labels, classify the held-out 10% — the exact-arithmetic
     // stand-in for a fastText-style curation filter model
@@ -2467,6 +2501,9 @@ $joins"""
           |FROM lr GROUP BY 1""".stripMargin,
 
       "q_text_logreg" -> logregOracleSql(32, 3, 1.0, "lang = 'en'"),
+
+      "q_text_logreg_score" ->
+        logregScoreOracleSql(32, 3, 1.0, "lang = 'en'"),
 
       // Naive Bayes: add-k token likelihoods vs the class total (unseen
       // tokens penalized against N_c — the LEFT JOIN keeps them), prior

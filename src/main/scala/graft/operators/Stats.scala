@@ -251,20 +251,36 @@ object Stats {
     * Output: input rows + (abs_dev, keep boolean). */
   def madOutliers(df: DataFrame, valueCol: String,
                   k: Double = 3.5): DataFrame = {
-    require(k > 0, "k must be positive")
+    val (med, scaled) = fitMad(df, valueCol)
+    madGate(df, valueCol, med, scaled, k)
+  }
+
+  /** Fit the [[madOutliers]] thresholds on a reference frame: (median,
+    * scaled MAD), both round-6 driver scalars. Split out so a fit can
+    * gate a DIFFERENT frame — most usefully an unbounded stream, where
+    * the gate below is a stateless projection
+    * ([[graft.streaming.StreamOps.madGateStream]]). */
+  def fitMad(df: DataFrame, valueCol: String): (Double, Double) = {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val v = col(valueCol).cast("double")
     val medRow = df.agg(percentile(v, lit(0.5))).head
-    require(!medRow.isNullAt(0), "madOutliers needs non-null values")
+    require(!medRow.isNullAt(0), "fitMad needs non-null values")
     val med = r6(medRow.getDouble(0))
     val mad = r6(df.agg(percentile(abs(v - lit(med)), lit(0.5)))
       .head.getDouble(0))
-    val scaled = r6(1.4826 * mad)
-    val dev = abs(v - lit(med))
+    (med, r6(1.4826 * mad))
+  }
+
+  /** The scan-speed MAD gate against pre-fit thresholds. */
+  def madGate(df: DataFrame, valueCol: String, median: Double,
+              scaledMad: Double, k: Double = 3.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dev = abs(col(valueCol).cast("double") - lit(median))
     df.withColumn("abs_dev", round(dev, 6))
       .withColumn("keep",
-        if (scaled == 0.0) dev === 0.0 else dev <= lit(k) * lit(scaled))
+        if (scaledMad == 0.0) dev === 0.0
+        else dev <= lit(k) * lit(scaledMad))
   }
 
   /** Kullback-Leibler divergence D(P‖Q) between two empirical

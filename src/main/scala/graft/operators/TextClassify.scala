@@ -344,6 +344,44 @@ object TextClassify {
     }.toDF("feature", "weight")
   }
 
+  /** [[scoreLogisticHashed]] as a ZERO-SHUFFLE projection: the weight
+    * frame (dim+1 bounded rows) collects once and rides inside a
+    * compiled higher-order fold — tokenize, bucket, distinct, then
+    * left-fold the bias + bucket weights as exact decimals within the
+    * row. No join, no aggregation, no state: the form that runs
+    * UNCHANGED on an unbounded stream in append mode
+    * ([[graft.streaming.StreamOps.scoreLogisticStream]]).
+    *
+    * Decimal addition is exact and associative, so the per-row fold
+    * equals the batch groupBy sum bit-for-bit (parity spec). */
+  def scoreLogisticInline(docs: DataFrame, weights: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          passthroughCols: Seq[String] = Nil): DataFrame = {
+    val rows = weights.select(col("feature").cast("long"),
+        col("weight").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dim = rows.size - 1
+    require(dim >= 1 && rows.contains(-1L),
+      "weights must carry the bias row plus buckets")
+    val wMap = map_from_arrays(
+      array((0L until dim.toLong).map(lit): _*),
+      array((0L until dim.toLong).map(b =>
+        lit(BigDecimal(rows(b)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP).underlying.toPlainString)
+          .cast("decimal(28,9)")): _*))
+    val bias = lit(BigDecimal(rows(-1L)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).underlying.toPlainString)
+      .cast("decimal(28,9)")
+    val buckets = array_distinct(transform(split(col(textCol), " "),
+      t => conv(substring(md5(t), 1, 12), 16, 10).cast("long") % dim))
+    val margin = aggregate(buckets, bias,
+      (acc, b) => (acc + element_at(wMap, b)).cast("decimal(28,9)"))
+    docs.select(col(idCol).as(idCol) +: passthroughCols.map(col) :+
+      round(lit(1.0) / (lit(1.0) + exp(-(margin.cast("double")))), 6)
+        .as("p"): _*)
+  }
+
   /** Score documents with a [[trainLogisticHashed]] weight frame:
     * (idCol, p) with p = σ(bias + Σ presence-bucket weights) rounded
     * to 6. The weight frame is dim+1 rows and broadcasts; scoring is
@@ -354,19 +392,23 @@ object TextClassify {
     val dim = weights.count().toInt - 1
     require(dim >= 1, "weights must carry the bias row plus buckets")
     val feats = hashedFeatures(docs, idCol, textCol, dim)
+    // weights quantize to round-9 decimals on BOTH paths (here and in
+    // scoreLogisticInline's literal fold) so the two forms agree
+    // bit-for-bit: decimal addition is exact and associative
     val w = weights.select(col("feature").as("b"),
-      col("weight").cast("double").as("w"))
+      round(col("weight").cast("double"), 9)
+        .cast("decimal(28,9)").as("w"))
     val bias = w.filter(col("b") === -1L).select(col("w").as("w_bias"))
+    val zero = lit(0).cast("decimal(28,9)")
     val sums = feats.join(broadcast(w), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(sum(round(col("w"), 9).cast("decimal(28,9)"))
-        .cast("decimal(28,9)").as("s"))
+      .agg(sum(col("w")).cast("decimal(28,9)").as("s"))
     docs.select(col(idCol).as("doc_id"))
       .join(sums, Seq("doc_id"), "left")
       .crossJoin(broadcast(bias))
       .select(col("doc_id").as(idCol),
         round(lit(1.0) / (lit(1.0) +
-          exp(-(col("w_bias") +
-            coalesce(col("s").cast("double"), lit(0.0))))), 6).as("p"))
+          exp(-((col("w_bias") + coalesce(col("s"), zero))
+            .cast("double")))), 6).as("p"))
   }
 }

@@ -332,6 +332,28 @@ object StreamOps {
     graft.operators.TextAnalysis.piecesTokenize(
       docs.toDF(), "doc_id", "text", vocab, maxPieceLen)
 
+  /** Streaming quality-classifier scoring — the inference side of
+    * `TextClassify.trainLogisticHashed`: the trained weight frame
+    * (dim+1 bounded rows) collects once at stream start and rides
+    * inside a compiled decimal fold, so each micro-batch scores as a
+    * stateless zero-shuffle projection — append-mode, no watermark.
+    * Retraining means restarting the query (a filter model must not
+    * drift mid-corpus — the piecesTokenizeStream contract). */
+  def scoreLogisticStream(docs: Dataset[StreamDoc],
+                          weights: DataFrame): DataFrame =
+    graft.operators.TextClassify.scoreLogisticInline(
+      docs.toDF(), weights, "doc_id", "text",
+      passthroughCols = Seq("ts"))
+
+  /** Streaming MAD outlier gate: thresholds are fit ONCE on a
+    * reference frame (`Stats.fitMad`, two round-6 scalars) and ride as
+    * plan literals — each micro-batch gates as a stateless projection,
+    * append-mode, zero state (the blendQualityStream pattern applied
+    * to robust value cleaning). */
+  def madGateStream(rows: DataFrame, valueCol: String, median: Double,
+                    scaledMad: Double, k: Double = 3.5): DataFrame =
+    graft.operators.Stats.madGate(rows, valueCol, median, scaledMad, k)
+
   /** Streaming perceptual-image dedup: each arriving image asset
     * (id, content, meta.mime — the multimodal asset schema) is decoded
     * once, pHashed, and probed against a static corpus-hash frame (a

@@ -237,6 +237,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(docs.forall(d => tsRows(d.doc_id) == d.ts))
   }
 
+  test("scoreLogisticStream scores micro-batches exactly like the " +
+    "batch scorer, out of order") {
+    import StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docsDf = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(80)
+    val wts = graft.operators.TextClassify.trainLogisticHashed(
+      docsDf.withColumn("is_en", org.apache.spark.sql.functions.col("lang") === "en"),
+      "doc_id", "text", "is_en", dim = 16, iters = 2)
+    val batch = graft.operators.TextClassify
+      .scoreLogisticHashed(docsDf, wts)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the inline fold agrees with the batch join/agg form bit-for-bit
+    val inline = graft.operators.TextClassify
+      .scoreLogisticInline(docsDf, wts)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inline == batch)
+    def tsOf(id: Long) =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        (id * 7 % 53) * 60000L)
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1), tsOf(r.getLong(0))))
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.scoreLogisticStream(input.toDS(), wts)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("logreg_stream")
+      .outputMode("append").start()
+    (0 until 2).foreach { c =>
+      input.addData(docs.filter(_.doc_id % 2 == c.toLong).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.sql("select doc_id, p from logreg_stream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("madGateStream gates micro-batches with batch-fit thresholds") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ref = Seq(10.0, 11.0, 12.0, 13.0, 100.0).toDF("v")
+    val (med, scaled) = graft.operators.Stats.fitMad(ref, "v")
+    val batch = graft.operators.Stats.madGate(ref, "v", med, scaled)
+      .collect().map(r => r.getDouble(0) -> r.getBoolean(2)).toMap
+    val input = MemoryStream[Double]
+    val out = StreamOps.madGateStream(input.toDS().toDF("v"), "v",
+      med, scaled)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("mad_stream")
+      .outputMode("append").start()
+    input.addData(100.0, 12.0)
+    q.processAllAvailable()
+    input.addData(10.0, 13.0, 11.0)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from mad_stream").collect()
+      .map(r => r.getDouble(0) -> r.getBoolean(2)).toMap
+    assert(streamed == batch)
+    assert(streamed(100.0) == false && streamed(12.0) == true)
+  }
+
   test("heavyHitterTokensStream matches batch heavyHitterTokens in complete mode") {
     val s = spark
     import s.implicits._
