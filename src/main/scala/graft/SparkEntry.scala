@@ -1420,6 +1420,54 @@ $joins"""
       graft.operators.Stats.cohenKappa(pairs, "cur", "nxt")
     }),
 
+    // Deequ-style table-health profile: per-column completeness /
+    // distinctness / min-max-mean from ONE aggregate pass (the
+    // multi-distinct plans as Spark's Expand)
+    "q_stats_profile" -> ((s, dir) =>
+      graft.operators.Stats.profileColumns(t(s, dir, "customer"),
+        Seq("c_custkey", "c_acctbal", "c_mktsegment"))),
+
+    // equal-width distribution profile of lineitem prices: one pass,
+    // one bounded shuffle, only observed bins emitted
+    "q_stats_histogram" -> ((s, dir) =>
+      graft.operators.Stats.histogram(t(s, dir, "lineitem"),
+        "l_extendedprice", binWidth = 5000.0)),
+
+    // total-mass drift (PSI) between the click and purchase value
+    // distributions — the integral companion to q_stats_ks's
+    // max-statistic over the same 5.0-wide bins
+    "q_stats_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Stats.psiDrift(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", binWidth = 5.0)
+    }),
+
+    // SCD2 validity intervals over each user's event-type change log:
+    // consecutive repeats collapse to runs, runs stitch into half-open
+    // [valid_from, valid_to) with the open tail marked current
+    "q_events_scd2" -> ((s, dir) =>
+      graft.operators.Events.scd2(t(s, dir, "events"),
+        "user_id", "event_type")),
+
+    // anti-domination gate: at most 50 docs per source, chosen by
+    // content-hash pseudo-order (an unbiased, reproducible subset)
+    "q_sample_cap" -> ((s, dir) =>
+      graft.operators.Curation.capPerGroup(
+        t(s, dir, "documents").select("doc_id", "lang", "source"),
+        Seq("source"), n = 50, keyCols = Seq("doc_id"))),
+
+    // tokenizer-vocab acceptance test: vocab trained on the 90% split,
+    // per-doc OOV rate measured on the held 10%
+    "q_text_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.buildVocab(
+        docs.filter(col("doc_id") % 10 =!= 0), "text", topN = 500)
+      TextAnalysis.vocabCoverage(
+        docs.filter(col("doc_id") % 10 === 0), vocab)
+    }),
+
     "q_graph_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       graft.operators.Graph.pageRank(
@@ -4319,6 +4367,137 @@ $joins"""
           |      (n::DOUBLE * n::DOUBLE - e_mass::DOUBLE), 6)
           |  END AS kappa
           |FROM ag, ex""".stripMargin,
+
+      // same one-pass constraint metrics, reshaped to one row per
+      // column; decimal-summed means, round-6 ratios
+      "q_stats_profile" ->
+        """WITH m AS (
+          |  SELECT count(*) AS n,
+          |    count(c_custkey) AS nn1, count(DISTINCT c_custkey) AS nd1,
+          |    min(c_custkey::DOUBLE) AS mn1, max(c_custkey::DOUBLE) AS mx1,
+          |    CAST(sum(CAST(round(c_custkey::DOUBLE, 9) AS DECIMAL(38,9)))
+          |      AS DECIMAL(38,9)) AS sm1,
+          |    count(c_acctbal) AS nn2, count(DISTINCT c_acctbal) AS nd2,
+          |    min(c_acctbal::DOUBLE) AS mn2, max(c_acctbal::DOUBLE) AS mx2,
+          |    CAST(sum(CAST(round(c_acctbal::DOUBLE, 9) AS DECIMAL(38,9)))
+          |      AS DECIMAL(38,9)) AS sm2,
+          |    count(c_mktsegment) AS nn3,
+          |    count(DISTINCT c_mktsegment) AS nd3
+          |  FROM customer)
+          |SELECT 'c_custkey' AS "column", n::BIGINT AS n_rows,
+          |  (n - nn1)::BIGINT AS n_null,
+          |  round(nn1::DOUBLE / n::DOUBLE, 6) AS completeness,
+          |  nd1::BIGINT AS n_distinct, mn1 AS min_value, mx1 AS max_value,
+          |  CASE WHEN nn1 > 0 THEN round(sm1::DOUBLE / nn1::DOUBLE, 6)
+          |  END AS mean_value
+          |FROM m
+          |UNION ALL
+          |SELECT 'c_acctbal', n::BIGINT, (n - nn2)::BIGINT,
+          |  round(nn2::DOUBLE / n::DOUBLE, 6), nd2::BIGINT, mn2, mx2,
+          |  CASE WHEN nn2 > 0 THEN round(sm2::DOUBLE / nn2::DOUBLE, 6) END
+          |FROM m
+          |UNION ALL
+          |SELECT 'c_mktsegment', n::BIGINT, (n - nn3)::BIGINT,
+          |  round(nn3::DOUBLE / n::DOUBLE, 6), nd3::BIGINT,
+          |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          |  CAST(NULL AS DOUBLE)
+          |FROM m""".stripMargin,
+
+      // same floor-division binning; only observed bins appear
+      "q_stats_histogram" ->
+        """WITH b AS (
+          |  SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin
+          |  FROM lineitem)
+          |SELECT bin, bin::DOUBLE * 5000.0 AS lo,
+          |  (bin + 1)::DOUBLE * 5000.0 AS hi, count(*)::BIGINT AS n
+          |FROM b GROUP BY 1""".stripMargin,
+
+      // same per-bin counts as q_stats_ks, then the union-smoothed
+      // (p-q)·ln(p/q) terms round to 9 and sum as DECIMAL
+      "q_stats_psi" ->
+        """WITH ba AS (
+          |  SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+          |         count(*) AS na
+          |  FROM events WHERE event_type = 'click' GROUP BY 1
+          |), bb AS (
+          |  SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+          |         count(*) AS nb
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+          |), bins AS MATERIALIZED (
+          |  SELECT coalesce(ba.bin, bb.bin) AS bin,
+          |         coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+          |  FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin
+          |), t AS (
+          |  SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS nc
+          |  FROM bins
+          |), terms AS (
+          |  SELECT CAST(round(
+          |    (((na + 0.5) / (t.ta + 0.5 * t.nc)) -
+          |     ((nb + 0.5) / (t.tb + 0.5 * t.nc))) *
+          |    ln(((na + 0.5) / (t.ta + 0.5 * t.nc)) /
+          |       ((nb + 0.5) / (t.tb + 0.5 * t.nc))), 9)
+          |    AS DECIMAL(28,9)) AS trm
+          |  FROM bins, t
+          |)
+          |SELECT t.ta::BIGINT AS n_a, t.tb::BIGINT AS n_b,
+          |  t.nc::BIGINT AS n_bins,
+          |  round(CAST((SELECT CAST(sum(trm) AS DECIMAL(28,9))
+          |    FROM terms) AS DOUBLE), 6) AS psi
+          |FROM t""".stripMargin,
+
+      // same run-collapse (lag) then interval stitch (lead), both
+      // windows keyed by user
+      "q_events_scd2" ->
+        """WITH runs AS (
+          |  SELECT user_id AS key, event_type AS value, ts AS ts0,
+          |    event_id AS tie,
+          |    lag(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS prev
+          |  FROM events)
+          |SELECT key, value, ts0 AS valid_from,
+          |  lead(ts0) OVER (PARTITION BY key ORDER BY ts0, tie)
+          |    AS valid_to,
+          |  lead(ts0) OVER (PARTITION BY key ORDER BY ts0, tie) IS NULL
+          |    AS is_current
+          |FROM runs WHERE prev IS NULL OR prev <> value""".stripMargin,
+
+      // same md5 pseudo-order and id tiebreak as the stratified-sample
+      // oracle, capped at a constant instead of a fraction
+      "q_sample_cap" ->
+        """WITH ranked AS (
+          |  SELECT doc_id, lang, source,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+          |  FROM documents)
+          |SELECT doc_id, lang, source FROM ranked
+          |WHERE rnk <= 50""".stripMargin,
+
+      // the q_text_vocab construction on the 90% split (same tf-desc /
+      // token-asc tie-break at the LIMIT boundary), left-joined to the
+      // held split's tokens
+      "q_text_oov" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          |  FROM documents WHERE doc_id % 10 <> 0),
+          |per AS (
+          |  SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+          |agg AS (
+          |  SELECT token, CAST(sum(c) AS BIGINT) AS tf FROM per
+          |  GROUP BY 1),
+          |vocab AS (
+          |  SELECT token FROM agg ORDER BY tf DESC, token LIMIT 500),
+          |held AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |  FROM documents WHERE doc_id % 10 = 0)
+          |SELECT h.doc_id, count(h.tok)::BIGINT AS n_tokens,
+          |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_oov,
+          |  CASE WHEN count(h.tok) > 0 THEN
+          |    round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+          |      ::DOUBLE / count(h.tok)::DOUBLE, 6)
+          |  END AS oov_rate
+          |FROM held h LEFT JOIN vocab v ON h.tok = v.token
+          |GROUP BY h.doc_id""".stripMargin,
 
       "q_stats_ks" ->
         """WITH ba AS (

@@ -417,4 +417,33 @@ object Curation {
         min(col(idCol)).as("first_doc_id"),
         max(col(idCol)).as("last_doc_id"))
   }
+
+  /** Per-group deterministic cap: keep at most `n` rows of each group,
+    * chosen by content-hash pseudo-order — the anti-domination gate of
+    * web-corpus curation (RefinedWeb/C4 both cap per-host document
+    * counts: one mirror-farm domain must not become 40% of the mix).
+    * Hash order rather than "first n by id" so the kept subset is an
+    * unbiased sample of the group, yet fully reproducible (same hash
+    * discipline as [[stratifiedSample]]; id tiebreak for equal
+    * hashes).
+    *
+    * Scale shape: one group-keyed window — the shuffle is by the group
+    * column and a group's rows sort within their own partition.
+    * row_number keeps per-row state O(1); a pathological mega-group
+    * (one host = half the corpus) serializes on one task, in which
+    * case pre-thin with [[sampleByHashThreshold]] at fraction ≈
+    * n/⌈group size⌉ before the exact cap — the hash-threshold sample
+    * nests inside the hash-ordered cap, so pre-thinning never changes
+    * which rows CAN win, only drops certain losers early. Returns the
+    * input rows that survive the cap, columns unchanged. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], n: Int,
+                  keyCols: Seq[String]): DataFrame = {
+    require(n >= 0, "cap must be non-negative")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(hashKey(keyCols) +: keyCols.map(col): _*)
+    df.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= n)
+      .drop("__rnk")
+  }
 }

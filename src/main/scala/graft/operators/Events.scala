@@ -238,4 +238,38 @@ object Events {
         min(col(idCol)).as("first_event_id"),
         max(col(idCol)).as("last_event_id"))
   }
+
+  /** Slowly-changing-dimension (type 2) interval construction from a
+    * change log: collapse each key's consecutive repeats of the tracked
+    * attribute, then stitch the survivors into half-open validity
+    * intervals [valid_from, valid_to) with the open-ended last interval
+    * marked current. The "current" slice IS the upsert/CDC snapshot
+    * (latest value per key), so one operator serves both the history
+    * table and the merge-into result.
+    *
+    * Scale shape: two windows, both partitioned by the key — keyed
+    * shuffles only, no global order anywhere; a key's history sorts
+    * within its own partition (event-log key cardinality dwarfs
+    * per-key depth, the shape window functions are built for). Repeat
+    * collapse happens BEFORE interval stitching, so a key flapping
+    * A→A→A…→B (the telemetry common case) carries one row per run, not
+    * per event. `tieCol` breaks equal-timestamp ties deterministically.
+    * Output: (key, value, valid_from, valid_to, is_current); valid_to
+    * null on the current row. */
+  def scd2(events: DataFrame, keyCol: String, attrCol: String,
+           tsCol: String = "ts",
+           tieCol: String = "event_id"): DataFrame = {
+    val runs = events
+      .select(col(keyCol).as("key"), col(attrCol).as("value"),
+        col(tsCol).as("ts0"), col(tieCol).as("tie"))
+      .withColumn("prev", lag(col("value"), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("ts0"), col("tie"))))
+      .filter(col("prev").isNull || !(col("prev") <=> col("value")))
+    val stitched = Window.partitionBy(col("key"))
+      .orderBy(col("ts0"), col("tie"))
+    runs.select(col("key"), col("value"),
+        col("ts0").as("valid_from"),
+        lead(col("ts0"), 1).over(stitched).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

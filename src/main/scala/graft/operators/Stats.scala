@@ -373,6 +373,129 @@ object Stats {
       .select(col("r.col_a"), col("r.col_b"), col("r.corr"))
   }
 
+  /** Deequ-style data-quality profile: per-column constraint metrics in
+    * a single aggregate job — the table-health check run before a
+    * corpus enters a training mix (a column that silently went 40% null
+    * or collapsed to one distinct value poisons everything downstream,
+    * and at 100 TB nobody eyeballs it).
+    *
+    * Metrics per column: row count, null count, completeness (non-null
+    * fraction), exact distinct count, and — where the value casts to a
+    * number — min / max / decimal-summed mean. Scale shape: ONE
+    * aggregate over one scan; the multi-column count-distinct plans as
+    * Spark's Expand (k + 1 row multiplication before partial
+    * aggregation — the engine's standard multi-distinct shape; for
+    * k ≫ 10 columns swap `count_distinct` for `approx_count_distinct`
+    * unchanged elsewhere). The k-row reshape to long form explodes the
+    * single aggregate row inside the plan (the [[correlationMatrix]]
+    * pattern) — nothing is collected. Mean rounds per-row to 9 and
+    * sums as DECIMAL: partition-order independent, engine-replicable.
+    * Output: (column, n_rows, n_null, completeness[round 6],
+    * n_distinct, min_value, max_value, mean_value[round 6]); the three
+    * numeric cells are null for non-numeric columns. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    val numeric: Map[String, Boolean] = cols.map { c =>
+      c -> (df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _ => false
+      })
+    }.toMap
+    val aggs = cols.flatMap { c =>
+      val base = Seq(
+        count(col(c)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"))
+      val num =
+        if (numeric(c)) Seq(
+          min(col(c).cast("double")).as(s"mn_$c"),
+          max(col(c).cast("double")).as(s"mx_$c"),
+          sum(round(col(c).cast("double"), 9).cast("decimal(38,9)"))
+            .as(s"sm_$c"))
+        else Nil
+      base ++ num
+    }
+    val m = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = cols.map { c =>
+      val nn = col(s"nn_$c")
+      val (mn, mx, mean) =
+        if (numeric(c))
+          (col(s"mn_$c"), col(s"mx_$c"),
+            when(nn > 0,
+              round(col(s"sm_$c").cast("double") / nn.cast("double"), 6)))
+        else (lit(null).cast("double"), lit(null).cast("double"),
+          lit(null).cast("double"))
+      struct(lit(c).as("column"), col("n").as("n_rows"),
+        (col("n") - nn).as("n_null"),
+        round(nn.cast("double") / col("n").cast("double"), 6)
+          .as("completeness"),
+        col(s"nd_$c").as("n_distinct"),
+        mn.as("min_value"), mx.as("max_value"), mean.as("mean_value"))
+    }
+    m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Equal-width histogram of a numeric column — the distribution
+    * profile behind [[ksDrift]]/[[psiDrift]] exposed as its own
+    * operator: bin = ⌊value / binWidth⌋ over the full corpus, one
+    * output row per OBSERVED bin (empty bins are absent — at 100 TB a
+    * wide-range column would otherwise emit unbounded empty rows).
+    *
+    * One pass, one bounded shuffle (≤ observed-bin cardinality); nulls
+    * and NaNs drop. Output: (bin, lo, hi, n) with lo = bin·binWidth. */
+  def histogram(df: DataFrame, valueCol: String,
+                binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be > 0")
+    val v = col(valueCol).cast("double")
+    df.select(v.as("v")).filter(col("v").isNotNull && !isnan(col("v")))
+      .select(floor(col("v") / lit(binWidth)).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .select(col("bin"), (col("bin").cast("double") * lit(binWidth)).as("lo"),
+        ((col("bin") + 1).cast("double") * lit(binWidth)).as("hi"), col("n"))
+  }
+
+  /** Population Stability Index between two corpus slices over
+    * equal-width bins — the industry-standard "has this feature
+    * drifted" number (PSI = Σ (p_a − p_b)·ln(p_a/p_b); rule of thumb:
+    * < 0.1 stable, > 0.25 action). The symmetric sibling of
+    * [[klDivergence]] on the continuous axis [[ksDrift]] covers with a
+    * max-statistic: KS finds the worst single point, PSI integrates
+    * total mass movement — monitoring wants both.
+    *
+    * Same scale shape as ksDrift: each side collapses to per-bin counts
+    * in one pass (the only corpus-sized shuffles); add-k smoothing over
+    * the UNION of observed bins keeps both proportions positive (an
+    * empty-on-one-side bin is precisely the drift signal, and
+    * unsmoothed PSI is infinite there); the per-bin terms round to 9
+    * and sum as DECIMAL. Output: one row (n_a, n_b, n_bins,
+    * psi[round 6]). */
+  def psiDrift(a: DataFrame, b: DataFrame, valueCol: String,
+               binWidth: Double, smoothK: Double = 0.5): DataFrame = {
+    require(binWidth > 0, "binWidth must be > 0")
+    require(smoothK > 0, "smoothK must be positive")
+    def binned(df: DataFrame, cName: String) = {
+      val v = col(valueCol).cast("double")
+      df.select(v.as("v")).filter(col("v").isNotNull && !isnan(col("v")))
+        .select(floor(col("v") / lit(binWidth)).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cName))
+    }
+    val bins = binned(a, "na").join(binned(b, "nb"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .localCheckpoint(false)
+    val tot = bins.agg(sum(col("na")), sum(col("nb")), count(lit(1))).head
+    val (totA, totB, nBins) =
+      (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    require(totA > 0 && totB > 0, "psiDrift needs non-empty sides")
+    val p = (col("na") + smoothK) / lit(totA + smoothK * nBins)
+    val q = (col("nb") + smoothK) / lit(totB + smoothK * nBins)
+    bins.agg(sum(round((p - q) * log(p / q), 9).cast("decimal(28,9)"))
+        .cast("decimal(28,9)").as("psi_dec"))
+      .select(lit(totA).as("n_a"), lit(totB).as("n_b"),
+        lit(nBins).as("n_bins"),
+        round(col("psi_dec").cast("double"), 6).as("psi"))
+  }
+
   /** Cohen's kappa: agreement between two categorical columns beyond
     * chance — the standard inter-annotator / classifier-vs-gold
     * agreement score (κ = (p_o − p_e)/(1 − p_e), Cohen 1960).

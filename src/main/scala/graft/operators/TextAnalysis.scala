@@ -253,6 +253,39 @@ object TextAnalysis {
       .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
   }
 
+  /** Vocabulary coverage / out-of-vocabulary rate per document against
+    * a trained token inventory — the acceptance test run after
+    * [[buildVocab]]/[[trainBpe]]/[[trainPieces]] produce a vocab and
+    * before it ships: a tokenizer whose vocab misses 20% of a new
+    * corpus slice's tokens will shred that slice into garbage pieces.
+    * Also the per-document routing signal (docs with high OOV against
+    * an English vocab are probably not English).
+    *
+    * Scale shape: explode to (doc, token) and LEFT SEMI-shape against
+    * the broadcast vocab (vocabs are ≤ a few hundred-k rows — the
+    * canonical broadcast dim), then one doc-keyed count aggregate; the
+    * token explosion never shuffles, only the per-doc partial counts
+    * do. Output: (doc_id, n_tokens, n_oov, oov_rate[round 6]);
+    * null-text documents survive (explode_outer) with n_tokens 0 and
+    * a null rate. */
+  def vocabCoverage(docs: DataFrame, vocab: DataFrame,
+                    idCol: String = "doc_id",
+                    textCol: String = "text",
+                    vocabTokenCol: String = "token"): DataFrame = {
+    val vt = broadcast(
+      vocab.select(col(vocabTokenCol).as("__vt")).distinct())
+    docs.select(col(idCol), explode_outer(tokens(col(textCol))).as("tok"))
+      .join(vt, col("tok") === col("__vt"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("tok")).as("n_tokens"),
+        sum(when(col("tok").isNotNull && col("__vt").isNull, lit(1L))
+          .otherwise(lit(0L))).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          round(col("n_oov").cast("double") /
+            col("n_tokens").cast("double"), 6)))
+  }
+
   /** Least-squares Zipf fit over the vocabulary head — the one-number
     * corpus-health diagnostic (natural text sits near slope −1;
     * template/boilerplate-heavy or synthetic corpora flatten, spammy

@@ -429,6 +429,18 @@ object StreamOps {
                           groupCols: Seq[String] = Nil): DataFrame =
     graft.operators.Stats.quantileStats(docs, valueCol, qs, eps, groupCols)
 
+  /** Running equal-width histogram — the Structured Streaming form of
+    * `Stats.histogram` (the live distribution monitor that feeds the
+    * same bins PSI/KS drift read offline): identical batch code on the
+    * unbounded stream, complete/update-mode output. State is one count
+    * per OBSERVED bin — bounded by value range / binWidth, no
+    * watermark needed; the running answer after any prefix equals the
+    * batch answer on that prefix (counts are prefix-decomposable),
+    * which the parity spec pins. */
+  def histogramStream(rows: DataFrame, valueCol: String,
+                      binWidth: Double): DataFrame =
+    graft.operators.Stats.histogram(rows, valueCol, binWidth)
+
   /** Streaming phrase watch — the Structured Streaming form of
     * `TextSearch.phraseSearchInline`: the phrase list rides as literals
     * inside compiled higher-order functions and every arriving

@@ -3995,4 +3995,141 @@ class OperatorsSpec extends AnyFunSuite {
     // label-asc tie-break picks aa
     assert(got(12L) == (("aa", 5L)))
   }
+
+  // ---- data-quality profiling / drift ----
+
+  test("profileColumns: completeness, distinctness, min/max/mean per column") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 2.0, 'x'), (2L, null, 'x'), (3L, 6.0, null), (4L, 2.0, 'y')
+        |  as t(id, v, s)""".stripMargin)
+    val got = Stats.profileColumns(df, Seq("id", "v", "s"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(got.keySet == Set("id", "v", "s"))
+    val id = got("id")
+    assert(id.getAs[Long]("n_rows") == 4 && id.getAs[Long]("n_null") == 0)
+    assert(id.getAs[Double]("completeness") == 1.0)
+    assert(id.getAs[Long]("n_distinct") == 4)
+    assert(id.getAs[Double]("min_value") == 1.0 &&
+      id.getAs[Double]("max_value") == 4.0)
+    assert(id.getAs[Double]("mean_value") == 2.5)
+    val v = got("v")
+    assert(v.getAs[Long]("n_null") == 1)
+    assert(v.getAs[Double]("completeness") == 0.75)
+    assert(v.getAs[Long]("n_distinct") == 2) // 2.0, 6.0 — null not counted
+    // mean over the 3 non-null values: (2 + 6 + 2) / 3
+    assert(math.abs(v.getAs[Double]("mean_value") - 10.0 / 3.0) < 1e-6)
+    val s = got("s")
+    assert(s.getAs[Long]("n_null") == 1 && s.getAs[Long]("n_distinct") == 2)
+    // non-numeric column: numeric cells are null
+    assert(s.isNullAt(s.fieldIndex("min_value")) &&
+      s.isNullAt(s.fieldIndex("mean_value")))
+  }
+
+  test("histogram: floor binning (negatives included), only observed bins") {
+    val df = spark.sql(
+      "select * from values (-0.5), (0.0), (1.5), (1.9), (7.0) as t(v)")
+    val got = Stats.histogram(df, "v", binWidth = 1.0)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+          r.getAs[Long]("n"))).toMap
+    // -0.5 floors to bin -1 (floor, not truncation); no empty bins 2..6
+    assert(got == Map(-1L -> ((-1.0, 0.0, 1L)), 0L -> ((0.0, 1.0, 1L)),
+      1L -> ((1.0, 2.0, 2L)), 7L -> ((7.0, 8.0, 1L))))
+  }
+
+  test("psiDrift: zero on identical slices, positive and symmetric under drift") {
+    val a = spark.sql("select * from values (1.0), (2.0), (11.0) as t(v)")
+    val b = spark.sql("select * from values (1.5), (2.5), (31.0) as t(v)")
+    val same = Stats.psiDrift(a, a, "v", binWidth = 10.0).head
+    assert(same.getAs[Double]("psi") == 0.0)
+    val ab = Stats.psiDrift(a, b, "v", binWidth = 10.0).head
+    val ba = Stats.psiDrift(b, a, "v", binWidth = 10.0).head
+    // b moved mass into bin 3 that a never had: positive drift, and PSI
+    // is symmetric by construction ((p-q)ln(p/q) is)
+    assert(ab.getAs[Double]("psi") > 0.0)
+    // symmetric by construction ((p−q)ln(p/q) is); ln(p/q) and −ln(q/p)
+    // can differ in the last float bit, so compare past the rounding
+    assert(math.abs(ab.getAs[Double]("psi") -
+      ba.getAs[Double]("psi")) < 2e-6)
+    assert(ab.getAs[Long]("n_bins") == 3) // union of observed bins 0,1,3
+  }
+
+  // ---- SCD2 / per-group cap / vocab coverage ----
+
+  test("scd2: repeats collapse to runs, intervals stitch, last is current") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, timestamp '2026-01-01 00:00:00', 7L, 'a'),
+        |  (2L, timestamp '2026-01-02 00:00:00', 7L, 'a'),
+        |  (3L, timestamp '2026-01-03 00:00:00', 7L, 'b'),
+        |  (4L, timestamp '2026-01-04 00:00:00', 7L, 'a'),
+        |  (5L, timestamp '2026-01-01 00:00:00', 8L, 'x')
+        |  as t(event_id, ts, user_id, event_type)""".stripMargin)
+    val got = Events.scd2(df, "user_id", "event_type")
+      .orderBy("key", "valid_from").collect()
+    // user 7: a@d1 (repeat d2 collapsed), b@d3, a@d4; user 8: one row
+    assert(got.length == 4)
+    val u7 = got.filter(_.getAs[Long]("key") == 7L)
+    assert(u7.map(_.getAs[String]("value")).toSeq == Seq("a", "b", "a"))
+    // half-open stitching: each valid_to equals the next valid_from
+    assert(u7(0).getAs[java.sql.Timestamp]("valid_to") ==
+      u7(1).getAs[java.sql.Timestamp]("valid_from"))
+    assert(u7(1).getAs[java.sql.Timestamp]("valid_to") ==
+      u7(2).getAs[java.sql.Timestamp]("valid_from"))
+    assert(u7.map(_.getAs[Boolean]("is_current")).toSeq ==
+      Seq(false, false, true))
+    assert(got.filter(_.getAs[Long]("key") == 8L)
+      .forall(_.getAs[Boolean]("is_current")))
+  }
+
+  test("scd2: equal timestamps break ties on the tie column") {
+    val df = spark.sql(
+      """select * from values
+        |  (2L, timestamp '2026-01-01', 1L, 'b'),
+        |  (1L, timestamp '2026-01-01', 1L, 'a')
+        |  as t(event_id, ts, user_id, event_type)""".stripMargin)
+    val got = Events.scd2(df, "user_id", "event_type")
+      .orderBy("valid_from", "value").collect()
+    // event_id order decides: a first (not current), b current
+    assert(got.map(r => (r.getAs[String]("value"),
+      r.getAs[Boolean]("is_current"))).toSeq ==
+      Seq(("a", false), ("b", true)))
+  }
+
+  test("capPerGroup: small groups pass through, large groups cut to n, deterministic") {
+    val capped = Curation.capPerGroup(docs, Seq("source"), 5, Seq("doc_id"))
+    val sizes = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    orig.foreach { case (src, n) =>
+      assert(sizes(src) == math.min(n, 5L), s"source $src")
+    }
+    // kept rows are a subset of the input, and the choice is stable
+    val ids1 = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.capPerGroup(docs, Seq("source"), 5, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(all))
+  }
+
+  test("vocabCoverage: per-doc OOV against a vocab; null text survives") {
+    val d = spark.sql(
+      """select * from values
+        |  (1L, 'the cat sat'), (2L, 'zap zap the'),
+        |  (3L, cast(null as string))
+        |  as t(doc_id, text)""".stripMargin)
+    val vocab = spark.sql("select * from values ('the'), ('cat') as t(token)")
+    val got = TextAnalysis.vocabCoverage(d, vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_tokens") == 3)
+    assert(got(1L).getAs[Long]("n_oov") == 1) // 'sat'
+    assert(math.abs(got(1L).getAs[Double]("oov_rate") - 1.0 / 3.0) < 1e-6)
+    assert(got(2L).getAs[Long]("n_oov") == 2) // both 'zap's count
+    // null text: zero tokens, null rate — the doc is not dropped
+    assert(got(3L).getAs[Long]("n_tokens") == 0)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("oov_rate")))
+  }
 }

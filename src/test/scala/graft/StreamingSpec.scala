@@ -364,6 +364,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("histogramStream matches the batch histogram after every prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val valsDf = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .limit(100).select("event_id", "value")
+    val rows = valsDf.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val input = MemoryStream[(Long, Double)]
+    val out = StreamOps.histogramStream(
+      input.toDF().toDF("event_id", "value"), "value", binWidth = 5.0)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    def histOf(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Stats.histogram(df, "value", 5.0).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    // running answer equals the batch answer on the fed prefix — checked
+    // after EACH chunk, not just at the end (counts are prefix-decomposable)
+    (0 until 2).foreach { c =>
+      input.addData(rows.filter(_._1 % 2 == c.toLong).toSeq: _*)
+      q.processAllAvailable()
+      val fed = valsDf.filter(col("event_id") % 2 <= c)
+      val streamed = s.sql("select * from hist_stream").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      assert(streamed == histOf(fed) && streamed.nonEmpty)
+    }
+    q.stop()
+  }
+
   test("phraseSearchStream emits the batch phrase matches in append mode") {
     import StreamOps.StreamDoc
     val s = spark
