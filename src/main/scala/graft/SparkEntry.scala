@@ -1976,6 +1976,20 @@ $joins"""
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // dataset-versioning diff: old = docs minus the %11=3 slice, new =
+    // docs minus the %7=0 slice with %5=0 texts edited — added/removed/
+    // changed rows (and which columns) from one keyed full-outer join;
+    // unchanged rows never emit
+    "q_layout_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 11 =!= 3)
+      val neu = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.sources.Layout.snapshotDiff(old, neu,
+        Seq("doc_id"), Seq("text", "lang"))
+    }),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -4770,6 +4784,41 @@ $joins"""
         s"""SELECT l_orderkey, l_linenumber,
            |  ($zorderExprSql) AS zval
            |FROM lineitem""".stripMargin,
+
+      // same null-safe column compare (IS DISTINCT FROM ↔ <=>) over the
+      // same full-outer join; concat_ws skips NULL args in both engines
+      "q_layout_diff" ->
+        """WITH o AS (
+          |  SELECT doc_id, text, lang FROM documents
+          |  WHERE doc_id % 11 <> 3
+          |), n AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+          |      AS text,
+          |    lang
+          |  FROM documents WHERE doc_id % 7 <> 0
+          |), j AS (
+          |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |    o.doc_id IS NOT NULL AS in_old,
+          |    n.doc_id IS NOT NULL AS in_new,
+          |    o.text IS DISTINCT FROM n.text AS d_text,
+          |    o.lang IS DISTINCT FROM n.lang AS d_lang
+          |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+          |)
+          |SELECT doc_id,
+          |  CASE WHEN NOT in_old THEN 'added'
+          |       WHEN NOT in_new THEN 'removed'
+          |       ELSE 'changed' END AS status,
+          |  CASE WHEN in_old AND in_new THEN concat_ws(',',
+          |    CASE WHEN d_text THEN 'text' END,
+          |    CASE WHEN d_lang THEN 'lang' END) ELSE '' END
+          |    AS changed_cols,
+          |  CASE WHEN in_old AND in_new THEN
+          |    (CASE WHEN d_text THEN 1 ELSE 0 END +
+          |     CASE WHEN d_lang THEN 1 ELSE 0 END)
+          |  ELSE 0 END AS n_changed
+          |FROM j
+          |WHERE (NOT in_old) OR (NOT in_new) OR d_text OR d_lang""".stripMargin,
 
       "q_sort_topk" ->
         """SELECT l_orderkey, l_linenumber, l_extendedprice

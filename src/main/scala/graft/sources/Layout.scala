@@ -149,4 +149,54 @@ object Layout {
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (files.length, after)
   }
+
+  /** Snapshot diff between two versions of a keyed dataset: which rows
+    * were added, removed, or changed (and in which columns) — the
+    * dataset-versioning primitive behind "what moved between crawl N
+    * and crawl N+1", audit trails for a training-mix freeze, and
+    * incremental downstream refresh (only re-embed the changed docs).
+    *
+    * Scale shape: ONE key-partitioned full-outer join is the whole
+    * cost; both sides pre-project to key + compared columns only, and
+    * unchanged rows — the overwhelming majority between adjacent
+    * snapshots — are filtered out BEFORE anything is emitted, so the
+    * output is proportional to the churn, not the corpus. To diff wide
+    * rows cheaply, pass a single precomputed fingerprint column (e.g.
+    * `TextAnalysis.fingerprint`) as the compare set: the join then
+    * carries one hash per side instead of the full payload.
+    * Change detection is null-safe (`<=>`): null→value and value→null
+    * are changes, null→null is not. Output: (keyCols..., status ∈
+    * added|removed|changed, changed_cols — comma-joined in `compareCols`
+    * order, empty for added/removed — and n_changed). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val o = oldDf.select(keyCols.map(col) ++
+      (lit(true).as("__old") +:
+        compareCols.map(c => col(c).as(s"__o_$c"))): _*)
+    val n = newDf.select(keyCols.map(col) ++
+      (lit(true).as("__new") +:
+        compareCols.map(c => col(c).as(s"__n_$c"))): _*)
+    val j = o.join(n, keyCols, "full_outer")
+    def diff(c: String): Column = !(col(s"__o_$c") <=> col(s"__n_$c"))
+    val anyDiff = compareCols.map(diff).reduce(_ || _)
+    val changed = col("status") === "changed"
+    j.withColumn("status",
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(anyDiff, "changed"))
+      .filter(col("status").isNotNull)
+      .withColumn("changed_cols",
+        when(changed, concat_ws(",",
+          compareCols.map(c => when(diff(c), lit(c))): _*))
+          .otherwise(lit("")))
+      .withColumn("n_changed",
+        when(changed, compareCols.map(c =>
+            when(diff(c), lit(1)).otherwise(lit(0))).reduce(_ + _))
+          .otherwise(lit(0)))
+      .select(keyCols.map(col) ++ Seq(col("status"),
+        col("changed_cols"), col("n_changed")): _*)
+  }
 }

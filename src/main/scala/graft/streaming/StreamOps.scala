@@ -1002,6 +1002,95 @@ object StreamOps {
       }
   }
 
+  case class Scd2Event(user_id: Long, event_id: Long, ts: Timestamp,
+                       value: String)
+  case class Scd2Out(user_id: Long, value: String,
+                     valid_from: Timestamp, valid_to: Timestamp)
+  case class Scd2Buf(tsMicros: Long, tie: Long, value: String)
+  case class Scd2State(buf: Seq[Scd2Buf])
+
+  /** Streaming SCD2 — the Structured Streaming form of `Events.scd2`:
+    * each key's arriving change events collapse into runs and closed
+    * validity intervals [valid_from, valid_to) emit in append mode.
+    * Only CLOSED intervals emit (a closed row is a fact no future
+    * event can change — appendable to the history table as-is); the
+    * open "current" interval lives in state until a different value
+    * closes it, because an emitted current row would need retraction
+    * the moment the value changes — exactly what append sinks can't do.
+    *
+    * Finality rule: run i closes at run i+1's start, and that boundary
+    * is final once the boundary event's time is below the watermark —
+    * any event that could land before it (and re-split run i) would be
+    * older than the watermark and is dropped on arrival (explicitly
+    * here, the sessionizeStream late-data discipline). So emitted
+    * intervals equal the batch operator's closed rows over every
+    * sub-watermark prefix, for any arrival order (parity-spec'd with
+    * out-of-order chunks). State per key = the events of runs not yet
+    * closed — bounded by the watermark horizon (pending boundaries
+    * finalize as the watermark passes them) plus the open run's
+    * events, which compact to nothing between value changes only if
+    * values actually change; a never-changing hot key keeps its repeat
+    * events buffered only until the watermark passes them — repeats
+    * BELOW the open run's established sub-watermark prefix are
+    * collapsed on every invocation. */
+  def scd2Stream(events: Dataset[Scd2Event]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    def toTs(m: Long): Timestamp = {
+      val t = new Timestamp(m / 1000)
+      t.setNanos((m % 1000000L).toInt * 1000)
+      t
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Scd2Event],
+         state: GroupState[Scd2State]) =>
+          val prior = state.getOption.getOrElse(Scd2State(Vector.empty))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val merged = (prior.buf ++ rows
+              .map(e => Scd2Buf(micros(e.ts), e.event_id, e.value))
+              .filter(_.tsMicros >= wmMicros))
+            .sortBy(e => (e.tsMicros, e.tie))
+          // consecutive-repeat collapse into runs (the batch lag() rule)
+          val runs = merged.foldLeft(Vector.empty[Vector[Scd2Buf]]) {
+            (acc, e) =>
+              if (acc.nonEmpty && acc.last.head.value == e.value)
+                acc.init :+ (acc.last :+ e)
+              else acc :+ Vector(e)
+          }
+          // run i is final once run i+1's boundary event is sub-watermark
+          val nClosed = (0 until math.max(runs.size - 1, 0))
+            .takeWhile(i => runs(i + 1).head.tsMicros < wmMicros).size
+          val outs = (0 until nClosed).map { i =>
+            Scd2Out(userId, runs(i).head.value,
+              toTs(runs(i).head.tsMicros), toTs(runs(i + 1).head.tsMicros))
+          }
+          val open = runs.drop(nClosed)
+          // inside the open runs, sub-watermark repeats can never be
+          // re-split — keep one representative so state doesn't grow on
+          // a hot never-changing key
+          val compacted = open.map { r =>
+            val (settled, live) = r.partition(_.tsMicros < wmMicros)
+            (settled.take(1) ++ live).toVector
+          }
+          if (compacted.nonEmpty) {
+            state.update(Scd2State(compacted.flatten))
+            // a group's function only runs again on new data or timeout:
+            // if a pending boundary is waiting on the watermark, wake
+            // just past it (strictly past the current watermark too —
+            // the sessionizeStream floor-division guard)
+            if (compacted.size > 1) {
+              val wakeAtMs = compacted(1).head.tsMicros / 1000 + 1
+              state.setTimeoutTimestamp(
+                math.max(wakeAtMs, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          // compacted empty ⟺ merged empty ⟺ no state existed and the
+          // batch was all-late: nothing to store
+          outs.iterator
+      }
+  }
+
   /** Streaming entity resolution against a canonical dictionary: each
     * arriving record's string matches dictionary entries within
     * Levenshtein `maxDist` that share its head-noun block — the

@@ -4115,6 +4115,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ids1.subsetOf(all))
   }
 
+  test("snapshotDiff: added/removed/changed null-safely; unchanged rows absent") {
+    val oldDf = spark.sql(
+      """select * from values
+        |  (1L, 'a', 10), (2L, 'b', cast(null as int)),
+        |  (3L, 'c', 30), (4L, 'd', 40)
+        |  as t(id, s, v)""".stripMargin)
+    val newDf = spark.sql(
+      """select * from values
+        |  (2L, 'b', cast(null as int)), (3L, 'cc', 30),
+        |  (4L, 'd', cast(null as int)), (5L, 'e', 50)
+        |  as t(id, s, v)""".stripMargin)
+    val got = graft.sources.Layout
+      .snapshotDiff(oldDf, newDf, Seq("id"), Seq("s", "v"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("status"), r.getAs[String]("changed_cols"),
+          r.getAs[Int]("n_changed"))).toMap
+    // id 2 is unchanged (null <=> null is NOT a change) and must be absent
+    assert(got == Map(
+      1L -> (("removed", "", 0)),
+      3L -> (("changed", "s", 1)),
+      4L -> (("changed", "v", 1)), // 40 -> null IS a change
+      5L -> (("added", "", 0))))
+  }
+
   test("vocabCoverage: per-doc OOV against a vocab; null text survives") {
     val d = spark.sql(
       """select * from values

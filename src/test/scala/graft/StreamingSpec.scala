@@ -616,6 +616,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 5) // u1: 3 sessions, u2: 2 sessions
   }
 
+  test("scd2Stream equals batch scd2 closed intervals on out-of-order input") {
+    import graft.streaming.StreamOps.{Scd2Event, Scd2Out}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(u: Long, id: Long, ts: String, v: String) =
+      Scd2Event(u, id, Timestamp.valueOf(ts), v)
+    // out-of-chronological-order chunks, with repeats and an A→B→A flap
+    val batches = Seq(
+      Seq(ev(1, 3, "2024-01-01 02:00:00", "b"),
+        ev(2, 20, "2024-01-01 01:00:00", "x")),
+      Seq(ev(1, 1, "2024-01-01 00:00:00", "a"), // straggler opens history
+        ev(1, 4, "2024-01-01 03:00:00", "b"),   // repeat inside run b
+        ev(2, 21, "2024-01-01 02:30:00", "x")), // repeat inside run x
+      Seq(ev(1, 2, "2024-01-01 01:00:00", "a"), // straggler repeat in run a
+        ev(1, 5, "2024-01-01 04:00:00", "a"),   // flap back to a
+        ev(2, 22, "2024-01-01 05:00:00", "y")))
+    val input = MemoryStream[Scd2Event]
+    val events = input.toDF()
+      .withWatermark("ts", "24 hours").as[Scd2Event]
+    val out = StreamOps.scd2Stream(events)
+    val q = out.writeStream.format("memory").queryName("scd2_parity")
+      .outputMode("append").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    // sentinel pushes the watermark past every boundary
+    input.addData(ev(99, 999, "2024-01-05 00:00:00", "z"))
+    q.processAllAvailable()
+    input.addData(ev(99, 998, "2024-01-06 00:00:00", "z"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from scd2_parity where user_id < 99")
+      .as[Scd2Out].collect().toSet
+    val batch = graft.operators.Events.scd2(
+        batches.flatten.toDS().toDF(), "user_id", "value")
+      .filter(col("valid_to").isNotNull)
+      .select(col("key").as("user_id"), col("value"),
+        col("valid_from"), col("valid_to"))
+      .as[Scd2Out].collect().toSet
+    assert(streamed == batch)
+    // u1: a|b|a -> two closed; u2: x|y -> one closed
+    assert(streamed.size == 3)
+  }
+
+  test("scd2Stream holds a boundary until the watermark passes it") {
+    import graft.streaming.StreamOps.{Scd2Event, Scd2Out}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(u: Long, id: Long, ts: String, v: String) =
+      Scd2Event(u, id, Timestamp.valueOf(ts), v)
+    val input = MemoryStream[Scd2Event]
+    val events = input.toDF()
+      .withWatermark("ts", "0 seconds").as[Scd2Event]
+    val q = StreamOps.scd2Stream(events).writeStream.format("memory")
+      .queryName("scd2_final").outputMode("append").start()
+    input.addData(ev(7, 1, "2024-01-01 00:00:00", "a"))
+    q.processAllAvailable()
+    input.addData(ev(7, 2, "2024-01-01 01:00:00", "b"))
+    q.processAllAvailable()
+    // the a->b boundary exists but is not yet below the watermark
+    assert(s.sql("select * from scd2_final").count() == 0)
+    input.addData(ev(8, 9, "2024-01-01 05:00:00", "z"))
+    q.processAllAvailable()
+    input.addData(ev(8, 10, "2024-01-01 06:00:00", "z"))
+    q.processAllAvailable()
+    q.stop()
+    // watermark passed 01:00 -> exactly the closed interval emits; the
+    // open run b (and user 8's open z) stay in state, not in the sink
+    val rows = s.sql("select * from scd2_final").as[Scd2Out].collect()
+    assert(rows.toSeq == Seq(Scd2Out(7, "a",
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-01 01:00:00"))))
+  }
+
   test("sessionizeStream idle retention evicts the counter; numbering restarts") {
     import graft.streaming.StreamOps.{SessionEvent, SessionOut}
     val s = spark
