@@ -390,6 +390,30 @@ SELECT node, deg AS core_degree FROM (
 WHERE deg >= $k"""
   }
 
+  /** The q_graph_lpa oracle: synchronous label propagation unrolled
+    * round-for-round — per round a neighbor-label vote count, the
+    * per-node max, and the min-label tie-break, exactly the operator's
+    * three keyed aggregates. Each lR is referenced twice by round R+1,
+    * so AS MATERIALIZED (the kCore discipline). */
+  private def lpaOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { r =>
+      s"""v$r AS (
+  SELECT ud.a, l.label, count(*) AS cnt
+  FROM ud JOIN l${r - 1} l ON ud.b = l.node GROUP BY 1, 2
+), m$r AS (SELECT a, max(cnt) AS mx FROM v$r GROUP BY 1),
+l$r AS MATERIALIZED (
+  SELECT v$r.a AS node, min(v$r.label) AS label
+  FROM v$r JOIN m$r ON v$r.a = m$r.a AND v$r.cnt = m$r.mx GROUP BY 1
+)"""
+    }.mkString(", ")
+    s"""WITH $coOrderUndSql, ud AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM ud
+), $steps
+SELECT node::BIGINT AS node, label::BIGINT AS label FROM l$iters"""
+  }
+
   /** The q_text_gopher_rep oracle: the 13 Gopher repetition rules
     * replicated in DuckDB — per-n gram CTEs (counts by the gram STRING;
     * the engine counts by 64-bit hash, identical up to ~m²/2⁶⁵
@@ -1427,6 +1451,19 @@ $joins"""
       graft.operators.Stats.profileColumns(t(s, dir, "customer"),
         Seq("c_custkey", "c_acctbal", "c_mktsegment"))),
 
+    // incremental table health: per-status profile shards persist to
+    // parquet, then merge WITHOUT rescanning orders — every metric is
+    // exactly mergeable, so merged == direct (the quantile-shard
+    // contract applied to the constraint profile)
+    "q_stats_profile_shards" -> ((s, dir) => {
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_profshards_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.operators.Stats.writeProfileShards(t(s, dir, "orders"), work,
+        Seq("o_totalprice", "o_custkey"), Seq("o_orderstatus"))
+      graft.operators.Stats.profileFromShards(s, work,
+        Seq("o_totalprice", "o_custkey"))
+    }),
+
     // equal-width distribution profile of lineitem prices: one pass,
     // one bounded shuffle, only observed bins emitted
     "q_stats_histogram" -> ((s, dir) =>
@@ -1513,6 +1550,13 @@ $joins"""
     "q_graph_kcore" -> ((s, dir) =>
       graft.operators.Graph.kCore(coOrderEdges(s, dir), "src", "dst",
         k = 15)),
+
+    // label-propagation communities over the same co-order graph:
+    // synchronous rounds with the (count desc, label asc) tie-break are
+    // a pure function of graph + round count — oracle unrolls 3 rounds
+    "q_graph_lpa" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagation(coOrderEdges(s, dir),
+        "src", "dst", iters = 3)),
 
     // degree assortativity: one-number crawl-graph health diagnostic
     // (negative = hub-leaf wiring, the web's signature)
@@ -4417,6 +4461,35 @@ $joins"""
           |  CAST(NULL AS DOUBLE)
           |FROM m""".stripMargin,
 
+      // the merge is exact (sums/mins/decimal sums), so the oracle is
+      // simply the DIRECT profile over orders — no shard replay needed
+      "q_stats_profile_shards" ->
+        """WITH m AS (
+          |  SELECT count(*) AS n,
+          |    count(o_totalprice) AS nn1,
+          |    min(o_totalprice::DOUBLE) AS mn1,
+          |    max(o_totalprice::DOUBLE) AS mx1,
+          |    CAST(sum(CAST(round(o_totalprice::DOUBLE, 9)
+          |      AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sm1,
+          |    count(o_custkey) AS nn2,
+          |    min(o_custkey::DOUBLE) AS mn2,
+          |    max(o_custkey::DOUBLE) AS mx2,
+          |    CAST(sum(CAST(round(o_custkey::DOUBLE, 9)
+          |      AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sm2
+          |  FROM orders)
+          |SELECT 'o_totalprice' AS "column", n::BIGINT AS n_rows,
+          |  (n - nn1)::BIGINT AS n_null,
+          |  round(nn1::DOUBLE / n::DOUBLE, 6) AS completeness,
+          |  mn1 AS min_value, mx1 AS max_value,
+          |  CASE WHEN nn1 > 0 THEN round(sm1::DOUBLE / nn1::DOUBLE, 6)
+          |  END AS mean_value
+          |FROM m
+          |UNION ALL
+          |SELECT 'o_custkey', n::BIGINT, (n - nn2)::BIGINT,
+          |  round(nn2::DOUBLE / n::DOUBLE, 6), mn2, mx2,
+          |  CASE WHEN nn2 > 0 THEN round(sm2::DOUBLE / nn2::DOUBLE, 6) END
+          |FROM m""".stripMargin,
+
       // same floor-division binning; only observed bins appear
       "q_stats_histogram" ->
         """WITH b AS (
@@ -4546,6 +4619,9 @@ $joins"""
       // peeling unrolled to 16 rounds — far past the graph's
       // convergence depth, and no-ops once fixed
       "q_graph_kcore" -> kCoreOracleSql(15, 16),
+
+      // synchronous LPA rounds unrolled; same votes/max/tie-break aggs
+      "q_graph_lpa" -> lpaOracleSql(3),
 
       // same symmetric Pearson sums: integer aggregates, one double
       // division, round 6

@@ -435,6 +435,64 @@ object Stats {
     m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Persist one mergeable profile summary per `shardCols` group — the
+    * incremental form of [[profileColumns]], the same
+    * write-shards/merge-later contract as [[writeQuantileShards]]: at
+    * 100 TB the table-health check must not rescan the corpus each
+    * day, it reads yesterday's summaries and adds today's shard. Each
+    * persisted metric is exactly mergeable: counts and null counts
+    * add, min/max fold, means come from decimal sums (order- and
+    * shard-independent). Distinct counts are deliberately ABSENT —
+    * per-shard distincts don't merge exactly (overlap is lost); use
+    * the KMV sketch family for mergeable distinct estimates. One
+    * aggregate per call; each row: shardCols + one struct per profiled
+    * column. */
+  def writeProfileShards(df: DataFrame, path: String, cols: Seq[String],
+                         shardCols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(shardCols.nonEmpty, "shardCols must be non-empty")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c"),
+        sum(round(col(c).cast("double"), 9).cast("decimal(38,9)"))
+          .as(s"sm_$c"))
+    }
+    df.groupBy(shardCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Combine persisted profile shards into the corpus-level profile
+    * without touching the original data — appending a shard later is
+    * one more summary row, and the merged numbers are bit-identical to
+    * a direct [[profileColumns]] pass (minus n_distinct) because every
+    * persisted metric is exactly mergeable. Output: (column, n_rows,
+    * n_null, completeness[round 6], min_value, max_value,
+    * mean_value[round 6]). */
+  def profileFromShards(spark: SparkSession, path: String,
+                        cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = sum(col("__n")).as("n") +: cols.flatMap { c =>
+      Seq(sum(col(s"nn_$c")).as(s"nn_$c"),
+        min(col(s"mn_$c")).as(s"mn_$c"),
+        max(col(s"mx_$c")).as(s"mx_$c"),
+        sum(col(s"sm_$c")).as(s"sm_$c"))
+    }
+    val m = spark.read.parquet(path).agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      val nn = col(s"nn_$c")
+      struct(lit(c).as("column"), col("n").as("n_rows"),
+        (col("n") - nn).as("n_null"),
+        round(nn.cast("double") / col("n").cast("double"), 6)
+          .as("completeness"),
+        col(s"mn_$c").as("min_value"), col(s"mx_$c").as("max_value"),
+        when(nn > 0,
+          round(col(s"sm_$c").cast("double") / nn.cast("double"), 6))
+          .as("mean_value"))
+    }
+    m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Equal-width histogram of a numeric column — the distribution
     * profile behind [[ksDrift]]/[[psiDrift]] exposed as its own
     * operator: bin = ⌊value / binWidth⌋ over the full corpus, one

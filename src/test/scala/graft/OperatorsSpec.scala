@@ -4026,6 +4026,31 @@ class OperatorsSpec extends AnyFunSuite {
       s.isNullAt(s.fieldIndex("mean_value")))
   }
 
+  test("profile shards: merged summaries equal the direct profile bit-for-bit") {
+    val df = spark.sql(
+      """select * from values
+        |  ('A', 1.5, 10L), ('A', null, 20L), ('B', -2.25, 30L),
+        |  ('B', 4.0, cast(null as bigint)), ('C', 0.125, 50L)
+        |  as t(grp, x, y)""".stripMargin)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-prof-shards").toString
+    Stats.writeProfileShards(df, path, Seq("x", "y"), Seq("grp"))
+    val merged = Stats.profileFromShards(spark, path, Seq("x", "y"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val direct = Stats.profileColumns(df, Seq("x", "y"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    for (c <- Seq("x", "y");
+         f <- Seq("n_rows", "n_null", "completeness", "min_value",
+           "max_value", "mean_value")) {
+      val (m, d) = (merged(c), direct(c))
+      assert(m.get(m.fieldIndex(f)) == d.get(d.fieldIndex(f)),
+        s"$c.$f: merged ${m.get(m.fieldIndex(f))} vs direct " +
+          s"${d.get(d.fieldIndex(f))}")
+    }
+    // three shard rows persisted, one per group
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
   test("histogram: floor binning (negatives included), only observed bins") {
     val df = spark.sql(
       "select * from values (-0.5), (0.0), (1.5), (1.9), (7.0) as t(v)")
@@ -4053,6 +4078,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(ab.getAs[Double]("psi") -
       ba.getAs[Double]("psi")) < 2e-6)
     assert(ab.getAs[Long]("n_bins") == 3) // union of observed bins 0,1,3
+  }
+
+  test("labelPropagation: two bridged triangles split into two communities") {
+    // triangles {1,2,3} and {4,5,6} joined by the 3-4 bridge; directed
+    // input (one direction per edge) exercises the undirected expansion
+    val edges = spark.sql(
+      """select * from values
+        |  (1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+        |  (3L, 4L)
+        |  as t(src, dst)""".stripMargin)
+    val got = Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-walked sync rounds with the (count desc, label asc) tie-break:
+    // r3 settles {1,2,3}->1 and {4,5,6}->3 — the bridge does NOT merge
+    // them (contrast connectedComponents, where it must)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    val comp = Graph.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet.size == 1) // reachability sees ONE blob
   }
 
   // ---- SCD2 / per-group cap / vocab coverage ----
