@@ -1002,6 +1002,100 @@ object StreamOps {
       }
   }
 
+  case class DriftEvent(ts: Timestamp, category: String)
+  case class DriftOut(window_start: Timestamp, n_events: Long,
+                      n_categories: Long, kl_div: Double)
+  case class DriftState(counts: Map[String, Long])
+
+  /** Live categorical drift monitor — the streaming form of
+    * `Stats.klDivergence` evaluated per tumbling event-time window:
+    * each closed window emits ONE row scoring its category mix (domain,
+    * language, event type) against a fixed reference distribution —
+    * the mix-shift alarm that pages before a bad crawl batch reaches
+    * the training mix. Append-mode: a window's row emits exactly once,
+    * when the watermark passes its end (event-time timeout wakes
+    * windows that stop receiving data).
+    *
+    * Parity: the emitted KL replicates the batch operator digit-for-
+    * digit — same union-of-observed-categories add-k smoothing, same
+    * round-9 decimal term sum, same round-6 output (BigDecimal
+    * addition is exact, so arrival order is irrelevant). Every row
+    * inside the watermark horizon counts, in any arrival order;
+    * sub-watermark stragglers are dropped (the engine filters them
+    * upstream of stateful operators, and the guard here keeps the
+    * once-only contract even if a version delivers them).
+    *
+    * Scale shape: state is one bounded category→count map per OPEN
+    * window (category spaces are small by definition — that's what
+    * makes KL the right statistic); the reference collapses to counts
+    * ONCE at stream start and rides in the closure, the explicitly
+    * bounded broadcast-dim convention. */
+  def klDriftStream(events: Dataset[DriftEvent], reference: DataFrame,
+                    refCatCol: String = "category",
+                    windowSeconds: Long = 3600L,
+                    smoothK: Double = 0.5): Dataset[DriftOut] = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    require(smoothK > 0, "smoothK must be positive")
+    import events.sparkSession.implicits._
+    val refCounts: Map[String, Long] = reference
+      .select(col(refCatCol).cast("string").as("c")).na.drop()
+      .groupBy(col("c")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val refTotal = refCounts.values.sum
+    require(refTotal > 0, "klDriftStream needs a non-empty reference")
+    val winMicros = windowSeconds * 1000000L
+
+    def d9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def klOf(win: Long, counts: Map[String, Long]): DriftOut = {
+      val cats = counts.keySet ++ refCounts.keySet
+      val nCat = cats.size
+      val totA = counts.values.sum
+      val sum = cats.toSeq.map { c =>
+        val p = (counts.getOrElse(c, 0L) + smoothK) /
+          (totA + smoothK * nCat)
+        val q = (refCounts.getOrElse(c, 0L) + smoothK) /
+          (refTotal + smoothK * nCat)
+        d9(p * math.log(p / q))
+      }.foldLeft(BigDecimal(0))(_ + _)
+      val t = new Timestamp(win * winMicros / 1000)
+      t.setNanos((win * winMicros % 1000000L).toInt * 1000)
+      DriftOut(t, totA, nCat.toLong,
+        sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+
+    // floorDiv: a pre-epoch timestamp must not round toward zero
+    events.groupByKey(e => java.lang.Math.floorDiv(micros(e.ts), winMicros))
+      .flatMapGroupsWithState[DriftState, DriftOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (win: Long, rows: Iterator[DriftEvent],
+         state: GroupState[DriftState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val winEnd = (win + 1) * winMicros
+          // a window whose end is below the watermark has already
+          // emitted (or never will consistently): drop its stragglers
+          // so the once-only contract holds
+          val merged =
+            if (winEnd <= wmMicros && state.getOption.isEmpty) Map.empty[String, Long]
+            else rows.foldLeft(
+              state.getOption.getOrElse(DriftState(Map.empty)).counts) {
+              (m, e) => m.updated(e.category,
+                m.getOrElse(e.category, 0L) + 1L)
+            }
+          if (merged.isEmpty) Iterator.empty
+          else if (wmMicros >= winEnd) {
+            state.remove()
+            Iterator.single(klOf(win, merged))
+          } else {
+            state.update(DriftState(merged))
+            state.setTimeoutTimestamp(
+              math.max(winEnd / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   case class Scd2Event(user_id: Long, event_id: Long, ts: Timestamp,
                        value: String)
   case class Scd2Out(user_id: Long, value: String,

@@ -616,6 +616,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 5) // u1: 3 sessions, u2: 2 sessions
   }
 
+  test("klDriftStream: each closed window scores the batch KL exactly, once") {
+    import graft.streaming.StreamOps.{DriftEvent, DriftOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val reference = s.sql(
+      """select * from values ('en'), ('en'), ('en'), ('de'), ('fr')
+        |  as t(category)""".stripMargin)
+    def ev(ts: String, c: String) = DriftEvent(Timestamp.valueOf(ts), c)
+    // two 1-hour windows, fed out of order; window 1 skews hard to 'de'
+    // and introduces 'zz' (a category the reference never saw — the
+    // smoothed-KL raison d'etre)
+    val w0 = Seq(ev("2024-01-01 00:05:00", "en"), ev("2024-01-01 00:20:00", "de"),
+      ev("2024-01-01 00:50:00", "en"), ev("2024-01-01 00:10:00", "fr"))
+    val w1 = Seq(ev("2024-01-01 01:30:00", "de"), ev("2024-01-01 01:05:00", "de"),
+      ev("2024-01-01 01:55:00", "zz"))
+    val input = MemoryStream[DriftEvent]
+    val events = input.toDF()
+      .withWatermark("ts", "30 minutes").as[DriftEvent]
+    val q = StreamOps.klDriftStream(events, reference,
+        windowSeconds = 3600L)
+      .writeStream.format("memory").queryName("kl_stream")
+      .outputMode("append").start()
+    // out-of-order arrival WITHIN the 30-minute horizon (the engine
+    // drops sub-watermark rows upstream of stateful operators, so
+    // parity is over the watermark-respecting stream)
+    input.addData(w0(1), w0(0)); q.processAllAvailable()
+    input.addData(w0(2), w0(3), w1(0)); q.processAllAvailable()
+    input.addData(w1(1), w1(2)); q.processAllAvailable()
+    // sentinels far ahead close both windows (two: the watermark
+    // advances after the first's batch, the timeout fires on the next)
+    input.addData(ev("2024-01-01 12:00:00", "en")); q.processAllAvailable()
+    input.addData(ev("2024-01-01 13:00:00", "en")); q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql(
+        "select * from kl_stream where window_start < timestamp '2024-01-01 02:00:00'")
+      .as[DriftOut].collect()
+      .map(o => o.window_start.toString -> o).toMap
+    assert(streamed.size == 2)
+    def batchKl(evs: Seq[DriftEvent]) =
+      graft.operators.Stats.klDivergence(
+        evs.toDF().select(col("category")), reference, "category").head
+    for ((ws, evs) <- Seq("2024-01-01 00:00:00.0" -> w0,
+        "2024-01-01 01:00:00.0" -> w1)) {
+      val b = batchKl(evs)
+      val o = streamed(ws)
+      assert(o.n_events == b.getAs[Long]("n_a"), ws)
+      assert(o.n_categories == b.getAs[Long]("n_categories"), ws)
+      assert(o.kl_div == b.getAs[Double]("kl_div"), ws)
+    }
+    assert(streamed("2024-01-01 01:00:00.0").kl_div >
+      streamed("2024-01-01 00:00:00.0").kl_div) // the skewed window alarms
+  }
+
   test("scd2Stream equals batch scd2 closed intervals on out-of-order input") {
     import graft.streaming.StreamOps.{Scd2Event, Scd2Out}
     val s = spark
