@@ -227,25 +227,36 @@ CROSS JOIN (SELECT w FROM wq WHERE b = -1) bw(w)"""
   /** DuckDB replica of [[graft.operators.Stats.correlationMatrix]]:
     * the same decimal-summed moments from one aggregate, the same
     * double formula shape per pair. */
-  private def corrOracleSql(table: String, cols: Seq[String]): String = {
-    def d(e: String) = s"sum(CAST(round($e, 9) AS DECIMAL(28,9)))::DOUBLE"
+  /** Replica of the integer-moment correlationMatrix: the same
+    * quantization iv = round(x·10^scale) as BIGINT, moments as exact
+    * HUGEINT sums (DuckDB's native 128-bit — no hi/lo split needed on
+    * the oracle side; the integers are identical to the engine's
+    * reconstructed decimals), one double division at the end. */
+  private def corrOracleSql(table: String, cols: Seq[String],
+                            scale: Int = 4): String = {
+    val unit = math.pow(10.0, scale)
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i <= j
     } yield (cols(i), cols(j))
+    val qcols = cols.map(c =>
+      s"CAST(round($c * $unit) AS BIGINT) AS $c")
     val moments =
-      cols.map(c => s"${d(c)} AS s_$c") ++
-      pairs.map { case (a, b) => s"${d(s"$a * $b")} AS p_${a}_$b" }
+      cols.map(c => s"sum($c) AS s_$c") ++
+      pairs.map { case (a, b) => s"sum($a * $b) AS p_${a}_$b" }
     val rows = pairs.map { case (a, b) =>
       val num = s"n * p_${a}_$b - s_$a * s_$b"
       val va = s"(n * p_${a}_$a - s_$a * s_$a)"
       val vb = s"(n * p_${b}_$b - s_$b * s_$b)"
       s"""SELECT '$a' AS col_a, '$b' AS col_b,
   CASE WHEN $va > 0 AND $vb > 0
-    THEN round(($num) / (sqrt($va) * sqrt($vb)), 6) END AS corr FROM m"""
+    THEN round(($num)::DOUBLE / (sqrt($va::DOUBLE) * sqrt($vb::DOUBLE)), 6)
+  END AS corr FROM m"""
     }
-    s"""WITH m AS (
-  SELECT count(*)::DOUBLE AS n, ${moments.mkString(",\n    ")}
-  FROM $table
+    s"""WITH q AS (
+  SELECT ${qcols.mkString(",\n    ")} FROM $table
+), m AS (
+  SELECT count(*) AS n, ${moments.mkString(",\n    ")}
+  FROM q
 )
 ${rows.mkString("\nUNION ALL ")}"""
   }
@@ -711,6 +722,16 @@ $joins"""
         "graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
       graft.sources.Sources.writeJsonl(docs, path)
       graft.sources.Sources.readJsonl(s, path, docs.schema)
+    }),
+
+    // CSV round-trip on the same table (quoting handles embedded
+    // delimiters; explicit-schema read, no inference pass)
+    "q_source_csv" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_csv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.sources.Sources.writeCsv(docs, path)
+      graft.sources.Sources.readCsv(s, path, docs.schema)
     }),
 
     // per-document keyword extraction: top tokens by tf-idf, df riding
@@ -1430,8 +1451,12 @@ $joins"""
     // feature-redundancy screen over the four lineitem measures: every
     // pairwise Pearson from ONE aggregate pass, decimal-summed moments
     "q_stats_corr" -> ((s, dir) =>
+      // scale=2: the TPC-H measures carry exactly 2 decimals, so cent
+      // quantization is lossless and |iv| stays far inside the 1e9
+      // guard (prices reach 1e5; the scale=4 default would trip it)
       graft.operators.Stats.correlationMatrix(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        scale = 2)),
 
     // chance-corrected agreement between consecutive event types per
     // user — repeat-behavior beyond what the type marginals predict
@@ -3075,6 +3100,9 @@ $joins"""
       "q_source_jsonl" ->
         "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
+      "q_source_csv" ->
+        "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
       // tf-idf replica: same two-level counts, same single ln and
       // multiply (both IEEE), ranking on the rounded score both sides
       "q_text_keywords" ->
@@ -4393,7 +4421,8 @@ $joins"""
           |FROM t""".stripMargin,
 
       "q_stats_corr" -> corrOracleSql("lineitem",
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        scale = 2),
 
       // same contingency counts, marginal-product join and
       // integer-exact kappa form (n_agree·n − e_mass)/(n² − e_mass)

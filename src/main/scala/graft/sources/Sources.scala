@@ -26,6 +26,34 @@ object Sources {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** CSV sink with header and full quoting — the lowest-common-
+    * denominator interchange format (spreadsheet handoffs, legacy
+    * ingest). Spark quotes embedded delimiters/quotes/newlines, so
+    * content round-trips writeCsv -> readCsv exactly EXCEPT the
+    * format's inherent null ambiguity: null and empty string both
+    * serialize to an empty field and read back as null — prefer
+    * [[writeJsonl]] when empty-vs-null matters. Distributes like any
+    * other file sink. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.option("header", "true")
+      // the writer TRIMS field whitespace by default (the reader does
+      // not) — a silent content edit; disable both sides of it
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .mode("overwrite").csv(path)
+
+  /** CSV source with a REQUIRED explicit schema (same contract as
+    * [[readJsonl]]: inference would scan the whole dataset before the
+    * query plans — a full extra pass at 100 TB). Header line skipped
+    * per file. `multiLine` so quoted embedded newlines parse — which
+    * makes the FILE the parallelism unit instead of line ranges; the
+    * write side produces one file per task, so a round-trip stays
+    * fully parallel (a single giant hand-made CSV would not). */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true")
+      .option("multiLine", "true").csv(path)
+
   /** `events.ts` has shipped in two physical forms across testdata
     * generations: INT64 TIMESTAMP(NANOS) (which Spark refuses —
     * [PARQUET_TYPE_ILLEGAL] — unless nanos are read as long) and

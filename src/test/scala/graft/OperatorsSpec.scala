@@ -3734,6 +3734,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(one == 0.831522 && many == 0.831522)
   }
 
+  test("correlationMatrix: hi/lo long moments reconstruct exactly for " +
+    "negatives and large magnitudes; range guard raises") {
+    // magnitudes big enough that iv*iv exceeds the 1e9 split radix
+    // (so both halves are exercised), signs mixed (so DIV/% truncation
+    // semantics matter): corr(x, -x) must still be exactly -1
+    val df = spark.sql(
+      """select * from values
+        |  (81234.5678D, -81234.5678D), (-7321.1234D, 7321.1234D),
+        |  (99999.9999D, -99999.9999D), (12345.0001D, -12345.0001D)
+        |  as t(x, y)""".stripMargin)
+    val r = Stats.correlationMatrix(df, Seq("x", "y"))
+      .collect().map(row => (row.getString(0), row.getString(1)) ->
+        row.getDouble(2)).toMap
+    assert(r(("x", "y")) == -1.0 && r(("x", "x")) == 1.0)
+    // |value|·10^4 ≥ 1e9 must raise loudly, not mis-sum
+    val big = spark.sql("select * from values (100000.0D, 1.0D), " +
+      "(2.0D, 2.0D) as t(x, y)")
+    val err = intercept[Exception] {
+      Stats.correlationMatrix(big, Seq("x", "y")).collect()
+    }
+    assert(err.getMessage.contains("must stay below 1e9"))
+    // lowering scale brings the same data back in range
+    assert(Stats.correlationMatrix(big, Seq("x", "y"), scale = 2)
+      .count() == 3)
+  }
+
   test("cohenKappa matches the hand formula and its degeneracies") {
     // classic 2x2: raters agree on 15 of 20; marginals A (10y, 10n),
     // B (11y, 9n) give pe = (10·11 + 10·9)/400 = 0.5

@@ -126,4 +126,27 @@ class SourcesSpec extends AnyFunSuite {
     val b = back.collect().map(_.toSeq).toSet
     assert(a == b, s"$a vs $b")
   }
+
+  test("csv round-trips content and types incl. CSV-hostile strings") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_csv_spec").toString
+    // embedded delimiters, quotes, newlines, unicode — everything CSV
+    // quoting has to survive (empty-vs-null is the format's documented
+    // lossy corner, so no empty-string row here)
+    val rows = Seq(
+      (1L, "plain text", 3.5, true),
+      (2L, "comma, quote \" and tab\t", -2.25, false),
+      (3L, "newline\ninside é中", 1.5e10, true),
+      (4L, null.asInstanceOf[String], 1e-300, false))
+    val df = rows.toDF("id", "s", "d", "b")
+    graft.sources.Sources.writeCsv(df, dir)
+    val back = graft.sources.Sources.readCsv(spark, dir, df.schema)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = df.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b, s"$a vs $b")
+  }
 }
