@@ -265,16 +265,20 @@ ${rows.mkString("\nUNION ALL ")}"""
     * each iteration is a CTE repeating the same round-9 double
     * contribution + DECIMAL(28,9) sum the operator computes, so the
     * ranks replicate bit-for-bit at any iteration count. */
+  /** Replica of the integer-unit pageRank: masses are whole 1e-9
+    * units summed as BIGINT (exact), per-edge contributions use the
+    * identical IEEE expression shape, and the display rounding is
+    * integer (u + 500) // 1000 — no float tie anywhere. */
   private def pageRankOracleSql(iters: Int, damping: Double): String = {
     val rounds = (1 to iters).map { k =>
       s"""r$k AS (
   SELECT n2.node,
-    CAST(round((1 - $damping) / nn.n, 9) AS DECIMAL(28,9)) +
-      COALESCE(m.in_mass, CAST(0 AS DECIMAL(28,9))) AS rank
+    CAST(round(1e9 * (1 - $damping::DOUBLE) / nn.n) AS BIGINT) +
+      COALESCE(m.in_mass, 0) AS ru
   FROM nodes n2 CROSS JOIN nn LEFT JOIN (
     SELECT e.dst AS node,
-      CAST(sum(CAST(round(CAST(p.rank AS DOUBLE) * $damping / deg.deg, 9)
-        AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS in_mass
+      CAST(sum(CAST(round(CAST(p.ru AS DOUBLE) * $damping / deg.deg)
+        AS BIGINT)) AS BIGINT) AS in_mass
     FROM e JOIN deg USING (src) JOIN r${k - 1} p ON p.node = e.src
     GROUP BY 1) m ON m.node = n2.node
 )"""
@@ -288,10 +292,10 @@ ${rows.mkString("\nUNION ALL ")}"""
   SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
 ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 r0 AS (
-  SELECT node, CAST(round(1.0 / nn.n, 9) AS DECIMAL(28,9)) AS rank
+  SELECT node, CAST(round(1e9 / nn.n) AS BIGINT) AS ru
   FROM nodes CROSS JOIN nn
 ), $rounds
-SELECT r.node, CAST(round(r.rank, 6) AS DOUBLE) AS rank,
+SELECT r.node, ((r.ru + 500) // 1000)::DOUBLE / 1000000.0 AS rank,
   COALESCE(d.deg, 0) AS out_degree
 FROM r$iters r LEFT JOIN deg d ON d.src = r.node"""
   }

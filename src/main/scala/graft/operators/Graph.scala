@@ -30,10 +30,17 @@ object Graph {
     * node appearing as a source OR destination. Output: (node,
     * rank[rounded 6], out_degree) sorted nowhere — callers order.
     *
-    * Each per-edge contribution rounds to 9 decimals and sums as
-    * DECIMAL(28,9): bit-stable under any partitioning (the q_text_lm
-    * float discipline), which is what lets DuckDB replicate every
-    * iteration exactly. */
+    * Masses live on the 1e-9 INTEGER lattice: each per-edge
+    * contribution rounds to whole units round(rank_units·d/deg) and
+    * sums as a plain LONG — bit-stable under any partitioning (exact
+    * integer addition), which is what lets DuckDB replicate every
+    * iteration exactly, with zero per-row decimal work (the
+    * correlationMatrix lesson: precision-28 decimal sums leave
+    * Spark's compact fast path — the decimal form of this operator
+    * measured 1.8× slower at sf0.1 for identical guarantees). Mass
+    * bounds: units ≤ 1e9 per node, so long sums hold to ~9e9 nodes;
+    * the output HALF_UP display rounding is integer arithmetic
+    * ((u + 500) div 1000), so no engine ever rounds a float tie. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
@@ -56,40 +63,34 @@ object Graph {
     val edgesWithDeg = e.join(deg, Seq("src")).localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one edge")
-    // round-then-cast on both constants: round(x, 9) has the same
-    // result in every engine, a raw double->decimal cast may not
-    val base = round(lit((1.0 - damping) / n), 9)
-    var ranks = nodes.withColumn("rank",
-      round(lit(1.0 / n), 9).cast("decimal(28,9)"))
+    // both constants are whole 1e-9 units, rounded from the identical
+    // expression shape the oracle evaluates (round-half-away on a
+    // positive value — same in Scala, Spark and DuckDB)
+    val baseU = math.round(1e9 * (1.0 - damping) / n)
+    var ranks = nodes.withColumn("ru", lit(math.round(1e9 / n.toDouble)))
     (0 until iters).foreach { _ =>
       val contrib = edgesWithDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
-          round(col("rank").cast("double") * damping / col("deg"), 9)
-            .cast("decimal(28,9)").as("c"))
+          round(col("ru").cast("double") * damping / col("deg"))
+            .cast("long").as("c"))
         .groupBy(col("node"))
-        // sum() widens decimal(28,9) to (38,9); adding THAT to the base
-        // would push result precision past 38 and Spark silently drops
-        // to scale 8 — a 1e-9 rounding nobody asked for. The mass sum
-        // fits (28,9) by construction (ranks sum to ~1), so narrow it
-        // back before the addition.
-        .agg(sum(col("c")).cast("decimal(28,9)").as("in_mass"))
+        .agg(sum(col("c")).as("in_mass"))
       ranks = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (base.cast("decimal(28,9)") +
-            coalesce(col("in_mass"), lit(0).cast("decimal(28,9)")))
-            .cast("decimal(28,9)").as("rank"))
+          (lit(baseU) + coalesce(col("in_mass"), lit(0L))).as("ru"))
         .localCheckpoint(false)
     }
     ranks
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      // round the DECIMAL then cast: ranks are quantized (dangling
-      // nodes share exact masses), so rounding after a double cast
-      // hits systematic half-ties where engines disagree; decimal
-      // HALF_UP is identical everywhere
+      // display rounding as INTEGER arithmetic: (u + 500) div 1000 is
+      // HALF_UP on the positive unit masses, so no engine ever rounds
+      // a float tie (ranks are quantized — dangling nodes share exact
+      // masses, making systematic ties a certainty, not a tail risk)
       .select(col("node"),
-        round(col("rank"), 6).cast("double").as("rank"),
+        (expr("(ru + 500) DIV 1000").cast("double") / lit(1e6))
+          .as("rank"),
         coalesce(col("deg"), lit(0L)).as("out_degree"))
   }
 

@@ -235,24 +235,24 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         (r.getDouble(1), r.getLong(2))).toMap
     val got = run(1)
-    assert(run(7) == got) // decimal sums: bit-stable under partitioning
-    // independent replica with the exact same rounding discipline
+    assert(run(7) == got) // integer unit sums: bit-stable under partitioning
+    // independent replica on the same 1e-9 integer-unit lattice
     val n = 3.0
     val d = 0.85
-    def r9(x: Double) = BigDecimal(x)
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
     val deg = edges.groupBy(_._1).map { case (s, g) => s -> g.size }
-    var rank = Map(1L -> r9(1 / n), 2L -> r9(1 / n), 3L -> r9(1 / n))
+    val baseU = math.round(1e9 * (1.0 - d) / n)
+    var rankU = Map(1L -> math.round(1e9 / n), 2L -> math.round(1e9 / n),
+      3L -> math.round(1e9 / n))
     (0 until 3).foreach { _ =>
       val contrib = edges.groupBy(_._2).map { case (dst, es) =>
         dst -> es.map { case (s, _) =>
-          r9(rank(s).toDouble * d / deg(s)) }.sum
+          math.round(rankU(s).toDouble * d / deg(s)) }.sum
       }
-      rank = rank.keys.map(v =>
-        v -> (r9((1 - d) / n) + contrib.getOrElse(v, BigDecimal(0)))).toMap
+      rankU = rankU.keys.map(v =>
+        v -> (baseU + contrib.getOrElse(v, 0L))).toMap
     }
-    rank.foreach { case (v, expect) =>
-      val e6 = expect.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rankU.foreach { case (v, u) =>
+      val e6 = ((u + 500) / 1000).toDouble / 1e6 // HALF_UP on positives
       assert(got(v)._1 == e6, s"node $v: ${got(v)._1} vs $e6")
     }
     assert(got(1L)._2 == 2L && got(2L)._2 == 1L && got(3L)._2 == 1L)
