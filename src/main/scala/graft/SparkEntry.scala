@@ -1510,6 +1510,18 @@ $joins"""
         "value", binWidth = 5.0)
     }),
 
+    // equi-depth profile of the (skewed) event values: ~equal-count
+    // buckets at the exact interpolated octile thresholds
+    "q_stats_histogram_eq" -> ((s, dir) =>
+      graft.operators.Stats.equiDepthHistogram(t(s, dir, "events"),
+        "value", bins = 8)),
+
+    // key-skew diagnostic over the order join key: top keys, shares,
+    // and the max/mean ratio that floors a saltedJoin factor
+    "q_join_skewreport" -> ((s, dir) =>
+      graft.operators.Skew.keySkewReport(t(s, dir, "lineitem"),
+        Seq("l_suppkey"), topN = 10)),
+
     // SCD2 validity intervals over each user's event-type change log:
     // consecutive repeats collapse to runs, runs stitch into half-open
     // [valid_from, valid_to) with the open tail marked current
@@ -4531,6 +4543,52 @@ $joins"""
           |SELECT bin, bin::DOUBLE * 5000.0 AS lo,
           |  (bin + 1)::DOUBLE * 5000.0 AS hi, count(*)::BIGINT AS n
           |FROM b GROUP BY 1""".stripMargin,
+
+      // same interpolated octiles (round-6 thresholds), same
+      // count-of-thresholds-below binning with ties upward
+      "q_stats_histogram_eq" ->
+        """WITH cl AS (
+          |  SELECT value AS v FROM events WHERE value IS NOT NULL
+          |), th AS (
+          |  SELECT list_transform(
+          |    quantile_cont(v, [0.125, 0.25, 0.375, 0.5,
+          |                      0.625, 0.75, 0.875]),
+          |    t -> round(t, 6)) AS ts
+          |  FROM cl
+          |), bn AS (
+          |  SELECT CAST(len(list_filter(th.ts, t -> cl.v >= t)) AS INT)
+          |    AS bin
+          |  FROM cl, th
+          |)
+          |SELECT bin,
+          |  CASE WHEN bin > 0 THEN th.ts[bin] END AS lo,
+          |  CASE WHEN bin < 7 THEN th.ts[bin + 1] END AS hi,
+          |  count(*)::BIGINT AS n
+          |FROM bn, th GROUP BY 1, 2, 3""".stripMargin,
+
+      // same count agg, share/mean/ratio double shapes, desc-count +
+      // key-asc tie-break at the top-N boundary
+      "q_join_skewreport" ->
+        """WITH c AS (
+          |  SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS cnt
+          |  FROM lineitem GROUP BY 1
+          |), s AS (
+          |  SELECT count(*) AS n_keys, sum(cnt) AS total,
+          |         max(cnt) AS max_cnt FROM c
+          |), top AS (
+          |  SELECT key, cnt,
+          |    CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT)
+          |      AS rank
+          |  FROM c ORDER BY cnt DESC, key LIMIT 10
+          |)
+          |SELECT rank, key, cnt::BIGINT AS cnt,
+          |  round(cnt::DOUBLE / s.total::DOUBLE, 6) AS share,
+          |  s.n_keys::BIGINT AS n_keys,
+          |  round(s.total::DOUBLE / s.n_keys::DOUBLE, 6) AS mean_cnt,
+          |  s.max_cnt::BIGINT AS max_cnt,
+          |  round(s.max_cnt::DOUBLE * s.n_keys::DOUBLE / s.total::DOUBLE, 6)
+          |    AS skew_ratio
+          |FROM top, s""".stripMargin,
 
       // same per-bin counts as q_stats_ks, then the union-smoothed
       // (p-q)·ln(p/q) terms round to 9 and sum as DECIMAL

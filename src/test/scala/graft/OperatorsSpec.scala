@@ -4089,6 +4089,48 @@ class OperatorsSpec extends AnyFunSuite {
       1L -> ((1.0, 2.0, 2L)), 7L -> ((7.0, 8.0, 1L))))
   }
 
+  test("equiDepthHistogram: ~equal counts on skewed data, ties go up") {
+    // heavily skewed: 12 zeros + a spread tail; quartiles with ties
+    val df = spark.sql("select * from values " +
+      (Seq.fill(12)("(0.0)") ++ Seq("(1.0)", "(2.0)", "(3.0)", "(100.0)"))
+        .mkString(", ") + " as t(v)")
+    val got = Stats.equiDepthHistogram(df, "v", bins = 4)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (Option(r.get(r.fieldIndex("lo"))), Option(r.get(r.fieldIndex("hi"))),
+          r.getAs[Long]("n"))).toMap
+    // 16 values: interpolated quartiles = (0, 0, 0.25) — the 0.75
+    // quantile sits 1/4 of the way from the last zero (idx 11) to 1.0.
+    // Zeros tie UP past both zero thresholds into bin 2, so bins 0 and
+    // 1 are unobserved
+    assert(got.keySet == Set(2, 3))
+    assert(got(2) == ((Some(0.0), Some(0.25), 12L)))
+    assert(got(3) == ((Some(0.25), None, 4L)))
+    // an equal-WIDTH histogram at the same resolution buries the
+    // structure: one bar holds 15 of 16 rows
+    val wide = Stats.histogram(df, "v", binWidth = 25.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(wide(0L) == 15L)
+  }
+
+  test("keySkewReport: shares, ranks and the max/mean salt floor") {
+    val df = spark.sql("select * from values " +
+      (Seq.fill(6)("('hot')") ++ Seq("('a')", "('a')", "('b')", "('c')"))
+        .mkString(", ") + " as t(k)")
+    val rows = Skew.keySkewReport(df, Seq("k"), topN = 3).collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    val top = rows.head
+    assert(top.getAs[String]("key") == "hot" &&
+      top.getAs[Long]("cnt") == 6L)
+    assert(top.getAs[Double]("share") == 0.6)
+    assert(top.getAs[Long]("n_keys") == 4L &&
+      top.getAs[Long]("max_cnt") == 6L)
+    assert(top.getAs[Double]("mean_cnt") == 2.5)
+    assert(top.getAs[Double]("skew_ratio") == 2.4) // 6 / 2.5
+    // count-desc then key-asc tie-break: 'a' (2) before 'b' (1)
+    assert(rows(1).getAs[String]("key") == "a")
+    assert(rows(2).getAs[String]("key") == "b")
+  }
+
   test("psiDrift: zero on identical slices, positive and symmetric under drift") {
     val a = spark.sql("select * from values (1.0), (2.0), (11.0) as t(v)")
     val b = spark.sql("select * from values (1.5), (2.5), (31.0) as t(v)")
