@@ -1529,6 +1529,15 @@ $joins"""
       graft.operators.Events.scd2(t(s, dir, "events"),
         "user_id", "event_type")),
 
+    // exact weighted draw: 100 docs without replacement, inclusion
+    // ∝ length — the ES key ln(u)/w ranked via TakeOrderedAndProject
+    "q_sample_weighted_k" -> ((s, dir) =>
+      graft.operators.Curation.sampleWeightedTopK(
+        t(s, dir, "documents").select("doc_id", "lang", "source",
+          "n_chars"),
+        col("n_chars").cast("double"), k = 100,
+        keyCols = Seq("doc_id"))),
+
     // anti-domination gate: at most 50 docs per source, chosen by
     // content-hash pseudo-order (an unbiased, reproducible subset)
     "q_sample_cap" -> ((s, dir) =>
@@ -4638,6 +4647,18 @@ $joins"""
           |  lead(ts0) OVER (PARTITION BY key ORDER BY ts0, tie) IS NULL
           |    AS is_current
           |FROM runs WHERE prev IS NULL OR prev <> value""".stripMargin,
+
+      // same 48-bit md5 u, same ln(u)/w key rounded 9, desc + id ties
+      "q_sample_weighted_k" ->
+        """WITH u AS (
+          |  SELECT doc_id, lang, source, n_chars,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+          |      ::BIGINT::DOUBLE / 281474976710656.0 AS uu
+          |  FROM documents WHERE n_chars > 0
+          |)
+          |SELECT doc_id, lang, source, n_chars FROM u
+          |ORDER BY round(ln(uu) / n_chars::DOUBLE, 9) DESC, doc_id
+          |LIMIT 100""".stripMargin,
 
       // same md5 pseudo-order and id tiebreak as the stratified-sample
       // oracle, capped at a constant instead of a fraction

@@ -264,7 +264,22 @@ object Curation {
     if (row.isNullAt(0)) return df.withColumn(bucketCol, lit(labels.head))
     val thrs = row.getSeq[Double](0).map(v =>
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    val label = thrs.zip(labels.tail).foldLeft(lit(labels.head)) {
+    bucketByThresholds(df, score, thrs, labels, bucketCol)
+  }
+
+  /** The scan-speed banding gate of [[bucketByQuantile]] against
+    * pre-fit thresholds — split out (the fitMad/madGate pattern) so a
+    * corpus-fit banding can label a DIFFERENT frame, most usefully an
+    * unbounded stream where the gate is a stateless projection
+    * ([[graft.streaming.StreamOps.quantileBucketStream]]). */
+  def bucketByThresholds(df: DataFrame, score: Column,
+                         thresholds: Seq[Double], labels: Seq[String],
+                         bucketCol: String = "bucket"): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      "thresholds must be non-empty and sorted")
+    require(labels.size == thresholds.size + 1,
+      "need one label per band (thresholds.size + 1)")
+    val label = thresholds.zip(labels.tail).foldLeft(lit(labels.head)) {
       case (acc, (thr, lab)) => when(score >= thr, lit(lab)).otherwise(acc)
     }
     df.withColumn(bucketCol, label)
@@ -416,6 +431,36 @@ object Curation {
         sum(col("__tokens")).as("pack_tokens"),
         min(col(idCol)).as("first_doc_id"),
         max(col(idCol)).as("last_doc_id"))
+  }
+
+  /** Exact weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): draw `k` rows with inclusion chances proportional
+    * to `weight` — the curation draw "give me 100k docs, favoring
+    * quality 3:1" that [[sampleByWeightedHash]]'s independent per-row
+    * coin can't express (its output SIZE is random; this one is
+    * exactly k). Each row gets the ES key u^(1/w) — ranked here
+    * through the monotone-equivalent ln(u)/w, which avoids pow()'s
+    * cross-engine last-ulp wobble — and the k largest keys win.
+    *
+    * Deterministic: u comes from the content hash (retry-safe, no
+    * rand()), the key rounds to 9 decimals and ties break on
+    * `keyCols`, so the draw replicates in external SQL. Monotone: the
+    * key strictly increases in w (ln u < 0), so raising one row's
+    * weight can only pull it INTO the sample — re-weighted mixes nest
+    * (spec-pinned). Non-positive weights are excluded (ES requires
+    * w > 0). Scale shape: a narrow projection + global top-k, which
+    * Spark plans as TakeOrderedAndProject — per-partition k-row heaps,
+    * no global sort. Returns the k sampled rows, columns unchanged. */
+  def sampleWeightedTopK(df: DataFrame, weight: Column, k: Int,
+                         keyCols: Seq[String]): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = conv(substring(hashKey(keyCols), 1, 12), 16, 10)
+      .cast("double") / 281474976710656.0 // / 2^48
+    df.filter(weight > 0)
+      .withColumn("__es", round(log(u) / weight, 9))
+      .orderBy(col("__es").desc +: keyCols.map(col): _*)
+      .limit(k)
+      .drop("__es")
   }
 
   /** Per-group deterministic cap: keep at most `n` rows of each group,

@@ -441,6 +441,22 @@ object StreamOps {
                       binWidth: Double): DataFrame =
     graft.operators.Stats.histogram(rows, valueCol, binWidth)
 
+  /** CCNet-style perplexity/quality banding on streams — the
+    * Structured Streaming form of `Curation.bucketByQuantile`:
+    * thresholds fit ONCE on a reference corpus (batch quantiles,
+    * rounded 6) ride as literals and every arriving row is banded by
+    * a stateless append-mode projection — the live head/middle/tail
+    * router in front of a training-mix sink. Identical labels to the
+    * batch gate on the same thresholds (parity-spec'd). */
+  def quantileBucketStream(rows: DataFrame,
+                           scoreCol: String,
+                           thresholds: Seq[Double],
+                           labels: Seq[String] =
+                             Seq("tail", "middle", "head"),
+                           bucketCol: String = "bucket"): DataFrame =
+    graft.operators.Curation.bucketByThresholds(
+      rows, col(scoreCol), thresholds, labels, bucketCol)
+
   /** Streaming phrase watch — the Structured Streaming form of
     * `TextSearch.phraseSearchInline`: the phrase list rides as literals
     * inside compiled higher-order functions and every arriving

@@ -4210,6 +4210,34 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(("a", false), ("b", true)))
   }
 
+  test("sampleWeightedTopK: exactly k, deterministic, monotone in the weight") {
+    val base = docs.select(col("doc_id"), col("n_chars"))
+    val k = 25
+    def draw(w: org.apache.spark.sql.Column) =
+      Curation.sampleWeightedTopK(base, w, k, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = draw(col("n_chars").cast("double"))
+    assert(s1.size == k)
+    assert(s1 == draw(col("n_chars").cast("double"))) // stable
+    // ES monotonicity: boosting ONE sampled row's weight keeps it in;
+    // boosting one UNSAMPLED row's weight can only add it (others'
+    // keys are untouched, so at most the boundary row leaves)
+    val in = s1.head
+    val boosted = draw(when(col("doc_id") === in, lit(1e6))
+      .otherwise(col("n_chars").cast("double")))
+    assert(boosted.contains(in))
+    val out = base.select("doc_id").collect().map(_.getLong(0))
+      .find(!s1.contains(_)).get
+    val boosted2 = draw(when(col("doc_id") === out, lit(1e6))
+      .otherwise(col("n_chars").cast("double")))
+    assert(boosted2.contains(out))
+    assert((s1 -- boosted2).size == 1) // exactly the boundary row left
+    // non-positive weights are excluded: weight 0 everywhere but two
+    val two = draw(when(col("doc_id") < 20, lit(1.0)).otherwise(lit(0.0)))
+    assert(two == base.filter(col("doc_id") < 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("capPerGroup: small groups pass through, large groups cut to n, deterministic") {
     val capped = Curation.capPerGroup(docs, Seq("source"), 5, Seq("doc_id"))
     val sizes = capped.groupBy("source").count().collect()

@@ -364,6 +364,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("quantileBucketStream bands arrivals exactly like the batch gate") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docsDf = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(90).select("doc_id", "n_chars")
+    // fit once on the reference frame via the BATCH operator's own
+    // threshold discipline (round-6 terciles)
+    val row = docsDf.agg(percentile(col("n_chars").cast("double"),
+      array(lit(1.0 / 3.0), lit(2.0 / 3.0)))).head
+    val thrs = row.getSeq[Double](0).map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val batch = graft.operators.Curation.bucketByQuantile(
+        docsDf, col("n_chars").cast("double"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("bucket")).toMap
+    val rows = docsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val input = MemoryStream[(Long, Long)]
+    val out = StreamOps.quantileBucketStream(
+      input.toDF().toDF("doc_id", "n_chars"), "n_chars", thrs)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("qb_stream")
+      .outputMode("append").start()
+    (0 until 2).foreach { c =>
+      input.addData(rows.filter(_._1 % 2 == c.toLong).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.sql("select doc_id, bucket from qb_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch && streamed.values.toSet.size == 3)
+  }
+
   test("histogramStream matches the batch histogram after every prefix") {
     val s = spark
     import s.implicits._
