@@ -1112,6 +1112,79 @@ object StreamOps {
       }
   }
 
+  case class TrendOut(window_start: Timestamp, rank: Int, token: String,
+                      cnt: Long)
+  case class TrendState(counts: Map[String, Long])
+
+  /** Per-window trending tokens — the "what is the crawl suddenly full
+    * of THIS hour" monitor: each closed tumbling window emits its top-k
+    * tokens by frequency, in append mode, exactly once when the
+    * watermark passes the window end (the klDriftStream
+    * window-lifecycle machinery). The complement of
+    * [[heavyHitterTokensStream]], which tracks RUNNING totals forever:
+    * running totals never surface a burst that is small against
+    * history, per-window ranking exists for exactly that.
+    *
+    * State per OPEN window is a Misra-Gries summary bounded by
+    * `capacity` — vocabulary-independent, the property that makes a
+    * per-window token counter survivable at crawl scale. In the exact
+    * regime (capacity ≥ the window's distinct tokens) the summary IS
+    * the true count map, arrival-order independent, and the emitted
+    * ranking equals the batch per-window top-k digit-for-digit
+    * (parity-spec'd); under-capacity it degrades to the standard MG
+    * frequent-items guarantee (no token with true count > n/capacity
+    * is lost; kept counts undercount by ≤ the decrement total).
+    * Output rows: (window_start, rank, token, cnt), rank by (count
+    * desc, token asc). */
+  def trendingTokensStream(docs: Dataset[StreamDoc],
+                           windowSeconds: Long = 3600L,
+                           capacity: Int = 4096,
+                           topK: Int = 10): Dataset[TrendOut] = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    require(capacity >= 1 && topK >= 1, "capacity and topK must be >= 1")
+    import docs.sparkSession.implicits._
+    val winMicros = windowSeconds * 1000000L
+
+    def mgAdd(m: Map[String, Long], t: String): Map[String, Long] =
+      if (m.contains(t)) m.updated(t, m(t) + 1L)
+      else if (m.size < capacity) m.updated(t, 1L)
+      else m.flatMap { case (k, v) =>
+        if (v > 1L) Some(k -> (v - 1L)) else None
+      }
+
+    docs.groupByKey(d => java.lang.Math.floorDiv(micros(d.ts), winMicros))
+      .flatMapGroupsWithState[TrendState, TrendOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (win: Long, rows: Iterator[StreamDoc],
+         state: GroupState[TrendState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val winEnd = (win + 1) * winMicros
+          val merged =
+            if (winEnd <= wmMicros && state.getOption.isEmpty)
+              Map.empty[String, Long] // straggler for an emitted window
+            else rows.foldLeft(
+              state.getOption.getOrElse(TrendState(Map.empty)).counts) {
+              (m, d) => d.text.split(" ").foldLeft(m)(mgAdd)
+            }
+          if (merged.isEmpty) Iterator.empty
+          else if (wmMicros >= winEnd) {
+            state.remove()
+            val t = new Timestamp(win * winMicros / 1000)
+            t.setNanos((win * winMicros % 1000000L).toInt * 1000)
+            merged.toSeq.sortBy { case (tok, c) => (-c, tok) }
+              .take(topK).zipWithIndex.map { case ((tok, c), i) =>
+                TrendOut(t, i + 1, tok, c)
+              }.iterator
+          } else {
+            state.update(TrendState(merged))
+            state.setTimeoutTimestamp(
+              math.max(winEnd / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   case class Scd2Event(user_id: Long, event_id: Long, ts: Timestamp,
                        value: String)
   case class Scd2Out(user_id: Long, value: String,

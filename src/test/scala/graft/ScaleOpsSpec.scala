@@ -420,4 +420,48 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert((n, mn, mx) == direct(k), s"key $k")
     }
   }
+
+  test("round-6 session ops plan right: cap prunes map-side, diff is one " +
+    "join, corr has no decimal sums, oov broadcasts the vocab") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Sources.table(spark, dir, "documents")
+
+    // capPerGroup: rank-limit pushdown must prune BEFORE the exchange
+    val cap = graft.operators.Curation.capPerGroup(
+      docs.select("doc_id", "source"), Seq("source"), 5, Seq("doc_id"))
+    cap.collect()
+    val capPlan = ScaleOpsSpec.finalPlan(cap)
+    assert(capPlan.contains("WindowGroupLimit"), capPlan)
+    assert(capPlan.indexOf("WindowGroupLimit") !=
+      capPlan.lastIndexOf("WindowGroupLimit"), // partial AND final
+      capPlan)
+
+    // snapshotDiff: exactly ONE join (sort-merge or hash), no window
+    val neu = docs.filter(col("doc_id") % 7 =!= 0)
+    val diff = graft.sources.Layout.snapshotDiff(docs, neu,
+      Seq("doc_id"), Seq("text"))
+    diff.collect()
+    val diffPlan = ScaleOpsSpec.finalPlan(diff)
+    assert(diffPlan.split("Join").length - 1 == 1, diffPlan)
+    assert(!diffPlan.contains("Window"), diffPlan)
+
+    // correlationMatrix: the integer-moment form must plan a single
+    // pair of partial/final hash aggregates with NO decimal sums and
+    // no window
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val corr = graft.operators.Stats.correlationMatrix(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount"), scale = 2)
+    corr.collect()
+    val corrPlan = ScaleOpsSpec.finalPlan(corr)
+    assert(!corrPlan.toLowerCase.contains("decimal(28"), corrPlan)
+    assert(!corrPlan.contains("Window"), corrPlan)
+
+    // vocabCoverage: the vocab side must broadcast (a shuffle join on
+    // the exploded token stream would re-key the whole corpus)
+    val vocab = graft.operators.TextAnalysis.buildVocab(docs, "text", 50)
+    val oov = graft.operators.TextAnalysis.vocabCoverage(docs, vocab)
+    oov.collect()
+    val oovPlan = ScaleOpsSpec.finalPlan(oov)
+    assert(oovPlan.contains("BroadcastHashJoin"), oovPlan)
+  }
 }

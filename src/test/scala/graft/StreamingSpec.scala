@@ -649,6 +649,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 5) // u1: 3 sessions, u2: 2 sessions
   }
 
+  test("trendingTokensStream: closed windows emit the batch top-k, once") {
+    import graft.streaming.StreamOps.{StreamDoc, TrendOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def d(id: Long, ts: String, text: String) =
+      StreamDoc(id, text, Timestamp.valueOf(ts))
+    // window 0 trends 'alpha'; window 1 trends 'burst' (absent before)
+    val w0 = Seq(d(1, "2024-01-01 00:05:00", "alpha alpha beta"),
+      d(2, "2024-01-01 00:40:00", "alpha gamma beta"))
+    val w1 = Seq(d(3, "2024-01-01 01:10:00", "burst burst burst alpha"),
+      d(4, "2024-01-01 01:50:00", "burst delta"))
+    val input = MemoryStream[StreamDoc]
+    val events = input.toDF()
+      .withWatermark("ts", "30 minutes").as[StreamDoc]
+    val q = StreamOps.trendingTokensStream(events,
+        windowSeconds = 3600L, capacity = 4096, topK = 3)
+      .writeStream.format("memory").queryName("trend_stream")
+      .outputMode("append").start()
+    input.addData(w0(0), w0(1)); q.processAllAvailable()
+    input.addData(w1: _*); q.processAllAvailable()
+    input.addData(d(9, "2024-01-01 12:00:00", "x")); q.processAllAvailable()
+    input.addData(d(9, "2024-01-01 13:00:00", "x")); q.processAllAvailable()
+    q.stop()
+    val got = s.sql(
+        "select * from trend_stream where window_start < timestamp '2024-01-01 02:00:00'")
+      .as[TrendOut].collect()
+      .groupBy(_.window_start.toString)
+      .map { case (k, v) => k -> v.sortBy(_.rank)
+        .map(o => (o.rank, o.token, o.cnt)).toSeq }
+    // exact regime (capacity >> distinct): ranking == batch counts,
+    // (count desc, token asc) ties — w0: alpha 3, beta 2, gamma 1
+    assert(got("2024-01-01 00:00:00.0") ==
+      Seq((1, "alpha", 3L), (2, "beta", 2L), (3, "gamma", 1L)))
+    assert(got("2024-01-01 01:00:00.0") ==
+      Seq((1, "burst", 4L), (2, "alpha", 1L), (3, "delta", 1L)))
+    assert(got.size == 2)
+  }
+
   test("klDriftStream: each closed window scores the batch KL exactly, once") {
     import graft.streaming.StreamOps.{DriftEvent, DriftOut}
     val s = spark
