@@ -1522,6 +1522,13 @@ $joins"""
       graft.operators.Skew.keySkewReport(t(s, dir, "lineitem"),
         Seq("l_suppkey"), topN = 10)),
 
+    // linear multi-touch attribution: purchases credit the user's
+    // touch types inside a 6 h lookback, 1/n each (round-6 decimal)
+    "q_events_attribution" -> ((s, dir) =>
+      graft.operators.Events.attributeConversions(t(s, dir, "events"),
+        conversionType = "purchase", lookbackSeconds = 21600L,
+        model = "linear")),
+
     // SCD2 validity intervals over each user's event-type change log:
     // consecutive repeats collapse to runs, runs stitch into half-open
     // [valid_from, valid_to) with the open tail marked current
@@ -4631,6 +4638,29 @@ $joins"""
           |  round(CAST((SELECT CAST(sum(trm) AS DECIMAL(28,9))
           |    FROM terms) AS DOUBLE), 6) AS psi
           |FROM t""".stripMargin,
+
+      // same user-keyed pair join, half-open lookback, round-6 decimal
+      // credits summed as DECIMAL
+      "q_events_attribution" ->
+        """WITH conv AS (
+          |  SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS cts
+          |  FROM events WHERE event_type = 'purchase'
+          |), touch AS (
+          |  SELECT user_id AS u, event_id AS tid,
+          |    event_type AS touch_type, epoch_us(ts) AS tts
+          |  FROM events WHERE event_type <> 'purchase'
+          |), paired AS (
+          |  SELECT cid, touch_type FROM conv JOIN touch USING (u)
+          |  WHERE tts < cts AND tts >= cts - 21600000000
+          |), credited AS (
+          |  SELECT cid, touch_type,
+          |    CAST(round(1.0 / (count(*) OVER (PARTITION BY cid)), 6)
+          |      AS DECIMAL(16,6)) AS credit
+          |  FROM paired
+          |)
+          |SELECT touch_type, count(DISTINCT cid)::BIGINT AS n_conversions,
+          |  round(CAST(sum(credit) AS DOUBLE), 6) AS credit
+          |FROM credited GROUP BY 1""".stripMargin,
 
       // same run-collapse (lag) then interval stitch (lead), both
       // windows keyed by user

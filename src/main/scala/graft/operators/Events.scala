@@ -239,6 +239,65 @@ object Events {
         max(col(idCol)).as("last_event_id"))
   }
 
+  /** Multi-touch conversion attribution: distribute each conversion's
+    * unit of credit over the user's touch events inside a lookback
+    * window — the classic "which channel drove the purchase" table
+    * (models: `last_touch` gives the most recent touch everything,
+    * `linear` splits evenly), and in pipeline terms the
+    * which-source-fed-the-good-model question asked of crawl events.
+    *
+    * Scale shape: one user-keyed equi-join between the (small)
+    * conversion slice and the touch slice, filtered to the half-open
+    * lookback (touch.ts ∈ [conv.ts − lookback, conv.ts)); per-user
+    * activity bounds the fan-out (for a pathological mega-user,
+    * pre-bucket by time with the RangeJoin construction — same
+    * result, bounded pairs). Credit math is exact-replicable: linear
+    * credit rounds 1/n to 6 once per conversion and the per-type
+    * rollup sums DECIMAL; last-touch picks max (ts, tie) — no floats
+    * anywhere in the choice. Output: one row per touch type —
+    * (touch_type, n_conversions, credit[round 6]); conversions with
+    * NO in-window touch are counted in none (the unattributed gap is
+    * visible as sum(credit) < total conversions). */
+  def attributeConversions(events: DataFrame, conversionType: String,
+                           lookbackSeconds: Long,
+                           model: String = "last_touch",
+                           userCol: String = "user_id",
+                           typeCol: String = "event_type",
+                           tsCol: String = "ts",
+                           idCol: String = "event_id"): DataFrame = {
+    require(lookbackSeconds > 0, "lookbackSeconds must be positive")
+    require(Set("last_touch", "linear")(model),
+      "model must be last_touch or linear")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("u"), col(idCol).as("cid"),
+        unix_micros(col(tsCol)).as("cts"))
+    val touch = events.filter(col(typeCol) =!= conversionType)
+      .select(col(userCol).as("u"), col(idCol).as("tid"),
+        col(typeCol).as("touch_type"), unix_micros(col(tsCol)).as("tts"))
+    val paired = conv.join(touch, Seq("u"))
+      .filter(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - lookbackSeconds * 1000000L)
+    val credited = model match {
+      case "last_touch" =>
+        // max (ts, tie) — integer comparison, deterministic
+        paired.groupBy(col("cid"))
+          .agg(max(struct(col("tts"), col("tid"), col("touch_type")))
+            .as("w"))
+          .select(col("cid"), col("w.touch_type"),
+            lit(BigDecimal(1).setScale(6)).as("credit"))
+      case "linear" =>
+        val n = Window.partitionBy(col("cid"))
+        paired
+          .withColumn("credit",
+            round(lit(1.0) / count(lit(1)).over(n), 6)
+              .cast("decimal(16,6)"))
+          .select(col("cid"), col("touch_type"), col("credit"))
+    }
+    credited.groupBy(col("touch_type"))
+      .agg(count_distinct(col("cid")).as("n_conversions"),
+        round(sum(col("credit")).cast("double"), 6).as("credit"))
+  }
+
   /** Slowly-changing-dimension (type 2) interval construction from a
     * change log: collapse each key's consecutive repeats of the tracked
     * attribute, then stitch the survivors into half-open validity

@@ -4170,6 +4170,30 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- SCD2 / per-group cap / vocab coverage ----
 
+  test("attributeConversions: lookback, models, and the unattributed gap") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, timestamp '2024-01-01 10:00:00', 7L, 'ad', 0.0),
+        |  (2L, timestamp '2024-01-01 11:00:00', 7L, 'email', 0.0),
+        |  (3L, timestamp '2024-01-01 11:30:00', 7L, 'purchase', 9.0),
+        |  (4L, timestamp '2024-01-01 02:00:00', 8L, 'ad', 0.0),
+        |  (5L, timestamp '2024-01-01 23:00:00', 8L, 'purchase', 5.0),
+        |  (6L, timestamp '2024-01-02 00:00:00', 9L, 'purchase', 1.0)
+        |  as t(event_id, ts, user_id, event_type, value)""".stripMargin)
+    def run(model: String) =
+      Events.attributeConversions(df, "purchase", 21600L, model)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_conversions"), r.getAs[Double]("credit")))
+        .toMap
+    // user 7's purchase sees both touches in-window; user 8's only touch
+    // is 21 h stale (outside 6 h lookback); user 9 has no touches at all
+    val lin = run("linear")
+    assert(lin == Map("ad" -> ((1L, 0.5)), "email" -> ((1L, 0.5))))
+    val last = run("last_touch")
+    assert(last == Map("email" -> ((1L, 1.0)))) // most recent wins all
+    // unattributed gap visible: total credit 1.0 < 3 conversions
+  }
+
   test("scd2: repeats collapse to runs, intervals stitch, last is current") {
     val df = spark.sql(
       """select * from values
