@@ -1510,6 +1510,22 @@ $joins"""
         "value", binWidth = 5.0)
     }),
 
+    // corpus-percentile score normalization at bin resolution — the
+    // scale-correct percent_rank (no global-order window anywhere)
+    "q_stats_ecdf" -> ((s, dir) =>
+      graft.operators.Stats.ecdfNormalize(
+        t(s, dir, "events").select("event_id", "value"), "value",
+        bins = 100)),
+
+    // reliability diagram: does a 0.9 "probability" hit 90%? fixed
+    // [0,1] bins, decimal-summed prediction mass, round-6 rates
+    "q_stats_calibration" -> ((s, dir) =>
+      graft.operators.Stats.calibrationCurve(
+        t(s, dir, "lineitem").select(
+          (col("l_discount") * 10).as("p"),
+          (col("l_quantity") > 25).as("y")),
+        "p", "y", bins = 10)),
+
     // equi-depth profile of the (skewed) event values: ~equal-count
     // buckets at the exact interpolated octile thresholds
     "q_stats_histogram_eq" -> ((s, dir) =>
@@ -4559,6 +4575,47 @@ $joins"""
           |SELECT bin, bin::DOUBLE * 5000.0 AS lo,
           |  (bin + 1)::DOUBLE * 5000.0 AS hi, count(*)::BIGINT AS n
           |FROM b GROUP BY 1""".stripMargin,
+
+      // same observed-range binning, bounded-join cumulation, and
+      // broadcast pct lookup
+      "q_stats_ecdf" ->
+        """WITH mm AS (
+          |  SELECT min(value) AS lo, max(value) AS hi,
+          |         count(value) AS n FROM events
+          |), b AS (
+          |  SELECT event_id, value,
+          |    CASE WHEN mm.hi = mm.lo THEN 0
+          |         ELSE least(CAST(floor((value - mm.lo) /
+          |           (mm.hi - mm.lo) * 100) AS INT), 99) END AS bin
+          |  FROM events, mm
+          |), per AS MATERIALIZED (
+          |  SELECT bin, count(*) AS n FROM b GROUP BY 1
+          |), cum AS (
+          |  SELECT p.bin, sum(h.n) AS cum
+          |  FROM per p JOIN per h ON h.bin <= p.bin GROUP BY 1
+          |)
+          |SELECT b.event_id, b.value,
+          |  round(cum.cum::DOUBLE / mm.n::DOUBLE, 6) AS pct
+          |FROM b JOIN cum ON b.bin = cum.bin, mm""".stripMargin,
+
+      // same fixed [0,1] bins, decimal prediction mass, round-6 rates
+      "q_stats_calibration" ->
+        """WITH base AS (
+          |  SELECT l_discount * 10 AS p, l_quantity > 25 AS y
+          |  FROM lineitem
+          |), g AS (
+          |  SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+          |    count(*) AS n,
+          |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+          |    CAST(sum(CAST(round(p, 9) AS DECIMAL(28,9)))
+          |      AS DECIMAL(38,9)) AS pm
+          |  FROM base GROUP BY 1
+          |)
+          |SELECT bin, bin::DOUBLE / 10 AS p_lo,
+          |  (bin + 1)::DOUBLE / 10 AS p_hi, n::BIGINT AS n,
+          |  round(pm::DOUBLE / n::DOUBLE, 6) AS mean_predicted,
+          |  round(np::DOUBLE / n::DOUBLE, 6) AS positive_rate
+          |FROM g""".stripMargin,
 
       // same interpolated octiles (round-6 thresholds), same
       // count-of-thresholds-below binning with ties upward

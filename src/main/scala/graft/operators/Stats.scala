@@ -231,6 +231,89 @@ object Stats {
               col("n_neg").cast("double")), 6)).as("auc"))
   }
 
+  /** Binned ECDF normalization: replace a raw score with its corpus
+    * percentile (the fraction of rows scoring at-or-below its bin) —
+    * the robust way to put heterogeneous quality signals on one [0, 1]
+    * scale before blending or thresholding (min-max normalization is
+    * one outlier away from compressing everything; rank
+    * normalization is distribution-free). The textbook
+    * `percent_rank()` is a GLOBAL-order window — one partition holds
+    * the corpus; this is its scale-correct replacement at bin
+    * resolution (error ≤ one bin's mass, bins is the caller's knob).
+    *
+    * Shape: one pass bins every row; per-bin counts cumulate via the
+    * bounded bins² self-join (the prCurve pattern — no global-order
+    * window anywhere); the ≤ bins-row pct table broadcast-joins back
+    * onto the rows. min/max are the only driver scalars. Output:
+    * input rows + `pct` (round 6, in (0, 1]; a constant column maps
+    * to 1.0). */
+  def ecdfNormalize(df: DataFrame, scoreCol: String,
+                    bins: Int = 1000): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val v = col(scoreCol).cast("double")
+    val mm = df.agg(min(v), max(v), count(v)).head
+    require(mm.getLong(2) > 0, "ecdfNormalize needs non-null scores")
+    val lo = mm.getDouble(0)
+    val range = mm.getDouble(1) - lo
+    def binOf(e: Column) =
+      if (range == 0) lit(0)
+      else least(floor((e - lit(lo)) / lit(range) * lit(bins))
+        .cast("int"), lit(bins - 1))
+    val per = df.select(binOf(v).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val cum = per.select(col("b")).as("lo")
+      .join(per.select(col("b").as("bh"), col("n")), col("bh") <= col("b"))
+      .groupBy(col("b")).agg(sum(col("n")).as("cum"))
+    val total = mm.getLong(2)
+    val pct = cum.select(col("b").as("__b"),
+      round(col("cum").cast("double") / lit(total.toDouble), 6)
+        .as("pct"))
+    df.withColumn("__b", binOf(v))
+      .join(broadcast(pct), Seq("__b"), "left")
+      .drop("__b")
+  }
+
+  /** Calibration (reliability) curve: per predicted-probability bin,
+    * the mean prediction against the empirical positive rate — the
+    * diagram that says whether a quality classifier's 0.9 means 90%
+    * (prCurve/aucBinned rank; this checks the probabilities
+    * themselves, which is what you need before using scores as
+    * sampling WEIGHTS rather than thresholds). Bins are fixed over
+    * [0, 1] (the probability domain), so bin edges are data-independent
+    * and two models' curves are comparable.
+    *
+    * One corpus pass into per-bin (n, positive count, decimal-summed
+    * prediction mass); every ratio rounds to 6 with oracle-identical
+    * shape. Output: one row per OBSERVED bin — (bin, p_lo, p_hi, n,
+    * mean_predicted[round 6], positive_rate[round 6]). */
+  def calibrationCurve(df: DataFrame, probCol: String, labelCol: String,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val p = col(probCol).cast("double")
+    val base = df.select(p.as("p"),
+        col(labelCol).cast("boolean").as("y"))
+      .filter(col("p").isNotNull && !isnan(col("p")) &&
+        col("y").isNotNull)
+    base.select(
+        least(floor(col("p") * lit(bins)).cast("int"), lit(bins - 1))
+          .as("bin"),
+        col("p"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("np"),
+        sum(round(col("p"), 9).cast("decimal(28,9)")).as("pm"))
+      .select(col("bin"),
+        (col("bin").cast("double") / lit(bins)).as("p_lo"),
+        ((col("bin") + 1).cast("double") / lit(bins)).as("p_hi"),
+        col("n"),
+        round(col("pm").cast("double") / col("n").cast("double"), 6)
+          .as("mean_predicted"),
+        round(col("np").cast("double") / col("n").cast("double"), 6)
+          .as("positive_rate"))
+  }
+
   /** Median-absolute-deviation outlier gate: flag rows whose value
     * sits more than `k` scaled MADs from the median — the robust
     * data-cleaning filter (a mean/stddev z-score gate moves WITH the

@@ -4089,6 +4089,39 @@ class OperatorsSpec extends AnyFunSuite {
       1L -> ((1.0, 2.0, 2L)), 7L -> ((7.0, 8.0, 1L))))
   }
 
+  test("ecdfNormalize: percentiles at bin resolution, monotone, constant -> 1") {
+    val df = spark.sql(
+      "select * from values (1L, 10.0), (2L, 20.0), (3L, 30.0), " +
+      "(4L, 40.0), (5L, 40.0) as t(id, s)")
+    val got = Stats.ecdfNormalize(df, "s", bins = 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pct")).toMap
+    // bins over [10,40]: 10->b0 (1/5), 20->b1 (2/5), 30->b2 (3/5),
+    // 40,40->b3 (5/5)
+    assert(got == Map(1L -> 0.2, 2L -> 0.4, 3L -> 0.6,
+      4L -> 1.0, 5L -> 1.0))
+    // a constant column maps everyone to 1.0 (range-0 degenerate)
+    val const = Stats.ecdfNormalize(
+      spark.sql("select * from values (1L, 7.0), (2L, 7.0) as t(id, s)"),
+      "s", bins = 4).collect().map(_.getAs[Double]("pct"))
+    assert(const.forall(_ == 1.0))
+  }
+
+  test("calibrationCurve: mean prediction vs empirical rate per [0,1] bin") {
+    // bin 2 ([0.2,0.3)): predictions 0.20/0.25, 1 of 2 positive;
+    // bin 9 catches p = 1.0 via the least() clamp
+    val df = spark.sql(
+      """select * from values
+        |  (0.20D, false), (0.25D, true), (0.95D, true), (1.0D, true)
+        |  as t(p, y)""".stripMargin)
+    val got = Stats.calibrationCurve(df, "p", "y", bins = 10)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_predicted"),
+          r.getAs[Double]("positive_rate"))).toMap
+    assert(got.keySet == Set(2, 9))
+    assert(got(2) == ((2L, 0.225, 0.5)))
+    assert(got(9) == ((2L, 0.975, 1.0)))
+  }
+
   test("equiDepthHistogram: ~equal counts on skewed data, ties go up") {
     // heavily skewed: 12 zeros + a spread tail; quartiles with ties
     val df = spark.sql("select * from values " +
