@@ -441,6 +441,41 @@ object StreamOps {
                       binWidth: Double): DataFrame =
     graft.operators.Stats.histogram(rows, valueCol, binWidth)
 
+  /** Per-window quantiles on streams — the "hourly p99" metric: exact
+    * (ε = 0) or bounded-state (ε > 0) quantiles per tumbling event-time
+    * window and group, emitted APPEND-mode when the watermark closes
+    * the window. Built from the house GK sketch aggregate inside a
+    * native watermarked window aggregation, so the ENGINE owns state
+    * lifecycle and emission; at ε = 0 the summary is a pure function
+    * of the window's value multiset (order-independent), making the
+    * closed-window rows equal the batch computation on the same slice
+    * digit-for-digit (parity-spec'd). State per (window, group) is the
+    * sketch summary — O((1/ε)·log εn) at ε > 0, the whole multiset at
+    * the exact setting (size the window accordingly).
+    * Output: (window_start, groupCols..., q, value). */
+  def windowedQuantilesStream(events: DataFrame, valueCol: String,
+                              qs: Seq[Double],
+                              tsCol: String = "ts",
+                              windowLength: String = "1 hour",
+                              watermark: String = "2 hours",
+                              eps: Double = 0.0,
+                              groupCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graftext.QuantileSketch
+    val sketch = QuantileSketch(col(valueCol).cast("double"), eps, qs)
+      .as("qv")
+    val keys = window(col(tsCol), windowLength).as("w") +:
+      groupCols.map(col)
+    val qlits = array(qs.map(lit): _*)
+    events.withWatermark(tsCol, watermark)
+      .groupBy(keys: _*)
+      .agg(sketch)
+      .select((col("w.start").as("window_start") +: groupCols.map(col)) :+
+        posexplode(col("qv")): _*)
+      .select((col("window_start") +: groupCols.map(col)) ++ Seq(
+        element_at(qlits, col("pos") + 1).as("q"),
+        col("col").as("value")): _*)
+  }
+
   /** CCNet-style perplexity/quality banding on streams — the
     * Structured Streaming form of `Curation.bucketByQuantile`:
     * thresholds fit ONCE on a reference corpus (batch quantiles,

@@ -364,6 +364,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("windowedQuantilesStream: closed windows carry the exact batch quantiles") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ev = graft.sources.Sources.events(s, "/root/testdata/sf0.001")
+      .limit(200).select("event_id", "event_type", "ts", "value")
+    val rows = ev.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(2), r.getDouble(3)))
+    val qs = Seq(0.5, 0.99)
+    // batch reference: same GK-exact quantiles per (6h window, type)
+    val batch = graft.operators.Stats.quantileStats(
+        ev.withColumn("w", window(col("ts"), "6 hours"))
+          .select(col("w.start").as("window_start"), col("event_type"),
+            col("value")),
+        "value", qs, groupCols = Seq("window_start", "event_type"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getDouble(2)) -> r.getDouble(3)).toMap
+    val input = MemoryStream[(Long, String, Timestamp, Double)]
+    val out = StreamOps.windowedQuantilesStream(
+      input.toDF().toDF("event_id", "event_type", "ts", "value"),
+      "value", qs, windowLength = "6 hours", watermark = "30 days",
+      groupCols = Seq("event_type"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("wq_stream")
+      .outputMode("append").start()
+    (0 until 2).foreach { c =>
+      input.addData(rows.filter(_._1 % 2 == c.toLong).toSeq: _*)
+      q.processAllAvailable()
+    }
+    // sentinels push the watermark past every window end
+    val far = Timestamp.valueOf("2030-01-01 00:00:00")
+    input.addData((900L, "zz", far, 0.0)); q.processAllAvailable()
+    input.addData((901L, "zz",
+      Timestamp.valueOf("2030-01-02 00:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql(
+        "select * from wq_stream where event_type <> 'zz'").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getDouble(2)) -> r.getDouble(3)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("quantileBucketStream bands arrivals exactly like the batch gate") {
     val s = spark
     import s.implicits._
