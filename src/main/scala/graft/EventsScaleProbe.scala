@@ -31,14 +31,16 @@ object EventsScaleProbe {
     val spark = LocalSession()
     val ev = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.1", "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
     val names = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.1", "part")
       .groupBy(col("p_name")).agg(min(col("p_partkey")).as("name_id"))
 
     def evCorpus(r: Int): DataFrame = ev.select(
       (col("event_id") + r * 100000000L).as("event_id"), col("ts"),
-      (col("user_id") + r * 1000000L).as("user_id"), col("value"))
+      (col("user_id") + r * 1000000L).as("user_id"),
+      col("event_type"), col("value"))
 
     def nameCorpus(r: Int): DataFrame = names.select(
       (col("name_id") + r * 10000000L).as("name_id"),
@@ -61,6 +63,23 @@ object EventsScaleProbe {
       Events.rollingAnomalies(ec).count()
       val (nAnom, tAnom) = timed { Events.rollingAnomalies(ec).count() }
 
+      // SCD2: per-user keyed windows — replica users carry the exact
+      // per-user change-log shape of an original user, so interval
+      // volume is exactly ∝ R at ~constant per-user window size
+      Events.scd2(ec, "user_id", "event_type").count()
+      val (nIv, tScd) = timed {
+        Events.scd2(ec, "user_id", "event_type").count()
+      }
+
+      // attribution: one user-keyed pair join; per-user activity is
+      // replica-invariant so credited pair volume is exactly ∝ R
+      Events.attributeConversions(ec, "purchase", 21600L, "linear")
+        .count()
+      val (credRow, tAttr) = timed {
+        Events.attributeConversions(ec, "purchase", 21600L, "linear")
+          .agg(sum(col("n_conversions"))).first().getLong(0)
+      }
+
       val nc = (0 until rep).map(nameCorpus).reduce(_ union _)
         .localCheckpoint(true)
       val nn = nc.count()
@@ -70,7 +89,9 @@ object EventsScaleProbe {
       }
 
       println(f"EVSCALE events=$ne%8d gapfill=$tGap%6.1fs grid=$nGrid%8d " +
-        f"anomalies=$tAnom%6.1fs flagged=$nAnom%6d | " +
+        f"anomalies=$tAnom%6.1fs flagged=$nAnom%6d " +
+        f"scd2=$tScd%6.1fs intervals=$nIv%8d " +
+        f"attrib=$tAttr%6.1fs credited=$credRow%8d | " +
         f"names=$nn%6d fuzzy=$tFuzzy%6.1fs pairs=$nPairs%6d")
     }
     spark.stop()
