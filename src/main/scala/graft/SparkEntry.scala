@@ -738,6 +738,17 @@ $joins"""
       graft.sources.Sources.readCsv(s, path, docs.schema)
     }),
 
+    // ORC round-trip on the same table (columnar, self-describing
+    // schema from the footers; zstd stripes carry min/max stats for
+    // the same pushdown the parquet scan gets)
+    "q_source_orc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.sources.Sources.writeOrc(docs, path)
+      graft.sources.Sources.readOrc(s, path)
+    }),
+
     // per-document keyword extraction: top tokens by tf-idf, df riding
     // the same token-keyed partitioning as the tf groupBy (bm25 trick)
     "q_text_keywords" -> ((s, dir) =>
@@ -1551,6 +1562,18 @@ $joins"""
     "q_events_scd2" -> ((s, dir) =>
       graft.operators.Events.scd2(t(s, dir, "events"),
         "user_id", "event_type")),
+
+    // first-order Markov transition matrix over per-user sequences:
+    // one user-keyed lead window, counts collapse to |types|^2 cells
+    // before the exchange, normalization over the matrix frame only
+    "q_events_transitions" -> ((s, dir) =>
+      Events.transitionMatrix(t(s, dir, "events"))),
+
+    // recency-weighted activity: decay-1/2 sum over each user's 8 most
+    // recent events — every weight a power of two, terms exact on the
+    // round-9 decimal lattice, DECIMAL-summed (order-free)
+    "q_events_decayed" -> ((s, dir) =>
+      Events.decayedActivity(t(s, dir, "events"))),
 
     // exact weighted draw: 100 docs without replacement, inclusion
     // ∝ length — the ES key ln(u)/w ranked via TakeOrderedAndProject
@@ -3151,6 +3174,9 @@ $joins"""
       "q_source_csv" ->
         "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
+      "q_source_orc" ->
+        "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
       // tf-idf replica: same two-level counts, same single ln and
       // multiply (both IEEE), ranking on the rounded score both sides
       "q_text_keywords" ->
@@ -4734,6 +4760,41 @@ $joins"""
           |  lead(ts0) OVER (PARTITION BY key ORDER BY ts0, tie) IS NULL
           |    AS is_current
           |FROM runs WHERE prev IS NULL OR prev <> value""".stripMargin,
+
+      // same (ts, event_id)-ordered lead per user, same count/window
+      // normalization; n_from cast back to BIGINT (DuckDB window sums
+      // to HUGEINT)
+      "q_events_transitions" ->
+        """WITH pairs AS (
+          |  SELECT event_type AS src_type,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS dst_type
+          |  FROM events
+          |), c AS (
+          |  SELECT src_type, dst_type, count(*)::BIGINT AS n_pairs
+          |  FROM pairs WHERE dst_type IS NOT NULL GROUP BY 1, 2
+          |)
+          |SELECT src_type, dst_type, n_pairs,
+          |  CAST(sum(n_pairs) OVER (PARTITION BY src_type) AS BIGINT)
+          |    AS n_from,
+          |  round(n_pairs::DOUBLE /
+          |    CAST(sum(n_pairs) OVER (PARTITION BY src_type) AS BIGINT)
+          |      ::DOUBLE, 6) AS prob
+          |FROM c""".stripMargin,
+
+      // same desc (ts, event_id) recency rank, same power-of-two
+      // weights (pow(0.5,k) is exact), same round-9 decimal terms
+      "q_events_decayed" ->
+        """WITH ranked AS (
+          |  SELECT user_id, value,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) - 1 AS k
+          |  FROM events
+          |)
+          |SELECT user_id, count(*)::BIGINT AS n_recent,
+          |  CAST(sum(CAST(round(value * pow(0.5, k), 9)
+          |    AS DECIMAL(38,9))) AS DOUBLE) AS decayed_value
+          |FROM ranked WHERE k < 8 GROUP BY 1""".stripMargin,
 
       // same 48-bit md5 u, same ln(u)/w key rounded 9, desc + id ties
       "q_sample_weighted_k" ->

@@ -331,4 +331,82 @@ object Events {
         lead(col("ts0"), 1).over(stitched).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: for every observed (event_type → next event_type) step,
+    * the count and the row-normalized transition probability. The
+    * standard behavioral-model summary (what follows what), and in
+    * pipeline terms the input to next-event prediction features and
+    * sequence-anomaly scoring.
+    *
+    * Ordering is (ts, idCol) — a total order, so the successor of
+    * every event is engine-independent even under equal timestamps.
+    *
+    * Scale shape: one `lead` window keyed by user (each user's
+    * sequence sorts inside its own partition — the shape window
+    * functions are built for), then a partial-aggregated groupBy that
+    * collapses to at most |types|² cells before any exchange; the
+    * row normalization runs over that tiny matrix frame, not the
+    * event log. No global window, no driver state. Output: one row
+    * per observed (src_type, dst_type) — (src_type, dst_type,
+    * n_pairs, n_from, prob[round 6]). */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    val seqW = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("src_type"), col(tsCol),
+        col(idCol))
+      .withColumn("dst_type", lead(col("src_type"), 1).over(seqW))
+      .filter(col("dst_type").isNotNull)
+    val counts = pairs.groupBy(col("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    // |types|² rows from here on — the per-src window is over the
+    // matrix frame, not the event log
+    val perSrc = Window.partitionBy(col("src_type"))
+    counts
+      .withColumn("n_from", sum(col("n_pairs")).over(perSrc))
+      .withColumn("prob", round(col("n_pairs").cast("double") /
+        col("n_from").cast("double"), 6))
+  }
+
+  /** Recency-weighted activity score: per user, the decay-weighted sum
+    * of the values of their `maxEvents` most recent events, weight
+    * decay^k for the k-th most recent (k = 0 newest). The classic
+    * engagement / freshness feature; the trailing-window form is
+    * deliberate — it is exactly the bounded state a streaming version
+    * would keep, and it makes the arithmetic externally replicable:
+    * with the default decay 1/2 every weight is a power of two, so
+    * value·decay^k is an EXACT binary shift of the stored double, and
+    * with centi-scaled values and k ≤ 7 its shortest decimal form has
+    * ≤ 9 digits — the round-9 decimal lattice both engines land on
+    * identically, summed as DECIMAL so order cannot matter.
+    *
+    * Scale shape: one row_number window keyed by user (per-user sort
+    * in its own partition) prunes to ≤ maxEvents rows per user, then
+    * a user-keyed groupBy that rides the window's partitioning — one
+    * shuffle total, no global order. Output: (user, n_recent,
+    * decayed_value). */
+  def decayedActivity(events: DataFrame, maxEvents: Int = 8,
+                      decay: Double = 0.5,
+                      userCol: String = "user_id",
+                      valueCol: String = "value",
+                      tsCol: String = "ts",
+                      idCol: String = "event_id"): DataFrame = {
+    require(maxEvents >= 1, "maxEvents must be >= 1")
+    require(decay > 0 && decay <= 1, "decay must be in (0, 1]")
+    val recency = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    events.select(col(userCol), col(valueCol), col(tsCol), col(idCol))
+      .withColumn("k", row_number().over(recency) - 1)
+      .filter(col("k") < maxEvents)
+      .withColumn("term",
+        round(col(valueCol) * pow(lit(decay), col("k")), 9)
+          .cast("decimal(38,9)"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_recent"),
+        sum(col("term")).cast("double").as("decayed_value"))
+  }
 }

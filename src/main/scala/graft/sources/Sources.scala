@@ -54,6 +54,28 @@ object Sources {
     spark.read.schema(schema).option("header", "true")
       .option("multiLine", "true").csv(path)
 
+  /** ORC sink — the other columnar warehouse format (Hive/Presto
+    * estates). Zstd-compressed stripes with min/max stripe statistics,
+    * so downstream predicate pushdown skips stripes the same way
+    * parquet row-group stats do. Types round-trip exactly (columnar
+    * format, no text-serialization lossiness) — oracle-checked
+    * end-to-end in the harness. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.option("compression", "zstd").mode("overwrite").orc(path)
+
+  /** ORC source. Schema is taken from the file footers (columnar
+    * formats self-describe — no inference pass to pay for, unlike
+    * [[readCsv]]/[[readJsonl]]); an explicit schema is still accepted
+    * for projection-pruned reads of wide tables. Spark's native
+    * vectorized ORC reader applies the same pushdown/pruning as the
+    * parquet scan (`PushedFilters`/`ReadSchema` in explain). */
+  def readOrc(spark: SparkSession, path: String,
+              schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).orc(path)
+  }
+
   /** `events.ts` has shipped in two physical forms across testdata
     * generations: INT64 TIMESTAMP(NANOS) (which Spark refuses —
     * [PARQUET_TYPE_ILLEGAL] — unless nanos are read as long) and

@@ -4267,6 +4267,64 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(("a", false), ("b", true)))
   }
 
+  test("transitionMatrix: hand-checked counts, row-normalized, tie-broken") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, timestamp '2026-01-01 00:00:00', 7L, 'a'),
+        |  (2L, timestamp '2026-01-01 00:01:00', 7L, 'b'),
+        |  (3L, timestamp '2026-01-01 00:02:00', 7L, 'a'),
+        |  (4L, timestamp '2026-01-01 00:03:00', 7L, 'b'),
+        |  (5L, timestamp '2026-01-01 00:04:00', 7L, 'c'),
+        |  -- user 8: equal timestamps, event_id decides a -> b
+        |  (7L, timestamp '2026-01-01 00:00:00', 8L, 'b'),
+        |  (6L, timestamp '2026-01-01 00:00:00', 8L, 'a'),
+        |  -- user 9: a single event contributes no transition
+        |  (8L, timestamp '2026-01-01 00:00:00', 9L, 'z')
+        |  as t(event_id, ts, user_id, event_type)""".stripMargin)
+    val got = Events.transitionMatrix(df).collect()
+      .map(r => (r.getAs[String]("src_type"), r.getAs[String]("dst_type"))
+        -> ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_from"),
+          r.getAs[Double]("prob")))).toMap
+    // user 7 steps: a->b, b->a, a->b, b->c; user 8: a->b (tie-broken)
+    assert(got(("a", "b")) == ((3L, 3L, 1.0)))
+    assert(got(("b", "a")) == ((1L, 2L, 0.5)))
+    assert(got(("b", "c")) == ((1L, 2L, 0.5)))
+    assert(got.size == 3) // no cross-user pair, no row for lone 'z'
+  }
+
+  test("decayedActivity: exact halving weights, trailing-window cutoff") {
+    val rows = (0 until 10).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-01-01 00:${i}%02d:00"),
+        7L, 1.0)
+    } :+ ((100L, java.sql.Timestamp.valueOf("2026-01-01 01:00:00"),
+      8L, 6.55))
+    val df = spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = graft.operators.Events.decayedActivity(df)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_recent"), r.getAs[Double]("decayed_value"))))
+      .toMap
+    // user 7 has 10 events but only the 8 most recent count:
+    // sum of 1/2^k for k=0..7 = 255/128 exactly
+    assert(got(7L) == ((8L, 255.0 / 128.0)))
+    // single event: weight 2^0, value passes through on the lattice
+    assert(got(8L) == ((1L, 6.55)))
+  }
+
+  test("decayedActivity: equal timestamps rank by the id tie-break") {
+    val df = spark.sql(
+      """select * from values
+        |  (2L, timestamp '2026-01-01', 1L, 8.0),
+        |  (1L, timestamp '2026-01-01', 1L, 2.0)
+        |  as t(event_id, ts, user_id, value)""".stripMargin)
+    val got = graft.operators.Events.decayedActivity(df, maxEvents = 2)
+      .collect().head
+    // event_id 2 is "newest" (desc tie-break): 8*1 + 2*0.5 = 9, not
+    // 2*1 + 8*0.5 = 6
+    assert(got.getAs[Double]("decayed_value") == 9.0)
+  }
+
   test("sampleWeightedTopK: exactly k, deterministic, monotone in the weight") {
     val base = docs.select(col("doc_id"), col("n_chars"))
     val k = 25

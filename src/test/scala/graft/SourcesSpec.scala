@@ -149,4 +149,35 @@ class SourcesSpec extends AnyFunSuite {
     val b = back.collect().map(_.toSeq).toSet
     assert(a == b, s"$a vs $b")
   }
+
+  test("orc round-trips content and types; footer schema self-describes") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_orc_spec").toString
+    // columnar format: no text-serialization corners — nulls, empty
+    // string (distinct from null, unlike CSV), unicode, extremes all
+    // survive bit-for-bit
+    val rows = Seq(
+      (1L, "plain text", 3.5, true),
+      (2L, "", -0.0, false),
+      (3L, "newline\nand unicode é中", Double.MaxValue, true),
+      (4L, null.asInstanceOf[String], 1e-300, false))
+    val df = rows.toDF("id", "s", "d", "b")
+    graft.sources.Sources.writeOrc(df, dir)
+    // no schema argument: the footers self-describe
+    val back = graft.sources.Sources.readOrc(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = df.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b, s"$a vs $b")
+    // explicit-schema path prunes to a projection at the scan
+    val pruned = graft.sources.Sources.readOrc(spark, dir,
+      Some(org.apache.spark.sql.types.StructType(
+        df.schema.fields.filter(f => f.name == "id" || f.name == "s"))))
+    assert(pruned.columns.toSeq == Seq("id", "s"))
+    assert(pruned.collect().map(_.toSeq).toSet ==
+      rows.map(r => Seq(r._1, r._2)).toSet)
+  }
 }
