@@ -908,6 +908,16 @@ $joins"""
       Dedup.editDistancePairs(names, "name_id", "p_name", maxDist = 3)
     }),
 
+    // same blocking, length-normalized scorer: the native jaro_winkler
+    // expression (DuckDB-pinned parameterization), threshold on the
+    // round-6 score both sides
+    "q_dedup_fuzzy_jw" -> ((s, dir) => {
+      val names = t(s, dir, "part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"))
+      Dedup.jaroWinklerPairs(names, "name_id", "p_name",
+        threshold = 0.85)
+    }),
+
     // passage-level (repeated-span) exact dedup: windows of 10 words,
     // first corpus occurrence kept, documents reassembled
     "q_dedup_passages" -> ((s, dir) =>
@@ -3375,6 +3385,28 @@ $joins"""
           |FROM k a JOIN k b2 ON a.blk = b2.blk
           |  AND a.name_id < b2.name_id
           |  AND levenshtein(a.s, b2.s) <= 3""".stripMargin,
+
+      // same blocking CTEs; DuckDB's jaro_winkler_similarity IS the
+      // pinned parameterization (window max/2-1, p=0.1, cap 4,
+      // boost > 0.7, integer transposition halving); threshold on the
+      // round-6 score, mirroring the Spark side
+      "q_dedup_fuzzy_jw" ->
+        """WITH n AS (
+          |  SELECT p_name AS s, min(p_partkey) AS name_id
+          |  FROM part GROUP BY 1
+          |), b AS (
+          |  SELECT *, string_split(s, ' ')[-1] AS blk FROM n
+          |), c AS (
+          |  SELECT blk, count(*) AS bc FROM b GROUP BY 1
+          |), k AS (
+          |  SELECT b.* FROM b JOIN c USING (blk) WHERE bc <= 1000
+          |)
+          |SELECT a.name_id AS id_a, b2.name_id AS id_b,
+          |  round(jaro_winkler_similarity(a.s, b2.s), 6) AS jw
+          |FROM k a JOIN k b2 ON a.blk = b2.blk
+          |  AND a.name_id < b2.name_id
+          |  AND round(jaro_winkler_similarity(a.s, b2.s), 6) >= 0.85
+          |""".stripMargin,
 
       "q_dedup_passages" ->
         """WITH chunks AS (

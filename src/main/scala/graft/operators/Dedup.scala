@@ -64,6 +64,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Blocked Jaro-Winkler pairing — [[editDistancePairs]]'s sibling
+    * with the length-normalized name-matching scorer instead of a raw
+    * edit count, so ONE threshold serves short and long names alike
+    * (a 2-edit typo is fatal in a 5-char name, noise in a 40-char
+    * one). Same blocking contract and the same structural cap: pairs
+    * meet only inside their last-token block, and blocks beyond
+    * `maxBlock` are dropped BEFORE the self-join so a degenerate key
+    * cannot form a quadratic bucket. The scorer is the native
+    * codegen'd [[org.apache.spark.sql.graftext.JaroWinkler]]
+    * expression (also on the SQL surface as `jaro_winkler`), pinned to
+    * the DuckDB/rapidfuzz parameterization so results replicate
+    * externally. Output: (id_a, id_b, jw[round 6]) with id_a < id_b,
+    * jw ≥ threshold. */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+                       threshold: Double = 0.9,
+                       maxBlock: Int = 1000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1]")
+    require(maxBlock >= 2, "need maxBlock >= 2")
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
+      element_at(split(col(strCol), " "), -1).as("__blk"))
+    val counts = base.groupBy(col("__blk")).agg(count(lit(1)).as("__bc"))
+    val capped = base.join(counts, Seq("__blk"))
+      .filter(col("__bc") <= maxBlock)
+    val left = capped.select(col("__blk"), col("__id").as("id_a"),
+      col("__s").as("__sa"))
+    val right = capped.select(col("__blk"), col("__id").as("id_b"),
+      col("__s").as("__sb"))
+    left.join(right, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw", round(
+        org.apache.spark.sql.graftext.JaroWinkler(
+          col("__sa"), col("__sb")), 6))
+      .filter(col("jw") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jw"))
+  }
+
   /** Exact-duplicate summary: one row per distinct content fingerprint
     * with its cardinality and the keeper (minimum) id. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

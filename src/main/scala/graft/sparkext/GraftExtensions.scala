@@ -119,6 +119,13 @@ object GraftExtensions {
           intLiteral(children(1), "deflate_ratio: level") else 6
         DeflateRatio(children.head, level)
       }),
+    ("jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "jaro_winkler expects (string, string)")
+        JaroWinkler(children.head, children(1))
+      }),
     ("quantile_sketch",
       new ExpressionInfo(classOf[QuantileSketch].getName,
         "quantile_sketch"),

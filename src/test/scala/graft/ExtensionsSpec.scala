@@ -204,6 +204,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("deflate level")))
   }
 
+  test("jaro_winkler is SQL-registered, pinned to the DuckDB values") {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.graftext.GraftExtensions.register(s)
+    val r = s.sql(
+      """select jaro_winkler('martha', 'marhta'),
+        |       jaro_winkler('dixon', 'dicksonx'),
+        |       jaro_winkler('abqqqqqq', 'abzzzzzz'),
+        |       jaro_winkler('abcxxx', 'bcaxxx'),
+        |       jaro_winkler('', ''),
+        |       jaro_winkler('abc', 'abc'),
+        |       jaro_winkler('ab', 'ba')""".stripMargin).first()
+    // classic Winkler example: jaro 17/18, prefix 3
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+    // prefix bonus engaged above threshold (DuckDB-probed value)
+    assert(math.abs(r.getDouble(1) - 0.8133333333333332) < 1e-12)
+    // jaro 0.5 <= boost threshold: NO prefix bonus despite prefix 2
+    assert(r.getDouble(2) == 0.5)
+    // odd mismatch count: INTEGER transposition halving (t=1, not 1.5)
+    assert(math.abs(r.getDouble(3) - 17.0 / 18.0) < 1e-12)
+    // DuckDB convention: either side empty scores 0 (even both-empty)
+    assert(r.getDouble(4) == 0.0)
+    assert(r.getDouble(5) == 1.0)
+    // window floor(max/2)-1 = 0: adjacent swap finds no matches
+    assert(r.getDouble(6) == 0.0)
+    val e = intercept[Exception](
+      s.sql("select jaro_winkler('x')").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("jaro_winkler expects")))
+  }
+
   test("repetition-measure expressions are SQL-registered") {
     val s = SparkTestSession.spark
     org.apache.spark.sql.graftext.GraftExtensions.register(s)

@@ -3800,6 +3800,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == Set((1L, 2L, 1)))
   }
 
+  test("jaroWinklerPairs scores blocked pairs; threshold and cap engage") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, 'martha gear'), (2L, 'marhta gear'), (3L, 'zzzz gear'),
+        |  (4L, 'lone widget'),
+        |  (5L, 'hot bolt'), (6L, 'hot bolt'), (7L, 'hot bolt'),
+        |  (8L, 'hot bolt')
+        |  as t(id, name)""".stripMargin)
+    val r = Dedup.jaroWinklerPairs(df, "id", "name", threshold = 0.9,
+        maxBlock = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .toSet
+    // gear block: the martha/marhta swap scores high with ' gear'
+    // extending the matches; the zzzz pair falls below 0.9; widget is
+    // a singleton; the 4-member bolt block exceeds the cap entirely
+    assert(r.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    val jw = r.head._3
+    assert(jw >= 0.9 && jw < 1.0)
+    // the score is the native expression, round-6
+    assert(jw == BigDecimal(jw).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("blendQuality min-max normalizes the three signals and gates on the blend") {
     val df = spark.sql(
       """select * from values
