@@ -1529,4 +1529,124 @@ object StreamOps {
           outs.result().iterator
       }
   }
+
+  case class DecayedOut(user_id: Long, n_recent: Long,
+                        decayed_value: Double)
+  case class DecayedState(top: Seq[AnomBuf])
+
+  /** Streaming recency-weighted activity — the live form of
+    * [[graft.operators.Events.decayedActivity]], whose trailing-window
+    * contract was designed as EXACTLY this operator's state: per user,
+    * only the `maxEvents` most recent (ts, id)-ordered events ever
+    * matter, so the state is a constant-size top-k set and the score
+    * is a pure function of it. That makes the operator
+    * ARRIVAL-ORDER-INDEPENDENT — maintaining a top-k by event time
+    * needs no watermark, no pending buffer, and no finality wait:
+    * late events simply merge into the top-k (displacing or being
+    * ignored), and the next emission is again the batch answer over
+    * everything seen. Update mode: each trigger emits the current
+    * score for users that received rows; the LAST row per user always
+    * equals the batch operator over the full input (spec-pinned under
+    * shuffled arrival). Same round-9 decimal lattice as batch —
+    * power-of-two weights, DECIMAL sum, order-free.
+    *
+    * State per user: `maxEvents` (ts, id, value) triples, constant.
+    * With unbounded user cardinality set `idleRetentionSeconds` to
+    * evict idle users (a returning user rebuilds from scratch). */
+  def decayedActivityStream(events: Dataset[AnomEvent], maxEvents: Int = 8,
+                            decay: Double = 0.5,
+                            idleRetentionSeconds: Option[Long] = None): Dataset[DecayedOut] = {
+    import events.sparkSession.implicits._
+    require(maxEvents >= 1, "maxEvents must be >= 1")
+    require(decay > 0 && decay <= 1, "decay must be in (0, 1]")
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    // the TTL is the ONLY thing needing event time: without it no
+    // watermark is required at all (the top-k state is order-free)
+    val timeout = if (idleRetentionSeconds.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DecayedState, DecayedOut](
+        OutputMode.Update, timeout) {
+        (userId: Long, rows: Iterator[AnomEvent],
+         state: GroupState[DecayedState]) =>
+          val prior = state.getOption.getOrElse(DecayedState(Vector.empty))
+          val fresh = rows
+            .map(e => AnomBuf(micros(e.ts), e.event_id, e.value)).toVector
+          if (fresh.isEmpty) {
+            // timeout firing: evict the idle user's state
+            if (state.hasTimedOut) state.remove()
+            Iterator.empty
+          } else {
+            // newest first, (ts, id) desc — k-th kept row has weight
+            // decay^k, identical to the batch row_number rank
+            val top = (prior.top ++ fresh)
+              .sortBy(e => (-e.tsMicros, -e.eventId))
+              .take(maxEvents)
+            state.update(DecayedState(top))
+            idleRetentionSeconds.foreach(r => state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + r * 1000 + 1))
+            val score = top.zipWithIndex.map { case (e, k) =>
+              BigDecimal(e.value * math.pow(decay, k))
+                .setScale(9, HALF_UP)
+            }.sum
+            Iterator.single(
+              DecayedOut(userId, top.size.toLong, score.toDouble))
+          }
+      }
+  }
+
+  case class TransitionPair(user_id: Long, src_type: String,
+                            dst_type: String)
+  case class TransState(lastFinal: Option[Scd2Buf], buf: Seq[Scd2Buf])
+
+  /** Streaming first-order transition pairs — the live feed of
+    * [[graft.operators.Events.transitionMatrix]]: for each user, emit
+    * (src_type, dst_type) the moment BOTH endpoints are finalized by
+    * the watermark. A pair is frozen only when no still-admissible
+    * late event could land between its endpoints, so this needs the
+    * sessionizeStream buffering discipline (unlike
+    * [[decayedActivityStream]], whose top-k state is order-free):
+    * incoming rows merge into a per-user pending buffer sorted by
+    * (ts, id); rows below the watermark release in order, each pairing
+    * with the previously released event; the last released event is
+    * retained as the next pair's source. Append mode — downstream a
+    * plain streaming `groupBy(src, dst).count()` (or the batch
+    * normalization over a sink table) rebuilds the matrix; the
+    * finalized pair multiset is spec-pinned equal to the batch
+    * operator's pairs under shuffled multi-batch arrival.
+    *
+    * State per user: one retained event plus the watermark-bounded
+    * pending buffer. Caller applies `withWatermark` upstream. */
+  def transitionPairsStream(events: Dataset[Scd2Event]): Dataset[TransitionPair] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransitionPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Scd2Event],
+         state: GroupState[TransState]) =>
+          val prior = state.getOption.getOrElse(TransState(None, Vector.empty))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          // drop rows already below the watermark: they can no longer
+          // be sequenced truthfully (standard late-data discard)
+          val merged = (prior.buf ++ rows
+              .map(e => Scd2Buf(micros(e.ts), e.event_id, e.value))
+              .filter(_.tsMicros >= wmMicros))
+            .sortBy(e => (e.tsMicros, e.tie))
+          val (ready, pending) = merged.span(_.tsMicros < wmMicros)
+          val chain = prior.lastFinal.toVector ++ ready
+          val outs = chain.iterator.zip(chain.iterator.drop(1))
+            .map { case (a, b) => TransitionPair(userId, a.value, b.value) }
+            .toVector
+          val lastFinal = chain.lastOption
+          if (pending.nonEmpty) {
+            state.update(TransState(lastFinal, pending))
+            val releaseAtMs = pending.head.tsMicros / 1000 + 1
+            state.setTimeoutTimestamp(
+              math.max(releaseAtMs, state.getCurrentWatermarkMs() + 1))
+          } else if (lastFinal != prior.lastFinal || ready.nonEmpty) {
+            state.update(TransState(lastFinal, Vector.empty))
+          }
+          outs.iterator
+      }
+  }
 }

@@ -1679,4 +1679,117 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.map(p => (p._1, p._2)) == Set((101L, 1L), (103L, 3L)))
   }
+
+  test("decayedActivityStream matches batch per user under shuffled arrival") {
+    import graft.streaming.StreamOps.{AnomEvent, DecayedOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val evDf = graft.sources.Sources
+      .table(s, "/root/testdata/sf0.001", "events")
+      .filter(col("user_id") < 12)
+      .select("event_id", "ts", "user_id", "value")
+    val batch = graft.operators.Events.decayedActivity(evDf)
+      .collect()
+      .map(r => DecayedOut(r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val rows = evDf.collect()
+      .map(r => AnomEvent(r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Timestamp]("ts"), r.getAs[Double]("value")))
+    val input = MemoryStream[AnomEvent]
+    val out = StreamOps.decayedActivityStream(input.toDS())
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("decayed_stream")
+      .outputMode("update").start()
+    // each user arrives wholly inside one chunk, but the chunk itself
+    // is time-SCRAMBLED (hash order): the top-k state must be
+    // arrival-order independent, no watermark involved
+    rows.groupBy(_.user_id % 3).toSeq.sortBy(_._1).foreach { case (_, chunk) =>
+      input.addData(chunk.sortBy(e => e.event_id.## * 2654435761L).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // one emission per (user, chunk) = one per user here
+    val streamed = s.sql("select * from decayed_stream").as[DecayedOut]
+      .collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("decayedActivityStream: every update equals batch over the seen prefix") {
+    import graft.streaming.StreamOps.{AnomEvent, DecayedOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(id: Long, minute: Int, v: Double) =
+      AnomEvent(7L, id, Timestamp.valueOf(f"2026-01-01 00:$minute%02d:00"), v)
+    // NEWEST arrives first: every later chunk is entirely "late" data
+    // landing behind the current window head
+    val chunks = Seq(
+      Seq(ev(10L, 50, 8.0), ev(9L, 45, 4.0)),
+      Seq(ev(8L, 40, 2.0)),
+      Seq(ev(7L, 35, 1.0), ev(6L, 30, 16.0)))
+    val input = MemoryStream[AnomEvent]
+    val out = StreamOps.decayedActivityStream(input.toDS(), maxEvents = 4)
+    val q = out.writeStream.format("memory").queryName("decayed_prefix")
+      .outputMode("update").start()
+    var seen = Seq.empty[AnomEvent]
+    val got = Seq.newBuilder[DecayedOut]
+    chunks.foreach { c =>
+      input.addData(c: _*)
+      q.processAllAvailable()
+      seen = seen ++ c
+      val rows = s.sql("select * from decayed_prefix").as[DecayedOut]
+        .collect()
+      got.clear(); got ++= rows
+      val expect = graft.operators.Events.decayedActivity(
+          seen.toDF(), maxEvents = 4)
+        .collect()
+        .map(r => DecayedOut(r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .head
+      assert(rows.last == expect, s"after ${seen.size} events")
+    }
+    q.stop()
+    // the window capped at 4: the oldest event (16.0) fell out
+    assert(got.result().last.decayed_value ==
+      8.0 + 4.0 * 0.5 + 2.0 * 0.25 + 1.0 * 0.125)
+  }
+
+  test("transitionPairsStream finalizes the batch pair multiset") {
+    import graft.streaming.StreamOps.{Scd2Event, TransitionPair}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val evDf = graft.sources.Sources
+      .table(s, "/root/testdata/sf0.001", "events")
+      .filter(col("user_id") < 12)
+      .select("event_id", "ts", "user_id", "event_type")
+    val batch = graft.operators.Events.transitionMatrix(evDf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rows = evDf.collect()
+      .map(r => Scd2Event(r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Timestamp]("ts"), r.getAs[String]("event_type")))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Scd2Event]
+    val out = StreamOps.transitionPairsStream(
+      input.toDF().withWatermark("ts", "0 seconds").as[Scd2Event])
+    val q = out.writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    // time-ordered chunks, each internally REVERSED: sequencing must
+    // come from the buffer, not arrival
+    val third = (rows.length + 2) / 3
+    rows.grouped(third).foreach { chunk =>
+      input.addData(chunk.reverse.toSeq: _*)
+      q.processAllAvailable()
+    }
+    input.addData(Scd2Event(999999L, 999999L,
+      Timestamp.valueOf("2030-01-01 00:00:00"), "view"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from trans_stream").as[TransitionPair]
+      .collect()
+      .groupBy(p => (p.src_type, p.dst_type))
+      .map { case (k, v) => k -> v.length.toLong }
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
