@@ -44,7 +44,10 @@ object EventsScaleProbe {
 
     def nameCorpus(r: Int): DataFrame = names.select(
       (col("name_id") + r * 10000000L).as("name_id"),
-      concat(col("p_name"), lit("#" + r)).as("p_name"))
+      // fixed-width suffix: Levenshtein-neutral (shared) AND
+      // length-stable across replicas, so the JW scores replicate
+      // exactly per replica too
+      concat(col("p_name"), lit(f"#$r%02d")).as("p_name"))
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -80,6 +83,19 @@ object EventsScaleProbe {
           .agg(sum(col("n_conversions"))).first().getLong(0)
       }
 
+      // transition matrix: cells stay <= |types|^2; MASS per cell is
+      // the replica-linear quantity, so sum(n_pairs) is what must be
+      // exactly prop R at ~flat time-per-event
+      Events.transitionMatrix(ec).agg(sum(col("n_pairs"))).first()
+      val (nTrans, tTrans) = timed {
+        Events.transitionMatrix(ec).agg(sum(col("n_pairs")))
+          .first().getLong(0)
+      }
+
+      // decayed activity: per-user top-k work, rows = users prop R
+      Events.decayedActivity(ec).count()
+      val (nDecay, tDecay) = timed { Events.decayedActivity(ec).count() }
+
       val nc = (0 until rep).map(nameCorpus).reduce(_ union _)
         .localCheckpoint(true)
       val nn = nc.count()
@@ -88,11 +104,19 @@ object EventsScaleProbe {
         Dedup.editDistancePairs(nc, "name_id", "p_name", 3).count()
       }
 
+      Dedup.jaroWinklerPairs(nc, "name_id", "p_name", 0.85).count()
+      val (nJw, tJw) = timed {
+        Dedup.jaroWinklerPairs(nc, "name_id", "p_name", 0.85).count()
+      }
+
       println(f"EVSCALE events=$ne%8d gapfill=$tGap%6.1fs grid=$nGrid%8d " +
         f"anomalies=$tAnom%6.1fs flagged=$nAnom%6d " +
         f"scd2=$tScd%6.1fs intervals=$nIv%8d " +
         f"attrib=$tAttr%6.1fs credited=$credRow%8d | " +
         f"names=$nn%6d fuzzy=$tFuzzy%6.1fs pairs=$nPairs%6d")
+      println(f"EVSCALE2 events=$ne%8d transitions=$tTrans%6.1fs " +
+        f"mass=$nTrans%8d decayed=$tDecay%6.1fs users=$nDecay%8d | " +
+        f"jw=$tJw%6.1fs jwpairs=$nJw%6d")
     }
     spark.stop()
   }

@@ -761,4 +761,37 @@ object Stats {
             (col("n").cast("double") * col("n").cast("double") -
               col("e_mass").cast("double")), 6)).as("kappa"))
   }
+
+  /** Referential-integrity audit: foreign-key values in `child` with
+    * no match in `parent` — the orphan check every warehouse health
+    * gate runs before joins silently drop rows (an inner join on a
+    * broken FK doesn't fail, it shrinks). One summary row:
+    * (relationship, n_orphan_keys, n_orphan_rows, n_null_rows) —
+    * distinct dangling key values, child rows carrying them, and
+    * child rows with a NULL key (reported separately: SQL join
+    * semantics already exclude them, so they are a different disease).
+    *
+    * Scale shape: the child side collapses to its DISTINCT key
+    * dictionary WITH per-key row counts first (map-side partial
+    * combine — the anti-join then runs on dictionaries, not raw
+    * rows); the parent side is its distinct key projection, pruned at
+    * the scan. Both sides shuffle once on the key; AQE broadcasts
+    * whichever dictionary is small. Union several calls for a whole
+    * star schema's audit. */
+  def referentialOrphans(child: DataFrame, parent: DataFrame,
+                         childKey: String, parentKey: String,
+                         relationship: String): DataFrame = {
+    val nulls = child.filter(col(childKey).isNull)
+      .agg(count(lit(1)).as("n_null_rows"))
+    val orphans = child.filter(col(childKey).isNotNull)
+      .groupBy(col(childKey).as("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .join(parent.select(col(parentKey).as("__k")).distinct(),
+        Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_keys"),
+        coalesce(sum(col("__n")), lit(0L)).as("n_orphan_rows"))
+    orphans.crossJoin(nulls) // two one-row frames
+      .select(lit(relationship).as("relationship"),
+        col("n_orphan_keys"), col("n_orphan_rows"), col("n_null_rows"))
+  }
 }
