@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Curation, Dedup, Events, LanguageModel, Multimodal, RangeJoin, Similarity, TextAnalysis, TextClassify, TextSearch}
+import graft.operators.{AsOfJoin, Curation, Dedup, Events, LanguageModel, Multimodal, RangeJoin, Similarity, Stats, TextAnalysis, TextClassify, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1500,6 +1500,24 @@ $joins"""
     "q_stats_profile" -> ((s, dir) =>
       graft.operators.Stats.profileColumns(t(s, dir, "customer"),
         Seq("c_custkey", "c_acctbal", "c_mktsegment"))),
+
+    // referential-integrity audit over the star schema: dangling FK
+    // keys per relationship — dictionary-vs-dictionary anti-joins
+    // (distinct-with-counts child side), one summary row each
+    "q_stats_integrity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      Seq(
+        Stats.referentialOrphans(li, ord, "l_orderkey", "o_orderkey",
+          "lineitem.l_orderkey->orders.o_orderkey"),
+        Stats.referentialOrphans(ord, cust, "o_custkey", "c_custkey",
+          "orders.o_custkey->customer.c_custkey"),
+        Stats.referentialOrphans(li, t(s, dir, "part"), "l_partkey",
+          "p_partkey", "lineitem.l_partkey->part.p_partkey"),
+        Stats.referentialOrphans(t(s, dir, "events"), cust, "user_id",
+          "c_custkey", "events.user_id->customer.c_custkey")
+      ).reduce(_ union _)
+    }),
 
     // incremental table health: per-status profile shards persist to
     // parquet, then merge WITHOUT rescanning orders — every metric is
@@ -4563,6 +4581,53 @@ $joins"""
 
       // same one-pass constraint metrics, reshaped to one row per
       // column; decimal-summed means, round-6 ratios
+      // same dictionary-side anti-joins (LEFT JOIN ... IS NULL), same
+      // separate null accounting per relationship
+      "q_stats_integrity" ->
+        """WITH
+          |li_o AS (
+          |  SELECT l_orderkey AS k, count(*)::BIGINT AS n
+          |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+          |o_c AS (
+          |  SELECT o_custkey AS k, count(*)::BIGINT AS n
+          |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+          |li_p AS (
+          |  SELECT l_partkey AS k, count(*)::BIGINT AS n
+          |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+          |e_c AS (
+          |  SELECT user_id AS k, count(*)::BIGINT AS n
+          |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+          |SELECT 'lineitem.l_orderkey->orders.o_orderkey'
+          |    AS relationship,
+          |  count(*)::BIGINT AS n_orphan_keys,
+          |  coalesce(sum(n), 0)::BIGINT AS n_orphan_rows,
+          |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+          |    ::BIGINT AS n_null_rows
+          |FROM li_o LEFT JOIN (SELECT DISTINCT o_orderkey AS pk
+          |  FROM orders) p ON li_o.k = p.pk WHERE p.pk IS NULL
+          |UNION ALL
+          |SELECT 'orders.o_custkey->customer.c_custkey',
+          |  count(*)::BIGINT, coalesce(sum(n), 0)::BIGINT,
+          |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+          |    ::BIGINT
+          |FROM o_c LEFT JOIN (SELECT DISTINCT c_custkey AS pk
+          |  FROM customer) p ON o_c.k = p.pk WHERE p.pk IS NULL
+          |UNION ALL
+          |SELECT 'lineitem.l_partkey->part.p_partkey',
+          |  count(*)::BIGINT, coalesce(sum(n), 0)::BIGINT,
+          |  (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL)
+          |    ::BIGINT
+          |FROM li_p LEFT JOIN (SELECT DISTINCT p_partkey AS pk
+          |  FROM part) p ON li_p.k = p.pk WHERE p.pk IS NULL
+          |UNION ALL
+          |SELECT 'events.user_id->customer.c_custkey',
+          |  count(*)::BIGINT, coalesce(sum(n), 0)::BIGINT,
+          |  (SELECT count(*) FROM events WHERE user_id IS NULL)
+          |    ::BIGINT
+          |FROM e_c LEFT JOIN (SELECT DISTINCT c_custkey AS pk
+          |  FROM customer) p ON e_c.k = p.pk WHERE p.pk IS NULL
+          |""".stripMargin,
+
       "q_stats_profile" ->
         """WITH m AS (
           |  SELECT count(*) AS n,

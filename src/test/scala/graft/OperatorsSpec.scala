@@ -4348,6 +4348,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.getAs[Double]("decayed_value") == 9.0)
   }
 
+  test("referentialOrphans counts dangling keys, rows, and nulls apart") {
+    val child = spark.sql(
+      """select * from values
+        |  (1L, 10L), (2L, 10L), (3L, 20L),
+        |  (4L, 99L), (5L, 99L), (6L, 77L),
+        |  (7L, cast(null as bigint))
+        |  as t(id, fk)""".stripMargin)
+    val parent = spark.sql(
+      "select * from values (10L), (20L), (30L) as t(pk)")
+    val r = graft.operators.Stats
+      .referentialOrphans(child, parent, "fk", "pk", "c->p")
+      .collect().head
+    assert(r.getString(0) == "c->p")
+    assert(r.getLong(1) == 2L) // dangling key VALUES: 99, 77
+    assert(r.getLong(2) == 3L) // child rows carrying them
+    assert(r.getLong(3) == 1L) // nulls accounted separately
+    // healthy relationship reports a clean zero row, not an empty frame
+    val clean = graft.operators.Stats
+      .referentialOrphans(child.filter(col("fk") < 50), parent,
+        "fk", "pk", "ok")
+      .collect().head
+    assert((clean.getLong(1), clean.getLong(2), clean.getLong(3)) ==
+      ((0L, 0L, 0L)))
+  }
+
   test("sampleWeightedTopK: exactly k, deterministic, monotone in the weight") {
     val base = docs.select(col("doc_id"), col("n_chars"))
     val k = 25
