@@ -464,4 +464,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     val oovPlan = ScaleOpsSpec.finalPlan(oov)
     assert(oovPlan.contains("BroadcastHashJoin"), oovPlan)
   }
+
+  test("transition/decayed/JW/integrity operators plan their claimed shapes") {
+    val ev = graft.sources.Sources.table(spark,
+      "/root/testdata/sf0.001", "events")
+
+    // transitionMatrix: user window -> partial-agg'd matrix exchange ->
+    // per-src window over the matrix frame; the partial_count BEFORE
+    // the second exchange is what caps its payload at |types|^2 cells
+    val tm = graft.operators.Events.transitionMatrix(ev)
+    tm.collect()
+    val tmPlan = ScaleOpsSpec.finalPlan(tm)
+    assert(tmPlan.contains("partial_count"), tmPlan)
+    assert(!tmPlan.contains("CartesianProduct"), tmPlan)
+    assert("Exchange hashpartitioning".r.findAllIn(tmPlan).length == 3,
+      tmPlan)
+
+    // decayedActivity: the user-keyed groupBy must RIDE the window's
+    // user partitioning — one exchange total, or the top-k prune pays
+    // a second full shuffle for nothing
+    val da = graft.operators.Events.decayedActivity(ev)
+    da.collect()
+    val daPlan = ScaleOpsSpec.finalPlan(da)
+    assert("Exchange hashpartitioning".r.findAllIn(daPlan).length == 1,
+      daPlan)
+
+    // jaroWinklerPairs: keyed self-join only, with the native scorer
+    // inlined in the plan (not a BatchEvalPython/udf detour)
+    val names = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("name_id"))
+    val jw = graft.operators.Dedup.jaroWinklerPairs(
+      names, "name_id", "p_name", threshold = 0.85)
+    jw.collect()
+    val jwPlan = ScaleOpsSpec.finalPlan(jw)
+    assert(!jwPlan.contains("CartesianProduct") &&
+      !jwPlan.contains("BroadcastNestedLoopJoin"), jwPlan)
+    assert(jwPlan.contains("jaro_winkler"), jwPlan)
+
+    // referentialOrphans: the anti-join runs on the collapsed child
+    // dictionary (partial_count before any join), as a LeftAnti
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val ro = graft.operators.Stats.referentialOrphans(
+      orders, cust, "o_custkey", "c_custkey", "o->c")
+    ro.collect()
+    val roPlan = ScaleOpsSpec.finalPlan(ro)
+    assert(roPlan.contains("LeftAnti"), roPlan)
+    assert(roPlan.contains("partial_count"), roPlan)
+  }
 }
