@@ -1603,6 +1603,11 @@ $joins"""
     "q_events_decayed" -> ((s, dir) =>
       Events.decayedActivity(t(s, dir, "events"))),
 
+    // top 3-step journeys: one window for both leads, |types|^3-capped
+    // partial agg, TakeOrderedAndProject with (count, path) determinism
+    "q_events_paths" -> ((s, dir) =>
+      Events.topPaths(t(s, dir, "events"), k = 3, topN = 20)),
+
     // exact weighted draw: 100 docs without replacement, inclusion
     // ∝ length — the ES key ln(u)/w ranked via TakeOrderedAndProject
     "q_sample_weighted_k" -> ((s, dir) =>
@@ -4878,6 +4883,22 @@ $joins"""
           |    CAST(sum(n_pairs) OVER (PARTITION BY src_type) AS BIGINT)
           |      ::DOUBLE, 6) AS prob
           |FROM c""".stripMargin,
+
+      // same single window for both leads, same (count desc, path asc)
+      // deterministic cut
+      "q_events_paths" ->
+        """WITH w AS (
+          |  SELECT event_type AS s0,
+          |    lead(event_type, 1) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS s1,
+          |    lead(event_type, 2) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS s2
+          |  FROM events
+          |)
+          |SELECT s0 || '>' || s1 || '>' || s2 AS path,
+          |  count(*)::BIGINT AS n_paths
+          |FROM w WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+          |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
 
       // same desc (ts, event_id) recency rank, same power-of-two
       // weights (pow(0.5,k) is exact), same round-9 decimal terms

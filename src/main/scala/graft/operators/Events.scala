@@ -372,6 +372,46 @@ object Events {
         col("n_from").cast("double"), 6))
   }
 
+  /** Top event paths: the most frequent k-step event-type sequences
+    * across all users — [[transitionMatrix]]'s higher-order sibling
+    * (first-order tells you what follows what; paths surface the
+    * recurring multi-step journeys). Every sliding k-window of each
+    * user's (ts, idCol)-ordered sequence counts once; ranking is
+    * (count desc, path asc) — fully deterministic, no arbitrary-tie
+    * row in the output.
+    *
+    * Scale shape: ONE user-keyed window computes all k−1 leads (they
+    * share the window frame, so Spark plans a single Window node over
+    * a single exchange); the path groupBy partial-aggregates to at
+    * most |types|^k cells before its exchange; the top-N is a
+    * TakeOrderedAndProject, never a global sort. `k` is capped
+    * because |types|^k is the state bound the partial aggregation
+    * relies on. Output: (path, n_paths), topN rows. */
+  def topPaths(events: DataFrame, k: Int = 3, topN: Int = 20,
+               userCol: String = "user_id",
+               typeCol: String = "event_type",
+               tsCol: String = "ts",
+               idCol: String = "event_id"): DataFrame = {
+    require(k >= 2 && k <= 5, "k must be in [2, 5]")
+    require(topN >= 1, "topN must be >= 1")
+    val seqW = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val base = events.select(col(userCol), col(typeCol).as("s0"),
+      col(tsCol), col(idCol))
+    val steps = (1 until k).foldLeft(base) { (df, i) =>
+      df.withColumn(s"s$i", lead(col("s0"), i).over(seqW))
+    }
+    steps
+      .filter((1 until k).map(i => col(s"s$i").isNotNull)
+        .reduce(_ && _))
+      .select(concat_ws(">",
+        (0 until k).map(i => col(s"s$i")): _*).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Recency-weighted activity score: per user, the decay-weighted sum
     * of the values of their `maxEvents` most recent events, weight
     * decay^k for the k-th most recent (k = 0 newest). The classic

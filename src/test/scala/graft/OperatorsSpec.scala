@@ -4315,6 +4315,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.size == 3) // no cross-user pair, no row for lone 'z'
   }
 
+  test("topPaths counts sliding windows; ties cut deterministically") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, timestamp '2026-01-01 00:00:00', 7L, 'a'),
+        |  (2L, timestamp '2026-01-01 00:01:00', 7L, 'b'),
+        |  (3L, timestamp '2026-01-01 00:02:00', 7L, 'c'),
+        |  (4L, timestamp '2026-01-01 00:03:00', 7L, 'a'),
+        |  (5L, timestamp '2026-01-01 00:04:00', 7L, 'b'),
+        |  (6L, timestamp '2026-01-01 00:05:00', 7L, 'c'),
+        |  -- user 8 contributes one more a>b>c and a 2-event tail
+        |  (7L, timestamp '2026-01-01 00:00:00', 8L, 'a'),
+        |  (8L, timestamp '2026-01-01 00:01:00', 8L, 'b'),
+        |  (9L, timestamp '2026-01-01 00:02:00', 8L, 'c')
+        |  as t(event_id, ts, user_id, event_type)""".stripMargin)
+    val got = graft.operators.Events.topPaths(df, k = 3, topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // user 7 windows: abc, bca, cab, abc; user 8: abc
+    assert(got.head == (("a>b>c", 3L)))
+    // the count-1 tie between bca and cab cuts on path order
+    assert(got.toSeq == Seq(("a>b>c", 3L), ("b>c>a", 1L),
+      ("c>a>b", 1L)))
+    // no cross-user window: total path mass is 5, not 7
+    assert(graft.operators.Events.topPaths(df, k = 3, topN = 100)
+      .agg(org.apache.spark.sql.functions.sum("n_paths"))
+      .first().getLong(0) == 5L)
+  }
+
   test("decayedActivity: exact halving weights, trailing-window cutoff") {
     val rows = (0 until 10).map { i =>
       (i.toLong, java.sql.Timestamp.valueOf(f"2026-01-01 00:${i}%02d:00"),

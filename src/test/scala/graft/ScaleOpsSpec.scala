@@ -480,6 +480,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(tmPlan).length == 3,
       tmPlan)
 
+    // topPaths: both leads share ONE Window node, and the top-N is a
+    // TakeOrderedAndProject, never a global Sort
+    val tp = graft.operators.Events.topPaths(ev, k = 3, topN = 10)
+    tp.collect()
+    val tpPlan = ScaleOpsSpec.finalPlan(tp)
+    assert(tpPlan.split("Window").length - 1 == 1, tpPlan)
+    assert(tpPlan.contains("TakeOrderedAndProject"), tpPlan)
+
     // decayedActivity: the user-keyed groupBy must RIDE the window's
     // user partitioning — one exchange total, or the top-k prune pays
     // a second full shuffle for nothing
