@@ -1342,6 +1342,29 @@ object StreamOps {
         levenshtein(col(streamStrCol), col("__ds"), maxDist).as("dist"))
   }
 
+  /** Streaming referential quarantine — the ingest-time form of
+    * [[graft.operators.Stats.referentialOrphans]]: records whose
+    * foreign key has no match in the static `parent` dimension pass
+    * through UNCHANGED (plus a `relationship` tag) for routing to a
+    * quarantine sink, instead of being silently dropped by the first
+    * downstream inner join. NULL keys quarantine too (a left-anti
+    * join keeps them — nothing matches null), which on a stream is
+    * the right default: both diseases need eyes on them before the
+    * data lands.
+    *
+    * Shape: a stream-static LEFT-ANTI equi-join against the parent's
+    * distinct key dictionary — STATELESS (no watermark; the dictionary
+    * is re-planned per micro-batch, so a dimension refresh on disk is
+    * picked up), append-mode, per-batch cost one broadcast-able
+    * dictionary probe. The batch operator remains the summary/audit
+    * form; this is the row-level router. */
+  def referentialQuarantineStream(stream: DataFrame, parent: DataFrame,
+                                  childKey: String, parentKey: String,
+                                  relationship: String): DataFrame =
+    stream.join(parent.select(col(parentKey).as("__pk")).distinct(),
+        col(childKey) === col("__pk"), "left_anti")
+      .withColumn("relationship", lit(relationship))
+
   case class GapEvent(user_id: Long, event_id: Long, ts: Timestamp,
                       value: Double)
   case class GapOut(user_id: Long, period: Long, observed: Boolean,

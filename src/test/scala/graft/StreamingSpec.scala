@@ -1680,6 +1680,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(p => (p._1, p._2)) == Set((101L, 1L), (103L, 3L)))
   }
 
+  test("referentialQuarantineStream routes orphan and null-key rows only") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val input = MemoryStream[(Long, java.lang.Long)]
+    val out = StreamOps.referentialQuarantineStream(
+      input.toDF().toDF("id", "fk"), parent, "fk", "pk", "c->p")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("quarantine")
+      .outputMode("append").start()
+    input.addData((1L, 10L), (2L, 99L), (3L, null))
+    q.processAllAvailable()
+    input.addData((4L, 20L), (5L, 77L))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("select * from quarantine").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).toSet
+    // healthy rows 1/4 dropped; orphans 2/5 and null-key 3 quarantined,
+    // payload intact, relationship tagged
+    assert(got == Set((2L, Some(99L), "c->p"), (3L, None, "c->p"),
+      (5L, Some(77L), "c->p")))
+    // parity with the batch audit's row accounting: orphan rows +
+    // null rows == quarantined rows
+    val batch = graft.operators.Stats.referentialOrphans(
+      Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None),
+        (4L, Some(20L)), (5L, Some(77L)))
+        .toDF("id", "fk"), parent, "fk", "pk", "c->p")
+      .collect().head
+    assert(batch.getLong(2) + batch.getLong(3) == got.size.toLong)
+  }
+
   test("decayedActivityStream matches batch per user under shuffled arrival") {
     import graft.streaming.StreamOps.{AnomEvent, DecayedOut}
     val s = spark
