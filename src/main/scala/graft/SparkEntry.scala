@@ -4584,8 +4584,6 @@ $joins"""
           |  END AS kappa
           |FROM ag, ex""".stripMargin,
 
-      // same one-pass constraint metrics, reshaped to one row per
-      // column; decimal-summed means, round-6 ratios
       // same dictionary-side anti-joins (LEFT JOIN ... IS NULL), same
       // separate null accounting per relationship
       "q_stats_integrity" ->
@@ -4633,6 +4631,8 @@ $joins"""
           |  FROM customer) p ON e_c.k = p.pk WHERE p.pk IS NULL
           |""".stripMargin,
 
+      // same one-pass constraint metrics, reshaped to one row per
+      // column; decimal-summed means, round-6 ratios
       "q_stats_profile" ->
         """WITH m AS (
           |  SELECT count(*) AS n,
@@ -4897,7 +4897,8 @@ $joins"""
           |)
           |SELECT s0 || '>' || s1 || '>' || s2 AS path,
           |  count(*)::BIGINT AS n_paths
-          |FROM w WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+          |FROM w WHERE s0 IS NOT NULL AND s1 IS NOT NULL
+          |  AND s2 IS NOT NULL
           |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
 
       // same desc (ts, event_id) recency rank, same power-of-two

@@ -46,6 +46,21 @@ object Dedup {
                         maxDist: Int = 2,
                         maxBlock: Int = 1000): DataFrame = {
     require(maxDist >= 1 && maxBlock >= 2, "need maxDist >= 1, maxBlock >= 2")
+    blockedSelfJoin(df, idCol, strCol, maxBlock)
+      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** The blocking scaffold [[editDistancePairs]] and
+    * [[jaroWinklerPairs]] share: last-whitespace-token blocks, blocks
+    * beyond `maxBlock` dropped BEFORE the self-join (the structural
+    * quadratic-bucket guard), candidate pairs with id_a < id_b.
+    * Returns (id_a, __sa, id_b, __sb) for the caller's scorer. */
+  private def blockedSelfJoin(df: DataFrame, idCol: String,
+                              strCol: String, maxBlock: Int): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
       element_at(split(col(strCol), " "), -1).as("__blk"))
     val counts = base.groupBy(col("__blk")).agg(count(lit(1)).as("__bc"))
@@ -56,12 +71,7 @@ object Dedup {
     val right = capped.select(col("__blk"), col("__id").as("id_b"),
       col("__s").as("__sb"))
     left.join(right, Seq("__blk"))
-      .filter(col("id_a") < col("id_b") &&
-        abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
-      .withColumn("dist",
-        levenshtein(col("__sa"), col("__sb"), maxDist))
-      .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .filter(col("id_a") < col("id_b"))
   }
 
   /** Blocked Jaro-Winkler pairing — [[editDistancePairs]]'s sibling
@@ -83,17 +93,7 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       "threshold must be in (0, 1]")
     require(maxBlock >= 2, "need maxBlock >= 2")
-    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
-      element_at(split(col(strCol), " "), -1).as("__blk"))
-    val counts = base.groupBy(col("__blk")).agg(count(lit(1)).as("__bc"))
-    val capped = base.join(counts, Seq("__blk"))
-      .filter(col("__bc") <= maxBlock)
-    val left = capped.select(col("__blk"), col("__id").as("id_a"),
-      col("__s").as("__sa"))
-    val right = capped.select(col("__blk"), col("__id").as("id_b"),
-      col("__s").as("__sb"))
-    left.join(right, Seq("__blk"))
-      .filter(col("id_a") < col("id_b"))
+    blockedSelfJoin(df, idCol, strCol, maxBlock)
       .withColumn("jw", round(
         org.apache.spark.sql.graftext.JaroWinkler(
           col("__sa"), col("__sb")), 6))

@@ -401,8 +401,10 @@ object Events {
     val steps = (1 until k).foldLeft(base) { (df, i) =>
       df.withColumn(s"s$i", lead(col("s0"), i).over(seqW))
     }
+    // s0 included: a NULL type must drop the whole window, not let
+    // concat_ws silently shorten the path (oracle mirrors the filter)
     steps
-      .filter((1 until k).map(i => col(s"s$i").isNotNull)
+      .filter((0 until k).map(i => col(s"s$i").isNotNull)
         .reduce(_ && _))
       .select(concat_ws(">",
         (0 until k).map(i => col(s"s$i")): _*).as("path"))

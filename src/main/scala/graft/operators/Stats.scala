@@ -780,18 +780,21 @@ object Stats {
     * star schema's audit. */
   def referentialOrphans(child: DataFrame, parent: DataFrame,
                          childKey: String, parentKey: String,
-                         relationship: String): DataFrame = {
-    val nulls = child.filter(col(childKey).isNull)
-      .agg(count(lit(1)).as("n_null_rows"))
-    val orphans = child.filter(col(childKey).isNotNull)
-      .groupBy(col(childKey).as("__k"))
+                         relationship: String): DataFrame =
+    // ONE child scan: the null group rides the dictionary into the
+    // anti-join (an equi-join condition never matches a null key, so
+    // the anti-join keeps it alongside the orphans) and the final
+    // aggregate splits the two diseases apart
+    child.groupBy(col(childKey).as("__k"))
       .agg(count(lit(1)).as("__n"))
-      .join(parent.select(col(parentKey).as("__k")).distinct(),
-        Seq("__k"), "left_anti")
-      .agg(count(lit(1)).as("n_orphan_keys"),
-        coalesce(sum(col("__n")), lit(0L)).as("n_orphan_rows"))
-    orphans.crossJoin(nulls) // two one-row frames
+      .join(parent.select(col(parentKey).as("__pk")).distinct(),
+        col("__k") === col("__pk"), "left_anti")
+      .agg(
+        count(when(col("__k").isNotNull, lit(1))).as("n_orphan_keys"),
+        coalesce(sum(when(col("__k").isNotNull, col("__n"))), lit(0L))
+          .as("n_orphan_rows"),
+        coalesce(sum(when(col("__k").isNull, col("__n"))), lit(0L))
+          .as("n_null_rows"))
       .select(lit(relationship).as("relationship"),
         col("n_orphan_keys"), col("n_orphan_rows"), col("n_null_rows"))
-  }
 }

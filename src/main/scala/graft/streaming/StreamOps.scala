@@ -1554,7 +1554,7 @@ object StreamOps {
   }
 
   case class DecayedOut(user_id: Long, n_recent: Long,
-                        decayed_value: Double)
+                        decayed_value: java.lang.Double)
   case class DecayedState(top: Seq[AnomBuf])
 
   /** Streaming recency-weighted activity — the live form of
@@ -1608,12 +1608,19 @@ object StreamOps {
             state.update(DecayedState(top))
             idleRetentionSeconds.foreach(r => state.setTimeoutTimestamp(
               state.getCurrentWatermarkMs() + r * 1000 + 1))
-            val score = top.zipWithIndex.map { case (e, k) =>
-              BigDecimal(e.value * math.pow(decay, k))
-                .setScale(9, HALF_UP)
-            }.sum
+            // batch parity on corrupt values: round() passes NaN/Inf
+            // through and the decimal cast nulls them, so the batch sum
+            // SKIPS non-finite terms (and is null when none survive) —
+            // mirror that instead of letting BigDecimal throw
+            val terms = top.zipWithIndex.flatMap { case (e, k) =>
+              val x = e.value * math.pow(decay, k)
+              if (java.lang.Double.isFinite(x))
+                Some(BigDecimal(x).setScale(9, HALF_UP)) else None
+            }
+            val score: java.lang.Double =
+              if (terms.isEmpty) null else terms.sum.toDouble
             Iterator.single(
-              DecayedOut(userId, top.size.toLong, score.toDouble))
+              DecayedOut(userId, top.size.toLong, score))
           }
       }
   }
@@ -1639,8 +1646,13 @@ object StreamOps {
     * operator's pairs under shuffled multi-batch arrival.
     *
     * State per user: one retained event plus the watermark-bounded
-    * pending buffer. Caller applies `withWatermark` upstream. */
-  def transitionPairsStream(events: Dataset[Scd2Event]): Dataset[TransitionPair] = {
+    * pending buffer. With unbounded user cardinality set
+    * `idleRetentionSeconds` to evict idle users' retained event — a
+    * returning user's first event then starts a fresh chain (one
+    * boundary pair lost; the sessionize-counter TTL tradeoff).
+    * Caller applies `withWatermark` upstream. */
+  def transitionPairsStream(events: Dataset[Scd2Event],
+                            idleRetentionSeconds: Option[Long] = None): Dataset[TransitionPair] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[TransState, TransitionPair](
@@ -1666,8 +1678,15 @@ object StreamOps {
             val releaseAtMs = pending.head.tsMicros / 1000 + 1
             state.setTimeoutTimestamp(
               math.max(releaseAtMs, state.getCurrentWatermarkMs() + 1))
+          } else if (state.hasTimedOut && merged.isEmpty &&
+              idleRetentionSeconds.isDefined) {
+            // retention timer fired with nothing new: evict the idle
+            // user's retained chain end
+            state.remove()
           } else if (lastFinal != prior.lastFinal || ready.nonEmpty) {
             state.update(TransState(lastFinal, Vector.empty))
+            idleRetentionSeconds.foreach(r => state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + r * 1000 + 1))
           }
           outs.iterator
       }

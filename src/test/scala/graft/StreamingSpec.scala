@@ -1786,6 +1786,38 @@ class StreamingSpec extends AnyFunSuite {
       8.0 + 4.0 * 0.5 + 2.0 * 0.25 + 1.0 * 0.125)
   }
 
+  test("decayedActivityStream tolerates non-finite values like batch") {
+    import graft.streaming.StreamOps.{AnomEvent, DecayedOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(u: Long, id: Long, minute: Int, v: Double) =
+      AnomEvent(u, id, Timestamp.valueOf(f"2026-01-01 00:$minute%02d:00"), v)
+    // user 1: NaN newest + one finite; user 2: nothing but NaN
+    val rows = Seq(ev(1L, 2L, 10, Double.NaN), ev(1L, 1L, 5, 4.0),
+      ev(2L, 3L, 10, Double.NaN))
+    val input = MemoryStream[AnomEvent]
+    val out = StreamOps.decayedActivityStream(input.toDS(), maxEvents = 2)
+    val q = out.writeStream.format("memory").queryName("decayed_nan")
+      .outputMode("update").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("select * from decayed_nan").as[DecayedOut]
+      .collect().map(r => r.user_id -> r).toMap
+    val batch = graft.operators.Events
+      .decayedActivity(rows.toDF(), maxEvents = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null
+          else java.lang.Double.valueOf(r.getDouble(2))))).toMap
+    // NaN term skipped, finite one keeps its rank-1 weight
+    assert(batch(1L) == ((2L, java.lang.Double.valueOf(2.0))))
+    assert(got(1L).n_recent == 2L && got(1L).decayed_value == 2.0)
+    // all-non-finite user: null score both sides, row still emitted
+    assert(batch(2L) == ((1L, null)))
+    assert(got(2L).n_recent == 1L && got(2L).decayed_value == null)
+  }
+
   test("transitionPairsStream finalizes the batch pair multiset") {
     import graft.streaming.StreamOps.{Scd2Event, TransitionPair}
     val s = spark
