@@ -1167,7 +1167,7 @@ $joins"""
     // ANN paths: q_sim_ann is FULLY oracled (the deterministic seed-42
     // planes interpolate into the SQL as literals); q_sim_ivf oracles
     // the deterministic lowest-id init at the real nprobe=4 probe, and
-    // q_sim_ivf_lloyd oracles REFINED training too (the decimal-summed
+    // q_sim_ivf_lloyd oracles REFINED training too (the integer-lattice
     // Lloyd mean is order-independent, so one training round replicates
     // exactly in DuckDB SQL).
     // JL dimensionality reduction 64→16 before indexing: literal
@@ -1198,9 +1198,9 @@ $joins"""
     }),
 
     // Lloyd-REFINED partial-probe IVF under a full DuckDB oracle: the
-    // refinement mean is decimal-summed (round-9 elements, exact
-    // order-independent addition, one double division — the
-    // meanPoolByKey discipline), so one training round replicates
+    // refinement mean is integer-lattice-summed (round(v*1e9) long
+    // lattice points, exact order-independent hi/lo long addition, one
+    // double division), so one training round replicates
     // bit-exactly in SQL. Removes the last "not externally replicable"
     // carve-out: training, assignment, partial probe, and re-rank all
     // run under the oracle together.
@@ -3987,8 +3987,8 @@ $joins"""
           |  WHERE rn = 1
           |), dims AS (
           |  SELECT cell, i AS pos,
-          |    CAST(sum(CAST(round(e[i], 9) AS DECIMAL(38,12))) AS DOUBLE)
-          |      / count(*) AS m
+          |    CAST(sum(CAST(round(e[i] * 1e9) AS BIGINT)) AS DOUBLE)
+          |      / (1e9 * count(*)) AS m
           |  FROM a0, unnest(range(1, CAST(len(e) AS BIGINT) + 1)) AS t(i)
           |  GROUP BY cell, i
           |), refined AS (
@@ -4707,24 +4707,29 @@ $joins"""
       // same observed-range binning, bounded-join cumulation, and
       // broadcast pct lookup
       "q_stats_ecdf" ->
-        """WITH mm AS (
-          |  SELECT min(value) AS lo, max(value) AS hi,
-          |         count(value) AS n FROM events
+        """WITH src AS (
+          |  SELECT event_id, value,
+          |    CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+          |  FROM events
+          |), mm AS (
+          |  SELECT min(v) AS lo, max(v) AS hi, count(v) AS n FROM src
           |), b AS (
           |  SELECT event_id, value,
-          |    CASE WHEN mm.hi = mm.lo THEN 0
-          |         ELSE least(CAST(floor((value - mm.lo) /
+          |    CASE WHEN v IS NULL THEN NULL
+          |         WHEN mm.hi = mm.lo THEN 0
+          |         ELSE least(CAST(floor((v - mm.lo) /
           |           (mm.hi - mm.lo) * 100) AS INT), 99) END AS bin
-          |  FROM events, mm
+          |  FROM src, mm
           |), per AS MATERIALIZED (
-          |  SELECT bin, count(*) AS n FROM b GROUP BY 1
+          |  SELECT bin, count(*) AS n FROM b WHERE bin IS NOT NULL
+          |  GROUP BY 1
           |), cum AS (
           |  SELECT p.bin, sum(h.n) AS cum
           |  FROM per p JOIN per h ON h.bin <= p.bin GROUP BY 1
           |)
           |SELECT b.event_id, b.value,
           |  round(cum.cum::DOUBLE / mm.n::DOUBLE, 6) AS pct
-          |FROM b JOIN cum ON b.bin = cum.bin, mm""".stripMargin,
+          |FROM b LEFT JOIN cum ON b.bin = cum.bin, mm""".stripMargin,
 
       // same fixed [0,1] bins, decimal prediction mass, round-6 rates
       "q_stats_calibration" ->
@@ -4854,14 +4859,17 @@ $joins"""
           |  SELECT user_id AS key, event_type AS value, ts AS ts0,
           |    event_id AS tie,
           |    lag(event_type) OVER (PARTITION BY user_id
-          |      ORDER BY ts, event_id) AS prev
+          |      ORDER BY ts, event_id) AS prev,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS rn
           |  FROM events)
           |SELECT key, value, ts0 AS valid_from,
           |  lead(ts0) OVER (PARTITION BY key ORDER BY ts0, tie)
           |    AS valid_to,
           |  lead(ts0) OVER (PARTITION BY key ORDER BY ts0, tie) IS NULL
           |    AS is_current
-          |FROM runs WHERE prev IS NULL OR prev <> value""".stripMargin,
+          |FROM runs WHERE rn = 1 OR prev IS DISTINCT FROM value"""
+          .stripMargin,
 
       // same (ts, event_id)-ordered lead per user, same count/window
       // normalization; n_from cast back to BIGINT (DuckDB window sums

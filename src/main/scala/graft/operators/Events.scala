@@ -321,9 +321,14 @@ object Events {
     val runs = events
       .select(col(keyCol).as("key"), col(attrCol).as("value"),
         col(tsCol).as("ts0"), col(tieCol).as("tie"))
-      .withColumn("prev", lag(col("value"), 1).over(
+      // lag over a STRUCT so "first row of the key" (struct null) is
+      // distinguishable from "previous value was null" (struct non-null,
+      // field null) — a bare lag(value) keeps every row whose lag is
+      // null and so never collapses consecutive null values
+      .withColumn("prev", lag(struct(col("value")), 1).over(
         Window.partitionBy(col("key")).orderBy(col("ts0"), col("tie"))))
-      .filter(col("prev").isNull || !(col("prev") <=> col("value")))
+      .filter(col("prev").isNull ||
+        !(col("prev.value") <=> col("value")))
     val stitched = Window.partitionBy(col("key"))
       .orderBy(col("ts0"), col("tie"))
     runs.select(col("key"), col("value"),

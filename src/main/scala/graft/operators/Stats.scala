@@ -250,13 +250,20 @@ object Stats {
   def ecdfNormalize(df: DataFrame, scoreCol: String,
                     bins: Int = 1000): DataFrame = {
     require(bins >= 1, "bins must be >= 1")
-    val v = col(scoreCol).cast("double")
+    // NaN is nulled out up front so min/max/count, the bin counts, and
+    // the total all see the SAME population: count() counts NaN but the
+    // bin filter drops it, which would deflate every pct (and a single
+    // NaN poisons max -> range). NaN/null rows keep pct = null.
+    val v = {
+      val raw = col(scoreCol).cast("double")
+      when(!isnan(raw), raw)
+    }
     val mm = df.agg(min(v), max(v), count(v)).head
     require(mm.getLong(2) > 0, "ecdfNormalize needs non-null scores")
     val lo = mm.getDouble(0)
     val range = mm.getDouble(1) - lo
     def binOf(e: Column) =
-      if (range == 0) lit(0)
+      if (range == 0) when(e.isNotNull, lit(0))
       else least(floor((e - lit(lo)) / lit(range) * lit(bins))
         .cast("int"), lit(bins - 1))
     val per = df.select(binOf(v).as("b"))
@@ -460,9 +467,13 @@ object Stats {
         sum(col(c)).as(s"s_$c"),
         max(abs(col(c))).as(s"mx_$c"))) ++
       pairs.flatMap { case (a, b) =>
+        // backtick-quote names (escaping embedded backticks) so columns
+        // with spaces/dots/hyphens parse; DIV (integral long division)
+        // has no Column-API form, so expr stays
+        def bt(c: String) = "`" + c.replace("`", "``") + "`"
         Seq(
-          sum(expr(s"($a * $b) DIV $split")).as(s"ph_${a}_$b"),
-          sum(expr(s"($a * $b) % $split")).as(s"pl_${a}_$b"))
+          sum(expr(s"(${bt(a)} * ${bt(b)}) DIV $split")).as(s"ph_${a}_$b"),
+          sum(expr(s"(${bt(a)} * ${bt(b)}) % $split")).as(s"pl_${a}_$b"))
       }
     val m = q.agg(count(lit(1)).as("n"), aggs: _*)
     // reconstruct exact decimal moments from the long halves, on the
@@ -475,8 +486,12 @@ object Stats {
     // in-plan range guard: a violated bound must raise, not mis-sum.
     // assert_true returns null when the condition holds, so gating the
     // corr expression on its null-ness evaluates it exactly once
+    // mx >= 0 catches the double->long saturation corner: a value cast
+    // saturating to Long.MinValue makes abs() negative, which would
+    // sneak past a bare `< split` check
     val guard = assert_true(
-      cols.map(c => col(s"mx_$c") < lit(split)).reduce(_ && _),
+      cols.map(c => col(s"mx_$c") >= lit(0L) && col(s"mx_$c") < lit(split))
+        .reduce(_ && _),
       lit(s"correlationMatrix: |value|*10^$scale must stay below 1e9 " +
         "- lower `scale` or pre-scale the column"))
     val rows = pairs.map { case (a, b) =>

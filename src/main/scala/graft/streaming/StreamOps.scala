@@ -1080,7 +1080,11 @@ object StreamOps {
     * window (category spaces are small by definition — that's what
     * makes KL the right statistic); the reference collapses to counts
     * ONCE at stream start and rides in the closure, the explicitly
-    * bounded broadcast-dim convention. */
+    * bounded broadcast-dim convention.
+    *
+    * Contract: uses EventTimeTimeout, so the CALLER applies
+    * `withWatermark` on the event-time column upstream — without it
+    * the query fails at analysis with an AnalysisException. */
   def klDriftStream(events: Dataset[DriftEvent], reference: DataFrame,
                     refCatCol: String = "category",
                     windowSeconds: Long = 3600L,
@@ -1170,7 +1174,11 @@ object StreamOps {
     * frequent-items guarantee (no token with true count > n/capacity
     * is lost; kept counts undercount by ≤ the decrement total).
     * Output rows: (window_start, rank, token, cnt), rank by (count
-    * desc, token asc). */
+    * desc, token asc).
+    *
+    * Contract: uses EventTimeTimeout, so the CALLER applies
+    * `withWatermark` on the event-time column upstream — without it
+    * the query fails at analysis with an AnalysisException. */
   def trendingTokensStream(docs: Dataset[StreamDoc],
                            windowSeconds: Long = 3600L,
                            capacity: Int = 4096,
@@ -1250,7 +1258,11 @@ object StreamOps {
     * values actually change; a never-changing hot key keeps its repeat
     * events buffered only until the watermark passes them — repeats
     * BELOW the open run's established sub-watermark prefix are
-    * collapsed on every invocation. */
+    * collapsed on every invocation.
+    *
+    * Contract: uses EventTimeTimeout, so the CALLER applies
+    * `withWatermark` on the event-time column upstream — without it
+    * the query fails at analysis with an AnalysisException. */
   def scd2Stream(events: Dataset[Scd2Event]): Dataset[Scd2Out] = {
     import events.sparkSession.implicits._
     def toTs(m: Long): Timestamp = {
