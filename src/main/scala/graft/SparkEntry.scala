@@ -680,6 +680,35 @@ $joins"""
         minSentences = 4)
     }),
 
+    // HTML -> main-content extraction (jusText-class): each doc is
+    // wrapped in a deterministic page (head with script/style, a
+    // link-dense nav, a short heading, the doc text as a paragraph, an
+    // entity-bearing prose paragraph, a link-dense footer) — replicated
+    // verbatim in the oracle; the operator strips markup, breaks blocks
+    // to lines, decodes entities, and keeps lines on length >= 25,
+    // link density <= 0.33, stopword fraction >= 0.01. The nav and
+    // footer die on link density, the heading on length — only content
+    // survives.
+    "q_text_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>t</title>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<style>.nav a{color:#00c}</style></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a></nav><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><!-- ad slot --><p>"),
+        col("text"),
+        lit("</p><p>This page is the &quot;fast&nbsp;&amp; " +
+          "loose&quot; guide; it&#39;s about &lt;scale&gt;.</p>" +
+          "<div class=\"footer\"><a href=\"/tos\">Terms of service</a>" +
+          " | <a href=\"/privacy\">Privacy</a></div></body></html>"))
+      graft.operators.HtmlExtract.extractText(
+        docs.select(col("doc_id"), html.as("html")),
+        minChars = 25, maxLinkDensity = 0.33, minStopFrac = 0.01)
+    }),
+
     // corpus vocabulary: top tokens by frequency with doc frequency —
     // the tokenizer-training / stopword-derivation precursor
     "q_text_vocab" -> ((s, dir) =>
@@ -2243,6 +2272,12 @@ $joins"""
     // the same programmatic-oracle trick as the Morton key above. The
     // oracle replicates the ALGORITHM (sign buckets, Hamming-1
     // multi-probe, cosine re-rank), not just its recall.
+    // q_text_extract interpolants, derived from the operator's own
+    // constants so SQL and engine can't drift
+    val HtmlBlockTagsSql = graft.operators.HtmlExtract.BlockTags
+    val HtmlStopwordsSql = graft.operators.HtmlExtract.DefaultStopwords
+      .map(w => s"'$w'").mkString(",")
+
     val annPlanesSql = graft.operators.Similarity.hyperplanes(6, 64, 42L)
       .zipWithIndex.map { case (h, p) =>
         s"($p, [${h.mkString(", ")}])"
@@ -3102,6 +3137,92 @@ $joins"""
           |  (ns >= 4 AND NOT contains(lower(text), 'lorem ipsum')
           |    AND NOT contains(text, '{')) AS keep
           |FROM c""".stripMargin,
+
+      // full extraction replication: same deterministic page wrapper,
+      // same regexp strip chain (script/style/noscript subtrees,
+      // comments, chr(1)/chr(2) anchor markers, block tags -> newline,
+      // remaining tags -> space, entities with &amp; last), same
+      // per-line collapse/trim and multiplication-form keep rules
+      "q_text_extract" ->
+        ("""WITH h AS (
+          |  SELECT doc_id,
+          |    '<html><head><title>t</title>' ||
+          |    '<script type="text/javascript">var x = 1 < 2;</script>' ||
+          |    '<style>.nav a{color:#00c}</style></head><body>' ||
+          |    '<nav><a href="/">Home</a> <a href="/about">About</a> ' ||
+          |    '<a href="/contact">Contact</a></nav><h1>Doc ' ||
+          |    CAST(doc_id AS VARCHAR) ||
+          |    '</h1><!-- ad slot --><p>' || text ||
+          |    '</p><p>This page is the &quot;fast&nbsp;&amp; ' ||
+          |    'loose&quot; guide; it&#39;s about &lt;scale&gt;.</p>' ||
+          |    '<div class="footer"><a href="/tos">Terms of service</a>' ||
+          |    ' | <a href="/privacy">Privacy</a></div></body></html>'
+          |      AS html
+          |  FROM documents
+          |), stripped AS (
+          |  SELECT doc_id,
+          |    replace(replace(replace(replace(replace(replace(
+          |      regexp_replace(
+          |      regexp_replace(
+          |      regexp_replace(
+          |      regexp_replace(
+          |      regexp_replace(
+          |      regexp_replace(
+          |      regexp_replace(
+          |      regexp_replace(html,
+          |        '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+          |        '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+          |        '(?is)<noscript\b[^>]*>.*?</noscript\s*>', ' ', 'g'),
+          |        '(?s)<!--.*?-->', ' ', 'g'),
+          |        '(?is)<a\b[^>]*>', chr(1), 'g'),
+          |        '(?is)</a\s*>', chr(2), 'g'),
+          |        '(?is)</?(""" +
+          HtmlBlockTagsSql + """)\b[^>]*>', chr(10), 'g'),
+          |        '(?s)<[^>]*>', ' ', 'g'),
+          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          |      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS txt
+          |  FROM h
+          |), ls AS MATERIALIZED (
+          |  SELECT doc_id, string_split(txt, chr(10)) AS lines
+          |  FROM stripped
+          |), ln AS (
+          |  SELECT doc_id, i,
+          |    trim(regexp_replace(lines[i], '\s+', ' ', 'g')) AS collapsed
+          |  FROM ls,
+          |    unnest(range(1, CAST(len(lines) AS BIGINT) + 1)) AS r(i)
+          |), feat AS (
+          |  SELECT doc_id, i,
+          |    trim(regexp_replace(collapsed,
+          |      '[' || chr(1) || chr(2) || ']', '', 'g')) AS vis,
+          |    coalesce(list_sum(list_transform(
+          |      regexp_extract_all(collapsed,
+          |        chr(1) || '([^' || chr(1) || chr(2) || ']*)' || chr(2),
+          |        1),
+          |      x -> len(x))), 0) AS lk
+          |  FROM ln
+          |), tok AS (
+          |  SELECT doc_id, i, vis, lk,
+          |    len(string_split(vis, ' ')) AS nt,
+          |    len(list_filter(string_split(vis, ' '), x ->
+          |      list_contains([""" + HtmlStopwordsSql + """],
+          |        lower(x)))) AS st
+          |  FROM feat
+          |), kept AS (
+          |  SELECT doc_id, i, vis FROM tok
+          |  WHERE len(vis) >= 25
+          |    AND CAST(lk AS DOUBLE) <= 0.33 * CAST(len(vis) AS DOUBLE)
+          |    AND CAST(st AS DOUBLE) >= 0.01 * CAST(nt AS DOUBLE)
+          |), agg AS (
+          |  SELECT doc_id, string_agg(vis, chr(10) ORDER BY i)
+          |      AS text_main,
+          |    count(*) AS n_kept
+          |  FROM kept GROUP BY doc_id
+          |)
+          |SELECT l.doc_id, coalesce(agg.text_main, '') AS text_main,
+          |  CAST(len(l.lines) AS BIGINT) AS n_lines,
+          |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_lines_kept
+          |FROM ls l LEFT JOIN agg ON agg.doc_id = l.doc_id""")
+          .stripMargin,
 
       // BPE training replicated round-by-round: each unrolled round
       // counts pairs from w{k}, picks the top one (count desc, pair asc

@@ -262,10 +262,14 @@ object Stats {
     require(mm.getLong(2) > 0, "ecdfNormalize needs non-null scores")
     val lo = mm.getDouble(0)
     val range = mm.getDouble(1) - lo
+    // the isNotNull gate matters in BOTH branches: least() SKIPS nulls
+    // (least(null, bins-1) = bins-1), so an unguarded null score would
+    // silently land in the top bin instead of staying unscored
     def binOf(e: Column) =
       if (range == 0) when(e.isNotNull, lit(0))
-      else least(floor((e - lit(lo)) / lit(range) * lit(bins))
-        .cast("int"), lit(bins - 1))
+      else when(e.isNotNull,
+        least(floor((e - lit(lo)) / lit(range) * lit(bins))
+          .cast("int"), lit(bins - 1)))
     val per = df.select(binOf(v).as("b"))
       .filter(col("b").isNotNull)
       .groupBy(col("b")).agg(count(lit(1)).as("n"))
@@ -453,24 +457,26 @@ object Stats {
     require(scale >= 0 && scale <= 6, "scale must be in [0, 6]")
     val unit = math.pow(10.0, scale)
     val split = 1000000000L
+    // backtick-quote every name reference (escaping embedded backticks)
+    // so columns with spaces/dots/hyphens parse — both in col() lookups
+    // (a bare col("a.b") parses the dot as struct access) and in the
+    // DIV/% exprs (DIV, integral long division, has no Column-API form)
+    def bt(c: String) = "`" + c.replace("`", "``") + "`"
+    def btCol(c: String) = col(bt(c))
     val clean = df.select(cols.map(c =>
-        col(c).cast("double").as(c)): _*)
-      .na.drop("any", cols)
-      .filter(cols.map(c => !isnan(col(c))).reduce(_ && _))
+        btCol(c).cast("double").as(c)): _*)
+      .na.drop("any", cols.map(bt))
+      .filter(cols.map(c => !isnan(btCol(c))).reduce(_ && _))
     val q = clean.select(cols.map(c =>
-      round(col(c) * lit(unit)).cast("long").as(c)): _*)
+      round(btCol(c) * lit(unit)).cast("long").as(c)): _*)
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i <= j
     } yield (cols(i), cols(j))
     val aggs =
       cols.flatMap(c => Seq(
-        sum(col(c)).as(s"s_$c"),
-        max(abs(col(c))).as(s"mx_$c"))) ++
+        sum(btCol(c)).as(s"s_$c"),
+        max(abs(btCol(c))).as(s"mx_$c"))) ++
       pairs.flatMap { case (a, b) =>
-        // backtick-quote names (escaping embedded backticks) so columns
-        // with spaces/dots/hyphens parse; DIV (integral long division)
-        // has no Column-API form, so expr stays
-        def bt(c: String) = "`" + c.replace("`", "``") + "`"
         Seq(
           sum(expr(s"(${bt(a)} * ${bt(b)}) DIV $split")).as(s"ph_${a}_$b"),
           sum(expr(s"(${bt(a)} * ${bt(b)}) % $split")).as(s"pl_${a}_$b"))
@@ -480,9 +486,9 @@ object Stats {
     // single aggregate row
     def d(c: Column) = c.cast("decimal(38,0)")
     val n = d(col("n"))
-    def sC(c: String) = d(col(s"s_$c"))
+    def sC(c: String) = d(btCol(s"s_$c"))
     def pC(a: String, b: String) =
-      d(lit(split)) * d(col(s"ph_${a}_$b")) + d(col(s"pl_${a}_$b"))
+      d(lit(split)) * d(btCol(s"ph_${a}_$b")) + d(btCol(s"pl_${a}_$b"))
     // in-plan range guard: a violated bound must raise, not mis-sum.
     // assert_true returns null when the condition holds, so gating the
     // corr expression on its null-ness evaluates it exactly once
@@ -490,7 +496,8 @@ object Stats {
     // saturating to Long.MinValue makes abs() negative, which would
     // sneak past a bare `< split` check
     val guard = assert_true(
-      cols.map(c => col(s"mx_$c") >= lit(0L) && col(s"mx_$c") < lit(split))
+      cols.map(c => btCol(s"mx_$c") >= lit(0L) &&
+          btCol(s"mx_$c") < lit(split))
         .reduce(_ && _),
       lit(s"correlationMatrix: |value|*10^$scale must stay below 1e9 " +
         "- lower `scale` or pre-scale the column"))

@@ -385,6 +385,21 @@ object StreamOps {
       docs.toDF(), "doc_id", "text", minWordsPerLine, minSentences,
       passthroughCols = Seq("ts"))
 
+  /** Streaming HTML → main-content extraction — the Structured
+    * Streaming form of `HtmlExtract.extractText` (jusText-class markup
+    * stripping + line-level boilerplate rules), the ingest-time entry
+    * point for raw crawl pages: the `text` field carries the HTML.
+    * Stateless per-row projection like the C4/Gopher gates —
+    * append-mode, no watermark, scan-speed on arrival; feeds
+    * [[c4CleanStream]] downstream exactly as in batch. */
+  def extractTextStream(docs: Dataset[StreamDoc],
+                        minChars: Int = 25,
+                        maxLinkDensity: Double = 0.33,
+                        minStopFrac: Double = 0.0): DataFrame =
+    graft.operators.HtmlExtract.extractText(
+      docs.toDF(), "doc_id", "text", minChars, maxLinkDensity,
+      minStopFrac, passthroughCols = Seq("ts"))
+
   /** Streaming heavy hitters — the Structured Streaming form of
     * `TextAnalysis.heavyHitterTokens` (running top tokens per group via
     * the Misra-Gries sketch aggregate): IDENTICAL batch code on the

@@ -4487,4 +4487,135 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L).getAs[Long]("n_tokens") == 0)
     assert(got(3L).isNullAt(got(3L).fieldIndex("oov_rate")))
   }
+
+  // ---- HTML -> text extraction ----
+
+  private val samplePage =
+    """<html><head><title>T</title>
+      |<script type="text/javascript">var menu = "<a href='/x'>hidden</a>";</script>
+      |<style>.nav a { color: red }</style></head><body>
+      |<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/c">Contact us</a></nav>
+      |<h1>Short title</h1>
+      |<!-- this comment is gone, even with <a href="/y">markup</a> inside -->
+      |<p>This is the main paragraph of the page, and it is long enough to keep
+      |with plenty of the usual function words in it.</p>
+      |<p>It even has a second kept line: &quot;fast&nbsp;&amp; loose&quot;, it&#39;s about &lt;scale&gt; after all.</p>
+      |<div>alpha beta gamma delta epsilon zeta eta theta iota kappa</div>
+      |<div class="footer"><a href="/tos">Terms of service</a> | <a href="/priv">Privacy policy</a></div>
+      |</body></html>""".stripMargin
+
+  test("extractText: boilerplate dies on its own rule, content survives") {
+    val df = spark.sql("select 1L as doc_id, '" +
+      samplePage.replace("'", "''").replace("\n", " ") + "' as html")
+    val r = HtmlExtract.extractText(df, minChars = 25,
+      maxLinkDensity = 0.33, minStopFrac = 0.05).collect()(0)
+    val kept = r.getAs[String]("text_main").split("\n").toSeq
+    // the two prose paragraphs survive, in document order
+    assert(kept.size == 2)
+    assert(kept(0).startsWith("This is the main paragraph"))
+    // entities decoded, comment/script content nowhere
+    assert(kept(1).contains("\"fast & loose\", it's about <scale>"))
+    val all = r.getAs[String]("text_main")
+    assert(!all.contains("hidden") && !all.contains("color") &&
+      !all.contains("markup") && !all.contains("var menu"))
+    // nav ("Home About Contact us" — link-dense) and footer died on
+    // link density, the heading on length, the keyword-soup div on
+    // stopword fraction
+    assert(!all.contains("Home") && !all.contains("Privacy"))
+    assert(!all.contains("Short title"))
+    assert(!all.contains("alpha beta"))
+    assert(r.getAs[Long]("n_lines_kept") == 2L)
+    assert(r.getAs[Long]("n_lines") > 2L)
+  }
+
+  test("extractText: rules are individually inert when disabled") {
+    val df = spark.sql("select 1L as doc_id, '" +
+      samplePage.replace("'", "''").replace("\n", " ") + "' as html")
+    // minStopFrac = 0 readmits the keyword-soup div
+    val lax = HtmlExtract.extractText(df, minChars = 25,
+      maxLinkDensity = 0.33, minStopFrac = 0.0).collect()(0)
+    assert(lax.getAs[String]("text_main").contains("alpha beta"))
+    // maxLinkDensity = 1 readmits the footer (>= 25 chars, all links)
+    val linky = HtmlExtract.extractText(df, minChars = 25,
+      maxLinkDensity = 1.0, minStopFrac = 0.0).collect()(0)
+    assert(linky.getAs[String]("text_main").contains("Terms of service"))
+  }
+
+  test("extractText: empty page and no-keep page emit empty text_main") {
+    val df = spark.sql(
+      "select 1L as doc_id, '' as html union all " +
+      "select 2L as doc_id, '<p>short</p>' as html")
+    val got = HtmlExtract.extractText(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[String]("text_main") == "")
+    assert(got(2L).getAs[String]("text_main") == "")
+    assert(got(2L).getAs[Long]("n_lines_kept") == 0L)
+  }
+
+  test("extractText feeds c4Clean: the crawl-pipeline composition") {
+    val df = spark.sql("select 1L as doc_id, '" +
+      samplePage.replace("'", "''").replace("\n", " ") + "' as html")
+    val extracted = HtmlExtract.extractText(df, minChars = 25,
+      maxLinkDensity = 0.33, minStopFrac = 0.05)
+    val cleaned = TextAnalysis.c4Clean(extracted, textCol = "text_main",
+      minWordsPerLine = 5, minSentences = 1).collect()(0)
+    // both kept lines end in terminal punctuation and have >= 5 words
+    assert(cleaned.getAs[Long]("n_lines_kept") == 2L)
+    assert(cleaned.getAs[Boolean]("keep"))
+  }
+
+  // ---- round-6 advice regression pins ----
+
+  test("scd2 collapses consecutive null attribute values") {
+    val df = spark.sql(
+      """select * from values
+        |  (1L, timestamp '2026-01-01 00:00:00', 7L, 'a'),
+        |  (2L, timestamp '2026-01-02 00:00:00', 7L, cast(null as string)),
+        |  (3L, timestamp '2026-01-03 00:00:00', 7L, cast(null as string)),
+        |  (4L, timestamp '2026-01-04 00:00:00', 7L, 'a')
+        |  as t(event_id, ts, user_id, event_type)""".stripMargin)
+    val rows = Events.scd2(df, "user_id", "event_type")
+      .orderBy("valid_from").collect()
+    // a, null-run (ONE row), a — not two null rows
+    assert(rows.length == 3)
+    assert(rows(0).getString(1) == "a" && rows(1).isNullAt(1) &&
+      rows(2).getString(1) == "a")
+    assert(rows(2).getAs[Boolean]("is_current"))
+  }
+
+  test("ecdfNormalize: NaN scores get null pct and don't deflate others") {
+    val df = spark.sql(
+      """select * from values (1L, 1.0), (2L, 2.0), (3L, 3.0),
+        |  (4L, 4.0), (5L, cast('NaN' as double))
+        |  as t(id, v)""".stripMargin)
+    val got = Stats.ecdfNormalize(df, "v", bins = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // max non-NaN score reaches exactly 1.0 (4 of 4 non-NaN rows)
+    assert(got(4L).getAs[Double]("pct") == 1.0)
+    assert(got(1L).getAs[Double]("pct") == 0.25)
+    // the NaN row is kept but unscored
+    assert(got(5L).isNullAt(got(5L).fieldIndex("pct")))
+  }
+
+  test("keySkewReport keeps null-bearing key tuples distinct") {
+    val df = spark.sql(
+      """select * from values ('a', cast(null as string)),
+        |  ('a', cast(null as string)), (cast(null as string), 'a')
+        |  as t(k1, k2)""".stripMargin)
+    val rows = Skew.keySkewReport(df, Seq("k1", "k2"), topN = 5).collect()
+    // (a,null) x2 and (null,a) x1 are DIFFERENT keys
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("cnt")).toSeq.sorted == Seq(1L, 2L))
+  }
+
+  test("correlationMatrix accepts column names needing backticks") {
+    val df = spark.sql(
+      "select l_quantity as `qty col`, l_discount as `disc.col` " +
+      "from parquet.`" + dir + "/lineitem.parquet`")
+    val rows = Stats.correlationMatrix(df, Seq("qty col", "disc.col"))
+      .collect()
+    assert(rows.length == 3) // both diagonals + the pair
+    val diag = rows.filter(r => r.getString(0) == r.getString(1))
+    assert(diag.forall(_.getAs[Double]("corr") == 1.0))
+  }
 }

@@ -1483,6 +1483,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count(_._6) == 1) // only the clean page passes
   }
 
+  test("extractTextStream extracts main content like the batch operator") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val pages = Seq(
+      1L -> ("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About" +
+        " this site</a></nav><p>This is the main paragraph of the page " +
+        "and it is long enough to keep.</p></body></html>"),
+      2L -> "<p>short</p>",
+      3L -> "")
+    val batchDf = s.createDataFrame(pages.map(p => (p._1, p._2)))
+      .toDF("doc_id", "text")
+    val batch = graft.operators.HtmlExtract.extractText(
+        batchDf, "doc_id", "text", minStopFrac = 0.05).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.extractTextStream(input.toDS(), minStopFrac = 0.05)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("extract_stream")
+      .outputMode("append").start()
+    input.addData(pages.map { case (id, text) =>
+      StreamDoc(id, text, Timestamp.valueOf("2024-01-01 00:00:01")) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql(
+      "select doc_id, text_main, n_lines, n_lines_kept " +
+        "from extract_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch)
+    // the nav died, the content line survived, page 2/3 kept nothing
+    val byId = streamed.map(t => t._1 -> t._2).toMap
+    assert(byId(1L).startsWith("This is the main paragraph"))
+    assert(!byId(1L).contains("Home") && byId(2L) == "" && byId(3L) == "")
+  }
+
   test("dedupAgainstStoreStream equals the batch store probe " +
        "on out-of-order input") {
     import graft.streaming.StreamOps.StreamDoc
