@@ -709,6 +709,23 @@ $joins"""
         minChars = 25, maxLinkDensity = 0.33, minStopFrac = 0.01)
     }),
 
+    // Unicode normalization + mojibake repair: deterministic noise is
+    // planted around each doc (NFD combining-acute sequence, cp1252
+    // mojibake quotes, a BEL control, NBSP, a zero-width space) and
+    // the operator repairs/normalizes it back out. form = NFC so the
+    // normalization step itself runs under DuckDB's nfc_normalize;
+    // the NFKC-only mappings are spec-pinned instead.
+    "q_text_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val noisy = docs.select(col("doc_id"),
+        concat(
+          lit("caf\u0065\u0301 menu \u2014 "),
+          col("text"),
+          lit(" tail: \u00E2\u20AC\u2122quoted\u00E2\u20AC\u2122" +
+            "\u0007\u00A0end\u200B")).as("text"))
+      graft.operators.Normalize.normalizeText(noisy, form = "NFC")
+    }),
+
     // corpus vocabulary: top tokens by frequency with doc frequency —
     // the tokenizer-training / stopword-derivation precursor
     "q_text_vocab" -> ((s, dir) =>
@@ -2278,6 +2295,16 @@ $joins"""
     val HtmlStopwordsSql = graft.operators.HtmlExtract.DefaultStopwords
       .map(w => s"'$w'").mkString(",")
 
+    // q_text_normalize: the mojibake repair table as a nested DuckDB
+    // replace() chain, every char spelled chr(codepoint) so the SQL
+    // stays ASCII and cannot drift from Normalize.MojibakeRepairs
+    def chrSql(s: String): String =
+      s.map(c => s"chr(${c.toInt})").mkString(" || ")
+    val mojibakeRepairedSql = graft.operators.Normalize.MojibakeRepairs
+      .foldLeft("t0") { case (acc, (pat, rep)) =>
+        s"replace($acc, ${chrSql(pat)}, ${chrSql(rep)})"
+      }
+
     val annPlanesSql = graft.operators.Similarity.hyperplanes(6, 64, 42L)
       .zipWithIndex.map { case (h, p) =>
         s"($p, [${h.mkString(", ")}])"
@@ -3223,6 +3250,39 @@ $joins"""
           |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_lines_kept
           |FROM ls l LEFT JOIN agg ON agg.doc_id = l.doc_id""")
           .stripMargin,
+
+      // normalization replicated end-to-end: same planted noise (all
+      // chr()-spelled), the derived mojibake replace chain, DuckDB's
+      // own nfc_normalize for the NFC step, then the same CR-fold /
+      // control-strip / space-fold / zero-width-strip regex chain
+      "q_text_normalize" ->
+        (s"""WITH noisy AS (
+          |  SELECT doc_id,
+          |    'caf' || chr(101) || chr(769) || ' menu ' || chr(8212) ||
+          |    ' ' || text || ' tail: ' ||
+          |    chr(226) || chr(8364) || chr(8482) || 'quoted' ||
+          |    chr(226) || chr(8364) || chr(8482) || chr(7) ||
+          |    chr(160) || 'end' || chr(8203) AS t0
+          |  FROM documents
+          |), rep AS (
+          |  SELECT doc_id, t0, $mojibakeRepairedSql AS t1 FROM noisy
+          |), norm AS (
+          |  SELECT doc_id, t0,
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |      replace(replace(nfc_normalize(t1),
+          |        chr(13) || chr(10), chr(10)), chr(13), chr(10)),""" +
+          """
+          |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'),
+          |      '[\xA0\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}""" +
+          """\x{3000}]', ' ', 'g'),
+          |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS text_norm
+          |  FROM rep
+          |)
+          |SELECT doc_id, text_norm,
+          |  text_norm IS DISTINCT FROM t0 AS changed
+          |FROM norm""").stripMargin,
 
       // BPE training replicated round-by-round: each unrolled round
       // counts pairs from w{k}, picks the top one (count desc, pair asc

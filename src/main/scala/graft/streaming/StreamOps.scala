@@ -385,6 +385,19 @@ object StreamOps {
       docs.toDF(), "doc_id", "text", minWordsPerLine, minSentences,
       passthroughCols = Seq("ts"))
 
+  /** Streaming Unicode normalization / mojibake repair — the
+    * Structured Streaming form of `Normalize.normalizeText` (ftfy/NFKC
+    * class fixes), the very first hop of a crawl ingest stream:
+    * encoding noise is cheapest to kill before any stateful operator
+    * sees (and keys state by) the noisy bytes. Stateless per-row
+    * projection — append-mode, no watermark, scan-speed on arrival. */
+  def normalizeTextStream(docs: Dataset[StreamDoc],
+                          form: String = "NFKC",
+                          repairMojibake: Boolean = true): DataFrame =
+    graft.operators.Normalize.normalizeText(
+      docs.toDF(), "doc_id", "text", form, repairMojibake,
+      passthroughCols = Seq("ts"))
+
   /** Streaming HTML → main-content extraction — the Structured
     * Streaming form of `HtmlExtract.extractText` (jusText-class markup
     * stripping + line-level boilerplate rules), the ingest-time entry

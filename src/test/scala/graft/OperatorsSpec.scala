@@ -4564,6 +4564,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cleaned.getAs[Boolean]("keep"))
   }
 
+  // ---- unicode normalization / mojibake repair ----
+
+  test("normalizeText: NFC composes, mojibake repairs, noise strips") {
+    // NFD cafe + combining acute; cp1252-mojibake right single quotes;
+    // BEL; NBSP; zero-width space; CRLF — all escape-spelled so the
+    // test file stays ASCII
+    val df = spark.sql(
+      "select 1L as doc_id, 'cafe\u0301 \u00E2\u20AC\u2122ok" +
+      "\u00E2\u20AC\u2122\u0007 a\u00A0b\u200Bc\r\nd' as text")
+    val r = Normalize.normalizeText(df, form = "NFC").collect()(0)
+    assert(r.getString(1) ==
+      "caf\u00E9 \u2019ok\u2019 a bc\nd")
+    assert(r.getBoolean(2))
+  }
+
+  test("normalizeText: NFKC compatibility mappings (spec-pinned, " +
+       "no SQL oracle exists)") {
+    // ligature fi, circled one, full-width A, superscript two
+    val df = spark.sql(
+      "select 1L as doc_id, '\uFB01rst \u2460 \uFF21 x\u00B2' as text")
+    val r = Normalize.normalizeText(df, form = "NFKC").collect()(0)
+    assert(r.getString(1) == "first 1 A x2")
+    // NFC leaves all four compatibility characters alone
+    val nfc = Normalize.normalizeText(df, form = "NFC").collect()(0)
+    assert(nfc.getString(1) == "\uFB01rst \u2460 \uFF21 x\u00B2")
+    assert(!nfc.getBoolean(2)) // NFC pass changed nothing
+  }
+
+  test("normalizeText: ASCII fast path is identity; bad form errors " +
+       "eagerly") {
+    val df = spark.sql("select 1L as doc_id, 'plain ascii.' as text")
+    val r = Normalize.normalizeText(df).collect()(0)
+    assert(r.getString(1) == "plain ascii." && !r.getBoolean(2))
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graftext.UnicodeNormalize(col("text"), "NFX")
+    }
+    assert(e.getMessage.contains("unknown normalization form"))
+  }
+
+  test("normalization unifies what dedup/tokenizers would fracture") {
+    // the same word in NFC (one precomposed char) and NFD (e +
+    // combining acute) byte forms: distinct raw, one normalized
+    val df = spark.sql(
+      "select 1L as doc_id, 'caf\u00E9 latte' as text union all " +
+      "select 2L as doc_id, 'cafe\u0301 latte' as text")
+    val raw = df.select(TextAnalysis.tokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0).head).distinct
+    assert(raw.length == 2)
+    val norm = Normalize.normalizeText(df)
+      .select(TextAnalysis.tokens(col("text_norm")).as("t"))
+      .collect().map(_.getSeq[String](0).head).distinct
+    assert(norm.length == 1 && norm.head == "caf\u00E9")
+  }
+
+  test("normalize_text dogfoods the parity registry (registerFunction)") {
+    val df = spark.sql(
+      "select named_struct('title', 'cafe\u0301\u00A0menu', " +
+      "'n', 1L) as doc")
+    val f = new Functioniser()
+    f.registerFunction("normalize_text",
+      (c: org.apache.spark.sql.Column) => Normalize.normalizeColumn(c))
+    val out = f.add("doc.title", "normalize_text").apply(df)
+    assert(out.select(col("doc.title")).collect()(0).getString(0) ==
+      "caf\u00E9 menu")
+  }
+
   // ---- round-6 advice regression pins ----
 
   test("scd2 collapses consecutive null attribute values") {

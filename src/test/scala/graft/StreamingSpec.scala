@@ -1483,6 +1483,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count(_._6) == 1) // only the clean page passes
   }
 
+  test("normalizeTextStream normalizes on arrival like batch") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val texts = Seq(
+      1L -> "cafe\u0301 \u00E2\u20AC\u2122ok\u00E2\u20AC\u2122",
+      2L -> "plain ascii")
+    val batch = graft.operators.Normalize.normalizeText(
+        s.createDataFrame(texts).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.normalizeTextStream(input.toDS())
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("norm_stream")
+      .outputMode("append").start()
+    input.addData(texts.map { case (id, text) =>
+      StreamDoc(id, text, Timestamp.valueOf("2024-01-01 00:00:01")) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql(
+      "select doc_id, text_norm, changed from norm_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists(t => t._1 == 1L &&
+      t._2 == "caf\u00E9 \u2019ok\u2019" && t._3))
+  }
+
   test("extractTextStream extracts main content like the batch operator") {
     import graft.streaming.StreamOps.StreamDoc
     val s = spark
