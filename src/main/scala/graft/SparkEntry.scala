@@ -110,6 +110,191 @@ FROM words JOIN w$numMerges USING (token),
 
   /** Shared by q_text_bm25 and q_text_bm25_indexed: the persisted
     * inverted index reproduces direct BM25 scoring exactly. */
+  /** Unrolled DuckDB replica of trainUnigram (Kudo hard-EM): seed
+    * substring statistics + forced single chars, then per EM round a
+    * fully unrolled Viterbi DP (best-score CTE per end position
+    * j = 1..maxWordLen, tie-break ORDER BY score DESC, len ASC —
+    * exactly the compiled expression's ascending-length strict-`>`
+    * scan), an unrolled path walk-back, integer expected counts, and
+    * the same char-floor M-step. Log-probs are round-9 ln terms, so
+    * every DP score is the same double in both engines. Multi-
+    * referenced CTEs are MATERIALIZED (the kCore discipline). */
+  private def unigramTrainCtes(seedTopN: Int, maxPieceLen: Int,
+                               keepN: Int, emRounds: Int,
+                               maxWordLen: Int): String = {
+    val P = maxPieceLen
+    val head =
+      s"""uwords AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE len(w) >= 1 AND len(w) <= $maxWordLen GROUP BY 1
+), usubw AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS weight FROM (
+    SELECT substr(w, s::INT, l::INT) AS piece, cnt
+    FROM uwords,
+         LATERAL unnest(range(1, len(w) + 1)) ts(s),
+         LATERAL unnest(range(1, least($P, len(w) - s + 1) + 1)) tl(l)
+  ) GROUP BY 1
+), useed AS MATERIALIZED (
+  SELECT piece, weight FROM (
+    SELECT piece, weight FROM usubw
+    ORDER BY weight DESC, piece LIMIT $seedTopN)
+  UNION
+  SELECT piece, weight FROM usubw WHERE len(piece) = 1
+), uv0 AS MATERIALIZED (
+  SELECT piece, round(ln(weight), 9) -
+    (SELECT round(ln(sum(weight)), 9) FROM useed) AS lp
+  FROM useed
+)"""
+    val rounds = (1 to emRounds).map { r =>
+      val dp = (1 to maxWordLen).map { j =>
+        s"""ub${r}_$j AS (
+  SELECT w, j, s, l FROM (
+    SELECT c.w, c.j, b.s + c.lp AS s, c.l,
+      row_number() OVER (PARTITION BY c.w
+        ORDER BY (b.s + c.lp) DESC, c.l ASC) AS rn
+    FROM ucand$r c JOIN uball${r}_${j - 1} b
+      ON b.w = c.w AND b.j = c.j - c.l
+    WHERE c.j = $j
+  ) WHERE rn = 1
+), uball${r}_$j AS MATERIALIZED (
+  SELECT * FROM uball${r}_${j - 1} UNION ALL SELECT * FROM ub${r}_$j
+)"""
+      }.mkString(", ")
+      val walk = (1 to maxWordLen).map { k =>
+        s"""ustep${r}_$k AS MATERIALIZED (
+  SELECT wk.w, b.l, substr(wk.w, (b.j - b.l + 1)::INT, b.l::INT) AS piece,
+         (wk.j - b.l)::INT AS nj
+  FROM uwalk${r}_${k - 1} wk
+  JOIN uball${r}_$maxWordLen b ON b.w = wk.w AND b.j = wk.j
+  WHERE wk.j > 0
+), uwalk${r}_$k AS (SELECT w, nj AS j FROM ustep${r}_$k)"""
+      }.mkString(", ")
+      val emits = (1 to maxWordLen)
+        .map(k => s"SELECT w, piece FROM ustep${r}_$k")
+        .mkString(" UNION ALL ")
+      s"""ucand$r AS MATERIALIZED (
+  SELECT x.w, x.j, x.l, v.lp FROM (
+    SELECT w.w, ts.j::INT AS j, tl.l::INT AS l,
+           substr(w.w, (ts.j - tl.l + 1)::INT, tl.l::INT) AS piece
+    FROM uwords w,
+         LATERAL unnest(range(1, len(w.w) + 1)) ts(j),
+         LATERAL unnest(range(1, least($P, ts.j) + 1)) tl(l)
+  ) x JOIN uv${r - 1} v ON v.piece = x.piece
+), uball${r}_0 AS MATERIALIZED (
+  SELECT w, 0 AS j, 0.0 AS s, 0 AS l FROM uwords
+), $dp, uwalk${r}_0 AS (
+  SELECT w, len(w)::INT AS j FROM uwords
+), $walk, ucnts$r AS MATERIALIZED (
+  SELECT e.piece, CAST(sum(wd.cnt) AS BIGINT) AS c
+  FROM ($emits) e JOIN uwords wd ON wd.w = e.w GROUP BY 1
+), uinv$r AS MATERIALIZED (
+  SELECT piece, c AS weight FROM ucnts$r WHERE c > 0
+  UNION ALL
+  SELECT ch.piece, CAST(1 AS BIGINT) AS weight
+  FROM (SELECT DISTINCT piece FROM useed WHERE len(piece) = 1) ch
+  WHERE NOT EXISTS (SELECT 1 FROM ucnts$r c2
+                    WHERE c2.piece = ch.piece AND c2.c > 0)
+), uv$r AS MATERIALIZED (
+  SELECT piece, round(ln(weight), 9) -
+    (SELECT round(ln(sum(weight)), 9) FROM uinv$r) AS lp
+  FROM uinv$r
+)"""
+    }.mkString(", ")
+    val R = emRounds
+    val prune =
+      s"""ufchars AS MATERIALIZED (
+  SELECT piece, weight FROM uinv$R WHERE len(piece) = 1
+), ufmulti AS (
+  SELECT piece, weight FROM (
+    SELECT piece, weight,
+      row_number() OVER (ORDER BY weight DESC, piece) AS rn
+    FROM uinv$R WHERE len(piece) > 1)
+  WHERE rn <= $keepN - (SELECT count(*) FROM ufchars)
+), ukept AS MATERIALIZED (
+  SELECT * FROM ufchars UNION ALL SELECT * FROM ufmulti
+), uvocab AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY weight DESC, piece) AS INT)
+      AS rank,
+    piece, weight, round(ln(weight), 9) -
+      (SELECT round(ln(sum(weight)), 9) FROM ukept) AS logprob
+  FROM ukept
+)"""
+    s"$head, $rounds, $prune"
+  }
+
+  /** The q_text_unigram_encode oracle: the train CTEs, then the SAME
+    * unrolled Viterbi DP against the kept vocabulary's round-9
+    * log-probs over the held-out docs' distinct words, the walk-back
+    * re-ordered into 0-based piece positions, joined onto per-doc word
+    * instances. No UNK branch: training forces every corpus character
+    * into the inventory, so the fallback can never fire here (matching
+    * the expression, whose penalty path is dead on covered text). */
+  private def unigramEncodeOracleSql(seedTopN: Int, maxPieceLen: Int,
+                                     keepN: Int, emRounds: Int,
+                                     maxWordLen: Int,
+                                     docFilter: String): String = {
+    val P = maxPieceLen
+    val dp = (1 to maxWordLen).map { j =>
+      s"""eb_$j AS (
+  SELECT w, j, s, l FROM (
+    SELECT c.w, c.j, b.s + c.lp AS s, c.l,
+      row_number() OVER (PARTITION BY c.w
+        ORDER BY (b.s + c.lp) DESC, c.l ASC) AS rn
+    FROM ecand c JOIN eball_${j - 1} b ON b.w = c.w AND b.j = c.j - c.l
+    WHERE c.j = $j
+  ) WHERE rn = 1
+), eball_$j AS MATERIALIZED (
+  SELECT * FROM eball_${j - 1} UNION ALL SELECT * FROM eb_$j
+)"""
+    }.mkString(", ")
+    val walk = (1 to maxWordLen).map { k =>
+      s"""estep_$k AS MATERIALIZED (
+  SELECT wk.w, $k AS stp, b.l,
+         substr(wk.w, (b.j - b.l + 1)::INT, b.l::INT) AS piece,
+         (wk.j - b.l)::INT AS nj
+  FROM ewalk_${k - 1} wk
+  JOIN eball_$maxWordLen b ON b.w = wk.w AND b.j = wk.j
+  WHERE wk.j > 0
+), ewalk_$k AS (SELECT w, nj AS j FROM estep_$k)"""
+    }.mkString(", ")
+    val emits = (1 to maxWordLen)
+      .map(k => s"SELECT w, stp, piece FROM estep_$k")
+      .mkString(" UNION ALL ")
+    s"""WITH ${unigramTrainCtes(seedTopN, P, keepN, emRounds, maxWordLen)},
+ewords AS MATERIALIZED (
+  SELECT DISTINCT w[i] AS w
+  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        WHERE $docFilter) t,
+       unnest(range(1, CAST(len(w) AS BIGINT) + 1)) AS r(i)
+  WHERE len(w[i]) >= 1
+), ecand AS MATERIALIZED (
+  SELECT x.w, x.j, x.l, v.logprob AS lp FROM (
+    SELECT w.w, ts.j::INT AS j, tl.l::INT AS l,
+           substr(w.w, (ts.j - tl.l + 1)::INT, tl.l::INT) AS piece
+    FROM ewords w,
+         LATERAL unnest(range(1, len(w.w) + 1)) ts(j),
+         LATERAL unnest(range(1, least($P, ts.j) + 1)) tl(l)
+  ) x JOIN uvocab v ON v.piece = x.piece
+), eball_0 AS MATERIALIZED (
+  SELECT w, 0 AS j, 0.0 AS s, 0 AS l FROM ewords
+), $dp, ewalk_0 AS (
+  SELECT w, len(w)::INT AS j FROM ewords
+), $walk, esegs AS MATERIALIZED (
+  SELECT w, CAST(count(*) OVER (PARTITION BY w) - stp AS INT) AS ppos,
+         piece
+  FROM ($emits) e
+), einst AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS wpos, w[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE $docFilter) t,
+       unnest(range(1, CAST(len(w) AS BIGINT) + 1)) AS r(i)
+  WHERE len(w[i]) >= 1
+)
+SELECT i.doc_id, i.wpos, s.ppos, s.piece
+FROM einst i JOIN esegs s ON s.w = i.word"""
+  }
+
   private val bm25OracleSql: String =
     """WITH q(query_id, qtext) AS (
       |  VALUES (0, 'spark join fast'), (1, 'vector scan slow'),
@@ -724,6 +909,26 @@ $joins"""
           lit(" tail: \u00E2\u20AC\u2122quoted\u00E2\u20AC\u2122" +
             "\u0007\u00A0end\u200B")).as("text"))
       graft.operators.Normalize.normalizeText(noisy, form = "NFC")
+    }),
+
+    // Unigram-LM tokenizer training (Kudo hard-EM variant): substring
+    // seed + forced chars, 2 Viterbi-EM rounds with integer expected
+    // counts, count-prune to 40 — the full train replicates in DuckDB
+    // with the DP rounds unrolled (round-9 ln terms, pinned tie-break)
+    "q_text_unigram" -> ((s, dir) =>
+      TextAnalysis.trainUnigram(t(s, dir, "documents"), "text",
+        seedTopN = 60, maxPieceLen = 4, keepN = 40, emRounds = 2,
+        maxWordLen = 8)),
+
+    // train -> Viterbi-encode composition on the 10% held-out slice,
+    // against the trained table's round-9 log-probs
+    "q_text_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.unigramTokenize(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        TextAnalysis.trainUnigram(docs, "text", seedTopN = 60,
+          maxPieceLen = 4, keepN = 40, emRounds = 2, maxWordLen = 8),
+        maxPieceLen = 4)
     }),
 
     // corpus vocabulary: top tokens by frequency with doc frequency —
@@ -3250,6 +3455,16 @@ $joins"""
           |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_lines_kept
           |FROM ls l LEFT JOIN agg ON agg.doc_id = l.doc_id""")
           .stripMargin,
+
+      // unigram-LM training replicated with the EM/Viterbi rounds
+      // unrolled; the kept (rank, piece, weight, logprob) table
+      "q_text_unigram" ->
+        (s"WITH ${unigramTrainCtes(60, 4, 40, 2, 8)}\n" +
+          "SELECT rank, piece, weight, logprob FROM uvocab"),
+
+      // the same train CTEs + the encode DP over the held-out slice
+      "q_text_unigram_encode" ->
+        unigramEncodeOracleSql(60, 4, 40, 2, 8, "doc_id % 10 = 0"),
 
       // normalization replicated end-to-end: same planted noise (all
       // chr()-spelled), the derived mojibake replace chain, DuckDB's

@@ -497,6 +497,127 @@ object TextAnalysis {
         posexplode(applied).as(Seq("sym_pos", "subword")))
   }
 
+  /** Unigram-LM tokenizer training (Kudo 2018, "Subword
+    * Regularization" — the SentencePiece default model), completing
+    * the tokenizer-family triple next to [[trainBpe]] (merge rules)
+    * and [[trainPieces]] (greedy longest-match inventory):
+    *
+    *   1. SEED: the [[trainPieces]] substring statistics (every
+    *      substring ≤ `maxPieceLen` of every corpus word, weighted by
+    *      word frequency), top `seedTopN` by (weight desc, piece asc),
+    *      UNION every single character (coverage guarantee — every
+    *      word stays segmentable in every round).
+    *   2. EM (`emRounds`, hard/Viterbi variant): E-step segments each
+    *      distinct word by max-likelihood under the current table via
+    *      the compiled [[org.apache.spark.sql.graftext.UnigramViterbi]]
+    *      expression and accumulates INTEGER expected counts
+    *      (Σ word-frequency per piece on its Viterbi path); M-step
+    *      re-derives log-probs. Multi-char pieces with zero count
+    *      drop; single chars persist with a count floor of 1.
+    *      Documented divergence from full Kudo: hard-EM counts stand
+    *      in for forward-backward expectations and count-pruning for
+    *      the loss-delta prune — the deterministic, integer-count,
+    *      externally-replicable variant (q_text_unigram runs the full
+    *      train under a DuckDB oracle, DP rounds unrolled).
+    *   3. PRUNE to `keepN`: every single char survives; multi-char
+    *      pieces keep the top slots by (count desc, piece asc).
+    *
+    * Log-probs are `round9(ln(count)) − round9(ln(total))` — the
+    * round-9 ln discipline the LM operators pin, so DP scores (plain
+    * double sums in fixed order) replicate bit-for-bit externally.
+    *
+    * Scale shape: ONE corpus-scale shuffle (the distinct-word count);
+    * seeding and every EM round run on the VOCABULARY frame with the
+    * table riding as expression literals (the trainBpe vocab-frame
+    * pattern), and each per-round aggregate is inventory-bounded.
+    * Words longer than `maxWordLen` are excluded from training (the
+    * standard SentencePiece-style sentence-length cap, and what keeps
+    * the oracle's DP unroll finite).
+    *
+    * Output: (rank, piece, weight, logprob[round 9 terms]) — rank
+    * 1-based by (weight desc, piece asc) over the kept inventory,
+    * logprob relative to the KEPT total (what [[unigramTokenize]]
+    * consumes). */
+  def trainUnigram(docs: DataFrame, textCol: String = "text",
+                   seedTopN: Int = 200, maxPieceLen: Int = 6,
+                   keepN: Int = 100, emRounds: Int = 2,
+                   maxWordLen: Int = 16): DataFrame = {
+    require(seedTopN >= 1 && keepN >= 1 && emRounds >= 0)
+    require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen)
+    val spark = docs.sparkSession
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val subs = words.select(col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(1, char_length(w)), s ->
+         |  transform(sequence(s, least(char_length(w),
+         |                             s + ${maxPieceLen - 1})), e ->
+         |    substring(w, s, e - s + 1))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("weight"))
+      .localCheckpoint(true)
+    val seedTop = subs
+      .orderBy(col("weight").desc, col("piece")).limit(seedTopN)
+    val chars = subs.filter(length(col("piece")) === 1)
+    // driver-bounded: seedTopN + alphabet rows
+    var inv: Map[String, Long] = seedTop.unionByName(chars).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val charSet = inv.keySet.filter(_.length == 1)
+    def lpTable(m: Map[String, Long]): Seq[(String, Double)] = {
+      val lnTotal = r9(math.log(m.values.sum.toDouble))
+      m.toSeq.sortBy(_._1)
+        .map { case (p, w) => p -> (r9(math.log(w.toDouble)) - lnTotal) }
+    }
+    (0 until emRounds).foreach { _ =>
+      val counts = words
+        .select(col("cnt"), explode(
+          org.apache.spark.sql.graftext.UnigramViterbi(
+            col("w"), lpTable(inv), maxPieceLen)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // multi-char zero-count pieces drop; chars floor at 1
+      inv = (counts.filter(_._2 > 0) ++
+        charSet.filterNot(c => counts.getOrElse(c, 0L) > 0)
+          .map(_ -> 1L).toMap).toMap
+    }
+    val keptMulti = inv.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, w) => (-w, p) }
+      .take(math.max(0, keepN - charSet.size))
+    val kept = inv.toSeq.filter(_._1.length == 1) ++ keptMulti
+    val lnTotal = r9(math.log(kept.map(_._2).sum.toDouble))
+    val rows = kept.sortBy { case (p, w) => (-w, p) }.zipWithIndex
+      .map { case ((p, w), i) =>
+        (i + 1, p, w, r9(math.log(w.toDouble)) - lnTotal)
+      }
+    import spark.implicits._
+    rows.toDF("rank", "piece", "weight", "logprob")
+      .repartition(1).sortWithinPartitions(col("rank"))
+  }
+
+  /** Max-likelihood subword tokenization against a [[trainUnigram]]
+    * inventory — Viterbi inference via the same compiled
+    * [[org.apache.spark.sql.graftext.UnigramViterbi]] kernel as
+    * training (unseen single characters emit `[UNK]` with the fixed
+    * `unkLp` penalty). The (piece, logprob) table collects ONCE
+    * (keepN-bounded by construction) and rides inside the expression:
+    * zero-shuffle scan-speed projection. Output: (id, wpos, ppos,
+    * piece), positions 0-based. */
+  def unigramTokenize(docs: DataFrame, idCol: String, textCol: String,
+                      vocab: DataFrame, maxPieceLen: Int = 6,
+                      unkLp: Double = -100.0): DataFrame = {
+    val table = vocab.select(col("piece"), col("logprob")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toIndexedSeq
+    docs
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("wpos", "w")))
+      .select(col(idCol), col("wpos"),
+        posexplode(org.apache.spark.sql.graftext.UnigramViterbi(
+          col("w"), table, maxPieceLen, unkLp)).as(Seq("ppos", "piece")))
+  }
+
   /** The Gopher quality-rule stopword list (Rae et al. 2021 App. A —
     * "the, be, to, of, and, that, have, with"): a document passing the
     * other gates but containing fewer than `minStopwords` of these is

@@ -4564,6 +4564,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cleaned.getAs[Boolean]("keep"))
   }
 
+  // ---- unigram-LM tokenizer (Kudo hard-EM) ----
+
+  test("trainUnigram: chars always survive, EM drops unused pieces, " +
+       "ranks are deterministic") {
+    val df = spark.sql(
+      "select 'ab ab ab cd' as text union all select 'ab cd cd' as text")
+    val v = TextAnalysis.trainUnigram(df, seedTopN = 10, maxPieceLen = 2,
+      keepN = 6, emRounds = 2, maxWordLen = 4).collect()
+    val byPiece = v.map(r => r.getString(1) ->
+      (r.getInt(0), r.getLong(2))).toMap
+    // 'ab' (freq 4) and 'cd' (freq 3) dominate their Viterbi paths
+    assert(byPiece("ab")._2 == 4L && byPiece("cd")._2 == 3L)
+    // all four chars kept with the floor weight (never on a best path)
+    Seq("a", "b", "c", "d").foreach(c => assert(byPiece(c)._2 == 1L))
+    // rank ordering: weight desc then piece asc, 1-based contiguous
+    assert(v.map(_.getInt(0)).toSeq.sorted == (1 to v.length))
+    assert(byPiece("ab")._1 == 1 && byPiece("cd")._1 == 2)
+  }
+
+  test("unigramTokenize: Viterbi beats greedy longest-match and " +
+       "falls back to [UNK]") {
+    val s = spark
+    import s.implicits._
+    // inventory where greedy's longest-first choice ('abc') strands a
+    // low-probability tail: Viterbi picks the globally better ab|cd
+    val vocab = Seq(
+      (1, "ab", 10L, -0.5), (2, "cd", 9L, -0.5),
+      (3, "abc", 8L, -3.0), (4, "d", 1L, -3.5),
+      (5, "a", 1L, -4.0), (6, "b", 1L, -4.0), (7, "c", 1L, -4.0))
+      .toDF("rank", "piece", "weight", "logprob")
+    val docs = Seq((1L, "abcd xb")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramTokenize(docs, "doc_id", "text",
+      vocab, maxPieceLen = 3)
+      .orderBy("wpos", "ppos").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(got == Seq((0, 0, "ab"), (0, 1, "cd"),
+      (1, 0, "[UNK]"), (1, 1, "b")))
+    // greedy longest-match on the same inventory takes abc|d instead
+    val greedy = TextAnalysis.piecesTokenize(docs, "doc_id", "text",
+      vocab.select("piece"), maxPieceLen = 3)
+      .filter(col("wpos") === 0).orderBy("ppos").collect()
+      .map(_.getString(3)).toSeq
+    assert(greedy == Seq("abc", "d"))
+  }
+
+  test("unigramTokenize equals piecesTokenize on a single-segmentation " +
+       "inventory") {
+    val s = spark
+    import s.implicits._
+    // disjoint pieces: each word has exactly one full-cover
+    // segmentation, so max-likelihood and greedy must agree
+    val vocab = Seq((1, "ab", 5L, -1.0), (2, "cd", 4L, -1.2),
+      (3, "ef", 3L, -1.5)).toDF("rank", "piece", "weight", "logprob")
+    val docs = Seq((1L, "abcd efab xyz"), (2L, "cdcd"))
+      .toDF("doc_id", "text")
+    def key(r: Row) = (r.getLong(0), r.getInt(1), r.getInt(2),
+      r.getString(3))
+    val uni = TextAnalysis.unigramTokenize(docs, "doc_id", "text",
+      vocab, maxPieceLen = 2).collect().map(key).toSet
+    val greedy = TextAnalysis.piecesTokenize(docs, "doc_id", "text",
+      vocab.select("piece"), maxPieceLen = 2).collect().map(key).toSet
+    assert(uni == greedy && uni.nonEmpty)
+  }
+
   // ---- unicode normalization / mojibake repair ----
 
   test("normalizeText: NFC composes, mojibake repairs, noise strips") {
