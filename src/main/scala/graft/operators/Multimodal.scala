@@ -15,10 +15,12 @@ import org.apache.spark.sql.types._
   * which the JVM ships in `java.util.zip`), `image/gif`
   * ([[decodeGif]] — self-contained LZW), and `image/jpeg`
   * ([[decodeJpeg]] — the JDK's own `javax.imageio` JPEG plugin, public
-  * API, zero added dependencies); the remaining compressed video
-  * formats (H.264, …) are STUBBED ([[decodeStub]]
-  * derives deterministic fake features from the raw bytes) because
-  * their codecs don't exist in this environment. Everything
+  * API, zero added dependencies), and `video/avi` MJPEG first-frames
+  * ([[decodeMjpegAvi]] — the RIFF walk + the JPEG path composed); the
+  * remaining compressed video codecs (H.264, …) are STUBBED
+  * ([[decodeStub]] derives deterministic fake features from the raw
+  * bytes) because their codecs don't exist in this environment.
+  * Everything
   * around the decoders is the real Spark shape —
   * schema, partition-level batching via `mapPartitions`, metadata
   * struct, size-aware repartition — so adding a decoder is a
@@ -395,6 +397,67 @@ object Multimodal {
     * decoders decline (interlaced variants, exotic bit depths). */
   def decodeImageIo(id: Long, content: Array[Byte]): Option[Row] =
     decodeImageIoRaw(content).map(imageFeatureRow(id, content, _))
+
+  /** REAL first-frame decoder for MJPEG-in-AVI video payloads — the
+    * last all-stub modality, closed with the codec kit already on
+    * hand: AVI is a RIFF container (the [[parseWav]] chunk grammar —
+    * fourcc + little-endian size + word alignment), and an MJPEG
+    * stream's frame chunks are each a COMPLETE JPEG ([[decodeJpegRaw]]
+    * / the JDK ImageIO plugin). Zero new dependencies.
+    *
+    * Walks the top-level RIFF chunks to the `LIST movi` payload, takes
+    * the FIRST video frame chunk (`##dc`/`##db` fourcc — compressed /
+    * uncompressed-suffix naming; `##` is the stream number), and
+    * decodes it as JPEG into the shared 8-dim image feature vector.
+    * First-frame is the standard thumbnail/dedup representative;
+    * [[sampleFrames]] remains the budgeted multi-frame path for
+    * formats with real codecs. Non-MJPEG codecs (H.264, …) fail the
+    * frame's JPEG SOI gate → None → the stub, preserving the
+    * documented fallback contract. Same bounds discipline as the WAV
+    * walker: every chunk size is validated against the REMAINING
+    * length before use, so corrupt near-MaxValue sizes cannot wrap
+    * into out-of-bounds reads. */
+  def decodeMjpegAvi(id: Long, content: Array[Byte]): Option[Row] =
+    firstAviFrame(content).flatMap(decodeJpegRaw)
+      .map(imageFeatureRow(id, content, _))
+
+  /** The first `##dc`/`##db` frame payload of a RIFF/AVI container,
+    * or None if the bytes are not well-formed AVI or the `movi` list
+    * holds no frame chunk. */
+  private[operators] def firstAviFrame(
+      content: Array[Byte]): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    if (content.length < 24) return None
+    val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    if (bb.getInt(0) != 0x46464952 || bb.getInt(8) != 0x20495641)
+      return None // "RIFF" ... "AVI " (little-endian magic)
+    var pos = 12
+    while (pos + 8 <= content.length) {
+      val ckId = bb.getInt(pos)
+      val ckSz = bb.getInt(pos + 4)
+      if (ckSz < 0 || ckSz > content.length - pos - 8) return None
+      if (ckId == 0x5453494C && ckSz >= 4 &&
+        bb.getInt(pos + 8) == 0x69766F6D) { // LIST ... 'movi'
+        var p = pos + 12
+        val end = pos + 8 + ckSz
+        while (p + 8 <= end) {
+          val id4 = bb.getInt(p)
+          val sz = bb.getInt(p + 4)
+          if (sz < 0 || sz > end - p - 8) return None
+          // stream-frame fourcc: '??dc' (compressed) / '??db' (raw)
+          val b2 = (id4 >>> 16) & 0xff
+          val b3 = (id4 >>> 24) & 0xff
+          if (b2 == 'd' && (b3 == 'c' || b3 == 'b') && sz > 0)
+            return Some(
+              java.util.Arrays.copyOfRange(content, p + 8, p + 8 + sz))
+          p += 8 + sz + (sz & 1)
+        }
+        return None
+      }
+      pos += 8 + ckSz + (ckSz & 1)
+    }
+    None
+  }
 
   /** The shared 8-dim image feature vector ([width, height, mean_r,
     * mean_g, mean_b, luma_mean, luma_std, channels*8]) from a decoded
@@ -884,9 +947,11 @@ object Multimodal {
     * ([[decodeBmp]]), `image/png` through the REAL PNG decoder
     * ([[decodePng]]), `image/gif` through the REAL LZW decoder
     * ([[decodeGif]]), and `image/jpeg` through the JDK ImageIO decoder
-    * ([[decodeJpeg]]), all falling back to the stub on malformed bytes;
-    * everything else uses [[decodeStub]] (the remaining compressed
-    * video formats need codecs that don't exist in this environment). */
+    * ([[decodeJpeg]]), and `video/avi` through the MJPEG first-frame
+    * decoder ([[decodeMjpegAvi]]), all falling back to the stub on
+    * malformed bytes; everything else uses [[decodeStub]] (the
+    * remaining compressed video codecs don't exist in this
+    * environment). */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(FeatureSchema)
     assets.select(col("id"), col("content"), col("meta.mime").as("mime"))
@@ -914,6 +979,10 @@ object Multimodal {
                   .toOption.flatten)
             case "image/jpeg" | "image/jpg" =>
               scala.util.Try(decodeJpeg(id, bytes)).toOption.flatten
+            // MJPEG-in-AVI: first-frame JPEG through the RIFF walk;
+            // other codecs inside AVI fail the SOI gate -> stub
+            case "video/avi" | "video/x-msvideo" | "video/mjpeg" =>
+              scala.util.Try(decodeMjpegAvi(id, bytes)).toOption.flatten
             case _ => None
           }
           decoded.getOrElse(decodeStub(id, bytes))

@@ -1665,6 +1665,152 @@ object StreamOps {
       }
   }
 
+  case class PathOut(user_id: Long, path: String)
+  case class PathState(tail: Seq[Scd2Buf], buf: Seq[Scd2Buf])
+
+  /** Streaming k-step path emission — the instance-level form of
+    * `Events.topPaths` (which then just counts and ranks): every
+    * consecutive k-window of each user's (ts, event_id)-ordered event
+    * sequence, emitted exactly once when it becomes final. The
+    * [[transitionPairsStream]] endpoint-finality rule generalizes to
+    * k: a window is final once its LAST event's time is below the
+    * watermark — any event that could still land INSIDE the window
+    * would be older than the watermark and is dropped on arrival — so
+    * the emitted multiset equals the batch operator's path instances
+    * over every sub-watermark prefix, for any arrival order
+    * (parity-spec'd with reversed-arrival chunks; count+rank the
+    * output to get the batch top-N).
+    *
+    * Windows containing a null event type are SUPPRESSED but still
+    * consume positions — exactly the batch operator's
+    * all-steps-not-null filter over lead() windows.
+    *
+    * State per user: the last k−1 finalized events (the next window's
+    * prefix) plus the watermark-bounded pending buffer. Caller applies
+    * `withWatermark` upstream (EventTimeTimeout contract). */
+  def topPathsStream(events: Dataset[Scd2Event],
+                     k: Int = 3): Dataset[PathOut] = {
+    require(k >= 2 && k <= 5, "k must be in [2, 5]")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, PathOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Scd2Event],
+         state: GroupState[PathState]) =>
+          val prior = state.getOption
+            .getOrElse(PathState(Vector.empty, Vector.empty))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val merged = (prior.buf ++ rows
+              .map(e => Scd2Buf(micros(e.ts), e.event_id, e.value))
+              .filter(_.tsMicros >= wmMicros))
+            .sortBy(e => (e.tsMicros, e.tie))
+          val (ready, pending) = merged.span(_.tsMicros < wmMicros)
+          val chain = prior.tail.toVector ++ ready
+          // every k-window ends in `ready` (the retained tail is k-1
+          // long), so each is emitted exactly once
+          val outs = chain.sliding(k).filter(_.size == k)
+            .filter(_.forall(_.value != null))
+            .map(w => PathOut(userId, w.map(_.value).mkString(">")))
+            .toVector
+          val tail = chain.takeRight(k - 1)
+          if (pending.nonEmpty) {
+            state.update(PathState(tail, pending.toVector))
+            val releaseAtMs = pending.head.tsMicros / 1000 + 1
+            state.setTimeoutTimestamp(
+              math.max(releaseAtMs, state.getCurrentWatermarkMs() + 1))
+          } else if (tail != prior.tail || ready.nonEmpty) {
+            state.update(PathState(tail, Vector.empty))
+          }
+          outs.iterator
+      }
+  }
+
+  case class CreditOut(user_id: Long, conversion_id: Long,
+                       touch_type: String, credit: Double)
+  case class AttrState(touches: Seq[Scd2Buf], pendConv: Seq[Scd2Buf])
+
+  /** Streaming multi-touch attribution — the per-conversion form of
+    * `Events.attributeConversions` (whose output is just the per-type
+    * rollup of these rows): each conversion credits the user's touch
+    * events inside `lookbackSeconds` before it, 1/n each under
+    * `linear`, all to the (ts, id, type)-max touch under
+    * `last_touch` — the same struct-max tie-break as batch, the same
+    * round-6 per-touch credit.
+    *
+    * Finality: a conversion's credit set is fixed once its OWN time is
+    * below the watermark — any touch that could still join its window
+    * would be older than the conversion, hence older than the
+    * watermark, hence dropped on arrival. Conversions with no in-window
+    * touch emit nothing (the batch "unattributed gap"). Emitted rows
+    * therefore equal the batch per-conversion credits over every
+    * sub-watermark prefix, any arrival order (parity-spec'd).
+    *
+    * State per user is doubly bounded: touches older than
+    * `watermark − lookback` can never join a future conversion's
+    * window and are pruned every invocation; pending conversions are
+    * watermark-bounded with a release timer (the
+    * [[transitionPairsStream]] discipline). Caller applies
+    * `withWatermark` upstream (EventTimeTimeout contract). */
+  def attributeConversionsStream(events: Dataset[Scd2Event],
+                                 conversionType: String,
+                                 lookbackSeconds: Long,
+                                 model: String = "last_touch")
+      : Dataset[CreditOut] = {
+    require(lookbackSeconds > 0, "lookbackSeconds must be positive")
+    require(Set("last_touch", "linear")(model),
+      "model must be last_touch or linear")
+    import events.sparkSession.implicits._
+    val lookbackMicros = lookbackSeconds * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, CreditOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Scd2Event],
+         state: GroupState[AttrState]) =>
+          val prior = state.getOption
+            .getOrElse(AttrState(Vector.empty, Vector.empty))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val fresh = rows
+            .map(e => Scd2Buf(micros(e.ts), e.event_id, e.value))
+            .filter(_.tsMicros >= wmMicros).toVector
+          val touches = (prior.touches ++
+              fresh.filterNot(_.value == conversionType))
+            .sortBy(e => (e.tsMicros, e.tie))
+          val convs = (prior.pendConv ++
+              fresh.filter(_.value == conversionType))
+            .sortBy(e => (e.tsMicros, e.tie))
+          val (readyConv, pendConv) = convs.span(_.tsMicros < wmMicros)
+          val outs = readyConv.flatMap { c =>
+            val inWin = touches.filter(t => t.tsMicros < c.tsMicros &&
+              t.tsMicros >= c.tsMicros - lookbackMicros)
+            if (inWin.isEmpty) Vector.empty
+            else model match {
+              case "last_touch" =>
+                val w = inWin.maxBy(t => (t.tsMicros, t.tie, t.value))
+                Vector(CreditOut(userId, c.tie, w.value, 1.0))
+              case "linear" =>
+                val credit = BigDecimal(1.0 / inWin.size)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble
+                inWin.map(t => CreditOut(userId, c.tie, t.value, credit))
+            }
+          }
+          // touches below watermark − lookback can never join a future
+          // (≥ watermark) conversion's window: prune — the state bound
+          val keptTouches =
+            touches.filter(_.tsMicros >= wmMicros - lookbackMicros)
+          if (pendConv.nonEmpty) {
+            state.update(AttrState(keptTouches, pendConv.toVector))
+            val releaseAtMs = pendConv.head.tsMicros / 1000 + 1
+            state.setTimeoutTimestamp(
+              math.max(releaseAtMs, state.getCurrentWatermarkMs() + 1))
+          } else if (keptTouches != prior.touches ||
+              readyConv.nonEmpty) {
+            state.update(AttrState(keptTouches, Vector.empty))
+          }
+          outs.iterator
+      }
+  }
+
   case class TransitionPair(user_id: Long, src_type: String,
                             dst_type: String)
   case class TransState(lastFinal: Option[Scd2Buf], buf: Seq[Scd2Buf])

@@ -4564,6 +4564,81 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cleaned.getAs[Boolean]("keep"))
   }
 
+  // ---- MJPEG-AVI first-frame decode ----
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def riffChunk(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = if (payload.length % 2 == 1) Array(0.toByte)
+      else Array.empty[Byte]
+    fourcc.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++ pad
+  }
+
+  /** Minimal two-frame MJPEG AVI: RIFF('AVI ' junk LIST('movi'
+    * 00dc(jpeg1) 00dc(jpeg2))) — the chunk grammar the walker needs,
+    * with a junk chunk planted to prove unknown chunks are skipped. */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val movi = "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => riffChunk("00dc", f)).toArray
+    val body = "AVI ".getBytes("US-ASCII") ++
+      riffChunk("JUNK", Array.fill(6)(0.toByte)) ++
+      riffChunk("LIST", movi)
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("decodeMjpegAvi: first frame decodes through the RIFF walk, " +
+       "matching the plain JPEG decoder") {
+    import java.awt.image.BufferedImage
+    def jpegOf(shade: Int): Array[Byte] = {
+      val bi = new BufferedImage(48, 32, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 32; x <- 0 until 48)
+        bi.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "jpeg", out))
+      out.toByteArray
+    }
+    val (j1, j2) = (jpegOf(40), jpegOf(220))
+    val avi = mjpegAvi(Seq(j1, j2))
+    val row = Multimodal.decodeMjpegAvi(7L, avi).get
+    val f = row.getSeq[Double](3)
+    // features come from FRAME 1 (dark), not frame 2, and equal the
+    // plain JPEG decoder's output for the same bytes
+    val direct = Multimodal.decodeJpeg(7L, j1).get.getSeq[Double](3)
+    assert(f == direct)
+    assert(f(0) == 48.0 && f(1) == 32.0 && f(2) < 60.0)
+    // content hash is of the WHOLE container (identity of the asset)
+    assert(row.getLong(2) == graft.functions.Hashing.fnv1a(avi))
+  }
+
+  test("video dispatch: MJPEG AVI decodes for real, foreign codecs " +
+       "and corrupt containers stub") {
+    import java.awt.image.BufferedImage
+    val s = spark
+    import s.implicits._
+    val bi = new BufferedImage(16, 16, BufferedImage.TYPE_3BYTE_BGR)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpeg", out))
+    val good = mjpegAvi(Seq(out.toByteArray))
+    // same container, but the frame payload is not JPEG (H.264-ish
+    // bytes): SOI gate fails -> stub
+    val foreign = mjpegAvi(Seq(Array[Byte](0, 0, 0, 1, 0x67, 0x42)))
+    val corrupt = good.take(20)
+    val assets = Seq((1L, good), (2L, foreign), (3L, corrupt))
+      .toDF("id", "content")
+      .select(col("id"), col("content"),
+        struct(lit("video/avi").as("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes"))
+          .as("meta"))
+    val feats = Multimodal.extractFeatures(assets).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](3)).toMap
+    assert(feats(1L)(0) == 16.0 && feats(1L)(1) == 16.0) // real decode
+    // stub features are byte-histogram moments, 8 dims summing to ~1
+    assert(math.abs(feats(2L).sum - 1.0) < 1e-9)
+    assert(math.abs(feats(3L).sum - 1.0) < 1e-9)
+  }
+
   // ---- unigram-LM tokenizer (Kudo hard-EM) ----
 
   test("trainUnigram: chars always survive, EM drops unused pieces, " +

@@ -1884,6 +1884,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2L).n_recent == 1L && got(2L).decayed_value == null)
   }
 
+  test("topPathsStream finalizes the batch path-instance multiset") {
+    import graft.streaming.StreamOps.{PathOut, Scd2Event}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val evDf = graft.sources.Sources
+      .table(s, "/root/testdata/sf0.001", "events")
+      .filter(col("user_id") < 12)
+      .select("event_id", "ts", "user_id", "event_type")
+    // batch counts WITHOUT the top-N cut: the stream emits instances
+    val batch = graft.operators.Events.topPaths(evDf, k = 3,
+        topN = Int.MaxValue).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = evDf.collect()
+      .map(r => Scd2Event(r.getAs[Long]("user_id"),
+        r.getAs[Long]("event_id"), r.getAs[Timestamp]("ts"),
+        r.getAs[String]("event_type")))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Scd2Event]
+    val out = StreamOps.topPathsStream(
+      input.toDF().withWatermark("ts", "0 seconds").as[Scd2Event], k = 3)
+    val q = out.writeStream.format("memory").queryName("paths_stream")
+      .outputMode("append").start()
+    val third = (rows.length + 2) / 3
+    rows.grouped(third).foreach { chunk =>
+      input.addData(chunk.reverse.toSeq: _*)
+      q.processAllAvailable()
+    }
+    input.addData(Scd2Event(999999L, 999999L,
+      Timestamp.valueOf("2030-01-01 00:00:00"), "view"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from paths_stream").as[PathOut]
+      .collect().groupBy(_.path)
+      .map { case (k2, v) => k2 -> v.length.toLong }
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("attributeConversionsStream credits equal the batch rollup " +
+       "for both models") {
+    import graft.streaming.StreamOps.{CreditOut, Scd2Event}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val evDf = graft.sources.Sources
+      .table(s, "/root/testdata/sf0.001", "events")
+      .filter(col("user_id") < 40)
+      .select("event_id", "ts", "user_id", "event_type")
+    val rows = evDf.collect()
+      .map(r => Scd2Event(r.getAs[Long]("user_id"),
+        r.getAs[Long]("event_id"), r.getAs[Timestamp]("ts"),
+        r.getAs[String]("event_type")))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    Seq("linear", "last_touch").foreach { model =>
+      val batch = graft.operators.Events.attributeConversions(
+          evDf, "purchase", 21600L, model).collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("n_conversions"), r.getAs[Double]("credit")))
+        .toMap
+      val input = MemoryStream[Scd2Event]
+      val out = StreamOps.attributeConversionsStream(
+        input.toDF().withWatermark("ts", "0 seconds").as[Scd2Event],
+        "purchase", 21600L, model)
+      val name = s"attr_stream_$model"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val third = (rows.length + 2) / 3
+      rows.grouped(third).foreach { chunk =>
+        input.addData(chunk.reverse.toSeq: _*)
+        q.processAllAvailable()
+      }
+      input.addData(Scd2Event(999999L, 999999L,
+        Timestamp.valueOf("2030-01-01 00:00:00"), "view"))
+      q.processAllAvailable()
+      q.stop()
+      // roll the per-conversion rows up exactly as batch does:
+      // count distinct conversions, exact decimal credit sum
+      val streamed = s.sql(s"select * from $name").as[CreditOut]
+        .collect().groupBy(_.touch_type)
+        .map { case (t, cs) =>
+          t -> (cs.map(_.conversion_id).distinct.length.toLong,
+            cs.map(c => BigDecimal(c.credit)).sum
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      assert(streamed == batch && streamed.nonEmpty, s"model=$model")
+    }
+  }
+
   test("transitionPairsStream finalizes the batch pair multiset") {
     import graft.streaming.StreamOps.{Scd2Event, TransitionPair}
     val s = spark
