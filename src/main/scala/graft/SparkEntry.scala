@@ -894,6 +894,22 @@ $joins"""
         minChars = 25, maxLinkDensity = 0.33, minStopFrac = 0.01)
     }),
 
+    // URL canonicalization: deterministic messy URLs (case-shifted
+    // scheme/host, userinfo, www, default port, tracking params,
+    // unsorted query, trailing slash, fragment; every 7th row
+    // unparseable) -> canonical key + host + approximate eTLD+1
+    "q_url_canon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = when(col("doc_id") % 7 === 3,
+          concat(lit("not a url "), col("doc_id").cast("string")))
+        .otherwise(concat(
+          lit("HTTPS://user:pw@WWW."), col("source"),
+          lit(".Example.CO.UK:443/Path/"), col("doc_id").cast("string"),
+          lit("/?utm_source=news&b=2&A=1&gclid=xyz&keep#frag")))
+      graft.operators.UrlOps.canonicalizeUrls(
+        docs.select(col("doc_id"), url.as("url")))
+    }),
+
     // Unicode normalization + mojibake repair: deterministic noise is
     // planted around each doc (NFD combining-acute sequence, cp1252
     // mojibake quotes, a BEL control, NBSP, a zero-width space) and
@@ -2500,6 +2516,12 @@ $joins"""
     val HtmlStopwordsSql = graft.operators.HtmlExtract.DefaultStopwords
       .map(w => s"'$w'").mkString(",")
 
+    // q_url_canon interpolants, derived from the operator's constants
+    val urlTrackingSql = graft.operators.UrlOps.TrackingParams
+      .map(w => s"'$w'").mkString(",")
+    val urlSuffixesSql = graft.operators.UrlOps.MultiLabelSuffixes
+      .map(w => s"'$w'").mkString(",")
+
     // q_text_normalize: the mojibake repair table as a nested DuckDB
     // replace() chain, every char spelled chr(codepoint) so the SQL
     // stays ASCII and cannot drift from Normalize.MojibakeRepairs
@@ -3465,6 +3487,72 @@ $joins"""
       // the same train CTEs + the encode DP over the held-out slice
       "q_text_unigram_encode" ->
         unigramEncodeOracleSql(60, 4, 40, 2, 8, "doc_id % 10 = 0"),
+
+      // URL canonicalization replicated step-for-step: same regex
+      // parse, same userinfo/port/www/fragment handling, same
+      // tracking-param filter + survivor sort, same trailing-slash
+      // and eTLD+1 rules (lists interpolated from the operator)
+      "q_url_canon" ->
+        (s"""WITH u AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 3
+          |      THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+          |      ELSE 'HTTPS://user:pw@WWW.' || source ||
+          |        '.Example.CO.UK:443/Path/' || CAST(doc_id AS VARCHAR)
+          |        || '/?utm_source=news&b=2&A=1&gclid=xyz&keep#frag'
+          |    END AS url
+          |  FROM documents
+          |), p AS (
+          |  SELECT doc_id, url,
+          |    regexp_replace(trim(url), '#.*$$', '') AS t
+          |  FROM u
+          |), f AS (
+          |  SELECT doc_id, url, t,
+          |    regexp_matches(t, '^(?i)https?://[^/?#]+') AS ok,
+          |    lower(regexp_extract(t, '^([A-Za-z]+)://', 1)) AS scheme,
+          |    lower(regexp_replace(regexp_replace(
+          |      regexp_extract(t, '^(?i)https?://([^/?#]*)', 1),
+          |      '^[^@]*@', ''), ':[0-9]*$$', '')) AS host0,
+          |    regexp_extract(t, '^(?i)https?://[^/?#]*(:[0-9]+)', 1)
+          |      AS port,
+          |    regexp_extract(t, '^(?i)https?://[^/?#]*([^?#]*)', 1)
+          |      AS path0,
+          |    regexp_extract(t, '\\?([^#]*)', 1) AS query0
+          |  FROM p
+          |), g AS (
+          |  SELECT doc_id, url, ok, scheme, host0, port,
+          |    regexp_replace(host0, '^www\\.', '') AS host1,
+          |    CASE WHEN path0 = '' THEN '/'
+          |         WHEN path0 <> '/' THEN regexp_replace(path0, '/$$', '')
+          |         ELSE path0 END AS path,
+          |    array_to_string(list_sort(list_filter(
+          |      string_split(query0, '&'), x -> x <> ''
+          |        AND NOT starts_with(
+          |          lower(regexp_extract(x, '^([^=]*)', 1)), 'utm_')
+          |        AND NOT list_contains([$urlTrackingSql],
+          |          lower(regexp_extract(x, '^([^=]*)', 1))))), '&')
+          |      AS q,
+          |    string_split(host0, '.') AS hl
+          |  FROM f
+          |)
+          |SELECT doc_id, url,
+          |  CASE WHEN ok THEN scheme || '://' || host1 ||
+          |    (CASE WHEN port <> ''
+          |       AND NOT (scheme = 'http' AND port = ':80')
+          |       AND NOT (scheme = 'https' AND port = ':443')
+          |     THEN port ELSE '' END) || path ||
+          |    (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
+          |  END AS url_canon,
+          |  CASE WHEN ok AND host0 <> '' THEN host0 END AS host,
+          |  CASE WHEN ok AND host0 <> '' THEN
+          |    CASE WHEN len(hl) <= 2
+          |           OR regexp_matches(hl[-1], '^[0-9]+$$') THEN host0
+          |         WHEN list_contains([$urlSuffixesSql],
+          |             hl[-2] || '.' || hl[-1]) AND len(hl) >= 3
+          |           THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+          |         ELSE hl[-2] || '.' || hl[-1] END
+          |  END AS domain
+          |FROM g""").stripMargin,
 
       // normalization replicated end-to-end: same planted noise (all
       // chr()-spelled), the derived mojibake replace chain, DuckDB's

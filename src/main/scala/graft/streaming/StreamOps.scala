@@ -398,6 +398,21 @@ object StreamOps {
       docs.toDF(), "doc_id", "text", form, repairMojibake,
       passthroughCols = Seq("ts"))
 
+  /** Streaming URL canonicalization — the Structured Streaming form
+    * of `UrlOps.canonicalizeUrls`, the frontier/ingest hop that keys
+    * URL-level dedup: canonical key + host + approximate eTLD+1 per
+    * arriving record. Stateless per-row projection — append-mode, no
+    * watermark; takes a DataFrame (any upstream schema with an id and
+    * a url column) like the other stream-static/stateless ops. */
+  def canonicalizeUrlsStream(records: DataFrame,
+                             idCol: String = "doc_id",
+                             urlCol: String = "url",
+                             stripWww: Boolean = true,
+                             passthroughCols: Seq[String] = Seq("ts"))
+      : DataFrame =
+    graft.operators.UrlOps.canonicalizeUrls(
+      records, idCol, urlCol, stripWww, passthroughCols)
+
   /** Streaming HTML → main-content extraction — the Structured
     * Streaming form of `HtmlExtract.extractText` (jusText-class markup
     * stripping + line-level boilerplate rules), the ingest-time entry

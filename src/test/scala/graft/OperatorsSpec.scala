@@ -4564,6 +4564,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cleaned.getAs[Boolean]("keep"))
   }
 
+  // ---- URL canonicalization ----
+
+  test("canonicalizeUrls: the full messy-URL gauntlet") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "HTTPS://user:pw@WWW.News.Example.COM:443/a/b/?utm_campaign=x&z=1&B=2&gclid=g#top"),
+      (2L, "http://example.co.uk:80"),        // empty path -> "/"
+      (3L, "http://example.com:8080/x/"),     // non-default port kept
+      (4L, "https://sub.shop.example.com/p?a=1&a=0"), // dup keys sort
+      (5L, "ftp://example.com/x"),            // wrong scheme
+      (6L, "  https://127.0.0.1/x  "),        // IP host, trimmed
+      (7L, "garbage")).toDF("doc_id", "url")
+    val got = UrlOps.canonicalizeUrls(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(2) ==
+      "https://news.example.com/a/b?B=2&z=1")
+    assert(got(1L).getString(3) == "www.news.example.com")
+    assert(got(1L).getString(4) == "example.com")
+    assert(got(2L).getString(2) == "http://example.co.uk/")
+    assert(got(2L).getString(4) == "example.co.uk") // 2-label host
+    assert(got(3L).getString(2) == "http://example.com:8080/x")
+    assert(got(4L).getString(2) ==
+      "https://sub.shop.example.com/p?a=0&a=1")
+    assert(got(4L).getString(4) == "example.com") // deep subdomain
+    Seq(5L, 7L).foreach { id =>
+      assert(got(id).isNullAt(2) && got(id).isNullAt(3) &&
+        got(id).isNullAt(4))
+    }
+    assert(got(6L).getString(2) == "https://127.0.0.1/x")
+    assert(got(6L).getString(4) == "127.0.0.1") // IP: no eTLD+1
+  }
+
+  test("canonicalizeUrls is idempotent and keys byte-identical dupes") {
+    val s = spark
+    import s.implicits._
+    val variants = Seq(
+      "https://www.example.com/page?b=2&a=1",
+      "HTTPS://EXAMPLE.com:443/page/?a=1&b=2#x",
+      "https://example.com/page?utm_source=t&a=1&b=2")
+    val df = variants.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val canon = UrlOps.canonicalizeUrls(df).collect()
+      .map(_.getString(2)).distinct
+    assert(canon.toSeq == Seq("https://example.com/page?a=1&b=2"))
+    // idempotent: canonicalizing the canonical form is a fixpoint
+    val again = UrlOps.canonicalizeUrls(
+      df.sparkSession.createDataFrame(Seq((1L, canon.head)))
+        .toDF("doc_id", "url")).collect()(0).getString(2)
+    assert(again == canon.head)
+  }
+
   // ---- MJPEG-AVI first-frame decode ----
 
   private def le32(v: Int): Array[Byte] =

@@ -1483,6 +1483,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count(_._6) == 1) // only the clean page passes
   }
 
+  test("canonicalizeUrlsStream canonicalizes on arrival like batch") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val urls = Seq(
+      1L -> "HTTPS://WWW.Example.COM:443/a/?b=2&a=1&utm_x=1#f",
+      2L -> "nope")
+    val batch = graft.operators.UrlOps.canonicalizeUrls(
+        s.createDataFrame(urls).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.canonicalizeUrlsStream(input.toDF(),
+      urlCol = "text")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("url_stream")
+      .outputMode("append").start()
+    input.addData(urls.map { case (id, u) =>
+      StreamDoc(id, u, Timestamp.valueOf("2024-01-01 00:00:01")) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select doc_id, url_canon from url_stream")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(streamed == batch)
+    assert(streamed.contains(
+      1L -> Some("https://example.com/a?a=1&b=2")))
+  }
+
   test("normalizeTextStream normalizes on arrival like batch") {
     import graft.streaming.StreamOps.StreamDoc
     val s = spark
