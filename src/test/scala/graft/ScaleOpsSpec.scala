@@ -520,4 +520,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(roPlan.contains("LeftAnti"), roPlan)
     assert(roPlan.contains("partial_count"), roPlan)
   }
+
+  test("round-7 scan-speed operators plan with zero exchanges") {
+    // extractText, normalizeText, canonicalizeUrls, and unigramTokenize
+    // all claim pure-projection shapes: no join, no aggregation, no
+    // window — the 100 TB contract is that they ride the scan
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val extracted = graft.operators.HtmlExtract.extractText(
+      docs.select(col("doc_id"),
+        concat(lit("<p>"), col("text"), lit("</p>")).as("html")))
+    extracted.collect()
+    assert(!ScaleOpsSpec.finalPlan(extracted).contains("Exchange"),
+      ScaleOpsSpec.finalPlan(extracted))
+    val normed = graft.operators.Normalize.normalizeText(docs)
+    normed.collect()
+    assert(!ScaleOpsSpec.finalPlan(normed).contains("Exchange"),
+      ScaleOpsSpec.finalPlan(normed))
+    val urls = graft.operators.UrlOps.canonicalizeUrls(
+      docs.select(col("doc_id"),
+        concat(lit("https://example.com/"), col("doc_id").cast("string"))
+          .as("url")))
+    urls.collect()
+    assert(!ScaleOpsSpec.finalPlan(urls).contains("Exchange"),
+      ScaleOpsSpec.finalPlan(urls))
+    val s = spark
+    import s.implicits._
+    val vocab = Seq((1, "ab", 5L, -1.0), (2, "a", 1L, -3.0),
+      (3, "b", 1L, -3.0)).toDF("rank", "piece", "weight", "logprob")
+    val toks = graft.operators.TextAnalysis.unigramTokenize(
+      docs, "doc_id", "text", vocab, maxPieceLen = 2)
+    toks.collect()
+    assert(!ScaleOpsSpec.finalPlan(toks).contains("Exchange"),
+      ScaleOpsSpec.finalPlan(toks))
+  }
 }
