@@ -295,6 +295,85 @@ SELECT i.doc_id, i.wpos, s.ppos, s.piece
 FROM einst i JOIN esegs s ON s.w = i.word"""
   }
 
+  /** Shared link-extraction CTE chain for the q_text_links /
+    * q_text_anchors oracles: the same page wrapper as the entries,
+    * the same anchor-fragment regexes, href-quote fallbacks, entity
+    * decode, drop rules, base-URL resolution, and bounded dot-segment
+    * squash — ending in `lk(doc_id, link_pos, href, href_abs,
+    * anchor)`. */
+  private val linksOracleCte: String =
+    """ldoc AS (
+      |  SELECT doc_id,
+      |    '<html><body><nav><a href="/">Home</a> ' ||
+      |    '<a href=''/about/''>About&nbsp;Us</a></nav>' ||
+      |    '<p>see <a href="../sibling.html">the <b>sibling</b></a> ' ||
+      |    'and <a href="//cdn.example.net/lib.js">cdn</a> and ' ||
+      |    '<a href="https://other.example.org/x?id=' ||
+      |    CAST(doc_id AS VARCHAR) ||
+      |    '">doc link</a> and <a href="#frag">skip</a> ' ||
+      |    '<a href="mailto:x@y">skip too</a></p></body></html>' AS html,
+      |    'https://www.example.com/dir' || CAST(doc_id % 5 AS VARCHAR)
+      |      || '/page/index.html' AS base
+      |  FROM documents
+      |), lfrag AS (
+      |  SELECT doc_id, base, CAST(i - 1 AS INT) AS link_pos,
+      |         frags[i] AS frag
+      |  FROM (SELECT doc_id, base, regexp_extract_all(html,
+      |          '(?is)<a\b[^>]*>.*?</a\s*>', 0) AS frags
+      |        FROM ldoc) t,
+      |       unnest(range(1, CAST(len(frags) AS BIGINT) + 1)) AS r(i)
+      |), lhref AS (
+      |  SELECT doc_id, base, link_pos,
+      |    CASE
+      |      WHEN regexp_extract(frag,
+      |        '(?is)\bhref\s*=\s*"([^"]*)"', 1) <> ''
+      |      THEN regexp_extract(frag, '(?is)\bhref\s*=\s*"([^"]*)"', 1)
+      |      WHEN regexp_extract(frag,
+      |        '(?is)\bhref\s*=\s*''([^'']*)''', 1) <> ''
+      |      THEN regexp_extract(frag,
+      |        '(?is)\bhref\s*=\s*''([^'']*)''', 1)
+      |      ELSE regexp_extract(frag,
+      |        '(?is)\bhref\s*=\s*([^\s"''>]+)', 1) END AS href,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(regexp_extract(frag,
+      |          '(?is)<a\b[^>]*>(.*)</a\s*>', 1),
+      |          '(?s)<[^>]*>', ' ', 'g'),
+      |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      |        '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+      |      '\s+', ' ', 'g')) AS anchor
+      |  FROM lfrag
+      |), lres AS (
+      |  SELECT doc_id, link_pos, href, anchor,
+      |    CASE
+      |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+      |        THEN href
+      |      WHEN starts_with(href, '//')
+      |        THEN regexp_extract(base, '^([A-Za-z]+):', 1) || ':'
+      |          || href
+      |      WHEN starts_with(href, '/')
+      |        THEN regexp_extract(base, '^([A-Za-z]+://[^/?#]*)', 1)
+      |          || href
+      |      ELSE regexp_extract(base,
+      |        '^([A-Za-z]+://[^/?#]*(?:[^?#]*/)?)', 1) || href
+      |    END AS joined
+      |  FROM lhref
+      |  WHERE href <> ''
+      |    AND NOT regexp_matches(lower(href),
+      |      '^(javascript|mailto|tel|data):')
+      |    AND NOT starts_with(href, '#')
+      |), lk AS MATERIALIZED (
+      |  SELECT doc_id, link_pos, href,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(joined, '/\./', '/', 'g'),
+      |      '/[^/.][^/]*/\.\./', '/', 'g'),
+      |      '/[^/.][^/]*/\.\./', '/', 'g'),
+      |      '/[^/.][^/]*/\.\./', '/', 'g'),
+      |      '/[^/.][^/]*/\.\./', '/', 'g') AS href_abs,
+      |    anchor
+      |  FROM lres
+      |)""".stripMargin
+
   private val bm25OracleSql: String =
     """WITH q(query_id, qtext) AS (
       |  VALUES (0, 'spark join fast'), (1, 'vector scan slow'),
@@ -892,6 +971,49 @@ $joins"""
       graft.operators.HtmlExtract.extractText(
         docs.select(col("doc_id"), html.as("html")),
         minChars = 25, maxLinkDensity = 0.33, minStopFrac = 0.01)
+    }),
+
+    // hyperlink extraction: deterministic pages with root-relative,
+    // dotted-relative, protocol-relative, absolute, and droppable
+    // (fragment/mailto) links, resolved against a per-doc base URL
+    "q_text_links" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href='/about/'>About&nbsp;Us</a></nav>" +
+          "<p>see <a href=\"../sibling.html\">the <b>sibling</b></a> " +
+          "and <a href=\"//cdn.example.net/lib.js\">cdn</a> and " +
+          "<a href=\"https://other.example.org/x?id="),
+        col("doc_id").cast("string"),
+        lit("\">doc link</a> and <a href=\"#frag\">skip</a> " +
+          "<a href=\"mailto:x@y\">skip too</a></p></body></html>"))
+      val base = concat(lit("https://www.example.com/dir"),
+        (col("doc_id") % 5).cast("string"), lit("/page/index.html"))
+      graft.operators.HtmlExtract.extractLinks(
+        docs.select(col("doc_id"), html.as("html"), base.as("base")),
+        "doc_id", "html", baseUrlCol = Some("base"))
+    }),
+
+    // anchor-text aggregation over the extracted link graph: per
+    // target, link count, distinct sources, dominant anchor with a
+    // (count desc, anchor asc) deterministic cut
+    "q_text_anchors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href='/about/'>About&nbsp;Us</a></nav>" +
+          "<p>see <a href=\"../sibling.html\">the <b>sibling</b></a> " +
+          "and <a href=\"//cdn.example.net/lib.js\">cdn</a> and " +
+          "<a href=\"https://other.example.org/x?id="),
+        col("doc_id").cast("string"),
+        lit("\">doc link</a> and <a href=\"#frag\">skip</a> " +
+          "<a href=\"mailto:x@y\">skip too</a></p></body></html>"))
+      val base = concat(lit("https://www.example.com/dir"),
+        (col("doc_id") % 5).cast("string"), lit("/page/index.html"))
+      graft.operators.HtmlExtract.anchorTexts(
+        graft.operators.HtmlExtract.extractLinks(
+          docs.select(col("doc_id"), html.as("html"), base.as("base")),
+          "doc_id", "html", baseUrlCol = Some("base")))
     }),
 
     // URL canonicalization: deterministic messy URLs (case-shifted
@@ -3487,6 +3609,37 @@ $joins"""
       // the same train CTEs + the encode DP over the held-out slice
       "q_text_unigram_encode" ->
         unigramEncodeOracleSql(60, 4, 40, 2, 8, "doc_id % 10 = 0"),
+
+      // link extraction replicated step-for-step (shared CTE chain)
+      "q_text_links" ->
+        (s"WITH $linksOracleCte\n" +
+          "SELECT doc_id, link_pos, href, href_abs, anchor FROM lk"),
+
+      // anchor aggregation over the same chain: per-target counts,
+      // distinct sources, dominant anchor by (count desc, anchor asc)
+      "q_text_anchors" ->
+        (s"WITH $linksOracleCte, " +
+          """pa AS (
+          |  SELECT href_abs, anchor AS a, count(*) AS n
+          |  FROM lk GROUP BY 1, 2
+          |), tp AS (
+          |  SELECT href_abs, n_links, a AS top_anchor,
+          |         n AS top_anchor_n
+          |  FROM (
+          |    SELECT href_abs, a, n,
+          |      sum(n) OVER (PARTITION BY href_abs) AS n_links,
+          |      row_number() OVER (PARTITION BY href_abs
+          |        ORDER BY n DESC, a) AS rn
+          |    FROM pa)
+          |  WHERE rn = 1
+          |), lsrc AS (
+          |  SELECT href_abs, count(DISTINCT doc_id) AS n_sources
+          |  FROM lk GROUP BY 1
+          |)
+          |SELECT t.href_abs, CAST(t.n_links AS BIGINT) AS n_links,
+          |  CAST(s.n_sources AS BIGINT) AS n_sources, t.top_anchor,
+          |  CAST(t.top_anchor_n AS BIGINT) AS top_anchor_n
+          |FROM tp t JOIN lsrc s USING (href_abs)""".stripMargin),
 
       // URL canonicalization replicated step-for-step: same regex
       // parse, same userinfo/port/www/fragment handling, same

@@ -76,11 +76,123 @@ object HtmlExtract {
     val blocksToNl = regexp_replace(marked,
       s"(?is)</?($BlockTags)\\b[^>]*>", "\n")
     val noTags = regexp_replace(blocksToNl, "(?s)<[^>]*>", " ")
+    decodeEntities(noTags)
+  }
+
+  /** The named-entity decode chain shared by [[htmlToMarkedText]] and
+    * the link extractor (&amp; last — see the pipeline contract). */
+  private[operators] def decodeEntities(c: Column): Column =
     Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (ent, ch)) =>
-        replace(c, lit(ent), lit(ch))
-      }
+      .foldLeft(c) { case (x, (ent, ch)) => replace(x, lit(ent), lit(ch)) }
+
+  /** Hyperlink extraction — the web-graph edge producer: every
+    * `<a href=…>anchor</a>` of a page as one row, with the href
+    * resolved against the page URL and the anchor text flattened.
+    * Composes into the rest of the engine: resolved hrefs key through
+    * [[UrlOps.canonicalizeUrls]], (page, href) edges feed the Graph
+    * operators (PageRank over the link graph), and [[anchorTexts]]
+    * aggregates the classic anchor-text relevance signal per target.
+    * One codegen'd projection + posexplode — shuffle-free, output ∝
+    * links.
+    *
+    * Resolution handles the common grammar: absolute (`scheme://…`)
+    * kept; protocol-relative (`//host/…`) takes the base scheme;
+    * root-relative (`/path`) takes the base origin; other relative
+    * paths resolve against the base DIRECTORY, then dot-segments
+    * squash through a bounded 4-deep `/x/../` pass (documented bound —
+    * deeper towers survive un-normalized; RFC 3986's full algorithm is
+    * iterative). `javascript:`/`mailto:`/`tel:`/`data:` and
+    * fragment-only hrefs drop. Anchor text: inner markup strips to
+    * spaces, entities decode, whitespace collapses.
+    *
+    * Emits (id, link_pos, href, href_abs, anchor). */
+  def extractLinks(docs: DataFrame, idCol: String = "doc_id",
+                   htmlCol: String = "html",
+                   baseUrlCol: Option[String] = None): DataFrame = {
+    val frags = regexp_extract_all(col(htmlCol),
+      lit("(?is)<a\\b[^>]*>.*?</a\\s*>"), lit(0))
+    val exploded = docs.select(
+      Seq(col(idCol), posexplode(frags).as(Seq("link_pos", "frag"))) ++
+        baseUrlCol.map(col): _*)
+    val frag = col("frag")
+    val h1 = regexp_extract(frag, "(?is)\\bhref\\s*=\\s*\"([^\"]*)\"", 1)
+    val h2 = regexp_extract(frag, "(?is)\\bhref\\s*=\\s*'([^']*)'", 1)
+    val h3 = regexp_extract(frag,
+      "(?is)\\bhref\\s*=\\s*([^\\s\"'>]+)", 1)
+    val hrefRaw = when(h1 =!= "", h1)
+      .otherwise(when(h2 =!= "", h2).otherwise(h3))
+    val inner = regexp_extract(frag, "(?is)<a\\b[^>]*>(.*)</a\\s*>", 1)
+    val anchor = trim(regexp_replace(
+      decodeEntities(regexp_replace(inner, "(?s)<[^>]*>", " ")),
+      "\\s+", " "))
+    val keep = hrefRaw =!= "" &&
+      !lower(hrefRaw).rlike("^(javascript|mailto|tel|data):") &&
+      !hrefRaw.startsWith("#")
+    val resolved = baseUrlCol match {
+      case None => hrefRaw
+      case Some(b) =>
+        val base = col(b)
+        val scheme = regexp_extract(base, "^([A-Za-z]+):", 1)
+        val origin = regexp_extract(base,
+          "^([A-Za-z]+://[^/?#]*)", 1)
+        // base directory: origin + path up to the last slash
+        val dir = regexp_extract(base,
+          "^([A-Za-z]+://[^/?#]*(?:[^?#]*/)?)", 1)
+        val joined = when(hrefRaw.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+            hrefRaw)
+          .otherwise(when(hrefRaw.startsWith("//"),
+            concat(scheme, lit(":"), hrefRaw))
+          .otherwise(when(hrefRaw.startsWith("/"),
+            concat(origin, hrefRaw))
+          .otherwise(concat(dir, hrefRaw))))
+        // bounded dot-segment squash: ./ then up to 4 /x/../ levels
+        val noDot = regexp_replace(joined, "/\\./", "/")
+        (1 to 4).foldLeft(noDot)((c, _) =>
+          regexp_replace(c, "/[^/.][^/]*/\\.\\./", "/"))
+    }
+    exploded.filter(keep)
+      .select(col(idCol), col("link_pos"), hrefRaw.as("href"),
+        resolved.as("href_abs"), anchor.as("anchor"))
+  }
+
+  /** Anchor-text aggregation — the relevance signal web search built
+    * on: per link TARGET, how many pages link to it and with what
+    * dominant text. Input is [[extractLinks]] output (href_abs,
+    * anchor, id); targets should be canonicalized first
+    * ([[UrlOps.canonicalColumn]]) so byte-variant URLs pool.
+    *
+    * Scale shape: one (target, anchor) count aggregate (partial
+    * map-side combine), then the per-target argmax rides a second
+    * target-keyed aggregate via max(struct) — two bounded keyed
+    * shuffles, no windows, no collect. Deterministic: dominant anchor
+    * ties break (count desc, anchor asc). Emits (href_abs, n_links,
+    * n_sources, top_anchor, top_anchor_n). */
+  def anchorTexts(links: DataFrame, targetCol: String = "href_abs",
+                  anchorCol: String = "anchor",
+                  sourceCol: String = "doc_id"): DataFrame = {
+    val perAnchor = links
+      .groupBy(col(targetCol).as("href_abs"), col(anchorCol).as("a"))
+      .agg(count(lit(1)).as("n"))
+    // min(struct(-n, anchor)): smallest -n = largest count, and the
+    // struct ordering's second field breaks ties toward the SMALLEST
+    // anchor string — (count desc, anchor asc) in one partial-
+    // aggregatable min. n_sources is a per-TARGET distinct (a source
+    // linking with two different anchor texts must count once), so it
+    // runs in its own aggregate and joins back on the same key — the
+    // join rides the aggregation's hash partitioning.
+    val top = perAnchor
+      .groupBy(col("href_abs"))
+      .agg(sum(col("n")).as("n_links"),
+        min(struct((-col("n")).as("negc"), col("a"))).as("w"))
+      .select(col("href_abs"), col("n_links"),
+        col("w.a").as("top_anchor"), (-col("w.negc")).as("top_anchor_n"))
+    val sources = links
+      .groupBy(col(targetCol).as("href_abs"))
+      .agg(count_distinct(col(sourceCol)).as("n_sources"))
+    top.join(sources, Seq("href_abs"))
+      .select(col("href_abs"), col("n_links"), col("n_sources"),
+        col("top_anchor"), col("top_anchor_n"))
   }
 
   def extractText(docs: DataFrame, idCol: String = "doc_id",

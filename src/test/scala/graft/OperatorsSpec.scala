@@ -4564,6 +4564,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cleaned.getAs[Boolean]("keep"))
   }
 
+  // ---- link extraction / anchor aggregation ----
+
+  test("extractLinks: quote styles, resolution grammar, drop rules") {
+    val s = spark
+    import s.implicits._
+    val html =
+      """<a href="/root">R</a> <a href='sub/x.html'>S</a>
+        |<a href=bare.html>B</a> <a href="../up.html">U</a>
+        |<a href="//cdn.ex.net/l.js">C</a>
+        |<a href="HTTPS://abs.ex.org/p">A&amp;B</a>
+        |<a href="#f">skip</a> <a href="mailto:a@b">skip</a>
+        |<a name="no-href">skip</a>""".stripMargin.replace("\n", " ")
+    val df = Seq((1L, html, "https://www.ex.com/d1/d2/page.html"))
+      .toDF("doc_id", "html", "base")
+    val got = HtmlExtract.extractLinks(df, baseUrlCol = Some("base"))
+      .orderBy("link_pos").collect()
+      .map(r => (r.getString(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      ("https://www.ex.com/root", "R"),
+      ("https://www.ex.com/d1/d2/sub/x.html", "S"),
+      ("https://www.ex.com/d1/d2/bare.html", "B"),
+      ("https://www.ex.com/d1/up.html", "U"),
+      ("https://cdn.ex.net/l.js", "C"),
+      ("HTTPS://abs.ex.org/p", "A&B")))
+  }
+
+  test("extractLinks href_abs keys through canonicalColumn: variant " +
+       "targets collapse") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "<a href=\"https://www.T.com/p?b=2&a=1\">x</a>",
+        "https://s1.com/"),
+      (2L, "<a href=\"https://t.com:443/p/?utm_s=9&a=1&b=2\">y</a>",
+        "https://s2.com/")).toDF("doc_id", "html", "base")
+    val links = HtmlExtract.extractLinks(df, baseUrlCol = Some("base"))
+      .withColumn("href_abs",
+        UrlOps.canonicalColumn(col("href_abs")))
+    val agg = HtmlExtract.anchorTexts(links).collect()
+    assert(agg.length == 1)
+    assert(agg(0).getString(0) == "https://t.com/p?a=1&b=2")
+    assert(agg(0).getLong(1) == 2L && agg(0).getLong(2) == 2L)
+  }
+
+  test("anchorTexts: dominant anchor cut is (count desc, anchor asc); " +
+       "a source with two anchor texts counts once") {
+    val s = spark
+    import s.implicits._
+    val links = Seq(
+      (1L, "https://t.com/", "beta"), (1L, "https://t.com/", "alpha"),
+      (2L, "https://t.com/", "beta"), (2L, "https://t.com/", "alpha"),
+      (3L, "https://o.com/", "only"))
+      .toDF("doc_id", "href_abs", "anchor")
+    val got = HtmlExtract.anchorTexts(links).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val t = got("https://t.com/")
+    // alpha and beta tie at 2: the asc tie-break picks alpha
+    assert(t.getLong(1) == 4L && t.getLong(2) == 2L)
+    assert(t.getString(3) == "alpha" && t.getLong(4) == 2L)
+    assert(got("https://o.com/").getLong(2) == 1L)
+  }
+
   // ---- URL canonicalization ----
 
   test("canonicalizeUrls: the full messy-URL gauntlet") {
