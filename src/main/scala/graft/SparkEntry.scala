@@ -1016,6 +1016,30 @@ $joins"""
           "doc_id", "html", baseUrlCol = Some("base")))
     }),
 
+    // robots.txt parse + frontier gate composed: per-host bodies
+    // (megabot fully blocked; * gets Allow /public/archive/ over
+    // Disallow /public/; odd hosts also block /tmp), five URL shapes
+    // per doc — longest-prefix precedence, Allow tie-break, default
+    // allow all replicated in the oracle
+    "q_url_robots" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robots = docs.select(col("source")).distinct().select(
+        concat(col("source"), lit(".example.com")).as("host"),
+        concat(
+          lit("# rules\nUser-agent: megabot\nDisallow: /\n\n" +
+            "User-agent: *\nAllow: /public/archive/\n" +
+            "Disallow: /public/\n"),
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 1,
+            lit("Disallow: /tmp\n")).otherwise(lit(""))).as("body"))
+      val rules = graft.operators.Robots.parseRobots(robots, agent = "*")
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com"),
+          element_at(typedlit(Seq("/public/x", "/public/archive/y",
+            "/tmp/z", "/ok", "")),
+            (col("doc_id") % 5 + 1).cast("int"))).as("url"))
+      graft.operators.Robots.robotsGate(urls, rules)
+    }),
+
     // URL canonicalization: deterministic messy URLs (case-shifted
     // scheme/host, userinfo, www, default port, tracking params,
     // unsorted query, trailing slash, fragment; every 7th row
@@ -3640,6 +3664,97 @@ $joins"""
           |  CAST(s.n_sources AS BIGINT) AS n_sources, t.top_anchor,
           |  CAST(t.top_anchor_n AS BIGINT) AS top_anchor_n
           |FROM tp t JOIN lsrc s USING (href_abs)""".stripMargin),
+
+      // robots parse + gate replicated: same line grammar, the
+      // consecutive-UA group windows, group selection, rule
+      // extraction, longest-prefix/Allow-tie decision per distinct
+      // (host, path) key, default allow
+      "q_url_robots" ->
+        """WITH rhosts AS (SELECT DISTINCT source FROM documents),
+          |rb AS (
+          |  SELECT source || '.example.com' AS host,
+          |    '# rules' || chr(10) || 'User-agent: megabot' || chr(10)
+          |    || 'Disallow: /' || chr(10) || chr(10) ||
+          |    'User-agent: *' || chr(10) || 'Allow: /public/archive/'
+          |    || chr(10) || 'Disallow: /public/' || chr(10) ||
+          |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1
+          |      THEN 'Disallow: /tmp' || chr(10) ELSE '' END AS body
+          |  FROM rhosts
+          |), rln AS (
+          |  SELECT host, i,
+          |    lower(regexp_extract(l2, '^([A-Za-z-]+)\s*:', 1)) AS dir,
+          |    trim(regexp_extract(l2, ':\s*(.*)$', 1)) AS value
+          |  FROM (
+          |    SELECT host, i, trim(regexp_replace(lines[i],
+          |      '#.*$', '')) AS l2
+          |    FROM (SELECT host, string_split(body, chr(10)) AS lines
+          |          FROM rb) t,
+          |         unnest(range(1, CAST(len(lines) AS BIGINT) + 1)) r(i)
+          |  ) x
+          |  WHERE lower(regexp_extract(l2, '^([A-Za-z-]+)\s*:', 1))
+          |    IN ('user-agent', 'allow', 'disallow')
+          |), rst AS (
+          |  SELECT host, i, dir, value,
+          |    CASE WHEN dir = 'user-agent' AND
+          |        (lag(dir) OVER (PARTITION BY host ORDER BY i)
+          |          IS DISTINCT FROM 'user-agent') THEN 1 ELSE 0 END
+          |      AS starts
+          |  FROM rln
+          |), rgrp AS (
+          |  SELECT host, i, dir, value,
+          |    sum(starts) OVER (PARTITION BY host ORDER BY i
+          |      ROWS UNBOUNDED PRECEDING) AS grp
+          |  FROM rst
+          |), rag AS MATERIALIZED (
+          |  SELECT host, grp, list(DISTINCT lower(value)) AS agents
+          |  FROM rgrp WHERE dir = 'user-agent' AND grp > 0
+          |  GROUP BY host, grp
+          |), rsel AS (
+          |  SELECT g.host, g.grp FROM rag g
+          |  JOIN (SELECT host,
+          |          max(CASE WHEN list_contains(agents, '*') THEN 1
+          |              ELSE 0 END) AS hs
+          |        FROM rag GROUP BY host) h ON h.host = g.host
+          |  WHERE list_contains(g.agents, '*')
+          |), rl AS MATERIALIZED (
+          |  SELECT DISTINCT g.host, (dir = 'allow') AS allow,
+          |    value AS prefix, len(value) AS prefix_len
+          |  FROM rgrp g JOIN rsel s ON s.host = g.host AND s.grp = g.grp
+          |  WHERE dir IN ('allow', 'disallow') AND value <> ''
+          |    AND g.grp > 0
+          |), uu AS MATERIALIZED (
+          |  SELECT doc_id, url,
+          |    lower(regexp_replace(regexp_replace(
+          |      regexp_extract(regexp_replace(trim(url), '#.*$', ''),
+          |        '^(?i)https?://([^/?#]*)', 1),
+          |      '^[^@]*@', ''), ':[0-9]*$', '')) AS host,
+          |    CASE WHEN regexp_extract(url,
+          |        '^(?i)https?://[^/?#]*([^#]*)', 1) <> ''
+          |      THEN regexp_extract(url,
+          |        '^(?i)https?://[^/?#]*([^#]*)', 1)
+          |      ELSE '/' END AS pathq
+          |  FROM (
+          |    SELECT doc_id, 'https://' || source || '.example.com' ||
+          |      (['/public/x', '/public/archive/y', '/tmp/z', '/ok',
+          |        ''])[(doc_id % 5 + 1)] AS url
+          |    FROM documents)
+          |), rkeys AS (
+          |  SELECT DISTINCT host, pathq FROM uu WHERE host IS NOT NULL
+          |), rcand AS (
+          |  SELECT k.host, k.pathq, r.allow, r.prefix, r.prefix_len
+          |  FROM rkeys k JOIN rl r ON r.host = k.host
+          |    AND starts_with(k.pathq, r.prefix)
+          |), rwin AS (
+          |  SELECT host, pathq, allow, prefix FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY host, pathq
+          |      ORDER BY prefix_len DESC, allow DESC, prefix DESC)
+          |      AS rn FROM rcand)
+          |  WHERE rn = 1
+          |)
+          |SELECT u.doc_id, u.url, u.host,
+          |  coalesce(w.allow, TRUE) AS allowed, w.prefix AS rule_prefix
+          |FROM uu u LEFT JOIN rwin w
+          |  ON w.host = u.host AND w.pathq = u.pathq""".stripMargin,
 
       // URL canonicalization replicated step-for-step: same regex
       // parse, same userinfo/port/www/fragment handling, same

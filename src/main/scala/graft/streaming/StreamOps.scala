@@ -398,6 +398,42 @@ object StreamOps {
       docs.toDF(), "doc_id", "text", form, repairMojibake,
       passthroughCols = Seq("ts"))
 
+  /** Streaming robots gate — the Structured Streaming form of
+    * `Robots.robotsGate`: each arriving frontier record checks against
+    * the parsed rule table. The batch operator's per-key decision
+    * aggregate would be a stateful streaming aggregation, so here the
+    * (tiny, policy-sized) rule table collects ONCE at stream start
+    * into a host → rules literal map riding inside the plan — the
+    * fit-once convention of the scoring/threshold streams — and the
+    * decision becomes a pure per-row projection: filter the host's
+    * rules to path-prefix matches, array_max picks (longest, Allow on
+    * tie), missing host or no match defaults to allowed. Stateless,
+    * append-mode, == batch robotsGate row-for-row (parity-spec'd);
+    * refresh rules by restarting the query. */
+  def robotsGateStream(urls: DataFrame, rules: DataFrame,
+                       urlCol: String = "url"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val table: Map[String, Seq[(Int, Boolean, String)]] = rules
+      .select(col("host"), col("allow"), col("prefix"),
+        col("prefix_len"))
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getInt(3), r.getBoolean(1), r.getString(2))))
+      .groupBy(_._1).map { case (h, rs) => h -> rs.map(_._2).toSeq }
+    val tableLit = typedlit(table)
+    val host = graft.operators.UrlOps.hostOf(col(urlCol))
+    val rawPathq = regexp_extract(col(urlCol),
+      "^(?i)https?://[^/?#]*([^#]*)", 1)
+    val pathq = when(host.isNotNull,
+      when(rawPathq =!= "", rawPathq).otherwise(lit("/")))
+    val winner = array_max(filter(element_at(tableLit, host),
+      r => pathq.startsWith(r.getField("_3"))))
+    urls.withColumn("host", host)
+      .withColumn("allowed",
+        coalesce(winner.getField("_2"), lit(true)))
+      .withColumn("rule_prefix", winner.getField("_3"))
+  }
+
   /** Streaming URL canonicalization — the Structured Streaming form
     * of `UrlOps.canonicalizeUrls`, the frontier/ingest hop that keys
     * URL-level dedup: canonical key + host + approximate eTLD+1 per

@@ -4564,6 +4564,75 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cleaned.getAs[Boolean]("keep"))
   }
 
+  // ---- robots.txt parse + gate ----
+
+  test("parseRobots: group grammar, agent precedence, comments, " +
+       "empty disallow") {
+    val s = spark
+    import s.implicits._
+    val body =
+      """Disallow: /ignored-no-group
+        |# preamble comment
+        |User-Agent: GoodBot
+        |User-agent: OtherBot
+        |Disallow: /gb/   # inline comment
+        |Allow: /gb/ok
+        |
+        |User-agent: *
+        |Disallow: /all/
+        |Disallow:
+        |ignored junk line""".stripMargin
+    val robots = Seq(("h.com", body)).toDF("host", "body")
+    // specific agent present: ONLY its groups apply (case-insensitive),
+    // and the two consecutive UA lines share one header
+    val gb = Robots.parseRobots(robots, agent = "goodbot").collect()
+      .map(r => (r.getBoolean(1), r.getString(2))).toSet
+    assert(gb == Set((false, "/gb/"), (true, "/gb/ok")))
+    val ob = Robots.parseRobots(robots, agent = "OTHERBOT").collect()
+      .map(r => (r.getBoolean(1), r.getString(2))).toSet
+    assert(ob == gb) // shared header
+    // unknown agent falls back to the * group; the empty Disallow and
+    // the pre-group rule emit nothing
+    val other = Robots.parseRobots(robots, agent = "nobody").collect()
+      .map(r => (r.getBoolean(1), r.getString(2))).toSet
+    assert(other == Set((false, "/all/")))
+  }
+
+  test("robotsGate: longest prefix wins, Allow wins ties, " +
+       "default allow") {
+    val s = spark
+    import s.implicits._
+    val rules = Seq(
+      ("h.com", false, "/a/", 3), ("h.com", true, "/a/b/", 5),
+      ("h.com", false, "/tie/x", 6), ("h.com", true, "/tie/y", 6))
+      .toDF("host", "allow", "prefix", "prefix_len")
+    val urls = Seq(
+      (1L, "https://h.com/a/z"),        // blocked by /a/
+      (2L, "https://h.com/a/b/z"),      // longest match allows
+      (3L, "https://h.com/free"),       // no match -> allowed
+      (4L, "https://other.com/a/z"),    // no rules for host -> allowed
+      (5L, "nonsense"))                 // unparseable -> allowed
+      .toDF("doc_id", "url")
+    val got = Robots.robotsGate(urls, rules).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("allowed"),
+          Option(r.getAs[String]("rule_prefix")))).toMap
+    assert(got(1L) == ((false, Some("/a/"))))
+    assert(got(2L) == ((true, Some("/a/b/"))))
+    assert(got(3L) == ((true, None)))
+    assert(got(4L) == ((true, None)))
+    assert(got(5L) == ((true, None)))
+    // exact-length tie between Allow and Disallow on DIFFERENT
+    // prefixes can't collide (both can't prefix one path); same-length
+    // same-path tie: Allow wins
+    val tie = Seq(("h.com", false, "/t/", 3), ("h.com", true, "/t/", 3))
+      .toDF("host", "allow", "prefix", "prefix_len")
+    val t = Robots.robotsGate(
+      Seq((1L, "https://h.com/t/p")).toDF("doc_id", "url"), tie)
+      .collect()(0)
+    assert(t.getAs[Boolean]("allowed"))
+  }
+
   // ---- link extraction / anchor aggregation ----
 
   test("extractLinks: quote styles, resolution grammar, drop rules") {

@@ -1483,6 +1483,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count(_._6) == 1) // only the clean page passes
   }
 
+  test("robotsGateStream gates on arrival like the batch operator") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val robots = Seq(("h.com",
+      "User-agent: *\nAllow: /a/b/\nDisallow: /a/\nDisallow: /t\n"))
+      .toDF("host", "body")
+    val rules = graft.operators.Robots.parseRobots(robots)
+    val urls = Seq(
+      1L -> "https://h.com/a/x", 2L -> "https://h.com/a/b/x",
+      3L -> "https://h.com/ok", 4L -> "https://other.com/t",
+      5L -> "junk")
+    val batch = graft.operators.Robots.robotsGate(
+        s.createDataFrame(urls).toDF("doc_id", "text"), rules, "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("allowed"),
+        Option(r.getAs[String]("rule_prefix")))).toSet
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.robotsGateStream(input.toDF(), rules, "text")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("robots_stream")
+      .outputMode("append").start()
+    input.addData(urls.map { case (id, u) =>
+      StreamDoc(id, u, Timestamp.valueOf("2024-01-01 00:00:01")) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql(
+      "select doc_id, allowed, rule_prefix from robots_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.getString(2)))).toSet
+    assert(streamed == batch)
+    assert(streamed.contains((1L, false, Some("/a/"))))
+    assert(streamed.contains((2L, true, Some("/a/b/"))))
+    assert(streamed.contains((5L, true, None)))
+  }
+
   test("canonicalizeUrlsStream canonicalizes on arrival like batch") {
     import graft.streaming.StreamOps.StreamDoc
     val s = spark
