@@ -533,6 +533,50 @@ ${rows.mkString("\nUNION ALL ")}"""
     * units summed as BIGINT (exact), per-edge contributions use the
     * identical IEEE expression shape, and the display rounding is
     * integer (u + 500) // 1000 — no float tie anywhere. */
+  /** Unrolled DuckDB replica of Graph.hits: same 1e-9-lattice unit
+    * masses, same per-half-step L1 normalization as one fixed-shape
+    * double expression, same integer display rounding. */
+  private def hitsOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""a${k}m AS (
+  SELECT n.node, COALESCE(m.m, 0) AS m
+  FROM gnodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(h.hu) AS BIGINT) AS m
+    FROM ge e JOIN h${k - 1} h ON h.node = e.src GROUP BY 1) m
+    ON m.node = n.node
+), a${k}s AS (SELECT CAST(sum(m) AS DOUBLE) AS s FROM a${k}m),
+a$k AS MATERIALIZED (
+  SELECT node, CAST(round(CAST(m AS DOUBLE) / a${k}s.s * 1e9)
+    AS BIGINT) AS au
+  FROM a${k}m CROSS JOIN a${k}s
+), h${k}m AS (
+  SELECT n.node, COALESCE(m.m, 0) AS m
+  FROM gnodes n LEFT JOIN (
+    SELECT e.src AS node, CAST(sum(a.au) AS BIGINT) AS m
+    FROM ge e JOIN a$k a ON a.node = e.dst GROUP BY 1) m
+    ON m.node = n.node
+), h${k}s AS (SELECT CAST(sum(m) AS DOUBLE) AS s FROM h${k}m),
+h$k AS MATERIALIZED (
+  SELECT node, CAST(round(CAST(m AS DOUBLE) / h${k}s.s * 1e9)
+    AS BIGINT) AS hu
+  FROM h${k}m CROSS JOIN h${k}s
+)"""
+    }.mkString(", ")
+    s"""WITH ge AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst
+  FROM lineitem
+), gnodes AS MATERIALIZED (
+  SELECT src AS node FROM ge UNION SELECT dst FROM ge
+), h0 AS (
+  SELECT node, CAST(1000000000 AS BIGINT) AS hu FROM gnodes
+), $rounds
+SELECT n.node,
+  ((a.au + 500) // 1000)::DOUBLE / 1000000.0 AS authority,
+  ((h.hu + 500) // 1000)::DOUBLE / 1000000.0 AS hub
+FROM gnodes n JOIN a$iters a ON a.node = n.node
+JOIN h$iters h ON h.node = n.node"""
+  }
+
   private def pageRankOracleSql(iters: Int, damping: Double): String = {
     val rounds = (1 to iters).map { k =>
       s"""r$k AS (
@@ -2045,6 +2089,17 @@ $joins"""
         docs.filter(col("doc_id") % 10 =!= 0), "text", topN = 500)
       TextAnalysis.vocabCoverage(
         docs.filter(col("doc_id") % 10 === 0), vocab)
+    }),
+
+    // HITS hubs/authorities over the same directed supplier->part
+    // graph as pagerank: two L1-normalized mutual-recursion rounds on
+    // the integer lattice, display-rounded in integer arithmetic
+    "q_graph_hits" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Graph.hits(
+        li.select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 10000000L).as("dst")),
+        "src", "dst", iters = 2)
     }),
 
     "q_graph_pagerank" -> ((s, dir) => {
@@ -5171,6 +5226,10 @@ $joins"""
       // each PageRank iteration unrolled with the identical rounding
       // discipline — see pageRankOracleSql
       "q_graph_pagerank" -> pageRankOracleSql(3, 0.85),
+
+      // both HITS half-steps per round unrolled with the same lattice
+      // and normalization shape — see hitsOracleSql
+      "q_graph_hits" -> hitsOracleSql(2),
 
       // components of the 30-min co-presence chains = gap-delimited
       // runs per event_type; component id = min event_id of the run;

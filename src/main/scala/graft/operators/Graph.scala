@@ -94,6 +94,68 @@ object Graph {
         coalesce(col("deg"), lit(0L)).as("out_degree"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) — PageRank's companion
+    * on directed link graphs, and the natural consumer of
+    * [[HtmlExtract.extractLinks]] edges: a page is a good AUTHORITY if
+    * good hubs link to it, a good HUB if it links to good authorities.
+    * Synchronous mutual-recursion iterations with L1 normalization
+    * each half-step.
+    *
+    * Numerics follow the pageRank integer-lattice discipline: scores
+    * are unit masses on the 1e-9 lattice (longs — exact,
+    * order-independent sums on the compact-long fast path), and each
+    * normalization is ONE fixed-shape double expression
+    * (`round(m / S * 1e9)`) both engines evaluate identically, so the
+    * run replicates in SQL round-for-round (q_graph_hits). The L1
+    * norm totals are two node-bounded aggregate scalars per iteration
+    * (the pageRank `n` convention).
+    *
+    * Scale shape: per iteration, one src-keyed and one dst-keyed
+    * shuffle (the contribution aggregates) plus node-keyed left joins
+    * against the stable node frame; the edge list materializes once.
+    * Output: (node, authority, hub) on the integer display-rounding
+    * lattice (6 decimals, HALF_UP in integer arithmetic — quantized
+    * masses make ties systematic, and no engine may float-round
+    * them). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    require(e.limit(1).count() > 0, "hits needs at least one edge")
+    def normalize(masses: DataFrame, out: String): DataFrame = {
+      val s = masses.agg(sum(col("m"))).head.getLong(0)
+      masses.select(col("node"),
+        round(col("m").cast("double") / lit(s.toDouble) * lit(1e9))
+          .cast("long").as(out))
+        .localCheckpoint(false)
+    }
+    var hub = nodes.withColumn("hu", lit(1000000000L))
+    var auth: DataFrame = null
+    (0 until iters).foreach { _ =>
+      val aIn = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hu")).as("m"))
+      auth = normalize(nodes.join(aIn, Seq("node"), "left")
+        .select(col("node"), coalesce(col("m"), lit(0L)).as("m")), "au")
+      val hIn = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("au")).as("m"))
+      hub = normalize(nodes.join(hIn, Seq("node"), "left")
+        .select(col("node"), coalesce(col("m"), lit(0L)).as("m")), "hu")
+    }
+    nodes.join(auth, Seq("node")).join(hub, Seq("node"))
+      .select(col("node"),
+        (expr("(au + 500) DIV 1000").cast("double") / lit(1e6))
+          .as("authority"),
+        (expr("(hu + 500) DIV 1000").cast("double") / lit(1e6))
+          .as("hub"))
+  }
+
   /** The k-core of an undirected graph: the maximal subgraph in which
     * every node has degree ≥ k, by synchronous iterative peeling
     * (remove all nodes with degree < k, recompute, repeat to fixpoint).

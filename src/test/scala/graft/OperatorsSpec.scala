@@ -4564,6 +4564,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cleaned.getAs[Boolean]("keep"))
   }
 
+  // ---- HITS ----
+
+  test("hits: hand-checked hubs and authorities on a star + stray") {
+    val s = spark
+    import s.implicits._
+    // 1 links to {10, 11, 12}; 2 links to 10 only: node 1 is the
+    // stronger hub, node 10 the stronger authority
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("src", "dst")
+    val got = Graph.hits(edges, "src", "dst", iters = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    // pure hubs have zero authority; pure authorities zero hub
+    assert(got(1L)._1 == 0.0 && got(2L)._1 == 0.0)
+    assert(got(10L)._2 == 0.0 && got(11L)._2 == 0.0)
+    assert(got(1L)._2 > got(2L)._2, got)       // 3 targets beat 1
+    assert(got(10L)._1 > got(11L)._1, got)     // 2 in-links beat 1
+    assert(got(11L)._1 == got(12L)._1)         // symmetric targets tie
+    // each score family L1-normalizes to ~1 on the display lattice
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-3)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-3)
+  }
+
   // ---- robots.txt parse + gate ----
 
   test("parseRobots: group grammar, agent precedence, comments, " +
