@@ -19,6 +19,19 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Sources.table(spark, dir, name)
 
+  /** The q_text_sentences / q_text_readability fixture prefix: one
+    * string that exercises every rule of the segmentation chain —
+    * guarded abbreviations, a chained decimal (both protect passes),
+    * multi-punct boundaries, ? and ! terminators, and an UNguarded
+    * abbreviation ("al.") that is split by design. */
+  private val sentencePrefix: String =
+    "Dr. Smith et al. paid 3.14 on day 2. Was it e.g. a No. 7 fig? " +
+      "Yes! Meanwhile v1.2.3 shipped... "
+
+  private def sentenceSeeded(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit(sentencePrefix), col("text")).as("text"))
+
   /** Unrolled DuckDB replica of [[graft.operators.TextAnalysis.trainBpe]]
     * for a fixed merge count: round k picks the top pair from the w{k}
     * vocabulary and w{k+1} applies it with the same greedy left-to-right
@@ -1116,6 +1129,21 @@ $joins"""
             "\u0007\u00A0end\u200B")).as("text"))
       graft.operators.Normalize.normalizeText(noisy, form = "NFC")
     }),
+
+    // rule-based sentence segmentation: a planted prefix exercises the
+    // abbreviation guard (Dr., e.g., No.), chained decimals (v1.2.3),
+    // multi-punct boundaries (... / ?! ) before each doc's own text;
+    // the full protect->mark->split chain replicates in DuckDB
+    "q_text_sentences" -> ((s, dir) =>
+      graft.operators.Sentences.splitSentences(
+        sentenceSeeded(t(s, dir, "documents")))),
+
+    // Flesch / Flesch-Kincaid readability over the same seeded corpus:
+    // whitespace words, rule-split sentences, vowel-group syllables,
+    // integer-scale display rounding (SURVEY para 8.1 discipline)
+    "q_text_readability" -> ((s, dir) =>
+      graft.operators.Sentences.readabilityScores(
+        sentenceSeeded(t(s, dir, "documents")))),
 
     // Unigram-LM tokenizer training (Kudo hard-EM variant): substring
     // seed + forced chars, 2 Viterbi-EM rounds with integer expected
@@ -2733,6 +2761,28 @@ $joins"""
         s"replace($acc, ${chrSql(pat)}, ${chrSql(rep)})"
       }
 
+    // q_text_sentences / q_text_readability: the protect->mark->split
+    // chain as generated SQL from Sentences' own constants, so SQL and
+    // engine cannot drift. Markers enter via chr(1)/chr(30) expressions
+    // (replace() args and regexp_replace replacements are expressions,
+    // so '\1' || chr(1) concatenates before backref substitution) —
+    // the SQL text itself stays ASCII.
+    def sentMarkedSql(in: String): String = {
+      val abbr = graft.operators.Sentences.Abbreviations
+        .foldLeft(in) { (acc, a) =>
+          s"replace($acc, '$a.', '$a' || chr(1))"
+        }
+      val dec1 = s"regexp_replace($abbr, '([0-9])\\.([0-9])', " +
+        "'\\1' || chr(1) || '\\2', 'g')"
+      val dec2 = s"regexp_replace($dec1, '([0-9])\\.([0-9])', " +
+        "'\\1' || chr(1) || '\\2', 'g')"
+      s"regexp_replace($dec2, '([.!?]+)[ \\t\\n\\r]+', " +
+        "'\\1' || chr(30), 'g')"
+    }
+    def sentArraySql(in: String): String =
+      s"list_filter(list_transform(string_split(${sentMarkedSql(in)}, " +
+        "chr(30)), p -> trim(replace(p, chr(1), '.'))), p -> p <> '')"
+
     val annPlanesSql = graft.operators.Similarity.hyperplanes(6, 64, 42L)
       .zipWithIndex.map { case (h, p) =>
         s"($p, [${h.mkString(", ")}])"
@@ -3909,6 +3959,61 @@ $joins"""
           |SELECT doc_id, text_norm,
           |  text_norm IS DISTINCT FROM t0 AS changed
           |FROM norm""").stripMargin,
+
+      // segmentation chain replicated step-for-step: the same seeded
+      // prefix, the generated abbreviation-protect replace chain, both
+      // decimal-protect passes, the boundary mark, split + restore
+      "q_text_sentences" ->
+        (s"""WITH pre AS (
+          |  SELECT doc_id, '$sentencePrefix' || text AS text
+          |  FROM documents
+          |), a AS (
+          |  SELECT doc_id, ${sentArraySql("text")} AS sents FROM pre
+          |)
+          |SELECT doc_id, CAST(i AS INT) AS sent_id,
+          |  sents[i + 1] AS sentence
+          |FROM a, unnest(range(CAST(len(sents) AS BIGINT))) AS t(i)"""
+          ).stripMargin,
+
+      // same seeded corpus, same whitespace words / rule-split
+      // sentences / vowel-group syllables; score literals ::DOUBLE-cast
+      // (DuckDB literals are DECIMAL), integer-scale display rounding
+      "q_text_readability" ->
+        (s"""WITH pre AS (
+          |  SELECT doc_id, '$sentencePrefix' || text AS text
+          |  FROM documents
+          |), f AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+          |      w -> w <> '') AS words,
+          |    ${sentArraySql("text")} AS sents
+          |  FROM pre
+          |), c AS (
+          |  SELECT doc_id,
+          |    CAST(len(words) AS BIGINT) AS n_words,
+          |    CAST(greatest(1, len(sents)) AS BIGINT) AS n_sentences,
+          |    CAST(coalesce(list_sum(list_transform(words, w ->
+          |      greatest(1, len(regexp_extract_all(lower(w),
+          |        '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables
+          |  FROM f
+          |), r AS (
+          |  SELECT doc_id, n_words, n_sentences, n_syllables,
+          |    CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+          |      AS wps,
+          |    CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+          |      AS spw
+          |  FROM c
+          |)
+          |SELECT doc_id, n_words, n_sentences, n_syllables,
+          |  CASE WHEN n_words > 0 THEN
+          |    round((206.835::DOUBLE - 1.015::DOUBLE * wps
+          |      - 84.6::DOUBLE * spw) * CAST(1e6 AS DOUBLE))::DOUBLE
+          |      / CAST(1e6 AS DOUBLE) END AS flesch,
+          |  CASE WHEN n_words > 0 THEN
+          |    round((0.39::DOUBLE * wps + 11.8::DOUBLE * spw
+          |      - 15.59::DOUBLE) * CAST(1e6 AS DOUBLE))::DOUBLE
+          |      / CAST(1e6 AS DOUBLE) END AS fk_grade
+          |FROM r""").stripMargin,
 
       // BPE training replicated round-by-round: each unrolled round
       // counts pairs from w{k}, picks the top one (count desc, pair asc

@@ -5029,4 +5029,68 @@ class OperatorsSpec extends AnyFunSuite {
     val diag = rows.filter(r => r.getString(0) == r.getString(1))
     assert(diag.forall(_.getAs[Double]("corr") == 1.0))
   }
+
+  // ---- sentence segmentation + readability ----
+
+  test("splitSentences guards abbreviations and decimals, splits on terminators") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Dr. Smith paid 3.14 yesterday. Was it e.g. a No. 7 fig? " +
+        "Yes! Version 1.2.3 shipped... done at last"),
+      (2L, ""),
+      (3L, "No terminator here")
+    ).toDF("doc_id", "text")
+    val out = Sentences.splitSentences(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(d1 == Seq(
+      "Dr. Smith paid 3.14 yesterday.",
+      "Was it e.g. a No. 7 fig?",
+      "Yes!",
+      "Version 1.2.3 shipped...",
+      "done at last"))
+    // empty doc -> zero rows; unterminated doc -> itself
+    assert(!out.exists(_._1 == 2L))
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq ==
+      Seq("No terminator here"))
+  }
+
+  test("splitSentences: unguarded abbreviation splits by design; " +
+    "punctuation at end of text closes the last sentence") {
+    import spark.implicits._
+    val df = Seq((1L, "See Smith et al. for details. The end.")).toDF(
+      "doc_id", "text")
+    val s = Sentences.splitSentences(df).collect().map(_.getString(2))
+    // "al." is NOT in the guard list -> an extra (wrong) split; pinned
+    // as the documented errs-small behavior
+    assert(s.toSeq ==
+      Seq("See Smith et al.", "for details.", "The end."))
+  }
+
+  test("readabilityScores matches hand-computed Flesch on a known doc") {
+    import spark.implicits._
+    // "The cat sat. It purred loudly." words=6 sentences=2
+    // syllables: the(1) cat(1) sat(1) it(1) purred(2: u, e) loudly(2: ou, y)
+    val df = Seq((1L, "The cat sat. It purred loudly.")).toDF("doc_id", "text")
+    val r = Sentences.readabilityScores(df).collect()(0)
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllables") == 8L)
+    val wps = 6.0 / 2.0; val spw = 8.0 / 6.0
+    val flesch = math.round((206.835 - 1.015 * wps - 84.6 * spw) * 1e6) / 1e6
+    val fk = math.round((0.39 * wps + 11.8 * spw - 15.59) * 1e6) / 1e6
+    assert(r.getAs[Double]("flesch") == flesch)
+    assert(r.getAs[Double]("fk_grade") == fk)
+  }
+
+  test("readabilityScores: empty text gives null scores, min-1 sentence") {
+    import spark.implicits._
+    val df = Seq((1L, "")).toDF("doc_id", "text")
+    val r = Sentences.readabilityScores(df).collect()(0)
+    assert(r.getAs[Long]("n_words") == 0L)
+    assert(r.getAs[Long]("n_sentences") == 1L)
+    assert(r.getAs[Long]("n_syllables") == 0L)
+    assert(r.isNullAt(r.fieldIndex("flesch")))
+    assert(r.isNullAt(r.fieldIndex("fk_grade")))
+  }
 }
