@@ -1113,6 +1113,59 @@ $joins"""
         docs.select(col("doc_id"), url.as("url")))
     }),
 
+    // sitemap parsing: one synthetic sitemap file per doc (three <url>
+    // entries exercising entity-escaped locs, CDATA, missing fields,
+    // junk priority, case-folded changefreq); every 5th doc is a
+    // <sitemapindex> file instead — both kinds parse in one pass
+    "q_url_sitemap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id").cast("string")
+      val h = concat(col("source"), lit(".example.com"))
+      val base = concat(lit("https://"), h)
+      val urlset = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>"),
+        base, lit("/p/"), d, lit("?a=1&amp;b=2</loc><lastmod>2026-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        lit("</lastmod><changefreq>WEEKLY</changefreq>" +
+          "<priority>0.8</priority></url>" +
+          "<url><loc> <![CDATA["),
+        base, lit("/raw/"), d,
+        lit("]]> </loc></url><url><loc>"),
+        base, lit("/x/"), d,
+        lit("</loc><priority>bogus</priority></url></urlset>"))
+      val index = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>"),
+        base, lit("/sitemap-"), d,
+        lit("-1.xml</loc><lastmod>2026-02-01</lastmod></sitemap>" +
+          "<sitemap><loc>"),
+        base, lit("/sitemap-"), d,
+        lit("-2.xml</loc></sitemap></sitemapindex>"))
+      val files = docs.select(h.as("host"),
+        when(col("doc_id") % 5 === 0, index).otherwise(urlset).as("xml"),
+        col("doc_id"))
+      graft.operators.Sitemaps.parseSitemaps(files)
+    }),
+
+    // polite frontier scheduling: per-host priority queue with a URL
+    // tie-break, per-host crawl-delay (odd hosts declare 2s, the rest
+    // default), and a 15-fetch round budget (WindowGroupLimit plans
+    // the cap map-side)
+    "q_crawl_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val host = concat(col("source"), lit(".example.com"))
+      val urls = docs.select(host.as("host"),
+        concat(lit("https://"), host, lit("/p/"),
+          col("doc_id").cast("string")).as("url"),
+        when(col("doc_id") % 4 =!= 0,
+          (col("doc_id") % 10).cast("double") / lit(10.0))
+          .as("priority"),
+        when(substring(col("source"), 4, 10).cast("int") % 2 === 1,
+          lit(2000L)).as("delay_ms"))
+      graft.operators.Frontier.schedule(urls,
+        priorityCol = Some("priority"), delayMsCol = Some("delay_ms"),
+        defaultDelayMs = 1000L, maxPerHost = 15)
+    }),
+
     // Unicode normalization + mojibake repair: deterministic noise is
     // planted around each doc (NFD combining-acute sequence, cp1252
     // mojibake quotes, a BEL control, NBSP, a zero-width space) and
@@ -2751,6 +2804,20 @@ $joins"""
     val urlSuffixesSql = graft.operators.UrlOps.MultiLabelSuffixes
       .map(w => s"'$w'").mkString(",")
 
+    // q_url_sitemap: one tag's field extraction exactly as
+    // Sitemaps.field does it — regexp group, CDATA strip, trim, the
+    // entity chain generated from the operator's own table, empty->null
+    def sitemapFieldSql(block: String, tag: String): String = {
+      val raw = s"regexp_extract($block, '(?s)<$tag>(.*?)</$tag>', 1)"
+      val noCdata = s"regexp_replace($raw, " +
+        "'(?s)^\\s*<!\\[CDATA\\[(.*)\\]\\]>\\s*" + "$', '\\1')"
+      val decoded = graft.operators.Sitemaps.XmlEntities
+        .foldLeft(s"trim($noCdata)") { case (acc, (pat, rep)) =>
+          s"replace($acc, '$pat', '${rep.replace("'", "''")}')"
+        }
+      s"nullif($decoded, '')"
+    }
+
     // q_text_normalize: the mojibake repair table as a nested DuckDB
     // replace() chain, every char spelled chr(codepoint) so the SQL
     // stays ASCII and cannot drift from Normalize.MojibakeRepairs
@@ -3926,6 +3993,89 @@ $joins"""
           |         ELSE hl[-2] || '.' || hl[-1] END
           |  END AS domain
           |FROM g""").stripMargin,
+
+      // sitemap files rebuilt byte-for-byte, then the same block walk
+      // (index vs urlset), positional unnest, and per-field chain
+      "q_url_sitemap" ->
+        (s"""WITH files AS (
+          |  SELECT source || '.example.com' AS host,
+          |    CASE WHEN doc_id % 5 = 0 THEN
+          |      '<?xml version="1.0"?><sitemapindex><sitemap><loc>'
+          |      || 'https://' || source || '.example.com/sitemap-'
+          |      || CAST(doc_id AS VARCHAR)
+          |      || '-1.xml</loc><lastmod>2026-02-01</lastmod>'
+          |      || '</sitemap><sitemap><loc>'
+          |      || 'https://' || source || '.example.com/sitemap-'
+          |      || CAST(doc_id AS VARCHAR)
+          |      || '-2.xml</loc></sitemap></sitemapindex>'
+          |    ELSE
+          |      '<?xml version="1.0"?><urlset><url><loc>'
+          |      || 'https://' || source || '.example.com/p/'
+          |      || CAST(doc_id AS VARCHAR)
+          |      || '?a=1&amp;b=2</loc><lastmod>2026-01-'
+          |      || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+          |      || '</lastmod><changefreq>WEEKLY</changefreq>'
+          |      || '<priority>0.8</priority></url>'
+          |      || '<url><loc> <![CDATA[https://' || source
+          |      || '.example.com/raw/' || CAST(doc_id AS VARCHAR)
+          |      || ']]> </loc></url><url><loc>'
+          |      || 'https://' || source || '.example.com/x/'
+          |      || CAST(doc_id AS VARCHAR)
+          |      || '</loc><priority>bogus</priority></url></urlset>'
+          |    END AS xml
+          |  FROM documents
+          |), b AS (
+          |  SELECT host,
+          |    CASE WHEN contains(xml, '<sitemapindex')
+          |      THEN 'sitemap' ELSE 'url' END AS kind,
+          |    CASE WHEN contains(xml, '<sitemapindex')
+          |      THEN regexp_extract_all(xml,
+          |             '(?s)<sitemap>(.*?)</sitemap>', 1)
+          |      ELSE regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)
+          |    END AS blocks
+          |  FROM files
+          |), e AS (
+          |  SELECT host, kind, CAST(i AS INT) AS pos,
+          |    blocks[i + 1] AS blk
+          |  FROM b, unnest(range(CAST(len(blocks) AS BIGINT))) AS t(i)
+          |), x AS (
+          |  SELECT host, kind, pos,
+          |    ${sitemapFieldSql("blk", "loc")} AS loc,
+          |    ${sitemapFieldSql("blk", "lastmod")} AS lastmod,
+          |    lower(${sitemapFieldSql("blk", "changefreq")})
+          |      AS changefreq,
+          |    ${sitemapFieldSql("blk", "priority")} AS prio
+          |  FROM e
+          |)
+          |SELECT host, kind, pos, loc, lastmod, changefreq,
+          |  CASE WHEN regexp_matches(prio, '^[0-9]+(\\.[0-9]+)?$$')
+          |    THEN CAST(prio AS DOUBLE) END AS priority
+          |FROM x""").stripMargin,
+
+      // same per-host window: priority DESC NULLS LAST + url
+      // tie-break, per-host delay coalesced to the default, round
+      // budget of 40
+      "q_crawl_frontier" ->
+        """WITH u AS (
+          |  SELECT source || '.example.com' AS host,
+          |    'https://' || source || '.example.com/p/'
+          |      || CAST(doc_id AS VARCHAR) AS url,
+          |    CASE WHEN doc_id % 4 <> 0 THEN
+          |      CAST(doc_id % 10 AS DOUBLE) / CAST(10.0 AS DOUBLE)
+          |    END AS priority,
+          |    CASE WHEN CAST(substring(source, 4, 10) AS INT) % 2 = 1
+          |      THEN 2000 END AS delay_ms
+          |  FROM documents
+          |), r AS (
+          |  SELECT host, url,
+          |    row_number() OVER (PARTITION BY host
+          |      ORDER BY priority DESC NULLS LAST, url ASC) AS rank,
+          |    coalesce(delay_ms, 1000) AS d
+          |  FROM u
+          |)
+          |SELECT host, url, CAST(rank AS INT) AS rank,
+          |  CAST((rank - 1) * d AS BIGINT) AS fetch_offset_ms
+          |FROM r WHERE rank <= 15""".stripMargin,
 
       // normalization replicated end-to-end: same planted noise (all
       // chr()-spelled), the derived mojibake replace chain, DuckDB's

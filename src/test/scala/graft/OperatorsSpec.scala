@@ -5093,4 +5093,69 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("flesch")))
     assert(r.isNullAt(r.fieldIndex("fk_grade")))
   }
+
+  // ---- sitemaps + frontier scheduling ----
+
+  test("parseSitemaps: urlset fields, entities, CDATA, junk priority") {
+    import spark.implicits._
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>https://h/p?a=1&amp;b=&lt;2&gt;</loc>" +
+      "<lastmod>2026-01-05</lastmod><changefreq>WEEKLY</changefreq>" +
+      "<priority>0.8</priority></url>" +
+      "<url><loc> <![CDATA[https://h/raw me]]> </loc></url>" +
+      "<url><loc>https://h/x</loc><priority>n/a</priority></url>" +
+      "</urlset>"
+    val out = Sitemaps.parseSitemaps(
+      Seq(("h", xml)).toDF("host", "xml")).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getString(1) == "url"))
+    val r0 = out.find(_.getInt(2) == 0).get
+    assert(r0.getAs[String]("loc") == "https://h/p?a=1&b=<2>")
+    assert(r0.getAs[String]("lastmod") == "2026-01-05")
+    assert(r0.getAs[String]("changefreq") == "weekly")
+    assert(r0.getAs[Double]("priority") == 0.8)
+    val r1 = out.find(_.getInt(2) == 1).get
+    assert(r1.getAs[String]("loc") == "https://h/raw me")
+    assert(r1.isNullAt(r1.fieldIndex("lastmod")))
+    val r2 = out.find(_.getInt(2) == 2).get
+    assert(r2.isNullAt(r2.fieldIndex("priority"))) // junk -> null, no throw
+  }
+
+  test("parseSitemaps: sitemapindex emits kind=sitemap; empty body emits none") {
+    import spark.implicits._
+    val idx = "<sitemapindex><sitemap><loc>https://h/s1.xml</loc>" +
+      "<lastmod>2026-02-01</lastmod></sitemap>" +
+      "<sitemap><loc>https://h/s2.xml</loc></sitemap></sitemapindex>"
+    val out = Sitemaps.parseSitemaps(
+      Seq(("h", idx), ("g", "<urlset></urlset>")).toDF("host", "xml"))
+      .collect()
+    assert(out.forall(_.getString(0) == "h")) // empty urlset: no rows
+    assert(out.length == 2)
+    assert(out.forall(_.getString(1) == "sitemap"))
+    assert(out.map(_.getAs[String]("loc")).sorted.toSeq ==
+      Seq("https://h/s1.xml", "https://h/s2.xml"))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("priority"))))
+  }
+
+  test("Frontier.schedule: priority order, null-last, tie-break, delay, cap") {
+    import spark.implicits._
+    val urls = Seq(
+      ("h1", "https://h1/b", Some(0.9), Some(2000L)),
+      ("h1", "https://h1/a", Some(0.9), Some(2000L)), // tie -> url asc
+      ("h1", "https://h1/c", None, Some(2000L)),      // null prio last
+      ("h1", "https://h1/d", Some(0.1), Some(2000L)),
+      ("h2", "https://h2/z", None, None)               // default delay
+    ).toDF("host", "url", "priority", "delay_ms")
+    val out = Frontier.schedule(urls, priorityCol = Some("priority"),
+      delayMsCol = Some("delay_ms"), defaultDelayMs = 500L,
+      maxPerHost = 3)
+    val h1 = out.filter(col("host") === "h1").collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(h1.map(_.getAs[String]("url")).toSeq ==
+      Seq("https://h1/a", "https://h1/b", "https://h1/d")) // c capped out
+    assert(h1.map(_.getAs[Long]("fetch_offset_ms")).toSeq ==
+      Seq(0L, 2000L, 4000L))
+    val h2 = out.filter(col("host") === "h2").collect()
+    assert(h2.length == 1 && h2(0).getAs[Long]("fetch_offset_ms") == 0L)
+  }
 }

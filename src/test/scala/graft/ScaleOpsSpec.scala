@@ -553,4 +553,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!ScaleOpsSpec.finalPlan(toks).contains("Exchange"),
       ScaleOpsSpec.finalPlan(toks))
   }
+
+  test("sentence/readability/sitemap ops plan zero exchanges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sents = graft.operators.Sentences.splitSentences(docs)
+    sents.collect()
+    assert(!ScaleOpsSpec.finalPlan(sents).contains("Exchange"),
+      ScaleOpsSpec.finalPlan(sents))
+    val scores = graft.operators.Sentences.readabilityScores(docs)
+    scores.collect()
+    assert(!ScaleOpsSpec.finalPlan(scores).contains("Exchange"),
+      ScaleOpsSpec.finalPlan(scores))
+    val sm = graft.operators.Sitemaps.parseSitemaps(
+      docs.select(col("source").as("host"),
+        concat(lit("<urlset><url><loc>https://h/"),
+          col("doc_id").cast("string"),
+          lit("</loc></url></urlset>")).as("xml")))
+    sm.collect()
+    assert(!ScaleOpsSpec.finalPlan(sm).contains("Exchange"),
+      ScaleOpsSpec.finalPlan(sm))
+  }
+
+  test("Frontier.schedule caps map-side: WindowGroupLimit below one exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val urls = docs.select(col("source").as("host"),
+      concat(lit("https://h/"), col("doc_id").cast("string")).as("url"))
+    val out = graft.operators.Frontier.schedule(urls, maxPerHost = 5)
+    out.collect()
+    val plan = ScaleOpsSpec.finalPlan(out)
+    // the per-host budget must truncate BEFORE the host-keyed shuffle:
+    // a partial WindowGroupLimit under the single exchange is what
+    // keeps an adversarial 10M-URL host from owning the wire
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert("WindowGroupLimit".r.findAllIn(plan).length == 2, plan)
+    val beforeExchange = plan.substring(plan.indexOf("Exchange"))
+    assert(beforeExchange.contains("WindowGroupLimit"), plan)
+  }
 }
