@@ -621,6 +621,51 @@ SELECT r.node, ((r.ru + 500) // 1000)::DOUBLE / 1000000.0 AS rank,
 FROM r$iters r LEFT JOIN deg d ON d.src = r.node"""
   }
 
+  /** Personalized-PageRank replica: pageRankOracleSql with the seeded
+    * start and the teleport term gated on the seed flag; |S| replaces
+    * N in both constants. Same lattice, same fold shapes. */
+  private def pprOracleSql(iters: Int, damping: Double): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+  SELECT f.node,
+    CASE WHEN f.is_seed THEN
+      CAST(round(1e9 * (1 - $damping::DOUBLE) / ns.n) AS BIGINT)
+    ELSE 0 END + COALESCE(m.in_mass, 0) AS ru
+  FROM fl f CROSS JOIN ns LEFT JOIN (
+    SELECT e.dst AS node,
+      CAST(sum(CAST(round(CAST(p.ru AS DOUBLE) * $damping / deg.deg)
+        AS BIGINT)) AS BIGINT) AS in_mass
+    FROM e JOIN deg USING (src) JOIN r${k - 1} p ON p.node = e.src
+    GROUP BY 1) m ON m.node = f.node
+)"""
+    }.mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst
+  FROM lineitem
+), seeds AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS node FROM lineitem
+  WHERE l_suppkey % 17 = 0
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+  UNION SELECT node FROM seeds
+), deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+), ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+fl AS MATERIALIZED (
+  SELECT n2.node, s.node IS NOT NULL AS is_seed
+  FROM nodes n2 LEFT JOIN seeds s ON s.node = n2.node
+), r0 AS (
+  SELECT node,
+    CASE WHEN is_seed THEN CAST(round(1e9 / ns.n) AS BIGINT)
+    ELSE 0 END AS ru
+  FROM fl CROSS JOIN ns
+), $rounds
+SELECT r.node, ((r.ru + 500) // 1000)::DOUBLE / 1000000.0 AS rank,
+  COALESCE(d.deg, 0) AS out_degree, f.is_seed
+FROM r$iters r LEFT JOIN deg d ON d.src = r.node
+JOIN fl f ON f.node = r.node"""
+  }
+
   // shared by the graph entries: suppliers co-appearing on a
   // high-quantity order line (the qty>45 thinning keeps the graph
   // sparse enough for non-trivial structure)
@@ -2188,6 +2233,20 @@ $joins"""
       graft.operators.Graph.pageRank(
         li.select(col("l_suppkey").as("src"),
           (col("l_partkey") + 10000000L).as("dst")),
+        "src", "dst", iters = 3)
+    }),
+
+    // personalized PageRank (TrustRank shape) on the same graph:
+    // teleport mass returns only to a vetted supplier seed slice —
+    // rank becomes proximity-to-trust; the oracle unrolls the same
+    // 3 seeded iterations on the same integer lattice
+    "q_graph_ppr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Graph.personalizedPageRank(
+        li.select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 10000000L).as("dst")),
+        li.filter(col("l_suppkey") % 17 === 0)
+          .select(col("l_suppkey").as("node")),
         "src", "dst", iters = 3)
     }),
 
@@ -5481,6 +5540,8 @@ $joins"""
       // each PageRank iteration unrolled with the identical rounding
       // discipline — see pageRankOracleSql
       "q_graph_pagerank" -> pageRankOracleSql(3, 0.85),
+
+      "q_graph_ppr" -> pprOracleSql(3, 0.85),
 
       // both HITS half-steps per round unrolled with the same lattice
       // and normalization shape — see hitsOracleSql

@@ -94,6 +94,83 @@ object Graph {
         coalesce(col("deg"), lit(0L)).as("out_degree"))
   }
 
+  /** Personalized PageRank (seeded teleport — the TrustRank shape,
+    * Gyongyi 2004): identical recurrence to [[pageRank]] except ALL
+    * teleport mass returns to the seed set instead of spreading
+    * uniformly: rank₀(v) = 1/|S| for v ∈ S else 0; rankₖ(v) =
+    * [v ∈ S]·(1−d)/|S| + d·Σ_{u→v} rankₖ₋₁(u)/deg(u). Rank then
+    * measures proximity to the seeds — the crawl-pipeline uses are
+    * trust propagation from a hand-vetted host list (pages far from
+    * every trusted seed are the spam candidates) and topic-focused
+    * crawl prioritization from in-topic exemplars. Dangling mass
+    * leaks, as in [[pageRank]] — the conventional simplification,
+    * matched by the oracle.
+    *
+    * Vertices = edge endpoints ∪ seeds (an isolated seed still holds
+    * teleport mass). Same 1e-9 integer-lattice numerics and same
+    * one-shuffle-per-iteration shape as [[pageRank]]; the seed flag
+    * is a node-keyed left join against the (checkpointed) seed frame,
+    * broadcast when small. |S| is the only driver-side scalar.
+    * Output: (node, rank[rounded 6], out_degree, is_seed). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           srcCol: String, dstCol: String,
+                           seedCol: String = "node",
+                           iters: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    val sd = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(sd)
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesWithDeg = e.join(deg, Seq("src")).localCheckpoint(false)
+    val nS = sd.count()
+    require(nS > 0, "personalizedPageRank needs at least one seed")
+    // the loop-invariant seed flag rides the node frame so the
+    // per-iteration rebuild is one column expression, not a re-join
+    val flagged = nodes
+      .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false))
+        .as("is_seed"))
+      .localCheckpoint(false)
+    val baseU = math.round(1e9 * (1.0 - damping) / nS)
+    val initU = math.round(1e9 / nS.toDouble)
+    var ranks = flagged.select(col("node"),
+      when(col("is_seed"), lit(initU)).otherwise(lit(0L)).as("ru"))
+    (0 until iters).foreach { _ =>
+      val contrib = edgesWithDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("ru").cast("double") * damping / col("deg"))
+            .cast("long").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("in_mass"))
+      ranks = flagged
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(baseU)).otherwise(lit(0L)) +
+            coalesce(col("in_mass"), lit(0L))).as("ru"))
+        .localCheckpoint(false)
+    }
+    ranks
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .join(flagged, Seq("node"))
+      .select(col("node"),
+        (expr("(ru + 500) DIV 1000").cast("double") / lit(1e6))
+          .as("rank"),
+        coalesce(col("deg"), lit(0L)).as("out_degree"),
+        col("is_seed"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) — PageRank's companion
     * on directed link graphs, and the natural consumer of
     * [[HtmlExtract.extractLinks]] edges: a page is a good AUTHORITY if

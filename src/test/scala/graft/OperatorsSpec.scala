@@ -5158,4 +5158,40 @@ class OperatorsSpec extends AnyFunSuite {
     val h2 = out.filter(col("host") === "h2").collect()
     assert(h2.length == 1 && h2(0).getAs[Long]("fetch_offset_ms") == 0L)
   }
+
+  test("personalizedPageRank: teleport returns to seeds; hand-computed chain") {
+    import spark.implicits._
+    // 4 -> 1 -> 2 -> 3, seed {1}, d = 0.5, 2 iters:
+    // r1 = .5 (teleport only), r2 = .25 (one hop), r3 = .25 after two
+    // iterations (mass from iter-1's r2), r4 = 0 (nothing points at it
+    // and it is not a seed)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.personalizedPageRank(edges, seeds, "src", "dst",
+        iters = 2, damping = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((0.5, 1L, true)))
+    assert(out(2L) == ((0.25, 1L, false)))
+    assert(out(3L) == ((0.25, 0L, false)))
+    assert(out(4L) == ((0.0, 1L, false)))
+  }
+
+  test("personalizedPageRank: isolated seed holds mass; empty seeds rejected") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    // node 9 appears in NO edge but is a seed: it must exist and keep
+    // its teleport mass every iteration
+    val out = Graph.personalizedPageRank(edges,
+        Seq(Tuple1(9L)).toDF("node"), "src", "dst",
+        iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(9L) == 0.15)
+    assert(out(1L) == 0.0 && out(2L) == 0.0)
+    assertThrows[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges,
+        spark.emptyDataFrame.select(lit(1L).as("node")).filter(lit(false)),
+        "src", "dst")
+    }
+  }
 }
