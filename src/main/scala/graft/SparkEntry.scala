@@ -1332,6 +1332,41 @@ $joins"""
       graft.sources.Sources.readOrc(s, path)
     }),
 
+    // WARC container parse: each doc becomes a 2-record blob — a
+    // response record carrying the text and a metadata record whose
+    // payload EMBEDS a fake WARC header (only the Content-Length walk
+    // recovers it; a sentinel split would shear it) — plus a truncated
+    // garbage tail that must drop. Every planted field must come back
+    // byte-for-byte; the oracle states the ground truth directly
+    "q_source_warc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val crlf = "\r\n"
+      val uri = concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string"))
+      val date = concat(lit("2026-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        lit("T00:00:00Z"))
+      val payload2 = concat(lit("note WARC/1.0" + crlf +
+        "Content-Length: 3" + crlf + crlf + "xyz tail of "),
+        col("doc_id").cast("string"))
+      val rec1 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: "), uri,
+        lit(crlf + "WARC-Date: "), date,
+        lit(crlf + "Content-Length: "),
+        octet_length(col("text")).cast("string"),
+        lit(crlf + crlf), col("text"))
+      val rec2 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+          "Content-Length: "),
+        octet_length(payload2).cast("string"),
+        lit(crlf + crlf), payload2)
+      val blob = concat(rec1, lit(crlf + crlf), rec2,
+        lit(crlf + crlf + "WARC/1.0 truncated-garbage"))
+      graft.sources.Warc.parseWarc(
+        docs.select(col("doc_id"), blob.as("blob")))
+    }),
+
     // per-document keyword extraction: top tokens by tf-idf, df riding
     // the same token-keyed partitioning as the tf groupBy (bm25 trick)
     "q_text_keywords" -> ((s, dir) =>
@@ -4330,6 +4365,33 @@ $joins"""
 
       "q_source_orc" ->
         "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+      // ground truth of the planted records, stated directly: the
+      // engine's length-driven walk must recover exactly these fields
+      // (incl. the metadata payload with the embedded fake header)
+      "q_source_warc" ->
+        """WITH p AS (
+          |  SELECT doc_id, text,
+          |    'note WARC/1.0' || chr(13) || chr(10) ||
+          |      'Content-Length: 3' || chr(13) || chr(10) ||
+          |      chr(13) || chr(10) || 'xyz tail of ' ||
+          |      CAST(doc_id AS VARCHAR) AS payload2,
+          |    'https://' || source || '.example.com/p/' ||
+          |      CAST(doc_id AS VARCHAR) AS uri,
+          |    '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+          |      2, '0') || 'T00:00:00Z' AS dt
+          |  FROM documents
+          |)
+          |SELECT doc_id, CAST(0 AS INT) AS rec_id,
+          |  '1.0' AS warc_version, 'response' AS warc_type,
+          |  uri AS target_uri, dt AS warc_date,
+          |  CAST(strlen(text) AS BIGINT) AS content_length,
+          |  text AS payload
+          |FROM p
+          |UNION ALL
+          |SELECT doc_id, CAST(1 AS INT), '1.0', 'metadata',
+          |  NULL, NULL, CAST(strlen(payload2) AS BIGINT), payload2
+          |FROM p""".stripMargin,
 
       // tf-idf replica: same two-level counts, same single ln and
       // multiply (both IEEE), ranking on the rounded score both sides

@@ -572,6 +572,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     sm.collect()
     assert(!ScaleOpsSpec.finalPlan(sm).contains("Exchange"),
       ScaleOpsSpec.finalPlan(sm))
+    val warc = graft.sources.Warc.parseWarc(
+      docs.select(col("doc_id"),
+        concat(lit("WARC/1.0\r\nContent-Length: "),
+          octet_length(col("text")).cast("string"),
+          lit("\r\n\r\n"), col("text")).as("blob")))
+    warc.collect()
+    assert(!ScaleOpsSpec.finalPlan(warc).contains("Exchange"),
+      ScaleOpsSpec.finalPlan(warc))
   }
 
   test("Frontier.schedule caps map-side: WindowGroupLimit below one exchange") {

@@ -180,4 +180,66 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.toSeq).toSet ==
       rows.map(r => Seq(r._1, r._2)).toSet)
   }
+
+  // ---- WARC parsing ----
+
+  private def warcRec(tpe: String, payload: String,
+                      extra: String = ""): String = {
+    val pb = payload.getBytes("UTF-8")
+    s"WARC/1.0\r\nWARC-Type: $tpe\r\n${extra}Content-Length: ${pb.length}\r\n\r\n$payload"
+  }
+
+  test("parseWarc walks by Content-Length: an embedded sentinel cannot shear a record") {
+    import spark.implicits._
+    // payload contains a COMPLETE well-formed fake record — a split on
+    // 'WARC/1.0' would produce three records and a torn payload
+    val evil = "article about archives:\r\n" +
+      warcRec("response", "fake inner payload") + "\r\nend of article"
+    val blob = warcRec("response", evil) + "\r\n\r\n" +
+      warcRec("metadata", "plain")
+    val out = graft.sources.Warc.parseWarc(
+        Seq((1L, blob)).toDF("doc_id", "blob"))
+      .collect().sortBy(_.getAs[Int]("rec_id"))
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("payload") == evil)
+    assert(out(0).getAs[String]("warc_type") == "response")
+    assert(out(1).getAs[String]("payload") == "plain")
+    assert(out(1).getAs[String]("warc_type") == "metadata")
+  }
+
+  test("parseWarc: Content-Length counts BYTES; multibyte payloads slice exactly") {
+    import spark.implicits._
+    val payload = "café — résumé" // 3 multibyte chars
+    val blob = warcRec("response", payload,
+      extra = "WARC-Target-URI: https://h/p\r\n")
+    val out = graft.sources.Warc.parseWarc(
+      Seq((1L, blob)).toDF("doc_id", "blob")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("payload") == payload)
+    assert(out(0).getAs[Long]("content_length") ==
+      payload.getBytes("UTF-8").length)
+    assert(out(0).getAs[String]("target_uri") == "https://h/p")
+  }
+
+  test("parseWarc drops truncated and malformed tails instead of mis-parsing") {
+    import spark.implicits._
+    val good = warcRec("response", "ok")
+    val truncated = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 9999\r\n\r\nshort"
+    val noLength = "WARC/1.0\r\nWARC-Type: response\r\n\r\npayload"
+    val garbage = "not a warc at all"
+    val df = Seq(
+      (1L, good + "\r\n\r\n" + truncated),
+      (2L, good + "\r\n\r\n" + noLength),
+      (3L, garbage),
+      (4L, good + "\r\n\r\n" + garbage)
+    ).toDF("doc_id", "blob")
+    val out = graft.sources.Warc.parseWarc(df).collect()
+    // each blob yields exactly its well-formed prefix
+    assert(out.count(_.getLong(0) == 1L) == 1)
+    assert(out.count(_.getLong(0) == 2L) == 1)
+    assert(out.count(_.getLong(0) == 3L) == 0)
+    assert(out.count(_.getLong(0) == 4L) == 1)
+    assert(out.forall(_.getAs[String]("payload") == "ok"))
+  }
 }
