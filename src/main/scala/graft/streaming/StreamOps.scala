@@ -464,6 +464,41 @@ object StreamOps {
       docs.toDF(), "doc_id", "text", minChars, maxLinkDensity,
       minStopFrac, passthroughCols = Seq("ts"))
 
+  /** Streaming sentence segmentation — the Structured Streaming form
+    * of `Sentences.splitSentences`: each arriving doc fans out to its
+    * per-sentence rows (the unit for passage dedup / retrieval /
+    * packing downstream). Stateless projection + one Generate —
+    * append-mode, no watermark, scan-speed on arrival. */
+  def splitSentencesStream(docs: Dataset[StreamDoc]): DataFrame =
+    graft.operators.Sentences.splitSentences(
+      docs.toDF(), "doc_id", "text", passthroughCols = Seq("ts"))
+
+  /** Streaming readability — `Sentences.readabilityScores` on arrival:
+    * the per-doc quality columns (words/sentences/syllables, Flesch,
+    * FK grade) join the Gopher/C4 gates as ingest-time signals.
+    * Stateless per-row projection — append-mode, no watermark. */
+  def readabilityScoresStream(docs: Dataset[StreamDoc]): DataFrame =
+    graft.operators.Sentences.readabilityScores(
+      docs.toDF(), "doc_id", "text", passthroughCols = Seq("ts"))
+
+  /** Streaming sitemap parsing — `Sitemaps.parseSitemaps` over
+    * arriving fetched sitemap bodies: each file fans out to its
+    * per-entry rows (and index files to their child-sitemap locs, fed
+    * back into the fetch frontier). Stateless projection + one
+    * Generate — append-mode, no watermark. */
+  def parseSitemapsStream(files: DataFrame, hostCol: String = "host",
+                          xmlCol: String = "xml"): DataFrame =
+    graft.operators.Sitemaps.parseSitemaps(files, hostCol, xmlCol)
+
+  /** Streaming WARC parsing — `Warc.parseWarc` over arriving crawl
+    * blobs: the ingest entry point that turns fetched WARC batches
+    * into per-record rows (native length-driven walk, malformed tails
+    * drop). Stateless projection + one Generate — append-mode, no
+    * watermark; feeds [[extractTextStream]] downstream as in batch. */
+  def parseWarcStream(records: DataFrame, idCol: String = "doc_id",
+                      blobCol: String = "blob"): DataFrame =
+    graft.sources.Warc.parseWarc(records, idCol, blobCol)
+
   /** Streaming heavy hitters — the Structured Streaming form of
     * `TextAnalysis.heavyHitterTokens` (running top tokens per group via
     * the Misra-Gries sketch aggregate): IDENTICAL batch code on the

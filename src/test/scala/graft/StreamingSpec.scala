@@ -1615,6 +1615,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(!byId(1L).contains("Home") && byId(2L) == "" && byId(3L) == "")
   }
 
+  test("splitSentencesStream segments on arrival like batch") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val texts = Seq(
+      1L -> "Dr. Smith paid 3.14 today. Was it e.g. fine? Yes!",
+      2L -> "")
+    val batch = graft.operators.Sentences.splitSentences(
+        s.createDataFrame(texts).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.splitSentencesStream(input.toDS())
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("sent_stream")
+      .outputMode("append").start()
+    input.addData(texts.map { case (id, text) =>
+      StreamDoc(id, text, Timestamp.valueOf("2024-01-01 00:00:01")) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql(
+      "select doc_id, sent_id, sentence from sent_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.contains((1L, 0, "Dr. Smith paid 3.14 today.")))
+    assert(streamed.size == 3) // empty doc fans out to nothing
+  }
+
+  test("readabilityScoresStream scores on arrival like batch") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val texts = Seq(1L -> "The cat sat. It purred loudly.", 2L -> "")
+    val batch = graft.operators.Sentences.readabilityScores(
+        s.createDataFrame(texts).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)))).toSet
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.readabilityScoresStream(input.toDS())
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("read_stream")
+      .outputMode("append").start()
+    input.addData(texts.map { case (id, text) =>
+      StreamDoc(id, text, Timestamp.valueOf("2024-01-01 00:00:01")) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql(
+      "select doc_id, n_words, n_sentences, n_syllables, flesch, " +
+        "fk_grade from read_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists(t => t._1 == 1L && t._2 == 6L && t._3 == 2L))
+  }
+
+  test("parseSitemapsStream and parseWarcStream parse on arrival like batch") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val sm = "<urlset><url><loc>https://h/a&amp;b</loc>" +
+      "<priority>0.5</priority></url></urlset>"
+    val warcBlob = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 5\r\n\r\nhello"
+    val input = MemoryStream[StreamDoc]
+    val smOut = StreamOps.parseSitemapsStream(
+      input.toDF().select(col("doc_id").cast("string").as("host"),
+        col("text").as("xml")))
+    assert(smOut.isStreaming)
+    val q1 = smOut.writeStream.format("memory").queryName("sm_stream")
+      .outputMode("append").start()
+    val input2 = MemoryStream[StreamDoc]
+    val warcOut = StreamOps.parseWarcStream(
+      input2.toDF().select(col("doc_id"), col("text").as("blob")))
+    assert(warcOut.isStreaming)
+    val q2 = warcOut.writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    input.addData(StreamDoc(7L, sm,
+      Timestamp.valueOf("2024-01-01 00:00:01")))
+    input2.addData(StreamDoc(8L, warcBlob,
+      Timestamp.valueOf("2024-01-01 00:00:01")))
+    q1.processAllAvailable(); q1.stop()
+    q2.processAllAvailable(); q2.stop()
+    val smRows = s.sql("select host, kind, loc, priority from sm_stream")
+      .collect()
+    assert(smRows.length == 1)
+    assert(smRows(0).getString(0) == "7" &&
+      smRows(0).getString(1) == "url" &&
+      smRows(0).getString(2) == "https://h/a&b" &&
+      smRows(0).getDouble(3) == 0.5)
+    val wr = s.sql("select doc_id, warc_type, payload from warc_stream")
+      .collect()
+    assert(wr.length == 1)
+    assert(wr(0).getLong(0) == 8L && wr(0).getString(1) == "response" &&
+      wr(0).getString(2) == "hello")
+  }
+
   test("dedupAgainstStoreStream equals the batch store probe " +
        "on out-of-order input") {
     import graft.streaming.StreamOps.StreamDoc
