@@ -1142,6 +1142,22 @@ $joins"""
       graft.operators.Robots.robotsGate(urls, rules)
     }),
 
+    // robots.txt Sitemap directives: group-independent line scan —
+    // case-folded directive, comments stripped, empty values dropped;
+    // the discovered URLs feed parseSitemaps after fetching
+    "q_url_sitemaps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robots = docs.select(col("source")).distinct().select(
+        concat(col("source"), lit(".example.com")).as("host"),
+        concat(
+          lit("# policy\nUser-agent: *\nDisallow: /tmp\n" +
+            "Sitemap: https://"), col("source"),
+          lit(".example.com/sitemap.xml\n# c\nsitemap:   https://"),
+          col("source"),
+          lit(".example.com/sitemap-news.xml\nSitemap:\n")).as("body"))
+      graft.operators.Robots.sitemapDirectives(robots)
+    }),
+
     // URL canonicalization: deterministic messy URLs (case-shifted
     // scheme/host, userinfo, www, default port, tracking params,
     // unsorted query, trailing slash, fragment; every 7th row
@@ -2119,6 +2135,12 @@ $joins"""
       graft.operators.Stats.profileColumns(t(s, dir, "customer"),
         Seq("c_custkey", "c_acctbal", "c_mktsegment"))),
 
+    // Benford first-digit audit on the price column: string-form
+    // first [1-9], all 9 digit rows, ln-shape expected fractions,
+    // decimal-summed chi-square — the fabricated-data tripwire
+    "q_stats_benford" -> ((s, dir) =>
+      Stats.benfordTest(t(s, dir, "lineitem"), "l_extendedprice")),
+
     // referential-integrity audit over the star schema: dangling FK
     // keys per relationship — dictionary-vs-dictionary anti-joins
     // (distinct-with-counts child side), one summary row each
@@ -2777,6 +2799,14 @@ $joins"""
         col("l_orderkey"), col("l_linenumber"),
         graft.sources.Layout.zValue(
           Seq(col("l_partkey"), col("l_suppkey")), bits = 16).as("zval"))),
+
+    // rendezvous (HRW) shard assignment over the doc corpus: 16-way,
+    // md5-48 per-shard scores, argmax with the (score, -s) tie-break —
+    // the stable-sharding key for incrementally-maintained stores
+    "q_layout_shards" -> ((s, dir) =>
+      graft.sources.Layout.rendezvousShards(
+        t(s, dir, "documents").select(col("doc_id")),
+        Seq("doc_id"), nShards = 16)),
 
     // small-file compaction round-trip: scatter documents over 64
     // tiny files, compact back toward the byte target (one coalesced
@@ -3935,6 +3965,19 @@ $joins"""
       // consecutive-UA group windows, group selection, rule
       // extraction, longest-prefix/Allow-tie decision per distinct
       // (host, path) key, default allow
+      // ground truth of the planted Sitemap lines, stated directly
+      // (the empty-value line must have been dropped by the parse)
+      "q_url_sitemaps" ->
+        """WITH h AS (SELECT DISTINCT source FROM documents)
+          |SELECT source || '.example.com' AS host,
+          |  'https://' || source || '.example.com/sitemap.xml'
+          |    AS sitemap_url
+          |FROM h
+          |UNION ALL
+          |SELECT source || '.example.com',
+          |  'https://' || source || '.example.com/sitemap-news.xml'
+          |FROM h""".stripMargin,
+
       "q_url_robots" ->
         """WITH rhosts AS (SELECT DISTINCT source FROM documents),
           |rb AS (
@@ -5775,6 +5818,46 @@ $joins"""
 
       // same dictionary-side anti-joins (LEFT JOIN ... IS NULL), same
       // separate null accounting per relationship
+      // same string-form first digit, ln-shape expectations, identical
+      // left-associated chi2 term shape, decimal-summed statistic
+      "q_stats_benford" ->
+        """WITH d AS (
+          |  SELECT CAST(regexp_extract(
+          |      CAST(l_extendedprice AS VARCHAR), '[1-9]', 0) AS INT)
+          |    AS digit
+          |  FROM lineitem
+          |  WHERE regexp_extract(CAST(l_extendedprice AS VARCHAR),
+          |    '[1-9]', 0) <> ''
+          |), c AS (
+          |  SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM d GROUP BY 1
+          |), g AS (
+          |  SELECT CAST(i AS INT) AS digit
+          |  FROM unnest(range(1, 10)) t(i)
+          |), j AS (
+          |  SELECT g.digit, coalesce(c.cnt, 0) AS cnt
+          |  FROM g LEFT JOIN c ON c.digit = g.digit
+          |), tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nd FROM j),
+          |e AS (
+          |  SELECT digit, cnt, nd,
+          |    ln(1.0::DOUBLE + 1.0::DOUBLE / CAST(digit AS DOUBLE))
+          |      / ln(10.0::DOUBLE) AS ef
+          |  FROM j CROSS JOIN tot
+          |), t AS (
+          |  SELECT digit, cnt, nd, ef,
+          |    round((CAST(cnt AS DOUBLE) - nd * ef) *
+          |          (CAST(cnt AS DOUBLE) - nd * ef) / (nd * ef), 9)
+          |      ::DECIMAL(38,9) AS t9
+          |  FROM e
+          |)
+          |SELECT digit, cnt,
+          |  round((CAST(cnt AS DOUBLE) / nd) * CAST(1e6 AS DOUBLE))
+          |    ::DOUBLE / CAST(1e6 AS DOUBLE) AS obs_frac,
+          |  round(ef * CAST(1e6 AS DOUBLE))::DOUBLE
+          |    / CAST(1e6 AS DOUBLE) AS exp_frac,
+          |  round(sum(t9) OVER (), 6)::DOUBLE AS chi2
+          |FROM t""".stripMargin,
+
       "q_stats_integrity" ->
         """WITH
           |li_o AS (
@@ -6436,6 +6519,16 @@ $joins"""
         s"""SELECT l_orderkey, l_linenumber,
            |  ($zorderExprSql) AS zval
            |FROM lineitem""".stripMargin,
+
+      // same HRW construction: md5-48 score per (key, shard), argmax
+      // via a [score, -s] list sort — the (score desc, s asc) tie-break
+      "q_layout_shards" ->
+        """SELECT doc_id,
+          |  CAST(-((list_sort(list_transform(range(16), s ->
+          |    [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+          |        CAST(s AS VARCHAR)), 1, 12))::BIGINT, -s]),
+          |    'DESC'))[1][2]) AS INT) AS shard
+          |FROM documents""".stripMargin,
 
       // same null-safe column compare (IS DISTINCT FROM ↔ <=>) over the
       // same full-outer join; concat_ws skips NULL args in both engines

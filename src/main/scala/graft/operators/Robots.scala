@@ -78,6 +78,32 @@ object Robots {
       .distinct()
   }
 
+  /** The `Sitemap:` directives of each robots.txt body — the link
+    * from fetch policy to URL discovery: RFC 9309 §2.3 lets a host
+    * advertise its sitemaps here, and a crawler that skips them
+    * re-discovers the inventory the slow way. Sitemap lines are
+    * group-INDEPENDENT per the RFC (they apply regardless of
+    * user-agent), so this is a plain line scan: comment strip, the
+    * same case-insensitive directive grammar as [[parseRobots]],
+    * non-empty values only. Values are absolute URLs by spec and pass
+    * through verbatim — feed them to
+    * [[Sitemaps.parseSitemaps]] after fetching. Emits distinct
+    * (host, sitemap_url); per-host dedup is the only exchange and
+    * robots bodies are KB-sized. */
+  def sitemapDirectives(robots: DataFrame, hostCol: String = "host",
+                        bodyCol: String = "body"): DataFrame =
+    robots.select(col(hostCol).as("host"),
+        explode(split(col(bodyCol), "\n")).as("raw"))
+      .select(col("host"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(lower(regexp_extract(col("line"),
+        "^([A-Za-z-]+)\\s*:", 1)) === "sitemap")
+      .select(col("host"),
+        trim(regexp_extract(col("line"), ":\\s*(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+      .distinct()
+
   /** Gate a URL frontier against parsed rules: per URL, the
     * longest-prefix rule on its (path + query) decides; Allow wins
     * length ties (struct ordering: longer prefix_len first, then

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftext.{QuantileSketch, QuantileSketchMerge, QuantileSketchState}
 
@@ -819,4 +820,59 @@ object Stats {
           .as("n_null_rows"))
       .select(lit(relationship).as("relationship"),
         col("n_orphan_keys"), col("n_orphan_rows"), col("n_null_rows"))
+
+  /** Benford first-significant-digit test — the forensic data-quality
+    * tripwire for naturally-occurring magnitude columns (amounts,
+    * populations, counts): organic multi-order-of-magnitude data leads
+    * with digit d at frequency log10(1 + 1/d) (~30% ones), while
+    * fabricated, capped, or default-filled values flatten or spike the
+    * curve. A large chi-square against the Benford expectation flags a
+    * column whose generation process changed — the classic audit
+    * signal (Benford 1938, Nigrini's accounting application).
+    *
+    * The digit comes from the value's STRING form (first [1-9] char) —
+    * exact for decimal/integer columns, whose rendering is identical
+    * across engines; binary doubles render engine-dependently, so cast
+    * or round them upstream. Zero/null/digitless rows are excluded
+    * from n. All 9 digit rows always emit (absent digits count 0 —
+    * their expected mass still enters chi2).
+    *
+    * Numerics: expected fraction is ln(1+1/d)/ln(10) — the ln shape
+    * both engines evaluate bit-identically (the LM-score precedent;
+    * log10 libm variants do NOT carry that guarantee). Per-digit chi2
+    * terms round to 9 decimals and sum as DECIMAL (order-independent),
+    * fractions display via integer-scale rounding. One count aggregate
+    * over the scan + a 9-row frame — nothing else touches the data.
+    *
+    * Emits 9 rows: (digit, cnt, obs_frac, exp_frac, chi2) with chi2
+    * the (constant) whole-column statistic. */
+  def benfordTest(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = regexp_extract(col(valueCol).cast("string"), "[1-9]", 0)
+    val counts = df
+      .select(when(digit =!= "", digit.cast("int")).as("digit"))
+      .filter(col("digit").isNotNull)
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val digits = counts.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val n = sum(col("cnt")).over(Window.partitionBy())
+    val expFrac = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    val expCnt = n.cast("double") * expFrac
+    val term = (col("cnt").cast("double") - expCnt) *
+      (col("cnt").cast("double") - expCnt) / expCnt
+    def disp(c: Column): Column =
+      round(c * lit(1e6)).cast("double") / lit(1e6)
+    digits.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .select(col("digit"), col("cnt"),
+        disp(col("cnt").cast("double") / n.cast("double")).as("obs_frac"),
+        disp(expFrac).as("exp_frac"),
+        round(term, 9).cast("decimal(38,9)").as("t9"))
+      .withColumn("chi2",
+        // round the DECIMAL (exact in any engine), THEN cast — a
+        // double-side fractional round could land on a repr boundary
+        round(sum(col("t9")).over(Window.partitionBy()), 6)
+          .cast("double"))
+      .drop("t9")
+  }
 }

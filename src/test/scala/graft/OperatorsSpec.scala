@@ -5177,6 +5177,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(4L) == ((0.0, 1L, false)))
   }
 
+  test("rendezvousShards: adding a shard moves keys ONLY to the new shard") {
+    import spark.implicits._
+    val keys = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
+    val s8 = graft.sources.Layout.rendezvousShards(keys, Seq("doc_id"), 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s9 = graft.sources.Layout.rendezvousShards(keys, Seq("doc_id"), 9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val moved = s8.keys.filter(k => s8(k) != s9(k))
+    // the HRW property: every mover lands on the NEW shard (id 8)
+    assert(moved.nonEmpty && moved.forall(k => s9(k) == 8))
+    // expected movement ~1/9 of keys; assert it's nowhere near a
+    // mod-rehash (which would move ~8/9)
+    assert(moved.size < 2000 / 4, s"moved ${moved.size}")
+    // balance: every shard holds something, none holds half the data
+    val byShard = s8.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.size == 8 && byShard.values.max < 1000)
+  }
+
+  test("sitemapDirectives: case-folded directive, comments, empties, dedup") {
+    import spark.implicits._
+    val body = "# hi\nUser-agent: *\nDisallow: /x\n" +
+      "Sitemap: https://h/s1.xml\n" +
+      "SITEMAP:https://h/s2.xml # trailing comment\n" +
+      "sitemap:   https://h/s1.xml\n" + // duplicate -> one row
+      "Sitemap:\n" // empty -> dropped
+    val out = graft.operators.Robots.sitemapDirectives(
+        Seq(("h", body)).toDF("host", "body"))
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(out == Seq("https://h/s1.xml", "https://h/s2.xml"))
+  }
+
+  test("benfordTest: string-form first digit, all 9 rows, hand-checked counts") {
+    import spark.implicits._
+    val df = Seq("1.0", "19.5", "0.05", "-3.2", "0.00", "2.0")
+      .map(Tuple1(_)).toDF("v")
+      .select(col("v").cast("decimal(10,2)").as("v"))
+    val rows = Stats.benfordTest(df, "v").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // digits: 1("1.00"), 1("19.50"), 5("0.05"), 3("-3.20"), 2("2.00");
+    // "0.00" has no significant digit and is excluded from n
+    assert(rows == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 0L, 5 -> 1L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 0L))
+    val r1 = Stats.benfordTest(df, "v").filter(col("digit") === 1)
+      .collect()(0)
+    assert(r1.getAs[Double]("obs_frac") == 0.4)
+    assert(r1.getAs[Double]("exp_frac") ==
+      math.round(math.log(2.0) / math.log(10.0) * 1e6) / 1e6)
+    assert(r1.getAs[Double]("chi2") > 0.0)
+  }
+
   test("personalizedPageRank: isolated seed holds mass; empty seeds rejected") {
     import spark.implicits._
     val edges = Seq((1L, 2L)).toDF("src", "dst")
