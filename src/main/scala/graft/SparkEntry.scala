@@ -1207,6 +1207,32 @@ $joins"""
       graft.operators.Sitemaps.parseSitemaps(files)
     }),
 
+    // sitemap freshness hints -> recrawl schedule, composed over the
+    // real parse: per doc one dated URL cycling through all 8
+    // changefreq shapes (incl. never + an unknown value) and one
+    // hint-less URL; "now" pinned to 2026-02-01T00:00:00Z so due
+    // splits on the declared period
+    "q_url_recrawl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id").cast("string")
+      val h = concat(col("source"), lit(".example.com"))
+      val base = concat(lit("https://"), h)
+      val cf = element_at(typedlit(Seq("always", "hourly", "daily",
+        "weekly", "monthly", "yearly", "never", "sometimes")),
+        (col("doc_id") % 8 + 1).cast("int"))
+      val xml = concat(
+        lit("<urlset><url><loc>"), base, lit("/p/"), d,
+        lit("</loc><lastmod>2026-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        lit("</lastmod><changefreq>"), cf,
+        lit("</changefreq></url><url><loc>"), base, lit("/n/"), d,
+        lit("</loc></url></urlset>"))
+      graft.operators.Sitemaps.recrawlSchedule(
+        graft.operators.Sitemaps.parseSitemaps(
+          docs.select(h.as("host"), xml.as("xml"))),
+        nowEpoch = 1769904000L)
+    }),
+
     // polite frontier scheduling: per-host priority queue with a URL
     // tie-break, per-host crawl-delay (odd hosts declare 2s, the rest
     // default), and a 15-fetch round budget (WindowGroupLimit plans
@@ -2140,6 +2166,12 @@ $joins"""
     // decimal-summed chi-square — the fabricated-data tripwire
     "q_stats_benford" -> ((s, dir) =>
       Stats.benfordTest(t(s, dir, "lineitem"), "l_extendedprice")),
+
+    // key-concentration audit on the order->customer FK: Gini over
+    // per-key counts (exact integer rank sums) + top-1%/10% shares —
+    // the whale/skew detector; windows run on the key dictionary
+    "q_stats_concentration" -> ((s, dir) =>
+      Stats.keyConcentration(t(s, dir, "orders"), "o_custkey")),
 
     // referential-integrity audit over the star schema: dangling FK
     // keys per relationship — dictionary-vs-dictionary anti-joins
@@ -4189,9 +4221,47 @@ $joins"""
           |    THEN CAST(prio AS DOUBLE) END AS priority
           |FROM x""").stripMargin,
 
+      // ground truth of the planted freshness hints: the changefreq
+      // period map, day-granular lastmod epochs, and the due rule
+      // stated directly (the parse itself is oracled by q_url_sitemap)
+      "q_url_recrawl" ->
+        """WITH p AS (
+          |  SELECT doc_id, source,
+          |    source || '.example.com' AS host,
+          |    'https://' || source || '.example.com' AS base,
+          |    ['always','hourly','daily','weekly','monthly','yearly',
+          |     'never','sometimes'][CAST(doc_id % 8 + 1 AS INT)] AS cf,
+          |    '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+          |      2, '0') AS lm
+          |  FROM documents
+          |), u1 AS (
+          |  SELECT host,
+          |    base || '/p/' || CAST(doc_id AS VARCHAR) AS loc,
+          |    CAST(NULL AS DOUBLE) AS priority,
+          |    CAST(CASE cf WHEN 'always' THEN 300
+          |      WHEN 'hourly' THEN 3600 WHEN 'daily' THEN 86400
+          |      WHEN 'weekly' THEN 604800 WHEN 'monthly' THEN 2592000
+          |      WHEN 'yearly' THEN 31536000 WHEN 'never' THEN NULL
+          |      ELSE 604800 END AS BIGINT) AS period_s,
+          |    CAST(CAST(lm AS DATE) - DATE '1970-01-01' AS BIGINT)
+          |      * 86400 AS lme
+          |  FROM p
+          |)
+          |SELECT host, loc, priority, period_s,
+          |  lme + period_s AS next_due_epoch,
+          |  CASE WHEN period_s IS NULL THEN FALSE
+          |    ELSE lme + period_s <= 1769904000 END AS due
+          |FROM u1
+          |UNION ALL
+          |SELECT host,
+          |  base || '/n/' || CAST(doc_id AS VARCHAR),
+          |  CAST(NULL AS DOUBLE), CAST(604800 AS BIGINT),
+          |  CAST(NULL AS BIGINT), TRUE
+          |FROM p""".stripMargin,
+
       // same per-host window: priority DESC NULLS LAST + url
       // tie-break, per-host delay coalesced to the default, round
-      // budget of 40
+      // budget of 15
       "q_crawl_frontier" ->
         """WITH u AS (
           |  SELECT source || '.example.com' AS host,
@@ -5857,6 +5927,48 @@ $joins"""
           |    / CAST(1e6 AS DOUBLE) AS exp_frac,
           |  round(sum(t9) OVER (), 6)::DOUBLE AS chi2
           |FROM t""".stripMargin,
+
+      // same key-dictionary windows: asc/desc row_number with the key
+      // tie-break, exact integer rank-sum, identical Gini and
+      // top-share shapes, integer-scale display
+      "q_stats_concentration" ->
+        """WITH c AS (
+          |  SELECT CAST(o_custkey AS VARCHAR) AS k,
+          |    CAST(count(*) AS BIGINT) AS cnt
+          |  FROM orders GROUP BY 1
+          |), r AS (
+          |  SELECT k, cnt,
+          |    CAST(row_number() OVER (ORDER BY cnt ASC,
+          |      k ASC NULLS FIRST) AS BIGINT) AS ra,
+          |    CAST(row_number() OVER (ORDER BY cnt DESC,
+          |      k ASC NULLS FIRST) AS BIGINT) AS rd,
+          |    CAST(count(*) OVER () AS BIGINT) AS nk
+          |  FROM c
+          |), a AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+          |    CAST(sum(ra * cnt) AS BIGINT) AS s,
+          |    CAST(sum(CASE WHEN rd <=
+          |        CAST(ceil(0.01::DOUBLE * nk) AS BIGINT)
+          |      THEN cnt END) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+          |      AS t1,
+          |    CAST(sum(CASE WHEN rd <=
+          |        CAST(ceil(0.1::DOUBLE * nk) AS BIGINT)
+          |      THEN cnt END) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+          |      AS t10
+          |  FROM r
+          |)
+          |SELECT n_keys, n_rows,
+          |  round((2.0::DOUBLE * CAST(s AS DOUBLE) /
+          |    (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)) -
+          |    CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE))
+          |    * CAST(1e6 AS DOUBLE))::DOUBLE / CAST(1e6 AS DOUBLE)
+          |    AS gini,
+          |  round(t1 * CAST(1e6 AS DOUBLE))::DOUBLE
+          |    / CAST(1e6 AS DOUBLE) AS share_top_1pct,
+          |  round(t10 * CAST(1e6 AS DOUBLE))::DOUBLE
+          |    / CAST(1e6 AS DOUBLE) AS share_top_10pct
+          |FROM a""".stripMargin,
 
       "q_stats_integrity" ->
         """WITH

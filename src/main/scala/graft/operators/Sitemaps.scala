@@ -62,6 +62,60 @@ object Sitemaps {
     when(v =!= "", v)
   }
 
+  /** changefreq -> refetch period in seconds (sitemaps.org values).
+    * `never` maps to null (do not refetch unless forced); unknown /
+    * absent values take the caller's default. */
+  val ChangefreqPeriods: Seq[(String, Long)] = Seq(
+    "always" -> 300L, "hourly" -> 3600L, "daily" -> 86400L,
+    "weekly" -> 604800L, "monthly" -> 2592000L, "yearly" -> 31536000L)
+
+  /** Recrawl scheduling from sitemap freshness hints — what the hints
+    * are FOR: a host that declares (lastmod, changefreq) is telling
+    * the crawler when a refetch stops being wasted work. Consumes
+    * [[parseSitemaps]]' kind='url' rows and emits per-URL
+    * (host, loc, priority, period_s, next_due_epoch, due):
+    *
+    *   - `period_s` from [[ChangefreqPeriods]]; unknown/absent
+    *     changefreq -> `defaultPeriodS`; `never` -> null.
+    *   - `lastmod` is read at DAY granularity (its first 10 chars as
+    *     a date — the W3C datetime's date part): crawl scheduling is
+    *     day-granular at best, and date-only parsing is the form every
+    *     engine agrees on byte-for-byte. `next_due_epoch` =
+    *     lastmod-days · 86400 + period.
+    *   - `due` = the URL should be fetched at `nowEpoch`: declared
+    *     never-refetch -> false; no/unparseable lastmod -> true (a
+    *     freshness hint we cannot date is no hint); else
+    *     next_due_epoch <= nowEpoch.
+    *
+    * Pure projection (zero shuffle); compose with
+    * [[graft.operators.Frontier.schedule]] — `due` filters the round's
+    * candidates, `priority` feeds its priorityCol. */
+  def recrawlSchedule(entries: DataFrame, nowEpoch: Long,
+                      defaultPeriodS: Long = 604800L): DataFrame = {
+    val period = ChangefreqPeriods.foldLeft(
+      when(col("changefreq") === "never", lit(null).cast("long"))
+        .otherwise(lit(defaultPeriodS))) { case (acc, (k, v)) =>
+      when(col("changefreq") === k, lit(v)).otherwise(acc)
+    }
+    // format-guarded + try-parsed: ANSI mode (Spark 4 default) makes
+    // to_date('2026-02-31') THROW, and a regex can't rule out
+    // calendar-invalid dates — try_to_timestamp nulls them instead,
+    // which the due-rule treats as "no datable hint" (fetch)
+    val day = substring(col("lastmod"), 1, 10)
+    val lastmodDays = when(day.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+      datediff(to_date(try_to_timestamp(day, lit("yyyy-MM-dd"))),
+        to_date(lit("1970-01-01"))))
+    entries.filter(col("kind") === "url")
+      .select(col("host"), col("loc"), col("priority"),
+        period.as("period_s"),
+        (lastmodDays.cast("long") * 86400L + period)
+          .as("next_due_epoch"))
+      .withColumn("due",
+        when(col("period_s").isNull, lit(false))
+          .otherwise(col("next_due_epoch").isNull ||
+            col("next_due_epoch") <= nowEpoch))
+  }
+
   /** Strict-decimal guard before the double cast: ANSI mode (Spark 4
     * default) makes cast('junk' AS double) THROW, and a whole 100 TB
     * stage dying on one malformed priority is the wrong trade. The

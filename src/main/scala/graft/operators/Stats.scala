@@ -821,6 +821,55 @@ object Stats {
       .select(lit(relationship).as("relationship"),
         col("n_orphan_keys"), col("n_orphan_rows"), col("n_null_rows"))
 
+  /** Key-concentration audit: how much of the table a few key values
+    * own. THE corpus-health question for a crawl (does one host
+    * dominate training data?), a user-event stream (bot whales), or
+    * any FK column (skew the joins will feel). Emits ONE row:
+    * (n_keys, n_rows, gini, share_top_1pct, share_top_10pct).
+    *
+    *   - `gini`: population Gini over per-key counts — 0 = uniform,
+    *     ->1 = one key owns everything. Computed from the asc-sorted
+    *     counts via the rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n:
+    *     Σ(i·xᵢ) is an exact integer sum (holds while
+    *     n_keys·n_rows < 2⁶³), so the only float work is one
+    *     fixed-shape formula.
+    *   - `share_top_Xpct`: the fraction of rows held by the top
+    *     ⌈X%·n_keys⌉ keys (count desc, key asc tie-break).
+    *
+    * Scale shape: the raw table collapses to its key dictionary in
+    * one partial-aggregated groupBy; the global-order windows run on
+    * THAT (key-cardinality-sized — the vocab-top precedent), never on
+    * raw rows. Null keys count as one key (they're a concentration
+    * story too). Displays on the integer-scale 6-decimal lattice. */
+  def keyConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("cnt"))
+    val asc = Window.orderBy(col("cnt").asc, col("__k").asc_nulls_first)
+    val desc = Window.orderBy(col("cnt").desc, col("__k").asc_nulls_first)
+    val ranked = counts
+      .withColumn("ra", row_number().over(asc).cast("long"))
+      .withColumn("rd", row_number().over(desc).cast("long"))
+      .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
+    def disp(c: Column): Column =
+      round(c * lit(1e6)).cast("double") / lit(1e6)
+    def topShare(frac: Double): Column =
+      sum(when(col("rd") <= ceil(lit(frac) * col("nk")), col("cnt")))
+        .cast("double") / sum(col("cnt")).cast("double")
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        sum(col("ra") * col("cnt")).as("s"),
+        topShare(0.01).as("t1"),
+        topShare(0.10).as("t10"))
+      .select(col("n_keys"), col("n_rows"),
+        disp(lit(2.0) * col("s").cast("double") /
+          (col("n_keys").cast("double") * col("n_rows").cast("double")) -
+          (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"))
+          .as("gini"),
+        disp(col("t1")).as("share_top_1pct"),
+        disp(col("t10")).as("share_top_10pct"))
+  }
+
   /** Benford first-significant-digit test — the forensic data-quality
     * tripwire for naturally-occurring magnitude columns (amounts,
     * populations, counts): organic multi-order-of-magnitude data leads

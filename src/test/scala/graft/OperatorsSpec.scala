@@ -5159,6 +5159,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h2.length == 1 && h2(0).getAs[Long]("fetch_offset_ms") == 0L)
   }
 
+  test("recrawlSchedule maps changefreq periods and applies the due rule") {
+    import spark.implicits._
+    val entries = Seq(
+      ("h", "url", "https://h/a", "2026-01-10", "daily"),
+      ("h", "url", "https://h/b", "2026-01-10", "never"),
+      ("h", "url", "https://h/c", "2026-01-10", "bogus"),   // -> default
+      ("h", "url", "https://h/d", null, "daily"),           // no lastmod
+      ("h", "url", "https://h/e", "2026-02-31", "daily"),   // invalid date
+      ("h", "url", "https://h/f", "2026-01-10", "yearly"),
+      ("h", "sitemap", "https://h/s.xml", "2026-01-10", "daily") // dropped
+    ).toDF("host", "kind", "loc", "lastmod", "changefreq")
+      .withColumn("priority", lit(null).cast("double"))
+      .withColumn("pos", lit(0))
+    val now = 1769904000L // 2026-02-01T00:00:00Z
+    val out = graft.operators.Sitemaps.recrawlSchedule(entries, now)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(out.size == 6) // the index row dropped
+    val jan10 = 20463L * 86400L // days('2026-01-10') = 20463
+    assert(out("https://h/a").getAs[Long]("period_s") == 86400L)
+    assert(out("https://h/a").getAs[Long]("next_due_epoch") ==
+      jan10 + 86400L)
+    assert(out("https://h/a").getAs[Boolean]("due"))
+    val b = out("https://h/b")
+    assert(b.isNullAt(b.fieldIndex("period_s")) && !b.getAs[Boolean]("due"))
+    assert(out("https://h/c").getAs[Long]("period_s") == 604800L)
+    val d = out("https://h/d")
+    assert(d.isNullAt(d.fieldIndex("next_due_epoch")) &&
+      d.getAs[Boolean]("due"))
+    val e = out("https://h/e") // calendar-invalid -> undatable -> due
+    assert(e.isNullAt(e.fieldIndex("next_due_epoch")) &&
+      e.getAs[Boolean]("due"))
+    assert(!out("https://h/f").getAs[Boolean]("due")) // yearly, not yet
+  }
+
+  test("keyConcentration: hand-computed Gini, shares, uniform zero") {
+    import spark.implicits._
+    // counts: a->1, b->1, c->6 => n=3 keys, 8 rows
+    // asc order (cnt, key): a(1),b(1),c(6) -> S = 1*1 + 2*1 + 3*6 = 21
+    // gini = 2*21/(3*8) - 4/3 = 1.75 - 1.3333... = 0.416667 (rounded)
+    val df = (Seq.fill(6)("c") ++ Seq("a", "b")).map(Tuple1(_)).toDF("k")
+    val r = Stats.keyConcentration(df, "k").collect()(0)
+    assert(r.getAs[Long]("n_keys") == 3L && r.getAs[Long]("n_rows") == 8L)
+    val gini = math.round((2.0 * 21 / (3.0 * 8.0) - 4.0 / 3.0) * 1e6) / 1e6
+    assert(r.getAs[Double]("gini") == gini)
+    // top 1% of 3 keys = ceil(0.03) = 1 key = c -> 6/8; top 10% same
+    assert(r.getAs[Double]("share_top_1pct") == 0.75)
+    assert(r.getAs[Double]("share_top_10pct") == 0.75)
+    // uniform distribution -> gini 0
+    val u = Stats.keyConcentration(
+      Seq("x", "y", "z", "w").map(Tuple1(_)).toDF("k"), "k").collect()(0)
+    assert(u.getAs[Double]("gini") == 0.0)
+  }
+
   test("personalizedPageRank: teleport returns to seeds; hand-computed chain") {
     import spark.implicits._
     // 4 -> 1 -> 2 -> 3, seed {1}, d = 0.5, 2 iters:
