@@ -1310,6 +1310,13 @@ $joins"""
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.buildVocab(t(s, dir, "documents"), "text", topN = 20)),
 
+    // vocabulary coverage curve at three budget cuts: the top-N token
+    // mass fraction that picks a tokenizer vocab size — one count
+    // pass, then heap-based top-cut sums (no global sort)
+    "q_text_coverage" -> ((s, dir) =>
+      TextAnalysis.coverageCurve(t(s, dir, "documents"), "text",
+        cuts = Seq(10, 100, 1000))),
+
     // Zipf drift tripwire: least-squares ln(tf) ~ ln(rank) over the
     // top-200 vocabulary head (slope near -1 = natural text)
     "q_text_zipf" -> ((s, dir) =>
@@ -2000,6 +2007,14 @@ $joins"""
     "q_events_anomalies" -> ((s, dir) =>
       Events.rollingAnomalies(t(s, dir, "events"), nPrior = 20,
         minPrior = 8, zThreshold = 3.0)),
+
+    // seasonal-baseline anomalies: each event scored against its
+    // (type, hour-of-day) cell mean/sd — the periodic complement to
+    // the trailing z-score; decimal-exact cell moments, broadcast
+    // cell join, flag on the unrounded doubles
+    "q_events_seasonal" -> ((s, dir) =>
+      Events.seasonalBaseline(t(s, dir, "events"), k = 3.0,
+        minObs = 30L)),
 
     // range (interval) join via time-bin bucketing: every click within
     // the hour BEFORE each purchase; pairs meet in exactly one bin so no
@@ -4384,6 +4399,43 @@ $joins"""
       // final vocab frame joined back to the held split's ordered words
       "q_text_bpe_encode" -> bpeEncodeOracleSql(6, "doc_id % 10 = 0"),
 
+      // same two-level counts, same heap-equivalent ORDER BY/LIMIT
+      // top-cut sums, same (tf desc, token) tie-break
+      "q_text_coverage" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          |  FROM documents),
+          |per AS (
+          |  SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+          |c AS MATERIALIZED (
+          |  SELECT token, CAST(sum(c) AS BIGINT) AS tf FROM per
+          |  GROUP BY 1),
+          |t AS (SELECT CAST(sum(tf) AS BIGINT) AS tot FROM c),
+          |k1 AS (SELECT CAST(sum(tf) AS BIGINT) AS cov,
+          |  CAST(count(*) AS BIGINT) AS n FROM
+          |  (SELECT tf FROM c ORDER BY tf DESC, token LIMIT 10)),
+          |k2 AS (SELECT CAST(sum(tf) AS BIGINT) AS cov,
+          |  CAST(count(*) AS BIGINT) AS n FROM
+          |  (SELECT tf FROM c ORDER BY tf DESC, token LIMIT 100)),
+          |k3 AS (SELECT CAST(sum(tf) AS BIGINT) AS cov,
+          |  CAST(count(*) AS BIGINT) AS n FROM
+          |  (SELECT tf FROM c ORDER BY tf DESC, token LIMIT 1000))
+          |SELECT CAST(10 AS INT) AS cut, n AS n_tokens,
+          |  round(CAST(cov AS DOUBLE) / CAST(tot AS DOUBLE)
+          |    * CAST(1e6 AS DOUBLE))::DOUBLE / CAST(1e6 AS DOUBLE)
+          |    AS coverage
+          |FROM k1 CROSS JOIN t
+          |UNION ALL
+          |SELECT CAST(100 AS INT), n,
+          |  round(CAST(cov AS DOUBLE) / CAST(tot AS DOUBLE)
+          |    * CAST(1e6 AS DOUBLE))::DOUBLE / CAST(1e6 AS DOUBLE)
+          |FROM k2 CROSS JOIN t
+          |UNION ALL
+          |SELECT CAST(1000 AS INT), n,
+          |  round(CAST(cov AS DOUBLE) / CAST(tot AS DOUBLE)
+          |    * CAST(1e6 AS DOUBLE))::DOUBLE / CAST(1e6 AS DOUBLE)
+          |FROM k3 CROSS JOIN t""".stripMargin,
+
       "q_text_vocab" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -5511,6 +5563,36 @@ $joins"""
       // same DECIMAL(18,2)-exact window sums, same strictly-prior
       // frame, same double arithmetic from the exact sums, keep
       // decision on the unrounded z
+      // same (type, hour) cells: round-9 decimal moments, one
+      // fixed-shape mean/sd formula, flag on the unrounded doubles
+      "q_events_seasonal" ->
+        """WITH e AS (
+          |  SELECT event_id, event_type,
+          |    CAST(extract(hour FROM ts) AS INT) AS hour, value
+          |  FROM events
+          |), cells AS (
+          |  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_obs,
+          |    sum(round(value, 9)::DECIMAL(38,9)) AS s1,
+          |    sum(round(value * value, 9)::DECIMAL(38,9)) AS s2
+          |  FROM e GROUP BY 1, 2
+          |), m AS (
+          |  SELECT event_type, hour, n_obs,
+          |    CAST(s1 AS DOUBLE) / CAST(n_obs AS DOUBLE) AS mean,
+          |    sqrt(greatest(0.0::DOUBLE,
+          |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+          |        * CAST(s1 AS DOUBLE) / CAST(n_obs AS DOUBLE))
+          |      / CAST(n_obs AS DOUBLE))) AS sd
+          |  FROM cells
+          |)
+          |SELECT e.event_id, e.event_type, e.hour, e.value, m.n_obs,
+          |  round(mean * CAST(1e6 AS DOUBLE))::DOUBLE
+          |    / CAST(1e6 AS DOUBLE) AS cell_mean,
+          |  round(sd * CAST(1e6 AS DOUBLE))::DOUBLE
+          |    / CAST(1e6 AS DOUBLE) AS cell_sd,
+          |  (m.n_obs >= 30 AND sd > 0
+          |    AND abs(e.value - mean) > 3.0::DOUBLE * sd) AS is_anomaly
+          |FROM e JOIN m USING (event_type, hour)""".stripMargin,
+
       "q_events_anomalies" ->
         """WITH t AS (
           |  SELECT user_id AS u, event_id, ts,

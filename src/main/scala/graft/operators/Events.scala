@@ -456,4 +456,63 @@ object Events {
       .agg(count(lit(1)).as("n_recent"),
         sum(col("term")).cast("double").as("decayed_value"))
   }
+
+  /** Seasonal-baseline anomaly flags — the periodic complement to
+    * [[rollingAnomalies]]' trailing z-score: traffic/metric streams
+    * have strong time-of-day structure, and "3σ above the last 20
+    * events" misses the spike that is normal at noon and alarming at
+    * 3am. Each event scores against the (key, hour-of-day) cell it
+    * falls in: cell mean/sd over the WHOLE table (the baseline), flag
+    * when |value − mean| > k·sd with at least `minObs` observations
+    * behind the cell (sparse cells cannot alarm).
+    *
+    * Numerics: cell Σv and Σv² accumulate as round-9 DECIMALS (exact,
+    * order-independent — the decayedActivity lattice), then ONE
+    * fixed-shape double formula for mean and population sd
+    * (fp-negative variance guarded to 0); the flag compares doubles
+    * both engines computed identically. Displayed mean/sd on the
+    * integer-scale 6-decimal lattice; the flag uses the UNrounded
+    * values.
+    *
+    * Scale shape: one partial-aggregated groupBy to the (key × 24)
+    * cell table + one broadcast join back onto the scan — no windows,
+    * no per-event state. Output: events + (hour, n_obs, cell_mean,
+    * cell_sd, is_anomaly). */
+  def seasonalBaseline(events: DataFrame, keyCol: String = "event_type",
+                       valueCol: String = "value",
+                       tsCol: String = "ts",
+                       idCol: String = "event_id",
+                       k: Double = 3.0,
+                       minObs: Long = 30L): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val hour = org.apache.spark.sql.functions.hour(col(tsCol))
+    val cells = events
+      .select(col(keyCol).as("__key"), hour.as("hour"),
+        col(valueCol).as("__v"))
+      .groupBy(col("__key"), col("hour"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(round(col("__v"), 9).cast("decimal(38,9)")).as("s1"),
+        sum(round(col("__v") * col("__v"), 9).cast("decimal(38,9)"))
+          .as("s2"))
+      .select(col("__key"), col("hour"), col("n_obs"),
+        (col("s1").cast("double") / col("n_obs").cast("double"))
+          .as("__mean"),
+        sqrt(greatest(lit(0.0),
+          (col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") /
+              col("n_obs").cast("double")) /
+            col("n_obs").cast("double"))).as("__sd"))
+    def disp(c: Column): Column =
+      round(c * lit(1e6)).cast("double") / lit(1e6)
+    events
+      .withColumn("__key", col(keyCol))
+      .withColumn("hour", hour)
+      .join(broadcast(cells), Seq("__key", "hour"))
+      .select(col(idCol), col(keyCol), col("hour"), col(valueCol),
+        col("n_obs"), disp(col("__mean")).as("cell_mean"),
+        disp(col("__sd")).as("cell_sd"),
+        (col("n_obs") >= minObs && col("__sd") > 0 &&
+          abs(col(valueCol) - col("__mean")) > lit(k) * col("__sd"))
+          .as("is_anomaly"))
+  }
 }

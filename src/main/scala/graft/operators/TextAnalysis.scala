@@ -253,6 +253,40 @@ object TextAnalysis {
       .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
   }
 
+  /** Vocabulary coverage CURVE — corpus token mass covered by the top-N
+    * vocabulary at each candidate size: the chart that picks a
+    * tokenizer/vocab budget (the knee where another 10k entries stops
+    * buying coverage) before committing to a training run. One row per
+    * cut: (cut, n_tokens = min(cut, |vocab|), coverage).
+    *
+    * Scale shape: ONE two-level token count (per-doc combine first —
+    * the buildVocab pattern), checkpointed, then per cut a
+    * TakeOrderedAndProject (per-partition heap of `cut` rows, no
+    * global sort) feeding a scalar sum. Rank ties break (tf desc,
+    * token asc) as everywhere else. Cost ∝ vocabulary + Σcuts, not
+    * corpus, after the one count pass. Coverage displays on the
+    * integer-scale 6-decimal lattice. */
+  def coverageCurve(docs: DataFrame, textCol: String = "text",
+                    cuts: Seq[Int] = Seq(100, 1000, 10000),
+                    idCol: String = "doc_id"): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ >= 1), "cuts must be >= 1")
+    val counts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("token")).agg(sum(col("c")).as("tf"))
+      .localCheckpoint(false)
+    val total = counts.agg(sum(col("tf")).as("__tot"))
+    val perCut = cuts.map { cut =>
+      counts.orderBy(col("tf").desc, col("token")).limit(cut)
+        .agg(sum(col("tf")).as("covered"), count(lit(1)).as("n_tokens"))
+        .select(lit(cut).as("cut"), col("n_tokens"), col("covered"))
+    }.reduce(_ unionByName _)
+    perCut.crossJoin(total)
+      .select(col("cut"), col("n_tokens"),
+        (round(col("covered").cast("double") / col("__tot").cast("double")
+          * lit(1e6)).cast("double") / lit(1e6)).as("coverage"))
+  }
+
   /** Vocabulary coverage / out-of-vocabulary rate per document against
     * a trained token inventory — the acceptance test run after
     * [[buildVocab]]/[[trainBpe]]/[[trainPieces]] produce a vocab and

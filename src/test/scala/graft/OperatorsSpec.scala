@@ -5159,6 +5159,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h2.length == 1 && h2(0).getAs[Long]("fetch_offset_ms") == 0L)
   }
 
+  test("coverageCurve: hand-computed top-N token mass at each cut") {
+    import spark.implicits._
+    // tf: a->3, b->2, c->1 (total 6)
+    val df = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.coverageCurve(df, cuts = Seq(1, 2, 10))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1) == ((1L, 0.5)))
+    assert(out(2) == ((2L, math.round(5.0 / 6.0 * 1e6) / 1e6)))
+    assert(out(10) == ((3L, 1.0))) // cut past vocab: all tokens
+  }
+
+  test("seasonalBaseline flags only well-observed cells; sparse cells cannot alarm") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 0: 30 obs of 10.0 + one 100.0 outlier (n=31 >= minObs)
+    // hour 1: 4 obs of 10.0 + one 100.0 outlier (n=5 < minObs)
+    val rows = (0 until 30).map(i => (i.toLong, ts(0, i), "x", 10.0)) ++
+      Seq((30L, ts(0, 55), "x", 100.0)) ++
+      (40 until 44).map(i => (i.toLong, ts(1, i - 40), "x", 10.0)) ++
+      Seq((44L, ts(1, 30), "x", 100.0))
+    val df = rows.toDF("event_id", "ts", "event_type", "value")
+    val out = Events.seasonalBaseline(df, k = 3.0, minObs = 30L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 36)
+    // the dense-cell outlier alarms, its peers do not
+    assert(out(30L).getAs[Boolean]("is_anomaly"))
+    assert(!out(0L).getAs[Boolean]("is_anomaly"))
+    assert(out(30L).getAs[Long]("n_obs") == 31L)
+    // identical outlier in the sparse cell stays silent
+    assert(!out(44L).getAs[Boolean]("is_anomaly"))
+    assert(out(44L).getAs[Long]("n_obs") == 5L)
+    // cell mean of hour 0: (30*10 + 100)/31
+    assert(out(0L).getAs[Double]("cell_mean") ==
+      math.round(400.0 / 31.0 * 1e6) / 1e6)
+  }
+
   test("recrawlSchedule maps changefreq periods and applies the due rule") {
     import spark.implicits._
     val entries = Seq(
