@@ -2648,6 +2648,28 @@ $joins"""
       TextSearch.bm25FromIndex(s, idx, queries, k = 10)
     }),
 
+    // incremental index maintenance: build on the 90% slice, MERGE the
+    // 10% delta (delta-only tokenization), probe the merged index —
+    // scored under the FULL-corpus oracle, so merge==rebuild is the
+    // correctness statement itself
+    "q_text_bm25_merged" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq((0L, "spark join fast"), (1L, "vector scan slow"),
+        (2L, "customer order line"), (3L, "window agg group"),
+        (4L, "hash merge sort batch")).toDF("query_id", "qtext")
+      val docs = t(s, dir, "documents")
+      val sfx = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25base_" + sfx).getPath
+      val merged = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25merged_" + sfx).getPath
+      TextSearch.writeSearchIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), base)
+      TextSearch.mergeSearchIndex(s, base,
+        docs.filter(col("doc_id") % 10 === 0), merged)
+      TextSearch.bm25FromIndex(s, merged, queries, k = 10)
+    }),
+
     // hybrid retrieval: the same five text queries' BM25 top-20 fused
     // with their query VECTORS' exact cosine top-20 (vec_id 0-4 ↔
     // query_id 0-4; the corpus id spaces align 1:1) via reciprocal-rank
@@ -3649,6 +3671,10 @@ $joins"""
       // index build -> probe reproduces the direct scoring exactly, so
       // the oracle IS the direct-BM25 SQL
       "q_text_bm25_indexed" -> bm25OracleSql,
+
+      // merge == rebuild: the merged-index probe must score exactly as
+      // the full corpus does
+      "q_text_bm25_merged" -> bm25OracleSql,
 
       // hybrid RRF: the BM25 oracle (top-20) and the exact dense top-20
       // re-derived as CTEs, then the same round(9)-decimal-summed

@@ -137,6 +137,60 @@ object TextSearch {
       .write.mode("overwrite").parquet(s"$path/postings")
   }
 
+  /** Incremental index maintenance: fold a NEW document batch into a
+    * persisted [[writeSearchIndex]] index without re-tokenizing the
+    * old corpus — the operation that makes the index sustainable on a
+    * growing 100 TB corpus (a daily crawl delta re-tokenizes the
+    * delta, not the archive).
+    *
+    * Exactness contract: the merged index is IDENTICAL — postings
+    * multiset, df, n_docs, avgdl, and therefore every BM25 score — to
+    * `writeSearchIndex(old ∪ new)` (spec-pinned; the harness probe
+    * runs under the full-corpus oracle). That holds because
+    *   - old postings store exact (term, doc_id, dl, tf); the delta
+    *     tokenizes identically; disjoint ids make the union the
+    *     rebuild's multiset (REQUIRED: re-adding an existing doc_id is
+    *     caller error — dedup/replace upstream);
+    *   - `df` recomputes over the union (the stored df is dropped);
+    *   - `meta` recomputes from the merged doc dictionary: every doc
+    *     has ≥ 1 posting row (an empty text still emits its
+    *     empty-string token), and avg over ints is an exact double
+    *     sum at any order below 2⁵³.
+    *
+    * Cost: delta tokenize + ONE term-keyed window over the union +
+    * the range-partitioned rewrite. `outPath` must differ from
+    * `path` (parquet cannot overwrite its own input mid-read); atomic
+    * swap is the caller's rename. */
+  def mergeSearchIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, newDocs: DataFrame, outPath: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shards: Int = 0): Unit = {
+    require(outPath != path, "outPath must differ from the input path")
+    val old = spark.read.parquet(s"$path/postings")
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val delta = newDocs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("dl"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val merged = old.unionByName(
+      delta.select(col("term"), col("doc_id"), col("dl"), col("tf")))
+      .localCheckpoint(false)
+    val statsRow = merged.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)), avg(col("dl"))).head
+    spark.range(1)
+      .select(lit(statsRow.getLong(0)).as("n_docs"),
+        lit(statsRow.getDouble(1)).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    val withDf = merged.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val ranged =
+      if (shards > 0) withDf.repartitionByRange(shards, col("term"))
+      else withDf.repartitionByRange(col("term"))
+    ranged.sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$outPath/postings")
+  }
+
   /** BM25 top-k against a persisted [[writeSearchIndex]] index —
     * identical scores and ranking to [[bm25TopK]] over the corpus the
     * index was built from (spec-pinned parity; the DuckDB oracle is

@@ -5159,6 +5159,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h2.length == 1 && h2(0).getAs[Long]("fetch_offset_ms") == 0L)
   }
 
+  test("mergeSearchIndex equals a full rebuild: postings, df, meta") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-merge").toString
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    TextSearch.writeSearchIndex(base, s"$tmp/base")
+    TextSearch.mergeSearchIndex(spark, s"$tmp/base", delta, s"$tmp/m")
+    TextSearch.writeSearchIndex(docs, s"$tmp/full")
+    def rows(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getString(r.fieldIndex("term")),
+        r.getLong(r.fieldIndex("doc_id")), r.getInt(r.fieldIndex("dl")),
+        r.getLong(r.fieldIndex("tf")), r.getLong(r.fieldIndex("df"))))
+      .toSet
+    assert(rows(s"$tmp/m/postings") == rows(s"$tmp/full/postings"))
+    val mm = spark.read.parquet(s"$tmp/m/meta").head
+    val fm = spark.read.parquet(s"$tmp/full/meta").head
+    assert(mm.getLong(0) == fm.getLong(0))
+    assert(mm.getDouble(1) == fm.getDouble(1)) // avgdl bit-identical
+    assertThrows[IllegalArgumentException] {
+      TextSearch.mergeSearchIndex(spark, s"$tmp/base", delta, s"$tmp/base")
+    }
+  }
+
   test("coverageCurve: hand-computed top-N token mass at each cut") {
     import spark.implicits._
     // tf: a->3, b->2, c->1 (total 6)
