@@ -2354,6 +2354,18 @@ $joins"""
         "src", "dst", iters = 3)
     }),
 
+    // Adamic-Adar link prediction over the same (folded-undirected)
+    // supplier-part graph: top-20 non-edges by rare-common-neighbor
+    // mass; hub centers above degree 64 skip (the bounded-wedge
+    // contract), decimal-summed 1/ln(deg) terms
+    "q_graph_adamic" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Graph.adamicAdar(
+        li.select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 10000000L).as("dst")),
+        "src", "dst", topN = 20, maxDegree = 64)
+    }),
+
     // connected components over a temporal co-presence graph: events of
     // the same type within 30 min link into burst chains — path-shaped
     // components, i.e. the worst case for diameter-bound min-label
@@ -5825,6 +5837,43 @@ $joins"""
       "q_graph_pagerank" -> pageRankOracleSql(3, 0.85),
 
       "q_graph_ppr" -> pprOracleSql(3, 0.85),
+
+      // same folded neighbor set, degree band, wedge self-join with
+      // the n<n orientation, decimal 1/ln(deg) sums, and top-20 cut
+      "q_graph_adamic" ->
+        """WITH e AS (
+          |  SELECT l_suppkey AS x, l_partkey + 10000000 AS y
+          |  FROM lineitem
+          |), nbr AS MATERIALIZED (
+          |  SELECT DISTINCT v, n FROM (
+          |    SELECT x AS v, y AS n FROM e
+          |    UNION ALL SELECT y AS v, x AS n FROM e)
+          |), deg AS (
+          |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM nbr
+          |  GROUP BY 1
+          |), cent AS MATERIALIZED (
+          |  SELECT nbr.v, nbr.n, deg.deg
+          |  FROM nbr JOIN deg USING (v)
+          |  WHERE deg.deg BETWEEN 2 AND 64
+          |), w AS (
+          |  SELECT l.n AS a, r.n AS b,
+          |    round(1.0::DOUBLE / ln(CAST(l.deg AS DOUBLE)), 9)
+          |      ::DECIMAL(38,9) AS term
+          |  FROM cent l JOIN cent r ON l.v = r.v AND l.n < r.n
+          |), sc AS (
+          |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+          |    sum(term) AS s
+          |  FROM w GROUP BY 1, 2
+          |), ex AS (SELECT v AS a, n AS b FROM nbr WHERE v < n),
+          |fin AS (
+          |  SELECT sc.a, sc.b, sc.n_common, round(s, 6)::DOUBLE AS score
+          |  FROM sc LEFT JOIN ex ON sc.a = ex.a AND sc.b = ex.b
+          |  WHERE ex.a IS NULL
+          |)
+          |SELECT a, b, n_common, score,
+          |  CAST(row_number() OVER (ORDER BY score DESC, a, b) AS INT)
+          |    AS rank
+          |FROM fin ORDER BY score DESC, a, b LIMIT 20""".stripMargin,
 
       // both HITS half-steps per round unrolled with the same lattice
       // and normalization shape — see hitsOracleSql

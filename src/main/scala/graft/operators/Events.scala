@@ -478,16 +478,16 @@ object Events {
     * cell table + one broadcast join back onto the scan — no windows,
     * no per-event state. Output: events + (hour, n_obs, cell_mean,
     * cell_sd, is_anomaly). */
-  def seasonalBaseline(events: DataFrame, keyCol: String = "event_type",
-                       valueCol: String = "value",
-                       tsCol: String = "ts",
-                       idCol: String = "event_id",
-                       k: Double = 3.0,
-                       minObs: Long = 30L): DataFrame = {
-    require(k > 0, "k must be > 0")
-    val hour = org.apache.spark.sql.functions.hour(col(tsCol))
-    val cells = events
-      .select(col(keyCol).as("__key"), hour.as("hour"),
+  /** The (key, hour-of-day) baseline cells: (__key, hour, n_obs,
+    * __mean, __sd) — fit once on a historical frame, score many
+    * (batch via [[seasonalScore]], streams via the collected-literal
+    * form in StreamOps). */
+  def seasonalCells(events: DataFrame, keyCol: String = "event_type",
+                    valueCol: String = "value",
+                    tsCol: String = "ts"): DataFrame =
+    events
+      .select(col(keyCol).as("__key"),
+        org.apache.spark.sql.functions.hour(col(tsCol)).as("hour"),
         col(valueCol).as("__v"))
       .groupBy(col("__key"), col("hour"))
       .agg(count(lit(1)).as("n_obs"),
@@ -502,11 +502,24 @@ object Events {
             col("s1").cast("double") * col("s1").cast("double") /
               col("n_obs").cast("double")) /
             col("n_obs").cast("double"))).as("__sd"))
+
+  /** Score events against a fitted cell frame (inner join: an event
+    * whose (key, hour) has no baseline cell emits nothing — there is
+    * no baseline to deviate from; count them upstream). */
+  def seasonalScore(events: DataFrame, cells: DataFrame,
+                    keyCol: String = "event_type",
+                    valueCol: String = "value",
+                    tsCol: String = "ts",
+                    idCol: String = "event_id",
+                    k: Double = 3.0,
+                    minObs: Long = 30L): DataFrame = {
+    require(k > 0, "k must be > 0")
     def disp(c: Column): Column =
       round(c * lit(1e6)).cast("double") / lit(1e6)
     events
       .withColumn("__key", col(keyCol))
-      .withColumn("hour", hour)
+      .withColumn("hour",
+        org.apache.spark.sql.functions.hour(col(tsCol)))
       .join(broadcast(cells), Seq("__key", "hour"))
       .select(col(idCol), col(keyCol), col("hour"), col(valueCol),
         col("n_obs"), disp(col("__mean")).as("cell_mean"),
@@ -515,4 +528,14 @@ object Events {
           abs(col(valueCol) - col("__mean")) > lit(k) * col("__sd"))
           .as("is_anomaly"))
   }
+
+  def seasonalBaseline(events: DataFrame, keyCol: String = "event_type",
+                       valueCol: String = "value",
+                       tsCol: String = "ts",
+                       idCol: String = "event_id",
+                       k: Double = 3.0,
+                       minObs: Long = 30L): DataFrame =
+    seasonalScore(events,
+      seasonalCells(events, keyCol, valueCol, tsCol),
+      keyCol, valueCol, tsCol, idCol, k, minObs)
 }

@@ -171,6 +171,60 @@ object Graph {
         col("is_seed"))
   }
 
+  /** Adamic-Adar link prediction — the classic common-neighbor score
+    * (Adamic & Adar 2003): candidate pair (a,b) scores
+    * Σ_{v ∈ Γ(a)∩Γ(b)} 1/ln(deg(v)) — shared RARE neighbors are
+    * evidence, shared hubs are noise. On a crawl/citation graph the
+    * top non-edges are the "pages that should link" / related-item
+    * candidates; on an entity graph, merge candidates.
+    *
+    * Scale contract: wedges enumerate per CENTER v, and a hub center
+    * emits deg² wedges — so centers with deg > `maxDegree` are
+    * SKIPPED entirely (the standard top-k-pruning approximation;
+    * Adamic-Adar itself says those contribute least per wedge, but
+    * note a pair whose ONLY common neighbors are skipped hubs scores
+    * 0). The quadratic is then bounded by maxDegree²·|centers|.
+    * Existing edges anti-join out — predictions are NON-edges only.
+    *
+    * Numerics: each wedge term round(1/ln(deg), 9) sums as DECIMAL
+    * (order-independent, SQL-replicable); top-N cuts on (score desc,
+    * a, b) via TakeOrderedAndProject. Output: (rank, a, b, n_common,
+    * score[rounded 6]). Input treated as UNdirected simple graph
+    * (self-loops dropped, directions folded). */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 topN: Int = 20, maxDegree: Int = 64): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    require(maxDegree >= 2, "maxDegree must be >= 2")
+    val e = edges.select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+    val nbr = e.select(col("x").as("v"), col("y").as("n"))
+      .union(e.select(col("y").as("v"), col("x").as("n")))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val centers = nbr.join(
+      deg.filter(col("deg") >= 2 && col("deg") <= maxDegree), Seq("v"))
+    val wedges = centers.as("l")
+      .join(centers.as("r"), Seq("v"))
+      .filter(col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"),
+        round(lit(1.0) / log(col("l.deg").cast("double")), 9)
+          .cast("decimal(38,9)").as("term"))
+    val existing = nbr.filter(col("v") < col("n"))
+      .select(col("v").as("a"), col("n").as("b"))
+    wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("term")).as("s"))
+      .join(existing, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("n_common"),
+        round(col("s"), 6).cast("double").as("score"))
+      .orderBy(col("score").desc, col("a"), col("b"))
+      .limit(topN)
+      .coalesce(1)
+      .sortWithinPartitions(col("score").desc, col("a"), col("b"))
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) — PageRank's companion
     * on directed link graphs, and the natural consumer of
     * [[HtmlExtract.extractLinks]] edges: a page is a good AUTHORITY if

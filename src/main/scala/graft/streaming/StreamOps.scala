@@ -490,6 +490,55 @@ object StreamOps {
                           xmlCol: String = "xml"): DataFrame =
     graft.operators.Sitemaps.parseSitemaps(files, hostCol, xmlCol)
 
+  /** Typed event shape for [[seasonalAnomaliesStream]] inputs. */
+  case class MetricEvent(event_id: Long, ts: java.sql.Timestamp,
+                         event_type: String, value: Double)
+
+  /** Streaming seasonal-baseline anomalies — `Events.seasonalScore`
+    * against a batch-fitted (key, hour-of-day) cell table: the
+    * periodic complement to `rollingAnomaliesStream`, for metrics
+    * where "normal" depends on the clock. The cell table (≤ |keys|×24
+    * rows) collects ONCE at stream start into a literal map riding
+    * inside the plan — the fit-once convention of the MAD/quantile/
+    * logistic gates — so scoring is a stateless append-mode
+    * projection. Events whose (key, hour) has no baseline cell DROP
+    * (inner-join parity with the batch scorer); refresh the baseline
+    * by restarting the query. */
+  def seasonalAnomaliesStream(events: DataFrame, baseline: DataFrame,
+                              keyCol: String = "event_type",
+                              valueCol: String = "value",
+                              tsCol: String = "ts",
+                              idCol: String = "event_id",
+                              k: Double = 3.0,
+                              minObs: Long = 30L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k > 0, "k must be > 0")
+    val table: Map[String, (Long, Double, Double)] =
+      graft.operators.Events
+        .seasonalCells(baseline, keyCol, valueCol, tsCol)
+        .collect()
+        .map(r => (r.getString(0) + "#" + r.getInt(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+    val tableLit = typedlit(table)
+    val hr = hour(col(tsCol))
+    val cell = element_at(tableLit,
+      concat(col(keyCol), lit("#"), hr.cast("string")))
+    def disp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(c * lit(1e6)).cast("double") / lit(1e6)
+    events
+      .withColumn("hour", hr)
+      .withColumn("__cell", cell)
+      .filter(col("__cell").isNotNull)
+      .select(col(idCol), col(keyCol), col("hour"), col(valueCol),
+        col("__cell._1").as("n_obs"),
+        disp(col("__cell._2")).as("cell_mean"),
+        disp(col("__cell._3")).as("cell_sd"),
+        (col("__cell._1") >= minObs && col("__cell._3") > 0 &&
+          abs(col(valueCol) - col("__cell._2")) >
+            lit(k) * col("__cell._3")).as("is_anomaly"))
+  }
+
   /** Streaming WARC parsing — `Warc.parseWarc` over arriving crawl
     * blobs: the ingest entry point that turns fetched WARC batches
     * into per-record rows (native length-driven walk, malformed tails

@@ -5274,6 +5274,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(u.getAs[Double]("gini") == 0.0)
   }
 
+  test("adamicAdar: hand-computed scores on the 4-cycle; edges excluded") {
+    import spark.implicits._
+    // cycle 1-2-3-4-1: non-edges (1,3) and (2,4), each with two
+    // common neighbors of degree 2 -> score 2 * 1/ln(2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.adamicAdar(edges, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(out.length == 2)
+    val expected =
+      math.round(math.round(1.0 / math.log(2.0) * 1e9) / 1e9
+        * 2 * 1e6) / 1e6
+    assert(out.toSet == Set((1L, 3L, 2L, expected, 1),
+      (2L, 4L, 2L, expected, 2)))
+  }
+
+  test("adamicAdar: hub centers above maxDegree emit no wedges") {
+    import spark.implicits._
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))
+      .toDF("src", "dst")
+    // center degree 4 > cap 3: nothing to predict through
+    assert(Graph.adamicAdar(star, "src", "dst", maxDegree = 3)
+      .collect().isEmpty)
+    // cap raised: all 6 leaf pairs appear, each scored 1/ln(4)
+    val out = Graph.adamicAdar(star, "src", "dst", maxDegree = 4)
+      .collect()
+    assert(out.length == 6)
+    val exp = math.round(math.round(1.0 / math.log(4.0) * 1e9) / 1e9
+      * 1e6) / 1e6
+    assert(out.forall(_.getDouble(3) == exp))
+  }
+
   test("personalizedPageRank: teleport returns to seeds; hand-computed chain") {
     import spark.implicits._
     // 4 -> 1 -> 2 -> 3, seed {1}, d = 0.5, 2 iters:

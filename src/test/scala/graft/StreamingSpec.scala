@@ -1713,6 +1713,48 @@ class StreamingSpec extends AnyFunSuite {
       wr(0).getString(2) == "hello")
   }
 
+  test("seasonalAnomaliesStream scores against the batch-fitted cells " +
+       "like the batch scorer") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ts(h: Int, m: Int) =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // baseline: 31 obs at hour 0 (mean 10-ish), 5 obs at hour 1
+    val hist = ((0 until 30).map(i => (i.toLong, ts(0, i), "x", 10.0)) ++
+      Seq((30L, ts(0, 55), "x", 16.0)) ++
+      (40 until 45).map(i => (i.toLong, ts(1, i - 40), "x", 10.0)))
+      .toDF("event_id", "ts", "event_type", "value")
+    // live events: dense-hour outlier, dense-hour normal, sparse-hour
+    // outlier (minObs silences), unknown hour (no cell -> dropped)
+    val live = Seq(
+      (100L, ts(0, 10), "x", 99.0),
+      (101L, ts(0, 11), "x", 10.0),
+      (102L, ts(1, 10), "x", 99.0),
+      (103L, ts(7, 0), "x", 10.0))
+    val liveDf = live.toDF("event_id", "ts", "event_type", "value")
+    val batch = graft.operators.Events.seasonalScore(liveDf,
+        graft.operators.Events.seasonalCells(hist)).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5),
+        r.getBoolean(7))).toSet
+    import graft.streaming.StreamOps.MetricEvent
+    val input = MemoryStream[MetricEvent]
+    val out = StreamOps.seasonalAnomaliesStream(input.toDF(), hist)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("seasonal_stream")
+      .outputMode("append").start()
+    input.addData(live.map(e => MetricEvent(e._1, e._2, e._3, e._4)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select event_id, n_obs, cell_mean, is_anomaly " +
+        "from seasonal_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(streamed == batch)
+    val flags = streamed.map(t => t._1 -> t._4).toMap
+    assert(flags == Map(100L -> true, 101L -> false, 102L -> false))
+  }
+
   test("dedupAgainstStoreStream equals the batch store probe " +
        "on out-of-order input") {
     import graft.streaming.StreamOps.StreamDoc
