@@ -2086,6 +2086,18 @@ $joins"""
           keyCols = Seq("doc_id"))
         .select("doc_id", "n_chars")),
 
+    // soft dedup: every LSH near-dup cluster keeps expected mass 1 by
+    // sampling members at weight 1/|cluster| — duplicate-mass
+    // reweighting, not deletion; deterministic weighted-hash keep
+    "q_sample_softdedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.softDedupSample(
+          docs.select("doc_id", "lang", "source"),
+          Dedup.nearDupClusters(
+            Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3,
+              numHashes = 64, bands = 32, threshold = 0.5)))
+    }),
+
     // per-language length distribution via the mergeable GK quantile
     // sketch at the exact degenerate regime (eps = 0: partition-order
     // independent, externally replicable); the eps > 0 bounded-state
@@ -5831,6 +5843,41 @@ $joins"""
           |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
           |        ::BIGINT::DOUBLE / 281474976710656.0::DOUBLE
           |  < least(n_chars::DOUBLE / 400.0::DOUBLE, 1.0::DOUBLE)""".stripMargin,
+
+      // the recursive cluster walk again, then 1/|cluster| weights and
+      // the same weighted-hash keep rule
+      "q_sample_softdedup" ->
+        s"""WITH RECURSIVE pairs AS ($shingleCte),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM pairs
+           |),
+           |walk AS (
+           |  SELECT src AS id, dst AS reach FROM edges
+           |  UNION
+           |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+           |),
+           |clusters AS (
+           |  SELECT id, least(id, min(reach)) AS cluster_id
+           |  FROM walk GROUP BY id
+           |),
+           |sizes AS (
+           |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+           |  FROM clusters GROUP BY 1
+           |),
+           |wt AS (
+           |  SELECT c.id AS doc_id,
+           |    1.0::DOUBLE / CAST(s.sz AS DOUBLE) AS weight
+           |  FROM clusters c JOIN sizes s USING (cluster_id)
+           |)
+           |SELECT d.doc_id, d.lang, d.source,
+           |  coalesce(wt.weight, 1.0::DOUBLE) AS weight
+           |FROM documents d LEFT JOIN wt USING (doc_id)
+           |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))
+           |        ::BIGINT::DOUBLE / 281474976710656.0::DOUBLE
+           |  < least(greatest(coalesce(wt.weight, 1.0::DOUBLE),
+           |      0.0::DOUBLE), 1.0::DOUBLE)""".stripMargin,
 
       // each PageRank iteration unrolled with the identical rounding
       // discipline — see pageRankOracleSql

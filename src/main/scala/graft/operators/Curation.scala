@@ -213,6 +213,32 @@ object Curation {
     df.filter(u < least(greatest(weight, lit(0.0)), lit(1.0)))
   }
 
+  /** Soft dedup — duplicate-mass reweighting instead of deletion: each
+    * near-dup cluster keeps total expected mass ≈ 1 by sampling every
+    * member at weight 1/|cluster| (singletons keep weight 1). The
+    * DataComp/DoReMi-style alternative to hard dedup when duplicates
+    * carry signal (popularity IS information) but must not dominate
+    * the mix — and, composed from [[sampleByWeightedHash]], the keep
+    * decision stays deterministic, retry-stable, and monotone in the
+    * weight.
+    *
+    * `clusters` is [[graft.operators.Dedup.nearDupClusters]]' (id,
+    * cluster_id) frame. One size aggregate + one id-keyed left join
+    * (membership-sized right side — AQE broadcasts when small), then
+    * the weighted-hash filter rides the scan. Emits the kept docs +
+    * their `weight`. */
+  def softDedupSample(docs: DataFrame, clusters: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__sz"))
+    val w = clusters.join(sizes, Seq("cluster_id"))
+      .select(col("id").as(idCol),
+        (lit(1.0) / col("__sz").cast("double")).as("weight"))
+    val joined = docs.join(w, Seq(idCol), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(1.0)))
+    sampleByWeightedHash(joined, col("weight"), Seq(idCol))
+  }
+
   /** Corpus-relative quality gate: keep rows whose `score` is at or
     * above the corpus `q`-quantile — "drop the bottom 60% by quality"
     * without knowing the score distribution up front.

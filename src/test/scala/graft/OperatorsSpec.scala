@@ -5274,6 +5274,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(u.getAs[Double]("gini") == 0.0)
   }
 
+  test("softDedupSample: members weighted 1/|cluster|, singletons always kept") {
+    import spark.implicits._
+    val df = (1L to 9L).map(i => (i, s"d$i")).toDF("doc_id", "name")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("id", "cluster_id")
+    val kept = Curation.softDedupSample(df, clusters).collect()
+    // weight >= 1 is an always-keep in sampleByWeightedHash
+    assert((5L to 9L).forall(i => kept.exists(r =>
+      r.getLong(0) == i && r.getAs[Double]("weight") == 1.0)))
+    assert(kept.filter(_.getLong(0) <= 4L)
+      .forall(_.getAs[Double]("weight") == 0.25))
+    // deterministic: the same call keeps the same rows
+    val again = Curation.softDedupSample(df, clusters).collect()
+    assert(again.map(_.getLong(0)).sorted.sameElements(
+      kept.map(_.getLong(0)).sorted))
+  }
+
   test("adamicAdar: hand-computed scores on the 4-cycle; edges excluded") {
     import spark.implicits._
     // cycle 1-2-3-4-1: non-edges (1,3) and (2,4), each with two

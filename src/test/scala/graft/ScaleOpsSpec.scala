@@ -582,6 +582,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       ScaleOpsSpec.finalPlan(warc))
   }
 
+  test("coverageCurve plans heap top-cuts; seasonalScore broadcasts its cells") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cov = graft.operators.TextAnalysis.coverageCurve(docs,
+      cuts = Seq(5, 50))
+    cov.collect()
+    val covPlan = ScaleOpsSpec.finalPlan(cov)
+    // each cut must cut via per-partition heaps, not a global sort
+    assert(covPlan.contains("TakeOrderedAndProject"), covPlan)
+    assert(!covPlan.contains("Sort ["), covPlan)
+    val events = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "events")
+    val sea = graft.operators.Events.seasonalBaseline(events, minObs = 5L)
+    sea.collect()
+    val seaPlan = ScaleOpsSpec.finalPlan(sea)
+    // the cell table joins back as a broadcast: no shuffle join of the
+    // raw events against 24x|keys| rows
+    assert(seaPlan.contains("BroadcastHashJoin"), seaPlan)
+    assert(!seaPlan.contains("SortMergeJoin"), seaPlan)
+  }
+
   test("Frontier.schedule caps map-side: WindowGroupLimit below one exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val urls = docs.select(col("source").as("host"),
