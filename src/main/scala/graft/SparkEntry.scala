@@ -1317,6 +1317,12 @@ $joins"""
       TextAnalysis.coverageCurve(t(s, dir, "documents"), "text",
         cuts = Seq(10, 100, 1000))),
 
+    // S-stemmed vocabulary (Harman 1991): plural surface forms fold
+    // before ranking — three guarded suffix rules, byte-replicable
+    "q_text_stem" -> ((s, dir) =>
+      TextAnalysis.stemmedVocab(t(s, dir, "documents"), "text",
+        topN = 20)),
+
     // Zipf drift tripwire: least-squares ln(tf) ~ ln(rank) over the
     // top-200 vocabulary head (slope near -1 = natural text)
     "q_text_zipf" -> ((s, dir) =>
@@ -2199,6 +2205,12 @@ $joins"""
     // the whale/skew detector; windows run on the key dictionary
     "q_stats_concentration" -> ((s, dir) =>
       Stats.keyConcentration(t(s, dir, "orders"), "o_custkey")),
+
+    // winsorization at the [p05, p95] fences: round-6 thresholds (the
+    // filterByQuantile discipline), scan-speed clip + observable rate
+    "q_stats_winsorize" -> ((s, dir) =>
+      Stats.winsorize(t(s, dir, "events"), "value",
+        lo = 0.05, hi = 0.95)),
 
     // referential-integrity audit over the star schema: dangling FK
     // keys per relationship — dictionary-vs-dictionary anti-joins
@@ -4486,6 +4498,39 @@ $joins"""
           |    * CAST(1e6 AS DOUBLE))::DOUBLE / CAST(1e6 AS DOUBLE)
           |FROM k3 CROSS JOIN t""".stripMargin,
 
+      // the three guarded Harman rules as a CASE, then the vocab
+      // count/rank shape over the stems
+      "q_text_stem" ->
+        """WITH tok AS (
+          |  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS w
+          |  FROM documents),
+          |st AS (
+          |  SELECT doc_id,
+          |    CASE WHEN ends_with(w, 'ies') THEN
+          |           CASE WHEN ends_with(w, 'eies')
+          |                  OR ends_with(w, 'aies') THEN w
+          |                ELSE substr(w, 1, len(w) - 3) || 'y' END
+          |         WHEN ends_with(w, 'es') THEN
+          |           CASE WHEN ends_with(w, 'aes')
+          |                  OR ends_with(w, 'ees')
+          |                  OR ends_with(w, 'oes') THEN w
+          |                ELSE substr(w, 1, len(w) - 1) END
+          |         WHEN ends_with(w, 's') THEN
+          |           CASE WHEN ends_with(w, 'us')
+          |                  OR ends_with(w, 'ss') THEN w
+          |                ELSE substr(w, 1, len(w) - 1) END
+          |         ELSE w END AS stem
+          |  FROM tok),
+          |per AS (
+          |  SELECT stem, doc_id, count(*) AS c FROM st GROUP BY 1, 2),
+          |agg AS (
+          |  SELECT stem, CAST(sum(c) AS BIGINT) AS tf,
+          |         count(*) AS df FROM per GROUP BY 1)
+          |SELECT stem, tf, df,
+          |  CAST(row_number() OVER (ORDER BY tf DESC, stem) AS INT)
+          |    AS rank
+          |FROM agg ORDER BY tf DESC, stem LIMIT 20""".stripMargin,
+
       "q_text_vocab" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -6131,6 +6176,22 @@ $joins"""
           |    / CAST(1e6 AS DOUBLE) AS exp_frac,
           |  round(sum(t9) OVER (), 6)::DOUBLE AS chi2
           |FROM t""".stripMargin,
+
+      // same fences: quantile_cont == Spark's exact percentile, round-6
+      // thresholds, same clip expression and flag
+      "q_stats_winsorize" ->
+        """WITH t AS (SELECT event_id, value FROM events),
+          |q AS (
+          |  SELECT round(quantile_cont(value, 0.05), 6) AS tlo,
+          |         round(quantile_cont(value, 0.95), 6) AS thi
+          |  FROM t
+          |)
+          |SELECT event_id, value,
+          |  CASE WHEN value IS NOT NULL
+          |    THEN least(greatest(value, tlo), thi) END AS clipped,
+          |  CASE WHEN value IS NOT NULL
+          |    THEN (value < tlo OR value > thi) END AS was_clipped
+          |FROM t CROSS JOIN q""".stripMargin,
 
       // same key-dictionary windows: asc/desc row_number with the key
       // tie-break, exact integer rank-sum, identical Gini and

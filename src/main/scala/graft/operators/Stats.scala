@@ -821,6 +821,40 @@ object Stats {
       .select(lit(relationship).as("relationship"),
         col("n_orphan_keys"), col("n_orphan_rows"), col("n_null_rows"))
 
+  /** Winsorization — clip a metric column at its corpus quantile
+    * fences instead of dropping rows: the robust-statistics default
+    * for heavy-tailed features (per-doc perplexity, event values,
+    * session lengths) feeding means/regressions that outliers would
+    * otherwise own. Emits (id, value, clipped, was_clipped) — the
+    * flag makes the clip rate observable (a high rate means the
+    * fences, not the data, are wrong).
+    *
+    * Same two-job shape as [[graft.operators.Curation.filterByQuantile]]:
+    * one exact-percentile aggregate to two driver-side scalars, then a
+    * narrow scan-speed projection. Thresholds round to 6 decimals
+    * (HALF_UP — the cross-engine boundary discipline) so the clip set
+    * reproduces externally; null values pass through unclipped with a
+    * null flag. */
+  def winsorize(df: DataFrame, valueCol: String,
+                lo: Double = 0.01, hi: Double = 0.99,
+                idCol: String = "event_id"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val v = col(valueCol).cast("double")
+    val row = df.agg(percentile(v, lit(lo)).cast("double"),
+      percentile(v, lit(hi)).cast("double")).head
+    if (row.isNullAt(0))
+      return df.select(col(idCol), v.as("value"), v.as("clipped"),
+        when(v.isNotNull, lit(false)).as("was_clipped"))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (tLo, tHi) = (r6(row.getDouble(0)), r6(row.getDouble(1)))
+    // least/greatest SKIP nulls in Spark and DuckDB alike — an
+    // unguarded clip would turn a null value into the lower fence
+    val clipped = when(v.isNotNull, least(greatest(v, lit(tLo)), lit(tHi)))
+    df.select(col(idCol), v.as("value"), clipped.as("clipped"),
+      when(v.isNotNull, v < tLo || v > tHi).as("was_clipped"))
+  }
+
   /** Key-concentration audit: how much of the table a few key values
     * own. THE corpus-health question for a crawl (does one host
     * dominate training data?), a user-event stream (bot whales), or

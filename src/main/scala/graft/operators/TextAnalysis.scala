@@ -253,6 +253,50 @@ object TextAnalysis {
       .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
   }
 
+  /** Harman's S-stemmer (1991) as a Column — the minimal-risk plural
+    * folder retrieval stacks reach for before a full Porter pass:
+    * three ordered suffix rules, each guarded by the exception
+    * suffixes Harman lists, nothing else touched. Weak by design
+    * (over-stemming is the expensive failure in retrieval); purely
+    * conditional string surgery, so it replicates in external SQL
+    * byte-for-byte where Porter's measure-based rules would not.
+    * Caller lowercases first if case-insensitive folding is wanted. */
+  def sStem(w: Column): Column =
+    // dispatch on the LONGEST matching suffix, guards TERMINATE: a
+    // guarded word keeps its surface form ("trees", "shoes", "bus") —
+    // falling through to a shorter rule would undo exactly the
+    // exceptions the guards exist to protect
+    when(w.endsWith("ies"),
+      when(w.endsWith("eies") || w.endsWith("aies"), w)
+        .otherwise(concat(w.substr(lit(1), length(w) - 3), lit("y"))))
+    .when(w.endsWith("es"),
+      when(w.endsWith("aes") || w.endsWith("ees") || w.endsWith("oes"),
+        w).otherwise(w.substr(lit(1), length(w) - 1)))
+    .when(w.endsWith("s"),
+      when(w.endsWith("us") || w.endsWith("ss"), w)
+        .otherwise(w.substr(lit(1), length(w) - 1)))
+    .otherwise(w)
+
+  /** Stemmed vocabulary: [[buildVocab]]'s two-level count over
+    * S-stemmed lowercased tokens — plural and singular surface forms
+    * merge into one frequency row (the index-time normalization the
+    * BM25 stack pairs with). Same ranking, tie-break, and top-N
+    * plan shape as buildVocab. */
+  def stemmedVocab(docs: DataFrame, textCol: String = "text",
+                   topN: Int = 1000,
+                   idCol: String = "doc_id"): DataFrame = {
+    val per = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol), sStem(lower(col("token"))).as("stem"))
+      .groupBy(col(idCol), col("stem")).agg(count(lit(1)).as("c"))
+    per.groupBy(col("stem"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("stem")).limit(topN)
+      .coalesce(1)
+      .sortWithinPartitions(col("tf").desc, col("stem"))
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+  }
+
   /** Vocabulary coverage CURVE — corpus token mass covered by the top-N
     * vocabulary at each candidate size: the chart that picks a
     * tokenizer/vocab budget (the knee where another 10k entries stops

@@ -5274,6 +5274,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(u.getAs[Double]("gini") == 0.0)
   }
 
+  test("sStem applies Harman's three guarded rules exactly") {
+    import spark.implicits._
+    val cases = Seq(
+      "babies" -> "baby", "ties" -> "ty", // ies -> y (weak by design)
+      "eies" -> "eies", "aies" -> "aies", // guarded
+      "houses" -> "house", "classes" -> "classe", // es -> e
+      "aes" -> "aes", "trees" -> "trees", "shoes" -> "shoes", // guarded
+      "cats" -> "cat", "dogs" -> "dog", // s -> ''
+      "bus" -> "bus", "class" -> "class", // guarded
+      "cat" -> "cat", "" -> "")
+    val out = cases.map(_._1).toDF("w")
+      .select(col("w"), TextAnalysis.sStem(col("w")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (w, exp) => assert(out(w) == exp, s"'$w'") }
+  }
+
+  test("winsorize clips at round-6 quantile fences; nulls pass through") {
+    import spark.implicits._
+    val df = ((1 to 98).map(i => (i.toLong, Some(i.toDouble))) ++
+      Seq((99L, Some(1000.0)), (100L, None)))
+      .toDF("event_id", "value")
+    val out = Stats.winsorize(df, "value", lo = 0.1, hi = 0.9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // p90 of the 99 non-null values: interpolated ANSI percentile
+    val sorted = ((1 to 98).map(_.toDouble) :+ 1000.0).sorted
+    def pct(q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val lo = sorted(pos.toInt); val hi = sorted(math.ceil(pos).toInt)
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (tLo, tHi) = (r6(pct(0.1)), r6(pct(0.9)))
+    assert(out(99L).getAs[Double]("clipped") == tHi)
+    assert(out(99L).getAs[Boolean]("was_clipped"))
+    assert(out(1L).getAs[Double]("clipped") == tLo)
+    assert(out(50L).getAs[Double]("clipped") == 50.0)
+    assert(!out(50L).getAs[Boolean]("was_clipped"))
+    val n = out(100L)
+    assert(n.isNullAt(n.fieldIndex("clipped")) &&
+      n.isNullAt(n.fieldIndex("was_clipped")))
+  }
+
   test("softDedupSample: members weighted 1/|cluster|, singletons always kept") {
     import spark.implicits._
     val df = (1L to 9L).map(i => (i, s"d$i")).toDF("doc_id", "name")
