@@ -1613,6 +1613,13 @@ $joins"""
       Dedup.removeBoilerplate(t(s, dir, "documents"), "doc_id", "text",
         windowWords = 10, minDocs = 3)),
 
+    // cross-source contamination matrix: distinct 3-gram shingles per
+    // source, boilerplate cap at 10 sources (engaged: 20 sources share
+    // the synthetic vocabulary), pairwise common counts + jaccard
+    "q_dedup_sources" -> ((s, dir) =>
+      Dedup.sourceOverlapMatrix(t(s, dir, "documents"),
+        n = 3, maxGroups = 10)),
+
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
@@ -5053,6 +5060,43 @@ $joins"""
 
       // connected components = min reachable id, via recursive walk over
       // the symmetric edge set of the exhaustive-Jaccard pair table
+      // same per-source distinct shingle sets, the same <=10-source
+      // numerator cap, raw totals, identical jaccard shape
+      "q_dedup_sources" ->
+        """WITH toks AS (
+          |  SELECT source, string_split(text, ' ') AS w FROM documents
+          |), sh AS (
+          |  SELECT source,
+          |    unnest(CASE WHEN len(w) >= 3 THEN list_distinct(
+          |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          |       FOR i IN range(1, greatest(len(w)-1, 1))])
+          |    ELSE [] END) AS s
+          |  FROM toks
+          |), gs AS MATERIALIZED (
+          |  SELECT DISTINCT source AS g, s AS sh FROM sh
+          |), totals AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS n_sh FROM gs
+          |  GROUP BY 1
+          |), keep AS (
+          |  SELECT sh FROM gs GROUP BY sh HAVING count(*) <= 10
+          |), capped AS MATERIALIZED (
+          |  SELECT gs.g, gs.sh FROM gs JOIN keep USING (sh)
+          |), pairs AS (
+          |  SELECT a.g AS source_a, b.g AS source_b,
+          |    CAST(count(*) AS BIGINT) AS common
+          |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.g < b.g
+          |  GROUP BY 1, 2
+          |)
+          |SELECT source_a, source_b, common,
+          |  ta.n_sh AS n_a, tb.n_sh AS n_b,
+          |  round(CAST(common AS DOUBLE) /
+          |    CAST(ta.n_sh + tb.n_sh - common AS DOUBLE)
+          |    * CAST(1e6 AS DOUBLE))::DOUBLE / CAST(1e6 AS DOUBLE)
+          |    AS jaccard
+          |FROM pairs
+          |JOIN totals ta ON ta.g = source_a
+          |JOIN totals tb ON tb.g = source_b""".stripMargin,
+
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE pairs AS ($shingleCte),
            |edges AS (

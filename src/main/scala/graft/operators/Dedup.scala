@@ -887,4 +887,53 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Cross-source contamination matrix — how much of source A's
+    * content also lives in source B, for every source pair at once:
+    * the corpus-governance view (is "curated-wiki" secretly inside
+    * "common-crawl"? which feeds are mirrors?) that doc-level dedup
+    * pairs are too fine-grained to answer.
+    *
+    * Unit of overlap: distinct word n-gram shingles per source.
+    * Shingles present in more than `maxGroups` sources drop from the
+    * NUMERATOR before pairing — ubiquitous phrasing is boilerplate,
+    * not contamination, and the cap also bounds the per-shingle pair
+    * fan-out at maxGroups² (the structural quadratic guard; totals
+    * stay uncapped, so the reported jaccard strictly understates
+    * rather than invents overlap — documented bias direction).
+    *
+    * Scale shape: one distinct over (source, shingle) — corpus-sized
+    * but partial-aggregated — then every join runs on the
+    * source-level frames (≤ |sources|·shingles rows, pair table ≤
+    * |sources|²). Emits (source_a, source_b, common, n_a, n_b,
+    * jaccard[rounded 6]) for a < b. */
+  def sourceOverlapMatrix(docs: DataFrame, groupCol: String = "source",
+                          textCol: String = "text", n: Int = 3,
+                          maxGroups: Int = 10): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(maxGroups >= 2, "maxGroups must be >= 2")
+    val gs = docs.select(col(groupCol).as("g"),
+        explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+      .localCheckpoint(false)
+    val totals = gs.groupBy(col("g")).agg(count(lit(1)).as("n_sh"))
+    val capped = gs.join(
+      gs.groupBy(col("sh")).agg(count(lit(1)).as("gdf"))
+        .filter(col("gdf") <= maxGroups)
+        .select(col("sh")),
+      Seq("sh"))
+    capped.as("a").join(capped.as("b"), Seq("sh"))
+      .filter(col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("source_a"), col("b.g").as("source_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(totals.select(col("g").as("source_a"),
+        col("n_sh").as("n_a")), Seq("source_a"))
+      .join(totals.select(col("g").as("source_b"),
+        col("n_sh").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("common"),
+        col("n_a"), col("n_b"),
+        (round(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double")
+          * lit(1e6)).cast("double") / lit(1e6)).as("jaccard"))
+  }
 }

@@ -5274,6 +5274,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(u.getAs[Double]("gini") == 0.0)
   }
 
+  test("sourceOverlapMatrix: hand-computed jaccard; ubiquitous shingles capped") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "a b c d"), ("s2", "a b c e"), ("s3", "x y z w")
+    ).toDF("source", "text")
+    val out = Dedup.sourceOverlapMatrix(df, n = 3, maxGroups = 2)
+      .collect()
+    // only overlapping pairs emit; s3 shares nothing
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "s1" && r.getString(1) == "s2")
+    assert(r.getAs[Long]("common") == 1L) // "a b c"
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("jaccard") ==
+      math.round(1.0 / 3.0 * 1e6) / 1e6)
+    // the shared shingle present in THREE sources exceeds cap 2: the
+    // numerator drops it and no pair survives
+    val ubiq = Seq(("s1", "a b c"), ("s2", "a b c"), ("s3", "a b c"))
+      .toDF("source", "text")
+    assert(Dedup.sourceOverlapMatrix(ubiq, n = 3, maxGroups = 2)
+      .collect().isEmpty)
+  }
+
   test("sStem applies Harman's three guarded rules exactly") {
     import spark.implicits._
     val cases = Seq(
