@@ -83,7 +83,10 @@ case class WarcRecords(child: Expression)
           val headers = new String(bytes, pos, hdrEnd - pos,
             java.nio.charset.StandardCharsets.UTF_8)
           val m = ContentLength.matcher(headers)
-          if (!m.find()) ok = false
+          // the 18-digit cap keeps parseLong from THROWING on an
+          // adversarial 20+-digit length — a malformed record must
+          // drop the tail (the walk contract), not kill the stage
+          if (!m.find() || m.group(1).length > 18) ok = false
           else {
             val cl = java.lang.Long.parseLong(m.group(1))
             val end = hdrEnd + 4 + cl

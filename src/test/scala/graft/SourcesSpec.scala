@@ -228,11 +228,15 @@ class SourcesSpec extends AnyFunSuite {
       "Content-Length: 9999\r\n\r\nshort"
     val noLength = "WARC/1.0\r\nWARC-Type: response\r\n\r\npayload"
     val garbage = "not a warc at all"
+    // a 25-digit Content-Length must drop the tail, not throw
+    val hugeLength = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 9999999999999999999999999\r\n\r\nx"
     val df = Seq(
       (1L, good + "\r\n\r\n" + truncated),
       (2L, good + "\r\n\r\n" + noLength),
       (3L, garbage),
-      (4L, good + "\r\n\r\n" + garbage)
+      (4L, good + "\r\n\r\n" + garbage),
+      (5L, good + "\r\n\r\n" + hugeLength)
     ).toDF("doc_id", "blob")
     val out = graft.sources.Warc.parseWarc(df).collect()
     // each blob yields exactly its well-formed prefix
@@ -240,6 +244,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.count(_.getLong(0) == 2L) == 1)
     assert(out.count(_.getLong(0) == 3L) == 0)
     assert(out.count(_.getLong(0) == 4L) == 1)
+    assert(out.count(_.getLong(0) == 5L) == 1)
     assert(out.forall(_.getAs[String]("payload") == "ok"))
   }
 }
