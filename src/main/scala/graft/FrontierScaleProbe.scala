@@ -87,6 +87,16 @@ object FrontierScaleProbe {
       timed("personalizedPageRank", r)(Graph.personalizedPageRank(
         e, e.select(col("src").as("node")).filter(col("node") % 17 === 0),
         "src", "dst", iters = 3))
+      timed("adamicAdar", r)(Graph.adamicAdar(e, "src", "dst",
+        topN = 20, maxDegree = 64))
+      // replica-suffixed words make each replica's shingles disjoint,
+      // so the source-pair matrix work grows with the corpus while the
+      // source count stays fixed — the realistic axis
+      timed("sourceOverlapMatrix", r)(
+        graft.operators.Dedup.sourceOverlapMatrix(
+          c.withColumn("source",
+            concat(lit("s"), (col("doc_id") % 20).cast("string"))),
+          n = 3, maxGroups = 10))
     }
     spark.stop()
   }

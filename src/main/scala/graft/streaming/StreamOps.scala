@@ -490,6 +490,39 @@ object StreamOps {
                           xmlCol: String = "xml"): DataFrame =
     graft.operators.Sitemaps.parseSitemaps(files, hostCol, xmlCol)
 
+  /** Streaming robots `Sitemap:` discovery — the line scan of
+    * `Robots.sitemapDirectives` minus its batch-side distinct (a
+    * stream cannot dedup unboundedly without state; feed the output
+    * through URL-keyed dedup downstream if exactly-once discovery
+    * matters). Stateless explode + filter — append-mode. */
+  def sitemapDirectivesStream(robots: DataFrame,
+                              hostCol: String = "host",
+                              bodyCol: String = "body"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    robots.select(col(hostCol).as("host"),
+        explode(split(col(bodyCol), "\n")).as("raw"))
+      .select(col("host"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(lower(regexp_extract(col("line"),
+        "^([A-Za-z-]+)\\s*:", 1)) === "sitemap")
+      .select(col("host"),
+        trim(regexp_extract(col("line"), ":\\s*(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+  }
+
+  /** Streaming rendezvous sharding — `Layout.rendezvousShards` on
+    * arriving records: the stable-store router at ingest time (each
+    * record goes to the shard that owns its key, and growing the
+    * shard count re-routes only ~1/(n+1) of traffic). Stateless
+    * O(nShards)-hash projection — append-mode, == batch assignment
+    * for the same key by construction. */
+  def rendezvousShardsStream(records: DataFrame, keyCols: Seq[String],
+                             nShards: Int,
+                             outCol: String = "shard"): DataFrame =
+    graft.sources.Layout.rendezvousShards(records, keyCols, nShards,
+      outCol)
+
   /** Typed event shape for [[seasonalAnomaliesStream]] inputs. */
   case class MetricEvent(event_id: Long, ts: java.sql.Timestamp,
                          event_type: String, value: Double)

@@ -4975,6 +4975,25 @@ class OperatorsSpec extends AnyFunSuite {
       "caf\u00E9 menu")
   }
 
+  test("s_stem and sentence_array dogfood the parity registry") {
+    val df = spark.sql(
+      "select named_struct('word', 'babies', 'n', 1L) as doc")
+    val f = new Functioniser()
+    f.registerFunction("s_stem",
+      (c: org.apache.spark.sql.Column) => TextAnalysis.sStem(c))
+    val out = f.add("doc.word", "s_stem").apply(df)
+    assert(out.select(col("doc.word")).collect()(0).getString(0) == "baby")
+    // the sentence splitter's array form is registry-compatible too
+    val df2 = spark.sql(
+      "select named_struct('t', 'One. Two! Three', 'n', 1L) as doc")
+    val f2 = new Functioniser()
+    f2.registerFunction("first_sentence",
+      (c: org.apache.spark.sql.Column) =>
+        element_at(Sentences.sentenceArray(c), 1))
+    val out2 = f2.add("doc.t", "first_sentence").apply(df2)
+    assert(out2.select(col("doc.t")).collect()(0).getString(0) == "One.")
+  }
+
   // ---- round-6 advice regression pins ----
 
   test("scd2 collapses consecutive null attribute values") {

@@ -1713,6 +1713,43 @@ class StreamingSpec extends AnyFunSuite {
       wr(0).getString(2) == "hello")
   }
 
+  test("sitemapDirectivesStream and rendezvousShardsStream match batch") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val body = "User-agent: *\nSitemap: https://h/s1.xml\n" +
+      "sitemap: https://h/s2.xml\nSitemap:\n"
+    val input = MemoryStream[StreamDoc]
+    val smOut = StreamOps.sitemapDirectivesStream(
+      input.toDF().select(col("doc_id").cast("string").as("host"),
+        col("text").as("body")))
+    assert(smOut.isStreaming)
+    val q1 = smOut.writeStream.format("memory").queryName("smd_stream")
+      .outputMode("append").start()
+    val input2 = MemoryStream[StreamDoc]
+    val shOut = StreamOps.rendezvousShardsStream(
+      input2.toDF().select(col("doc_id")), Seq("doc_id"), 8)
+    assert(shOut.isStreaming)
+    val q2 = shOut.writeStream.format("memory").queryName("shard_stream")
+      .outputMode("append").start()
+    input.addData(StreamDoc(3L, body,
+      Timestamp.valueOf("2024-01-01 00:00:01")))
+    input2.addData((1L to 50L).map(i => StreamDoc(i, "",
+      Timestamp.valueOf("2024-01-01 00:00:01"))): _*)
+    q1.processAllAvailable(); q1.stop()
+    q2.processAllAvailable(); q2.stop()
+    val sm = s.sql("select host, sitemap_url from smd_stream").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sm == Set("3" -> "https://h/s1.xml", "3" -> "https://h/s2.xml"))
+    val batchShards = graft.sources.Layout.rendezvousShards(
+        (1L to 50L).map(Tuple1(_)).toDF("doc_id"), Seq("doc_id"), 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val streamedShards = s.sql("select doc_id, shard from shard_stream")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamedShards == batchShards)
+  }
+
   test("seasonalAnomaliesStream scores against the batch-fitted cells " +
        "like the batch scorer") {
     val s = spark
