@@ -1900,6 +1900,19 @@ $joins"""
         "vec_id", "embedding", k = 5, numPlanes = 0)
     }),
 
+    // recall@5 of the multi-probe LSH search against exact truth —
+    // the acceptance metric for every approximate path; per-query +
+    // decimal-summed macro average
+    "q_sim_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          k = 5, numPlanes = 6),
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          k = 5, numPlanes = 0))
+    }),
+
     // IVF with nprobe = nlist provably equals exact search (every cell is
     // probed), so the full IVF machinery — Lloyd training, cell
     // assignment, probe ranking, per-cell scoring — runs under the
@@ -3261,6 +3274,47 @@ $joins"""
           |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
           |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob
           |FROM scored GROUP BY 1""".stripMargin
+
+    // the q_sim_ann oracle body, shared with the recall@k eval
+    val annTopKSql =
+      s"""WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), nz AS (
+          |  SELECT vec_id, e FROM v
+          |  WHERE sqrt(list_dot_product(e, e)) > 0
+          |), planes(p, hv) AS (
+          |  VALUES
+          |    $annPlanesSql
+          |), bkt AS (
+          |  SELECT nz.vec_id,
+          |    CAST(sum(CASE WHEN list_dot_product(nz.e, planes.hv) >= 0
+          |             THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS b
+          |  FROM nz CROSS JOIN planes GROUP BY nz.vec_id
+          |), qp AS (
+          |  SELECT b1.vec_id AS query_id, xor(b1.b, f.f) AS bucket
+          |  FROM bkt b1, (VALUES (0), (1), (2), (4), (8), (16), (32)) f(f)
+          |  WHERE b1.vec_id < 10
+          |), cand AS (
+          |  SELECT qp.query_id, cb.vec_id AS neighbor_id
+          |  FROM qp JOIN bkt cb ON cb.b = qp.bucket
+          |  WHERE cb.vec_id <> qp.query_id
+          |), scored AS (
+          |  SELECT c.query_id, c.neighbor_id,
+          |    list_dot_product(q.e, n.e)
+          |      / (sqrt(list_dot_product(q.e, q.e))
+          |         * sqrt(list_dot_product(n.e, n.e))) AS cos_raw
+          |  FROM cand c
+          |  JOIN nz q ON q.vec_id = c.query_id
+          |  JOIN nz n ON n.vec_id = c.neighbor_id
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
+          |    round(cos_raw, 6) AS cosine
+          |  FROM scored
+          |)
+          |SELECT query_id, neighbor_id, rank, cosine
+          |FROM ranked WHERE rank <= 5""".stripMargin
 
     val exactTopKSql =
       """WITH scored AS (
@@ -5548,6 +5602,34 @@ $joins"""
       // numPlanes = 0 ⇒ identical to exact top-k (same oracle)
       "q_sim_ann_exact" -> exactTopKSql,
 
+      // the two top-k oracles composed: exact rows left-join the ANN
+      // rows, per-query hit counts, decimal-summed macro recall
+      "q_sim_recall" ->
+        (s"""WITH a AS ($annTopKSql),
+          |e AS ($exactTopKSql),
+          |hits AS (
+          |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+          |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          |  FROM e LEFT JOIN a ON a.query_id = e.query_id
+          |    AND a.neighbor_id = e.neighbor_id
+          |  GROUP BY 1
+          |), per AS (
+          |  SELECT query_id, n_truth, n_hit,
+          |    round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+          |      * CAST(1e6 AS DOUBLE))::DOUBLE / CAST(1e6 AS DOUBLE)
+          |      AS recall,
+          |    round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 9)
+          |      ::DECIMAL(38,9) AS r9
+          |  FROM hits
+          |)
+          |SELECT query_id, n_truth, n_hit, recall,
+          |  round(CAST(sum(r9) OVER () AS DOUBLE)
+          |      / CAST(count(*) OVER () AS DOUBLE)
+          |      * CAST(1e6 AS DOUBLE))::DOUBLE / CAST(1e6 AS DOUBLE)
+          |    AS macro_recall
+          |FROM per""").stripMargin,
+
       // full algorithm replication: seed-42 planes as literals, sign
       // buckets (dot >= 0 per plane), query-side Hamming-1 multi-probe
       // (b0 plus each single-bit flip), exact-cosine re-rank
@@ -5565,45 +5647,7 @@ $joins"""
           |    AS value
           |FROM v CROSS JOIN planes""".stripMargin,
 
-      "q_sim_ann" ->
-        s"""WITH v AS (
-          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-          |), nz AS (
-          |  SELECT vec_id, e FROM v
-          |  WHERE sqrt(list_dot_product(e, e)) > 0
-          |), planes(p, hv) AS (
-          |  VALUES
-          |    $annPlanesSql
-          |), bkt AS (
-          |  SELECT nz.vec_id,
-          |    CAST(sum(CASE WHEN list_dot_product(nz.e, planes.hv) >= 0
-          |             THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS b
-          |  FROM nz CROSS JOIN planes GROUP BY nz.vec_id
-          |), qp AS (
-          |  SELECT b1.vec_id AS query_id, xor(b1.b, f.f) AS bucket
-          |  FROM bkt b1, (VALUES (0), (1), (2), (4), (8), (16), (32)) f(f)
-          |  WHERE b1.vec_id < 10
-          |), cand AS (
-          |  SELECT qp.query_id, cb.vec_id AS neighbor_id
-          |  FROM qp JOIN bkt cb ON cb.b = qp.bucket
-          |  WHERE cb.vec_id <> qp.query_id
-          |), scored AS (
-          |  SELECT c.query_id, c.neighbor_id,
-          |    list_dot_product(q.e, n.e)
-          |      / (sqrt(list_dot_product(q.e, q.e))
-          |         * sqrt(list_dot_product(n.e, n.e))) AS cos_raw
-          |  FROM cand c
-          |  JOIN nz q ON q.vec_id = c.query_id
-          |  JOIN nz n ON n.vec_id = c.neighbor_id
-          |), ranked AS (
-          |  SELECT query_id, neighbor_id,
-          |    CAST(row_number() OVER (PARTITION BY query_id
-          |      ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
-          |    round(cos_raw, 6) AS cosine
-          |  FROM scored
-          |)
-          |SELECT query_id, neighbor_id, rank, cosine
-          |FROM ranked WHERE rank <= 5""".stripMargin,
+      "q_sim_ann" -> annTopKSql,
 
       // nprobe = nlist ⇒ identical to exact top-k (same oracle)
       "q_sim_ivf_exact" -> exactTopKSql,

@@ -1051,4 +1051,40 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  /** Recall@k evaluation — the acceptance metric for every
+    * approximate retrieval path in this module (LSH multi-probe, IVF
+    * partial probe, PQ/ADC): what fraction of the EXACT top-k did the
+    * approximate search return, per query and macro-averaged. Run it
+    * whenever an index parameterization changes — a recall number is
+    * the only honest way to trade nprobe/planes against latency.
+    *
+    * Both inputs are (query_id, neighbor_id, ...) top-k frames (the
+    * `lshTopK`/`ivfTopK`/`bruteForceTopK` shape); `exact` defines
+    * truth, so per-query n_truth is ITS row count (k, or fewer when
+    * the corpus is small). One key-keyed left join + one query-keyed
+    * aggregate — both sides are top-k-sized (queries·k rows), nothing
+    * corpus-scale. Per-query recalls round-9 and DECIMAL-sum into the
+    * macro average (order-independent); displays on the 6-decimal
+    * integer lattice. Emits (query_id, n_truth, n_hit, recall,
+    * macro_recall) with the macro constant across rows. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1))
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+    def disp(c: Column): Column =
+      round(c * lit(1e6)).cast("double") / lit(1e6)
+    val r = col("n_hit").cast("double") / col("n_truth").cast("double")
+    hits
+      .withColumn("recall", disp(r))
+      .withColumn("__r9", round(r, 9).cast("decimal(38,9)"))
+      .withColumn("macro_recall",
+        disp(sum(col("__r9")).over(Window.partitionBy()).cast("double") /
+          count(lit(1)).over(Window.partitionBy()).cast("double")))
+      .drop("__r9")
+  }
 }

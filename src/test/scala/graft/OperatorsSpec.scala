@@ -5293,6 +5293,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(u.getAs[Double]("gini") == 0.0)
   }
 
+  test("recallAtK: per-query hits over exact truth, macro average") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // q1: 1 of 2 truth rows found (the 99 false positive never counts)
+    assert(out(1L).getAs[Long]("n_truth") == 2L)
+    assert(out(1L).getAs[Long]("n_hit") == 1L)
+    assert(out(1L).getAs[Double]("recall") == 0.5)
+    assert(out(2L).getAs[Double]("recall") == 1.0)
+    assert(out(1L).getAs[Double]("macro_recall") == 0.75)
+    assert(out(2L).getAs[Double]("macro_recall") == 0.75)
+  }
+
   test("sourceOverlapMatrix: hand-computed jaccard; ubiquitous shingles capped") {
     import spark.implicits._
     val df = Seq(
