@@ -387,6 +387,62 @@ FROM einst i JOIN esegs s ON s.w = i.word"""
       |  FROM lres
       |)""".stripMargin
 
+  /** Dirichlet query-likelihood replica: same candidate restriction,
+    * same qconst/delta/length decomposition, every piece a round-9
+    * DECIMAL sum or a fixed-shape ln both engines evaluate alike. */
+  private val qlOracleSql: String =
+    """WITH q(query_id, qtext) AS (
+      |  VALUES (0, 'spark join fast'), (1, 'vector scan slow'),
+      |         (2, 'customer order line'), (3, 'window agg group'),
+      |         (4, 'hash merge sort batch')
+      |), qt AS (
+      |  SELECT DISTINCT query_id,
+      |         unnest(string_split(qtext, ' ')) AS term
+      |  FROM q
+      |), toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), ctot AS (
+      |  SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+      |  FROM documents
+      |), m AS MATERIALIZED (
+      |  SELECT t.term, t.doc_id, t.dl FROM toks t
+      |  WHERE t.term IN (SELECT term FROM qt)
+      |), cf AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM m GROUP BY 1
+      |), post AS (
+      |  SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+      |  FROM m GROUP BY 1, 2, 3
+      |), qp AS (
+      |  SELECT qt.query_id, qt.term,
+      |    2000.0::DOUBLE * (CAST(cf.cf AS DOUBLE) / CAST(ctot.c AS DOUBLE))
+      |      AS mp
+      |  FROM qt JOIN cf USING (term) CROSS JOIN ctot
+      |), qc AS (
+      |  SELECT query_id, CAST(count(*) AS BIGINT) AS nq,
+      |    CAST(sum(CAST(round(ln(mp) * 1e9) AS BIGINT)) AS BIGINT)
+      |      AS qsum
+      |  FROM qp GROUP BY 1
+      |), dd AS (
+      |  SELECT qp.query_id, p.doc_id, p.dl,
+      |    CAST(sum(CAST(round((ln(CAST(p.tf AS DOUBLE) + qp.mp)
+      |      - ln(qp.mp)) * 1e9) AS BIGINT)) AS BIGINT) AS dsum
+      |  FROM post p JOIN qp USING (term) GROUP BY 1, 2, 3
+      |), sc AS (
+      |  SELECT dd.query_id, dd.doc_id,
+      |    qc.qsum + dd.dsum -
+      |      CAST(round((CAST(qc.nq AS DOUBLE) *
+      |        ln(CAST(dd.dl AS DOUBLE) + 2000.0::DOUBLE)) * 1e9)
+      |        AS BIGINT) AS u
+      |  FROM dd JOIN qc USING (query_id)
+      |)
+      |SELECT query_id, doc_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY u DESC, doc_id) AS INT) AS rank,
+      |  -(((-u + 500) // 1000)::DOUBLE / 1000000.0::DOUBLE) AS score
+      |FROM sc QUALIFY rank <= 10""".stripMargin
+
   private val bm25OracleSql: String =
     """WITH q(query_id, qtext) AS (
       |  VALUES (0, 'spark join fast'), (1, 'vector scan slow'),
@@ -2689,6 +2745,18 @@ $joins"""
       TextSearch.bm25TopK(t(s, dir, "documents"), queries, k = 10)
     }),
 
+    // Dirichlet query-likelihood over the same five queries: the
+    // language-modeling ranking function beside BM25 (mu = 2000,
+    // Zhai-Lafferty default), decimal-exact score decomposition
+    "q_text_ql" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq((0L, "spark join fast"), (1L, "vector scan slow"),
+        (2L, "customer order line"), (3L, "window agg group"),
+        (4L, "hash merge sort batch")).toDF("query_id", "qtext")
+      TextSearch.queryLikelihoodTopK(t(s, dir, "documents"), queries,
+        k = 10)
+    }),
+
     // the same retrieval against the PERSISTED inverted index:
     // build -> probe inside the timed query (the store-query pattern —
     // steady-state probe cost is the BASELINE.md scale table); scores
@@ -3764,6 +3832,8 @@ $joins"""
       // arithmetic shape (so IEEE ops match), per-term round(9) then
       // DECIMAL sum for order independence, same (score, doc_id) ranking
       "q_text_bm25" -> bm25OracleSql,
+
+      "q_text_ql" -> qlOracleSql,
 
       // index build -> probe reproduces the direct scoring exactly, so
       // the oracle IS the direct-BM25 SQL

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -91,6 +91,101 @@ object TextSearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"),
         round(col("score_dec").cast("double"), 6).as("score"))
+  }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2001) — the language-modeling ranking function beside [[bm25TopK]]:
+    * score(q,d) = Σ_t ln((tf_t,d + μ·p(t|C)) / (dl_d + μ)), the
+    * probability the document's smoothed unigram LM generates the
+    * query. Different failure modes than BM25 (length normalization
+    * via μ, corpus-frequency smoothing instead of idf), which is why
+    * retrieval stacks run both and fuse (see `rrfFuse`).
+    *
+    * Semantics pinned for replication:
+    *   - candidates are documents matching ≥ 1 query term — the
+    *     standard candidate-generation restriction (a no-match doc's
+    *     score is almost surely dominated; scoring the whole corpus
+    *     per query is the structurally unbounded alternative);
+    *   - query terms ABSENT from the corpus drop from the model
+    *     (their p(t|C) = 0 would send every score to −∞);
+    *   - the score decomposes as qconst(q) + Σ_matched Δ_t −
+    *     |q'|·ln(dl + μ), where qconst = Σ_t∈q' ln(μ·p_t) and
+    *     Δ_t = ln(tf + μ·p_t) − ln(μ·p_t): every piece quantizes to
+    *     the 1e-9 INTEGER lattice (round(x·1e9) longs — fractional
+    *     round(x, 9) diverged live on a ninth-decimal .5 boundary)
+    *     and sums exactly, so ranking replicates in SQL
+    *     digit-for-digit; display rounding is sign-aware integer
+    *     arithmetic (Spark DIV truncates, DuckDB // floors — they
+    *     only agree on positives, and QL scores are negative).
+    *
+    * Scale shape = bm25TopK's: corpus scanned once, tokens semi-join
+    * the broadcast query vocabulary map-side, ONE term-keyed exchange
+    * carries postings + collection frequencies together; |C| is the
+    * one driver scalar; the top-k rides WindowGroupLimit. */
+  def queryLikelihoodTopK(docs: DataFrame, queries: DataFrame, k: Int,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          queryIdCol: String = "query_id",
+                          queryTextCol: String = "qtext",
+                          mu: Double = 2000.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(mu > 0, "mu must be > 0")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).as("dl"),
+      explode(split(col(textCol), " ")).as("term"))
+    val cRow = docs.agg(
+      sum(size(split(col(textCol), " ")).cast("long"))).head
+    require(!cRow.isNullAt(0) && cRow.getLong(0) > 0L,
+      "queryLikelihoodTopK needs a non-empty corpus")
+    val cTotal = cRow.getLong(0).toDouble
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(split(col(queryTextCol), " ")).as("term"))
+      .distinct()
+    val vocab = qterms.select("term").distinct()
+    val matched = toks.join(broadcast(vocab), Seq("term"), "left_semi")
+      .repartition(col("term"))
+      .localCheckpoint(false)
+    // collection frequency of each query term, riding the same
+    // term-keyed partitioning as the postings groupBy
+    val cf = matched.groupBy(col("term"))
+      .agg(count(lit(1)).as("cf"))
+    val postings = matched
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    // q' = query terms present in the corpus, with their smoothing
+    // mass; a bounded frame (query vocabulary sized)
+    val qp = qterms.join(cf, Seq("term"))
+      .withColumn("mp",
+        lit(mu) * (col("cf").cast("double") / lit(cTotal)))
+    // every piece lives on the 1e-9 INTEGER lattice (the pageRank
+    // discipline): fractional round(x, 9) on doubles diverged live on
+    // this query (a ninth-decimal .5 boundary renders differently
+    // across engines — the q_sim_mmr lesson); round(x·1e9) to longs
+    // agrees always, and long sums are exact at any order
+    def u9(c: Column): Column = round(c * lit(1e9)).cast("long")
+    val qconst = qp.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("nq"), sum(u9(log(col("mp")))).as("qsum"))
+    val deltas = postings
+      .join(broadcast(qp), Seq("term"))
+      .withColumn("delta",
+        u9(log(col("tf").cast("double") + col("mp")) - log(col("mp"))))
+      .groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(sum(col("delta")).as("dsum"))
+    val scored = deltas.join(broadcast(qconst), Seq("query_id"))
+      .withColumn("u",
+        col("qsum") + col("dsum") -
+          u9(col("nq").cast("double") *
+            log(col("dl").cast("double") + lit(mu))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("u").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        // QL scores are negative log-probs: display-round HALF_UP on
+        // the POSITIVE magnitude so Spark's DIV (truncating) and
+        // DuckDB's // (floor) agree — they differ on negatives
+        (-(expr("(-u + 500) DIV 1000")).cast("double") / lit(1e6))
+          .as("score"))
   }
 
   /** Persist the corpus inverted index so retrieval stops paying the

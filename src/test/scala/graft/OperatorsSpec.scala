@@ -5293,6 +5293,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(u.getAs[Double]("gini") == 0.0)
   }
 
+  test("queryLikelihoodTopK: hand-computed Dirichlet scores, unseen terms drop") {
+    import spark.implicits._
+    // corpus: d1 = "a a b", d2 = "b c"; |C| = 5
+    // query "a zzz": zzz absent -> model is just p(a|C) = 2/5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val qs = Seq((0L, "a zzz")).toDF("query_id", "qtext")
+    val out = TextSearch.queryLikelihoodTopK(docs, qs, k = 10, mu = 2.0)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    def u9(x: Double) = math.round(x * 1e9)
+    val mp = 2.0 * (2.0 / 5.0) // mu * p(a|C) = 0.8
+    def score(tf: Long, dl: Long): Double = {
+      val u = u9(math.log(mp)) +
+        (if (tf > 0) u9(math.log(tf + mp) - math.log(mp)) else 0L) -
+        u9(1.0 * math.log(dl + 2.0))
+      -((-u + 500) / 1000).toDouble / 1e6
+    }
+    // d1: tf(a)=2, dl=3 -> ln(2.8) - ln(5); d2 has no query term and
+    // is not a candidate
+    assert(out.keySet == Set(1L))
+    assert(out(1L).getAs[Double]("score") == score(2L, 3L))
+    assert(out(1L).getAs[Int]("rank") == 1)
+    // both docs match "b": candidate set is both, ranked by score
+    val out2 = TextSearch.queryLikelihoodTopK(docs,
+        Seq((0L, "b")).toDF("query_id", "qtext"), k = 10, mu = 2.0)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    // p(b|C) = 2/5; d2 (tf=1, dl=2) beats d1 (tf=1, dl=3): shorter doc
+    assert(out2 == Map(2L -> 1, 1L -> 2))
+  }
+
   test("recallAtK: per-query hits over exact truth, macro average") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
