@@ -2098,6 +2098,12 @@ $joins"""
       Events.seasonalBaseline(t(s, dir, "events"), k = 3.0,
         minObs = 30L)),
 
+    // per-user inter-arrival stats + Goh-Barabasi burstiness: whole-
+    // second gaps, decimal-exact moments, one fixed-shape B formula —
+    // the bot/scheduler fingerprint
+    "q_events_burstiness" -> ((s, dir) =>
+      Events.interArrivalStats(t(s, dir, "events"))),
+
     // range (interval) join via time-bin bucketing: every click within
     // the hour BEFORE each purchase; pairs meet in exactly one bin so no
     // dedup stage, and hot time ranges spread across (key, bin) buckets
@@ -5816,6 +5822,40 @@ $joins"""
       // same DECIMAL(18,2)-exact window sums, same strictly-prior
       // frame, same double arithmetic from the exact sums, keep
       // decision on the unrounded z
+      // same per-user lag gaps (epoch-micros // 1e6 whole seconds),
+      // DECIMAL moments, identical mean/sigma/B shapes
+      "q_events_burstiness" ->
+        """WITH g AS (
+          |  SELECT user_id,
+          |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+          |      PARTITION BY user_id ORDER BY ts, event_id))
+          |      // 1000000 AS g
+          |  FROM events
+          |), a AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |    CAST(count(g) AS BIGINT) AS n_gaps,
+          |    sum(CAST(g AS DECIMAL(38,0))) AS s1,
+          |    sum(CAST(CAST(g AS DECIMAL(19,0)) * g AS DECIMAL(38,0)))
+          |      AS s2
+          |  FROM g GROUP BY 1
+          |), f AS (
+          |  SELECT user_id, n_events, n_gaps,
+          |    CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+          |    sqrt(greatest(0.0::DOUBLE,
+          |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+          |        * CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+          |      / CAST(n_gaps AS DOUBLE))) AS sd
+          |  FROM a
+          |)
+          |SELECT user_id, n_events, n_gaps,
+          |  CASE WHEN n_gaps >= 1 THEN
+          |    round(mean * CAST(1e6 AS DOUBLE))::DOUBLE
+          |      / CAST(1e6 AS DOUBLE) END AS mean_gap_s,
+          |  CASE WHEN n_gaps >= 2 AND (sd + mean) > 0 THEN
+          |    round((sd - mean) / (sd + mean) * CAST(1e6 AS DOUBLE))
+          |      ::DOUBLE / CAST(1e6 AS DOUBLE) END AS burstiness
+          |FROM f""".stripMargin,
+
       // same (type, hour) cells: round-9 decimal moments, one
       // fixed-shape mean/sd formula, flag on the unrounded doubles
       "q_events_seasonal" ->

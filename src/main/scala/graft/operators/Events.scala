@@ -457,6 +457,56 @@ object Events {
         sum(col("term")).cast("double").as("decayed_value"))
   }
 
+  /** Per-user inter-arrival statistics + burstiness — the behavioral
+    * fingerprint that separates humans from schedulers: a human's
+    * event gaps are bursty (Goh & Barabási 2008: B = (σ−μ)/(σ+μ) → 1),
+    * a cron job's are metronomic (B → −1), and a Poisson process sits
+    * near 0. The bot-detection / instrumentation-health signal next
+    * to [[sessionize]].
+    *
+    * Gaps are WHOLE SECONDS (epoch-micros diff DIV 1e6 — integer
+    * truncation, identical in any engine) ordered by (ts, id); their
+    * first and second moments accumulate as DECIMAL(38,0) (exact at
+    * any order and immune to the g² long overflow a year-long gap
+    * would cause), then ONE fixed-shape double formula for mean, σ,
+    * and B. Users with < 3 events emit null burstiness (σ of one gap
+    * is not a statistic); < 2 events emit null mean too.
+    *
+    * One per-user window (lag) riding its own partition + one
+    * user-keyed aggregate — no global order. Emits (user, n_events,
+    * n_gaps, mean_gap_s[rounded 6], burstiness[rounded 6]). */
+  def interArrivalStats(events: DataFrame,
+                        userCol: String = "user_id",
+                        tsCol: String = "ts",
+                        idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val micros = unix_micros(col(tsCol))
+    val gaps = events
+      .select(col(userCol), col(tsCol), col(idCol))
+      .withColumn("__du", micros - lag(micros, 1).over(byUser))
+      // integer DIV, not the double `/` detour: gaps are non-negative
+      // (the window orders by ts), where DIV and DuckDB's // agree
+      .withColumn("g", expr("__du DIV 1000000"))
+    val agg = gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("g")).as("n_gaps"),
+        sum(col("g").cast("decimal(38,0)")).as("s1"),
+        sum((col("g").cast("decimal(19,0)") * col("g"))
+          .cast("decimal(38,0)")).as("s2"))
+    def disp(c: Column): Column =
+      round(c * lit(1e6)).cast("double") / lit(1e6)
+    val m = col("n_gaps").cast("double")
+    val mean = col("s1").cast("double") / m
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / m) / m
+    val sd = sqrt(greatest(lit(0.0), variance))
+    agg.select(col(userCol), col("n_events"), col("n_gaps"),
+      when(col("n_gaps") >= 1, disp(mean)).as("mean_gap_s"),
+      when(col("n_gaps") >= 2 && (sd + mean) > 0,
+        disp((sd - mean) / (sd + mean))).as("burstiness"))
+  }
+
   /** Seasonal-baseline anomaly flags — the periodic complement to
     * [[rollingAnomalies]]' trailing z-score: traffic/metric streams
     * have strong time-of-day structure, and "3σ above the last 20

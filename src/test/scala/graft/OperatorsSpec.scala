@@ -5240,6 +5240,30 @@ class OperatorsSpec extends AnyFunSuite {
       math.round(400.0 / 31.0 * 1e6) / 1e6)
   }
 
+  test("interArrivalStats: metronome B=-1, bursty B>0, small users null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    // user 1: perfect 60s metronome -> sigma=0 -> B = -1
+    // user 2: gaps 1,1,1,597 (bursty) -> B > 0
+    // user 3: single event -> null mean, null B
+    val rows = (0 until 10).map(i => (1L, ts(i * 60), i.toLong)) ++
+      Seq((2L, ts(0), 100L), (2L, ts(1), 101L), (2L, ts(2), 102L),
+        (2L, ts(3), 103L), (2L, ts(600), 104L)) ++
+      Seq((3L, ts(0), 200L))
+    val df = rows.toDF("user_id", "ts", "event_id")
+    val out = Events.interArrivalStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_gaps") == 9L)
+    assert(out(1L).getAs[Double]("mean_gap_s") == 60.0)
+    assert(out(1L).getAs[Double]("burstiness") == -1.0)
+    assert(out(2L).getAs[Double]("burstiness") > 0.0)
+    val u3 = out(3L)
+    assert(u3.getAs[Long]("n_events") == 1L)
+    assert(u3.isNullAt(u3.fieldIndex("mean_gap_s")))
+    assert(u3.isNullAt(u3.fieldIndex("burstiness")))
+  }
+
   test("recrawlSchedule maps changefreq periods and applies the due rule") {
     import spark.implicits._
     val entries = Seq(
