@@ -92,6 +92,16 @@ object Robots {
     * robots bodies are KB-sized. */
   def sitemapDirectives(robots: DataFrame, hostCol: String = "host",
                         bodyCol: String = "body"): DataFrame =
+    sitemapDirectivesRaw(robots, hostCol, bodyCol).distinct()
+
+  /** The [[sitemapDirectives]] line scan WITHOUT the dedup exchange —
+    * one (host, sitemap_url) row per directive LINE. This is the
+    * shared stateless core: the batch form adds `.distinct()`, the
+    * streaming form ([[graft.streaming.StreamOps.sitemapDirectivesStream]])
+    * cannot (unbounded dedup needs state) and uses this directly, so
+    * the parse grammar can never diverge between the two. */
+  def sitemapDirectivesRaw(robots: DataFrame, hostCol: String = "host",
+                           bodyCol: String = "body"): DataFrame =
     robots.select(col(hostCol).as("host"),
         explode(split(col(bodyCol), "\n")).as("raw"))
       .select(col("host"),
@@ -102,7 +112,6 @@ object Robots {
         trim(regexp_extract(col("line"), ":\\s*(.*)$", 1))
           .as("sitemap_url"))
       .filter(col("sitemap_url") =!= "")
-      .distinct()
 
   /** Gate a URL frontier against parsed rules: per URL, the
     * longest-prefix rule on its (path + query) decides; Allow wins

@@ -48,7 +48,15 @@ object Sentences {
   /** Abbreviations whose trailing period never ends a sentence.
     * Matched as literal `"<key>."` -> `"<key>U+0001"`; multi-period
     * keys ("e.g.") come first so their inner periods are consumed
-    * before any single-period key could match a prefix. */
+    * before any single-period key could match a prefix.
+    *
+    * Known asymmetry: "No" is the one entry that can MERGE two real
+    * sentences (a sentence-final "... No. We retried." reads as the
+    * abbreviation) — the opposite of the list's otherwise errs-small
+    * over-split bias. Accepted deliberately: the numbering usage
+    * ("No. 7", "No. of items") dominates real corpora, while a bare
+    * sentence-final "No." is rare prose dialogue. Drop "No" from a
+    * custom list if that trade is wrong for your corpus. */
   val Abbreviations: Seq[String] = Seq(
     "e.g", "i.e", "U.S", "U.K",
     "Mr", "Mrs", "Ms", "Dr", "Prof", "Rev", "Gen", "Sen", "Hon",

@@ -928,7 +928,10 @@ object Stats {
     * over the scan + a 9-row frame — nothing else touches the data.
     *
     * Emits 9 rows: (digit, cnt, obs_frac, exp_frac, chi2) with chi2
-    * the (constant) whole-column statistic. */
+    * the (constant) whole-column statistic. Degenerate input (no
+    * parseable first digit anywhere — empty table, all null/zero)
+    * still emits the 9 digit rows with cnt 0 and NULL obs_frac/chi2
+    * rather than NaN/Infinity from the n = 0 division. */
   def benfordTest(df: DataFrame, valueCol: String): DataFrame = {
     val digit = regexp_extract(col(valueCol).cast("string"), "[1-9]", 0)
     val counts = df
@@ -948,9 +951,11 @@ object Stats {
     digits.join(counts, Seq("digit"), "left")
       .select(col("digit"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .select(col("digit"), col("cnt"),
-        disp(col("cnt").cast("double") / n.cast("double")).as("obs_frac"),
+        when(n > 0,
+          disp(col("cnt").cast("double") / n.cast("double")))
+          .as("obs_frac"),
         disp(expFrac).as("exp_frac"),
-        round(term, 9).cast("decimal(38,9)").as("t9"))
+        when(n > 0, round(term, 9).cast("decimal(38,9)")).as("t9"))
       .withColumn("chi2",
         // round the DECIMAL (exact in any engine), THEN cast — a
         // double-side fractional round could land on a repr boundary

@@ -130,21 +130,36 @@ object TextSearch {
                           mu: Double = 2000.0): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(mu > 0, "mu must be > 0")
+    // ONE corpus pass for matched postings AND the |C| scalar: each
+    // doc explodes its tokens plus one null-term SENTINEL row carrying
+    // dl, the broadcast vocabulary join keeps matched tokens (and the
+    // sentinels ride through on term-is-null), and the compact result
+    // — matched occurrences + one row per doc — checkpoints. |C| then
+    // sums sentinel dl off the checkpoint instead of re-scanning the
+    // corpus (the former separate docs.agg action paid a second full
+    // read of the text column per call).
     val toks = docs.select(col(idCol).as("doc_id"),
       size(split(col(textCol), " ")).as("dl"),
-      explode(split(col(textCol), " ")).as("term"))
-    val cRow = docs.agg(
-      sum(size(split(col(textCol), " ")).cast("long"))).head
-    require(!cRow.isNullAt(0) && cRow.getLong(0) > 0L,
-      "queryLikelihoodTopK needs a non-empty corpus")
-    val cTotal = cRow.getLong(0).toDouble
+      explode(concat(array(lit(null).cast("string")),
+        split(col(textCol), " "))).as("term"))
     val qterms = queries.select(col(queryIdCol).as("query_id"),
         explode(split(col(queryTextCol), " ")).as("term"))
       .distinct()
     val vocab = qterms.select("term").distinct()
-    val matched = toks.join(broadcast(vocab), Seq("term"), "left_semi")
-      .repartition(col("term"))
+    val hits = broadcast(vocab.withColumn("__hit", lit(1)))
+    val kept = toks.join(hits, Seq("term"), "left")
+      .filter(col("__hit").isNotNull || col("term").isNull)
+      .select(col("term"), col("doc_id"), col("dl"))
       .localCheckpoint(false)
+    val cRow = kept.filter(col("term").isNull)
+      .agg(sum(col("dl").cast("long"))).head
+    require(!cRow.isNullAt(0) && cRow.getLong(0) > 0L,
+      "queryLikelihoodTopK needs a non-empty corpus")
+    val cTotal = cRow.getLong(0).toDouble
+    // sentinels are excluded BEFORE the term-keyed exchange — null
+    // keys would otherwise pile one-row-per-doc into one partition
+    val matched = kept.filter(col("term").isNotNull)
+      .repartition(col("term"))
     // collection frequency of each query term, riding the same
     // term-keyed partitioning as the postings groupBy
     val cf = matched.groupBy(col("term"))
@@ -244,8 +259,10 @@ object TextSearch {
     * runs under the full-corpus oracle). That holds because
     *   - old postings store exact (term, doc_id, dl, tf); the delta
     *     tokenizes identically; disjoint ids make the union the
-    *     rebuild's multiset (REQUIRED: re-adding an existing doc_id is
-    *     caller error — dedup/replace upstream);
+    *     rebuild's multiset (ENFORCED: a delta doc_id already present
+    *     in the stored index throws — the old-meta n_docs + delta
+    *     distinct count must equal the merged distinct count — rather
+    *     than silently writing duplicate postings with inflated df);
     *   - `df` recomputes over the union (the stored df is dropped);
     *   - `meta` recomputes from the merged doc dictionary: every doc
     *     has ≥ 1 posting row (an empty text still emits its
@@ -273,6 +290,16 @@ object TextSearch {
       .localCheckpoint(false)
     val statsRow = merged.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)), avg(col("dl"))).head
+    // enforce the documented disjointness contract instead of silently
+    // writing a corrupt index (duplicate postings, inflated df/n_docs):
+    // if any delta doc_id already exists in the old index, the merged
+    // distinct-doc count comes up short of old + delta
+    val oldNDocs = spark.read.parquet(s"$path/meta").head.getLong(0)
+    val deltaNDocs = newDocs.select(col(idCol)).distinct().count()
+    require(statsRow.getLong(0) == oldNDocs + deltaNDocs,
+      s"mergeSearchIndex: delta doc_ids overlap the stored index " +
+        s"(old=$oldNDocs + delta=$deltaNDocs != " +
+        s"merged=${statsRow.getLong(0)}); dedup or replace upstream")
     spark.range(1)
       .select(lit(statsRow.getLong(0)).as("n_docs"),
         lit(statsRow.getDouble(1)).as("avgdl"))

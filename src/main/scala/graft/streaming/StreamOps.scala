@@ -497,19 +497,8 @@ object StreamOps {
     * matters). Stateless explode + filter — append-mode. */
   def sitemapDirectivesStream(robots: DataFrame,
                               hostCol: String = "host",
-                              bodyCol: String = "body"): DataFrame = {
-    import org.apache.spark.sql.functions._
-    robots.select(col(hostCol).as("host"),
-        explode(split(col(bodyCol), "\n")).as("raw"))
-      .select(col("host"),
-        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
-      .filter(lower(regexp_extract(col("line"),
-        "^([A-Za-z-]+)\\s*:", 1)) === "sitemap")
-      .select(col("host"),
-        trim(regexp_extract(col("line"), ":\\s*(.*)$", 1))
-          .as("sitemap_url"))
-      .filter(col("sitemap_url") =!= "")
-  }
+                              bodyCol: String = "body"): DataFrame =
+    graft.operators.Robots.sitemapDirectivesRaw(robots, hostCol, bodyCol)
 
   /** Streaming rendezvous sharding — `Layout.rendezvousShards` on
     * arriving records: the stable-store router at ingest time (each
@@ -549,6 +538,11 @@ object StreamOps {
     val table: Map[String, (Long, Double, Double)] =
       graft.operators.Events
         .seasonalCells(baseline, keyCol, valueCol, tsCol)
+        // a null baseline key must not become the literal map key
+        // "null#<h>" (which a live event whose key is the STRING
+        // "null" would then match) — the batch scorer's inner join
+        // drops null keys on both sides, so drop them here too
+        .filter(col("__key").isNotNull)
         .collect()
         .map(r => (r.getString(0) + "#" + r.getInt(1)) ->
           ((r.getLong(2), r.getDouble(3), r.getDouble(4))))

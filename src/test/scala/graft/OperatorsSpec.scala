@@ -5199,6 +5199,13 @@ class OperatorsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       TextSearch.mergeSearchIndex(spark, s"$tmp/base", delta, s"$tmp/base")
     }
+    // disjointness contract ENFORCED: re-adding doc_ids already in the
+    // stored index throws instead of writing duplicate postings
+    val overlap = intercept[IllegalArgumentException] {
+      TextSearch.mergeSearchIndex(spark, s"$tmp/base",
+        base.limit(1), s"$tmp/bad")
+    }
+    assert(overlap.getMessage.contains("overlap"))
   }
 
   test("coverageCurve: hand-computed top-N token mass at each cut") {
@@ -5545,6 +5552,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("exp_frac") ==
       math.round(math.log(2.0) / math.log(10.0) * 1e6) / 1e6)
     assert(r1.getAs[Double]("chi2") > 0.0)
+  }
+
+  test("benfordTest degenerate input: 9 zero-count rows, null fracs, " +
+       "no NaN/Infinity") {
+    import spark.implicits._
+    val df = Seq("0.00", "0.00").map(Tuple1(_)).toDF("v")
+      .select(col("v").cast("decimal(10,2)").as("v"))
+    val rows = Stats.benfordTest(df, "v").orderBy("digit").collect()
+    assert(rows.length == 9)
+    assert(rows.forall(_.getLong(1) == 0L))
+    assert(rows.forall(_.isNullAt(rows(0).fieldIndex("obs_frac"))))
+    assert(rows.forall(_.isNullAt(rows(0).fieldIndex("chi2"))))
+    // exp_frac is input-independent and still emits
+    assert(rows.forall(!_.isNullAt(rows(0).fieldIndex("exp_frac"))))
   }
 
   test("personalizedPageRank: isolated seed holds mass; empty seeds rejected") {

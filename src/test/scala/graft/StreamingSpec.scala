@@ -1792,6 +1792,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(flags == Map(100L -> true, 101L -> false, 102L -> false))
   }
 
+  test("seasonalAnomaliesStream: null baseline key drops (no \"null#h\" " +
+       "literal cell for a string-\"null\" event to hit)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ts(h: Int, m: Int) =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // baseline rows with a NULL key plus a real key
+    val hist = ((0 until 5).map(i =>
+        (i.toLong, ts(0, i), null: String, 10.0)) ++
+      (10 until 15).map(i => (i.toLong, ts(0, i - 10), "x", 10.0)))
+      .toDF("event_id", "ts", "event_type", "value")
+    import graft.streaming.StreamOps.MetricEvent
+    val input = MemoryStream[MetricEvent]
+    val out = StreamOps.seasonalAnomaliesStream(input.toDF(), hist,
+      minObs = 1L)
+    val q = out.writeStream.format("memory").queryName("seasonal_nullkey")
+      .outputMode("append").start()
+    // a live event whose event_type is the STRING "null" must drop
+    // (batch inner-join parity: no such baseline key exists)
+    input.addData(MetricEvent(200L, ts(0, 1), "null", 99.0),
+      MetricEvent(201L, ts(0, 2), "x", 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("select event_id from seasonal_nullkey").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(201L))
+  }
+
   test("dedupAgainstStoreStream equals the batch store probe " +
        "on out-of-order input") {
     import graft.streaming.StreamOps.StreamDoc
