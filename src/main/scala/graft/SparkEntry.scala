@@ -1478,6 +1478,60 @@ $joins"""
         docs.select(col("doc_id"), blob.as("blob")))
     }),
 
+    // REAL-corpus .warc.gz ingest, end-to-end: per doc, TWO gzip
+    // members (the CommonCrawl per-record-member layout) — an HTTP
+    // response whose body charset varies by doc_id % 3 (declared
+    // utf-8 / declared iso-8859-1 / UNDECLARED cp1252-only bytes, so
+    // the strict-trial chain must pick a different decoder for each)
+    // and a non-HTTP metadata record — plus a non-gzip garbage tail
+    // that must drop. Byte walk + gunzip + HTTP split + charset
+    // decode all exercised; the oracle states the planted ground
+    // truth directly
+    "q_source_warc_gz" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val crlf = "\r\n"
+      val v = col("doc_id") % 3
+      // latin-1 variants strip to printable ASCII first: the fixture
+      // must stay latin-1-encodable whatever text the generator ships
+      val atext = regexp_replace(col("text"), "[^\\x20-\\x7e]", "")
+      val bodyBin = when(v === 0,
+          encode(concat(col("text"), lit(" café №7")), "UTF-8"))
+        .otherwise(encode(concat(atext, lit(" café")), "ISO-8859-1"))
+      val ctype = when(v === 0, lit("text/html; charset=utf-8"))
+        .when(v === 1, lit("text/html; charset=iso-8859-1"))
+        .otherwise(lit("text/html"))
+      val httpPayload = concat(
+        encode(concat(
+          lit("HTTP/1.1 200 OK" + crlf + "Content-Type: "),
+          ctype, lit(crlf + crlf)), "UTF-8"),
+        bodyBin)
+      val uri = concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string"))
+      val rec1 = concat(
+        encode(concat(
+          lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+            "WARC-Target-URI: "), uri,
+          lit(crlf + "Content-Length: "),
+          length(httpPayload).cast("string"),
+          lit(crlf + crlf)), "UTF-8"),
+        httpPayload)
+      val meta = concat(lit("fetch-ms: "), col("doc_id").cast("string"))
+      val rec2 = encode(concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+          "Content-Length: "),
+        octet_length(meta).cast("string"),
+        lit(crlf + crlf), meta), "UTF-8")
+      val blob = concat(
+        org.apache.spark.sql.graftext.GzipBytes(rec1),
+        org.apache.spark.sql.graftext.GzipBytes(rec2),
+        lit("trailing non-gzip garbage".getBytes("US-ASCII")))
+      graft.sources.Warc.httpResponses(graft.sources.Warc.parseWarcGz(
+          docs.select(col("doc_id"), blob.as("blob"))))
+        .select(col("doc_id"), col("rec_id"), col("warc_type"),
+          col("target_uri"), col("http_status"), col("content_type"),
+          col("charset"), col("body"))
+    }),
+
     // per-document keyword extraction: top tokens by tf-idf, df riding
     // the same token-keyed partitioning as the tf groupBy (bm25 trick)
     "q_text_keywords" -> ((s, dir) =>
@@ -4788,6 +4842,33 @@ $joins"""
           |UNION ALL
           |SELECT doc_id, CAST(1 AS INT), '1.0', 'metadata',
           |  NULL, NULL, CAST(strlen(payload2) AS BIGINT), payload2
+          |FROM p""".stripMargin,
+
+      // gz-chain ground truth, stated directly: gunzip + byte walk +
+      // HTTP split + the charset trial chain must recover exactly
+      // these fields (v=0 declared-utf-8, v=1 declared-latin-1, v=2
+      // undeclared cp1252 fallback; metadata record passes through
+      // whole with null HTTP fields; the garbage tail vanished)
+      "q_source_warc_gz" ->
+        """WITH p AS (
+          |  SELECT doc_id, text, doc_id % 3 AS v,
+          |    regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS atext,
+          |    'https://' || source || '.example.com/p/' ||
+          |      CAST(doc_id AS VARCHAR) AS uri
+          |  FROM documents
+          |)
+          |SELECT doc_id, CAST(0 AS INT) AS rec_id,
+          |  'response' AS warc_type, uri AS target_uri,
+          |  CAST(200 AS INT) AS http_status,
+          |  'text/html' AS content_type,
+          |  CASE v WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+          |    ELSE 'windows-1252' END AS charset,
+          |  CASE WHEN v = 0 THEN text || ' café №7'
+          |    ELSE atext || ' café' END AS body
+          |FROM p
+          |UNION ALL
+          |SELECT doc_id, CAST(1 AS INT), 'metadata', NULL, NULL, NULL,
+          |  'utf-8', 'fetch-ms: ' || CAST(doc_id AS VARCHAR)
           |FROM p""".stripMargin,
 
       // tf-idf replica: same two-level counts, same single ln and

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputT
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Split a WARC blob (ISO 28500 — the CommonCrawl container format)
@@ -43,6 +43,63 @@ case class WarcRecords(child: Expression)
 
   override def prettyName: String = "warc_records"
 
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    new GenericArrayData(WarcWalk.split(bytes).map { case (s, e) =>
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, s, e))
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WarcRecords =
+    copy(child = newChild)
+}
+
+object WarcRecords {
+  def apply(blob: Column): Column =
+    ExpressionUtils.column(WarcRecords(ExpressionUtils.expression(blob)))
+}
+
+/** [[WarcRecords]] over a BINARY blob, emitting binary records — the
+  * form real `.warc.gz` ingest needs: response payloads carry bodies
+  * in whatever charset the server sent (cp1252 is endemic), and a
+  * UTF-8 string round-trip would re-encode those bytes so the
+  * `Content-Length` octet counts no longer match the data. The walk
+  * itself is byte-identical to the string form (one shared
+  * [[WarcWalk]] — the splitter can never diverge between the two). */
+case class WarcRecordsBytes(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+
+  override def dataType: DataType =
+    ArrayType(BinaryType, containsNull = false)
+
+  override def prettyName: String = "warc_records_bytes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    new GenericArrayData(WarcWalk.split(bytes).map { case (s, e) =>
+      java.util.Arrays.copyOfRange(bytes, s, e)
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WarcRecordsBytes = copy(child = newChild)
+}
+
+object WarcRecordsBytes {
+  def apply(blob: Column): Column =
+    ExpressionUtils.column(
+      WarcRecordsBytes(ExpressionUtils.expression(blob)))
+}
+
+/** The length-driven record walk shared by [[WarcRecords]] (string
+  * blobs) and [[WarcRecordsBytes]] (binary blobs): byte offsets in,
+  * record (start, end) spans out. One implementation so the two
+  * entry points cannot drift. */
+private[graftext] object WarcWalk {
+
   private val Magic = "WARC/".getBytes("US-ASCII")
 
   private val ContentLength =
@@ -69,9 +126,8 @@ case class WarcRecords(child: Expression)
     -1
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+  def split(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var pos = 0
     var ok = true
     while (ok && pos < bytes.length) {
@@ -92,8 +148,7 @@ case class WarcRecords(child: Expression)
             val end = hdrEnd + 4 + cl
             if (cl < 0 || end > bytes.length) ok = false // truncated
             else {
-              out += UTF8String.fromBytes(
-                java.util.Arrays.copyOfRange(bytes, pos, end.toInt))
+              out += ((pos, end.toInt))
               pos = end.toInt
               while (pos + 1 < bytes.length &&
                      bytes(pos) == '\r' && bytes(pos + 1) == '\n')
@@ -103,14 +158,6 @@ case class WarcRecords(child: Expression)
         }
       }
     }
-    new GenericArrayData(out.toArray[Any])
+    out.toSeq
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WarcRecords =
-    copy(child = newChild)
-}
-
-object WarcRecords {
-  def apply(blob: Column): Column =
-    ExpressionUtils.column(WarcRecords(ExpressionUtils.expression(blob)))
 }

@@ -575,6 +575,18 @@ object StreamOps {
                       blobCol: String = "blob"): DataFrame =
     graft.sources.Warc.parseWarc(records, idCol, blobCol)
 
+  /** Streaming `.warc.gz` ingest — `Warc.parseWarcGz` then
+    * `Warc.httpResponses` over arriving compressed crawl batches: the
+    * REAL CommonCrawl entry point as a stream (per-record gzip
+    * members, byte-level record walk, HTTP split, charset-chain body
+    * decode). Stateless projections + one Generate — append-mode, no
+    * watermark; `body` feeds [[extractTextStream]] exactly as in
+    * batch. */
+  def parseWarcGzStream(records: DataFrame, idCol: String = "doc_id",
+                        blobCol: String = "blob"): DataFrame =
+    graft.sources.Warc.httpResponses(
+      graft.sources.Warc.parseWarcGz(records, idCol, blobCol))
+
   /** Streaming heavy hitters — the Structured Streaming form of
     * `TextAnalysis.heavyHitterTokens` (running top tokens per group via
     * the Misra-Gries sketch aggregate): IDENTICAL batch code on the

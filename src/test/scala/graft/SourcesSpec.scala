@@ -247,4 +247,155 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.count(_.getLong(0) == 5L) == 1)
     assert(out.forall(_.getAs[String]("payload") == "ok"))
   }
+
+  // ---- .warc.gz ingest: gzip members, byte walk, HTTP, charset ----
+
+  private def gz(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(bytes); g.close()
+    bos.toByteArray
+  }
+
+  private def warcRecBytes(tpe: String, payload: Array[Byte],
+                           extra: String = ""): Array[Byte] = {
+    val hdr = (s"WARC/1.0\r\nWARC-Type: $tpe\r\n${extra}" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII")
+    hdr ++ payload
+  }
+
+  test("GunzipBytes: multi-member concatenation decompresses whole; " +
+       "trailing garbage and empty input are safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftext.{GunzipBytes, GzipBytes}
+    val a = "first member ".getBytes("UTF-8")
+    val b = "second member".getBytes("UTF-8")
+    val df = Seq(
+      (1L, gz(a) ++ gz(b)),                            // two members
+      (2L, gz(a) ++ gz(b) ++ "junk!".getBytes),        // garbage tail
+      (3L, Array.emptyByteArray),                      // empty blob
+      (4L, "not gzip at all".getBytes("UTF-8"))        // no member
+    ).toDF("id", "blob")
+    val out = df.select(col("id"), GunzipBytes(col("blob")).as("raw"))
+      .collect().map(r => r.getLong(0) ->
+        new String(r.getAs[Array[Byte]]("raw"), "UTF-8")).toMap
+    assert(out(1L) == "first member second member")
+    assert(out(2L) == "first member second member")
+    assert(out(3L) == "")
+    assert(out(4L) == "")
+    // the engine-side compressor round-trips through the decompressor
+    val rt = Seq(Tuple1(a ++ b)).toDF("raw")
+      .select(GunzipBytes(GzipBytes(col("raw"))).as("back"))
+      .head.getAs[Array[Byte]]("back")
+    assert(java.util.Arrays.equals(rt, a ++ b))
+  }
+
+  test("parseWarcGz walks on BYTES: a cp1252 body's Content-Length " +
+       "counts octets, so a UTF-8 re-encoded walk would misalign") {
+    import spark.implicits._
+    // 'café' in cp1252/latin-1 = 4 bytes; as UTF-8 it would be 5 —
+    // a string-typed walk would overrun into the next record
+    val body = Array[Byte]('c', 'a', 'f', 0xE9.toByte)
+    val blob = gz(warcRecBytes("response", body)) ++
+      gz(warcRecBytes("metadata", "after".getBytes("US-ASCII")))
+    val out = graft.sources.Warc.parseWarcGz(
+        Seq((1L, blob)).toDF("doc_id", "blob"))
+      .collect().sortBy(_.getAs[Int]("rec_id"))
+    assert(out.length == 2)
+    assert(java.util.Arrays.equals(
+      out(0).getAs[Array[Byte]]("payload"), body))
+    assert(out(0).getAs[Long]("content_length") == 4L)
+    assert(new String(out(1).getAs[Array[Byte]]("payload"),
+      "US-ASCII") == "after")
+  }
+
+  test("parseWarcGz: a corrupt gzip member drops the tail; prior " +
+       "members' records survive") {
+    import spark.implicits._
+    val good = gz(warcRecBytes("response", "ok".getBytes))
+    val corrupt = {
+      val c = gz(warcRecBytes("response", "lost".getBytes))
+      c(c.length / 2) = (c(c.length / 2) ^ 0xFF).toByte // flip a byte
+      c
+    }
+    val unreachable = gz(warcRecBytes("response", "never".getBytes))
+    val out = graft.sources.Warc.parseWarcGz(
+        Seq((1L, good ++ corrupt ++ unreachable)).toDF("doc_id", "blob"))
+      .collect()
+    assert(out.length == 1)
+    assert(new String(out(0).getAs[Array[Byte]]("payload")) == "ok")
+  }
+
+  test("httpResponses: charset trial chain — declared correct, " +
+       "declared WRONG, unknown name, undeclared cp1252, replacement") {
+    import spark.implicits._
+    def http(ctHeader: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$ctHeader\r\n\r\n").getBytes("US-ASCII") ++
+        body
+    val latin1Cafe = Array[Byte]('c', 'a', 'f', 0xE9.toByte)
+    val rows = Seq(
+      // declared latin-1, latin-1 bytes: declared wins
+      (1L, http("Content-Type: text/html; charset=iso-8859-1",
+        latin1Cafe)),
+      // declared utf-8 but cp1252 bytes: strict declared fails,
+      // strict utf-8 fails, cp1252 catches
+      (2L, http("Content-Type: text/html; charset=utf-8", latin1Cafe)),
+      // unknown charset name skips to utf-8
+      (3L, http("Content-Type: text/html; charset=klingon-8",
+        "plain".getBytes("UTF-8"))),
+      // undefined cp1252 slot 0x81 becomes U+FFFD, never a crash
+      (4L, http("Content-Type: text/html", Array[Byte](0x81.toByte))),
+      // non-HTTP payload passes through whole with null HTTP fields
+      (5L, "just some metadata".getBytes("UTF-8")),
+      // truncated message (no blank line): headers kept, empty body
+      (6L, "HTTP/1.1 301 M\r\nLocation: x".getBytes("US-ASCII")))
+    val recs = rows.toDF("doc_id", "payload")
+    val out = graft.sources.Warc.httpResponses(recs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("charset") == "iso-8859-1")
+    assert(out(1L).getAs[String]("body") == "café")
+    assert(out(2L).getAs[String]("charset") == "windows-1252")
+    assert(out(2L).getAs[String]("body") == "café")
+    assert(out(3L).getAs[String]("charset") == "utf-8")
+    assert(out(3L).getAs[String]("body") == "plain")
+    assert(out(4L).getAs[String]("charset") == "windows-1252")
+    assert(out(4L).getAs[String]("body") == "�")
+    assert(out(5L).isNullAt(out(5L).fieldIndex("http_status")))
+    assert(out(5L).isNullAt(out(5L).fieldIndex("content_type")))
+    assert(out(5L).getAs[String]("body") == "just some metadata")
+    assert(out(6L).getAs[Int]("http_status") == 301)
+    assert(out(6L).getAs[String]("body") == "")
+    assert(out(1L).getAs[Int]("http_status") == 200)
+    assert(out(1L).getAs[String]("content_type") == "text/html")
+  }
+
+  test("the full crawl entry chain closes: .warc.gz -> httpResponses " +
+       "-> extractText") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val html = "<html><body><p>" +
+      "The café article body has plenty of prose in this " +
+      "paragraph, with enough characters to clear the extractor's " +
+      "minimum and no links at all.</p></body></html>"
+    // cp1252-encode the page and DON'T declare a charset: the chain
+    // must fall back to windows-1252 before extraction
+    val body = html.getBytes("windows-1252")
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+      .getBytes("US-ASCII") ++ body
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(
+      "US-ASCII") ++ payload
+    val parsed = graft.sources.Warc.httpResponses(
+      graft.sources.Warc.parseWarcGz(
+        Seq((1L, gz(rec))).toDF("doc_id", "blob")))
+    val text = graft.operators.HtmlExtract.extractText(
+        parsed.filter(col("warc_type") === "response"),
+        htmlCol = "body")
+      .collect()
+    assert(text.length == 1)
+    val t = text(0).getAs[String]("text_main")
+    assert(t.contains("café article body"))
+    assert(!t.contains("<p>"))
+  }
 }

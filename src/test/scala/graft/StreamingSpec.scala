@@ -17,6 +17,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class LangDoc(doc_id: Long, lang: String, text: String)
 
+case class GzDoc(doc_id: Long, blob: Array[Byte])
+
 /** Structured Streaming behavior: the parity engine is a stateless
   * projection and runs unchanged on streams; stateful ops are watermarked. */
 class StreamingSpec extends AnyFunSuite {
@@ -1711,6 +1713,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(wr.length == 1)
     assert(wr(0).getLong(0) == 8L && wr(0).getString(1) == "response" &&
       wr(0).getString(2) == "hello")
+  }
+
+  test("parseWarcGzStream: gz members decode + HTTP split + charset " +
+       "chain on arrival, matching the batch chain") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def gz(bytes: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(bytes); g.close()
+      bos.toByteArray
+    }
+    val body = Array[Byte]('c', 'a', 'f', 0xE9.toByte) // cp1252 café
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+      .getBytes("US-ASCII") ++ body
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(
+      "US-ASCII") ++ payload
+    val blob = gz(rec) ++ gz(rec)
+    val batchRows = graft.sources.Warc.httpResponses(
+        graft.sources.Warc.parseWarcGz(
+          Seq((9L, blob)).toDF("doc_id", "blob")))
+      .select("doc_id", "rec_id", "http_status", "charset", "body")
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[GzDoc]
+    val out = StreamOps.parseWarcGzStream(input.toDF())
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("warcgz_stream")
+      .outputMode("append").start()
+    input.addData(GzDoc(9L, blob))
+    q.processAllAvailable(); q.stop()
+    val streamed = s.sql("select doc_id, rec_id, http_status, charset, " +
+        "body from warcgz_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batchRows)
+    assert(streamed.exists(r => r(3) == "windows-1252" &&
+      r(4) == "café"))
   }
 
   test("sitemapDirectivesStream and rendezvousShardsStream match batch") {
