@@ -289,17 +289,24 @@ object TextSearch {
       delta.select(col("term"), col("doc_id"), col("dl"), col("tf")))
       .localCheckpoint(false)
     val statsRow = merged.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)), avg(col("dl"))).head
+      .agg(count(lit(1)), avg(col("dl")),
+        count_distinct(col("doc_id"))).head
     // enforce the documented disjointness contract instead of silently
-    // writing a corrupt index (duplicate postings, inflated df/n_docs):
-    // if any delta doc_id already exists in the old index, the merged
-    // distinct-doc count comes up short of old + delta
+    // writing a corrupt index (duplicate postings, inflated df/n_docs).
+    // Two checks, both on DOC IDS not (doc_id, dl) pairs: a re-added
+    // doc with CHANGED text carries a different dl, so the pair count
+    // alone would still equal old + delta and let the overlap through —
+    // the distinct-id count is what actually shrinks on any overlap,
+    // and ids-vs-pairs inequality is the changed-text signature.
     val oldNDocs = spark.read.parquet(s"$path/meta").head.getLong(0)
     val deltaNDocs = newDocs.select(col(idCol)).distinct().count()
-    require(statsRow.getLong(0) == oldNDocs + deltaNDocs,
+    require(statsRow.getLong(2) == oldNDocs + deltaNDocs &&
+        statsRow.getLong(0) == statsRow.getLong(2),
       s"mergeSearchIndex: delta doc_ids overlap the stored index " +
         s"(old=$oldNDocs + delta=$deltaNDocs != " +
-        s"merged=${statsRow.getLong(0)}); dedup or replace upstream")
+        s"merged=${statsRow.getLong(2)} distinct ids over " +
+        s"${statsRow.getLong(0)} (id, dl) pairs); dedup or replace " +
+        s"upstream")
     spark.range(1)
       .select(lit(statsRow.getLong(0)).as("n_docs"),
         lit(statsRow.getDouble(1)).as("avgdl"))

@@ -131,12 +131,19 @@ object Warc {
     val bodyStr = when(!isHttp, p)
       .when(hasTerm, regexp_replace(p, "(?s)^.*?\\r\\n\\r\\n", ""))
       .otherwise(lit(""))
-    val declared = regexp_extract(headers,
+    // charset sniff is scoped to the Content-Type VALUE — a
+    // `charset=` token in any other header (Link rels carry them)
+    // must not win over the media type's own declaration
+    val ctypeFull = regexp_extract(headers,
+      "(?mi)^Content-Type:\\s*([^\\r\\n]+)", 1)
+    val declared = regexp_extract(ctypeFull,
       "(?i)charset=\"?([A-Za-z0-9_.:\\-]+)", 1)
-    val ctype = regexp_extract(headers,
-      "(?mi)^Content-Type:\\s*([^;\\r\\n]+)", 1)
-    val decoded = CharsetDecode(encode(bodyStr, "ISO-8859-1"),
-      when(declared =!= "", declared))
+    val ctype = regexp_extract(ctypeFull, "^([^;]+)", 1)
+    // null payload → null struct (CharsetDecode's contract), not a
+    // decoded-empty body="" / charset="utf-8" row
+    val decoded = when(col(payloadCol).isNotNull,
+      CharsetDecode(encode(bodyStr, "ISO-8859-1"),
+        when(declared =!= "", declared)))
     records
       .withColumn("__hdr", headers)
       .withColumn("__d", decoded)

@@ -87,8 +87,11 @@ object CharsetDecode {
     if (declaredCs != null) {
       val t = tryStrict(body, declaredCs)
       if (t != null) {
-        return InternalRow(
-          UTF8String.fromString(declaredCs.name.toLowerCase), t)
+        // Locale.ROOT: under e.g. a Turkish default locale, a bare
+        // toLowerCase maps 'I' to dotless 'ı' and breaks the
+        // documented canonical charset name ("ıso-8859-1")
+        return InternalRow(UTF8String.fromString(
+          declaredCs.name.toLowerCase(java.util.Locale.ROOT)), t)
       }
     }
     if (declaredCs == null || declaredCs != StandardCharsets.UTF_8) {

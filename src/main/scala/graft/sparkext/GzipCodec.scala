@@ -96,7 +96,11 @@ object GunzipBytes {
   /** Shared by interpreted eval and generated code. */
   def compute(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length == 0) return Array.emptyByteArray
-    val out = new ByteArrayOutputStream(math.max(64, bytes.length * 3))
+    // Long math: `length * 3` overflows Int past ~683 MiB and would
+    // pick the 64-byte floor for exactly the ~1 GiB shards the
+    // scaladoc recommends (correct but quadratic re-copying)
+    val out = new ByteArrayOutputStream(math.max(64L,
+      math.min(bytes.length.toLong * 3, Int.MaxValue - 8L)).toInt)
     val buf = new Array[Byte](8192)
     var pos = 0
     var ok = true

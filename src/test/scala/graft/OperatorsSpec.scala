@@ -5206,6 +5206,16 @@ class OperatorsSpec extends AnyFunSuite {
         base.limit(1), s"$tmp/bad")
     }
     assert(overlap.getMessage.contains("overlap"))
+    // an overlapping doc_id with CHANGED text (different dl) must also
+    // throw — the (doc_id, dl) pair count alone would pass it through
+    val changed = base.limit(1)
+      .withColumn("text", concat_ws(" ", col("text"),
+        lit("extra trailing tokens changing dl")))
+    val overlapChanged = intercept[IllegalArgumentException] {
+      TextSearch.mergeSearchIndex(spark, s"$tmp/base",
+        changed, s"$tmp/bad2")
+    }
+    assert(overlapChanged.getMessage.contains("overlap"))
   }
 
   test("coverageCurve: hand-computed top-N token mass at each cut") {

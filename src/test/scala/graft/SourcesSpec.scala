@@ -349,7 +349,14 @@ class SourcesSpec extends AnyFunSuite {
       // non-HTTP payload passes through whole with null HTTP fields
       (5L, "just some metadata".getBytes("UTF-8")),
       // truncated message (no blank line): headers kept, empty body
-      (6L, "HTTP/1.1 301 M\r\nLocation: x".getBytes("US-ASCII")))
+      (6L, "HTTP/1.1 301 M\r\nLocation: x".getBytes("US-ASCII")),
+      // DECOY: a charset= token in a Link header must NOT win —
+      // sniffing is scoped to the Content-Type value (no charset
+      // there, latin-1 bytes → strict utf-8 fails → cp1252 fallback)
+      (7L, http("Link: <http://x/a>; charset=iso-8859-1\r\n" +
+        "Content-Type: text/html", latin1Cafe)),
+      // null payload → null body/charset, not a decoded-empty row
+      (8L, null.asInstanceOf[Array[Byte]]))
     val recs = rows.toDF("doc_id", "payload")
     val out = graft.sources.Warc.httpResponses(recs).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -368,6 +375,12 @@ class SourcesSpec extends AnyFunSuite {
     assert(out(6L).getAs[String]("body") == "")
     assert(out(1L).getAs[Int]("http_status") == 200)
     assert(out(1L).getAs[String]("content_type") == "text/html")
+    // decoy Link-header charset ignored: fallback chain ran instead
+    // of the decoy's iso-8859-1 (same decoded text, different decoder)
+    assert(out(7L).getAs[String]("charset") == "windows-1252")
+    assert(out(7L).getAs[String]("body") == "café")
+    assert(out(8L).isNullAt(out(8L).fieldIndex("body")))
+    assert(out(8L).isNullAt(out(8L).fieldIndex("charset")))
   }
 
   test("the full crawl entry chain closes: .warc.gz -> httpResponses " +
