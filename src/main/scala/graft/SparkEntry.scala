@@ -1532,6 +1532,50 @@ $joins"""
           col("charset"), col("body"))
     }),
 
+    // FILE-based .warc.gz ingest (readWarcGz): the 100 TB entry point
+    // — one task per file, records STREAMING out of each archive with
+    // per-task memory bounded by one member + one record. Fixture:
+    // docs bucket into 4 archives (doc_id % 4), one resource record
+    // per doc as its own gzip member, members concatenated in doc_id
+    // order — so rec_id is the doc's rank within its bucket, which
+    // the oracle restates with a window
+    "q_source_warc_files" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warcgz_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      val uri = concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string"))
+      val body = concat(lit("doc:"), col("doc_id").cast("string"))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: "),
+        uri, lit("\r\nContent-Length: "),
+        length(body).cast("string"), lit("\r\n\r\n"), body)
+      val member = org.apache.spark.sql.graftext.GzipBytes(
+        encode(rec, "UTF-8"))
+      val blobs = docs
+        .select((col("doc_id") % 4).cast("int").as("bucket"),
+          struct(col("doc_id"), member.as("m")).as("dm"))
+        .groupBy(col("bucket"))
+        .agg(array_sort(collect_list(col("dm"))).as("ms"))
+        .select(col("bucket"),
+          aggregate(col("ms"), lit(Array.emptyByteArray),
+            (acc, x) => concat(acc, x.getField("m"))).as("blob"))
+        .collect() // 4 bounded fixture rows — scaffolding, not the op
+      org.apache.hadoop.fs.FileUtil.fullyDelete(base)
+      base.mkdirs()
+      blobs.foreach { r =>
+        val f = new java.io.FileOutputStream(
+          new java.io.File(base, s"w${r.getInt(0)}.warc.gz"))
+        f.write(r.getAs[Array[Byte]]("blob")); f.close()
+      }
+      graft.sources.Warc.readWarcGz(s, Seq(base.getAbsolutePath))
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("rec_id"), col("warc_type"), col("target_uri"),
+          col("content_length"),
+          decode(col("payload"), "UTF-8").as("payload"))
+    }),
+
     // per-document keyword extraction: top tokens by tf-idf, df riding
     // the same token-keyed partitioning as the tf groupBy (bm25 trick)
     "q_text_keywords" -> ((s, dir) =>
@@ -4869,6 +4913,25 @@ $joins"""
           |UNION ALL
           |SELECT doc_id, CAST(1 AS INT), 'metadata', NULL, NULL, NULL,
           |  'utf-8', 'fetch-ms: ' || CAST(doc_id AS VARCHAR)
+          |FROM p""".stripMargin,
+
+      // file-reader replica: the planted per-bucket record layout
+      // restated — rec_id is each doc's 0-based doc_id rank within
+      // its bucket file
+      "q_source_warc_files" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    'w' || CAST(doc_id % 4 AS VARCHAR) || '.warc.gz' AS file,
+          |    'https://' || source || '.example.com/p/' ||
+          |      CAST(doc_id AS VARCHAR) AS uri,
+          |    'doc:' || CAST(doc_id AS VARCHAR) AS payload
+          |  FROM documents
+          |)
+          |SELECT file,
+          |  CAST(row_number() OVER (PARTITION BY file ORDER BY doc_id)
+          |    - 1 AS INT) AS rec_id,
+          |  'resource' AS warc_type, uri AS target_uri,
+          |  CAST(length(payload) AS BIGINT) AS content_length, payload
           |FROM p""".stripMargin,
 
       // tf-idf replica: same two-level counts, same single ln and

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import org.apache.spark.sql.graftext.{CharsetDecode, GunzipBytes, WarcRecords, WarcRecordsBytes}
+import org.apache.spark.sql.graftext.{CharsetDecode, WarcRecords}
 
 /** WARC (ISO 28500) record parsing — the container format every
   * CommonCrawl-style corpus arrives in, and the entry point in front
@@ -21,13 +21,15 @@ import org.apache.spark.sql.graftext.{CharsetDecode, GunzipBytes, WarcRecords, W
   * Two ingest forms:
   *   - [[parseWarc]]: STRING blobs (pre-decoded fixtures, payloads
   *     known UTF-8) → string payloads;
-  *   - [[parseWarcGz]]: BINARY `.warc.gz` blobs, the real CommonCrawl
-  *     shape — per-record gzip members decompress
-  *     ([[org.apache.spark.sql.graftext.GunzipBytes]], multi-member,
-  *     drop-tail on corruption), the walk runs on raw BYTES (bodies
-  *     may be non-UTF-8; Content-Length counts octets), and payloads
-  *     emit as binary for [[httpResponses]] to split and
-  *     charset-decode.
+  *   - [[parseWarcGz]] / [[readWarcGz]]: BINARY `.warc.gz` blobs /
+  *     files, the real CommonCrawl shape — per-record gzip members
+  *     decompress ONE AT A TIME with records streaming out as they
+  *     complete ([[org.apache.spark.sql.graftext.WarcGzRecords]];
+  *     per-member CRC verify, drop-tail on corruption, task memory
+  *     bounded by one member + one record); the walk runs on raw
+  *     BYTES (bodies may be non-UTF-8; Content-Length counts
+  *     octets), and payloads emit as binary for [[httpResponses]]
+  *     to split and charset-decode.
   *
   * Emits (id, rec_id, warc_version, warc_type, target_uri, warc_date,
   * content_length, payload):
@@ -86,19 +88,70 @@ object Warc {
     * bodies and break the octet arithmetic). WARC headers themselves
     * are ASCII by spec, so the extracted header fields are unaffected.
     *
+    * Records STREAM out of each blob
+    * ([[org.apache.spark.sql.graftext.WarcGzRecords]]): gzip members
+    * inflate one at a time with per-member CRC32/ISIZE verification
+    * and records emit as their declared length completes, so task
+    * memory is bounded by one member + one record — NOT the
+    * decompressed archive, which for a standard ~1 GiB CommonCrawl
+    * shard (~4 GiB decompressed) would blow the ~2 GiB JVM array cap
+    * that a gunzip-whole-then-walk plan hits. For archives arriving
+    * as FILES (the usual case), [[readWarcGz]] skips the blob
+    * column entirely.
+    *
     * `payload` emits as BINARY — feed response records through
     * [[httpResponses]] for the HTTP split + charset decode. */
   def parseWarcGz(df: DataFrame, idCol: String = "doc_id",
                   blobCol: String = "blob"): DataFrame = {
-    val recBin = col("col")
-    val rec = decode(recBin, "ISO-8859-1")
-    df.select(col(idCol),
-        posexplode(WarcRecordsBytes(GunzipBytes(col(blobCol)))))
-      .select(col(idCol) +: col("pos").as("rec_id") +:
-        recordFields(rec) :+
-        encode(regexp_replace(rec, "(?s)^.*?\\r\\n\\r\\n", ""),
-          "ISO-8859-1").as("payload"): _*)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, StructField, StructType}
+    val sel = df.select(col(idCol), col(blobCol))
+    val schema = StructType(Seq(
+      sel.schema.head,
+      StructField("rec_id", IntegerType, nullable = false),
+      StructField("__rec", BinaryType, nullable = false)))
+    val recs = sel.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = r.getAs[Array[Byte]](1)
+        if (blob == null) Iterator.empty
+        else {
+          val id = r.get(0)
+          org.apache.spark.sql.graftext.WarcGzRecords
+            .over(new java.io.ByteArrayInputStream(blob))
+            .zipWithIndex.map { case (rec, i) => Row(id, i, rec) }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    projectRecords(recs, idCol)
   }
+
+  /** The shared record projection over streamed (id, rec_id, __rec)
+    * rows — the latin-1 string-view trick from [[parseWarcGz]]'s
+    * scaladoc, one codegen'd select. */
+  private def projectRecords(recs: DataFrame, idCol: String): DataFrame = {
+    val rec = decode(col("__rec"), "ISO-8859-1")
+    recs.select(col(idCol) +: col("rec_id") +: recordFields(rec) :+
+      encode(regexp_replace(rec, "(?s)^.*?\\r\\n\\r\\n", ""),
+        "ISO-8859-1").as("payload"): _*)
+  }
+
+  /** `.warc.gz` ingest straight from FILES — the 100 TB entry point:
+    * gzip is not splittable, so the parallelism unit is the file
+    * (CommonCrawl shards at ~1 GiB), one file per task, scheduled
+    * largest-first. Per-task memory stays bounded by one gzip member
+    * + one record regardless of archive size (the
+    * [[org.apache.spark.sql.graftext.WarcGzRecords]] streaming walk),
+    * so shards whose decompressed size exceeds the JVM array cap
+    * ingest fine. Accepts files, directories, and globs; emits the
+    * [[parseWarcGz]] schema with the source file's full URI as
+    * `path`. */
+  def readWarcGz(spark: org.apache.spark.sql.SparkSession,
+                 paths: Seq[String],
+                 pathCol: String = "path"): DataFrame =
+    projectRecords(
+      org.apache.spark.sql.graftext.WarcGzFiles
+        .recordRows(spark, paths, pathCol),
+      pathCol)
 
   /** HTTP response split + charset-aware body decode over
     * [[parseWarcGz]] rows: a WARC `response` payload is an HTTP

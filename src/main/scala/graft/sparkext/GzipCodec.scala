@@ -29,11 +29,13 @@ import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType}
   * static call inside the surrounding span (the [[DeflateRatio]]
   * pattern).
   *
-  * Gzip is NOT splittable: one blob = one task. At 100 TB the
-  * parallelism unit is the FILE (CommonCrawl shards at ~1 GiB), so
-  * ingest `binaryFile`-sourced rows — thousands of files fan out
-  * across executors while each decompresses sequentially, the same
-  * shape every Hadoop-lineage engine uses for gzip. */
+  * SCALE CAVEAT: this expression materializes the whole decompressed
+  * output as one JVM array (≤ ~2 GiB) — right for bounded payloads
+  * (a gzip Content-Encoding body, a fixture), WRONG for archives: a
+  * standard ~1 GiB CommonCrawl shard decompresses past the array
+  * cap. Archive ingest goes through [[WarcGzRecords]] /
+  * [[graft.sources.Warc.readWarcGz]], which stream members one at a
+  * time and bound task memory by one record. */
 case class GunzipBytes(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
 
