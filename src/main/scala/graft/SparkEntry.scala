@@ -1361,6 +1361,23 @@ $joins"""
         maxPieceLen = 4)
     }),
 
+    // persisted unigram model: train -> writeUnigramModel (maxPieceLen
+    // rides in meta — a model property, not a call-site choice) ->
+    // load -> Viterbi-encode the held slice; q_text_unigram_encode's
+    // oracle verbatim
+    "q_text_unigram_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_unigram_model_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.operators.ModelStore.writeUnigramModel(
+        TextAnalysis.trainUnigram(docs, "text", seedTopN = 60,
+          maxPieceLen = 4, keepN = 40, emRounds = 2, maxWordLen = 8),
+        store, maxPieceLen = 4)
+      graft.operators.ModelStore.unigramTokenizeFromModel(
+        docs.filter(col("doc_id") % 10 === 0), store, "doc_id", "text")
+    }),
+
     // corpus vocabulary: top tokens by frequency with doc frequency —
     // the tokenizer-training / stopword-derivation precursor
     "q_text_vocab" -> ((s, dir) =>
@@ -1401,6 +1418,20 @@ $joins"""
         TextAnalysis.trainPieces(docs, "text", topN = 200,
           maxPieceLen = 6),
         maxPieceLen = 6)
+    }),
+
+    // persisted piece inventory: train -> writePiecesModel -> load ->
+    // greedy-encode; q_text_pieces_encode's oracle verbatim
+    "q_text_pieces_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_pieces_model_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.operators.ModelStore.writePiecesModel(
+        TextAnalysis.trainPieces(docs, "text", topN = 200,
+          maxPieceLen = 6), store, maxPieceLen = 6)
+      graft.operators.ModelStore.piecesTokenizeFromModel(
+        docs.filter(col("doc_id") % 10 === 0), store, "doc_id", "text")
     }),
 
     // overlapping context-window chunking (maxTokens 40, overlap 8):
@@ -1634,6 +1665,21 @@ $joins"""
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeTokenize(docs.filter(col("doc_id") % 10 === 0),
         merges, "text", "doc_id")
+    }),
+
+    // the PERSISTED-model inference path: train -> writeBpeModel ->
+    // load -> encode. Same oracle as q_text_bpe_encode — the stored
+    // tokenizer must be bit-identical to the in-session one (the
+    // trained-Monday-gates-Tuesday contract); kind tag + row count
+    // verified eagerly at load
+    "q_text_bpe_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bpe_model_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.operators.ModelStore.writeBpeModel(
+        TextAnalysis.trainBpe(docs, "text", numMerges = 6), store)
+      graft.operators.ModelStore.bpeTokenizeFromModel(
+        docs.filter(col("doc_id") % 10 === 0), store, "text", "doc_id")
     }),
 
     // end-to-end curation pipeline: the oracled operators COMPOSE —
@@ -2670,6 +2716,22 @@ $joins"""
       TextClassify.scoreLogisticInline(docs, wts)
     }),
 
+    // persisted classifier weights: train -> writeLogisticModel ->
+    // load -> score; q_text_logreg_score's oracle verbatim
+    "q_text_logreg_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_logreg_model_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.operators.ModelStore.writeLogisticModel(
+        TextClassify.trainLogisticHashed(
+          docs.withColumn("is_en", col("lang") === "en"),
+          "doc_id", "text", "is_en", dim = 32, iters = 3, lr = 1.0),
+        store)
+      TextClassify.scoreLogisticInline(docs,
+        graft.operators.ModelStore.logisticFromModel(s, store))
+    }),
+
     // Naive-Bayes language classifier: train on 90% of the corpus with
     // its lang labels, classify the held-out 10% — the exact-arithmetic
     // stand-in for a fastText-style curation filter model
@@ -2812,6 +2874,22 @@ $joins"""
       val lm = LanguageModel.trainBigram(train, "doc_id", "text")
       LanguageModel.scoreByKneserNey(held, lm, "doc_id", "text",
         discount = 0.75)
+    }),
+
+    // persisted bigram LM: train -> writeLmModel (range-sharded on w1)
+    // -> load -> KN-score the held slice; q_text_lm_kn's oracle
+    // verbatim — the stored model scores bit-identically
+    "q_text_lm_kn_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val held = docs.filter(col("doc_id") % 10 === 0)
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_lm_model_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.operators.ModelStore.writeLmModel(
+        LanguageModel.trainBigram(train, "doc_id", "text"), store)
+      LanguageModel.scoreByKneserNey(held,
+        graft.operators.ModelStore.lmFromModel(s, store),
+        "doc_id", "text", discount = 0.75)
     }),
 
     // chi-square token-label association (one-vs-rest, df floor 5,
@@ -3642,6 +3720,8 @@ $joins"""
       // over T types and V+1 vocab), per-bigram round(9), DECIMAL sum
       "q_text_lm_kn" -> knOracleSql,
 
+      "q_text_lm_kn_stored" -> knOracleSql,
+
       // same presence pass, integer contingency cells, one double
       // formula in identical left-associated shape; rank on the
       // unrounded chi2, ties to the lexicographically-first token
@@ -3807,6 +3887,9 @@ $joins"""
       "q_text_logreg" -> logregOracleSql(32, 3, 1.0, "lang = 'en'"),
 
       "q_text_logreg_score" ->
+        logregScoreOracleSql(32, 3, 1.0, "lang = 'en'"),
+
+      "q_text_logreg_stored" ->
         logregScoreOracleSql(32, 3, 1.0, "lang = 'en'"),
 
       // Naive Bayes: add-k token likelihoods vs the class total (unseen
@@ -4274,6 +4357,9 @@ $joins"""
       "q_text_unigram_encode" ->
         unigramEncodeOracleSql(60, 4, 40, 2, 8, "doc_id % 10 = 0"),
 
+      "q_text_unigram_stored" ->
+        unigramEncodeOracleSql(60, 4, 40, 2, 8, "doc_id % 10 = 0"),
+
       // link extraction replicated step-for-step (shared CTE chain)
       "q_text_links" ->
         (s"WITH $linksOracleCte\n" +
@@ -4696,6 +4782,11 @@ $joins"""
       // final vocab frame joined back to the held split's ordered words
       "q_text_bpe_encode" -> bpeEncodeOracleSql(6, "doc_id % 10 = 0"),
 
+      // persisted-model paths: the stored artifact must reproduce the
+      // in-session encoder exactly, so each reuses its encode oracle
+      // verbatim
+      "q_text_bpe_stored" -> bpeEncodeOracleSql(6, "doc_id % 10 = 0"),
+
       // same two-level counts, same heap-equivalent ORDER BY/LIMIT
       // top-cut sums, same (tf desc, token) tie-break
       "q_text_coverage" ->
@@ -4789,6 +4880,8 @@ $joins"""
 
       // greedy longest-match replayed step-for-step (recursive CTE)
       "q_text_pieces_encode" -> piecesEncodeOracleSql,
+
+      "q_text_pieces_stored" -> piecesEncodeOracleSql,
 
       // same ranked head, same round(9)-DECIMAL regression terms, same
       // double least-squares shape

@@ -332,6 +332,23 @@ object StreamOps {
     graft.operators.TextAnalysis.piecesTokenize(
       docs.toDF(), "doc_id", "text", vocab, maxPieceLen)
 
+  /** Streaming BPE tokenization from a PERSISTED model
+    * ([[graft.operators.ModelStore.writeBpeModel]]): the merge table
+    * loads once at stream start (kind/row-count verified eagerly,
+    * before the query runs) and rides as literals inside compiled
+    * greedy folds — each micro-batch tokenizes at scan speed with
+    * zero shuffle, zero state, append-mode. This is the
+    * trained-Monday-gates-Tuesday shape: the stream restarts against
+    * the same store and produces the same subwords, no retraining.
+    * Retraining means writing a NEW store and restarting the query
+    * (the piecesTokenizeStream no-drift contract). */
+  def bpeTokenizeStream(docs: Dataset[StreamDoc],
+                        modelPath: String): DataFrame =
+    graft.operators.TextAnalysis.bpeTokenize(docs.toDF(),
+      graft.operators.ModelStore.bpeFromModel(
+        docs.sparkSession, modelPath),
+      "text", "doc_id")
+
   /** Streaming quality-classifier scoring — the inference side of
     * `TextClassify.trainLogisticHashed`: the trained weight frame
     * (dim+1 bounded rows) collects once at stream start and rides

@@ -1996,6 +1996,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(t => t._1 == 11L && t._4 == "[UNK]"))
   }
 
+  test("bpeTokenizeStream loads the PERSISTED model at stream start " +
+       "and matches the batch encode — trained Monday, gating " +
+       "Tuesday's stream") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val train = Seq((1L, "low lower lowest low low"),
+      (2L, "new newer newest new")).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-bpe-stream").toString + "/m"
+    graft.operators.ModelStore.writeBpeModel(
+      graft.operators.TextAnalysis.trainBpe(train, "text",
+        numMerges = 4), store)
+    val docs = Seq(
+      StreamDoc(10L, "low new lowly",
+        Timestamp.valueOf("2024-01-01 00:00:01")),
+      StreamDoc(11L, "newest low",
+        Timestamp.valueOf("2024-01-01 00:00:02")))
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.bpeTokenizeStream(input.toDS(), store)
+    val q = out.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from bpe_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val batch = graft.operators.ModelStore.bpeTokenizeFromModel(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), store)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("phashDedupStream matches the batch cross-corpus image probe") {
     import graft.operators.Multimodal
     val s = spark
