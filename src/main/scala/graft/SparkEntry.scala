@@ -1696,6 +1696,32 @@ $joins"""
         .select("doc_id", "lang", "source", "n_tokens", "split")
     }),
 
+    // the SAME curation chain as q_pipeline_cfg below demonstrates,
+    // expressed purely as a config file (Pipeline.fromJson over the
+    // whitelisted operator registry — the reference's config-driven
+    // identity at whole-operator granularity); identical oracle
+    "q_pipeline_cfg" -> ((s, dir) => {
+      val cfg =
+        """[
+          |  {"op": "drop_exact_duplicates",
+          |   "params": {"id_col": "doc_id", "text_col": "text"}},
+          |  {"op": "token_count",
+          |   "params": {"text_col": "text", "out_col": "n_tokens"}},
+          |  {"op": "dup_ngram_fraction",
+          |   "params": {"text_col": "text", "n": 2, "out_col": "dup2"}},
+          |  {"op": "filter",
+          |   "params": {"condition": "dup2 <= 0.05 AND n_tokens >= 30"}},
+          |  {"op": "split_by_hash",
+          |   "params": {"weights": [["train", 90], ["val", 5],
+          |                          ["test", 5]],
+          |              "key_cols": ["doc_id"]}},
+          |  {"op": "select",
+          |   "params": {"cols": ["doc_id", "lang", "source",
+          |                       "n_tokens", "split"]}}
+          |]""".stripMargin
+      graft.operators.Pipeline.fromJson(cfg)(t(s, dir, "documents"))
+    }),
+
     // deterministic train/val/test assignment: pure-integer hash
     // bucketing, no float boundary for engines to disagree on
     "q_sample_split" -> ((s, dir) =>
@@ -3621,7 +3647,7 @@ $joins"""
         |SELECT query_id, neighbor_id, rank, cosine
         |FROM ranked WHERE rank <= 5""".stripMargin
 
-    Map(
+    val base = Map(
       "q_fn_root" ->
         """SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal,
           |       lower(c_mktsegment) AS c_mktsegment
@@ -7391,5 +7417,8 @@ $joins"""
           |  FROM orders
           |) WHERE rn <= 3""".stripMargin
     )
+    // the config-driven replay compiles to the identical operator
+    // chain, so it runs under q_pipeline_curate's oracle verbatim
+    base + ("q_pipeline_cfg" -> base("q_pipeline_curate"))
   }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup, Pipeline, TextAnalysis}
+import graft.operators.Pipeline.{OpSpec, Step}
+
+/** Config-driven pipeline runner: compiled config equals the
+  * hand-written operator chain; every config error throws at compile
+  * time with a message naming what IS available. */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  private val curateJson =
+    """[
+      |  {"op": "drop_exact_duplicates",
+      |   "params": {"id_col": "doc_id", "text_col": "text"}},
+      |  {"op": "token_count",
+      |   "params": {"text_col": "text", "out_col": "n_tokens"}},
+      |  {"op": "dup_ngram_fraction",
+      |   "params": {"text_col": "text", "n": 2, "out_col": "dup2"}},
+      |  {"op": "filter",
+      |   "params": {"condition": "dup2 <= 0.05 AND n_tokens >= 30"}},
+      |  {"op": "split_by_hash",
+      |   "params": {"weights": [["train", 90], ["val", 5], ["test", 5]],
+      |              "key_cols": ["doc_id"]}},
+      |  {"op": "select",
+      |   "params": {"cols": ["doc_id", "lang", "source",
+      |                       "n_tokens", "split"]}}
+      |]""".stripMargin
+
+  private def handWritten = {
+    val gated = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("dup2", TextAnalysis.dupNgramFraction(col("text"), 2))
+      .filter(col("dup2") <= 0.05 && col("n_tokens") >= 30)
+    Curation.splitByHash(gated,
+        Seq("train" -> 90L, "val" -> 5L, "test" -> 5L), Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_tokens", "split")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getInt(3), r.getString(4))).toSet
+
+  test("fromJson replays the hand-written curation chain exactly") {
+    val out = Pipeline.fromJson(curateJson)(docs)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang", "source", "n_tokens", "split"))
+    val got = rows(out)
+    assert(got == rows(handWritten) && got.nonEmpty)
+  }
+
+  test("fromYaml parses the same pipeline (the reference README's " +
+       "config family)") {
+    val yaml =
+      """steps:
+        |  - op: drop_exact_duplicates
+        |    params: {id_col: doc_id, text_col: text}
+        |  - op: token_count
+        |    params: {text_col: text, out_col: n_tokens}
+        |  - op: dup_ngram_fraction
+        |    params: {text_col: text, n: 2, out_col: dup2}
+        |  - op: filter
+        |    params: {condition: "dup2 <= 0.05 AND n_tokens >= 30"}
+        |  - op: split_by_hash
+        |    params:
+        |      weights: [[train, 90], [val, 5], [test, 5]]
+        |      key_cols: [doc_id]
+        |  - op: select
+        |    params:
+        |      cols: [doc_id, lang, source, n_tokens, split]
+        |""".stripMargin
+    assert(rows(Pipeline.fromYaml(yaml)(docs)) == rows(handWritten))
+  }
+
+  test("unknown operator names error at COMPILE time, naming the " +
+       "registry") {
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("exact_dedup")))
+    }
+    assert(e.getMessage.contains("unknown pipeline operator") &&
+      e.getMessage.contains("drop_exact_duplicates"))
+  }
+
+  test("unknown and missing params error at compile time") {
+    val unknown = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(
+        Step("filter", Map("condition" -> "1=1", "mode" -> "x"))))
+    }
+    assert(unknown.getMessage.contains("unknown params") &&
+      unknown.getMessage.contains("mode"))
+    val missing = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("filter")))
+    }
+    assert(missing.getMessage.contains("missing required") &&
+      missing.getMessage.contains("condition"))
+  }
+
+  test("malformed param values error at compile time with the op name") {
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(
+        Step("dup_ngram_fraction", Map("n" -> "two"))))
+    }
+    assert(e.getMessage.contains("dup_ngram_fraction") &&
+      e.getMessage.contains("integer"))
+    // a malformed filter expression fails Catalyst parsing eagerly
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Pipeline.fromSteps(Seq(
+        Step("filter", Map("condition" -> "SELECT FROM WHERE"))))
+    }
+  }
+
+  test("extra registry entries compose and may override builtins " +
+       "(the register_function precedence)") {
+    val constant = OpSpec(Set("value"), Set(),
+      p => { val v = p.str("value")
+        df => df.withColumn("tagged", lit(v)) })
+    val out = Pipeline.fromSteps(
+      Seq(Step("tag", Map("value" -> "v1")),
+        Step("select", Map("cols" -> Seq("doc_id", "tagged")))),
+      extra = Map("tag" -> constant))(docs)
+    assert(out.columns.toSeq == Seq("doc_id", "tagged"))
+    assert(out.select("tagged").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("v1"))
+    // override: 'filter' replaced by a pass-through
+    val noop = OpSpec(Set(), Set("condition"), _ => df => df)
+    val n = docs.count()
+    val kept = Pipeline.fromSteps(
+      Seq(Step("filter", Map("condition" -> "1 = 0"))),
+      extra = Map("filter" -> noop))(docs).count()
+    assert(kept == n)
+  }
+}
