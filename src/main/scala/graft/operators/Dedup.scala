@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints.TruncateOps
+
 /** Deduplication operators for large-scale corpora: exact, exact-Jaccard
   * via inverted index, MinHash+LSH, and SimHash.
   *
@@ -223,7 +225,7 @@ object Dedup {
         log(lit(1.0) + lit(nDocs.toDouble) / col("df").cast("double")))
       .withColumn("p2", round(col("wt") * col("wt"), 9)
         .cast("decimal(28,9)"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val norms = weighted.groupBy(col("id"))
       .agg(sum(col("p2")).cast("decimal(28,9)").as("nrm2"))
     // canonical rare-first order; every (id, term) row carries the L2
@@ -237,7 +239,7 @@ object Dedup {
         (col("nrm2") - col("cum") + col("p2")).cast("double"))
       .select(col("id"), col("w"), col("suf"),
         col("nrm2").cast("double").as("n2"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     // index term k while the suffix from k keeps >= t of the L2 mass
     val prefix = withSuf.filter(col("suf") >=
       lit(threshold * threshold) * col("n2"))
@@ -669,7 +671,7 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       // read once per propagation round: without this barrier every round
       // re-derives the whole upstream pair pipeline (measured 2× total)
-      .localCheckpoint(false)
+      .truncateLineage(false)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     var converged = false
@@ -693,7 +695,7 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), col("neighbor_min")).as("cluster_id"),
           (col("neighbor_min") < col("cluster_id")).as("changed"))
-        .localCheckpoint(false)
+        .truncateLineage(false)
       converged = !next.agg(coalesce(max(col("changed")), lit(false)))
         .head.getBoolean(0)
       labels = next.drop("changed")
@@ -915,7 +917,7 @@ object Dedup {
     val gs = docs.select(col(groupCol).as("g"),
         explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val totals = gs.groupBy(col("g")).agg(count(lit(1)).as("n_sh"))
     val capped = gs.join(
       gs.groupBy(col("sh")).agg(count(lit(1)).as("gdf"))

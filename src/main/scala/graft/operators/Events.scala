@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints.TruncateOps
+
 /** Event-stream analytics that run identically on batch DataFrames and
   * (where noted) Structured Streaming inputs. */
 object Events {
@@ -43,7 +45,7 @@ object Events {
         expr(s"unix_micros($tsCol) div ${periodSeconds * 1000000L}")
           .as("p"))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val firstSeen = act.groupBy(col("u")).agg(min(col("p")).as("cohort"))
     val sizes = firstSeen.groupBy(col("cohort"))
       .agg(count(lit(1)).as("cohort_size"))
@@ -136,7 +138,7 @@ object Events {
       // consumed twice (grid bounds + the fill join): materialize the
       // skinny (u, p, v) frame once instead of re-running the scan +
       // bucket window per consumer
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val grid = obs.groupBy(col("u"))
       .agg(min(col("p")).as("pmin"), max(col("p")).as("pmax"))
       .select(col("u"), explode(sequence(col("pmin"), col("pmax"))).as("p"))

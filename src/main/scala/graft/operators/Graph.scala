@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints.TruncateOps
+
 /** Graph analytics over edge tables — the link-structure complement to
   * the dedup stack's connected components (`Dedup.nearDupClusters`' min
   * label propagation): document/source importance for crawl
@@ -48,11 +50,11 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // the degree-annotated edge list is loop-invariant: materialize it
     // once instead of re-running the degree aggregate + join every
@@ -60,7 +62,7 @@ object Graph {
     // small degree frame, so the per-iteration rebuild was cheap); the
     // hoist is for scale, where deg is node-count-sized and each rebuilt
     // iteration would pay a full shuffle join instead of none.
-    val edgesWithDeg = e.join(deg, Seq("src")).localCheckpoint(false)
+    val edgesWithDeg = e.join(deg, Seq("src")).truncateLineage(false)
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one edge")
     // both constants are whole 1e-9 units, rounded from the identical
@@ -80,7 +82,7 @@ object Graph {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(baseU) + coalesce(col("in_mass"), lit(0L))).as("ru"))
-        .localCheckpoint(false)
+        .truncateLineage(false)
     }
     ranks
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
@@ -122,17 +124,17 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val sd = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(sd)
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesWithDeg = e.join(deg, Seq("src")).localCheckpoint(false)
+    val edgesWithDeg = e.join(deg, Seq("src")).truncateLineage(false)
     val nS = sd.count()
     require(nS > 0, "personalizedPageRank needs at least one seed")
     // the loop-invariant seed flag rides the node frame so the
@@ -141,7 +143,7 @@ object Graph {
       .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(false))
         .as("is_seed"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val baseU = math.round(1e9 * (1.0 - damping) / nS)
     val initU = math.round(1e9 / nS.toDouble)
     var ranks = flagged.select(col("node"),
@@ -159,7 +161,7 @@ object Graph {
         .select(col("node"),
           (when(col("is_seed"), lit(baseU)).otherwise(lit(0L)) +
             coalesce(col("in_mass"), lit(0L))).as("ru"))
-        .localCheckpoint(false)
+        .truncateLineage(false)
     }
     ranks
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
@@ -201,7 +203,7 @@ object Graph {
     val nbr = e.select(col("x").as("v"), col("y").as("n"))
       .union(e.select(col("y").as("v"), col("x").as("n")))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val centers = nbr.join(
       deg.filter(col("deg") >= 2 && col("deg") <= maxDegree), Seq("v"))
@@ -254,18 +256,18 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     require(e.limit(1).count() > 0, "hits needs at least one edge")
     def normalize(masses: DataFrame, out: String): DataFrame = {
       val s = masses.agg(sum(col("m"))).head.getLong(0)
       masses.select(col("node"),
         round(col("m").cast("double") / lit(s.toDouble) * lit(1e9))
           .cast("long").as(out))
-        .localCheckpoint(false)
+        .truncateLineage(false)
     }
     var hub = nodes.withColumn("hu", lit(1000000000L))
     var auth: DataFrame = null
@@ -313,7 +315,7 @@ object Graph {
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     var round = 0
     var converged = false
     var lastDeg: DataFrame = null
@@ -321,13 +323,13 @@ object Graph {
       val deg = e.select(col("a").as("node"))
         .union(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(false)
+        .truncateLineage(false)
       val survivors = deg.filter(col("deg") >= k)
       val next = e
         .join(survivors.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(survivors.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint(false)
+        .truncateLineage(false)
       // one action per round: the dropped-node count both materializes
       // the checkpoint and decides convergence
       val removed = deg.filter(col("deg") < k).count()
@@ -362,7 +364,7 @@ object Graph {
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -426,11 +428,11 @@ object Graph {
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     // orient low→high under the total order (deg, id); carry the
     // destination's rank key so wedge endpoints can be ordered without
     // another degree join
@@ -443,7 +445,7 @@ object Graph {
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
         when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     // wedges at each pivot: unordered out-neighbor pairs, emitted with
     // the closing edge's own (lo → hi) orientation so the probe is a
     // direct equi-join
@@ -520,7 +522,7 @@ object Graph {
     val nodes = raw.select(col("u").as("node"))
       .union(raw.select(col("v").as("node")))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     // canonical child>parent orientation; self-loops already counted in
     // `nodes` carry no connectivity. No distinct: the local-contraction
     // union-find below absorbs duplicate edges for free.
@@ -708,7 +710,7 @@ object Graph {
       .filter(col("a") =!= col("b"))
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(false)
+      .truncateLineage(false)
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     (0 until iters).foreach { _ =>
@@ -720,7 +722,7 @@ object Graph {
         .filter(col("cnt") === col("mx"))
         .groupBy(col("a")).agg(min(col("label")).as("label"))
         .select(col("a").as("node"), col("label"))
-        .localCheckpoint(false)
+        .truncateLineage(false)
     }
     labels
   }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints.TruncateOps
+
 /** Corpus-trained n-gram language-model scoring — the perplexity-proxy
   * quality filter of large-corpus curation pipelines (score each document
   * by how probable its token sequence is under a model trained on the
@@ -84,7 +86,7 @@ object LanguageModel {
                        discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, "discount must be in (0,1)")
     val lmOnce = lm.select(col("w1"), col("w2"), col("n"), col("ctx"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val types = lmOnce.count()
     require(types > 0, "empty language model")
     val v = lmOnce.select(col("w1").as("w"))
@@ -135,7 +137,7 @@ object LanguageModel {
     // a (w1,w2)-join alone would null out ctx for exactly those rows.
     // The model is read by BOTH joins: one lazy materialization so the
     // training pipeline (shuffle + window) doesn't execute twice
-    val lmOnce = lm.localCheckpoint(false)
+    val lmOnce = lm.truncateLineage(false)
     val scored = bigramRows(docs, idCol, textCol)
       .join(lmOnce.select(col("w1"), col("w2"), col("n")),
         Seq("w1", "w2"), "left")

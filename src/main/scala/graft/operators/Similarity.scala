@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints.TruncateOps
+
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over embedding columns.
@@ -130,7 +132,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("__score"),
         col("__vec"), col("__norm"))
       .withColumn("__maxsim", lit(0.0))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__mmr").desc, col("neighbor_id"))
     val picks = (1 to k).map { r =>
@@ -142,7 +144,7 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id").as("__sid"),
           col("__vec").as("__svec"), col("__norm").as("__snorm"),
           col("__mmr"))
-        .localCheckpoint(false)
+        .truncateLineage(false)
       if (r < k)
         rem = rem.join(broadcast(pick.drop("__mmr")), Seq("query_id"))
           .filter(col("neighbor_id") =!= col("__sid"))
@@ -150,7 +152,7 @@ object Similarity {
             cosineWithNorms(dotProduct(col("__vec"), col("__svec")),
               col("__norm"), col("__snorm"))))
           .drop("__sid", "__svec", "__snorm")
-          .localCheckpoint(false)
+          .truncateLineage(false)
       // display rounding at INTEGER scale (round(x·10⁶)/10⁶): Spark's
       // fractional round goes through the double's shortest decimal
       // repr while external engines round the binary value — at scale 0
@@ -298,7 +300,7 @@ object Similarity {
         toDouble(col(vecCol)).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
       .filter(col("cnorm") > 0)
-      .localCheckpoint(false)
+      .truncateLineage(false)
 
   // One compiled argmax over the centroid matrix. The previous
   // greatest()-over-structs Column tree grew the plan O(nlist·dim) —
@@ -449,7 +451,7 @@ object Similarity {
         lit(1).as("rank"), lit(0.0).as("cosine"))
     }
     val probes = probeCells(queries, idCol, vecCol, centroids, nprobe)
-      .localCheckpoint(false) // read twice: cell-id collect + score join
+      .truncateLineage(false) // read twice: cell-id collect + score join
     val cellIds = probes.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).toSeq
     val assigned = queries.sparkSession.read.parquet(indexPath)
@@ -516,7 +518,7 @@ object Similarity {
       .withColumn("qselfdot",
         Int8DotProduct(col("qcodes"), col("qcodes")).cast("double"))
       .select(col("query_id"), col("qcodes"), col("qselfdot"), col("cell"))
-      .localCheckpoint(false) // read twice: cell-id collect + score join
+      .truncateLineage(false) // read twice: cell-id collect + score join
     val cellIds = probes.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).toSeq
     val idx = queries.sparkSession.read.parquet(indexPath)
@@ -571,7 +573,7 @@ object Similarity {
       // zero vector would pair with its whole bucket; exclude it instead
       .filter(col("norm") > 0)
       // both the keys frame and both verify branches read this
-      .localCheckpoint(false)
+      .truncateLineage(false)
     lshCandidates(v, planes, numPlanes, tables)
       .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"),
         col("norm").as("norm_a")), "id_a")
@@ -608,7 +610,7 @@ object Similarity {
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
       .withColumn("norm", l2Norm(col("vec")))
       .filter(col("norm") > 0) // NaN >= t is TRUE; exclude zero vectors
-      .localCheckpoint(false)  // keys + verify both read each side
+      .truncateLineage(false)  // keys + verify both read each side
     val old = prep(corpus)
     val nw = prep(newEmb)
     def keys(v: DataFrame) = v.select(col("id"),
@@ -824,7 +826,7 @@ object Similarity {
     val probes = (if (!residuals) probes0
       else probes0.join(
         broadcast(centroidFrame(queries.sparkSession, centroids)), "cell"))
-      .localCheckpoint(false) // read twice: cell-id collect + score join
+      .truncateLineage(false) // read twice: cell-id collect + score join
     val cellIds = probes.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).toSeq
     val idx = queries.sparkSession.read.parquet(indexPath)
@@ -870,7 +872,7 @@ object Similarity {
     val c = emb.select(col(idCol).as("neighbor_id"),
         toDouble(col(vecCol)).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val centroids = trainCentroids(c, nlist, lloydIters)
     if (centroids.isEmpty) {
       return emb.limit(0).select(col(idCol).as("id"), lit(0).as("cell"))

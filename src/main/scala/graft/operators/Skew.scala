@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints.TruncateOps
+
 /** Skew-mitigation operators.
   *
   * AQE's skew-join splitting covers sort-merge joins at runtime; explicit
@@ -79,7 +81,7 @@ object Skew {
       .select(concat_ws("\u0000",
         keys.map(c => coalesce(col(c).cast("string"), lit("\u0001"))):
           _*).as("key"), col("cnt"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val summary = counts.agg(
       count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"),
       max(col("cnt")).as("max_cnt"))

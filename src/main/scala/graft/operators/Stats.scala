@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.graftext.{QuantileSketch, QuantileSketchMerge, QuantileSketchState}
 
 /** Corpus distribution statistics via the mergeable Greenwald-Khanna
@@ -104,7 +106,7 @@ object Stats {
       .groupBy(col("b"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("np"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     // cumulative-from-above via bounded self-join: row b sums every
     // observed bin b' >= b
     val cum = per.select(col("b")).as("lo")
@@ -152,7 +154,7 @@ object Stats {
     val per = binned(a, "ca").join(binned(b, "cb"), Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val cum = per.select(col("bin"))
       .join(per.select(col("bin").as("bh"), col("ca"), col("cb")),
         col("bh") <= col("bin"))
@@ -211,7 +213,7 @@ object Stats {
       .groupBy(col("b"))
       .agg(sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("np"),
         sum(when(col("y"), lit(0L)).otherwise(lit(1L))).as("nn"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     // positives strictly above each bin, via the bounded self-join
     val above = per.select(col("b"), col("np"), col("nn")).as("cur")
       .join(per.select(col("b").as("bh"), col("np").as("nph")).as("high"),
@@ -274,7 +276,7 @@ object Stats {
     val per = df.select(binOf(v).as("b"))
       .filter(col("b").isNotNull)
       .groupBy(col("b")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val cum = per.select(col("b")).as("lo")
       .join(per.select(col("b").as("bh"), col("n")), col("bh") <= col("b"))
       .groupBy(col("b")).agg(sum(col("n")).as("cum"))
@@ -401,7 +403,7 @@ object Stats {
     val cats = ca.join(cb, Seq("c"), "full_outer")
       .select(col("c"), coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val tot = cats.agg(sum(col("na")), sum(col("nb")),
       count(lit(1))).head
     val (totA, totB, nCat) =
@@ -722,7 +724,7 @@ object Stats {
     val bins = binned(a, "na").join(binned(b, "nb"), Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val tot = bins.agg(sum(col("na")), sum(col("nb")), count(lit(1))).head
     val (totA, totB, nBins) =
       (tot.getLong(0), tot.getLong(1), tot.getLong(2))
@@ -754,7 +756,7 @@ object Stats {
       .na.drop()
     val cont = base.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val ma = cont.groupBy(col("a")).agg(sum(col("c")).as("ca"))
     val mb = cont.groupBy(col("b")).agg(sum(col("c")).as("cb"))
     val agree = cont.agg(

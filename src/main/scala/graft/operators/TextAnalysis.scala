@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints.TruncateOps
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, shingling, quality scoring, language-ID heuristics, and
   * document fingerprinting.
@@ -318,7 +320,7 @@ object TextAnalysis {
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
       .groupBy(col("token")).agg(sum(col("c")).as("tf"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val total = counts.agg(sum(col("tf")).as("__tot"))
     val perCut = cuts.map { cut =>
       counts.orderBy(col("tf").desc, col("token")).limit(cut)
@@ -499,7 +501,7 @@ object TextAnalysis {
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), chars.as("syms"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var exhausted = false
     (0 until numMerges).foreach { rank =>
@@ -521,7 +523,7 @@ object TextAnalysis {
           merges += Row(rank + 1, l, r, l + r, pc)
           words = words
             .withColumn("syms", mergePairGreedy(col("syms"), l, r))
-            .localCheckpoint(true)
+            .truncateLineage(true)
         }
       }
     }
@@ -629,14 +631,14 @@ object TextAnalysis {
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val subs = words.select(col("cnt"), explode(expr(
       s"""flatten(transform(sequence(1, char_length(w)), s ->
          |  transform(sequence(s, least(char_length(w),
          |                             s + ${maxPieceLen - 1})), e ->
          |    substring(w, s, e - s + 1))))""".stripMargin)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("weight"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val seedTop = subs
       .orderBy(col("weight").desc, col("piece")).limit(seedTopN)
     val chars = subs.filter(length(col("piece")) === 1)
@@ -1079,8 +1081,8 @@ object TextAnalysis {
     // both count tables are read twice (a total + a broadcast join);
     // one lazy materialization instead of re-deriving the corpus scan
     // (the TextClassify.lik / trainBpe discipline)
-    val unigrams = unigramsRaw.localCheckpoint(false)
-    val bigramsCk = bigrams.localCheckpoint(false)
+    val unigrams = unigramsRaw.truncateLineage(false)
+    val bigramsCk = bigrams.truncateLineage(false)
     val totals = unigrams.agg(sum(col("c"))).head()
     // empty corpus (or no multi-word doc): sum() is null — return the
     // empty result instead of NPEing on the driver

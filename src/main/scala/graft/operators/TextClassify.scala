@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints.TruncateOps
+
 /** Multinomial Naive-Bayes text classification — the quality / domain /
   * language classifier stage of corpus curation (label a trusted split,
   * train, classify the rest of the corpus; the exact-arithmetic
@@ -46,7 +48,7 @@ object TextClassify {
     // join): one lazy materialization, as LanguageModel does for lm
     val lik = trainToks.groupBy(col("label"), col("token"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val tot = lik.groupBy(col("label")).agg(sum(col("n")).as("tot"))
     // bounded driver scalars: vocabulary size and training doc count
     val v = trainToks.agg(count_distinct(col("token"))).head.getLong(0)
@@ -203,7 +205,7 @@ object TextClassify {
                         keepCols: Seq[String] = Nil): DataFrame = {
     require(topN >= 1 && topM >= 1, "profile sizes must be >= 1")
     val profiles = langProfiles(train, labelCol, textCol, n, topN)
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val docGrams = test.select(col(idCol).as("__id"),
       explode(charNgrams(col(textCol), n)).as("gram"))
       .groupBy(col("__id"), col("gram"))
@@ -213,7 +215,7 @@ object TextClassify {
     val docRank = docGrams.withColumn("dr", row_number().over(dw))
       .filter(col("dr") <= topM)
       .select(col("__id"), col("gram"), col("dr"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val docM = docRank.groupBy(col("__id"))
       .agg(count(lit(1)).as("m"))
     // matched-gram partial: Σ (|dr − lr| − topN); unmatched grams
@@ -288,10 +290,10 @@ object TextClassify {
     val spark = docs.sparkSession
     import spark.implicits._
     val feats = hashedFeatures(docs, idCol, textCol, dim)
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val labels = docs.select(col(idCol).as("doc_id"),
         col(labelCol).cast("boolean").cast("int").as("y"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val n = labels.count()
     require(n > 0, "trainLogisticHashed needs a non-empty corpus")
     val zero = lit(0).cast("decimal(28,9)")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints.TruncateOps
+
 /** Full-text retrieval over a document corpus: exact BM25 top-k.
   *
   * Scale design (the 100 TB posture): the query set is small and the
@@ -150,7 +152,7 @@ object TextSearch {
     val kept = toks.join(hits, Seq("term"), "left")
       .filter(col("__hit").isNotNull || col("term").isNull)
       .select(col("term"), col("doc_id"), col("dl"))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val cRow = kept.filter(col("term").isNull)
       .agg(sum(col("dl").cast("long"))).head
     require(!cRow.isNullAt(0) && cRow.getLong(0) > 0L,
@@ -287,7 +289,7 @@ object TextSearch {
       .agg(count(lit(1)).as("tf"))
     val merged = old.unionByName(
       delta.select(col("term"), col("doc_id"), col("dl"), col("tf")))
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val statsRow = merged.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)), avg(col("dl")),
         count_distinct(col("doc_id"))).head

@@ -4,6 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+import graft.operators.Checkpoints.TruncateOps
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming forms of the engine's operators.
@@ -853,7 +855,7 @@ object StreamOps {
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
       .withColumn("norm", l2Norm(col("vec")))
       .filter(col("norm") > 0)
-      .localCheckpoint(false) // keys + every micro-batch's verify read this
+      .truncateLineage(false) // keys + every micro-batch's verify read this
     val dim = old.select(size(col("vec"))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
     if (dim == 0) {
@@ -869,7 +871,7 @@ object StreamOps {
     val corpusKeys = old.select(col("id"),
         posexplode(HyperplaneSignBuckets(col("vec"), planes, numPlanes,
           tables)).as(Seq("t", "bucket")))
-      .localCheckpoint(false) // hashed once, joined every micro-batch
+      .truncateLineage(false) // hashed once, joined every micro-batch
     val arriving = stream.toDF()
       .withWatermark("ts", watermark)
       .select(col("vec_id"), col("ts"), toDouble(col("vec")).as("vec"))
