@@ -2918,6 +2918,22 @@ $joins"""
         "doc_id", "text", discount = 0.75)
     }),
 
+    // order-3 interpolated Kneser-Ney (the CCNet paper's own model
+    // family is 5-gram KN; order 3 is the oracled default, the
+    // machinery supports 5): raw counts at the top order,
+    // CONTINUATION counts through the backoff chain, add-half unigram
+    // floor — every backoff depth exercised on the held split and
+    // replicated in the oracle
+    "q_text_lm_kn3" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val held = docs.filter(col("doc_id") % 10 === 0)
+      val lm = LanguageModel.trainNgrams(train, "doc_id", "text",
+        maxN = 3)
+      LanguageModel.scoreByKneserNeyN(held, lm, "doc_id", "text",
+        order = 3, discount = 0.75)
+    }),
+
     // chi-square token-label association (one-vs-rest, df floor 5,
     // top 10 per language): the feature-selection pass before training
     // a curation classifier — all cell counts exact integers, one
@@ -3551,6 +3567,81 @@ $joins"""
           |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob
           |FROM scored GROUP BY 1""".stripMargin
 
+    // order-3 interpolated Kneser-Ney, mirrored term-for-term: raw
+    // trigram counts at the top, CONTINUATION type-counts at order 2,
+    // the add-half unigram floor; probabilities built bottom-up in
+    // staged CTEs so every double op runs in the same order as the
+    // Spark fold
+    val kn3OracleSql =
+        """WITH train AS (
+          |  SELECT string_split(text, ' ') AS w FROM documents
+          |  WHERE doc_id % 10 <> 0
+          |), held AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |  WHERE doc_id % 10 = 0
+          |), t3 AS (
+          |  SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
+          |    count(*)::BIGINT AS n
+          |  FROM train, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+          |  GROUP BY 1, 2, 3
+          |), t2 AS (
+          |  SELECT w[i] AS w1, w[i+1] AS w2
+          |  FROM train, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+          |  GROUP BY 1, 2
+          |), t1 AS (
+          |  SELECT DISTINCT unnest(w) AS w1 FROM train
+          |), tc AS (
+          |  SELECT w1, w2, sum(n)::BIGINT AS ctx3,
+          |    count(*)::BIGINT AS n1p3
+          |  FROM t3 GROUP BY 1, 2
+          |), c2n AS (
+          |  SELECT w2, w3, count(*)::BIGINT AS cn2 FROM t3 GROUP BY 1, 2
+          |), c2c AS (
+          |  SELECT w2, count(*)::BIGINT AS cc2 FROM t3 GROUP BY 1
+          |), np2 AS (
+          |  SELECT w1 AS w2, count(*)::BIGINT AS np2 FROM t2 GROUP BY 1
+          |), cu AS (
+          |  SELECT w2 AS w3, count(*)::BIGINT AS cont FROM t2 GROUP BY 1
+          |), tv AS (
+          |  SELECT (SELECT count(*) FROM t2)::DOUBLE AS t,
+          |         (SELECT count(*) FROM t1)::DOUBLE AS nv
+          |), hg AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+          |  FROM held, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+          |), sc1 AS (
+          |  SELECT hg.doc_id, t3.n AS n3, tc.ctx3, tc.n1p3,
+          |    c2n.cn2, c2c.cc2, np2.np2,
+          |    (COALESCE(cu.cont, 0)::DOUBLE + 0.5::DOUBLE)
+          |      / (tv.t + 0.5::DOUBLE * (tv.nv + 1::DOUBLE)) AS p1
+          |  FROM hg LEFT JOIN t3 USING (w1, w2, w3)
+          |          LEFT JOIN tc USING (w1, w2)
+          |          LEFT JOIN c2n USING (w2, w3)
+          |          LEFT JOIN c2c USING (w2)
+          |          LEFT JOIN np2 USING (w2)
+          |          LEFT JOIN cu USING (w3), tv
+          |), sc2 AS (
+          |  SELECT doc_id, n3, ctx3, n1p3,
+          |    CASE WHEN cc2 IS NOT NULL THEN
+          |      (greatest(COALESCE(cn2, 0)::DOUBLE - 0.75::DOUBLE,
+          |                0::DOUBLE)
+          |       + 0.75::DOUBLE * COALESCE(np2, 0)::DOUBLE * p1)
+          |      / cc2::DOUBLE
+          |    ELSE p1 END AS p2
+          |  FROM sc1
+          |), sc3 AS (
+          |  SELECT doc_id,
+          |    CAST(round(ln(
+          |      CASE WHEN ctx3 IS NOT NULL THEN
+          |        (greatest(COALESCE(n3, 0)::DOUBLE - 0.75::DOUBLE,
+          |                  0::DOUBLE)
+          |         + 0.75::DOUBLE * n1p3::DOUBLE * p2) / ctx3::DOUBLE
+          |      ELSE p2 END), 9) AS DECIMAL(28,9)) AS logp
+          |  FROM sc2
+          |)
+          |SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+          |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob
+          |FROM sc3 GROUP BY 1""".stripMargin
+
     // the q_sim_ann oracle body, shared with the recall@k eval
     val annTopKSql =
       s"""WITH v AS (
@@ -3747,6 +3838,8 @@ $joins"""
       "q_text_lm_kn" -> knOracleSql,
 
       "q_text_lm_kn_stored" -> knOracleSql,
+
+      "q_text_lm_kn3" -> kn3OracleSql,
 
       // same presence pass, integer contingency cells, one double
       // formula in identical left-associated shape; rank on the
