@@ -81,8 +81,11 @@ FROM ($union)"""
     * from an ordered word unnest joined against it. Replicates
     * (id, word_pos, sym_pos, subword) exactly — both folds are the same
     * greedy left-to-right non-overlapping merge. */
-  private def bpeEncodeOracleSql(numMerges: Int, docFilter: String): String = {
-    val rounds = (0 until numMerges).map { k =>
+  /** The per-round merge CTEs + the encode tail shared by the char
+    * and byte-level BPE oracles — ONE statement of the merge
+    * semantics, two seed alphabets. */
+  private def bpeMergeRoundsSql(numMerges: Int): String =
+    (0 until numMerges).map { k =>
       s"""p$k AS (
   SELECT syms[i+1] AS l, syms[i+2] AS r, CAST(sum(cnt) AS BIGINT) AS pc
   FROM w$k, unnest(range(CAST(len(syms) - 1 AS BIGINT))) AS t(i)
@@ -101,14 +104,9 @@ FROM ($union)"""
   FROM w$k CROSS JOIN t$k m
 )"""
     }.mkString(", ")
-    s"""WITH w0 AS (
-  SELECT token, CAST(count(*) AS BIGINT) AS cnt,
-    [substring(token, i, 1) FOR i IN range(1, length(token) + 1)] AS syms
-  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-  WHERE token <> ''
-  GROUP BY token
-), $rounds,
-words AS (
+
+  private def bpeEncodeTailSql(numMerges: Int, docFilter: String): String =
+    s"""words AS (
   SELECT doc_id AS id, CAST(i - 1 AS INT) AS word_pos, w[CAST(i AS INT)] AS token
   FROM (SELECT doc_id, string_split(text, ' ') AS w
         FROM documents WHERE $docFilter),
@@ -119,7 +117,39 @@ SELECT words.id, words.word_pos, CAST(j - 1 AS INT) AS sym_pos,
   syms[CAST(j AS INT)] AS subword
 FROM words JOIN w$numMerges USING (token),
      unnest(range(1, CAST(len(syms) + 1 AS BIGINT))) AS u(j)"""
+
+  /** Byte-level BPE encode oracle: the same merge rounds + tail, the
+    * seed symbols remapped UTF-8 BYTES (hex pairs → the GPT-2
+    * byte↔unicode table shipped as a 256-slot list literal) instead
+    * of characters. */
+  private def bpeBytesEncodeOracleSql(numMerges: Int,
+                                      docFilter: String): String = {
+    val alphaSql = graft.operators.TextAnalysis.byteAlphabet
+      .map(s => "'" + s.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"""WITH alpha AS (SELECT $alphaSql AS a),
+w0 AS (
+  SELECT token, cnt,
+    [ a[('0x' || substr(h, 2*i-1, 2))::INT + 1]
+      FOR i IN range(1, octet_length(encode(token)) + 1) ] AS syms
+  FROM (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token <> '' GROUP BY token),
+       alpha, LATERAL (SELECT hex(encode(token)) AS h)
+), ${bpeMergeRoundsSql(numMerges)},
+${bpeEncodeTailSql(numMerges, docFilter)}"""
   }
+
+  private def bpeEncodeOracleSql(numMerges: Int, docFilter: String): String =
+    s"""WITH w0 AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+    [substring(token, i, 1) FOR i IN range(1, length(token) + 1)] AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token
+), ${bpeMergeRoundsSql(numMerges)},
+${bpeEncodeTailSql(numMerges, docFilter)}"""
 
   /** Shared by q_text_bm25 and q_text_bm25_indexed: the persisted
     * inverted index reproduces direct BM25 scoring exactly. */
@@ -1680,6 +1710,21 @@ $joins"""
         TextAnalysis.trainBpe(docs, "text", numMerges = 6), store)
       graft.operators.ModelStore.bpeTokenizeFromModel(
         docs.filter(col("doc_id") % 10 === 0), store, "text", "doc_id")
+    }),
+
+    // BYTE-level BPE (the GPT-2/Llama production tokenizer shape):
+    // UTF-8 bytes remap through the GPT-2 byte<->unicode table before
+    // the same merge loop, so every byte of any script is a base
+    // symbol — no UNK path exists. Train 6 merges on the full corpus,
+    // encode the held slice; the oracle replays the byte remap (hex
+    // pairs -> the 256-slot alphabet literal) and the merge rounds
+    "q_text_bpe_bytes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.trainBpeBytes(docs, "text", numMerges = 6)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeTokenizeBytes(
+        docs.filter(col("doc_id") % 10 === 0), merges, "text", "doc_id")
     }),
 
     // end-to-end curation pipeline: the oracled operators COMPOSE —
@@ -4905,6 +4950,8 @@ $joins"""
       // in-session encoder exactly, so each reuses its encode oracle
       // verbatim
       "q_text_bpe_stored" -> bpeEncodeOracleSql(6, "doc_id % 10 = 0"),
+
+      "q_text_bpe_bytes" -> bpeBytesEncodeOracleSql(6, "doc_id % 10 = 0"),
 
       // same two-level counts, same heap-equivalent ORDER BY/LIMIT
       // top-cut sums, same (tf desc, token) tie-break

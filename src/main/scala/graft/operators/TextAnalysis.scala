@@ -491,16 +491,57 @@ object TextAnalysis {
     * vocab-scale (small), and truncating the lineage keeps round R's
     * plan from re-deriving R−1 rewrite layers. */
   def trainBpe(docs: DataFrame, textCol: String = "text",
-               numMerges: Int = 10): DataFrame = {
+               numMerges: Int = 10): DataFrame =
+    trainBpeSeeded(docs, textCol, numMerges,
+      expr("transform(sequence(1, length(token)), " +
+        "i -> substring(token, i, 1))"))
+
+  /** The GPT-2 byte↔unicode table (Radford et al. 2019,
+    * `bytes_to_unicode`): printable/latin byte values keep their own
+    * codepoint ('!'..'~', '¡'..'¬', '®'..'ÿ'); the rest map to
+    * 256+n in byte order — every one of the 256 byte values gets a
+    * distinct PRINTABLE symbol, which is what makes byte-level BPE
+    * UNK-free on arbitrary input. */
+  private[graft] lazy val byteAlphabet: IndexedSeq[String] = {
+    val kept = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = -1
+    (0 to 255).map { b =>
+      if (kept(b)) b.toChar.toString
+      else { n += 1; (256 + n).toChar.toString }
+    }
+  }
+
+  /** A word's byte-level symbol array: UTF-8 bytes remapped through
+    * [[byteAlphabet]] — the seed alphabet of [[trainBpeBytes]] /
+    * [[bpeTokenizeBytes]]. Pure codegen'd expressions (hex pairs →
+    * alphabet lookup), replicated verbatim in the DuckDB oracle. */
+  private def byteSyms(word: Column): Column = {
+    val alpha = array(byteAlphabet.map(lit): _*)
+    val h = hex(encode(word, "UTF-8"))
+    transform(sequence(lit(1), octet_length(word)),
+      i => element_at(alpha,
+        conv(substring(h, i * 2 - 1, lit(2)), 16, 10).cast("int") + 1))
+  }
+
+  /** Byte-level BPE training (the GPT-2 / Llama production tokenizer
+    * shape): the SAME merge loop as [[trainBpe]], seeded with
+    * [[byteSyms]] instead of characters — so there is no UNK anywhere
+    * in the model: any byte of any script is a base symbol before the
+    * first merge. Merge-table schema and determinism identical to
+    * trainBpe; merged symbols live in the remapped alphabet space. */
+  def trainBpeBytes(docs: DataFrame, textCol: String = "text",
+                    numMerges: Int = 10): DataFrame =
+    trainBpeSeeded(docs, textCol, numMerges, byteSyms(col("token")))
+
+  private def trainBpeSeeded(docs: DataFrame, textCol: String,
+                             numMerges: Int, seed: Column): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = docs.sparkSession
-    val chars = expr(
-      "transform(sequence(1, length(token)), i -> substring(token, i, 1))")
     var words = docs
       .select(explode(tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), chars.as("syms"))
+      .select(col("cnt"), seed.as("syms"))
       .truncateLineage(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var exhausted = false
@@ -564,10 +605,27 @@ object TextAnalysis {
     * projection. */
   def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)],
                   textCol: String = "text",
-                  idCol: String = "doc_id"): DataFrame = {
-    val chars = expr(
-      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-    val applied = merges.foldLeft(chars) { case (c, (l, r)) =>
+                  idCol: String = "doc_id"): DataFrame =
+    bpeTokenizeSeeded(docs, merges, textCol, idCol,
+      expr("transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1))"))
+
+  /** Apply a [[trainBpeBytes]] merge table: byte-level tokenization
+    * with NO UNK path — the seed symbols cover all 256 byte values,
+    * so the emitted subwords always concatenate back to the word's
+    * full remapped byte sequence (lossless; property-spec'd on
+    * arbitrary Unicode). Subwords are in [[byteAlphabet]] space, the
+    * convention GPT-2-family vocabularies ship in. */
+  def bpeTokenizeBytes(docs: DataFrame, merges: Seq[(String, String)],
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    bpeTokenizeSeeded(docs, merges, textCol, idCol, byteSyms(col("word")))
+
+  private def bpeTokenizeSeeded(docs: DataFrame,
+                                merges: Seq[(String, String)],
+                                textCol: String, idCol: String,
+                                seed: Column): DataFrame = {
+    val applied = merges.foldLeft(seed) { case (c, (l, r)) =>
       mergePairGreedy(c, l, r)
     }
     docs.select(col(idCol).as("id"),

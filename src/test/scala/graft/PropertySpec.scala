@@ -279,4 +279,50 @@ class PropertySpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(d.pixels, img.pixels))
     }
   }
+
+  test("property: byte-level BPE is UNK-free and LOSSLESS on " +
+       "arbitrary Unicode — emitted subwords concatenate back to the " +
+       "word's full remapped byte sequence") {
+    import graft.operators.TextAnalysis
+    val s = spark
+    import s.implicits._
+    // words over the nastiest scripts: emoji (surrogate pairs), CJK,
+    // combining marks, RTL, control-ish punctuation, plus plain ASCII
+    val genWord: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const("é"),
+      Gen.const("中"), Gen.const("🚀"), Gen.const("́"),
+      Gen.const("م"), Gen.const("ß"), Gen.const("…")))
+      .map(_.mkString)
+    val genDoc: Gen[String] =
+      Gen.nonEmptyListOf(genWord).map(_.mkString(" "))
+    val alpha = TextAnalysis.byteAlphabet
+    def remap(word: String): String =
+      word.getBytes("UTF-8").map(b => alpha(b & 0xFF)).mkString
+    forAll(Gen.listOfN(6, genDoc), 4) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val merges = TextAnalysis.trainBpeBytes(docs, "text",
+          numMerges = 4)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val out = TextAnalysis.bpeTokenizeBytes(docs, merges)
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2),
+          r.getString(3))))
+        .groupBy(_._1)
+        .map { case (k, vs) =>
+          k -> vs.map(_._2).sortBy(_._1).map(_._2) }
+      // every (doc, word) reconstructs losslessly; no empty subwords,
+      // no UNK sentinel anywhere in the alphabet space
+      texts.zipWithIndex.foreach { case (t, i) =>
+        t.split(" ").zipWithIndex.filter(_._1.nonEmpty)
+          .foreach { case (w, wp) =>
+            val subs = out((i.toLong, wp))
+            assert(subs.forall(_.nonEmpty))
+            assert(subs.mkString == remap(w),
+              s"word '$w' did not reconstruct")
+          }
+      }
+    }
+  }
 }
