@@ -2979,6 +2979,24 @@ $joins"""
         order = 3, discount = 0.75)
     }),
 
+    // the persisted n-gram stack: train -> writeNgramModel (sharded
+    // on (ord, w1), maxN in meta) -> load -> order-3 KN score;
+    // q_text_lm_kn3's oracle verbatim
+    "q_text_lm_kn3_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val held = docs.filter(col("doc_id") % 10 === 0)
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ngram_model_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.operators.ModelStore.writeNgramModel(
+        LanguageModel.trainNgrams(train, "doc_id", "text", maxN = 3),
+        store, maxN = 3)
+      LanguageModel.scoreByKneserNeyN(held,
+        graft.operators.ModelStore.ngramsFromModel(s, store),
+        "doc_id", "text", order = 3, discount = 0.75)
+    }),
+
     // chi-square token-label association (one-vs-rest, df floor 5,
     // top 10 per language): the feature-selection pass before training
     // a curation classifier — all cell counts exact integers, one
@@ -3885,6 +3903,8 @@ $joins"""
       "q_text_lm_kn_stored" -> knOracleSql,
 
       "q_text_lm_kn3" -> kn3OracleSql,
+
+      "q_text_lm_kn3_stored" -> kn3OracleSql,
 
       // same presence pass, integer contingency cells, one double
       // formula in identical left-associated shape; rank on the

@@ -27,28 +27,34 @@ import org.apache.spark.sql.functions._
   * the contexts they touch. */
 object ModelStore {
 
-  /** kind → the column names the model table must carry (a write
-    * with missing columns fails eagerly, not at load time). */
-  private val contracts: Map[String, Seq[String]] = Map(
-    "bpe" -> Seq("merge_rank", "left_sym", "right_sym", "merged",
-      "pair_count"),
-    "unigram" -> Seq("rank", "piece", "weight", "logprob"),
-    "pieces" -> Seq("piece", "weight", "rank"),
-    "bigram_lm" -> Seq("w1", "w2", "n", "ctx"),
-    "logistic" -> Seq("feature", "weight"))
+  /** kind → (required, optional) column names the model table must /
+    * may carry (a write with missing required columns fails eagerly,
+    * not at load time). */
+  private val contracts: Map[String, (Seq[String], Seq[String])] = Map(
+    "bpe" -> (Seq("merge_rank", "left_sym", "right_sym", "merged",
+      "pair_count"), Nil),
+    "unigram" -> (Seq("rank", "piece", "weight", "logprob"), Nil),
+    "pieces" -> (Seq("piece", "weight", "rank"), Nil),
+    "bigram_lm" -> (Seq("w1", "w2", "n", "ctx"), Nil),
+    // the order-n stack: w3..w5 present when maxN reaches them
+    "ngram_lm" -> (Seq("ord", "w1", "w2", "n"), Seq("w3", "w4", "w5")),
+    "logistic" -> (Seq("feature", "weight"), Nil))
 
   private def writeModel(model: DataFrame, path: String, kind: String,
                          param: Option[Int]): Unit = {
-    val need = contracts(kind)
+    val (need, opt) = contracts(kind)
     val have = model.columns.toSet
     require(need.forall(have.contains),
       s"$kind model must carry columns ${need.mkString(", ")}; " +
         s"got ${model.columns.mkString(", ")}")
-    val slim = model.select(need.map(col): _*)
+    val slim = model.select(
+      (need ++ opt.filter(have.contains)).map(col): _*)
     val spark = model.sparkSession
     val persisted =
       if (kind == "bigram_lm") slim.repartitionByRange(col("w1"))
-      else slim.coalesce(1) // driver-bounded inventory: one file
+      else if (kind == "ngram_lm") {
+        slim.repartitionByRange(col("ord"), col("w1"))
+      } else slim.coalesce(1) // driver-bounded inventory: one file
     persisted.write.mode("overwrite").parquet(s"$path/table")
     val n = spark.read.parquet(s"$path/table").count()
     spark.range(1)
@@ -135,6 +141,21 @@ object ModelStore {
     * [[LanguageModel.scoreByKneserNey]] consume, range-sharded on w1. */
   def lmFromModel(spark: SparkSession, path: String): DataFrame =
     readModel(spark, path, "bigram_lm")._1
+
+  // ---- Order-n n-gram stack (Kneser-Ney backoff scoring) ----
+
+  /** `maxN` rides in meta (the stack's top order — what
+    * [[LanguageModel.scoreByKneserNeyN]] validates against). Sharded
+    * on (ord, w1): each order's contexts cluster, so score-side
+    * aggregates and joins read only the orders and ranges they
+    * touch. */
+  def writeNgramModel(lm: DataFrame, path: String, maxN: Int): Unit =
+    writeModel(lm, path, "ngram_lm", Some(maxN))
+
+  /** The (ord, w1..wN, n) frame [[LanguageModel.scoreByKneserNeyN]]
+    * consumes. */
+  def ngramsFromModel(spark: SparkSession, path: String): DataFrame =
+    readModel(spark, path, "ngram_lm")._1
 
   // ---- Hashed logistic regression (quality-filter weights) ----
 

@@ -178,6 +178,31 @@ object Pipeline {
         df => Normalize.normalizeText(df, id, text, form, repair, pass)
       }),
 
+    // persisted-model inference steps: the model loads (and its kind
+    // tag verifies) at CONFIG-COMPILE time — a config pointing a BPE
+    // step at a pieces store fails before any job, and the loaded
+    // artifact rides the compiled pipeline as literals (a tokenizer
+    // must not drift mid-corpus)
+    "bpe_tokenize_stored" -> OpSpec(Set("model_path"),
+      Set("text_col", "id_col"),
+      p => {
+        val merges = ModelStore.bpeFromModel(
+          org.apache.spark.sql.SparkSession.active, p.str("model_path"))
+        val text = p.str("text_col", Some("text"))
+        val id = p.str("id_col", Some("doc_id"))
+        df => TextAnalysis.bpeTokenize(df, merges, text, id)
+      }),
+
+    "score_logistic_stored" -> OpSpec(Set("model_path"),
+      Set("text_col", "id_col"),
+      p => {
+        val weights = ModelStore.logisticFromModel(
+          org.apache.spark.sql.SparkSession.active, p.str("model_path"))
+        val text = p.str("text_col", Some("text"))
+        val id = p.str("id_col", Some("doc_id"))
+        df => TextClassify.scoreLogisticInline(df, weights, id, text)
+      }),
+
     "gopher_quality_flags" -> OpSpec(Set(),
       Set("id_col", "text_col", "min_words", "max_words",
         "min_stopwords", "passthrough_cols"),

@@ -86,6 +86,19 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(scores(ModelStore.lmFromModel(spark, path)) == scores(lm))
   }
 
+  test("n-gram LM round-trips: stored stack KN3-scores " +
+       "bit-identically, maxN riding in meta") {
+    val path = tmp("graft-ms-ngram")
+    val lm = LanguageModel.trainNgrams(docs, "doc_id", "text", maxN = 3)
+    ModelStore.writeNgramModel(lm, path, maxN = 3)
+    def scores(m: org.apache.spark.sql.DataFrame) =
+      LanguageModel.scoreByKneserNeyN(docs, m, "doc_id", "text",
+          order = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = scores(ModelStore.ngramsFromModel(spark, path))
+    assert(got == scores(lm) && got.nonEmpty)
+  }
+
   test("logistic model round-trips: stored weights score " +
        "bit-identically on both scorer forms") {
     val path = tmp("graft-ms-logreg")

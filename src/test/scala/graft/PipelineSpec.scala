@@ -115,6 +115,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stored-model steps load at CONFIG-COMPILE time: tokenization " +
+       "matches the direct path, and a wrong-kind store fails before " +
+       "any job") {
+    import graft.operators.{ModelStore, TextAnalysis}
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-pipe-bpe").toString + "/m"
+    ModelStore.writeBpeModel(
+      TextAnalysis.trainBpe(docs, "text", numMerges = 4), store)
+    val cfg = s"""[{"op": "bpe_tokenize_stored",
+                 |  "params": {"model_path": "$store"}}]""".stripMargin
+    val got = Pipeline.fromJson(cfg)(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val direct = ModelStore.bpeTokenizeFromModel(docs, store).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(got == direct && got.nonEmpty)
+    // pointing the logistic step at the BPE store errors at compile
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(
+        Step("score_logistic_stored", Map("model_path" -> store))))
+    }
+    assert(e.getMessage.contains("bpe") &&
+      e.getMessage.contains("logistic"))
+  }
+
   test("extra registry entries compose and may override builtins " +
        "(the register_function precedence)") {
     val constant = OpSpec(Set("value"), Set(),
