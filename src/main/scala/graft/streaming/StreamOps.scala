@@ -351,6 +351,23 @@ object StreamOps {
         docs.sparkSession, modelPath),
       "text", "doc_id")
 
+  /** Streaming order-n Kneser-Ney fluency scoring from a PERSISTED
+    * n-gram stack ([[graft.operators.ModelStore.writeNgramModel]]):
+    * the model loads (kind/row-count verified) at stream start; each
+    * micro-batch's grams stream-static LEFT-join the model-sized
+    * statistic tables and the per-document mean log-prob aggregates
+    * in update/complete mode. State is one row per document ever
+    * seen (the streaming-exact-dedup posture — bound it upstream by
+    * batching or key TTL if the doc-id space is unbounded). The
+    * model must not drift mid-stream: retraining = new store +
+    * query restart (the piecesTokenizeStream contract). */
+  def knScoreStream(docs: Dataset[StreamDoc], modelPath: String,
+                    order: Int = 3): DataFrame =
+    graft.operators.LanguageModel.scoreByKneserNeyN(docs.toDF(),
+      graft.operators.ModelStore.ngramsFromModel(
+        docs.sparkSession, modelPath),
+      "doc_id", "text", order)
+
   /** Streaming quality-classifier scoring — the inference side of
     * `TextClassify.trainLogisticHashed`: the trained weight frame
     * (dim+1 bounded rows) collects once at stream start and rides

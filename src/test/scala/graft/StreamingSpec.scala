@@ -2033,6 +2033,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("knScoreStream: the persisted n-gram stack KN3-scores arriving " +
+       "documents exactly like the batch scorer") {
+    import graft.streaming.StreamOps.StreamDoc
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val train = Seq((1L, "a b c d a b c"), (2L, "a b c e x b"),
+      (3L, "x b c a b")).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-kn-stream").toString + "/m"
+    graft.operators.ModelStore.writeNgramModel(
+      graft.operators.LanguageModel.trainNgrams(train, "doc_id",
+        "text", maxN = 3), store, maxN = 3)
+    val docs = Seq(
+      StreamDoc(10L, "a b c d", Timestamp.valueOf("2024-01-01 00:00:01")),
+      StreamDoc(11L, "q b c x", Timestamp.valueOf("2024-01-01 00:00:02")))
+    val input = MemoryStream[StreamDoc]
+    val out = StreamOps.knScoreStream(input.toDS(), store, order = 3)
+    val q = out.writeStream.format("memory").queryName("kn_stream")
+      .outputMode("complete").start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from kn_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.LanguageModel.scoreByKneserNeyN(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        graft.operators.ModelStore.ngramsFromModel(s, store),
+        "doc_id", "text", order = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("phashDedupStream matches the batch cross-corpus image probe") {
     import graft.operators.Multimodal
     val s = spark
