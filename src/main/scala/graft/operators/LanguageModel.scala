@@ -162,10 +162,15 @@ object LanguageModel {
     * range, not an empty one. */
   private def ngramRows(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame = {
-    val t = tokens(textCol)
+    // the token array materializes behind its own select boundary:
+    // inlining `split` into every use (CollapseProject's default for
+    // cheap-looking aliases) would re-split the text inside the
+    // PER-ELEMENT filter lambda — O(tokens²) per document
+    val t = col("__t")
     val idx = filter(sequence(lit(1), size(t)),
       i => i <= size(t) - (n - 1))
-    docs.select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"), tokens(textCol).as("__t"))
+      .select(col("doc_id"),
         explode(transform(idx, i => struct(
           (0 until n).map(j => element_at(t, i + j).as(s"g${j + 1}")): _*
         ))).as("gr"))
@@ -187,7 +192,8 @@ object LanguageModel {
   def trainNgrams(docs: DataFrame, idCol: String, textCol: String,
                   maxN: Int): DataFrame = {
     require(maxN >= 2 && maxN <= 5, "maxN must be in [2, 5]")
-    val t = tokens(textCol)
+    // token array behind its own select boundary — see ngramRows
+    val t = col("__t")
     val perOrder = (1 to maxN).map { k =>
       val idx = filter(sequence(lit(1), size(t)),
         i => i <= size(t) - (k - 1))
@@ -198,7 +204,8 @@ object LanguageModel {
              else lit(null).cast("string")).as(s"w${j + 1}")
           }: _*))
     }
-    docs.select(explode(concat(perOrder: _*)).as("gr"))
+    docs.select(tokens(textCol).as("__t"))
+      .select(explode(concat(perOrder: _*)).as("gr"))
       .select(col("gr.ord").as("ord") +:
         (1 to maxN).map(j => col(s"gr.w$j").as(s"w$j")): _*)
       .groupBy(col("ord") +: (1 to maxN).map(j => col(s"w$j")): _*)
