@@ -37,8 +37,11 @@ object LanguageModel {
 
   private def bigramRows(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
-    val t = tokens(textCol)
-    docs.select(col(idCol).as("doc_id"),
+    // token array behind its own select boundary (one split per row,
+    // not one per use site — the trainNgrams lesson, 3× here)
+    val t = col("__t")
+    docs.select(col(idCol).as("doc_id"), tokens(textCol).as("__t"))
+      .select(col("doc_id"),
         explode(zip_with(
           slice(t, lit(1), greatest(size(t) - 1, lit(0))),
           slice(t, lit(2), greatest(size(t) - 1, lit(0))),

@@ -426,7 +426,11 @@ object TextSearch {
       p.nonEmpty && !p.startsWith(" ") && !p.endsWith(" ") &&
         !p.contains("  ")
     }, "phraseSearchInline phrases must be non-blank with single spaces")
-    val w = split(col(textCol), " ")
+    // the token array materializes behind its own select boundary:
+    // splicing the split expression into the per-element filter
+    // lambda would re-split the text once per token per phrase
+    // (O(tokens²·phrases) per document — the trainNgrams lesson)
+    val w = col("__w")
     val hits = phrases.map { case (qid, p) =>
       val l = p.split(" ", -1).length
       // guarded: sequence(0, negative) counts DOWN in Spark
@@ -440,6 +444,8 @@ object TextSearch {
         try_element_at(pos, lit(1)).as("first_pos"))
     }
     docs.select(col(idCol).as("doc_id") +: passthroughCols.map(col) :+
+        split(col(textCol), " ").as("__w"): _*)
+      .select(col("doc_id") +: passthroughCols.map(col) :+
         explode(array(hits: _*)).as("h"): _*)
       .filter(col("h.n") > 0)
       .select(Seq(col("h.query_id").as("query_id"), col("doc_id"),
