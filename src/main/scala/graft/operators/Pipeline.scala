@@ -218,6 +218,65 @@ object Pipeline {
           passthroughCols = pass)
       }))
 
+  /** Source steps — the step-0 whitelist that makes a config file a
+    * COMPLETE pipeline (source → operators → result) instead of a
+    * transform over an already-loaded frame. Same eager-validation
+    * discipline; each returns the frame the operator chain starts
+    * from. */
+  val sourceOps: Map[String, (Seq[String], Seq[String],
+      (org.apache.spark.sql.SparkSession, Params) => DataFrame)] = Map(
+    "read_parquet" -> ((Seq("path"), Seq(),
+      (s, p) => s.read.parquet(p.str("path")))),
+    "read_table" -> ((Seq("dir", "table"), Seq(),
+      (s, p) => graft.sources.Sources.table(s, p.str("dir"),
+        p.str("table")))),
+    "read_orc" -> ((Seq("path"), Seq(),
+      (s, p) => graft.sources.Sources.readOrc(s, p.str("path")))),
+    "read_warc_gz" -> ((Seq("paths"), Seq("path_col"),
+      (s, p) => graft.sources.Warc.readWarcGz(s, p.strs("paths"),
+        p.str("path_col", Some("path"))))))
+
+  /** Run a config whose FIRST step is a source (`read_parquet`,
+    * `read_table`, `read_orc`, `read_warc_gz`) and whose remaining
+    * steps are registry operators — the fully self-contained form: a
+    * JSON/YAML file IS the job. */
+  def runSteps(spark: org.apache.spark.sql.SparkSession,
+               steps: Seq[Step],
+               extra: Map[String, OpSpec] = Map.empty): DataFrame = {
+    require(steps.nonEmpty, "pipeline config needs at least a source step")
+    val (req, opt, mk) = sourceOps.getOrElse(steps.head.op,
+      throw new IllegalArgumentException(
+        s"first step must be a source operator; " +
+          s"'${steps.head.op}' is not one of " +
+          sourceOps.keys.toSeq.sorted.mkString(", ")))
+    val allowed = (req ++ opt).toSet
+    val unknown = steps.head.params.keySet -- allowed
+    require(unknown.isEmpty,
+      s"source '${steps.head.op}': unknown params " +
+        s"${unknown.toSeq.sorted.mkString(", ")}; allowed: " +
+        allowed.toSeq.sorted.mkString(", "))
+    val missing = req.toSet -- steps.head.params.keySet
+    require(missing.isEmpty,
+      s"source '${steps.head.op}': missing required params " +
+        missing.toSeq.sorted.mkString(", "))
+    // compile the transform chain BEFORE touching the source so a
+    // config error surfaces even when the source read would fail too
+    val chain = fromSteps(steps.tail, extra)
+    chain(mk(spark, new Params(steps.head.op, steps.head.params)))
+  }
+
+  /** Self-contained JSON config → result frame. */
+  def runJson(spark: org.apache.spark.sql.SparkSession, json: String,
+              extra: Map[String, OpSpec] = Map.empty): DataFrame =
+    runSteps(spark, parseSteps(new ObjectMapper().readTree(json)), extra)
+
+  /** Self-contained YAML config → result frame. */
+  def runYaml(spark: org.apache.spark.sql.SparkSession, yaml: String,
+              extra: Map[String, OpSpec] = Map.empty): DataFrame =
+    runSteps(spark,
+      parseSteps(new ObjectMapper(new YAMLFactory()).readTree(yaml)),
+      extra)
+
   /** Compile a step list against the registry (builtins plus `extra`;
     * extra entries override builtin names — the `register_function`
     * precedence). Every step validates HERE: unknown op names,

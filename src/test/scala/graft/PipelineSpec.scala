@@ -115,6 +115,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("runJson: a self-contained config (source step + operator " +
+       "chain) IS the job, and equals the hand-written chain") {
+    val cfg =
+      s"""{"steps": [
+         |  {"op": "read_table",
+         |   "params": {"dir": "$dir", "table": "documents"}},
+         |  {"op": "drop_exact_duplicates",
+         |   "params": {"id_col": "doc_id", "text_col": "text"}},
+         |  {"op": "token_count",
+         |   "params": {"text_col": "text", "out_col": "n_tokens"}},
+         |  {"op": "dup_ngram_fraction",
+         |   "params": {"text_col": "text", "n": 2, "out_col": "dup2"}},
+         |  {"op": "filter",
+         |   "params": {"condition": "dup2 <= 0.05 AND n_tokens >= 30"}},
+         |  {"op": "split_by_hash",
+         |   "params": {"weights": [["train", 90], ["val", 5],
+         |                          ["test", 5]],
+         |              "key_cols": ["doc_id"]}},
+         |  {"op": "select",
+         |   "params": {"cols": ["doc_id", "lang", "source",
+         |                       "n_tokens", "split"]}}
+         |]}""".stripMargin
+    assert(rows(Pipeline.runJson(spark, cfg)) == rows(handWritten))
+    // a non-source first step errors naming the source whitelist
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.runSteps(spark,
+        Seq(Step("filter", Map("condition" -> "1=1"))))
+    }
+    assert(e.getMessage.contains("source") &&
+      e.getMessage.contains("read_parquet"))
+    // the transform chain validates even before the source reads
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.runSteps(spark,
+        Seq(Step("read_parquet", Map("path" -> "/nonexistent")),
+          Step("no_such_op")))
+    }
+    assert(e2.getMessage.contains("unknown pipeline operator"))
+  }
+
   test("stored-model steps load at CONFIG-COMPILE time: tokenization " +
        "matches the direct path, and a wrong-kind store fails before " +
        "any job") {
