@@ -178,6 +178,58 @@ object Pipeline {
         df => Normalize.normalizeText(df, id, text, form, repair, pass)
       }),
 
+    // LSH near-dup removal: pairs found + dropped in one step (the
+    // q_dedup_clean composition) — the near-dup complement of
+    // drop_exact_duplicates
+    "drop_near_duplicates" -> OpSpec(Set(),
+      Set("id_col", "text_col", "n", "num_hashes", "bands",
+        "threshold"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val text = p.str("text_col", Some("text"))
+        val n = p.int("n", Some(3))
+        val hashes = p.int("num_hashes", Some(64))
+        val bands = p.int("bands", Some(32))
+        val t = p.dbl("threshold", Some(0.5))
+        df => Dedup.dropNearDuplicates(df, id,
+          Dedup.minHashLshPairs(df, id, text, n, hashes, bands, t))
+      }),
+
+    "sample_fraction" -> OpSpec(Set("fraction", "key_cols"), Set(),
+      p => {
+        val (f, keys) = (p.dbl("fraction"), p.strs("key_cols"))
+        df => Curation.sampleByHashThreshold(df, f, keys)
+      }),
+
+    "chunk_by_tokens" -> OpSpec(Set(),
+      Set("id_col", "text_col", "max_tokens", "overlap"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val text = p.str("text_col", Some("text"))
+        val maxT = p.int("max_tokens", Some(512))
+        val ov = p.int("overlap", Some(64))
+        df => TextAnalysis.chunkByTokens(df, id, text, maxT, ov)
+      }),
+
+    "c4_clean" -> OpSpec(Set(),
+      Set("id_col", "text_col", "min_words_per_line", "min_sentences",
+        "passthrough_cols"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val text = p.str("text_col", Some("text"))
+        val mw = p.int("min_words_per_line", Some(5))
+        val ms = p.int("min_sentences", Some(3))
+        val pass = p.strs("passthrough_cols", Some(Nil))
+        df => TextAnalysis.c4Clean(df, id, text, mw, ms, pass)
+      }),
+
+    "scrub_pii" -> OpSpec(Set(), Set("text_col", "out_col"),
+      p => {
+        val text = p.str("text_col", Some("text"))
+        val out = p.str("out_col", Some("text"))
+        df => df.withColumn(out, TextAnalysis.scrubPii(col(text)))
+      }),
+
     // persisted-model inference steps: the model loads (and its kind
     // tag verifies) at CONFIG-COMPILE time — a config pointing a BPE
     // step at a pieces store fails before any job, and the loaded

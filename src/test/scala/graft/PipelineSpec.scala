@@ -115,6 +115,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("curation registry steps equal their direct operator calls: " +
+       "near-dup drop, fractional sample, chunking, C4 clean, PII " +
+       "scrub") {
+    val direct = {
+      val d0 = Dedup.dropNearDuplicates(docs, "doc_id",
+        Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 32, 0.5))
+      val d1 = Curation.sampleByHashThreshold(d0, 0.5, Seq("doc_id"))
+      val d2 = TextAnalysis.c4Clean(d1, "doc_id", "text")
+        .withColumnRenamed("text_clean", "text")
+      d2.withColumn("text", TextAnalysis.scrubPii(col("text")))
+    }
+    val cfg =
+      """[
+        |  {"op": "drop_near_duplicates",
+        |   "params": {"threshold": 0.5}},
+        |  {"op": "sample_fraction",
+        |   "params": {"fraction": 0.5, "key_cols": ["doc_id"]}},
+        |  {"op": "c4_clean", "params": {}},
+        |  {"op": "with_column",
+        |   "params": {"name": "text", "expr": "text_clean"}},
+        |  {"op": "scrub_pii", "params": {}}
+        |]""".stripMargin
+    val got = Pipeline.fromJson(cfg)(docs)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = direct.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // chunking composes downstream of the cleaned text
+    val chunks = Pipeline.fromJson(
+      """[{"op": "chunk_by_tokens",
+        |  "params": {"max_tokens": 40, "overlap": 8}}]""".stripMargin)(
+      docs)
+    assert(chunks.columns.toSeq ==
+      Seq("id", "chunk_id", "n_tokens", "chunk"))
+    assert(chunks.count() ==
+      TextAnalysis.chunkByTokens(docs, maxTokens = 40, overlap = 8)
+        .count())
+  }
+
   test("runJson: a self-contained config (source step + operator " +
        "chain) IS the job, and equals the hand-written chain") {
     val cfg =
