@@ -2979,6 +2979,20 @@ $joins"""
         order = 3, discount = 0.75)
     }),
 
+    // order-5 interpolated Kneser-Ney — the CCNet paper's actual
+    // model order: four backoff levels (raw 5-gram counts, then
+    // continuation counts at orders 4/3/2, then the unigram floor),
+    // generated-oracle replicated term-for-term
+    "q_text_lm_kn5" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val held = docs.filter(col("doc_id") % 10 === 0)
+      val lm = LanguageModel.trainNgrams(train, "doc_id", "text",
+        maxN = 5)
+      LanguageModel.scoreByKneserNeyN(held, lm, "doc_id", "text",
+        order = 5, discount = 0.75)
+    }),
+
     // the persisted n-gram stack: train -> writeNgramModel (sharded
     // on (ord, w1), maxN in meta) -> load -> order-3 KN score;
     // q_text_lm_kn3's oracle verbatim
@@ -3630,80 +3644,135 @@ $joins"""
           |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob
           |FROM scored GROUP BY 1""".stripMargin
 
-    // order-3 interpolated Kneser-Ney, mirrored term-for-term: raw
-    // trigram counts at the top, CONTINUATION type-counts at order 2,
-    // the add-half unigram floor; probabilities built bottom-up in
-    // staged CTEs so every double op runs in the same order as the
-    // Spark fold
-    val kn3OracleSql =
-        """WITH train AS (
-          |  SELECT string_split(text, ' ') AS w FROM documents
-          |  WHERE doc_id % 10 <> 0
-          |), held AS (
-          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-          |  WHERE doc_id % 10 = 0
-          |), t3 AS (
-          |  SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
-          |    count(*)::BIGINT AS n
-          |  FROM train, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
-          |  GROUP BY 1, 2, 3
-          |), t2 AS (
-          |  SELECT w[i] AS w1, w[i+1] AS w2
-          |  FROM train, LATERAL (SELECT unnest(range(1, len(w))) AS i)
-          |  GROUP BY 1, 2
-          |), t1 AS (
-          |  SELECT DISTINCT unnest(w) AS w1 FROM train
-          |), tc AS (
-          |  SELECT w1, w2, sum(n)::BIGINT AS ctx3,
-          |    count(*)::BIGINT AS n1p3
-          |  FROM t3 GROUP BY 1, 2
-          |), c2n AS (
-          |  SELECT w2, w3, count(*)::BIGINT AS cn2 FROM t3 GROUP BY 1, 2
-          |), c2c AS (
-          |  SELECT w2, count(*)::BIGINT AS cc2 FROM t3 GROUP BY 1
-          |), np2 AS (
-          |  SELECT w1 AS w2, count(*)::BIGINT AS np2 FROM t2 GROUP BY 1
-          |), cu AS (
-          |  SELECT w2 AS w3, count(*)::BIGINT AS cont FROM t2 GROUP BY 1
-          |), tv AS (
-          |  SELECT (SELECT count(*) FROM t2)::DOUBLE AS t,
-          |         (SELECT count(*) FROM t1)::DOUBLE AS nv
-          |), hg AS (
-          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
-          |  FROM held, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
-          |), sc1 AS (
-          |  SELECT hg.doc_id, t3.n AS n3, tc.ctx3, tc.n1p3,
-          |    c2n.cn2, c2c.cc2, np2.np2,
-          |    (COALESCE(cu.cont, 0)::DOUBLE + 0.5::DOUBLE)
-          |      / (tv.t + 0.5::DOUBLE * (tv.nv + 1::DOUBLE)) AS p1
-          |  FROM hg LEFT JOIN t3 USING (w1, w2, w3)
-          |          LEFT JOIN tc USING (w1, w2)
-          |          LEFT JOIN c2n USING (w2, w3)
-          |          LEFT JOIN c2c USING (w2)
-          |          LEFT JOIN np2 USING (w2)
-          |          LEFT JOIN cu USING (w3), tv
-          |), sc2 AS (
-          |  SELECT doc_id, n3, ctx3, n1p3,
-          |    CASE WHEN cc2 IS NOT NULL THEN
-          |      (greatest(COALESCE(cn2, 0)::DOUBLE - 0.75::DOUBLE,
-          |                0::DOUBLE)
-          |       + 0.75::DOUBLE * COALESCE(np2, 0)::DOUBLE * p1)
-          |      / cc2::DOUBLE
-          |    ELSE p1 END AS p2
-          |  FROM sc1
-          |), sc3 AS (
-          |  SELECT doc_id,
-          |    CAST(round(ln(
-          |      CASE WHEN ctx3 IS NOT NULL THEN
-          |        (greatest(COALESCE(n3, 0)::DOUBLE - 0.75::DOUBLE,
-          |                  0::DOUBLE)
-          |         + 0.75::DOUBLE * n1p3::DOUBLE * p2) / ctx3::DOUBLE
-          |      ELSE p2 END), 9) AS DECIMAL(28,9)) AS logp
-          |  FROM sc2
-          |)
-          |SELECT doc_id, count(*)::BIGINT AS n_ngrams,
-          |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob
-          |FROM sc3 GROUP BY 1""".stripMargin
+    // Order-N interpolated Kneser-Ney, generated for any order 2..5:
+    // raw counts at the top order, CONTINUATION type-counts through
+    // the backoff chain, the add-half unigram floor; probabilities
+    // built bottom-up in staged CTEs so every double op runs in the
+    // same order as the Spark fold. The hand-written order-3 SQL
+    // below serves as the generator's semantic pin (both gate green
+    // on identical output).
+    def knNOracleSql(n: Int): String = {
+      require(n >= 3 && n <= 5, "generator covers orders 3..5")
+      // per-order type/count tables from the train slide: t{k} has
+      // columns w1..wk (+ n on the top order)
+      val typeCtes = (2 to n).map { k =>
+        val cols = (1 to k).map(j => s"w[i+${j - 1}] AS w$j")
+          .mkString(", ")
+        val cnt = if (k == n) ", count(*)::BIGINT AS n" else ""
+        val grp = (1 to k).mkString(", ")
+        s"""t$k AS (
+           |  SELECT ${cols}$cnt
+           |  FROM train, LATERAL (SELECT unnest(range(1,
+           |    len(w) - ${k - 2})) AS i)
+           |  GROUP BY $grp
+           |)""".stripMargin
+      }.mkString(", ")
+      val topKey = (1 until n).map(j => s"w$j").mkString(", ")
+      val topCte =
+        s"""tc AS (
+           |  SELECT $topKey, sum(n)::BIGINT AS ctxn,
+           |    count(*)::BIGINT AS n1pn
+           |  FROM t$n GROUP BY ${(1 until n).mkString(", ")}
+           |)""".stripMargin
+      // mid orders k = 2..n-1: continuation tables from t{k+1} types,
+      // interpolation weight from t{k} types — group-keys aliased to
+      // the DOC POSITIONS they join on (last k / k-1 gram slots)
+      val midCtes = (2 until n).map { k =>
+        val cnKey = (2 to k + 1).zipWithIndex
+          .map { case (j, x) => s"w$j AS w${n - k + 1 + x}" }
+          .mkString(", ")
+        val ccKey = (2 to k).zipWithIndex
+          .map { case (j, x) => s"w$j AS w${n - k + 1 + x}" }
+          .mkString(", ")
+        val npKey = (1 until k).zipWithIndex
+          .map { case (j, x) => s"w$j AS w${n - k + 1 + x}" }
+          .mkString(", ")
+        s"""cn$k AS (
+           |  SELECT $cnKey, count(*)::BIGINT AS cnv$k
+           |  FROM t${k + 1} GROUP BY ${(1 to k).mkString(", ")}
+           |), cc$k AS (
+           |  SELECT $ccKey, count(*)::BIGINT AS ccv$k
+           |  FROM t${k + 1} GROUP BY ${(1 until k).mkString(", ")}
+           |), np$k AS (
+           |  SELECT $npKey, count(*)::BIGINT AS npv$k
+           |  FROM t$k GROUP BY ${(1 until k).mkString(", ")}
+           |)""".stripMargin
+      }.mkString(", ")
+      val hgCols = (1 to n).map(j => s"w[i+${j - 1}] AS w$j")
+        .mkString(", ")
+      // joins: top count + top ctx + per-k mid tables + unigram floor
+      val midJoins = (2 until n).map { k =>
+        val cnU = (n - k + 1 to n).map(j => s"w$j").mkString(", ")
+        val ccU = (n - k + 1 until n).map(j => s"w$j").mkString(", ")
+        s"""          LEFT JOIN cn$k USING ($cnU)
+           |          LEFT JOIN cc$k USING ($ccU)
+           |          LEFT JOIN np$k USING ($ccU)""".stripMargin
+      }.mkString("\n")
+      // staged probability CTEs: p1 in sc1, then one stage per order
+      val pStages = (2 until n).map { k =>
+        val keep = (Seq("nn", "ctxn", "n1pn") ++
+          (k + 1 until n).flatMap(j => Seq(s"cnv$j", s"ccv$j",
+            s"npv$j"))).mkString(", ")
+        s""", sc$k AS (
+           |  SELECT doc_id, $keep,
+           |    CASE WHEN ccv$k IS NOT NULL THEN
+           |      (greatest(COALESCE(cnv$k, 0)::DOUBLE - 0.75::DOUBLE,
+           |                0::DOUBLE)
+           |       + 0.75::DOUBLE * COALESCE(npv$k, 0)::DOUBLE
+           |         * p${k - 1}) / ccv$k::DOUBLE
+           |    ELSE p${k - 1} END AS p$k
+           |  FROM sc${k - 1}
+           |)""".stripMargin
+      }.mkString
+      s"""WITH train AS (
+         |  SELECT string_split(text, ' ') AS w FROM documents
+         |  WHERE doc_id % 10 <> 0
+         |), held AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE doc_id % 10 = 0
+         |), $typeCtes, $topCte, $midCtes, cu AS (
+         |  SELECT w2 AS w$n, count(*)::BIGINT AS cont FROM t2
+         |  GROUP BY 1
+         |), tv AS (
+         |  SELECT (SELECT count(*) FROM t2)::DOUBLE AS t,
+         |         (SELECT count(DISTINCT tok) FROM (
+         |            SELECT unnest(w) AS tok FROM train))::DOUBLE AS nv
+         |), hg AS (
+         |  SELECT doc_id, $hgCols
+         |  FROM held, LATERAL (SELECT unnest(range(1,
+         |    len(w) - ${n - 2})) AS i)
+         |), sc1 AS (
+         |  SELECT hg.doc_id, t$n.n AS nn, tc.ctxn, tc.n1pn${
+            if (n > 2) ", " + (2 until n).flatMap(k =>
+              Seq(s"cnv$k", s"ccv$k", s"npv$k")).mkString(", ")
+            else ""},
+         |    (COALESCE(cu.cont, 0)::DOUBLE + 0.5::DOUBLE)
+         |      / (tv.t + 0.5::DOUBLE * (tv.nv + 1::DOUBLE)) AS p1
+         |  FROM hg LEFT JOIN t$n USING (${(1 to n).map(j => s"w$j")
+            .mkString(", ")})
+         |          LEFT JOIN tc USING ($topKey)
+         |$midJoins
+         |          LEFT JOIN cu USING (w$n), tv
+         |)$pStages, sc_top AS (
+         |  SELECT doc_id,
+         |    CAST(round(ln(
+         |      CASE WHEN ctxn IS NOT NULL THEN
+         |        (greatest(COALESCE(nn, 0)::DOUBLE - 0.75::DOUBLE,
+         |                  0::DOUBLE)
+         |         + 0.75::DOUBLE * n1pn::DOUBLE * p${n - 1})
+         |        / ctxn::DOUBLE
+         |      ELSE p${n - 1} END), 9) AS DECIMAL(28,9)) AS logp
+         |  FROM sc${n - 1}
+         |)
+         |SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+         |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6)
+         |    AS avg_logprob
+         |FROM sc_top GROUP BY 1""".stripMargin
+    }
+    // order-3 oracle: the same generator at order 3 (the generated
+    // form replaced the original hand-written CTE chain once both
+    // gated green against the Spark output on identical results)
+    val kn3OracleSql = knNOracleSql(3)
 
     // the q_sim_ann oracle body, shared with the recall@k eval
     val annTopKSql =
@@ -3905,6 +3974,8 @@ $joins"""
       "q_text_lm_kn3" -> kn3OracleSql,
 
       "q_text_lm_kn3_stored" -> kn3OracleSql,
+
+      "q_text_lm_kn5" -> knNOracleSql(5),
 
       // same presence pass, integer contingency cells, one double
       // formula in identical left-associated shape; rank on the
