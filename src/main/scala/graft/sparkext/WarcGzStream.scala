@@ -173,8 +173,9 @@ private[graftext] final class WarcGzRecordIterator(in: InputStream)
     while (pending == null && !dead) {
       step() match {
         case WarcGzRecordIterator.NeedMore =>
-          if (members.hasNext) append(members.next())
-          else eof = true
+          if (members.hasNext) {
+            if (!append(members.next())) dead = true
+          } else eof = true
         case rec: Array[Byte] => pending = rec
         case _ => dead = true
       }
@@ -189,7 +190,11 @@ private[graftext] final class WarcGzRecordIterator(in: InputStream)
     r
   }
 
-  private def append(m: Array[Byte]): Unit = {
+  /** False when the member would push the buffer past the JVM array
+    * cap — a record that large can never emit, so the walk stops
+    * (drop-tail) instead of crashing on allocation. */
+  private def append(m: Array[Byte]): Boolean = {
+    if (len.toLong + m.length > Int.MaxValue - 8L) return false
     if (len + m.length.toLong > buf.length) {
       val want = math.min(
         math.max(buf.length.toLong * 2, len.toLong + m.length),
@@ -198,6 +203,7 @@ private[graftext] final class WarcGzRecordIterator(in: InputStream)
     }
     System.arraycopy(m, 0, buf, len, m.length)
     len += m.length
+    true
   }
 
   private def consume(n: Int): Unit = {
