@@ -288,6 +288,61 @@ object Pipeline {
       (s, p) => graft.sources.Warc.readWarcGz(s, p.strs("paths"),
         p.str("path_col", Some("path"))))))
 
+  /** Sink steps — the optional LAST step that makes a config a
+    * complete JOB (source → operators → sink) instead of a frame
+    * expression. Same eager-validation discipline. */
+  val sinkOps: Map[String, (Seq[String], Seq[String],
+      (DataFrame, Params) => Unit)] = Map(
+    "write_parquet" -> ((Seq("path"), Seq("mode"),
+      (df, p) => df.write.mode(p.str("mode", Some("overwrite")))
+        .parquet(p.str("path")))),
+    "write_orc" -> ((Seq("path"), Seq("mode"),
+      (df, p) => df.write.mode(p.str("mode", Some("overwrite")))
+        .orc(p.str("path")))),
+    "write_jsonl" -> ((Seq("path"), Seq(),
+      (df, p) => graft.sources.Sources.writeJsonl(df, p.str("path")))),
+    "write_csv" -> ((Seq("path"), Seq(),
+      (df, p) => graft.sources.Sources.writeCsv(df, p.str("path")))))
+
+  /** Run a COMPLETE job config: first step a source, last step a
+    * sink, operators between. The whole config validates before the
+    * source is touched. */
+  def runJobSteps(spark: org.apache.spark.sql.SparkSession,
+                  steps: Seq[Step],
+                  extra: Map[String, OpSpec] = Map.empty): Unit = {
+    require(steps.size >= 2,
+      "job config needs a source step and a sink step")
+    val (req, opt, write) = sinkOps.getOrElse(steps.last.op,
+      throw new IllegalArgumentException(
+        s"last step must be a sink operator; '${steps.last.op}' is " +
+          s"not one of " + sinkOps.keys.toSeq.sorted.mkString(", ")))
+    val allowed = (req ++ opt).toSet
+    val unknown = steps.last.params.keySet -- allowed
+    require(unknown.isEmpty,
+      s"sink '${steps.last.op}': unknown params " +
+        s"${unknown.toSeq.sorted.mkString(", ")}; allowed: " +
+        allowed.toSeq.sorted.mkString(", "))
+    val missing = req.toSet -- steps.last.params.keySet
+    require(missing.isEmpty,
+      s"sink '${steps.last.op}': missing required params " +
+        missing.toSeq.sorted.mkString(", "))
+    val sinkParams = new Params(steps.last.op, steps.last.params)
+    write(runSteps(spark, steps.dropRight(1), extra), sinkParams)
+  }
+
+  /** Self-contained JSON job config (source → ops → sink) → executed. */
+  def runJobJson(spark: org.apache.spark.sql.SparkSession, json: String,
+                 extra: Map[String, OpSpec] = Map.empty): Unit =
+    runJobSteps(spark, parseSteps(new ObjectMapper().readTree(json)),
+      extra)
+
+  /** Self-contained YAML job config (source → ops → sink) → executed. */
+  def runJobYaml(spark: org.apache.spark.sql.SparkSession, yaml: String,
+                 extra: Map[String, OpSpec] = Map.empty): Unit =
+    runJobSteps(spark,
+      parseSteps(new ObjectMapper(new YAMLFactory()).readTree(yaml)),
+      extra)
+
   /** Run a config whose FIRST step is a source (`read_parquet`,
     * `read_table`, `read_orc`, `read_warc_gz`) and whose remaining
     * steps are registry operators — the fully self-contained form: a

@@ -194,6 +194,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unknown pipeline operator"))
   }
 
+  test("runJobJson executes a complete source->ops->sink config; " +
+       "sink errors validate before anything runs") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-pipe-job").toString + "/result"
+    val cfg =
+      s"""[
+         |  {"op": "read_table",
+         |   "params": {"dir": "$dir", "table": "documents"}},
+         |  {"op": "token_count", "params": {}},
+         |  {"op": "filter", "params": {"condition": "n_tokens >= 30"}},
+         |  {"op": "select",
+         |   "params": {"cols": ["doc_id", "n_tokens"]}},
+         |  {"op": "write_parquet", "params": {"path": "$out"}}
+         |]""".stripMargin
+    Pipeline.runJobJson(spark, cfg)
+    val written = spark.read.parquet(out)
+    assert(written.columns.toSeq == Seq("doc_id", "n_tokens"))
+    val direct = docs
+      .withColumn("n_tokens",
+        graft.operators.TextAnalysis.tokenCount(col("text")))
+      .filter(col("n_tokens") >= 30).count()
+    assert(written.count() == direct && direct > 0)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.runJobSteps(spark, Seq(
+        Step("read_parquet", Map("path" -> "/nonexistent")),
+        Step("select", Map("cols" -> Seq("x")))))
+    }
+    assert(e.getMessage.contains("sink"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.runJobSteps(spark, Seq(
+        Step("read_parquet", Map("path" -> "/nonexistent")),
+        Step("write_parquet")))
+    }
+    assert(e2.getMessage.contains("missing required"))
+  }
+
   test("stored-model steps load at CONFIG-COMPILE time: tokenization " +
        "matches the direct path, and a wrong-kind store fails before " +
        "any job") {

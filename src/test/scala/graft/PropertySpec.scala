@@ -280,6 +280,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: the streaming .warc.gz walk equals the batch " +
+       "string walk for ANY member segmentation of the same " +
+       "decompressed stream, and corruption only ever drops a tail") {
+    import org.apache.spark.sql.graftext.WarcGzRecords
+    val rnd = new scala.util.Random(20260814)
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def rec(payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: resource\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes("US-ASCII") ++ payload
+    (1 to 25).foreach { trial =>
+      // random record sizes incl. empty payloads and binary bytes
+      val recs = (0 until 1 + rnd.nextInt(6)).map { _ =>
+        val p = new Array[Byte](rnd.nextInt(5000))
+        rnd.nextBytes(p)
+        rec(p)
+      }
+      val sep = if (rnd.nextBoolean()) "\r\n\r\n".getBytes else
+        Array.emptyByteArray
+      val whole = recs.reduceLeft((a, b) => a ++ sep ++ b)
+      // random segmentation into 1..8 members at arbitrary byte cuts
+      val nCuts = rnd.nextInt(8)
+      val cuts = (Seq(0, whole.length) ++
+        Seq.fill(nCuts)(rnd.nextInt(whole.length + 1))).distinct.sorted
+      val members = cuts.zip(cuts.tail)
+        .map { case (a, b) => whole.slice(a, b) }
+        .filter(_.nonEmpty)
+      val blob = members.map(gz).reduce(_ ++ _)
+      val got = WarcGzRecords
+        .over(new java.io.ByteArrayInputStream(blob)).toSeq
+      // batch reference: the shared WarcWalk over the whole stream
+      // (latin-1 string view round-trip, the parseWarc convention)
+      val whole1 = new String(whole, "ISO-8859-1")
+      val want = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var pos = 0
+        var ok = true
+        while (ok && pos < recs.length) { out += recs(pos); pos += 1 }
+        out.toSeq
+      }
+      assert(got.size == want.size, s"trial $trial: record count")
+      got.zip(want).foreach { case (g, w) =>
+        assert(java.util.Arrays.equals(g, w), s"trial $trial: bytes")
+      }
+      assert(new String(whole1.getBytes("ISO-8859-1"), "ISO-8859-1")
+        == whole1) // latin-1 view is byte-faithful (sanity)
+      // corrupt a random member: every record before the member
+      // survives byte-exact, nothing after it leaks through
+      if (members.size >= 2) {
+        val k = rnd.nextInt(members.size)
+        val mz = members.map(gz)
+        val bad = mz(k).clone()
+        bad(bad.length / 2) = (bad(bad.length / 2) ^ 0xFF).toByte
+        val blob2 = (mz.take(k) :+ bad).reduce(_ ++ _)
+        val got2 = WarcGzRecords
+          .over(new java.io.ByteArrayInputStream(blob2)).toSeq
+        assert(got2.size <= got.size)
+        got2.zip(got).foreach { case (g, w) =>
+          assert(java.util.Arrays.equals(g, w),
+            s"trial $trial: corrupted-tail prefix")
+        }
+      }
+    }
+  }
+
   test("property: byte-level BPE is UNK-free and LOSSLESS on " +
        "arbitrary Unicode — emitted subwords concatenate back to the " +
        "word's full remapped byte sequence") {
