@@ -314,22 +314,12 @@ class PropertySpec extends AnyFunSuite {
       val blob = members.map(gz).reduce(_ ++ _)
       val got = WarcGzRecords
         .over(new java.io.ByteArrayInputStream(blob)).toSeq
-      // batch reference: the shared WarcWalk over the whole stream
-      // (latin-1 string view round-trip, the parseWarc convention)
-      val whole1 = new String(whole, "ISO-8859-1")
-      val want = {
-        val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-        var pos = 0
-        var ok = true
-        while (ok && pos < recs.length) { out += recs(pos); pos += 1 }
-        out.toSeq
-      }
-      assert(got.size == want.size, s"trial $trial: record count")
-      got.zip(want).foreach { case (g, w) =>
+      // the ground truth is the record list itself: segmentation must
+      // never change WHAT comes out, only when it becomes available
+      assert(got.size == recs.size, s"trial $trial: record count")
+      got.zip(recs).foreach { case (g, w) =>
         assert(java.util.Arrays.equals(g, w), s"trial $trial: bytes")
       }
-      assert(new String(whole1.getBytes("ISO-8859-1"), "ISO-8859-1")
-        == whole1) // latin-1 view is byte-faithful (sanity)
       // corrupt a random member: every record before the member
       // survives byte-exact, nothing after it leaks through
       if (members.size >= 2) {
