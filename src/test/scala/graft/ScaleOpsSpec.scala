@@ -617,4 +617,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     val beforeExchange = plan.substring(plan.indexOf("Exchange"))
     assert(beforeExchange.contains("WindowGroupLimit"), plan)
   }
+
+  test("readWarcGz plans with ZERO exchanges: record streaming + " +
+       "header projection never shuffle at any archive count") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-warc-plan").toFile
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    (0 until 3).foreach { i =>
+      val payload = s"payload $i".getBytes
+      val rec = (s"WARC/1.0\r\nWARC-Type: resource\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes ++ payload
+      val f = new java.io.FileOutputStream(
+        new java.io.File(dir, s"f$i.warc.gz"))
+      f.write(gz(rec)); f.close()
+    }
+    val out = graft.sources.Warc.readWarcGz(spark,
+      Seq(dir.getAbsolutePath))
+    assert(out.collect().length == 3)
+    val plan = ScaleOpsSpec.finalPlan(out)
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
