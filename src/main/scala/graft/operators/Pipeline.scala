@@ -302,7 +302,31 @@ object Pipeline {
     "write_jsonl" -> ((Seq("path"), Seq(),
       (df, p) => graft.sources.Sources.writeJsonl(df, p.str("path")))),
     "write_csv" -> ((Seq("path"), Seq(),
-      (df, p) => graft.sources.Sources.writeCsv(df, p.str("path")))))
+      (df, p) => graft.sources.Sources.writeCsv(df, p.str("path")))),
+    // model-TRAINING sinks: the frame in flight is the training
+    // corpus; the artifact lands in the ModelStore, ready for the
+    // *_stored inference steps and the streaming loaders — the full
+    // train -> store -> serve lifecycle as one config
+    "train_bpe_model" -> ((Seq("path"), Seq("text_col", "num_merges"),
+      (df, p) => ModelStore.writeBpeModel(
+        TextAnalysis.trainBpe(df, p.str("text_col", Some("text")),
+          p.int("num_merges", Some(10))), p.str("path")))),
+    "train_ngram_model" -> ((Seq("path"),
+      Seq("id_col", "text_col", "max_n"),
+      (df, p) => {
+        val n = p.int("max_n", Some(3))
+        ModelStore.writeNgramModel(
+          LanguageModel.trainNgrams(df, p.str("id_col", Some("doc_id")),
+            p.str("text_col", Some("text")), n), p.str("path"), n)
+      })),
+    "train_logistic_model" -> ((Seq("path", "label_col"),
+      Seq("id_col", "text_col", "dim", "iters"),
+      (df, p) => ModelStore.writeLogisticModel(
+        TextClassify.trainLogisticHashed(df,
+          p.str("id_col", Some("doc_id")),
+          p.str("text_col", Some("text")), p.str("label_col"),
+          p.int("dim", Some(32)), p.int("iters", Some(3))),
+        p.str("path")))))
 
   /** Run a COMPLETE job config: first step a source, last step a
     * sink, operators between. The whole config validates before the

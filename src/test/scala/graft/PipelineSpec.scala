@@ -230,6 +230,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("missing required"))
   }
 
+  test("the full train -> store -> serve lifecycle runs as two " +
+       "configs: a training job then an inference pipeline") {
+    import graft.operators.ModelStore
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-pipe-train").toString + "/m"
+    Pipeline.runJobJson(spark,
+      s"""[
+         |  {"op": "read_table",
+         |   "params": {"dir": "$dir", "table": "documents"}},
+         |  {"op": "filter", "params": {"condition": "doc_id % 10 <> 0"}},
+         |  {"op": "train_bpe_model",
+         |   "params": {"path": "$store", "num_merges": 4}}
+         |]""".stripMargin)
+    val served = Pipeline.fromJson(
+      s"""[{"op": "bpe_tokenize_stored",
+         |  "params": {"model_path": "$store"}}]""".stripMargin)(
+      docs.filter(col("doc_id") % 10 === 0))
+    val direct = ModelStore.bpeTokenizeFromModel(
+      docs.filter(col("doc_id") % 10 === 0), store)
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(set(served) == set(direct) && set(served).nonEmpty)
+  }
+
   test("stored-model steps load at CONFIG-COMPILE time: tokenization " +
        "matches the direct path, and a wrong-kind store fails before " +
        "any job") {
