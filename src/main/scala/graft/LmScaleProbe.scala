@@ -17,11 +17,13 @@ import graft.operators.LanguageModel
   * ~linear in scored grams; no super-linear blowup from the
   * per-order statistic derivations.
   *
-  * Usage: runMain graft.LmScaleProbe [replicas...] (default 1 4 21)
+  * Usage: runMain graft.LmScaleProbe [order] [replicas...]
+  * (default order 3, replicas 1 4 21)
   */
 object LmScaleProbe {
   def main(args: Array[String]): Unit = {
-    val replicas = if (args.nonEmpty) args.map(_.toInt).toSeq
+    val order = if (args.nonEmpty) args(0).toInt else 3
+    val replicas = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
       else Seq(1, 4, 21)
     val spark = LocalSession()
     val docs = graft.sources.Sources
@@ -34,18 +36,20 @@ object LmScaleProbe {
           w => concat(w, lit("#" + k))), " ").as("text"))
     }.reduce(_ unionByName _)
 
-    println("replicas\tdocs\ttrain3_s\tmodel_rows\tscore3_s\tscored_docs")
+    println(s"replicas\tdocs\ttrain${order}_s\tmodel_rows\t" +
+      s"score${order}_s\tscored_docs")
     replicas.foreach { r =>
       val c = corpus(r).localCheckpoint(true)
       val n = c.count()
       val t0 = System.nanoTime()
-      val lm = LanguageModel.trainNgrams(c, "doc_id", "text", maxN = 3)
+      val lm = LanguageModel.trainNgrams(c, "doc_id", "text",
+          maxN = order)
         .localCheckpoint(true)
       val rows = lm.count()
       val t1 = System.nanoTime()
       val held = c.filter(col("doc_id") % 10 === 0)
       val scored = LanguageModel.scoreByKneserNeyN(held, lm,
-        "doc_id", "text", order = 3).count()
+        "doc_id", "text", order = order).count()
       val t2 = System.nanoTime()
       println(f"$r%d\t$n%d\t${(t1 - t0) / 1e9}%.2f\t$rows%d\t" +
         f"${(t2 - t1) / 1e9}%.2f\t$scored%d")
