@@ -351,6 +351,29 @@ object StreamOps {
         docs.sparkSession, modelPath),
       "text", "doc_id")
 
+  /** Streaming WordPiece tokenization from a persisted pieces store —
+    * [[bpeTokenizeStream]]'s greedy-longest-match sibling: inventory
+    * + maxPieceLen load and kind-verify at stream start, then each
+    * micro-batch tokenizes as a zero-state scan-speed projection. */
+  def piecesTokenizeStoredStream(docs: Dataset[StreamDoc],
+                                 modelPath: String): DataFrame =
+    graft.operators.ModelStore.piecesTokenizeFromModel(
+      docs.toDF(), modelPath)
+
+  /** Streaming quality-classifier scoring from a persisted weight
+    * store — [[scoreLogisticStream]] with the weights loaded (and
+    * kind-verified) from [[graft.operators.ModelStore]] at stream
+    * start instead of passed in-session: the classifier trained
+    * Monday gates Tuesday's stream with no retraining. Stateless
+    * compiled-literal projection, append-mode. */
+  def scoreLogisticStoredStream(docs: Dataset[StreamDoc],
+                                modelPath: String): DataFrame =
+    graft.operators.TextClassify.scoreLogisticInline(
+      docs.toDF(),
+      graft.operators.ModelStore.logisticFromModel(
+        docs.sparkSession, modelPath),
+      "doc_id", "text", passthroughCols = Seq("ts"))
+
   /** Streaming order-n Kneser-Ney fluency scoring from a PERSISTED
     * n-gram stack ([[graft.operators.ModelStore.writeNgramModel]]):
     * the model loads (kind/row-count verified) at stream start; each

@@ -2033,6 +2033,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stored-model streaming inference: piecesTokenizeStoredStream " +
+       "and scoreLogisticStoredStream match their batch loaders") {
+    import graft.streaming.StreamOps.StreamDoc
+    import graft.operators.{ModelStore, TextAnalysis, TextClassify}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val train = Seq((1L, "spark sparse park", "en"),
+      (2L, "der schnelle fuchs", "de"),
+      (3L, "spark spa quick", "en")).toDF("doc_id", "text", "lang")
+    val pStore = java.nio.file.Files
+      .createTempDirectory("graft-pcs-stream").toString + "/m"
+    ModelStore.writePiecesModel(
+      TextAnalysis.trainPieces(train, "text", topN = 30,
+        maxPieceLen = 4), pStore, maxPieceLen = 4)
+    val lStore = java.nio.file.Files
+      .createTempDirectory("graft-lg-stream").toString + "/m"
+    ModelStore.writeLogisticModel(
+      TextClassify.trainLogisticHashed(
+        train.withColumn("is_en", col("lang") === "en"),
+        "doc_id", "text", "is_en", dim = 8, iters = 2), lStore)
+    val docs = Seq(
+      StreamDoc(10L, "spark park quick",
+        Timestamp.valueOf("2024-01-01 00:00:01")),
+      StreamDoc(11L, "schnelle spa",
+        Timestamp.valueOf("2024-01-01 00:00:02")))
+    val input = MemoryStream[StreamDoc]
+    val outP = StreamOps.piecesTokenizeStoredStream(input.toDS(), pStore)
+    val outL = StreamOps.scoreLogisticStoredStream(input.toDS(), lStore)
+    val qp = outP.writeStream.format("memory").queryName("pcs_stored")
+      .outputMode("append").start()
+    val ql = outL.writeStream.format("memory").queryName("lg_stored")
+      .outputMode("append").start()
+    input.addData(docs: _*)
+    qp.processAllAvailable(); ql.processAllAvailable()
+    qp.stop(); ql.stop()
+    val batchDf = docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val gotP = s.sql("select * from pcs_stored").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val wantP = ModelStore.piecesTokenizeFromModel(batchDf, pStore)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(gotP == wantP && gotP.nonEmpty)
+    val gotL = s.sql("select doc_id, p from lg_stored").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val wantL = TextClassify.scoreLogisticInline(batchDf,
+        ModelStore.logisticFromModel(s, lStore)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(gotL == wantL && gotL.nonEmpty)
+  }
+
   test("knScoreStream: the persisted n-gram stack KN3-scores arriving " +
        "documents exactly like the batch scorer") {
     import graft.streaming.StreamOps.StreamDoc
