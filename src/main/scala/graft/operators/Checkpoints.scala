@@ -26,7 +26,15 @@ import org.apache.spark.sql.DataFrame
   * The spark checkpoint directory is adopted from the conf key at
   * first use if the context has none; an explicitly pre-set
   * `SparkContext.setCheckpointDir` wins. Identical results either
-  * way (spec-pinned): truncation changes recovery, never values. */
+  * way (spec-pinned): truncation changes recovery, never values.
+  *
+  * CLEANUP in reliable mode: iterative operators checkpoint once per
+  * round — dozens of frames per invocation — and Spark only deletes
+  * them when `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * (a SparkContext-construction conf; it cannot be set here after
+  * the fact). Long-running jobs that adopt `spark.graft.checkpointDir`
+  * MUST also set that cleaner flag at submit time, or the checkpoint
+  * directory grows without bound. */
 object Checkpoints {
 
   /** Session-conf key naming the reliable checkpoint directory;

@@ -256,7 +256,11 @@ object LanguageModel {
     require(discount > 0 && discount < 1, "discount must be in (0,1)")
     val n = order
     val lmOnce = lm.truncateLineage(false)
-    val maxOrd = lmOnce.agg(max(col("ord"))).head.getInt(0)
+    val maxOrdRow = lmOnce.agg(max(col("ord"))).head
+    require(!maxOrdRow.isNullAt(0),
+      "empty language model: no n-gram rows (train with trainNgrams " +
+        "on a non-empty corpus before scoring)")
+    val maxOrd = maxOrdRow.getInt(0)
     require(maxOrd >= order,
       s"model carries orders up to $maxOrd; order-$order scoring " +
         s"needs trainNgrams(maxN >= $order)")

@@ -55,8 +55,13 @@ object ModelStore {
       else if (kind == "ngram_lm") {
         slim.repartitionByRange(col("ord"), col("w1"))
       } else slim.coalesce(1) // driver-bounded inventory: one file
-    persisted.write.mode("overwrite").parquet(s"$path/table")
-    val n = spark.read.parquet(s"$path/table").count()
+    // the meta row count is observed DURING the write (one scan) —
+    // the lm kinds are corpus-vocab sized, so a post-write re-read
+    // or a pre-write count() would each cost a full extra pass
+    val obs = org.apache.spark.sql.Observation()
+    persisted.observe(obs, count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$path/table")
+    val n = obs.get("n_rows").asInstanceOf[Long]
     spark.range(1)
       .select(lit(kind).as("kind"), lit(n).as("n_rows"),
         param.map(p => lit(p)).getOrElse(lit(null).cast("int"))

@@ -38,6 +38,16 @@ object WarcGzRecords {
     * stream. The caller owns closing `in`. */
   def over(in: InputStream): Iterator[Array[Byte]] =
     new WarcGzRecordIterator(in)
+
+  /** Spec/probe hook: the record iterator plus a live counter of
+    * bytes moved by buffer compaction — the witness that a
+    * many-records-per-member walk shifts O(member) bytes total, not
+    * O(records × member). */
+  def overWithShiftCounter(
+      in: InputStream): (Iterator[Array[Byte]], () => Long) = {
+    val it = new WarcGzRecordIterator(in)
+    (it, () => it.shiftedBytes)
+  }
 }
 
 /** RFC 1952 member walk over a stream: each `next()` is one member's
@@ -149,21 +159,35 @@ private[graftext] final class GzipMemberIterator(raw: InputStream)
 }
 
 /** Incremental [[WarcWalk]]: records emit from an assembly buffer
-  * that members append to, compacted after every record so the
-  * buffer never holds more than the in-progress record plus the
-  * member that completed it. The walk rules are WarcWalk's exactly;
+  * that members append to. The walk rules are WarcWalk's exactly;
   * "incomplete" defers to the next member until members run out,
-  * then drops the tail (the batch contract). */
+  * then drops the tail (the batch contract).
+  *
+  * The buffer is head-offset + amortized compaction: consuming a
+  * record just advances `off`, and the live bytes shift to offset 0
+  * only when the dead prefix exceeds half the capacity — so a
+  * single gzip member carrying N records costs O(member) total
+  * byte-shifting, not O(N × member) (each byte moves at most twice
+  * per doubling epoch). Memory bound: one in-progress record plus
+  * the member that completes it — for the single-member layout
+  * (plain `gzip` of a whole `.warc`) the member IS the archive, so
+  * that layout buffers the whole decompressed archive (inherent:
+  * the member must inflate and CRC-verify before its bytes enter
+  * the walk) and stays subject to the ~2 GiB JVM array cap. */
 private[graftext] final class WarcGzRecordIterator(in: InputStream)
     extends Iterator[Array[Byte]] {
 
   private val members = new GzipMemberIterator(in)
   private var buf = new Array[Byte](64 * 1024)
-  private var len = 0
+  private var off = 0 // head of the live window (dead prefix before it)
+  private var len = 0 // live bytes at buf(off..off+len)
   private var eof = false // member stream exhausted (or dropped)
   private var skipping = false // mid separator-skip after an emit
   private var dead = false // walk stopped: tail (if any) dropped
   private var pending: Array[Byte] = _
+  /** Bytes moved by compaction/growth — spec hook proving the walk
+    * is linear in member size, not quadratic in record count. */
+  private[graftext] var shiftedBytes: Long = 0L
 
   private val Magic = "WARC/".getBytes("US-ASCII")
   private val ContentLength = java.util.regex.Pattern.compile(
@@ -195,27 +219,44 @@ private[graftext] final class WarcGzRecordIterator(in: InputStream)
     * (drop-tail) instead of crashing on allocation. */
   private def append(m: Array[Byte]): Boolean = {
     if (len.toLong + m.length > Int.MaxValue - 8L) return false
-    if (len + m.length.toLong > buf.length) {
+    if (len.toLong + m.length > buf.length) {
+      // live bytes don't fit even compacted: grow (copy compacts too)
       val want = math.min(
         math.max(buf.length.toLong * 2, len.toLong + m.length),
         Int.MaxValue - 8L).toInt
-      buf = java.util.Arrays.copyOf(buf, want)
+      val grown = new Array[Byte](want)
+      System.arraycopy(buf, off, grown, 0, len)
+      shiftedBytes += len
+      buf = grown
+      off = 0
+    } else if (off.toLong + len + m.length > buf.length) {
+      compact()
     }
-    System.arraycopy(m, 0, buf, len, m.length)
+    System.arraycopy(m, 0, buf, off + len, m.length)
     len += m.length
     true
   }
 
+  private def compact(): Unit = {
+    System.arraycopy(buf, off, buf, 0, len)
+    shiftedBytes += len
+    off = 0
+  }
+
+  /** Advance the head; shift bytes only when the dead prefix passes
+    * half the capacity (amortized O(total-bytes) over the walk). */
   private def consume(n: Int): Unit = {
-    System.arraycopy(buf, n, buf, 0, len - n)
+    off += n
     len -= n
+    if (off > buf.length / 2) compact()
   }
 
   private def indexOfCrlfCrlf(): Int = {
-    var i = 0
-    while (i + 3 < len) {
+    var i = off
+    val end = off + len - 3
+    while (i < end) {
       if (buf(i) == '\r' && buf(i + 1) == '\n' &&
-          buf(i + 2) == '\r' && buf(i + 3) == '\n') return i
+          buf(i + 2) == '\r' && buf(i + 3) == '\n') return i - off
       i += 1
     }
     -1
@@ -225,8 +266,14 @@ private[graftext] final class WarcGzRecordIterator(in: InputStream)
     * null (stop — malformed, or incomplete at member-stream end). */
   private def step(): AnyRef = {
     if (skipping) {
-      while (len >= 2 && buf(0) == '\r' && buf(1) == '\n') consume(2)
-      if (len == 1 && buf(0) == '\r' && !eof)
+      while (len >= 2 && buf(off) == '\r' && buf(off + 1) == '\n')
+        consume(2)
+      // A member boundary may land mid-separator: an empty buffer or
+      // a lone '\r' cannot prove the skip is over, so hold the skip
+      // state and ask for the next member (clearing it here made a
+      // member that starts with "\r\n" fail the magic check and
+      // silently drop every remaining record).
+      if (len < 2 && !eof && (len == 0 || buf(off) == '\r'))
         return WarcGzRecordIterator.NeedMore
       skipping = false
     }
@@ -235,14 +282,14 @@ private[graftext] final class WarcGzRecordIterator(in: InputStream)
     }
     var i = 0
     while (i < Magic.length) {
-      if (buf(i) != Magic(i)) return null // not a record: drop tail
+      if (buf(off + i) != Magic(i)) return null // not a record: drop tail
       i += 1
     }
     val hdrEnd = indexOfCrlfCrlf()
     if (hdrEnd < 0) {
       return if (eof) null else WarcGzRecordIterator.NeedMore
     }
-    val headers = new String(buf, 0, hdrEnd,
+    val headers = new String(buf, off, hdrEnd,
       java.nio.charset.StandardCharsets.UTF_8)
     val m = ContentLength.matcher(headers)
     // the 18-digit cap keeps parseLong from throwing on an
@@ -254,7 +301,7 @@ private[graftext] final class WarcGzRecordIterator(in: InputStream)
     if (end > len) {
       return if (eof) null else WarcGzRecordIterator.NeedMore
     }
-    val rec = java.util.Arrays.copyOfRange(buf, 0, end.toInt)
+    val rec = java.util.Arrays.copyOfRange(buf, off, off + end.toInt)
     consume(end.toInt)
     skipping = true
     rec
@@ -315,11 +362,12 @@ object WarcGzFiles {
           var closed = false
           def closeOnce(): Unit =
             if (!closed) { closed = true; in.close() }
+          // a short-circuiting consumer (limit/take) or a task failure
+          // never drains the iterator — close on task end regardless
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeOnce()))
           val recs = WarcGzRecords.over(in).zipWithIndex
             .map { case (rec, i) => Row(pathStr, i, rec) }
-          // exhaust-then-close: the iterator is consumed fully within
-          // the task (Spark drains flatMap iterators), so the stream
-          // closes at the last record
           new Iterator[Row] {
             override def hasNext: Boolean = {
               val h = recs.hasNext

@@ -109,6 +109,14 @@ class KneserNeySpec extends AnyFunSuite {
         "doc_id", "text", order = 5)
     }
     assert(e.getMessage.contains("maxN >= 5"))
+    // an EMPTY model (zero n-gram rows) names the problem instead of
+    // NPE-ing on the null max(ord)
+    val empty = intercept[IllegalArgumentException] {
+      LanguageModel.scoreByKneserNeyN(
+        Seq((14L, "v w x")).toDF("doc_id", "text"),
+        lm5.filter("ord > 99"), "doc_id", "text", order = 3)
+    }
+    assert(empty.getMessage.contains("empty language model"))
   }
 
   test("trainNgrams emits every order once, counted over one corpus " +

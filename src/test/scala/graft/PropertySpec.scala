@@ -304,9 +304,17 @@ class PropertySpec extends AnyFunSuite {
       val sep = if (rnd.nextBoolean()) "\r\n\r\n".getBytes else
         Array.emptyByteArray
       val whole = recs.reduceLeft((a, b) => a ++ sep ++ b)
-      // random segmentation into 1..8 members at arbitrary byte cuts
+      // random segmentation into members at arbitrary byte cuts PLUS
+      // deterministic cuts at every record end E and E+2: exactly the
+      // offsets where a member boundary lands on (or inside) the
+      // record separator — random cuts almost never hit them, and
+      // they are the offsets that once lost the separator-skip state
       val nCuts = rnd.nextInt(8)
-      val cuts = (Seq(0, whole.length) ++
+      val boundaryCuts = recs.indices.flatMap { i =>
+        val e = recs.take(i + 1).map(_.length).sum + i * sep.length
+        Seq(e, e + 2)
+      }.filter(c => c > 0 && c < whole.length)
+      val cuts = (Seq(0, whole.length) ++ boundaryCuts ++
         Seq.fill(nCuts)(rnd.nextInt(whole.length + 1))).distinct.sorted
       val members = cuts.zip(cuts.tail)
         .map { case (a, b) => whole.slice(a, b) }

@@ -363,6 +363,60 @@ class SourcesSpec extends AnyFunSuite {
       out.map(_.getAs[String]("warc_type")).toSeq)
   }
 
+  test("parseWarcGz: a member boundary landing EXACTLY at a record " +
+       "end (or after the separator's first \\r\\n) keeps the walk " +
+       "alive — the next member's leading separator is skipped, not " +
+       "mistaken for a malformed record") {
+    import spark.implicits._
+    // regression: step() used to clear the skip state when the buffer
+    // emptied at a member boundary, so a member starting with \r\n
+    // failed the WARC/ magic check and silently dropped every
+    // remaining record
+    val r1 = warcRecBytes("response", "one".getBytes)
+    val r2 = warcRecBytes("response", "two".getBytes)
+    val r3 = warcRecBytes("metadata", "three".getBytes)
+    val whole = r1 ++ "\r\n\r\n".getBytes ++ r2 ++
+      "\r\n\r\n".getBytes ++ r3
+    // cut A: exactly at r1's end (separator opens the next member);
+    // cut B: two bytes into r2's separator (a lone \r\n ends a member)
+    val cutA = r1.length
+    val cutB = r1.length + 4 + r2.length + 2
+    val blob = gz(whole.slice(0, cutA)) ++
+      gz(whole.slice(cutA, cutB)) ++ gz(whole.slice(cutB, whole.length))
+    val out = graft.sources.Warc.parseWarcGz(
+        Seq((1L, blob)).toDF("doc_id", "blob"))
+      .collect().sortBy(_.getAs[Int]("rec_id"))
+    assert(out.length == 3)
+    assert(out.map(r => new String(r.getAs[Array[Byte]]("payload")))
+      .toSeq == Seq("one", "two", "three"))
+  }
+
+  test("WarcGzRecords: a single gzip member carrying many records " +
+       "walks in O(member) byte-shifts, not O(records x member) — " +
+       "the plain-gzip-of-a-whole-warc layout") {
+    import org.apache.spark.sql.graftext.WarcGzRecords
+    // 10k records in ONE member: the pre-fix per-record arraycopy
+    // would shift ~ sum_i (N-i)*recLen ≈ 2.9 GB here; the head-offset
+    // walk shifts at most a few multiples of the member size
+    val nRecs = 10000
+    val one = warcRecBytes("response",
+      ("payload-" + "x" * 50).getBytes("US-ASCII"))
+    val member = new java.io.ByteArrayOutputStream()
+    (0 until nRecs).foreach { i =>
+      if (i > 0) member.write("\r\n\r\n".getBytes("US-ASCII"))
+      member.write(one)
+    }
+    val memberBytes = member.toByteArray
+    val (it, shifted) = WarcGzRecords.overWithShiftCounter(
+      new java.io.ByteArrayInputStream(gz(memberBytes)))
+    assert(it.size == nRecs)
+    // growth doublings + amortized compaction each move every live
+    // byte a bounded number of times: 4x member is a safe linear cap
+    // (measured ~2x); the quadratic walk would need ~2400x
+    assert(shifted() <= 4L * memberBytes.length,
+      s"shifted ${shifted()} bytes for a ${memberBytes.length}-byte member")
+  }
+
   test("parseWarcGz: a record left incomplete when a later member " +
        "corrupts drops with the tail; completed records survive") {
     import spark.implicits._
