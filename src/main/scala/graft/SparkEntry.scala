@@ -3073,6 +3073,114 @@ $joins"""
       TextSearch.bm25FromIndex(s, idx, queries, k = 10)
     }),
 
+    // q_text_bm25_indexed replayed as TWO pure-JSON configs — a job
+    // config that builds the persisted index (write_search_index
+    // sink) and a probe config that scores a query table against it
+    // (bm25_from_index step) — under the identical oracle: the
+    // config registry's index-once/probe-many workflow end to end
+    "q_pipeline_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = sys.props("java.io.tmpdir")
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val idx = new java.io.File(tmp, s"graft_cfgidx_$tag").getPath
+      val qPath = new java.io.File(tmp, s"graft_cfgq_$tag").getPath
+      Seq((0L, "spark join fast"), (1L, "vector scan slow"),
+        (2L, "customer order line"), (3L, "window agg group"),
+        (4L, "hash merge sort batch")).toDF("query_id", "qtext")
+        .coalesce(1).write.mode("overwrite").parquet(qPath)
+      graft.operators.Pipeline.runJobJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |   "table": "documents"}},
+           |  {"op": "write_search_index", "params": {"path": "$idx"}}
+           |]""".stripMargin)
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_parquet", "params": {"path": "$qPath"}},
+           |  {"op": "bm25_from_index",
+           |   "params": {"index_path": "$idx", "k": 10}}
+           |]""".stripMargin)
+    }),
+
+    // q_dedup_store replayed as configs: persist the held corpus's
+    // band signatures (write_signature_store sink), then probe the
+    // arriving batch against the store (near_dup_pairs_stored step)
+    // — identical oracle to the in-memory incremental join
+    "q_pipeline_dedup_store" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cfgsig_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.operators.Pipeline.runJobJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |   "table": "documents"}},
+           |  {"op": "filter", "params": {"condition": "doc_id % 5 != 0"}},
+           |  {"op": "write_signature_store",
+           |   "params": {"path": "$store", "n": 3, "num_hashes": 64,
+           |              "bands": 32}}
+           |]""".stripMargin)
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |   "table": "documents"}},
+           |  {"op": "filter", "params": {"condition": "doc_id % 5 = 0"}},
+           |  {"op": "near_dup_pairs_stored",
+           |   "params": {"store_path": "$store", "threshold": 0.5}}
+           |]""".stripMargin)
+    }),
+
+    // q_sim_ivf_indexed replayed as configs: build_ann_index persists
+    // the cell-partitioned index AND the centroid table; the probe
+    // config loads centroids at compile time and prunes cells at the
+    // file level. nprobe = nlist ⇒ exact, same brute-force oracle.
+    "q_pipeline_ann" -> ((s, dir) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val idx = new java.io.File(tmp, s"graft_cfgivf_$tag").getPath
+      val cents = new java.io.File(tmp, s"graft_cfgcent_$tag").getPath
+      graft.operators.Pipeline.runJobJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |   "table": "embeddings"}},
+           |  {"op": "build_ann_index",
+           |   "params": {"index_path": "$idx", "centroids_path": "$cents",
+           |              "id_col": "vec_id", "vec_col": "embedding",
+           |              "nlist": 16, "lloyd_iters": 1}}
+           |]""".stripMargin)
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |   "table": "embeddings"}},
+           |  {"op": "filter", "params": {"condition": "vec_id < 10"}},
+           |  {"op": "ann_topk_indexed",
+           |   "params": {"index_path": "$idx", "centroids_path": "$cents",
+           |              "id_col": "vec_id", "vec_col": "embedding",
+           |              "k": 5, "nprobe": 16}}
+           |]""".stripMargin)
+    }),
+
+    // q_stats_profile_shards replayed as configs: write_profile_shards
+    // sink persists the per-status summaries, profile_from_shards
+    // SOURCE merges them without rescanning orders — same oracle
+    "q_pipeline_profile" -> ((s, dir) => {
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cfgprof_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.operators.Pipeline.runJobJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |   "table": "orders"}},
+           |  {"op": "write_profile_shards",
+           |   "params": {"path": "$work",
+           |              "cols": ["o_totalprice", "o_custkey"],
+           |              "shard_cols": ["o_orderstatus"]}}
+           |]""".stripMargin)
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "profile_from_shards",
+           |   "params": {"path": "$work",
+           |              "cols": ["o_totalprice", "o_custkey"]}}
+           |]""".stripMargin)
+    }),
+
     // incremental index maintenance: build on the 90% slice, MERGE the
     // 10% delta (delta-only tokenization), probe the merged index —
     // scored under the FULL-corpus oracle, so merge==rebuild is the
@@ -4280,6 +4388,7 @@ $joins"""
       // index build -> probe reproduces the direct scoring exactly, so
       // the oracle IS the direct-BM25 SQL
       "q_text_bm25_indexed" -> bm25OracleSql,
+      "q_pipeline_indexed" -> bm25OracleSql,
 
       // merge == rebuild: the merged-index probe must score exactly as
       // the full corpus does
@@ -7648,8 +7757,12 @@ $joins"""
           |  FROM orders
           |) WHERE rn <= 3""".stripMargin
     )
-    // the config-driven replay compiles to the identical operator
-    // chain, so it runs under q_pipeline_curate's oracle verbatim
-    base + ("q_pipeline_cfg" -> base("q_pipeline_curate"))
+    // the config-driven replays compile to the identical operator
+    // chains, so each runs under its hand-written twin's oracle
+    // verbatim
+    base + ("q_pipeline_cfg" -> base("q_pipeline_curate")) +
+      ("q_pipeline_dedup_store" -> base("q_dedup_store")) +
+      ("q_pipeline_ann" -> base("q_sim_ivf_indexed")) +
+      ("q_pipeline_profile" -> base("q_stats_profile_shards"))
   }
 }

@@ -86,6 +86,21 @@ object Pipeline {
           fail(s"param '$name' must be a string list, got $other")
       }
 
+    def dbls(name: String,
+             default: Option[Seq[Double]] = None): Seq[Double] =
+      get(name, default) match {
+        case xs: Seq[_] if xs.forall(v =>
+          v.isInstanceOf[Double] || v.isInstanceOf[Long] ||
+            v.isInstanceOf[Int]) =>
+          xs.map {
+            case d: Double => d
+            case l: Long => l.toDouble
+            case i: Int => i.toDouble
+          }
+        case other =>
+          fail(s"param '$name' must be a number list, got $other")
+      }
+
     /** `[[name, parts], ...]` pairs — ordered, as split assignment
       * depends on order. */
     def weights(name: String): Seq[(String, Long)] =
@@ -268,6 +283,71 @@ object Pipeline {
         df => TextAnalysis.gopherQualityFlags(df, id, text,
           minWords = minW, maxWords = maxW, minStopwords = minS,
           passthroughCols = pass)
+      }),
+
+    // persisted-ARTIFACT probe steps: the frame in flight is the
+    // probe side (a query table, a new-document batch), the artifact
+    // on disk is the corpus-sized side — the config form of the
+    // write-once / probe-many workflows (write_search_index,
+    // write_signature_store, build_ann_index sinks below)
+    "bm25_from_index" -> OpSpec(Set("index_path", "k"),
+      Set("query_id_col", "query_text_col", "k1", "b"),
+      p => {
+        val path = p.str("index_path")
+        val k = p.int("k")
+        val qid = p.str("query_id_col", Some("query_id"))
+        val qtext = p.str("query_text_col", Some("qtext"))
+        val k1 = p.dbl("k1", Some(1.2))
+        val b = p.dbl("b", Some(0.75))
+        df => TextSearch.bm25FromIndex(df.sparkSession, path, df, k,
+          qid, qtext, k1, b)
+      }),
+
+    // (id_a = store id, id_b = in-flight id, jaccard) collisions of
+    // the batch against the persisted corpus signatures — the
+    // contamination/incremental-dedup probe
+    "near_dup_pairs_stored" -> OpSpec(Set("store_path"),
+      Set("id_col", "text_col", "threshold"),
+      p => {
+        val path = p.str("store_path")
+        val id = p.str("id_col", Some("doc_id"))
+        val text = p.str("text_col", Some("text"))
+        val t = p.dbl("threshold", Some(0.5))
+        df => Dedup.minHashLshPairsAgainstStore(df, path, id, text, t)
+      }),
+
+    // the gate form: keep only batch docs that do NOT collide with
+    // the persisted corpus (the store-probe pairs put the batch id in
+    // id_b, which is exactly dropNearDuplicates' drop side)
+    "drop_near_duplicates_stored" -> OpSpec(Set("store_path"),
+      Set("id_col", "text_col", "threshold"),
+      p => {
+        val path = p.str("store_path")
+        val id = p.str("id_col", Some("doc_id"))
+        val text = p.str("text_col", Some("text"))
+        val t = p.dbl("threshold", Some(0.5))
+        df => Dedup.dropNearDuplicates(df, id,
+          Dedup.minHashLshPairsAgainstStore(df, path, id, text, t))
+      }),
+
+    // ANN probe over a persisted IVF index: centroids load (bounded:
+    // nlist rows) at config-compile time from the sibling store the
+    // build_ann_index sink writes, so a stale/missing centroid table
+    // fails before any job
+    "ann_topk_indexed" -> OpSpec(
+      Set("index_path", "centroids_path", "k"),
+      Set("id_col", "vec_col", "nprobe"),
+      p => {
+        val idx = p.str("index_path")
+        val cents = readCentroids(
+          org.apache.spark.sql.SparkSession.active,
+          p.str("centroids_path"))
+        val k = p.int("k")
+        val id = p.str("id_col", Some("doc_id"))
+        val vec = p.str("vec_col", Some("embedding"))
+        val nprobe = p.int("nprobe", Some(4))
+        df => Similarity.ivfTopKIndexed(idx, cents, df, id, vec, k,
+          nprobe)
       }))
 
   /** Source steps — the step-0 whitelist that makes a config file a
@@ -286,7 +366,26 @@ object Pipeline {
       (s, p) => graft.sources.Sources.readOrc(s, p.str("path")))),
     "read_warc_gz" -> ((Seq("paths"), Seq("path_col"),
       (s, p) => graft.sources.Warc.readWarcGz(s, p.strs("paths"),
-        p.str("path_col", Some("path"))))))
+        p.str("path_col", Some("path"))))),
+    // schemaless formats carry the schema IN the config as a DDL
+    // string ("a BIGINT, b STRING") — parsed (and thereby validated)
+    // at config-compile time, so inference never scans the data twice
+    // and a typo'd type names itself before any job
+    "read_jsonl" -> ((Seq("path", "schema"), Seq(),
+      (s, p) => graft.sources.Sources.readJsonl(s, p.str("path"),
+        parseDdl(p.str("schema"))))),
+    "read_csv" -> ((Seq("path", "schema"), Seq(),
+      (s, p) => graft.sources.Sources.readCsv(s, p.str("path"),
+        parseDdl(p.str("schema"))))),
+    // merged-sketch sources: the frame IS the artifact readout (the
+    // read side of the write_quantile_shards / write_profile_shards
+    // sinks) — corpus-level stats without rescanning the corpus
+    "quantiles_from_shards" -> ((Seq("path", "qs"), Seq("eps"),
+      (s, p) => Stats.quantilesFromShards(s, p.str("path"),
+        p.dbls("qs"), p.dbl("eps", Some(0.0))))),
+    "profile_from_shards" -> ((Seq("path", "cols"), Seq(),
+      (s, p) => Stats.profileFromShards(s, p.str("path"),
+        p.strs("cols")))))
 
   /** Sink steps — the optional LAST step that makes a config a
     * complete JOB (source → operators → sink) instead of a frame
@@ -326,7 +425,43 @@ object Pipeline {
           p.str("id_col", Some("doc_id")),
           p.str("text_col", Some("text")), p.str("label_col"),
           p.int("dim", Some(32)), p.int("iters", Some(3))),
-        p.str("path")))))
+        p.str("path")))),
+    // artifact-BUILD sinks: the frame in flight is the corpus; the
+    // persisted artifact serves the probe steps above (and their
+    // hand-written operator forms) — index once, probe many
+    "write_search_index" -> ((Seq("path"),
+      Seq("id_col", "text_col", "shards"),
+      (df, p) => TextSearch.writeSearchIndex(df, p.str("path"),
+        p.str("id_col", Some("doc_id")), p.str("text_col", Some("text")),
+        p.int("shards", Some(0))))),
+    "write_signature_store" -> ((Seq("path"),
+      Seq("id_col", "text_col", "n", "num_hashes", "bands"),
+      (df, p) => Dedup.writeBandSignatures(df,
+        p.str("id_col", Some("doc_id")), p.str("text_col", Some("text")),
+        p.str("path"), p.int("n", Some(3)),
+        p.int("num_hashes", Some(64)), p.int("bands", Some(32))))),
+    "write_quantile_shards" -> ((Seq("path", "value_col", "shard_cols"),
+      Seq("eps"),
+      (df, p) => Stats.writeQuantileShards(df, p.str("path"),
+        p.str("value_col"), p.strs("shard_cols"),
+        p.dbl("eps", Some(0.0))))),
+    "write_profile_shards" -> ((Seq("path", "cols", "shard_cols"), Seq(),
+      (df, p) => Stats.writeProfileShards(df, p.str("path"),
+        p.strs("cols"), p.strs("shard_cols")))),
+    // IVF build persists BOTH halves a later config needs: the
+    // cell-partitioned index at index_path and the (bounded, nlist-
+    // row) centroid table at centroids_path — ann_topk_indexed loads
+    // the latter at compile time
+    "build_ann_index" -> ((Seq("index_path", "centroids_path"),
+      Seq("id_col", "vec_col", "nlist", "lloyd_iters"),
+      (df, p) => {
+        val centroids = Similarity.buildIvfIndex(df,
+          p.str("id_col", Some("doc_id")),
+          p.str("vec_col", Some("embedding")), p.str("index_path"),
+          p.int("nlist", Some(16)), p.int("lloyd_iters", Some(2)))
+        writeCentroids(df.sparkSession, p.str("centroids_path"),
+          centroids)
+      })))
 
   /** Run a COMPLETE job config: first step a source, last step a
     * sink, operators between. The whole config validates before the
@@ -477,6 +612,33 @@ object Pipeline {
       Step(n.get("op").asText, params)
     }.toSeq
   }
+
+  /** DDL schema string → StructType, with the config-shaped error. */
+  private def parseDdl(ddl: String): org.apache.spark.sql.types.StructType =
+    try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"malformed 'schema' DDL '$ddl': ${e.getMessage}", e)
+    }
+
+  /** Centroid persistence for the config ANN pair: (cell, vec) rows,
+    * one per centroid — bounded by nlist, one file. An empty-corpus
+    * build writes an EMPTY table (never a missing one), so the probe
+    * step's compile-time load distinguishes "empty corpus" (legal:
+    * empty result) from "no such store" (config error). */
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             centroids: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[Seq[Double]] =
+    spark.read.parquet(path).orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("vec")).toSeq).toSeq
 
   /** `expr()` with the parse forced NOW: the unified Column surface
     * defers SQL parsing to plan attachment, which would turn a config

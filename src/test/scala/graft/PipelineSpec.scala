@@ -301,4 +301,105 @@ class PipelineSpec extends AnyFunSuite {
       extra = Map("filter" -> noop))(docs).count()
     assert(kept == n)
   }
+
+  test("artifact probe steps validate params at compile time: " +
+       "unknown keys, missing required keys, and a missing centroid " +
+       "store all name themselves before any job") {
+    Seq(
+      "bm25_from_index" -> Map("index_path" -> "/tmp/x", "k" -> 5L),
+      "near_dup_pairs_stored" -> Map("store_path" -> "/tmp/x"),
+      "drop_near_duplicates_stored" -> Map("store_path" -> "/tmp/x"))
+      .foreach { case (op, good) =>
+        val unknown = intercept[IllegalArgumentException] {
+          Pipeline.fromSteps(Seq(Step(op, good + ("bogus" -> "v"))))
+        }
+        assert(unknown.getMessage.contains("unknown params") &&
+          unknown.getMessage.contains("bogus"), op)
+        val missing = intercept[IllegalArgumentException] {
+          Pipeline.fromSteps(Seq(Step(op)))
+        }
+        assert(missing.getMessage.contains("missing required"), op)
+      }
+    // ann_topk_indexed loads centroids at COMPILE time: a path that
+    // does not exist fails before any DataFrame flows
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Pipeline.fromSteps(Seq(Step("ann_topk_indexed",
+        Map("index_path" -> "/tmp/x",
+          "centroids_path" -> "/tmp/graft_no_such_centroids",
+          "k" -> 5L))))
+    }
+  }
+
+  test("artifact-build sinks and shard-merge sources validate " +
+       "eagerly: unknown params name themselves; a malformed schema " +
+       "DDL names itself") {
+    Seq("write_search_index", "write_signature_store",
+      "write_quantile_shards", "write_profile_shards",
+      "build_ann_index").foreach { op =>
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.runJobSteps(spark, Seq(
+          Step("read_parquet", Map("path" -> s"$dir/documents.parquet")),
+          Step(op, Map("bogus" -> "v"))))
+      }
+      assert(e.getMessage.contains("unknown params") ||
+        e.getMessage.contains("missing required"), op)
+    }
+    Seq("read_jsonl", "read_csv", "quantiles_from_shards",
+      "profile_from_shards").foreach { op =>
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.runSteps(spark, Seq(Step(op, Map("bogus" -> "v"))))
+      }
+      assert(e.getMessage.contains("unknown params"), op)
+    }
+    val ddl = intercept[IllegalArgumentException] {
+      Pipeline.runSteps(spark, Seq(Step("read_jsonl",
+        Map("path" -> "/tmp/x", "schema" -> "a WAT, b"))))
+    }
+    assert(ddl.getMessage.contains("malformed 'schema' DDL"))
+  }
+
+  test("read_jsonl / read_csv config sources round-trip the " +
+       "write_jsonl / write_csv sinks") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cfg-rt").toString
+    val sel = docs.select("doc_id", "lang", "n_chars").limit(50)
+    val expect = sel.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    Seq(("write_jsonl", "read_jsonl", "jl"),
+      ("write_csv", "read_csv", "cs")).foreach {
+      case (wOp, rOp, sub) =>
+        Pipeline.runJobSteps(spark, Seq(
+          Step("read_parquet", Map("path" -> s"$dir/documents.parquet")),
+          Step("select",
+            Map("cols" -> Seq("doc_id", "lang", "n_chars"))),
+          Step("filter", Map("condition" -> "doc_id < 50")),
+          Step(wOp, Map("path" -> s"$base/$sub"))))
+        val back = Pipeline.runSteps(spark, Seq(Step(rOp, Map(
+          "path" -> s"$base/$sub",
+          "schema" -> "doc_id BIGINT, lang STRING, n_chars BIGINT"))))
+        val got = back.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        assert(got == expect.filter(_._1 < 50) && got.nonEmpty, rOp)
+    }
+  }
+
+  test("drop_near_duplicates_stored gates a batch against a " +
+       "persisted store exactly like the hand-written drop") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-cfg-store").toString + "/sig"
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.writeBandSignatures(corpus, "doc_id", "text", store,
+      n = 3, numHashes = 64, bands = 32)
+    val got = Pipeline.fromSteps(Seq(
+      Step("drop_near_duplicates_stored",
+        Map("store_path" -> store, "threshold" -> 0.5))))(batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = Dedup.dropNearDuplicates(batch, "doc_id",
+        Dedup.minHashLshPairsAgainstStore(batch, store, "doc_id",
+          "text", threshold = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.size < batch.count()) // something actually dropped
+  }
 }
