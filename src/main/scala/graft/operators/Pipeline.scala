@@ -543,6 +543,56 @@ object Pipeline {
       parseSteps(new ObjectMapper(new YAMLFactory()).readTree(yaml)),
       extra)
 
+  /** The builtin steps whose compiled bodies are STREAM-SAFE: pure
+    * per-row/per-batch transforms (projections, filters, explodes,
+    * hash gates) and stored-model scorers whose artifact loads as
+    * driver literals at config-compile time. Everything else in the
+    * registry either aggregates/joins the in-flight frame
+    * (drop_exact_duplicates, drop_near_duplicates) or collects from
+    * it (the index probe steps) — shapes a micro-batch stream cannot
+    * run without watermark semantics this runner does not impose. */
+  val streamableOps: Set[String] = Set(
+    "filter", "with_column", "select", "token_count",
+    "dup_ngram_fraction", "normalize_text", "c4_clean", "scrub_pii",
+    "gopher_quality_flags", "chunk_by_tokens", "sample_fraction",
+    "split_by_hash", "bpe_tokenize_stored", "score_logistic_stored")
+
+  /** Compile a step list for a STREAMING DataFrame: the same
+    * registry bodies as [[fromSteps]] (a config gates the stream with
+    * the exact transforms its batch twin runs — parity spec-pinned on
+    * MemoryStream), but non-streamable steps are rejected EAGERLY by
+    * name, before any stream starts. `extra` entries must be
+    * explicitly declared stream-safe via `extraStreamable`. */
+  def fromStepsStreaming(steps: Seq[Step],
+                         extra: Map[String, OpSpec] = Map.empty,
+                         extraStreamable: Set[String] = Set.empty)
+      : DataFrame => DataFrame = {
+    val ok = streamableOps ++ extraStreamable
+    val bad = steps.map(_.op).filterNot(ok.contains).distinct
+    require(bad.isEmpty,
+      s"steps not streamable: ${bad.sorted.mkString(", ")}; " +
+        "streamable steps: " + ok.toSeq.sorted.mkString(", "))
+    fromSteps(steps, extra)
+  }
+
+  /** JSON config → compiled STREAMING pipeline ([[fromStepsStreaming]]
+    * over [[fromJson]]'s format). */
+  def fromJsonStreaming(json: String,
+                        extra: Map[String, OpSpec] = Map.empty,
+                        extraStreamable: Set[String] = Set.empty)
+      : DataFrame => DataFrame =
+    fromStepsStreaming(parseSteps(new ObjectMapper().readTree(json)),
+      extra, extraStreamable)
+
+  /** YAML config → compiled STREAMING pipeline. */
+  def fromYamlStreaming(yaml: String,
+                        extra: Map[String, OpSpec] = Map.empty,
+                        extraStreamable: Set[String] = Set.empty)
+      : DataFrame => DataFrame =
+    fromStepsStreaming(
+      parseSteps(new ObjectMapper(new YAMLFactory()).readTree(yaml)),
+      extra, extraStreamable)
+
   /** Compile a step list against the registry (builtins plus `extra`;
     * extra entries override builtin names — the `register_function`
     * precedence). Every step validates HERE: unknown op names,

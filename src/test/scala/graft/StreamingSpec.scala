@@ -2445,4 +2445,73 @@ class StreamingSpec extends AnyFunSuite {
       .map { case (k, v) => k -> v.length.toLong }
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("fromJsonStreaming: a config-run ingest gate (token gate + " +
+       "dup gate + stored logistic scorer) on a stream equals the " +
+       "batch pipeline on the same rows; non-streamable steps are " +
+       "rejected eagerly by name") {
+    import graft.operators.{ModelStore, Pipeline, TextClassify}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docsDf = s.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(80).select("doc_id", "lang", "text")
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("graft-pipe-stream").toString + "/logreg"
+    ModelStore.writeLogisticModel(
+      TextClassify.trainLogisticHashed(
+        docsDf.withColumn("is_en", col("lang") === "en"),
+        "doc_id", "text", "is_en", dim = 8, iters = 2), modelPath)
+    val cfg =
+      s"""[
+         |  {"op": "token_count"},
+         |  {"op": "dup_ngram_fraction",
+         |   "params": {"n": 2, "out_col": "dup2"}},
+         |  {"op": "filter",
+         |   "params": {"condition": "n_tokens >= 20 AND dup2 <= 0.2"}},
+         |  {"op": "score_logistic_stored",
+         |   "params": {"model_path": "$modelPath"}}
+         |]""".stripMargin
+    val batch = Pipeline.fromJson(cfg)(docsDf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val input = MemoryStream[LangDoc]
+    val out = Pipeline.fromJsonStreaming(cfg)(input.toDF())
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("pipe_stream")
+      .outputMode("append").start()
+    val rows = docsDf.collect().map(r =>
+      LangDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    input.addData(rows.take(40).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(40).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("select * from pipe_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == batch && got.nonEmpty)
+    // non-streamable steps reject at compile time, naming themselves
+    // AND the streamable whitelist
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromJsonStreaming(
+        """[{"op": "drop_exact_duplicates"}, {"op": "token_count"},
+          |  {"op": "bm25_from_index",
+          |   "params": {"index_path": "/tmp/x", "k": 5}}]"""
+          .stripMargin)
+    }
+    assert(e.getMessage.contains("not streamable") &&
+      e.getMessage.contains("drop_exact_duplicates") &&
+      e.getMessage.contains("bm25_from_index") &&
+      e.getMessage.contains("token_count")) // listed as AVAILABLE
+    // extra entries must be DECLARED stream-safe to pass the gate
+    val tag = Pipeline.OpSpec(Set(), Set(),
+      _ => df => df.withColumn("tagged", lit(1)))
+    assertThrows[IllegalArgumentException] {
+      Pipeline.fromStepsStreaming(Seq(Pipeline.Step("tag")),
+        extra = Map("tag" -> tag))
+    }
+    val gated = Pipeline.fromStepsStreaming(Seq(Pipeline.Step("tag")),
+      extra = Map("tag" -> tag), extraStreamable = Set("tag"))
+    assert(gated(input.toDF()).isStreaming)
+  }
 }
