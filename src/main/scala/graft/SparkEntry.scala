@@ -1629,7 +1629,11 @@ $joins"""
           new java.io.File(base, s"w${r.getInt(0)}.warc.gz"))
         f.write(r.getAs[Array[Byte]]("blob")); f.close()
       }
-      graft.sources.Warc.readWarcGz(s, Seq(base.getAbsolutePath))
+      // the registered file source: spark.read.format("warcgz") is
+      // the composable entry (globs, dirs, catalog, and — streaming —
+      // file discovery); parseRecordRows is readWarcGz's projection
+      graft.sources.Warc.parseRecordRows(
+          s.read.format("warcgz").load(base.getAbsolutePath))
         .select(
           regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
           col("rec_id"), col("warc_type"), col("target_uri"),

@@ -153,6 +153,17 @@ object Warc {
         .recordRows(spark, paths, pathCol),
       pathCol)
 
+  /** Project raw `(idCol, rec_id, __rec)` record rows — what
+    * `spark.read.format("warcgz")` / `readStream.format("warcgz")`
+    * and [[org.apache.spark.sql.graftext.WarcGzFiles.recordRows]]
+    * emit — into the [[parseWarcGz]] record shape (warc_type,
+    * target_uri, content_length, payload, ...): the composition
+    * point between the file-source registration and the record
+    * operators. Pure projection; streams unchanged. */
+  def parseRecordRows(recs: DataFrame,
+                      idCol: String = "path"): DataFrame =
+    projectRecords(recs, idCol)
+
   /** HTTP response split + charset-aware body decode over
     * [[parseWarcGz]] rows: a WARC `response` payload is an HTTP
     * message — status line, headers, `\r\n\r\n`, body in whatever

@@ -467,6 +467,32 @@ class SourcesSpec extends AnyFunSuite {
     // directory form expands to the same files
     assert(graft.sources.Warc.readWarcGz(spark,
       Seq(dir.getAbsolutePath)).count() == 3)
+
+    // the registered file source reads the same records through
+    // spark.read (globs, dirs, catalog composability); the raw rows
+    // carry the recordRows shape and parseRecordRows projects them
+    // to the readWarcGz output exactly
+    val viaFormat = graft.sources.Warc.parseRecordRows(
+      spark.read.format("warcgz")
+        .load(dir.getAbsolutePath + "/*.warc.gz"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("path").split("/").last,
+        r.getAs[Int]("rec_id"), r.getAs[String]("warc_type"),
+        new String(r.getAs[Array[Byte]]("payload"), "US-ASCII"))
+    assert(viaFormat.collect().map(key).toSet ==
+      graft.sources.Warc.readWarcGz(spark,
+        Seq(dir.getAbsolutePath)).collect().map(key).toSet)
+    // column pruning holds: a rec_id-only projection never carries
+    // record bytes into rows
+    assert(spark.read.format("warcgz").load(dir.getAbsolutePath)
+      .select("rec_id").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(0, 0, 1))
+    // read-only: writes name themselves
+    val w = intercept[UnsupportedOperationException] {
+      spark.range(1).write.format("warcgz").save(
+        dir.getAbsolutePath + "/no")
+    }
+    assert(w.getMessage.contains("read-only"))
   }
 
   test("httpResponses: charset trial chain — declared correct, " +

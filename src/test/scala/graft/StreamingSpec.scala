@@ -2446,6 +2446,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("readStream.format(\"warcgz\"): Structured Streaming file " +
+       "discovery ingests a shard dropped in AFTER the stream " +
+       "starts — the continuously-landing-crawl entry point") {
+    val s = spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-warcgz-stream").toFile
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def rec(body: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: resource\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body")
+        .getBytes("US-ASCII")
+    def drop(name: String, bodies: String*): Unit = {
+      val f = new java.io.FileOutputStream(
+        new java.io.File(dir, name))
+      bodies.foreach(b => f.write(gz(rec(b))))
+      f.close()
+    }
+    drop("a.warc.gz", "early-1", "early-2")
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.graftext.WarcGzFileFormat.schema)
+      .format("warcgz").load(dir.getAbsolutePath)
+    val out = graft.sources.Warc.parseRecordRows(stream)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    def bodies() = s.sql("select * from warc_stream").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("payload"),
+        "US-ASCII")).toSet
+    assert(bodies() == Set("early-1", "early-2"))
+    // a shard landing AFTER the stream started is discovered and
+    // ingested incrementally — no restart, no re-read of a.warc.gz
+    drop("b.warc.gz", "late-1")
+    q.processAllAvailable()
+    q.stop()
+    assert(bodies() == Set("early-1", "early-2", "late-1"))
+  }
+
   test("fromJsonStreaming: a config-run ingest gate (token gate + " +
        "dup gate + stored logistic scorer) on a stream equals the " +
        "batch pipeline on the same rows; non-streamable steps are " +
