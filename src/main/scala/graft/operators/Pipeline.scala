@@ -285,6 +285,16 @@ object Pipeline {
           passthroughCols = pass)
       }),
 
+    // raw WARC record rows (path, rec_id, __rec) — what the warcgz
+    // file source and read_warc_gz emit — projected to the parsed
+    // record shape (warc_type, target_uri, content_length, payload).
+    // Pure projection: streams unchanged (in streamableOps)
+    "parse_warc_records" -> OpSpec(Set(), Set("id_col"),
+      p => {
+        val id = p.str("id_col", Some("path"))
+        df => graft.sources.Warc.parseRecordRows(df, id)
+      }),
+
     // persisted-ARTIFACT probe steps: the frame in flight is the
     // probe side (a query table, a new-document batch), the artifact
     // on disk is the corpus-sized side — the config form of the
@@ -448,6 +458,16 @@ object Pipeline {
     "write_profile_shards" -> ((Seq("path", "cols", "shard_cols"), Seq(),
       (df, p) => Stats.writeProfileShards(df, p.str("path"),
         p.strs("cols"), p.strs("shard_cols")))),
+    // incremental index maintenance from config: fold the in-flight
+    // frame (the day's delta) into a persisted write_search_index
+    // artifact WITHOUT re-tokenizing the old corpus — merged index ==
+    // writeSearchIndex(old ∪ new) exactly (the operator's contract)
+    "merge_search_index" -> ((Seq("path", "out_path"),
+      Seq("id_col", "text_col", "shards"),
+      (df, p) => TextSearch.mergeSearchIndex(df.sparkSession,
+        p.str("path"), df, p.str("out_path"),
+        p.str("id_col", Some("doc_id")), p.str("text_col", Some("text")),
+        p.int("shards", Some(0))))),
     // IVF build persists BOTH halves a later config needs: the
     // cell-partitioned index at index_path and the (bounded, nlist-
     // row) centroid table at centroids_path — ann_topk_indexed loads
@@ -463,6 +483,103 @@ object Pipeline {
           centroids)
       })))
 
+  /** STREAMING source steps — step 0 of a streaming job config.
+    * Schemaless streaming reads carry the schema in the config (the
+    * read_jsonl discipline): Structured Streaming cannot infer
+    * schemas without scanning, and a stream source must plan before
+    * data exists. */
+  val streamSourceOps: Map[String, (Seq[String], Seq[String],
+      (org.apache.spark.sql.SparkSession, Params) => DataFrame)] = Map(
+    "read_stream_parquet" -> ((Seq("path", "schema"), Seq(),
+      (s, p) => s.readStream.schema(parseDdl(p.str("schema")))
+        .parquet(p.str("path")))),
+    // the registered warcgz file source: newly-landing crawl shards
+    // are discovered and ingested incrementally
+    "read_stream_warcgz" -> ((Seq("path"), Seq(),
+      (s, p) => s.readStream
+        .schema(org.apache.spark.sql.graftext.WarcGzFileFormat.schema)
+        .format("warcgz").load(p.str("path")))))
+
+  /** STREAMING sink steps — the LAST step of a streaming job config;
+    * each starts the query and returns it (the caller owns
+    * awaitTermination / stop). Append mode: the streamable step
+    * whitelist is stateless, so append is always legal. */
+  val streamSinkOps: Map[String, (Seq[String], Seq[String],
+      (DataFrame, Params) => org.apache.spark.sql.streaming.StreamingQuery)] =
+    Map(
+      "write_stream_parquet" -> ((Seq("path", "checkpoint"), Seq(),
+        (df, p) => df.writeStream.format("parquet")
+          .option("path", p.str("path"))
+          .option("checkpointLocation", p.str("checkpoint"))
+          .outputMode("append").start())),
+      // test/dev sink: results land in an in-memory table named here
+      "write_stream_memory" -> ((Seq("name"), Seq(),
+        (df, p) => df.writeStream.format("memory")
+          .queryName(p.str("name")).outputMode("append").start())))
+
+  /** Run a COMPLETE STREAMING job config: first step a streaming
+    * source, transforms from the streamable whitelist between, last
+    * step a streaming sink. The whole config validates — including
+    * the non-streamable-step rejection — before the source is
+    * touched; the started [[StreamingQuery]] returns to the caller. */
+  def startStreamSteps(spark: org.apache.spark.sql.SparkSession,
+                       steps: Seq[Step],
+                       extra: Map[String, OpSpec] = Map.empty,
+                       extraStreamable: Set[String] = Set.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(steps.size >= 2,
+      "streaming job config needs a source step and a sink step")
+    val (sreq, sopt, mk) = streamSourceOps.getOrElse(steps.head.op,
+      throw new IllegalArgumentException(
+        s"first step must be a streaming source; '${steps.head.op}' " +
+          "is not one of " +
+          streamSourceOps.keys.toSeq.sorted.mkString(", ")))
+    validateKeys("streaming source", steps.head, sreq, sopt)
+    val (kreq, kopt, sink) = streamSinkOps.getOrElse(steps.last.op,
+      throw new IllegalArgumentException(
+        s"last step must be a streaming sink; '${steps.last.op}' is " +
+          "not one of " + streamSinkOps.keys.toSeq.sorted.mkString(", ")))
+    validateKeys("streaming sink", steps.last, kreq, kopt)
+    val chain = fromStepsStreaming(steps.drop(1).dropRight(1), extra,
+      extraStreamable)
+    sink(chain(mk(spark, new Params(steps.head.op, steps.head.params))),
+      new Params(steps.last.op, steps.last.params))
+  }
+
+  /** Self-contained streaming JSON job config → started query. */
+  def startStreamJson(spark: org.apache.spark.sql.SparkSession,
+                      json: String,
+                      extra: Map[String, OpSpec] = Map.empty,
+                      extraStreamable: Set[String] = Set.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startStreamSteps(spark,
+      parseSteps(new ObjectMapper().readTree(json)), extra,
+      extraStreamable)
+
+  /** Self-contained streaming YAML job config → started query. */
+  def startStreamYaml(spark: org.apache.spark.sql.SparkSession,
+                      yaml: String,
+                      extra: Map[String, OpSpec] = Map.empty,
+                      extraStreamable: Set[String] = Set.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startStreamSteps(spark,
+      parseSteps(new ObjectMapper(new YAMLFactory()).readTree(yaml)),
+      extra, extraStreamable)
+
+  private def validateKeys(what: String, step: Step,
+                           req: Seq[String], opt: Seq[String]): Unit = {
+    val allowed = (req ++ opt).toSet
+    val unknown = step.params.keySet -- allowed
+    require(unknown.isEmpty,
+      s"$what '${step.op}': unknown params " +
+        s"${unknown.toSeq.sorted.mkString(", ")}; allowed: " +
+        allowed.toSeq.sorted.mkString(", "))
+    val missing = req.toSet -- step.params.keySet
+    require(missing.isEmpty,
+      s"$what '${step.op}': missing required params " +
+        missing.toSeq.sorted.mkString(", "))
+  }
+
   /** Run a COMPLETE job config: first step a source, last step a
     * sink, operators between. The whole config validates before the
     * source is touched. */
@@ -475,16 +592,7 @@ object Pipeline {
       throw new IllegalArgumentException(
         s"last step must be a sink operator; '${steps.last.op}' is " +
           s"not one of " + sinkOps.keys.toSeq.sorted.mkString(", ")))
-    val allowed = (req ++ opt).toSet
-    val unknown = steps.last.params.keySet -- allowed
-    require(unknown.isEmpty,
-      s"sink '${steps.last.op}': unknown params " +
-        s"${unknown.toSeq.sorted.mkString(", ")}; allowed: " +
-        allowed.toSeq.sorted.mkString(", "))
-    val missing = req.toSet -- steps.last.params.keySet
-    require(missing.isEmpty,
-      s"sink '${steps.last.op}': missing required params " +
-        missing.toSeq.sorted.mkString(", "))
+    validateKeys("sink", steps.last, req, opt)
     val sinkParams = new Params(steps.last.op, steps.last.params)
     write(runSteps(spark, steps.dropRight(1), extra), sinkParams)
   }
@@ -515,16 +623,7 @@ object Pipeline {
         s"first step must be a source operator; " +
           s"'${steps.head.op}' is not one of " +
           sourceOps.keys.toSeq.sorted.mkString(", ")))
-    val allowed = (req ++ opt).toSet
-    val unknown = steps.head.params.keySet -- allowed
-    require(unknown.isEmpty,
-      s"source '${steps.head.op}': unknown params " +
-        s"${unknown.toSeq.sorted.mkString(", ")}; allowed: " +
-        allowed.toSeq.sorted.mkString(", "))
-    val missing = req.toSet -- steps.head.params.keySet
-    require(missing.isEmpty,
-      s"source '${steps.head.op}': missing required params " +
-        missing.toSeq.sorted.mkString(", "))
+    validateKeys("source", steps.head, req, opt)
     // compile the transform chain BEFORE touching the source so a
     // config error surfaces even when the source read would fail too
     val chain = fromSteps(steps.tail, extra)
@@ -555,7 +654,8 @@ object Pipeline {
     "filter", "with_column", "select", "token_count",
     "dup_ngram_fraction", "normalize_text", "c4_clean", "scrub_pii",
     "gopher_quality_flags", "chunk_by_tokens", "sample_fraction",
-    "split_by_hash", "bpe_tokenize_stored", "score_logistic_stored")
+    "split_by_hash", "bpe_tokenize_stored", "score_logistic_stored",
+    "parse_warc_records")
 
   /** Compile a step list for a STREAMING DataFrame: the same
     * registry bodies as [[fromSteps]] (a config gates the stream with

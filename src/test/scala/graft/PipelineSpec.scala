@@ -383,6 +383,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("merge_search_index config sink folds a delta into a " +
+       "persisted index; probing the merged index equals a " +
+       "full-corpus build") {
+    import graft.operators.TextSearch
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cfg-merge").toString
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    TextSearch.writeSearchIndex(old, s"$base/old")
+    delta.write.mode("overwrite").parquet(s"$base/delta")
+    Pipeline.runJobJson(s,
+      s"""[
+         |  {"op": "read_parquet", "params": {"path": "$base/delta"}},
+         |  {"op": "merge_search_index",
+         |   "params": {"path": "$base/old", "out_path": "$base/merged"}}
+         |]""".stripMargin)
+    val queries = Seq((0L, "spark join fast"), (1L, "customer order"))
+      .toDF("query_id", "qtext")
+    TextSearch.writeSearchIndex(docs, s"$base/full")
+    def topk(path: String) =
+      TextSearch.bm25FromIndex(s, path, queries, k = 10).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("score"))).toSet
+    val merged = topk(s"$base/merged")
+    assert(merged == topk(s"$base/full") && merged.nonEmpty)
+  }
+
   test("drop_near_duplicates_stored gates a batch against a " +
        "persisted store exactly like the hand-written drop") {
     val store = java.nio.file.Files

@@ -2488,6 +2488,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(bodies() == Set("early-1", "early-2", "late-1"))
   }
 
+  test("startStreamJson: a COMPLETE streaming job from pure JSON — " +
+       "warcgz file discovery -> parse -> gate -> memory sink — " +
+       "ingests shards landing after start; malformed configs " +
+       "reject before the source is touched") {
+    import graft.operators.Pipeline
+    val s = spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-job").toFile
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def rec(body: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: resource\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body")
+        .getBytes("US-ASCII")
+    def drop(name: String, bodies: String*): Unit = {
+      val f = new java.io.FileOutputStream(new java.io.File(dir, name))
+      bodies.foreach(b => f.write(gz(rec(b))))
+      f.close()
+    }
+    drop("a.warc.gz", "keep me please", "no")
+    val cfg =
+      s"""[
+         |  {"op": "read_stream_warcgz",
+         |   "params": {"path": "${dir.getAbsolutePath}"}},
+         |  {"op": "parse_warc_records"},
+         |  {"op": "with_column",
+         |   "params": {"name": "body",
+         |              "expr": "decode(payload, 'UTF-8')"}},
+         |  {"op": "filter", "params": {"condition": "length(body) > 5"}},
+         |  {"op": "select", "params": {"cols": ["rec_id", "body"]}},
+         |  {"op": "write_stream_memory", "params": {"name": "cfg_job"}}
+         |]""".stripMargin
+    val q = Pipeline.startStreamJson(s, cfg)
+    q.processAllAvailable()
+    def bodies() = s.sql("select body from cfg_job").collect()
+      .map(_.getString(0)).toSet
+    assert(bodies() == Set("keep me please"))
+    drop("b.warc.gz", "late but long enough", "tiny")
+    q.processAllAvailable()
+    q.stop()
+    assert(bodies() == Set("keep me please", "late but long enough"))
+    // config errors surface BEFORE any stream starts, naming the
+    // whitelists: bad source, bad sink, non-streamable transform
+    val badSrc = intercept[IllegalArgumentException] {
+      Pipeline.startStreamJson(s,
+        """[{"op": "read_parquet", "params": {"path": "/tmp/x"}},
+          |  {"op": "write_stream_memory", "params": {"name": "z"}}]"""
+          .stripMargin)
+    }
+    assert(badSrc.getMessage.contains("streaming source") &&
+      badSrc.getMessage.contains("read_stream_warcgz"))
+    val badSink = intercept[IllegalArgumentException] {
+      Pipeline.startStreamJson(s,
+        s"""[{"op": "read_stream_warcgz",
+           |  "params": {"path": "${dir.getAbsolutePath}"}},
+           |  {"op": "write_parquet", "params": {"path": "/tmp/x"}}]"""
+          .stripMargin)
+    }
+    assert(badSink.getMessage.contains("streaming sink") &&
+      badSink.getMessage.contains("write_stream_parquet"))
+    val badStep = intercept[IllegalArgumentException] {
+      Pipeline.startStreamJson(s,
+        s"""[{"op": "read_stream_warcgz",
+           |  "params": {"path": "${dir.getAbsolutePath}"}},
+           |  {"op": "drop_exact_duplicates"},
+           |  {"op": "write_stream_memory", "params": {"name": "z"}}]"""
+          .stripMargin)
+    }
+    assert(badStep.getMessage.contains("not streamable"))
+  }
+
   test("fromJsonStreaming: a config-run ingest gate (token gate + " +
        "dup gate + stored logistic scorer) on a stream equals the " +
        "batch pipeline on the same rows; non-streamable steps are " +
