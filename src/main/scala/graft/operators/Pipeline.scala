@@ -295,6 +295,30 @@ object Pipeline {
         df => graft.sources.Warc.parseRecordRows(df, id)
       }),
 
+    // the HTTP split + charset-chain decode over parsed records —
+    // parse_warc_records's downstream half of the crawl chain.
+    // Pure projection: streams unchanged
+    "http_responses" -> OpSpec(Set(), Set("payload_col"),
+      p => {
+        val payload = p.str("payload_col", Some("payload"))
+        df => graft.sources.Warc.httpResponses(df, payload)
+      }),
+
+    // jusText-class main-content extraction: html -> text lines with
+    // boilerplate rules. Pure projection: streams unchanged
+    "extract_text" -> OpSpec(Set(),
+      Set("id_col", "html_col", "min_chars", "max_link_density",
+        "passthrough_cols"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val html = p.str("html_col", Some("html"))
+        val minChars = p.int("min_chars", Some(25))
+        val mld = p.dbl("max_link_density", Some(0.33))
+        val pass = p.strs("passthrough_cols", Some(Nil))
+        df => HtmlExtract.extractText(df, id, html, minChars, mld,
+          passthroughCols = pass)
+      }),
+
     // persisted-ARTIFACT probe steps: the frame in flight is the
     // probe side (a query table, a new-document batch), the artifact
     // on disk is the corpus-sized side — the config form of the
@@ -655,7 +679,7 @@ object Pipeline {
     "dup_ngram_fraction", "normalize_text", "c4_clean", "scrub_pii",
     "gopher_quality_flags", "chunk_by_tokens", "sample_fraction",
     "split_by_hash", "bpe_tokenize_stored", "score_logistic_stored",
-    "parse_warc_records")
+    "parse_warc_records", "http_responses", "extract_text")
 
   /** Compile a step list for a STREAMING DataFrame: the same
     * registry bodies as [[fromSteps]] (a config gates the stream with

@@ -383,6 +383,80 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("the FULL crawl chain runs as one config: read_warc_gz -> " +
+       "parse_warc_records -> http_responses -> extract_text -> " +
+       "normalize_text equals the hand-written chain") {
+    val s = spark
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cfg-crawl").toFile
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def httpRec(i: Int): Array[Byte] = {
+      val para = s"This is real page $i with enough plain words to " +
+        "survive the extraction rules and it keeps going for a while."
+      val html = s"<html><head><title>t</title>" +
+        s"<script>var x = $i;</script></head><body><p>$para</p>" +
+        s"<p><a href='/x'>nav</a> <a href='/y'>more</a></p>" +
+        s"</body></html>"
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        s"charset=utf-8\r\n\r\n$html"
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n$http")
+        .getBytes("US-ASCII")
+    }
+    val f = new java.io.FileOutputStream(
+      new java.io.File(base, "crawl.warc.gz"))
+    (0 until 6).foreach(i => f.write(gz(httpRec(i))))
+    f.close()
+    // form 1: a SELF-CONTAINED job config — the read_warc_gz source
+    // emits parsed records, so the chain starts at http_responses
+    val got = Pipeline.runJson(s,
+      s"""[
+         |  {"op": "read_warc_gz",
+         |   "params": {"paths": ["${base.getAbsolutePath}"]}},
+         |  {"op": "http_responses"},
+         |  {"op": "with_column", "params": {"name": "rid",
+         |   "expr": "rec_id"}},
+         |  {"op": "extract_text",
+         |   "params": {"id_col": "rid", "html_col": "body"}},
+         |  {"op": "normalize_text",
+         |   "params": {"id_col": "rid", "text_col": "text_main"}}
+         |]""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    // form 2: raw format("warcgz") rows, parse_warc_records in-chain
+    // (the shape the STREAMING job uses)
+    val raw = s.read.format("warcgz")
+      .load(base.getAbsolutePath + "/crawl.warc.gz")
+    val got2 = Pipeline.fromJson(
+      """[
+        |  {"op": "parse_warc_records"},
+        |  {"op": "http_responses"},
+        |  {"op": "with_column", "params": {"name": "rid",
+        |   "expr": "rec_id"}},
+        |  {"op": "extract_text",
+        |   "params": {"id_col": "rid", "html_col": "body"}},
+        |  {"op": "normalize_text",
+        |   "params": {"id_col": "rid", "text_col": "text_main"}}
+        |]""".stripMargin)(raw).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val hand = graft.operators.Normalize.normalizeText(
+        graft.operators.HtmlExtract.extractText(
+          graft.sources.Warc.httpResponses(
+              graft.sources.Warc.parseRecordRows(raw))
+            .withColumn("rid", col("rec_id")),
+          "rid", "body"),
+        "rid", "text_main").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == hand && got2 == hand && got.size == 6)
+    got.foreach { case (_, text) =>
+      assert(text.contains("real page") && !text.contains("script") &&
+        !text.contains("nav"))
+    }
+  }
+
   test("merge_search_index config sink folds a delta into a " +
        "persisted index; probing the merged index equals a " +
        "full-corpus build") {
