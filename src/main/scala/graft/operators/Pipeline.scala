@@ -245,6 +245,56 @@ object Pipeline {
         df => df.withColumn(out, TextAnalysis.scrubPii(col(text)))
       }),
 
+    // stateless per-row steps rounding out the crawl/curation chain
+    // in config form (all stream-safe)
+    "canonicalize_urls" -> OpSpec(Set(),
+      Set("id_col", "url_col", "strip_www", "passthrough_cols"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val url = p.str("url_col", Some("url"))
+        val www = p.bool("strip_www", Some(true))
+        val pass = p.strs("passthrough_cols", Some(Nil))
+        df => UrlOps.canonicalizeUrls(df, id, url, www, pass)
+      }),
+
+    "split_sentences" -> OpSpec(Set(),
+      Set("id_col", "text_col", "passthrough_cols"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val text = p.str("text_col", Some("text"))
+        val pass = p.strs("passthrough_cols", Some(Nil))
+        df => Sentences.splitSentences(df, id, text, pass)
+      }),
+
+    "readability_scores" -> OpSpec(Set(),
+      Set("id_col", "text_col", "passthrough_cols"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val text = p.str("text_col", Some("text"))
+        val pass = p.strs("passthrough_cols", Some(Nil))
+        df => Sentences.readabilityScores(df, id, text, pass)
+      }),
+
+    "gopher_repetition_flags" -> OpSpec(Set(),
+      Set("id_col", "text_col", "passthrough_cols"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val text = p.str("text_col", Some("text"))
+        val pass = p.strs("passthrough_cols", Some(Nil))
+        df => TextAnalysis.gopherRepetitionFlags(df, id, text,
+          passthroughCols = pass)
+      }),
+
+    "compression_ratio" -> OpSpec(Set(),
+      Set("text_col", "out_col", "level"),
+      p => {
+        val text = p.str("text_col", Some("text"))
+        val out = p.str("out_col", Some("deflate_ratio"))
+        val level = p.int("level", Some(6))
+        df => df.withColumn(out,
+          TextAnalysis.compressionRatio(col(text), level))
+      }),
+
     // persisted-model inference steps: the model loads (and its kind
     // tag verifies) at CONFIG-COMPILE time — a config pointing a BPE
     // step at a pieces store fails before any job, and the loaded
@@ -679,7 +729,9 @@ object Pipeline {
     "dup_ngram_fraction", "normalize_text", "c4_clean", "scrub_pii",
     "gopher_quality_flags", "chunk_by_tokens", "sample_fraction",
     "split_by_hash", "bpe_tokenize_stored", "score_logistic_stored",
-    "parse_warc_records", "http_responses", "extract_text")
+    "parse_warc_records", "http_responses", "extract_text",
+    "canonicalize_urls", "split_sentences", "readability_scores",
+    "gopher_repetition_flags", "compression_ratio")
 
   /** Compile a step list for a STREAMING DataFrame: the same
     * registry bodies as [[fromSteps]] (a config gates the stream with

@@ -383,6 +383,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stateless registry steps equal their direct operator calls: " +
+       "canonicalize_urls, split_sentences, readability_scores, " +
+       "gopher_repetition_flags, compression_ratio") {
+    import graft.operators.{Sentences, UrlOps}
+    val urlExpr = "concat('https://www.', source, '.example.com/a/b/', " +
+      "cast(doc_id as string), '?utm_source=x&q=1')"
+    def cfgRun(steps: String) =
+      Pipeline.fromJson(steps)(docs)
+    val canon = cfgRun(
+      s"""[
+         |  {"op": "with_column", "params": {"name": "url",
+         |   "expr": "$urlExpr"}},
+         |  {"op": "canonicalize_urls"}
+         |]""".stripMargin).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("url_canon")))
+      .toSet
+    assert(canon == UrlOps.canonicalizeUrls(
+        docs.withColumn("url", expr(urlExpr)))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("url_canon")))
+      .toSet)
+    assert(canon.nonEmpty && canon.forall(!_._2.contains("utm_source")))
+    val sent = cfgRun("""[{"op": "split_sentences"}]""").count()
+    assert(sent == Sentences.splitSentences(docs).count() && sent > 0)
+    val read = cfgRun("""[{"op": "readability_scores"}]""").collect()
+      .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("flesch"))))
+      .toSet
+    assert(read == Sentences.readabilityScores(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("flesch"))))
+      .toSet)
+    val rep = cfgRun("""[{"op": "gopher_repetition_flags"}]""")
+    assert(rep.columns.contains("keep") &&
+      rep.count() == docs.count())
+    val cr = cfgRun(
+      """[{"op": "compression_ratio", "params": {"level": 6}}]""")
+      .select("deflate_ratio").collect().map(_.getDouble(0))
+    assert(cr.length == docs.count() && cr.forall(r => r > 0 && r < 2))
+  }
+
   test("the FULL crawl chain runs as one config: read_warc_gz -> " +
        "parse_warc_records -> http_responses -> extract_text -> " +
        "normalize_text equals the hand-written chain") {
