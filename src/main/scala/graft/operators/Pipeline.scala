@@ -245,6 +245,53 @@ object Pipeline {
         df => df.withColumn(out, TextAnalysis.scrubPii(col(text)))
       }),
 
+    // event-analytics steps: the frame in flight is the event log
+    "windowed_stats" -> OpSpec(Set(), Set("ts_col", "window_length"),
+      p => {
+        val ts = p.str("ts_col", Some("ts"))
+        val win = p.str("window_length", Some("1 hour"))
+        df => Events.windowedStats(df, ts, win)
+      }),
+
+    "sessionize" -> OpSpec(Set("gap_seconds"),
+      Set("user_col", "ts_col", "id_col"),
+      p => {
+        val gap = p.int("gap_seconds").toLong
+        val user = p.str("user_col", Some("user_id"))
+        val ts = p.str("ts_col", Some("ts"))
+        val id = p.str("id_col", Some("event_id"))
+        df => Events.sessionize(df, gap, user, ts, id)
+      }),
+
+    "funnel" -> OpSpec(Set("steps", "window_seconds"),
+      Set("user_col", "ts_col", "type_col"),
+      p => {
+        val steps = p.strs("steps")
+        val win = p.int("window_seconds").toLong
+        val user = p.str("user_col", Some("user_id"))
+        val ts = p.str("ts_col", Some("ts"))
+        val tpe = p.str("type_col", Some("event_type"))
+        df => Events.funnel(df, steps, win, user, ts, tpe)
+      }),
+
+    // graph steps: the frame in flight is the edge list
+    "pagerank" -> OpSpec(Set("src_col", "dst_col"),
+      Set("iters", "damping"),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        val iters = p.int("iters", Some(3))
+        val damping = p.dbl("damping", Some(0.85))
+        df => Graph.pageRank(df, src, dst, iters, damping)
+      }),
+
+    "connected_components" -> OpSpec(Set("src_col", "dst_col"),
+      Set("max_rounds"),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        val rounds = p.int("max_rounds", Some(40))
+        df => Graph.connectedComponents(df, src, dst, rounds)
+      }),
+
     // stateless per-row steps rounding out the crawl/curation chain
     // in config form (all stream-safe)
     "canonicalize_urls" -> OpSpec(Set(),

@@ -383,6 +383,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("event-analytics and graph registry steps equal their direct " +
+       "operator calls: windowed_stats, sessionize, funnel, " +
+       "pagerank, connected_components") {
+    import graft.operators.{Events, Graph}
+    val ev = graft.sources.Sources.events(spark, dir)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    assert(set(Pipeline.fromJson(
+        """[{"op": "windowed_stats",
+          |  "params": {"window_length": "2 hours"}}]""".stripMargin)(ev))
+      == set(Events.windowedStats(ev, windowLength = "2 hours")))
+    assert(set(Pipeline.fromJson(
+        """[{"op": "sessionize",
+          |  "params": {"gap_seconds": 1800}}]""".stripMargin)(ev))
+      == set(Events.sessionize(ev, 1800L)))
+    assert(set(Pipeline.fromJson(
+        """[{"op": "funnel",
+          |  "params": {"steps": ["view", "click", "purchase"],
+          |             "window_seconds": 86400}}]""".stripMargin)(ev))
+      == set(Events.funnel(ev, Seq("view", "click", "purchase"),
+        86400L)))
+    val edges = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") + 1000000L).as("dst"))
+    val prCfg = Pipeline.fromJson(
+      """[{"op": "pagerank",
+        |  "params": {"src_col": "src", "dst_col": "dst",
+        |             "iters": 2}}]""".stripMargin)(edges)
+    assert(set(prCfg) == set(Graph.pageRank(edges, "src", "dst", 2)) &&
+      prCfg.count() > 0)
+    assert(set(Pipeline.fromJson(
+        """[{"op": "connected_components",
+          |  "params": {"src_col": "src", "dst_col": "dst"}}]"""
+          .stripMargin)(edges))
+      == set(Graph.connectedComponents(edges, "src", "dst")))
+  }
+
   test("stateless registry steps equal their direct operator calls: " +
        "canonicalize_urls, split_sentences, readability_scores, " +
        "gopher_repetition_flags, compression_ratio") {
