@@ -467,7 +467,7 @@ object Pipeline {
     // fails before any job
     "ann_topk_indexed" -> OpSpec(
       Set("index_path", "centroids_path", "k"),
-      Set("id_col", "vec_col", "nprobe"),
+      Set("id_col", "vec_col", "nprobe", "quantized"),
       p => {
         val idx = p.str("index_path")
         val cents = readCentroids(
@@ -477,8 +477,12 @@ object Pipeline {
         val id = p.str("id_col", Some("doc_id"))
         val vec = p.str("vec_col", Some("embedding"))
         val nprobe = p.int("nprobe", Some(4))
-        df => Similarity.ivfTopKIndexed(idx, cents, df, id, vec, k,
-          nprobe)
+        val q = p.bool("quantized", Some(false))
+        df =>
+          if (q) Similarity.ivfTopKIndexedQuantized(idx, cents, df, id,
+            vec, k, nprobe)
+          else Similarity.ivfTopKIndexed(idx, cents, df, id, vec, k,
+            nprobe)
       }))
 
   /** Source steps — the step-0 whitelist that makes a config file a
@@ -594,12 +598,21 @@ object Pipeline {
     // row) centroid table at centroids_path — ann_topk_indexed loads
     // the latter at compile time
     "build_ann_index" -> ((Seq("index_path", "centroids_path"),
-      Seq("id_col", "vec_col", "nlist", "lloyd_iters"),
+      Seq("id_col", "vec_col", "nlist", "lloyd_iters", "quantized"),
       (df, p) => {
-        val centroids = Similarity.buildIvfIndex(df,
-          p.str("id_col", Some("doc_id")),
-          p.str("vec_col", Some("embedding")), p.str("index_path"),
-          p.int("nlist", Some(16)), p.int("lloyd_iters", Some(2)))
+        val id = p.str("id_col", Some("doc_id"))
+        val vec = p.str("vec_col", Some("embedding"))
+        val idx = p.str("index_path")
+        val nlist = p.int("nlist", Some(16))
+        val iters = p.int("lloyd_iters", Some(2))
+        // quantized = SQ8 payloads (int8 codes, ~8x smaller files,
+        // integer scoring) behind the same cell pruning; the probe
+        // step must pass the matching quantized flag
+        val centroids =
+          if (p.bool("quantized", Some(false)))
+            Similarity.buildIvfIndexQuantized(df, id, vec, idx, nlist,
+              iters)
+          else Similarity.buildIvfIndex(df, id, vec, idx, nlist, iters)
         writeCentroids(df.sparkSession, p.str("centroids_path"),
           centroids)
       })))
