@@ -19,6 +19,16 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Sources.table(spark, dir, name)
 
+  /** Filesystem-safe tag for temp artifact paths (index/store/model
+    * scratch the persisted-workflow queries write then probe). The
+    * PID component keeps two concurrent harness runs over the SAME
+    * dataset dir from overwriting each other's artifacts mid-probe;
+    * within one process the tag is stable, so bench re-runs of a
+    * query reuse (overwrite) their own scratch as intended. */
+  private val runPid: String = java.lang.ProcessHandle.current().pid().toString
+  private def runTag(dir: String): String =
+    "p" + runPid + "_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   /** The q_text_sentences / q_text_readability fixture prefix: one
     * string that exercises every rule of the segmentation chain —
     * guarded abbreviations, a chained decimal (both protect passes),
@@ -1399,7 +1409,7 @@ $joins"""
       val docs = t(s, dir, "documents")
       val store = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_unigram_model_" +
-          dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+          runTag(dir)).getPath
       graft.operators.ModelStore.writeUnigramModel(
         TextAnalysis.trainUnigram(docs, "text", seedTopN = 60,
           maxPieceLen = 4, keepN = 40, emRounds = 2, maxWordLen = 8),
@@ -1456,7 +1466,7 @@ $joins"""
       val docs = t(s, dir, "documents")
       val store = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_pieces_model_" +
-          dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+          runTag(dir)).getPath
       graft.operators.ModelStore.writePiecesModel(
         TextAnalysis.trainPieces(docs, "text", topN = 200,
           maxPieceLen = 6), store, maxPieceLen = 6)
@@ -1478,7 +1488,7 @@ $joins"""
     "q_source_jsonl" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_jsonl_" + runTag(dir)).getPath
       graft.sources.Sources.writeJsonl(docs, path)
       graft.sources.Sources.readJsonl(s, path, docs.schema)
     }),
@@ -1488,7 +1498,7 @@ $joins"""
     "q_source_csv" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_csv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_csv_" + runTag(dir)).getPath
       graft.sources.Sources.writeCsv(docs, path)
       graft.sources.Sources.readCsv(s, path, docs.schema)
     }),
@@ -1499,7 +1509,7 @@ $joins"""
     "q_source_orc" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_orc_" + runTag(dir)).getPath
       graft.sources.Sources.writeOrc(docs, path)
       graft.sources.Sources.readOrc(s, path)
     }),
@@ -1603,7 +1613,7 @@ $joins"""
     "q_source_warc_files" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val base = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_warcgz_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        "graft_warcgz_" + runTag(dir))
       val uri = concat(lit("https://"), col("source"),
         lit(".example.com/p/"), col("doc_id").cast("string"))
       val body = concat(lit("doc:"), col("doc_id").cast("string"))
@@ -1709,7 +1719,7 @@ $joins"""
     "q_text_bpe_stored" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val store = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_bpe_model_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_bpe_model_" + runTag(dir)).getPath
       graft.operators.ModelStore.writeBpeModel(
         TextAnalysis.trainBpe(docs, "text", numMerges = 6), store)
       graft.operators.ModelStore.bpeTokenizeFromModel(
@@ -1939,7 +1949,7 @@ $joins"""
     "q_dedup_store" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val store = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_sigstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_sigstore_" + runTag(dir)).getPath
       Dedup.writeBandSignatures(docs.filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text", store, n = 3, numHashes = 64, bands = 32)
       Dedup.minHashLshPairsAgainstStore(
@@ -2208,7 +2218,7 @@ $joins"""
     "q_sim_ivf_indexed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_ivf_index_" + runTag(dir)).getPath
       val centroids = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
         idx, nlist = 16, lloydIters = 1)
       Similarity.ivfTopKIndexed(idx, centroids,
@@ -2225,7 +2235,7 @@ $joins"""
     "q_sim_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivfpq_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_ivfpq_index_" + runTag(dir)).getPath
       val (centroids, codebooks) = Similarity.buildIvfPqIndex(
         emb, "vec_id", "embedding", idx,
         nlist = 16, m = 8, ksub = 16, lloydIters = 1, pqLloydIters = 0)
@@ -2245,7 +2255,7 @@ $joins"""
     "q_sim_ivfpq_residual" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivfpq_res_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        "graft_ivfpq_res_index_" + runTag(dir))
         .getPath
       val (centroids, codebooks) = Similarity.buildIvfPqIndex(
         emb, "vec_id", "embedding", idx,
@@ -2537,7 +2547,7 @@ $joins"""
     // contract applied to the constraint profile)
     "q_stats_profile_shards" -> ((s, dir) => {
       val work = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_profshards_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_profshards_" + runTag(dir)).getPath
       graft.operators.Stats.writeProfileShards(t(s, dir, "orders"), work,
         Seq("o_totalprice", "o_custkey"), Seq("o_orderstatus"))
       graft.operators.Stats.profileFromShards(s, work,
@@ -2797,7 +2807,7 @@ $joins"""
       val docs = t(s, dir, "documents")
       val store = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_logreg_model_" +
-          dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+          runTag(dir)).getPath
       graft.operators.ModelStore.writeLogisticModel(
         TextClassify.trainLogisticHashed(
           docs.withColumn("is_en", col("lang") === "en"),
@@ -2906,7 +2916,7 @@ $joins"""
     "q_sim_ivf_int8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivf_sq8_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_ivf_sq8_" + runTag(dir)).getPath
       val centroids = Similarity.buildIvfIndexQuantized(emb, "vec_id",
         "embedding", idx, nlist = 16, lloydIters = 1)
       Similarity.ivfTopKIndexedQuantized(idx, centroids,
@@ -2959,7 +2969,7 @@ $joins"""
       val train = docs.filter(col("doc_id") % 10 =!= 0)
       val held = docs.filter(col("doc_id") % 10 === 0)
       val store = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_lm_model_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_lm_model_" + runTag(dir)).getPath
       graft.operators.ModelStore.writeLmModel(
         LanguageModel.trainBigram(train, "doc_id", "text"), store)
       LanguageModel.scoreByKneserNey(held,
@@ -3006,7 +3016,7 @@ $joins"""
       val held = docs.filter(col("doc_id") % 10 === 0)
       val store = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_ngram_model_" +
-          dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+          runTag(dir)).getPath
       graft.operators.ModelStore.writeNgramModel(
         LanguageModel.trainNgrams(train, "doc_id", "text", maxN = 3),
         store, maxN = 3)
@@ -3072,7 +3082,7 @@ $joins"""
         (2L, "customer order line"), (3L, "window agg group"),
         (4L, "hash merge sort batch")).toDF("query_id", "qtext")
       val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_bm25idx_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_bm25idx_" + runTag(dir)).getPath
       TextSearch.writeSearchIndex(t(s, dir, "documents"), idx)
       TextSearch.bm25FromIndex(s, idx, queries, k = 10)
     }),
@@ -3085,7 +3095,7 @@ $joins"""
     "q_pipeline_indexed" -> ((s, dir) => {
       import s.implicits._
       val tmp = sys.props("java.io.tmpdir")
-      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tag = runTag(dir)
       val idx = new java.io.File(tmp, s"graft_cfgidx_$tag").getPath
       val qPath = new java.io.File(tmp, s"graft_cfgq_$tag").getPath
       Seq((0L, "spark join fast"), (1L, "vector scan slow"),
@@ -3112,7 +3122,7 @@ $joins"""
     // — identical oracle to the in-memory incremental join
     "q_pipeline_dedup_store" -> ((s, dir) => {
       val store = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_cfgsig_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_cfgsig_" + runTag(dir)).getPath
       graft.operators.Pipeline.runJobJson(s,
         s"""[
            |  {"op": "read_table", "params": {"dir": "$dir",
@@ -3138,7 +3148,7 @@ $joins"""
     // file level. nprobe = nlist ⇒ exact, same brute-force oracle.
     "q_pipeline_ann" -> ((s, dir) => {
       val tmp = sys.props("java.io.tmpdir")
-      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tag = runTag(dir)
       val idx = new java.io.File(tmp, s"graft_cfgivf_$tag").getPath
       val cents = new java.io.File(tmp, s"graft_cfgcent_$tag").getPath
       graft.operators.Pipeline.runJobJson(s,
@@ -3167,7 +3177,7 @@ $joins"""
     // SOURCE merges them without rescanning orders — same oracle
     "q_pipeline_profile" -> ((s, dir) => {
       val work = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_cfgprof_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_cfgprof_" + runTag(dir)).getPath
       graft.operators.Pipeline.runJobJson(s,
         s"""[
            |  {"op": "read_table", "params": {"dir": "$dir",
@@ -3195,7 +3205,7 @@ $joins"""
         (2L, "customer order line"), (3L, "window agg group"),
         (4L, "hash merge sort batch")).toDF("query_id", "qtext")
       val docs = t(s, dir, "documents")
-      val sfx = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val sfx = runTag(dir)
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_bm25base_" + sfx).getPath
       val merged = new java.io.File(sys.props("java.io.tmpdir"),
@@ -3420,7 +3430,7 @@ $joins"""
     // the source, which is exactly what the oracle checks
     "q_layout_compact" -> ((s, dir) => {
       val work = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_compact_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+        "graft_compact_" + runTag(dir)).getPath
       t(s, dir, "documents").repartition(64)
         .write.mode("overwrite").parquet(work)
       graft.sources.Layout.compact(s, work, targetBytes = 512L << 20)

@@ -808,7 +808,48 @@ object Pipeline {
     require(bad.isEmpty,
       s"steps not streamable: ${bad.sorted.mkString(", ")}; " +
         "streamable steps: " + ok.toSeq.sorted.mkString(", "))
+    steps.foreach { s =>
+      val exprParam = s.op match {
+        case "filter" => Some("condition")
+        case "with_column" => Some("expr")
+        case _ => None
+      }
+      exprParam.foreach(k => s.params.get(k).foreach {
+        case sql: String => requireDeterministic(s.op, sql)
+        case _ => () // non-string value: fromSteps rejects it loudly
+      })
+    }
     fromSteps(steps, extra)
+  }
+
+  /** Streaming-config guard: reject non-deterministic SQL in
+    * `filter`/`with_column` steps EAGERLY, before any stream starts.
+    * Under micro-batch retries a `rand()`/`uuid()` projection emits
+    * DIFFERENT rows on the retry attempt, so an append sink can
+    * record divergent output — breaking the batch==stream parity the
+    * streamable whitelist promises. Checked by resolution, not
+    * string-matching: every function in the parsed tree is looked up
+    * in Catalyst's builtin registry and its `deterministic` flag
+    * inspected (a function that fails to resolve here is left for
+    * the normal analysis error downstream). */
+  private def requireDeterministic(op: String, sql: String): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedFunction}
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql)
+    val bad = parsed.collect {
+      case f: UnresolvedFunction =>
+        val name = f.nameParts.last
+        scala.util.Try(FunctionRegistry.builtin.lookupFunction(
+            FunctionIdentifier(name.toLowerCase(java.util.Locale.ROOT)),
+            f.arguments)).toOption
+          .filterNot(_.deterministic).map(_ => name)
+    }.flatten.distinct
+    require(bad.isEmpty,
+      s"streaming step '$op': non-deterministic function(s) " +
+        s"${bad.sorted.mkString(", ")} in '$sql' — micro-batch " +
+        "retries would emit divergent rows; derive randomness from " +
+        "content instead (e.g. split_by_hash / sample_fraction)")
   }
 
   /** JSON config → compiled STREAMING pipeline ([[fromStepsStreaming]]

@@ -64,11 +64,14 @@ final class WarcGzFileFormat extends FileFormat with DataSourceRegister {
       : PartitionedFile => Iterator[InternalRow] =
     // a dedicated Serializable function class: the read function
     // ships to executors, and a lambda here would drag this
-    // (non-serializable) format instance along with it
+    // (non-serializable) format instance along with it. The conf is
+    // captured directly (NOT broadcast): the function is serialized
+    // once per stage inside the task binary, so a broadcast buys
+    // nothing here — and a long-running streaming query replans
+    // buildReader every micro-batch, which would accumulate
+    // broadcasts on the driver until ContextCleaner GC.
     WarcGzFileFormat.RecordReader(
-      sparkSession.sparkContext.broadcast(
-        new SerializableConfiguration(hadoopConf)),
-      requiredSchema)
+      new SerializableConfiguration(hadoopConf), requiredSchema)
 }
 
 object WarcGzFileFormat {
@@ -80,9 +83,16 @@ object WarcGzFileFormat {
 
   /** The per-file read function: walks one archive's records and
     * emits only the columns `requiredSchema` asks for (pruning a
-    * `rec_id`-only scan down to no byte payloads in rows). */
+    * `rec_id`-only scan down to no byte payloads in rows).
+    *
+    * Lifecycle: the input stream closes via the task-completion
+    * listener and again on iterator exhaustion. GUARANTEED cleanup
+    * therefore requires an active `TaskContext` (always true on
+    * executors); a driver-side/local caller that short-circuits the
+    * iterator without exhausting it keeps the file handle until GC —
+    * exhaust the iterator (or read through Spark) in that case. */
   private final case class RecordReader(
-      bc: org.apache.spark.broadcast.Broadcast[SerializableConfiguration],
+      conf: SerializableConfiguration,
       requiredSchema: StructType)
       extends (PartitionedFile => Iterator[InternalRow])
       with Serializable {
@@ -91,7 +101,7 @@ object WarcGzFileFormat {
       val names = requiredSchema.fieldNames
       val path = file.toPath
       val in = new java.io.BufferedInputStream(
-        path.getFileSystem(bc.value.value).open(path))
+        path.getFileSystem(conf.value).open(path))
       var closed = false
       def closeOnce(): Unit =
         if (!closed) { closed = true; in.close() }

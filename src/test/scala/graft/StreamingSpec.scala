@@ -2630,4 +2630,41 @@ class StreamingSpec extends AnyFunSuite {
       extra = Map("tag" -> tag), extraStreamable = Set("tag"))
     assert(gated(input.toDF()).isStreaming)
   }
+
+  test("fromStepsStreaming rejects non-deterministic SQL in filter/" +
+       "with_column eagerly (micro-batch retries would emit " +
+       "divergent rows); deterministic expressions still compile") {
+    import graft.operators.Pipeline
+    val nd = intercept[IllegalArgumentException] {
+      Pipeline.fromStepsStreaming(Seq(
+        Pipeline.Step("with_column",
+          Map("name" -> "r", "expr" -> "rand(42)"))))
+    }
+    assert(nd.getMessage.contains("non-deterministic") &&
+      nd.getMessage.contains("rand"))
+    val ndFilter = intercept[IllegalArgumentException] {
+      Pipeline.fromStepsStreaming(Seq(
+        Pipeline.Step("filter",
+          Map("condition" -> "uuid() > 'a' OR length(text) > 3"))))
+    }
+    assert(ndFilter.getMessage.contains("uuid"))
+    // nested inside a deterministic wrapper is still caught
+    val nested = intercept[IllegalArgumentException] {
+      Pipeline.fromStepsStreaming(Seq(
+        Pipeline.Step("with_column",
+          Map("name" -> "b", "expr" -> "abs(randn() * 2)"))))
+    }
+    assert(nested.getMessage.contains("randn"))
+    // deterministic expressions (incl. hash-derived sampling, the
+    // recommended substitute) compile fine
+    Pipeline.fromStepsStreaming(Seq(
+      Pipeline.Step("with_column",
+        Map("name" -> "h", "expr" -> "abs(hash(text)) % 100")),
+      Pipeline.Step("filter",
+        Map("condition" -> "h < 50 AND upper(lang) = 'EN'"))))
+    // batch compile is untouched: rand() is legal in fromSteps
+    Pipeline.fromSteps(Seq(
+      Pipeline.Step("with_column",
+        Map("name" -> "r", "expr" -> "rand(42)"))))
+  }
 }
