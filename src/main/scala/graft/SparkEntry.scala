@@ -3452,6 +3452,35 @@ $joins"""
         Seq("doc_id"), Seq("text", "lang"))
     }),
 
+    // CDC MERGE: apply a changeset (upserts + deletes, latest seq
+    // wins per key) onto a keyed snapshot — inserts (upsert of an
+    // absent key), updates, superseded earlier changes, and deletes
+    // of absent keys (no-ops) all exercised. The snapshot side is
+    // ONE broadcast-able anti join — it never shuffles.
+    "q_layout_apply" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val snap = orders.filter(col("o_orderkey") % 4 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice")
+      val up1 = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"),
+          lit("upsert").as("op"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 10).as("o_totalprice"))
+      val up2 = orders.filter(col("o_orderkey") % 9 === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"),
+          lit("upsert").as("op"), col("o_custkey"),
+          lit("V").as("o_orderstatus"),
+          (col("o_totalprice") + 20).as("o_totalprice"))
+      val del = orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit(3L).as("seq"),
+          lit("delete").as("op"), lit(null).cast("long").as("o_custkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+      graft.sources.Layout.applyChanges(snap,
+        up1.unionByName(up2).unionByName(del), Seq("o_orderkey"))
+    }),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -7756,6 +7785,40 @@ $joins"""
           |  ELSE 0 END AS n_changed
           |FROM j
           |WHERE (NOT in_old) OR (NOT in_new) OR d_text OR d_lang""".stripMargin,
+
+      // same latest-change-wins reduction (max seq per key; the
+      // fixture's seqs are unique per key so row_number == max_by),
+      // anti-joined kept rows + upserted payloads
+      "q_layout_apply" ->
+        """WITH snap AS (
+          |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |  FROM orders WHERE o_orderkey % 4 <> 0
+          |), chg AS (
+          |  SELECT o_orderkey, 1 AS seq, 'upsert' AS op, o_custkey,
+          |         'U' AS o_orderstatus,
+          |         o_totalprice + 10 AS o_totalprice
+          |  FROM orders WHERE o_orderkey % 3 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, 2, 'upsert', o_custkey, 'V',
+          |         o_totalprice + 20
+          |  FROM orders WHERE o_orderkey % 9 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, 3, 'delete', NULL, NULL, NULL
+          |  FROM orders WHERE o_orderkey % 5 = 0
+          |), latest AS (
+          |  SELECT o_orderkey, op, o_custkey, o_orderstatus,
+          |         o_totalprice
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+          |                    ORDER BY seq DESC) AS rn FROM chg)
+          |  WHERE rn = 1
+          |)
+          |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus,
+          |       s.o_totalprice
+          |FROM snap s LEFT JOIN latest l ON s.o_orderkey = l.o_orderkey
+          |WHERE l.o_orderkey IS NULL
+          |UNION ALL
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM latest WHERE op = 'upsert'""".stripMargin,
 
       "q_sort_topk" ->
         """SELECT l_orderkey, l_linenumber, l_extendedprice

@@ -114,6 +114,16 @@ object ModelStore {
                         maxPieceLen: Int): Unit =
     writeModel(vocab, path, "unigram", Some(maxPieceLen))
 
+  /** Rank-ordered vocab + Viterbi window, for callers that need the
+    * LOAD separately from the encode — the pipeline registry loads
+    * (and kind-verifies) at config-compile time so a mispointed
+    * store fails before any job. */
+  def unigramVocabFromModel(spark: SparkSession,
+                            path: String): (DataFrame, Int) = {
+    val (tbl, param) = readModel(spark, path, "unigram")
+    (tbl.orderBy(col("rank")), param.get)
+  }
+
   def unigramTokenizeFromModel(docs: DataFrame, path: String,
                                idCol: String = "doc_id",
                                textCol: String = "text",
@@ -128,6 +138,14 @@ object ModelStore {
   def writePiecesModel(vocab: DataFrame, path: String,
                        maxPieceLen: Int): Unit =
     writeModel(vocab, path, "pieces", Some(maxPieceLen))
+
+  /** Rank-ordered piece inventory + window — the separated-load
+    * twin of [[unigramVocabFromModel]]. */
+  def piecesVocabFromModel(spark: SparkSession,
+                           path: String): (DataFrame, Int) = {
+    val (tbl, param) = readModel(spark, path, "pieces")
+    (tbl.orderBy(col("rank")), param.get)
+  }
 
   def piecesTokenizeFromModel(docs: DataFrame, path: String,
                               idCol: String = "doc_id",

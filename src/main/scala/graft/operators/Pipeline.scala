@@ -367,6 +367,53 @@ object Pipeline {
         df => TextClassify.scoreLogisticInline(df, weights, id, text)
       }),
 
+    "pieces_tokenize_stored" -> OpSpec(Set("model_path"),
+      Set("text_col", "id_col"),
+      p => {
+        val (vocab, window) = ModelStore.piecesVocabFromModel(
+          org.apache.spark.sql.SparkSession.active, p.str("model_path"))
+        val text = p.str("text_col", Some("text"))
+        val id = p.str("id_col", Some("doc_id"))
+        df => TextAnalysis.piecesTokenize(df, id, text, vocab,
+          maxPieceLen = window)
+      }),
+
+    "unigram_tokenize_stored" -> OpSpec(Set("model_path"),
+      Set("text_col", "id_col", "unk_lp"),
+      p => {
+        val (vocab, window) = ModelStore.unigramVocabFromModel(
+          org.apache.spark.sql.SparkSession.active, p.str("model_path"))
+        val text = p.str("text_col", Some("text"))
+        val id = p.str("id_col", Some("doc_id"))
+        val unk = p.dbl("unk_lp", Some(-100.0))
+        df => TextAnalysis.unigramTokenize(df, id, text, vocab,
+          maxPieceLen = window, unkLp = unk)
+      }),
+
+    // perplexity-proxy fluency gates from persisted LMs (batch-only:
+    // KN scoring aggregates per-document over the in-flight frame)
+    "score_kn_stored" -> OpSpec(Set("model_path"),
+      Set("text_col", "id_col", "discount"),
+      p => {
+        val lm = ModelStore.lmFromModel(
+          org.apache.spark.sql.SparkSession.active, p.str("model_path"))
+        val text = p.str("text_col", Some("text"))
+        val id = p.str("id_col", Some("doc_id"))
+        val d = p.dbl("discount", Some(0.75))
+        df => LanguageModel.scoreByKneserNey(df, lm, id, text, d)
+      }),
+
+    "score_kn_ngram_stored" -> OpSpec(Set("model_path"),
+      Set("text_col", "id_col", "order"),
+      p => {
+        val lm = ModelStore.ngramsFromModel(
+          org.apache.spark.sql.SparkSession.active, p.str("model_path"))
+        val text = p.str("text_col", Some("text"))
+        val id = p.str("id_col", Some("doc_id"))
+        val ord = p.int("order", Some(3))
+        df => LanguageModel.scoreByKneserNeyN(df, lm, id, text, ord)
+      }),
+
     "gopher_quality_flags" -> OpSpec(Set(),
       Set("id_col", "text_col", "min_words", "max_words",
         "min_stopwords", "passthrough_cols"),
@@ -459,6 +506,22 @@ object Pipeline {
         val t = p.dbl("threshold", Some(0.5))
         df => Dedup.dropNearDuplicates(df, id,
           Dedup.minHashLshPairsAgainstStore(df, path, id, text, t))
+      }),
+
+    // CDC MERGE as a config step: the in-flight frame is the
+    // snapshot, the changeset reads from a parquet path — latest
+    // change per key wins, deletes drop, upserts insert-or-replace
+    // (Layout.applyChanges: the snapshot side is one broadcast-able
+    // anti join, it never shuffles when the delta is day-scale)
+    "apply_changes" -> OpSpec(Set("changes_path", "key_cols"),
+      Set("seq_col", "op_col"),
+      p => {
+        val path = p.str("changes_path")
+        val keys = p.strs("key_cols")
+        val seqC = p.str("seq_col", Some("seq"))
+        val opC = p.str("op_col", Some("op"))
+        df => graft.sources.Layout.applyChanges(df,
+          df.sparkSession.read.parquet(path), keys, seqC, opC)
       }),
 
     // ANN probe over a persisted IVF index: centroids load (bounded:
@@ -789,6 +852,7 @@ object Pipeline {
     "dup_ngram_fraction", "normalize_text", "c4_clean", "scrub_pii",
     "gopher_quality_flags", "chunk_by_tokens", "sample_fraction",
     "split_by_hash", "bpe_tokenize_stored", "score_logistic_stored",
+    "pieces_tokenize_stored", "unigram_tokenize_stored",
     "parse_warc_records", "http_responses", "extract_text",
     "canonicalize_urls", "split_sentences", "readability_scores",
     "gopher_repetition_flags", "compression_ratio")

@@ -4470,6 +4470,56 @@ class OperatorsSpec extends AnyFunSuite {
       5L -> (("added", "", 0))))
   }
 
+  test("applyChanges: insert/update/delete with latest-seq-wins; " +
+       "seq ties resolve to the delete; bad input fails loudly") {
+    val snap = spark.sql(
+      """select * from values
+        |  (1L, 'a', 10), (2L, 'b', 20), (3L, 'c', 30), (4L, 'd', 40)
+        |  as t(id, s, v)""".stripMargin)
+    val chg = spark.sql(
+      """select * from values
+        |  (2L, 1L, 'upsert', 'b2', 21),  -- superseded by seq 2
+        |  (2L, 2L, 'UPSERT', 'b3', 22),  -- update (op case-insensitive)
+        |  (3L, 1L, 'delete', null, null),      -- delete existing
+        |  (5L, 1L, 'upsert', 'e', 50),         -- insert new key
+        |  (6L, 1L, 'delete', null, null),      -- delete of absent: no-op
+        |  (4L, 7L, 'upsert', 'd2', 41),  -- seq TIE with a delete...
+        |  (4L, 7L, 'delete', null, null) -- ...delete wins
+        |  as t(id, seq, op, s, v)""".stripMargin)
+    val got = graft.sources.Layout.applyChanges(snap, chg, Seq("id"))
+    assert(got.columns.toSeq == Seq("id", "s", "v"))
+    val rows = got.collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("s"), r.getAs[Int]("v")))).toMap
+    assert(rows == Map(
+      1L -> (("a", 10)),   // untouched
+      2L -> (("b3", 22)),  // latest upsert
+      5L -> (("e", 50))))  // inserted; 3 and 4 deleted
+    // unknown op: raises during the reduction, not silently
+    val bad = spark.sql(
+      "select * from values (1L, 1L, 'replace', 'x', 1) " +
+        "as t(id, seq, op, s, v)")
+    val e = intercept[Exception] {
+      graft.sources.Layout.applyChanges(snap, bad, Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("unknown op") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown op")))
+    // missing payload column in changes: eager, names the column
+    val thin = spark.sql(
+      "select * from values (1L, 1L, 'upsert', 'x') as t(id, seq, op, s)")
+    val m = intercept[IllegalArgumentException] {
+      graft.sources.Layout.applyChanges(snap, thin, Seq("id"))
+    }
+    assert(m.getMessage.contains("missing column(s) v"))
+    // scale shape: the snapshot side joins by BROADCAST anti join
+    // when the changeset is small — the snapshot never shuffles
+    val df2 = graft.sources.Layout.applyChanges(snap, chg, Seq("id"))
+    df2.collect()
+    val plan = ScaleOpsSpec.finalPlan(df2)
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan)
+  }
+
   test("vocabCoverage: per-doc OOV against a vocab; null text survives") {
     val d = spark.sql(
       """select * from values

@@ -281,6 +281,94 @@ class PipelineSpec extends AnyFunSuite {
       e.getMessage.contains("logistic"))
   }
 
+  test("pieces/unigram/KN stored steps equal their direct calls; " +
+       "wrong-kind stores fail at config-compile time") {
+    import graft.operators.{LanguageModel, ModelStore}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-pipe-stored").toString
+    val piecesStore = base + "/pieces"
+    val unigramStore = base + "/unigram"
+    val lmStore = base + "/lm"
+    val ngramStore = base + "/ngram"
+    ModelStore.writePiecesModel(
+      TextAnalysis.trainPieces(docs, "text", topN = 100,
+        maxPieceLen = 5), piecesStore, maxPieceLen = 5)
+    ModelStore.writeUnigramModel(
+      TextAnalysis.trainUnigram(docs, "text", seedTopN = 40,
+        maxPieceLen = 4, keepN = 30, emRounds = 1, maxWordLen = 8),
+      unigramStore, maxPieceLen = 4)
+    ModelStore.writeLmModel(
+      LanguageModel.trainBigram(docs, "doc_id", "text"), lmStore)
+    ModelStore.writeNgramModel(
+      LanguageModel.trainNgrams(docs, "doc_id", "text", maxN = 3),
+      ngramStore, maxN = 3)
+    val held = docs.filter(col("doc_id") % 7 === 0)
+    def viaCfg(op: String, store: String, extra: String = "") =
+      Pipeline.fromJson(
+        s"""[{"op": "$op",
+           |  "params": {"model_path": "$store"$extra}}]"""
+          .stripMargin)(held)
+    def strSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(strSet(viaCfg("pieces_tokenize_stored", piecesStore)) ==
+      strSet(ModelStore.piecesTokenizeFromModel(held, piecesStore)))
+    assert(strSet(viaCfg("unigram_tokenize_stored", unigramStore)) ==
+      strSet(ModelStore.unigramTokenizeFromModel(held, unigramStore)))
+    assert(strSet(viaCfg("score_kn_stored", lmStore)) ==
+      strSet(LanguageModel.scoreByKneserNey(held,
+        ModelStore.lmFromModel(spark, lmStore), "doc_id", "text")))
+    assert(strSet(viaCfg("score_kn_ngram_stored", ngramStore,
+        """, "order": 3""")) ==
+      strSet(LanguageModel.scoreByKneserNeyN(held,
+        ModelStore.ngramsFromModel(spark, ngramStore),
+        "doc_id", "text", 3)))
+    assert(strSet(viaCfg("score_kn_stored", lmStore)).nonEmpty)
+    // cross-kind pointing errors BEFORE any job, naming both kinds
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(
+        Step("pieces_tokenize_stored",
+          Map("model_path" -> unigramStore))))
+    }
+    assert(e.getMessage.contains("unigram") &&
+      e.getMessage.contains("pieces"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(
+        Step("score_kn_ngram_stored", Map("model_path" -> lmStore))))
+    }
+    assert(e2.getMessage.contains("bigram_lm") &&
+      e2.getMessage.contains("ngram_lm"))
+  }
+
+  test("apply_changes step equals Layout.applyChanges directly; " +
+       "param typos error at compile time") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-pipe-cdc").toString + "/chg"
+    val changes = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit(1L).as("seq"),
+        when(col("doc_id") % 2 === 0, "delete").otherwise("upsert")
+          .as("op"),
+        col("lang"), concat(col("text"), lit(" v2")).as("text"),
+        col("source"))
+    changes.write.mode("overwrite").parquet(base)
+    val snap = docs.select("doc_id", "lang", "text", "source")
+    val got = Pipeline.fromJson(
+      s"""[{"op": "apply_changes",
+         |  "params": {"changes_path": "$base",
+         |             "key_cols": ["doc_id"]}}]""".stripMargin)(snap)
+    val direct = graft.sources.Layout.applyChanges(snap,
+      spark.read.parquet(base), Seq("doc_id"))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(keyed(got) == keyed(direct) && keyed(got).nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("apply_changes",
+        Map("changes_path" -> base, "key_cols" -> Seq("doc_id"),
+          "sequence_col" -> "seq"))))
+    }
+    assert(e.getMessage.contains("unknown params sequence_col") &&
+      e.getMessage.contains("seq_col"))
+  }
+
   test("extra registry entries compose and may override builtins " +
        "(the register_function precedence)") {
     val constant = OpSpec(Set("value"), Set(),
