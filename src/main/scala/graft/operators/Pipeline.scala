@@ -253,6 +253,21 @@ object Pipeline {
         df => Events.windowedStats(df, ts, win)
       }),
 
+    // the STATEFUL streaming-config entry: same aggregate as
+    // windowed_stats but with an explicit watermark, so it passes
+    // the streamable gate and emits append-mode as windows finalize.
+    // On a batch frame withWatermark is a documented no-op, so one
+    // body serves both — config-run stream == batch windowed_stats
+    // on the finalized prefix (parity spec-pinned on MemoryStream)
+    "windowed_stats_watermarked" -> OpSpec(Set("watermark_delay"),
+      Set("ts_col", "window_length"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val ts = p.str("ts_col", Some("ts"))
+        val win = p.str("window_length", Some("1 hour"))
+        df => graft.streaming.StreamOps.windowedStats(df, ts, win, wm)
+      }),
+
     "sessionize" -> OpSpec(Set("gap_seconds"),
       Set("user_col", "ts_col", "id_col"),
       p => {
@@ -841,18 +856,23 @@ object Pipeline {
 
   /** The builtin steps whose compiled bodies are STREAM-SAFE: pure
     * per-row/per-batch transforms (projections, filters, explodes,
-    * hash gates) and stored-model scorers whose artifact loads as
-    * driver literals at config-compile time. Everything else in the
-    * registry either aggregates/joins the in-flight frame
+    * hash gates), stored-model scorers whose artifact loads as
+    * driver literals at config-compile time, and the one STATEFUL
+    * entry that carries its own watermark in the config
+    * (windowed_stats_watermarked — bounded state, append-mode
+    * emission as windows finalize). Everything else in the registry
+    * either aggregates/joins the in-flight frame WITHOUT a watermark
     * (drop_exact_duplicates, drop_near_duplicates) or collects from
     * it (the index probe steps) — shapes a micro-batch stream cannot
-    * run without watermark semantics this runner does not impose. */
+    * run unless the config states the event-time bound, which those
+    * steps have no parameter for. */
   val streamableOps: Set[String] = Set(
     "filter", "with_column", "select", "token_count",
     "dup_ngram_fraction", "normalize_text", "c4_clean", "scrub_pii",
     "gopher_quality_flags", "chunk_by_tokens", "sample_fraction",
     "split_by_hash", "bpe_tokenize_stored", "score_logistic_stored",
     "pieces_tokenize_stored", "unigram_tokenize_stored",
+    "windowed_stats_watermarked",
     "parse_warc_records", "http_responses", "extract_text",
     "canonicalize_urls", "split_sentences", "readability_scores",
     "gopher_repetition_flags", "compression_ratio")

@@ -2631,6 +2631,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(gated(input.toDF()).isStreaming)
   }
 
+  test("windowed_stats_watermarked: a STATEFUL step from pure config " +
+       "— append-mode finalized windows == batch windowed_stats on " +
+       "the same rows; missing watermark stays non-streamable") {
+    import graft.operators.{Events, Pipeline}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val cfg =
+      """[{"op": "windowed_stats_watermarked",
+        |  "params": {"watermark_delay": "30 minutes",
+        |             "window_length": "1 hour"}}]""".stripMargin
+    val input = MemoryStream[Ev]
+    val out = Pipeline.fromJsonStreaming(cfg)(input.toDF())
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("cfg_win")
+      .outputMode("append").start()
+    val early = Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 00:05:00"), 7, "click", 1.5),
+      Ev(2, Timestamp.valueOf("2024-01-01 00:55:00"), 7, "click", 2.0),
+      Ev(3, Timestamp.valueOf("2024-01-01 01:05:00"), 8, "view", 3.0))
+    input.addData(early: _*)
+    q.processAllAvailable()
+    // push the watermark past hour-0 and hour-1: both finalize
+    val late = Seq(
+      Ev(4, Timestamp.valueOf("2024-01-01 05:00:00"), 9, "view", 4.0))
+    input.addData(late: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("select window_start, event_type, n_events, " +
+        "sum_value from cfg_win").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    // the batch run of the SAME config body over the finalized rows
+    val batchDf = (early).toDF()
+    val batch = Pipeline.fromJson(cfg)(batchDf).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got == batch && got.nonEmpty)
+    // and the config body IS Events.windowedStats on a batch frame
+    // (withWatermark is a no-op in batch)
+    val direct = Events.windowedStats(batchDf, "ts", "1 hour")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(batch == direct)
+    // the UNwatermarked aggregate stays rejected by name
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromJsonStreaming(
+        """[{"op": "windowed_stats"}]""")
+    }
+    assert(e.getMessage.contains("not streamable") &&
+      e.getMessage.contains("windowed_stats_watermarked"))
+  }
+
   test("fromStepsStreaming rejects non-deterministic SQL in filter/" +
        "with_column eagerly (micro-batch retries would emit " +
        "divergent rows); deterministic expressions still compile") {
