@@ -2523,6 +2523,28 @@ $joins"""
       Stats.winsorize(t(s, dir, "events"), "value",
         lo = 0.05, hi = 0.95)),
 
+    // k-anonymity audit: quasi-identifier combinations (nation ×
+    // segment × account-balance band) held by fewer than k customers
+    // — output ∝ violations, one hash aggregate. The band is
+    // floor(x/1000): generalization upstream is what makes the
+    // audit meaningful
+    "q_stats_kanon" -> ((s, dir) =>
+      Stats.kAnonymityViolations(
+        t(s, dir, "customer").withColumn("bal_band",
+          floor(col("c_acctbal") / 1000.0).cast("int")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)),
+
+    // the matching release gate: suppress rows whose combination is
+    // below k (aggregate + null-safe semi join back; the combo frame
+    // broadcasts). Emits the surviving keys + their combination.
+    "q_stats_kanon_suppress" -> ((s, dir) =>
+      Stats.suppressBelowK(
+        t(s, dir, "customer").withColumn("bal_band",
+          floor(col("c_acctbal") / 1000.0).cast("int")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
+        .select("c_custkey", "c_nationkey", "c_mktsegment",
+          "bal_band")),
+
     // referential-integrity audit over the star schema: dangling FK
     // keys per relationship — dictionary-vs-dictionary anti-joins
     // (distinct-with-counts child side), one summary row each
@@ -3274,6 +3296,20 @@ $joins"""
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
             .cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
+
+    // CUBE over (returnflag, linestatus): all four grouping-set
+    // levels (detail, two rollups, grand total) in ONE Expand-based
+    // aggregate — no self-union of scans; explicit grouping() markers
+    // disambiguate a rolled-up level from a genuinely-null key
+    "q_agg_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))),
 
     // broadcast-dimension join chain + grouped aggregate
     "q_join_revenue" -> ((s, dir) =>
@@ -7037,6 +7073,34 @@ $joins"""
           |    THEN (value < tlo OR value > thi) END AS was_clipped
           |FROM t CROSS JOIN q""".stripMargin,
 
+      // same banding (floor of an IEEE double division — identical
+      // in both engines), same group-count-below-k filter
+      "q_stats_kanon" ->
+        """SELECT c_nationkey, c_mktsegment,
+          |  CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_band,
+          |  count(*) AS group_size
+          |FROM customer
+          |GROUP BY 1, 2, 3
+          |HAVING count(*) < 5""".stripMargin,
+
+      // keep rows whose combination reaches k: same aggregate,
+      // IS NOT DISTINCT FROM join (the engine's <=> semi join)
+      "q_stats_kanon_suppress" ->
+        """WITH b AS (
+          |  SELECT c_custkey, c_nationkey, c_mktsegment,
+          |    CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_band
+          |  FROM customer
+          |), g AS (
+          |  SELECT c_nationkey, c_mktsegment, bal_band
+          |  FROM b GROUP BY 1, 2, 3 HAVING count(*) >= 5
+          |)
+          |SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment,
+          |       b.bal_band
+          |FROM b JOIN g
+          |  ON b.c_nationkey IS NOT DISTINCT FROM g.c_nationkey
+          | AND b.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+          | AND b.bal_band IS NOT DISTINCT FROM g.bal_band""".stripMargin,
+
       // same key-dictionary windows: asc/desc row_number with the key
       // tie-break, exact integer rank-sum, identical Gini and
       // top-share shapes, integer-scale display
@@ -7633,6 +7697,19 @@ $joins"""
           |FROM lineitem
           |WHERE l_shipdate < TIMESTAMP '1997-09-01'
           |GROUP BY 1, 2""".stripMargin,
+
+      // same four grouping sets; per-column GROUPING() markers so a
+      // rolled-up NULL is distinguishable from a data NULL in both
+      // engines
+      "q_agg_cube" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+          |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM lineitem
+          |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
       "q_join_revenue" ->
         """SELECT n.n_name AS n_name,

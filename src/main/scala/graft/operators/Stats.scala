@@ -965,4 +965,47 @@ object Stats {
           .cast("double"))
       .drop("t9")
   }
+
+  /** k-anonymity audit — the privacy-governance companion of
+    * `TextAnalysis.scrubPii`: scrubbing removes direct identifiers,
+    * but a row can still be re-identified when its QUASI-identifier
+    * combination (location × segment × a banded numeric, Sweeney
+    * 2002) is shared by fewer than k rows. Returns the violating
+    * combinations with their group sizes — output ∝ violations
+    * (what a release review acts on), never the corpus. Generalize
+    * continuous quasi-identifiers into bands upstream (a raw value
+    * makes every row its own group and the report useless).
+    *
+    * Scale shape: one hash aggregate keyed by the quasi-identifier
+    * columns (partial map-side), then a size filter. Nulls group as
+    * values, matching the suppression join below. */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, "k must be >= 2 (k = 1 never violates)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
+
+  /** Suppression to k-anonymity: keep only rows whose
+    * quasi-identifier combination appears ≥ k times — the release
+    * gate [[kAnonymityViolations]] audits for. One aggregate over
+    * the quasi columns plus one null-safe (`<=>`) semi join back;
+    * the combo frame is bounded by the distinct-combination count,
+    * so the join broadcasts whenever the banding upstream did its
+    * job. Suppression (dropping violators) is deterministic and
+    * engine-replicable, unlike pick-one-row-per-group masking. */
+  def suppressBelowK(df: DataFrame, quasiCols: Seq[String],
+                     k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, "k must be >= 2 (k = 1 keeps everything)")
+    val combos = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k)
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c"))
+      .reduce(_ && _)
+    df.join(combos, cond, "left_semi")
+  }
 }

@@ -4470,6 +4470,34 @@ class OperatorsSpec extends AnyFunSuite {
       5L -> (("added", "", 0))))
   }
 
+  test("kAnonymityViolations / suppressBelowK: sub-k combos reported " +
+       "and suppressed; null quasi-values group (and keep) as values") {
+    val d = spark.sql(
+      """select * from values
+        |  (1L, 'US', 'web'), (2L, 'US', 'web'), (3L, 'US', 'web'),
+        |  (4L, 'US', 'app'),
+        |  (5L, cast(null as string), 'web'),
+        |  (6L, cast(null as string), 'web'),
+        |  (7L, cast(null as string), 'web')
+        |  as t(id, geo, chan)""".stripMargin)
+    val v = graft.operators.Stats
+      .kAnonymityViolations(d, Seq("geo", "chan"), k = 3)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("∅"),
+        r.getString(1), r.getLong(2))).toSet
+    // only (US, app) is below 3; the null-geo combo has 3 rows
+    assert(v == Set(("US", "app", 1L)))
+    val kept = graft.operators.Stats
+      .suppressBelowK(d, Seq("geo", "chan"), k = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 5L, 6L, 7L)) // nulls survive via <=>
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Stats.kAnonymityViolations(d, Seq("geo"), 1)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Stats.suppressBelowK(d, Nil, 3)
+    }
+  }
+
   test("applyChanges: insert/update/delete with latest-seq-wins; " +
        "seq ties resolve to the delete; bad input fails loudly") {
     val snap = spark.sql(
