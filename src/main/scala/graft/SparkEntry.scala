@@ -29,6 +29,30 @@ object SparkEntry {
   private def runTag(dir: String): String =
     "p" + runPid + "_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** The CDC changeset the apply-changes pair derives from orders:
+    * upserts at seq 1 (%3 keys), superseding upserts at seq 2 (%9 —
+    * a subset, so latest-wins is exercised), deletes at seq 3 (%5 —
+    * including keys absent from the %4-filtered snapshot: no-ops). */
+  private def cdcChangesFixture(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val up1 = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit(1L).as("seq"),
+        lit("upsert").as("op"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 10).as("o_totalprice"))
+    val up2 = orders.filter(col("o_orderkey") % 9 === 0)
+      .select(col("o_orderkey"), lit(2L).as("seq"),
+        lit("upsert").as("op"), col("o_custkey"),
+        lit("V").as("o_orderstatus"),
+        (col("o_totalprice") + 20).as("o_totalprice"))
+    val del = orders.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit(3L).as("seq"),
+        lit("delete").as("op"), lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"))
+    up1.unionByName(up2).unionByName(del)
+  }
+
   /** The q_text_sentences / q_text_readability fixture prefix: one
     * string that exercises every rule of the segmentation chain —
     * guarded abbreviations, a chained decimal (both protect passes),
@@ -3498,23 +3522,32 @@ $joins"""
       val snap = orders.filter(col("o_orderkey") % 4 =!= 0)
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice")
-      val up1 = orders.filter(col("o_orderkey") % 3 === 0)
-        .select(col("o_orderkey"), lit(1L).as("seq"),
-          lit("upsert").as("op"), col("o_custkey"),
-          lit("U").as("o_orderstatus"),
-          (col("o_totalprice") + 10).as("o_totalprice"))
-      val up2 = orders.filter(col("o_orderkey") % 9 === 0)
-        .select(col("o_orderkey"), lit(2L).as("seq"),
-          lit("upsert").as("op"), col("o_custkey"),
-          lit("V").as("o_orderstatus"),
-          (col("o_totalprice") + 20).as("o_totalprice"))
-      val del = orders.filter(col("o_orderkey") % 5 === 0)
-        .select(col("o_orderkey"), lit(3L).as("seq"),
-          lit("delete").as("op"), lit(null).cast("long").as("o_custkey"),
-          lit(null).cast("string").as("o_orderstatus"),
-          lit(null).cast("double").as("o_totalprice"))
       graft.sources.Layout.applyChanges(snap,
-        up1.unionByName(up2).unionByName(del), Seq("o_orderkey"))
+        cdcChangesFixture(s, dir), Seq("o_orderkey"))
+    }),
+
+    // the SAME merge replayed from pure JSON: the changeset persists
+    // to parquet and the snapshot chain (source + filter + select +
+    // apply_changes) compiles from config — q_layout_apply's oracle
+    // verbatim
+    "q_pipeline_apply" -> ((s, dir) => {
+      val chg = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cfgchg_" + runTag(dir)).getPath
+      cdcChangesFixture(s, dir).coalesce(1)
+        .write.mode("overwrite").parquet(chg)
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "orders"}},
+           |  {"op": "filter",
+           |   "params": {"condition": "o_orderkey % 4 <> 0"}},
+           |  {"op": "select", "params": {"cols":
+           |    ["o_orderkey", "o_custkey", "o_orderstatus",
+           |     "o_totalprice"]}},
+           |  {"op": "apply_changes",
+           |   "params": {"changes_path": "$chg",
+           |              "key_cols": ["o_orderkey"]}}
+           |]""".stripMargin)
     }),
 
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
@@ -7917,6 +7950,7 @@ $joins"""
     base + ("q_pipeline_cfg" -> base("q_pipeline_curate")) +
       ("q_pipeline_dedup_store" -> base("q_dedup_store")) +
       ("q_pipeline_ann" -> base("q_sim_ivf_indexed")) +
-      ("q_pipeline_profile" -> base("q_stats_profile_shards"))
+      ("q_pipeline_profile" -> base("q_stats_profile_shards")) +
+      ("q_pipeline_apply" -> base("q_layout_apply"))
   }
 }

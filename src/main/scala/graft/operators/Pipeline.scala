@@ -727,7 +727,17 @@ object Pipeline {
       // test/dev sink: results land in an in-memory table named here
       "write_stream_memory" -> ((Seq("name"), Seq(),
         (df, p) => df.writeStream.format("memory")
-          .queryName(p.str("name")).outputMode("append").start())))
+          .queryName(p.str("name")).outputMode("append").start())),
+      // CDC sink: each micro-batch merges into a parquet snapshot
+      // (StreamOps.applyChangesStream — latest-seq-wins with the
+      // stale-change guard, atomic rename swap)
+      "merge_stream_snapshot" -> ((
+        Seq("snapshot_path", "checkpoint", "key_cols"),
+        Seq("seq_col", "op_col"),
+        (df, p) => graft.streaming.StreamOps.applyChangesStream(df,
+          p.str("snapshot_path"), p.strs("key_cols"),
+          p.str("checkpoint"), p.str("seq_col", Some("seq")),
+          p.str("op_col", Some("op"))))))
 
   /** Run a COMPLETE STREAMING job config: first step a streaming
     * source, transforms from the streamable whitelist between, last

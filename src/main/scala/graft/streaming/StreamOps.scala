@@ -2070,6 +2070,80 @@ object StreamOps {
     * returning user's first event then starts a fresh chain (one
     * boundary pair lost; the sessionize-counter TTL tradeoff).
     * Caller applies `withWatermark` upstream. */
+  /** Streaming snapshot maintenance — the streaming form of
+    * `Layout.applyChanges`: a CDC change stream (key + payload +
+    * `seqCol` + `opCol` ∈ upsert|delete) continuously merges into a
+    * parquet snapshot, micro-batch by micro-batch, via
+    * `foreachBatch`. The snapshot must exist (write an initial one,
+    * possibly empty-but-schema'd, before starting).
+    *
+    * Ordering + replay safety: when the snapshot carries `seqCol` as
+    * a payload column (recommended — include it in the initial
+    * write), each batch first drops STALE changes (change.seq ≤ the
+    * snapshot's seq for that key), so late-arriving lower-seq
+    * changes cannot overwrite newer state, and a micro-batch
+    * REPLAYED after a checkpoint/swap race re-applies as a no-op —
+    * end-to-end idempotent without a transaction log. Without
+    * `seqCol` in the snapshot, replay of the SAME batch is still
+    * idempotent (same upserts/deletes), but cross-batch seq order
+    * must be guaranteed by the source.
+    *
+    * Scale shape per batch: `applyChanges`' broadcast-anti plan (the
+    * snapshot never shuffles), plus — for the stale guard — one
+    * left join of the BATCH against the snapshot's (key, seq)
+    * projection. The rewrite lands in a sibling tmp dir and swaps in
+    * by rename (the `Layout.compact` discipline), so a concurrent
+    * reader never sees a half-written snapshot. */
+  def applyChangesStream(changes: DataFrame, snapshotPath: String,
+                         keyCols: Seq[String], checkpoint: String,
+                         seqCol: String = "seq", opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val snap = spark.read.parquet(snapshotPath)
+        val eligible =
+          if (!snap.columns.contains(seqCol)) batch
+          else {
+            val cur = snap.select(
+              keyCols.map(c => col(c).as(s"__s_$c")) :+
+                col(seqCol).as("__s_seq"): _*)
+            val on = keyCols.map(c => col(c) <=> col(s"__s_$c"))
+              .reduce(_ && _)
+            batch.join(cur, on, "left")
+              .filter(col("__s_seq").isNull ||
+                col(seqCol) > col("__s_seq"))
+              .select(batch.columns.map(col): _*)
+          }
+        val merged = graft.sources.Layout.applyChanges(
+          snap, eligible, keyCols, seqCol, opCol)
+        val fs = new org.apache.hadoop.fs.Path(snapshotPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val p = new org.apache.hadoop.fs.Path(snapshotPath)
+        val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+          p.getName + "__merge_tmp")
+        val old = new org.apache.hadoop.fs.Path(p.getParent,
+          p.getName + "__merge_old")
+        // the write action below reads the CURRENT snapshot while
+        // producing tmp; the swap happens only after it completes
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (!fs.rename(p, old)) throw new IllegalStateException(
+          s"applyChangesStream: could not move $snapshotPath aside")
+        if (!fs.rename(tmp, p)) {
+          fs.rename(old, p)
+          throw new IllegalStateException(
+            s"applyChangesStream: swap-in failed — snapshot " +
+              s"restored, merge left at $tmp")
+        }
+        fs.delete(old, true)
+        ()
+      }
+      .start()
+  }
+
   def transitionPairsStream(events: Dataset[Scd2Event],
                             idleRetentionSeconds: Option[Long] = None): Dataset[TransitionPair] = {
     import events.sparkSession.implicits._

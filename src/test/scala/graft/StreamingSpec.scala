@@ -19,6 +19,8 @@ case class LangDoc(doc_id: Long, lang: String, text: String)
 
 case class GzDoc(doc_id: Long, blob: Array[Byte])
 
+case class CdcChg(id: Long, seq: Long, op: String, s: String, v: Int)
+
 /** Structured Streaming behavior: the parity engine is a stateless
   * projection and runs unchanged on streams; stateful ops are watermarked. */
 class StreamingSpec extends AnyFunSuite {
@@ -2629,6 +2631,81 @@ class StreamingSpec extends AnyFunSuite {
     val gated = Pipeline.fromStepsStreaming(Seq(Pipeline.Step("tag")),
       extra = Map("tag" -> tag), extraStreamable = Set("tag"))
     assert(gated(input.toDF()).isStreaming)
+  }
+
+  test("applyChangesStream maintains a parquet snapshot from a CDC " +
+       "stream: micro-batch merges, stale changes ignored via the " +
+       "snapshot's seq column, swap leaves no half-written state") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cdc-stream")
+    val snapPath = base.resolve("snap").toString
+    val ckpt = base.resolve("ckpt").toString
+    // initial snapshot CARRIES seq — the stale-guard contract
+    Seq((1L, "a", 10, 0L), (2L, "b", 20, 0L), (3L, "c", 30, 0L))
+      .toDF("id", "s", "v", "seq")
+      .coalesce(1).write.parquet(snapPath)
+    val input = MemoryStream[CdcChg]
+    val q = StreamOps.applyChangesStream(input.toDF(), snapPath,
+      Seq("id"), ckpt)
+    def snap() = s.read.parquet(snapPath).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("s"), r.getAs[Int]("v"),
+          r.getAs[Long]("seq")))).toMap
+    input.addData(
+      CdcChg(2, 2, "upsert", "b2", 21),  // update
+      CdcChg(5, 1, "upsert", "e", 50),   // insert
+      CdcChg(3, 2, "delete", null, 0))   // delete
+    q.processAllAvailable()
+    assert(snap() == Map(
+      1L -> (("a", 10, 0L)), 2L -> (("b2", 21, 2L)),
+      5L -> (("e", 50, 1L))))
+    input.addData(
+      CdcChg(2, 1, "upsert", "STALE", 99), // seq 1 <= applied 2: ignored
+      CdcChg(1, 5, "upsert", "a2", 11))
+    q.processAllAvailable()
+    q.stop()
+    assert(snap() == Map(
+      1L -> (("a2", 11, 5L)), 2L -> (("b2", 21, 2L)),
+      5L -> (("e", 50, 1L))))
+    // no merge debris next to the snapshot after the swaps
+    val leftovers = new java.io.File(base.toString).list().toSet
+    assert(leftovers == Set("snap", "ckpt"), leftovers.toString)
+  }
+
+  test("merge_stream_snapshot: the CDC sink runs from a pure-JSON " +
+       "streaming job config") {
+    import graft.operators.Pipeline
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cdc-cfg")
+    val snapPath = base.resolve("snap").toString
+    val srcDir = base.resolve("in").toString
+    Seq((1L, "a", 10, 0L), (2L, "b", 20, 0L))
+      .toDF("id", "s", "v", "seq")
+      .coalesce(1).write.parquet(snapPath)
+    // a parquet-file change stream: drop one change file in
+    Seq(CdcChg(2, 3, "upsert", "b2", 22), CdcChg(4, 1, "upsert", "d", 40))
+      .toDF().coalesce(1).write.parquet(srcDir)
+    val q = Pipeline.startStreamJson(s,
+      s"""[
+         |  {"op": "read_stream_parquet",
+         |   "params": {"path": "$srcDir", "schema":
+         |     "id BIGINT, seq BIGINT, op STRING, s STRING, v INT"}},
+         |  {"op": "merge_stream_snapshot",
+         |   "params": {"snapshot_path": "$snapPath",
+         |              "checkpoint": "${base.resolve("ck")}",
+         |              "key_cols": ["id"]}}
+         |]""".stripMargin)
+    q.processAllAvailable()
+    q.stop()
+    val got = s.read.parquet(snapPath).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("s")).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 4L -> "d"))
   }
 
   test("windowed_stats_watermarked: a STATEFUL step from pure config " +
