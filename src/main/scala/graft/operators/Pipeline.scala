@@ -737,7 +737,18 @@ object Pipeline {
         (df, p) => graft.streaming.StreamOps.applyChangesStream(df,
           p.str("snapshot_path"), p.strs("key_cols"),
           p.str("checkpoint"), p.str("seq_col", Some("seq")),
-          p.str("op_col", Some("op"))))))
+          p.str("op_col", Some("op"))))),
+      // retrieval sink: each micro-batch of documents folds into the
+      // persisted BM25 index (StreamOps.mergeSearchIndexStream —
+      // already-indexed ids skip, swap-in by rename)
+      "merge_stream_search_index" -> ((
+        Seq("index_path", "checkpoint"),
+        Seq("id_col", "text_col", "shards"),
+        (df, p) => graft.streaming.StreamOps.mergeSearchIndexStream(df,
+          p.str("index_path"), p.str("checkpoint"),
+          p.str("id_col", Some("doc_id")),
+          p.str("text_col", Some("text")),
+          p.int("shards", Some(0))))))
 
   /** Run a COMPLETE STREAMING job config: first step a streaming
     * source, transforms from the streamable whitelist between, last

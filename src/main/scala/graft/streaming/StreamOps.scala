@@ -2119,30 +2119,80 @@ object StreamOps {
           }
         val merged = graft.sources.Layout.applyChanges(
           snap, eligible, keyCols, seqCol, opCol)
-        val fs = new org.apache.hadoop.fs.Path(snapshotPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val p = new org.apache.hadoop.fs.Path(snapshotPath)
-        val tmp = new org.apache.hadoop.fs.Path(p.getParent,
-          p.getName + "__merge_tmp")
-        val old = new org.apache.hadoop.fs.Path(p.getParent,
-          p.getName + "__merge_old")
-        // the write action below reads the CURRENT snapshot while
+        // the write action reads the CURRENT snapshot while
         // producing tmp; the swap happens only after it completes
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(old)) fs.delete(old, true)
-        if (!fs.rename(p, old)) throw new IllegalStateException(
-          s"applyChangesStream: could not move $snapshotPath aside")
-        if (!fs.rename(tmp, p)) {
-          fs.rename(old, p)
-          throw new IllegalStateException(
-            s"applyChangesStream: swap-in failed — snapshot " +
-              s"restored, merge left at $tmp")
-        }
-        fs.delete(old, true)
-        ()
+        writeAndSwap(snapshotPath, "applyChangesStream")(tmp =>
+          merged.write.mode("overwrite").parquet(tmp))
       }
       .start()
   }
+
+  /** Produce a rewrite of a live directory into a sibling tmp (the
+    * caller's `produce` runs with the live path still readable),
+    * then swap it in by rename — the `Layout.compact` discipline: a
+    * concurrent reader sees either the old version or the new one,
+    * never a half-written directory. */
+  private def writeAndSwap(livePath: String, what: String)
+                          (produce: String => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(livePath)
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + "__merge_tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + "__merge_old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    produce(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old)) throw new IllegalStateException(
+      s"$what: could not move $livePath aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p)
+      throw new IllegalStateException(
+        s"$what: swap-in failed — original restored, rewrite at $tmp")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Continuously-refreshed retrieval: a document stream folds into
+    * the persisted BM25 index (`TextSearch.writeSearchIndex` layout)
+    * one micro-batch at a time — `TextSearch.mergeSearchIndex`'s
+    * posting-union merge into a sibling tmp, swapped in by rename,
+    * so concurrent `bm25FromIndex` probes always see a complete
+    * index. The index must exist before the stream starts (write an
+    * initial one, possibly from an empty corpus).
+    *
+    * Idempotence: each batch first drops doc ids ALREADY in the
+    * index (one anti join against the postings' pruned doc_id
+    * column), so a micro-batch replayed after a checkpoint/swap race
+    * re-applies as a no-op instead of tripping the merge's
+    * disjointness gate. Consequence: first write wins per doc id —
+    * a re-crawled document with changed text is NOT re-indexed;
+    * dedup/versioning belongs upstream (give revisions new ids or
+    * rebuild the shard). Per-batch cost: the merge's posting union
+    * (∝ index + batch) plus the pruned id scan — never corpus×batch
+    * pairing. */
+  def mergeSearchIndexStream(docs: DataFrame, indexPath: String,
+                             checkpoint: String,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             shards: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing = spark.read.parquet(s"$indexPath/postings")
+          .select(col("doc_id").as("__seen")).distinct()
+        val fresh = batch
+          .join(existing, col(idCol) === col("__seen"), "left_anti")
+        if (!fresh.isEmpty) {
+          writeAndSwap(indexPath, "mergeSearchIndexStream")(tmp =>
+            graft.operators.TextSearch.mergeSearchIndex(
+              spark, indexPath, fresh, tmp, idCol, textCol, shards))
+        }
+      }
+      .start()
 
   def transitionPairsStream(events: Dataset[Scd2Event],
                             idleRetentionSeconds: Option[Long] = None): Dataset[TransitionPair] = {

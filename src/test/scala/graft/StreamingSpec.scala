@@ -2708,6 +2708,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> "a", 2L -> "b2", 4L -> "d"))
   }
 
+  test("mergeSearchIndexStream folds a document stream into the " +
+       "persisted BM25 index: probes equal a directly-built index " +
+       "over the union; re-sent ids are no-ops") {
+    import graft.operators.TextSearch
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docs = s.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60).cache()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-idx-stream")
+    val idx = base.resolve("idx").toString
+    val initial = docs.filter(col("doc_id") % 3 === 0)
+    TextSearch.writeSearchIndex(initial, idx)
+    val input = MemoryStream[LangDoc]
+    val q = StreamOps.mergeSearchIndexStream(
+      input.toDF().select(col("doc_id"), col("text")), idx,
+      base.resolve("ck").toString)
+    val rows = docs.collect().map(r =>
+      LangDoc(r.getLong(0), "en", r.getString(1)))
+    val batch1 = rows.filter(_.doc_id % 3 == 1)
+    val batch2 = rows.filter(_.doc_id % 3 == 2)
+    input.addData(batch1.toSeq: _*)
+    q.processAllAvailable()
+    input.addData(batch2.toSeq: _*)
+    q.processAllAvailable()
+    // replay: same ids again — must be a no-op, not a corrupt merge
+    input.addData(batch1.take(5).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val queries = Seq((0L, "spark join fast"), (1L, "customer order"))
+      .toDF("query_id", "qtext")
+    val direct = base.resolve("direct").toString
+    TextSearch.writeSearchIndex(docs, direct)
+    def top(path: String) = TextSearch
+      .bm25FromIndex(s, path, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).toSet
+    assert(top(idx) == top(direct) && top(idx).nonEmpty)
+    val leftovers = new java.io.File(base.toString).list().toSet
+    assert(leftovers == Set("idx", "ck", "direct"), leftovers.toString)
+  }
+
   test("windowed_stats_watermarked: a STATEFUL step from pure config " +
        "— append-mode finalized windows == batch windowed_stats on " +
        "the same rows; missing watermark stays non-streamable") {
