@@ -3526,6 +3526,28 @@ $joins"""
         cdcChangesFixture(s, dir), Seq("o_orderkey"))
     }),
 
+    // the SAME merge against the bucketed (partition-pruned) layout:
+    // snapshot persists hash-partitioned by key, only directories
+    // holding changed keys are read and rewritten (pruning + file
+    // bit-stability spec-asserted; this fixture's delta touches all
+    // buckets, so here the value proven is layout-equivalence) —
+    // q_layout_apply's oracle verbatim
+    "q_layout_apply_bucketed" -> ((s, dir) => {
+      val snapPath = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cdcsnap_" + runTag(dir)).getPath
+      val snap = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice")
+      graft.sources.Layout.writeBucketedSnapshot(snap, snapPath,
+        Seq("o_orderkey"), nBuckets = 16)
+      graft.sources.Layout.applyChangesBucketed(s, snapPath,
+        cdcChangesFixture(s, dir), Seq("o_orderkey"), nBuckets = 16)
+      s.read.parquet(snapPath)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice")
+    }),
+
     // the SAME merge replayed from pure JSON: the changeset persists
     // to parquet and the snapshot chain (source + filter + select +
     // apply_changes) compiles from config — q_layout_apply's oracle
@@ -7951,6 +7973,7 @@ $joins"""
       ("q_pipeline_dedup_store" -> base("q_dedup_store")) +
       ("q_pipeline_ann" -> base("q_sim_ivf_indexed")) +
       ("q_pipeline_profile" -> base("q_stats_profile_shards")) +
-      ("q_pipeline_apply" -> base("q_layout_apply"))
+      ("q_pipeline_apply" -> base("q_layout_apply")) +
+      ("q_layout_apply_bucketed" -> base("q_layout_apply"))
   }
 }

@@ -4548,6 +4548,72 @@ class OperatorsSpec extends AnyFunSuite {
       plan.contains("LeftAnti"), plan)
   }
 
+  test("applyChangesBucketed rewrites ONLY touched partitions: " +
+       "results equal the unpartitioned merge, untouched bucket " +
+       "files are bit-stable, an emptied bucket's dir is dropped") {
+    import graft.sources.Layout
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text").limit(200).cache()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cdc-bucketed").toString + "/snap"
+    val nBuckets = 8
+    Layout.writeBucketedSnapshot(docs, base, Seq("doc_id"), nBuckets)
+    // changes touch a FEW keys: updates + one delete
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val updIds = ids.take(3).toSet
+    val delId = ids(5)
+    val changes = docs
+      .filter(col("doc_id").isin((updIds + delId).toSeq: _*))
+      .select(col("doc_id"), lit(1L).as("seq"),
+        when(col("doc_id") === delId, "delete").otherwise("upsert")
+          .as("op"),
+        col("lang"), concat(col("text"), lit(" v2")).as("text"))
+    def files(): Map[String, Set[(String, Long, Long)]] =
+      new java.io.File(base).listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().filter(_.isFile)
+          .map(f => (f.getName, f.length, f.lastModified)).toSet)
+        .toMap
+    val before = files()
+    val touched = Layout.applyChangesBucketed(spark, base, changes,
+      Seq("doc_id"), nBuckets)
+    assert(touched.nonEmpty && touched.size < nBuckets)
+    val after = files()
+    val touchedDirs = touched.map(b => s"__bucket=$b").toSet
+    // untouched directories: identical file name/size/mtime sets
+    for ((d, fs) <- before if !touchedDirs.contains(d))
+      assert(after(d) == fs, s"untouched $d was rewritten")
+    // results == the unpartitioned merge (modulo the layout column)
+    val got = spark.read.parquet(base)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val expect = Layout.applyChanges(docs, changes, Seq("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == expect)
+    assert(!got.exists(_._1 == delId) &&
+      updIds.forall(i => got.exists(t => t._1 == i &&
+        t._3.endsWith(" v2"))))
+    // an emptied bucket's directory is dropped: delete EVERYTHING
+    // in one bucket
+    val b0 = spark.read.parquet(base)
+      .filter(col("__bucket") === touched.head)
+      .select("doc_id").collect().map(_.getLong(0))
+    val delAll = spark.createDataFrame(
+      spark.sparkContext.parallelize(b0.toSeq.map(i =>
+        org.apache.spark.sql.Row(i, 2L, "delete",
+          null, null))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, seq BIGINT, op STRING, lang STRING, " +
+          "text STRING"))
+    Layout.applyChangesBucketed(spark, base, delAll,
+      Seq("doc_id"), nBuckets)
+    assert(!new java.io.File(base,
+      s"__bucket=${touched.head}").exists())
+    assert(spark.read.parquet(base).filter(
+      col("doc_id").isin(b0.toSeq: _*)).count() == 0)
+  }
+
   test("vocabCoverage: per-doc OOV against a vocab; null text survives") {
     val d = spark.sql(
       """select * from values
