@@ -1851,6 +1851,21 @@ $joins"""
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionScores(t(s, dir, "documents"), "doc_id")),
 
+    // line-level code detection (the prose-vs-code router): the
+    // fixture injects an indented line (%3), a brace-terminated
+    // statement (%4) and a keyword line (%5) so every rule and their
+    // combinations are exercised against the prose base line
+    "q_text_code" -> ((s, dir) =>
+      TextAnalysis.codeLineStats(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit("\n    indented continuation line")).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0,
+              lit("\nif (x) { y(); }")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              lit("\nreturn value")).otherwise(lit("")))))),
+
     // winnowing fingerprints: any shared (w+k-1)-word run between two
     // docs shares a fingerprint, at ~2/(w+1) the density of shingles
     "q_text_winnow" -> ((s, dir) =>
@@ -5646,6 +5661,42 @@ $joins"""
            |    round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
            |    ELSE 0.0 END AS dup_frac_3
            |FROM grams""".stripMargin,
+
+      // same three line rules (RE2 and Java agree on this regex
+      // subset), same round-6-then-compare flag
+      "q_text_code" ->
+        """WITH t AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 3 = 0
+          |      THEN chr(10) || '    indented continuation line'
+          |      ELSE '' END ||
+          |    CASE WHEN doc_id % 4 = 0
+          |      THEN chr(10) || 'if (x) { y(); }' ELSE '' END ||
+          |    CASE WHEN doc_id % 5 = 0
+          |      THEN chr(10) || 'return value' ELSE '' END AS text2
+          |  FROM documents
+          |), l AS (
+          |  SELECT doc_id, list_filter(string_split(text2, chr(10)),
+          |    x -> len(trim(x)) > 0) AS ls
+          |  FROM t
+          |), c AS (
+          |  SELECT doc_id, len(ls) AS n_lines,
+          |    len(list_filter(ls, x ->
+          |      regexp_matches(x, '^(\s{4,}|\t)') OR
+          |      regexp_matches(x, '[;{}]\s*$') OR
+          |      regexp_matches(x,
+          |        '\b(def|class|import|return|function|const|let)\b')))
+          |      AS code_lines
+          |  FROM l
+          |)
+          |SELECT doc_id, n_lines, code_lines,
+          |  CASE WHEN n_lines > 0
+          |    THEN round(CAST(code_lines AS DOUBLE) / n_lines, 6)
+          |  END AS code_frac,
+          |  CASE WHEN n_lines > 0
+          |    THEN round(CAST(code_lines AS DOUBLE) / n_lines, 6) >= 0.3
+          |    ELSE false END AS is_codey
+          |FROM c""".stripMargin,
 
       // winnow oracle: identical 48-bit md5-prefix gram hashes, and the
       // fingerprint SET depends only on window-minimum VALUES — no

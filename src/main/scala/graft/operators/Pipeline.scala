@@ -382,6 +382,16 @@ object Pipeline {
         df => TextClassify.scoreLogisticInline(df, weights, id, text)
       }),
 
+    // prose-vs-code routing signal (pure projection, stream-safe)
+    "code_line_stats" -> OpSpec(Set(),
+      Set("id_col", "text_col", "threshold"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val text = p.str("text_col", Some("text"))
+        val thr = p.dbl("threshold", Some(0.3))
+        df => TextAnalysis.codeLineStats(df, id, text, thr)
+      }),
+
     "pieces_tokenize_stored" -> OpSpec(Set("model_path"),
       Set("text_col", "id_col"),
       p => {
@@ -893,7 +903,7 @@ object Pipeline {
     "gopher_quality_flags", "chunk_by_tokens", "sample_fraction",
     "split_by_hash", "bpe_tokenize_stored", "score_logistic_stored",
     "pieces_tokenize_stored", "unigram_tokenize_stored",
-    "windowed_stats_watermarked",
+    "windowed_stats_watermarked", "code_line_stats",
     "parse_warc_records", "http_responses", "extract_text",
     "canonicalize_urls", "split_sentences", "readability_scores",
     "gopher_repetition_flags", "compression_ratio")

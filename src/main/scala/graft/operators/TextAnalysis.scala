@@ -1184,6 +1184,44 @@ object TextAnalysis {
         col("pair_count"), col("pmi"))
   }
 
+  /** Line-level code detection — the prose-vs-code router a mixed
+    * crawl needs before tokenizer/quality decisions (code wants a
+    * byte-level tokenizer and different quality gates than prose;
+    * StarCoder-style pipelines gate on exactly this signal). Three
+    * deliberately small, engine-replicable rules mark a non-empty
+    * line as code-like: a ≥4-space/tab indent, a `;`/`{`/`}` line
+    * end, or a programming keyword. Output per document:
+    * `(id, n_lines, code_lines, code_frac, is_codey)` with
+    * `code_frac` rounded to 6 decimals BEFORE the threshold compare
+    * (so the flag is reproducible across engines).
+    *
+    * Scale shape: one narrow projection over the scan — the line
+    * array materializes behind its own select boundary so the three
+    * per-line regexes run against bound elements, not a re-`split`
+    * per element (Spark HOF lambdas have no CSE). */
+  def codeLineStats(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    threshold: Double = 0.3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val isCode = (l: Column) =>
+      l.rlike("^(\\s{4,}|\\t)") || l.rlike("[;{}]\\s*$") ||
+        l.rlike("\\b(def|class|import|return|function|const|let)\\b")
+    docs
+      .select(col(idCol), split(col(textCol), "\n").as("__lines"))
+      .select(col(idCol),
+        filter(col("__lines"),
+          l => length(trim(l)) > 0).as("__nz"))
+      .select(col(idCol),
+        size(col("__nz")).as("n_lines"),
+        size(filter(col("__nz"), isCode)).as("code_lines"))
+      .withColumn("code_frac",
+        when(col("n_lines") > 0,
+          round(col("code_lines").cast("double") / col("n_lines"), 6)))
+      .withColumn("is_codey",
+        when(col("n_lines") > 0, col("code_frac") >= threshold)
+          .otherwise(lit(false)))
+  }
+
   /** Convenience: annotate a documents table with the full analysis set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -4470,6 +4470,33 @@ class OperatorsSpec extends AnyFunSuite {
       5L -> (("added", "", 0))))
   }
 
+  test("codeLineStats: indent / statement-end / keyword rules per " +
+       "non-empty line; rounded fraction gates the flag") {
+    val d = spark.sql(
+      """select * from values
+        |  (1L, 'plain prose line\nanother prose line'),
+        |  (2L, 'def f(x):\n    return x + 1\n\nprose'),
+        |  (3L, 'x = 1;\n{\n}\n'),
+        |  (4L, ''),
+        |  (5L, 'let x be the prose subject of this import duty')
+        |  as t(doc_id, text)""".stripMargin)
+      .withColumn("text",
+        regexp_replace(col("text"), "\\\\n", "\n"))
+    val got = TextAnalysis.codeLineStats(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getBoolean(4)))).toMap
+    assert(got(1L) == ((2, 0, Some(0.0), false)))
+    // doc 2: 'def f(x):' keyword, '    return x + 1' indent+keyword;
+    // the empty line between is dropped
+    assert(got(2L) == ((3, 2, Some(0.666667), true)))
+    assert(got(3L) == ((3, 3, Some(1.0), true)))
+    assert(got(4L) == ((0, 0, None, false))) // empty doc: no lines
+    // prose containing keyword WORDS still trips the word rule —
+    // by design the rules are cheap signals, the fraction is the gate
+    assert(got(5L)._4 == true)
+  }
+
   test("kAnonymityViolations / suppressBelowK: sub-k combos reported " +
        "and suppressed; null quasi-values group (and keep) as values") {
     val d = spark.sql(
