@@ -748,6 +748,15 @@ object Pipeline {
           p.str("snapshot_path"), p.strs("key_cols"),
           p.str("checkpoint"), p.str("seq_col", Some("seq")),
           p.str("op_col", Some("op"))))),
+      // monitoring sink: one mergeable profile shard per micro-batch
+      // (StreamOps.profileShardsStream — profile_from_shards reads
+      // the corpus profile at any moment without rescanning)
+      "write_stream_profile_shards" -> ((
+        Seq("path", "checkpoint", "cols", "shard_cols"),
+        Seq(),
+        (df, p) => graft.streaming.StreamOps.profileShardsStream(df,
+          p.str("path"), p.str("checkpoint"), p.strs("cols"),
+          p.strs("shard_cols")))),
       // retrieval sink: each micro-batch of documents folds into the
       // persisted BM25 index (StreamOps.mergeSearchIndexStream —
       // already-indexed ids skip, swap-in by rename)

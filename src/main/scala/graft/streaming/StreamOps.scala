@@ -2194,6 +2194,30 @@ object StreamOps {
       }
       .start()
 
+  /** Incremental corpus statistics from a stream: each micro-batch
+    * persists ONE mergeable profile shard (`Stats.writeProfileShards`
+    * layout) under `path/batch=<id>`, so `Stats.profileFromShards`
+    * over `path` yields the corpus profile at any moment WITHOUT
+    * rescanning ingested data — the monitoring half of a streaming
+    * ingest gate (row counts, null rates, min/max/mean drift), at
+    * one bounded summary row-group per batch per shard key.
+    *
+    * Idempotence: the shard directory is keyed by the micro-batch id
+    * and written with overwrite, the canonical exactly-once
+    * `foreachBatch` sink pattern — a replayed batch rewrites its own
+    * shard instead of double-counting. */
+  def profileShardsStream(docs: DataFrame, path: String,
+                          checkpoint: String, cols: Seq[String],
+                          shardCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Stats.writeProfileShards(
+          batch, s"$path/batch=$id", cols, shardCols)
+      }
+      .start()
+
   def transitionPairsStream(events: Dataset[Scd2Event],
                             idleRetentionSeconds: Option[Long] = None): Dataset[TransitionPair] = {
     import events.sparkSession.implicits._

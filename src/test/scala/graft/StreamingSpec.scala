@@ -2708,6 +2708,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> "a", 2L -> "b2", 4L -> "d"))
   }
 
+  test("profileShardsStream: per-micro-batch mergeable shards — the " +
+       "merged profile equals one batch pass over all ingested rows") {
+    import graft.operators.Stats
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-prof-stream")
+    val shards = base.resolve("shards").toString
+    val docs = s.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text").limit(80)
+    val rows = docs.collect().map(r =>
+      LangDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[LangDoc]
+    val q = StreamOps.profileShardsStream(input.toDF(), shards,
+      base.resolve("ck").toString, Seq("doc_id"), Seq("lang"))
+    input.addData(rows.take(30).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(30).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def prof(path: String) = Stats
+      .profileFromShards(s, path, Seq("doc_id")).collect()
+      .map(r => r.toSeq.map(String.valueOf).mkString("|")).toSet
+    val direct = base.resolve("direct").toString
+    Stats.writeProfileShards(docs, direct, Seq("doc_id"), Seq("lang"))
+    assert(prof(shards) == prof(direct) && prof(shards).nonEmpty)
+  }
+
   test("mergeSearchIndexStream folds a document stream into the " +
        "persisted BM25 index: probes equal a directly-built index " +
        "over the union; re-sent ids are no-ops") {
