@@ -1673,6 +1673,83 @@ object Multimodal {
       }(enc)
   }
 
+  /** Sample-rate conversion for PCM WAV payloads — the audio analogue
+    * of the image resizes: feature extractors (MFCC filterbanks, VAD
+    * frames) assume one rate, crawled audio arrives at many. Rows
+    * whose mime is `audio/wav` re-encode at `targetRate`; everything
+    * else passes through unchanged (the [[resizeWith]] mixed-corpus
+    * contract). */
+  def resampleWav(assets: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate >= 1 && targetRate <= 768000,
+      "targetRate must be in [1, 768000]")
+    resizeWith(assets, Set("audio/wav"), resampleWavRaw(_, targetRate))
+  }
+
+  /** Linear-interpolation PCM resample, re-encoded canonical 16-bit
+    * little-endian WAV (44-byte header; 8-bit input widens to 16).
+    * Source positions are exact rationals (`i·srcRate / targetRate`
+    * split into integer index + fractional part), so the mapping has
+    * no float accumulation drift — sample i's value depends only on
+    * its two source neighbors, deterministically. Output length =
+    * ceil(frames·target/src) frames; the final fractional position
+    * clamps to the last frame. All sizing arithmetic runs in Long
+    * with a 256 MB output budget BEFORE allocation. */
+  private[graft] def resampleWavRaw(content: Array[Byte],
+                                    targetRate: Int): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val lay = parseWav(content).getOrElse(return None)
+    val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    val ch = lay.channels
+    if (ch > 64) return None // byte-rate header would overflow Int
+    val srcFrames = lay.n / ch
+    if (srcFrames == 0) return None
+    val dstFramesL =
+      (srcFrames.toLong * targetRate + lay.sampleRate - 1) / lay.sampleRate
+    val outBytesL = 44L + dstFramesL * ch * 2
+    if (outBytesL > (256L << 20)) return None
+    val dstFrames = dstFramesL.toInt
+    def src(frame: Int, c: Int): Int = {
+      val idx = frame * ch + c
+      if (lay.bits == 16) bb.getShort(lay.dataOff + idx * 2).toInt
+      else (((content(lay.dataOff + idx) & 0xff) - 128) << 8)
+    }
+    val out = new Array[Byte](outBytesL.toInt)
+    val ob = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < dstFrames) {
+      val num = i.toLong * lay.sampleRate
+      val idx0 = math.min(num / targetRate, (srcFrames - 1).toLong).toInt
+      val idx1 = math.min(idx0 + 1, srcFrames - 1)
+      val fracNum = num - idx0.toLong * targetRate // < targetRate
+      var c = 0
+      while (c < ch) {
+        val a = src(idx0, c).toDouble
+        val b = src(idx1, c).toDouble
+        val v = a + (b - a) * (fracNum.toDouble / targetRate)
+        val s = math.max(-32768.0, math.min(32767.0, math.rint(v)))
+        ob.putShort(44 + (i * ch + c) * 2, s.toShort)
+        c += 1
+      }
+      i += 1
+    }
+    // canonical PCM header
+    val dataLen = dstFrames * ch * 2
+    ob.putInt(0, 0x46464952)             // "RIFF"
+    ob.putInt(4, 36 + dataLen)
+    ob.putInt(8, 0x45564157)             // "WAVE"
+    ob.putInt(12, 0x20746d66)            // "fmt "
+    ob.putInt(16, 16)
+    ob.putShort(20, 1)                   // PCM
+    ob.putShort(22, ch.toShort)
+    ob.putInt(24, targetRate)
+    ob.putInt(28, targetRate * ch * 2)   // byte rate
+    ob.putShort(32, (ch * 2).toShort)    // block align
+    ob.putShort(34, 16)                  // bits
+    ob.putInt(36, 0x61746164)            // "data"
+    ob.putInt(40, dataLen)
+    Some(out)
+  }
+
   /** The one nearest-neighbor source-index mapping every resize path
     * uses, over the shared dense-pixel form. */
   private def resampleDense(img: PngImage, targetW: Int,

@@ -3102,6 +3102,67 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(2L).getSeq[Double](3) == fallback.getSeq[Double](3))
   }
 
+  test("resampleWav: exact linear interpolation on a ramp, rate and " +
+       "duration preserved through decode, mixed rows pass through") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val s = spark
+    import s.implicits._
+    def wav(rate: Int, pcm: Array[Short], channels: Int = 1): Array[Byte] = {
+      val dataLen = pcm.length * 2
+      val bb = ByteBuffer.allocate(44 + dataLen)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("ASCII"))
+        .put("fmt ".getBytes("ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+        .putShort(16)
+        .put("data".getBytes("ASCII")).putInt(dataLen)
+      pcm.foreach(bb.putShort)
+      bb.array()
+    }
+    // 2x upsample of an even ramp: midpoints are EXACT integers
+    val ramp = Array[Short](0, 2, 4, 6)
+    val up = Multimodal.resampleWavRaw(wav(4, ramp), 8).get
+    val ub = ByteBuffer.wrap(up).order(ByteOrder.LITTLE_ENDIAN)
+    assert(ub.getInt(24) == 8) // new rate in the header
+    val got = (0 until ub.getInt(40) / 2).map(i => ub.getShort(44 + 2 * i))
+    assert(got == Seq[Short](0, 1, 2, 3, 4, 5, 6, 6)) // tail clamps
+    // a real tone survives a 8k -> 16k -> spectral round trip
+    val sr = 8000
+    val tone = Array.tabulate(1600)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / sr) * 32767).toShort)
+    val assets = Seq((1L, wav(sr, tone)),
+        (2L, "not audio".getBytes("UTF-8")))
+      .toDF("id", "content")
+      .select(col("id"), col("content"),
+        struct(lit("audio/wav").as("mime"), lit("synth").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes"))
+          .as("meta"))
+    val res = Multimodal.resampleWav(assets, 16000)
+    val rows = res.collect().map(r => r.getLong(0) -> r).toMap
+    val outWav = rows(1L).getAs[Array[Byte]](1)
+    val feats = Multimodal.decodeWavPcm(1L, outWav).get.getSeq[Double](3)
+    // [duration, rms, peak, zcr, mean, rate, channels, bits]
+    assert(math.abs(feats(0) - 0.2) < 1e-3, s"duration ${feats(0)}")
+    assert(feats(5) == 16000.0 && feats(6) == 1.0 && feats(7) == 16.0)
+    assert(math.abs(feats(1) - 0.5 / math.sqrt(2)) < 0.01)
+    val spec = Multimodal.spectralFeatures(
+      res.filter(col("id") === 1L)).collect().head
+    assert(math.abs(spec.getAs[Double]("dominant_hz") - 440.0) < 32.0,
+      s"dominant ${spec.getAs[Double]("dominant_hz")}")
+    // non-wav rows pass through byte-identical
+    assert(rows(2L).getAs[Array[Byte]](1)
+      .sameElements("not audio".getBytes("UTF-8")))
+    // stereo: channels resample independently and interleave back
+    val st = Multimodal.resampleWavRaw(
+      wav(4, Array[Short](0, 100, 2, 102, 4, 104), channels = 2), 8).get
+    val sb = ByteBuffer.wrap(st).order(ByteOrder.LITTLE_ENDIAN)
+    val stGot = (0 until sb.getInt(40) / 2).map(i => sb.getShort(44 + 2 * i))
+    assert(stGot == Seq[Short](0, 100, 1, 101, 2, 102, 3, 103, 4, 104,
+      4, 104))
+  }
+
   test("energySegments finds exact activity bounds; hangover bridges short gaps") {
     import java.nio.{ByteBuffer, ByteOrder}
     val s = spark
