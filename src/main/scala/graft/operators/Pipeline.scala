@@ -641,6 +641,29 @@ object Pipeline {
           LanguageModel.trainNgrams(df, p.str("id_col", Some("doc_id")),
             p.str("text_col", Some("text")), n), p.str("path"), n)
       })),
+    "train_pieces_model" -> ((Seq("path"),
+      Seq("text_col", "top_n", "max_piece_len"),
+      (df, p) => {
+        val len = p.int("max_piece_len", Some(8))
+        ModelStore.writePiecesModel(
+          TextAnalysis.trainPieces(df, p.str("text_col", Some("text")),
+            p.int("top_n", Some(500)), len), p.str("path"), len)
+      })),
+    "train_unigram_model" -> ((Seq("path"),
+      Seq("text_col", "seed_top_n", "max_piece_len", "keep_n",
+        "em_rounds", "max_word_len"),
+      (df, p) => {
+        val len = p.int("max_piece_len", Some(6))
+        ModelStore.writeUnigramModel(
+          TextAnalysis.trainUnigram(df, p.str("text_col", Some("text")),
+            p.int("seed_top_n", Some(200)), len,
+            p.int("keep_n", Some(100)), p.int("em_rounds", Some(2)),
+            p.int("max_word_len", Some(16))), p.str("path"), len)
+      })),
+    "train_lm_model" -> ((Seq("path"), Seq("id_col", "text_col"),
+      (df, p) => ModelStore.writeLmModel(
+        LanguageModel.trainBigram(df, p.str("id_col", Some("doc_id")),
+          p.str("text_col", Some("text"))), p.str("path")))),
     "train_logistic_model" -> ((Seq("path", "label_col"),
       Seq("id_col", "text_col", "dim", "iters"),
       (df, p) => ModelStore.writeLogisticModel(

@@ -281,6 +281,56 @@ class PipelineSpec extends AnyFunSuite {
       e.getMessage.contains("logistic"))
   }
 
+  test("every stored-inference step has a training-sink twin: " +
+       "pieces/unigram/bigram-LM train as job configs and serve " +
+       "bit-identically to the direct train path") {
+    import graft.operators.{LanguageModel, ModelStore}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-train-sinks").toString
+    def trainCfg(sink: String, path: String, extra: String = "") =
+      Pipeline.runJobJson(spark,
+        s"""[
+           |  {"op": "read_table",
+           |   "params": {"dir": "$dir", "table": "documents"}},
+           |  {"op": "filter", "params": {"condition": "doc_id % 10 <> 0"}},
+           |  {"op": "$sink", "params": {"path": "$path"$extra}}
+           |]""".stripMargin)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val held = docs.filter(col("doc_id") % 10 === 0)
+    def strSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+    trainCfg("train_pieces_model", s"$base/pieces",
+      """, "top_n": 100, "max_piece_len": 5""")
+    val directPieces = s"$base/pieces_direct"
+    ModelStore.writePiecesModel(
+      TextAnalysis.trainPieces(train, "text", topN = 100,
+        maxPieceLen = 5), directPieces, maxPieceLen = 5)
+    assert(strSet(ModelStore.piecesTokenizeFromModel(held,
+        s"$base/pieces")) ==
+      strSet(ModelStore.piecesTokenizeFromModel(held, directPieces)))
+
+    trainCfg("train_unigram_model", s"$base/uni",
+      """, "seed_top_n": 40, "max_piece_len": 4, "keep_n": 30,
+        | "em_rounds": 1, "max_word_len": 8""".stripMargin)
+    val directUni = s"$base/uni_direct"
+    ModelStore.writeUnigramModel(
+      TextAnalysis.trainUnigram(train, "text", seedTopN = 40,
+        maxPieceLen = 4, keepN = 30, emRounds = 1, maxWordLen = 8),
+      directUni, maxPieceLen = 4)
+    assert(strSet(ModelStore.unigramTokenizeFromModel(held,
+        s"$base/uni")) ==
+      strSet(ModelStore.unigramTokenizeFromModel(held, directUni)))
+
+    trainCfg("train_lm_model", s"$base/lm")
+    val got = strSet(Pipeline.fromJson(
+      s"""[{"op": "score_kn_stored",
+         |  "params": {"model_path": "$base/lm"}}]""".stripMargin)(held))
+    assert(got == strSet(LanguageModel.scoreByKneserNey(held,
+      LanguageModel.trainBigram(train, "doc_id", "text"),
+      "doc_id", "text")) && got.nonEmpty)
+  }
+
   test("pieces/unigram/KN stored steps equal their direct calls; " +
        "wrong-kind stores fail at config-compile time") {
     import graft.operators.{LanguageModel, ModelStore}
