@@ -771,6 +771,24 @@ object Pipeline {
           p.str("snapshot_path"), p.strs("key_cols"),
           p.str("checkpoint"), p.str("seq_col", Some("seq")),
           p.str("op_col", Some("op"))))),
+      // vector-store sink: embeddings append into a persisted IVF
+      // index under the centroids the build sink persisted
+      // (StreamOps.appendIvfIndexStream — replays are no-ops)
+      "append_stream_ann_index" -> ((
+        Seq("index_path", "centroids_path", "checkpoint"),
+        Seq("id_col", "vec_col"),
+        (df, p) => {
+          val cents = readCentroids(
+            org.apache.spark.sql.SparkSession.active,
+            p.str("centroids_path"))
+          require(cents.nonEmpty,
+            s"empty centroid store at ${p.str("centroids_path")}: " +
+              "build the index first (build_ann_index)")
+          graft.streaming.StreamOps.appendIvfIndexStream(df,
+            p.str("index_path"), cents, p.str("checkpoint"),
+            p.str("id_col", Some("vec_id")),
+            p.str("vec_col", Some("embedding")))
+        })),
       // monitoring sink: one mergeable profile shard per micro-batch
       // (StreamOps.profileShardsStream — profile_from_shards reads
       // the corpus profile at any moment without rescanning)

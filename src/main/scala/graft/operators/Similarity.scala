@@ -436,6 +436,32 @@ object Similarity {
     centroids.toSeq
   }
 
+  /** Append NEW vectors to a persisted IVF index under the index's
+    * EXISTING centroids — the growing-vector-store operation: a crawl
+    * keeps producing embeddings, the index keeps serving probes, and
+    * retraining (new centroids = new index) stays a deliberate
+    * rebuild, never a silent drift. Batch ids already present in the
+    * index are dropped first (one anti join against the index's
+    * column-pruned id scan), so re-appending — including a replayed
+    * streaming micro-batch — is a no-op, not a duplicate neighbor.
+    * Appended rows exchange once by cell so each append lands one
+    * file per touched cell directory; probes pick the new vectors up
+    * through the same partition-pruned reads. */
+  def appendIvfIndex(batch: DataFrame, indexPath: String,
+                     centroids: Seq[Seq[Double]], idCol: String,
+                     vecCol: String): Unit = {
+    require(centroids.nonEmpty,
+      "appendIvfIndex needs the index's centroids (rebuild an empty index)")
+    val prepped = ivfPrep(batch, idCol, vecCol)
+    val existing = batch.sparkSession.read.parquet(indexPath)
+      .select(col("neighbor_id").as("__seen")).distinct()
+    prepped
+      .join(existing, col("neighbor_id") === col("__seen"), "left_anti")
+      .withColumn("cell", assignExpr(col("cvec"), centroids))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
+  }
+
   /** ANN top-k over a persisted IVF index: the union of the query batch's
     * probed cells (≤ nlist ids — a bounded driver value, never vectors)
     * becomes a literal partition filter, so the parquet scan reads only

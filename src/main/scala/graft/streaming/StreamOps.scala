@@ -2218,6 +2218,26 @@ object StreamOps {
       }
       .start()
 
+  /** Growing vector store: an embedding stream appends into a
+    * persisted IVF index under its FIXED centroids
+    * (`Similarity.appendIvfIndex` per micro-batch — already-indexed
+    * ids drop, so replays are no-ops; probes pick new vectors up
+    * through the same partition-pruned reads). Retraining centroids
+    * is a deliberate rebuild, never in-stream drift. */
+  def appendIvfIndexStream(vectors: DataFrame, indexPath: String,
+                           centroids: Seq[Seq[Double]],
+                           checkpoint: String,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendIvfIndex(batch, indexPath,
+          centroids, idCol, vecCol)
+      }
+      .start()
+
   def transitionPairsStream(events: Dataset[Scd2Event],
                             idleRetentionSeconds: Option[Long] = None): Dataset[TransitionPair] = {
     import events.sparkSession.implicits._

@@ -21,6 +21,8 @@ case class GzDoc(doc_id: Long, blob: Array[Byte])
 
 case class CdcChg(id: Long, seq: Long, op: String, s: String, v: Int)
 
+case class VecRow(vec_id: Long, embedding: Seq[Float])
+
 /** Structured Streaming behavior: the parity engine is a stateless
   * projection and runs unchanged on streams; stateful ops are watermarked. */
 class StreamingSpec extends AnyFunSuite {
@@ -2706,6 +2708,53 @@ class StreamingSpec extends AnyFunSuite {
     val got = s.read.parquet(snapPath).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[String]("s")).toMap
     assert(got == Map(1L -> "a", 2L -> "b2", 4L -> "d"))
+  }
+
+  test("appendIvfIndexStream grows the persisted vector store: " +
+       "exact-regime probes equal brute force over the full corpus; " +
+       "re-sent ids are no-ops") {
+    import graft.operators.Similarity
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val emb = s.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").limit(120).cache()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-stream")
+    val idx = base.resolve("idx").toString
+    val centroids = Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      idx, nlist = 4, lloydIters = 1)
+    val rest = emb.filter(col("vec_id") % 3 =!= 0).collect().map(r =>
+      VecRow(r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[VecRow]
+    val q = StreamOps.appendIvfIndexStream(input.toDF(), idx,
+      centroids, base.resolve("ck").toString)
+    input.addData(rest.take(40).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(rest.drop(40).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(rest.take(10).toSeq: _*) // replay: must not duplicate
+    q.processAllAvailable()
+    q.stop()
+    val queries = emb.filter(col("vec_id") % 17 === 0)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"),
+        math.round(r.getAs[Double]("cosine") * 1e6))).toSet
+    // nprobe = nlist is the exact regime: the grown index must agree
+    // with brute force over ALL 120 vectors
+    val viaIndex = norm(Similarity.ivfTopKIndexed(idx, centroids,
+      queries, "vec_id", "embedding", k = 5, nprobe = 4))
+    val brute = norm(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5))
+    assert(viaIndex == brute && viaIndex.nonEmpty)
+    // no duplicate neighbor rows from the replayed batch
+    val n = s.read.parquet(idx).count()
+    val distinctIds = s.read.parquet(idx)
+      .select("neighbor_id").distinct().count()
+    assert(n == distinctIds)
   }
 
   test("profileShardsStream: per-micro-batch mergeable shards — the " +
