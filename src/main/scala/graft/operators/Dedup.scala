@@ -485,6 +485,43 @@ object Dedup {
       SaveMode.Append)
   }
 
+  /** [[appendBandSignatures]] for STREAMING ingest: append only ids
+    * not yet fully committed, converging to a duplicate-free store
+    * under micro-batch replays AND the mid-append crash window.
+    * "Fully committed" = present in `bands` (the LAST table the
+    * append order writes): a replayed batch drops those ids
+    * entirely; an id left shingles-only by a crash between the two
+    * writes is NOT re-shingled (no duplicate rows — duplicates would
+    * duplicate verified pairs downstream) but DOES get its bands
+    * written, so the store heals to sound instead of losing the
+    * document's recall forever. Each table's append is atomic at the
+    * job level (FileOutputCommitter), so those are the only states. */
+  def appendBandSignaturesIdempotent(batch: DataFrame, idCol: String,
+                                     textCol: String,
+                                     path: String): Unit = {
+    val spark = batch.sparkSession
+    val (n, numHashes, bands) = readStoreMeta(spark, path)
+    def seenIds(sub: String): Option[DataFrame] =
+      try Some(spark.read.parquet(s"$path/$sub")
+        .select(col("id").as("__seen")).distinct())
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    def anti(df: DataFrame, seen: Option[DataFrame]): DataFrame =
+      seen.fold(df)(s =>
+        df.join(s, col("id") === col("__seen"), "left_anti"))
+    // materialize BEFORE the appends: the fresh set derives from the
+    // same directories the writes below extend
+    val fresh = anti(shingled(batch, idCol, textCol, n),
+      seenIds("bands")).truncateLineage(true)
+    anti(fresh, seenIds("shingles"))
+      .select(col("id"), col("shingles"))
+      .write.mode(SaveMode.Append).parquet(s"$path/shingles")
+    bandedSignatures(fresh, numHashes, bands, numHashes / bands)
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("band")
+      .parquet(s"$path/bands")
+  }
+
   private def storeWrite(docs: DataFrame, idCol: String, textCol: String,
                          path: String, n: Int, numHashes: Int, bands: Int,
                          mode: SaveMode): Unit = {

@@ -771,6 +771,16 @@ object Pipeline {
           p.str("snapshot_path"), p.strs("key_cols"),
           p.str("checkpoint"), p.str("seq_col", Some("seq")),
           p.str("op_col", Some("op"))))),
+      // dedup sink: accepted documents append their LSH signatures
+      // to the persisted store (StreamOps.appendSignaturesStream —
+      // replays and the mid-append crash window converge clean)
+      "append_stream_signature_store" -> ((
+        Seq("store_path", "checkpoint"),
+        Seq("id_col", "text_col"),
+        (df, p) => graft.streaming.StreamOps.appendSignaturesStream(df,
+          p.str("store_path"), p.str("checkpoint"),
+          p.str("id_col", Some("doc_id")),
+          p.str("text_col", Some("text"))))),
       // vector-store sink: embeddings append into a persisted IVF
       // index under the centroids the build sink persisted
       // (StreamOps.appendIvfIndexStream — replays are no-ops)

@@ -2238,6 +2238,27 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into the persisted LSH signature store: each
+    * micro-batch of ACCEPTED documents appends its signatures
+    * (`Dedup.appendBandSignaturesIdempotent` — replays and the
+    * mid-append crash window both converge duplicate-free), so
+    * `dedupAgainstStoreStream` / `minHashLshPairsAgainstStore`
+    * probes see the corpus grow batch by batch. Gate FIRST, append
+    * survivors: the standard ingest loop is probe → drop near-dups →
+    * this sink. */
+  def appendSignaturesStream(docs: DataFrame, path: String,
+                             checkpoint: String,
+                             idCol: String = "doc_id",
+                             textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.appendBandSignaturesIdempotent(
+          batch, idCol, textCol, path)
+      }
+      .start()
+
   def transitionPairsStream(events: Dataset[Scd2Event],
                             idleRetentionSeconds: Option[Long] = None): Dataset[TransitionPair] = {
     import events.sparkSession.implicits._

@@ -2757,6 +2757,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == distinctIds)
   }
 
+  test("appendSignaturesStream grows the LSH store duplicate-free " +
+       "through replays and heals the orphan-shingle crash window; " +
+       "probes equal a directly-built store") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val docs = s.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text").limit(90).cache()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sig-stream")
+    val store = base.resolve("store").toString
+    val direct = base.resolve("direct").toString
+    Dedup.writeBandSignatures(docs, "doc_id", "text", direct,
+      n = 3, numHashes = 64, bands = 32)
+    Dedup.writeBandSignatures(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", store, n = 3, numHashes = 64, bands = 32)
+    val restDf = docs.filter(col("doc_id") % 3 =!= 0)
+    val rest = restDf.collect().map(r =>
+      LangDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    // simulate the mid-append crash: one incoming doc already has its
+    // shingle row (copied from the sound direct store) but no bands
+    val orphanId = rest.head.doc_id
+    val orphanRow = s.read.parquet(s"$direct/shingles")
+      .filter(col("id") === orphanId)
+    assert(orphanRow.count() == 1)
+    orphanRow.write.mode("append").parquet(s"$store/shingles")
+    val input = MemoryStream[LangDoc]
+    val q = StreamOps.appendSignaturesStream(input.toDF(), store,
+      base.resolve("ck").toString)
+    input.addData(rest.take(30).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(rest.drop(30).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(rest.take(10).toSeq: _*) // replay: no duplicates
+    q.processAllAvailable()
+    q.stop()
+    // duplicate-free and complete: every doc exactly one shingle row,
+    // bands ids == shingles ids == the full corpus (orphan healed)
+    val shingleIds = s.read.parquet(s"$store/shingles")
+      .groupBy("id").count().collect()
+    assert(shingleIds.forall(_.getLong(1) == 1))
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shingleIds.map(_.getLong(0)).toSet == allIds)
+    assert(s.read.parquet(s"$store/bands").select("id").distinct()
+      .collect().map(_.getLong(0)).toSet == allIds)
+    // probes against the grown store == against the directly-built one
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id") + 1000000L as "doc_id",
+        concat(col("text"), lit(" tail")).as("text"))
+    def pairs(p: String) = Dedup
+      .minHashLshPairsAgainstStore(probe, p, "doc_id", "text", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    assert(pairs(store) == pairs(direct) && pairs(store).nonEmpty)
+  }
+
   test("profileShardsStream: per-micro-batch mergeable shards — the " +
        "merged profile equals one batch pass over all ingested rows") {
     import graft.operators.Stats
