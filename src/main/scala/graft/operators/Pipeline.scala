@@ -799,6 +799,14 @@ object Pipeline {
             p.str("id_col", Some("vec_id")),
             p.str("vec_col", Some("embedding")))
         })),
+      // percentile-monitoring sink: one mergeable GK quantile shard
+      // per micro-batch (StreamOps.quantileShardsStream)
+      "write_stream_quantile_shards" -> ((
+        Seq("path", "checkpoint", "value_col", "shard_cols"),
+        Seq("eps"),
+        (df, p) => graft.streaming.StreamOps.quantileShardsStream(df,
+          p.str("path"), p.str("checkpoint"), p.str("value_col"),
+          p.strs("shard_cols"), p.dbl("eps", Some(0.0))))),
       // monitoring sink: one mergeable profile shard per micro-batch
       // (StreamOps.profileShardsStream — profile_from_shards reads
       // the corpus profile at any moment without rescanning)

@@ -2259,6 +2259,25 @@ object StreamOps {
       }
       .start()
 
+  /** Incremental quantiles from a stream — the [[profileShardsStream]]
+    * pattern over the mergeable GK summary: each micro-batch persists
+    * one quantile shard under `path/batch=<id>` (overwritten on
+    * replay — idempotent), and `Stats.quantilesFromShards` over
+    * `path` answers percentile queries at any moment without
+    * rescanning ingested data. ε = 0 is the exact mergeable regime;
+    * ε > 0 bounds shard size at O((1/ε)·log εn). */
+  def quantileShardsStream(docs: DataFrame, path: String,
+                           checkpoint: String, valueCol: String,
+                           shardCols: Seq[String], eps: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Stats.writeQuantileShards(
+          batch, s"$path/batch=$id", valueCol, shardCols, eps)
+      }
+      .start()
+
   def transitionPairsStream(events: Dataset[Scd2Event],
                             idleRetentionSeconds: Option[Long] = None): Dataset[TransitionPair] = {
     import events.sparkSession.implicits._

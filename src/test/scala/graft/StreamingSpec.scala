@@ -2845,6 +2845,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(prof(shards) == prof(direct) && prof(shards).nonEmpty)
   }
 
+  test("quantileShardsStream: per-micro-batch GK shards — merged " +
+       "percentiles equal one batch pass over all ingested rows") {
+    import graft.operators.Stats
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-quant-stream")
+    val shards = base.resolve("shards").toString
+    val docs = s.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text").limit(80)
+    val rows = docs.collect().map(r =>
+      LangDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[LangDoc]
+    val q = StreamOps.quantileShardsStream(
+      input.toDF().withColumn("score", col("doc_id") % 97),
+      shards, base.resolve("ck").toString, "score", Seq("lang"))
+    input.addData(rows.take(30).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(30).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val qs = Seq(0.1, 0.5, 0.9)
+    def quant(path: String) = Stats.quantilesFromShards(s, path, qs)
+      .collect().map(r => r.toSeq.map(String.valueOf).mkString("|"))
+      .toSet
+    val direct = base.resolve("direct").toString
+    Stats.writeQuantileShards(
+      docs.withColumn("score", col("doc_id") % 97), direct,
+      "score", Seq("lang"))
+    assert(quant(shards) == quant(direct) && quant(shards).nonEmpty)
+  }
+
   test("mergeSearchIndexStream folds a document stream into the " +
        "persisted BM25 index: probes equal a directly-built index " +
        "over the union; re-sent ids are no-ops") {
