@@ -50,6 +50,8 @@ object Pipeline {
     private def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"pipeline op '$op': $msg")
 
+    def has(name: String): Boolean = values.contains(name)
+
     def str(name: String, default: Option[String] = None): String =
       get(name, default) match {
         case s: String => s
@@ -766,11 +768,12 @@ object Pipeline {
       // stale-change guard, atomic rename swap)
       "merge_stream_snapshot" -> ((
         Seq("snapshot_path", "checkpoint", "key_cols"),
-        Seq("seq_col", "op_col"),
+        Seq("seq_col", "op_col", "n_buckets"),
         (df, p) => graft.streaming.StreamOps.applyChangesStream(df,
           p.str("snapshot_path"), p.strs("key_cols"),
           p.str("checkpoint"), p.str("seq_col", Some("seq")),
-          p.str("op_col", Some("op"))))),
+          p.str("op_col", Some("op")),
+          if (p.has("n_buckets")) Some(p.int("n_buckets")) else None))),
       // dedup sink: accepted documents append their LSH signatures
       // to the persisted store (StreamOps.appendSignaturesStream —
       // replays and the mid-append crash window converge clean)

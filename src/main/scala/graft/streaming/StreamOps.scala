@@ -2093,36 +2093,57 @@ object StreamOps {
     * left join of the BATCH against the snapshot's (key, seq)
     * projection. The rewrite lands in a sibling tmp dir and swaps in
     * by rename (the `Layout.compact` discipline), so a concurrent
-    * reader never sees a half-written snapshot. */
+    * reader never sees a half-written snapshot.
+    *
+    * `nBuckets = Some(n)` switches to the 100 TB path: the snapshot
+    * must live in the `Layout.writeBucketedSnapshot` layout, each
+    * micro-batch rewrites ONLY the `__bucket=N` directories its keys
+    * touch (`applyChangesBucketed` with the partition-pruned stale
+    * guard), and a fully-stale replayed batch skips the rewrite
+    * entirely — per-batch IO ∝ the delta's bucket spread, never the
+    * snapshot. */
   def applyChangesStream(changes: DataFrame, snapshotPath: String,
                          keyCols: Seq[String], checkpoint: String,
-                         seqCol: String = "seq", opCol: String = "op")
+                         seqCol: String = "seq", opCol: String = "op",
+                         nBuckets: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val snap = spark.read.parquet(snapshotPath)
-        val eligible =
-          if (!snap.columns.contains(seqCol)) batch
-          else {
-            val cur = snap.select(
-              keyCols.map(c => col(c).as(s"__s_$c")) :+
-                col(seqCol).as("__s_seq"): _*)
-            val on = keyCols.map(c => col(c) <=> col(s"__s_$c"))
-              .reduce(_ && _)
-            batch.join(cur, on, "left")
-              .filter(col("__s_seq").isNull ||
-                col(seqCol) > col("__s_seq"))
-              .select(batch.columns.map(col): _*)
-          }
-        val merged = graft.sources.Layout.applyChanges(
-          snap, eligible, keyCols, seqCol, opCol)
-        // the write action reads the CURRENT snapshot while
-        // producing tmp; the swap happens only after it completes
-        writeAndSwap(snapshotPath, "applyChangesStream")(tmp =>
-          merged.write.mode("overwrite").parquet(tmp))
+        nBuckets match {
+          case Some(n) =>
+            // the 100 TB path: the snapshot lives in the
+            // writeBucketedSnapshot layout, each batch rewrites ONLY
+            // the buckets its keys touch, and the stale-guard join is
+            // partition-pruned to those buckets
+            graft.sources.Layout.applyChangesBucketed(
+              batch.sparkSession, snapshotPath, batch, keyCols, n,
+              seqCol, opCol, dropStale = true)
+            ()
+          case None =>
+            val spark = batch.sparkSession
+            val snap = spark.read.parquet(snapshotPath)
+            val eligible =
+              if (!snap.columns.contains(seqCol)) batch
+              else {
+                val cur = snap.select(
+                  keyCols.map(c => col(c).as(s"__s_$c")) :+
+                    col(seqCol).as("__s_seq"): _*)
+                val on = keyCols.map(c => col(c) <=> col(s"__s_$c"))
+                  .reduce(_ && _)
+                batch.join(cur, on, "left")
+                  .filter(col("__s_seq").isNull ||
+                    col(seqCol) > col("__s_seq"))
+                  .select(batch.columns.map(col): _*)
+              }
+            val merged = graft.sources.Layout.applyChanges(
+              snap, eligible, keyCols, seqCol, opCol)
+            // the write action reads the CURRENT snapshot while
+            // producing tmp; the swap happens only after it completes
+            writeAndSwap(snapshotPath, "applyChangesStream")(tmp =>
+              merged.write.mode("overwrite").parquet(tmp))
+        }
       }
       .start()
   }

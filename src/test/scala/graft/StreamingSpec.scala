@@ -2677,6 +2677,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(leftovers == Set("snap", "ckpt"), leftovers.toString)
   }
 
+  test("applyChangesStream bucketed mode: per-batch rewrites touch " +
+       "only the changed keys' buckets, stale replays skip the " +
+       "rewrite, untouched bucket files stay bit-stable") {
+    import graft.sources.Layout
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cdc-bstream")
+    val snapPath = base.resolve("snap").toString
+    val nBuckets = 16
+    // a wide initial snapshot (seq INCLUDED — the stale-guard
+    // contract), so most buckets stay untouched by the tiny deltas
+    val init = (0L until 400L).map(i => (i, s"v$i", i.toInt, 0L))
+      .toDF("id", "s", "v", "seq")
+    Layout.writeBucketedSnapshot(init, snapPath, Seq("id"), nBuckets)
+    def files(): Map[String, Set[(String, Long, Long)]] =
+      new java.io.File(snapPath).listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().filter(_.isFile)
+          .map(f => (f.getName, f.length, f.lastModified)).toSet)
+        .toMap
+    val before = files()
+    val input = MemoryStream[CdcChg]
+    val q = StreamOps.applyChangesStream(input.toDF(), snapPath,
+      Seq("id"), base.resolve("ck").toString,
+      nBuckets = Some(nBuckets))
+    input.addData(
+      CdcChg(7, 1, "upsert", "seven", 77),
+      CdcChg(401, 1, "upsert", "new", 1),
+      CdcChg(9, 1, "delete", null, 0))
+    q.processAllAvailable()
+    val afterB1 = files()
+    // a fully-stale replay batch: nothing rewritten at all
+    input.addData(CdcChg(7, 1, "upsert", "STALE", 0))
+    q.processAllAvailable()
+    q.stop()
+    assert(files() == afterB1, "stale batch rewrote something")
+    // untouched directories from before batch 1 are bit-stable
+    val changedDirs = afterB1.keySet.filter(d =>
+      before.get(d) != afterB1.get(d))
+    assert(changedDirs.nonEmpty && changedDirs.size <= 3,
+      changedDirs.toString)
+    for ((d, fs) <- before if !changedDirs.contains(d))
+      assert(afterB1(d) == fs, s"untouched $d was rewritten")
+    // content: update applied once, stale ignored, delete dropped,
+    // insert present
+    val got = s.read.parquet(snapPath).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("s"), r.getAs[Long]("seq")))).toMap
+    assert(got(7L) == (("seven", 1L)))
+    assert(got(401L) == (("new", 1L)))
+    assert(!got.contains(9L) && got.size == 400)
+  }
+
   test("merge_stream_snapshot: the CDC sink runs from a pure-JSON " +
        "streaming job config") {
     import graft.operators.Pipeline
