@@ -1864,7 +1864,9 @@ $joins"""
             when(col("doc_id") % 4 === 0,
               lit("\nif (x) { y(); }")).otherwise(lit("")),
             when(col("doc_id") % 5 === 0,
-              lit("\nreturn value")).otherwise(lit("")))))),
+              lit("\nreturn value")).otherwise(lit("")))))
+        .select("doc_id", "n_lines", "code_lines", "code_frac",
+          "is_codey")),
 
     // winnowing fingerprints: any shared (w+k-1)-word run between two
     // docs shares a fingerprint, at ~2/(w+1) the density of shingles

@@ -384,14 +384,14 @@ object Pipeline {
         df => TextClassify.scoreLogisticInline(df, weights, id, text)
       }),
 
-    // prose-vs-code routing signal (pure projection, stream-safe)
+    // prose-vs-code routing signal: appends n_lines / code_lines /
+    // code_frac / is_codey to the frame (pure projection, stream-safe)
     "code_line_stats" -> OpSpec(Set(),
-      Set("id_col", "text_col", "threshold"),
+      Set("text_col", "threshold"),
       p => {
-        val id = p.str("id_col", Some("doc_id"))
         val text = p.str("text_col", Some("text"))
         val thr = p.dbl("threshold", Some(0.3))
-        df => TextAnalysis.codeLineStats(df, id, text, thr)
+        df => TextAnalysis.codeLineStats(df, text, thr)
       }),
 
     "pieces_tokenize_stored" -> OpSpec(Set("model_path"),

@@ -1199,21 +1199,23 @@ object TextAnalysis {
     * array materializes behind its own select boundary so the three
     * per-line regexes run against bound elements, not a re-`split`
     * per element (Spark HOF lambdas have no CSE). */
-  def codeLineStats(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text",
+  def codeLineStats(docs: DataFrame, textCol: String = "text",
                     threshold: Double = 0.3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
     val isCode = (l: Column) =>
       l.rlike("^(\\s{4,}|\\t)") || l.rlike("[;{}]\\s*$") ||
         l.rlike("\\b(def|class|import|return|function|const|let)\\b")
     docs
-      .select(col(idCol), split(col(textCol), "\n").as("__lines"))
-      .select(col(idCol),
-        filter(col("__lines"),
-          l => length(trim(l)) > 0).as("__nz"))
-      .select(col(idCol),
-        size(col("__nz")).as("n_lines"),
-        size(filter(col("__nz"), isCode)).as("code_lines"))
+      // every input column passes through (the chainable-step
+      // contract); the non-empty-line array is multiply-referenced
+      // and non-cheap, so CollapseProject keeps it materialized and
+      // the per-line regexes run against bound elements, not a
+      // re-split per HOF element
+      .withColumn("__nz", filter(split(col(textCol), "\n"),
+        l => length(trim(l)) > 0))
+      .withColumn("n_lines", size(col("__nz")))
+      .withColumn("code_lines", size(filter(col("__nz"), isCode)))
+      .drop("__nz")
       .withColumn("code_frac",
         when(col("n_lines") > 0,
           round(col("code_lines").cast("double") / col("n_lines"), 6)))

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pipeline
+
+/** The shipped `examples` configs (json + yaml) EXECUTE — substituting
+  * only their documented `__PLACEHOLDER__` tokens — so a registry
+  * rename or param change can never silently rot the docs. */
+class ExamplesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def read(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"examples/$name")), "UTF-8")
+
+  test("examples/curation_gate.json runs end to end") {
+    val out = Pipeline.runJson(spark,
+      read("curation_gate.json").replace("__TESTDATA__", dir))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang", "source", "n_tokens", "split"))
+    assert(out.count() > 0)
+  }
+
+  test("examples/cdc_merge.json merges a persisted changeset") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-example-cdc").toString + "/chg"
+    spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit(1L).as("seq"),
+        lit("delete").as("op"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(tmp)
+    val out = Pipeline.runJson(spark,
+      read("cdc_merge.json").replace("__TESTDATA__", dir)
+        .replace("__CHANGES__", tmp))
+    assert(out.filter(col("o_orderkey") % 5 === 0).count() == 0)
+    assert(out.count() > 0)
+  }
+
+  test("examples/train_then_serve.json: the train job persists a " +
+       "model the serve pipeline loads at compile time") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val model = java.nio.file.Files
+      .createTempDirectory("graft-example-train").toString + "/bpe"
+    val json = read("train_then_serve.json")
+      .replace("__TESTDATA__", dir).replace("__MODEL__", model)
+    val root = new ObjectMapper().readTree(json)
+    Pipeline.runJobJson(spark, root.get("train").toString)
+    val served = Pipeline.fromJson(root.get("serve").toString)(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0))
+    assert(served.count() > 0)
+  }
+
+  test("examples/streaming_ingest_gate.yaml starts, gates a dropped " +
+       "file, and appends survivors") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-example-stream")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").limit(60)
+      .coalesce(1).write.parquet(in)
+    val q = Pipeline.startStreamYaml(spark,
+      read("streaming_ingest_gate.yaml")
+        .replace("__IN__", in).replace("__OUT__", out)
+        .replace("__CKPT__", base.resolve("ck").toString))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.read.parquet(out)
+    assert(survivors.count() > 0)
+    assert(survivors.columns.contains("keep"))
+  }
+}

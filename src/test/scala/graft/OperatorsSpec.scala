@@ -4543,7 +4543,13 @@ class OperatorsSpec extends AnyFunSuite {
         |  as t(doc_id, text)""".stripMargin)
       .withColumn("text",
         regexp_replace(col("text"), "\\\\n", "\n"))
-    val got = TextAnalysis.codeLineStats(d).collect()
+    val out = TextAnalysis.codeLineStats(d)
+    // chainable-step contract: input columns pass through
+    assert(out.columns.toSeq == Seq("doc_id", "text", "n_lines",
+      "code_lines", "code_frac", "is_codey"))
+    val got = out
+      .select("doc_id", "n_lines", "code_lines", "code_frac",
+        "is_codey").collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
         Option(r.get(3)).map(_.asInstanceOf[Double]),
         r.getBoolean(4)))).toMap
