@@ -2564,6 +2564,14 @@ $joins"""
       Stats.winsorize(t(s, dir, "events"), "value",
         lo = 0.05, hi = 0.95)),
 
+    // Welch's t-test between two event cohorts: the A/B readout for
+    // data-recipe experiments — exact long-lattice moments (hi/lo
+    // sum-of-squares halves), fixed double shapes for t and the
+    // Welch-Satterthwaite df
+    "q_stats_ttest" -> ((s, dir) =>
+      Stats.welchTTest(t(s, dir, "events"), "value", "event_type",
+        groupA = "click", groupB = "view")),
+
     // k-anonymity audit: quasi-identifier combinations (nation ×
     // segment × account-balance band) held by fewer than k customers
     // — output ∝ violations, one hash aggregate. The band is
@@ -7180,6 +7188,68 @@ $joins"""
           |  CASE WHEN value IS NOT NULL
           |    THEN (value < tlo OR value > thi) END AS was_clipped
           |FROM t CROSS JOIN q""".stripMargin,
+
+      // same 1e4 lattice, same hi/lo exact moments (v*v >= 0 so
+      // DuckDB's flooring // == Spark's truncating DIV), same fixed
+      // double shapes for mean/var/t/df, same 1e6 display rounding
+      "q_stats_ttest" ->
+        """WITH q AS (
+          |  SELECT event_type AS g,
+          |    CAST(round(value * 10000.0) AS BIGINT) AS v
+          |  FROM events
+          |  WHERE event_type IN ('click', 'view')
+          |    AND value IS NOT NULL AND NOT isnan(value)
+          |), m AS (
+          |  SELECT g, count(*) AS n, sum(v) AS s,
+          |    sum((v * v) // 1000000000) AS ph,
+          |    sum((v * v) % 1000000000) AS pl
+          |  FROM q GROUP BY 1
+          |), w AS (
+          |  SELECT
+          |    max(CASE WHEN g = 'click' THEN n END) AS n_a,
+          |    max(CASE WHEN g = 'click' THEN s END) AS s_a,
+          |    max(CASE WHEN g = 'click' THEN ph END) AS ph_a,
+          |    max(CASE WHEN g = 'click' THEN pl END) AS pl_a,
+          |    max(CASE WHEN g = 'view' THEN n END) AS n_b,
+          |    max(CASE WHEN g = 'view' THEN s END) AS s_b,
+          |    max(CASE WHEN g = 'view' THEN ph END) AS ph_b,
+          |    max(CASE WHEN g = 'view' THEN pl END) AS pl_b
+          |  FROM m
+          |), e AS (
+          |  SELECT n_a, n_b,
+          |    CAST(s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 10000.0)
+          |      AS mean_a,
+          |    CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 10000.0)
+          |      AS mean_b,
+          |    CAST(CAST(n_a AS HUGEINT) *
+          |        (1000000000::HUGEINT * ph_a + pl_a) -
+          |        CAST(s_a AS HUGEINT) * CAST(s_a AS HUGEINT)
+          |      AS DOUBLE) /
+          |      (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) /
+          |      (10000.0 * 10000.0) AS var_a,
+          |    CAST(CAST(n_b AS HUGEINT) *
+          |        (1000000000::HUGEINT * ph_b + pl_b) -
+          |        CAST(s_b AS HUGEINT) * CAST(s_b AS HUGEINT)
+          |      AS DOUBLE) /
+          |      (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) /
+          |      (10000.0 * 10000.0) AS var_b
+          |  FROM w
+          |), f AS (
+          |  SELECT n_a, n_b, mean_a AS ma, mean_b AS mb,
+          |    var_a / CAST(n_a AS DOUBLE) AS sa,
+          |    var_b / CAST(n_b AS DOUBLE) AS sb
+          |  FROM e
+          |)
+          |SELECT 'click' AS group_a, 'view' AS group_b, n_a, n_b,
+          |  round(ma * 1e6)::DOUBLE / 1e6 AS mean_a,
+          |  round(mb * 1e6)::DOUBLE / 1e6 AS mean_b,
+          |  round((ma - mb) / sqrt(sa + sb) * 1e6)::DOUBLE
+          |    / 1e6 AS t_stat,
+          |  round(((sa + sb) * (sa + sb)) /
+          |      (sa * sa / (CAST(n_a AS DOUBLE) - 1.0) +
+          |       sb * sb / (CAST(n_b AS DOUBLE) - 1.0)) * 1e6)::DOUBLE
+          |    / 1e6 AS df_welch
+          |FROM f""".stripMargin,
 
       // same banding (floor of an IEEE double division — identical
       // in both engines), same group-count-below-k filter

@@ -966,6 +966,85 @@ object Stats {
       .drop("t9")
   }
 
+  /** Welch's unequal-variance t-test between two named groups — the
+    * A/B readout for data-recipe experiments (did the new filter
+    * change mean document quality? is source X's value distribution
+    * different from source Y's?). Welch, not Student: corpus groups
+    * rarely share a variance, and Welch is the safe default
+    * (Delacre 2017).
+    *
+    * Exactness discipline: values quantize to a `10^scale` integer
+    * lattice; per-group n / Σv / Σv² accumulate as longs (the sum of
+    * squares in DIV/% hi-lo halves against overflow — the
+    * correlationMatrix discipline) so the MOMENTS are exact and
+    * partition-order-independent; the handful of double ops deriving
+    * (mean, var, t, Welch–Satterthwaite df) from those exact moments
+    * have a fixed expression shape, so any engine reproduces them
+    * bit-for-bit. One grouped aggregate + one fold to a single row;
+    * in-plan guards raise on lattice overflow or n < 2. */
+  def welchTTest(df: DataFrame, valueCol: String, groupCol: String,
+                 groupA: String, groupB: String,
+                 scale: Int = 4): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    require(scale >= 0 && scale <= 6, "scale must be in [0, 6]")
+    val unit = math.pow(10.0, scale)
+    val split = 1000000000L
+    val clean = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
+      .select(col(groupCol).as("g"),
+        round(col(valueCol).cast("double") * lit(unit)).cast("long")
+          .as("v"))
+    val perGroup = clean.groupBy(col("g")).agg(
+      count(lit(1)).as("n"), sum(col("v")).as("s"),
+      max(abs(col("v"))).as("mx"),
+      sum(expr(s"(v * v) DIV $split")).as("ph"),
+      sum(expr(s"(v * v) % $split")).as("pl"))
+    def side(gv: String, tag: String) = Seq(
+      max(when(col("g") === gv, col("n"))).as(s"n_$tag"),
+      max(when(col("g") === gv, col("s"))).as(s"s_$tag"),
+      max(when(col("g") === gv, col("mx"))).as(s"mx_$tag"),
+      max(when(col("g") === gv, col("ph"))).as(s"ph_$tag"),
+      max(when(col("g") === gv, col("pl"))).as(s"pl_$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val one = perGroup.agg(aggs.head, aggs.tail: _*)
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def nT(t: String) = col(s"n_$t")
+    // exact Σv² from the halves; exact n·Σv² − (Σv)²
+    def varNum(t: String): Column =
+      d(nT(t)) * (d(lit(split)) * d(col(s"ph_$t")) + d(col(s"pl_$t"))) -
+        d(col(s"s_$t")) * d(col(s"s_$t"))
+    // fixed double shapes from the exact moments
+    def mean(t: String): Column =
+      col(s"s_$t").cast("double") /
+        (nT(t).cast("double") * lit(unit))
+    def variance(t: String): Column =
+      varNum(t).cast("double") /
+        (nT(t).cast("double") * (nT(t).cast("double") - lit(1.0))) /
+        (lit(unit) * lit(unit))
+    def se2(t: String): Column = variance(t) / nT(t).cast("double")
+    val guard = assert_true(
+      Seq("a", "b").map(t => nT(t).isNotNull && nT(t) >= 2 &&
+          col(s"mx_$t") >= lit(0L) && col(s"mx_$t") < lit(split))
+        .reduce(_ && _),
+      lit(s"welchTTest: both groups need n >= 2 and |value|*10^$scale " +
+        "below 1e9 - lower `scale` or pre-scale the column"))
+    val sTot = se2("a") + se2("b")
+    val tStat = (mean("a") - mean("b")) / sqrt(sTot)
+    val dfW = (sTot * sTot) / (
+      se2("a") * se2("a") / (nT("a").cast("double") - lit(1.0)) +
+        se2("b") * se2("b") / (nT("b").cast("double") - lit(1.0)))
+    def disp(c: Column): Column =
+      round(c * lit(1e6)).cast("double") / lit(1e6)
+    one.select(
+      when(guard.isNull, lit(groupA)).as("group_a"),
+      lit(groupB).as("group_b"),
+      nT("a").as("n_a"), nT("b").as("n_b"),
+      disp(mean("a")).as("mean_a"), disp(mean("b")).as("mean_b"),
+      disp(tStat).as("t_stat"), disp(dfW).as("df_welch"))
+  }
+
   /** k-anonymity audit — the privacy-governance companion of
     * `TextAnalysis.scrubPii`: scrubbing removes direct identifiers,
     * but a row can still be re-identified when its QUASI-identifier

@@ -4564,6 +4564,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L)._4 == true)
   }
 
+  test("welchTTest: hand-computed t on a tiny A/B; n<2 and missing " +
+       "groups raise in-plan") {
+    val d = spark.sql(
+      """select * from values
+        |  ('a', 1.0), ('a', 2.0), ('a', 3.0), ('a', 4.0),
+        |  ('b', 2.0), ('b', 4.0), ('b', 6.0), ('b', 8.0),
+        |  ('c', 9.0)
+        |  as t(grp, value)""".stripMargin)
+    val r = graft.operators.Stats
+      .welchTTest(d, "value", "grp", "a", "b").collect().head
+    assert(r.getAs[String]("group_a") == "a" &&
+      r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 4)
+    assert(math.abs(r.getAs[Double]("mean_a") - 2.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mean_b") - 5.0) < 1e-9)
+    // var_a = 5/3, var_b = 20/3; t = -2.5/sqrt(25/12) = -sqrt(3)
+    assert(math.abs(r.getAs[Double]("t_stat") - (-math.sqrt(3.0))) <
+      1e-5, r.getAs[Double]("t_stat").toString)
+    val dfW = r.getAs[Double]("df_welch")
+    assert(dfW > 3.0 && dfW < 6.0, dfW.toString)
+    // a single-member group violates the n >= 2 guard
+    assertThrows[Exception] {
+      graft.operators.Stats.welchTTest(d, "value", "grp", "a", "c")
+        .collect()
+    }
+    // an absent group's n is null: same guard, loud not silent
+    assertThrows[Exception] {
+      graft.operators.Stats.welchTTest(d, "value", "grp", "a", "zzz")
+        .collect()
+    }
+  }
+
   test("kAnonymityViolations / suppressBelowK: sub-k combos reported " +
        "and suppressed; null quasi-values group (and keep) as values") {
     val d = spark.sql(
