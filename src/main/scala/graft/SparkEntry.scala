@@ -377,9 +377,12 @@ FROM einst i JOIN esegs s ON s.w = i.word"""
     * the same anchor-fragment regexes, href-quote fallbacks, entity
     * decode, drop rules, base-URL resolution, and bounded dot-segment
     * squash — ending in `lk(doc_id, link_pos, href, href_abs,
-    * anchor)`. */
-  private val linksOracleCte: String =
-    """ldoc AS (
+    * anchor)`. `baseSql` parameterizes the page's own URL so the
+    * host-graph entry can vary the source host per document. */
+  private def linksOracleCte(
+      baseSql: String = "'https://www.example.com/dir' || " +
+        "CAST(doc_id % 5 AS VARCHAR) || '/page/index.html'"): String =
+    raw"""ldoc AS (
       |  SELECT doc_id,
       |    '<html><body><nav><a href="/">Home</a> ' ||
       |    '<a href=''/about/''>About&nbsp;Us</a></nav>' ||
@@ -389,8 +392,7 @@ FROM einst i JOIN esegs s ON s.w = i.word"""
       |    CAST(doc_id AS VARCHAR) ||
       |    '">doc link</a> and <a href="#frag">skip</a> ' ||
       |    '<a href="mailto:x@y">skip too</a></p></body></html>' AS html,
-      |    'https://www.example.com/dir' || CAST(doc_id % 5 AS VARCHAR)
-      |      || '/page/index.html' AS base
+      |    $baseSql AS base
       |  FROM documents
       |), lfrag AS (
       |  SELECT doc_id, base, CAST(i - 1 AS INT) AS link_pos,
@@ -1214,6 +1216,39 @@ $joins"""
       graft.operators.HtmlExtract.extractLinks(
         docs.select(col("doc_id"), html.as("html"), base.as("base")),
         "doc_id", "html", baseUrlCol = Some("base"))
+    }),
+
+    // the crawl chain feeding the graph operators: extracted +
+    // base-resolved links contract to the HOST graph (edge = src
+    // host -> dst host with link and distinct-page counts) — the
+    // page-level fan-in that PageRank/components consume at web
+    // scale, where the host contraction is what makes the graph fit
+    "q_graph_hostgraph" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href='/about/'>About&nbsp;Us</a></nav>" +
+          "<p>see <a href=\"../sibling.html\">the <b>sibling</b></a> " +
+          "and <a href=\"//cdn.example.net/lib.js\">cdn</a> and " +
+          "<a href=\"https://other.example.org/x?id="),
+        col("doc_id").cast("string"),
+        lit("\">doc link</a> and <a href=\"#frag\">skip</a> " +
+          "<a href=\"mailto:x@y\">skip too</a></p></body></html>"))
+      val base = concat(lit("https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/dir"), (col("doc_id") % 5).cast("string"),
+        lit("/page/index.html"))
+      graft.operators.HtmlExtract.extractLinks(
+          docs.select(col("doc_id"), html.as("html"), base.as("base")),
+          "doc_id", "html", baseUrlCol = Some("base"))
+        .withColumn("src_host", concat(lit("site"),
+          (col("doc_id") % 7).cast("string"), lit(".example.com")))
+        .withColumn("dst_host", lower(regexp_extract(col("href_abs"),
+          "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)))
+        .filter(col("dst_host") =!= "")
+        .groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("n_links"),
+          count_distinct(col("doc_id")).as("n_pages"))
     }),
 
     // anchor-text aggregation over the extracted link graph: per
@@ -4885,13 +4920,33 @@ $joins"""
 
       // link extraction replicated step-for-step (shared CTE chain)
       "q_text_links" ->
-        (s"WITH $linksOracleCte\n" +
+        (s"WITH ${linksOracleCte()}\n" +
           "SELECT doc_id, link_pos, href, href_abs, anchor FROM lk"),
+
+      // same chain with the per-document source host in the base,
+      // same host regex, same (src, dst) counts
+      "q_graph_hostgraph" ->
+        (s"WITH ${linksOracleCte(
+          "'https://site' || CAST(doc_id % 7 AS VARCHAR) || " +
+            "'.example.com/dir' || CAST(doc_id % 5 AS VARCHAR) || " +
+            "'/page/index.html'")}, " +
+          """hg AS (
+          |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR)
+          |      || '.example.com' AS src_host,
+          |    lower(regexp_extract(href_abs,
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host,
+          |    doc_id
+          |  FROM lk
+          |)
+          |SELECT src_host, dst_host, count(*) AS n_links,
+          |       count(DISTINCT doc_id) AS n_pages
+          |FROM hg WHERE dst_host <> ''
+          |GROUP BY 1, 2""".stripMargin),
 
       // anchor aggregation over the same chain: per-target counts,
       // distinct sources, dominant anchor by (count desc, anchor asc)
       "q_text_anchors" ->
-        (s"WITH $linksOracleCte, " +
+        (s"WITH ${linksOracleCte()}, " +
           """pa AS (
           |  SELECT href_abs, anchor AS a, count(*) AS n
           |  FROM lk GROUP BY 1, 2
