@@ -2607,6 +2607,14 @@ $joins"""
       Stats.welchTTest(t(s, dir, "events"), "value", "event_type",
         groupA = "click", groupB = "view")),
 
+    // two-proportion z-test: the conversion-rate A/B (success =
+    // above-median event value) — exact integer counts, fixed double
+    // shape for the pooled z
+    "q_stats_ztest" -> ((s, dir) =>
+      Stats.proportionZTest(
+        t(s, dir, "events").withColumn("hit", col("value") > 50.0),
+        "hit", "event_type", groupA = "click", groupB = "purchase")),
+
     // k-anonymity audit: quasi-identifier combinations (nation ×
     // segment × account-balance band) held by fewer than k customers
     // — output ∝ violations, one hash aggregate. The band is
@@ -7243,6 +7251,42 @@ $joins"""
           |  CASE WHEN value IS NOT NULL
           |    THEN (value < tlo OR value > thi) END AS was_clipped
           |FROM t CROSS JOIN q""".stripMargin,
+
+      // exact integer counts, same pooled-z double shape, same 1e6
+      // display rounding; null successes drop on both sides
+      "q_stats_ztest" ->
+        """WITH q AS (
+          |  SELECT event_type AS g, (value > 50.0) AS hit
+          |  FROM events
+          |  WHERE event_type IN ('click', 'purchase')
+          |    AND (value > 50.0) IS NOT NULL
+          |), w0 AS (
+          |  SELECT g, count(*) AS n,
+          |    sum(CASE WHEN hit THEN 1 ELSE 0 END) AS k
+          |  FROM q GROUP BY 1
+          |), w AS (
+          |  SELECT
+          |    max(CASE WHEN g = 'click' THEN n END) AS n_a,
+          |    max(CASE WHEN g = 'click' THEN k END) AS k_a,
+          |    max(CASE WHEN g = 'purchase' THEN n END) AS n_b,
+          |    max(CASE WHEN g = 'purchase' THEN k END) AS k_b
+          |  FROM w0
+          |), e AS (
+          |  SELECT n_a, k_a, n_b, k_b,
+          |    CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
+          |    CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb,
+          |    CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+          |      AS p
+          |  FROM w
+          |)
+          |SELECT 'click' AS group_a, 'purchase' AS group_b,
+          |  n_a, k_a, n_b, k_b,
+          |  round(ra * 1e6)::DOUBLE / 1e6 AS rate_a,
+          |  round(rb * 1e6)::DOUBLE / 1e6 AS rate_b,
+          |  round((ra - rb) / sqrt(p * (1.0 - p) *
+          |    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+          |    * 1e6)::DOUBLE / 1e6 AS z_stat
+          |FROM e""".stripMargin,
 
       // same 1e4 lattice, same hi/lo exact moments (v*v >= 0 so
       // DuckDB's flooring // == Spark's truncating DIV), same fixed

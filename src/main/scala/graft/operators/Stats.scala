@@ -1045,6 +1045,53 @@ object Stats {
       disp(tStat).as("t_stat"), disp(dfW).as("df_welch"))
   }
 
+  /** Two-proportion z-test (pooled) between two named groups — the
+    * conversion-rate companion of [[welchTTest]]: did the new recipe
+    * change the keep-rate of the quality gate? does source X convert
+    * readers differently from source Y? Inputs are a boolean success
+    * column, so every moment is an EXACT integer count — no lattice
+    * needed; the z statistic's double derivation has a fixed shape
+    * from (n_a, k_a, n_b, k_b). One grouped aggregate + one fold;
+    * in-plan guards raise when a group is missing/empty or the
+    * pooled rate is degenerate (0 or 1 — z undefined). */
+  def proportionZTest(df: DataFrame, successCol: String,
+                      groupCol: String, groupA: String,
+                      groupB: String): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    val perGroup = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(successCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("boolean").cast("long")).as("k"))
+    def side(gv: String, tag: String) = Seq(
+      max(when(col("g") === gv, col("n"))).as(s"n_$tag"),
+      max(when(col("g") === gv, col("k"))).as(s"k_$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val one = perGroup.agg(aggs.head, aggs.tail: _*)
+    def nD(t: String) = col(s"n_$t").cast("double")
+    def rate(t: String) = col(s"k_$t").cast("double") / nD(t)
+    val pooled = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val guard = assert_true(
+      col("n_a").isNotNull && col("n_b").isNotNull &&
+        col("n_a") >= 1 && col("n_b") >= 1 &&
+        pooled > lit(0.0) && pooled < lit(1.0),
+      lit("proportionZTest: both groups need n >= 1 and the pooled " +
+        "rate must be in (0, 1)"))
+    val z = (rate("a") - rate("b")) /
+      sqrt(pooled * (lit(1.0) - pooled) *
+        (lit(1.0) / nD("a") + lit(1.0) / nD("b")))
+    def disp(c: Column): Column =
+      round(c * lit(1e6)).cast("double") / lit(1e6)
+    one.select(
+      when(guard.isNull, lit(groupA)).as("group_a"),
+      lit(groupB).as("group_b"),
+      col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      disp(rate("a")).as("rate_a"), disp(rate("b")).as("rate_b"),
+      disp(z).as("z_stat"))
+  }
+
   /** k-anonymity audit — the privacy-governance companion of
     * `TextAnalysis.scrubPii`: scrubbing removes direct identifiers,
     * but a row can still be re-identified when its QUASI-identifier

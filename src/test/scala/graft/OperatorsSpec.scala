@@ -4595,6 +4595,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("proportionZTest: hand-computed pooled z; degenerate pooled " +
+       "rate and missing groups raise in-plan") {
+    val d = spark.sql(
+      """select * from values
+        |  ('a', true), ('a', true), ('a', false), ('a', false),
+        |  ('b', true), ('b', false), ('b', false), ('b', false),
+        |  ('c', true), ('c', true)
+        |  as t(grp, hit)""".stripMargin)
+    val r = graft.operators.Stats
+      .proportionZTest(d, "hit", "grp", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("k_a") == 2 &&
+      r.getAs[Long]("n_b") == 4 && r.getAs[Long]("k_b") == 1)
+    assert(math.abs(r.getAs[Double]("rate_a") - 0.5) < 1e-9)
+    // p = 3/8; z = (0.5-0.25)/sqrt(0.375*0.625*(1/4+1/4))
+    val expected = 0.25 / math.sqrt(0.375 * 0.625 * 0.5)
+    assert(math.abs(r.getAs[Double]("z_stat") - expected) < 1e-5)
+    // all-success pool (only hit rows kept): z undefined, loud
+    assertThrows[Exception] {
+      graft.operators.Stats
+        .proportionZTest(d.filter(col("hit")), "hit", "grp",
+          "a", "c").collect()
+    }
+    assertThrows[Exception] {
+      graft.operators.Stats
+        .proportionZTest(d, "hit", "grp", "a", "zzz").collect()
+    }
+  }
+
   test("kAnonymityViolations / suppressBelowK: sub-k combos reported " +
        "and suppressed; null quasi-values group (and keep) as values") {
     val d = spark.sql(
