@@ -2607,6 +2607,14 @@ $joins"""
       Stats.welchTTest(t(s, dir, "events"), "value", "event_type",
         groupA = "click", groupB = "view")),
 
+    // chi-square independence + Cramér's V between two categoricals
+    // (event type × above-median flag): integer cells, closed-form
+    // zero-cell mass, decimal-summed terms
+    "q_stats_chi2" -> ((s, dir) =>
+      Stats.chiSquareIndependence(
+        t(s, dir, "events").withColumn("hit", col("value") > 50.0),
+        "event_type", "hit")),
+
     // two-proportion z-test: the conversion-rate A/B (success =
     // above-median event value) — exact integer counts, fixed double
     // shape for the pooled z
@@ -7251,6 +7259,47 @@ $joins"""
           |  CASE WHEN value IS NOT NULL
           |    THEN (value < tlo OR value > thi) END AS was_clipped
           |FROM t CROSS JOIN q""".stripMargin,
+
+      // same integer cells and margins, same fixed e/term shapes,
+      // same round-9 DECIMAL term sums + closed-form zero-cell mass
+      "q_stats_chi2" ->
+        """WITH cells AS (
+          |  SELECT event_type AS a, (value > 50.0) AS b,
+          |         count(*) AS o
+          |  FROM events
+          |  WHERE event_type IS NOT NULL
+          |    AND (value > 50.0) IS NOT NULL
+          |  GROUP BY 1, 2
+          |), dims AS (
+          |  SELECT count(DISTINCT a) AS r, count(DISTINCT b) AS c,
+          |         count(*) AS n_cells, sum(o) AS n
+          |  FROM cells
+          |), m AS (
+          |  SELECT o,
+          |    sum(o) OVER (PARTITION BY a) AS ra,
+          |    sum(o) OVER (PARTITION BY b) AS cb
+          |  FROM cells
+          |), t AS (
+          |  SELECT
+          |    CAST(round((od - e) * (od - e) / e, 9)
+          |      AS DECIMAL(38,9)) AS t9,
+          |    CAST(round(e, 9) AS DECIMAL(38,9)) AS e9
+          |  FROM (
+          |    SELECT CAST(o AS DOUBLE) AS od,
+          |      CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+          |        / CAST(n AS DOUBLE) AS e
+          |    FROM m CROSS JOIN dims) x
+          |), s AS (
+          |  SELECT sum(t9) AS tsum, sum(e9) AS esum FROM t
+          |)
+          |SELECT n, n_cells, (r - 1) * (c - 1) AS df_degrees,
+          |  round(CAST(tsum + (CAST(n AS DECIMAL(38,9)) - esum)
+          |      AS DOUBLE) * 1e6)::DOUBLE / 1e6 AS chi2,
+          |  round(sqrt(CAST(tsum + (CAST(n AS DECIMAL(38,9)) - esum)
+          |      AS DOUBLE) /
+          |    (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)))
+          |    * 1e6)::DOUBLE / 1e6 AS cramers_v
+          |FROM s CROSS JOIN dims""".stripMargin,
 
       // exact integer counts, same pooled-z double shape, same 1e6
       // display rounding; null successes drop on both sides

@@ -1092,6 +1092,66 @@ object Stats {
       disp(z).as("z_stat"))
   }
 
+  /** Chi-square test of independence + Cramér's V between two
+    * categorical columns — "is event type independent of the
+    * above-median flag?", "does source correlate with language?":
+    * the categorical companion of [[welchTTest]]/[[proportionZTest]]
+    * and the corpus-composition drift tripwire.
+    *
+    * Exactness: observed cells are one integer-count aggregate; all
+    * remaining work runs on that BOUNDED cell frame (margins via
+    * windows over cells, never the corpus). Zero cells still
+    * contribute their expectation — handled in closed form:
+    * Σ_missing e = n − Σ_observed e, so the unobserved combinations
+    * never materialize. Per-cell terms round to 9 decimals and sum
+    * as DECIMAL (order-independent, the benfordTest discipline);
+    * df = (r−1)(c−1); V = sqrt(χ²/(n·(min(r,c)−1))). An in-plan
+    * guard raises when either column is constant (df 0 — the test is
+    * undefined). Output: one row (n, n_cells, df, chi2, cramers_v). */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+                            colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val wa = Window.partitionBy(col("a"))
+    val wb = Window.partitionBy(col("b"))
+    val wAll = Window.partitionBy()
+    val withM = cells
+      .withColumn("ra", sum(col("o")).over(wa))
+      .withColumn("cb", sum(col("o")).over(wb))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("r", size(collect_set(col("a")).over(wAll)))
+      .withColumn("c", size(collect_set(col("b")).over(wAll)))
+    val e = col("ra").cast("double") * col("cb").cast("double") /
+      col("n").cast("double")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    val agg = withM.select(col("o"), col("n"), col("r"), col("c"),
+        round(term, 9).cast("decimal(38,9)").as("t9"),
+        round(e, 9).cast("decimal(38,9)").as("e9"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("t9")).as("tsum"), sum(col("e9")).as("esum"))
+    val guard = assert_true(col("r") >= 2 && col("c") >= 2,
+      lit("chiSquareIndependence: both columns need >= 2 distinct " +
+        "values (df would be 0)"))
+    // observed terms + the closed-form zero-cell mass (n − Σ_obs e),
+    // both rounded on the DECIMAL side before the double cast
+    val chi2 = (col("tsum") +
+      (col("n").cast("decimal(38,9)") - col("esum"))).cast("double")
+    def disp(c: Column): Column =
+      round(c * lit(1e6)).cast("double") / lit(1e6)
+    agg.select(
+      when(guard.isNull, col("n")).as("n"),
+      col("n_cells"),
+      ((col("r") - 1) * (col("c") - 1)).as("df_degrees"),
+      disp(chi2).as("chi2"),
+      disp(sqrt(chi2 / (col("n").cast("double") *
+        (least(col("r"), col("c")) - 1).cast("double"))))
+        .as("cramers_v"))
+  }
+
   /** k-anonymity audit — the privacy-governance companion of
     * `TextAnalysis.scrubPii`: scrubbing removes direct identifiers,
     * but a row can still be re-identified when its QUASI-identifier

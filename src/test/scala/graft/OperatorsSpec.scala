@@ -4595,6 +4595,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("chiSquareIndependence: hand-computed 2x2; zero cells " +
+       "contribute their expectation in closed form; constant " +
+       "columns raise") {
+    def table(rows: (String, Boolean, Int)*) = {
+      val data = rows.flatMap { case (a, b, n) =>
+        Seq.fill(n)((a, b)) }
+      spark.createDataFrame(data).toDF("a", "b")
+    }
+    val full = table(("x", true, 30), ("x", false, 10),
+      ("y", true, 10), ("y", false, 30))
+    val r1 = graft.operators.Stats
+      .chiSquareIndependence(full, "a", "b").collect().head
+    assert(r1.getAs[Long]("n") == 80 && r1.getAs[Long]("n_cells") == 4)
+    assert(r1.getAs[Int]("df_degrees") == 1)
+    assert(math.abs(r1.getAs[Double]("chi2") - 20.0) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("cramers_v") - 0.5) < 1e-6)
+    // a missing combination: its expected mass still counts
+    val sparse = table(("x", true, 5), ("x", false, 5), ("y", true, 5))
+    val r2 = graft.operators.Stats
+      .chiSquareIndependence(sparse, "a", "b").collect().head
+    assert(r2.getAs[Long]("n_cells") == 3)
+    assert(math.abs(r2.getAs[Double]("chi2") - 3.75) < 1e-6,
+      r2.getAs[Double]("chi2").toString)
+    // constant column: df 0, loud
+    assertThrows[Exception] {
+      graft.operators.Stats.chiSquareIndependence(
+        table(("x", true, 5), ("y", true, 5)), "a", "b").collect()
+    }
+  }
+
   test("proportionZTest: hand-computed pooled z; degenerate pooled " +
        "rate and missing groups raise in-plan") {
     val d = spark.sql(
