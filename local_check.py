@@ -11,15 +11,23 @@ sorts columns by name, normalizes values, and compares row multisets.
 """
 import json, sys, glob, math
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
-    if isinstance(v, float):
+    # Type-strict like the driver's hash: an int64 742 and a float64
+    # 742.0 must NOT collapse (DuckDB types sum(int) as HUGEINT which
+    # fetches as float64 — oracles must cast ::BIGINT; see VERDICT r11).
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
+            return "f:NaN"
+        return f"f:{float(v):.9g}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)

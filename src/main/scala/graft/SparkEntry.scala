@@ -7272,7 +7272,7 @@ $joins"""
           |  GROUP BY 1, 2
           |), dims AS (
           |  SELECT count(DISTINCT a) AS r, count(DISTINCT b) AS c,
-          |         count(*) AS n_cells, sum(o) AS n
+          |         count(*) AS n_cells, sum(o)::BIGINT AS n
           |  FROM cells
           |), m AS (
           |  SELECT o,
@@ -7311,7 +7311,7 @@ $joins"""
           |    AND (value > 50.0) IS NOT NULL
           |), w0 AS (
           |  SELECT g, count(*) AS n,
-          |    sum(CASE WHEN hit THEN 1 ELSE 0 END) AS k
+          |    sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS k
           |  FROM q GROUP BY 1
           |), w AS (
           |  SELECT

@@ -509,8 +509,11 @@ object Dedup {
       seen.fold(df)(s =>
         df.join(s, col("id") === col("__seen"), "left_anti"))
     // materialize BEFORE the appends: the fresh set derives from the
-    // same directories the writes below extend
-    val fresh = anti(shingled(batch, idCol, textCol, n),
+    // same directories the writes below extend. dropDuplicates first:
+    // two copies of an id WITHIN one micro-batch both pass the store
+    // anti joins (neither is in the store yet) and would both write.
+    val fresh = anti(shingled(batch.dropDuplicates(idCol), idCol,
+        textCol, n),
       seenIds("bands")).truncateLineage(true)
     anti(fresh, seenIds("shingles"))
       .select(col("id"), col("shingles"))

@@ -452,7 +452,11 @@ object Similarity {
                      vecCol: String): Unit = {
     require(centroids.nonEmpty,
       "appendIvfIndex needs the index's centroids (rebuild an empty index)")
+    // within-batch duplicates survive the store anti join (both copies
+    // are absent from the index) — drop them first so the
+    // duplicate-free contract holds inside one micro-batch too
     val prepped = ivfPrep(batch, idCol, vecCol)
+      .dropDuplicates("neighbor_id")
     val existing = batch.sparkSession.read.parquet(indexPath)
       .select(col("neighbor_id").as("__seen")).distinct()
     prepped

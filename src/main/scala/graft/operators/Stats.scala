@@ -1024,12 +1024,19 @@ object Stats {
         (nT(t).cast("double") * (nT(t).cast("double") - lit(1.0))) /
         (lit(unit) * lit(unit))
     def se2(t: String): Column = variance(t) / nT(t).cast("double")
+    // n bound: with |v| < 1e9, Σv and each hi/lo half accumulate
+    // terms ≤ 1e9 — beyond ~9.2e9 rows per group the long sums would
+    // overflow SILENTLY (non-ANSI). Fail loudly like the lattice
+    // guard instead; 9e9 keeps a margin under Long.Max/1e9.
+    val nMax = 9000000000L
     val guard = assert_true(
       Seq("a", "b").map(t => nT(t).isNotNull && nT(t) >= 2 &&
+          nT(t) <= lit(nMax) &&
           col(s"mx_$t") >= lit(0L) && col(s"mx_$t") < lit(split))
         .reduce(_ && _),
-      lit(s"welchTTest: both groups need n >= 2 and |value|*10^$scale " +
-        "below 1e9 - lower `scale` or pre-scale the column"))
+      lit(s"welchTTest: both groups need 2 <= n <= 9e9 and " +
+        s"|value|*10^$scale below 1e9 - lower `scale` or pre-scale " +
+        "the column"))
     val sTot = se2("a") + se2("b")
     val tStat = (mean("a") - mean("b")) / sqrt(sTot)
     val dfW = (sTot * sTot) / (

@@ -2150,9 +2150,21 @@ object StreamOps {
 
   /** Produce a rewrite of a live directory into a sibling tmp (the
     * caller's `produce` runs with the live path still readable),
-    * then swap it in by rename — the `Layout.compact` discipline: a
-    * concurrent reader sees either the old version or the new one,
-    * never a half-written directory. */
+    * then swap it in by rename — the `Layout.compact` discipline.
+    *
+    * Visibility: the two-rename swap has a TRANSIENT window between
+    * `rename(live, old)` and `rename(tmp, live)` in which the live
+    * path does not exist — a concurrent reader in that window gets
+    * FileNotFound and must retry; a reader outside it sees either
+    * the complete old version or the complete new one, never a
+    * half-written directory. (Readers that must never miss need a
+    * versioned-dir + pointer-file indirection instead.)
+    *
+    * Crash recovery: a driver crash inside that window leaves the
+    * snapshot parked at `__merge_old`. On entry, if the live path is
+    * missing but `__merge_old` exists, it is renamed back before
+    * producing — so a restarted stream heals the park instead of
+    * failing its first read. */
   private def writeAndSwap(livePath: String, what: String)
                           (produce: String => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(livePath)
@@ -2162,6 +2174,9 @@ object StreamOps {
       p.getName + "__merge_tmp")
     val old = new org.apache.hadoop.fs.Path(p.getParent,
       p.getName + "__merge_old")
+    if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+      throw new IllegalStateException(
+        s"$what: crash recovery failed — could not restore $old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     produce(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
