@@ -1238,17 +1238,15 @@ $joins"""
         (col("doc_id") % 7).cast("string"),
         lit(".example.com/dir"), (col("doc_id") % 5).cast("string"),
         lit("/page/index.html"))
-      graft.operators.HtmlExtract.extractLinks(
+      val links = graft.operators.HtmlExtract.extractLinks(
           docs.select(col("doc_id"), html.as("html"), base.as("base")),
           "doc_id", "html", baseUrlCol = Some("base"))
-        .withColumn("src_host", concat(lit("site"),
-          (col("doc_id") % 7).cast("string"), lit(".example.com")))
-        .withColumn("dst_host", lower(regexp_extract(col("href_abs"),
-          "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)))
-        .filter(col("dst_host") =!= "")
-        .groupBy(col("src_host"), col("dst_host"))
-        .agg(count(lit(1)).as("n_links"),
-          count_distinct(col("doc_id")).as("n_pages"))
+        .withColumn("src_url", concat(lit("https://site"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".example.com/dir"), (col("doc_id") % 5).cast("string"),
+          lit("/page/index.html")))
+      graft.operators.Graph.hostGraph(links, "src_url", "href_abs",
+        "doc_id")
     }),
 
     // anchor-text aggregation over the extracted link graph: per
@@ -3648,6 +3646,68 @@ $joins"""
            |]""".stripMargin)
     }),
 
+    // the k-anonymity release gate replayed from pure JSON: the
+    // suppress_below_k registry step under q_stats_kanon_suppress's
+    // oracle verbatim
+    "q_pipeline_suppress" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "customer"}},
+           |  {"op": "with_column", "params": {"name": "bal_band",
+           |    "expr": "CAST(floor(c_acctbal / 1000.0) AS INT)"}},
+           |  {"op": "suppress_below_k",
+           |   "params": {"quasi_cols": ["c_nationkey", "c_mktsegment",
+           |                             "bal_band"],
+           |              "k": 5}},
+           |  {"op": "select", "params": {"cols":
+           |    ["c_custkey", "c_nationkey", "c_mktsegment",
+           |     "bal_band"]}}
+           |]""".stripMargin)),
+
+    // PSI drift as config: the reference (purchase) side persists to
+    // parquet and the config names it — the drift-gate pattern a
+    // config-driven pipeline runs against last week's snapshot;
+    // q_stats_psi's oracle verbatim
+    "q_pipeline_psi" -> ((s, dir) => {
+      val ref = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cfgpsi_" + runTag(dir)).getPath
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select("event_id", "value")
+        .write.mode("overwrite").parquet(ref)
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "events"}},
+           |  {"op": "filter",
+           |   "params": {"condition": "event_type = 'click'"}},
+           |  {"op": "psi_drift",
+           |   "params": {"baseline_path": "$ref",
+           |              "value_col": "value", "bin_width": 5.0}}
+           |]""".stripMargin)
+    }),
+
+    // the asset pipeline's config surface: as_assets + nested-meta
+    // projections from pure JSON under q_multimodal_meta's oracle
+    "q_pipeline_multimodal" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "as_assets",
+           |   "params": {"mime": "text/plain", "id_col": "doc_id",
+           |              "payload_col": "text",
+           |              "source_col": "source"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "mime", "expr": "meta.mime"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "source", "expr": "meta.source"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "n_bytes", "expr": "meta.n_bytes"}},
+           |  {"op": "select", "params": {"cols":
+           |    ["id", "mime", "source", "n_bytes"]}}
+           |]""".stripMargin)),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -4939,24 +4999,32 @@ $joins"""
         (s"WITH ${linksOracleCte()}\n" +
           "SELECT doc_id, link_pos, href, href_abs, anchor FROM lk"),
 
-      // same chain with the per-document source host in the base,
-      // same host regex, same (src, dst) counts
+      // same chain with the per-document source host in the base;
+      // dst host through the UrlOps.hostOf grammar (fragment strip,
+      // http(s) gate, userinfo/port strip, lowercase), src host
+      // stated as ground truth
       "q_graph_hostgraph" ->
         (s"WITH ${linksOracleCte(
           "'https://site' || CAST(doc_id % 7 AS VARCHAR) || " +
             "'.example.com/dir' || CAST(doc_id % 5 AS VARCHAR) || " +
             "'/page/index.html'")}, " +
-          """hg AS (
+          """hp AS (
+          |  SELECT doc_id,
+          |    regexp_replace(trim(href_abs), '#.*$', '') AS t
+          |  FROM lk
+          |), hg AS (
           |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR)
           |      || '.example.com' AS src_host,
-          |    lower(regexp_extract(href_abs,
-          |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host,
+          |    lower(regexp_replace(regexp_replace(
+          |      regexp_extract(t, '^(?i)https?://([^/?#]*)', 1),
+          |      '^[^@]*@', ''), ':[0-9]*$', '')) AS dst_host,
           |    doc_id
-          |  FROM lk
+          |  FROM hp
+          |  WHERE regexp_matches(t, '^(?i)https?://[^/?#]+')
           |)
           |SELECT src_host, dst_host, count(*) AS n_links,
           |       count(DISTINCT doc_id) AS n_pages
-          |FROM hg WHERE dst_host <> ''
+          |FROM hg WHERE dst_host IS NOT NULL AND dst_host <> ''
           |GROUP BY 1, 2""".stripMargin),
 
       // anchor aggregation over the same chain: per-target counts,
@@ -8245,6 +8313,9 @@ $joins"""
       ("q_pipeline_ann" -> base("q_sim_ivf_indexed")) +
       ("q_pipeline_profile" -> base("q_stats_profile_shards")) +
       ("q_pipeline_apply" -> base("q_layout_apply")) +
-      ("q_layout_apply_bucketed" -> base("q_layout_apply"))
+      ("q_layout_apply_bucketed" -> base("q_layout_apply")) +
+      ("q_pipeline_suppress" -> base("q_stats_kanon_suppress")) +
+      ("q_pipeline_psi" -> base("q_stats_psi")) +
+      ("q_pipeline_multimodal" -> base("q_multimodal_meta"))
   }
 }

@@ -726,4 +726,39 @@ object Graph {
     }
     labels
   }
+
+  /** Contract a page-level link table to the HOST graph — the
+    * standard web-scale reduction in front of [[pageRank]] /
+    * [[connectedComponents]] / [[hits]]: a 100 TB crawl has billions
+    * of pages but only ~10⁸ hosts, so ranking hosts (edge = src host
+    * → dst host, weighted by link and distinct-page counts) is what
+    * makes the iterative operators fit.
+    *
+    * Host extraction is [[UrlOps.hostOf]] — the ONE host grammar in
+    * the library (lowercased, userinfo/port stripped, null for
+    * non-http(s)) — so host-graph keys pool with
+    * [[UrlOps.canonicalizeUrls]]' host/domain columns instead of
+    * drifting on a second regex. Src may already BE a host column
+    * (`srcIsUrl = false`): it is lowercased only, matching hostOf's
+    * case convention. Edges with an unparseable side drop.
+    *
+    * Scale shape: one codegen'd projection + ONE (src_host, dst_host)
+    * keyed aggregate (partial map-side combine; count_distinct adds
+    * the standard expand-by-page pass) — output ∝ distinct host
+    * pairs, never pages. Output: (src_host, dst_host, n_links,
+    * n_pages). */
+  def hostGraph(links: DataFrame, srcCol: String, dstUrlCol: String,
+                pageIdCol: String = "doc_id",
+                srcIsUrl: Boolean = true): DataFrame = {
+    val srcHost =
+      if (srcIsUrl) UrlOps.hostOf(col(srcCol)) else lower(col(srcCol))
+    links.select(srcHost.as("src_host"),
+        UrlOps.hostOf(col(dstUrlCol)).as("dst_host"),
+        col(pageIdCol).as("__page"))
+      .filter(col("src_host").isNotNull && col("src_host") =!= "" &&
+        col("dst_host").isNotNull && col("dst_host") =!= "")
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("__page")).as("n_pages"))
+  }
 }

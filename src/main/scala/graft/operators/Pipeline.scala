@@ -309,6 +309,176 @@ object Pipeline {
         df => Graph.connectedComponents(df, src, dst, rounds)
       }),
 
+    // page-level links -> host graph, the contraction that makes the
+    // iterative graph steps above fit a web-scale crawl
+    "host_graph" -> OpSpec(Set("src_col", "dst_url_col"),
+      Set("page_id_col", "src_is_url"),
+      p => {
+        val src = p.str("src_col")
+        val dst = p.str("dst_url_col")
+        val page = p.str("page_id_col", Some("doc_id"))
+        val isUrl = p.bool("src_is_url", Some(true))
+        df => Graph.hostGraph(df, src, dst, page, isUrl)
+      }),
+
+    // ---- table-health / governance steps: the stats gates a
+    // config-driven curation pipeline wants between transform stages.
+    // Drift steps read their REFERENCE distribution from a parquet
+    // path (the in-flight frame is the current side), so the config
+    // states what the pipeline drifts AGAINST ----
+
+    "profile" -> OpSpec(Set("cols"), Set(),
+      p => {
+        val cols = p.strs("cols")
+        df => Stats.profileColumns(df, cols)
+      }),
+
+    "histogram" -> OpSpec(Set("value_col", "bin_width"), Set(),
+      p => {
+        val (v, w) = (p.str("value_col"), p.dbl("bin_width"))
+        df => Stats.histogram(df, v, w)
+      }),
+
+    "ks_drift" -> OpSpec(
+      Set("baseline_path", "value_col", "bin_width"), Set(),
+      p => {
+        val path = p.str("baseline_path")
+        val (v, w) = (p.str("value_col"), p.dbl("bin_width"))
+        df => Stats.ksDrift(df,
+          df.sparkSession.read.parquet(path), v, w)
+      }),
+
+    "psi_drift" -> OpSpec(
+      Set("baseline_path", "value_col", "bin_width"), Set("smooth_k"),
+      p => {
+        val path = p.str("baseline_path")
+        val (v, w) = (p.str("value_col"), p.dbl("bin_width"))
+        val k = p.dbl("smooth_k", Some(0.5))
+        df => Stats.psiDrift(df,
+          df.sparkSession.read.parquet(path), v, w, k)
+      }),
+
+    "kl_divergence" -> OpSpec(
+      Set("baseline_path", "cat_col"), Set("smooth_k"),
+      p => {
+        val path = p.str("baseline_path")
+        val c = p.str("cat_col")
+        val k = p.dbl("smooth_k", Some(0.5))
+        df => Stats.klDivergence(df,
+          df.sparkSession.read.parquet(path), c, k)
+      }),
+
+    // median/scaled-MAD either pinned in the config (both or
+    // neither — a lone one fails eagerly by name) or fitted from the
+    // in-flight frame at run time (two bounded driver doubles)
+    "mad_gate" -> OpSpec(Set(),
+      Set("value_col", "median", "scaled_mad", "k"),
+      p => {
+        val v = p.str("value_col", Some("value"))
+        val k = p.dbl("k", Some(3.5))
+        val fixed =
+          if (p.has("median") || p.has("scaled_mad"))
+            Some((p.dbl("median"), p.dbl("scaled_mad")))
+          else None
+        df => {
+          val (m, s) = fixed.getOrElse(Stats.fitMad(df, v))
+          Stats.madGate(df, v, m, s, k)
+        }
+      }),
+
+    "winsorize" -> OpSpec(Set(),
+      Set("value_col", "lo", "hi", "id_col"),
+      p => {
+        val v = p.str("value_col", Some("value"))
+        val (lo, hi) = (p.dbl("lo", Some(0.01)), p.dbl("hi", Some(0.99)))
+        val id = p.str("id_col", Some("event_id"))
+        df => Stats.winsorize(df, v, lo, hi, id)
+      }),
+
+    "suppress_below_k" -> OpSpec(Set("quasi_cols", "k"), Set(),
+      p => {
+        val (cols, k) = (p.strs("quasi_cols"), p.int("k"))
+        df => Stats.suppressBelowK(df, cols, k)
+      }),
+
+    // ---- stateful streaming steps beyond windowed_stats: each
+    // carries its own watermark in the config (the streamable-gate
+    // contract: a config states its event-time bound) ----
+
+    // per-window quantiles, append-mode as the watermark closes
+    // windows; exact at eps = 0 (parity-spec'd on MemoryStream)
+    "windowed_quantiles_watermarked" -> OpSpec(
+      Set("watermark_delay", "qs"),
+      Set("value_col", "ts_col", "window_length", "eps", "group_cols"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val qs = p.dbls("qs")
+        val v = p.str("value_col", Some("value"))
+        val ts = p.str("ts_col", Some("ts"))
+        val win = p.str("window_length", Some("1 hour"))
+        val eps = p.dbl("eps", Some(0.0))
+        val gcols = p.strs("group_cols", Some(Nil))
+        df => graft.streaming.StreamOps.windowedQuantilesStream(
+          df, v, qs, ts, win, wm, eps, gcols)
+      }),
+
+    // per-window trending tokens (Misra-Gries state, append-mode on
+    // window close). Input frame needs (doc_id, text, ts) — the
+    // StreamDoc shape; extra columns are dropped by the typed view.
+    // Streaming-shaped: on a batch frame the state API has no
+    // watermark to close windows against, so run it under
+    // fromStepsStreaming (where it is whitelisted)
+    "trending_tokens_watermarked" -> OpSpec(
+      Set("watermark_delay"),
+      Set("window_seconds", "capacity", "top_k"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val winS = p.int("window_seconds", Some(3600)).toLong
+        val cap = p.int("capacity", Some(4096))
+        val topK = p.int("top_k", Some(10))
+        df => {
+          val ss = df.sparkSession
+          import ss.implicits._
+          graft.streaming.StreamOps.trendingTokensStream(
+            df.withWatermark("ts", wm)
+              .select(col("doc_id").cast("long").as("doc_id"),
+                col("text").cast("string").as("text"), col("ts"))
+              .as[graft.streaming.StreamOps.StreamDoc],
+            winS, cap, topK).toDF()
+        }
+      }),
+
+    // ---- multimodal steps: the asset pipeline's config surface ----
+
+    // wrap a payload column as the (id, content, meta) asset table —
+    // the entry point of the asset domain
+    "as_assets" -> OpSpec(Set("mime"),
+      Set("id_col", "payload_col", "source_col"),
+      p => {
+        val mime = p.str("mime")
+        val id = p.str("id_col", Some("doc_id"))
+        val pay = p.str("payload_col", Some("text"))
+        val src = p.str("source_col", Some("source"))
+        df => Multimodal.asAssets(df, id, pay, mime, src)
+      }),
+
+    // mime-dispatched decode + feature extraction (WAV/BMP/PNG/GIF/
+    // JPEG/MJPEG-AVI real decoders, stub fallback) — per-row, so
+    // stream-safe
+    "decode_features" -> OpSpec(Set(), Set(),
+      _ => df => Multimodal.extractFeatures(df)),
+
+    // perceptual-hash near-dup pairs over an asset frame: decode
+    // once to an 8-byte hash, then the banded chunk equi-join —
+    // never all-pairs
+    "phash_dedup" -> OpSpec(Set(), Set("hamming_max", "chunks"),
+      p => {
+        val h = p.int("hamming_max", Some(3))
+        val c = p.int("chunks", Some(4))
+        df => Multimodal.phashNearDupPairs(
+          Multimodal.perceptualHashes(df), h, c)
+      }),
+
     // stateless per-row steps rounding out the crawl/curation chain
     // in config form (all stream-safe)
     "canonicalize_urls" -> OpSpec(Set(),
@@ -977,7 +1147,11 @@ object Pipeline {
     "windowed_stats_watermarked", "code_line_stats",
     "parse_warc_records", "http_responses", "extract_text",
     "canonicalize_urls", "split_sentences", "readability_scores",
-    "gopher_repetition_flags", "compression_ratio")
+    "gopher_repetition_flags", "compression_ratio",
+    // stateful entries that carry their own watermark in the config
+    "windowed_quantiles_watermarked", "trending_tokens_watermarked",
+    // per-row multimodal plumbing
+    "as_assets", "decode_features")
 
   /** Compile a step list for a STREAMING DataFrame: the same
     * registry bodies as [[fromSteps]] (a config gates the stream with

@@ -74,4 +74,23 @@ class ExamplesSpec extends AnyFunSuite {
     assert(survivors.count() > 0)
     assert(survivors.columns.contains("keep"))
   }
+
+  test("examples/release_gate.json suppresses below-k combinations " +
+       "end to end") {
+    val out = Pipeline.runJson(spark,
+      read("release_gate.json").replace("__TESTDATA__", dir))
+    assert(out.columns.toSeq ==
+      Seq("c_custkey", "c_nationkey", "c_mktsegment"))
+    val full = spark.read.parquet(s"$dir/customer.parquet").count()
+    val kept = out.count()
+    assert(kept > 0 && kept < full) // the gate actually suppressed
+  }
+
+  test("examples/asset_features.json decodes features end to end") {
+    val out = Pipeline.runJson(spark,
+      read("asset_features.json").replace("__TESTDATA__", dir))
+    assert(out.columns.contains("feature") &&
+      out.columns.contains("content_hash"))
+    assert(out.count() > 0)
+  }
 }

@@ -719,4 +719,119 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
     assert(got.size < batch.count()) // something actually dropped
   }
+
+  test("table-health / streaming / multimodal / host_graph steps " +
+       "validate eagerly: unknown params and missing required params " +
+       "name themselves before any job") {
+    Seq(
+      "profile" -> Map[String, Any]("cols" -> Seq("n_chars")),
+      "histogram" -> Map[String, Any](
+        "value_col" -> "n_chars", "bin_width" -> 10.0),
+      "ks_drift" -> Map[String, Any]("baseline_path" -> "/tmp/x",
+        "value_col" -> "v", "bin_width" -> 5.0),
+      "psi_drift" -> Map[String, Any]("baseline_path" -> "/tmp/x",
+        "value_col" -> "v", "bin_width" -> 5.0),
+      "kl_divergence" -> Map[String, Any](
+        "baseline_path" -> "/tmp/x", "cat_col" -> "lang"),
+      "suppress_below_k" -> Map[String, Any](
+        "quasi_cols" -> Seq("lang"), "k" -> 5L),
+      "host_graph" -> Map[String, Any](
+        "src_col" -> "u", "dst_url_col" -> "v"),
+      "as_assets" -> Map[String, Any]("mime" -> "text/plain"),
+      "windowed_quantiles_watermarked" -> Map[String, Any](
+        "watermark_delay" -> "1 hour", "qs" -> Seq(0.5)),
+      "trending_tokens_watermarked" -> Map[String, Any](
+        "watermark_delay" -> "1 hour"))
+      .foreach { case (op, good) =>
+        val unknown = intercept[IllegalArgumentException] {
+          Pipeline.fromSteps(Seq(Step(op, good + ("bogus" -> "v"))))
+        }
+        assert(unknown.getMessage.contains("unknown params") &&
+          unknown.getMessage.contains("bogus"), op)
+        val missing = intercept[IllegalArgumentException] {
+          Pipeline.fromSteps(Seq(Step(op)))
+        }
+        assert(missing.getMessage.contains("missing required"), op)
+      }
+    // all-optional steps: unknown keys still name themselves
+    Seq("mad_gate", "winsorize", "decode_features", "phash_dedup")
+      .foreach { op =>
+        val e = intercept[IllegalArgumentException] {
+          Pipeline.fromSteps(Seq(Step(op, Map("bogus" -> "v"))))
+        }
+        assert(e.getMessage.contains("unknown params") &&
+          e.getMessage.contains("bogus"), op)
+      }
+    // mad_gate with only ONE of median/scaled_mad pinned fails by
+    // name at compile time (a silent half-pin would fit the other
+    // from data and gate against a mixed threshold)
+    val half = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("mad_gate",
+        Map("median" -> 5.0))))
+    }
+    assert(half.getMessage.contains("scaled_mad"))
+  }
+
+  test("table-health steps replay their hand-written twins: " +
+       "histogram / winsorize / mad_gate(fit) == the direct " +
+       "operator calls") {
+    import graft.operators.Stats
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("value"))
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val hist = Pipeline.fromSteps(Seq(Step("histogram",
+      Map("value_col" -> "value", "bin_width" -> 10.0))))(ev)
+    assert(hrows(hist) == hrows(Stats.histogram(ev, "value", 10.0)) &&
+      hist.count() > 0)
+    val win = Pipeline.fromSteps(Seq(Step("winsorize",
+      Map("value_col" -> "value", "lo" -> 0.05, "hi" -> 0.95))))(ev)
+    assert(hrows(win) ==
+      hrows(Stats.winsorize(ev, "value", 0.05, 0.95)))
+    // fit path == fitMad + madGate; pinned path == the same when the
+    // pins are the fitted values
+    val (m, s) = Stats.fitMad(ev, "value")
+    val fit = Pipeline.fromSteps(Seq(Step("mad_gate",
+      Map("value_col" -> "value"))))(ev)
+    val pinned = Pipeline.fromSteps(Seq(Step("mad_gate",
+      Map("value_col" -> "value", "median" -> m,
+        "scaled_mad" -> s))))(ev)
+    val direct = Stats.madGate(ev, "value", m, s)
+    assert(hrows(fit) == hrows(direct) &&
+      hrows(pinned) == hrows(direct) && direct.count() > 0)
+  }
+
+  test("host_graph step contracts a link frame through the " +
+       "UrlOps.hostOf grammar (userinfo/port/case/scheme handling), " +
+       "and src_is_url=false lowercases a host column") {
+    import graft.operators.Graph
+    val s = spark
+    import s.implicits._
+    val links = Seq(
+      (1L, "https://A.example.com/p1", "https://USER:pw@B.example.com:8443/x"),
+      (1L, "https://a.example.com/p1", "http://b.example.com/y#frag"),
+      (2L, "https://a.example.com/p2", "http://b.example.com/z"),
+      (2L, "https://a.example.com/p2", "mailto:x@y"), // drops: scheme
+      (3L, "notaurl", "https://c.example.com/")) // drops: bad src
+      .toDF("doc_id", "src_url", "href_abs")
+    val got = Pipeline.fromSteps(Seq(Step("host_graph",
+        Map("src_col" -> "src_url", "dst_url_col" -> "href_abs"))))(
+        links)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a.example.com", "b.example.com", 3L, 2L)))
+    // direct call == config step
+    val direct = Graph.hostGraph(links, "src_url", "href_abs")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(direct == got)
+    // src already a host: case-normalized only
+    val hostSide = Graph.hostGraph(
+        Seq((1L, "A.Example.COM", "https://b.example.com/"))
+          .toDF("doc_id", "src_host", "href_abs"),
+        "src_host", "href_abs", srcIsUrl = false)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hostSide == Set(("a.example.com", "b.example.com")))
+  }
 }

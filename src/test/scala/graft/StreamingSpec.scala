@@ -3066,4 +3066,104 @@ class StreamingSpec extends AnyFunSuite {
       Pipeline.Step("with_column",
         Map("name" -> "r", "expr" -> "rand(42)"))))
   }
+
+  test("windowed_quantiles_watermarked: the second STATEFUL config " +
+       "step — closed windows from pure JSON carry the exact batch " +
+       "quantiles") {
+    import graft.operators.Pipeline
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ev = graft.sources.Sources.events(s, "/root/testdata/sf0.001")
+      .limit(200).select("event_id", "event_type", "ts", "value")
+    val rows = ev.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(2), r.getDouble(3)))
+    val qs = Seq(0.5, 0.99)
+    val batch = graft.operators.Stats.quantileStats(
+        ev.withColumn("w", window(col("ts"), "6 hours"))
+          .select(col("w.start").as("window_start"), col("event_type"),
+            col("value")),
+        "value", qs, groupCols = Seq("window_start", "event_type"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getDouble(2)) -> r.getDouble(3)).toMap
+    val cfg =
+      """[{"op": "windowed_quantiles_watermarked",
+        |  "params": {"watermark_delay": "30 days",
+        |             "qs": [0.5, 0.99],
+        |             "window_length": "6 hours",
+        |             "group_cols": ["event_type"]}}]""".stripMargin
+    val input = MemoryStream[(Long, String, Timestamp, Double)]
+    val out = Pipeline.fromJsonStreaming(cfg)(
+      input.toDF().toDF("event_id", "event_type", "ts", "value"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("cfg_wq")
+      .outputMode("append").start()
+    (0 until 2).foreach { c =>
+      input.addData(rows.filter(_._1 % 2 == c.toLong).toSeq: _*)
+      q.processAllAvailable()
+    }
+    input.addData((900L, "zz",
+      Timestamp.valueOf("2030-01-01 00:00:00"), 0.0))
+    q.processAllAvailable()
+    input.addData((901L, "zz",
+      Timestamp.valueOf("2030-01-02 00:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql(
+        "select * from cfg_wq where event_type <> 'zz'").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getDouble(2)) -> r.getDouble(3)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    // the unwatermarked quantile aggregate has no config spelling at
+    // all: the registry only admits the watermarked form
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromJsonStreaming(
+        """[{"op": "windowed_quantiles"}]""")
+    }
+    assert(e.getMessage.contains("unknown op") ||
+      e.getMessage.contains("not streamable"))
+  }
+
+  test("trending_tokens_watermarked: the third STATEFUL config step " +
+       "— per-window top-k from pure JSON equals the direct " +
+       "operator's exact-regime ranking") {
+    import graft.operators.Pipeline
+    import graft.streaming.StreamOps.{StreamDoc, TrendOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def d(id: Long, ts: String, text: String) =
+      StreamDoc(id, text, Timestamp.valueOf(ts))
+    val w0 = Seq(d(1, "2024-01-01 00:05:00", "alpha alpha beta"),
+      d(2, "2024-01-01 00:40:00", "alpha gamma beta"))
+    val w1 = Seq(d(3, "2024-01-01 01:10:00", "burst burst burst alpha"),
+      d(4, "2024-01-01 01:50:00", "burst delta"))
+    val cfg =
+      """[{"op": "trending_tokens_watermarked",
+        |  "params": {"watermark_delay": "30 minutes",
+        |             "window_seconds": 3600, "top_k": 3}}]""".stripMargin
+    val input = MemoryStream[StreamDoc]
+    val out = Pipeline.fromJsonStreaming(cfg)(input.toDF())
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("cfg_trend")
+      .outputMode("append").start()
+    input.addData(w0: _*); q.processAllAvailable()
+    input.addData(w1: _*); q.processAllAvailable()
+    input.addData(d(9, "2024-01-01 12:00:00", "x"))
+    q.processAllAvailable()
+    input.addData(d(9, "2024-01-01 13:00:00", "x"))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("select * from cfg_trend where window_start < " +
+        "timestamp '2024-01-01 02:00:00'")
+      .as[TrendOut].collect()
+      .groupBy(_.window_start.toString)
+      .map { case (k, v) => k -> v.sortBy(_.rank)
+        .map(o => (o.rank, o.token, o.cnt)).toSeq }
+    assert(got("2024-01-01 00:00:00.0") ==
+      Seq((1, "alpha", 3L), (2, "beta", 2L), (3, "gamma", 1L)))
+    assert(got("2024-01-01 01:00:00.0") ==
+      Seq((1, "burst", 4L), (2, "alpha", 1L), (3, "delta", 1L)))
+    assert(got.size == 2)
+  }
 }
