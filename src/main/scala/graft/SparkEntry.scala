@@ -3708,6 +3708,38 @@ $joins"""
            |    ["id", "mime", "source", "n_bytes"]}}
            |]""".stripMargin)),
 
+    // Welch's t-test from pure JSON: the statistical-test family's
+    // config surface under q_stats_ttest's oracle verbatim
+    "q_pipeline_ttest" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "events"}},
+           |  {"op": "welch_ttest",
+           |   "params": {"value_col": "value",
+           |              "group_col": "event_type",
+           |              "group_a": "click", "group_b": "view"}}
+           |]""".stripMargin)),
+
+    // HITS from pure JSON: edge construction (with_column + select)
+    // and the iterative operator both as config, under q_graph_hits's
+    // oracle verbatim
+    "q_pipeline_hits" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src", "expr": "l_suppkey"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "l_partkey + 10000000L"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "hits",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "iters": 2}}
+           |]""".stripMargin)),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -8316,6 +8348,8 @@ $joins"""
       ("q_layout_apply_bucketed" -> base("q_layout_apply")) +
       ("q_pipeline_suppress" -> base("q_stats_kanon_suppress")) +
       ("q_pipeline_psi" -> base("q_stats_psi")) +
-      ("q_pipeline_multimodal" -> base("q_multimodal_meta"))
+      ("q_pipeline_multimodal" -> base("q_multimodal_meta")) +
+      ("q_pipeline_ttest" -> base("q_stats_ttest")) +
+      ("q_pipeline_hits" -> base("q_graph_hits"))
   }
 }

@@ -401,6 +401,188 @@ object Pipeline {
         df => Stats.suppressBelowK(df, cols, k)
       }),
 
+    // ---- statistical tests / model-quality / key-health steps:
+    // the rest of the Stats surface as config (one in-flight frame
+    // + scalar params each; referential_orphans names its parent
+    // table by path, the drift-step convention) ----
+
+    "quantile_stats" -> OpSpec(Set("value_col", "qs"),
+      Set("eps", "group_cols"),
+      p => {
+        val (v, qs) = (p.str("value_col"), p.dbls("qs"))
+        val eps = p.dbl("eps", Some(0.0))
+        val g = p.strs("group_cols", Some(Nil))
+        df => Stats.quantileStats(df, v, qs, eps, g)
+      }),
+
+    "equi_depth_histogram" -> OpSpec(Set("value_col"), Set("bins"),
+      p => {
+        val v = p.str("value_col")
+        val bins = p.int("bins", Some(10))
+        df => Stats.equiDepthHistogram(df, v, bins)
+      }),
+
+    "ecdf_normalize" -> OpSpec(Set("score_col"), Set("bins"),
+      p => {
+        val sc = p.str("score_col")
+        val bins = p.int("bins", Some(1000))
+        df => Stats.ecdfNormalize(df, sc, bins)
+      }),
+
+    "pr_curve" -> OpSpec(Set("score_col", "label_col"), Set("bins"),
+      p => {
+        val (sc, l) = (p.str("score_col"), p.str("label_col"))
+        val bins = p.int("bins", Some(100))
+        df => Stats.prCurve(df, sc, l, bins)
+      }),
+
+    "auc_binned" -> OpSpec(Set("score_col", "label_col"), Set("bins"),
+      p => {
+        val (sc, l) = (p.str("score_col"), p.str("label_col"))
+        val bins = p.int("bins", Some(100))
+        df => Stats.aucBinned(df, sc, l, bins)
+      }),
+
+    "calibration_curve" -> OpSpec(Set("prob_col", "label_col"),
+      Set("bins"),
+      p => {
+        val (pc, l) = (p.str("prob_col"), p.str("label_col"))
+        val bins = p.int("bins", Some(10))
+        df => Stats.calibrationCurve(df, pc, l, bins)
+      }),
+
+    "correlation_matrix" -> OpSpec(Set("cols"), Set("scale"),
+      p => {
+        val cols = p.strs("cols")
+        val sc = p.int("scale", Some(4))
+        df => Stats.correlationMatrix(df, cols, sc)
+      }),
+
+    "cohen_kappa" -> OpSpec(Set("col_a", "col_b"), Set(),
+      p => {
+        val (a, b) = (p.str("col_a"), p.str("col_b"))
+        df => Stats.cohenKappa(df, a, b)
+      }),
+
+    "key_concentration" -> OpSpec(Set("key_col"), Set(),
+      p => {
+        val k = p.str("key_col")
+        df => Stats.keyConcentration(df, k)
+      }),
+
+    "benford_test" -> OpSpec(Set("value_col"), Set(),
+      p => {
+        val v = p.str("value_col")
+        df => Stats.benfordTest(df, v)
+      }),
+
+    "chi_square" -> OpSpec(Set("col_a", "col_b"), Set(),
+      p => {
+        val (a, b) = (p.str("col_a"), p.str("col_b"))
+        df => Stats.chiSquareIndependence(df, a, b)
+      }),
+
+    "welch_ttest" -> OpSpec(
+      Set("value_col", "group_col", "group_a", "group_b"),
+      Set("scale"),
+      p => {
+        val v = p.str("value_col")
+        val g = p.str("group_col")
+        val (a, b) = (p.str("group_a"), p.str("group_b"))
+        val sc = p.int("scale", Some(4))
+        df => Stats.welchTTest(df, v, g, a, b, sc)
+      }),
+
+    "proportion_ztest" -> OpSpec(
+      Set("success_col", "group_col", "group_a", "group_b"), Set(),
+      p => {
+        val sCol = p.str("success_col")
+        val g = p.str("group_col")
+        val (a, b) = (p.str("group_a"), p.str("group_b"))
+        df => Stats.proportionZTest(df, sCol, g, a, b)
+      }),
+
+    "k_anonymity_violations" -> OpSpec(Set("quasi_cols", "k"), Set(),
+      p => {
+        val (cols, k) = (p.strs("quasi_cols"), p.int("k"))
+        df => Stats.kAnonymityViolations(df, cols, k)
+      }),
+
+    "referential_orphans" -> OpSpec(
+      Set("parent_path", "child_key", "parent_key", "label"), Set(),
+      p => {
+        val path = p.str("parent_path")
+        val (ck, pk) = (p.str("child_key"), p.str("parent_key"))
+        val label = p.str("label")
+        df => Stats.referentialOrphans(df,
+          df.sparkSession.read.parquet(path), ck, pk, label)
+      }),
+
+    // ---- the rest of the graph family as config (the frame in
+    // flight is the edge list, the pagerank/components convention) ----
+
+    "adamic_adar" -> OpSpec(Set("src_col", "dst_col"),
+      Set("top_n", "max_degree"),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        val n = p.int("top_n", Some(20))
+        val d = p.int("max_degree", Some(64))
+        df => Graph.adamicAdar(df, src, dst, n, d)
+      }),
+
+    "hits" -> OpSpec(Set("src_col", "dst_col"), Set("iters"),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        val iters = p.int("iters", Some(2))
+        df => Graph.hits(df, src, dst, iters)
+      }),
+
+    "k_core" -> OpSpec(Set("src_col", "dst_col", "k"),
+      Set("max_rounds"),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        val k = p.int("k")
+        val r = p.int("max_rounds", Some(30))
+        df => Graph.kCore(df, src, dst, k, r)
+      }),
+
+    "label_propagation" -> OpSpec(Set("src_col", "dst_col"),
+      Set("iters"),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        val iters = p.int("iters", Some(3))
+        df => Graph.labelPropagation(df, src, dst, iters)
+      }),
+
+    "triangle_counts" -> OpSpec(Set("src_col", "dst_col"), Set(),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        df => Graph.triangleCounts(df, src, dst)
+      }),
+
+    "assortativity" -> OpSpec(Set("src_col", "dst_col"), Set(),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        df => Graph.assortativity(df, src, dst)
+      }),
+
+    // seed ids ride in the config (a bounded literal list, like the
+    // centroids convention); the in-flight frame is still the edges
+    "personalized_pagerank" -> OpSpec(
+      Set("src_col", "dst_col", "seeds"), Set("iters", "damping"),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        val seeds = p.dbls("seeds").map(_.toLong)
+        val iters = p.int("iters", Some(3))
+        val damping = p.dbl("damping", Some(0.85))
+        df => {
+          val ss = df.sparkSession
+          import ss.implicits._
+          Graph.personalizedPageRank(df, seeds.toDF("node"), src, dst,
+            "node", iters, damping)
+        }
+      }),
+
     // ---- stateful streaming steps beyond windowed_stats: each
     // carries its own watermark in the config (the streamable-gate
     // contract: a config states its event-time bound) ----

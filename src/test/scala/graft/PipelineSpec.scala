@@ -741,7 +741,47 @@ class PipelineSpec extends AnyFunSuite {
       "windowed_quantiles_watermarked" -> Map[String, Any](
         "watermark_delay" -> "1 hour", "qs" -> Seq(0.5)),
       "trending_tokens_watermarked" -> Map[String, Any](
-        "watermark_delay" -> "1 hour"))
+        "watermark_delay" -> "1 hour"),
+      "quantile_stats" -> Map[String, Any](
+        "value_col" -> "v", "qs" -> Seq(0.5)),
+      "equi_depth_histogram" -> Map[String, Any]("value_col" -> "v"),
+      "ecdf_normalize" -> Map[String, Any]("score_col" -> "v"),
+      "pr_curve" -> Map[String, Any](
+        "score_col" -> "s", "label_col" -> "y"),
+      "auc_binned" -> Map[String, Any](
+        "score_col" -> "s", "label_col" -> "y"),
+      "calibration_curve" -> Map[String, Any](
+        "prob_col" -> "p", "label_col" -> "y"),
+      "correlation_matrix" -> Map[String, Any](
+        "cols" -> Seq("a", "b")),
+      "cohen_kappa" -> Map[String, Any](
+        "col_a" -> "a", "col_b" -> "b"),
+      "key_concentration" -> Map[String, Any]("key_col" -> "k"),
+      "benford_test" -> Map[String, Any]("value_col" -> "v"),
+      "chi_square" -> Map[String, Any](
+        "col_a" -> "a", "col_b" -> "b"),
+      "welch_ttest" -> Map[String, Any]("value_col" -> "v",
+        "group_col" -> "g", "group_a" -> "x", "group_b" -> "y"),
+      "proportion_ztest" -> Map[String, Any]("success_col" -> "v",
+        "group_col" -> "g", "group_a" -> "x", "group_b" -> "y"),
+      "k_anonymity_violations" -> Map[String, Any](
+        "quasi_cols" -> Seq("a"), "k" -> 5L),
+      "referential_orphans" -> Map[String, Any](
+        "parent_path" -> "/tmp/x", "child_key" -> "a",
+        "parent_key" -> "b", "label" -> "a->b"),
+      "adamic_adar" -> Map[String, Any](
+        "src_col" -> "u", "dst_col" -> "v"),
+      "hits" -> Map[String, Any]("src_col" -> "u", "dst_col" -> "v"),
+      "k_core" -> Map[String, Any](
+        "src_col" -> "u", "dst_col" -> "v", "k" -> 2L),
+      "label_propagation" -> Map[String, Any](
+        "src_col" -> "u", "dst_col" -> "v"),
+      "triangle_counts" -> Map[String, Any](
+        "src_col" -> "u", "dst_col" -> "v"),
+      "assortativity" -> Map[String, Any](
+        "src_col" -> "u", "dst_col" -> "v"),
+      "personalized_pagerank" -> Map[String, Any]("src_col" -> "u",
+        "dst_col" -> "v", "seeds" -> Seq(1L)))
       .foreach { case (op, good) =>
         val unknown = intercept[IllegalArgumentException] {
           Pipeline.fromSteps(Seq(Step(op, good + ("bogus" -> "v"))))
@@ -799,6 +839,37 @@ class PipelineSpec extends AnyFunSuite {
     val direct = Stats.madGate(ev, "value", m, s)
     assert(hrows(fit) == hrows(direct) &&
       hrows(pinned) == hrows(direct) && direct.count() > 0)
+  }
+
+  test("stats-test and graph steps equal their direct operator " +
+       "calls: chi_square, key_concentration, triangle_counts, " +
+       "personalized_pagerank") {
+    import graft.operators.{Graph, Stats}
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("hit", col("value") > 50.0)
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val chi = Pipeline.fromSteps(Seq(Step("chi_square",
+      Map("col_a" -> "event_type", "col_b" -> "hit"))))(ev)
+    assert(hrows(chi) ==
+      hrows(Stats.chiSquareIndependence(ev, "event_type", "hit")) &&
+      chi.count() == 1)
+    val conc = Pipeline.fromSteps(Seq(Step("key_concentration",
+      Map("key_col" -> "user_id"))))(ev)
+    assert(hrows(conc) == hrows(Stats.keyConcentration(ev, "user_id")))
+    val edges = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_suppkey").as("u"),
+        (col("l_partkey") + 10000000L).as("v"))
+    val tri = Pipeline.fromSteps(Seq(Step("triangle_counts",
+      Map("src_col" -> "u", "dst_col" -> "v"))))(edges)
+    assert(hrows(tri) == hrows(Graph.triangleCounts(edges, "u", "v")))
+    val s = spark
+    import s.implicits._
+    val ppr = Pipeline.fromSteps(Seq(Step("personalized_pagerank",
+      Map("src_col" -> "u", "dst_col" -> "v",
+        "seeds" -> Seq(1L, 2L)))))(edges)
+    assert(hrows(ppr) == hrows(Graph.personalizedPageRank(edges,
+      Seq(1L, 2L).toDF("node"), "u", "v")) && ppr.count() > 0)
   }
 
   test("host_graph step contracts a link frame through the " +
