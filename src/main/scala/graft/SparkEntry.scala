@@ -2674,6 +2674,27 @@ $joins"""
         Seq("o_totalprice", "o_custkey"))
     }),
 
+    // approximate distinct counts via the mergeable HLL register
+    // sketch on the house md5 hash: the only exchange per column is
+    // the ≤ 4096-row register aggregate — flat in corpus size, where
+    // count(DISTINCT doc_id) would shuffle every distinct value
+    "q_stats_distinct" -> ((s, dir) =>
+      graft.operators.Stats.approxDistinct(t(s, dir, "documents"),
+        Seq("lang", "source", "doc_id"))),
+
+    // the incremental form: per-source register shards persist to
+    // parquet, then merge by MAX without rescanning documents —
+    // exactly mergeable, so merged == direct under the SAME oracle
+    "q_stats_distinct_shards" -> ((s, dir) => {
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cardshards_" + runTag(dir)).getPath
+      graft.operators.Stats.writeCardinalityShards(
+        t(s, dir, "documents"), work,
+        Seq("lang", "source", "doc_id"), Seq("source"))
+      graft.operators.Stats.cardinalityFromShards(s, work,
+        Seq("lang", "source", "doc_id"))
+    }),
+
     // equal-width distribution profile of lineitem prices: one pass,
     // one bounded shuffle, only observed bins emitted
     "q_stats_histogram" -> ((s, dir) =>
@@ -7678,6 +7699,50 @@ $joins"""
           |  CASE WHEN nn2 > 0 THEN round(sm2::DOUBLE / nn2::DOUBLE, 6) END
           |FROM m""".stripMargin,
 
+      // HLL registers replicated from the same md5 hash: bucket =
+      // first 3 hex chars, rho = 49 - bit-length of the next 48 bits
+      // (exact integer string-length logic), Σ 2^(49-r) as an exact
+      // BIGINT, then the fixed-shape alpha·m²/S estimate with the
+      // linear-counting small-range branch
+      "q_stats_distinct" ->
+        """WITH vals AS (
+          |  SELECT 'lang' AS c, CAST(lang AS VARCHAR) AS v
+          |  FROM documents WHERE lang IS NOT NULL
+          |  UNION ALL
+          |  SELECT 'source', CAST(source AS VARCHAR)
+          |  FROM documents WHERE source IS NOT NULL
+          |  UNION ALL
+          |  SELECT 'doc_id', CAST(doc_id AS VARCHAR)
+          |  FROM documents WHERE doc_id IS NOT NULL
+          |), r AS (
+          |  SELECT c,
+          |    ('0x' || substr(md5(v), 1, 3))::INT AS bucket,
+          |    ('0x' || substr(md5(v), 4, 12))::BIGINT AS w
+          |  FROM vals
+          |), reg AS (
+          |  SELECT c, bucket,
+          |    max(CASE WHEN w = 0 THEN 49
+          |        ELSE 49 - length(bin(w)) END) AS r
+          |  FROM r GROUP BY 1, 2
+          |), agg AS (
+          |  SELECT c, count(*) AS n_reg,
+          |    sum((1::BIGINT << (49 - r)))::BIGINT AS s_present
+          |  FROM reg GROUP BY 1
+          |), e AS (
+          |  SELECT c, n_reg,
+          |    (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 *
+          |      562949953421312.0 /
+          |      CAST(s_present + (4096 - n_reg) *
+          |        (1::BIGINT << 49) AS DOUBLE) AS e_raw,
+          |    CAST(4096 - n_reg AS DOUBLE) AS v_zero
+          |  FROM agg
+          |)
+          |SELECT c AS "column", n_reg::BIGINT AS n_registers,
+          |  round(CASE WHEN e_raw <= 2.5 * 4096.0 AND v_zero > 0
+          |        THEN 4096.0 * ln(4096.0 / v_zero)
+          |        ELSE e_raw END * 1e6)::DOUBLE / 1e6 AS estimate
+          |FROM e""".stripMargin,
+
       // same floor-division binning; only observed bins appear
       "q_stats_histogram" ->
         """WITH b AS (
@@ -8350,6 +8415,9 @@ $joins"""
       ("q_pipeline_psi" -> base("q_stats_psi")) +
       ("q_pipeline_multimodal" -> base("q_multimodal_meta")) +
       ("q_pipeline_ttest" -> base("q_stats_ttest")) +
-      ("q_pipeline_hits" -> base("q_graph_hits"))
+      ("q_pipeline_hits" -> base("q_graph_hits")) +
+      // register max-merge is exact, so the sharded path shares the
+      // direct oracle verbatim
+      ("q_stats_distinct_shards" -> base("q_stats_distinct"))
   }
 }

@@ -401,6 +401,13 @@ object Pipeline {
         df => Stats.suppressBelowK(df, cols, k)
       }),
 
+    "approx_distinct" -> OpSpec(Set("cols"), Set("b"),
+      p => {
+        val cols = p.strs("cols")
+        val b = p.int("b", Some(12))
+        df => Stats.approxDistinct(df, cols, b)
+      }),
+
     // ---- statistical tests / model-quality / key-health steps:
     // the rest of the Stats surface as config (one in-flight frame
     // + scalar params each; referential_orphans names its parent
@@ -962,7 +969,10 @@ object Pipeline {
         p.dbls("qs"), p.dbl("eps", Some(0.0))))),
     "profile_from_shards" -> ((Seq("path", "cols"), Seq(),
       (s, p) => Stats.profileFromShards(s, p.str("path"),
-        p.strs("cols")))))
+        p.strs("cols")))),
+    "cardinality_from_shards" -> ((Seq("path", "cols"), Seq("b"),
+      (s, p) => Stats.cardinalityFromShards(s, p.str("path"),
+        p.strs("cols"), p.int("b", Some(12))))))
 
   /** Sink steps — the optional LAST step that makes a config a
     * complete JOB (source → operators → sink) instead of a frame
@@ -1048,6 +1058,10 @@ object Pipeline {
     "write_profile_shards" -> ((Seq("path", "cols", "shard_cols"), Seq(),
       (df, p) => Stats.writeProfileShards(df, p.str("path"),
         p.strs("cols"), p.strs("shard_cols")))),
+    "write_cardinality_shards" -> ((
+      Seq("path", "cols", "shard_cols"), Seq("b"),
+      (df, p) => Stats.writeCardinalityShards(df, p.str("path"),
+        p.strs("cols"), p.strs("shard_cols"), p.int("b", Some(12))))),
     // incremental index maintenance from config: fold the in-flight
     // frame (the day's delta) into a persisted write_search_index
     // artifact WITHOUT re-tokenizing the old corpus — merged index ==

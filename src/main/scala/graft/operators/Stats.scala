@@ -1201,4 +1201,142 @@ object Stats {
       .reduce(_ && _)
     df.join(combos, cond, "left_semi")
   }
+
+  // ---- mergeable distinct-count registers (HLL on the house md5
+  // hash) — the cardinality member of the persisted shard family
+  // (profile / quantile / cardinality). The KMV sketch
+  // (`TextAnalysis.approxDistinctTokens`) answers the same question
+  // in one aggregate; the register form exists for the INCREMENTAL
+  // story: per-shard registers persist to parquet and combine later
+  // by max — exactly mergeable, so merged == direct bit-for-bit and
+  // appending a shard never rescans the corpus. ----
+
+  /** Registers must sum 2^(49−r) exactly in a LONG: with m = 2^b
+    * buckets the absent-bucket mass is m·2^49, which overflows past
+    * b = 12 — hence the {8, 12} whitelist (m = 256 / 4096; standard
+    * error 6.5% / 1.6%). */
+  private def requireHllB(b: Int): Unit =
+    require(b == 8 || b == 12, "b must be 8 or 12 (m = 256 or 4096)")
+
+  /** Per-value HLL register frame for one column: (bucket, r) with
+    * r = max over values of 1 + leading-zero-count of a 48-bit hash
+    * word. Hash = the house md5 (engine-replicable); bucket = the
+    * first b bits (hex prefix), rank word = the NEXT 48 bits, rho
+    * computed by exact integer string-length logic (`length(bin(w))`
+    * — no float log2 at bin boundaries). ≤ m rows after the
+    * map-side-combined aggregate; nulls drop. */
+  private def hllRegisters(df: DataFrame, valueCol: String,
+                           b: Int): DataFrame = {
+    val hexChars = b / 4
+    val h = md5(col(valueCol).cast("string"))
+    val bucket = conv(substring(h, 1, hexChars), 16, 10).cast("int")
+    val w = conv(substring(h, hexChars + 1, 12), 16, 10).cast("long")
+    val rho = when(w === 0L, lit(49))
+      .otherwise(lit(49) - length(bin(w))).cast("int")
+    df.filter(col(valueCol).isNotNull)
+      .select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+  }
+
+  /** The fixed-shape HLL estimate from an aggregated register row
+    * (n_reg, s_present): Σ 2^−r scaled by 2^49 so the sum is EXACT
+    * integer arithmetic (registers contribute 2^(49−r), absent
+    * buckets 2^49 each), then the standard alpha·m²/S with the
+    * small-range linear-counting correction — every double op has a
+    * fixed expression shape, so an external engine reproduces the
+    * estimate digit-for-digit. */
+  private def hllEstimate(b: Int): Column = {
+    val m = 1 << b
+    val mD = lit(m.toDouble)
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val sTotal = (col("s_present") +
+      (lit(m.toLong) - col("n_reg")) * lit(1L << 49)).cast("double")
+    val vZero = (lit(m.toLong) - col("n_reg")).cast("double")
+    val eRaw = lit(alpha) * mD * mD * lit((1L << 49).toDouble) / sTotal
+    val est = when(eRaw <= lit(2.5) * mD && vZero > 0,
+      mD * log(mD / vZero)).otherwise(eRaw)
+    round(est * lit(1e6)).cast("double") / lit(1e6)
+  }
+
+  private def hllAgg(reg: DataFrame): DataFrame =
+    reg.agg(count(lit(1)).as("n_reg"),
+      sum(expr("shiftleft(cast(1 as bigint), 49 - r)")).as("s_present"))
+
+  /** Approximate distinct count per column — one row each: (column,
+    * n_registers, estimate). One scan per column; the only exchange
+    * is the ≤ m-row register aggregate (map-side combined), so the
+    * shuffle is flat in corpus size — the property that makes
+    * `count(DISTINCT high_card_col)`'s full-width exchange avoidable
+    * at 100 TB. */
+  def approxDistinct(df: DataFrame, cols: Seq[String],
+                     b: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    requireHllB(b)
+    cols.map { c =>
+      hllAgg(hllRegisters(df, c, b))
+        .select(lit(c).as("column"),
+          col("n_reg").cast("long").as("n_registers"),
+          hllEstimate(b).as("estimate"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Persist per-shard HLL registers: rows (column, shardCols...,
+    * bucket, r, __b). Register count is bounded by m per (column,
+    * shard) — the parquet IS the sketch; appending a new shard later
+    * is one more bounded register group, never a corpus rescan. */
+  def writeCardinalityShards(df: DataFrame, path: String,
+                             cols: Seq[String],
+                             shardCols: Seq[String],
+                             b: Int = 12): Unit = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(shardCols.nonEmpty, "shardCols must be non-empty")
+    requireHllB(b)
+    val hexChars = b / 4
+    cols.map { c =>
+      val h = md5(col(c).cast("string"))
+      val bucket = conv(substring(h, 1, hexChars), 16, 10).cast("int")
+      val w = conv(substring(h, hexChars + 1, 12), 16, 10).cast("long")
+      val rho = when(w === 0L, lit(49))
+        .otherwise(lit(49) - length(bin(w))).cast("int")
+      df.filter(col(c).isNotNull)
+        .select(shardCols.map(col) :+ bucket.as("bucket") :+
+          rho.as("rho"): _*)
+        .groupBy(shardCols.map(col) :+ col("bucket"): _*)
+        .agg(max(col("rho")).as("r"))
+        .select(lit(c).as("column") +: shardCols.map(col) :+
+          col("bucket") :+ col("r") :+ lit(b).as("__b"): _*)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Combine persisted cardinality shards into corpus-level distinct
+    * estimates without touching the original data: registers merge
+    * by MAX per (column, bucket) — exactly mergeable, so the merged
+    * estimate is bit-identical to a direct [[approxDistinct]] pass
+    * over the union of the shards' rows. An in-plan guard raises if
+    * the store's precision differs from `b` (mixed-precision
+    * registers would merge into silent garbage). */
+  def cardinalityFromShards(spark: SparkSession, path: String,
+                            cols: Seq[String],
+                            b: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    requireHllB(b)
+    val reg = spark.read.parquet(path)
+      .filter(col("column").isin(cols: _*))
+    val merged = reg
+      .groupBy(col("column"), col("bucket"))
+      .agg(max(col("r")).as("r"), max(col("__b")).as("__b"))
+      .groupBy(col("column"))
+      .agg(count(lit(1)).as("n_reg"),
+        sum(expr("shiftleft(cast(1 as bigint), 49 - r)"))
+          .as("s_present"),
+        min(col("__b")).as("__bmin"), max(col("__b")).as("__bmax"))
+    merged.select(
+      when(assert_true(col("__bmin") === lit(b) &&
+          col("__bmax") === lit(b),
+        lit(s"cardinalityFromShards: store precision differs from " +
+          s"b=$b")).isNull, col("column")).as("column"),
+      col("n_reg").cast("long").as("n_registers"),
+      hllEstimate(b).as("estimate"))
+  }
 }

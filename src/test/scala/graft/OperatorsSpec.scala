@@ -4161,6 +4161,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("cardinality shards: register max-merge equals the direct " +
+       "approxDistinct bit-for-bit; estimates land within HLL error; " +
+       "a precision mismatch raises in-plan") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-card-shards").toString + "/regs"
+    Stats.writeCardinalityShards(docs, path,
+      Seq("doc_id", "lang"), Seq("source"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val merged = rows(Stats.cardinalityFromShards(spark, path,
+      Seq("doc_id", "lang")))
+    val direct = rows(Stats.approxDistinct(docs, Seq("doc_id", "lang")))
+    assert(merged == direct && merged.size == 2)
+    // small-range regime at this SF: linear counting is near-exact
+    val truth = Map(
+      "doc_id" -> docs.select("doc_id").distinct().count(),
+      "lang" -> docs.select("lang").distinct().count())
+    direct.foreach { case (c, _, est) =>
+      val t = truth(c).toDouble
+      assert(math.abs(est - t) / t < 0.05, s"$c: $est vs $t")
+    }
+    // register rows are bounded by m per (column, shard), and carry
+    // the precision they were written at
+    val reg = spark.read.parquet(path)
+    assert(reg.count() <= 2 * 20 * 4096)
+    // merging at a different precision fails loudly, not silently
+    val e = intercept[Exception] {
+      Stats.cardinalityFromShards(spark, path, Seq("doc_id"), b = 8)
+        .collect()
+    }
+    assert(e.getMessage.contains("precision") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("precision"))
+    // b outside the exact-long-sum whitelist rejects eagerly
+    assertThrows[IllegalArgumentException] {
+      Stats.approxDistinct(docs, Seq("doc_id"), b = 16)
+    }
+  }
+
   test("histogram: floor binning (negatives included), only observed bins") {
     val df = spark.sql(
       "select * from values (-0.5), (0.0), (1.5), (1.9), (7.0) as t(v)")

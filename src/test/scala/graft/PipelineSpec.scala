@@ -473,6 +473,7 @@ class PipelineSpec extends AnyFunSuite {
        "DDL names itself") {
     Seq("write_search_index", "write_signature_store",
       "write_quantile_shards", "write_profile_shards",
+      "write_cardinality_shards",
       "build_ann_index").foreach { op =>
       val e = intercept[IllegalArgumentException] {
         Pipeline.runJobSteps(spark, Seq(
@@ -483,7 +484,7 @@ class PipelineSpec extends AnyFunSuite {
         e.getMessage.contains("missing required"), op)
     }
     Seq("read_jsonl", "read_csv", "quantiles_from_shards",
-      "profile_from_shards").foreach { op =>
+      "profile_from_shards", "cardinality_from_shards").foreach { op =>
       val e = intercept[IllegalArgumentException] {
         Pipeline.runSteps(spark, Seq(Step(op, Map("bogus" -> "v"))))
       }
@@ -781,7 +782,8 @@ class PipelineSpec extends AnyFunSuite {
       "assortativity" -> Map[String, Any](
         "src_col" -> "u", "dst_col" -> "v"),
       "personalized_pagerank" -> Map[String, Any]("src_col" -> "u",
-        "dst_col" -> "v", "seeds" -> Seq(1L)))
+        "dst_col" -> "v", "seeds" -> Seq(1L)),
+      "approx_distinct" -> Map[String, Any]("cols" -> Seq("a")))
       .foreach { case (op, good) =>
         val unknown = intercept[IllegalArgumentException] {
           Pipeline.fromSteps(Seq(Step(op, good + ("bogus" -> "v"))))
