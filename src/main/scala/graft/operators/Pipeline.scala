@@ -1185,6 +1185,16 @@ object Pipeline {
         (df, p) => graft.streaming.StreamOps.profileShardsStream(df,
           p.str("path"), p.str("checkpoint"), p.strs("cols"),
           p.strs("shard_cols")))),
+      // distinct-count sink: one bounded register shard per
+      // micro-batch (StreamOps.cardinalityShardsStream —
+      // cardinality_from_shards reads the corpus estimates at any
+      // moment; cross-batch re-seen values collapse by max-merge)
+      "write_stream_cardinality_shards" -> ((
+        Seq("path", "checkpoint", "cols", "shard_cols"),
+        Seq("b"),
+        (df, p) => graft.streaming.StreamOps.cardinalityShardsStream(
+          df, p.str("path"), p.str("checkpoint"), p.strs("cols"),
+          p.strs("shard_cols"), p.int("b", Some(12))))),
       // retrieval sink: each micro-batch of documents folds into the
       // persisted BM25 index (StreamOps.mergeSearchIndexStream —
       // already-indexed ids skip, swap-in by rename)

@@ -2254,6 +2254,32 @@ object StreamOps {
       }
       .start()
 
+  /** Incremental distinct counting from a stream: each micro-batch
+    * persists ONE bounded register shard
+    * (`Stats.writeCardinalityShards` layout) under `path/batch=<id>`,
+    * so `Stats.cardinalityFromShards` over `path` yields the
+    * corpus-level distinct estimates at any moment WITHOUT rescanning
+    * ingested data — registers merge by MAX, so re-seen values across
+    * batches collapse instead of double-counting (the property
+    * per-batch `count(DISTINCT)` sums fundamentally lack).
+    *
+    * Idempotence: shard directory keyed by the micro-batch id,
+    * written with overwrite — a replayed batch rewrites its own
+    * shard, the [[profileShardsStream]] pattern. State is ZERO in
+    * the stream itself; the parquet registers ARE the sketch,
+    * bounded by m per (column, shard key, batch). */
+  def cardinalityShardsStream(docs: DataFrame, path: String,
+                              checkpoint: String, cols: Seq[String],
+                              shardCols: Seq[String], b: Int = 12)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Stats.writeCardinalityShards(
+          batch, s"$path/batch=$id", cols, shardCols, b)
+      }
+      .start()
+
   /** Growing vector store: an embedding stream appends into a
     * persisted IVF index under its FIXED centroids
     * (`Similarity.appendIvfIndex` per micro-batch — already-indexed

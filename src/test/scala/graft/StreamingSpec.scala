@@ -2899,6 +2899,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(prof(shards) == prof(direct) && prof(shards).nonEmpty)
   }
 
+  test("cardinalityShardsStream: per-micro-batch register shards — " +
+       "values RE-SEEN across batches collapse by max-merge, so the " +
+       "merged estimate equals one batch pass over the distinct rows") {
+    import graft.operators.Stats
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-card-stream")
+    val shards = base.resolve("shards").toString
+    val docs = s.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text").limit(80)
+    val rows = docs.collect().map(r =>
+      LangDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[LangDoc]
+    val q = StreamOps.cardinalityShardsStream(input.toDF(), shards,
+      base.resolve("ck").toString, Seq("doc_id", "lang"), Seq("lang"))
+    // 20 docs arrive in BOTH micro-batches: a per-batch
+    // count(DISTINCT) sum would double-count them
+    input.addData(rows.take(50).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(30).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def card(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val merged = card(Stats.cardinalityFromShards(s, shards,
+      Seq("doc_id", "lang")))
+    val direct = card(Stats.approxDistinct(docs, Seq("doc_id", "lang")))
+    assert(merged == direct && merged.size == 2)
+  }
+
   test("quantileShardsStream: per-micro-batch GK shards — merged " +
        "percentiles equal one batch pass over all ingested rows") {
     import graft.operators.Stats
