@@ -3729,6 +3729,47 @@ $joins"""
            |    ["id", "mime", "source", "n_bytes"]}}
            |]""".stripMargin)),
 
+    // the curation chain under data CONTRACTS: expect_columns pins
+    // the source schema, expect_condition asserts the gate invariant
+    // in-plan, and an `include` splices the shared split+select tail
+    // from a sibling file — all transparent when satisfied, so
+    // q_pipeline_curate's oracle holds verbatim
+    "q_pipeline_contract" -> ((s, dir) => {
+      val tailCfg = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cfgtail_" + runTag(dir) + ".json")
+      java.nio.file.Files.write(tailCfg.toPath,
+        """[
+          |  {"op": "split_by_hash",
+          |   "params": {"weights": [["train", 90], ["val", 5],
+          |                          ["test", 5]],
+          |              "key_cols": ["doc_id"]}},
+          |  {"op": "select",
+          |   "params": {"cols": ["doc_id", "lang", "source",
+          |                       "n_tokens", "split"]}}
+          |]""".stripMargin.getBytes("UTF-8"))
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "expect_columns",
+           |   "params": {"schema": "doc_id BIGINT, text STRING"}},
+           |  {"op": "drop_exact_duplicates",
+           |   "params": {"id_col": "doc_id", "text_col": "text"}},
+           |  {"op": "token_count",
+           |   "params": {"text_col": "text", "out_col": "n_tokens"}},
+           |  {"op": "dup_ngram_fraction",
+           |   "params": {"text_col": "text", "n": 2,
+           |              "out_col": "dup2"}},
+           |  {"op": "filter",
+           |   "params": {"condition": "dup2 <= 0.05 AND n_tokens >= 30"}},
+           |  {"op": "expect_condition",
+           |   "params": {"condition": "n_tokens >= 30",
+           |              "name": "token_floor_holds"}},
+           |  {"op": "include",
+           |   "params": {"path": "${tailCfg.getAbsolutePath}"}}
+           |]""".stripMargin)
+    }),
+
     // Welch's t-test from pure JSON: the statistical-test family's
     // config surface under q_stats_ttest's oracle verbatim
     "q_pipeline_ttest" -> ((s, dir) =>
@@ -8416,6 +8457,7 @@ $joins"""
       ("q_pipeline_multimodal" -> base("q_multimodal_meta")) +
       ("q_pipeline_ttest" -> base("q_stats_ttest")) +
       ("q_pipeline_hits" -> base("q_graph_hits")) +
+      ("q_pipeline_contract" -> base("q_pipeline_curate")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))

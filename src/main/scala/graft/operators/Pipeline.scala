@@ -408,6 +408,67 @@ object Pipeline {
         df => Stats.approxDistinct(df, cols, b)
       }),
 
+    // ---- data contracts: dbt-style expectations as pipeline gates.
+    // expect_columns checks the in-flight SCHEMA the moment the frame
+    // reaches the step (before any job); expect_condition rides
+    // in-plan as a row-level assert, so a violating row fails the
+    // job LOUDLY instead of flowing downstream ----
+
+    // schema contract: the DDL parses (and thereby validates) at
+    // config-compile time; the check itself runs when the frame
+    // arrives, naming every missing column, every type mismatch
+    // (got vs want), and — under allow_extra=false — every
+    // undeclared extra
+    "expect_columns" -> OpSpec(Set("schema"), Set("allow_extra"),
+      p => {
+        val want = parseDdl(p.str("schema"))
+        val allowExtra = p.bool("allow_extra", Some(true))
+        df => {
+          val have = df.schema
+          val haveNames = have.fieldNames.toSet
+          val missing = want.filterNot(f => haveNames.contains(f.name))
+            .map(_.name)
+          val mismatched = want
+            .filter(f => haveNames.contains(f.name) &&
+              have(f.name).dataType != f.dataType)
+            .map(f => s"${f.name} (got " +
+              s"${have(f.name).dataType.catalogString}, want " +
+              s"${f.dataType.catalogString})")
+          val extras =
+            if (allowExtra) Nil
+            else have.fieldNames.toSeq
+              .filterNot(want.fieldNames.toSet.contains)
+          require(
+            missing.isEmpty && mismatched.isEmpty && extras.isEmpty,
+            "pipeline op 'expect_columns': " + (
+              (if (missing.nonEmpty)
+                Seq("missing: " + missing.mkString(", ")) else Nil) ++
+              (if (mismatched.nonEmpty)
+                Seq("type mismatch: " + mismatched.mkString(", "))
+              else Nil) ++
+              (if (extras.nonEmpty)
+                Seq("unexpected: " + extras.mkString(", ")) else Nil))
+              .mkString("; "))
+          df
+        }
+      }),
+
+    // row contract: an in-plan assert_true filter — every row must
+    // satisfy the condition (a NULL condition counts as a
+    // violation, ANSI-style). Scan-speed, stateless, stream-safe.
+    // Predicate pushdown may evaluate the assert EARLIER in the plan
+    // (on a superset of rows — e.g. a join's pre-image), so the gate
+    // only ever gets STRICTER, never silently weaker.
+    "expect_condition" -> OpSpec(Set("condition"), Set("name"),
+      p => {
+        val sql = p.str("condition")
+        val cond = parseEagerly(sql)
+        val tag = p.str("name", Some(sql))
+        df => df.filter(assert_true(cond,
+          lit(s"pipeline expect_condition '$tag' violated " +
+            s"($sql)")).isNull)
+      }),
+
     // ---- statistical tests / model-quality / key-health steps:
     // the rest of the Stats surface as config (one in-flight frame
     // + scalar params each; referential_orphans names its parent
@@ -1217,23 +1278,26 @@ object Pipeline {
                        extra: Map[String, OpSpec] = Map.empty,
                        extraStreamable: Set[String] = Set.empty)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(steps.size >= 2,
+    val expanded = expandIncludes(steps)
+    require(expanded.size >= 2,
       "streaming job config needs a source step and a sink step")
-    val (sreq, sopt, mk) = streamSourceOps.getOrElse(steps.head.op,
+    val (sreq, sopt, mk) = streamSourceOps.getOrElse(expanded.head.op,
       throw new IllegalArgumentException(
-        s"first step must be a streaming source; '${steps.head.op}' " +
-          "is not one of " +
+        s"first step must be a streaming source; " +
+          s"'${expanded.head.op}' is not one of " +
           streamSourceOps.keys.toSeq.sorted.mkString(", ")))
-    validateKeys("streaming source", steps.head, sreq, sopt)
-    val (kreq, kopt, sink) = streamSinkOps.getOrElse(steps.last.op,
+    validateKeys("streaming source", expanded.head, sreq, sopt)
+    val (kreq, kopt, sink) = streamSinkOps.getOrElse(expanded.last.op,
       throw new IllegalArgumentException(
-        s"last step must be a streaming sink; '${steps.last.op}' is " +
-          "not one of " + streamSinkOps.keys.toSeq.sorted.mkString(", ")))
-    validateKeys("streaming sink", steps.last, kreq, kopt)
-    val chain = fromStepsStreaming(steps.drop(1).dropRight(1), extra,
-      extraStreamable)
-    sink(chain(mk(spark, new Params(steps.head.op, steps.head.params))),
-      new Params(steps.last.op, steps.last.params))
+        s"last step must be a streaming sink; '${expanded.last.op}' " +
+          "is not one of " +
+          streamSinkOps.keys.toSeq.sorted.mkString(", ")))
+    validateKeys("streaming sink", expanded.last, kreq, kopt)
+    val chain = fromStepsStreaming(expanded.drop(1).dropRight(1),
+      extra, extraStreamable)
+    sink(chain(mk(spark,
+        new Params(expanded.head.op, expanded.head.params))),
+      new Params(expanded.last.op, expanded.last.params))
   }
 
   /** Self-contained streaming JSON job config → started query. */
@@ -1256,6 +1320,52 @@ object Pipeline {
       parseSteps(new ObjectMapper(new YAMLFactory()).readTree(yaml)),
       extra, extraStreamable)
 
+  /** Config composition: an `include` step splices another config
+    * file's steps in place — the modularity primitive that lets a
+    * team ship one reviewed gate file (contracts, dedup recipe) and
+    * reference it from every job. Resolution is EAGER and recursive
+    * at config-compile time (`.yaml`/`.yml` parse as YAML, anything
+    * else as JSON); a cycle or a >16-deep chain errors naming the
+    * include chain; an unreadable file errors with its path. The
+    * expanded step list is what source/sink detection, the streaming
+    * whitelist, and registry validation all see — an included file
+    * may therefore contribute any step kind, and a non-streamable
+    * step arriving via include is still rejected by name. */
+  private def expandIncludes(steps: Seq[Step],
+                             stack: List[String] = Nil): Seq[Step] =
+    steps.flatMap {
+      case s if s.op == "include" =>
+        validateKeys("pipeline op", s, Seq("path"), Seq())
+        val raw = s.params("path") match {
+          case p: String => p
+          case other => throw new IllegalArgumentException(
+            s"pipeline op 'include': param 'path' must be a string, " +
+              s"got $other")
+        }
+        val canon = new java.io.File(raw).getCanonicalPath
+        require(!stack.contains(canon),
+          "pipeline op 'include': cycle — " +
+            (canon :: stack).reverse.mkString(" -> "))
+        require(stack.size < 16,
+          "pipeline op 'include': chain deeper than 16 — " +
+            (canon :: stack).reverse.mkString(" -> "))
+        val text =
+          try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(raw)), "UTF-8")
+          catch {
+            case e: java.io.IOException =>
+              throw new IllegalArgumentException(
+                s"pipeline op 'include': cannot read '$raw': " +
+                  e.getMessage, e)
+          }
+        val mapper =
+          if (raw.endsWith(".yaml") || raw.endsWith(".yml"))
+            new ObjectMapper(new YAMLFactory())
+          else new ObjectMapper()
+        expandIncludes(parseSteps(mapper.readTree(text)), canon :: stack)
+      case s => Seq(s)
+    }
+
   private def validateKeys(what: String, step: Step,
                            req: Seq[String], opt: Seq[String]): Unit = {
     val allowed = (req ++ opt).toSet
@@ -1276,15 +1386,16 @@ object Pipeline {
   def runJobSteps(spark: org.apache.spark.sql.SparkSession,
                   steps: Seq[Step],
                   extra: Map[String, OpSpec] = Map.empty): Unit = {
-    require(steps.size >= 2,
+    val expanded = expandIncludes(steps)
+    require(expanded.size >= 2,
       "job config needs a source step and a sink step")
-    val (req, opt, write) = sinkOps.getOrElse(steps.last.op,
+    val (req, opt, write) = sinkOps.getOrElse(expanded.last.op,
       throw new IllegalArgumentException(
-        s"last step must be a sink operator; '${steps.last.op}' is " +
-          s"not one of " + sinkOps.keys.toSeq.sorted.mkString(", ")))
-    validateKeys("sink", steps.last, req, opt)
-    val sinkParams = new Params(steps.last.op, steps.last.params)
-    write(runSteps(spark, steps.dropRight(1), extra), sinkParams)
+        s"last step must be a sink operator; '${expanded.last.op}' " +
+          s"is not one of " + sinkOps.keys.toSeq.sorted.mkString(", ")))
+    validateKeys("sink", expanded.last, req, opt)
+    val sinkParams = new Params(expanded.last.op, expanded.last.params)
+    write(runSteps(spark, expanded.dropRight(1), extra), sinkParams)
   }
 
   /** Self-contained JSON job config (source → ops → sink) → executed. */
@@ -1307,17 +1418,19 @@ object Pipeline {
   def runSteps(spark: org.apache.spark.sql.SparkSession,
                steps: Seq[Step],
                extra: Map[String, OpSpec] = Map.empty): DataFrame = {
-    require(steps.nonEmpty, "pipeline config needs at least a source step")
-    val (req, opt, mk) = sourceOps.getOrElse(steps.head.op,
+    val expanded = expandIncludes(steps)
+    require(expanded.nonEmpty,
+      "pipeline config needs at least a source step")
+    val (req, opt, mk) = sourceOps.getOrElse(expanded.head.op,
       throw new IllegalArgumentException(
         s"first step must be a source operator; " +
-          s"'${steps.head.op}' is not one of " +
+          s"'${expanded.head.op}' is not one of " +
           sourceOps.keys.toSeq.sorted.mkString(", ")))
-    validateKeys("source", steps.head, req, opt)
+    validateKeys("source", expanded.head, req, opt)
     // compile the transform chain BEFORE touching the source so a
     // config error surfaces even when the source read would fail too
-    val chain = fromSteps(steps.tail, extra)
-    chain(mk(spark, new Params(steps.head.op, steps.head.params)))
+    val chain = fromSteps(expanded.tail, extra)
+    chain(mk(spark, new Params(expanded.head.op, expanded.head.params)))
   }
 
   /** Self-contained JSON config → result frame. */
@@ -1357,7 +1470,9 @@ object Pipeline {
     // stateful entries that carry their own watermark in the config
     "windowed_quantiles_watermarked", "trending_tokens_watermarked",
     // per-row multimodal plumbing
-    "as_assets", "decode_features")
+    "as_assets", "decode_features",
+    // data contracts: a schema check and a stateless assert filter
+    "expect_columns", "expect_condition")
 
   /** Compile a step list for a STREAMING DataFrame: the same
     * registry bodies as [[fromSteps]] (a config gates the stream with
@@ -1370,11 +1485,12 @@ object Pipeline {
                          extraStreamable: Set[String] = Set.empty)
       : DataFrame => DataFrame = {
     val ok = streamableOps ++ extraStreamable
-    val bad = steps.map(_.op).filterNot(ok.contains).distinct
+    val expanded = expandIncludes(steps)
+    val bad = expanded.map(_.op).filterNot(ok.contains).distinct
     require(bad.isEmpty,
       s"steps not streamable: ${bad.sorted.mkString(", ")}; " +
         "streamable steps: " + ok.toSeq.sorted.mkString(", "))
-    steps.foreach { s =>
+    expanded.foreach { s =>
       val exprParam = s.op match {
         case "filter" => Some("condition")
         case "with_column" => Some("expr")
@@ -1385,7 +1501,7 @@ object Pipeline {
         case _ => () // non-string value: fromSteps rejects it loudly
       })
     }
-    fromSteps(steps, extra)
+    fromSteps(expanded, extra)
   }
 
   /** Streaming-config guard: reject non-deterministic SQL in
@@ -1446,7 +1562,8 @@ object Pipeline {
                 extra: Map[String, OpSpec] = Map.empty)
       : DataFrame => DataFrame = {
     val registry = builtinOps ++ extra
-    val compiled: Seq[DataFrame => DataFrame] = steps.map { s =>
+    val compiled: Seq[DataFrame => DataFrame] =
+      expandIncludes(steps).map { s =>
       val spec = registry.getOrElse(s.op,
         throw new IllegalArgumentException(
           s"unknown pipeline operator '${s.op}'; available: " +

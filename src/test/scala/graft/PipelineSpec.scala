@@ -783,7 +783,9 @@ class PipelineSpec extends AnyFunSuite {
         "src_col" -> "u", "dst_col" -> "v"),
       "personalized_pagerank" -> Map[String, Any]("src_col" -> "u",
         "dst_col" -> "v", "seeds" -> Seq(1L)),
-      "approx_distinct" -> Map[String, Any]("cols" -> Seq("a")))
+      "approx_distinct" -> Map[String, Any]("cols" -> Seq("a")),
+      "expect_columns" -> Map[String, Any]("schema" -> "a BIGINT"),
+      "expect_condition" -> Map[String, Any]("condition" -> "a > 0"))
       .foreach { case (op, good) =>
         val unknown = intercept[IllegalArgumentException] {
           Pipeline.fromSteps(Seq(Step(op, good + ("bogus" -> "v"))))
@@ -872,6 +874,120 @@ class PipelineSpec extends AnyFunSuite {
         "seeds" -> Seq(1L, 2L)))))(edges)
     assert(hrows(ppr) == hrows(Graph.personalizedPageRank(edges,
       Seq(1L, 2L).toDF("node"), "u", "v")) && ppr.count() > 0)
+  }
+
+  test("include step splices another config file's steps in place " +
+       "(json + yaml), recursively; cycles, deep chains, unknown " +
+       "params, and unreadable files all error by name") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-include")
+    def write(name: String, text: String): String = {
+      val f = base.resolve(name)
+      java.nio.file.Files.write(f, text.getBytes("UTF-8"))
+      f.toString
+    }
+    val inner = write("inner.yaml",
+      """steps:
+        |  - op: token_count
+        |    params: {text_col: text, out_col: n_tokens}
+        |""".stripMargin)
+    val mid = write("mid.json",
+      s"""[{"op": "include", "params": {"path": "$inner"}},
+         |  {"op": "filter", "params": {"condition": "n_tokens >= 30"}}]"""
+        .stripMargin)
+    val out = Pipeline.fromJson(
+      s"""[{"op": "include", "params": {"path": "$mid"}},
+         |  {"op": "select", "params": {"cols": ["doc_id", "n_tokens"]}}]"""
+        .stripMargin)(docs)
+    val direct = Pipeline.fromSteps(Seq(
+      Step("token_count",
+        Map("text_col" -> "text", "out_col" -> "n_tokens")),
+      Step("filter", Map("condition" -> "n_tokens >= 30")),
+      Step("select", Map("cols" -> Seq("doc_id", "n_tokens")))))(docs)
+    assert(out.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet && out.count() > 0)
+    // cycle: a file including itself names the chain
+    val cyc = base.resolve("cyc.json").toString
+    write("cyc.json",
+      s"""[{"op": "include", "params": {"path": "$cyc"}}]""")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromJson(
+        s"""[{"op": "include", "params": {"path": "$cyc"}}]""")(docs)
+    }
+    assert(e.getMessage.contains("cycle") &&
+      e.getMessage.contains("cyc.json"))
+    // unknown param + missing file
+    val unk = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("include",
+        Map("path" -> inner, "bogus" -> "v"))))
+    }
+    assert(unk.getMessage.contains("unknown params"))
+    val gone = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("include",
+        Map("path" -> s"$base/never_written.json"))))
+    }
+    assert(gone.getMessage.contains("cannot read"))
+    // a non-streamable step ARRIVING VIA INCLUDE is still rejected
+    val viaInc = write("agg.json",
+      """[{"op": "windowed_stats"}]""")
+    val ns = intercept[IllegalArgumentException] {
+      Pipeline.fromStepsStreaming(Seq(Step("include",
+        Map("path" -> viaInc))))
+    }
+    assert(ns.getMessage.contains("not streamable"))
+  }
+
+  test("expect_columns / expect_condition contracts: transparent " +
+       "when satisfied, loud and named when violated") {
+    import org.apache.spark.sql.functions.col
+    // satisfied: both gates pass the frame through unchanged
+    val gated = Pipeline.fromSteps(Seq(
+      Step("expect_columns",
+        Map("schema" -> "doc_id BIGINT, text STRING")),
+      Step("expect_condition",
+        Map("condition" -> "doc_id IS NOT NULL",
+          "name" -> "pk_not_null"))))(docs)
+    assert(gated.count() == docs.count())
+    // schema contract: missing column and type mismatch name both
+    val miss = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("expect_columns",
+        Map("schema" -> "no_such_col STRING, doc_id STRING"))))(docs)
+    }
+    assert(miss.getMessage.contains("missing: no_such_col") &&
+      miss.getMessage.contains("type mismatch") &&
+      miss.getMessage.contains("doc_id (got bigint, want string)"))
+    // allow_extra=false rejects undeclared columns by name
+    val extra = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("expect_columns",
+        Map("schema" -> "doc_id BIGINT",
+          "allow_extra" -> false))))(docs)
+    }
+    assert(extra.getMessage.contains("unexpected") &&
+      extra.getMessage.contains("text"))
+    // malformed DDL fails at CONFIG-COMPILE time
+    assertThrows[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("expect_columns",
+        Map("schema" -> "a WAT"))))
+    }
+    // row contract: a violating row fails the job with the gate name
+    val bad = intercept[Exception] {
+      Pipeline.fromSteps(Seq(Step("expect_condition",
+        Map("condition" -> "n_chars < 50", "name" -> "short_only"))))(
+        docs).count()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(bad).contains("short_only"))
+    // a NULL condition is a violation (ANSI-style), not a pass
+    val nul = intercept[Exception] {
+      Pipeline.fromSteps(Seq(Step("expect_condition",
+        Map("condition" -> "cast(null as boolean)"))))(docs).count()
+    }
+    assert(msgs(nul).contains("expect_condition"))
+    // streaming whitelist admits both contracts
+    Pipeline.fromStepsStreaming(Seq(
+      Step("expect_columns", Map("schema" -> "doc_id BIGINT")),
+      Step("expect_condition", Map("condition" -> "doc_id >= 0"))))
   }
 
   test("host_graph step contracts a link frame through the " +
