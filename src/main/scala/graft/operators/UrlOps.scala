@@ -54,20 +54,54 @@ object UrlOps {
     "com.br", "com.cn", "com.mx", "com.ar", "com.tr", "com.sg",
     "co.in", "co.kr", "co.za", "com.hk", "com.tw")
 
+  /** The trimmed, fragment-stripped working form every parse rule
+    * reads from. Exposed (package-private) so multi-rule operators
+    * can materialize it ONCE behind a select boundary — inlined, the
+    * gate + extraction pair below would re-evaluate this regex chain
+    * per reference. */
+  private[operators] def workingForm(url: Column): Column =
+    regexp_replace(trim(url), "#.*$", "")
+
   /** The scheme-lowercased, fragment-stripped working form, or null if
     * not an absolute http(s) URL. */
   private def parsed(url: Column): Column = {
-    val t = regexp_replace(trim(url), "#.*$", "")
+    val t = workingForm(url)
     when(t.rlike("^(?i)https?://[^/?#]+"), t)
+  }
+
+  /** The authority (userinfo@host:port) of an http(s) working form,
+    * '' when the URL does not parse. The separate http(s) rlike gate
+    * is subsumed by the `+` group: this extract matches iff the gate
+    * would have passed, so [[hostFromAuth]]'s ''-to-null mapping
+    * reproduces the gate exactly with one regex instead of two. */
+  private[operators] def hostAuthority(t: Column): Column =
+    regexp_extract(t, "^(?i)https?://([^/?#]+)", 1)
+
+  /** Finish host extraction from a materialized authority COLUMN:
+    * userinfo/port strips pay their regex only when a cheap
+    * contains() says the character is present at all. Callers must
+    * pass a plain column reference — an expression here would be
+    * re-evaluated per conditional branch (conditionals defeat
+    * codegen subexpression elimination; measured live on the
+    * host-graph contraction). */
+  private[operators] def hostFromAuth(auth: Column): Column = {
+    val noUser = when(auth.contains("@"),
+      regexp_replace(auth, "^[^@]*@", "")).otherwise(auth)
+    val noPort = when(noUser.contains(":"),
+      regexp_replace(noUser, ":[0-9]*$", "")).otherwise(noUser)
+    when(auth =!= "", lower(noPort))
+  }
+
+  /** [[hostOf]] over an already-materialized [[workingForm]] column. */
+  private[operators] def hostOfWorking(t: Column): Column = {
+    val auth = hostAuthority(t)
+    val noUser = regexp_replace(auth, "^[^@]*@", "")
+    when(auth =!= "", lower(regexp_replace(noUser, ":[0-9]*$", "")))
   }
 
   /** Lowercased host with userinfo and port stripped, null when the
     * URL does not parse. */
-  def hostOf(url: Column): Column = {
-    val auth = regexp_extract(parsed(url), "^(?i)https?://([^/?#]*)", 1)
-    val noUser = regexp_replace(auth, "^[^@]*@", "")
-    lower(regexp_replace(noUser, ":[0-9]*$", ""))
-  }
+  def hostOf(url: Column): Column = hostOfWorking(workingForm(url))
 
   /** Approximate eTLD+1 of a lowercased host: one extra label in
     * front of a recognized multi-label suffix, else the last two
