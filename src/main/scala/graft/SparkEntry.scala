@@ -712,6 +712,60 @@ FROM gnodes n JOIN a$iters a ON a.node = n.node
 JOIN h$iters h ON h.node = n.node"""
   }
 
+  /** Weighted-PageRank-over-the-host-graph replica: the
+    * q_graph_hostgraph CTE chain (extractLinks + hostOf grammar +
+    * pair counts) feeds pageRankWeighted's rounds — per-edge units
+    * round from the identical ru·d·w/wdeg double shape, masses fold
+    * as exact BIGINTs, string node keys throughout. */
+  private def weightedPageRankHostsOracleSql(iters: Int,
+                                             damping: Double): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+  SELECT n2.node,
+    CAST(round(1e9 * (1 - $damping::DOUBLE) / nn.n) AS BIGINT) +
+      COALESCE(m.in_mass, 0) AS ru
+  FROM nodes n2 CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS node,
+      CAST(sum(CAST(round(CAST(p.ru AS DOUBLE) * $damping *
+        CAST(e.w AS DOUBLE) / CAST(wd.wdeg AS DOUBLE))
+        AS BIGINT)) AS BIGINT) AS in_mass
+    FROM e JOIN wd USING (src) JOIN r${k - 1} p ON p.node = e.src
+    GROUP BY 1) m ON m.node = n2.node
+)"""
+    }.mkString(", ")
+    s"""WITH ${linksOracleCte(
+      "'https://site' || CAST(doc_id % 7 AS VARCHAR) || " +
+        "'.example.com/dir' || CAST(doc_id % 5 AS VARCHAR) || " +
+        "'/page/index.html'")},
+hp AS (
+  SELECT doc_id, regexp_replace(trim(href_abs), '#.*$$', '') AS t
+  FROM lk
+), hg AS (
+  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR)
+      || '.example.com' AS src_host,
+    lower(regexp_replace(regexp_replace(
+      regexp_extract(t, '^(?i)https?://([^/?#]*)', 1),
+      '^[^@]*@', ''), ':[0-9]*$$', '')) AS dst_host
+  FROM hp
+  WHERE regexp_matches(t, '^(?i)https?://[^/?#]+')
+), e AS MATERIALIZED (
+  SELECT src_host AS src, dst_host AS dst, count(*)::BIGINT AS w
+  FROM hg WHERE dst_host IS NOT NULL AND dst_host <> ''
+  GROUP BY 1, 2
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), wd AS MATERIALIZED (
+  SELECT src, sum(w)::BIGINT AS wdeg FROM e GROUP BY 1
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST(round(1e9 / nn.n) AS BIGINT) AS ru
+  FROM nodes CROSS JOIN nn
+), $rounds
+SELECT r.node, ((r.ru + 500) // 1000)::DOUBLE / 1000000.0 AS rank,
+  COALESCE(d.wdeg, 0) AS out_weight
+FROM r$iters r LEFT JOIN wd d ON d.src = r.node"""
+  }
+
   private def pageRankOracleSql(iters: Int, damping: Double): String = {
     val rounds = (1 to iters).map { k =>
       s"""r$k AS (
@@ -1247,6 +1301,35 @@ $joins"""
           lit("/page/index.html")))
       graft.operators.Graph.hostGraph(links, "src_url", "href_abs",
         "doc_id")
+    }),
+
+    // the full crawl-to-ranking chain: extracted links contract to
+    // the host graph, then WEIGHTED PageRank spreads each host's
+    // mass in proportion to its link counts — what uniform-per-
+    // neighbor ranking gets wrong on a contracted graph
+    "q_graph_pagerank_hosts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href='/about/'>About&nbsp;Us</a></nav>" +
+          "<p>see <a href=\"../sibling.html\">the <b>sibling</b></a> " +
+          "and <a href=\"//cdn.example.net/lib.js\">cdn</a> and " +
+          "<a href=\"https://other.example.org/x?id="),
+        col("doc_id").cast("string"),
+        lit("\">doc link</a> and <a href=\"#frag\">skip</a> " +
+          "<a href=\"mailto:x@y\">skip too</a></p></body></html>"))
+      val base = concat(lit("https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/dir"), (col("doc_id") % 5).cast("string"),
+        lit("/page/index.html"))
+      val links = graft.operators.HtmlExtract.extractLinks(
+          docs.select(col("doc_id"), html.as("html"), base.as("base")),
+          "doc_id", "html", baseUrlCol = Some("base"))
+        .withColumn("src_url", base)
+      val hg = graft.operators.Graph.hostGraph(links, "src_url",
+        "href_abs", "doc_id")
+      graft.operators.Graph.pageRankWeighted(hg, "src_host",
+        "dst_host", "n_links", iters = 3)
     }),
 
     // anchor-text aggregation over the extracted link graph: per
@@ -7156,6 +7239,9 @@ $joins"""
       // each PageRank iteration unrolled with the identical rounding
       // discipline — see pageRankOracleSql
       "q_graph_pagerank" -> pageRankOracleSql(3, 0.85),
+
+      "q_graph_pagerank_hosts" ->
+        weightedPageRankHostsOracleSql(3, 0.85),
 
       "q_graph_ppr" -> pprOracleSql(3, 0.85),
 

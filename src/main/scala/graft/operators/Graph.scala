@@ -96,6 +96,66 @@ object Graph {
         coalesce(col("deg"), lit(0L)).as("out_degree"))
   }
 
+  /** Weight-proportional PageRank — the [[hostGraph]] companion: a
+    * contracted graph carries multiplicities (n_links between two
+    * hosts), and ranking should spread a node's mass in proportion
+    * to them, not uniformly per neighbor:
+    * rankₖ(v) = (1−d)/N + d·Σ_{u→v} rankₖ₋₁(u)·w(u,v)/Σw(u,·).
+    *
+    * Same 1e-9 integer-lattice numerics and one-shuffle-per-iteration
+    * shape as [[pageRank]]; per-edge units round from the fixed
+    * double shape ru·d·w/wdeg (w/wdeg ≤ 1 keeps magnitudes inside
+    * the lattice bounds). Weights must be positive INTEGERS (counts
+    * — quantize rational weights upstream): the out-strength Σw is
+    * then an exact long, partition-order independent, where a double
+    * weight sum would not replicate. Parallel (src, dst) edges sum
+    * their weights first. Node keys keep their input type (the host
+    * graph's string hosts join/group as-is — no long cast).
+    * Output: (node, rank[rounded 6], out_weight). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String,
+                       dstCol: String, weightCol: String,
+                       iters: Int = 3,
+                       damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .truncateLineage(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .truncateLineage(false)
+    val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val ew = e.join(wdeg, Seq("src")).truncateLineage(false)
+    val n = nodes.count()
+    require(n > 0, "pageRankWeighted needs at least one positive-weight edge")
+    val baseU = math.round(1e9 * (1.0 - damping) / n)
+    var ranks = nodes.withColumn("ru", lit(math.round(1e9 / n.toDouble)))
+    (0 until iters).foreach { _ =>
+      val contrib = ew
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("ru").cast("double") * damping *
+              col("w").cast("double") / col("wdeg").cast("double"))
+            .cast("long").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("in_mass"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseU) + coalesce(col("in_mass"), lit(0L))).as("ru"))
+        .truncateLineage(false)
+    }
+    ranks
+      .join(wdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"),
+        (expr("(ru + 500) DIV 1000").cast("double") / lit(1e6))
+          .as("rank"),
+        coalesce(col("wdeg"), lit(0L)).as("out_weight"))
+  }
+
   /** Personalized PageRank (seeded teleport — the TrustRank shape,
     * Gyongyi 2004): identical recurrence to [[pageRank]] except ALL
     * teleport mass returns to the seed set instead of spreading

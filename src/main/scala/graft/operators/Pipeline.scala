@@ -309,6 +309,18 @@ object Pipeline {
         df => Graph.connectedComponents(df, src, dst, rounds)
       }),
 
+    // weight-proportional ranking over a contracted (multiplicity-
+    // carrying) edge list — the host_graph companion
+    "pagerank_weighted" -> OpSpec(
+      Set("src_col", "dst_col", "weight_col"), Set("iters", "damping"),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        val w = p.str("weight_col")
+        val iters = p.int("iters", Some(3))
+        val damping = p.dbl("damping", Some(0.85))
+        df => Graph.pageRankWeighted(df, src, dst, w, iters, damping)
+      }),
+
     // page-level links -> host graph, the contraction that makes the
     // iterative graph steps above fit a web-scale crawl
     "host_graph" -> OpSpec(Set("src_col", "dst_url_col"),

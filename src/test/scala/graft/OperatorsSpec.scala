@@ -225,6 +225,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(pmi - expected) < 1e-6, s"pmi $pmi vs $expected")
   }
 
+  test("pageRankWeighted: uniform weights reduce to pageRank; mass " +
+       "splits in weight proportion (hand-computed, string keys); " +
+       "parallel edges sum; partitioning-invariant") {
+    import spark.implicits._
+    // uniform weights == unweighted pageRank on the same edges
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    val uni = graft.operators.Graph.pageRankWeighted(
+        edges.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = graft.operators.Graph.pageRank(
+        edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni == plain)
+    // weight proportion, STRING node keys, one iteration by hand:
+    // a ->{b w=3, c w=1}, b -> a w=1, c -> a w=1; parallel a->b
+    // edges (2 + 1) must sum to w=3 first
+    val wdf = Seq(("a", "b", 2L), ("a", "b", 1L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L)).toDF("src", "dst", "w")
+    def run(parts: Int) = graft.operators.Graph
+      .pageRankWeighted(wdf.repartition(parts), "src", "dst", "w",
+        iters = 1)
+      .collect().map(r => (r.getString(0),
+        (r.getDouble(1), r.getLong(2)))).toMap
+    val got = run(1)
+    assert(run(5) == got) // integer unit sums: partitioning-invariant
+    val ru0 = math.round(1e9 / 3.0)
+    val baseU = math.round(1e9 * 0.15 / 3.0)
+    def c(w: Long, wdeg: Long): Long =
+      math.round(ru0.toDouble * 0.85 * w.toDouble / wdeg.toDouble)
+    def e6(u: Long): Double = ((u + 500) / 1000).toDouble / 1e6
+    assert(got("a") == ((e6(baseU + c(1, 1) + c(1, 1)), 4L)))
+    assert(got("b") == ((e6(baseU + c(3, 4)), 1L)))
+    assert(got("c") == ((e6(baseU + c(1, 4)), 1L)))
+    // 3x the weight -> strictly more of a's mass
+    assert(got("b")._1 > got("c")._1)
+  }
+
   test("pageRank matches an independent replica and any partitioning") {
     import spark.implicits._
     // 1 -> {2, 3}, 2 -> 3, 3 -> 1: node 3 collects from two sources

@@ -785,7 +785,9 @@ class PipelineSpec extends AnyFunSuite {
         "dst_col" -> "v", "seeds" -> Seq(1L)),
       "approx_distinct" -> Map[String, Any]("cols" -> Seq("a")),
       "expect_columns" -> Map[String, Any]("schema" -> "a BIGINT"),
-      "expect_condition" -> Map[String, Any]("condition" -> "a > 0"))
+      "expect_condition" -> Map[String, Any]("condition" -> "a > 0"),
+      "pagerank_weighted" -> Map[String, Any]("src_col" -> "u",
+        "dst_col" -> "v", "weight_col" -> "w"))
       .foreach { case (op, good) =>
         val unknown = intercept[IllegalArgumentException] {
           Pipeline.fromSteps(Seq(Step(op, good + ("bogus" -> "v"))))
