@@ -710,6 +710,23 @@ object Pipeline {
         }
       }),
 
+    // live host-graph edges per closed window (the host_graph
+    // companion for streams; approx distinct pages — exact
+    // count_distinct is not streamable)
+    "host_graph_windowed" -> OpSpec(
+      Set("watermark_delay", "src_col", "dst_url_col"),
+      Set("page_id_col", "ts_col", "window_length", "src_is_url"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val (src, dst) = (p.str("src_col"), p.str("dst_url_col"))
+        val page = p.str("page_id_col", Some("doc_id"))
+        val ts = p.str("ts_col", Some("ts"))
+        val win = p.str("window_length", Some("1 hour"))
+        val isUrl = p.bool("src_is_url", Some(true))
+        df => graft.streaming.StreamOps.hostGraphWindowedStream(
+          df, src, dst, page, ts, win, wm, isUrl)
+      }),
+
     // ---- multimodal steps: the asset pipeline's config surface ----
 
     // wrap a payload column as the (id, content, meta) asset table —
@@ -1481,6 +1498,7 @@ object Pipeline {
     "gopher_repetition_flags", "compression_ratio",
     // stateful entries that carry their own watermark in the config
     "windowed_quantiles_watermarked", "trending_tokens_watermarked",
+    "host_graph_windowed",
     // per-row multimodal plumbing
     "as_assets", "decode_features",
     // data contracts: a schema check and a stateless assert filter

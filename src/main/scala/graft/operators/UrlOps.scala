@@ -59,7 +59,7 @@ object UrlOps {
     * can materialize it ONCE behind a select boundary — inlined, the
     * gate + extraction pair below would re-evaluate this regex chain
     * per reference. */
-  private[operators] def workingForm(url: Column): Column =
+  private[graft] def workingForm(url: Column): Column =
     regexp_replace(trim(url), "#.*$", "")
 
   /** The scheme-lowercased, fragment-stripped working form, or null if
@@ -74,7 +74,7 @@ object UrlOps {
     * is subsumed by the `+` group: this extract matches iff the gate
     * would have passed, so [[hostFromAuth]]'s ''-to-null mapping
     * reproduces the gate exactly with one regex instead of two. */
-  private[operators] def hostAuthority(t: Column): Column =
+  private[graft] def hostAuthority(t: Column): Column =
     regexp_extract(t, "^(?i)https?://([^/?#]+)", 1)
 
   /** Finish host extraction from a materialized authority COLUMN:
@@ -84,7 +84,7 @@ object UrlOps {
     * re-evaluated per conditional branch (conditionals defeat
     * codegen subexpression elimination; measured live on the
     * host-graph contraction). */
-  private[operators] def hostFromAuth(auth: Column): Column = {
+  private[graft] def hostFromAuth(auth: Column): Column = {
     val noUser = when(auth.contains("@"),
       regexp_replace(auth, "^[^@]*@", "")).otherwise(auth)
     val noPort = when(noUser.contains(":"),
@@ -93,7 +93,7 @@ object UrlOps {
   }
 
   /** [[hostOf]] over an already-materialized [[workingForm]] column. */
-  private[operators] def hostOfWorking(t: Column): Column = {
+  private[graft] def hostOfWorking(t: Column): Column = {
     val auth = hostAuthority(t)
     val noUser = regexp_replace(auth, "^[^@]*@", "")
     when(auth =!= "", lower(regexp_replace(noUser, ":[0-9]*$", "")))

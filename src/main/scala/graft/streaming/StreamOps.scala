@@ -43,6 +43,55 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Live host-graph edges — the streaming form of
+    * [[graft.operators.Graph.hostGraph]]: per tumbling event-time
+    * window, (src_host, dst_host) link counts emit append-mode when
+    * the watermark closes the window — the "who started linking to
+    * whom THIS hour" crawl monitor. Host extraction is the same one
+    * `UrlOps.hostOf` grammar (staged authority materialization);
+    * distinct-page counting uses approx_count_distinct (exact
+    * count_distinct is not streamable) — a deterministic function of
+    * the window's page set, so closed rows equal the batch run of
+    * this same body on the same slice (parity-spec'd).
+    * Unparseable-edge drops ride as the batch operator's
+    * HAVING-style aggregated-flag filter (a row filter on the host
+    * expressions would be predicate-pushed into per-conjunct
+    * re-extraction). State per (window, host pair) is one count +
+    * one HLL sketch. Output: (window_start, src_host, dst_host,
+    * n_links, n_pages_approx). */
+  def hostGraphWindowedStream(links: DataFrame, srcCol: String,
+                              dstUrlCol: String,
+                              pageIdCol: String = "doc_id",
+                              tsCol: String = "ts",
+                              windowLength: String = "1 hour",
+                              watermark: String = "2 hours",
+                              srcIsUrl: Boolean = true): DataFrame = {
+    import graft.operators.UrlOps
+    val auths = links.select(
+      (if (srcIsUrl) UrlOps.hostAuthority(UrlOps.workingForm(col(srcCol)))
+       else lower(col(srcCol))).as("__src_a"),
+      UrlOps.hostAuthority(UrlOps.workingForm(col(dstUrlCol)))
+        .as("__dst_a"),
+      col(pageIdCol).as("__page"), col(tsCol))
+    val srcHost =
+      if (srcIsUrl) UrlOps.hostFromAuth(col("__src_a"))
+      else col("__src_a")
+    val valid = col("src_host").isNotNull && col("src_host") =!= "" &&
+      col("dst_host").isNotNull && col("dst_host") =!= ""
+    auths.select(srcHost.as("src_host"),
+        UrlOps.hostFromAuth(col("__dst_a")).as("dst_host"),
+        col("__page"), col(tsCol))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength).as("w"),
+        col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        approx_count_distinct(col("__page")).as("n_pages_approx"),
+        min(valid).as("__ok"))
+      .filter(col("__ok"))
+      .select(col("w.start").as("window_start"), col("src_host"),
+        col("dst_host"), col("n_links"), col("n_pages_approx"))
+  }
+
   /** Streaming exact dedup: first event per key wins (a replayed event
     * with a different timestamp is still a duplicate); state expires with
     * the watermark so memory is bounded by the dedup horizon. */

@@ -2932,6 +2932,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged == direct && merged.size == 2)
   }
 
+  test("host_graph_windowed: the live host-graph config step — " +
+       "closed windows carry the batch run of the same body (counts " +
+       "exact, page distincts the same deterministic sketch)") {
+    import graft.operators.Pipeline
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def row(id: Long, sN: Int, dN: Int, ts: String) =
+      (id, s"https://site$sN.example.com/p$id",
+        s"https://Dst$dN.example.org:443/x#frag",
+        Timestamp.valueOf(ts))
+    val w0 = Seq(row(1, 1, 1, "2024-01-01 00:05:00"),
+      row(2, 1, 1, "2024-01-01 00:40:00"),
+      row(2, 1, 2, "2024-01-01 00:45:00"),
+      (9L, "notaurl", "https://d.example.org/",
+        Timestamp.valueOf("2024-01-01 00:50:00"))) // drops: bad src
+    val w1 = Seq(row(3, 2, 1, "2024-01-01 01:10:00"))
+    val cfg =
+      """[{"op": "host_graph_windowed",
+        |  "params": {"watermark_delay": "30 minutes",
+        |             "src_col": "src_url",
+        |             "dst_url_col": "href_abs"}}]""".stripMargin
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val out = Pipeline.fromJsonStreaming(cfg)(
+      input.toDF().toDF("doc_id", "src_url", "href_abs", "ts"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("cfg_hg")
+      .outputMode("append").start()
+    input.addData(w0: _*); q.processAllAvailable()
+    input.addData(w1: _*); q.processAllAvailable()
+    input.addData(row(8, 6, 6, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    input.addData(row(8, 6, 6, "2024-01-01 13:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    val got = shape(s.sql("select * from cfg_hg where window_start " +
+      "< timestamp '2024-01-01 02:00:00'"))
+    // the batch run of the SAME config body over the closed windows'
+    // rows (withWatermark is a no-op on a batch frame)
+    val batch = shape(Pipeline.fromJson(cfg)(
+      (w0 ++ w1).toDF("doc_id", "src_url", "href_abs", "ts"))
+      .filter(col("window_start") <
+        lit(Timestamp.valueOf("2024-01-01 02:00:00"))))
+    assert(got == batch && got.nonEmpty)
+    // the hostOf grammar did its work: port + fragment stripped,
+    // lowercased; the bad-src edge dropped
+    assert(got.map(_._2).subsetOf(
+      Set("site1.example.com", "site2.example.com")))
+    assert(got.map(_._3).subsetOf(
+      Set("dst1.example.org", "dst2.example.org")))
+    // window-0 site1 -> dst1 has two links from two pages
+    assert(got.exists(r => r._2 == "site1.example.com" &&
+      r._3 == "dst1.example.org" && r._4 == 2L))
+  }
+
   test("quantileShardsStream: per-micro-batch GK shards — merged " +
        "percentiles equal one batch pass over all ingested rows") {
     import graft.operators.Stats
