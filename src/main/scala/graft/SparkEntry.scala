@@ -3853,6 +3853,17 @@ $joins"""
            |]""".stripMargin)
     }),
 
+    // the HLL register family from pure JSON under q_stats_distinct's
+    // oracle verbatim
+    "q_pipeline_distinct" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "approx_distinct",
+           |   "params": {"cols": ["lang", "source", "doc_id"]}}
+           |]""".stripMargin)),
+
     // Welch's t-test from pure JSON: the statistical-test family's
     // config surface under q_stats_ttest's oracle verbatim
     "q_pipeline_ttest" -> ((s, dir) =>
@@ -8544,6 +8555,7 @@ $joins"""
       ("q_pipeline_ttest" -> base("q_stats_ttest")) +
       ("q_pipeline_hits" -> base("q_graph_hits")) +
       ("q_pipeline_contract" -> base("q_pipeline_curate")) +
+      ("q_pipeline_distinct" -> base("q_stats_distinct")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))

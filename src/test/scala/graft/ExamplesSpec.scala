@@ -86,6 +86,17 @@ class ExamplesSpec extends AnyFunSuite {
     assert(kept > 0 && kept < full) // the gate actually suppressed
   }
 
+  test("examples/modular_job.json splices examples/gates.json via " +
+       "include and runs end to end") {
+    val gates = new java.io.File("examples/gates.json").getAbsolutePath
+    val out = Pipeline.runJson(spark,
+      read("modular_job.json").replace("__TESTDATA__", dir)
+        .replace("__GATES__", gates))
+    assert(out.columns.toSeq ==
+      Seq("column", "n_registers", "estimate"))
+    assert(out.count() == 2)
+  }
+
   test("examples/asset_features.json decodes features end to end") {
     val out = Pipeline.runJson(spark,
       read("asset_features.json").replace("__TESTDATA__", dir))
