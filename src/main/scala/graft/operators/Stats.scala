@@ -1218,24 +1218,33 @@ object Stats {
   private def requireHllB(b: Int): Unit =
     require(b == 8 || b == 12, "b must be 8 or 12 (m = 256 or 4096)")
 
-  /** Per-value HLL register frame for one column: (bucket, r) with
-    * r = max over values of 1 + leading-zero-count of a 48-bit hash
-    * word. Hash = the house md5 (engine-replicable); bucket = the
-    * first b bits (hex prefix), rank word = the NEXT 48 bits, rho
-    * computed by exact integer string-length logic (`length(bin(w))`
-    * — no float log2 at bin boundaries). ≤ m rows after the
-    * map-side-combined aggregate; nulls drop. */
-  private def hllRegisters(df: DataFrame, valueCol: String,
-                           b: Int): DataFrame = {
+  /** Per-row HLL register entries for ALL requested columns in ONE
+    * corpus scan: each row explodes to k (column, bucket, rho)
+    * structs — at 100 TB, k separate per-column scans would k-tuple
+    * the dominant cost. Hash = the house md5 (engine-replicable);
+    * bucket = the first b bits (hex prefix), rank word = the NEXT 48
+    * bits, rho by exact integer string-length logic
+    * (`length(bin(w))` — no float log2 at bin boundaries). A null
+    * value null-propagates through md5 → bucket/rho and its entry
+    * drops — no conditional branches, so codegen CSEs the one md5
+    * per column. `passthrough` columns (shard keys) ride along. */
+  private def hllRegisterRows(df: DataFrame, cols: Seq[String], b: Int,
+                              passthrough: Seq[String] = Nil)
+      : DataFrame = {
     val hexChars = b / 4
-    val h = md5(col(valueCol).cast("string"))
-    val bucket = conv(substring(h, 1, hexChars), 16, 10).cast("int")
-    val w = conv(substring(h, hexChars + 1, 12), 16, 10).cast("long")
-    val rho = when(w === 0L, lit(49))
-      .otherwise(lit(49) - length(bin(w))).cast("int")
-    df.filter(col(valueCol).isNotNull)
-      .select(bucket.as("bucket"), rho.as("rho"))
-      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+    val entries = cols.map { c =>
+      val h = md5(col(c).cast("string"))
+      val bucket = conv(substring(h, 1, hexChars), 16, 10).cast("int")
+      val w = conv(substring(h, hexChars + 1, 12), 16, 10).cast("long")
+      val rho = when(w === 0L, lit(49))
+        .otherwise(lit(49) - length(bin(w))).cast("int")
+      struct(lit(c).as("column"), bucket.as("bucket"), rho.as("rho"))
+    }
+    df.select(passthrough.map(col) :+
+        explode(array(entries: _*)).as("__e"): _*)
+      .select(passthrough.map(col) ++ Seq(col("__e.column"),
+        col("__e.bucket"), col("__e.rho")): _*)
+      .filter(col("rho").isNotNull)
   }
 
   /** The fixed-shape HLL estimate from an aggregated register row
@@ -1258,54 +1267,48 @@ object Stats {
     round(est * lit(1e6)).cast("double") / lit(1e6)
   }
 
-  private def hllAgg(reg: DataFrame): DataFrame =
-    reg.agg(count(lit(1)).as("n_reg"),
-      sum(expr("shiftleft(cast(1 as bigint), 49 - r)")).as("s_present"))
-
   /** Approximate distinct count per column — one row each: (column,
-    * n_registers, estimate). One scan per column; the only exchange
-    * is the ≤ m-row register aggregate (map-side combined), so the
-    * shuffle is flat in corpus size — the property that makes
+    * n_registers, estimate). ONE corpus scan covers every column
+    * (per-row register explode), and the only exchange is the
+    * ≤ m-rows-per-column register aggregate (map-side combined), so
+    * the shuffle is flat in corpus size — the property that makes
     * `count(DISTINCT high_card_col)`'s full-width exchange avoidable
     * at 100 TB. */
   def approxDistinct(df: DataFrame, cols: Seq[String],
                      b: Int = 12): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
+    require(cols.distinct.size == cols.size, "duplicate columns")
     requireHllB(b)
-    cols.map { c =>
-      hllAgg(hllRegisters(df, c, b))
-        .select(lit(c).as("column"),
-          col("n_reg").cast("long").as("n_registers"),
-          hllEstimate(b).as("estimate"))
-    }.reduce(_ unionByName _)
+    hllRegisterRows(df, cols, b)
+      .groupBy(col("column"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .groupBy(col("column"))
+      .agg(count(lit(1)).as("n_reg"),
+        sum(expr("shiftleft(cast(1 as bigint), 49 - r)"))
+          .as("s_present"))
+      .select(col("column"),
+        col("n_reg").cast("long").as("n_registers"),
+        hllEstimate(b).as("estimate"))
   }
 
   /** Persist per-shard HLL registers: rows (column, shardCols...,
-    * bucket, r, __b). Register count is bounded by m per (column,
-    * shard) — the parquet IS the sketch; appending a new shard later
-    * is one more bounded register group, never a corpus rescan. */
+    * bucket, r, __b). One corpus scan covers every column; register
+    * count is bounded by m per (column, shard) — the parquet IS the
+    * sketch; appending a new shard later is one more bounded
+    * register group, never a corpus rescan. */
   def writeCardinalityShards(df: DataFrame, path: String,
                              cols: Seq[String],
                              shardCols: Seq[String],
                              b: Int = 12): Unit = {
     require(cols.nonEmpty, "cols must be non-empty")
+    require(cols.distinct.size == cols.size, "duplicate columns")
     require(shardCols.nonEmpty, "shardCols must be non-empty")
     requireHllB(b)
-    val hexChars = b / 4
-    cols.map { c =>
-      val h = md5(col(c).cast("string"))
-      val bucket = conv(substring(h, 1, hexChars), 16, 10).cast("int")
-      val w = conv(substring(h, hexChars + 1, 12), 16, 10).cast("long")
-      val rho = when(w === 0L, lit(49))
-        .otherwise(lit(49) - length(bin(w))).cast("int")
-      df.filter(col(c).isNotNull)
-        .select(shardCols.map(col) :+ bucket.as("bucket") :+
-          rho.as("rho"): _*)
-        .groupBy(shardCols.map(col) :+ col("bucket"): _*)
-        .agg(max(col("rho")).as("r"))
-        .select(lit(c).as("column") +: shardCols.map(col) :+
-          col("bucket") :+ col("r") :+ lit(b).as("__b"): _*)
-    }.reduce(_ unionByName _)
+    hllRegisterRows(df, cols, b, passthrough = shardCols)
+      .groupBy(shardCols.map(col) ++
+        Seq(col("column"), col("bucket")): _*)
+      .agg(max(col("rho")).as("r"))
+      .withColumn("__b", lit(b))
       .write.mode("overwrite").parquet(path)
   }
 
@@ -1321,8 +1324,18 @@ object Stats {
                             b: Int = 12): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     requireHllB(b)
-    val reg = spark.read.parquet(path)
-      .filter(col("column").isin(cols: _*))
+    val store = spark.read.parquet(path)
+    // a column the store never sketched must error by name, not
+    // silently vanish from the output (bounded: the store's distinct
+    // column list is ≤ its sketched-column count)
+    val present = store.select(col("column")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val absent = cols.filterNot(present)
+    require(absent.isEmpty,
+      s"cardinalityFromShards: store at $path has no registers for " +
+        s"${absent.mkString(", ")}; sketched: " +
+        present.toSeq.sorted.mkString(", "))
+    val reg = store.filter(col("column").isin(cols: _*))
     val merged = reg
       .groupBy(col("column"), col("bucket"))
       .agg(max(col("r")).as("r"), max(col("__b")).as("__b"))
