@@ -4241,6 +4241,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("approxDistinct plan shape: ONE corpus scan covers all " +
+       "columns, and the register aggregate partial-combines " +
+       "map-side before its exchange") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Stats.approxDistinct(docs, Seq("doc_id", "lang", "source"))
+    out.collect() // finalize the adaptive plan before inspecting it
+    val plan = ScaleOpsSpec.finalPlan(out)
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"expected exactly one scan:\n$plan")
+    // partial_max on the map side of the register exchange: the
+    // shuffle carries <= m registers per (column, partition), never
+    // one row per value
+    assert(plan.contains("partial_max"), plan)
+  }
+
   test("histogram: floor binning (negatives included), only observed bins") {
     val df = spark.sql(
       "select * from values (-0.5), (0.0), (1.5), (1.9), (7.0) as t(v)")
