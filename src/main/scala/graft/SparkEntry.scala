@@ -1303,6 +1303,32 @@ $joins"""
         "doc_id")
     }),
 
+    // one contraction level further: the registered-DOMAIN graph
+    // (mirror subdomains pool under their eTLD+1) — the level
+    // per-publisher caps and ranks operate at
+    "q_graph_domaingraph" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href='/about/'>About&nbsp;Us</a></nav>" +
+          "<p>see <a href=\"../sibling.html\">the <b>sibling</b></a> " +
+          "and <a href=\"//cdn.example.net/lib.js\">cdn</a> and " +
+          "<a href=\"https://other.example.org/x?id="),
+        col("doc_id").cast("string"),
+        lit("\">doc link</a> and <a href=\"#frag\">skip</a> " +
+          "<a href=\"mailto:x@y\">skip too</a></p></body></html>"))
+      val base = concat(lit("https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/dir"), (col("doc_id") % 5).cast("string"),
+        lit("/page/index.html"))
+      val links = graft.operators.HtmlExtract.extractLinks(
+          docs.select(col("doc_id"), html.as("html"), base.as("base")),
+          "doc_id", "html", baseUrlCol = Some("base"))
+        .withColumn("src_url", base)
+      graft.operators.Graph.hostGraph(links, "src_url", "href_abs",
+        "doc_id", srcIsUrl = true, toDomain = true)
+    }),
+
     // the full crawl-to-ranking chain: extracted links contract to
     // the host graph, then WEIGHTED PageRank spreads each host's
     // mass in proportion to its link counts — what uniform-per-
@@ -7253,6 +7279,47 @@ $joins"""
 
       "q_graph_pagerank_hosts" ->
         weightedPageRankHostsOracleSql(3, 0.85),
+
+      // the hostgraph chain + the q_url_canon domain grammar (same
+      // suffix-list interpolant), re-grouped at eTLD+1
+      "q_graph_domaingraph" -> {
+        def dom(l: String, h: String): String =
+          s"""CASE WHEN len($l) <= 2
+             |       OR regexp_matches($l[-1], '^[0-9]+$$') THEN $h
+             |     WHEN list_contains([$urlSuffixesSql],
+             |         $l[-2] || '.' || $l[-1]) AND len($l) >= 3
+             |       THEN $l[-3] || '.' || $l[-2] || '.' || $l[-1]
+             |     ELSE $l[-2] || '.' || $l[-1] END""".stripMargin
+        s"""WITH ${linksOracleCte(
+          "'https://site' || CAST(doc_id % 7 AS VARCHAR) || " +
+            "'.example.com/dir' || CAST(doc_id % 5 AS VARCHAR) || " +
+            "'/page/index.html'")},
+hp AS (
+  SELECT doc_id, regexp_replace(trim(href_abs), '#.*$$', '') AS t
+  FROM lk
+), hg AS (
+  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR)
+      || '.example.com' AS src_host,
+    lower(regexp_replace(regexp_replace(
+      regexp_extract(t, '^(?i)https?://([^/?#]*)', 1),
+      '^[^@]*@', ''), ':[0-9]*$$', '')) AS dst_host,
+    doc_id
+  FROM hp
+  WHERE regexp_matches(t, '^(?i)https?://[^/?#]+')
+), hv AS (
+  SELECT src_host, dst_host, doc_id,
+    string_split(src_host, '.') AS sl,
+    string_split(dst_host, '.') AS dl
+  FROM hg WHERE dst_host IS NOT NULL AND dst_host <> ''
+), dm AS (
+  SELECT ${dom("sl", "src_host")} AS src_host,
+    ${dom("dl", "dst_host")} AS dst_host, doc_id
+  FROM hv
+)
+SELECT src_host, dst_host, count(*) AS n_links,
+       count(DISTINCT doc_id) AS n_pages
+FROM dm GROUP BY 1, 2"""
+      },
 
       "q_graph_ppr" -> pprOracleSql(3, 0.85),
 

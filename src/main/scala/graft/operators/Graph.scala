@@ -802,14 +802,21 @@ object Graph {
     * (`srcIsUrl = false`): it is lowercased only, matching hostOf's
     * case convention. Edges with an unparseable side drop.
     *
-    * Scale shape: one codegen'd projection + ONE (src_host, dst_host)
-    * keyed aggregate (partial map-side combine; count_distinct adds
-    * the standard expand-by-page pass) — output ∝ distinct host
-    * pairs, never pages. Output: (src_host, dst_host, n_links,
-    * n_pages). */
+    * `toDomain = true` contracts one level further, to the
+    * approximate eTLD+1 ([[UrlOps.registeredDomain]] — the compact
+    * PSL subset): the level where mirror subdomains pool and
+    * per-publisher caps/ranks operate. Output column names stay
+    * (src_host, dst_host) so the graph operators compose unchanged.
+    *
+    * Scale shape: staged codegen'd projections + ONE (src_host,
+    * dst_host) keyed aggregate (partial map-side combine;
+    * count_distinct adds the standard expand-by-page pass) — output
+    * ∝ distinct host pairs, never pages. Output: (src_host,
+    * dst_host, n_links, n_pages). */
   def hostGraph(links: DataFrame, srcCol: String, dstUrlCol: String,
                 pageIdCol: String = "doc_id",
-                srcIsUrl: Boolean = true): DataFrame = {
+                srcIsUrl: Boolean = true,
+                toDomain: Boolean = false): DataFrame = {
     // staged selects, not one projection: the AUTHORITY extract (the
     // expensive regex) materializes behind its own boundary, so the
     // finishing rules read a computed column instead of re-running
@@ -839,9 +846,21 @@ object Graph {
     // corpus-sized.
     val valid = col("src_host").isNotNull && col("src_host") =!= "" &&
       col("dst_host").isNotNull && col("dst_host") =!= ""
-    auths.select(srcHost.as("src_host"),
-        UrlOps.hostFromAuth(col("__dst_a")).as("dst_host"),
+    val hosted = auths.select(srcHost.as("src_host"),
+      UrlOps.hostFromAuth(col("__dst_a")).as("dst_host"),
+      col("__page"))
+    // domain contraction (`toDomain`): registeredDomain applies in a
+    // FOURTH select over the materialized host columns — its label
+    // splits reference the host many times, and inlined they would
+    // re-run the whole host extraction per reference (the pushdown
+    // lesson above, projection-side)
+    val keyed =
+      if (!toDomain) hosted
+      else hosted.select(
+        UrlOps.registeredDomain(col("src_host")).as("src_host"),
+        UrlOps.registeredDomain(col("dst_host")).as("dst_host"),
         col("__page"))
+    keyed
       .groupBy(col("src_host"), col("dst_host"))
       .agg(count(lit(1)).as("n_links"),
         count_distinct(col("__page")).as("n_pages"),

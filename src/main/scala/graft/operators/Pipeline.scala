@@ -324,13 +324,14 @@ object Pipeline {
     // page-level links -> host graph, the contraction that makes the
     // iterative graph steps above fit a web-scale crawl
     "host_graph" -> OpSpec(Set("src_col", "dst_url_col"),
-      Set("page_id_col", "src_is_url"),
+      Set("page_id_col", "src_is_url", "to_domain"),
       p => {
         val src = p.str("src_col")
         val dst = p.str("dst_url_col")
         val page = p.str("page_id_col", Some("doc_id"))
         val isUrl = p.bool("src_is_url", Some(true))
-        df => Graph.hostGraph(df, src, dst, page, isUrl)
+        val toDomain = p.bool("to_domain", Some(false))
+        df => Graph.hostGraph(df, src, dst, page, isUrl, toDomain)
       }),
 
     // ---- table-health / governance steps: the stats gates a

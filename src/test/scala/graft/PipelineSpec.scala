@@ -1024,5 +1024,28 @@ class PipelineSpec extends AnyFunSuite {
         "src_host", "href_abs", srcIsUrl = false)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(hostSide == Set(("a.example.com", "b.example.com")))
+    // domain contraction pools subdomains under eTLD+1, incl. the
+    // multi-label suffix grammar (shop.example.co.uk -> example.co.uk)
+    val domains = Graph.hostGraph(
+        Seq((1L, "https://a.news.example.com/p",
+            "https://cdn1.other.org/x"),
+          (2L, "https://b.news.example.com/p",
+            "https://shop.example.co.uk/y"))
+          .toDF("doc_id", "src_url", "href_abs"),
+        "src_url", "href_abs", toDomain = true)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSet
+    assert(domains == Set(
+      ("example.com", "other.org", 1L),
+      ("example.com", "example.co.uk", 1L)))
+    // the config step exposes the same flag
+    val viaCfg = Pipeline.fromSteps(Seq(Step("host_graph",
+        Map("src_col" -> "src_url", "dst_url_col" -> "href_abs",
+          "to_domain" -> true))))(
+        Seq((1L, "https://a.news.example.com/p",
+          "https://cdn1.other.org/x"))
+          .toDF("doc_id", "src_url", "href_abs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaCfg == Set(("example.com", "other.org")))
   }
 }
