@@ -466,6 +466,34 @@ object Pipeline {
         }
       }),
 
+    // uniqueness contract: every key combination must occur exactly
+    // once — the dbt `unique` test as an in-plan gate. One keyed
+    // window (partitioned — never a global order) counts each key's
+    // rows and the assert fails the job loudly on the first
+    // duplicate; the filter reads the window output, so pushdown
+    // cannot move it. Costs one shuffle by the key — the real price
+    // of a uniqueness check; batch-only (window aggregates don't
+    // stream — gate before the stream or key the sink instead).
+    // NULL keys group together: pair with expect_condition
+    // ("k IS NOT NULL") when nulls must be rejected rather than
+    // deduplicated against each other.
+    "expect_unique" -> OpSpec(Set("cols"), Set("name"),
+      p => {
+        val cols = p.strs("cols")
+        require(cols.nonEmpty,
+          "pipeline op 'expect_unique': param 'cols' must be non-empty")
+        val tag = p.str("name", Some(cols.mkString(",")))
+        df => {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(cols.map(col): _*)
+          df.withColumn("__expect_n", count(lit(1)).over(w))
+            .filter(assert_true(col("__expect_n") === 1,
+              lit(s"pipeline expect_unique '$tag' violated " +
+                s"(duplicate key on ${cols.mkString(", ")})")).isNull)
+            .drop("__expect_n")
+        }
+      }),
+
     // row contract: an in-plan assert_true filter — every row must
     // satisfy the condition (a NULL condition counts as a
     // violation, ANSI-style). Scan-speed, stateless, stream-safe.

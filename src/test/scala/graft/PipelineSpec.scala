@@ -992,6 +992,42 @@ class PipelineSpec extends AnyFunSuite {
       Step("expect_condition", Map("condition" -> "doc_id >= 0"))))
   }
 
+  test("expect_unique: passes a unique key through unchanged; a " +
+       "duplicate fails the job with the gate name; batch-only " +
+       "(rejected from streaming configs by name)") {
+    val s = spark
+    import s.implicits._
+    val unique = Pipeline.fromSteps(Seq(Step("expect_unique",
+      Map("cols" -> Seq("doc_id")))))(docs)
+    assert(unique.count() == docs.count())
+    val dup = docs.limit(5).union(docs.limit(2))
+    val bad = intercept[Exception] {
+      Pipeline.fromSteps(Seq(Step("expect_unique",
+        Map("cols" -> Seq("doc_id"), "name" -> "pk_unique"))))(dup)
+        .count()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(bad).contains("pk_unique"))
+    // composite keys: same values across DIFFERENT key columns pass
+    val comp = Seq((1L, "a"), (1L, "b"), (2L, "a"))
+      .toDF("k1", "k2")
+    assert(Pipeline.fromSteps(Seq(Step("expect_unique",
+      Map("cols" -> Seq("k1", "k2")))))(comp).count() == 3)
+    // the window aggregate can't stream: rejected eagerly by name
+    val ns = intercept[IllegalArgumentException] {
+      Pipeline.fromStepsStreaming(Seq(Step("expect_unique",
+        Map("cols" -> Seq("doc_id")))))
+    }
+    assert(ns.getMessage.contains("not streamable"))
+    // empty key list names itself at config-compile time
+    val empty = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("expect_unique",
+        Map("cols" -> Seq.empty[String]))))
+    }
+    assert(empty.getMessage.contains("non-empty"))
+  }
+
   test("host_graph step contracts a link frame through the " +
        "UrlOps.hostOf grammar (userinfo/port/case/scheme handling), " +
        "and src_is_url=false lowercases a host column") {
