@@ -486,26 +486,37 @@ object Pipeline {
         df => {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(cols.map(col): _*)
-          df.withColumn("__expect_n", count(lit(1)).over(w))
-            .filter(assert_true(col("__expect_n") === 1,
+          // collision-proof internal name: withColumn replaces by
+          // name, so a user column called __expect_n must survive
+          val tmp = Iterator.from(0).map(i => s"__expect_n$i")
+            .find(n => !df.columns.contains(n)).get
+          df.withColumn(tmp, count(lit(1)).over(w))
+            .filter(assert_true(col(tmp) === 1,
               lit(s"pipeline expect_unique '$tag' violated " +
                 s"(duplicate key on ${cols.mkString(", ")})")).isNull)
-            .drop("__expect_n")
+            .drop(tmp)
         }
       }),
 
     // row contract: an in-plan assert_true filter — every row must
     // satisfy the condition (a NULL condition counts as a
     // violation, ANSI-style). Scan-speed, stateless, stream-safe.
-    // Predicate pushdown may evaluate the assert EARLIER in the plan
-    // (on a superset of rows — e.g. a join's pre-image), so the gate
-    // only ever gets STRICTER, never silently weaker.
+    // The condition rides inside a [[PlanAnchor]] (a zero-cost
+    // non-deterministic identity), so Catalyst cannot push the
+    // assert below a join/aggregate and fire it on a pre-image
+    // superset — the contract is checked exactly where the config
+    // declares it (a plain rand() anchor folds away under Spark 4's
+    // OptimizeRand; the anchor has no rewrite rule by construction).
+    // Cost: later filters don't reorder below the gate — the honest
+    // price of an anchored contract; place filters before contracts
+    // when both apply.
     "expect_condition" -> OpSpec(Set("condition"), Set("name"),
       p => {
         val sql = p.str("condition")
         val cond = parseEagerly(sql)
         val tag = p.str("name", Some(sql))
-        df => df.filter(assert_true(cond,
+        df => df.filter(assert_true(
+          org.apache.spark.sql.graftext.PlanAnchor(cond),
           lit(s"pipeline expect_condition '$tag' violated " +
             s"($sql)")).isNull)
       }),
@@ -1400,7 +1411,18 @@ object Pipeline {
             s"pipeline op 'include': param 'path' must be a string, " +
               s"got $other")
         }
-        val canon = new java.io.File(raw).getCanonicalPath
+        // includes resolve through the Hadoop FileSystem API like
+        // every data-path step, so an hdfs://, s3a://, or file://
+        // include works identically; the fs-qualified URI is the
+        // canonical id for cycle detection (meaningful for remote
+        // schemes where File.getCanonicalPath is not)
+        val hadoopConf = org.apache.spark.sql.SparkSession
+          .getActiveSession
+          .map(_.sessionState.newHadoopConf())
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        val hPath = new org.apache.hadoop.fs.Path(raw)
+        val fs = hPath.getFileSystem(hadoopConf)
+        val canon = fs.makeQualified(hPath).toString
         require(!stack.contains(canon),
           "pipeline op 'include': cycle — " +
             (canon :: stack).reverse.mkString(" -> "))
@@ -1408,12 +1430,15 @@ object Pipeline {
           "pipeline op 'include': chain deeper than 16 — " +
             (canon :: stack).reverse.mkString(" -> "))
         val text =
-          try new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(raw)), "UTF-8")
-          catch {
+          try {
+            val in = fs.open(hPath)
+            try new String(in.readAllBytes(), "UTF-8")
+            finally in.close()
+          } catch {
             case e: java.io.IOException =>
               throw new IllegalArgumentException(
-                s"pipeline op 'include': cannot read '$raw': " +
+                s"pipeline op 'include': cannot read '$raw' " +
+                  s"(resolved via Hadoop FS as '$canon'): " +
                   e.getMessage, e)
           }
         val mapper =

@@ -1303,6 +1303,13 @@ object Stats {
     require(cols.nonEmpty, "cols must be non-empty")
     require(cols.distinct.size == cols.size, "duplicate columns")
     require(shardCols.nonEmpty, "shardCols must be non-empty")
+    // the register rows own these names; a passthrough shard column
+    // reusing one would silently shadow the sketch fields
+    val reserved = shardCols.toSet
+      .intersect(Set("column", "bucket", "rho", "r", "__b"))
+    require(reserved.isEmpty,
+      "writeCardinalityShards: shardCols may not use reserved " +
+        s"register-field names ${reserved.toSeq.sorted.mkString(", ")}")
     requireHllB(b)
     hllRegisterRows(df, cols, b, passthrough = shardCols)
       .groupBy(shardCols.map(col) ++
@@ -1336,14 +1343,19 @@ object Stats {
         s"${absent.mkString(", ")}; sketched: " +
         present.toSeq.sorted.mkString(", "))
     val reg = store.filter(col("column").isin(cols: _*))
+    // precision must survive the bucket-level merge as BOTH bounds:
+    // max-only would let a low-precision register hide behind a
+    // high-precision one sharing its bucket id (bucket ids overlap
+    // across precisions), defeating the guard below
     val merged = reg
       .groupBy(col("column"), col("bucket"))
-      .agg(max(col("r")).as("r"), max(col("__b")).as("__b"))
+      .agg(max(col("r")).as("r"),
+        min(col("__b")).as("__bmin0"), max(col("__b")).as("__bmax0"))
       .groupBy(col("column"))
       .agg(count(lit(1)).as("n_reg"),
         sum(expr("shiftleft(cast(1 as bigint), 49 - r)"))
           .as("s_present"),
-        min(col("__b")).as("__bmin"), max(col("__b")).as("__bmax"))
+        min(col("__bmin0")).as("__bmin"), max(col("__bmax0")).as("__bmax"))
     merged.select(
       when(assert_true(col("__bmin") === lit(b) &&
           col("__bmax") === lit(b),

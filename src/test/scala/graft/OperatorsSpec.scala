@@ -4239,6 +4239,44 @@ class OperatorsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Stats.approxDistinct(docs, Seq("doc_id"), b = 16)
     }
+    // shard columns may not shadow the register field names
+    val rsv = intercept[IllegalArgumentException] {
+      Stats.writeCardinalityShards(docs, path + "-rsv",
+        Seq("doc_id"), Seq("bucket"))
+    }
+    assert(rsv.getMessage.contains("reserved"))
+  }
+
+  test("cardinality shards: MASKED mixed precision — every " +
+       "low-precision bucket id also present at high precision — " +
+       "still raises (min and max of __b both survive the " +
+       "bucket-level merge)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-card-mixed").toString
+    Stats.writeCardinalityShards(docs, tmp + "/b12",
+      Seq("doc_id"), Seq("source"), b = 12)
+    Stats.writeCardinalityShards(docs, tmp + "/b8",
+      Seq("doc_id"), Seq("source"), b = 8)
+    val r12 = spark.read.parquet(tmp + "/b12")
+    // keep ONLY b=8 registers whose bucket id also exists in the
+    // b=12 shard: a bucket-level max(__b)-only merge reads 12 for
+    // every one of these rows and the guard would pass silently
+    val r8masked = spark.read.parquet(tmp + "/b8")
+      .join(r12.select(col("bucket")).distinct(), Seq("bucket"),
+        "left_semi")
+    assert(r8masked.count() > 0, "masking precondition not met")
+    r12.unionByName(r8masked.select(r12.columns.map(col): _*))
+      .write.parquet(tmp + "/mixed")
+    val e = intercept[Exception] {
+      Stats.cardinalityFromShards(spark, tmp + "/mixed",
+        Seq("doc_id"), b = 12).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(e).contains("precision"))
   }
 
   test("approxDistinct plan shape: ONE corpus scan covers all " +

@@ -929,6 +929,23 @@ class PipelineSpec extends AnyFunSuite {
         Map("path" -> s"$base/never_written.json"))))
     }
     assert(gone.getMessage.contains("cannot read"))
+    // includes resolve through the Hadoop FileSystem API: a
+    // scheme-qualified file:// URI works like a bare path, and a
+    // bare-path/qualified-URI pair still trips cycle detection
+    // (the fs-qualified URI is the canonical id)
+    val viaUri = Pipeline.fromJson(
+      s"""[{"op": "include", "params": {"path": "file://$inner"}}]""")(
+      docs)
+    assert(viaUri.columns.contains("n_tokens"))
+    write("cyc2.json",
+      s"""[{"op": "include", "params": {"path": "file://$cyc"}}]""")
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.fromJson(
+        s"""[{"op": "include",
+           |  "params": {"path": "${base.resolve("cyc2.json")}"}}]"""
+          .stripMargin)(docs)
+    }
+    assert(e2.getMessage.contains("cycle"))
     // a non-streamable step ARRIVING VIA INCLUDE is still rejected
     val viaInc = write("agg.json",
       """[{"op": "windowed_stats"}]""")
@@ -1026,6 +1043,50 @@ class PipelineSpec extends AnyFunSuite {
         Map("cols" -> Seq.empty[String]))))
     }
     assert(empty.getMessage.contains("non-empty"))
+    // a user column that happens to be named __expect_n survives:
+    // the gate derives a collision-proof internal name
+    val shadow = Seq((1L, "keep-me"), (2L, "also"))
+      .toDF("k", "__expect_n")
+    val kept = Pipeline.fromSteps(Seq(Step("expect_unique",
+      Map("cols" -> Seq("k")))))(shadow)
+    assert(kept.columns.toSeq == Seq("k", "__expect_n") &&
+      kept.where(col("__expect_n") === "keep-me").count() == 1)
+  }
+
+  test("expect_condition is anchored where declared: the assert " +
+       "does not push below a join, so rows the join legitimately " +
+       "drops never fire the contract") {
+    val s = spark
+    import s.implicits._
+    // k=1 violates v > 0 but has no match on the right: an inner
+    // join drops it BEFORE the contract — pushdown below the join
+    // would abort a contract-satisfying job
+    val left = Seq((1L, -5L), (2L, 7L)).toDF("k", "v")
+    val right = Seq(Tuple1(2L)).toDF("k")
+    val gated = Pipeline.fromSteps(Seq(Step("expect_condition",
+      Map("condition" -> "v > 0", "name" -> "v_pos"))))(
+      left.join(right, "k"))
+    assert(gated.count() == 1)
+    // plan shape: the assert filter sits ABOVE the join in the
+    // optimized plan (its subtree contains the join)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val asserts = gated.queryExecution.optimizedPlan.collect {
+      case f: Filter
+        if f.condition.toString.contains("plan_anchor") => f
+    }
+    assert(asserts.nonEmpty, "assert filter missing from plan")
+    assert(asserts.exists(_.collect { case j: Join => j }.nonEmpty),
+      "assert filter was pushed below the join:\n" +
+        gated.queryExecution.optimizedPlan.toString)
+    // the anchor is a no-op on semantics: NULL still violates
+    def msgs2(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs2(t.getCause)
+    val nul = intercept[Exception] {
+      Pipeline.fromSteps(Seq(Step("expect_condition",
+        Map("condition" -> "cast(null as boolean)",
+          "name" -> "nul_gate"))))(left).count()
+    }
+    assert(msgs2(nul).contains("nul_gate"))
   }
 
   test("host_graph step contracts a link frame through the " +

@@ -2635,6 +2635,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(gated(input.toDF()).isStreaming)
   }
 
+  test("expect_condition gates a RUNNING stream: the PlanAnchor " +
+       "wrapper is stream-legal, satisfied rows flow, a violating " +
+       "micro-batch fails the query with the gate name") {
+    import graft.operators.Pipeline
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = Pipeline.fromStepsStreaming(Seq(Pipeline.Step(
+      "expect_condition",
+      Map("condition" -> "v > 0", "name" -> "v_pos_stream"))))(
+      input.toDS().toDF("k", "v"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    input.addData((1L, 5L), (2L, 7L))
+    q.processAllAvailable()
+    assert(s.sql("select * from gate_stream").count() == 2)
+    input.addData((3L, -1L))
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { q.processAllAvailable() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(e).contains("v_pos_stream"))
+    q.stop()
+  }
+
   test("applyChangesStream maintains a parquet snapshot from a CDC " +
        "stream: micro-batch merges, stale changes ignored via the " +
        "snapshot's seq column, swap leaves no half-written state") {
