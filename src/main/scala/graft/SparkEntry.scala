@@ -1329,6 +1329,39 @@ $joins"""
         "doc_id", srcIsUrl = true, toDomain = true)
     }),
 
+    // the same contraction under a FULL public-suffix list (the
+    // PslDomain hash-walk expression): a private-domain entry keeps
+    // each publisher label separate (example.com plays github.io's
+    // role), a wildcard + exception pair governs example.org, and
+    // unlisted hosts fall to the implicit-* default — the three PSL
+    // rule kinds, each visible in the pooled edge set
+    "q_graph_domaingraph_psl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href='/about/'>About&nbsp;Us</a></nav>" +
+          "<p>see <a href=\"../sibling.html\">the <b>sibling</b></a> " +
+          "and <a href=\"//cdn.example.net/lib.js\">cdn</a> and " +
+          "<a href=\"https://other.example.org/x?id="),
+        col("doc_id").cast("string"),
+        lit("\">doc link</a> and <a href=\"#frag\">skip</a> " +
+          "<a href=\"mailto:x@y\">skip too</a></p></body></html>"))
+      val base = concat(lit("https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/dir"), (col("doc_id") % 5).cast("string"),
+        lit("/page/index.html"))
+      val links = graft.operators.HtmlExtract.extractLinks(
+          docs.select(col("doc_id"), html.as("html"), base.as("base")),
+          "doc_id", "html", baseUrlCol = Some("base"))
+        .withColumn("src_url", base)
+      graft.operators.Graph.hostGraph(links, "src_url", "href_abs",
+        "doc_id", srcIsUrl = true, toDomain = true,
+        suffixRules = Some(org.apache.spark.sql.graftext.PslRules
+          .parse(Seq("com", "net", "org",
+            "example.com", // private-domain entry
+            "*.example.org", "!other.example.org"))))
+    }),
+
     // the full crawl-to-ranking chain: extracted links contract to
     // the host graph, then WEIGHTED PageRank spreads each host's
     // mass in proportion to its link counts — what uniform-per-
@@ -3920,6 +3953,74 @@ $joins"""
            |  {"op": "hits",
            |   "params": {"src_col": "src", "dst_col": "dst",
            |              "iters": 2}}
+           |]""".stripMargin)),
+
+    // the data-recipe mixing step from pure JSON — the step every
+    // training recipe starts with — under q_sample_mixture's oracle
+    // verbatim
+    "q_pipeline_mixture" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "resample_to_mixture",
+           |   "params": {"domain_col": "source",
+           |              "weights": {"src0": 0.5, "src1": 0.3,
+           |                          "src2": 0.2},
+           |              "key_cols": ["doc_id"]}},
+           |  {"op": "select",
+           |   "params": {"cols": ["doc_id", "source", "lang"]}}
+           |]""".stripMargin)),
+
+    // leakage-safe splitting as config: the near-dup pair table
+    // persists to parquet and the config names it by path (the
+    // psi_drift convention) — q_sample_split_safe's oracle verbatim
+    "q_pipeline_split_safe" -> ((s, dir) => {
+      val pairsPath = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cfgpairs_" + runTag(dir)).getPath
+      val docs = t(s, dir, "documents")
+      Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3,
+          numHashes = 64, bands = 32, threshold = 0.5)
+        .write.mode("overwrite").parquet(pairsPath)
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "split_by_cluster",
+           |   "params": {"id_col": "doc_id",
+           |              "pairs_path": "$pairsPath",
+           |              "weights": [["train", 90], ["val", 5],
+           |                          ["test", 5]]}},
+           |  {"op": "select",
+           |   "params": {"cols": ["doc_id", "source", "split"]}}
+           |]""".stripMargin)
+    }),
+
+    // the events family's config surface: SCD2 validity intervals
+    // from pure JSON under q_events_scd2's oracle verbatim
+    "q_pipeline_scd2" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "events"}},
+           |  {"op": "scd2",
+           |   "params": {"key_col": "user_id",
+           |              "attr_col": "event_type"}}
+           |]""".stripMargin)),
+
+    // the reshape family's config surface: tidy long form from pure
+    // JSON under q_reshape_melt's oracle verbatim
+    "q_pipeline_melt" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "melt",
+           |   "params": {"id_cols": ["l_orderkey", "l_linenumber"],
+           |              "value_cols": ["l_quantity",
+           |                "l_extendedprice", "l_discount", "l_tax"],
+           |              "var_name": "measure",
+           |              "val_name": "amount"}}
            |]""".stripMargin)),
 
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
@@ -7321,6 +7422,53 @@ SELECT src_host, dst_host, count(*) AS n_links,
 FROM dm GROUP BY 1, 2"""
       },
 
+      // PSL-rule mirror over the hosts this fixture actually emits:
+      // example.com is a listed (private-style) suffix so 3-label
+      // publishers keep their label; every 3-label .example.org host
+      // is registrable as itself (the wildcard makes it a public
+      // suffix and the exception names other.example.org outright);
+      // everything else falls to the implicit-* last-two default
+      "q_graph_domaingraph_psl" -> {
+        def dom(l: String, h: String): String =
+          s"""CASE WHEN len($l) <= 1
+             |       OR regexp_matches($l[-1], '^[0-9]+$$') THEN $h
+             |     WHEN len($l) >= 3 AND $l[-2] || '.' || $l[-1]
+             |         = 'example.com'
+             |       THEN $l[-3] || '.' || $l[-2] || '.' || $l[-1]
+             |     WHEN len($l) = 3 AND $l[-2] || '.' || $l[-1]
+             |         = 'example.org' THEN $h
+             |     ELSE $l[-2] || '.' || $l[-1] END""".stripMargin
+        s"""WITH ${linksOracleCte(
+          "'https://site' || CAST(doc_id % 7 AS VARCHAR) || " +
+            "'.example.com/dir' || CAST(doc_id % 5 AS VARCHAR) || " +
+            "'/page/index.html'")},
+hp AS (
+  SELECT doc_id, regexp_replace(trim(href_abs), '#.*$$', '') AS t
+  FROM lk
+), hg AS (
+  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR)
+      || '.example.com' AS src_host,
+    lower(regexp_replace(regexp_replace(
+      regexp_extract(t, '^(?i)https?://([^/?#]*)', 1),
+      '^[^@]*@', ''), ':[0-9]*$$', '')) AS dst_host,
+    doc_id
+  FROM hp
+  WHERE regexp_matches(t, '^(?i)https?://[^/?#]+')
+), hv AS (
+  SELECT src_host, dst_host, doc_id,
+    string_split(src_host, '.') AS sl,
+    string_split(dst_host, '.') AS dl
+  FROM hg WHERE dst_host IS NOT NULL AND dst_host <> ''
+), dm AS (
+  SELECT ${dom("sl", "src_host")} AS src_host,
+    ${dom("dl", "dst_host")} AS dst_host, doc_id
+  FROM hv
+)
+SELECT src_host, dst_host, count(*) AS n_links,
+       count(DISTINCT doc_id) AS n_pages
+FROM dm GROUP BY 1, 2"""
+      },
+
       "q_graph_ppr" -> pprOracleSql(3, 0.85),
 
       // same folded neighbor set, degree band, wedge self-join with
@@ -8623,6 +8771,10 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_hits" -> base("q_graph_hits")) +
       ("q_pipeline_contract" -> base("q_pipeline_curate")) +
       ("q_pipeline_distinct" -> base("q_stats_distinct")) +
+      ("q_pipeline_mixture" -> base("q_sample_mixture")) +
+      ("q_pipeline_split_safe" -> base("q_sample_split_safe")) +
+      ("q_pipeline_scd2" -> base("q_events_scd2")) +
+      ("q_pipeline_melt" -> base("q_reshape_melt")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))

@@ -114,10 +114,17 @@ object Curation {
     * one ranked shuffle keyed by domain. */
   def resampleToMixture(df: DataFrame, domainCol: String,
                         targetWeights: Map[String, Double],
-                        keyCols: Seq[String]): DataFrame =
+                        keyCols: Seq[String]): DataFrame = {
+    require(targetWeights.nonEmpty, "targetWeights must be non-empty")
+    // count only the REQUESTED domains: the driver dictionary is then
+    // bounded by |targetWeights| regardless of how many distinct
+    // domains the corpus holds (unrequested domains are dropped by
+    // the mix anyway, so their counts were dead weight)
     resampleWithCounts(df, domainCol, targetWeights,
-      df.groupBy(col(domainCol)).count().collect()
+      df.filter(col(domainCol).isin(targetWeights.keys.toSeq: _*))
+        .groupBy(col(domainCol)).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap, keyCols)
+  }
 
   /** [[resampleToMixture]] with the per-domain counts already in hand —
     * lets [[resampleByTemperature]] derive its weights from the SAME
@@ -158,10 +165,24 @@ object Curation {
     * rounded under IEEE-754 in every engine, while a general pow may
     * differ in the last ulp across math libraries. */
   def resampleByTemperature(df: DataFrame, domainCol: String, alpha: Double,
-                            keyCols: Seq[String]): DataFrame = {
+                            keyCols: Seq[String],
+                            maxDomains: Int = 100000): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val counts = df.groupBy(col(domainCol)).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(maxDomains > 0, "maxDomains must be positive")
+    // temperature weights need EVERY domain's count, so the driver
+    // dictionary is only bounded if the domain cardinality is — fail
+    // loudly past the cap (the welchTTest-guard discipline) instead
+    // of silently OOMing the driver on a high-cardinality column;
+    // limit(cap+1) bounds the collect itself, not just the check
+    val rows = df.groupBy(col(domainCol)).count()
+      .limit(maxDomains + 1).collect()
+    require(rows.length <= maxDomains,
+      s"resampleByTemperature: more than $maxDomains distinct " +
+        s"'$domainCol' values — the per-domain count dictionary " +
+        "must stay bounded driver metadata; contract the domain " +
+        "first (e.g. registeredDomain) or raise maxDomains " +
+        "deliberately")
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     if (counts.isEmpty) return df
     // alpha = 0.5 dispatches to sqrt, not pow: Math.sqrt is correctly
     // rounded (the exactness the oracle relies on) while Math.pow is

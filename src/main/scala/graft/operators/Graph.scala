@@ -774,13 +774,17 @@ object Graph {
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     (0 until iters).foreach { _ =>
-      val votes = und
+      // (count DESC, label ASC) as ONE argmax aggregate: max_by over
+      // the (cnt, -label) struct — two keyed exchanges per round
+      // where the votes-join-max-filter form paid three plus a join
+      // (the ordering struct is tie-free: label is a group key of
+      // the vote count, so the pick is deterministic)
+      labels = und
         .join(labels.withColumnRenamed("node", "b"), Seq("b"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
-      val best = votes.groupBy(col("a")).agg(max(col("cnt")).as("mx"))
-      labels = votes.join(best, Seq("a"))
-        .filter(col("cnt") === col("mx"))
-        .groupBy(col("a")).agg(min(col("label")).as("label"))
+        .groupBy(col("a"))
+        .agg(max_by(col("label"),
+          struct(col("cnt"), (-col("label")).as("neg"))).as("label"))
         .select(col("a").as("node"), col("label"))
         .truncateLineage(false)
     }
@@ -816,7 +820,9 @@ object Graph {
   def hostGraph(links: DataFrame, srcCol: String, dstUrlCol: String,
                 pageIdCol: String = "doc_id",
                 srcIsUrl: Boolean = true,
-                toDomain: Boolean = false): DataFrame = {
+                toDomain: Boolean = false,
+                suffixRules: Option[org.apache.spark.sql.graftext
+                  .PslRules] = None): DataFrame = {
     // staged selects, not one projection: the AUTHORITY extract (the
     // expensive regex) materializes behind its own boundary, so the
     // finishing rules read a computed column instead of re-running
@@ -854,11 +860,21 @@ object Graph {
     // splits reference the host many times, and inlined they would
     // re-run the whole host extraction per reference (the pushdown
     // lesson above, projection-side)
+    // `suffixRules` swaps the compact PSL subset for a FULL loaded
+    // suffix list (wildcards, exceptions, private domains — the
+    // PslDomain hash-walk expression) without changing the plan
+    // shape; edge conventions match, so only listed-suffix hosts
+    // pool differently
+    def dom(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      suffixRules match {
+      case Some(r) => org.apache.spark.sql.graftext.PslDomain(c, r)
+      case None => UrlOps.registeredDomain(c)
+    }
     val keyed =
       if (!toDomain) hosted
       else hosted.select(
-        UrlOps.registeredDomain(col("src_host")).as("src_host"),
-        UrlOps.registeredDomain(col("dst_host")).as("dst_host"),
+        dom(col("src_host")).as("src_host"),
+        dom(col("dst_host")).as("dst_host"),
         col("__page"))
     keyed
       .groupBy(col("src_host"), col("dst_host"))

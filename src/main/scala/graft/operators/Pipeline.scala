@@ -103,6 +103,29 @@ object Pipeline {
           fail(s"param '$name' must be a number list, got $other")
       }
 
+    def long(name: String, default: Option[Long] = None): Long =
+      get(name, default) match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => fail(s"param '$name' must be an integer, got $other")
+      }
+
+    /** `{key: number}` object → Map — the mixture-weights shape. */
+    def numMap(name: String): Map[String, Double] =
+      get(name, None) match {
+        case m: Map[_, _] if m.nonEmpty &&
+          m.keys.forall(_.isInstanceOf[String]) &&
+          m.values.forall(v => v.isInstanceOf[Double] ||
+            v.isInstanceOf[Long] || v.isInstanceOf[Int]) =>
+          m.map { case (k, v) => k.asInstanceOf[String] -> (v match {
+            case d: Double => d
+            case l: Long => l.toDouble
+            case i: Int => i.toDouble
+          }) }
+        case other => fail(s"param '$name' must be a non-empty " +
+          s"object of {name: number}, got $other")
+      }
+
     /** `[[name, parts], ...]` pairs — ordered, as split assignment
       * depends on order. */
     def weights(name: String): Seq[(String, Long)] =
@@ -218,6 +241,141 @@ object Pipeline {
         df => Curation.sampleByHashThreshold(df, f, keys)
       }),
 
+    // ---- the data-recipe sampling family as config: every mixing,
+    // splitting, capping, and budget step a training-data recipe
+    // starts from, each delegating to its oracled Curation twin.
+    // Frames beyond the one in flight arrive by path (the
+    // referential_orphans / psi_drift convention) ----
+
+    "stratified_sample" -> OpSpec(
+      Set("strata_cols", "fraction", "key_cols"), Set(),
+      p => {
+        val strata = p.strs("strata_cols")
+        val (f, keys) = (p.dbl("fraction"), p.strs("key_cols"))
+        df => Curation.stratifiedSample(df, strata, f, keys)
+      }),
+
+    "resample_to_mixture" -> OpSpec(
+      Set("domain_col", "weights", "key_cols"), Set(),
+      p => {
+        val d = p.str("domain_col")
+        val (w, keys) = (p.numMap("weights"), p.strs("key_cols"))
+        df => Curation.resampleToMixture(df, d, w, keys)
+      }),
+
+    "resample_by_temperature" -> OpSpec(
+      Set("domain_col", "alpha", "key_cols"), Set("max_domains"),
+      p => {
+        val d = p.str("domain_col")
+        val (a, keys) = (p.dbl("alpha"), p.strs("key_cols"))
+        val cap = p.int("max_domains", Some(100000))
+        df => Curation.resampleByTemperature(df, d, a, keys, cap)
+      }),
+
+    // weight is a SQL expression over the row (quality proxies etc.);
+    // stream-safe — the keep decision is a row-local hash filter
+    "weighted_sample" -> OpSpec(Set("weight", "key_cols"), Set(),
+      p => {
+        val w = parseEagerly(p.str("weight"))
+        val keys = p.strs("key_cols")
+        df => Curation.sampleByWeightedHash(df, w, keys)
+      }),
+
+    "sample_weighted_top_k" -> OpSpec(
+      Set("weight", "k", "key_cols"), Set(),
+      p => {
+        val w = parseEagerly(p.str("weight"))
+        val (k, keys) = (p.int("k"), p.strs("key_cols"))
+        df => Curation.sampleWeightedTopK(df, w, k, keys)
+      }),
+
+    "cap_per_group" -> OpSpec(Set("group_cols", "n", "key_cols"),
+      Set(),
+      p => {
+        val g = p.strs("group_cols")
+        val (n, keys) = (p.int("n"), p.strs("key_cols"))
+        df => Curation.capPerGroup(df, g, n, keys)
+      }),
+
+    // leakage-safe split: the near-dup pair table (any dedup-family
+    // output) is named by path; clusters assign splits as a unit
+    "split_by_cluster" -> OpSpec(
+      Set("id_col", "pairs_path", "weights"), Set(),
+      p => {
+        val (id, path) = (p.str("id_col"), p.str("pairs_path"))
+        val w = p.weights("weights")
+        df => Curation.splitByCluster(df, id,
+          df.sparkSession.read.parquet(path), w)
+      }),
+
+    "select_by_token_budget" -> OpSpec(
+      Set("budget_tokens", "domain_cols", "quality", "id_col",
+        "tokens"), Set(),
+      p => {
+        val b = p.long("budget_tokens")
+        val d = p.strs("domain_cols")
+        val q = parseEagerly(p.str("quality"))
+        val (id, tk) = (p.str("id_col"), parseEagerly(p.str("tokens")))
+        df => Curation.selectByTokenBudget(df, b, d, q, id, tk)
+      }),
+
+    "filter_by_quantile" -> OpSpec(Set("score", "q"), Set("exact"),
+      p => {
+        val sc = parseEagerly(p.str("score"))
+        val (q, exact) = (p.dbl("q"), p.bool("exact", Some(true)))
+        df => Curation.filterByQuantile(df, sc, q, exact)
+      }),
+
+    "bucket_by_quantile" -> OpSpec(Set("score"),
+      Set("cuts", "labels", "bucket_col"),
+      p => {
+        val sc = parseEagerly(p.str("score"))
+        val cuts = p.dbls("cuts", Some(Seq(1.0 / 3.0, 2.0 / 3.0)))
+        val labels = p.strs("labels",
+          Some(Seq("tail", "middle", "head")))
+        val bc = p.str("bucket_col", Some("bucket"))
+        df => Curation.bucketByQuantile(df, sc, cuts, labels, bc)
+      }),
+
+    "soft_dedup_sample" -> OpSpec(Set("clusters_path"), Set("id_col"),
+      p => {
+        val path = p.str("clusters_path")
+        val id = p.str("id_col", Some("doc_id"))
+        df => Curation.softDedupSample(df,
+          df.sparkSession.read.parquet(path), id)
+      }),
+
+    "contamination_flags" -> OpSpec(
+      Set("benchmark_path", "id_col", "text_col"),
+      Set("n", "min_shared"),
+      p => {
+        val path = p.str("benchmark_path")
+        val (id, text) = (p.str("id_col"), p.str("text_col"))
+        val (n, ms) = (p.int("n", Some(3)), p.int("min_shared", Some(5)))
+        df => Curation.contaminationFlags(df,
+          df.sparkSession.read.parquet(path), id, text, n, ms)
+      }),
+
+    "importance_weights" -> OpSpec(
+      Set("target_path", "id_col", "text_col"), Set("buckets", "k"),
+      p => {
+        val path = p.str("target_path")
+        val (id, text) = (p.str("id_col"), p.str("text_col"))
+        val (b, k) = (p.int("buckets", Some(4096)),
+          p.dbl("k", Some(0.5)))
+        df => Curation.importanceWeights(df,
+          df.sparkSession.read.parquet(path), id, text, b, k)
+      }),
+
+    "pack_sequences" -> OpSpec(
+      Set("budget_tokens", "shard_cols", "id_col", "text_col"), Set(),
+      p => {
+        val b = p.long("budget_tokens")
+        val sc = p.strs("shard_cols")
+        val (id, text) = (p.str("id_col"), p.str("text_col"))
+        df => Curation.packSequences(df, b, sc, id, text)
+      }),
+
     "chunk_by_tokens" -> OpSpec(Set(),
       Set("id_col", "text_col", "max_tokens", "overlap"),
       p => {
@@ -291,6 +449,182 @@ object Pipeline {
         df => Events.funnel(df, steps, win, user, ts, tpe)
       }),
 
+    // ---- reshape steps: wide<->long and multi-level aggregates ----
+
+    "melt" -> OpSpec(Set("id_cols", "value_cols"),
+      Set("var_name", "val_name"),
+      p => {
+        val (ids, vals) = (p.strs("id_cols"), p.strs("value_cols"))
+        val vn = p.str("var_name", Some("variable"))
+        val vv = p.str("val_name", Some("value"))
+        df => Reshape.melt(df, ids, vals, vn, vv)
+      }),
+
+    // agg is a SQL aggregate expression; values pins the output
+    // columns (the reproducible form — without it the distinct scan
+    // is bounded by max_values and fails loudly past it)
+    "pivot_agg" -> OpSpec(Set("group_cols", "pivot_col", "agg"),
+      Set("values", "max_values"),
+      p => {
+        val g = p.strs("group_cols")
+        val pc = p.str("pivot_col")
+        val agg = parseEagerly(p.str("agg"))
+        val vals = p.strs("values", Some(Nil))
+        val mx = p.int("max_values", Some(1000))
+        df => Reshape.pivotAgg(df, g, pc, agg, vals, mx)
+      }),
+
+    // multi-level aggregates: aggs are SQL aggregate expressions
+    // (alias in the expression — `sum(x) AS sum_x`); one Expand-based
+    // pass covers every grouping level
+    "cube" -> OpSpec(Set("group_cols", "aggs"), Set(),
+      p => {
+        val g = p.strs("group_cols")
+        val aggs = p.strs("aggs").map(parseEagerly)
+        require(aggs.nonEmpty, "pipeline op 'cube': aggs is empty")
+        df => df.cube(g.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }),
+
+    "rollup" -> OpSpec(Set("group_cols", "aggs"), Set(),
+      p => {
+        val g = p.strs("group_cols")
+        val aggs = p.strs("aggs").map(parseEagerly)
+        require(aggs.nonEmpty, "pipeline op 'rollup': aggs is empty")
+        df => df.rollup(g.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }),
+
+    // snapshot diff: the frame in flight is the NEW snapshot, the
+    // old one is named by path (the drift-step convention)
+    "snapshot_diff" -> OpSpec(
+      Set("old_path", "key_cols", "compare_cols"), Set(),
+      p => {
+        val path = p.str("old_path")
+        val keys = p.strs("key_cols")
+        val cmp = p.strs("compare_cols")
+        df => graft.sources.Layout.snapshotDiff(
+          df.sparkSession.read.parquet(path), df, keys, cmp)
+      }),
+
+    // ---- the rest of the events family as config: the frame in
+    // flight is the event log, column names default to the events
+    // table's (user_id, ts, event_id, event_type, value) ----
+
+    "retention_cohorts" -> OpSpec(Set(),
+      Set("period_seconds", "user_col", "ts_col"),
+      p => {
+        val per = p.long("period_seconds", Some(7L * 86400L))
+        val u = p.str("user_col", Some("user_id"))
+        val ts = p.str("ts_col", Some("ts"))
+        df => Events.retentionCohorts(df, u, ts, per)
+      }),
+
+    "attribution" -> OpSpec(
+      Set("conversion_type", "lookback_seconds"),
+      Set("model", "user_col", "type_col", "ts_col", "id_col"),
+      p => {
+        val conv = p.str("conversion_type")
+        val look = p.long("lookback_seconds")
+        val model = p.str("model", Some("last_touch"))
+        val u = p.str("user_col", Some("user_id"))
+        val tp = p.str("type_col", Some("event_type"))
+        val ts = p.str("ts_col", Some("ts"))
+        val id = p.str("id_col", Some("event_id"))
+        df => Events.attributeConversions(df, conv, look, model,
+          u, tp, ts, id)
+      }),
+
+    "scd2" -> OpSpec(Set("key_col", "attr_col"),
+      Set("ts_col", "tie_col"),
+      p => {
+        val (k, a) = (p.str("key_col"), p.str("attr_col"))
+        val ts = p.str("ts_col", Some("ts"))
+        val tie = p.str("tie_col", Some("event_id"))
+        df => Events.scd2(df, k, a, ts, tie)
+      }),
+
+    "gap_fill" -> OpSpec(Set(),
+      Set("period_seconds", "user_col", "ts_col", "value_col",
+        "id_col"),
+      p => {
+        val per = p.long("period_seconds", Some(21600L))
+        val u = p.str("user_col", Some("user_id"))
+        val ts = p.str("ts_col", Some("ts"))
+        val v = p.str("value_col", Some("value"))
+        val id = p.str("id_col", Some("event_id"))
+        df => Events.gapFill(df, per, u, ts, v, id)
+      }),
+
+    "rolling_anomalies" -> OpSpec(Set(),
+      Set("n_prior", "min_prior", "z_threshold", "user_col",
+        "ts_col", "value_col", "id_col"),
+      p => {
+        val n = p.int("n_prior", Some(20))
+        val m = p.int("min_prior", Some(8))
+        val z = p.dbl("z_threshold", Some(3.0))
+        val u = p.str("user_col", Some("user_id"))
+        val ts = p.str("ts_col", Some("ts"))
+        val v = p.str("value_col", Some("value"))
+        val id = p.str("id_col", Some("event_id"))
+        df => Events.rollingAnomalies(df, n, m, z, u, ts, v, id)
+      }),
+
+    "transition_matrix" -> OpSpec(Set(),
+      Set("user_col", "type_col", "ts_col", "id_col"),
+      p => {
+        val u = p.str("user_col", Some("user_id"))
+        val tp = p.str("type_col", Some("event_type"))
+        val ts = p.str("ts_col", Some("ts"))
+        val id = p.str("id_col", Some("event_id"))
+        df => Events.transitionMatrix(df, u, tp, ts, id)
+      }),
+
+    "decayed_activity" -> OpSpec(Set(),
+      Set("max_events", "decay", "user_col", "value_col", "ts_col",
+        "id_col"),
+      p => {
+        val n = p.int("max_events", Some(8))
+        val d = p.dbl("decay", Some(0.5))
+        val u = p.str("user_col", Some("user_id"))
+        val v = p.str("value_col", Some("value"))
+        val ts = p.str("ts_col", Some("ts"))
+        val id = p.str("id_col", Some("event_id"))
+        df => Events.decayedActivity(df, n, d, u, v, ts, id)
+      }),
+
+    "inter_arrival_stats" -> OpSpec(Set(),
+      Set("user_col", "ts_col", "id_col"),
+      p => {
+        val u = p.str("user_col", Some("user_id"))
+        val ts = p.str("ts_col", Some("ts"))
+        val id = p.str("id_col", Some("event_id"))
+        df => Events.interArrivalStats(df, u, ts, id)
+      }),
+
+    "seasonal_baseline" -> OpSpec(Set(),
+      Set("key_col", "value_col", "ts_col", "id_col", "k",
+        "min_obs"),
+      p => {
+        val kc = p.str("key_col", Some("event_type"))
+        val v = p.str("value_col", Some("value"))
+        val ts = p.str("ts_col", Some("ts"))
+        val id = p.str("id_col", Some("event_id"))
+        val k = p.dbl("k", Some(3.0))
+        val mo = p.long("min_obs", Some(30L))
+        df => Events.seasonalBaseline(df, kc, v, ts, id, k, mo)
+      }),
+
+    "top_paths" -> OpSpec(Set(),
+      Set("k", "top_n", "user_col", "type_col", "ts_col", "id_col"),
+      p => {
+        val k = p.int("k", Some(3))
+        val n = p.int("top_n", Some(20))
+        val u = p.str("user_col", Some("user_id"))
+        val tp = p.str("type_col", Some("event_type"))
+        val ts = p.str("ts_col", Some("ts"))
+        val id = p.str("id_col", Some("event_id"))
+        df => Events.topPaths(df, k, n, u, tp, ts, id)
+      }),
+
     // graph steps: the frame in flight is the edge list
     "pagerank" -> OpSpec(Set("src_col", "dst_col"),
       Set("iters", "damping"),
@@ -323,15 +657,24 @@ object Pipeline {
 
     // page-level links -> host graph, the contraction that makes the
     // iterative graph steps above fit a web-scale crawl
+    // psl_path loads a FULL public-suffix list (publicsuffix.org
+    // format; wildcards, exceptions, private domains) at
+    // config-compile time — the driver-bounded artifact the domain
+    // contraction then applies per row; without it the compact
+    // built-in subset keeps existing configs byte-stable
     "host_graph" -> OpSpec(Set("src_col", "dst_url_col"),
-      Set("page_id_col", "src_is_url", "to_domain"),
+      Set("page_id_col", "src_is_url", "to_domain", "psl_path"),
       p => {
         val src = p.str("src_col")
         val dst = p.str("dst_url_col")
         val page = p.str("page_id_col", Some("doc_id"))
         val isUrl = p.bool("src_is_url", Some(true))
         val toDomain = p.bool("to_domain", Some(false))
-        df => Graph.hostGraph(df, src, dst, page, isUrl, toDomain)
+        val pslPath =
+          if (p.has("psl_path")) Some(p.str("psl_path")) else None
+        df => Graph.hostGraph(df, src, dst, page, isUrl, toDomain,
+          pslPath.map(org.apache.spark.sql.graftext.PslRules
+            .load(df.sparkSession, _)))
       }),
 
     // ---- table-health / governance steps: the stats gates a
@@ -767,6 +1110,62 @@ object Pipeline {
           df, src, dst, page, ts, win, wm, isUrl)
       }),
 
+    // stateful gap-sessionization for streams: the
+    // flatMapGroupsWithState operator behind the config surface —
+    // sessions close on the gap rule or the watermark timeout, and
+    // numbering matches batch sessionize (parity spec-pinned).
+    // Input frame needs (user_id, ts, event_id), the SessionEvent
+    // shape; extra columns are dropped by the typed view
+    "sessionize_watermarked" -> OpSpec(
+      Set("watermark_delay", "gap_seconds"),
+      Set("idle_retention_seconds"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val gap = p.long("gap_seconds")
+        val idle =
+          if (p.has("idle_retention_seconds"))
+            Some(p.long("idle_retention_seconds"))
+          else None
+        df => {
+          val ss = df.sparkSession
+          import ss.implicits._
+          graft.streaming.StreamOps.sessionizeStream(
+            df.withWatermark("ts", wm)
+              .select(col("user_id").cast("long").as("user_id"),
+                col("event_id").cast("long").as("event_id"),
+                col("ts"))
+              .as[graft.streaming.StreamOps.SessionEvent],
+            gap, idle).toDF()
+        }
+      }),
+
+    // per-closed-window smoothed KL drift against a persisted
+    // reference (named by path, the drift-step convention) — the
+    // live companion of the batch kl_divergence step. Input frame
+    // needs (ts, <category_col>), the DriftEvent shape
+    "kl_drift_watermarked" -> OpSpec(
+      Set("watermark_delay", "reference_path"),
+      Set("ref_cat_col", "window_seconds", "smooth_k",
+        "category_col"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val refPath = p.str("reference_path")
+        val refCat = p.str("ref_cat_col", Some("category"))
+        val winS = p.long("window_seconds", Some(3600L))
+        val k = p.dbl("smooth_k", Some(0.5))
+        val cat = p.str("category_col", Some("category"))
+        df => {
+          val ss = df.sparkSession
+          import ss.implicits._
+          graft.streaming.StreamOps.klDriftStream(
+            df.withWatermark("ts", wm)
+              .select(col("ts"),
+                col(cat).cast("string").as("category"))
+              .as[graft.streaming.StreamOps.DriftEvent],
+            ss.read.parquet(refPath), refCat, winS, k).toDF()
+        }
+      }),
+
     // ---- multimodal steps: the asset pipeline's config surface ----
 
     // wrap a payload column as the (id, content, meta) asset table —
@@ -1192,6 +1591,35 @@ object Pipeline {
       Seq("path", "cols", "shard_cols"), Seq("b"),
       (df, p) => Stats.writeCardinalityShards(df, p.str("path"),
         p.strs("cols"), p.strs("shard_cols"), p.int("b", Some(12))))),
+    // layout sinks: write-time clustering / point-lookup filters /
+    // CDC bucketing — the parquet-layout decisions that bound scan
+    // cost at 100 TB, now expressible per recipe
+    "zorder_write" -> ((Seq("path", "z_cols", "num_files"),
+      Seq("bits"),
+      (df, p) => graft.sources.Layout.zOrderWrite(df,
+        p.strs("z_cols"), p.str("path"), p.int("num_files"),
+        p.int("bits", Some(16))))),
+    "bloom_filtered_write" -> ((Seq("path", "bloom_cols"),
+      Seq("ndv", "fpp"),
+      (df, p) => graft.sources.Layout.bloomFilteredWrite(df,
+        p.strs("bloom_cols"), p.str("path"),
+        p.long("ndv", Some(100000L)), p.dbl("fpp", Some(0.01))))),
+    "write_bucketed_snapshot" -> ((
+      Seq("path", "key_cols", "n_buckets"), Seq(),
+      (df, p) => graft.sources.Layout.writeBucketedSnapshot(df,
+        p.str("path"), p.strs("key_cols"), p.int("n_buckets")))),
+    // directory maintenance as the job's sink: compaction re-lists
+    // and rewrites the directory itself (the OPTIMIZE role) — the
+    // in-flight frame is NOT what is written; the conventional job
+    // reads the same path so the source step validates readability
+    // before the swap
+    "compact_files" -> ((Seq("path"), Seq("target_bytes", "sort_col"),
+      (df, p) => {
+        graft.sources.Layout.compact(df.sparkSession, p.str("path"),
+          p.long("target_bytes", Some(128L << 20)),
+          if (p.has("sort_col")) Some(p.str("sort_col")) else None)
+        ()
+      })),
     // incremental index maintenance from config: fold the in-flight
     // frame (the day's delta) into a persisted write_search_index
     // artifact WITHOUT re-tokenizing the old corpus — merged index ==
@@ -1544,6 +1972,7 @@ object Pipeline {
     "filter", "with_column", "select", "token_count",
     "dup_ngram_fraction", "normalize_text", "c4_clean", "scrub_pii",
     "gopher_quality_flags", "chunk_by_tokens", "sample_fraction",
+    "weighted_sample", // row-local hash filter, like sample_fraction
     "split_by_hash", "bpe_tokenize_stored", "score_logistic_stored",
     "pieces_tokenize_stored", "unigram_tokenize_stored",
     "windowed_stats_watermarked", "code_line_stats",
@@ -1552,7 +1981,8 @@ object Pipeline {
     "gopher_repetition_flags", "compression_ratio",
     // stateful entries that carry their own watermark in the config
     "windowed_quantiles_watermarked", "trending_tokens_watermarked",
-    "host_graph_windowed",
+    "host_graph_windowed", "sessionize_watermarked",
+    "kl_drift_watermarked",
     // per-row multimodal plumbing
     "as_assets", "decode_features",
     // data contracts: a schema check and a stateless assert filter
@@ -1578,6 +2008,7 @@ object Pipeline {
       val exprParam = s.op match {
         case "filter" => Some("condition")
         case "with_column" => Some("expr")
+        case "weighted_sample" => Some("weight")
         case _ => None
       }
       exprParam.foreach(k => s.params.get(k).foreach {

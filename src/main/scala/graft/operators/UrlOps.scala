@@ -123,6 +123,20 @@ object UrlOps {
           last3).otherwise(last2)))
   }
 
+  /** eTLD+1 under a FULL public-suffix list (the production
+    * companion to [[registeredDomain]]'s compact subset): pass a
+    * compiled [[org.apache.spark.sql.graftext.PslRules]] table —
+    * `PslRules.load(spark, path)` for a publicsuffix.org-format file
+    * (wildcards, exceptions, and private-domain entries like
+    * `github.io` all honored) or `PslRules.parse(lines)` for an
+    * inline list. One hash-walk per row, codegen'd; unmatched-host
+    * edge behavior (single label, all-digit tail, no rule → last
+    * two labels) matches the compact subset exactly, so swapping
+    * lists only moves hosts a listed suffix actually governs. */
+  def registeredDomainPsl(host: Column,
+      rules: org.apache.spark.sql.graftext.PslRules): Column =
+    org.apache.spark.sql.graftext.PslDomain(host, rules)
+
   /** The canonical form as a Column (null for unparseable values) —
     * the registry-friendly shape, like `Normalize.normalizeColumn`. */
   def canonicalColumn(url: Column, stripWww: Boolean = true): Column = {

@@ -97,6 +97,19 @@ class ExamplesSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("examples/training_mix.json assembles a mixture end to end") {
+    val out = Pipeline.runJson(spark,
+      read("training_mix.json").replace("__TESTDATA__", dir))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang", "source", "split"))
+    assert(out.count() > 0)
+    // the mixture dropped unrequested domains and the cap held
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.keySet.subsetOf(Set("src0", "src1", "src2")))
+    assert(bySource.values.forall(_ <= 200))
+  }
+
   test("examples/asset_features.json decodes features end to end") {
     val out = Pipeline.runJson(spark,
       read("asset_features.json").replace("__TESTDATA__", dir))

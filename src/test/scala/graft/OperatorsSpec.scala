@@ -5231,6 +5231,78 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == canon.head)
   }
 
+  test("registeredDomainPsl: the full PSL algorithm — longest-match " +
+       "normals, private-domain entries, wildcards, exceptions, and " +
+       "the implicit-* default; compact-subset edge conventions hold") {
+    import org.apache.spark.sql.graftext.PslRules
+    val s = spark
+    import s.implicits._
+    val rules = PslRules.parse(Seq(
+      "// comment lines and blanks are skipped", "",
+      "com", "uk", "co.uk", "pl", "com.pl",
+      "io", "github.io", // private-domain entry (PSL PRIVATE section)
+      "blogspot.com",
+      "ck", "*.ck", "!www.ck",
+      "jp", "*.kawasaki.jp", "!city.kawasaki.jp"))
+    // exercise BOTH eval paths: interpreted (local relation) and
+    // codegen (parquet-backed scan)
+    val hosts = Seq("a.co.uk", "www.x.co.uk", "b.com.pl",
+      "x.github.io", "pages.x.github.io", "me.blogspot.com",
+      "a.other.ck", "b.ck", "a.www.ck",
+      "x.city.kawasaki.jp", "x.sub.kawasaki.jp",
+      "unknown.tld.zzz", "localhost", "127.0.0.1")
+    val expected = Map(
+      "a.co.uk" -> "a.co.uk",             // multi-label normal
+      "www.x.co.uk" -> "x.co.uk",
+      "b.com.pl" -> "b.com.pl",
+      "x.github.io" -> "x.github.io",     // private entry beats io
+      "pages.x.github.io" -> "x.github.io",
+      "me.blogspot.com" -> "me.blogspot.com",
+      "a.other.ck" -> "a.other.ck",       // wildcard *.ck
+      "b.ck" -> "b.ck",                   // host IS a public suffix
+      "a.www.ck" -> "www.ck",             // exception beats wildcard
+      "x.city.kawasaki.jp" -> "city.kawasaki.jp",
+      "x.sub.kawasaki.jp" -> "x.sub.kawasaki.jp",
+      "unknown.tld.zzz" -> "tld.zzz",     // implicit * default
+      "localhost" -> "localhost",         // single label
+      "127.0.0.1" -> "127.0.0.1")         // all-digit tail
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val got = df.select(col("h"),
+          UrlOps.registeredDomainPsl(col("h"), rules).as("d"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == expected)
+    }
+    val local = hosts.map(Tuple1(_)).toDF("h")
+    check(local)
+    val pq = java.nio.file.Files
+      .createTempDirectory("graft-psl").toString + "/hosts"
+    local.write.parquet(pq)
+    check(spark.read.parquet(pq))
+    // null host stays null
+    assert(Seq(Option.empty[String]).toDF("h")
+      .select(UrlOps.registeredDomainPsl(col("h"), rules))
+      .head.isNullAt(0))
+    // the compact subset, loaded AS a rule list, reproduces
+    // registeredDomain on multi-label-suffix and default hosts alike
+    val compactRules = PslRules.parse(UrlOps.MultiLabelSuffixes)
+    val both = Seq("a.co.uk", "x.com.au", "deep.b.co.jp", "plain.com",
+      "one.two.three.org").map(Tuple1(_)).toDF("h")
+      .select(UrlOps.registeredDomain(col("h")).as("compact"),
+        UrlOps.registeredDomainPsl(col("h"), compactRules).as("full"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // malformed rule rejects eagerly
+    assertThrows[IllegalArgumentException] {
+      PslRules.parse(Seq("foo.*.bar"))
+    }
+    // a PSL file round-trips through the Hadoop-FS loader
+    val f = java.nio.file.Files.createTempFile("graft-psl", ".dat")
+    java.nio.file.Files.write(f,
+      "// header\ncom\nco.uk\n".getBytes("UTF-8"))
+    val loaded = PslRules.load(spark, f.toString)
+    assert(loaded.registrableOf("a.b.co.uk") == "b.co.uk")
+  }
+
   // ---- MJPEG-AVI first-frame decode ----
 
   private def le32(v: Int): Array[Byte] =

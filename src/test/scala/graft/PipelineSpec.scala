@@ -787,7 +787,56 @@ class PipelineSpec extends AnyFunSuite {
       "expect_columns" -> Map[String, Any]("schema" -> "a BIGINT"),
       "expect_condition" -> Map[String, Any]("condition" -> "a > 0"),
       "pagerank_weighted" -> Map[String, Any]("src_col" -> "u",
-        "dst_col" -> "v", "weight_col" -> "w"))
+        "dst_col" -> "v", "weight_col" -> "w"),
+      "stratified_sample" -> Map[String, Any](
+        "strata_cols" -> Seq("a"), "fraction" -> 0.5,
+        "key_cols" -> Seq("k")),
+      "resample_to_mixture" -> Map[String, Any]("domain_col" -> "d",
+        "weights" -> Map[String, Any]("x" -> 1.0),
+        "key_cols" -> Seq("k")),
+      "resample_by_temperature" -> Map[String, Any](
+        "domain_col" -> "d", "alpha" -> 0.5, "key_cols" -> Seq("k")),
+      "weighted_sample" -> Map[String, Any]("weight" -> "1.0",
+        "key_cols" -> Seq("k")),
+      "sample_weighted_top_k" -> Map[String, Any]("weight" -> "1.0",
+        "k" -> 5L, "key_cols" -> Seq("k")),
+      "cap_per_group" -> Map[String, Any]("group_cols" -> Seq("g"),
+        "n" -> 5L, "key_cols" -> Seq("k")),
+      "split_by_cluster" -> Map[String, Any]("id_col" -> "id",
+        "pairs_path" -> "/tmp/x",
+        "weights" -> Seq(Seq("train", 1L))),
+      "select_by_token_budget" -> Map[String, Any](
+        "budget_tokens" -> 10L, "domain_cols" -> Seq("d"),
+        "quality" -> "1.0", "id_col" -> "id", "tokens" -> "1"),
+      "filter_by_quantile" -> Map[String, Any]("score" -> "1.0",
+        "q" -> 0.5),
+      "bucket_by_quantile" -> Map[String, Any]("score" -> "1.0"),
+      "soft_dedup_sample" -> Map[String, Any](
+        "clusters_path" -> "/tmp/x"),
+      "contamination_flags" -> Map[String, Any](
+        "benchmark_path" -> "/tmp/x", "id_col" -> "id",
+        "text_col" -> "t"),
+      "importance_weights" -> Map[String, Any](
+        "target_path" -> "/tmp/x", "id_col" -> "id",
+        "text_col" -> "t"),
+      "pack_sequences" -> Map[String, Any]("budget_tokens" -> 10L,
+        "shard_cols" -> Seq("s"), "id_col" -> "id",
+        "text_col" -> "t"),
+      "attribution" -> Map[String, Any](
+        "conversion_type" -> "purchase",
+        "lookback_seconds" -> 100L),
+      "scd2" -> Map[String, Any]("key_col" -> "k",
+        "attr_col" -> "a"),
+      "melt" -> Map[String, Any]("id_cols" -> Seq("a"),
+        "value_cols" -> Seq("b")),
+      "pivot_agg" -> Map[String, Any]("group_cols" -> Seq("g"),
+        "pivot_col" -> "p", "agg" -> "sum(v)"),
+      "cube" -> Map[String, Any]("group_cols" -> Seq("g"),
+        "aggs" -> Seq("count(1) AS n")),
+      "rollup" -> Map[String, Any]("group_cols" -> Seq("g"),
+        "aggs" -> Seq("count(1) AS n")),
+      "snapshot_diff" -> Map[String, Any]("old_path" -> "/tmp/x",
+        "key_cols" -> Seq("k"), "compare_cols" -> Seq("v")))
       .foreach { case (op, good) =>
         val unknown = intercept[IllegalArgumentException] {
           Pipeline.fromSteps(Seq(Step(op, good + ("bogus" -> "v"))))
@@ -800,7 +849,10 @@ class PipelineSpec extends AnyFunSuite {
         assert(missing.getMessage.contains("missing required"), op)
       }
     // all-optional steps: unknown keys still name themselves
-    Seq("mad_gate", "winsorize", "decode_features", "phash_dedup")
+    Seq("mad_gate", "winsorize", "decode_features", "phash_dedup",
+      "retention_cohorts", "gap_fill", "rolling_anomalies",
+      "transition_matrix", "decayed_activity", "inter_arrival_stats",
+      "seasonal_baseline", "top_paths")
       .foreach { op =>
         val e = intercept[IllegalArgumentException] {
           Pipeline.fromSteps(Seq(Step(op, Map("bogus" -> "v"))))
@@ -1087,6 +1139,272 @@ class PipelineSpec extends AnyFunSuite {
           "name" -> "nul_gate"))))(left).count()
     }
     assert(msgs2(nul).contains("nul_gate"))
+  }
+
+  test("sampling-family steps replay their hand-written twins: " +
+       "every config body equals the direct Curation call " +
+       "row-for-row") {
+    val d = docs.select("doc_id", "lang", "source", "n_chars", "text")
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def eq(step: Step, direct: org.apache.spark.sql.DataFrame,
+           in: org.apache.spark.sql.DataFrame = d): Unit = {
+      val got = Pipeline.fromSteps(Seq(step))(in)
+      assert(hrows(got) == hrows(direct) && direct.count() > 0, step.op)
+    }
+    eq(Step("stratified_sample",
+        Map("strata_cols" -> Seq("lang"), "fraction" -> 0.2,
+          "key_cols" -> Seq("doc_id"))),
+      Curation.stratifiedSample(d, Seq("lang"), 0.2, Seq("doc_id")))
+    eq(Step("resample_to_mixture",
+        Map("domain_col" -> "source",
+          "weights" -> Map[String, Any]("src0" -> 0.5, "src1" -> 0.3,
+            "src2" -> 0.2),
+          "key_cols" -> Seq("doc_id"))),
+      Curation.resampleToMixture(d, "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        Seq("doc_id")))
+    eq(Step("resample_by_temperature",
+        Map("domain_col" -> "source", "alpha" -> 0.5,
+          "key_cols" -> Seq("doc_id"))),
+      Curation.resampleByTemperature(d, "source", 0.5, Seq("doc_id")))
+    eq(Step("weighted_sample",
+        Map("weight" -> "least(n_chars / 400.0, 1.0)",
+          "key_cols" -> Seq("doc_id"))),
+      Curation.sampleByWeightedHash(d,
+        least(col("n_chars") / 400.0, lit(1.0)), Seq("doc_id")))
+    eq(Step("sample_weighted_top_k",
+        Map("weight" -> "cast(n_chars as double)", "k" -> 100L,
+          "key_cols" -> Seq("doc_id"))),
+      Curation.sampleWeightedTopK(d, col("n_chars").cast("double"),
+        100, Seq("doc_id")))
+    eq(Step("cap_per_group",
+        Map("group_cols" -> Seq("source"), "n" -> 50L,
+          "key_cols" -> Seq("doc_id"))),
+      Curation.capPerGroup(d, Seq("source"), 50, Seq("doc_id")))
+    eq(Step("select_by_token_budget",
+        Map("budget_tokens" -> 5000L, "domain_cols" -> Seq("source"),
+          "quality" -> "cast(n_chars as double)",
+          "id_col" -> "doc_id", "tokens" -> "n_chars")),
+      Curation.selectByTokenBudget(d, 5000L, Seq("source"),
+        col("n_chars").cast("double"), "doc_id", col("n_chars")))
+    eq(Step("filter_by_quantile",
+        Map("score" -> "cast(n_chars as double)", "q" -> 0.6)),
+      Curation.filterByQuantile(d, col("n_chars").cast("double"), 0.6))
+    eq(Step("bucket_by_quantile",
+        Map("score" -> "cast(n_chars as double)")),
+      Curation.bucketByQuantile(d, col("n_chars").cast("double")))
+    eq(Step("pack_sequences",
+        Map("budget_tokens" -> 2048L, "shard_cols" -> Seq("source"),
+          "id_col" -> "doc_id", "text_col" -> "text")),
+      Curation.packSequences(d, 2048L, Seq("source"), "doc_id",
+        "text"))
+    // the path-fed steps: pairs/clusters/benchmark/target tables are
+    // persisted and named by path, the psi_drift convention
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cfg-sample")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3,
+      numHashes = 64, bands = 32, threshold = 0.5)
+    val pairsPath = base.resolve("pairs").toString
+    pairs.write.parquet(pairsPath)
+    eq(Step("split_by_cluster",
+        Map("id_col" -> "doc_id", "pairs_path" -> pairsPath,
+          "weights" -> Seq(Seq("train", 90L), Seq("val", 5L),
+            Seq("test", 5L)))),
+      Curation.splitByCluster(d, "doc_id", pairs,
+        Seq("train" -> 90L, "val" -> 5L, "test" -> 5L)))
+    val clustersPath = base.resolve("clusters").toString
+    Dedup.nearDupClusters(pairs).write.parquet(clustersPath)
+    eq(Step("soft_dedup_sample",
+        Map("clusters_path" -> clustersPath)),
+      Curation.softDedupSample(
+        d.select("doc_id", "lang", "source"),
+        Dedup.nearDupClusters(pairs)),
+      in = d.select("doc_id", "lang", "source"))
+    val benchPath = base.resolve("bench").toString
+    docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+      .write.parquet(benchPath)
+    eq(Step("contamination_flags",
+        Map("benchmark_path" -> benchPath, "id_col" -> "doc_id",
+          "text_col" -> "text", "min_shared" -> 2L)),
+      Curation.contaminationFlags(d,
+        spark.read.parquet(benchPath), "doc_id", "text",
+        minShared = 2))
+    val targetPath = base.resolve("target").toString
+    docs.filter(col("source") === "src0").select("doc_id", "text")
+      .write.parquet(targetPath)
+    eq(Step("importance_weights",
+        Map("target_path" -> targetPath, "id_col" -> "doc_id",
+          "text_col" -> "text")),
+      Curation.importanceWeights(d,
+        spark.read.parquet(targetPath), "doc_id", "text"))
+  }
+
+  test("reshape/layout steps replay their hand-written twins: " +
+       "melt / pivot_agg / cube / rollup / snapshot_diff bodies " +
+       "equal the direct calls; layout sinks write real artifacts") {
+    import graft.operators.Reshape
+    val s = spark
+    import s.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val melted = Pipeline.fromSteps(Seq(Step("melt",
+      Map("id_cols" -> Seq("l_orderkey", "l_linenumber"),
+        "value_cols" -> Seq("l_quantity", "l_tax"),
+        "var_name" -> "measure", "val_name" -> "amount"))))(li)
+    assert(hrows(melted) == hrows(Reshape.melt(li,
+      Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_tax"),
+      "measure", "amount")) && melted.count() > 0)
+    val piv = Pipeline.fromSteps(Seq(Step("pivot_agg",
+      Map("group_cols" -> Seq("l_orderkey"),
+        "pivot_col" -> "l_returnflag", "agg" -> "sum(l_quantity)",
+        "values" -> Seq("A", "N", "R")))))(li)
+    assert(hrows(piv) == hrows(Reshape.pivotAgg(li, Seq("l_orderkey"),
+      "l_returnflag", expr("sum(l_quantity)"), Seq("A", "N", "R"))))
+    val cubed = Pipeline.fromSteps(Seq(Step("cube",
+      Map("group_cols" -> Seq("l_returnflag", "l_linestatus"),
+        "aggs" -> Seq("sum(l_quantity) AS sum_qty",
+          "count(1) AS n")))))(li)
+    assert(hrows(cubed) == hrows(
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("sum(l_quantity) AS sum_qty"),
+          expr("count(1) AS n"))))
+    val rolled = Pipeline.fromSteps(Seq(Step("rollup",
+      Map("group_cols" -> Seq("l_returnflag"),
+        "aggs" -> Seq("count(1) AS n")))))(li)
+    assert(hrows(rolled) == hrows(li.rollup(col("l_returnflag"))
+      .agg(expr("count(1) AS n"))))
+    // snapshot_diff: old side by path, new side in flight
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cfg-layout")
+    val oldPath = base.resolve("old").toString
+    val snapOld = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val snapNew = Seq((2L, "b2"), (3L, "c")).toDF("k", "v")
+    snapOld.write.parquet(oldPath)
+    val diffed = Pipeline.fromSteps(Seq(Step("snapshot_diff",
+      Map("old_path" -> oldPath, "key_cols" -> Seq("k"),
+        "compare_cols" -> Seq("v")))))(snapNew)
+    assert(hrows(diffed) == hrows(graft.sources.Layout.snapshotDiff(
+      snapOld, snapNew, Seq("k"), Seq("v"))))
+    // layout sinks run as complete jobs and leave real artifacts
+    val zPath = base.resolve("z").toString
+    Pipeline.runJobJson(spark,
+      s"""[
+         |  {"op": "read_table", "params": {"dir": "$dir",
+         |    "table": "lineitem"}},
+         |  {"op": "zorder_write",
+         |   "params": {"path": "$zPath",
+         |              "z_cols": ["l_partkey", "l_suppkey"],
+         |              "num_files": 4}}
+         |]""".stripMargin)
+    assert(spark.read.parquet(zPath).count() == li.count())
+    val bPath = base.resolve("bloom").toString
+    Pipeline.runJobJson(spark,
+      s"""[
+         |  {"op": "read_table", "params": {"dir": "$dir",
+         |    "table": "documents"}},
+         |  {"op": "bloom_filtered_write",
+         |   "params": {"path": "$bPath", "bloom_cols": ["doc_id"],
+         |              "ndv": 1000}}
+         |]""".stripMargin)
+    assert(spark.read.parquet(bPath).count() > 0)
+    val bkPath = base.resolve("bucketed").toString
+    Pipeline.runJobJson(spark,
+      s"""[
+         |  {"op": "read_parquet", "params": {"path": "$oldPath"}},
+         |  {"op": "write_bucketed_snapshot",
+         |   "params": {"path": "$bkPath", "key_cols": ["k"],
+         |              "n_buckets": 2}}
+         |]""".stripMargin)
+    assert(spark.read.parquet(bkPath).count() == 2)
+    // compact_files: scatter small files, compact via config job
+    val cPath = base.resolve("compact").toString
+    docs.repartition(16).write.parquet(cPath)
+    val before = new java.io.File(cPath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    Pipeline.runJobJson(spark,
+      s"""[
+         |  {"op": "read_parquet", "params": {"path": "$cPath"}},
+         |  {"op": "compact_files",
+         |   "params": {"path": "$cPath",
+         |              "target_bytes": ${512L << 20}}}
+         |]""".stripMargin)
+    val after = new java.io.File(cPath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 16 && after < before)
+    assert(spark.read.parquet(cPath).count() == docs.count())
+  }
+
+  test("events-family steps replay their hand-written twins: " +
+       "every config body equals the direct Events call row-for-row") {
+    import graft.operators.Events
+    val ev = graft.sources.Sources.table(spark, dir, "events")
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def eq(step: Step, direct: org.apache.spark.sql.DataFrame): Unit = {
+      val got = Pipeline.fromSteps(Seq(step))(ev)
+      assert(hrows(got) == hrows(direct) && direct.count() > 0, step.op)
+    }
+    eq(Step("retention_cohorts", Map("period_seconds" -> 86400L)),
+      Events.retentionCohorts(ev, periodSeconds = 86400L))
+    eq(Step("attribution",
+        Map("conversion_type" -> "purchase",
+          "lookback_seconds" -> 21600L, "model" -> "linear")),
+      Events.attributeConversions(ev, "purchase", 21600L, "linear"))
+    eq(Step("scd2",
+        Map("key_col" -> "user_id", "attr_col" -> "event_type")),
+      Events.scd2(ev, "user_id", "event_type"))
+    eq(Step("gap_fill", Map("period_seconds" -> 21600L)),
+      Events.gapFill(ev, 21600L))
+    eq(Step("rolling_anomalies", Map()),
+      Events.rollingAnomalies(ev))
+    eq(Step("transition_matrix", Map()), Events.transitionMatrix(ev))
+    eq(Step("decayed_activity", Map()), Events.decayedActivity(ev))
+    eq(Step("inter_arrival_stats", Map()),
+      Events.interArrivalStats(ev))
+    eq(Step("seasonal_baseline", Map()), Events.seasonalBaseline(ev))
+    eq(Step("top_paths", Map("k" -> 3L, "top_n" -> 20L)),
+      Events.topPaths(ev, 3, 20))
+  }
+
+  test("sampling-family step guards: malformed weights object, " +
+       "temperature domain-cap, and streaming admission of " +
+       "weighted_sample only with a deterministic weight") {
+    val s = spark
+    import s.implicits._
+    // weights must be a {name: number} object
+    val badW = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("resample_to_mixture",
+        Map("domain_col" -> "source", "weights" -> Seq("src0"),
+          "key_cols" -> Seq("doc_id")))))
+    }
+    assert(badW.getMessage.contains("weights"))
+    // the temperature step's distinct-domain cap fails LOUDLY
+    val capped = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("resample_by_temperature",
+        Map("domain_col" -> "lang", "alpha" -> 0.5,
+          "key_cols" -> Seq("doc_id"), "max_domains" -> 2L))))(
+        docs.select("doc_id", "lang")).count()
+    }
+    assert(capped.getMessage.contains("distinct") &&
+      capped.getMessage.contains("max"))
+    // weighted_sample is streamable — with a deterministic weight
+    Pipeline.fromStepsStreaming(Seq(Step("weighted_sample",
+      Map("weight" -> "least(n_chars / 400.0, 1.0)",
+        "key_cols" -> Seq("doc_id")))))
+    val nd = intercept[IllegalArgumentException] {
+      Pipeline.fromStepsStreaming(Seq(Step("weighted_sample",
+        Map("weight" -> "rand()", "key_cols" -> Seq("doc_id")))))
+    }
+    assert(nd.getMessage.contains("non-deterministic"))
+    // window/aggregate sampling steps stay batch-only by name
+    val ns = intercept[IllegalArgumentException] {
+      Pipeline.fromStepsStreaming(Seq(Step("cap_per_group",
+        Map("group_cols" -> Seq("source"), "n" -> 50L,
+          "key_cols" -> Seq("doc_id")))))
+    }
+    assert(ns.getMessage.contains("not streamable"))
   }
 
   test("host_graph step contracts a link frame through the " +

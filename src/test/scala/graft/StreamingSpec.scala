@@ -3284,4 +3284,85 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1, "burst", 4L), (2, "alpha", 1L), (3, "delta", 1L)))
     assert(got.size == 2)
   }
+
+  test("sessionize_watermarked: the stateful sessionization config " +
+       "step equals the direct sessionizeStream on the same feed") {
+    import graft.operators.Pipeline
+    import graft.streaming.StreamOps.{SessionEvent, SessionOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(u: Long, id: Long, ts: String) =
+      SessionEvent(u, id, Timestamp.valueOf(ts))
+    val feed = Seq(
+      Seq(ev(7, 1, "2024-01-01 00:00:00"), ev(7, 2, "2024-01-01 00:10:00")),
+      Seq(ev(7, 3, "2024-01-01 02:00:00"), ev(8, 4, "2024-01-01 02:05:00")),
+      Seq(ev(9, 9, "2024-01-01 20:00:00")),
+      Seq(ev(9, 10, "2024-01-02 09:00:00")))
+    def run(mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame, name: String) = {
+      val input = MemoryStream[SessionEvent]
+      val q = mk(input.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      feed.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      s.sql(s"select * from $name").as[SessionOut].collect().toSet
+    }
+    val cfg = Pipeline.fromJsonStreaming(
+      """[{"op": "sessionize_watermarked",
+        |  "params": {"watermark_delay": "0 seconds",
+        |             "gap_seconds": 1800}}]""".stripMargin)
+    val viaCfg = run(cfg, "cfg_sess")
+    val direct = run(df => graft.streaming.StreamOps.sessionizeStream(
+      df.withWatermark("ts", "0 seconds").as[SessionEvent],
+      1800L).toDF(), "direct_sess")
+    assert(viaCfg == direct && viaCfg.nonEmpty)
+    // batch-parity anchor: user 7's closed first session is right
+    assert(viaCfg.exists(o => o.user_id == 7 && o.n_events == 2))
+  }
+
+  test("kl_drift_watermarked: the stateful drift config step scores " +
+       "closed windows against the persisted reference exactly like " +
+       "the direct klDriftStream") {
+    import graft.operators.Pipeline
+    import graft.streaming.StreamOps.{DriftEvent, DriftOut}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val refPath = java.nio.file.Files
+      .createTempDirectory("graft-cfg-kl").toString + "/ref"
+    s.sql("""select * from values ('en'), ('en'), ('en'), ('de'),
+            |  ('fr') as t(category)""".stripMargin)
+      .write.parquet(refPath)
+    def ev(ts: String, c: String) = DriftEvent(Timestamp.valueOf(ts), c)
+    val feed = Seq(
+      Seq(ev("2024-01-01 00:05:00", "en"), ev("2024-01-01 00:20:00", "de"),
+        ev("2024-01-01 00:50:00", "en"), ev("2024-01-01 00:10:00", "fr")),
+      Seq(ev("2024-01-01 01:30:00", "de"), ev("2024-01-01 01:05:00", "de"),
+        ev("2024-01-01 01:55:00", "zz")),
+      Seq(ev("2024-01-01 12:00:00", "en")),
+      Seq(ev("2024-01-01 13:00:00", "en")))
+    def run(mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame, name: String) = {
+      val input = MemoryStream[DriftEvent]
+      val q = mk(input.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      feed.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      s.sql(s"select * from $name where window_start < " +
+          "timestamp '2024-01-01 02:00:00'")
+        .as[DriftOut].collect().toSet
+    }
+    val cfg = Pipeline.fromJsonStreaming(
+      s"""[{"op": "kl_drift_watermarked",
+         |  "params": {"watermark_delay": "30 minutes",
+         |             "reference_path": "$refPath",
+         |             "window_seconds": 3600}}]""".stripMargin)
+    val viaCfg = run(cfg, "cfg_kl")
+    val direct = run(df => graft.streaming.StreamOps.klDriftStream(
+      df.withWatermark("ts", "30 minutes").as[DriftEvent],
+      s.read.parquet(refPath), windowSeconds = 3600L).toDF(),
+      "direct_kl")
+    assert(viaCfg == direct && viaCfg.size == 2)
+  }
 }
