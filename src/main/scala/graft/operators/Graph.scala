@@ -762,6 +762,24 @@ object Graph {
     * nothing collected, lineage cut per round. Output: (node, label)
     * after `iters` rounds; labels are node ids (community = lowest
     * surviving seed in practice). */
+  /** One synchronous LPA round: (count DESC, label ASC) as ONE argmax
+    * aggregate — max_by over the (cnt, -label) struct — so a round is
+    * the votes join plus two keyed exchanges, where the
+    * votes-join-max-filter form paid three plus a second join (the
+    * ordering struct is tie-free: label is a group key of the vote
+    * count, so the pick is deterministic). Package-private and
+    * truncation-free so the plan-shape spec can inspect a round
+    * directly (truncateLineage erases it from the final plan). */
+  private[graft] def lpaRound(und: DataFrame,
+                              labels: DataFrame): DataFrame =
+    und
+      .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+      .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("a"))
+      .agg(max_by(col("label"),
+        struct(col("cnt"), (-col("label")).as("neg"))).as("label"))
+      .select(col("a").as("node"), col("label"))
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int = 3): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
@@ -774,19 +792,7 @@ object Graph {
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     (0 until iters).foreach { _ =>
-      // (count DESC, label ASC) as ONE argmax aggregate: max_by over
-      // the (cnt, -label) struct — two keyed exchanges per round
-      // where the votes-join-max-filter form paid three plus a join
-      // (the ordering struct is tie-free: label is a group key of
-      // the vote count, so the pick is deterministic)
-      labels = und
-        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
-        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("a"))
-        .agg(max_by(col("label"),
-          struct(col("cnt"), (-col("label")).as("neg"))).as("label"))
-        .select(col("a").as("node"), col("label"))
-        .truncateLineage(false)
+      labels = lpaRound(und, labels).truncateLineage(false)
     }
     labels
   }

@@ -20,6 +20,46 @@ object ScaleOpsSpec {
 class ScaleOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("labelPropagation plan shape: ONE join per round — the " +
+       "(count desc, label asc) argmax is a single max_by aggregate, " +
+       "not a votes-join-max-filter round trip") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("u", "v")
+    // one ROUND (the truncation-free body) plans exactly one join
+    // and two aggregates — the join-max-filter form planned two
+    // joins and three aggregates here
+    val und = edges.select(col("u").as("a"), col("v").as("b"))
+      .union(edges.select(col("v").as("a"), col("u").as("b")))
+      .distinct()
+    val labels0 = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val round = graft.operators.Graph.lpaRound(und, labels0)
+    val joins = round.queryExecution.optimizedPlan.collect {
+      case j: Join => j
+    }
+    assert(joins.size == 1,
+      s"expected 1 join per round, got ${joins.size}:\n" +
+        round.queryExecution.optimizedPlan)
+    val aggs = round.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.aggregateExpressions.toString.contains("cnt") ||
+          a.aggregateExpressions.toString.contains("max_by") => a
+    }
+    assert(aggs.size == 2,
+      s"expected the vote count + argmax aggregates only:\n" +
+        round.queryExecution.optimizedPlan)
+    // semantics anchor: the triangle resolves to its smallest id and
+    // the pendant node joins it (2 rounds suffice on this graph)
+    val labels = graft.operators.Graph
+      .labelPropagation(edges, "u", "v", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet.size == 1 ||
+      labels.values.forall(_ <= 2)) // sync LPA may oscillate 1<->2
+  }
+
   test("bucketed join on the bucket key plans without a shuffle exchange") {
     val dir = "/root/testdata/sf0.001"
     for (t <- Seq("li_bucketed", "ord_bucketed")) {
