@@ -4023,6 +4023,26 @@ $joins"""
            |              "val_name": "amount"}}
            |]""".stripMargin)),
 
+    // the audited job runner: per-step row counts ride the sink's own
+    // pass as CollectMetrics observations (zero extra scans) and the
+    // report IS the query result — counts independently recomputable
+    // by the oracle, so the audit itself is correctness-gated
+    "q_pipeline_audit" -> ((s, dir) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_audit_" + runTag(dir)).getPath
+      graft.operators.Pipeline.runJobJsonAudited(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "token_count",
+           |   "params": {"text_col": "text", "out_col": "n_tokens"}},
+           |  {"op": "filter",
+           |   "params": {"condition": "n_tokens >= 30"}},
+           |  {"op": "select", "params": {"cols": ["doc_id"]}},
+           |  {"op": "write_parquet", "params": {"path": "$out"}}
+           |]""".stripMargin)
+    }),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -7242,6 +7262,21 @@ $joins"""
            |FROM (
            |  SELECT *, $splitBucketSql AS b
            |  FROM gated)""".stripMargin,
+
+      // audit oracle: each step's row count recomputed independently
+      // (token_count mirrors as len(string_split), the house mapping)
+      "q_pipeline_audit" ->
+        """WITH t AS (
+          |  SELECT len(string_split(text, ' ')) AS n FROM documents)
+          |SELECT 0 AS step, 'read_table' AS op,
+          |       (SELECT count(*) FROM t)::BIGINT AS n_rows
+          |UNION ALL SELECT 1, 'token_count',
+          |       (SELECT count(*) FROM t)::BIGINT
+          |UNION ALL SELECT 2, 'filter',
+          |       (SELECT count(*) FROM t WHERE n >= 30)::BIGINT
+          |UNION ALL SELECT 3, 'select',
+          |       (SELECT count(*) FROM t WHERE n >= 30)::BIGINT"""
+          .stripMargin,
 
       // split oracle: same 48-bit hash prefix, same exact integer
       // scale-and-shift bucketing (>> 48), same cumulative parts

@@ -1166,6 +1166,32 @@ object Pipeline {
         }
       }),
 
+    // streaming SCD2: closed validity intervals emit as the
+    // watermark passes their end boundary — the live companion of
+    // the batch scd2 step (which also emits the OPEN tail row;
+    // streams can't, it isn't final). Input needs (key, tie, ts,
+    // attr) columns; key/tie must cast to long
+    "scd2_watermarked" -> OpSpec(
+      Set("watermark_delay", "key_col", "attr_col"),
+      Set("ts_col", "tie_col"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val (k, a) = (p.str("key_col"), p.str("attr_col"))
+        val ts = p.str("ts_col", Some("ts"))
+        val tie = p.str("tie_col", Some("event_id"))
+        df => {
+          val ss = df.sparkSession
+          import ss.implicits._
+          graft.streaming.StreamOps.scd2Stream(
+            df.select(col(k).cast("long").as("user_id"),
+                col(tie).cast("long").as("event_id"),
+                col(ts).as("ts"),
+                col(a).cast("string").as("value"))
+              .withWatermark("ts", wm)
+              .as[graft.streaming.StreamOps.Scd2Event]).toDF()
+        }
+      }),
+
     // ---- multimodal steps: the asset pipeline's config surface ----
 
     // wrap a payload column as the (id, content, meta) asset table —
@@ -1915,6 +1941,74 @@ object Pipeline {
     runJobSteps(spark, parseSteps(new ObjectMapper().readTree(json)),
       extra)
 
+  /** [[runJobSteps]] with a per-step row-count AUDIT: every step's
+    * output frame carries a `CollectMetrics` observation
+    * (`Dataset.observe` — the counts ride the sink's own pass, ZERO
+    * extra scans or actions), and the returned frame is the run
+    * report: one row per step, (step, op, n_rows) — rows LEAVING
+    * that step. The lineage record a reviewed training-data recipe
+    * wants next to its output ("dedup dropped 12%, the quality gate
+    * 30%") at no cost beyond the job itself.
+    *
+    * Works with any sink that materializes the frame (all the
+    * registry sinks do). A step that internally runs a preparatory
+    * action (e.g. filter_by_quantile's percentile fit) completes the
+    * upstream observations during that pass — same plan, same
+    * counts, just earlier. Batch-only: streaming row counts belong
+    * to the progress listener, not a one-shot report. */
+  def runJobStepsAudited(spark: org.apache.spark.sql.SparkSession,
+                         steps: Seq[Step],
+                         extra: Map[String, OpSpec] = Map.empty)
+      : DataFrame = {
+    val expanded = expandIncludes(steps)
+    require(expanded.size >= 2,
+      "job config needs a source step and a sink step")
+    val (req, opt, write) = sinkOps.getOrElse(expanded.last.op,
+      throw new IllegalArgumentException(
+        s"last step must be a sink operator; '${expanded.last.op}' " +
+          s"is not one of " + sinkOps.keys.toSeq.sorted.mkString(", ")))
+    validateKeys("sink", expanded.last, req, opt)
+    val sinkParams = new Params(expanded.last.op, expanded.last.params)
+    val (sreq, sopt, mk) = sourceOps.getOrElse(expanded.head.op,
+      throw new IllegalArgumentException(
+        s"first step must be a source operator; " +
+          s"'${expanded.head.op}' is not one of " +
+          sourceOps.keys.toSeq.sorted.mkString(", ")))
+    validateKeys("source", expanded.head, sreq, sopt)
+    // compile every transform BEFORE the source read (the runSteps
+    // discipline: config errors beat I/O errors)
+    val mids = expanded.drop(1).dropRight(1)
+    val fns = mids.map(s => (s.op, fromSteps(Seq(s), extra)))
+    val taps = scala.collection.mutable.Buffer
+      .empty[(Int, String, org.apache.spark.sql.Observation)]
+    def tap(i: Int, op: String, frame: DataFrame): DataFrame = {
+      val obs =
+        new org.apache.spark.sql.Observation(s"graft_audit_${i}_$op")
+      taps += ((i, op, obs))
+      frame.observe(obs, count(lit(1)).as("n_rows"))
+    }
+    var df = tap(0, expanded.head.op,
+      mk(spark, new Params(expanded.head.op, expanded.head.params)))
+    fns.zipWithIndex.foreach { case ((op, f), i) =>
+      df = tap(i + 1, op, f(df))
+    }
+    write(df, sinkParams)
+    val report = taps.toSeq.map { case (i, op, obs) =>
+      (i, op, obs.get("n_rows").asInstanceOf[Long])
+    }
+    import spark.implicits._
+    report.toDF("step", "op", "n_rows")
+  }
+
+  /** Self-contained JSON job config → executed with the per-step
+    * row-count report returned ([[runJobStepsAudited]]). */
+  def runJobJsonAudited(spark: org.apache.spark.sql.SparkSession,
+                        json: String,
+                        extra: Map[String, OpSpec] = Map.empty)
+      : DataFrame =
+    runJobStepsAudited(spark,
+      parseSteps(new ObjectMapper().readTree(json)), extra)
+
   /** Self-contained YAML job config (source → ops → sink) → executed. */
   def runJobYaml(spark: org.apache.spark.sql.SparkSession, yaml: String,
                  extra: Map[String, OpSpec] = Map.empty): Unit =
@@ -1982,7 +2076,7 @@ object Pipeline {
     // stateful entries that carry their own watermark in the config
     "windowed_quantiles_watermarked", "trending_tokens_watermarked",
     "host_graph_windowed", "sessionize_watermarked",
-    "kl_drift_watermarked",
+    "kl_drift_watermarked", "scd2_watermarked",
     // per-row multimodal plumbing
     "as_assets", "decode_features",
     // data contracts: a schema check and a stateless assert filter

@@ -1368,6 +1368,47 @@ class PipelineSpec extends AnyFunSuite {
       Events.topPaths(ev, 3, 20))
   }
 
+  test("runJobStepsAudited: the run report counts rows leaving every " +
+       "step (observations ride the sink pass — no extra scans), " +
+       "matching independently recomputed counts; sink/source " +
+       "validation is the runJobSteps contract") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-audit").toString
+    val audit = Pipeline.runJobJsonAudited(spark,
+      s"""[
+         |  {"op": "read_parquet",
+         |   "params": {"path": "$dir/documents.parquet"}},
+         |  {"op": "token_count",
+         |   "params": {"text_col": "text", "out_col": "n_tokens"}},
+         |  {"op": "filter", "params": {"condition": "n_tokens >= 30"}},
+         |  {"op": "select", "params": {"cols": ["doc_id"]}},
+         |  {"op": "write_parquet", "params": {"path": "$out/kept"}}
+         |]""".stripMargin)
+    val got = audit.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toList
+      .sortBy(_._1)
+    val total = docs.count()
+    val kept = docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .filter(col("n_tokens") >= 30).count()
+    assert(got == List((0, "read_parquet", total),
+      (1, "token_count", total), (2, "filter", kept),
+      (3, "select", kept)))
+    assert(kept > 0 && kept < total) // the gate genuinely gated
+    // the sink really ran: the written output matches the last count
+    assert(spark.read.parquet(s"$out/kept").count() == kept)
+    // missing sink / unknown source keep the runJobSteps contract
+    val noSink = intercept[IllegalArgumentException] {
+      Pipeline.runJobJsonAudited(spark,
+        s"""[
+           |  {"op": "read_parquet",
+           |   "params": {"path": "$dir/documents.parquet"}},
+           |  {"op": "token_count", "params": {}}
+           |]""".stripMargin)
+    }
+    assert(noSink.getMessage.contains("sink"))
+  }
+
   test("sampling-family step guards: malformed weights object, " +
        "temperature domain-cap, and streaming admission of " +
        "weighted_sample only with a deterministic weight") {

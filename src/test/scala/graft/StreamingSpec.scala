@@ -3321,6 +3321,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaCfg.exists(o => o.user_id == 7 && o.n_events == 2))
   }
 
+  test("scd2_watermarked: the stateful SCD2 config step equals the " +
+       "direct scd2Stream on the same out-of-order feed, with " +
+       "arbitrary column names mapped into the event shape") {
+    import graft.operators.Pipeline
+    import graft.streaming.StreamOps.{Scd2Event, Scd2Out}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(u: Long, id: Long, ts: String, v: String) =
+      Scd2Event(u, id, Timestamp.valueOf(ts), v)
+    val batches = Seq(
+      Seq(ev(1, 3, "2024-01-01 02:00:00", "b"),
+        ev(2, 20, "2024-01-01 01:00:00", "x")),
+      Seq(ev(1, 1, "2024-01-01 00:00:00", "a"),
+        ev(1, 5, "2024-01-01 04:00:00", "a"),
+        ev(2, 22, "2024-01-01 05:00:00", "y")),
+      Seq(ev(99, 999, "2024-01-05 00:00:00", "z")),
+      Seq(ev(99, 998, "2024-01-06 00:00:00", "z")))
+    def run(mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame, name: String) = {
+      val input = MemoryStream[Scd2Event]
+      val q = mk(input.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      s.sql(s"select * from $name where user_id < 99")
+        .as[Scd2Out].collect().toSet
+    }
+    // the config maps renamed columns back into the event shape
+    val cfg = Pipeline.fromJsonStreaming(
+      """[{"op": "scd2_watermarked",
+        |  "params": {"watermark_delay": "24 hours",
+        |             "key_col": "uid", "attr_col": "state",
+        |             "ts_col": "ts", "tie_col": "eid"}}]""".stripMargin)
+    val viaCfg = run(df => cfg(df.select(col("user_id").as("uid"),
+      col("event_id").as("eid"), col("ts"),
+      col("value").as("state"))), "cfg_scd2")
+    val direct = run(df => graft.streaming.StreamOps.scd2Stream(
+      df.withWatermark("ts", "24 hours").as[Scd2Event]).toDF(),
+      "direct_scd2")
+    assert(viaCfg == direct && viaCfg.nonEmpty)
+  }
+
   test("kl_drift_watermarked: the stateful drift config step scores " +
        "closed windows against the persisted reference exactly like " +
        "the direct klDriftStream") {
