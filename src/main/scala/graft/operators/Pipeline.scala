@@ -820,12 +820,14 @@ object Pipeline {
     // NULL keys group together: pair with expect_condition
     // ("k IS NOT NULL") when nulls must be rejected rather than
     // deduplicated against each other.
-    "expect_unique" -> OpSpec(Set("cols"), Set("name"),
+    "expect_unique" -> OpSpec(Set("cols"),
+      Set("name", "quarantine_path"),
       p => {
         val cols = p.strs("cols")
         require(cols.nonEmpty,
           "pipeline op 'expect_unique': param 'cols' must be non-empty")
         val tag = p.str("name", Some(cols.mkString(",")))
+        val qp = quarantineTarget(p, "expect_unique")
         df => {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(cols.map(col): _*)
@@ -833,11 +835,18 @@ object Pipeline {
           // name, so a user column called __expect_n must survive
           val tmp = Iterator.from(0).map(i => s"__expect_n$i")
             .find(n => !df.columns.contains(n)).get
-          df.withColumn(tmp, count(lit(1)).over(w))
-            .filter(assert_true(col(tmp) === 1,
-              lit(s"pipeline expect_unique '$tag' violated " +
-                s"(duplicate key on ${cols.mkString(", ")})")).isNull)
-            .drop(tmp)
+          val counted = df.withColumn(tmp, count(lit(1)).over(w))
+          qp match {
+            case None =>
+              counted.filter(assert_true(col(tmp) === 1,
+                lit(s"pipeline expect_unique '$tag' violated " +
+                  s"(duplicate key on ${cols.mkString(", ")})")).isNull)
+                .drop(tmp)
+            case Some(dir) =>
+              counted.filter(col(tmp) > 1).drop(tmp)
+                .write.mode("overwrite").parquet(dir)
+              counted.filter(col(tmp) === 1).drop(tmp)
+          }
         }
       }),
 
@@ -853,15 +862,33 @@ object Pipeline {
     // Cost: later filters don't reorder below the gate — the honest
     // price of an anchored contract; place filters before contracts
     // when both apply.
-    "expect_condition" -> OpSpec(Set("condition"), Set("name"),
+    // `quarantine_path` flips either contract from ABORT to
+    // STORE-FAILURES (the dbt convention): violating rows — including
+    // NULL conditions — land under `<path>/gate=<name>` (overwrite:
+    // re-runs replace their own gate's table, never double-append)
+    // and the surviving rows continue. Requires an explicit
+    // path-safe `name`. Costs one extra upstream pass for the
+    // violation write — quarantine heavy chains after a persisted
+    // boundary. Batch-only (the eager write): rejected from
+    // streaming configs by param.
+    "expect_condition" -> OpSpec(Set("condition"),
+      Set("name", "quarantine_path"),
       p => {
         val sql = p.str("condition")
         val cond = parseEagerly(sql)
         val tag = p.str("name", Some(sql))
-        df => df.filter(assert_true(
-          org.apache.spark.sql.graftext.PlanAnchor(cond),
-          lit(s"pipeline expect_condition '$tag' violated " +
-            s"($sql)")).isNull)
+        val qp = quarantineTarget(p, "expect_condition")
+        df => qp match {
+          case None =>
+            df.filter(assert_true(
+              org.apache.spark.sql.graftext.PlanAnchor(cond),
+              lit(s"pipeline expect_condition '$tag' violated " +
+                s"($sql)")).isNull)
+          case Some(dir) =>
+            val ok = coalesce(cond, lit(false))
+            df.filter(!ok).write.mode("overwrite").parquet(dir)
+            df.filter(ok)
+        }
       }),
 
     // ---- statistical tests / model-quality / key-health steps:
@@ -2099,6 +2126,14 @@ object Pipeline {
       s"steps not streamable: ${bad.sorted.mkString(", ")}; " +
         "streamable steps: " + ok.toSeq.sorted.mkString(", "))
     expanded.foreach { s =>
+      // quarantine mode is an eager batch write: reject by PARAM
+      // (the step name itself stays stream-safe in abort mode)
+      if (s.op == "expect_condition" &&
+          s.params.contains("quarantine_path"))
+        throw new IllegalArgumentException(
+          "streaming step 'expect_condition': quarantine_path is " +
+            "batch-only (the violation write is an eager batch " +
+            "action); gate before the stream or key the sink instead")
       val exprParam = s.op match {
         case "filter" => Some("condition")
         case "with_column" => Some("expr")
@@ -2258,6 +2293,25 @@ object Pipeline {
                             path: String): Seq[Seq[Double]] =
     spark.read.parquet(path).orderBy(col("cell")).collect()
       .map(r => r.getSeq[Double](r.fieldIndex("vec")).toSeq).toSeq
+
+  /** Resolve a contract step's quarantine target: store-failures
+    * mode needs an explicit, path-safe `name` (it becomes the
+    * `gate=<name>` directory under the quarantine path, so re-runs
+    * overwrite their own gate's table and distinct gates coexist).
+    * None when the step runs in the default abort mode. */
+  private def quarantineTarget(p: Params, op: String): Option[String] =
+    if (!p.has("quarantine_path")) None
+    else {
+      val base = p.str("quarantine_path")
+      require(p.has("name"),
+        s"pipeline op '$op': quarantine_path requires an explicit " +
+          "'name' (it names the gate=<name> quarantine directory)")
+      val tag = p.str("name")
+      require(tag.matches("[A-Za-z0-9_-]+"),
+        s"pipeline op '$op': quarantine gate name '$tag' must be " +
+          "path-safe ([A-Za-z0-9_-]+)")
+      Some(s"$base/gate=$tag")
+    }
 
   /** `expr()` with the parse forced NOW: the unified Column surface
     * defers SQL parsing to plan attachment, which would turn a config

@@ -1368,6 +1368,63 @@ class PipelineSpec extends AnyFunSuite {
       Events.topPaths(ev, 3, 20))
   }
 
+  test("contract quarantine mode: quarantine_path flips abort to " +
+       "store-failures — violations (incl. NULL conditions) land " +
+       "under gate=<name>, survivors continue, re-runs overwrite " +
+       "their own gate; requires a path-safe name; batch-only") {
+    val s = spark
+    import s.implicits._
+    val q = java.nio.file.Files
+      .createTempDirectory("graft-quarantine").toString
+    val frame = Seq((1L, 5L), (2L, -3L), (3L, 7L), (4L, -1L))
+      .toDF("k", "v")
+      .union(Seq((3L, 7L)).toDF("k", "v")) // duplicate key 3
+    // expect_condition: two violating rows quarantined, three survive
+    val kept = Pipeline.fromSteps(Seq(Step("expect_condition",
+      Map("condition" -> "v > 0", "name" -> "v_pos",
+        "quarantine_path" -> q))))(frame)
+    assert(kept.count() == 3)
+    val bad = spark.read.parquet(s"$q/gate=v_pos")
+    assert(bad.collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+    // NULL condition is a violation in quarantine mode too
+    val withNull = Seq((1L, Some(5L)), (2L, None)).toDF("k", "v")
+    val kept2 = Pipeline.fromSteps(Seq(Step("expect_condition",
+      Map("condition" -> "v > 0", "name" -> "v_pos",
+        "quarantine_path" -> q))))(withNull)
+    assert(kept2.count() == 1) // re-run overwrote gate=v_pos
+    assert(spark.read.parquet(s"$q/gate=v_pos").count() == 1)
+    // expect_unique: duplicate-key rows quarantined, unique keys pass
+    val uniq = Pipeline.fromSteps(Seq(Step("expect_unique",
+      Map("cols" -> Seq("k"), "name" -> "pk",
+        "quarantine_path" -> q))))(frame)
+    assert(uniq.collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L))
+    assert(spark.read.parquet(s"$q/gate=pk").count() == 2)
+    // two gates coexist under one quarantine path
+    assert(spark.read.parquet(s"$q/gate=v_pos").count() == 1)
+    // name is REQUIRED and must be path-safe
+    val noName = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("expect_condition",
+        Map("condition" -> "v > 0", "quarantine_path" -> q))))
+    }
+    assert(noName.getMessage.contains("name"))
+    val badName = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("expect_unique",
+        Map("cols" -> Seq("k"), "name" -> "a/b",
+          "quarantine_path" -> q))))
+    }
+    assert(badName.getMessage.contains("path-safe"))
+    // streaming rejects quarantine mode by PARAM, not by step name
+    val ns = intercept[IllegalArgumentException] {
+      Pipeline.fromStepsStreaming(Seq(Step("expect_condition",
+        Map("condition" -> "v > 0", "name" -> "g",
+          "quarantine_path" -> q))))
+    }
+    assert(ns.getMessage.contains("batch-only"))
+    Pipeline.fromStepsStreaming(Seq(Step("expect_condition",
+      Map("condition" -> "v > 0")))) // abort mode still streams
+  }
+
   test("runJobStepsAudited: the run report counts rows leaving every " +
        "step (observations ride the sink pass — no extra scans), " +
        "matching independently recomputed counts; sink/source " +
