@@ -4043,6 +4043,67 @@ $joins"""
            |]""".stripMargin)
     }),
 
+    // five more config replays, each compiling to its hand-written
+    // twin's exact operator chain: retention / transition matrix
+    // (events family), cap_per_group / token budget (sampling
+    // family), and the grouping-sets cube
+    "q_pipeline_retention" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "events"}},
+           |  {"op": "retention_cohorts",
+           |   "params": {"period_seconds": 86400}}
+           |]""".stripMargin)),
+
+    "q_pipeline_transitions" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "events"}},
+           |  {"op": "transition_matrix", "params": {}}
+           |]""".stripMargin)),
+
+    "q_pipeline_cap" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "select",
+           |   "params": {"cols": ["doc_id", "lang", "source"]}},
+           |  {"op": "cap_per_group",
+           |   "params": {"group_cols": ["source"], "n": 50,
+           |              "key_cols": ["doc_id"]}}
+           |]""".stripMargin)),
+
+    "q_pipeline_budget" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "select_by_token_budget",
+           |   "params": {"budget_tokens": 2000,
+           |              "domain_cols": ["lang"],
+           |              "quality": "n_chars", "id_col": "doc_id",
+           |              "tokens": "size(split(text, ' '))"}},
+           |  {"op": "select",
+           |   "params": {"cols": ["doc_id", "lang", "cum_tokens"]}}
+           |]""".stripMargin)),
+
+    "q_pipeline_cube" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "cube",
+           |   "params": {"group_cols": ["l_returnflag", "l_linestatus"],
+           |              "aggs": [
+           |      "cast(grouping(l_returnflag) as int) as g_rf",
+           |      "cast(grouping(l_linestatus) as int) as g_ls",
+           |      "count(1) as n",
+           |      "cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty"]}}
+           |]""".stripMargin)),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -8810,6 +8871,11 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_split_safe" -> base("q_sample_split_safe")) +
       ("q_pipeline_scd2" -> base("q_events_scd2")) +
       ("q_pipeline_melt" -> base("q_reshape_melt")) +
+      ("q_pipeline_retention" -> base("q_events_retention")) +
+      ("q_pipeline_transitions" -> base("q_events_transitions")) +
+      ("q_pipeline_cap" -> base("q_sample_cap")) +
+      ("q_pipeline_budget" -> base("q_curation_budget")) +
+      ("q_pipeline_cube" -> base("q_agg_cube")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))
