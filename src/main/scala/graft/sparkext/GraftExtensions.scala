@@ -119,6 +119,23 @@ object GraftExtensions {
           intLiteral(children(1), "deflate_ratio: level") else 6
         DeflateRatio(children.head, level)
       }),
+    ("psl_domain",
+      new ExpressionInfo(classOf[PslDomain].getName, "psl_domain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "psl_domain expects (host, rules) — rules a literal " +
+            "array of publicsuffix.org-format lines")
+        val arr = foldedNonEmptyArray(children(1), "psl_domain: rules")
+        val lines = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        PslDomain(children.head, PslRules.parse(lines))
+      }),
+    ("plan_anchor",
+      new ExpressionInfo(classOf[PlanAnchor].getName, "plan_anchor"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "plan_anchor expects (expr)")
+        PlanAnchor(children.head)
+      }),
     ("jaro_winkler",
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[Expression]) => {

@@ -190,6 +190,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("quantile_sketch: eps")))
   }
 
+  test("psl_domain and plan_anchor are SQL-registered: eTLD+1 under " +
+       "a literal rule list; the anchor is a non-deterministic " +
+       "identity") {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.graftext.GraftExtensions.register(s)
+    val got = s.sql(
+      """select psl_domain(h, array('com', 'co.uk', 'io',
+        |         'github.io', '*.ck', '!www.ck')) AS d
+        |from values ('a.b.co.uk'), ('x.github.io'), ('a.www.ck'),
+        |     ('deep.other.ck') as t(h)""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("b.co.uk", "x.github.io", "www.ck",
+      "deep.other.ck"))
+    // rules must be a literal array (the table itself can't carry it)
+    val e = intercept[Exception](s.sql(
+      "select psl_domain('a.com', array(h)) from values ('x') t(h)")
+      .collect())
+    assert(e.getMessage != null)
+    // plan_anchor: value-identical, but reports non-deterministic
+    val anchored = s.sql("select plan_anchor(1 + 1)")
+    assert(anchored.first().getInt(0) == 2)
+    assert(!anchored.queryExecution.analyzed.expressions
+      .forall(_.deterministic))
+  }
+
   test("deflate_ratio is SQL-registered with an optional level") {
     val s = SparkTestSession.spark
     org.apache.spark.sql.graftext.GraftExtensions.register(s)
