@@ -4104,6 +4104,32 @@ $joins"""
            |      "cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty"]}}
            |]""".stripMargin)),
 
+    // the crawl-politeness config surface: URL/priority/delay
+    // construction and per-host frontier scheduling from pure JSON
+    // under q_crawl_frontier's oracle verbatim
+    "q_pipeline_frontier" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "with_column", "params": {"name": "host",
+           |    "expr": "source || '.example.com'"}},
+           |  {"op": "with_column", "params": {"name": "url",
+           |    "expr": "'https://' || host || '/p/' || cast(doc_id as string)"}},
+           |  {"op": "with_column", "params": {"name": "priority",
+           |    "expr": "case when doc_id % 4 != 0 then cast(doc_id % 10 as double) / 10.0 end"}},
+           |  {"op": "with_column", "params": {"name": "delay_ms",
+           |    "expr": "case when cast(substring(source, 4, 10) as int) % 2 = 1 then cast(2000 as bigint) end"}},
+           |  {"op": "select",
+           |   "params": {"cols": ["host", "url", "priority",
+           |                       "delay_ms"]}},
+           |  {"op": "frontier_schedule",
+           |   "params": {"priority_col": "priority",
+           |              "delay_ms_col": "delay_ms",
+           |              "default_delay_ms": 1000,
+           |              "max_per_host": 15}}
+           |]""".stripMargin)),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -8876,6 +8902,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_cap" -> base("q_sample_cap")) +
       ("q_pipeline_budget" -> base("q_curation_budget")) +
       ("q_pipeline_cube" -> base("q_agg_cube")) +
+      ("q_pipeline_frontier" -> base("q_crawl_frontier")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))

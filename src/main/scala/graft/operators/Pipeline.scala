@@ -449,6 +449,61 @@ object Pipeline {
         df => Events.funnel(df, steps, win, user, ts, tpe)
       }),
 
+    // ---- crawl-politeness steps: robots/sitemap parsing, the
+    // allow/deny gate (rules as a path-named policy artifact), and
+    // per-host frontier scheduling ----
+
+    "parse_robots" -> OpSpec(Set(),
+      Set("host_col", "body_col", "agent"),
+      p => {
+        val h = p.str("host_col", Some("host"))
+        val b = p.str("body_col", Some("body"))
+        val a = p.str("agent", Some("*"))
+        df => Robots.parseRobots(df, h, b, a)
+      }),
+
+    "robots_gate" -> OpSpec(Set("rules_path"), Set("url_col"),
+      p => {
+        val path = p.str("rules_path")
+        val u = p.str("url_col", Some("url"))
+        df => Robots.robotsGate(df,
+          df.sparkSession.read.parquet(path), u)
+      }),
+
+    "parse_sitemaps" -> OpSpec(Set(), Set("host_col", "xml_col"),
+      p => {
+        val h = p.str("host_col", Some("host"))
+        val x = p.str("xml_col", Some("xml"))
+        df => Sitemaps.parseSitemaps(df, h, x)
+      }),
+
+    // now_epoch is an explicit param, never wall-clock: config runs
+    // must replay byte-identically
+    "recrawl_schedule" -> OpSpec(Set("now_epoch"),
+      Set("default_period_s"),
+      p => {
+        val now = p.long("now_epoch")
+        val per = p.long("default_period_s", Some(604800L))
+        df => Sitemaps.recrawlSchedule(df, now, per)
+      }),
+
+    "frontier_schedule" -> OpSpec(Set(),
+      Set("host_col", "url_col", "priority_col", "delay_ms_col",
+        "default_delay_ms", "max_per_host"),
+      p => {
+        val h = p.str("host_col", Some("host"))
+        val u = p.str("url_col", Some("url"))
+        val prio =
+          if (p.has("priority_col")) Some(p.str("priority_col"))
+          else None
+        val delay =
+          if (p.has("delay_ms_col")) Some(p.str("delay_ms_col"))
+          else None
+        val dd = p.long("default_delay_ms", Some(1000L))
+        val mx = p.int("max_per_host", Some(1000))
+        df => Frontier.schedule(df, h, u, prio, delay, dd, mx)
+      }),
+
     // ---- reshape steps: wide<->long and multi-level aggregates ----
 
     "melt" -> OpSpec(Set("id_cols", "value_cols"),

@@ -836,7 +836,10 @@ class PipelineSpec extends AnyFunSuite {
       "rollup" -> Map[String, Any]("group_cols" -> Seq("g"),
         "aggs" -> Seq("count(1) AS n")),
       "snapshot_diff" -> Map[String, Any]("old_path" -> "/tmp/x",
-        "key_cols" -> Seq("k"), "compare_cols" -> Seq("v")))
+        "key_cols" -> Seq("k"), "compare_cols" -> Seq("v")),
+      "robots_gate" -> Map[String, Any]("rules_path" -> "/tmp/x"),
+      "recrawl_schedule" -> Map[String, Any](
+        "now_epoch" -> 1700000000L))
       .foreach { case (op, good) =>
         val unknown = intercept[IllegalArgumentException] {
           Pipeline.fromSteps(Seq(Step(op, good + ("bogus" -> "v"))))
@@ -852,7 +855,8 @@ class PipelineSpec extends AnyFunSuite {
     Seq("mad_gate", "winsorize", "decode_features", "phash_dedup",
       "retention_cohorts", "gap_fill", "rolling_anomalies",
       "transition_matrix", "decayed_activity", "inter_arrival_stats",
-      "seasonal_baseline", "top_paths")
+      "seasonal_baseline", "top_paths", "parse_robots",
+      "parse_sitemaps", "frontier_schedule")
       .foreach { op =>
         val e = intercept[IllegalArgumentException] {
           Pipeline.fromSteps(Seq(Step(op, Map("bogus" -> "v"))))
@@ -1366,6 +1370,52 @@ class PipelineSpec extends AnyFunSuite {
     eq(Step("seasonal_baseline", Map()), Events.seasonalBaseline(ev))
     eq(Step("top_paths", Map("k" -> 3L, "top_n" -> 20L)),
       Events.topPaths(ev, 3, 20))
+  }
+
+  test("crawl-politeness steps replay their hand-written twins: " +
+       "parse_robots / robots_gate (rules by path) / parse_sitemaps " +
+       "/ recrawl_schedule / frontier_schedule") {
+    import graft.operators.{Frontier, Robots, Sitemaps}
+    val s = spark
+    import s.implicits._
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val robots = Seq(
+      ("a.example.com",
+        "User-agent: *\nAllow: /public/archive/\nDisallow: /public/\n"),
+      ("b.example.com", "User-agent: *\nDisallow: /tmp\n"))
+      .toDF("host", "body")
+    val rules = Robots.parseRobots(robots)
+    assert(hrows(Pipeline.fromSteps(Seq(Step("parse_robots",
+      Map())))(robots)) == hrows(rules))
+    val rulesPath = java.nio.file.Files
+      .createTempDirectory("graft-cfg-robots").toString + "/rules"
+    rules.write.parquet(rulesPath)
+    val urls = Seq(
+      Tuple1("https://a.example.com/public/archive/x"),
+      Tuple1("https://a.example.com/public/y"),
+      Tuple1("https://b.example.com/tmp/z"),
+      Tuple1("https://c.example.com/anything")).toDF("url")
+    val gated = Pipeline.fromSteps(Seq(Step("robots_gate",
+      Map("rules_path" -> rulesPath))))(urls)
+    assert(hrows(gated) ==
+      hrows(Robots.robotsGate(urls, spark.read.parquet(rulesPath))))
+    assert(gated.filter(col("allowed")).count() == 2) // archive + c
+    val maps = Seq(("a.example.com",
+      "<urlset><url><loc>https://a.example.com/1</loc>" +
+        "<changefreq>daily</changefreq></url></urlset>"))
+      .toDF("host", "xml")
+    val entries = Sitemaps.parseSitemaps(maps)
+    assert(hrows(Pipeline.fromSteps(Seq(Step("parse_sitemaps",
+      Map())))(maps)) == hrows(entries))
+    assert(hrows(Pipeline.fromSteps(Seq(Step("recrawl_schedule",
+      Map("now_epoch" -> 1700000000L))))(entries)) ==
+      hrows(Sitemaps.recrawlSchedule(entries, 1700000000L)))
+    val front = Seq(("h1", "https://h1/a"), ("h1", "https://h1/b"),
+      ("h2", "https://h2/c")).toDF("host", "url")
+    assert(hrows(Pipeline.fromSteps(Seq(Step("frontier_schedule",
+      Map("max_per_host" -> 1L))))(front)) ==
+      hrows(Frontier.schedule(front, maxPerHost = 1)))
   }
 
   test("contract quarantine mode: quarantine_path flips abort to " +
