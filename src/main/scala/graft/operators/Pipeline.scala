@@ -449,6 +449,50 @@ object Pipeline {
         df => Events.funnel(df, steps, win, user, ts, tpe)
       }),
 
+    // ---- per-row text signals: the curation columns every recipe
+    // filters on, as scan-speed projections (all stream-safe) ----
+
+    "lang_id" -> OpSpec(Set(), Set("text_col", "out_col"),
+      p => {
+        val t = p.str("text_col", Some("text"))
+        val o = p.str("out_col", Some("lang_id"))
+        df => df.withColumn(o,
+          TextAnalysis.langIdHeuristic(col(t)))
+      }),
+
+    "quality_score" -> OpSpec(Set(), Set("text_col", "out_col"),
+      p => {
+        val t = p.str("text_col", Some("text"))
+        val o = p.str("out_col", Some("quality"))
+        df => df.withColumn(o, TextAnalysis.qualityScore(col(t)))
+      }),
+
+    "fingerprint" -> OpSpec(Set(), Set("text_col", "out_col"),
+      p => {
+        val t = p.str("text_col", Some("text"))
+        val o = p.str("out_col", Some("fingerprint"))
+        df => df.withColumn(o, TextAnalysis.fingerprint(col(t)))
+      }),
+
+    // corpus-level keyword extraction (one count + one topK window)
+    "keywords_tfidf" -> OpSpec(Set(),
+      Set("text_col", "id_col", "top_k"),
+      p => {
+        val t = p.str("text_col", Some("text"))
+        val id = p.str("id_col", Some("doc_id"))
+        val k = p.int("top_k", Some(5))
+        df => TextAnalysis.keywordsTfIdf(df, t, id, k)
+      }),
+
+    "collocations_pmi" -> OpSpec(Set(),
+      Set("text_col", "min_count", "top_n"),
+      p => {
+        val t = p.str("text_col", Some("text"))
+        val mc = p.long("min_count", Some(5L))
+        val n = p.int("top_n", Some(20))
+        df => TextAnalysis.collocationsPmi(df, t, mc, n)
+      }),
+
     // ---- crawl-politeness steps: robots/sitemap parsing, the
     // allow/deny gate (rules as a path-named policy artifact), and
     // per-host frontier scheduling ----
@@ -2149,6 +2193,7 @@ object Pipeline {
     "dup_ngram_fraction", "normalize_text", "c4_clean", "scrub_pii",
     "gopher_quality_flags", "chunk_by_tokens", "sample_fraction",
     "weighted_sample", // row-local hash filter, like sample_fraction
+    "lang_id", "quality_score", "fingerprint", // per-row projections
     "split_by_hash", "bpe_tokenize_stored", "score_logistic_stored",
     "pieces_tokenize_stored", "unigram_tokenize_stored",
     "windowed_stats_watermarked", "code_line_stats",

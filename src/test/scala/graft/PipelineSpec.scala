@@ -1372,6 +1372,38 @@ class PipelineSpec extends AnyFunSuite {
       Events.topPaths(ev, 3, 20))
   }
 
+  test("per-row text-signal steps replay their hand-written twins: " +
+       "lang_id / quality_score / fingerprint / keywords_tfidf / " +
+       "collocations_pmi; the per-row three stream through configs") {
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val d = docs.select("doc_id", "text")
+    assert(hrows(Pipeline.fromSteps(Seq(Step("lang_id", Map())))(d)) ==
+      hrows(d.withColumn("lang_id",
+        TextAnalysis.langIdHeuristic(col("text")))))
+    assert(hrows(Pipeline.fromSteps(Seq(Step("quality_score",
+      Map("out_col" -> "q"))))(d)) ==
+      hrows(d.withColumn("q", TextAnalysis.qualityScore(col("text")))))
+    assert(hrows(Pipeline.fromSteps(Seq(Step("fingerprint",
+      Map())))(d)) ==
+      hrows(d.withColumn("fingerprint",
+        TextAnalysis.fingerprint(col("text")))))
+    assert(hrows(Pipeline.fromSteps(Seq(Step("keywords_tfidf",
+      Map("top_k" -> 3L))))(d)) ==
+      hrows(TextAnalysis.keywordsTfIdf(d, topK = 3)))
+    assert(hrows(Pipeline.fromSteps(Seq(Step("collocations_pmi",
+      Map("min_count" -> 3L, "top_n" -> 10L))))(d)) ==
+      hrows(TextAnalysis.collocationsPmi(d, minCount = 3, topN = 10)))
+    // the row-local three are streaming-whitelisted; the corpus-level
+    // two are batch-only by name
+    Pipeline.fromStepsStreaming(Seq(Step("lang_id", Map()),
+      Step("quality_score", Map()), Step("fingerprint", Map())))
+    val ns = intercept[IllegalArgumentException] {
+      Pipeline.fromStepsStreaming(Seq(Step("keywords_tfidf", Map())))
+    }
+    assert(ns.getMessage.contains("not streamable"))
+  }
+
   test("crawl-politeness steps replay their hand-written twins: " +
        "parse_robots / robots_gate (rules by path) / parse_sitemaps " +
        "/ recrawl_schedule / frontier_schedule") {
