@@ -4130,6 +4130,19 @@ $joins"""
            |              "max_per_host": 15}}
            |]""".stripMargin)),
 
+    // the in-flight dedup chain from pure JSON: LSH pairs contract to
+    // connected components under q_dedup_clusters' oracle verbatim
+    "q_pipeline_clusters" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "near_dup_pairs",
+           |   "params": {"n": 3, "num_hashes": 64, "bands": 32,
+           |              "threshold": 0.5}},
+           |  {"op": "near_dup_clusters", "params": {}}
+           |]""".stripMargin)),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -8903,6 +8916,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_budget" -> base("q_curation_budget")) +
       ("q_pipeline_cube" -> base("q_agg_cube")) +
       ("q_pipeline_frontier" -> base("q_crawl_frontier")) +
+      ("q_pipeline_clusters" -> base("q_dedup_clusters")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))

@@ -449,6 +449,55 @@ object Pipeline {
         df => Events.funnel(df, steps, win, user, ts, tpe)
       }),
 
+    // ---- in-flight dedup steps (the stored/pair-table forms exist
+    // above; these run the full pass on the frame in flight) ----
+
+    "near_dup_pairs" -> OpSpec(Set(),
+      Set("id_col", "text_col", "n", "num_hashes", "bands",
+        "threshold"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val t = p.str("text_col", Some("text"))
+        val n = p.int("n", Some(3))
+        val nh = p.int("num_hashes", Some(64))
+        val b = p.int("bands", Some(32))
+        val thr = p.dbl("threshold", Some(0.5))
+        df => Dedup.minHashLshPairs(df, id, t, n, nh, b, thr)
+      }),
+
+    "simhash_pairs" -> OpSpec(Set(),
+      Set("id_col", "text_col", "n", "hamming_max", "chunks",
+        "threshold"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val t = p.str("text_col", Some("text"))
+        val n = p.int("n", Some(3))
+        val hm = p.int("hamming_max", Some(3))
+        val ch = p.int("chunks", Some(4))
+        val thr = p.dbl("threshold", Some(0.5))
+        df => Dedup.simHashPairs(df, id, t, n, hm, ch, thr)
+      }),
+
+    // the frame in flight is the (id_a, id_b) pair table
+    "near_dup_clusters" -> OpSpec(Set(), Set("max_iters"),
+      p => {
+        val it = p.int("max_iters", Some(10))
+        df => Dedup.nearDupClusters(df, it)
+      }),
+
+    // keep ONE representative per near-dup cluster, best-first by
+    // priority: the pair table is a path-named artifact (any
+    // dedup-family output), the frame in flight is the corpus
+    "keep_best_of_clusters" -> OpSpec(
+      Set("pairs_path", "priority_col"), Set("id_col"),
+      p => {
+        val path = p.str("pairs_path")
+        val prio = p.str("priority_col")
+        val id = p.str("id_col", Some("doc_id"))
+        df => Dedup.keepBestOfClusters(df, id,
+          df.sparkSession.read.parquet(path), prio)
+      }),
+
     // ---- per-row text signals: the curation columns every recipe
     // filters on, as scan-speed projections (all stream-safe) ----
 

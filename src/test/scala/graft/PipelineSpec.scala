@@ -1372,6 +1372,30 @@ class PipelineSpec extends AnyFunSuite {
       Events.topPaths(ev, 3, 20))
   }
 
+  test("in-flight dedup steps replay their hand-written twins: " +
+       "near_dup_pairs / simhash_pairs / near_dup_clusters / " +
+       "keep_best_of_clusters (pairs by path)") {
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val d = docs.select("doc_id", "text", "n_chars")
+    val pairs = Dedup.minHashLshPairs(d, "doc_id", "text", n = 3,
+      numHashes = 64, bands = 32, threshold = 0.5)
+    assert(hrows(Pipeline.fromSteps(Seq(Step("near_dup_pairs",
+      Map())))(d)) == hrows(pairs) && pairs.count() > 0)
+    assert(hrows(Pipeline.fromSteps(Seq(Step("simhash_pairs",
+      Map("hamming_max" -> 4L))))(d)) ==
+      hrows(Dedup.simHashPairs(d, "doc_id", "text", hammingMax = 4)))
+    assert(hrows(Pipeline.fromSteps(Seq(Step("near_dup_clusters",
+      Map())))(pairs)) == hrows(Dedup.nearDupClusters(pairs)))
+    val pairsPath = java.nio.file.Files
+      .createTempDirectory("graft-cfg-dedup").toString + "/pairs"
+    pairs.write.parquet(pairsPath)
+    assert(hrows(Pipeline.fromSteps(Seq(Step("keep_best_of_clusters",
+      Map("pairs_path" -> pairsPath,
+        "priority_col" -> "n_chars"))))(d)) ==
+      hrows(Dedup.keepBestOfClusters(d, "doc_id", pairs, "n_chars")))
+  }
+
   test("per-row text-signal steps replay their hand-written twins: " +
        "lang_id / quality_score / fingerprint / keywords_tfidf / " +
        "collocations_pmi; the per-row three stream through configs") {
