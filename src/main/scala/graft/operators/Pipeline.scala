@@ -449,6 +449,55 @@ object Pipeline {
         df => Events.funnel(df, steps, win, user, ts, tpe)
       }),
 
+    // ---- embedding steps: the frame in flight carries the vector
+    // column; query sets arrive by path where needed ----
+
+    // exact cosine top-k baseline: queries are a path-named table
+    // (bounded query sets; the corpus is the frame in flight)
+    "cosine_topk" -> OpSpec(Set("queries_path", "k"),
+      Set("id_col", "vec_col"),
+      p => {
+        val qp = p.str("queries_path")
+        val k = p.int("k")
+        val id = p.str("id_col", Some("doc_id"))
+        val v = p.str("vec_col", Some("embedding"))
+        df => Similarity.bruteForceTopK(df,
+          df.sparkSession.read.parquet(qp), id, v, k)
+      }),
+
+    // SemDeDup-style embedding near-dup: IVF-bucketed within-cell
+    // cosine, never all-pairs
+    "sem_dedup" -> OpSpec(Set("threshold"),
+      Set("id_col", "vec_col", "nlist", "lloyd_iters"),
+      p => {
+        val thr = p.dbl("threshold")
+        val id = p.str("id_col", Some("doc_id"))
+        val v = p.str("vec_col", Some("embedding"))
+        val nlist = p.int("nlist", Some(16))
+        val li = p.int("lloyd_iters", Some(0))
+        df => Similarity.semDedup(df, id, v, thr, nlist, li)
+      }),
+
+    "embedding_outliers" -> OpSpec(Set(),
+      Set("id_col", "vec_col", "nlist", "z_max", "lloyd_iters"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val v = p.str("vec_col", Some("embedding"))
+        val nlist = p.int("nlist", Some(16))
+        val z = p.dbl("z_max", Some(2.0))
+        val li = p.int("lloyd_iters", Some(0))
+        df => Similarity.embeddingOutliers(df, id, v, nlist, z, li)
+      }),
+
+    "mean_pool_by_key" -> OpSpec(Set("key_col"),
+      Set("vec_col", "normalize"),
+      p => {
+        val k = p.str("key_col")
+        val v = p.str("vec_col", Some("embedding"))
+        val nz = p.bool("normalize", Some(false))
+        df => Similarity.meanPoolByKey(df, k, v, nz)
+      }),
+
     // ---- in-flight dedup steps (the stored/pair-table forms exist
     // above; these run the full pass on the frame in flight) ----
 

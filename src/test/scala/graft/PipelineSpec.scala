@@ -1372,6 +1372,35 @@ class PipelineSpec extends AnyFunSuite {
       Events.topPaths(ev, 3, 20))
   }
 
+  test("embedding steps replay their hand-written twins: " +
+       "cosine_topk (queries by path) / sem_dedup / " +
+       "embedding_outliers / mean_pool_by_key") {
+    import graft.operators.Similarity
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qPath = java.nio.file.Files
+      .createTempDirectory("graft-cfg-emb").toString + "/q"
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    queries.write.parquet(qPath)
+    assert(hrows(Pipeline.fromSteps(Seq(Step("cosine_topk",
+      Map("queries_path" -> qPath, "k" -> 5L, "id_col" -> "vec_id"))))(emb)) ==
+      hrows(Similarity.bruteForceTopK(emb,
+        spark.read.parquet(qPath), "vec_id", "embedding", 5)))
+    assert(hrows(Pipeline.fromSteps(Seq(Step("sem_dedup",
+      Map("threshold" -> 0.95, "id_col" -> "vec_id"))))(emb)) ==
+      hrows(Similarity.semDedup(emb, "vec_id", "embedding", 0.95)))
+    assert(hrows(Pipeline.fromSteps(Seq(Step("embedding_outliers",
+      Map("id_col" -> "vec_id"))))(emb)) ==
+      hrows(Similarity.embeddingOutliers(emb, "vec_id", "embedding")))
+    val pooled = Pipeline.fromSteps(Seq(Step("mean_pool_by_key",
+      Map("key_col" -> "label"))))(emb)
+    assert(hrows(pooled.selectExpr("key", "n_vectors",
+        "round(centroid[0], 9) as v0")) ==
+      hrows(Similarity.meanPoolByKey(emb, "label", "embedding")
+        .selectExpr("key", "n_vectors", "round(centroid[0], 9) as v0")))
+  }
+
   test("in-flight dedup steps replay their hand-written twins: " +
        "near_dup_pairs / simhash_pairs / near_dup_clusters / " +
        "keep_best_of_clusters (pairs by path)") {
