@@ -110,6 +110,27 @@ class ExamplesSpec extends AnyFunSuite {
     assert(bySource.values.forall(_ <= 200))
   }
 
+  test("examples/audited_recipe.json: quarantined contract + audit " +
+       "report, end to end") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-example-audit")
+    val audit = Pipeline.runJobJsonAudited(spark,
+      read("audited_recipe.json").replace("__TESTDATA__", dir)
+        .replace("__QUARANTINE__", base.resolve("quar").toString)
+        .replace("__OUT__", base.resolve("out").toString))
+    val rows = audit.collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rows("read_table") == rows("token_count"))
+    assert(rows("expect_condition") < rows("token_count"))
+    assert(rows("select") == rows("expect_condition"))
+    val quarantined = spark.read
+      .parquet(base.resolve("quar").toString + "/gate=token_floor")
+    assert(quarantined.count() ==
+      rows("token_count") - rows("expect_condition"))
+    assert(spark.read.parquet(base.resolve("out").toString).count() ==
+      rows("select"))
+  }
+
   test("examples/asset_features.json decodes features end to end") {
     val out = Pipeline.runJson(spark,
       read("asset_features.json").replace("__TESTDATA__", dir))
