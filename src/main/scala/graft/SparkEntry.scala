@@ -4143,6 +4143,44 @@ $joins"""
            |  {"op": "near_dup_clusters", "params": {}}
            |]""".stripMargin)),
 
+    // the relational primitives from pure JSON: broadcast dimension
+    // joins + grouped aggregate under q_join_revenue's oracle
+    "q_pipeline_join" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "orders"}},
+           |  {"op": "join_table",
+           |   "params": {"path": "$dir/customer.parquet",
+           |              "condition": "l.o_custkey = r.c_custkey",
+           |              "broadcast": true}},
+           |  {"op": "join_table",
+           |   "params": {"path": "$dir/nation.parquet",
+           |              "condition": "l.c_nationkey = r.n_nationkey",
+           |              "broadcast": true}},
+           |  {"op": "aggregate",
+           |   "params": {"group_cols": ["n_name"],
+           |              "aggs": [
+           |      "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as revenue",
+           |      "count(1) as n_orders"]}}
+           |]""".stripMargin)),
+
+    // order_by + limit from config still plans TakeOrderedAndProject
+    // (the steps compose adjacently) — q_sort_topk's oracle verbatim
+    "q_pipeline_topk" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "order_by",
+           |   "params": {"cols": ["l_extendedprice", "l_orderkey",
+           |                       "l_linenumber"],
+           |              "descending": [true, false, false]}},
+           |  {"op": "limit", "params": {"n": 100}},
+           |  {"op": "select", "params": {"cols":
+           |    ["l_orderkey", "l_linenumber", "l_extendedprice"]}}
+           |]""".stripMargin)),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -8917,6 +8955,8 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_cube" -> base("q_agg_cube")) +
       ("q_pipeline_frontier" -> base("q_crawl_frontier")) +
       ("q_pipeline_clusters" -> base("q_dedup_clusters")) +
+      ("q_pipeline_join" -> base("q_join_revenue")) +
+      ("q_pipeline_topk" -> base("q_sort_topk")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))

@@ -79,6 +79,15 @@ object Pipeline {
         case other => fail(s"param '$name' must be a boolean, got $other")
       }
 
+    def bools(name: String,
+              default: Option[Seq[Boolean]] = None): Seq[Boolean] =
+      get(name, default) match {
+        case xs: Seq[_] if xs.forall(_.isInstanceOf[Boolean]) =>
+          xs.map(_.asInstanceOf[Boolean])
+        case other =>
+          fail(s"param '$name' must be a boolean list, got $other")
+      }
+
     def strs(name: String,
              default: Option[Seq[String]] = None): Seq[String] =
       get(name, default) match {
@@ -447,6 +456,84 @@ object Pipeline {
         val ts = p.str("ts_col", Some("ts"))
         val tpe = p.str("type_col", Some("event_type"))
         df => Events.funnel(df, steps, win, user, ts, tpe)
+      }),
+
+    // ---- generic relational steps: the grouped aggregate, the
+    // enrichment join/union against a path-named table, and
+    // order-by/limit (which Catalyst plans as TakeOrderedAndProject
+    // when adjacent — per-partition heaps, no global sort) ----
+
+    "aggregate" -> OpSpec(Set("group_cols", "aggs"), Set(),
+      p => {
+        val g = p.strs("group_cols") // empty list = global aggregate
+        val aggs = p.strs("aggs").map(parseEagerly)
+        require(aggs.nonEmpty, "pipeline op 'aggregate': aggs is empty")
+        df =>
+          if (g.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+          else df.groupBy(g.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }),
+
+    // exactly one of `on` (same-name using-columns) or `condition`
+    // (SQL over the aliased sides — the frame in flight is `l`, the
+    // loaded table `r`); broadcast=true pins the hint the way a
+    // dimension join at 100 TB wants it
+    "join_table" -> OpSpec(Set("path"),
+      Set("on", "condition", "how", "broadcast"),
+      p => {
+        val path = p.str("path")
+        val how = p.str("how", Some("inner"))
+        val bc = p.bool("broadcast", Some(false))
+        require(p.has("on") ^ p.has("condition"),
+          "pipeline op 'join_table': exactly one of 'on' / " +
+            "'condition' is required")
+        val onCols = if (p.has("on")) p.strs("on") else Nil
+        val condSql =
+          if (p.has("condition")) Some(p.str("condition")) else None
+        condSql.foreach(parseEagerly) // config-compile-time parse
+        df => {
+          val rightRaw = df.sparkSession.read.parquet(path)
+          val right = if (bc) broadcast(rightRaw) else rightRaw
+          condSql match {
+            case Some(sql) => df.as("l").join(right.as("r"),
+              expr(sql), how)
+            case None => df.join(right, onCols, how)
+          }
+        }
+      }),
+
+    "union_table" -> OpSpec(Set("path"),
+      Set("by_name", "allow_missing_columns"),
+      p => {
+        val path = p.str("path")
+        val byName = p.bool("by_name", Some(true))
+        val miss = p.bool("allow_missing_columns", Some(false))
+        require(byName || !miss,
+          "pipeline op 'union_table': allow_missing_columns needs " +
+            "by_name = true")
+        df => {
+          val other = df.sparkSession.read.parquet(path)
+          if (byName) df.unionByName(other, miss) else df.union(other)
+        }
+      }),
+
+    "order_by" -> OpSpec(Set("cols"), Set("descending"),
+      p => {
+        val cols_ = p.strs("cols")
+        require(cols_.nonEmpty,
+          "pipeline op 'order_by': cols must be non-empty")
+        val desc = p.bools("descending",
+          Some(Seq.fill(cols_.size)(false)))
+        require(desc.size == cols_.size,
+          "pipeline op 'order_by': descending must match cols")
+        df => df.orderBy(cols_.zip(desc).map { case (c, d) =>
+          if (d) col(c).desc else col(c).asc }: _*)
+      }),
+
+    "limit" -> OpSpec(Set("n"), Set(),
+      p => {
+        val n = p.int("n")
+        require(n >= 0, "pipeline op 'limit': n must be >= 0")
+        df => df.limit(n)
       }),
 
     // ---- embedding steps: the frame in flight carries the vector

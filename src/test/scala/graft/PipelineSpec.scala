@@ -1372,6 +1372,68 @@ class PipelineSpec extends AnyFunSuite {
       Events.topPaths(ev, 3, 20))
   }
 
+  test("relational steps: aggregate (grouped + global), join_table " +
+       "(using-cols / condition / broadcast hint in-plan), " +
+       "union_table, order_by + limit (TakeOrderedAndProject)") {
+    val s = spark
+    import s.implicits._
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(hrows(Pipeline.fromSteps(Seq(Step("aggregate",
+      Map("group_cols" -> Seq("l_returnflag"),
+        "aggs" -> Seq("count(1) as n")))))(li)) ==
+      hrows(li.groupBy(col("l_returnflag")).agg(expr("count(1) as n"))))
+    // empty group_cols = global aggregate
+    assert(Pipeline.fromSteps(Seq(Step("aggregate",
+      Map("group_cols" -> Seq.empty[String],
+        "aggs" -> Seq("count(1) as n")))))(li).head.getLong(0) ==
+      li.count())
+    // join_table: using-columns and condition forms agree
+    val base0 = java.nio.file.Files
+      .createTempDirectory("graft-cfg-rel")
+    val dimPath = base0.resolve("dim").toString
+    Seq(("A", 1L), ("N", 2L), ("R", 3L)).toDF("l_returnflag", "code")
+      .write.parquet(dimPath)
+    val byOn = Pipeline.fromSteps(Seq(Step("join_table",
+      Map("path" -> dimPath, "on" -> Seq("l_returnflag")))))(
+      li.select("l_orderkey", "l_returnflag"))
+    assert(byOn.columns.contains("code") &&
+      byOn.count() == li.count())
+    val byCond = Pipeline.fromSteps(Seq(Step("join_table",
+      Map("path" -> dimPath, "broadcast" -> true,
+        "condition" -> "l.l_returnflag = r.l_returnflag"))))(
+      li.select("l_orderkey", "l_returnflag"))
+    assert(byCond.count() == li.count())
+    // the broadcast hint is attached (the optimizer folds the
+    // ResolvedHint node into the Join's hint field)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    assert(byCond.queryExecution.analyzed.toString
+      .contains("ResolvedHint"))
+    assert(byCond.queryExecution.optimizedPlan.collect {
+      case j: LJoin => j.hint.rightHint.isDefined
+    }.contains(true))
+    // exactly one of on/condition, at compile time
+    assertThrows[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("join_table",
+        Map("path" -> dimPath))))
+    }
+    // union_table: by-name survives column reorder
+    val otherPath = base0.resolve("other").toString
+    Seq((9L, "Z")).toDF("code", "l_returnflag").write.parquet(otherPath)
+    val unioned = Pipeline.fromSteps(Seq(Step("union_table",
+      Map("path" -> otherPath))))(
+      Seq(("A", 1L)).toDF("l_returnflag", "code"))
+    assert(hrows(unioned) == Set(Seq("A", 1L), Seq("Z", 9L)))
+    // order_by + limit compose into TakeOrderedAndProject
+    val topk = Pipeline.fromSteps(Seq(
+      Step("order_by", Map("cols" -> Seq("l_extendedprice",
+        "l_orderkey"), "descending" -> Seq(true, false))),
+      Step("limit", Map("n" -> 5L))))(li)
+    topk.collect()
+    assert(ScaleOpsSpec.finalPlan(topk).contains("TakeOrderedAndProject"))
+  }
+
   test("embedding steps replay their hand-written twins: " +
        "cosine_topk (queries by path) / sem_dedup / " +
        "embedding_outliers / mean_pool_by_key") {
