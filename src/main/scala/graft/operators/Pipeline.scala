@@ -1503,6 +1503,145 @@ object Pipeline {
         }
       }),
 
+    // stateful streaming tranche 4: the remaining per-user
+    // flatMapGroupsWithState operators behind config. All take the
+    // events-table column shape (user_id / event_id / ts /
+    // value / event_type) and the mandatory watermark; each is
+    // batch-parity spec'd at the operator level, and the config
+    // bodies are pure typed-view adapters
+    "funnel_watermarked" -> OpSpec(
+      Set("watermark_delay", "steps", "window_seconds"),
+      Set("emitted_retention_seconds"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val steps = p.strs("steps")
+        val win = p.long("window_seconds")
+        val ret =
+          if (p.has("emitted_retention_seconds"))
+            Some(p.long("emitted_retention_seconds"))
+          else Some(7L * 24 * 3600)
+        df => {
+          val ss = df.sparkSession
+          import ss.implicits._
+          graft.streaming.StreamOps.funnelStream(
+            df.withWatermark("ts", wm)
+              .select(col("user_id").cast("long").as("user_id"),
+                col("event_type").cast("string").as("event_type"),
+                col("ts"))
+              .as[graft.streaming.StreamOps.FunnelEvent],
+            steps, win, ret).toDF()
+        }
+      }),
+
+    "gap_fill_watermarked" -> OpSpec(Set("watermark_delay"),
+      Set("period_seconds", "idle_retention_seconds"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val per = p.long("period_seconds", Some(21600L))
+        val idle =
+          if (p.has("idle_retention_seconds"))
+            Some(p.long("idle_retention_seconds"))
+          else None
+        df => {
+          val ss = df.sparkSession
+          import ss.implicits._
+          graft.streaming.StreamOps.gapFillStream(
+            df.withWatermark("ts", wm)
+              .select(col("user_id").cast("long").as("user_id"),
+                col("event_id").cast("long").as("event_id"),
+                col("ts"), col("value").cast("double").as("value"))
+              .as[graft.streaming.StreamOps.GapEvent],
+            per, idle).toDF()
+        }
+      }),
+
+    "rolling_anomalies_watermarked" -> OpSpec(Set("watermark_delay"),
+      Set("n_prior", "min_prior", "z_threshold",
+        "idle_retention_seconds"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val n = p.int("n_prior", Some(20))
+        val m = p.int("min_prior", Some(8))
+        val z = p.dbl("z_threshold", Some(3.0))
+        val idle =
+          if (p.has("idle_retention_seconds"))
+            Some(p.long("idle_retention_seconds"))
+          else None
+        df => {
+          val ss = df.sparkSession
+          import ss.implicits._
+          graft.streaming.StreamOps.rollingAnomaliesStream(
+            df.withWatermark("ts", wm)
+              .select(col("user_id").cast("long").as("user_id"),
+                col("event_id").cast("long").as("event_id"),
+                col("ts"), col("value").cast("double").as("value"))
+              .as[graft.streaming.StreamOps.AnomEvent],
+            n, m, z, idle).toDF()
+        }
+      }),
+
+    "decayed_activity_watermarked" -> OpSpec(Set("watermark_delay"),
+      Set("max_events", "decay", "idle_retention_seconds"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val n = p.int("max_events", Some(8))
+        val d = p.dbl("decay", Some(0.5))
+        val idle =
+          if (p.has("idle_retention_seconds"))
+            Some(p.long("idle_retention_seconds"))
+          else None
+        df => {
+          val ss = df.sparkSession
+          import ss.implicits._
+          graft.streaming.StreamOps.decayedActivityStream(
+            df.withWatermark("ts", wm)
+              .select(col("user_id").cast("long").as("user_id"),
+                col("event_id").cast("long").as("event_id"),
+                col("ts"), col("value").cast("double").as("value"))
+              .as[graft.streaming.StreamOps.AnomEvent],
+            n, d, idle).toDF()
+        }
+      }),
+
+    "top_paths_watermarked" -> OpSpec(Set("watermark_delay"),
+      Set("k", "type_col"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val k = p.int("k", Some(3))
+        val tp = p.str("type_col", Some("event_type"))
+        df => {
+          val ss = df.sparkSession
+          import ss.implicits._
+          graft.streaming.StreamOps.topPathsStream(
+            df.withWatermark("ts", wm)
+              .select(col("user_id").cast("long").as("user_id"),
+                col("event_id").cast("long").as("event_id"),
+                col("ts"), col(tp).cast("string").as("value"))
+              .as[graft.streaming.StreamOps.Scd2Event], k).toDF()
+        }
+      }),
+
+    "transition_pairs_watermarked" -> OpSpec(Set("watermark_delay"),
+      Set("idle_retention_seconds", "type_col"),
+      p => {
+        val wm = p.str("watermark_delay")
+        val tp = p.str("type_col", Some("event_type"))
+        val idle =
+          if (p.has("idle_retention_seconds"))
+            Some(p.long("idle_retention_seconds"))
+          else None
+        df => {
+          val ss = df.sparkSession
+          import ss.implicits._
+          graft.streaming.StreamOps.transitionPairsStream(
+            df.withWatermark("ts", wm)
+              .select(col("user_id").cast("long").as("user_id"),
+                col("event_id").cast("long").as("event_id"),
+                col("ts"), col(tp).cast("string").as("value"))
+              .as[graft.streaming.StreamOps.Scd2Event], idle).toDF()
+        }
+      }),
+
     // ---- multimodal steps: the asset pipeline's config surface ----
 
     // wrap a payload column as the (id, content, meta) asset table —
@@ -2389,6 +2528,9 @@ object Pipeline {
     "windowed_quantiles_watermarked", "trending_tokens_watermarked",
     "host_graph_windowed", "sessionize_watermarked",
     "kl_drift_watermarked", "scd2_watermarked",
+    "funnel_watermarked", "gap_fill_watermarked",
+    "rolling_anomalies_watermarked", "decayed_activity_watermarked",
+    "top_paths_watermarked", "transition_pairs_watermarked",
     // per-row multimodal plumbing
     "as_assets", "decode_features",
     // data contracts: a schema check and a stateless assert filter

@@ -3364,6 +3364,117 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaCfg == direct && viaCfg.nonEmpty)
   }
 
+  test("stateful streaming tranche 4: funnel / gap_fill / " +
+       "rolling_anomalies / decayed_activity / top_paths / " +
+       "transition_pairs config steps equal their direct stream " +
+       "operators on the same feeds") {
+    import graft.operators.Pipeline
+    import graft.streaming.StreamOps
+    import StreamOps.{AnomEvent, FunnelEvent, Scd2Event}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    var n = 0
+    def run[T <: Product : org.apache.spark.sql.Encoder](
+        feed: Seq[Seq[T]],
+        mk: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame,
+        mode: String): Set[Seq[Any]] = {
+      n += 1
+      val name = s"t4_$n"
+      val input = MemoryStream[T]
+      val q = mk(input.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode(mode).start()
+      feed.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      s.sql(s"select * from $name").collect().map(_.toSeq.map {
+        case null => null
+        case v => v
+      }).toSet
+    }
+    def ts(t: String) = Timestamp.valueOf(t)
+    def both[T <: Product : org.apache.spark.sql.Encoder](
+        feed: Seq[Seq[T]], cfgJson: String,
+        direct: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame,
+        mode: String = "append"): Unit = {
+      val viaCfg = run(feed, Pipeline.fromJsonStreaming(cfgJson), mode)
+      val viaDirect = run(feed, direct, mode)
+      assert(viaCfg == viaDirect && viaCfg.nonEmpty, cfgJson)
+    }
+    // funnel: signup -> purchase within the hour, plus sentinels
+    val funnelFeed = Seq(
+      Seq(FunnelEvent(1, "signup", ts("2024-01-01 00:00:00")),
+        FunnelEvent(1, "purchase", ts("2024-01-01 00:30:00")),
+        FunnelEvent(2, "signup", ts("2024-01-01 00:10:00"))),
+      Seq(FunnelEvent(9, "signup", ts("2024-01-03 00:00:00"))),
+      Seq(FunnelEvent(9, "signup", ts("2024-01-05 00:00:00"))))
+    both(funnelFeed,
+      """[{"op": "funnel_watermarked",
+        |  "params": {"watermark_delay": "30 minutes",
+        |             "steps": ["signup", "purchase"],
+        |             "window_seconds": 3600}}]""".stripMargin,
+      df => StreamOps.funnelStream(
+        df.withWatermark("ts", "30 minutes").as[FunnelEvent],
+        Seq("signup", "purchase"), 3600L).toDF())
+    // the (user, id, ts, value) feed serves gap_fill / anomalies /
+    // decayed activity
+    val valFeed = Seq(
+      Seq(AnomEvent(7, 1, ts("2024-01-01 00:00:00"), 10.0),
+        AnomEvent(7, 2, ts("2024-01-01 06:30:00"), 16.0),
+        AnomEvent(7, 3, ts("2024-01-01 13:00:00"), 100.0)),
+      Seq(AnomEvent(9, 9, ts("2024-01-04 00:00:00"), 1.0)),
+      Seq(AnomEvent(9, 10, ts("2024-01-08 00:00:00"), 1.0)))
+    both(valFeed,
+      """[{"op": "gap_fill_watermarked",
+        |  "params": {"watermark_delay": "1 hour",
+        |             "period_seconds": 21600}}]""".stripMargin,
+      df => StreamOps.gapFillStream(
+        df.withWatermark("ts", "1 hour").as[StreamOps.GapEvent],
+        21600L).toDF())
+    both(valFeed,
+      """[{"op": "rolling_anomalies_watermarked",
+        |  "params": {"watermark_delay": "1 hour",
+        |             "n_prior": 2, "min_prior": 2,
+        |             "z_threshold": 1.0}}]""".stripMargin,
+      df => StreamOps.rollingAnomaliesStream(
+        df.withWatermark("ts", "1 hour").as[AnomEvent],
+        2, 2, 1.0).toDF())
+    both(valFeed,
+      """[{"op": "decayed_activity_watermarked",
+        |  "params": {"watermark_delay": "1 hour",
+        |             "max_events": 4}}]""".stripMargin,
+      df => StreamOps.decayedActivityStream(
+        df.withWatermark("ts", "1 hour").as[AnomEvent],
+        4).toDF(),
+      mode = "update") // the operator REFRESHES per-user scores
+    // the typed (user, id, ts, value) path feed serves top_paths /
+    // transition_pairs; the config maps event_type into the shape
+    val pathFeed = Seq(
+      Seq(Scd2Event(1, 1, ts("2024-01-01 00:00:00"), "view"),
+        Scd2Event(1, 2, ts("2024-01-01 00:05:00"), "click"),
+        Scd2Event(1, 3, ts("2024-01-01 00:10:00"), "purchase"),
+        Scd2Event(1, 4, ts("2024-01-01 00:15:00"), "view")),
+      Seq(Scd2Event(9, 9, ts("2024-01-04 00:00:00"), "view")),
+      Seq(Scd2Event(9, 10, ts("2024-01-08 00:00:00"), "view")))
+    val pathCfgIn: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame =
+      df => df.select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("event_type"))
+    both(pathFeed,
+      """[{"op": "top_paths_watermarked",
+        |  "params": {"watermark_delay": "1 hour", "k": 3,
+        |             "type_col": "value"}}]""".stripMargin,
+      df => StreamOps.topPathsStream(
+        df.withWatermark("ts", "1 hour").as[Scd2Event], 3).toDF())
+    both(pathFeed,
+      """[{"op": "transition_pairs_watermarked",
+        |  "params": {"watermark_delay": "1 hour",
+        |             "type_col": "value"}}]""".stripMargin,
+      df => StreamOps.transitionPairsStream(
+        df.withWatermark("ts", "1 hour").as[Scd2Event]).toDF())
+  }
+
   test("kl_drift_watermarked: the stateful drift config step scores " +
        "closed windows against the persisted reference exactly like " +
        "the direct klDriftStream") {
