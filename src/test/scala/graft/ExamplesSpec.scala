@@ -110,6 +110,18 @@ class ExamplesSpec extends AnyFunSuite {
     assert(bySource.values.forall(_ <= 200))
   }
 
+  test("examples/dimension_enrich.json: broadcast enrichment joins " +
+       "+ rollup + top-k, end to end") {
+    val out = Pipeline.runJson(spark,
+      read("dimension_enrich.json").replace("__TESTDATA__", dir))
+    assert(out.columns.toSeq == Seq("n_name", "revenue", "n_orders"))
+    val rows = out.collect()
+    assert(rows.length == 10 && rows.length <= 10)
+    // descending revenue order held through the limit
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("examples/audited_recipe.json: quarantined contract + audit " +
        "report, end to end") {
     val base = java.nio.file.Files
