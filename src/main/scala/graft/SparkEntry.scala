@@ -4181,6 +4181,132 @@ $joins"""
            |    ["l_orderkey", "l_linenumber", "l_extendedprice"]}}
            |]""".stripMargin)),
 
+    // the join-family config surface: the as-of self-join (purchase ←
+    // latest prior click) from pure JSON under q_events_asof's oracle
+    // verbatim — right_filter/right_renames express the same-table
+    // self-join the hand-written twin builds in Scala
+    "q_pipeline_asof" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "events"}},
+           |  {"op": "filter",
+           |   "params": {"condition": "event_type = 'purchase'"}},
+           |  {"op": "asof_join",
+           |   "params": {"path": "$dir/events.parquet",
+           |              "right_filter": "event_type = 'click'",
+           |              "right_renames": [["event_id", "click_id"]],
+           |              "key_col": "user_id", "ts_col": "ts",
+           |              "left_cols": ["event_id"],
+           |              "right_cols": ["click_id"]}},
+           |  {"op": "select",
+           |   "params": {"cols": ["user_id", "event_id", "click_id"]}}
+           |]""".stripMargin)),
+
+    // time-bin-bucketed range join from config — q_events_range's
+    // oracle verbatim
+    "q_pipeline_range" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "events"}},
+           |  {"op": "filter",
+           |   "params": {"condition": "event_type = 'purchase'"}},
+           |  {"op": "range_join",
+           |   "params": {"path": "$dir/events.parquet",
+           |              "right_filter": "event_type = 'click'",
+           |              "right_renames": [["event_id", "click_id"]],
+           |              "key_col": "user_id", "ts_col": "ts",
+           |              "lower_seconds": 3600, "upper_seconds": 0,
+           |              "left_cols": ["event_id"],
+           |              "right_cols": ["click_id"]}},
+           |  {"op": "select",
+           |   "params": {"cols": ["user_id", "event_id", "click_id"]}}
+           |]""".stripMargin)),
+
+    // bloom-reduced fact filter + broadcast dim join from config —
+    // q_join_bloom's oracle verbatim (bloom has no false negatives,
+    // so the result equals the plain join row-for-row)
+    "q_pipeline_bloom" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "orders"}},
+           |  {"op": "select",
+           |   "params": {"cols": ["o_custkey", "o_totalprice"]}},
+           |  {"op": "bloom_join",
+           |   "params": {"path": "$dir/customer.parquet",
+           |              "right_filter": "c_mktsegment = 'BUILDING'",
+           |              "fact_key": "o_custkey",
+           |              "dim_key": "c_custkey"}},
+           |  {"op": "join_table",
+           |   "params": {"path": "$dir/nation.parquet",
+           |              "condition": "l.c_nationkey = r.n_nationkey",
+           |              "broadcast": true}},
+           |  {"op": "aggregate",
+           |   "params": {"group_cols": ["n_name"],
+           |              "aggs": [
+           |      "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as revenue",
+           |      "count(1) as n_orders"]}}
+           |]""".stripMargin)),
+
+    // skew-salted join from config: must equal the plain join —
+    // q_join_revenue's oracle verbatim, like its hand-written twin
+    "q_pipeline_salted" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "orders"}},
+           |  {"op": "select",
+           |   "params": {"cols": ["o_custkey", "o_totalprice"]}},
+           |  {"op": "salted_join",
+           |   "params": {"path": "$dir/customer.parquet",
+           |              "right_renames": [["c_custkey", "o_custkey"]],
+           |              "on": ["o_custkey"], "salt_factor": 8}},
+           |  {"op": "join_table",
+           |   "params": {"path": "$dir/nation.parquet",
+           |              "condition": "l.c_nationkey = r.n_nationkey",
+           |              "broadcast": true}},
+           |  {"op": "aggregate",
+           |   "params": {"group_cols": ["n_name"],
+           |              "aggs": [
+           |      "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as revenue",
+           |      "count(1) as n_orders"]}}
+           |]""".stripMargin)),
+
+    // the pre-join skew diagnostic from config — q_join_skewreport's
+    // oracle verbatim
+    "q_pipeline_skewreport" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "key_skew_report",
+           |   "params": {"keys": ["l_suppkey"], "top_n": 10}}
+           |]""".stripMargin)),
+
+    // two-stage salted aggregation from config: the decimal value
+    // column makes the re-associated sum exact, so the two-stage
+    // result is hash-identical to the one-stage oracle
+    "q_pipeline_salted_stats" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "qty",
+           |              "expr": "cast(l_quantity as decimal(18,2))"}},
+           |  {"op": "salted_stats",
+           |   "params": {"keys": ["l_returnflag"], "value_col": "qty",
+           |              "salt_factor": 8}},
+           |  {"op": "with_column",
+           |   "params": {"name": "sum", "expr": "cast(sum as double)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "min", "expr": "cast(min as double)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "max", "expr": "cast(max as double)"}}
+           |]""".stripMargin)),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -8702,6 +8828,18 @@ FROM dm GROUP BY 1, 2"""
           |       CAST(ceil(octet_length(encode(text)) / 64.0) AS INT), 1))) AS t(i)
           |WHERE i % 3 = 0""".stripMargin,
 
+      // the two-stage salted aggregate re-associates the sum, so the
+      // value column is decimal end-to-end (exact, order-independent)
+      // and only the final presentation casts to double
+      "q_pipeline_salted_stats" ->
+        """SELECT l_returnflag,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS "sum",
+          |  CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS "min",
+          |  CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS "max"
+          |FROM lineitem
+          |GROUP BY 1""".stripMargin,
+
       "q_agg_pricing" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -8957,6 +9095,13 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_clusters" -> base("q_dedup_clusters")) +
       ("q_pipeline_join" -> base("q_join_revenue")) +
       ("q_pipeline_topk" -> base("q_sort_topk")) +
+      ("q_pipeline_asof" -> base("q_events_asof")) +
+      ("q_pipeline_range" -> base("q_events_range")) +
+      ("q_pipeline_bloom" -> base("q_join_bloom")) +
+      // a salted join must equal the plain join row-for-row, so the
+      // replay shares q_join_revenue's oracle like its twin does
+      ("q_pipeline_salted" -> base("q_join_revenue")) +
+      ("q_pipeline_skewreport" -> base("q_join_skewreport")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))

@@ -150,6 +150,25 @@ object Pipeline {
           fail(s"param '$name' must be a list of [name, parts] " +
             s"pairs, got $other")
       }
+
+    /** `[[from, to], ...]` string pairs — ordered (renames apply in
+      * config order, so a swap chain behaves like successive
+      * `withColumnRenamed` calls). */
+    def strPairs(name: String,
+                 default: Option[Seq[(String, String)]] = None):
+        Seq[(String, String)] =
+      get(name, default) match {
+        case xs: Seq[_] => xs.map {
+          case Seq(a: String, b: String) => (a, b)
+          case (a: String, b: String) => (a, b)
+          case other =>
+            fail(s"param '$name' entries must be [from, to] string " +
+              s"pairs, got $other")
+        }
+        case other =>
+          fail(s"param '$name' must be a list of [from, to] string " +
+            s"pairs, got $other")
+      }
   }
 
   /** A registry entry: the parameter contract plus the operator
@@ -534,6 +553,105 @@ object Pipeline {
         val n = p.int("n")
         require(n >= 0, "pipeline op 'limit': n must be >= 0")
         df => df.limit(n)
+      }),
+
+    // ---- join-family steps beyond the plain enrichment join: the
+    // time-correlation joins (as-of, range) and the scale-hardened
+    // equi-join forms (salted, bloom-reduced) against a path-named
+    // table. The frame in flight is always the left/fact/big side.
+    // The loaded side takes an optional compile-parsed row filter
+    // plus ordered renames, so a reviewed config can express the
+    // same-table self-joins the hand-written twins use without a
+    // second pipeline ----
+
+    // point-in-time enrichment: each left row gets the latest right
+    // row with the same key and right_ts <= left_ts (one shuffle of
+    // |L|+|R| keyed rows — AsOfJoin's running-window composition)
+    "asof_join" -> OpSpec(
+      Set("path", "key_col", "ts_col", "left_cols", "right_cols"),
+      Set("right_filter", "right_renames"),
+      p => {
+        val path = p.str("path")
+        val (key, ts) = (p.str("key_col"), p.str("ts_col"))
+        val (lc, rc) = (p.strs("left_cols"), p.strs("right_cols"))
+        val filt = sideFilter(p)
+        val ren = p.strPairs("right_renames", Some(Nil))
+        df => AsOfJoin.asOfJoin(df, loadSide(df, path, filt, ren),
+          key, ts, lc, rc)
+      }),
+
+    // interval correlation: all (left, right) pairs with the same key
+    // and right_ts in [left_ts - lower, left_ts + upper] seconds —
+    // time-bin bucketed so hot time RANGES spread across (key, bin)
+    // buckets instead of degenerating to a per-key cross product
+    "range_join" -> OpSpec(
+      Set("path", "key_col", "ts_col", "lower_seconds",
+        "upper_seconds", "left_cols", "right_cols"),
+      Set("right_filter", "right_renames"),
+      p => {
+        val path = p.str("path")
+        val (key, ts) = (p.str("key_col"), p.str("ts_col"))
+        val (lo, hi) = (p.long("lower_seconds"), p.long("upper_seconds"))
+        val (lc, rc) = (p.strs("left_cols"), p.strs("right_cols"))
+        val filt = sideFilter(p)
+        val ren = p.strPairs("right_renames", Some(Nil))
+        df => RangeJoin.rangeJoin(df, loadSide(df, path, filt, ren),
+          key, ts, lo, hi, lc, rc)
+      }),
+
+    // skew-salted equi-join: the frame in flight (big side) gets a
+    // content-derived salt, the loaded (small) side replicates
+    // salt_factor times, so one hot key splits across salt_factor
+    // reducers; result equals the plain join row-for-row
+    "salted_join" -> OpSpec(Set("path", "on", "salt_factor"),
+      Set("right_filter", "right_renames"),
+      p => {
+        val path = p.str("path")
+        val keys = p.strs("on")
+        val factor = p.int("salt_factor")
+        val filt = sideFilter(p)
+        val ren = p.strPairs("right_renames", Some(Nil))
+        df => Skew.saltedJoin(df, loadSide(df, path, filt, ren),
+          keys, factor)
+      }),
+
+    // bloom-reduced equi-join: the loaded (dimension) side is
+    // sketched into a bloom filter and the frame in flight (fact
+    // side) is might_contain-filtered BEFORE its shuffle — exact for
+    // inner/left_semi (no false negatives), false positives only
+    // cost shuffle rows
+    "bloom_join" -> OpSpec(Set("path", "fact_key", "dim_key"),
+      Set("fpp", "how", "right_filter", "right_renames"),
+      p => {
+        val path = p.str("path")
+        val (fk, dk) = (p.str("fact_key"), p.str("dim_key"))
+        val fpp = p.dbl("fpp", Some(0.01))
+        val how = p.str("how", Some("inner"))
+        val filt = sideFilter(p)
+        val ren = p.strPairs("right_renames", Some(Nil))
+        df => Joins.bloomReducedJoin(df,
+          loadSide(df, path, filt, ren), fk, dk, fpp, how)
+      }),
+
+    // the diagnostic to run BEFORE a big join: top keys, shares, and
+    // the max/mean ratio that floors a salted_join factor
+    "key_skew_report" -> OpSpec(Set("keys"), Set("top_n"),
+      p => {
+        val keys = p.strs("keys")
+        val topN = p.int("top_n", Some(20))
+        df => Skew.keySkewReport(df, keys, topN)
+      }),
+
+    // two-stage (salted) aggregation of re-aggregatable statistics:
+    // exact for count/min/max and integral or decimal sums — pass a
+    // decimal value column when the sum must be order-independent
+    "salted_stats" -> OpSpec(Set("keys", "value_col", "salt_factor"),
+      Set(),
+      p => {
+        val keys = p.strs("keys")
+        val v = p.str("value_col")
+        val factor = p.int("salt_factor")
+        df => Skew.saltedStats(df, keys, v, factor)
       }),
 
     // ---- embedding steps: the frame in flight carries the vector
@@ -2739,6 +2857,45 @@ object Pipeline {
           "path-safe ([A-Za-z0-9_-]+)")
       Some(s"$base/gate=$tag")
     }
+
+  /** The join-family steps' optional loaded-side row filter,
+    * compile-parsed so a typo throws at config time. */
+  private def sideFilter(p: Params): Option[String] = {
+    val filt =
+      if (p.has("right_filter")) Some(p.str("right_filter")) else None
+    filt.foreach(parseEagerly)
+    filt
+  }
+
+  /** Load the path-named side of a join-family step, applying the
+    * optional filter and ordered renames. Renames are loud on a
+    * missing column — `withColumnRenamed` alone silently no-ops,
+    * which would surface later as an AMBIGUOUS_REFERENCE or a wrong
+    * join key instead of naming the config mistake.
+    *
+    * TIMESTAMP_NTZ columns normalize to session-zone timestamps the
+    * way the `read_table` source does ([[graft.sources.Sources]]):
+    * the as-of/range steps compare this side's ts against the frame
+    * in flight, and a parquet file written with
+    * isAdjustedToUTC=false would otherwise type-mismatch (or
+    * silently shift) against the normalized left side. */
+  private def loadSide(df: DataFrame, path: String,
+                       filterSql: Option[String],
+                       renames: Seq[(String, String)]): DataFrame = {
+    val raw = df.sparkSession.read.parquet(path)
+    val base = raw.schema.fields.collect {
+      case f if f.dataType ==
+        org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(raw)((d, c) =>
+      d.withColumn(c, col(c).cast("timestamp")))
+    val filtered = filterSql.map(s => base.filter(expr(s))).getOrElse(base)
+    renames.foldLeft(filtered) { case (d, (from, to)) =>
+      require(d.columns.contains(from),
+        s"right_renames: no column '$from' in $path " +
+          s"(have: ${d.columns.mkString(", ")})")
+      d.withColumnRenamed(from, to)
+    }
+  }
 
   /** `expr()` with the parse forced NOW: the unified Column surface
     * defers SQL parsing to plan attachment, which would turn a config

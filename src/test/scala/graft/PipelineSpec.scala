@@ -1758,4 +1758,117 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(viaCfg == Set(("example.com", "other.org")))
   }
+
+  // ---- join-family registry steps ----
+
+  test("join-family steps validate eagerly: unknown params, missing " +
+       "required params, a malformed right_filter, and malformed " +
+       "right_renames all throw at compile time naming themselves") {
+    val good: Seq[(String, Map[String, Any])] = Seq(
+      "asof_join" -> Map("path" -> "/tmp/x", "key_col" -> "k",
+        "ts_col" -> "ts", "left_cols" -> Seq("a"),
+        "right_cols" -> Seq("b")),
+      "range_join" -> Map("path" -> "/tmp/x", "key_col" -> "k",
+        "ts_col" -> "ts", "lower_seconds" -> 60L,
+        "upper_seconds" -> 0L, "left_cols" -> Seq("a"),
+        "right_cols" -> Seq("b")),
+      "salted_join" -> Map("path" -> "/tmp/x", "on" -> Seq("k"),
+        "salt_factor" -> 8L),
+      "bloom_join" -> Map("path" -> "/tmp/x", "fact_key" -> "k",
+        "dim_key" -> "k2"),
+      "key_skew_report" -> Map("keys" -> Seq("k")),
+      "salted_stats" -> Map("keys" -> Seq("k"), "value_col" -> "v",
+        "salt_factor" -> 4L))
+    good.foreach { case (op, params) =>
+      val unknown = intercept[IllegalArgumentException] {
+        Pipeline.fromSteps(Seq(Step(op, params + ("bogus" -> "v"))))
+      }
+      assert(unknown.getMessage.contains("unknown params") &&
+        unknown.getMessage.contains("bogus"), op)
+      val missing = intercept[IllegalArgumentException] {
+        Pipeline.fromSteps(Seq(Step(op)))
+      }
+      assert(missing.getMessage.contains("missing required"), op)
+    }
+    // a right_filter typo is a COMPILE-time parse error — before any
+    // DataFrame flows, like every other config-surfaced expression
+    assertThrows[org.apache.spark.sql.catalyst.parser.ParseException] {
+      Pipeline.fromSteps(Seq(Step("asof_join",
+        good.head._2 + ("right_filter" -> "event_type ==== 'x'"))))
+    }
+    // malformed right_renames entries name the expected shape
+    val badPairs = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("asof_join",
+        good.head._2 + ("right_renames" -> Seq(Seq("only_one"))))))
+    }
+    assert(badPairs.getMessage.contains("[from, to]"))
+  }
+
+  test("join-family loaded side: renaming a missing column fails " +
+       "loudly, naming the column and the path") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val fn = Pipeline.fromSteps(Seq(Step("salted_join", Map(
+      "path" -> s"$dir/events.parquet",
+      "right_renames" -> Seq(Seq("no_such_col", "x")),
+      "on" -> Seq("user_id"), "salt_factor" -> 2L))))
+    val e = intercept[IllegalArgumentException] {
+      fn(events).collect()
+    }
+    assert(e.getMessage.contains("no_such_col") &&
+      e.getMessage.contains("events.parquet"))
+  }
+
+  test("asof_join / range_join steps compile to their operators' " +
+       "exact chains (purchase <- click self-join)") {
+    // through Sources.table like the harness read_table step: the
+    // loaded-side NTZ normalization must line up with it
+    val events = graft.sources.Sources.table(spark, dir, "events")
+    def key(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    val purchases = events.filter(col("event_type") === "purchase")
+    val clicks = events.filter(col("event_type") === "click")
+      .withColumnRenamed("event_id", "click_id")
+
+    val wantAsof = key(graft.operators.AsOfJoin.asOfJoin(
+        purchases, clicks, "user_id", "ts",
+        Seq("event_id"), Seq("click_id"))
+      .select("user_id", "event_id", "click_id"))
+    val gotAsof = key(Pipeline.fromJson(
+      s"""[
+         |  {"op": "filter",
+         |   "params": {"condition": "event_type = 'purchase'"}},
+         |  {"op": "asof_join",
+         |   "params": {"path": "$dir/events.parquet",
+         |              "right_filter": "event_type = 'click'",
+         |              "right_renames": [["event_id", "click_id"]],
+         |              "key_col": "user_id", "ts_col": "ts",
+         |              "left_cols": ["event_id"],
+         |              "right_cols": ["click_id"]}},
+         |  {"op": "select",
+         |   "params": {"cols": ["user_id", "event_id", "click_id"]}}
+         |]""".stripMargin)(events))
+    assert(gotAsof == wantAsof && gotAsof.nonEmpty)
+
+    val wantRange = key(graft.operators.RangeJoin.rangeJoin(
+        purchases, clicks, "user_id", "ts", 3600L, 0L,
+        Seq("event_id"), Seq("click_id"))
+      .select("user_id", "event_id", "click_id"))
+    val gotRange = key(Pipeline.fromJson(
+      s"""[
+         |  {"op": "filter",
+         |   "params": {"condition": "event_type = 'purchase'"}},
+         |  {"op": "range_join",
+         |   "params": {"path": "$dir/events.parquet",
+         |              "right_filter": "event_type = 'click'",
+         |              "right_renames": [["event_id", "click_id"]],
+         |              "key_col": "user_id", "ts_col": "ts",
+         |              "lower_seconds": 3600, "upper_seconds": 0,
+         |              "left_cols": ["event_id"],
+         |              "right_cols": ["click_id"]}},
+         |  {"op": "select",
+         |   "params": {"cols": ["user_id", "event_id", "click_id"]}}
+         |]""".stripMargin)(events))
+    assert(gotRange == wantRange && gotRange.nonEmpty)
+  }
 }
