@@ -2972,6 +2972,22 @@ $joins"""
         "src", "dst", iters = 3)
     }),
 
+    // multi-source BFS radius from the vetted supplier seed slice
+    // over the undirected supplier-part graph: dist 0 the seeds,
+    // dist 1 their parts, dist 2 co-suppliers, dist 3 those
+    // suppliers' parts; unreached nodes absent. The oracle replays
+    // the same frontier expansion as a recursive CTE with min-dist
+    "q_graph_bfs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Graph.bfsDistances(
+        li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 10000000L).cast("long").as("dst")),
+        "src", "dst",
+        li.filter(col("l_suppkey") % 17 === 0)
+          .select(col("l_suppkey").cast("long").as("node")),
+        "node", maxHops = 3)
+    }),
+
     // Adamic-Adar link prediction over the same (folded-undirected)
     // supplier-part graph: top-20 non-edges by rare-common-neighbor
     // mass; hub centers above degree 64 skip (the bounded-wedge
@@ -4305,6 +4321,27 @@ $joins"""
            |   "params": {"name": "min", "expr": "cast(min as double)"}},
            |  {"op": "with_column",
            |   "params": {"name": "max", "expr": "cast(max as double)"}}
+           |]""".stripMargin)),
+
+    // multi-source BFS from config: edges built by expression steps,
+    // seeds a filter over the edge frame — q_graph_bfs's oracle
+    // verbatim
+    "q_pipeline_bfs" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "bfs_distances",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "seed_condition": "src % 17 = 0",
+           |              "seed_col": "src", "max_hops": 3}}
            |]""".stripMargin)),
 
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
@@ -7677,6 +7714,30 @@ $joins"""
       // discipline — see pageRankOracleSql
       "q_graph_pagerank" -> pageRankOracleSql(3, 0.85),
 
+      // the same frontier expansion as a recursive CTE: walk holds
+      // every (node, walk length ≤ 3) pair — bounded by 4 rows per
+      // node — and min over walk lengths IS the BFS distance
+      "q_graph_bfs" ->
+        """WITH RECURSIVE
+          |g AS MATERIALIZED (
+          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+          |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
+          |  FROM lineitem),
+          |sym AS MATERIALIZED (
+          |  SELECT src, dst FROM g
+          |  UNION
+          |  SELECT dst AS src, src AS dst FROM g),
+          |walk(node, dist) AS (
+          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS node,
+          |         0 AS dist
+          |  FROM lineitem WHERE l_suppkey % 17 = 0
+          |  UNION
+          |  SELECT e.dst AS node, w.dist + 1 AS dist
+          |  FROM walk w JOIN sym e ON e.src = w.node
+          |  WHERE w.dist < 3)
+          |SELECT node, CAST(min(dist) AS INT) AS dist
+          |FROM walk GROUP BY 1""".stripMargin,
+
       "q_graph_pagerank_hosts" ->
         weightedPageRankHostsOracleSql(3, 0.85),
 
@@ -9102,6 +9163,7 @@ FROM dm GROUP BY 1, 2"""
       // replay shares q_join_revenue's oracle like its twin does
       ("q_pipeline_salted" -> base("q_join_revenue")) +
       ("q_pipeline_skewreport" -> base("q_join_skewreport")) +
+      ("q_pipeline_bfs" -> base("q_graph_bfs")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))

@@ -889,4 +889,63 @@ object Graph {
         min(valid).as("__ok"))
       .filter(col("__ok")).drop("__ok")
   }
+
+  /** Multi-source BFS: minimum hop count from any seed node, out to
+    * `maxHops` — reachability with provenance radius (how many link
+    * steps a page sits from a trusted seed set), the unweighted
+    * complement to [[personalizedPageRank]]'s proximity mass.
+    *
+    * Semantics: dist(v) = min hops from ANY seed over the (optionally
+    * symmetrized) distinct edge set; seeds are dist 0; nodes the
+    * frontier never reaches within `maxHops` are ABSENT from the
+    * output. Self-loops are dropped (they never change a BFS
+    * distance). Node keys keep the edge columns' native type; seeds
+    * must be the same type (callers cast upstream).
+    *
+    * Scale design: hop k is ONE shuffle — the frontier (nodes FIRST
+    * reached at hop k−1, never the full visited set) joins the
+    * checkpointed adjacency list keyed by source, dedups by node, and
+    * anti-joins the visited set. Work per hop ∝ edges incident to the
+    * frontier; nothing is ever all-pairs and nothing corpus-sized
+    * reaches the driver (the per-hop early-exit probe is one boolean
+    * `isEmpty` action on an already-truncated frame). Visited grows
+    * monotonically and truncates lineage per hop, so the plan stays
+    * O(1) deep at any hop count. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String, maxHops: Int,
+                   undirected: Boolean = true): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val oriented =
+      if (undirected)
+        fwd.union(edges.select(col(dstCol).as("src"),
+          col(srcCol).as("dst")))
+      else fwd
+    // distinct: BFS only cares about edge EXISTENCE, and the per-hop
+    // frontier join fans out per duplicate edge otherwise
+    val adj = oriented.filter(col("src") =!= col("dst"))
+      .distinct().truncateLineage(false)
+
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0)).truncateLineage(false)
+    var frontier = visited.select("node")
+    var hop = 1
+    var exhausted = frontier.isEmpty
+    while (hop <= maxHops && !exhausted) {
+      val next = frontier.join(adj,
+          frontier("node") === adj("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .truncateLineage(false)
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited
+          .union(next.withColumn("dist", lit(hop)))
+          .truncateLineage(false)
+        frontier = next
+      }
+      hop += 1
+    }
+    visited
+  }
 }

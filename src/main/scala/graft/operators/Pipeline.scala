@@ -1045,6 +1045,23 @@ object Pipeline {
         df => Graph.connectedComponents(df, src, dst, rounds)
       }),
 
+    // multi-source BFS radius: the frame in flight is the edge list;
+    // seeds are a compile-parsed row filter over it plus the column
+    // holding the seed node — hops-from-trust as one step
+    "bfs_distances" -> OpSpec(
+      Set("src_col", "dst_col", "seed_condition", "seed_col",
+        "max_hops"),
+      Set("undirected"),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        val cond = parseEagerly(p.str("seed_condition"))
+        val seedCol = p.str("seed_col")
+        val hops = p.int("max_hops")
+        val undir = p.bool("undirected", Some(true))
+        df => Graph.bfsDistances(df, src, dst,
+          df.filter(cond), seedCol, hops, undir)
+      }),
+
     // weight-proportional ranking over a contracted (multiplicity-
     // carrying) edge list — the host_graph companion
     "pagerank_weighted" -> OpSpec(

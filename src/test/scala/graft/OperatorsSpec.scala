@@ -364,6 +364,64 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bfsDistances: multi-seed min-hop distances on a known graph, " +
+       "directed vs undirected, maxHops truncation, unreached absent") {
+    import spark.implicits._
+    // 1→2→3→4→5 chain plus a detached pair 10→11; seeds {1, 10}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("node")
+    def run(hops: Int, undir: Boolean): Map[Long, Int] =
+      graft.operators.Graph
+        .bfsDistances(edges, "src", "dst", seeds, "node", hops, undir)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(run(10, false) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3,
+      5L -> 4, 10L -> 0, 11L -> 1))
+    // maxHops truncates the frontier; unreached nodes are absent
+    assert(run(2, false) == Map(1L -> 0, 2L -> 1, 3L -> 2, 10L -> 0,
+      11L -> 1))
+    // direction matters: from 5, directed reaches nothing; undirected
+    // walks the chain backwards
+    val s5 = Seq(5L).toDF("node")
+    def run5(undir: Boolean): Map[Long, Int] =
+      graft.operators.Graph
+        .bfsDistances(edges, "src", "dst", s5, "node", 10, undir)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(run5(false) == Map(5L -> 0))
+    assert(run5(true) == Map(5L -> 0, 4L -> 1, 3L -> 2, 2L -> 3,
+      1L -> 4))
+  }
+
+  test("bfsDistances on random graphs equals driver-side BFS") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val n = 80 + trial * 40
+      val edges = (0 until n).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val seeds = (0 until 3).map(_ => rnd.nextInt(40).toLong).distinct
+      val maxHops = 3
+      val got = graft.operators.Graph.bfsDistances(
+          edges.toDF("src", "dst"), "src", "dst",
+          seeds.toDF("node"), "node", maxHops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+        .withDefaultValue(Set.empty)
+      edges.filter(e => e._1 != e._2).foreach { case (u, v) =>
+        adj(u) = adj(u) + v; adj(v) = adj(v) + u
+      }
+      val dist = scala.collection.mutable.Map.empty[Long, Int]
+      seeds.foreach(s => dist(s) = 0)
+      var frontier = seeds.toSet
+      (1 to maxHops).foreach { h =>
+        val next = frontier.flatMap(adj).filterNot(dist.contains)
+        next.foreach(v => dist(v) = h)
+        frontier = next
+      }
+      assert(got == dist.toMap, s"trial $trial")
+    }
+  }
+
   test("triangleCounts matches hand counts on a known graph") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, each node in 3), a pendant 4-5, a

@@ -1778,7 +1778,10 @@ class PipelineSpec extends AnyFunSuite {
         "dim_key" -> "k2"),
       "key_skew_report" -> Map("keys" -> Seq("k")),
       "salted_stats" -> Map("keys" -> Seq("k"), "value_col" -> "v",
-        "salt_factor" -> 4L))
+        "salt_factor" -> 4L),
+      "bfs_distances" -> Map("src_col" -> "s", "dst_col" -> "d",
+        "seed_condition" -> "s % 2 = 0", "seed_col" -> "s",
+        "max_hops" -> 3L))
     good.foreach { case (op, params) =>
       val unknown = intercept[IllegalArgumentException] {
         Pipeline.fromSteps(Seq(Step(op, params + ("bogus" -> "v"))))
