@@ -4344,6 +4344,28 @@ $joins"""
            |              "seed_col": "src", "max_hops": 3}}
            |]""".stripMargin)),
 
+    // the set-op family from config: UNION (union_table + distinct)
+    // then EXCEPT against a filtered, reshaped loaded side —
+    // q_set_ops' oracle verbatim
+    "q_pipeline_setops" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "customer"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "nationkey", "expr": "c_nationkey"}},
+           |  {"op": "select", "params": {"cols": ["nationkey"]}},
+           |  {"op": "union_table",
+           |   "params": {"path": "$dir/supplier.parquet",
+           |              "right_exprs": ["s_nationkey as nationkey"]}},
+           |  {"op": "distinct", "params": {}},
+           |  {"op": "except_table",
+           |   "params": {"path": "$dir/nation.parquet",
+           |              "right_filter": "n_regionkey = 0",
+           |              "right_exprs":
+           |      ["cast(n_nationkey as int) as nationkey"]}}
+           |]""".stripMargin)),
+
     // global top-K via sort + limit (TakeOrderedAndProject — no full sort)
     "q_sort_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -9164,6 +9186,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_salted" -> base("q_join_revenue")) +
       ("q_pipeline_skewreport" -> base("q_join_skewreport")) +
       ("q_pipeline_bfs" -> base("q_graph_bfs")) +
+      ("q_pipeline_setops" -> base("q_set_ops")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))

@@ -521,7 +521,8 @@ object Pipeline {
       }),
 
     "union_table" -> OpSpec(Set("path"),
-      Set("by_name", "allow_missing_columns"),
+      Set("by_name", "allow_missing_columns", "right_filter",
+        "right_exprs"),
       p => {
         val path = p.str("path")
         val byName = p.bool("by_name", Some(true))
@@ -529,11 +530,50 @@ object Pipeline {
         require(byName || !miss,
           "pipeline op 'union_table': allow_missing_columns needs " +
             "by_name = true")
+        val filt = sideFilter(p)
+        val exprs = rightExprs(p)
         df => {
-          val other = df.sparkSession.read.parquet(path)
+          val other = shapeSide(loadSide(df, path, filt, Nil), exprs)
           if (byName) df.unionByName(other, miss) else df.union(other)
         }
       }),
+
+    // set intersection/difference against a path-named table. Spark's
+    // intersect/except are POSITIONAL and type-strict, so right_exprs
+    // (compile-parsed projection expressions) shape the loaded side to
+    // the frame in flight — `"cast(n_nationkey as int) as nationkey"`
+    // style. Default is the DISTINCT set form (SQL INTERSECT/EXCEPT);
+    // all = true keeps multiplicities (INTERSECT ALL / EXCEPT ALL)
+    "intersect_table" -> OpSpec(Set("path"),
+      Set("all", "right_filter", "right_exprs"),
+      p => {
+        val path = p.str("path")
+        val all = p.bool("all", Some(false))
+        val filt = sideFilter(p)
+        val exprs = rightExprs(p)
+        df => {
+          val other = shapeSide(loadSide(df, path, filt, Nil), exprs)
+          if (all) df.intersectAll(other) else df.intersect(other)
+        }
+      }),
+
+    "except_table" -> OpSpec(Set("path"),
+      Set("all", "right_filter", "right_exprs"),
+      p => {
+        val path = p.str("path")
+        val all = p.bool("all", Some(false))
+        val filt = sideFilter(p)
+        val exprs = rightExprs(p)
+        df => {
+          val other = shapeSide(loadSide(df, path, filt, Nil), exprs)
+          if (all) df.exceptAll(other) else df.except(other)
+        }
+      }),
+
+    // SQL DISTINCT over the frame in flight (the set-op family's
+    // companion — union_table + distinct is UNION, not UNION ALL)
+    "distinct" -> OpSpec(Set(), Set(),
+      _ => df => df.distinct()),
 
     "order_by" -> OpSpec(Set("cols"), Set("descending"),
       p => {
@@ -2874,6 +2914,17 @@ object Pipeline {
           "path-safe ([A-Za-z0-9_-]+)")
       Some(s"$base/gate=$tag")
     }
+
+  /** The set-op steps' optional loaded-side projection, compile-parsed
+    * so a typo throws at config time. */
+  private def rightExprs(p: Params): Option[Seq[Column]] =
+    if (p.has("right_exprs"))
+      Some(p.strs("right_exprs").map(parseEagerly))
+    else None
+
+  private def shapeSide(df: DataFrame,
+                        exprs: Option[Seq[Column]]): DataFrame =
+    exprs.fold(df)(es => df.select(es: _*))
 
   /** The join-family steps' optional loaded-side row filter,
     * compile-parsed so a typo throws at config time. */

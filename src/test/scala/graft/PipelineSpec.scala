@@ -1781,7 +1781,9 @@ class PipelineSpec extends AnyFunSuite {
         "salt_factor" -> 4L),
       "bfs_distances" -> Map("src_col" -> "s", "dst_col" -> "d",
         "seed_condition" -> "s % 2 = 0", "seed_col" -> "s",
-        "max_hops" -> 3L))
+        "max_hops" -> 3L),
+      "intersect_table" -> Map("path" -> "/tmp/x"),
+      "except_table" -> Map("path" -> "/tmp/x"))
     good.foreach { case (op, params) =>
       val unknown = intercept[IllegalArgumentException] {
         Pipeline.fromSteps(Seq(Step(op, params + ("bogus" -> "v"))))
@@ -1805,6 +1807,16 @@ class PipelineSpec extends AnyFunSuite {
         good.head._2 + ("right_renames" -> Seq(Seq("only_one"))))))
     }
     assert(badPairs.getMessage.contains("[from, to]"))
+    // zero-param steps still reject unknown keys
+    val dbogus = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("distinct", Map("bogus" -> "v"))))
+    }
+    assert(dbogus.getMessage.contains("unknown params"))
+    // a right_exprs typo is a compile-time parse error too
+    assertThrows[org.apache.spark.sql.catalyst.parser.ParseException] {
+      Pipeline.fromSteps(Seq(Step("intersect_table",
+        Map("path" -> "/tmp/x", "right_exprs" -> Seq("cast(( as int)")))))
+    }
   }
 
   test("join-family loaded side: renaming a missing column fails " +
