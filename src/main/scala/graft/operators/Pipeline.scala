@@ -1678,6 +1678,66 @@ object Pipeline {
         }
       }),
 
+    // streaming time-correlation joins: ONE stream in flight splits
+    // by two compile-parsed row conditions into the left and right
+    // sides (the purchase←click self-join shape — the same split the
+    // batch replays express with filter + right_filter), then joins
+    // event-time-exactly under the config's watermark. as-of rides
+    // the flatMapGroupsWithState state machine; range is Spark's own
+    // symmetric stream-stream hash join with the range predicate as
+    // the state-eviction condition
+    "asof_join_watermarked" -> OpSpec(
+      Set("left_condition", "right_condition"),
+      Set("watermark_delay", "key_col", "ts_col", "left_id_col",
+        "right_id_col"),
+      p => {
+        val lcond = parseEagerly(p.str("left_condition"))
+        val rcond = parseEagerly(p.str("right_condition"))
+        val wm = p.str("watermark_delay", Some("2 hours"))
+        val key = p.str("key_col", Some("user_id"))
+        val ts = p.str("ts_col", Some("ts"))
+        val lid = p.str("left_id_col", Some("event_id"))
+        val rid = p.str("right_id_col", Some("event_id"))
+        df => {
+          val ss = df.sparkSession
+          import ss.implicits._
+          val l = df.filter(lcond)
+            .select(col(key).cast("long").as("user_id"),
+              col(lid).cast("long").as("event_id"), col(ts).as("ts"))
+            .as[graft.streaming.StreamOps.LeftEvent]
+          val r = df.filter(rcond)
+            .select(col(key).cast("long").as("user_id"),
+              col(rid).cast("long").as("right_id"), col(ts).as("ts"))
+            .as[graft.streaming.StreamOps.RightEvent]
+          graft.streaming.StreamOps.asOfJoinStream(l, r, wm).toDF()
+        }
+      }),
+
+    "range_join_watermarked" -> OpSpec(
+      Set("left_condition", "right_condition", "lower_seconds",
+        "upper_seconds"),
+      Set("watermark_delay", "key_col", "ts_col", "left_id_col",
+        "right_id_col"),
+      p => {
+        val lcond = parseEagerly(p.str("left_condition"))
+        val rcond = parseEagerly(p.str("right_condition"))
+        val (lo, hi) =
+          (p.long("lower_seconds"), p.long("upper_seconds"))
+        val wm = p.str("watermark_delay", Some("2 hours"))
+        val key = p.str("key_col", Some("user_id"))
+        val ts = p.str("ts_col", Some("ts"))
+        val lid = p.str("left_id_col", Some("event_id"))
+        val rid = p.str("right_id_col", Some("event_id"))
+        df => {
+          val l = df.filter(lcond)
+            .select(col(key), col(ts), col(lid).as("event_id"))
+          val r = df.filter(rcond)
+            .select(col(key), col(ts), col(rid).as("right_id"))
+          graft.streaming.StreamOps.rangeJoinStream(l, r,
+            key, ts, lo, hi, Seq("event_id"), Seq("right_id"), wm)
+        }
+      }),
+
     // stateful streaming tranche 4: the remaining per-user
     // flatMapGroupsWithState operators behind config. All take the
     // events-table column shape (user_id / event_id / ts /
@@ -2706,6 +2766,7 @@ object Pipeline {
     "funnel_watermarked", "gap_fill_watermarked",
     "rolling_anomalies_watermarked", "decayed_activity_watermarked",
     "top_paths_watermarked", "transition_pairs_watermarked",
+    "asof_join_watermarked", "range_join_watermarked",
     // per-row multimodal plumbing
     "as_assets", "decode_features",
     // data contracts: a schema check and a stateless assert filter

@@ -3519,4 +3519,75 @@ class StreamingSpec extends AnyFunSuite {
       "direct_kl")
     assert(viaCfg == direct && viaCfg.size == 2)
   }
+
+  test("stateful streaming tranche 5: asof_join_watermarked / " +
+       "range_join_watermarked split ONE stream by condition and " +
+       "equal their direct operators on the same out-of-order feed") {
+    import graft.operators.Pipeline
+    import graft.streaming.StreamOps.{LeftEvent, RightEvent}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def t(ts: String) = Timestamp.valueOf(ts)
+    // one interleaved feed: rights land before AND after their lefts
+    val feed: Seq[Seq[(Long, Long, Timestamp, String)]] = Seq(
+      Seq((1L, 10L, t("2024-01-01 01:00:00"), "purchase"),
+        (1L, 100L, t("2024-01-01 00:30:00"), "click")),
+      Seq((1L, 11L, t("2024-01-01 03:00:00"), "purchase"),
+        (2L, 20L, t("2024-01-01 02:00:00"), "purchase")),
+      Seq((1L, 101L, t("2024-01-01 02:30:00"), "click"),
+        (2L, 200L, t("2024-01-01 01:45:00"), "click")),
+      Seq((99L, 999L, t("2024-01-05 00:00:00"), "purchase"),
+        (99L, 998L, t("2024-01-05 00:00:00"), "click")))
+    def run(mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame, name: String): Set[String] = {
+      val in = MemoryStream[(Long, Long, Timestamp, String)]
+      val q = mk(in.toDF()
+          .toDF("user_id", "event_id", "ts", "event_type"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      feed.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      s.sql(s"select * from $name where user_id < 99")
+        .collect().map(_.mkString("|")).toSet
+    }
+
+    val asofCfg = Pipeline.fromJsonStreaming(
+      """[{"op": "asof_join_watermarked",
+        |  "params": {"left_condition": "event_type = 'purchase'",
+        |             "right_condition": "event_type = 'click'",
+        |             "watermark_delay": "24 hours"}}]""".stripMargin)
+    val asofDirect = (df: org.apache.spark.sql.DataFrame) => {
+      val l = df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .as[LeftEvent]
+      val r = df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("right_id"),
+          col("ts"))
+        .as[RightEvent]
+      StreamOps.asOfJoinStream(l, r, "24 hours").toDF()
+    }
+    val a1 = run(asofCfg, "cfg_asof_join")
+    val a2 = run(asofDirect, "direct_asof_join")
+    assert(a1 == a2 && a1.nonEmpty)
+
+    val rangeCfg = Pipeline.fromJsonStreaming(
+      """[{"op": "range_join_watermarked",
+        |  "params": {"left_condition": "event_type = 'purchase'",
+        |             "right_condition": "event_type = 'click'",
+        |             "lower_seconds": 3600, "upper_seconds": 0,
+        |             "watermark_delay": "24 hours"}}]""".stripMargin)
+    val rangeDirect = (df: org.apache.spark.sql.DataFrame) =>
+      StreamOps.rangeJoinStream(
+        df.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        df.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("right_id")),
+        "user_id", "ts", 3600, 0,
+        Seq("event_id"), Seq("right_id"), "24 hours")
+    val r1 = run(rangeCfg, "cfg_range_join")
+    val r2 = run(rangeDirect, "direct_range_join")
+    assert(r1 == r2 && r1.nonEmpty)
+  }
 }
