@@ -150,4 +150,16 @@ class ExamplesSpec extends AnyFunSuite {
       out.columns.contains("content_hash"))
     assert(out.count() > 0)
   }
+
+  test("examples/purchase_attribution.json: as-of self-join " +
+       "enrichment + attribution rollup, end to end") {
+    val out = Pipeline.runJson(spark,
+      read("purchase_attribution.json").replace("__TESTDATA__", dir))
+    assert(out.columns.toSeq ==
+      Seq("attributed", "n_purchases", "revenue"))
+    val rows = out.collect()
+    // at most two attribution buckets; purchases exist at sf0.001
+    assert(rows.nonEmpty && rows.length <= 2)
+    assert(rows.map(_.getLong(1)).sum > 0)
+  }
 }
