@@ -4344,6 +4344,20 @@ $joins"""
            |              "seed_col": "src", "max_hops": 3}}
            |]""".stripMargin)),
 
+    // the PARITY CORE through the step registry: by-name rewrites
+    // compile through Functioniser.fromConfig to the same single
+    // select — q_fn_root's oracle verbatim (its closure `lower` is
+    // the builtin by the same name)
+    "q_pipeline_fns" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "customer"}},
+           |  {"op": "apply_functions",
+           |   "params": {"fields": [["c_name", "upper"],
+           |                         ["c_mktsegment", "lower"]]}}
+           |]""".stripMargin)),
+
     // the set-op family from config: UNION (union_table + distinct)
     // then EXCEPT against a filtered, reshaped loaded side —
     // q_set_ops' oracle verbatim
@@ -9187,6 +9201,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_skewreport" -> base("q_join_skewreport")) +
       ("q_pipeline_bfs" -> base("q_graph_bfs")) +
       ("q_pipeline_setops" -> base("q_set_ops")) +
+      ("q_pipeline_fns" -> base("q_fn_root")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))

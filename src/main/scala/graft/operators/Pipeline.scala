@@ -228,6 +228,19 @@ object Pipeline {
         df => df.select(cols: _*)
       }),
 
+    // the PARITY CORE as a pipeline step: ordered [path, function]
+    // pairs compile through Functioniser.fromConfig to ONE select over
+    // nested/array/map paths — the engine's two config layers
+    // (column-level rewrites, whole-operator composition) compose in
+    // one reviewed file. Unknown function names throw at config
+    // compile (the add-time discipline); a stateless projection, so
+    // stream-whitelisted
+    "apply_functions" -> OpSpec(Set("fields"), Set(),
+      p => {
+        val f = graft.Functioniser.fromConfig(p.strPairs("fields"))
+        df => f(df)
+      }),
+
     "split_by_hash" -> OpSpec(Set("weights", "key_cols"), Set(),
       p => {
         val (w, keys) = (p.weights("weights"), p.strs("key_cols"))
@@ -2767,6 +2780,8 @@ object Pipeline {
     "rolling_anomalies_watermarked", "decayed_activity_watermarked",
     "top_paths_watermarked", "transition_pairs_watermarked",
     "asof_join_watermarked", "range_join_watermarked",
+    // the parity core: one stateless Project
+    "apply_functions",
     // per-row multimodal plumbing
     "as_assets", "decode_features",
     // data contracts: a schema check and a stateless assert filter

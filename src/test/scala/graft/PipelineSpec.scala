@@ -1819,6 +1819,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("apply_functions: the parity core as a step — unknown function " +
+       "names throw at config compile; the compiled step equals the " +
+       "hand-written Functioniser plan and is stream-whitelisted") {
+    // unknown by-name function fails EAGERLY (the add-time discipline)
+    val unknownFn = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("apply_functions",
+        Map("fields" -> Seq(Seq("c_name", "no_such_fn_xyz"))))))
+    }
+    assert(unknownFn.getMessage.contains("no_such_fn_xyz"))
+    val unknownParam = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("apply_functions",
+        Map("fields" -> Seq(Seq("a", "upper")), "bogus" -> "v"))))
+    }
+    assert(unknownParam.getMessage.contains("unknown params"))
+    // equals the hand-written Functioniser on the same frame
+    val viaStep = Pipeline.fromSteps(Seq(Step("apply_functions",
+      Map("fields" -> Seq(Seq("lang", "upper"),
+        Seq("source", "lower"))))))(docs)
+      .select("doc_id", "lang", "source")
+      .collect().map(_.mkString("|")).toSet
+    val direct = new graft.Functioniser()
+      .add("lang", "upper").add("source", "lower")
+      .apply(docs)
+      .select("doc_id", "lang", "source")
+      .collect().map(_.mkString("|")).toSet
+    assert(viaStep == direct && viaStep.nonEmpty)
+    // a stateless projection: accepted by the streaming compiler
+    Pipeline.fromStepsStreaming(Seq(Step("apply_functions",
+      Map("fields" -> Seq(Seq("lang", "upper"))))))
+  }
+
   test("join-family loaded side: renaming a missing column fails " +
        "loudly, naming the column and the path") {
     val events = spark.read.parquet(s"$dir/events.parquet")
