@@ -2988,6 +2988,21 @@ $joins"""
         "node", maxHops = 3)
     }),
 
+    // HyperBall harmonic centrality over the thinned (qty > 40)
+    // supplier-part graph: per-node HLL registers (m = 16) max-merge
+    // along edges — register state is ≤ m per node REGARDLESS of ball
+    // size, the property that makes centrality tractable at 100 TB.
+    // Register merge is exactly set union, so the only approximation
+    // is the final fixed-shape estimate — the oracle unrolls the same
+    // three rounds and replicates every estimate digit-for-digit
+    "q_graph_harmonic" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 40)
+      graft.operators.Graph.harmonicCentrality(
+        li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 10000000L).cast("long").as("dst")),
+        "src", "dst", iters = 3, b = 4)
+    }),
+
     // Adamic-Adar link prediction over the same (folded-undirected)
     // supplier-part graph: top-20 non-edges by rare-common-neighbor
     // mass; hub centers above degree 64 skip (the bounded-wedge
@@ -4342,6 +4357,26 @@ $joins"""
            |   "params": {"src_col": "src", "dst_col": "dst",
            |              "seed_condition": "src % 17 = 0",
            |              "seed_col": "src", "max_hops": 3}}
+           |]""".stripMargin)),
+
+    // HyperBall centrality from config — q_graph_harmonic's oracle
+    // verbatim
+    "q_pipeline_harmonic" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 40"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "harmonic_centrality",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "iters": 3, "b": 4}}
            |]""".stripMargin)),
 
     // the PARITY CORE through the step registry: by-name rewrites
@@ -7750,6 +7785,115 @@ $joins"""
       // discipline — see pageRankOracleSql
       "q_graph_pagerank" -> pageRankOracleSql(3, 0.85),
 
+      // HyperBall unrolled: register max-merge along edges is set
+      // union, so r_k holds exactly the k-ball's registers; the
+      // estimate and the lcm-scaled harmonic sum are fixed-shape
+      // (m = 16: alpha·m²·2^49 inline, linear-counting below 2.5m)
+      "q_graph_harmonic" ->
+        """WITH
+          |g AS MATERIALIZED (
+          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+          |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
+          |  FROM lineitem WHERE l_quantity > 40),
+          |sym AS MATERIALIZED (
+          |  SELECT src, dst FROM g
+          |  UNION
+          |  SELECT dst AS src, src AS dst FROM g),
+          |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+          |hsh AS MATERIALIZED (
+          |  SELECT node,
+          |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 1))::INT
+          |      AS bucket,
+          |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 2, 12))::BIGINT
+          |      AS w
+          |  FROM nodes),
+          |r0 AS MATERIALIZED (
+          |  SELECT node, bucket,
+          |    CASE WHEN w = 0 THEN 49
+          |         ELSE 49 - length(bin(w)) END AS rho
+          |  FROM hsh),
+          |r1 AS MATERIALIZED (
+          |  SELECT node, bucket, max(rho) AS rho FROM (
+          |    SELECT node, bucket, rho FROM r0
+          |    UNION ALL
+          |    SELECT e.dst AS node, r.bucket, r.rho
+          |    FROM sym e JOIN r0 r ON r.node = e.src
+          |  ) GROUP BY 1, 2),
+          |r2 AS MATERIALIZED (
+          |  SELECT node, bucket, max(rho) AS rho FROM (
+          |    SELECT node, bucket, rho FROM r1
+          |    UNION ALL
+          |    SELECT e.dst AS node, r.bucket, r.rho
+          |    FROM sym e JOIN r1 r ON r.node = e.src
+          |  ) GROUP BY 1, 2),
+          |r3 AS MATERIALIZED (
+          |  SELECT node, bucket, max(rho) AS rho FROM (
+          |    SELECT node, bucket, rho FROM r2
+          |    UNION ALL
+          |    SELECT e.dst AS node, r.bucket, r.rho
+          |    FROM sym e JOIN r2 r ON r.node = e.src
+          |  ) GROUP BY 1, 2),
+          |e0 AS (SELECT node, round((CASE
+          |    WHEN e_raw <= 40.0 AND v_zero > 0
+          |    THEN 16.0 * ln(16.0 / v_zero) ELSE e_raw END) * 1e6
+          |  )::BIGINT AS e FROM (
+          |  SELECT node,
+          |    (0.7213 / (1.0 + 1.079 / 16.0)) * 16.0 * 16.0 *
+          |      562949953421312.0 /
+          |      CAST(s_present + (16 - n_reg) *
+          |        (1::BIGINT << 49) AS DOUBLE) AS e_raw,
+          |    CAST(16 - n_reg AS DOUBLE) AS v_zero
+          |  FROM (SELECT node, count(*) AS n_reg,
+          |          sum((1::BIGINT << (49 - rho)))::BIGINT AS s_present
+          |        FROM r0 GROUP BY 1))),
+          |e1 AS (SELECT node, round((CASE
+          |    WHEN e_raw <= 40.0 AND v_zero > 0
+          |    THEN 16.0 * ln(16.0 / v_zero) ELSE e_raw END) * 1e6
+          |  )::BIGINT AS e FROM (
+          |  SELECT node,
+          |    (0.7213 / (1.0 + 1.079 / 16.0)) * 16.0 * 16.0 *
+          |      562949953421312.0 /
+          |      CAST(s_present + (16 - n_reg) *
+          |        (1::BIGINT << 49) AS DOUBLE) AS e_raw,
+          |    CAST(16 - n_reg AS DOUBLE) AS v_zero
+          |  FROM (SELECT node, count(*) AS n_reg,
+          |          sum((1::BIGINT << (49 - rho)))::BIGINT AS s_present
+          |        FROM r1 GROUP BY 1))),
+          |e2 AS (SELECT node, round((CASE
+          |    WHEN e_raw <= 40.0 AND v_zero > 0
+          |    THEN 16.0 * ln(16.0 / v_zero) ELSE e_raw END) * 1e6
+          |  )::BIGINT AS e FROM (
+          |  SELECT node,
+          |    (0.7213 / (1.0 + 1.079 / 16.0)) * 16.0 * 16.0 *
+          |      562949953421312.0 /
+          |      CAST(s_present + (16 - n_reg) *
+          |        (1::BIGINT << 49) AS DOUBLE) AS e_raw,
+          |    CAST(16 - n_reg AS DOUBLE) AS v_zero
+          |  FROM (SELECT node, count(*) AS n_reg,
+          |          sum((1::BIGINT << (49 - rho)))::BIGINT AS s_present
+          |        FROM r2 GROUP BY 1))),
+          |e3 AS (SELECT node, round((CASE
+          |    WHEN e_raw <= 40.0 AND v_zero > 0
+          |    THEN 16.0 * ln(16.0 / v_zero) ELSE e_raw END) * 1e6
+          |  )::BIGINT AS e FROM (
+          |  SELECT node,
+          |    (0.7213 / (1.0 + 1.079 / 16.0)) * 16.0 * 16.0 *
+          |      562949953421312.0 /
+          |      CAST(s_present + (16 - n_reg) *
+          |        (1::BIGINT << 49) AS DOUBLE) AS e_raw,
+          |    CAST(16 - n_reg AS DOUBLE) AS v_zero
+          |  FROM (SELECT node, count(*) AS n_reg,
+          |          sum((1::BIGINT << (49 - rho)))::BIGINT AS s_present
+          |        FROM r3 GROUP BY 1)))
+          |SELECT e0.node,
+          |  CAST(6 * (e1.e - e0.e) + 3 * (e2.e - e1.e) +
+          |       2 * (e3.e - e2.e) AS DOUBLE) / 6000000.0 AS harmonic,
+          |  CAST(e3.e AS DOUBLE) / 1000000.0 AS ball
+          |FROM e0
+          |JOIN e1 ON e1.node = e0.node
+          |JOIN e2 ON e2.node = e0.node
+          |JOIN e3 ON e3.node = e0.node""".stripMargin,
+
       // the same frontier expansion as a recursive CTE: walk holds
       // every (node, walk length ≤ 3) pair — bounded by 4 rows per
       // node — and min over walk lengths IS the BFS distance
@@ -9202,6 +9346,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_bfs" -> base("q_graph_bfs")) +
       ("q_pipeline_setops" -> base("q_set_ops")) +
       ("q_pipeline_fns" -> base("q_fn_root")) +
+      ("q_pipeline_harmonic" -> base("q_graph_harmonic")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))

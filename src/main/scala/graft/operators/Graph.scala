@@ -911,6 +911,84 @@ object Graph {
     * `isEmpty` action on an already-truncated frame). Visited grows
     * monotonically and truncates lineage per hop, so the plan stays
     * O(1) deep at any hop count. */
+  /** HyperBall harmonic centrality (Boldi & Vigna 2013, public
+    * algorithm): H(v) ≈ Σ_{k=1..iters} (|B_k(v)| − |B_{k−1}(v)|)/k,
+    * where B_k(v) is the ball of nodes within k hops of v (incoming
+    * hops when `undirected = false` — the classic harmonic
+    * orientation: who can REACH v) and |·| is the HLL estimate from
+    * per-node registers on the house md5 grammar
+    * ([[Stats.hllRegisterRows]]).
+    *
+    * Exactness contract: register max-merge along edges IS set union,
+    * so after k rounds each node holds exactly the registers of its
+    * true k-ball — the only approximation is the final cardinality
+    * estimate, a deterministic fixed-shape function of the registers.
+    * Ball estimates land on the 1e-6 integer lattice and the harmonic
+    * sum is computed in EXACT integer arithmetic scaled by
+    * lcm(1..iters), so the result is bit-stable under any
+    * partitioning and externally replicable (the oracle unrolls the
+    * same rounds in SQL).
+    *
+    * Scale design: per-node state is ≤ m = 2^b registers regardless
+    * of ball size — THE HyperBall property; each round is one
+    * edges⋈registers join (fan-out ≤ m per edge) plus one keyed
+    * max-aggregate, lineage truncated per round. b = 4 (m = 16,
+    * ±26% ball error — ranking-grade) keeps the join fan-out small;
+    * b = 8 trades 16× state for ±6.5%. Output: (node,
+    * harmonic, ball) with ball = |B_iters(v)| estimate. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String,
+                         dstCol: String, iters: Int = 3, b: Int = 4,
+                         undirected: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(b == 4 || b == 8,
+      "b must be 4 or 8 (m = 16 or 256 registers per node)")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val adj = (if (undirected)
+        fwd.union(edges.select(col(dstCol).as("src"),
+          col(srcCol).as("dst")))
+      else fwd)
+      .filter(col("src") =!= col("dst")).distinct()
+      .truncateLineage(false)
+    val nodes = adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node"))).distinct()
+
+    // registers of the singleton ball {v}: the node's own hash
+    def regsOf(frame: DataFrame): DataFrame =
+      Stats.hllRegisterRows(frame, Seq("node"), b,
+        passthrough = Seq("node"))
+        .select(col("node"), col("bucket"), col("rho"))
+    def estFrame(regs: DataFrame, k: Int): DataFrame =
+      regs.groupBy(col("node"))
+        .agg(count(lit(1)).as("n_reg"),
+          sum(expr("shiftleft(cast(1 as bigint), 49 - rho)"))
+            .as("s_present"))
+        .select(col("node"), Stats.hllEstimateUnits(b).as(s"e$k"))
+
+    var regs = regsOf(nodes).truncateLineage(false)
+    var balls = estFrame(regs, 0)
+    (1 to iters).foreach { k =>
+      val received = adj.join(regs, adj("src") === regs("node"))
+        .select(adj("dst").as("node"), col("bucket"), col("rho"))
+      regs = regs.union(received)
+        .groupBy(col("node"), col("bucket"))
+        .agg(max(col("rho")).as("rho"))
+        .truncateLineage(false)
+      balls = balls.join(estFrame(regs, k), Seq("node"))
+    }
+    val scale = (1 to iters).foldLeft(1L)((acc, k) =>
+      acc / gcd(acc, k) * k) // lcm(1..iters)
+    val harmonicUnits = (1 to iters).map(k =>
+        (col(s"e$k") - col(s"e${k - 1}")) * lit(scale / k))
+      .reduce(_ + _)
+    balls.select(col("node"),
+      (harmonicUnits.cast("double") / lit(scale.toDouble * 1e6))
+        .as("harmonic"),
+      (col(s"e$iters").cast("double") / lit(1e6)).as("ball"))
+  }
+
+  private def gcd(a: Long, bb: Long): Long =
+    if (bb == 0) a else gcd(bb, a % bb)
+
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, seedCol: String, maxHops: Int,
                    undirected: Boolean = true): DataFrame = {

@@ -1228,8 +1228,9 @@ object Stats {
     * value null-propagates through md5 → bucket/rho and its entry
     * drops — no conditional branches, so codegen CSEs the one md5
     * per column. `passthrough` columns (shard keys) ride along. */
-  private def hllRegisterRows(df: DataFrame, cols: Seq[String], b: Int,
-                              passthrough: Seq[String] = Nil)
+  private[operators] def hllRegisterRows(df: DataFrame,
+                                         cols: Seq[String], b: Int,
+                                         passthrough: Seq[String] = Nil)
       : DataFrame = {
     val hexChars = b / 4
     val entries = cols.map { c =>
@@ -1254,7 +1255,13 @@ object Stats {
     * small-range linear-counting correction — every double op has a
     * fixed expression shape, so an external engine reproduces the
     * estimate digit-for-digit. */
-  private def hllEstimate(b: Int): Column = {
+  private def hllEstimate(b: Int): Column =
+    hllEstimateUnits(b).cast("double") / lit(1e6)
+
+  /** The estimate on the 1e-6 integer lattice (×1e6, rounded, as a
+    * long) — what [[Graph.harmonicCentrality]]'s per-radius ball
+    * differences sum exactly. */
+  private[operators] def hllEstimateUnits(b: Int): Column = {
     val m = 1 << b
     val mD = lit(m.toDouble)
     val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
@@ -1264,7 +1271,7 @@ object Stats {
     val eRaw = lit(alpha) * mD * mD * lit((1L << 49).toDouble) / sTotal
     val est = when(eRaw <= lit(2.5) * mD && vZero > 0,
       mD * log(mD / vZero)).otherwise(eRaw)
-    round(est * lit(1e6)).cast("double") / lit(1e6)
+    round(est * lit(1e6)).cast("long")
   }
 
   /** Approximate distinct count per column — one row each: (column,

@@ -392,6 +392,66 @@ class OperatorsSpec extends AnyFunSuite {
       1L -> 4))
   }
 
+  test("harmonicCentrality: register propagation holds exactly the " +
+       "k-ball's registers — a driver-side HLL replication over exact " +
+       "BFS balls matches digit for digit") {
+    import spark.implicits._
+    // a path 1-2-3-4, hub spokes 2-10/2-11, a detached pair 20-21
+    val edgeSeq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 10L),
+      (2L, 11L), (20L, 21L))
+    val got = graft.operators.Graph.harmonicCentrality(
+        edgeSeq.toDF("src", "dst"), "src", "dst", iters = 3, b = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def reg(v: Long): (Int, Int) = {
+      val h = md5hex(v.toString)
+      val bucket = Integer.parseInt(h.substring(0, 1), 16)
+      val w = java.lang.Long.parseLong(h.substring(1, 13), 16)
+      val rho =
+        if (w == 0L) 49
+        else 49 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      (bucket, rho)
+    }
+    // the same fixed-shape estimate the operator (and oracle) compute
+    def estUnits(ball: Set[Long]): Long = {
+      val regs = ball.toSeq.map(reg).groupBy(_._1)
+        .map { case (bkt, xs) => bkt -> xs.map(_._2).max }
+      val nReg = regs.size
+      val sPresent = regs.values.map(r => 1L << (49 - r)).sum
+      val m = 16.0
+      val alpha = 0.7213 / (1.0 + 1.079 / 16.0)
+      val sTotal = (sPresent + (16L - nReg) * (1L << 49)).toDouble
+      val vZero = (16L - nReg).toDouble
+      val eRaw = alpha * m * m * (1L << 49).toDouble / sTotal
+      val est =
+        if (eRaw <= 2.5 * m && vZero > 0) m * math.log(m / vZero)
+        else eRaw
+      math.round(est * 1e6)
+    }
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edgeSeq.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    def ball(v: Long, k: Int): Set[Long] =
+      (1 to k).foldLeft(Set(v))((b, _) => b ++ b.flatMap(adj))
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map { v =>
+      val e = (0 to 3).map(k => estUnits(ball(v, k)))
+      val h = (6 * (e(1) - e(0)) + 3 * (e(2) - e(1)) +
+        2 * (e(3) - e(2))).toDouble / 6000000.0
+      v -> (h, e(3).toDouble / 1000000.0)
+    }.toMap
+    assert(got == want)
+    // the detached pair's ball saturates at hop 1: no further gain
+    assert(got(20L)._2 == got(21L)._2)
+  }
+
   test("bfsDistances on random graphs equals driver-side BFS") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -1783,7 +1783,8 @@ class PipelineSpec extends AnyFunSuite {
         "seed_condition" -> "s % 2 = 0", "seed_col" -> "s",
         "max_hops" -> 3L),
       "intersect_table" -> Map("path" -> "/tmp/x"),
-      "except_table" -> Map("path" -> "/tmp/x"))
+      "except_table" -> Map("path" -> "/tmp/x"),
+      "harmonic_centrality" -> Map("src_col" -> "s", "dst_col" -> "d"))
     good.foreach { case (op, params) =>
       val unknown = intercept[IllegalArgumentException] {
         Pipeline.fromSteps(Seq(Step(op, params + ("bogus" -> "v"))))
