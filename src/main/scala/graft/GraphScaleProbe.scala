@@ -67,9 +67,19 @@ object GraphScaleProbe {
         Graph.pageRank(e, "src", "dst", iters = 3)
           .agg(sum(col("rank"))).first().getDouble(0)
       }
+      // HyperBall: estimated 3-ball mass grows superlinearly with the
+      // graph while state is structurally capped at m·nodes register
+      // rows (the groupBy(node, bucket) aggregate) — time should
+      // scale ~linearly in edges·m
+      val (hb, tHb) = timed {
+        Graph.harmonicCentrality(e, "src", "dst", iters = 3, b = 4)
+          .agg(sum(col("ball")).as("m"), count(lit(1)).as("n")).first()
+      }
       println(f"GRAPHSCALE nodes=$n%7d edges=$ne%8d " +
         f"triangles=${memb / 3}%8d tri=$tTri%6.1fs " +
-        f"pagerank=$tPr%6.1fs mass=$mass%.4f")
+        f"pagerank=$tPr%6.1fs mass=$mass%.4f " +
+        f"hyperball=$tHb%6.1fs ball_mass=${hb.getDouble(0)}%.0f " +
+        f"state_cap=${16L * hb.getLong(1)}%d")
     }
     spark.stop()
   }

@@ -4359,6 +4359,24 @@ $joins"""
            |              "seed_col": "src", "max_hops": 3}}
            |]""".stripMargin)),
 
+    // window functions from config: with_column's compile-parsed
+    // expression surface accepts OVER clauses, so per-key ranks /
+    // lags / rolling frames need no dedicated step — q_window_topn's
+    // oracle verbatim
+    "q_pipeline_topn" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "orders"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "rn",
+           |              "expr": "row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey)"}},
+           |  {"op": "filter", "params": {"condition": "rn <= 3"}},
+           |  {"op": "select",
+           |   "params": {"cols": ["o_custkey", "rn", "o_orderkey",
+           |                       "o_totalprice"]}}
+           |]""".stripMargin)),
+
     // HyperBall centrality from config — q_graph_harmonic's oracle
     // verbatim
     "q_pipeline_harmonic" -> ((s, dir) =>
@@ -9347,6 +9365,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_setops" -> base("q_set_ops")) +
       ("q_pipeline_fns" -> base("q_fn_root")) +
       ("q_pipeline_harmonic" -> base("q_graph_harmonic")) +
+      ("q_pipeline_topn" -> base("q_window_topn")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))
