@@ -4359,6 +4359,19 @@ $joins"""
            |              "seed_col": "src", "max_hops": 3}}
            |]""".stripMargin)),
 
+    // schema conformance from config: declared order, a real cast
+    // (n_chars bigint → double), a typed NULL fill for the missing
+    // column, undeclared columns dropped
+    "q_pipeline_conform" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "conform_schema",
+           |   "params": {"schema":
+           |     "doc_id BIGINT, lang STRING, n_chars DOUBLE, quality_tier INT"}}
+           |]""".stripMargin)),
+
     // window functions from config: with_column's compile-parsed
     // expression surface accepts OVER clauses, so per-key ranks /
     // lags / rolling frames need no dedicated step — q_window_topn's
@@ -9086,6 +9099,13 @@ FROM dm GROUP BY 1, 2"""
           |     LATERAL unnest(range(0, greatest(
           |       CAST(ceil(octet_length(encode(text)) / 64.0) AS INT), 1))) AS t(i)
           |WHERE i % 3 = 0""".stripMargin,
+
+      // conformance: cast + typed NULL fill + declared order
+      "q_pipeline_conform" ->
+        """SELECT doc_id::BIGINT AS doc_id, lang,
+          |  n_chars::DOUBLE AS n_chars,
+          |  NULL::INT AS quality_tier
+          |FROM documents""".stripMargin,
 
       // the two-stage salted aggregate re-associates the sum, so the
       // value column is decimal end-to-end (exact, order-independent)

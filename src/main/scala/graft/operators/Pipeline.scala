@@ -1293,6 +1293,69 @@ object Pipeline {
         }
       }),
 
+    // schema CONFORMANCE — the contract's repairing sibling: reshape
+    // the frame TO the DDL. Missing columns materialize as typed
+    // NULLs (add_missing = false makes them a loud error instead),
+    // mismatched types cast (ANSI mode: a value that can't cast
+    // fails the job loudly rather than silently nulling), undeclared
+    // columns drop (keep_undeclared = true appends them after the
+    // declared prefix). Output order = DDL order — the shape a union
+    // of heterogeneous crawl batches needs. Pure projection:
+    // stream-whitelisted
+    "conform_schema" -> OpSpec(Set("schema"),
+      Set("add_missing", "keep_undeclared"),
+      p => {
+        val want = parseDdl(p.str("schema"))
+        val addMissing = p.bool("add_missing", Some(true))
+        val keepUndeclared = p.bool("keep_undeclared", Some(false))
+        df => {
+          val have = df.schema
+          val haveNames = have.fieldNames.toSet
+          val missing = want.filterNot(f => haveNames.contains(f.name))
+            .map(_.name)
+          require(addMissing || missing.isEmpty,
+            "pipeline op 'conform_schema': missing columns " +
+              s"${missing.mkString(", ")} (add_missing = false)")
+          val declared = want.map { f =>
+            if (!haveNames.contains(f.name))
+              lit(null).cast(f.dataType).as(f.name)
+            else if (have(f.name).dataType == f.dataType) col(f.name)
+            else col(f.name).cast(f.dataType).as(f.name)
+          }
+          val extras =
+            if (keepUndeclared)
+              have.fieldNames.toSeq
+                .filterNot(want.fieldNames.toSet.contains).map(col)
+            else Nil
+          df.select(declared ++ extras: _*)
+        }
+      }),
+
+    // sink layout control: hash-repartition by count and/or columns
+    // (one shuffle, the write-parallelism / co-location knob), or
+    // lower parallelism WITHOUT a shuffle
+    "repartition" -> OpSpec(Set(), Set("n", "cols"),
+      p => {
+        require(p.has("n") || p.has("cols"),
+          "pipeline op 'repartition': need n and/or cols")
+        val n = if (p.has("n")) Some(p.int("n")) else None
+        val cols_ = p.strs("cols", Some(Nil)).map(col)
+        n.foreach(v => require(v >= 1,
+          "pipeline op 'repartition': n must be >= 1"))
+        df => (n, cols_) match {
+          case (Some(v), Seq()) => df.repartition(v)
+          case (Some(v), cs)    => df.repartition(v, cs: _*)
+          case (None, cs)       => df.repartition(cs: _*)
+        }
+      }),
+
+    "coalesce" -> OpSpec(Set("n"), Set(),
+      p => {
+        val n = p.int("n")
+        require(n >= 1, "pipeline op 'coalesce': n must be >= 1")
+        df => df.coalesce(n)
+      }),
+
     // uniqueness contract: every key combination must occur exactly
     // once — the dbt `unique` test as an in-plan gate. One keyed
     // window (partitioned — never a global order) counts each key's
@@ -2797,7 +2860,9 @@ object Pipeline {
     // per-row multimodal plumbing
     "as_assets", "decode_features",
     // data contracts: a schema check and a stateless assert filter
-    "expect_columns", "expect_condition")
+    "expect_columns", "expect_condition",
+    // schema conformance is a pure projection
+    "conform_schema")
 
   /** Compile a step list for a STREAMING DataFrame: the same
     * registry bodies as [[fromSteps]] (a config gates the stream with

@@ -1784,7 +1784,9 @@ class PipelineSpec extends AnyFunSuite {
         "max_hops" -> 3L),
       "intersect_table" -> Map("path" -> "/tmp/x"),
       "except_table" -> Map("path" -> "/tmp/x"),
-      "harmonic_centrality" -> Map("src_col" -> "s", "dst_col" -> "d"))
+      "harmonic_centrality" -> Map("src_col" -> "s", "dst_col" -> "d"),
+      "conform_schema" -> Map("schema" -> "a INT"),
+      "coalesce" -> Map("n" -> 1L))
     good.foreach { case (op, params) =>
       val unknown = intercept[IllegalArgumentException] {
         Pipeline.fromSteps(Seq(Step(op, params + ("bogus" -> "v"))))
@@ -1849,6 +1851,44 @@ class PipelineSpec extends AnyFunSuite {
     // a stateless projection: accepted by the streaming compiler
     Pipeline.fromStepsStreaming(Seq(Step("apply_functions",
       Map("fields" -> Seq(Seq("lang", "upper"))))))
+  }
+
+  test("conform_schema reshapes to the DDL (typed null fill, cast, " +
+       "declared order, loud add_missing=false, keep_undeclared); " +
+       "repartition/coalesce control layout") {
+    val out = Pipeline.fromSteps(Seq(Step("conform_schema",
+      Map("schema" -> "doc_id BIGINT, lang STRING, brand_new DOUBLE"))))(
+      docs)
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "brand_new"))
+    assert(out.schema("brand_new").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(out.filter(col("brand_new").isNotNull).count() == 0)
+    // a missing column is LOUD when add_missing = false
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("conform_schema",
+        Map("schema" -> "doc_id BIGINT, nope INT",
+          "add_missing" -> false))))(docs).collect()
+    }
+    assert(e.getMessage.contains("nope"))
+    // keep_undeclared appends the rest after the declared prefix
+    val kept = Pipeline.fromSteps(Seq(Step("conform_schema",
+      Map("schema" -> "lang STRING", "keep_undeclared" -> true))))(docs)
+    assert(kept.columns.head == "lang" &&
+      kept.columns.toSet == docs.columns.toSet)
+    // a pure projection: accepted by the streaming compiler
+    Pipeline.fromStepsStreaming(Seq(Step("conform_schema",
+      Map("schema" -> "lang STRING"))))
+    // layout steps land in the executed plan
+    val rep = Pipeline.fromSteps(Seq(Step("repartition",
+      Map("n" -> 7L, "cols" -> Seq("lang")))))(docs)
+    assert(rep.rdd.getNumPartitions == 7)
+    val co = Pipeline.fromSteps(Seq(Step("coalesce", Map("n" -> 1L))))(
+      docs)
+    assert(co.rdd.getNumPartitions == 1)
+    val bad = intercept[IllegalArgumentException] {
+      Pipeline.fromSteps(Seq(Step("repartition")))
+    }
+    assert(bad.getMessage.contains("need n and/or cols"))
   }
 
   test("join-family loaded side: renaming a missing column fails " +
