@@ -1958,4 +1958,28 @@ class PipelineSpec extends AnyFunSuite {
          |]""".stripMargin)(events))
     assert(gotRange == wantRange && gotRange.nonEmpty)
   }
+
+  test("join-family loaded side: right_filter is predicate-pushed to " +
+       "the parquet scan and unused columns prune") {
+    val events = graft.sources.Sources.table(spark, dir, "events")
+    val out = Pipeline.fromJson(
+      s"""[
+         |  {"op": "filter",
+         |   "params": {"condition": "event_type = 'purchase'"}},
+         |  {"op": "asof_join",
+         |   "params": {"path": "$dir/events.parquet",
+         |              "right_filter": "event_type = 'click'",
+         |              "right_renames": [["event_id", "click_id"]],
+         |              "key_col": "user_id", "ts_col": "ts",
+         |              "left_cols": ["event_id"],
+         |              "right_cols": ["click_id"]}}
+         |]""".stripMargin)(events)
+    out.collect() // finalize AQE so the inspected plan is real
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), " +
+      "EqualTo(event_type,click)]"))
+    // value/props never reach either scan
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("props")))
+  }
 }
