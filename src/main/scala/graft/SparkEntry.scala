@@ -766,6 +766,60 @@ SELECT r.node, ((r.ru + 500) // 1000)::DOUBLE / 1000000.0 AS rank,
 FROM r$iters r LEFT JOIN wd d ON d.src = r.node"""
   }
 
+  /** Shared CTE chain for the HyperBall oracles (q_graph_harmonic /
+    * q_graph_nf): the thinned supplier-part graph, three register
+    * max-merge rounds, and per-node estimate units e0..e3 on the
+    * 1e-6 lattice (m = 16 fixed-shape estimate with linear counting
+    * below 2.5m — mirrors Stats.hllEstimateUnits exactly). */
+  private def hyperBallOracleCtes: String = {
+    def roundCte(k: Int) =
+      s"""r$k AS MATERIALIZED (
+         |  SELECT node, bucket, max(rho) AS rho FROM (
+         |    SELECT node, bucket, rho FROM r${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, r.bucket, r.rho
+         |    FROM sym e JOIN r${k - 1} r ON r.node = e.src
+         |  ) GROUP BY 1, 2)""".stripMargin
+    def estCte(k: Int) =
+      s"""e$k AS (SELECT node, round((CASE
+         |    WHEN e_raw <= 40.0 AND v_zero > 0
+         |    THEN 16.0 * ln(16.0 / v_zero) ELSE e_raw END) * 1e6
+         |  )::BIGINT AS e FROM (
+         |  SELECT node,
+         |    (0.7213 / (1.0 + 1.079 / 16.0)) * 16.0 * 16.0 *
+         |      562949953421312.0 /
+         |      CAST(s_present + (16 - n_reg) *
+         |        (1::BIGINT << 49) AS DOUBLE) AS e_raw,
+         |    CAST(16 - n_reg AS DOUBLE) AS v_zero
+         |  FROM (SELECT node, count(*) AS n_reg,
+         |          sum((1::BIGINT << (49 - rho)))::BIGINT AS s_present
+         |        FROM r$k GROUP BY 1)))""".stripMargin
+    s"""WITH
+       |g AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
+       |  FROM lineitem WHERE l_quantity > 40),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM g
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM g),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+       |hsh AS MATERIALIZED (
+       |  SELECT node,
+       |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 1))::INT
+       |      AS bucket,
+       |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 2, 12))::BIGINT
+       |      AS w
+       |  FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, bucket,
+       |    CASE WHEN w = 0 THEN 49
+       |         ELSE 49 - length(bin(w)) END AS rho
+       |  FROM hsh),
+       |${(1 to 3).map(roundCte).mkString(",\n")},
+       |${(0 to 3).map(estCte).mkString(",\n")}""".stripMargin
+  }
+
   private def pageRankOracleSql(iters: Int, damping: Double): String = {
     val rounds = (1 to iters).map { k =>
       s"""r$k AS (
@@ -2998,6 +3052,17 @@ $joins"""
     "q_graph_harmonic" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").filter(col("l_quantity") > 40)
       graft.operators.Graph.harmonicCentrality(
+        li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 10000000L).cast("long").as("dst")),
+        "src", "dst", iters = 3, b = 4)
+    }),
+
+    // the global HyperBall report on the same graph: N(k) = Σ ball
+    // estimates per radius (exact long sums of lattice units), with
+    // frac = N(k)/N(3) — the effective-diameter curve in 4 rows
+    "q_graph_nf" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 40)
+      graft.operators.Graph.neighborhoodFunction(
         li.select(col("l_suppkey").cast("long").as("src"),
           (col("l_partkey") + 10000000L).cast("long").as("dst")),
         "src", "dst", iters = 3, b = 4)
@@ -7821,109 +7886,29 @@ $joins"""
       // estimate and the lcm-scaled harmonic sum are fixed-shape
       // (m = 16: alpha·m²·2^49 inline, linear-counting below 2.5m)
       "q_graph_harmonic" ->
-        """WITH
-          |g AS MATERIALIZED (
-          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
-          |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
-          |  FROM lineitem WHERE l_quantity > 40),
-          |sym AS MATERIALIZED (
-          |  SELECT src, dst FROM g
-          |  UNION
-          |  SELECT dst AS src, src AS dst FROM g),
-          |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
-          |hsh AS MATERIALIZED (
-          |  SELECT node,
-          |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 1))::INT
-          |      AS bucket,
-          |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 2, 12))::BIGINT
-          |      AS w
-          |  FROM nodes),
-          |r0 AS MATERIALIZED (
-          |  SELECT node, bucket,
-          |    CASE WHEN w = 0 THEN 49
-          |         ELSE 49 - length(bin(w)) END AS rho
-          |  FROM hsh),
-          |r1 AS MATERIALIZED (
-          |  SELECT node, bucket, max(rho) AS rho FROM (
-          |    SELECT node, bucket, rho FROM r0
-          |    UNION ALL
-          |    SELECT e.dst AS node, r.bucket, r.rho
-          |    FROM sym e JOIN r0 r ON r.node = e.src
-          |  ) GROUP BY 1, 2),
-          |r2 AS MATERIALIZED (
-          |  SELECT node, bucket, max(rho) AS rho FROM (
-          |    SELECT node, bucket, rho FROM r1
-          |    UNION ALL
-          |    SELECT e.dst AS node, r.bucket, r.rho
-          |    FROM sym e JOIN r1 r ON r.node = e.src
-          |  ) GROUP BY 1, 2),
-          |r3 AS MATERIALIZED (
-          |  SELECT node, bucket, max(rho) AS rho FROM (
-          |    SELECT node, bucket, rho FROM r2
-          |    UNION ALL
-          |    SELECT e.dst AS node, r.bucket, r.rho
-          |    FROM sym e JOIN r2 r ON r.node = e.src
-          |  ) GROUP BY 1, 2),
-          |e0 AS (SELECT node, round((CASE
-          |    WHEN e_raw <= 40.0 AND v_zero > 0
-          |    THEN 16.0 * ln(16.0 / v_zero) ELSE e_raw END) * 1e6
-          |  )::BIGINT AS e FROM (
-          |  SELECT node,
-          |    (0.7213 / (1.0 + 1.079 / 16.0)) * 16.0 * 16.0 *
-          |      562949953421312.0 /
-          |      CAST(s_present + (16 - n_reg) *
-          |        (1::BIGINT << 49) AS DOUBLE) AS e_raw,
-          |    CAST(16 - n_reg AS DOUBLE) AS v_zero
-          |  FROM (SELECT node, count(*) AS n_reg,
-          |          sum((1::BIGINT << (49 - rho)))::BIGINT AS s_present
-          |        FROM r0 GROUP BY 1))),
-          |e1 AS (SELECT node, round((CASE
-          |    WHEN e_raw <= 40.0 AND v_zero > 0
-          |    THEN 16.0 * ln(16.0 / v_zero) ELSE e_raw END) * 1e6
-          |  )::BIGINT AS e FROM (
-          |  SELECT node,
-          |    (0.7213 / (1.0 + 1.079 / 16.0)) * 16.0 * 16.0 *
-          |      562949953421312.0 /
-          |      CAST(s_present + (16 - n_reg) *
-          |        (1::BIGINT << 49) AS DOUBLE) AS e_raw,
-          |    CAST(16 - n_reg AS DOUBLE) AS v_zero
-          |  FROM (SELECT node, count(*) AS n_reg,
-          |          sum((1::BIGINT << (49 - rho)))::BIGINT AS s_present
-          |        FROM r1 GROUP BY 1))),
-          |e2 AS (SELECT node, round((CASE
-          |    WHEN e_raw <= 40.0 AND v_zero > 0
-          |    THEN 16.0 * ln(16.0 / v_zero) ELSE e_raw END) * 1e6
-          |  )::BIGINT AS e FROM (
-          |  SELECT node,
-          |    (0.7213 / (1.0 + 1.079 / 16.0)) * 16.0 * 16.0 *
-          |      562949953421312.0 /
-          |      CAST(s_present + (16 - n_reg) *
-          |        (1::BIGINT << 49) AS DOUBLE) AS e_raw,
-          |    CAST(16 - n_reg AS DOUBLE) AS v_zero
-          |  FROM (SELECT node, count(*) AS n_reg,
-          |          sum((1::BIGINT << (49 - rho)))::BIGINT AS s_present
-          |        FROM r2 GROUP BY 1))),
-          |e3 AS (SELECT node, round((CASE
-          |    WHEN e_raw <= 40.0 AND v_zero > 0
-          |    THEN 16.0 * ln(16.0 / v_zero) ELSE e_raw END) * 1e6
-          |  )::BIGINT AS e FROM (
-          |  SELECT node,
-          |    (0.7213 / (1.0 + 1.079 / 16.0)) * 16.0 * 16.0 *
-          |      562949953421312.0 /
-          |      CAST(s_present + (16 - n_reg) *
-          |        (1::BIGINT << 49) AS DOUBLE) AS e_raw,
-          |    CAST(16 - n_reg AS DOUBLE) AS v_zero
-          |  FROM (SELECT node, count(*) AS n_reg,
-          |          sum((1::BIGINT << (49 - rho)))::BIGINT AS s_present
-          |        FROM r3 GROUP BY 1)))
-          |SELECT e0.node,
-          |  CAST(6 * (e1.e - e0.e) + 3 * (e2.e - e1.e) +
-          |       2 * (e3.e - e2.e) AS DOUBLE) / 6000000.0 AS harmonic,
-          |  CAST(e3.e AS DOUBLE) / 1000000.0 AS ball
-          |FROM e0
-          |JOIN e1 ON e1.node = e0.node
-          |JOIN e2 ON e2.node = e0.node
-          |JOIN e3 ON e3.node = e0.node""".stripMargin,
+        s"""$hyperBallOracleCtes
+           |SELECT e0.node,
+           |  CAST(6 * (e1.e - e0.e) + 3 * (e2.e - e1.e) +
+           |       2 * (e3.e - e2.e) AS DOUBLE) / 6000000.0 AS harmonic,
+           |  CAST(e3.e AS DOUBLE) / 1000000.0 AS ball
+           |FROM e0
+           |JOIN e1 ON e1.node = e0.node
+           |JOIN e2 ON e2.node = e0.node
+           |JOIN e3 ON e3.node = e0.node""".stripMargin,
+
+      // the global neighborhood function over the same CTE chain:
+      // per-node estimate units sum as exact longs per radius
+      "q_graph_nf" ->
+        s"""$hyperBallOracleCtes,
+           |t AS (
+           |  SELECT 0 AS k, sum(e)::BIGINT AS units FROM e0
+           |  UNION ALL SELECT 1, sum(e)::BIGINT FROM e1
+           |  UNION ALL SELECT 2, sum(e)::BIGINT FROM e2
+           |  UNION ALL SELECT 3, sum(e)::BIGINT FROM e3),
+           |lastk AS (SELECT units AS lastu FROM t WHERE k = 3)
+           |SELECT k, units::DOUBLE / 1e6 AS nf,
+           |  (units::DOUBLE / 1e6) / (lastu::DOUBLE / 1e6) AS frac
+           |FROM t, lastk""".stripMargin,
 
       // the same frontier expansion as a recursive CTE: walk holds
       // every (node, walk length ≤ 3) pair — bounded by 4 rows per

@@ -939,6 +939,52 @@ object Graph {
   def harmonicCentrality(edges: DataFrame, srcCol: String,
                          dstCol: String, iters: Int = 3, b: Int = 4,
                          undirected: Boolean = true): DataFrame = {
+    val balls = hyperBallEstimates(edges, srcCol, dstCol, iters, b,
+      undirected)
+    val scale = (1 to iters).foldLeft(1L)((acc, k) =>
+      acc / gcd(acc, k) * k) // lcm(1..iters)
+    val harmonicUnits = (1 to iters).map(k =>
+        (col(s"e$k") - col(s"e${k - 1}")) * lit(scale / k))
+      .reduce(_ + _)
+    balls.select(col("node"),
+      (harmonicUnits.cast("double") / lit(scale.toDouble * 1e6))
+        .as("harmonic"),
+      (col(s"e$iters").cast("double") / lit(1e6)).as("ball"))
+  }
+
+  /** The HyperBall neighborhood function: N(k) = Σ_v |B_k(v)| — the
+    * number of (ordered) node pairs within k hops — one row per
+    * radius 0..iters, with `frac` = N(k)/N(iters). The effective
+    * diameter at quantile q is the smallest k with frac ≥ q: with the
+    * default 3–5 rounds this is the whole "how small is the world"
+    * report for a crawl graph, at the same bounded-state cost as
+    * [[harmonicCentrality]] (per-node estimate rows sum as EXACT
+    * longs, so the oracle replicates every row digit-for-digit). */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String,
+                           dstCol: String, iters: Int = 3, b: Int = 4,
+                           undirected: Boolean = true): DataFrame = {
+    val balls = hyperBallEstimates(edges, srcCol, dstCol, iters, b,
+      undirected)
+    val sums = balls.agg(
+      sum(col("e0")).as("s0"),
+      (1 to iters).map(k => sum(col(s"e$k")).as(s"s$k")): _*)
+    val perK = (0 to iters).map(k =>
+      struct(lit(k).as("k"), col(s"s$k").as("units")))
+    sums.select(explode(array(perK: _*)).as("r"))
+      .select(col("r.k").as("k"),
+        (col("r.units").cast("double") / lit(1e6)).as("nf"))
+      .crossJoin(broadcast(sums.select(col(s"s$iters").as("__last"))))
+      .select(col("k"), col("nf"),
+        (col("nf") / (col("__last").cast("double") / lit(1e6)))
+          .as("frac"))
+  }
+
+  /** Shared HyperBall core: per-node ball-estimate units at every
+    * radius 0..iters — (node, e0..eiters) with each eK the HLL
+    * estimate of |B_K(v)| on the 1e-6 integer lattice. */
+  private def hyperBallEstimates(edges: DataFrame, srcCol: String,
+                                 dstCol: String, iters: Int, b: Int,
+                                 undirected: Boolean): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(b == 4 || b == 8,
       "b must be 4 or 8 (m = 16 or 256 registers per node)")
@@ -975,15 +1021,7 @@ object Graph {
         .truncateLineage(false)
       balls = balls.join(estFrame(regs, k), Seq("node"))
     }
-    val scale = (1 to iters).foldLeft(1L)((acc, k) =>
-      acc / gcd(acc, k) * k) // lcm(1..iters)
-    val harmonicUnits = (1 to iters).map(k =>
-        (col(s"e$k") - col(s"e${k - 1}")) * lit(scale / k))
-      .reduce(_ + _)
-    balls.select(col("node"),
-      (harmonicUnits.cast("double") / lit(scale.toDouble * 1e6))
-        .as("harmonic"),
-      (col(s"e$iters").cast("double") / lit(1e6)).as("ball"))
+    balls
   }
 
   private def gcd(a: Long, bb: Long): Long =

@@ -450,6 +450,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
     // the detached pair's ball saturates at hop 1: no further gain
     assert(got(20L)._2 == got(21L)._2)
+
+    // the neighborhood function is the exact long sum of the same
+    // per-node lattice units, with frac against the last radius
+    def estU(ballSet: Set[Long]): Long = estUnits(ballSet)
+    val nfWant = (0 to 3).map { k =>
+      val units = nodes.map(v => estU(ball(v, k))).sum
+      k -> units
+    }.toMap
+    val lastU = nfWant(3)
+    val nfGot = graft.operators.Graph.neighborhoodFunction(
+        edgeSeq.toDF("src", "dst"), "src", "dst", iters = 3, b = 4)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(nfGot == nfWant.map { case (k, u) =>
+      k -> (u.toDouble / 1e6,
+        (u.toDouble / 1e6) / (lastU.toDouble / 1e6))
+    })
   }
 
   test("bfsDistances on random graphs equals driver-side BFS") {

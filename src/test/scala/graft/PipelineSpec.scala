@@ -1785,6 +1785,8 @@ class PipelineSpec extends AnyFunSuite {
       "intersect_table" -> Map("path" -> "/tmp/x"),
       "except_table" -> Map("path" -> "/tmp/x"),
       "harmonic_centrality" -> Map("src_col" -> "s", "dst_col" -> "d"),
+      "neighborhood_function" -> Map("src_col" -> "s",
+        "dst_col" -> "d"),
       "conform_schema" -> Map("schema" -> "a INT"),
       "coalesce" -> Map("n" -> 1L))
     good.foreach { case (op, params) =>
