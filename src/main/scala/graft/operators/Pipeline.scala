@@ -2867,6 +2867,13 @@ object Pipeline {
     "rolling_anomalies_watermarked", "decayed_activity_watermarked",
     "top_paths_watermarked", "transition_pairs_watermarked",
     "asof_join_watermarked", "range_join_watermarked",
+    // stream-STATIC enrichment: the loaded side is a batch table
+    // re-read per micro-batch by Spark's stream-static join (inner /
+    // left_outer per Spark's own support matrix — unsupported shapes
+    // fail at stream start with Spark's error); bloom_join builds its
+    // sketch ONCE at chain-compile time from the static side, and its
+    // might_contain pre-filter is a stateless row gate
+    "join_table", "bloom_join", "salted_join",
     // the parity core: one stateless Project
     "apply_functions",
     // per-row multimodal plumbing

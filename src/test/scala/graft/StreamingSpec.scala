@@ -3590,4 +3590,48 @@ class StreamingSpec extends AnyFunSuite {
     val r2 = run(rangeDirect, "direct_range_join")
     assert(r1 == r2 && r1.nonEmpty)
   }
+
+  test("stream-static enrichment through the config registry: " +
+       "join_table (broadcast dim) + bloom_join equal the batch twin " +
+       "on the union of all micro-batches") {
+    import graft.operators.Pipeline
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft_dim").toString + "/dim.parquet"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    val json =
+      s"""[{"op": "join_table",
+         |  "params": {"path": "$dimPath", "on": ["k"],
+         |             "broadcast": true}},
+         | {"op": "bloom_join",
+         |  "params": {"path": "$dimPath",
+         |             "right_filter": "label != 'c'",
+         |             "right_renames": [["k", "k2"],
+         |                               ["label", "label2"]],
+         |             "fact_key": "k", "dim_key": "k2"}},
+         | {"op": "select",
+         |  "params": {"cols": ["k", "v", "label", "label2"]}}
+         |]""".stripMargin
+    val rows =
+      Seq((1L, 0.5), (2L, 1.5), (3L, 2.5), (9L, 9.9), (1L, 3.5))
+    val cfg = Pipeline.fromJsonStreaming(json)
+    val in = MemoryStream[(Long, Double)]
+    val q = cfg(in.toDF().toDF("k", "v")).writeStream
+      .format("memory").queryName("ss_enrich")
+      .outputMode("append").start()
+    in.addData(rows.take(4): _*); q.processAllAvailable()
+    in.addData(rows.drop(4): _*); q.processAllAvailable()
+    q.stop()
+    val got = s.sql("select * from ss_enrich")
+      .collect().map(_.mkString("|")).toSet
+    val batch = Pipeline.fromJson(json)(rows.toDF("k", "v"))
+      .collect().map(_.mkString("|")).toSet
+    assert(got == batch && got.nonEmpty)
+    // k=9 never matched the dim; k=3 fell to the blooms' dim filter
+    assert(!got.exists(_.startsWith("9|")) &&
+      !got.exists(_.startsWith("3|")))
+  }
 }
