@@ -1893,6 +1893,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("need n and/or cols"))
   }
 
+  test("intersect_table / except_table equal the hand-written set " +
+       "ops; conform_schema to the frame's own DDL is the identity") {
+    val langs = docs.select("lang")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_setop").toString + "/side.parquet"
+    docs.filter(col("source") === "src1").select("lang")
+      .write.mode("overwrite").parquet(tmp)
+    val side = spark.read.parquet(tmp)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val viaStep = rows(Pipeline.fromSteps(Seq(Step("intersect_table",
+      Map("path" -> tmp))))(langs))
+    assert(viaStep == rows(langs.intersect(side)) && viaStep.nonEmpty)
+    val exceptStep = rows(Pipeline.fromSteps(Seq(Step("except_table",
+      Map("path" -> tmp))))(langs))
+    assert(exceptStep == rows(langs.except(side)))
+    // intersect ∪ except of the distinct domain = the distinct domain
+    assert(viaStep ++ exceptStep == rows(langs.distinct()))
+    // conform_schema to the frame's own DDL: identical rows, order,
+    // and schema (the no-op safety a blanket-applied contract needs)
+    val conformed = Pipeline.fromSteps(Seq(Step("conform_schema",
+      Map("schema" -> docs.schema.toDDL))))(docs)
+    assert(conformed.schema == docs.schema)
+    assert(rows(conformed) == rows(docs))
+  }
+
   test("join-family loaded side: renaming a missing column fails " +
        "loudly, naming the column and the path") {
     val events = spark.read.parquet(s"$dir/events.parquet")
