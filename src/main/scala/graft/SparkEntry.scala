@@ -4424,6 +4424,38 @@ $joins"""
            |              "seed_col": "src", "max_hops": 3}}
            |]""".stripMargin)),
 
+    // the FULL crawl-to-ranking chain from pure JSON: synthetic HTML →
+    // extract_links (base-resolved) → host contraction → weighted
+    // PageRank, under q_graph_pagerank_hosts' oracle verbatim — the
+    // whole q_graph chain is now config-expressible end to end
+    "q_pipeline_rank_hosts" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "html", "expr":
+           |     "'<html><body><nav><a href=\\"/\\">Home</a> <a href=''/about/''>About&nbsp;Us</a></nav><p>see <a href=\\"../sibling.html\\">the <b>sibling</b></a> and <a href=\\"//cdn.example.net/lib.js\\">cdn</a> and <a href=\\"https://other.example.org/x?id=' || cast(doc_id as string) || '\\">doc link</a> and <a href=\\"#frag\\">skip</a> <a href=\\"mailto:x@y\\">skip too</a></p></body></html>'"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "base", "expr":
+           |     "'https://site' || cast(doc_id % 7 as string) || '.example.com/dir' || cast(doc_id % 5 as string) || '/page/index.html'"}},
+           |  {"op": "select",
+           |   "params": {"cols": ["doc_id", "html", "base"]}},
+           |  {"op": "extract_links",
+           |   "params": {"id_col": "doc_id", "html_col": "html",
+           |              "base_url_col": "base"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src_url", "expr":
+           |     "'https://site' || cast(doc_id % 7 as string) || '.example.com/dir' || cast(doc_id % 5 as string) || '/page/index.html'"}},
+           |  {"op": "host_graph",
+           |   "params": {"src_col": "src_url",
+           |              "dst_url_col": "href_abs",
+           |              "page_id_col": "doc_id"}},
+           |  {"op": "pagerank_weighted",
+           |   "params": {"src_col": "src_host", "dst_col": "dst_host",
+           |              "weight_col": "n_links", "iters": 3}}
+           |]""".stripMargin)),
+
     // schema conformance from config: declared order, a real cast
     // (n_chars bigint → double), a typed NULL fill for the missing
     // column, undeclared columns dropped
@@ -9371,6 +9403,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_fns" -> base("q_fn_root")) +
       ("q_pipeline_harmonic" -> base("q_graph_harmonic")) +
       ("q_pipeline_topn" -> base("q_window_topn")) +
+      ("q_pipeline_rank_hosts" -> base("q_graph_pagerank_hosts")) +
       // register max-merge is exact, so the sharded path shares the
       // direct oracle verbatim
       ("q_stats_distinct_shards" -> base("q_stats_distinct"))

@@ -1158,6 +1158,21 @@ object Pipeline {
     // config-compile time — the driver-bounded artifact the domain
     // contraction then applies per row; without it the compact
     // built-in subset keeps existing configs byte-stable
+    // link extraction: <a> tags → (id, link_pos, href, href_abs,
+    // anchor) rows — the step that feeds host_graph / pagerank from
+    // raw crawl HTML; one codegen'd projection + posexplode,
+    // shuffle-free, output ∝ links
+    "extract_links" -> OpSpec(Set(),
+      Set("id_col", "html_col", "base_url_col"),
+      p => {
+        val id = p.str("id_col", Some("doc_id"))
+        val html = p.str("html_col", Some("html"))
+        val base =
+          if (p.has("base_url_col")) Some(p.str("base_url_col"))
+          else None
+        df => HtmlExtract.extractLinks(df, id, html, base)
+      }),
+
     "host_graph" -> OpSpec(Set("src_col", "dst_url_col"),
       Set("page_id_col", "src_is_url", "to_domain", "psl_path"),
       p => {
@@ -2857,6 +2872,7 @@ object Pipeline {
     "pieces_tokenize_stored", "unigram_tokenize_stored",
     "windowed_stats_watermarked", "code_line_stats",
     "parse_warc_records", "http_responses", "extract_text",
+    "extract_links", // stateless projection + posexplode
     "canonicalize_urls", "split_sentences", "readability_scores",
     "gopher_repetition_flags", "compression_ratio",
     // stateful entries that carry their own watermark in the config
