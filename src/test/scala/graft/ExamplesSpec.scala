@@ -151,6 +151,22 @@ class ExamplesSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("examples/link_ranking.json: the crawl-to-ranking chain " +
+       "(extract_links -> host_graph -> weighted pagerank), " +
+       "end to end") {
+    val out = Pipeline.runJson(spark,
+      read("link_ranking.json").replace("__TESTDATA__", dir))
+    assert(out.columns.toSeq == Seq("node", "rank", "out_weight"))
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // descending rank held through the limit; hosts are the 7 site
+    // shards plus the external target
+    val ranks = rows.map(_.getDouble(1))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getString(0)).forall(h =>
+      h.endsWith(".example.com") || h == "other.example.org"))
+  }
+
   test("examples/purchase_attribution.json: as-of self-join " +
        "enrichment + attribution rollup, end to end") {
     val out = Pipeline.runJson(spark,
