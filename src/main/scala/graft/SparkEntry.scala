@@ -3057,6 +3057,17 @@ $joins"""
         "src", "dst", iters = 3, b = 4)
     }),
 
+    // HyperBall closeness on the same graph: reciprocal mean distance
+    // to reached nodes within 3 hops — ΔE units weighted by radius in
+    // exact longs, two fixed-shape double divisions
+    "q_graph_closeness" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 40)
+      graft.operators.Graph.closenessCentrality(
+        li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 10000000L).cast("long").as("dst")),
+        "src", "dst", iters = 3, b = 4)
+    }),
+
     // the global HyperBall report on the same graph: N(k) = Σ ball
     // estimates per radius (exact long sums of lattice units), with
     // frac = N(k)/N(3) — the effective-diameter curve in 4 rows
@@ -7922,6 +7933,26 @@ $joins"""
            |SELECT e0.node,
            |  CAST(6 * (e1.e - e0.e) + 3 * (e2.e - e1.e) +
            |       2 * (e3.e - e2.e) AS DOUBLE) / 6000000.0 AS harmonic,
+           |  CAST(e3.e AS DOUBLE) / 1000000.0 AS ball
+           |FROM e0
+           |JOIN e1 ON e1.node = e0.node
+           |JOIN e2 ON e2.node = e0.node
+           |JOIN e3 ON e3.node = e0.node""".stripMargin,
+
+      // closeness over the same CTE chain: radius-weighted ΔE units
+      // in exact integer arithmetic, the same two double divisions
+      "q_graph_closeness" ->
+        s"""$hyperBallOracleCtes
+           |SELECT e0.node,
+           |  CASE WHEN ((e1.e - e0.e) * 1 + (e2.e - e1.e) * 2 +
+           |             (e3.e - e2.e) * 3) > 0
+           |    THEN CAST(e3.e - e0.e AS DOUBLE) /
+           |         CAST((e1.e - e0.e) * 1 + (e2.e - e1.e) * 2 +
+           |              (e3.e - e2.e) * 3 AS DOUBLE)
+           |    ELSE 0.0 END AS closeness,
+           |  CAST((e1.e - e0.e) * 1 + (e2.e - e1.e) * 2 +
+           |       (e3.e - e2.e) * 3 AS DOUBLE) / 1000000.0
+           |    AS total_distance,
            |  CAST(e3.e AS DOUBLE) / 1000000.0 AS ball
            |FROM e0
            |JOIN e1 ON e1.node = e0.node

@@ -979,6 +979,33 @@ object Graph {
           .as("frac"))
   }
 
+  /** HyperBall closeness centrality within the iteration horizon:
+    * T(v) = Σ_{k=1..iters} k·(|B_k(v)| − |B_{k−1}(v)|) estimates the
+    * total distance from v to everything it reaches within `iters`
+    * hops, and closeness = (|B_iters(v)| − |B_0(v)|) / T(v) — the
+    * reciprocal of the mean distance to reached nodes (0 when the
+    * ball never grows). Same exact-integer lattice discipline as
+    * [[harmonicCentrality]]: T sums ΔE units as longs, the two
+    * double divisions are the only float ops, so the oracle
+    * replicates digit-for-digit. Output: (node, closeness,
+    * total_distance, ball). */
+  def closenessCentrality(edges: DataFrame, srcCol: String,
+                          dstCol: String, iters: Int = 3, b: Int = 4,
+                          undirected: Boolean = true): DataFrame = {
+    val balls = hyperBallEstimates(edges, srcCol, dstCol, iters, b,
+      undirected)
+    val tUnits = (1 to iters).map(k =>
+        (col(s"e$k") - col(s"e${k - 1}")) * lit(k.toLong))
+      .reduce(_ + _)
+    balls.select(col("node"),
+      when(tUnits > lit(0L),
+        (col(s"e$iters") - col("e0")).cast("double") /
+          tUnits.cast("double"))
+        .otherwise(lit(0.0)).as("closeness"),
+      (tUnits.cast("double") / lit(1e6)).as("total_distance"),
+      (col(s"e$iters").cast("double") / lit(1e6)).as("ball"))
+  }
+
   /** Shared HyperBall core: per-node ball-estimate units at every
     * radius 0..iters — (node, e0..eiters) with each eK the HLL
     * estimate of |B_K(v)| on the 1e-6 integer lattice. */

@@ -1110,6 +1110,17 @@ object Pipeline {
         df => Graph.harmonicCentrality(df, src, dst, iters, b, undir)
       }),
 
+    // reciprocal-mean-distance centrality, same bounded state
+    "closeness_centrality" -> OpSpec(Set("src_col", "dst_col"),
+      Set("iters", "b", "undirected"),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        val iters = p.int("iters", Some(3))
+        val b = p.int("b", Some(4))
+        val undir = p.bool("undirected", Some(true))
+        df => Graph.closenessCentrality(df, src, dst, iters, b, undir)
+      }),
+
     // the global HyperBall report: N(k) per radius + effective-
     // diameter fractions, same bounded state as harmonic_centrality
     "neighborhood_function" -> OpSpec(Set("src_col", "dst_col"),

@@ -468,6 +468,22 @@ class OperatorsSpec extends AnyFunSuite {
       k -> (u.toDouble / 1e6,
         (u.toDouble / 1e6) / (lastU.toDouble / 1e6))
     })
+
+    // closeness: radius-weighted ΔE units in exact longs, then the
+    // same two double divisions
+    val clGot = graft.operators.Graph.closenessCentrality(
+        edgeSeq.toDF("src", "dst"), "src", "dst", iters = 3, b = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val clWant = nodes.map { v =>
+      val e = (0 to 3).map(k => estUnits(ball(v, k)))
+      val tU = (1 to 3).map(k => (e(k) - e(k - 1)) * k).sum
+      val cl =
+        if (tU > 0) (e(3) - e(0)).toDouble / tU.toDouble else 0.0
+      v -> (cl, tU.toDouble / 1e6)
+    }.toMap
+    assert(clGot == clWant)
   }
 
   test("bfsDistances on random graphs equals driver-side BFS") {

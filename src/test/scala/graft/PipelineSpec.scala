@@ -1787,6 +1787,8 @@ class PipelineSpec extends AnyFunSuite {
       "harmonic_centrality" -> Map("src_col" -> "s", "dst_col" -> "d"),
       "neighborhood_function" -> Map("src_col" -> "s",
         "dst_col" -> "d"),
+      "closeness_centrality" -> Map("src_col" -> "s",
+        "dst_col" -> "d"),
       "conform_schema" -> Map("schema" -> "a INT"),
       "coalesce" -> Map("n" -> 1L))
     good.foreach { case (op, params) =>
