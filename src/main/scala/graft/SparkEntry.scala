@@ -3057,6 +3057,22 @@ $joins"""
         "src", "dst", iters = 3, b = 4)
     }),
 
+    // hop-bounded weighted shortest paths from the vetted supplier
+    // slice over the sparse (qty > 45) supplier-part graph: quantity
+    // as edge cost, 2 relaxation rounds — the oracle enumerates every
+    // ≤2-hop walk recursively and takes the min total weight
+    "q_graph_sssp" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      graft.operators.Graph.shortestPaths(
+        li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 10000000L).cast("long").as("dst"),
+          col("l_quantity").as("w")),
+        "src", "dst", "w",
+        li.filter(col("l_suppkey") % 17 === 0)
+          .select(col("l_suppkey").cast("long").as("node")),
+        "node", maxHops = 2)
+    }),
+
     // HyperBall closeness on the same graph: reciprocal mean distance
     // to reached nodes within 3 hops — ΔE units weighted by radius in
     // exact longs, two fixed-shape double divisions
@@ -7938,6 +7954,37 @@ $joins"""
            |JOIN e1 ON e1.node = e0.node
            |JOIN e2 ON e2.node = e0.node
            |JOIN e3 ON e3.node = e0.node""".stripMargin,
+
+      // min-over-walks enumeration: walk holds every (node, path
+      // weight, hop ≤ 2) triple — bounded by distinct ≤2-hop path
+      // sums on the THINNED graph — and min(dist) is the shortest
+      // path (walks can't beat paths at non-negative weights, and
+      // both engines enumerate the same walk set anyway)
+      "q_graph_sssp" ->
+        """WITH RECURSIVE
+          |g0 AS MATERIALIZED (
+          |  SELECT CAST(l_suppkey AS BIGINT) AS src,
+          |         CAST(l_partkey + 10000000 AS BIGINT) AS dst,
+          |         CAST(l_quantity AS BIGINT) AS w
+          |  FROM lineitem WHERE l_quantity > 45),
+          |sym AS MATERIALIZED (
+          |  SELECT src, dst, min(w) AS w FROM (
+          |    SELECT src, dst, w FROM g0
+          |    UNION ALL
+          |    SELECT dst AS src, src AS dst, w FROM g0)
+          |  GROUP BY 1, 2),
+          |walk(node, dist, hop) AS (
+          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS node,
+          |         0::BIGINT AS dist, 0 AS hop
+          |  FROM lineitem
+          |  WHERE l_quantity > 45 AND l_suppkey % 17 = 0
+          |  UNION
+          |  SELECT e.dst AS node, w.dist + e.w AS dist,
+          |         w.hop + 1 AS hop
+          |  FROM walk w JOIN sym e ON e.src = w.node
+          |  WHERE w.hop < 2)
+          |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+          |FROM walk GROUP BY 1""".stripMargin,
 
       // closeness over the same CTE chain: radius-weighted ΔE units
       // in exact integer arithmetic, the same two double divisions

@@ -1054,6 +1054,55 @@ object Graph {
   private def gcd(a: Long, bb: Long): Long =
     if (bb == 0) a else gcd(bb, a % bb)
 
+  /** Hop-bounded weighted shortest paths (Bellman–Ford relaxation):
+    * dist(v) = minimum total edge weight over any path of ≤ `maxHops`
+    * hops from the seed set — the weighted complement to
+    * [[bfsDistances]] (crawl latency/cost radius instead of hop
+    * radius). Weights must be non-negative (a negative weight fails
+    * loudly in-plan); multi-edges collapse to their minimum weight
+    * before the loop. Nodes no ≤-maxHops path reaches are absent.
+    *
+    * Scale design: round k is ONE shuffle — the current distance
+    * frame (≤ one row per reached node) joins the min-collapsed
+    * adjacency list and re-minimizes by node; lineage truncates per
+    * round, nothing corpus-sized reaches the driver. After k rounds
+    * the frame holds EXACTLY min-over-walks-of-≤-k-hops, which is
+    * what the oracle's recursive enumeration computes. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, seeds: DataFrame,
+                    seedCol: String, maxHops: Int,
+                    undirected: Boolean = true): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val both =
+      if (undirected)
+        fwd.union(edges.select(col(dstCol).as("src"),
+          col(srcCol).as("dst"), col(weightCol).cast("long").as("w")))
+      else fwd
+    // min-collapse multi-edges; the per-row assert is the loud
+    // negative-weight gate (assert_true is null when it passes)
+    val adj = both.filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .select(col("src"), col("dst"), col("w"),
+        assert_true(col("w") >= 0,
+          lit("shortestPaths: negative edge weight")).as("__ok"))
+      .filter(col("__ok").isNull).drop("__ok")
+      .truncateLineage(false)
+
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).truncateLineage(false)
+    (1 to maxHops).foreach { _ =>
+      val relaxed = adj.join(dist, adj("src") === dist("node"))
+        .select(adj("dst").as("node"),
+          (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .truncateLineage(false)
+    }
+    dist
+  }
+
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, seedCol: String, maxHops: Int,
                    undirected: Boolean = true): DataFrame = {

@@ -1133,6 +1133,23 @@ object Pipeline {
         df => Graph.neighborhoodFunction(df, src, dst, iters, b, undir)
       }),
 
+    // hop-bounded WEIGHTED shortest paths — cost-from-trust; same
+    // seed grammar as bfs_distances plus the edge-weight column
+    "shortest_paths" -> OpSpec(
+      Set("src_col", "dst_col", "weight_col", "seed_condition",
+        "seed_col", "max_hops"),
+      Set("undirected"),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        val w = p.str("weight_col")
+        val cond = parseEagerly(p.str("seed_condition"))
+        val seedCol = p.str("seed_col")
+        val hops = p.int("max_hops")
+        val undir = p.bool("undirected", Some(true))
+        df => Graph.shortestPaths(df, src, dst, w,
+          df.filter(cond), seedCol, hops, undir)
+      }),
+
     // multi-source BFS radius: the frame in flight is the edge list;
     // seeds are a compile-parsed row filter over it plus the column
     // holding the seed node — hops-from-trust as one step

@@ -486,6 +486,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clGot == clWant)
   }
 
+  test("shortestPaths: hop-bounded Bellman-Ford equals driver-side " +
+       "relaxation; multi-edges min-collapse; negative weights fail " +
+       "loudly") {
+    import spark.implicits._
+    // weighted chain 1-2-3 with a heavy shortcut 1-3, plus a
+    // multi-edge (1,2) where the cheaper copy must win
+    val edges = Seq((1L, 2L, 5L), (1L, 2L, 2L), (2L, 3L, 1L),
+      (1L, 3L, 10L), (4L, 5L, 7L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    def run(hops: Int): Map[Long, Long] =
+      graft.operators.Graph.shortestPaths(edges, "src", "dst", "w",
+          seeds, "node", hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 hops: 1->2 costs 2 (min of the multi-edge), 1->2->3 costs 3
+    // (beats the direct 10); detached 4/5 unreachable
+    assert(run(2) == Map(1L -> 0L, 2L -> 2L, 3L -> 3L))
+    // 1 hop: only the direct edges
+    assert(run(1) == Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+    // random graphs vs driver-side bounded relaxation
+    val rnd = new scala.util.Random(11)
+    (0 until 2).foreach { trial =>
+      val es = (0 until 120).map(_ => (rnd.nextInt(30).toLong,
+        rnd.nextInt(30).toLong, (rnd.nextInt(9) + 1).toLong))
+      val ss = (0 until 3).map(_ => rnd.nextInt(30).toLong).distinct
+      val got = graft.operators.Graph.shortestPaths(
+          es.toDF("src", "dst", "w"), "src", "dst", "w",
+          ss.toDF("node"), "node", maxHops = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val adj = scala.collection.mutable
+        .Map.empty[Long, Map[Long, Long]].withDefaultValue(Map.empty)
+      es.filter(e => e._1 != e._2).foreach { case (u, v, w) =>
+        def upd(a: Long, bN: Long): Unit =
+          adj(a) = adj(a) + (bN -> math.min(
+            adj(a).getOrElse(bN, Long.MaxValue), w))
+        upd(u, v); upd(v, u)
+      }
+      var dist = ss.map(_ -> 0L).toMap
+      (1 to 3).foreach { _ =>
+        val relaxed = dist.toSeq.flatMap { case (u, d) =>
+          adj(u).map { case (v, w) => v -> (d + w) } }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (n, xs) => n -> xs.map(_._2).min }
+      }
+      assert(got == dist, s"trial $trial")
+    }
+    // a negative weight is a loud in-plan error
+    val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    assertThrows[Exception] {
+      graft.operators.Graph.shortestPaths(neg, "src", "dst", "w",
+        seeds, "node", 1).collect()
+    }
+  }
+
   test("bfsDistances on random graphs equals driver-side BFS") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

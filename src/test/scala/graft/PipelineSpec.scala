@@ -1782,6 +1782,9 @@ class PipelineSpec extends AnyFunSuite {
       "bfs_distances" -> Map("src_col" -> "s", "dst_col" -> "d",
         "seed_condition" -> "s % 2 = 0", "seed_col" -> "s",
         "max_hops" -> 3L),
+      "shortest_paths" -> Map("src_col" -> "s", "dst_col" -> "d",
+        "weight_col" -> "w", "seed_condition" -> "s % 2 = 0",
+        "seed_col" -> "s", "max_hops" -> 2L),
       "intersect_table" -> Map("path" -> "/tmp/x"),
       "except_table" -> Map("path" -> "/tmp/x"),
       "harmonic_centrality" -> Map("src_col" -> "s", "dst_col" -> "d"),
