@@ -30,21 +30,53 @@ import org.apache.spark.sql.SparkSession
   *     (q_agg_pricing 1.92 s quiet vs 0.70 s warm in the r3-era record
   *     for unchanged code).
   *
+  * Timeout discipline (lesson from the r13 official record, which hit
+  * the driver's wall-clock cap and produced NO data because the JSON was
+  * written once at the very end):
+  *
+  *  3. The results file is rewritten after EVERY timed sample, so an
+  *     external kill at any point leaves a complete, parseable record of
+  *     everything measured so far (`"partial":true` until the suite
+  *     finishes cleanly).
+  *
+  *  4. A wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default 3000 s
+  *     — generously inside the driver's observed cap) bounds the whole
+  *     run: pass 1 always takes its full samples; before each later pass
+  *     the projected pass cost (from per-query minima, ×1.15 fudge) is
+  *     checked against the remaining budget and the pass degrades to one
+  *     sample per query, or is dropped entirely, to fit. Mid-pass the
+  *     budget is re-checked before every query. Degradation is recorded
+  *     in the JSON (`"degraded"`, `"passes_run"`) — a shortened record
+  *     says so instead of silently looking like a fast box.
+  *
+  *  5. Stable-band trim: a query whose recorded min already exceeds
+  *     `SPARK_GRAFT_BENCH_SLOW_S` (default 2 s) takes ONE sample on
+  *     passes ≥2 instead of two — at that magnitude the warm-locality
+  *     delta is noise relative to the signal, and the HyperBall/LM band
+  *     alone was ~84 s of redundant re-measurement per sweep.
+  *
   * Emits ONE JSON line
   * `{"metric":…,"value":…,"unit":"sec","queries":{…},"failed":[…],"runs":…,"sf":…}`
   * to stdout AND to a file (`SPARK_GRAFT_BENCH_OUT`, default
   * `bench_latest.json` in the cwd) so the driver can parse it without
-  * scraping sbt's log-prefixed stdout. A query that throws on every pass
-  * is recorded with the `-1` sentinel time and listed in `failed`, and
-  * the process exits non-zero — a regression can't masquerade as a
-  * speedup. */
+  * scraping sbt's log-prefixed stdout. A query that throws on every
+  * attempted pass is recorded with the `-1` sentinel time and listed in
+  * `failed`, and the process exits non-zero — a regression can't
+  * masquerade as a speedup. A query never attempted because the budget
+  * ran out keeps the `-1` sentinel but is listed in `skipped`, not
+  * `failed` (exit stays 0): missing data is not a regression. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val samples =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "2").toInt.max(1)
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "3000").toDouble
+    val slowS = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_S", "2.0").toDouble
     val spark = LocalSession()
     // session bring-up: codegen, noop sink, shuffle machinery
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -64,29 +96,70 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to passes; (name, fn) <- names; _ <- 1 to samples) {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val attempted = collection.mutable.Set.empty[String]
+    var passesRun = 0
+    var degraded = "none"
+
+    def render(partial: Boolean): String = {
+      val results = names.map { case (name, _) =>
+        (name, best.getOrElse(name, -1.0), best.contains(name))
+      }
+      val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val failed = results
+        .collect { case (k, _, false) if attempted(k) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val skipped = results
+        .collect { case (k, _, false) if !attempted(k) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = results.collect { case (_, v, true) => v }.sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"skipped":$skipped,"runs":$passes,"passes_run":$passesRun,"degraded":"$degraded","budget_s":$budgetS%.0f,"elapsed_s":$elapsedS%.1f,"partial":$partial,"sf":"$sfDir"}"""
+    }
+    def flush(): Unit = Files.writeString(Paths.get(outPath), render(partial = true) + "\n")
+
+    var outOfBudget = false
+    for (pass <- 1 to passes if !outOfBudget) {
+      // samples for this pass: full on pass 1; on later passes the
+      // stable slow band takes one, and a projected budget overrun
+      // degrades the whole pass to one sample or drops it.
+      def samplesFor(name: String): Int =
+        if (pass == 1) samples
+        else if (degraded == "samples") 1
+        else if (best.getOrElse(name, 0.0) > slowS) 1
+        else samples
+      if (pass > 1) {
+        def projected(sPer: String => Int): Double =
+          1.15 * names.map { case (n, _) => best.getOrElse(n, 0.5) * sPer(n) }.sum
+        if (elapsedS + projected(samplesFor) > budgetS) {
+          degraded = "samples"
+          if (elapsedS + projected(_ => 1) > budgetS) { outOfBudget = true; degraded = "truncated" }
+        }
+      }
+      if (!outOfBudget) {
+        for ((name, fn) <- names; _ <- 1 to samplesFor(name) if !outOfBudget) {
+          if (elapsedS + best.getOrElse(name, 0.0) > budgetS) {
+            outOfBudget = true; degraded = "truncated"
+          } else {
+            attempted += name
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            }
+            flush()
+          }
+        }
+        if (!outOfBudget) passesRun = pass
       }
     }
-    val results = names.map { case (name, _) =>
-      (name, best.getOrElse(name, -1.0), best.contains(name))
-    }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$passes,"sf":"$sfDir"}"""
+    val json = render(partial = false)
     println(json)
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
-    if (results.exists(!_._3)) sys.exit(1)
+    if (names.exists { case (n, _) => attempted(n) && !best.contains(n) })
+      sys.exit(1)
   }
 }

@@ -71,15 +71,16 @@ object GraphScaleProbe {
       // graph while state is structurally capped at m·nodes register
       // rows (the groupBy(node, bucket) aggregate) — time should
       // scale ~linearly in edges·m
+      val hbB = 4
       val (hb, tHb) = timed {
-        Graph.harmonicCentrality(e, "src", "dst", iters = 3, b = 4)
+        Graph.harmonicCentrality(e, "src", "dst", iters = 3, b = hbB)
           .agg(sum(col("ball")).as("m"), count(lit(1)).as("n")).first()
       }
       println(f"GRAPHSCALE nodes=$n%7d edges=$ne%8d " +
         f"triangles=${memb / 3}%8d tri=$tTri%6.1fs " +
         f"pagerank=$tPr%6.1fs mass=$mass%.4f " +
         f"hyperball=$tHb%6.1fs ball_mass=${hb.getDouble(0)}%.0f " +
-        f"state_cap=${16L * hb.getLong(1)}%d")
+        f"state_cap=${(1L << hbB) * hb.getLong(1)}%d")
     }
     spark.stop()
   }

@@ -4534,6 +4534,71 @@ $joins"""
            |              "iters": 3, "b": 4}}
            |]""".stripMargin)),
 
+    // weighted shortest paths from config: the in-flight frame is the
+    // edge list, seeds a compile-parsed filter over it —
+    // q_graph_sssp's oracle verbatim
+    "q_pipeline_sssp" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 45"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "w", "expr": "l_quantity"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst", "w"]}},
+           |  {"op": "shortest_paths",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "weight_col": "w",
+           |              "seed_condition": "src % 17 = 0",
+           |              "seed_col": "src", "max_hops": 2}}
+           |]""".stripMargin)),
+
+    // HyperBall closeness from config — q_graph_closeness' oracle
+    // verbatim
+    "q_pipeline_closeness" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 40"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "closeness_centrality",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "iters": 3, "b": 4}}
+           |]""".stripMargin)),
+
+    // the global HyperBall report from config — q_graph_nf's oracle
+    // verbatim
+    "q_pipeline_nf" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 40"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "neighborhood_function",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "iters": 3, "b": 4}}
+           |]""".stripMargin)),
+
     // the PARITY CORE through the step registry: by-name rewrites
     // compile through Functioniser.fromConfig to the same single
     // select — q_fn_root's oracle verbatim (its closure `lower` is
@@ -7943,12 +8008,17 @@ $joins"""
       // HyperBall unrolled: register max-merge along edges is set
       // union, so r_k holds exactly the k-ball's registers; the
       // estimate and the lcm-scaled harmonic sum are fixed-shape
-      // (m = 16: alpha·m²·2^49 inline, linear-counting below 2.5m)
+      // (m = 16: alpha·m²·2^49 inline, linear-counting below 2.5m).
+      // Per-radius deltas clamp at 0 — the estimate is not monotone
+      // across the linear-counting/raw branch switch — mirroring the
+      // operator's greatest(Δ, 0)
       "q_graph_harmonic" ->
         s"""$hyperBallOracleCtes
            |SELECT e0.node,
-           |  CAST(6 * (e1.e - e0.e) + 3 * (e2.e - e1.e) +
-           |       2 * (e3.e - e2.e) AS DOUBLE) / 6000000.0 AS harmonic,
+           |  CAST(6 * greatest(e1.e - e0.e, 0) +
+           |       3 * greatest(e2.e - e1.e, 0) +
+           |       2 * greatest(e3.e - e2.e, 0) AS DOUBLE)
+           |    / 6000000.0 AS harmonic,
            |  CAST(e3.e AS DOUBLE) / 1000000.0 AS ball
            |FROM e0
            |JOIN e1 ON e1.node = e0.node
@@ -7986,19 +8056,25 @@ $joins"""
           |SELECT node, CAST(min(dist) AS BIGINT) AS dist
           |FROM walk GROUP BY 1""".stripMargin,
 
-      // closeness over the same CTE chain: radius-weighted ΔE units
-      // in exact integer arithmetic, the same two double divisions
+      // closeness over the same CTE chain: radius-weighted CLAMPED
+      // ΔE units in exact integer arithmetic (the same greatest(Δ, 0)
+      // as the operator), the same two double divisions
       "q_graph_closeness" ->
         s"""$hyperBallOracleCtes
            |SELECT e0.node,
-           |  CASE WHEN ((e1.e - e0.e) * 1 + (e2.e - e1.e) * 2 +
-           |             (e3.e - e2.e) * 3) > 0
-           |    THEN CAST(e3.e - e0.e AS DOUBLE) /
-           |         CAST((e1.e - e0.e) * 1 + (e2.e - e1.e) * 2 +
-           |              (e3.e - e2.e) * 3 AS DOUBLE)
+           |  CASE WHEN (greatest(e1.e - e0.e, 0) * 1 +
+           |             greatest(e2.e - e1.e, 0) * 2 +
+           |             greatest(e3.e - e2.e, 0) * 3) > 0
+           |    THEN CAST(greatest(e1.e - e0.e, 0) +
+           |              greatest(e2.e - e1.e, 0) +
+           |              greatest(e3.e - e2.e, 0) AS DOUBLE) /
+           |         CAST(greatest(e1.e - e0.e, 0) * 1 +
+           |              greatest(e2.e - e1.e, 0) * 2 +
+           |              greatest(e3.e - e2.e, 0) * 3 AS DOUBLE)
            |    ELSE 0.0 END AS closeness,
-           |  CAST((e1.e - e0.e) * 1 + (e2.e - e1.e) * 2 +
-           |       (e3.e - e2.e) * 3 AS DOUBLE) / 1000000.0
+           |  CAST(greatest(e1.e - e0.e, 0) * 1 +
+           |       greatest(e2.e - e1.e, 0) * 2 +
+           |       greatest(e3.e - e2.e, 0) * 3 AS DOUBLE) / 1000000.0
            |    AS total_distance,
            |  CAST(e3.e AS DOUBLE) / 1000000.0 AS ball
            |FROM e0
@@ -9480,6 +9556,9 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_setops" -> base("q_set_ops")) +
       ("q_pipeline_fns" -> base("q_fn_root")) +
       ("q_pipeline_harmonic" -> base("q_graph_harmonic")) +
+      ("q_pipeline_sssp" -> base("q_graph_sssp")) +
+      ("q_pipeline_closeness" -> base("q_graph_closeness")) +
+      ("q_pipeline_nf" -> base("q_graph_nf")) +
       ("q_pipeline_topn" -> base("q_window_topn")) +
       ("q_pipeline_rank_hosts" -> base("q_graph_pagerank_hosts")) +
       // register max-merge is exact, so the sharded path shares the

@@ -890,27 +890,6 @@ object Graph {
       .filter(col("__ok")).drop("__ok")
   }
 
-  /** Multi-source BFS: minimum hop count from any seed node, out to
-    * `maxHops` — reachability with provenance radius (how many link
-    * steps a page sits from a trusted seed set), the unweighted
-    * complement to [[personalizedPageRank]]'s proximity mass.
-    *
-    * Semantics: dist(v) = min hops from ANY seed over the (optionally
-    * symmetrized) distinct edge set; seeds are dist 0; nodes the
-    * frontier never reaches within `maxHops` are ABSENT from the
-    * output. Self-loops are dropped (they never change a BFS
-    * distance). Node keys keep the edge columns' native type; seeds
-    * must be the same type (callers cast upstream).
-    *
-    * Scale design: hop k is ONE shuffle — the frontier (nodes FIRST
-    * reached at hop k−1, never the full visited set) joins the
-    * checkpointed adjacency list keyed by source, dedups by node, and
-    * anti-joins the visited set. Work per hop ∝ edges incident to the
-    * frontier; nothing is ever all-pairs and nothing corpus-sized
-    * reaches the driver (the per-hop early-exit probe is one boolean
-    * `isEmpty` action on an already-truncated frame). Visited grows
-    * monotonically and truncates lineage per hop, so the plan stays
-    * O(1) deep at any hop count. */
   /** HyperBall harmonic centrality (Boldi & Vigna 2013, public
     * algorithm): H(v) ≈ Σ_{k=1..iters} (|B_k(v)| − |B_{k−1}(v)|)/k,
     * where B_k(v) is the ball of nodes within k hops of v (incoming
@@ -923,11 +902,16 @@ object Graph {
     * so after k rounds each node holds exactly the registers of its
     * true k-ball — the only approximation is the final cardinality
     * estimate, a deterministic fixed-shape function of the registers.
-    * Ball estimates land on the 1e-6 integer lattice and the harmonic
-    * sum is computed in EXACT integer arithmetic scaled by
-    * lcm(1..iters), so the result is bit-stable under any
-    * partitioning and externally replicable (the oracle unrolls the
-    * same rounds in SQL).
+    * That estimate is NOT monotone across the linear-counting/raw
+    * branch switch (a ball one element larger can estimate slightly
+    * smaller near the 2.5m threshold), so per-radius deltas are
+    * clamped at 0 before weighting — a shrinking estimate contributes
+    * nothing rather than a negative harmonic term. Ball estimates
+    * land on the 1e-6 integer lattice and the harmonic sum is
+    * computed in EXACT integer arithmetic scaled by lcm(1..iters), so
+    * the result is bit-stable under any partitioning and externally
+    * replicable (the oracle unrolls the same rounds — including the
+    * clamp — in SQL).
     *
     * Scale design: per-node state is ≤ m = 2^b registers regardless
     * of ball size — THE HyperBall property; each round is one
@@ -944,7 +928,8 @@ object Graph {
     val scale = (1 to iters).foldLeft(1L)((acc, k) =>
       acc / gcd(acc, k) * k) // lcm(1..iters)
     val harmonicUnits = (1 to iters).map(k =>
-        (col(s"e$k") - col(s"e${k - 1}")) * lit(scale / k))
+        greatest(col(s"e$k") - col(s"e${k - 1}"), lit(0L)) *
+          lit(scale / k))
       .reduce(_ + _)
     balls.select(col("node"),
       (harmonicUnits.cast("double") / lit(scale.toDouble * 1e6))
@@ -982,25 +967,29 @@ object Graph {
   /** HyperBall closeness centrality within the iteration horizon:
     * T(v) = Σ_{k=1..iters} k·(|B_k(v)| − |B_{k−1}(v)|) estimates the
     * total distance from v to everything it reaches within `iters`
-    * hops, and closeness = (|B_iters(v)| − |B_0(v)|) / T(v) — the
+    * hops, and closeness = R(v) / T(v) with R(v) = Σ_k ΔE_k — the
     * reciprocal of the mean distance to reached nodes (0 when the
     * ball never grows). Same exact-integer lattice discipline as
-    * [[harmonicCentrality]]: T sums ΔE units as longs, the two
-    * double divisions are the only float ops, so the oracle
-    * replicates digit-for-digit. Output: (node, closeness,
-    * total_distance, ball). */
+    * [[harmonicCentrality]], including the per-radius delta clamp at
+    * 0 (the HLL estimate is not monotone across the linear-counting/
+    * raw branch switch): T sums clamped ΔE units as longs weighted by
+    * radius, R sums the same clamped units unweighted, the two double
+    * divisions are the only float ops, so the oracle replicates
+    * digit-for-digit. Output: (node, closeness, total_distance,
+    * ball). */
   def closenessCentrality(edges: DataFrame, srcCol: String,
                           dstCol: String, iters: Int = 3, b: Int = 4,
                           undirected: Boolean = true): DataFrame = {
     val balls = hyperBallEstimates(edges, srcCol, dstCol, iters, b,
       undirected)
-    val tUnits = (1 to iters).map(k =>
-        (col(s"e$k") - col(s"e${k - 1}")) * lit(k.toLong))
-      .reduce(_ + _)
+    val deltas = (1 to iters).map(k =>
+      greatest(col(s"e$k") - col(s"e${k - 1}"), lit(0L)))
+    val tUnits = deltas.zip(1 to iters)
+      .map { case (d, k) => d * lit(k.toLong) }.reduce(_ + _)
+    val reachedUnits = deltas.reduce(_ + _)
     balls.select(col("node"),
       when(tUnits > lit(0L),
-        (col(s"e$iters") - col("e0")).cast("double") /
-          tUnits.cast("double"))
+        reachedUnits.cast("double") / tUnits.cast("double"))
         .otherwise(lit(0.0)).as("closeness"),
       (tUnits.cast("double") / lit(1e6)).as("total_distance"),
       (col(s"e$iters").cast("double") / lit(1e6)).as("ball"))
@@ -1058,9 +1047,12 @@ object Graph {
     * dist(v) = minimum total edge weight over any path of ≤ `maxHops`
     * hops from the seed set — the weighted complement to
     * [[bfsDistances]] (crawl latency/cost radius instead of hop
-    * radius). Weights must be non-negative (a negative weight fails
-    * loudly in-plan); multi-edges collapse to their minimum weight
-    * before the loop. Nodes no ≤-maxHops path reaches are absent.
+    * radius). Weights must be non-negative INTEGERS (house
+    * integer-lattice discipline — distances accumulate as exact
+    * longs; pre-scale fractional costs to a lattice, e.g. ×1e6). A
+    * negative or fractional weight fails loudly in-plan; multi-edges
+    * collapse to their minimum weight before the loop. Nodes no
+    * ≤-maxHops path reaches are absent.
     *
     * Scale design: round k is ONE shuffle — the current distance
     * frame (≤ one row per reached node) joins the min-collapsed
@@ -1074,20 +1066,26 @@ object Graph {
                     undirected: Boolean = true): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("w"))
+      col(weightCol).as("w"))
     val both =
       if (undirected)
         fwd.union(edges.select(col(dstCol).as("src"),
-          col(srcCol).as("dst"), col(weightCol).cast("long").as("w")))
+          col(srcCol).as("dst"), col(weightCol).as("w")))
       else fwd
-    // min-collapse multi-edges; the per-row assert is the loud
-    // negative-weight gate (assert_true is null when it passes)
+    // min-collapse multi-edges on the RAW weight (min commutes with
+    // the truncating cast only for integral values, which the gate
+    // enforces anyway); the per-row assert is the loud negative/
+    // fractional-weight gate (assert_true is null when it passes)
     val adj = both.filter(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .select(col("src"), col("dst"), col("w"),
-        assert_true(col("w") >= 0,
-          lit("shortestPaths: negative edge weight")).as("__ok"))
-      .filter(col("__ok").isNull).drop("__ok")
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("wRaw"))
+      .select(col("src"), col("dst"),
+        col("wRaw").cast("long").as("w"),
+        assert_true(
+          col("wRaw") >= 0 && col("wRaw").cast("long") === col("wRaw"),
+          lit("shortestPaths: edge weights must be non-negative " +
+            "integers (pre-scale fractional costs to an integer " +
+            "lattice)")).as("__ok"))
+      .filter(col("__ok").isNull).drop("__ok", "wRaw")
       .truncateLineage(false)
 
     var dist = seeds.select(col(seedCol).as("node")).distinct()
@@ -1103,6 +1101,27 @@ object Graph {
     dist
   }
 
+  /** Multi-source BFS: minimum hop count from any seed node, out to
+    * `maxHops` — reachability with provenance radius (how many link
+    * steps a page sits from a trusted seed set), the unweighted
+    * complement to [[personalizedPageRank]]'s proximity mass.
+    *
+    * Semantics: dist(v) = min hops from ANY seed over the (optionally
+    * symmetrized) distinct edge set; seeds are dist 0; nodes the
+    * frontier never reaches within `maxHops` are ABSENT from the
+    * output. Self-loops are dropped (they never change a BFS
+    * distance). Node keys keep the edge columns' native type; seeds
+    * must be the same type (callers cast upstream).
+    *
+    * Scale design: hop k is ONE shuffle — the frontier (nodes FIRST
+    * reached at hop k−1, never the full visited set) joins the
+    * checkpointed adjacency list keyed by source, dedups by node, and
+    * anti-joins the visited set. Work per hop ∝ edges incident to the
+    * frontier; nothing is ever all-pairs and nothing corpus-sized
+    * reaches the driver (the per-hop early-exit probe is one boolean
+    * `isEmpty` action on an already-truncated frame). Visited grows
+    * monotonically and truncates lineage per hop, so the plan stays
+    * O(1) deep at any hop count. */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, seedCol: String, maxHops: Int,
                    undirected: Boolean = true): DataFrame = {

@@ -1214,7 +1214,13 @@ object Stats {
   /** Registers must sum 2^(49−r) exactly in a LONG: with m = 2^b
     * buckets the absent-bucket mass is m·2^49, which overflows past
     * b = 12 — hence the {8, 12} whitelist (m = 256 / 4096; standard
-    * error 6.5% / 1.6%). */
+    * error 6.5% / 1.6%) for the Stats sketch surface. This guard
+    * covers only Stats' own public entry points; the shared
+    * [[hllRegisterRows]] core is also called by
+    * `Graph.hyperBallEstimates` under ITS {4, 8} whitelist — b = 4
+    * (m = 16) is equally overflow-safe (smaller m only lowers the
+    * absent-bucket mass) and keeps the per-edge register fan-out
+    * small, which matters there and not here. */
   private def requireHllB(b: Int): Unit =
     require(b == 8 || b == 12, "b must be 8 or 12 (m = 256 or 4096)")
 

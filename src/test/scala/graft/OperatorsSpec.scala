@@ -441,10 +441,14 @@ class OperatorsSpec extends AnyFunSuite {
     def ball(v: Long, k: Int): Set[Long] =
       (1 to k).foldLeft(Set(v))((b, _) => b ++ b.flatMap(adj))
     val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
+    // per-radius deltas clamp at 0 (the HLL estimate is not monotone
+    // across the linear-counting/raw branch switch) — same greatest
+    // as the operator and the oracle
     val want = nodes.map { v =>
       val e = (0 to 3).map(k => estUnits(ball(v, k)))
-      val h = (6 * (e(1) - e(0)) + 3 * (e(2) - e(1)) +
-        2 * (e(3) - e(2))).toDouble / 6000000.0
+      val h = (6 * math.max(e(1) - e(0), 0L) +
+        3 * math.max(e(2) - e(1), 0L) +
+        2 * math.max(e(3) - e(2), 0L)).toDouble / 6000000.0
       v -> (h, e(3).toDouble / 1000000.0)
     }.toMap
     assert(got == want)
@@ -478,9 +482,9 @@ class OperatorsSpec extends AnyFunSuite {
       .toMap
     val clWant = nodes.map { v =>
       val e = (0 to 3).map(k => estUnits(ball(v, k)))
-      val tU = (1 to 3).map(k => (e(k) - e(k - 1)) * k).sum
-      val cl =
-        if (tU > 0) (e(3) - e(0)).toDouble / tU.toDouble else 0.0
+      val d = (1 to 3).map(k => math.max(e(k) - e(k - 1), 0L))
+      val tU = d.zip(1 to 3).map { case (dd, k) => dd * k }.sum
+      val cl = if (tU > 0) d.sum.toDouble / tU.toDouble else 0.0
       v -> (cl, tU.toDouble / 1e6)
     }.toMap
     assert(clGot == clWant)
@@ -537,6 +541,19 @@ class OperatorsSpec extends AnyFunSuite {
       graft.operators.Graph.shortestPaths(neg, "src", "dst", "w",
         seeds, "node", 1).collect()
     }
+    // so is a FRACTIONAL weight (integer-lattice contract: a silent
+    // long-cast would truncate 0.9 -> 0 and corrupt distances)
+    val frac = Seq((1L, 2L, 0.9), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    assertThrows[Exception] {
+      graft.operators.Graph.shortestPaths(frac, "src", "dst", "w",
+        seeds, "node", 1).collect()
+    }
+    // integral-VALUED doubles pass the gate and match the long path
+    val intish = Seq((1L, 2L, 2.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val gotIntish = graft.operators.Graph.shortestPaths(intish,
+        "src", "dst", "w", seeds, "node", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotIntish == Map(1L -> 0L, 2L -> 2L, 3L -> 3L))
   }
 
   test("bfsDistances on random graphs equals driver-side BFS") {
