@@ -31,6 +31,12 @@ final class PslRules private (
     exceptions: java.util.HashSet[String],
     maxRuleLabels: Int) extends Serializable {
 
+  /** (normal, wildcard, exception, maxRuleLabels) — parse-coverage
+    * diagnostics so callers/specs can pin that a loaded list's rules
+    * all landed (the full publicsuffix.org list is ~9.5k rules). */
+  def counts: (Int, Int, Int, Int) =
+    (normals.size, wildcards.size, exceptions.size, maxRuleLabels)
+
   private def labelsOf(host: String): Array[String] =
     host.split("\\.", -1)
 

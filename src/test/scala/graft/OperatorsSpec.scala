@@ -5525,6 +5525,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(loaded.registrableOf("a.b.co.uk") == "b.co.uk")
   }
 
+  test("PslRules on the REAL publicsuffix.org list: every rule line " +
+       "parses into its category (comments/blanks dropped, Unicode " +
+       "IDN rules kept), and the standard test vectors hold") {
+    import org.apache.spark.sql.graftext.PslRules
+    val s = spark
+    import s.implicits._
+    // the distro-vendored publicsuffix.org list (public data); the
+    // spec cancels, not fails, on a box without the package
+    val pslPath = "/usr/share/publicsuffix/public_suffix_list.dat"
+    assume(new java.io.File(pslPath).exists(), s"$pslPath not present")
+    val rules = PslRules.load(spark, s"file://$pslPath")
+    // parse coverage: recompute the per-category rule sets with the
+    // parser's own trivial filtering — every non-comment, non-blank
+    // line must land in exactly one category hash set
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(pslPath)).asScala
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+    val expNormals = lines.filter(l =>
+      !l.startsWith("!") && !l.startsWith("*.")).toSet
+    val expWilds = lines.filter(_.startsWith("*."))
+      .map(_.substring(2)).toSet
+    val expExc = lines.filter(_.startsWith("!"))
+      .map(_.substring(1)).toSet
+    val expMaxL = (expNormals.map(_.count(_ == '.') + 1) ++
+      expWilds.map(_.count(_ == '.') + 2) ++
+      expExc.map(_.count(_ == '.') + 1)).max
+    assert(rules.counts ==
+      (expNormals.size, expWilds.size, expExc.size, expMaxL))
+    // a real list, not a stub: thousands of normals, the wildcard and
+    // exception families, Unicode IDN entries (the canonical .dat
+    // ships IDN rules in Unicode form with punycode in comments)
+    assert(expNormals.size > 5000 && expWilds.size > 50 &&
+      expExc.size >= 5)
+    assert(lines.exists(_.exists(_ > 127.toChar)),
+      "expected Unicode IDN rule lines")
+    // the standard publicsuffix.org test vectors (house convention:
+    // a host that IS a public suffix returns itself, not null)
+    val vectors = Map(
+      "example.com" -> "example.com",
+      "www.example.com" -> "example.com",
+      "www.gov.uk" -> "www.gov.uk",       // gov.uk is itself a PS
+      "www.test.ac" -> "test.ac",
+      "c.kobe.jp" -> "c.kobe.jp",         // IS a PS under *.kobe.jp
+      "b.c.kobe.jp" -> "b.c.kobe.jp",     // wildcard *.kobe.jp
+      "a.b.c.kobe.jp" -> "b.c.kobe.jp",
+      "city.kobe.jp" -> "city.kobe.jp",   // exception !city.kobe.jp
+      "www.city.kobe.jp" -> "city.kobe.jp",
+      "www.ck" -> "www.ck",               // exception !www.ck
+      "a.www.ck" -> "www.ck",
+      "foo.bar.ck" -> "foo.bar.ck",       // wildcard *.ck
+      "whatever.blogspot.com" -> "whatever.blogspot.com", // PRIVATE
+      "www.x.github.io" -> "x.github.io",                 // PRIVATE
+      "foo.公司.cn" -> "foo.公司.cn",      // Unicode IDN rule
+      "www.foo.公司.cn" -> "foo.公司.cn",
+      "unlisted.zz-no-such-tld" -> "unlisted.zz-no-such-tld",
+      "a.unlisted.zz-no-such-tld" -> "unlisted.zz-no-such-tld")
+    vectors.foreach { case (h, want) =>
+      assert(rules.registrableOf(h) == want, s"host $h")
+    }
+    // the codegen path over a real scan agrees (the 9.5k-rule table
+    // rides the plan as ONE reference object, not per-row state)
+    val got = vectors.keys.toSeq.map(Tuple1(_)).toDF("h")
+      .select(col("h"), UrlOps.registeredDomainPsl(col("h"), rules)
+        .as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == vectors)
+  }
+
   // ---- MJPEG-AVI first-frame decode ----
 
   private def le32(v: Int): Array[Byte] =
