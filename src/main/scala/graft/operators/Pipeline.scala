@@ -2937,21 +2937,33 @@ object Pipeline {
                          extra: Map[String, OpSpec] = Map.empty,
                          extraStreamable: Set[String] = Set.empty)
       : DataFrame => DataFrame = {
-    val ok = streamableOps ++ extraStreamable
     val expanded = expandIncludes(steps)
+    streamingValidate(expanded, streamableOps ++ extraStreamable)
+    expanded.foreach { s =>
+      // quarantine mode needs a violation WRITE per micro-batch —
+      // only the gated compile ([[fromStepsStreamingGated]]) carries
+      // the writer; reject by PARAM here (the step name itself stays
+      // stream-safe in abort mode)
+      if (s.op == "expect_condition" &&
+          s.params.contains("quarantine_path"))
+        throw new IllegalArgumentException(
+          "streaming step 'expect_condition': quarantine_path needs " +
+            "the gated compile — use fromStepsStreamingGated / " +
+            "fromJsonStreamingGated and start each gate's violation " +
+            "writer (StreamOps.quarantineGateStream)")
+    }
+    fromSteps(expanded, extra)
+  }
+
+  /** Whitelist + determinism checks shared by the streaming
+    * compiles. */
+  private def streamingValidate(expanded: Seq[Step],
+                                ok: Set[String]): Unit = {
     val bad = expanded.map(_.op).filterNot(ok.contains).distinct
     require(bad.isEmpty,
       s"steps not streamable: ${bad.sorted.mkString(", ")}; " +
         "streamable steps: " + ok.toSeq.sorted.mkString(", "))
     expanded.foreach { s =>
-      // quarantine mode is an eager batch write: reject by PARAM
-      // (the step name itself stays stream-safe in abort mode)
-      if (s.op == "expect_condition" &&
-          s.params.contains("quarantine_path"))
-        throw new IllegalArgumentException(
-          "streaming step 'expect_condition': quarantine_path is " +
-            "batch-only (the violation write is an eager batch " +
-            "action); gate before the stream or key the sink instead")
       val exprParam = s.op match {
         case "filter" => Some("condition")
         case "with_column" => Some("expr")
@@ -2963,8 +2975,72 @@ object Pipeline {
         case _ => () // non-string value: fromSteps rejects it loudly
       })
     }
-    fromSteps(expanded, extra)
   }
+
+  /** A streaming contract gate compiled in store-failures mode:
+    * `violations` maps the SOURCE stream to this gate's violating
+    * rows — the main-chain prefix up to the gate (so rows another,
+    * earlier gate already quarantined never reach it, exactly the
+    * batch sequencing) with the condition inverted. Start one writer
+    * per gate ([[graft.streaming.StreamOps.quarantineGateStream]]):
+    * each micro-batch overwrites `dir`/batch=<id>, so a replayed
+    * batch rewrites its own table instead of double-appending — the
+    * artifact-store idempotence convention. Reading `dir` as parquet
+    * yields all quarantined rows with the batch id as a partition
+    * column. */
+  final case class QuarantineGate(name: String, dir: String,
+                                  violations: DataFrame => DataFrame)
+
+  /** Compile a step list for a STREAMING DataFrame WITH
+    * store-failures contract gates: like [[fromStepsStreaming]], but
+    * `expect_condition` steps carrying `quarantine_path` compile to
+    * a survivors-only filter in the main chain (stream-legal — no
+    * eager write) and surface a [[QuarantineGate]] whose `violations`
+    * stream the caller starts as a side query. The violation pass
+    * re-runs the chain prefix per gate — the same documented "one
+    * extra upstream pass" the batch quarantine mode costs. */
+  def fromStepsStreamingGated(steps: Seq[Step],
+                              extra: Map[String, OpSpec] = Map.empty,
+                              extraStreamable: Set[String] = Set.empty)
+      : (DataFrame => DataFrame, Seq[QuarantineGate]) = {
+    val expanded = expandIncludes(steps)
+    streamingValidate(expanded, streamableOps ++ extraStreamable)
+    val registry = builtinOps ++ extra
+    val gates = Seq.newBuilder[QuarantineGate]
+    // fold left over steps, carrying the survivors-only prefix
+    // composition so each gate's violation stream sees exactly what
+    // the batch twin's gate saw
+    var prefix: DataFrame => DataFrame = identity
+    expanded.foreach { s =>
+      if (s.op == "expect_condition" &&
+          s.params.contains("quarantine_path")) {
+        val p = new Params(s.op, s.params)
+        val sql = p.str("condition")
+        val cond = parseEagerly(sql)
+        val dir = quarantineTarget(p, "expect_condition").get
+        val name = p.str("name")
+        val before = prefix
+        gates += QuarantineGate(name, dir,
+          df => before(df).filter(!coalesce(cond, lit(false))))
+        prefix = df => before(df).filter(coalesce(cond, lit(false)))
+      } else {
+        val f = compileStep(registry, s)
+        val before = prefix
+        prefix = df => f(before(df))
+      }
+    }
+    (prefix, gates.result())
+  }
+
+  /** JSON config → gated streaming compile
+    * ([[fromStepsStreamingGated]] over [[fromJson]]'s format). */
+  def fromJsonStreamingGated(json: String,
+                             extra: Map[String, OpSpec] = Map.empty,
+                             extraStreamable: Set[String] = Set.empty)
+      : (DataFrame => DataFrame, Seq[QuarantineGate]) =
+    fromStepsStreamingGated(
+      parseSteps(new ObjectMapper().readTree(json)), extra,
+      extraStreamable)
 
   /** Streaming-config guard: reject non-deterministic SQL in
     * `filter`/`with_column` steps EAGERLY, before any stream starts.
@@ -3025,24 +3101,30 @@ object Pipeline {
       : DataFrame => DataFrame = {
     val registry = builtinOps ++ extra
     val compiled: Seq[DataFrame => DataFrame] =
-      expandIncludes(steps).map { s =>
-      val spec = registry.getOrElse(s.op,
-        throw new IllegalArgumentException(
-          s"unknown pipeline operator '${s.op}'; available: " +
-            registry.keys.toSeq.sorted.mkString(", ")))
-      val allowed = spec.required ++ spec.optional
-      val unknown = s.params.keySet -- allowed
-      require(unknown.isEmpty,
-        s"pipeline op '${s.op}': unknown params " +
-          s"${unknown.toSeq.sorted.mkString(", ")}; allowed: " +
-          allowed.toSeq.sorted.mkString(", "))
-      val missing = spec.required -- s.params.keySet
-      require(missing.isEmpty,
-        s"pipeline op '${s.op}': missing required params " +
-          missing.toSeq.sorted.mkString(", "))
-      spec.compile(new Params(s.op, s.params))
-    }
+      expandIncludes(steps).map(compileStep(registry, _))
     df => compiled.foldLeft(df)((d, f) => f(d))
+  }
+
+  /** Compile ONE step against a registry: param-set validation (a
+    * typo throws at config time, naming the allowed set) + the
+    * spec's compile. */
+  private def compileStep(registry: Map[String, OpSpec],
+                          s: Step): DataFrame => DataFrame = {
+    val spec = registry.getOrElse(s.op,
+      throw new IllegalArgumentException(
+        s"unknown pipeline operator '${s.op}'; available: " +
+          registry.keys.toSeq.sorted.mkString(", ")))
+    val allowed = spec.required ++ spec.optional
+    val unknown = s.params.keySet -- allowed
+    require(unknown.isEmpty,
+      s"pipeline op '${s.op}': unknown params " +
+        s"${unknown.toSeq.sorted.mkString(", ")}; allowed: " +
+        allowed.toSeq.sorted.mkString(", "))
+    val missing = spec.required -- s.params.keySet
+    require(missing.isEmpty,
+      s"pipeline op '${s.op}': missing required params " +
+        missing.toSeq.sorted.mkString(", "))
+    spec.compile(new Params(s.op, s.params))
   }
 
   /** JSON config → compiled pipeline. Accepts a top-level array of

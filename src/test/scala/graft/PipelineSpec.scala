@@ -1611,13 +1611,15 @@ class PipelineSpec extends AnyFunSuite {
           "quarantine_path" -> q))))
     }
     assert(badName.getMessage.contains("path-safe"))
-    // streaming rejects quarantine mode by PARAM, not by step name
+    // the UNGATED streaming compile rejects quarantine mode by
+    // PARAM, not by step name — pointing at the gated compile that
+    // carries the per-batch violation writer
     val ns = intercept[IllegalArgumentException] {
       Pipeline.fromStepsStreaming(Seq(Step("expect_condition",
         Map("condition" -> "v > 0", "name" -> "g",
           "quarantine_path" -> q))))
     }
-    assert(ns.getMessage.contains("batch-only"))
+    assert(ns.getMessage.contains("fromStepsStreamingGated"))
     Pipeline.fromStepsStreaming(Seq(Step("expect_condition",
       Map("condition" -> "v > 0")))) // abort mode still streams
   }

@@ -2662,6 +2662,85 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("fromJsonStreamingGated: expect_condition store-failures mode " +
+       "on a stream — survivors equal the batch twin, each gate's " +
+       "violations (incl. NULL conditions, sequenced after earlier " +
+       "gates) land per-batch under gate=<name>, replays overwrite " +
+       "their own batch") {
+    import graft.operators.Pipeline
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-quar-stream")
+    val qBatch = base.resolve("batch").toString
+    val qStream = base.resolve("stream").toString
+    def cfg(qdir: String): String =
+      s"""[
+         |  {"op": "with_column",
+         |   "params": {"name": "v2", "expr": "v * 2"}},
+         |  {"op": "expect_condition",
+         |   "params": {"condition": "v > 0", "name": "v_pos",
+         |              "quarantine_path": "$qdir"}},
+         |  {"op": "expect_condition",
+         |   "params": {"condition": "v2 < 100", "name": "v2_cap",
+         |              "quarantine_path": "$qdir"}},
+         |  {"op": "filter", "params": {"condition": "k % 2 = 0"}}
+         |]""".stripMargin
+    // NULL v: a violation of gate v_pos in quarantine mode too
+    val rows = Seq((2L, Some(5L)), (4L, Some(-1L)), (6L, Some(60L)),
+      (3L, Some(7L)), (8L, None), (10L, Some(-3L)), (12L, Some(8L)))
+    val batchDf = rows.toDF("k", "v")
+    val batchKept = Pipeline.fromJson(cfg(qBatch))(batchDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def gateRows(root: String, gate: String): Set[(Long, Long)] =
+      s.read.parquet(s"$root/gate=$gate").select("k", "v")
+        .na.fill(Map("v" -> -999L))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // streaming: gated compile + one violation writer per gate
+    val (xform, gates) = Pipeline.fromJsonStreamingGated(cfg(qStream))
+    assert(gates.map(_.name) == Seq("v_pos", "v2_cap"))
+    val input = MemoryStream[(Long, Option[Long])]
+    val src = input.toDS().toDF("k", "v")
+    val out = xform(src)
+    assert(out.isStreaming)
+    val main = out.writeStream.format("memory")
+      .queryName("quar_gated").outputMode("append").start()
+    val writers = gates.map(g => StreamOps.quarantineGateStream(
+      src, g, base.resolve(s"ckpt-${g.name}").toString))
+    def drainAll(): Unit = {
+      writers.foreach(_.processAllAvailable())
+      main.processAllAvailable()
+    }
+    input.addData(rows.take(4): _*)
+    drainAll()
+    input.addData(rows.drop(4): _*)
+    drainAll()
+    main.stop(); writers.foreach(_.stop())
+    // survivors match the batch twin exactly
+    val got = s.sql("select k, v from quar_gated").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batchKept && got.nonEmpty)
+    // per-gate violations match the batch twin's gate tables —
+    // v_pos holds v<=0 AND the NULL row; v2_cap only v_pos SURVIVORS
+    // (sequenced), so the v=-1 row appears once, under v_pos
+    assert(gateRows(qStream, "v_pos") == gateRows(qBatch, "v_pos"))
+    assert(gateRows(qStream, "v2_cap") == gateRows(qBatch, "v2_cap"))
+    assert(gateRows(qStream, "v_pos") ==
+      Set((4L, -1L), (8L, -999L), (10L, -3L)))
+    assert(gateRows(qStream, "v2_cap") == Set((6L, 60L)))
+    // the layout is per-micro-batch: batch=<id> partition dirs
+    val vPosDirs = new java.io.File(s"$qStream/gate=v_pos")
+      .listFiles().map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(vPosDirs.size >= 2)
+    // replaying a batch id OVERWRITES its own table — no double rows
+    val replayDir = base.resolve("replay").toString
+    val d = Seq((1L, 2L)).toDF("k", "v")
+    StreamOps.writeQuarantineBatch(d, replayDir, 7L)
+    StreamOps.writeQuarantineBatch(d, replayDir, 7L)
+    assert(s.read.parquet(replayDir).count() == 1)
+  }
+
   test("applyChangesStream maintains a parquet snapshot from a CDC " +
        "stream: micro-batch merges, stale changes ignored via the " +
        "snapshot's seq column, swap leaves no half-written state") {
