@@ -4483,6 +4483,45 @@ $joins"""
            |              "weight_col": "n_links", "iters": 3}}
            |]""".stripMargin)),
 
+    // the domain contraction with a LOADED suffix list from config:
+    // psl_path points at a publicsuffix.org-format file (written
+    // fresh each run — wildcard, exception, private-domain rules),
+    // exercising host_graph's full-PSL param end to end under
+    // q_graph_domaingraph_psl's oracle verbatim
+    "q_pipeline_domaingraph_psl" -> ((s, dir) => {
+      val rules = java.nio.file.Files.createTempDirectory("graft-psl")
+        .resolve("rules.dat")
+      java.nio.file.Files.write(rules,
+        ("// test list: the q_graph_domaingraph_psl rule matrix\n" +
+          "com\nnet\norg\nexample.com\n*.example.org\n" +
+          "!other.example.org\n").getBytes("UTF-8"))
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "documents"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "html", "expr":
+           |     "'<html><body><nav><a href=\\"/\\">Home</a> <a href=''/about/''>About&nbsp;Us</a></nav><p>see <a href=\\"../sibling.html\\">the <b>sibling</b></a> and <a href=\\"//cdn.example.net/lib.js\\">cdn</a> and <a href=\\"https://other.example.org/x?id=' || cast(doc_id as string) || '\\">doc link</a> and <a href=\\"#frag\\">skip</a> <a href=\\"mailto:x@y\\">skip too</a></p></body></html>'"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "base", "expr":
+           |     "'https://site' || cast(doc_id % 7 as string) || '.example.com/dir' || cast(doc_id % 5 as string) || '/page/index.html'"}},
+           |  {"op": "select",
+           |   "params": {"cols": ["doc_id", "html", "base"]}},
+           |  {"op": "extract_links",
+           |   "params": {"id_col": "doc_id", "html_col": "html",
+           |              "base_url_col": "base"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src_url", "expr":
+           |     "'https://site' || cast(doc_id % 7 as string) || '.example.com/dir' || cast(doc_id % 5 as string) || '/page/index.html'"}},
+           |  {"op": "host_graph",
+           |   "params": {"src_col": "src_url",
+           |              "dst_url_col": "href_abs",
+           |              "page_id_col": "doc_id",
+           |              "to_domain": true,
+           |              "psl_path": "$rules"}}
+           |]""".stripMargin)
+    }),
+
     // schema conformance from config: declared order, a real cast
     // (n_chars bigint → double), a typed NULL fill for the missing
     // column, undeclared columns dropped
@@ -9557,6 +9596,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_fns" -> base("q_fn_root")) +
       ("q_pipeline_harmonic" -> base("q_graph_harmonic")) +
       ("q_pipeline_sssp" -> base("q_graph_sssp")) +
+      ("q_pipeline_domaingraph_psl" -> base("q_graph_domaingraph_psl")) +
       ("q_pipeline_closeness" -> base("q_graph_closeness")) +
       ("q_pipeline_nf" -> base("q_graph_nf")) +
       ("q_pipeline_topn" -> base("q_window_topn")) +

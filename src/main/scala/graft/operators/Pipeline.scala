@@ -2651,6 +2651,71 @@ object Pipeline {
       new Params(expanded.last.op, expanded.last.params))
   }
 
+  /** Run a COMPLETE STREAMING job config whose transform chain may
+    * carry STORE-FAILURES contract gates (`expect_condition` with
+    * `quarantine_path`): the main chain runs survivors-only into the
+    * config's sink, and each gate starts its own violation writer
+    * ([[graft.streaming.StreamOps.quarantineGateStream]] — per-batch
+    * `gate=<name>`/batch=<id> overwrite, replay-idempotent). Returns
+    * the started queries MAIN FIRST, then one writer per gate in
+    * config order; the caller owns stop/awaitTermination on each.
+    * Writer checkpoints live under `<gate dir>/_checkpoint`
+    * (underscore-prefixed — invisible to parquet partition
+    * discovery, so reading the gate dir still just works). A config
+    * with no gated contract behaves exactly like
+    * [[startStreamSteps]] and returns one query. */
+  def startStreamStepsGated(spark: org.apache.spark.sql.SparkSession,
+                            steps: Seq[Step],
+                            extra: Map[String, OpSpec] = Map.empty,
+                            extraStreamable: Set[String] = Set.empty)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val expanded = expandIncludes(steps)
+    require(expanded.size >= 2,
+      "streaming job config needs a source step and a sink step")
+    val (sreq, sopt, mk) = streamSourceOps.getOrElse(expanded.head.op,
+      throw new IllegalArgumentException(
+        s"first step must be a streaming source; " +
+          s"'${expanded.head.op}' is not one of " +
+          streamSourceOps.keys.toSeq.sorted.mkString(", ")))
+    validateKeys("streaming source", expanded.head, sreq, sopt)
+    val (kreq, kopt, sink) = streamSinkOps.getOrElse(expanded.last.op,
+      throw new IllegalArgumentException(
+        s"last step must be a streaming sink; '${expanded.last.op}' " +
+          "is not one of " +
+          streamSinkOps.keys.toSeq.sorted.mkString(", ")))
+    validateKeys("streaming sink", expanded.last, kreq, kopt)
+    val (chain, gates) = fromStepsStreamingGated(
+      expanded.drop(1).dropRight(1), extra, extraStreamable)
+    val src = mk(spark,
+      new Params(expanded.head.op, expanded.head.params))
+    val main = sink(chain(src),
+      new Params(expanded.last.op, expanded.last.params))
+    main +: gates.map(g => graft.streaming.StreamOps
+      .quarantineGateStream(src, g, s"${g.dir}/_checkpoint"))
+  }
+
+  /** Self-contained streaming JSON job config with contract gates →
+    * started queries, main first. */
+  def startStreamJsonGated(spark: org.apache.spark.sql.SparkSession,
+                           json: String,
+                           extra: Map[String, OpSpec] = Map.empty,
+                           extraStreamable: Set[String] = Set.empty)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    startStreamStepsGated(spark,
+      parseSteps(new ObjectMapper().readTree(json)), extra,
+      extraStreamable)
+
+  /** Self-contained streaming YAML job config with contract gates →
+    * started queries, main first. */
+  def startStreamYamlGated(spark: org.apache.spark.sql.SparkSession,
+                           yaml: String,
+                           extra: Map[String, OpSpec] = Map.empty,
+                           extraStreamable: Set[String] = Set.empty)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    startStreamStepsGated(spark,
+      parseSteps(new ObjectMapper(new YAMLFactory()).readTree(yaml)),
+      extra, extraStreamable)
+
   /** Self-contained streaming JSON job config → started query. */
   def startStreamJson(spark: org.apache.spark.sql.SparkSession,
                       json: String,

