@@ -4522,6 +4522,25 @@ $joins"""
            |]""".stripMargin)
     }),
 
+    // the streaming first-seen tagger's BATCH face from config:
+    // global (ts, event_id)-order first-per-key flags — the same
+    // step that tags arrival-order duplicates on a stream (and,
+    // composed with expect_condition + quarantine_path, quarantines
+    // them); oracled by row_number = 1
+    "q_pipeline_firstseen" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "events"}},
+           |  {"op": "first_seen_flags_watermarked",
+           |   "params": {"keys": ["user_id", "event_type"],
+           |              "watermark_delay": "10 seconds",
+           |              "order_cols": ["ts", "event_id"]}},
+           |  {"op": "select",
+           |   "params": {"cols": ["event_id", "user_id",
+           |                       "event_type", "is_first"]}}
+           |]""".stripMargin)),
+
     // schema conformance from config: declared order, a real cast
     // (n_chars bigint → double), a typed NULL fill for the missing
     // column, undeclared columns dropped
@@ -9316,6 +9335,15 @@ FROM dm GROUP BY 1, 2"""
           |  n_chars::DOUBLE AS n_chars,
           |  NULL::INT AS quality_tier
           |FROM documents""".stripMargin,
+
+      // the batch face of the streaming first-seen tagger: global
+      // (ts, event_id)-order first-per-key, exactly row_number = 1
+      "q_pipeline_firstseen" ->
+        """SELECT event_id, user_id, event_type,
+          |  (row_number() OVER (PARTITION BY user_id, event_type
+          |                      ORDER BY ts, event_id) = 1)
+          |    AS is_first
+          |FROM events""".stripMargin,
 
       // the two-stage salted aggregate re-associates the sum, so the
       // value column is decimal end-to-end (exact, order-independent)

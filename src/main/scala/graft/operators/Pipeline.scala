@@ -1768,6 +1768,55 @@ object Pipeline {
         }
       }),
 
+    // streaming dedup by key: Spark's dropDuplicatesWithinWatermark
+    // (state = one stored row per live key, evicted when the
+    // watermark passes it); on a BATCH frame the same step is plain
+    // dropDuplicates — the config means "unique by key" either way
+    "drop_duplicates_watermarked" -> OpSpec(
+      Set("keys", "watermark_delay"), Set("ts_col"),
+      p => {
+        val keys = p.strs("keys")
+        val wm = p.str("watermark_delay")
+        val tsCol = p.str("ts_col", Some("ts"))
+        df =>
+          if (df.isStreaming)
+            df.withWatermark(tsCol, wm)
+              .dropDuplicatesWithinWatermark(keys)
+          else df.dropDuplicates(keys)
+      }),
+
+    // the SPLITTING form of streaming dedup: every row rides through
+    // with a deterministic first-seen boolean (arrival order,
+    // order_cols tiebreak within a micro-batch, state expires at
+    // watermark + retention) — filter(flag) is dedup, and composing
+    // with expect_condition + quarantine_path quarantines the
+    // duplicates instead of dropping them (the streaming complement
+    // of batch expect_unique's store-failures mode). On a BATCH
+    // frame the flag degenerates to global (order_cols)-order
+    // first-per-key — exactly what replaying all data as one batch
+    // yields — so the step is DuckDB-oracle-able (row_number = 1)
+    "first_seen_flags_watermarked" -> OpSpec(
+      Set("keys", "watermark_delay", "order_cols"),
+      Set("ts_col", "retention_seconds", "flag_col"),
+      p => {
+        val keys = p.strs("keys")
+        val wm = p.str("watermark_delay")
+        val ords = p.strs("order_cols")
+        val tsCol = p.str("ts_col", Some("ts"))
+        val ret = p.long("retention_seconds", Some(0L))
+        val flag = p.str("flag_col", Some("is_first"))
+        df =>
+          if (df.isStreaming)
+            graft.streaming.StreamOps.firstSeenFlags(
+              df.withWatermark(tsCol, wm), keys, tsCol, ords, ret,
+              flag)
+          else
+            df.withColumn(flag, row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(keys.map(col): _*)
+                .orderBy(ords.map(col): _*)) === 1)
+      }),
+
     // per-closed-window smoothed KL drift against a persisted
     // reference (named by path, the drift-step convention) — the
     // live companion of the batch kl_divergence step. Input frame
@@ -2976,6 +3025,7 @@ object Pipeline {
     "rolling_anomalies_watermarked", "decayed_activity_watermarked",
     "top_paths_watermarked", "transition_pairs_watermarked",
     "asof_join_watermarked", "range_join_watermarked",
+    "drop_duplicates_watermarked", "first_seen_flags_watermarked",
     // stream-STATIC enrichment: the loaded side is a batch table
     // re-read per micro-batch by Spark's stream-static join (inner /
     // left_outer per Spark's own support matrix — unsupported shapes

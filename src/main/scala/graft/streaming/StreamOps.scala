@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Checkpoints.TruncateOps
@@ -2388,6 +2388,85 @@ object StreamOps {
           batch, s"$path/batch=$id", valueCol, shardCols, eps)
       }
       .start()
+
+  /** Arrival-order first-seen flags: every row rides through with a
+    * boolean `flagCol` — true iff the row is the FIRST occurrence of
+    * its key (by batch arrival order, tie-broken WITHIN a micro-batch
+    * by `orderCols` so the flag is deterministic — Spark's own
+    * `dropDuplicatesWithinWatermark` keeps an ARBITRARY first in a
+    * tie), false for every later occurrence while the key's state
+    * lives. State is one boolean per key and expires once the
+    * watermark passes the key's newest occurrence plus
+    * `retentionSeconds` — the `dropDuplicatesWithinWatermark` bounded-
+    * state contract (a key re-arriving after expiry counts as first
+    * again). Input must carry a watermark on `tsCol`.
+    *
+    * This is the SPLITTING form of streaming dedup: `filter(flag)`
+    * is drop-duplicates, `filter(!flag)` is the duplicates stream —
+    * so composing with the gated contract machinery
+    * (`expect_condition` on the flag + `quarantine_path`) quarantines
+    * duplicate rows instead of silently dropping them, the streaming
+    * complement of batch `expect_unique`'s store-failures mode
+    * (which batch-quarantines ALL copies of a duplicated key; a
+    * stream can only flag the copies that arrive after the first —
+    * the honest watermark-bounded semantics).
+    *
+    * Scale design: state is ONE boolean + one timer per live key —
+    * strictly less than dropDuplicatesWithinWatermark's stored row —
+    * and each micro-batch shuffles only its own rows by key. */
+  def firstSeenFlags(df: DataFrame, keyCols: Seq[String],
+                     tsCol: String, orderCols: Seq[String],
+                     retentionSeconds: Long = 0L,
+                     flagCol: String = "is_first"): DataFrame = {
+    val schema = df.schema
+    val keyIdx = keyCols.map(schema.fieldIndex).toArray
+    val tsIdx = schema.fieldIndex(tsCol)
+    val ordIdx = orderCols.map(schema.fieldIndex).toArray
+    val outSchema = schema.add(flagCol,
+      org.apache.spark.sql.types.BooleanType, nullable = false)
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    implicit val stEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    implicit val kEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    def cmp(a: Row, b: Row): Boolean = {
+      var i = 0
+      while (i < ordIdx.length) {
+        val c = a.get(ordIdx(i)).asInstanceOf[Comparable[AnyRef]]
+          .compareTo(b.get(ordIdx(i)).asInstanceOf[AnyRef])
+        if (c != 0) return c < 0
+        i += 1
+      }
+      false
+    }
+    df.groupByKey((r: Row) =>
+        keyIdx.map(i => String.valueOf(r.get(i))).mkString("\u0000"))
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toVector.sortWith(cmp)
+            val seen = state.exists && state.get
+            state.update(true)
+            val maxTsMs = sorted.iterator.map(r => r.get(tsIdx) match {
+              case t: java.sql.Timestamp => t.getTime
+              case t: java.time.Instant => t.toEpochMilli
+              case t: java.time.LocalDateTime =>
+                t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              case other => throw new IllegalArgumentException(
+                s"firstSeenFlags: unsupported event-time value $other")
+            }).max
+            state.setTimeoutTimestamp(math.max(
+              maxTsMs + retentionSeconds * 1000L + 1,
+              state.getCurrentWatermarkMs() + 1))
+            sorted.iterator.zipWithIndex.map { case (r, i) =>
+              Row.fromSeq(r.toSeq :+ (i == 0 && !seen))
+            }
+          }
+      }
+  }
 
   /** One quarantined micro-batch of a streaming contract gate:
     * overwrite `dir`/batch=<id> — keyed by the micro-batch id, the

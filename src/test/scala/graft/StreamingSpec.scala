@@ -3400,6 +3400,113 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaCfg.exists(o => o.user_id == 7 && o.n_events == 2))
   }
 
+  test("first_seen_flags_watermarked + drop_duplicates_watermarked: " +
+       "streaming dedup by key — deterministic first-seen flags " +
+       "(arrival order, in-batch tiebreak), state expiry at " +
+       "watermark + retention, batch twin = row_number order, and " +
+       "composition with the gated contract quarantines duplicates") {
+    import graft.operators.Pipeline
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(id: Long, u: Long, ts: String) =
+      Ev(id, Timestamp.valueOf(ts), u, "t", 0.0)
+    // u=1 duplicated within batch 1 (tiebreak by (ts, event_id)) AND
+    // again in batch 2 — the 2 s watermark delay keeps u=1's state
+    // alive across the batch boundary (with delay 0 the watermark
+    // passes its newest occurrence immediately and the batch-2 copy
+    // would legitimately count as first again); u=2 once; u=3
+    // arrives in batch 2, then its state EXPIRES (batch 3 advances
+    // the watermark hours past its ts + retention 0) and a
+    // re-arrival in batch 5 is first again
+    val batches = Seq(
+      Seq(ev(11, 1, "2024-01-01 00:00:02"),
+        ev(10, 1, "2024-01-01 00:00:01"),
+        ev(20, 2, "2024-01-01 00:00:03")),
+      Seq(ev(12, 1, "2024-01-01 00:00:04"),
+        ev(30, 3, "2024-01-01 00:00:05")),
+      Seq(ev(40, 4, "2024-01-01 09:00:00")), // advances the watermark
+      Seq(ev(41, 4, "2024-01-01 09:00:02")), // u=3 timer fires here
+      Seq(ev(31, 3, "2024-01-01 09:00:03"))) // u=3 re-arrival
+    def runFlags(name: String): Map[Long, Boolean] = {
+      val input = MemoryStream[Ev]
+      val chain = Pipeline.fromJsonStreaming(
+        """[{"op": "first_seen_flags_watermarked",
+          |  "params": {"keys": ["user_id"],
+          |             "watermark_delay": "2 seconds",
+          |             "order_cols": ["ts", "event_id"]}}]"""
+          .stripMargin)
+      val q = chain(input.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      s.sql(s"select event_id, is_first from $name").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    val flags = runFlags("fsf_stream")
+    assert(flags == Map(10L -> true, 11L -> false, 20L -> true,
+      12L -> false, 30L -> true, 40L -> true, 41L -> false,
+      31L -> true)) // state expired: first again
+    // batch twin on batches 1+2 (no expiry in range): global
+    // (ts, event_id) order first-per-key — equals the stream's flags
+    // on the in-order feed
+    val batchTwin = Pipeline.fromJson(
+      """[{"op": "first_seen_flags_watermarked",
+        |  "params": {"keys": ["user_id"],
+        |             "watermark_delay": "2 seconds",
+        |             "order_cols": ["ts", "event_id"]}}]"""
+        .stripMargin)(batches.take(2).flatten.toDF())
+      .select("event_id", "is_first").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batchTwin ==
+      flags.view.filterKeys(Set(10L, 11L, 12L, 20L, 30L)).toMap)
+    // drop_duplicates_watermarked keeps exactly one row per LIVE key
+    // (delay 1 hour: no state evicts inside the two batches — a 0 s
+    // delay would evict each key as soon as the watermark passes it)
+    val input2 = MemoryStream[Ev]
+    val dd = Pipeline.fromJsonStreaming(
+      """[{"op": "drop_duplicates_watermarked",
+        |  "params": {"keys": ["user_id"],
+        |             "watermark_delay": "1 hour"}}]""".stripMargin)(
+      input2.toDF())
+    val q2 = dd.writeStream.format("memory").queryName("ddw_stream")
+      .outputMode("append").start()
+    batches.take(2).foreach { b =>
+      input2.addData(b: _*); q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(s.sql("select user_id from ddw_stream").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // composition: first-seen flags + gated expect_condition =
+    // duplicates QUARANTINED per batch instead of silently dropped
+    val quar = java.nio.file.Files
+      .createTempDirectory("graft-fsf-quar").toString
+    val (chain3, gates) = Pipeline.fromJsonStreamingGated(
+      s"""[{"op": "first_seen_flags_watermarked",
+         |  "params": {"keys": ["user_id"],
+         |             "watermark_delay": "2 seconds",
+         |             "order_cols": ["ts", "event_id"]}},
+         | {"op": "expect_condition",
+         |  "params": {"condition": "is_first", "name": "unique_user",
+         |             "quarantine_path": "$quar"}}]""".stripMargin)
+    val input3 = MemoryStream[Ev]
+    val src3 = input3.toDF()
+    val q3 = chain3(src3).writeStream.format("memory")
+      .queryName("fsf_gated").outputMode("append").start()
+    val w3 = gates.map(g => StreamOps.quarantineGateStream(src3, g,
+      java.nio.file.Files.createTempDirectory("graft-fsf-ck").toString))
+    batches.take(2).foreach { b =>
+      input3.addData(b: _*)
+      w3.foreach(_.processAllAvailable()); q3.processAllAvailable()
+    }
+    q3.stop(); w3.foreach(_.stop())
+    assert(s.sql("select user_id from fsf_gated").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(s.read.parquet(s"$quar/gate=unique_user")
+      .select("event_id").collect().map(_.getLong(0)).toSet ==
+      Set(11L, 12L))
+  }
+
   test("scd2_watermarked: the stateful SCD2 config step equals the " +
        "direct scd2Stream on the same out-of-order feed, with " +
        "arbitrary column names mapped into the event shape") {
