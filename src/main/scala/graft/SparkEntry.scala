@@ -899,6 +899,35 @@ JOIN fl f ON f.node = r.node"""
   // shared by the graph entries: suppliers co-appearing on a
   // high-quantity order line (the qty>45 thinning keeps the graph
   // sparse enough for non-trivial structure)
+  /** The co-order supplier graph prep as CONFIG steps: the same
+    * filter → distinct → self-join (join_table against the raw
+    * parquet path, the join-family convention) → canonical columns
+    * as [[coOrderEdges]]; the trailing `distinct` is safe because
+    * every downstream graph operator canonicalizes + distincts its
+    * edge set internally. `last` is the graph step JSON to append. */
+  private def coOrderCfg(dir: String, last: String): String =
+    s"""[
+       |  {"op": "read_table", "params": {"dir": "$dir",
+       |    "table": "lineitem"}},
+       |  {"op": "filter", "params": {"condition": "l_quantity > 45"}},
+       |  {"op": "select",
+       |   "params": {"cols": ["l_orderkey", "l_suppkey"]}},
+       |  {"op": "distinct"},
+       |  {"op": "with_column",
+       |   "params": {"name": "src_order", "expr": "l_orderkey"}},
+       |  {"op": "with_column",
+       |   "params": {"name": "src", "expr": "l_suppkey"}},
+       |  {"op": "select", "params": {"cols": ["src_order", "src"]}},
+       |  {"op": "join_table",
+       |   "params": {"path": "$dir/lineitem.parquet",
+       |              "condition": "l.src_order = r.l_orderkey and l.src != r.l_suppkey and r.l_quantity > 45"}},
+       |  {"op": "with_column",
+       |   "params": {"name": "dst", "expr": "l_suppkey"}},
+       |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+       |  {"op": "distinct"},
+       |  $last
+       |]""".stripMargin
+
   private def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
     val pe = t(s, dir, "lineitem")
       .filter(col("l_quantity") > 45)
@@ -4540,6 +4569,34 @@ $joins"""
            |   "params": {"cols": ["event_id", "user_id",
            |                       "event_type", "is_first"]}}
            |]""".stripMargin)),
+
+    // the remaining graph family from config, each replaying its
+    // hand-written twin's oracle verbatim over the SAME co-order
+    // graph built by config steps (filter → distinct → join_table
+    // self-join against the raw parquet path)
+    "q_pipeline_triangles" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s, coOrderCfg(dir,
+        """{"op": "triangle_counts",
+          |   "params": {"src_col": "src", "dst_col": "dst"}}"""
+          .stripMargin))),
+
+    "q_pipeline_kcore" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s, coOrderCfg(dir,
+        """{"op": "k_core",
+          |   "params": {"src_col": "src", "dst_col": "dst",
+          |              "k": 15}}""".stripMargin))),
+
+    "q_pipeline_lpa" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s, coOrderCfg(dir,
+        """{"op": "label_propagation",
+          |   "params": {"src_col": "src", "dst_col": "dst",
+          |              "iters": 3}}""".stripMargin))),
+
+    "q_pipeline_assort" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s, coOrderCfg(dir,
+        """{"op": "assortativity",
+          |   "params": {"src_col": "src", "dst_col": "dst"}}"""
+          .stripMargin))),
 
     // schema conformance from config: declared order, a real cast
     // (n_chars bigint → double), a typed NULL fill for the missing
@@ -9625,6 +9682,10 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_harmonic" -> base("q_graph_harmonic")) +
       ("q_pipeline_sssp" -> base("q_graph_sssp")) +
       ("q_pipeline_domaingraph_psl" -> base("q_graph_domaingraph_psl")) +
+      ("q_pipeline_triangles" -> base("q_graph_triangles")) +
+      ("q_pipeline_kcore" -> base("q_graph_kcore")) +
+      ("q_pipeline_lpa" -> base("q_graph_lpa")) +
+      ("q_pipeline_assort" -> base("q_graph_assortativity")) +
       ("q_pipeline_closeness" -> base("q_graph_closeness")) +
       ("q_pipeline_nf" -> base("q_graph_nf")) +
       ("q_pipeline_topn" -> base("q_window_topn")) +
