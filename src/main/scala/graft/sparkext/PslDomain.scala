@@ -24,7 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * needs (a `typedlit` array scan would be O(|rules|) per row).
   * Private-domain entries (`github.io`, `blogspot.com`, ...) are
   * ordinary rules here, exactly as the PSL file ships them: include
-  * or exclude them by what you load. */
+  * or exclude them by what you load. Matching is byte-literal after
+  * lowercasing: the canonical publicsuffix.org `.dat` ships IDN
+  * rules in UNICODE form (punycode only in comments), so punycode
+  * (`xn--`) hosts only match a punycode-encoded rule list — decode
+  * hosts to Unicode upstream, or load a punycoded list, but don't
+  * mix the two forms. */
 final class PslRules private (
     normals: java.util.HashSet[String],
     wildcards: java.util.HashSet[String],

@@ -2413,7 +2413,12 @@ object StreamOps {
     *
     * Scale design: state is ONE boolean + one timer per live key —
     * strictly less than dropDuplicatesWithinWatermark's stored row —
-    * and each micro-batch shuffles only its own rows by key. */
+    * and each micro-batch shuffles only its own rows by key.
+    *
+    * Key/order hygiene: key values stringify (NULL keys pool under
+    * the literal "null"); `orderCols` values must be non-null and
+    * Comparable (numeric/string/timestamp — a null order value
+    * fails the sort loudly). */
   def firstSeenFlags(df: DataFrame, keyCols: Seq[String],
                      tsCol: String, orderCols: Seq[String],
                      retentionSeconds: Long = 0L,
