@@ -3124,6 +3124,20 @@ $joins"""
         "src", "dst", iters = 3, b = 4)
     }),
 
+    // deterministic random walks over the sparse (qty > 45)
+    // supplier-part graph: one 3-step walk per node, neighbor picked
+    // by hash48(start|cur|k|seed) mod degree on the sorted adjacency
+    // index — node2vec-style training-corpus generation that is
+    // bit-replayable (same seed → same walks under any partitioning),
+    // so the oracle replicates every hop exactly
+    "q_graph_walks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      graft.operators.Graph.deterministicWalks(
+        li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 10000000L).cast("long").as("dst")),
+        "src", "dst", steps = 3, seed = "s42")
+    }),
+
     // Adamic-Adar link prediction over the same (folded-undirected)
     // supplier-part graph: top-20 non-edges by rare-common-neighbor
     // mass; hub centers above degree 64 skip (the bounded-wedge
@@ -4647,6 +4661,26 @@ $joins"""
            |  {"op": "harmonic_centrality",
            |   "params": {"src_col": "src", "dst_col": "dst",
            |              "iters": 3, "b": 4}}
+           |]""".stripMargin)),
+
+    // hash-seeded walk generation from config — q_graph_walks'
+    // oracle verbatim
+    "q_pipeline_walks" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 45"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "random_walks",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "steps": 3, "seed": "s42"}}
            |]""".stripMargin)),
 
     // weighted shortest paths from config: the in-flight frame is the
@@ -8211,6 +8245,43 @@ $joins"""
            |  (units::DOUBLE / 1e6) / (lastu::DOUBLE / 1e6) AS frac
            |FROM t, lastk""".stripMargin,
 
+      // every hop replicated: the same sorted-adjacency index
+      // (row_number / count windows), the same 48-bit md5 pick —
+      // hash input "start|cur|k|seed", '0x'-prefixed 12-hex-char
+      // cast, mod degree — so each walk position matches exactly
+      "q_graph_walks" ->
+        """WITH RECURSIVE
+          |g0 AS MATERIALIZED (
+          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+          |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
+          |  FROM lineitem WHERE l_quantity > 45),
+          |sym AS MATERIALIZED (
+          |  SELECT src, dst FROM g0 WHERE src != dst
+          |  UNION
+          |  SELECT dst AS src, src AS dst FROM g0 WHERE src != dst),
+          |adj AS MATERIALIZED (
+          |  SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY dst)
+          |      AS idx,
+          |    count(*) OVER (PARTITION BY src) AS deg
+          |  FROM sym),
+          |nodes AS (
+          |  SELECT DISTINCT node FROM (
+          |    SELECT src AS node FROM sym
+          |    UNION ALL SELECT dst FROM sym)),
+          |walk(start, step, node) AS (
+          |  SELECT node AS start, 0 AS step, node FROM nodes
+          |  UNION ALL
+          |  SELECT w.start, w.step + 1 AS step, a.dst AS node
+          |  FROM walk w JOIN adj a ON a.src = w.node
+          |   AND a.idx = 1 + (('0x' || substring(md5(
+          |       CAST(w.start AS VARCHAR) || '|' ||
+          |       CAST(w.node AS VARCHAR) || '|' ||
+          |       CAST(w.step + 1 AS VARCHAR) || '|' || 's42'),
+          |       1, 12))::BIGINT % a.deg)
+          |  WHERE w.step < 3)
+          |SELECT start, step, node FROM walk""".stripMargin,
+
       // the same frontier expansion as a recursive CTE: walk holds
       // every (node, walk length ≤ 3) pair — bounded by 4 rows per
       // node — and min over walk lengths IS the BFS distance
@@ -9686,6 +9757,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_kcore" -> base("q_graph_kcore")) +
       ("q_pipeline_lpa" -> base("q_graph_lpa")) +
       ("q_pipeline_assort" -> base("q_graph_assortativity")) +
+      ("q_pipeline_walks" -> base("q_graph_walks")) +
       ("q_pipeline_closeness" -> base("q_graph_closeness")) +
       ("q_pipeline_nf" -> base("q_graph_nf")) +
       ("q_pipeline_topn" -> base("q_window_topn")) +

@@ -890,6 +890,65 @@ object Graph {
       .filter(col("__ok")).drop("__ok")
   }
 
+  /** Deterministic random walks — node2vec/DeepWalk-style corpus
+    * generation (one fixed-length walk per node) with HASH-SEEDED
+    * neighbor choice instead of an RNG: at step k a walk at `cur`
+    * moves to the neighbor whose sorted-adjacency index is
+    * `hash48(start|cur|k|seed) mod degree(cur)` on the house md5
+    * grammar. Same seed → bit-identical walks under any partitioning
+    * or retry (the property an RNG walk fundamentally lacks — and
+    * what makes the output replayable as TRAINING DATA and
+    * replicable by the DuckDB oracle); different seeds → independent
+    * walk sets, so "n walks per node" is a union over n seeds.
+    * Output: (start, step, node) rows, step 0..steps — one row per
+    * walk position; walks at isolated nodes end at step 0.
+    *
+    * Scale design: the adjacency index (row_number + count over
+    * src-partitioned windows) is ONE sort-shuffle built once and
+    * lineage-truncated; each step is ONE equi-join on the current
+    * node (the hash-mod pick rides the join as a post-filter on the
+    * sorted index) — work per step ∝ edges incident to the walk
+    * frontier, never all-pairs, nothing on the driver. */
+  def deterministicWalks(edges: DataFrame, srcCol: String,
+                         dstCol: String, steps: Int,
+                         seed: String = "s0",
+                         undirected: Boolean = true): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(!seed.contains("|"), "seed must not contain '|'")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val oriented =
+      if (undirected)
+        fwd.union(edges.select(col(dstCol).as("src"),
+          col(srcCol).as("dst")))
+      else fwd
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val adj = oriented.filter(col("src") =!= col("dst")).distinct()
+      .select(col("src"), col("dst"),
+        row_number().over(w.orderBy(col("dst"))).as("idx"),
+        count(lit(1)).over(w).as("deg"))
+      .truncateLineage(false)
+    val nodes = adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node"))).distinct()
+    var walk = nodes.select(col("node").as("start"),
+      col("node").as("node")).truncateLineage(false)
+    var acc = walk.select(col("start"), lit(0).as("step"), col("node"))
+    (1 to steps).foreach { k =>
+      val pick = pmod(
+        conv(substring(md5(concat_ws("|",
+          col("start").cast("string"), col("node").cast("string"),
+          lit(k.toString), lit(seed))), 1, 12), 16, 10).cast("long"),
+        col("deg")) + 1
+      walk = walk.join(adj, walk("node") === adj("src"))
+        .filter(col("idx") === pick)
+        .select(col("start"), col("dst").as("node"))
+        .truncateLineage(false)
+      acc = acc.union(
+        walk.select(col("start"), lit(k).as("step"), col("node")))
+    }
+    acc
+  }
+
   /** HyperBall harmonic centrality (Boldi & Vigna 2013, public
     * algorithm): H(v) ≈ Σ_{k=1..iters} (|B_k(v)| − |B_{k−1}(v)|)/k,
     * where B_k(v) is the ball of nodes within k hops of v (incoming

@@ -1646,6 +1646,20 @@ object Pipeline {
         df => Graph.labelPropagation(df, src, dst, iters)
       }),
 
+    // hash-seeded walk-corpus generation (node2vec/DeepWalk shape):
+    // deterministic by construction — same seed, same walks; n walks
+    // per node = n steps with different seeds, unioned downstream
+    "random_walks" -> OpSpec(
+      Set("src_col", "dst_col", "steps", "seed"), Set("undirected"),
+      p => {
+        val (src, dst) = (p.str("src_col"), p.str("dst_col"))
+        val steps = p.int("steps")
+        val seed = p.str("seed")
+        val undir = p.bool("undirected", Some(true))
+        df => Graph.deterministicWalks(df, src, dst, steps, seed,
+          undir)
+      }),
+
     "triangle_counts" -> OpSpec(Set("src_col", "dst_col"), Set(),
       p => {
         val (src, dst) = (p.str("src_col"), p.str("dst_col"))

@@ -556,6 +556,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotIntish == Map(1L -> 0L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("deterministicWalks: hash-seeded neighbor picks replicate a " +
+       "driver-side walk exactly; same seed is bit-stable across " +
+       "runs; a different seed diverges; self-loops drop") {
+    import spark.implicits._
+    // triangle 1-2-3, spur 3-4, detached 8-9 (a 2-cycle after
+    // symmetrize — walks bounce), isolated via self-loop 5-5 (the
+    // self-loop drops, 5 never enters the node set)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (8L, 9L), (5L, 5L)).toDF("src", "dst")
+    def run(seed: String): Map[(Long, Int), Long] =
+      graft.operators.Graph.deterministicWalks(edges, "src", "dst",
+          steps = 3, seed = seed)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = run("s1")
+    // driver-side replication: sorted adjacency + the same 48-bit
+    // md5 pick (md5hex helper shared with the HyperBall spec above)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val adj = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (8L, 9L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val want = adj.keys.flatMap { start =>
+      var cur = start
+      ((start, 0) -> cur) +: (1 to 3).map { k =>
+        val h = java.lang.Long.parseLong(
+          md5hex(s"$start|$cur|$k|s1").substring(0, 12), 16)
+        cur = adj(cur)((h % adj(cur).size).toInt)
+        (start, k) -> cur
+      }
+    }.toMap
+    assert(got == want && got.size == 6 * 4)
+    // bit-stable: a second run is identical
+    assert(run("s1") == got)
+    // a different seed changes at least one pick
+    assert(run("s2") != got)
+    // walk positions at step 0 are exactly the node set (no node 5)
+    assert(got.keys.filter(_._2 == 0).map(_._1).toSet ==
+      Set(1L, 2L, 3L, 4L, 8L, 9L))
+  }
+
   test("bfsDistances on random graphs equals driver-side BFS") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
