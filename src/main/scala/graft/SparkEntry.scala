@@ -29,6 +29,24 @@ object SparkEntry {
   private def runTag(dir: String): String =
     "p" + runPid + "_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** PSL rules file for q_pipeline_domaingraph_psl: the
+    * q_graph_domaingraph_psl rule matrix (wildcard, exception,
+    * private-domain rules) in publicsuffix.org format. Written ONCE
+    * per JVM (lazy) with deleteOnExit — bench sweeps invoke each
+    * query many times, and a fresh temp dir per invocation litters
+    * the temp filesystem across passes. */
+  private lazy val pslRulesFile: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-psl")
+    val rules = dir.resolve("rules.dat")
+    java.nio.file.Files.write(rules,
+      ("// test list: the q_graph_domaingraph_psl rule matrix\n" +
+        "com\nnet\norg\nexample.com\n*.example.org\n" +
+        "!other.example.org\n").getBytes("UTF-8"))
+    rules.toFile.deleteOnExit()
+    dir.toFile.deleteOnExit()
+    rules.toString
+  }
+
   /** The CDC changeset the apply-changes pair derives from orders:
     * upserts at seq 1 (%3 keys), superseding upserts at seq 2 (%9 —
     * a subset, so latest-wins is exercised), deletes at seq 3 (%5 —
@@ -4532,12 +4550,7 @@ $joins"""
     // exercising host_graph's full-PSL param end to end under
     // q_graph_domaingraph_psl's oracle verbatim
     "q_pipeline_domaingraph_psl" -> ((s, dir) => {
-      val rules = java.nio.file.Files.createTempDirectory("graft-psl")
-        .resolve("rules.dat")
-      java.nio.file.Files.write(rules,
-        ("// test list: the q_graph_domaingraph_psl rule matrix\n" +
-          "com\nnet\norg\nexample.com\n*.example.org\n" +
-          "!other.example.org\n").getBytes("UTF-8"))
+      val rules = pslRulesFile
       graft.operators.Pipeline.runJson(s,
         s"""[
            |  {"op": "read_table", "params": {"dir": "$dir",

@@ -1131,12 +1131,16 @@ object Graph {
         fwd.union(edges.select(col(dstCol).as("src"),
           col(srcCol).as("dst"), col(weightCol).as("w")))
       else fwd
-    // min-collapse multi-edges on the RAW weight (min commutes with
-    // the truncating cast only for integral values, which the gate
-    // enforces anyway); the per-row assert is the loud negative/
-    // fractional-weight gate (assert_true is null when it passes)
+    // min-collapse multi-edges on the weight cast to DOUBLE first: a
+    // string-typed weight column would otherwise min() LEXICOGRAPHIC
+    // (min("10","9") = "10" — silently wrong), and integral-valued
+    // strings still pass the gate below. Double is non-truncating on
+    // the gate's admissible range (non-negative integers ≤ 2^53, far
+    // past any hop-bounded path cost); the per-row assert is the loud
+    // negative/fractional-weight gate (assert_true is null on pass)
     val adj = both.filter(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("wRaw"))
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("w").cast("double")).as("wRaw"))
       .select(col("src"), col("dst"),
         col("wRaw").cast("long").as("w"),
         assert_true(

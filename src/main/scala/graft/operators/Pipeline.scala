@@ -1819,7 +1819,13 @@ object Pipeline {
         val tsCol = p.str("ts_col", Some("ts"))
         val ret = p.long("retention_seconds", Some(0L))
         val flag = p.str("flag_col", Some("is_first"))
-        df =>
+        df => {
+          // the stream face rejects a colliding flag name (schema.add
+          // would duplicate it); reject on the batch face too so the
+          // two faces agree instead of batch silently REPLACING
+          require(!df.columns.contains(flag),
+            s"first_seen_flags_watermarked: flag_col '$flag' already " +
+              "exists in the input — pick a fresh name")
           if (df.isStreaming)
             graft.streaming.StreamOps.firstSeenFlags(
               df.withWatermark(tsCol, wm), keys, tsCol, ords, ret,
@@ -1829,6 +1835,7 @@ object Pipeline {
               org.apache.spark.sql.expressions.Window
                 .partitionBy(keys.map(col): _*)
                 .orderBy(ords.map(col): _*)) === 1)
+        }
       }),
 
     // per-closed-window smoothed KL drift against a persisted
@@ -2779,6 +2786,149 @@ object Pipeline {
       parseSteps(new ObjectMapper(new YAMLFactory()).readTree(yaml)),
       extra, extraStreamable)
 
+  /** UNIFIED gated streaming: ONE StreamingQuery feeds every
+    * quarantine gate AND the survivors sink from the SAME
+    * materialized micro-batch — the correct form when a
+    * batch-boundary-sensitive stateful step (e.g.
+    * `first_seen_flags_watermarked`) precedes a gate. The two-query
+    * form ([[startStreamStepsGated]]) re-runs the chain prefix as an
+    * independent query per gate; independent queries batch the source
+    * differently and advance watermarks independently, so a stateful
+    * prefix can flag a row first-seen in the main query but duplicate
+    * in the writer — the row is then dropped by the main chain AND
+    * absent from quarantine (silently lost), or kept and also
+    * quarantined. Here there is no second computation to diverge.
+    *
+    * Chain layout contract, validated eagerly: steps BEFORE the first
+    * gate run once in the streaming plan (stateful steps allowed —
+    * that is the point); the first gate and EVERYTHING after it
+    * re-apply per micro-batch inside one `foreachBatch`, so from the
+    * first gate on only stateless row-deterministic steps are legal
+    * ([[batchSensitiveStreamingOps]] rejected by name).
+    *
+    * Sinks: each gate's violations overwrite
+    * `<quarantine_path>/gate=<name>/batch=<id>` and the survivors
+    * overwrite `sinkPath/batch=<id>` — BOTH replay-idempotent (a
+    * replayed micro-batch rewrites its own tables, never
+    * double-appends), so reading either root as parquet is
+    * end-to-end exactly-once with the batch id as a partition
+    * column. The micro-batch is persisted for the duration of its
+    * writes: every gate split and the survivors write observe one
+    * pinned set of flagged rows. */
+  def startGatedUnified(src: DataFrame, steps: Seq[Step],
+                        sinkPath: String, checkpoint: String,
+                        extra: Map[String, OpSpec] = Map.empty,
+                        extraStreamable: Set[String] = Set.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val expanded = expandIncludes(steps)
+    streamingValidate(expanded, streamableOps ++ extraStreamable)
+    val registry = builtinOps ++ extra
+    def isGate(s: Step): Boolean =
+      s.op == "expect_condition" && s.params.contains("quarantine_path")
+    val firstGate = expanded.indexWhere(isGate)
+    require(firstGate >= 0,
+      "startGatedUnified: no store-failures gate (expect_condition " +
+        "with quarantine_path) in the chain — use startStreamSteps")
+    val (pre, post) = expanded.splitAt(firstGate)
+    val badPost = post.filterNot(isGate).map(_.op)
+      .filter(batchSensitiveStreamingOps).distinct
+    require(badPost.isEmpty,
+      "startGatedUnified: batch-boundary-sensitive step(s) " +
+        s"${badPost.sorted.mkString(", ")} after the first quarantine " +
+        "gate — stateful steps must precede every gate (they run " +
+        "once in the streaming plan; gates and later steps re-apply " +
+        "per materialized micro-batch)")
+    val prefix = fromStepsStreaming(pre, extra, extraStreamable)
+    // compile the suffix eagerly: gate splits + stateless transforms
+    val suffix: Seq[Either[(String, Column), DataFrame => DataFrame]] =
+      post.map { s =>
+        if (isGate(s)) {
+          validateStepParams(registry("expect_condition"), s)
+          val p = new Params(s.op, s.params)
+          val cond = parseEagerly(p.str("condition"))
+          Left((quarantineTarget(p, "expect_condition").get, cond))
+        } else Right(compileStep(registry, s))
+      }
+    prefix(src).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pinned = batch.persist()
+        try {
+          var cur: DataFrame = pinned
+          suffix.foreach {
+            case Left((dir, cond)) =>
+              val ok = coalesce(cond, lit(false))
+              graft.streaming.StreamOps
+                .writeQuarantineBatch(cur.filter(!ok), dir, id)
+              cur = cur.filter(ok)
+            case Right(f) => cur = f(cur)
+          }
+          cur.write.mode("overwrite").parquet(s"$sinkPath/batch=$id")
+        } finally {
+          pinned.unpersist()
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** Run a COMPLETE STREAMING job config through the unified gated
+    * runner ([[startGatedUnified]]): source step first, transform
+    * chain with at least one store-failures gate, and a
+    * `write_stream_parquet` sink — the runner owns the survivors
+    * write (batch=<id> overwrite layout, replay-idempotent like the
+    * gate dirs), so only the parquet path sink is legal here. */
+  def startStreamStepsGatedUnified(spark: org.apache.spark.sql.SparkSession,
+                                   steps: Seq[Step],
+                                   extra: Map[String, OpSpec] = Map.empty,
+                                   extraStreamable: Set[String] = Set.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val expanded = expandIncludes(steps)
+    require(expanded.size >= 2,
+      "streaming job config needs a source step and a sink step")
+    val (sreq, sopt, mk) = streamSourceOps.getOrElse(expanded.head.op,
+      throw new IllegalArgumentException(
+        s"first step must be a streaming source; " +
+          s"'${expanded.head.op}' is not one of " +
+          streamSourceOps.keys.toSeq.sorted.mkString(", ")))
+    validateKeys("streaming source", expanded.head, sreq, sopt)
+    val last = expanded.last
+    require(last.op == "write_stream_parquet",
+      "startStreamStepsGatedUnified: sink must be " +
+        s"write_stream_parquet (the unified runner owns the " +
+        s"survivors write); got '${last.op}'")
+    validateKeys("streaming sink", last,
+      Seq("path", "checkpoint"), Seq())
+    val sp = new Params(last.op, last.params)
+    startGatedUnified(
+      mk(spark, new Params(expanded.head.op, expanded.head.params)),
+      expanded.drop(1).dropRight(1),
+      sp.str("path"), sp.str("checkpoint"), extra, extraStreamable)
+  }
+
+  /** [[startGatedUnified]] with the transform chain as a JSON step
+    * array — the caller supplies the streaming source frame and the
+    * survivors sink path directly (the MemoryStream-test face). */
+  def startGatedUnifiedJson(src: DataFrame, json: String,
+                            sinkPath: String, checkpoint: String,
+                            extra: Map[String, OpSpec] = Map.empty,
+                            extraStreamable: Set[String] = Set.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startGatedUnified(src,
+      parseSteps(new ObjectMapper().readTree(json)), sinkPath,
+      checkpoint, extra, extraStreamable)
+
+  /** Self-contained streaming JSON job config → unified gated query
+    * ([[startStreamStepsGatedUnified]]). */
+  def startStreamJsonGatedUnified(spark: org.apache.spark.sql.SparkSession,
+                                  json: String,
+                                  extra: Map[String, OpSpec] = Map.empty,
+                                  extraStreamable: Set[String] = Set.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startStreamStepsGatedUnified(spark,
+      parseSteps(new ObjectMapper().readTree(json)), extra,
+      extraStreamable)
+
   /** Self-contained streaming JSON job config → started query. */
   def startStreamJson(spark: org.apache.spark.sql.SparkSession,
                       json: String,
@@ -3056,6 +3206,29 @@ object Pipeline {
     // schema conformance is a pure projection
     "conform_schema")
 
+  /** Streamable steps whose OUTPUT depends on micro-batch boundaries
+    * or watermark progression — stateful windows/timers and
+    * arrival-order semantics. Two independent StreamingQueries over
+    * the same real source batch DIFFERENTLY (each query owns its
+    * offsets and watermark), so these steps compute divergent rows
+    * across queries even on identical input. The gated two-query
+    * compile ([[fromStepsStreamingGated]]) therefore REJECTS them
+    * ahead of a quarantine gate — the violation writer re-runs the
+    * prefix as its own query, and e.g. first_seen_flags could flag a
+    * row first-seen in the main query but duplicate in the writer
+    * (silently lost) or vice versa (kept AND quarantined). Use
+    * [[startGatedUnified]] for that composition: one query, both
+    * sinks fed from the same materialized micro-batch. */
+  val batchSensitiveStreamingOps: Set[String] = Set(
+    "windowed_stats_watermarked", "windowed_quantiles_watermarked",
+    "trending_tokens_watermarked", "host_graph_windowed",
+    "sessionize_watermarked", "kl_drift_watermarked",
+    "scd2_watermarked", "funnel_watermarked", "gap_fill_watermarked",
+    "rolling_anomalies_watermarked", "decayed_activity_watermarked",
+    "top_paths_watermarked", "transition_pairs_watermarked",
+    "asof_join_watermarked", "range_join_watermarked",
+    "drop_duplicates_watermarked", "first_seen_flags_watermarked")
+
   /** Compile a step list for a STREAMING DataFrame: the same
     * registry bodies as [[fromSteps]] (a config gates the stream with
     * the exact transforms its batch twin runs — parity spec-pinned on
@@ -3135,14 +3308,37 @@ object Pipeline {
     val expanded = expandIncludes(steps)
     streamingValidate(expanded, streamableOps ++ extraStreamable)
     val registry = builtinOps ++ extra
+    def isGate(s: Step): Boolean =
+      s.op == "expect_condition" && s.params.contains("quarantine_path")
+    // batch-boundary-sensitive stateful steps must not precede a gate
+    // in THIS compile: the gate's violation stream re-runs the prefix
+    // as an independent query with its own micro-batch boundaries and
+    // watermark, so a stateful prefix can compute DIFFERENT rows in
+    // the main query and the writer — a row silently lost (dropped by
+    // main, absent from quarantine) or double-kept. The unified
+    // single-query runner handles that composition correctly.
+    val lastGate = expanded.lastIndexWhere(isGate)
+    val badPrefix = expanded.take(math.max(lastGate, 0)).map(_.op)
+      .filter(batchSensitiveStreamingOps).distinct
+    require(badPrefix.isEmpty,
+      "gated streaming compile: batch-boundary-sensitive step(s) " +
+        s"${badPrefix.sorted.mkString(", ")} ahead of a quarantine " +
+        "gate — the per-gate violation writer is an independent " +
+        "query that batches differently, so stateful prefixes " +
+        "diverge between main and quarantine. Use the single-query " +
+        "runner (startGatedUnified / startStreamStepsGatedUnified) " +
+        "for stateful-then-gate compositions")
     val gates = Seq.newBuilder[QuarantineGate]
     // fold left over steps, carrying the survivors-only prefix
     // composition so each gate's violation stream sees exactly what
     // the batch twin's gate saw
     var prefix: DataFrame => DataFrame = identity
     expanded.foreach { s =>
-      if (s.op == "expect_condition" &&
-          s.params.contains("quarantine_path")) {
+      if (isGate(s)) {
+        // gates bypass compileStep (their body compiles inline) —
+        // run the same param-set gate so a typo'd param on a gated
+        // step throws at config time like everywhere else
+        validateStepParams(registry("expect_condition"), s)
         val p = new Params(s.op, s.params)
         val sql = p.str("condition")
         val cond = parseEagerly(sql)
@@ -3237,12 +3433,10 @@ object Pipeline {
   /** Compile ONE step against a registry: param-set validation (a
     * typo throws at config time, naming the allowed set) + the
     * spec's compile. */
-  private def compileStep(registry: Map[String, OpSpec],
-                          s: Step): DataFrame => DataFrame = {
-    val spec = registry.getOrElse(s.op,
-      throw new IllegalArgumentException(
-        s"unknown pipeline operator '${s.op}'; available: " +
-          registry.keys.toSeq.sorted.mkString(", ")))
+  /** The param-set gate shared by every compile path: unknown and
+    * missing-required params throw at config time, never
+    * mid-pipeline. */
+  private def validateStepParams(spec: OpSpec, s: Step): Unit = {
     val allowed = spec.required ++ spec.optional
     val unknown = s.params.keySet -- allowed
     require(unknown.isEmpty,
@@ -3253,6 +3447,15 @@ object Pipeline {
     require(missing.isEmpty,
       s"pipeline op '${s.op}': missing required params " +
         missing.toSeq.sorted.mkString(", "))
+  }
+
+  private def compileStep(registry: Map[String, OpSpec],
+                          s: Step): DataFrame => DataFrame = {
+    val spec = registry.getOrElse(s.op,
+      throw new IllegalArgumentException(
+        s"unknown pipeline operator '${s.op}'; available: " +
+          registry.keys.toSeq.sorted.mkString(", ")))
+    validateStepParams(spec, s)
     spec.compile(new Params(s.op, s.params))
   }
 

@@ -2424,6 +2424,13 @@ object StreamOps {
                      retentionSeconds: Long = 0L,
                      flagCol: String = "is_first"): DataFrame = {
     val schema = df.schema
+    // schema.add would yield a DUPLICATE column on collision, where
+    // the batch twin's withColumn REPLACES — reject loudly so batch
+    // and stream can never silently diverge on a colliding flag name
+    require(!df.columns.contains(flagCol),
+      s"firstSeenFlags: flag column '$flagCol' already exists in the " +
+        "input — pick a fresh name (batch withColumn would replace " +
+        "it; the stream would emit a duplicate column)")
     val keyIdx = keyCols.map(schema.fieldIndex).toArray
     val tsIdx = schema.fieldIndex(tsCol)
     val ordIdx = orderCols.map(schema.fieldIndex).toArray

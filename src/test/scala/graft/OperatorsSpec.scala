@@ -554,6 +554,23 @@ class OperatorsSpec extends AnyFunSuite {
         "src", "dst", "w", seeds, "node", 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotIntish == Map(1L -> 0L, 2L -> 2L, 3L -> 3L))
+    // STRING-typed integral weights: the multi-edge min-collapse
+    // must compare numerically, not lexicographically — min("10",
+    // "9") is "10" as strings, so a raw-column min would silently
+    // pick the WRONG (heavier) edge while still passing the
+    // integral gate. The double cast ahead of the min fixes it.
+    val strw = Seq((1L, 2L, "10"), (1L, 2L, "9"), (2L, 3L, "1"))
+      .toDF("src", "dst", "w")
+    val gotStr = graft.operators.Graph.shortestPaths(strw,
+        "src", "dst", "w", seeds, "node", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStr == Map(1L -> 0L, 2L -> 9L, 3L -> 10L))
+    // a NON-numeric string weight fails loudly, not silently
+    val badw = Seq((1L, 2L, "heavy")).toDF("src", "dst", "w")
+    assertThrows[Exception] {
+      graft.operators.Graph.shortestPaths(badw, "src", "dst", "w",
+        seeds, "node", 1).collect()
+    }
   }
 
   test("deterministicWalks: hash-seeded neighbor picks replicate a " +

@@ -3478,33 +3478,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.sql("select user_id from ddw_stream").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
     // composition: first-seen flags + gated expect_condition =
-    // duplicates QUARANTINED per batch instead of silently dropped
+    // duplicates QUARANTINED instead of silently dropped. The
+    // TWO-QUERY gated compile must REJECT this shape: the per-gate
+    // violation writer is an independent query that batches the
+    // source differently, so the stateful flags could diverge
+    // between the main chain and the quarantine writer (a row
+    // silently lost or kept AND quarantined)
     val quar = java.nio.file.Files
       .createTempDirectory("graft-fsf-quar").toString
-    val (chain3, gates) = Pipeline.fromJsonStreamingGated(
+    val gatedCfg =
       s"""[{"op": "first_seen_flags_watermarked",
          |  "params": {"keys": ["user_id"],
          |             "watermark_delay": "2 seconds",
          |             "order_cols": ["ts", "event_id"]}},
          | {"op": "expect_condition",
          |  "params": {"condition": "is_first", "name": "unique_user",
-         |             "quarantine_path": "$quar"}}]""".stripMargin)
-    val input3 = MemoryStream[Ev]
-    val src3 = input3.toDF()
-    val q3 = chain3(src3).writeStream.format("memory")
-      .queryName("fsf_gated").outputMode("append").start()
-    val w3 = gates.map(g => StreamOps.quarantineGateStream(src3, g,
-      java.nio.file.Files.createTempDirectory("graft-fsf-ck").toString))
-    batches.take(2).foreach { b =>
-      input3.addData(b: _*)
-      w3.foreach(_.processAllAvailable()); q3.processAllAvailable()
+         |             "quarantine_path": "$quar"}}]""".stripMargin
+    val rejected = intercept[IllegalArgumentException] {
+      Pipeline.fromJsonStreamingGated(gatedCfg)
     }
-    q3.stop(); w3.foreach(_.stop())
-    assert(s.sql("select user_id from fsf_gated").collect()
+    assert(rejected.getMessage.contains("startGatedUnified") &&
+      rejected.getMessage.contains("first_seen_flags_watermarked"))
+    // ...and the UNIFIED runner handles it: ONE query, gate store
+    // and survivors sink both fed from the same materialized batch
+    val input3 = MemoryStream[Ev]
+    val survivors = java.nio.file.Files
+      .createTempDirectory("graft-fsf-out").toString
+    val q3 = Pipeline.startGatedUnifiedJson(input3.toDF(), gatedCfg,
+      survivors, java.nio.file.Files
+        .createTempDirectory("graft-fsf-ck").toString)
+    batches.take(2).foreach { b =>
+      input3.addData(b: _*); q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(s.read.parquet(survivors).select("user_id").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
     assert(s.read.parquet(s"$quar/gate=unique_user")
       .select("event_id").collect().map(_.getLong(0)).toSet ==
       Set(11L, 12L))
+    // survivors land per-micro-batch (batch=<id> partition dirs),
+    // the replay-idempotent layout shared with the gate store
+    assert(new java.io.File(survivors).listFiles()
+      .map(_.getName).count(_.startsWith("batch=")) >= 2)
+    // typo'd params on a GATED step throw at config time — the gate
+    // bypasses compileStep but runs the same param-set validation
+    val typo = intercept[IllegalArgumentException] {
+      Pipeline.fromJsonStreamingGated(
+        s"""[{"op": "expect_condition",
+           |  "params": {"condition": "true", "name": "g",
+           |             "quarantine_path": "$quar",
+           |             "qurantine_pth": "oops"}}]""".stripMargin)
+    }
+    assert(typo.getMessage.contains("unknown params") &&
+      typo.getMessage.contains("qurantine_pth"))
+    // a colliding flag_col is rejected on BOTH faces (batch
+    // withColumn would replace, stream schema.add would duplicate —
+    // the two faces must agree, so neither is allowed)
+    val collide = intercept[IllegalArgumentException] {
+      Pipeline.fromJsonStreaming(
+        """[{"op": "first_seen_flags_watermarked",
+          |  "params": {"keys": ["user_id"],
+          |             "watermark_delay": "2 seconds",
+          |             "order_cols": ["ts", "event_id"],
+          |             "flag_col": "user_id"}}]""".stripMargin)(
+        batches.head.toDF())
+    }
+    assert(collide.getMessage.contains("already exists"))
   }
 
   test("scd2_watermarked: the stateful SCD2 config step equals the " +
