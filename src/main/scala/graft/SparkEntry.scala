@@ -4625,6 +4625,83 @@ $joins"""
           |   "params": {"src_col": "src", "dst_col": "dst"}}"""
           .stripMargin))),
 
+    // the last four cells of the step-vs-operator equivalence
+    // matrix: pagerank / personalized pagerank / connected
+    // components / adamic-adar from config, each replaying its
+    // hand-written twin's oracle verbatim — every iterative graph
+    // operator is now config-reachable and oracle-equal
+    "q_pipeline_pagerank" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src", "expr": "l_suppkey"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "l_partkey + 10000000"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "pagerank",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "iters": 3}}
+           |]""".stripMargin)),
+
+    // the seed slice rides as a compile-parsed seed_condition over
+    // the edge frame (SF-independent — a literal id list would pin
+    // the config to one scale factor)
+    "q_pipeline_ppr" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src", "expr": "l_suppkey"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "l_partkey + 10000000"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "personalized_pagerank",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "seed_condition": "src % 17 = 0",
+           |              "iters": 3}}
+           |]""".stripMargin)),
+
+    // the temporal co-presence edge build (lag window + gap filter)
+    // is config-expressible via with_column's OVER surface
+    "q_pipeline_components" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "events"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "prev_id",
+           |              "expr": "lag(event_id, 1) over (partition by event_type order by ts, event_id)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "gap",
+           |              "expr": "unix_micros(ts) - unix_micros(lag(ts, 1) over (partition by event_type order by ts, event_id))"}},
+           |  {"op": "filter",
+           |   "params": {"condition": "prev_id is not null and gap <= 1800000000"}},
+           |  {"op": "select", "params": {"cols": ["prev_id", "event_id"]}},
+           |  {"op": "connected_components",
+           |   "params": {"src_col": "prev_id", "dst_col": "event_id"}}
+           |]""".stripMargin)),
+
+    "q_pipeline_adamic" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src", "expr": "l_suppkey"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "l_partkey + 10000000"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "adamic_adar",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "top_n": 20, "max_degree": 64}}
+           |]""".stripMargin)),
+
     // schema conformance from config: declared order, a real cast
     // (n_chars bigint → double), a typed NULL fill for the missing
     // column, undeclared columns dropped
@@ -9770,6 +9847,10 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_kcore" -> base("q_graph_kcore")) +
       ("q_pipeline_lpa" -> base("q_graph_lpa")) +
       ("q_pipeline_assort" -> base("q_graph_assortativity")) +
+      ("q_pipeline_pagerank" -> base("q_graph_pagerank")) +
+      ("q_pipeline_ppr" -> base("q_graph_ppr")) +
+      ("q_pipeline_components" -> base("q_graph_components")) +
+      ("q_pipeline_adamic" -> base("q_graph_adamic")) +
       ("q_pipeline_walks" -> base("q_graph_walks")) +
       ("q_pipeline_closeness" -> base("q_graph_closeness")) +
       ("q_pipeline_nf" -> base("q_graph_nf")) +

@@ -1672,20 +1672,37 @@ object Pipeline {
         df => Graph.assortativity(df, src, dst)
       }),
 
-    // seed ids ride in the config (a bounded literal list, like the
-    // centroids convention); the in-flight frame is still the edges
+    // seeds ride in the config: either a bounded literal id list
+    // (`seeds`, the centroids convention) or — the SF-independent
+    // form — a compile-parsed `seed_condition` over the edge frame
+    // whose matching SOURCE nodes seed the walk (the operator dedups
+    // seeds internally, so selecting src per matching EDGE is
+    // equivalent to selecting each matching node once). Exactly one
+    // of the two; the in-flight frame is still the edges
     "personalized_pagerank" -> OpSpec(
-      Set("src_col", "dst_col", "seeds"), Set("iters", "damping"),
+      Set("src_col", "dst_col"),
+      Set("seeds", "seed_condition", "iters", "damping"),
       p => {
         val (src, dst) = (p.str("src_col"), p.str("dst_col"))
-        val seeds = p.dbls("seeds").map(_.toLong)
         val iters = p.int("iters", Some(3))
         val damping = p.dbl("damping", Some(0.85))
-        df => {
-          val ss = df.sparkSession
-          import ss.implicits._
-          Graph.personalizedPageRank(df, seeds.toDF("node"), src, dst,
+        require(p.has("seeds") != p.has("seed_condition"),
+          "personalized_pagerank: exactly one of 'seeds' (literal " +
+            "id list) or 'seed_condition' (SQL over the edge frame) " +
+            "is required")
+        if (p.has("seed_condition")) {
+          val cond = parseEagerly(p.str("seed_condition"))
+          df => Graph.personalizedPageRank(df,
+            df.filter(cond).select(col(src).as("node")), src, dst,
             "node", iters, damping)
+        } else {
+          val seeds = p.dbls("seeds").map(_.toLong)
+          df => {
+            val ss = df.sparkSession
+            import ss.implicits._
+            Graph.personalizedPageRank(df, seeds.toDF("node"), src,
+              dst, "node", iters, damping)
+          }
         }
       }),
 
