@@ -689,6 +689,44 @@ ${rows.mkString("\nUNION ALL ")}"""
   /** Unrolled DuckDB replica of Graph.hits: same 1e-9-lattice unit
     * masses, same per-half-step L1 normalization as one fixed-shape
     * double expression, same integer display rounding. */
+  /** The deterministic-walk replay CTEs over the sparse (qty > 45)
+    * supplier-part graph: sorted adjacency + the hash48(start|cur|k|
+    * seed) mod degree pick, hop-unrolled by DuckDB's recursion —
+    * shared by the all-nodes corpus, the %17-seeded slice, and the
+    * skip-gram pair oracles. `seedSelect` must yield one `node`
+    * column (walk starts). */
+  private def walksOracleCtes(seedSelect: String): String =
+    s"""WITH RECURSIVE
+       |g0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
+       |  FROM lineitem WHERE l_quantity > 45),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM g0 WHERE src != dst
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM g0 WHERE src != dst),
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst)
+       |      AS idx,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM sym),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM sym
+       |    UNION ALL SELECT dst FROM sym)),
+       |walk(start, step, node) AS (
+       |  SELECT node AS start, 0 AS step, node FROM ($seedSelect)
+       |  UNION ALL
+       |  SELECT w.start, w.step + 1 AS step, a.dst AS node
+       |  FROM walk w JOIN adj a ON a.src = w.node
+       |   AND a.idx = 1 + (('0x' || substring(md5(
+       |       CAST(w.start AS VARCHAR) || '|' ||
+       |       CAST(w.node AS VARCHAR) || '|' ||
+       |       CAST(w.step + 1 AS VARCHAR) || '|' || 's42'),
+       |       1, 12))::BIGINT % a.deg)
+       |  WHERE w.step < 3)""".stripMargin
+
   private def hitsOracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s"""a${k}m AS (
@@ -3156,6 +3194,33 @@ $joins"""
         "src", "dst", steps = 3, seed = "s42")
     }),
 
+    // the SEEDED, hub-degree-proof form: walks only from the %17
+    // supplier slice, neighbor picked by element_at into capped
+    // per-bucket sorted adjacency arrays (cap 8 here so the bucket
+    // split actually exercises at this SF) — same hash grammar, so
+    // the oracle replays the identical hops from the seed slice
+    "q_graph_walks_seeded" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey") + 10000000L).cast("long").as("dst"))
+      graft.operators.Graph.seededWalks(edges, "src", "dst",
+        edges.filter(col("src") % 17 === 0)
+          .select(col("src").as("node")),
+        "node", steps = 3, seed = "s42", bucketCap = 8)
+    }),
+
+    // skip-gram (center, context) pairs within window 2 over the
+    // walk corpus — the node2vec/DeepWalk training-data step; the
+    // oracle self-joins its replayed walk positions
+    "q_graph_walk_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      val walks = graft.operators.Graph.deterministicWalks(
+        li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 10000000L).cast("long").as("dst")),
+        "src", "dst", steps = 3, seed = "s42")
+      graft.operators.Graph.walkPairs(walks, window = 2)
+    }),
+
     // Adamic-Adar link prediction over the same (folded-undirected)
     // supplier-part graph: top-20 non-edges by rare-common-neighbor
     // mass; hub centers above degree 64 skip (the bounded-wedge
@@ -4771,6 +4836,50 @@ $joins"""
            |  {"op": "random_walks",
            |   "params": {"src_col": "src", "dst_col": "dst",
            |              "steps": 3, "seed": "s42"}}
+           |]""".stripMargin)),
+
+    // the seeded bucketed form from config (start_condition selects
+    // the walk starts from the edge frame) — q_graph_walks_seeded's
+    // oracle verbatim
+    "q_pipeline_walks_seeded" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 45"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "random_walks",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "steps": 3, "seed": "s42",
+           |              "start_condition": "src % 17 = 0",
+           |              "bucket_cap": 8}}
+           |]""".stripMargin)),
+
+    // walk corpus → skip-gram pairs, end to end from config —
+    // q_graph_walk_pairs' oracle verbatim
+    "q_pipeline_walk_pairs" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 45"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "random_walks",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "steps": 3, "seed": "s42"}},
+           |  {"op": "walk_pairs", "params": {"window": 2}}
            |]""".stripMargin)),
 
     // weighted shortest paths from config: the in-flight frame is the
@@ -8340,37 +8449,28 @@ $joins"""
       // hash input "start|cur|k|seed", '0x'-prefixed 12-hex-char
       // cast, mod degree — so each walk position matches exactly
       "q_graph_walks" ->
-        """WITH RECURSIVE
-          |g0 AS MATERIALIZED (
-          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
-          |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
-          |  FROM lineitem WHERE l_quantity > 45),
-          |sym AS MATERIALIZED (
-          |  SELECT src, dst FROM g0 WHERE src != dst
-          |  UNION
-          |  SELECT dst AS src, src AS dst FROM g0 WHERE src != dst),
-          |adj AS MATERIALIZED (
-          |  SELECT src, dst,
-          |    row_number() OVER (PARTITION BY src ORDER BY dst)
-          |      AS idx,
-          |    count(*) OVER (PARTITION BY src) AS deg
-          |  FROM sym),
-          |nodes AS (
-          |  SELECT DISTINCT node FROM (
-          |    SELECT src AS node FROM sym
-          |    UNION ALL SELECT dst FROM sym)),
-          |walk(start, step, node) AS (
-          |  SELECT node AS start, 0 AS step, node FROM nodes
-          |  UNION ALL
-          |  SELECT w.start, w.step + 1 AS step, a.dst AS node
-          |  FROM walk w JOIN adj a ON a.src = w.node
-          |   AND a.idx = 1 + (('0x' || substring(md5(
-          |       CAST(w.start AS VARCHAR) || '|' ||
-          |       CAST(w.node AS VARCHAR) || '|' ||
-          |       CAST(w.step + 1 AS VARCHAR) || '|' || 's42'),
-          |       1, 12))::BIGINT % a.deg)
-          |  WHERE w.step < 3)
+        s"""${walksOracleCtes("SELECT node FROM nodes")}
           |SELECT start, step, node FROM walk""".stripMargin,
+
+      // same hop replay from the %17 SEED slice only (the bucketed
+      // element_at pick is bit-equal to the join form by the shared
+      // hash grammar — spec-pinned — so one oracle covers both)
+      "q_graph_walks_seeded" ->
+        s"""${walksOracleCtes(
+            "SELECT DISTINCT src AS node FROM g0 WHERE src % 17 = 0")}
+          |SELECT start, step, node FROM walk""".stripMargin,
+
+      // skip-gram pairs: every within-window ordered position pair
+      // of every replayed walk (positions are unique per (start,
+      // step), so the self-join multiplicity is exactly one)
+      "q_graph_walk_pairs" ->
+        s"""${walksOracleCtes("SELECT node FROM nodes")}
+          |SELECT a.start, a.step AS center_step,
+          |       b.step AS context_step,
+          |       a.node AS center, b.node AS context
+          |FROM walk a JOIN walk b
+          |  ON a.start = b.start AND a.step <> b.step
+          | AND abs(a.step - b.step) <= 2""".stripMargin,
 
       // the same frontier expansion as a recursive CTE: walk holds
       // every (node, walk length ≤ 3) pair — bounded by 4 rows per
@@ -9852,6 +9952,8 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_components" -> base("q_graph_components")) +
       ("q_pipeline_adamic" -> base("q_graph_adamic")) +
       ("q_pipeline_walks" -> base("q_graph_walks")) +
+      ("q_pipeline_walks_seeded" -> base("q_graph_walks_seeded")) +
+      ("q_pipeline_walk_pairs" -> base("q_graph_walk_pairs")) +
       ("q_pipeline_closeness" -> base("q_graph_closeness")) +
       ("q_pipeline_nf" -> base("q_graph_nf")) +
       ("q_pipeline_topn" -> base("q_window_topn")) +

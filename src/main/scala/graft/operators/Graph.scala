@@ -949,6 +949,125 @@ object Graph {
     acc
   }
 
+  /** Seeded, hub-degree-proof walks: [[deterministicWalks]]' exact
+    * hash grammar (same seed → bit-identical positions, spec-pinned)
+    * but (a) walking only from a `seeds` slice — the crawl-frontier /
+    * embedding-corpus shape — and (b) picking the neighbor by
+    * `element_at` into CAPPED PER-BUCKET sorted adjacency arrays
+    * instead of joining every neighbor and filtering to one.
+    *
+    * Why: the join-filter form materializes Σ deg(frontier) join rows
+    * per step to keep |frontier| — harmless when walking from ALL
+    * nodes (O(E) total, the benched corpus-generation shape), but
+    * quadratic waste when a few walkers sit on a hub (100 walkers ×
+    * a 10⁶-degree hub = 10⁸ rows for 100 picks). Here the adjacency
+    * is pre-grouped ONCE into (src, bucket, arr) rows of ≤ `bucketCap`
+    * sorted neighbors; each step is two 1-row-per-walker equi-joins —
+    * degrees to compute `pick = hash48 mod deg`, then the single
+    * bucket `pick div cap` — and an O(1) `element_at(arr, pick mod
+    * cap + 1)`. Per-step cost ∝ walkers (× cap array payload), FLAT
+    * in hub degree; see BASELINE.md's hub probe.
+    *
+    * Seeds absent from the graph emit their step-0 row and end there
+    * (the isolated-node contract). Output: (start, step, node),
+    * step 0..steps — identical shape and, for seeds = all nodes,
+    * identical CONTENT to [[deterministicWalks]]. */
+  def seededWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, seedCol: String, steps: Int,
+                  seed: String = "s0", undirected: Boolean = true,
+                  bucketCap: Int = 1024): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(!seed.contains("|"), "seed must not contain '|'")
+    require(bucketCap >= 1, "bucketCap must be >= 1")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val oriented =
+      if (undirected)
+        fwd.union(edges.select(col(dstCol).as("src"),
+          col(srcCol).as("dst")))
+      else fwd
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    // same sorted-adjacency index as the join form (the equality
+    // contract hinges on identical idx assignment)...
+    val idxed = oriented.filter(col("src") =!= col("dst")).distinct()
+      .select(col("src"), col("dst"),
+        row_number().over(w.orderBy(col("dst"))).as("idx"),
+        count(lit(1)).over(w).as("deg"))
+    // ...then grouped into capped buckets: bucket b holds neighbors
+    // with (idx-1) div cap = b, in idx order (sort_array on the
+    // (idx, dst) struct sorts by idx)
+    val buckets = idxed
+      .withColumn("bucket",
+        ((col("idx") - 1) / lit(bucketCap)).cast("long"))
+      .groupBy(col("src"), col("bucket"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("idx"), col("dst")))),
+        x => x("dst")).as("arr"))
+      .truncateLineage(false)
+    val degrees = idxed.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg")).truncateLineage(false)
+    var walk = seeds.select(col(seedCol).as("start")).distinct()
+      .select(col("start"), col("start").as("node"))
+      .truncateLineage(false)
+    var acc = walk.select(col("start"), lit(0).as("step"), col("node"))
+    (1 to steps).foreach { k =>
+      val hash = conv(substring(md5(concat_ws("|",
+        col("wk.start").cast("string"), col("wk.node").cast("string"),
+        lit(k.toString), lit(seed))), 1, 12), 16, 10).cast("long")
+      val picked = walk.alias("wk")
+        .join(degrees.alias("dg"), col("wk.node") === col("dg.src"))
+        .select(col("wk.start").as("start"), col("wk.node").as("node"),
+          pmod(hash, col("dg.deg")).as("pick0"))
+      walk = picked.alias("pk")
+        .join(buckets.alias("bk"),
+          col("pk.node") === col("bk.src") &&
+            (col("pk.pick0") / lit(bucketCap)).cast("long") ===
+              col("bk.bucket"))
+        .select(col("pk.start").as("start"),
+          element_at(col("bk.arr"),
+            (pmod(col("pk.pick0"), lit(bucketCap)) + 1).cast("int"))
+            .as("node"))
+        .truncateLineage(false)
+      acc = acc.union(
+        walk.select(col("start"), lit(k).as("step"), col("node")))
+    }
+    acc
+  }
+
+  /** Skip-gram training pairs from a walk corpus — the
+    * node2vec/DeepWalk data step: for every walk (one per `startCol`
+    * value) and every position pair within `window` steps, emit
+    * (center, context). Output: (start, center_step, context_step,
+    * center, context) — one row per directed pair, both directions
+    * (the standard skip-gram corpus; contexts before AND after the
+    * center).
+    *
+    * Scale design: ONE shuffle — walks group into their ordered
+    * position array (walks are `steps+1` positions, a bounded row) —
+    * then pair generation is a pure per-row nested-`transform`
+    * projection + one explode; no self-join, nothing all-pairs. */
+  def walkPairs(walks: DataFrame, window: Int,
+                startCol: String = "start", stepCol: String = "step",
+                nodeCol: String = "node"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val grouped = walks
+      .groupBy(col(startCol).as("start"))
+      .agg(sort_array(collect_list(struct(
+        col(stepCol).cast("int").as("step"),
+        col(nodeCol).as("node")))).as("w"))
+    grouped
+      .select(col("start"), explode(flatten(transform(col("w"),
+        c => transform(
+          filter(col("w"), x => x("step") =!= c("step") &&
+            abs(x("step") - c("step")) <= window),
+          x => struct(c("step").as("center_step"),
+            x("step").as("context_step"),
+            c("node").as("center"),
+            x("node").as("context")))))).as("p"))
+      .select(col("start"), col("p.center_step"),
+        col("p.context_step"), col("p.center"), col("p.context"))
+  }
+
   /** HyperBall harmonic centrality (Boldi & Vigna 2013, public
     * algorithm): H(v) ≈ Σ_{k=1..iters} (|B_k(v)| − |B_{k−1}(v)|)/k,
     * where B_k(v) is the ball of nodes within k hops of v (incoming

@@ -1648,16 +1648,45 @@ object Pipeline {
 
     // hash-seeded walk-corpus generation (node2vec/DeepWalk shape):
     // deterministic by construction — same seed, same walks; n walks
-    // per node = n steps with different seeds, unioned downstream
+    // per node = n steps with different seeds, unioned downstream.
+    // With `start_condition` (SQL over the edge frame; matching
+    // SOURCE nodes start a walk) the hub-degree-proof bucketed form
+    // runs instead — same hash grammar, same positions, per-step
+    // cost ∝ walkers not Σ deg(frontier); `bucket_cap` sizes the
+    // per-bucket sorted adjacency arrays
     "random_walks" -> OpSpec(
-      Set("src_col", "dst_col", "steps", "seed"), Set("undirected"),
+      Set("src_col", "dst_col", "steps", "seed"),
+      Set("undirected", "start_condition", "bucket_cap"),
       p => {
         val (src, dst) = (p.str("src_col"), p.str("dst_col"))
         val steps = p.int("steps")
         val seed = p.str("seed")
         val undir = p.bool("undirected", Some(true))
-        df => Graph.deterministicWalks(df, src, dst, steps, seed,
-          undir)
+        if (p.has("start_condition")) {
+          val cond = parseEagerly(p.str("start_condition"))
+          val cap = p.int("bucket_cap", Some(1024))
+          df => Graph.seededWalks(df,
+            src, dst, df.filter(cond).select(col(src).as("node")),
+            "node", steps, seed, undir, cap)
+        } else {
+          require(!p.has("bucket_cap"),
+            "random_walks: bucket_cap applies only to the seeded " +
+              "(start_condition) form")
+          df => Graph.deterministicWalks(df, src, dst, steps, seed,
+            undir)
+        }
+      }),
+
+    // skip-gram (center, context) pair generation over a walk
+    // corpus — the in-flight frame is random_walks' output
+    "walk_pairs" -> OpSpec(Set("window"),
+      Set("start_col", "step_col", "node_col"),
+      p => {
+        val win = p.int("window")
+        val sc = p.str("start_col", Some("start"))
+        val pc = p.str("step_col", Some("step"))
+        val nc = p.str("node_col", Some("node"))
+        df => Graph.walkPairs(df, win, sc, pc, nc)
       }),
 
     "triangle_counts" -> OpSpec(Set("src_col", "dst_col"), Set(),

@@ -615,6 +615,73 @@ class OperatorsSpec extends AnyFunSuite {
       Set(1L, 2L, 3L, 4L, 8L, 9L))
   }
 
+  test("seededWalks: the bucketed element_at pick is bit-identical " +
+       "to the join form for any bucket cap; seed slices walk only " +
+       "their own starts; isolated seeds end at step 0") {
+    import spark.implicits._
+    // random multigraph with hubs so buckets split at small caps
+    val rnd = new scala.util.Random(23)
+    val edges = ((0 until 400).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)) ++
+      // a hub: node 0 connected to 100..160 (degree > any cap below)
+      (100L to 160L).map(v => (0L, v))).toDF("src", "dst")
+    val all = graft.operators.Graph.deterministicWalks(
+        edges, "src", "dst", steps = 4, seed = "sx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val allNodes = all.filter(_._2 == 0).map(_._1).toSeq.toDF("node")
+    // every cap — including caps far below the hub degree — replays
+    // the join form EXACTLY when seeded with all nodes
+    Seq(1, 3, 16, 1024).foreach { cap =>
+      val got = graft.operators.Graph.seededWalks(edges, "src",
+          "dst", allNodes, "node", steps = 4, seed = "sx",
+          bucketCap = cap)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      assert(got == all, s"cap $cap diverged from the join form")
+    }
+    // a seed SLICE yields exactly the slice's walks, nothing else
+    val slice = Seq(0L, 7L).toDF("node")
+    val sliced = graft.operators.Graph.seededWalks(edges, "src",
+        "dst", slice, "node", steps = 4, seed = "sx", bucketCap = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(sliced == all.filter(t => t._1 == 0L || t._1 == 7L))
+    // an isolated seed (not in the graph) emits only its step-0 row
+    val lone = graft.operators.Graph.seededWalks(edges, "src", "dst",
+        Seq(999L).toDF("node"), "node", steps = 4, seed = "sx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(lone == Set((999L, 0, 999L)))
+  }
+
+  test("walkPairs: skip-gram pairs equal the driver-side window " +
+       "enumeration; both directions, no self-pairs, window bound " +
+       "respected") {
+    import spark.implicits._
+    // two walks as explicit position rows (start, step, node)
+    val walks = Seq(
+      (1L, 0, 10L), (1L, 1, 11L), (1L, 2, 12L), (1L, 3, 13L),
+      (2L, 0, 20L), (2L, 1, 21L)).toDF("start", "step", "node")
+    val positions = Seq(
+      1L -> Seq(10L, 11L, 12L, 13L), 2L -> Seq(20L, 21L))
+    def wantPairs(w: Int): Set[(Long, Int, Int, Long, Long)] =
+      positions.flatMap { case (s, ns) =>
+        for {
+          i <- ns.indices; j <- ns.indices
+          if i != j && math.abs(i - j) <= w
+        } yield (s, i, j, ns(i), ns(j))
+      }.toSet
+    Seq(1, 2, 3).foreach { w =>
+      val got = graft.operators.Graph.walkPairs(walks, window = w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == wantPairs(w), s"window $w")
+    }
+    // a window ≥ walk length yields all ordered pairs per walk
+    assert(wantPairs(3).size == 4 * 3 + 2 * 1)
+  }
+
   test("bfsDistances on random graphs equals driver-side BFS") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
