@@ -47,6 +47,49 @@ object SparkEntry {
     rules.toString
   }
 
+  /** Synthetic-but-REAL 8-bit mono PCM WAV corpus over the first 400
+    * doc ids — the audio-dedup fixture. Group g = doc_id % 40 shares
+    * a deterministic base signal (integer arithmetic only, so the
+    * DuckDB oracle replays the samples digit-exact); each doc
+    * perturbs the bytes of ONE frame (frame doc_id % 65, +1 mod 256),
+    * which moves at most two consecutive-frame energy comparisons —
+    * within-group fingerprints sit at Hamming ≤ 4 by construction.
+    * The WAV container is genuine RIFF (the operator really parses
+    * headers and PCM), built distributed in a Dataset map. */
+  private def wavAssetsFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents")
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id").cast("long")).as[Long]
+    val assets = ids.map { id =>
+      val g = (id % 40).toInt
+      val p = (id % 65).toInt
+      val n = 65 * 32
+      val pcm = new Array[Byte](n)
+      var t0 = 0
+      while (t0 < n) {
+        val base = (g * 37 + (t0 * t0) % 97 + (t0 % 17) * (g % 11)) % 256
+        val b = if (t0 / 32 == p) (base + 1) % 256 else base
+        pcm(t0) = b.toByte
+        t0 += 1
+      }
+      val bb = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("ASCII"))
+        .put("fmt ".getBytes("ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+        .put("data".getBytes("ASCII")).putInt(n)
+        .put(pcm)
+      (id, bb.array())
+    }.toDF("id", "content")
+    assets.select(col("id"), col("content"),
+      struct(lit("audio/wav").as("mime"), lit("synth").as("source"),
+        octet_length(col("content")).cast("long").as("n_bytes"))
+        .as("meta"))
+  }
+
   /** The CDC changeset the apply-changes pair derives from orders:
     * upserts at seq 1 (%3 keys), superseding upserts at seq 2 (%9 —
     * a subset, so latest-wins is exercised), deletes at seq 3 (%5 —
@@ -3789,6 +3832,19 @@ $joins"""
           frameBytes = 64, everyN = 3)
         .select(col("id"), col("frame_index"),
           hex(col("frame")).as("frame_hex"))),
+
+    // audio near-dup: REAL RIFF/PCM parse → energy-envelope delta
+    // fingerprint (exact integer energies) → the banded pHash pair
+    // machinery on the audio hash. The oracle recomputes every
+    // sample, energy, and comparison bit from the fixture's integer
+    // grammar and takes ALL-PAIRS Hamming ground truth — so the
+    // banded join's recall (pigeonhole: hamming 4 < 8 chunks) is
+    // itself under test, not just the hash
+    "q_multimodal_audiodup" -> ((s, dir) =>
+      Multimodal.audioNearDupPairs(
+        Multimodal.audioFingerprints(wavAssetsFixture(s, dir),
+          frameSize = 32, nFrames = 65),
+        hammingMax = 4, chunks = 8)),
 
     // ---- relational anchors (agg / join / window at TPC-H shape) ----
 
@@ -9646,6 +9702,37 @@ FROM dm GROUP BY 1, 2"""
           |     LATERAL unnest(range(0, greatest(
           |       CAST(ceil(octet_length(encode(text)) / 64.0) AS INT), 1))) AS t(i)
           |WHERE i % 3 = 0""".stripMargin,
+
+      // replays the fixture's integer sample grammar (group base +
+      // one perturbed frame), exact Long frame energies, the 64
+      // consecutive-frame comparison bits, then ALL-PAIRS Hamming —
+      // ground truth the banded join must reproduce exactly
+      "q_multimodal_audiodup" ->
+        """WITH params AS (
+          |  SELECT doc_id::BIGINT AS id, (doc_id % 40)::BIGINT AS g,
+          |         (doc_id % 65)::BIGINT AS p
+          |  FROM documents WHERE doc_id < 400),
+          |samples AS (
+          |  SELECT id, t // 32 AS f,
+          |    ((g * 37 + (t * t) % 97 + (t % 17) * (g % 11)
+          |      + CASE WHEN t // 32 = p THEN 1 ELSE 0 END) % 256
+          |     - 128) AS v
+          |  FROM params, LATERAL unnest(range(0, 2080)) AS s(t)),
+          |energy AS MATERIALIZED (
+          |  SELECT id, f, SUM(v * v)::BIGINT AS e
+          |  FROM samples GROUP BY 1, 2),
+          |bits AS MATERIALIZED (
+          |  SELECT a.id, a.f AS k,
+          |         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+          |  FROM energy a JOIN energy b
+          |    ON a.id = b.id AND b.f = a.f + 1)
+          |SELECT x.id AS id_a, y.id AS id_b,
+          |       SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+          |         ::BIGINT AS hamming
+          |FROM bits x JOIN bits y ON x.k = y.k AND x.id < y.id
+          |GROUP BY 1, 2
+          |HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 4"""
+          .stripMargin,
 
       // conformance: cast + typed NULL fill + declared order
       "q_pipeline_conform" ->

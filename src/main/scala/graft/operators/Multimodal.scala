@@ -1233,6 +1233,91 @@ object Multimodal {
       .filter(col("hamming") <= hammingMax)
   }
 
+  /** 64-bit audio fingerprint over `audio/wav` assets — the audio leg
+    * of the dedup triangle (text shingles / image pHash / THIS): the
+    * classic energy-envelope delta hash (Haitsma–Kalker bit
+    * derivation, public algorithm). Channel 0's RAW INTEGER samples
+    * (16-bit: the short value; 8-bit: byte − 128) frame into up to
+    * `nFrames` non-overlapping `frameSize`-sample windows; bit k of
+    * the hash is 1 iff energy(frame k+1) > energy(frame k), energies
+    * as EXACT Long sums of squares — consecutive-frame comparison
+    * makes the bits amplitude-scale-robust, and integer energies make
+    * the whole fingerprint externally replicable (the DuckDB oracle
+    * recomputes it digit-exact, no float threshold anywhere). Frames
+    * past the payload's end count as energy 0 with comparisons
+    * untaken (bits stay 0); assets that aren't decodable PCM WAV or
+    * hold less than one frame are OMITTED. Output: (id, ahash).
+    *
+    * Scale design: same `mapPartitions` codec-boundary shape as
+    * [[perceptualHashes]] — the decode runs once per asset, bounded
+    * at `nFrames × frameSize` samples/row, and every downstream dedup
+    * pass joins on the fixed 8-byte hash. */
+  def audioFingerprints(assets: DataFrame, frameSize: Int = 1024,
+                        nFrames: Int = 65): DataFrame = {
+    require(frameSize >= 1, "frameSize must be >= 1")
+    require(nFrames >= 2 && nFrames <= 65,
+      "nFrames must be in [2, 65] (bits = nFrames - 1 <= 64)")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = ExpressionEncoder(schema)
+    assets.select(col("id"), col("content"), col("meta.mime").as("mime"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.getString(2) != "audio/wav") None
+          else scala.util.Try(audioFingerprintRow(r.getLong(0),
+            r.getAs[Array[Byte]](1), frameSize, nFrames))
+            .toOption.flatten
+        }
+      }(enc)
+  }
+
+  private def audioFingerprintRow(id: Long, content: Array[Byte],
+                                  frameSize: Int,
+                                  nFrames: Int): Option[Row] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val lay = parseWav(content).getOrElse(return None)
+    val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    val perChannel = lay.n / lay.channels
+    val m = math.min(perChannel / frameSize, nFrames)
+    if (m < 1) return None
+    val energy = new Array[Long](m)
+    var f = 0
+    while (f < m) {
+      var e = 0L
+      var t = 0
+      while (t < frameSize) {
+        val idx = (f * frameSize + t) * lay.channels // channel 0
+        val v: Long =
+          if (lay.bits == 16) bb.getShort(lay.dataOff + idx * 2).toLong
+          else ((content(lay.dataOff + idx) & 0xff) - 128).toLong
+        e += v * v
+        t += 1
+      }
+      energy(f) = e
+      f += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < m - 1) {
+      if (energy(k + 1) > energy(k)) hash |= (1L << k)
+      k += 1
+    }
+    Some(Row(id, hash))
+  }
+
+  /** Near-duplicate audio pairs from an [[audioFingerprints]] frame:
+    * all (id_a < id_b) pairs within `hammingMax` — the EXACT same
+    * pigeonhole chunk-banding machinery as [[phashNearDupPairs]]
+    * (candidates from (chunk, value) equi-joins, never all-pairs;
+    * multi-chunk matches deduped by the firstAgreeingChunk
+    * expression, zero extra shuffle), applied to the audio hash. */
+  def audioNearDupPairs(fingerprints: DataFrame, hammingMax: Int = 4,
+                        chunks: Int = 8): DataFrame =
+    phashNearDupPairs(
+      fingerprints.select(col("id"), col("ahash").as("phash")),
+      hammingMax, chunks)
+
   /** In-place iterative radix-2 Cooley-Tukey FFT (re, im same length,
     * a power of two). Textbook butterfly with a recurrence twiddle —
     * O(n log n), zero allocation beyond the caller's buffers. */

@@ -3600,6 +3600,92 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(0) < m(1) && math.abs(m(0) - m(1) * 20 / 21) < 0.01)
   }
 
+  test("audioFingerprints: energy-delta bits replicate a driver-side " +
+       "computation on 8- and 16-bit PCM (channel 0 of stereo); " +
+       "amplitude scaling preserves the hash; banded pairs find " +
+       "exactly the close fingerprints") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val s = spark
+    import s.implicits._
+    def wav8(samples: Array[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(44 + samples.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ASCII")).putInt(36 + samples.length)
+        .put("WAVE".getBytes("ASCII"))
+        .put("fmt ".getBytes("ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+        .put("data".getBytes("ASCII")).putInt(samples.length)
+      samples.foreach(v => bb.put(v.toByte))
+      bb.array()
+    }
+    def wav16(pcm: Array[Short], channels: Int): Array[Byte] = {
+      val dataLen = pcm.length * 2
+      val bb = ByteBuffer.allocate(44 + dataLen)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("ASCII"))
+        .put("fmt ".getBytes("ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(8000)
+        .putInt(8000 * 2 * channels)
+        .putShort((2 * channels).toShort).putShort(16)
+        .put("data".getBytes("ASCII")).putInt(dataLen)
+      pcm.foreach(bb.putShort)
+      bb.array()
+    }
+    def driverHash(vals: Seq[Long], frameSize: Int): Long = {
+      val energies = vals.grouped(frameSize)
+        .filter(_.size == frameSize)
+        .map(_.map(v => v * v).sum).toVector
+      (0 until energies.size - 1).foldLeft(0L) { (h, k) =>
+        if (energies(k + 1) > energies(k)) h | (1L << k) else h
+      }
+    }
+    def assets(rows: Seq[(Long, Array[Byte])]) =
+      rows.toDF("id", "content").select(col("id"), col("content"),
+        struct(lit("audio/wav").as("mime"), lit("t").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes"))
+          .as("meta"))
+    // 8-bit: deterministic ramps, 10 frames of 16 samples
+    val s8 = Array.tabulate(160)(t => (t * 7 + (t * t) % 31) % 256)
+    // stereo 16-bit: channel 0 is the signal, channel 1 pure noise —
+    // the fingerprint must use channel 0 only
+    val c0 = Array.tabulate(160)(t =>
+      ((t % 37) * 800 - 12000).toShort)
+    val inter = Array.tabulate(320)(i =>
+      if (i % 2 == 0) c0(i / 2) else ((i * 911) % 32768).toShort)
+    // amplitude halving preserves every comparison (strict > on
+    // scaled energies keeps its sign)
+    val c0Half = c0.map(v => (v / 2).toShort)
+    val interHalf = Array.tabulate(320)(i =>
+      if (i % 2 == 0) c0Half(i / 2) else ((i * 13) % 32768).toShort)
+    val fps = graft.operators.Multimodal.audioFingerprints(
+        assets(Seq(1L -> wav8(s8), 2L -> wav16(inter, 2),
+          3L -> wav16(interHalf, 2),
+          4L -> ("junk, not audio").getBytes("UTF-8"))),
+        frameSize = 16, nFrames = 11)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L)) // junk omitted
+    assert(fps(1L) ==
+      driverHash(s8.map(v => ((v & 0xff) - 128).toLong).toSeq, 16))
+    assert(fps(2L) == driverHash(c0.map(_.toLong).toSeq, 16))
+    // scale robustness: halved amplitude, same fingerprint (energy
+    // ordering preserved; the noisy channel 1 differs entirely)
+    assert(fps(3L) == fps(2L))
+    // banded pairs equal all-pairs ground truth and include the
+    // planted (2, 3) identical-fingerprint pair
+    val pairs = graft.operators.Multimodal.audioNearDupPairs(
+        Seq((1L, fps(1L)), (2L, fps(2L)), (3L, fps(3L)))
+          .toDF("id", "ahash"), hammingMax = 4, chunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = (for {
+      (a, ha) <- fps.toSeq; (b, hb) <- fps.toSeq if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs == want && pairs.contains((2L, 3L, 0L)))
+  }
+
   test("mfccFeatures: amplitude isolates into c0; content separates tones") {
     import java.nio.{ByteBuffer, ByteOrder}
     val s = spark
