@@ -1895,6 +1895,39 @@ $joins"""
       graft.sources.Sources.readOrc(s, path)
     }),
 
+    // Avro round-trip over EVENTS — the table with a timestamp column,
+    // so the logical-type mapping (timestamp-micros) is under the
+    // oracle, not just the spec; write through Spark's commit
+    // protocol, read back through the registered splittable
+    // container reader
+    "q_source_avro" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_avro_" + runTag(dir)).getPath
+      graft.sources.Sources.writeAvro(ev, path)
+      graft.sources.Sources.readAvro(s, path)
+    }),
+
+    // the same round-trip as a PAIR OF CONFIGS (write job + read
+    // chain) — q_source_avro's oracle verbatim
+    "q_pipeline_avro" -> ((s, dir) => {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_avro_cfg_" + runTag(dir)).getPath
+      graft.operators.Pipeline.runJobJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "events"}},
+           |  {"op": "select",
+           |   "params": {"cols": ["event_id", "ts", "user_id",
+           |                       "event_type", "value"]}},
+           |  {"op": "write_avro", "params": {"path": "$path"}}
+           |]""".stripMargin)
+      graft.operators.Pipeline.runJson(s,
+        s"""[{"op": "read_avro", "params": {"path": "$path"}}]""")
+    }),
+
     // WARC container parse: each doc becomes a 2-record blob — a
     // response record carrying the text and a metadata record whose
     // payload EMBEDS a fake WARC header (only the Content-Length walk
@@ -6949,6 +6982,9 @@ $joins"""
       "q_source_orc" ->
         "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
+      "q_source_avro" ->
+        "SELECT event_id, ts, user_id, event_type, value FROM events",
+
       // ground truth of the planted records, stated directly: the
       // engine's length-driven walk must recover exactly these fields
       // (incl. the metadata payload with the embedded fake header)
@@ -10041,6 +10077,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_walks" -> base("q_graph_walks")) +
       ("q_pipeline_walks_seeded" -> base("q_graph_walks_seeded")) +
       ("q_pipeline_walk_pairs" -> base("q_graph_walk_pairs")) +
+      ("q_pipeline_avro" -> base("q_source_avro")) +
       ("q_pipeline_closeness" -> base("q_graph_closeness")) +
       ("q_pipeline_nf" -> base("q_graph_nf")) +
       ("q_pipeline_topn" -> base("q_window_topn")) +

@@ -2447,6 +2447,8 @@ object Pipeline {
         p.str("table")))),
     "read_orc" -> ((Seq("path"), Seq(),
       (s, p) => graft.sources.Sources.readOrc(s, p.str("path")))),
+    "read_avro" -> ((Seq("path"), Seq(),
+      (s, p) => graft.sources.Sources.readAvro(s, p.str("path")))),
     "read_warc_gz" -> ((Seq("paths"), Seq("path_col"),
       (s, p) => graft.sources.Warc.readWarcGz(s, p.strs("paths"),
         p.str("path_col", Some("path"))))),
@@ -2484,6 +2486,8 @@ object Pipeline {
     "write_orc" -> ((Seq("path"), Seq("mode"),
       (df, p) => df.write.mode(p.str("mode", Some("overwrite")))
         .orc(p.str("path")))),
+    "write_avro" -> ((Seq("path"), Seq(),
+      (df, p) => graft.sources.Sources.writeAvro(df, p.str("path")))),
     "write_jsonl" -> ((Seq("path"), Seq(),
       (df, p) => graft.sources.Sources.writeJsonl(df, p.str("path")))),
     "write_csv" -> ((Seq("path"), Seq(),

@@ -76,6 +76,32 @@ object Sources {
     schema.fold(r)(r.schema).orc(path)
   }
 
+  /** Avro object-container sink — the row-oriented interchange format
+    * of Kafka/warehouse estates. Deflate-compressed blocks with sync
+    * markers, so the files READ BACK SPLITTABLE (each task syncs into
+    * its byte range); written through Spark's own commit protocol via
+    * the registered `graftavro` format ([[org.apache.spark.sql
+    * .graftext.AvroFileFormat]] — built on the avro core library the
+    * Spark distribution vendors; the spark-avro connector module does
+    * not ship here). Types round-trip exactly for the documented
+    * subset (primitives, string, binary, timestamp-micros, date,
+    * struct/array/string-keyed map, [null, T] nullability) —
+    * oracle-checked end-to-end in the harness; unsupported types
+    * throw at plan time. */
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.format("graftavro").mode("overwrite").save(path)
+
+  /** Avro source. Schema comes from the container header (self-
+    * describing — no inference pass, unlike [[readCsv]]/[[readJsonl]]);
+    * an explicit schema is accepted for projection-pruned reads (only
+    * requested fields decode per record either way). */
+  def readAvro(spark: SparkSession, path: String,
+               schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).format("graftavro").load(path)
+  }
+
   /** `events.ts` has shipped in two physical forms across testdata
     * generations: INT64 TIMESTAMP(NANOS) (which Spark refuses —
     * [PARQUET_TYPE_ILLEGAL] — unless nanos are read as long) and

@@ -181,6 +181,87 @@ class SourcesSpec extends AnyFunSuite {
       rows.map(r => Seq(r._1, r._2)).toSet)
   }
 
+  test("avro round-trips every supported type (nulls, nested struct, " +
+       "array, string-keyed map, timestamp, date, binary); a byte-" +
+       "range-split read recovers every row exactly once; unsupported " +
+       "types throw at plan time") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_avro_spec").toString
+    val df = Seq(
+      (1L, "plain", Some(3.5), Array[Byte](1, 2, 3),
+        Seq(1.5f, -2.5f), Map("a" -> 1L, "b" -> 2L)),
+      (2L, "", Some(-0.0), Array.empty[Byte],
+        Seq.empty[Float], Map.empty[String, Long]),
+      (3L, "unicode é中\nnl", None, Array[Byte](-1),
+        Seq(Float.MaxValue), Map("k" -> -9L)),
+      (4L, null.asInstanceOf[String], Some(1e-300),
+        null.asInstanceOf[Array[Byte]], null.asInstanceOf[Seq[Float]],
+        null.asInstanceOf[Map[String, Long]]))
+      .toDF("id", "s", "d", "bin", "arr", "m")
+      .withColumn("ts", to_timestamp(
+        lit("2024-03-01 12:34:56.789012") ))
+      .withColumn("dt", to_date(lit("2024-03-05")))
+      .withColumn("nested", struct(col("id").as("nid"),
+        col("s").as("ns"), col("arr").as("narr")))
+    graft.sources.Sources.writeAvro(df, dir)
+    val back = graft.sources.Sources.readAvro(spark, dir)
+    // Spark marks every file-source schema nullable on read
+    // (asNullable) — compare types modulo nested nullability
+    import org.apache.spark.sql.types._
+    def nullify(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullify(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(nullify(a.elementType), true)
+      case m: MapType =>
+        MapType(nullify(m.keyType), nullify(m.valueType), true)
+      case x => x
+    }
+    assert(back.schema.fields.map(f => (f.name, nullify(f.dataType))).toSeq
+      == df.schema.fields.map(f => (f.name, nullify(f.dataType))).toSeq)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.selectExpr("id", "s", "d", "hex(bin) AS bin", "arr",
+          // map iteration order is not part of the format contract —
+          // compare sorted entries
+          "array_sort(map_entries(m)) AS m", "cast(ts AS string) AS ts",
+          "cast(dt AS string) AS dt", "nested.nid", "nested.ns",
+          "nested.narr")
+        .collect().map(_.toString).toSet
+    assert(canon(back) == canon(df))
+    // column pruning: a two-column read decodes (plan has only them)
+    val pruned = graft.sources.Sources.readAvro(spark, dir).select("id", "s")
+    assert(pruned.collect().map(_.toSeq).toSet ==
+      df.select("id", "s").collect().map(_.toSeq).toSet)
+    // splittable: a bigger file read under a tiny maxPartitionBytes
+    // splits into several tasks, each syncing into its range — every
+    // row comes back exactly once
+    val bigDir = java.nio.file.Files
+      .createTempDirectory("graft_avro_split").toString
+    spark.range(0, 200000).select(col("id"),
+        concat(lit("row-"), col("id")).as("s"))
+      .coalesce(1)
+      .write.format("graftavro").mode("overwrite").save(bigDir)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (64 * 1024).toString)
+      val split = spark.read.format("graftavro").load(bigDir)
+      assert(split.rdd.getNumPartitions > 1,
+        "expected a byte-range split under 64 KiB partitions")
+      assert(split.count() == 200000L)
+      assert(split.agg(sum("id")).first().getLong(0) ==
+        199999L * 200000L / 2)
+    } finally spark.conf.set(key, prev)
+    // unsupported Spark type (decimal) is a PLAN-time error
+    val bad = Seq((1L, BigDecimal(1.5))).toDF("id", "dec")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Sources.writeAvro(bad, dir + "_bad")
+    }
+    assert(e.getMessage.contains("unsupported Spark type"))
+  }
+
   // ---- WARC parsing ----
 
   private def warcRec(tpe: String, payload: String,
