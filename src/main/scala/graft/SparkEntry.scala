@@ -3297,6 +3297,20 @@ $joins"""
       graft.operators.Graph.walkPairs(walks, window = 2)
     }),
 
+    // hash-seeded negative sampling over the pair corpus (2 draws
+    // per positive from the bucketed-ranked vocabulary) — the oracle
+    // replays every draw from the same md5 grammar
+    "q_graph_walk_negatives" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      val walks = graft.operators.Graph.deterministicWalks(
+        li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 10000000L).cast("long").as("dst")),
+        "src", "dst", steps = 3, seed = "s42")
+      graft.operators.Graph.skipGramNegatives(
+        graft.operators.Graph.walkPairs(walks, window = 2),
+        k = 2, seed = "n7")
+    }),
+
     // Adamic-Adar link prediction over the same (folded-undirected)
     // supplier-part graph: top-20 non-edges by rare-common-neighbor
     // mass; hub centers above degree 64 skip (the bounded-wedge
@@ -4969,6 +4983,29 @@ $joins"""
            |   "params": {"src_col": "src", "dst_col": "dst",
            |              "steps": 3, "seed": "s42"}},
            |  {"op": "walk_pairs", "params": {"window": 2}}
+           |]""".stripMargin)),
+
+    // the full walk → pairs → negatives training-data chain from
+    // config — q_graph_walk_negatives' oracle verbatim
+    "q_pipeline_walk_negatives" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 45"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "random_walks",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "steps": 3, "seed": "s42"}},
+           |  {"op": "walk_pairs", "params": {"window": 2}},
+           |  {"op": "walk_negatives",
+           |   "params": {"k": 2, "seed": "n7"}}
            |]""".stripMargin)),
 
     // weighted shortest paths from config: the in-flight frame is the
@@ -8564,6 +8601,44 @@ $joins"""
           |  ON a.start = b.start AND a.step <> b.step
           | AND abs(a.step - b.step) <= 2""".stripMargin,
 
+      // the same pairs, then every negative draw replayed: vocabulary
+      // ranked in (md5 bucket % 256, node) order, draw j of a
+      // positive = rank 1 + hash48(start|center_step|context_step|j|
+      // seed) mod |V|
+      "q_graph_walk_negatives" ->
+        s"""${walksOracleCtes("SELECT node FROM nodes")},
+          |pairs AS MATERIALIZED (
+          |  SELECT a.start, a.step AS center_step,
+          |         b.step AS context_step,
+          |         a.node AS center, b.node AS context
+          |  FROM walk a JOIN walk b
+          |    ON a.start = b.start AND a.step <> b.step
+          |   AND abs(a.step - b.step) <= 2),
+          |vocab AS MATERIALIZED (
+          |  SELECT DISTINCT node FROM (
+          |    SELECT center AS node FROM pairs
+          |    UNION ALL SELECT context FROM pairs)),
+          |ranked AS MATERIALIZED (
+          |  SELECT node, row_number() OVER (ORDER BY
+          |      ('0x' || substring(md5(CAST(node AS VARCHAR)),
+          |        1, 12))::BIGINT % 256,
+          |      node) AS rank
+          |  FROM vocab),
+          |nv AS (SELECT count(*) AS n FROM vocab),
+          |draws AS (
+          |  SELECT p.start, p.center_step, p.context_step, p.center,
+          |    j AS neg_index,
+          |    1 + (('0x' || substring(md5(
+          |      CAST(p.start AS VARCHAR) || '|' ||
+          |      CAST(p.center_step AS VARCHAR) || '|' ||
+          |      CAST(p.context_step AS VARCHAR) || '|' ||
+          |      CAST(j AS VARCHAR) || '|' || 'n7'),
+          |      1, 12))::BIGINT % nv.n) AS rank
+          |  FROM pairs p, nv, LATERAL unnest(range(0, 2)) AS t(j))
+          |SELECT d.start, d.center_step, d.context_step, d.neg_index,
+          |       d.center, r.node AS negative
+          |FROM draws d JOIN ranked r USING (rank)""".stripMargin,
+
       // the same frontier expansion as a recursive CTE: walk holds
       // every (node, walk length ≤ 3) pair — bounded by 4 rows per
       // node — and min over walk lengths IS the BFS distance
@@ -10077,6 +10152,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_walks" -> base("q_graph_walks")) +
       ("q_pipeline_walks_seeded" -> base("q_graph_walks_seeded")) +
       ("q_pipeline_walk_pairs" -> base("q_graph_walk_pairs")) +
+      ("q_pipeline_walk_negatives" -> base("q_graph_walk_negatives")) +
       ("q_pipeline_avro" -> base("q_source_avro")) +
       ("q_pipeline_closeness" -> base("q_graph_closeness")) +
       ("q_pipeline_nf" -> base("q_graph_nf")) +

@@ -1068,6 +1068,74 @@ object Graph {
         col("p.context_step"), col("p.center"), col("p.context"))
   }
 
+  /** Deterministic skip-gram NEGATIVE sampling over a [[walkPairs]]
+    * corpus — the word2vec/node2vec training-data step that pairs
+    * every positive with `k` uniform draws from the vocabulary. The
+    * draw is hash-seeded, not an RNG: negative j of a positive is the
+    * vocabulary node at rank `hash48(start|center_step|context_step|
+    * j|seed) mod |V|` — same seed, bit-identical negatives under any
+    * partitioning or retry (the replayable-training-data property the
+    * walk family carries throughout), and the DuckDB oracle replays
+    * every draw. Vocabulary = distinct center ∪ context of the pairs
+    * corpus itself. Per classic word2vec, draws are NOT rejected when
+    * they collide with a true context (unigram noise contract);
+    * collisions are rare at realistic |V| and a reject loop would
+    * break the fixed-draw-count shape trainers expect.
+    *
+    * Scale design: the vocabulary rank is BUCKETED, never a global
+    * single-partition sort — rank = bucket offset + row_number within
+    * the node's hash bucket (the window partitions by bucket), and
+    * the only driver state is the ≤`buckets`-entry size map (bounded
+    * by construction). Negatives then come from ONE equi-join of the
+    * exploded draws against the ranked vocabulary. Output: (start,
+    * center_step, context_step, neg_index, center, negative). */
+  def skipGramNegatives(pairs: DataFrame, k: Int, seed: String,
+                        buckets: Int = 256): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(!seed.contains("|"), "seed must not contain '|'")
+    require(buckets >= 1, "buckets must be >= 1")
+    def h48(cols: org.apache.spark.sql.Column*)
+        : org.apache.spark.sql.Column =
+      conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
+        .cast("long")
+    val vocab = pairs.select(col("center").as("node"))
+      .union(pairs.select(col("context").as("node"))).distinct()
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("node"))
+    val inBucket = vocab
+      .withColumn("bucket",
+        pmod(h48(col("node").cast("string")), lit(buckets.toLong)))
+      .withColumn("rn", row_number().over(wB))
+      .truncateLineage(false)
+    val sizes = inBucket.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = sizes.values.sum
+    require(n > 0, "skipGramNegatives: empty vocabulary")
+    // offsets in bucket-id order: rank = offset(bucket) + rn is the
+    // position in (bucket, node) lexicographic order
+    val sorted = sizes.toSeq.sortBy(_._1)
+    val offsets = sorted.map(_._1)
+      .zip(sorted.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val offExpr = sizes.keys.toSeq.sorted.foldLeft(lit(0L)) { (acc, b) =>
+      when(col("bucket") === b, lit(offsets(b))).otherwise(acc)
+    }
+    val ranked = inBucket
+      .select(col("node"), (col("rn") + offExpr).as("rank"))
+    val draws = pairs
+      .select(col("start"), col("center_step"), col("context_step"),
+        col("center"),
+        explode(sequence(lit(0), lit(k - 1))).as("neg_index"))
+      .withColumn("rank",
+        pmod(h48(col("start").cast("string"),
+          col("center_step").cast("string"),
+          col("context_step").cast("string"),
+          col("neg_index").cast("string"), lit(seed)), lit(n)) + 1)
+    draws.join(ranked, Seq("rank"))
+      .select(col("start"), col("center_step"), col("context_step"),
+        col("neg_index"), col("center"), col("node").as("negative"))
+  }
+
   /** HyperBall harmonic centrality (Boldi & Vigna 2013, public
     * algorithm): H(v) ≈ Σ_{k=1..iters} (|B_k(v)| − |B_{k−1}(v)|)/k,
     * where B_k(v) is the ball of nodes within k hops of v (incoming

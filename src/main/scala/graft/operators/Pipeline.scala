@@ -1689,6 +1689,16 @@ object Pipeline {
         df => Graph.walkPairs(df, win, sc, pc, nc)
       }),
 
+    // hash-seeded negative sampling over a walk_pairs corpus — the
+    // in-flight frame is walk_pairs' output
+    "walk_negatives" -> OpSpec(Set("k", "seed"), Set("buckets"),
+      p => {
+        val k = p.int("k")
+        val seed = p.str("seed")
+        val b = p.int("buckets", Some(256))
+        df => Graph.skipGramNegatives(df, k, seed, b)
+      }),
+
     "triangle_counts" -> OpSpec(Set("src_col", "dst_col"), Set(),
       p => {
         val (src, dst) = (p.str("src_col"), p.str("dst_col"))

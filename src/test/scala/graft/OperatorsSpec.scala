@@ -682,6 +682,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wantPairs(3).size == 4 * 3 + 2 * 1)
   }
 
+  test("skipGramNegatives: hash-seeded draws replicate a driver-side " +
+       "bucketed-rank computation at every bucket count; same seed " +
+       "bit-stable, different seed diverges; k draws per positive") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 0, 1, 10L, 11L), (1L, 1, 0, 11L, 10L),
+      (1L, 1, 2, 11L, 12L), (2L, 0, 1, 20L, 21L))
+      .toDF("start", "center_step", "context_step", "center",
+        "context")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h48(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 12), 16)
+    val vocab = Seq(10L, 11L, 12L, 20L, 21L)
+    def want(seed: String, k: Int, buckets: Int)
+        : Set[(Long, Int, Int, Int, Long, Long)] = {
+      val ranked = vocab.sortBy(v => (h48(v.toString) % buckets, v))
+      (for {
+        (s0, cs, xs, c, _) <- Seq(
+          (1L, 0, 1, 10L, 11L), (1L, 1, 0, 11L, 10L),
+          (1L, 1, 2, 11L, 12L), (2L, 0, 1, 20L, 21L))
+        j <- 0 until k
+      } yield {
+        val r = (h48(s"$s0|$cs|$xs|$j|$seed") % ranked.size).toInt
+        (s0, cs, xs, j, c, ranked(r))
+      }).toSet
+    }
+    def got(seed: String, k: Int, buckets: Int) =
+      graft.operators.Graph.skipGramNegatives(pairs, k, seed, buckets)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getLong(4), r.getLong(5))).toSet
+    Seq(1, 4, 256).foreach { b =>
+      assert(got("n1", 3, b) == want("n1", 3, b), s"buckets $b")
+    }
+    // 3 draws per positive, exactly
+    assert(got("n1", 3, 256).size == 4 * 3)
+    // bit-stable across runs; a different seed changes some draw
+    assert(got("n1", 2, 256) == got("n1", 2, 256))
+    assert(got("n2", 2, 256) != got("n1", 2, 256))
+  }
+
   test("bfsDistances on random graphs equals driver-side BFS") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
