@@ -3546,6 +3546,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(collide.getMessage.contains("already exists"))
   }
 
+  test("startStreamStepsGatedUnified: a COMPLETE job config — file " +
+       "stream source, stateful first-seen prefix, quarantine gate, " +
+       "parquet survivors sink — runs as ONE query; survivors + " +
+       "quarantined partition the input; non-parquet sinks reject") {
+    import graft.operators.Pipeline
+    val s = spark
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-unified-cfg")
+    // stage the real sf0.001 events shard as the stream directory
+    val srcDir = java.nio.file.Files
+      .createDirectory(base.resolve("src"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val quar = base.resolve("quar").toString
+    val out = base.resolve("out").toString
+    def cfg(sinkOp: String): String =
+      s"""[{"op": "read_stream_parquet",
+         |  "params": {"path": "$srcDir",
+         |             "schema": "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"}},
+         | {"op": "first_seen_flags_watermarked",
+         |  "params": {"keys": ["user_id"],
+         |             "watermark_delay": "10 minutes",
+         |             "order_cols": ["ts", "event_id"]}},
+         | {"op": "expect_condition",
+         |  "params": {"condition": "is_first", "name": "first_only",
+         |             "quarantine_path": "$quar"}},
+         | {"op": "select",
+         |  "params": {"cols": ["event_id", "user_id"]}},
+         | {"op": "$sinkOp",
+         |  "params": ${
+           if (sinkOp == "write_stream_parquet")
+             s"""{"path": "$out", "checkpoint": "$base/ckpt"}"""
+           else """{"name": "nope"}"""}}
+         |]""".stripMargin
+    // the runner owns the survivors write: only the parquet sink
+    val badSink = intercept[IllegalArgumentException] {
+      Pipeline.startStreamJsonGatedUnified(s, cfg("write_stream_memory"))
+    }
+    assert(badSink.getMessage.contains("write_stream_parquet"))
+    val q = Pipeline.startStreamJsonGatedUnified(s,
+      cfg("write_stream_parquet"))
+    try q.processAllAvailable() finally q.stop()
+    val surv = s.read.parquet(out)
+    val dups = s.read.parquet(s"$quar/gate=first_only")
+    val total = s.read.parquet(srcDir.toString)
+    val nUsers = total.select("user_id").distinct().count()
+    // one micro-batch over one shard ⇒ the flag is global
+    // (ts, event_id)-order first-per-key: one survivor per user, and
+    // survivors + quarantined partition the input exactly
+    assert(surv.count() == nUsers)
+    assert(surv.count() + dups.count() == total.count())
+    assert(dups.filter("is_first").count() == 0)
+    // survivors carry the post-gate SELECT's shape; quarantine holds
+    // the at-gate row (flag column included)
+    assert(surv.columns.toSet == Set("event_id", "user_id", "batch"))
+    assert(dups.columns.contains("is_first"))
+  }
+
   test("scd2_watermarked: the stateful SCD2 config step equals the " +
        "direct scd2Stream on the same out-of-order feed, with " +
        "arbitrary column names mapped into the event shape") {
