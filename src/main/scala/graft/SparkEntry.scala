@@ -770,6 +770,67 @@ ${rows.mkString("\nUNION ALL ")}"""
        |       1, 12))::BIGINT % a.deg)
        |  WHERE w.step < 3)""".stripMargin
 
+  /** node2vec second-order walk replay: the weighted directed-edge
+    * successor table (integer p/q lattice weights, cumulative
+    * intervals in sorted-x order) as plain CTEs, then the hop
+    * recursion draws with the same hash grammar. Base term carries
+    * BOTH step-0 and the uniform step-1 hop (windows are not allowed
+    * in the recursive term, and step 1 has no prev). */
+  private def node2vecOracleSql(steps: Int, p: Int, q: Int,
+                                seed: String): String = {
+    def h(parts: String): String =
+      s"('0x' || substring(md5($parts), 1, 12))::BIGINT"
+    val rPick = h("CAST(w.start AS VARCHAR) || '|' || " +
+      "CAST(w.prev AS VARCHAR) || '|' || CAST(w.node AS VARCHAR) " +
+      s"|| '|' || CAST(w.step + 1 AS VARCHAR) || '|' || '$seed'")
+    s"""WITH RECURSIVE
+       |g0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(l_partkey + 10000000 AS BIGINT) AS dst
+       |  FROM lineitem WHERE l_quantity > 45),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM g0 WHERE src != dst
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM g0 WHERE src != dst),
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) AS idx,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM sym),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM sym
+       |    UNION ALL SELECT dst FROM sym)),
+       |esucc AS MATERIALIZED (
+       |  SELECT i.src AS t, i.dst AS v, o.dst AS x,
+       |    CASE WHEN o.dst = i.src THEN $q
+       |         WHEN EXISTS (SELECT 1 FROM sym s
+       |                      WHERE s.src = i.src AND s.dst = o.dst)
+       |           THEN ${p * q}
+       |         ELSE $p END AS w
+       |  FROM sym i JOIN sym o ON o.src = i.dst),
+       |ecum AS MATERIALIZED (
+       |  SELECT t, v, x, w,
+       |    SUM(w) OVER (PARTITION BY t, v ORDER BY x) - w AS cumb,
+       |    SUM(w) OVER (PARTITION BY t, v) AS total
+       |  FROM esucc),
+       |walk(start, step, prev, node) AS (
+       |  (SELECT node AS start, 0 AS step,
+       |          CAST(NULL AS BIGINT) AS prev, node FROM nodes
+       |   UNION ALL
+       |   SELECT n.node, 1, n.node, a.dst
+       |   FROM nodes n JOIN adj a ON a.src = n.node
+       |    AND a.idx = 1 + (${h("CAST(n.node AS VARCHAR) || '|' || " +
+             s"CAST(n.node AS VARCHAR) || '|1|' || '$seed'")} % a.deg))
+       |  UNION ALL
+       |  SELECT w.start, w.step + 1, w.node, c.x
+       |  FROM walk w JOIN ecum c ON c.t = w.prev AND c.v = w.node
+       |   AND ($rPick % c.total) >= c.cumb
+       |   AND ($rPick % c.total) < c.cumb + c.w
+       |  WHERE w.step >= 1 AND w.step < $steps)
+       |SELECT start, step, node FROM walk""".stripMargin
+  }
+
   private def hitsOracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s"""a${k}m AS (
@@ -3297,6 +3358,19 @@ $joins"""
       graft.operators.Graph.walkPairs(walks, window = 2)
     }),
 
+    // node2vec second-order (p=1, q=4 — outward-exploring) biased
+    // walks on the same graph: integer-lattice weights {q, pq, p},
+    // draw by hash48(start|prev|cur|k|seed) mod total over the
+    // cumulative-weight intervals; the oracle rebuilds the weighted
+    // edge-successor table and replays every draw
+    "q_graph_node2vec" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      graft.operators.Graph.node2vecWalks(
+        li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 10000000L).cast("long").as("dst")),
+        "src", "dst", steps = 3, p = 1, q = 4, seed = "s42")
+    }),
+
     // hash-seeded negative sampling over the pair corpus (2 draws
     // per positive from the bucketed-ranked vocabulary) — the oracle
     // replays every draw from the same md5 grammar
@@ -4983,6 +5057,25 @@ $joins"""
            |   "params": {"src_col": "src", "dst_col": "dst",
            |              "steps": 3, "seed": "s42"}},
            |  {"op": "walk_pairs", "params": {"window": 2}}
+           |]""".stripMargin)),
+
+    // node2vec from config — q_graph_node2vec's oracle verbatim
+    "q_pipeline_node2vec" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 45"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "node2vec_walks",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "steps": 3, "p": 1, "q": 4, "seed": "s42"}}
            |]""".stripMargin)),
 
     // the full walk → pairs → negatives training-data chain from
@@ -8601,6 +8694,8 @@ $joins"""
           |  ON a.start = b.start AND a.step <> b.step
           | AND abs(a.step - b.step) <= 2""".stripMargin,
 
+      "q_graph_node2vec" -> node2vecOracleSql(3, 1, 4, "s42"),
+
       // the same pairs, then every negative draw replayed: vocabulary
       // ranked in (md5 bucket % 256, node) order, draw j of a
       // positive = rank 1 + hash48(start|center_step|context_step|j|
@@ -10153,6 +10248,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_walks_seeded" -> base("q_graph_walks_seeded")) +
       ("q_pipeline_walk_pairs" -> base("q_graph_walk_pairs")) +
       ("q_pipeline_walk_negatives" -> base("q_graph_walk_negatives")) +
+      ("q_pipeline_node2vec" -> base("q_graph_node2vec")) +
       ("q_pipeline_avro" -> base("q_source_avro")) +
       ("q_pipeline_closeness" -> base("q_graph_closeness")) +
       ("q_pipeline_nf" -> base("q_graph_nf")) +

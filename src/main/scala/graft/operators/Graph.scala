@@ -1034,6 +1034,111 @@ object Graph {
     acc
   }
 
+  /** Second-order (p, q)-biased deterministic walks — node2vec's
+    * actual transition kernel (Grover & Leskovec 2016, public
+    * algorithm), hash-seeded like [[deterministicWalks]]: from state
+    * (prev = t, cur = v), neighbor x of v draws with unnormalized
+    * weight 1/p if x = t (return), 1 if x is a neighbor of t
+    * (stay close), 1/q otherwise (explore). `p`, `q` are positive
+    * INTEGERS and weights compute on the exact integer lattice
+    * {q, p·q, p} (× p·q) — no float normalization anywhere, so the
+    * DuckDB oracle replays every draw digit-exact. The draw at step
+    * k ≥ 2 is `r = hash48(start|prev|cur|k|seed) mod Σw`, selecting
+    * the x whose cumulative-weight interval [cumBefore, cumBefore+w)
+    * contains r in sorted-x order; step 1 (no prev) is
+    * [[deterministicWalks]]' uniform pick verbatim. Same seed →
+    * bit-identical walks under any partitioning or retry; p = q = 1
+    * degenerates to uniform weights (but NOT to the first-order
+    * corpus — the draw grammar includes prev by design).
+    *
+    * Scale design: the weighted transition table is precomputed ONCE
+    * on the DIRECTED-EDGE graph — for each edge (t, v), v's
+    * successor list with integer weight, cumulative weight, and
+    * total (two windows partitioned by (t, v), one sort-shuffle) —
+    * then every step is ONE equi-join of the (start, prev, cur)
+    * frontier against it with the interval filter riding the join.
+    * The table holds Σ_v in(v)·out(v) rows (Σ deg² undirected) —
+    * node2vec's well-known alias-table footprint, the price of
+    * second-order bias (hub-squared; sample or thin hub edges
+    * upstream if Σ deg² is prohibitive). The 1-hop membership flag
+    * is one join against the edge set, not an all-pairs check.
+    * Output: (start, step, node), step 0..steps. */
+  def node2vecWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                    steps: Int, p: Int, q: Int, seed: String = "s0",
+                    undirected: Boolean = true): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(p >= 1 && q >= 1,
+      "p and q must be positive integers (integer-lattice weights)")
+    require(!seed.contains("|"), "seed must not contain '|'")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val oriented =
+      if (undirected)
+        fwd.union(edges.select(col(dstCol).as("src"),
+          col(srcCol).as("dst")))
+      else fwd
+    val e = oriented.filter(col("src") =!= col("dst")).distinct()
+      .truncateLineage(false)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val adj = e.select(col("src"), col("dst"),
+      row_number().over(w1.orderBy(col("dst"))).as("idx"),
+      count(lit(1)).over(w1).as("deg"))
+      .truncateLineage(false)
+    // directed-edge successor table: (t, v) -> each neighbor x of v
+    // with the integer p/q weight; one-hop membership of (t, x) via
+    // a left join against the edge set
+    val succ0 = e.select(col("src").as("t"), col("dst").as("v"))
+      .join(e.select(col("src").as("v"), col("dst").as("x")), Seq("v"))
+    val flagged = succ0.join(
+        e.select(col("src").as("t"), col("dst").as("x"),
+          lit(true).as("is1")), Seq("t", "x"), "left")
+      .select(col("t"), col("v"), col("x"),
+        when(col("x") === col("t"), lit(q.toLong))
+          .when(col("is1").isNotNull, lit(p.toLong * q.toLong))
+          .otherwise(lit(p.toLong)).as("w"))
+    val wTv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t"), col("v"))
+    val esucc = flagged.select(col("t"), col("v"), col("x"), col("w"),
+        (sum(col("w")).over(wTv.orderBy(col("x"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)) - col("w")).as("cumb"),
+        sum(col("w")).over(wTv).as("total"))
+      .truncateLineage(false)
+    def h48(cols: org.apache.spark.sql.Column*)
+        : org.apache.spark.sql.Column =
+      conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
+        .cast("long")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var acc = nodes.select(col("node").as("start"), lit(0).as("step"),
+      col("node"))
+    // step 1: deterministicWalks' uniform pick verbatim
+    val pick1 = pmod(h48(col("node").cast("string"),
+      col("node").cast("string"), lit("1"), lit(seed)),
+      col("deg")) + 1
+    var walk = nodes.join(adj, nodes("node") === adj("src"))
+      .filter(col("idx") === pick1)
+      .select(nodes("node").as("start"), nodes("node").as("prev"),
+        col("dst").as("cur"))
+      .truncateLineage(false)
+    acc = acc.union(
+      walk.select(col("start"), lit(1).as("step"), col("cur")))
+    (2 to steps).foreach { k =>
+      val r = pmod(h48(col("start").cast("string"),
+        col("prev").cast("string"), col("cur").cast("string"),
+        lit(k.toString), lit(seed)), col("total"))
+      walk = walk.join(esucc,
+          walk("prev") === esucc("t") && walk("cur") === esucc("v"))
+        .filter(r >= col("cumb") && r < col("cumb") + col("w"))
+        .select(col("start"), col("cur").as("prev"),
+          col("x").as("cur"))
+        .truncateLineage(false)
+      acc = acc.union(
+        walk.select(col("start"), lit(k).as("step"), col("cur")))
+    }
+    acc
+  }
+
   /** Skip-gram training pairs from a walk corpus — the
     * node2vec/DeepWalk data step: for every walk (one per `startCol`
     * value) and every position pair within `window` steps, emit

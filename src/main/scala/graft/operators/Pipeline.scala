@@ -1689,6 +1689,23 @@ object Pipeline {
         df => Graph.walkPairs(df, win, sc, pc, nc)
       }),
 
+    // second-order (p, q)-biased walks — node2vec's transition
+    // kernel on the integer weight lattice; the in-flight frame is
+    // the edge list
+    "node2vec_walks" -> OpSpec(
+      Set("src_col", "dst_col", "steps", "p", "q", "seed"),
+      Set("undirected"),
+      params => {
+        val (src, dst) = (params.str("src_col"), params.str("dst_col"))
+        val steps = params.int("steps")
+        val p = params.int("p")
+        val q = params.int("q")
+        val seed = params.str("seed")
+        val undir = params.bool("undirected", Some(true))
+        df => Graph.node2vecWalks(df, src, dst, steps, p, q, seed,
+          undir)
+      }),
+
     // hash-seeded negative sampling over a walk_pairs corpus — the
     // in-flight frame is walk_pairs' output
     "walk_negatives" -> OpSpec(Set("k", "seed"), Set("buckets"),

@@ -682,6 +682,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wantPairs(3).size == 4 * 3 + 2 * 1)
   }
 
+  test("node2vecWalks: the second-order p/q kernel replicates a " +
+       "driver-side computation (return / one-hop / explore integer " +
+       "weights, cumulative-interval draw); step 1 equals the " +
+       "uniform first-order pick; seed-stable; p=q=1 is uniform " +
+       "weights but a distinct grammar from deterministicWalks") {
+    import spark.implicits._
+    // triangle 1-2-3 with spur 3-4 and a tail 4-5: mixes return /
+    // one-hop / explore cases (from (t=1, v=3): x=1 return, x=2
+    // one-hop (1-2 edge), x=4 explore)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h48(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 12), 16)
+    val adj = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def driverWalks(steps: Int, p: Int, q: Int, seed: String)
+        : Set[(Long, Int, Long)] =
+      adj.keys.flatMap { start =>
+        var prev = start
+        // step 1: uniform first-order pick
+        var cur = {
+          val h = h48(s"$start|$start|1|$seed")
+          adj(start)((h % adj(start).size).toInt)
+        }
+        val rows = scala.collection.mutable.Buffer(
+          (start, 0, start), (start, 1, cur))
+        (2 to steps).foreach { k =>
+          val xs = adj(cur)
+          val ws = xs.map { x =>
+            if (x == prev) q.toLong
+            else if (adj(prev).contains(x)) p.toLong * q
+            else p.toLong
+          }
+          val r = h48(s"$start|$prev|$cur|$k|$seed") % ws.sum
+          var acc = 0L
+          var picked = xs.head
+          xs.zip(ws).foreach { case (x, w) =>
+            if (r >= acc && r < acc + w) picked = x
+            acc += w
+          }
+          prev = cur; cur = picked
+          rows += ((start, k, cur))
+        }
+        rows
+      }.toSet
+    def run(steps: Int, p: Int, q: Int, seed: String) =
+      graft.operators.Graph.node2vecWalks(edges, "src", "dst",
+          steps, p, q, seed)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    Seq((2, 3), (1, 4), (1, 1), (5, 1)).foreach { case (p, q) =>
+      assert(run(4, p, q, "n2v") == driverWalks(4, p, q, "n2v"),
+        s"p=$p q=$q")
+    }
+    // seed-stable; different seed diverges
+    assert(run(3, 2, 3, "a") == run(3, 2, 3, "a"))
+    assert(run(3, 2, 3, "b") != run(3, 2, 3, "a"))
+    // step-1 positions equal deterministicWalks' step-1 (the shared
+    // uniform grammar); later steps need not
+    val firstOrder = graft.operators.Graph.deterministicWalks(
+        edges, "src", "dst", steps = 1, seed = "n2v")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(run(1, 2, 3, "n2v") == firstOrder)
+  }
+
   test("skipGramNegatives: hash-seeded draws replicate a driver-side " +
        "bucketed-rank computation at every bucket count; same seed " +
        "bit-stable, different seed diverges; k draws per positive") {
