@@ -2670,7 +2670,14 @@ object Pipeline {
     "read_stream_warcgz" -> ((Seq("path"), Seq(),
       (s, p) => s.readStream
         .schema(org.apache.spark.sql.graftext.WarcGzFileFormat.schema)
-        .format("warcgz").load(p.str("path")))))
+        .format("warcgz").load(p.str("path")))),
+    // the registered avro container source: newly-landing row-format
+    // dumps (CDC exports, Kafka archive spills) ingest incrementally;
+    // schema is declared in the config (file-stream sources cannot
+    // infer), DDL-parsed at compile time like read_stream_parquet
+    "read_stream_avro" -> ((Seq("path", "schema"), Seq(),
+      (s, p) => s.readStream.schema(parseDdl(p.str("schema")))
+        .format("graftavro").load(p.str("path")))))
 
   /** STREAMING sink steps — the LAST step of a streaming job config;
     * each starts the query and returns it (the caller owns

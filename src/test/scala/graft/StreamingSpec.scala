@@ -2492,6 +2492,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(bodies() == Set("early-1", "early-2", "late-1"))
   }
 
+  test("read_stream_avro: newly-landing avro containers ingest " +
+       "incrementally through a full streaming job config") {
+    import graft.operators.Pipeline
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-avro-stream")
+    val srcDir = java.nio.file.Files
+      .createDirectory(base.resolve("in"))
+    // land one container atomically: write via the batch format into
+    // scratch, move the part file in (the standard landing pattern)
+    def land(ids: Seq[Long], tag: String): Unit = {
+      val tmp = base.resolve("w" + tag).toString
+      ids.toDF("id")
+        .select(col("id"), concat(lit("v"), col("id")).as("s"))
+        .coalesce(1).write.format("graftavro").mode("overwrite")
+        .save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      java.nio.file.Files.move(part.toPath,
+        srcDir.resolve(tag + ".avro"))
+    }
+    land(1L to 5L, "a")
+    val q = Pipeline.startStreamJson(s,
+      s"""[
+         |  {"op": "read_stream_avro",
+         |   "params": {"path": "$srcDir",
+         |              "schema": "id BIGINT, s STRING"}},
+         |  {"op": "filter", "params": {"condition": "id % 2 = 1"}},
+         |  {"op": "write_stream_memory",
+         |   "params": {"name": "avro_stream"}}
+         |]""".stripMargin)
+    q.processAllAvailable()
+    def got() = s.sql("select id, s from avro_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got() == Set((1L, "v1"), (3L, "v3"), (5L, "v5")))
+    // a shard landing AFTER start is discovered and ingested
+    land(6L to 9L, "b")
+    q.processAllAvailable()
+    q.stop()
+    assert(got() == Set((1L, "v1"), (3L, "v3"), (5L, "v5"),
+      (7L, "v7"), (9L, "v9")))
+  }
+
   test("startStreamJson: a COMPLETE streaming job from pure JSON — " +
        "warcgz file discovery -> parse -> gate -> memory sink — " +
        "ingests shards landing after start; malformed configs " +
