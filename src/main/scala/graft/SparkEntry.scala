@@ -831,6 +831,110 @@ ${rows.mkString("\nUNION ALL ")}"""
        |SELECT start, step, node FROM walk""".stripMargin
   }
 
+  /** Full node2vec-training replay: seeded walks → pairs → negative
+    * draws → hash init → `iters` unrolled full-batch GD rounds, all
+    * on the exact decimal lattice (products on DECIMAL(14,9) stay
+    * exactly representable; σ and the lr·g update each round-trip
+    * through ONE round(·, 9), the logreg discipline). */
+  private def embeddingsOracleSql(dim: Int, iters: Int, lr: Double,
+                                  negK: Int, negSeed: String,
+                                  eSeed: String): String = {
+    val d0 = "CAST(0 AS DECIMAL(14,9))"
+    // single line: interpolated multi-line SQL whose lines begin
+    // with '||' would lose a pipe to the OUTER template's stripMargin
+    def initCol(tag: String) =
+      "CAST(round(CAST((('0x' || substring(md5(" +
+        "CAST(v.node AS VARCHAR) || '|' || CAST(t.j AS VARCHAR) || " +
+        s"'|$tag|' || '$eSeed'), 1, 12))::BIGINT % 2001 - 1000) " +
+        "AS DOUBLE) / 10000.0, 9) AS DECIMAL(14,9))"
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT x.center, x.context,
+         |    CAST((CAST(round(1.0 / (1.0 + exp(-(CAST(SUM(a.ew * b.cw)
+         |        AS DOUBLE)))), 9) AS DECIMAL(14,9))
+         |      - CAST(x.label AS DECIMAL(14,9))) * x.cnt
+         |      AS DECIMAL(14,9)) AS rc
+         |  FROM exc x
+         |  JOIN emb${i - 1} a ON a.node = x.center
+         |  JOIN emb${i - 1} b ON b.node = x.context AND b.j = a.j
+         |  GROUP BY x.center, x.context, x.label, x.cnt),
+         |v$i AS (
+         |  SELECT s.center, s.context, s.rc, a.j, a.ew, b.cw
+         |  FROM s$i s
+         |  JOIN emb${i - 1} a ON a.node = s.center
+         |  JOIN emb${i - 1} b ON b.node = s.context AND b.j = a.j),
+         |ge$i AS (
+         |  SELECT center AS node, j,
+         |    CAST(round(CAST(SUM(rc * cw) AS DOUBLE) * $lr, 9)
+         |      AS DECIMAL(14,9)) AS d
+         |  FROM v$i GROUP BY 1, 2),
+         |gc$i AS (
+         |  SELECT context AS node, j,
+         |    CAST(round(CAST(SUM(rc * ew) AS DOUBLE) * $lr, 9)
+         |      AS DECIMAL(14,9)) AS d
+         |  FROM v$i GROUP BY 1, 2),
+         |emb$i AS MATERIALIZED (
+         |  SELECT e.node, e.j,
+         |    CAST(e.ew - COALESCE(ge.d, $d0) AS DECIMAL(14,9)) AS ew,
+         |    CAST(e.cw - COALESCE(gc.d, $d0) AS DECIMAL(14,9)) AS cw
+         |  FROM emb${i - 1} e
+         |  LEFT JOIN ge$i ge ON ge.node = e.node AND ge.j = e.j
+         |  LEFT JOIN gc$i gc ON gc.node = e.node AND gc.j = e.j)"""
+        .stripMargin
+    }
+    s"""${walksOracleCtes(
+          "SELECT DISTINCT src AS node FROM g0 WHERE src % 17 = 0")},
+       |pairs AS MATERIALIZED (
+       |  SELECT a.start, a.step AS center_step,
+       |         b.step AS context_step,
+       |         a.node AS center, b.node AS context
+       |  FROM walk a JOIN walk b
+       |    ON a.start = b.start AND a.step <> b.step
+       |   AND abs(a.step - b.step) <= 2),
+       |pvocab AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT center AS node FROM pairs
+       |    UNION ALL SELECT context FROM pairs)),
+       |ranked AS MATERIALIZED (
+       |  SELECT node, row_number() OVER (ORDER BY
+       |      ('0x' || substring(md5(CAST(node AS VARCHAR)),
+       |        1, 12))::BIGINT % 256,
+       |      node) AS rank
+       |  FROM pvocab),
+       |nv AS (SELECT count(*) AS n FROM pvocab),
+       |draws AS (
+       |  SELECT p.center,
+       |    1 + (('0x' || substring(md5(
+       |      CAST(p.start AS VARCHAR) || '|' ||
+       |      CAST(p.center_step AS VARCHAR) || '|' ||
+       |      CAST(p.context_step AS VARCHAR) || '|' ||
+       |      CAST(j AS VARCHAR) || '|' || '$negSeed'),
+       |      1, 12))::BIGINT % nv.n) AS rank
+       |  FROM pairs p, nv, LATERAL unnest(range(0, $negK)) AS t(j)),
+       |ex AS (
+       |  SELECT center, context, 1 AS label FROM pairs
+       |  UNION ALL
+       |  SELECT d.center, r.node AS context, 0
+       |  FROM draws d JOIN ranked r USING (rank)),
+       |exc AS MATERIALIZED (
+       |  SELECT center, context, label,
+       |         CAST(count(*) AS DECIMAL(5,0)) AS cnt
+       |  FROM ex GROUP BY 1, 2, 3),
+       |vocab2 AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT center AS node FROM exc
+       |    UNION ALL SELECT context FROM exc)),
+       |emb0 AS MATERIALIZED (
+       |  SELECT v.node, t.j,
+       |    ${initCol("E")} AS ew,
+       |    ${initCol("C")} AS cw
+       |  FROM vocab2 v, LATERAL unnest(range(0, $dim)) AS t(j)),
+       |${rounds.mkString(",\n")}
+       |SELECT node, j, round(CAST(ew AS DOUBLE), 6) AS e_w,
+       |       round(CAST(cw AS DOUBLE), 6) AS c_w
+       |FROM emb$iters""".stripMargin
+  }
+
   private def hitsOracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s"""a${k}m AS (
@@ -3358,6 +3462,29 @@ $joins"""
       graft.operators.Graph.walkPairs(walks, window = 2)
     }),
 
+    // the COMPLETE node2vec training pipeline in-engine: seeded walks
+    // → skip-gram pairs → hash-seeded negatives → full-batch
+    // logistic embedding training on the decimal lattice. The oracle
+    // replays every stage INCLUDING both gradient-descent iterations
+    "q_graph_embeddings" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey") + 10000000L).cast("long").as("dst"))
+      val walks = graft.operators.Graph.seededWalks(edges, "src",
+        "dst", edges.filter(col("src") % 17 === 0)
+          .select(col("src").as("node")),
+        "node", steps = 3, seed = "s42", bucketCap = 8)
+      val pairs = graft.operators.Graph.walkPairs(walks, window = 2)
+      val negs = graft.operators.Graph.skipGramNegatives(pairs,
+        k = 2, seed = "n7")
+      val ex = pairs
+        .select(col("center"), col("context"), lit(1).as("label"))
+        .unionByName(negs.select(col("center"),
+          col("negative").as("context"), lit(0).as("label")))
+      graft.operators.Graph.trainNodeEmbeddings(ex, dim = 4,
+        iters = 2, lr = 0.5, seed = "e0")
+    }),
+
     // node2vec second-order (p=1, q=4 — outward-exploring) biased
     // walks on the same graph: integer-lattice weights {q, pq, p},
     // draw by hash48(start|prev|cur|k|seed) mod total over the
@@ -5057,6 +5184,34 @@ $joins"""
            |   "params": {"src_col": "src", "dst_col": "dst",
            |              "steps": 3, "seed": "s42"}},
            |  {"op": "walk_pairs", "params": {"window": 2}}
+           |]""".stripMargin)),
+
+    // the COMPLETE training pipeline from config: seeded walks →
+    // pairs → labeled examples (positives + hash negatives) →
+    // embedding training — q_graph_embeddings' oracle verbatim
+    "q_pipeline_embeddings" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 45"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "random_walks",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "steps": 3, "seed": "s42",
+           |              "start_condition": "src % 17 = 0",
+           |              "bucket_cap": 8}},
+           |  {"op": "walk_pairs", "params": {"window": 2}},
+           |  {"op": "walk_examples", "params": {"k": 2, "seed": "n7"}},
+           |  {"op": "train_node_embeddings",
+           |   "params": {"dim": 4, "iters": 2, "lr": 0.5,
+           |              "seed": "e0"}}
            |]""".stripMargin)),
 
     // node2vec from config — q_graph_node2vec's oracle verbatim
@@ -8696,6 +8851,9 @@ $joins"""
 
       "q_graph_node2vec" -> node2vecOracleSql(3, 1, 4, "s42"),
 
+      "q_graph_embeddings" ->
+        embeddingsOracleSql(4, 2, 0.5, 2, "n7", "e0"),
+
       // the same pairs, then every negative draw replayed: vocabulary
       // ranked in (md5 bucket % 256, node) order, draw j of a
       // positive = rank 1 + hash48(start|center_step|context_step|j|
@@ -10249,6 +10407,7 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_walk_pairs" -> base("q_graph_walk_pairs")) +
       ("q_pipeline_walk_negatives" -> base("q_graph_walk_negatives")) +
       ("q_pipeline_node2vec" -> base("q_graph_node2vec")) +
+      ("q_pipeline_embeddings" -> base("q_graph_embeddings")) +
       ("q_pipeline_avro" -> base("q_source_avro")) +
       ("q_pipeline_closeness" -> base("q_graph_closeness")) +
       ("q_pipeline_nf" -> base("q_graph_nf")) +

@@ -1139,6 +1139,106 @@ object Graph {
     acc
   }
 
+  /** In-engine skip-gram embedding training over (center, context,
+    * label) examples — the final stage of the node2vec/DeepWalk
+    * pipeline (walks → pairs → negatives → THIS), as FULL-BATCH
+    * logistic gradient descent with negative sampling: per iteration,
+    * score s = e(center)·c(context), residual r = σ(s) − label, and
+    * the matrix updates E −= lr·Σ r·c, C −= lr·Σ r·e. Full-batch
+    * (not SGD) on purpose: gradient sums are order-independent, so
+    * the run is deterministic under any partitioning AND the DuckDB
+    * oracle replays it — the [[graft.operators.TextClassify]]
+    * logistic discipline applied to a two-matrix model: weights live
+    * on the round-9 decimal lattice (decimal(14,9) — products stay
+    * exactly representable), dot products and gradient sums are EXACT
+    * decimal arithmetic, σ round-trips through one round(·, 9), and
+    * the update term is one round(lr·g, 9). Init is hash-seeded
+    * (hash48(node|j|E-or-C|seed) mod 2001 − 1000)/10⁴ ∈ [−0.1, 0.1].
+    *
+    * Duplicate examples fold into a count ONCE (r scales by cnt in
+    * the gradient — identical math, |distinct examples| rows).
+    *
+    * Scale design: the MODEL is distributed (two d-column matrices as
+    * (node, j) rows — |V|·d, never on the driver, unlike the
+    * bounded-dim logistic trainer); each iteration is three keyed
+    * shuffles (score sum per example, gradient sum per (node, j) for
+    * E and C) with lineage truncated per round. Output: (node, j,
+    * e_w, c_w) at round-6 display. */
+  def trainNodeEmbeddings(examples: DataFrame, dim: Int, iters: Int,
+                          lr: Double, seed: String = "e0"): DataFrame = {
+    require(dim >= 1 && dim <= 64, "dim must be in [1, 64]")
+    require(iters >= 1, "iters must be >= 1")
+    require(lr > 0, "lr must be positive")
+    require(!seed.contains("|"), "seed must not contain '|'")
+    def h48(cols: org.apache.spark.sql.Column*)
+        : org.apache.spark.sql.Column =
+      conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
+        .cast("long")
+    val ex = examples
+      .select(col("center"), col("context"),
+        col("label").cast("int").as("label"))
+      .groupBy(col("center"), col("context"), col("label"))
+      .agg(count(lit(1)).cast("decimal(5,0)").as("cnt"))
+      .truncateLineage(false)
+    val vocab = ex.select(col("center").as("node"))
+      .union(ex.select(col("context").as("node"))).distinct()
+    def init(tag: String) =
+      round((h48(col("node").cast("string"), col("j").cast("string"),
+        lit(tag), lit(seed)) % 2001 - 1000).cast("double") / 10000.0, 9)
+        .cast("decimal(14,9)")
+    var emb = vocab
+      .select(col("node"),
+        explode(sequence(lit(0), lit(dim - 1))).as("j"))
+      .select(col("node"), col("j"),
+        init("E").as("ew"), init("C").as("cw"))
+      .truncateLineage(false)
+    val zero = lit(0).cast("decimal(14,9)")
+    (1 to iters).foreach { _ =>
+      val eRows = emb.select(col("node").as("center"), col("j"),
+        col("ew"))
+      val cRows = emb.select(col("node").as("context"), col("j"),
+        col("cw"))
+      // σ(e·c) per distinct example; rc = (σ − label)·cnt back on the
+      // (14,9) lattice (scale stays 9: the cnt factor is integral)
+      val scored = ex
+        .join(eRows, Seq("center")).join(cRows, Seq("context", "j"))
+        .groupBy(col("center"), col("context"), col("label"),
+          col("cnt"))
+        .agg(sum(col("ew") * col("cw")).as("sRaw"))
+        .select(col("center"), col("context"),
+          ((round(lit(1.0) /
+              (lit(1.0) + exp(-col("sRaw").cast("double"))), 9)
+            .cast("decimal(14,9)") - col("label").cast("decimal(14,9)"))
+            * col("cnt")).cast("decimal(14,9)").as("rc"))
+      val withVecs = scored
+        .join(eRows, Seq("center")).join(cRows, Seq("context", "j"))
+      val gE = withVecs
+        .groupBy(col("center").as("node"), col("j"))
+        .agg(sum(col("rc") * col("cw")).as("g"))
+        .select(col("node"), col("j"),
+          round(col("g").cast("double") * lr, 9)
+            .cast("decimal(14,9)").as("dE"))
+      val gC = withVecs
+        .groupBy(col("context").as("node"), col("j"))
+        .agg(sum(col("rc") * col("ew")).as("g"))
+        .select(col("node"), col("j"),
+          round(col("g").cast("double") * lr, 9)
+            .cast("decimal(14,9)").as("dC"))
+      emb = emb
+        .join(gE, Seq("node", "j"), "left")
+        .join(gC, Seq("node", "j"), "left")
+        .select(col("node"), col("j"),
+          (col("ew") - coalesce(col("dE"), zero))
+            .cast("decimal(14,9)").as("ew"),
+          (col("cw") - coalesce(col("dC"), zero))
+            .cast("decimal(14,9)").as("cw"))
+        .truncateLineage(false)
+    }
+    emb.select(col("node"), col("j"),
+      round(col("ew").cast("double"), 6).as("e_w"),
+      round(col("cw").cast("double"), 6).as("c_w"))
+  }
+
   /** Skip-gram training pairs from a walk corpus — the
     * node2vec/DeepWalk data step: for every walk (one per `startCol`
     * value) and every position pair within `window` steps, emit

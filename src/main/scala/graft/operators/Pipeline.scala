@@ -1716,6 +1716,33 @@ object Pipeline {
         df => Graph.skipGramNegatives(df, k, seed, b)
       }),
 
+    // positives + k hash-seeded negatives as ONE labeled example
+    // frame (center, context, label) — the skip-gram training input;
+    // the in-flight frame is walk_pairs' output
+    "walk_examples" -> OpSpec(Set("k", "seed"), Set("buckets"),
+      p => {
+        val k = p.int("k")
+        val seed = p.str("seed")
+        val b = p.int("buckets", Some(256))
+        df => df
+          .select(col("center"), col("context"), lit(1).as("label"))
+          .unionByName(Graph.skipGramNegatives(df, k, seed, b)
+            .select(col("center"), col("negative").as("context"),
+              lit(0).as("label")))
+      }),
+
+    // full-batch skip-gram embedding training on the decimal
+    // lattice — the in-flight frame is walk_examples' output
+    "train_node_embeddings" -> OpSpec(
+      Set("dim", "iters", "lr", "seed"), Set(),
+      p => {
+        val dim = p.int("dim")
+        val iters = p.int("iters")
+        val lr = p.dbl("lr")
+        val seed = p.str("seed")
+        df => Graph.trainNodeEmbeddings(df, dim, iters, lr, seed)
+      }),
+
     "triangle_counts" -> OpSpec(Set("src_col", "dst_col"), Set(),
       p => {
         val (src, dst) = (p.str("src_col"), p.str("dst_col"))
