@@ -838,7 +838,8 @@ ${rows.mkString("\nUNION ALL ")}"""
     * through ONE round(·, 9), the logreg discipline). */
   private def embeddingsOracleSql(dim: Int, iters: Int, lr: Double,
                                   negK: Int, negSeed: String,
-                                  eSeed: String): String = {
+                                  eSeed: String,
+                                  tailSql: String = ""): String = {
     val d0 = "CAST(0 AS DECIMAL(14,9))"
     // single line: interpolated multi-line SQL whose lines begin
     // with '||' would lose a pipe to the OUTER template's stripMargin
@@ -930,9 +931,10 @@ ${rows.mkString("\nUNION ALL ")}"""
        |    ${initCol("C")} AS cw
        |  FROM vocab2 v, LATERAL unnest(range(0, $dim)) AS t(j)),
        |${rounds.mkString(",\n")}
-       |SELECT node, j, round(CAST(ew AS DOUBLE), 6) AS e_w,
+       |${if (tailSql.nonEmpty) tailSql
+          else s"""SELECT node, j, round(CAST(ew AS DOUBLE), 6) AS e_w,
        |       round(CAST(cw AS DOUBLE), 6) AS c_w
-       |FROM emb$iters""".stripMargin
+       |FROM emb$iters"""}""".stripMargin
   }
 
   private def hitsOracleSql(iters: Int): String = {
@@ -5214,6 +5216,40 @@ $joins"""
            |              "seed": "e0"}}
            |]""".stripMargin)),
 
+    // train-then-SERVE from config: the trained embedding matrix
+    // assembles into dense vectors and the existing exact-cosine
+    // operator reads out each node's nearest neighbors in the
+    // learned space — the full node2vec lifecycle as one config
+    "q_pipeline_embed_knn" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 45"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "random_walks",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "steps": 3, "seed": "s42",
+           |              "start_condition": "src % 17 = 0",
+           |              "bucket_cap": 8}},
+           |  {"op": "walk_pairs", "params": {"window": 2}},
+           |  {"op": "walk_examples", "params": {"k": 2, "seed": "n7"}},
+           |  {"op": "train_node_embeddings",
+           |   "params": {"dim": 4, "iters": 2, "lr": 0.5,
+           |              "seed": "e0"}},
+           |  {"op": "assemble_vectors",
+           |   "params": {"id_col": "node", "index_col": "j",
+           |              "value_col": "e_w"}},
+           |  {"op": "cosine_topk",
+           |   "params": {"k": 3, "id_col": "node"}}
+           |]""".stripMargin)),
+
     // node2vec from config — q_graph_node2vec's oracle verbatim
     "q_pipeline_node2vec" -> ((s, dir) =>
       graft.operators.Pipeline.runJson(s,
@@ -8853,6 +8889,34 @@ $joins"""
 
       "q_graph_embeddings" ->
         embeddingsOracleSql(4, 2, 0.5, 2, "n7", "e0"),
+
+      // serve readout: round-6 display vectors (exactly what the
+      // Spark chain assembles), exact cosine, rank ties on id
+      "q_pipeline_embed_knn" ->
+        embeddingsOracleSql(4, 2, 0.5, 2, "n7", "e0", tailSql =
+          """, vecs AS (
+            |  SELECT node, j, round(CAST(ew AS DOUBLE), 6) AS w
+            |  FROM emb2),
+            |norms AS (
+            |  SELECT node, sqrt(SUM(w * w)) AS nrm
+            |  FROM vecs GROUP BY 1),
+            |cos AS (
+            |  SELECT a.node AS query_id, b.node AS neighbor_id,
+            |         SUM(a.w * b.w) / (na.nrm * nb.nrm) AS cosine
+            |  FROM vecs a JOIN vecs b
+            |    ON a.j = b.j AND a.node <> b.node
+            |  JOIN norms na ON na.node = a.node
+            |  JOIN norms nb ON nb.node = b.node
+            |  WHERE na.nrm > 0 AND nb.nrm > 0
+            |  GROUP BY a.node, b.node, na.nrm, nb.nrm)
+            |SELECT query_id, neighbor_id,
+            |       CAST(row_number() OVER (
+            |         PARTITION BY query_id
+            |         ORDER BY cosine DESC, neighbor_id) AS INT)
+            |         AS rank,
+            |       round(cosine, 6) AS cosine
+            |FROM cos
+            |QUALIFY rank <= 3""".stripMargin),
 
       // the same pairs, then every negative draw replayed: vocabulary
       // ranked in (md5 bucket % 256, node) order, draw j of a

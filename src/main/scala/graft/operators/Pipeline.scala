@@ -711,16 +711,33 @@ object Pipeline {
     // column; query sets arrive by path where needed ----
 
     // exact cosine top-k baseline: queries are a path-named table
-    // (bounded query sets; the corpus is the frame in flight)
-    "cosine_topk" -> OpSpec(Set("queries_path", "k"),
-      Set("id_col", "vec_col"),
+    // (bounded query sets; the corpus is the frame in flight), or —
+    // with no queries_path — the frame itself (self-knn, the
+    // embedding-space-neighbors readout of a trained model)
+    "cosine_topk" -> OpSpec(Set("k"),
+      Set("queries_path", "id_col", "vec_col"),
       p => {
-        val qp = p.str("queries_path")
         val k = p.int("k")
         val id = p.str("id_col", Some("doc_id"))
         val v = p.str("vec_col", Some("embedding"))
-        df => Similarity.bruteForceTopK(df,
-          df.sparkSession.read.parquet(qp), id, v, k)
+        if (p.has("queries_path")) {
+          val qp = p.str("queries_path")
+          df => Similarity.bruteForceTopK(df,
+            df.sparkSession.read.parquet(qp), id, v, k)
+        } else {
+          df => Similarity.bruteForceTopK(df, df, id, v, k)
+        }
+      }),
+
+    // long-form (id, index, value) factor rows → dense vector column
+    // (the train_node_embeddings → similarity bridge)
+    "assemble_vectors" -> OpSpec(Set("id_col", "index_col", "value_col"),
+      Set("out_col"),
+      p => {
+        val (id, ix, v) = (p.str("id_col"), p.str("index_col"),
+          p.str("value_col"))
+        val out = p.str("out_col", Some("embedding"))
+        df => Similarity.assembleVectors(df, id, ix, v, out)
       }),
 
     // SemDeDup-style embedding near-dup: IVF-bucketed within-cell

@@ -29,6 +29,22 @@ object Similarity {
     * excluded from both sides up front: a zero corpus vector never
     * appears as a neighbor, a zero query emits no rows. Every cosine
     * path in this object applies the same rule. */
+  /** Long-form (id, index, value) rows → (id, dense vector) — the
+    * bridge from [[graft.operators.Graph.trainNodeEmbeddings]]'
+    * matrix rows (and any other long-form factor table) into the
+    * vector column every similarity operator here consumes. One
+    * groupBy; elements ordered by index (sort_array on the (index,
+    * value) struct). Missing indices are the caller's bug — the
+    * assembled vector is exactly the rows present. */
+  def assembleVectors(df: DataFrame, idCol: String, idxCol: String,
+                      valCol: String,
+                      outCol: String = "embedding"): DataFrame =
+    df.groupBy(col(idCol))
+      .agg(transform(sort_array(collect_list(struct(
+        col(idxCol).cast("int").as("i"),
+        col(valCol).cast("double").as("v")))), x => x("v"))
+        .as(outCol))
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      includeScore: Boolean = true): DataFrame = {
