@@ -62,7 +62,28 @@ import org.apache.spark.sql.SparkSession
   *     the in-memory relation into every query — each query pays its
   *     OWN operators, not a repeated parquet scan of the same table
   *     (the fixed cost that left the r14 official record 1.8 s inside
-  *     its budget on a contended box).
+  *     its budget on a contended box). Because the cache changes what a
+  *     total MEASURES (operator cost vs operator+scan cost), records
+  *     carry a `"basis"` version (`v2-cached` / `v2-uncached`;
+  *     r14-and-earlier records are implicitly `v1-uncached`) — two
+  *     records compare like-for-like ONLY on the same basis string.
+  *
+  *  7. Load-adaptive pass planning (lesson from the r13/r14/r15
+  *     official records, all three truncated under ambient load while
+  *     quiet sweeps fit with margin): before timing starts, a CANARY
+  *     slice — up to 8 mid-band queries spread through the suite — runs
+  *     twice each and the second (warm) sample is compared against the
+  *     committed quiet minima in `SPARK_GRAFT_BENCH_REF` (default
+  *     `bench_quiet_ref.json`; absent → planning disabled, behave as
+  *     configured). The median ratio is the measured load factor,
+  *     recorded as `"load_factor"` in the JSON. A floor ≥ 1.3× drops
+  *     the plan outright to ONE pass with the slow-band trim applied on
+  *     pass 1 (ref minima decide the band); below that, the largest
+  *     plan whose projected elapsed — load_factor × the ref sweep's
+  *     elapsed × a per-plan cost fraction — fits inside 90% of the
+  *     budget is chosen (`"passes_planned"`). The mid-run budget checks
+  *     of (4) remain the hard guarantee; planning just stops a loaded
+  *     box from burning the whole budget on an over-ambitious pass 1.
   *
   * Emits ONE JSON line
   * `{"metric":…,"value":…,"unit":"sec","queries":{…},"failed":[…],"runs":…,"sf":…}`
@@ -124,6 +145,88 @@ object Bench {
     var passesRun = 0
     var degraded = "none"
 
+    def timeOne(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      attempted += name
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        Some(dt)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
+      }
+    }
+
+    // ---- load-adaptive pass planning (header item 7) ----
+    // committed quiet reference: per-query minima + sweep elapsed from
+    // the last quiet 3-pass record (minimal hand parse — the record is
+    // this program's own single-line output, so the shape is known)
+    val refPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_quiet_ref.json")
+    val ref: Option[(Map[String, Double], Double)] =
+      if (!Files.exists(Paths.get(refPath))) None
+      else {
+        val txt = Files.readString(Paths.get(refPath))
+        val qsTxt = txt.indexOf("\"queries\":{") match {
+          case -1 => ""
+          case i => txt.substring(i + 11, txt.indexOf("}", i))
+        }
+        val pair = """"([^"]+)":(-?[0-9.]+)""".r
+        val mins = pair.findAllMatchIn(qsTxt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 >= 0).toMap
+        val el = """"elapsed_s":([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+        el.filter(_ => mins.nonEmpty).map(e => (mins, e))
+      }
+    val refMin: Map[String, Double] = ref.map(_._1).getOrElse(Map.empty)
+    var loadFactor = -1.0 // -1 = no reference, planning disabled
+    var plannedPasses = passes
+    var pass1Trim = false
+    ref.foreach { case (mins, refElapsed) =>
+      // canary: up to 8 mid-band (0.25–1.0 s quiet) queries evenly
+      // spaced through the name-sorted suite; two samples each, the
+      // SECOND (warm) one is the load read — the first pays
+      // codegen/JIT bring-up the quiet minima never see
+      val cand = names.map(_._1)
+        .filter(n => mins.get(n).exists(v => v >= 0.25 && v <= 1.0))
+      val canary =
+        if (cand.size <= 8) cand
+        else (0 until 8).map(i => cand(i * cand.size / 8))
+      val ratios = canary.flatMap { n =>
+        val fn = SparkEntry.queries(n)
+        timeOne(n, fn)
+        timeOne(n, fn).map(_ / mins(n))
+      }.sorted
+      if (ratios.nonEmpty) {
+        loadFactor = ratios(ratios.size / 2)
+        if (loadFactor >= 1.3) { plannedPasses = 1; pass1Trim = true }
+        else {
+          // plan-cost fractions of the quiet 3-pass sweep's elapsed,
+          // estimated from the r15 quiet record's structure (pass 1 =
+          // two cold-ish samples of everything; later passes
+          // slow-band-trimmed): 2-pass ~0.72, 1-pass ~0.42, 1 pass
+          // with the trim applied on pass 1 itself ~0.25
+          val frac = Map(3 -> 1.0, 2 -> 0.72, 1 -> 0.42)
+          val plans = (passes.min(3) to 1 by -1)
+            .map(p => (p, false, frac(p))) :+ ((1, true, 0.25))
+          val fit = plans.find { case (_, _, f) =>
+            loadFactor.max(1.0) * refElapsed * f <= 0.9 * budgetS }
+          fit match {
+            case Some((p, trim, _)) => plannedPasses = p; pass1Trim = trim
+            case None => plannedPasses = 1; pass1Trim = true
+          }
+        }
+      }
+    }
+    if (plannedPasses < passes || pass1Trim)
+      System.err.println(f"[bench] load_factor=$loadFactor%.2f -> " +
+        s"passes_planned=$plannedPasses pass1Trim=$pass1Trim")
+
     def render(partial: Boolean): String = {
       val results = names.map { case (name, _) =>
         (name, best.getOrElse(name, -1.0), best.contains(name))
@@ -137,17 +240,24 @@ object Bench {
         .collect { case (k, _, false) if !attempted(k) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val total = results.collect { case (_, v, true) => v }.sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"skipped":$skipped,"runs":$passes,"passes_run":$passesRun,"degraded":"$degraded","budget_s":$budgetS%.0f,"elapsed_s":$elapsedS%.1f,"cached":$cacheTables,"partial":$partial,"sf":"$sfDir"}"""
+      val basis = if (cacheTables) "v2-cached" else "v2-uncached"
+      val lf = if (loadFactor < 0) "null" else f"$loadFactor%.2f"
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"skipped":$skipped,"runs":$passes,"passes_run":$passesRun,"passes_planned":$plannedPasses,"load_factor":$lf,"degraded":"$degraded","budget_s":$budgetS%.0f,"elapsed_s":$elapsedS%.1f,"cached":$cacheTables,"basis":"$basis","partial":$partial,"sf":"$sfDir"}"""
     }
     def flush(): Unit = Files.writeString(Paths.get(outPath), render(partial = true) + "\n")
 
     var outOfBudget = false
-    for (pass <- 1 to passes if !outOfBudget) {
-      // samples for this pass: full on pass 1; on later passes the
-      // stable slow band takes one, and a projected budget overrun
-      // degrades the whole pass to one sample or drops it.
+    for (pass <- 1 to plannedPasses if !outOfBudget) {
+      // samples for this pass: full on pass 1 (unless the load plan
+      // applies the slow-band trim there too, judged from REF minima
+      // since nothing is measured yet); on later passes the stable
+      // slow band takes one, and a projected budget overrun degrades
+      // the whole pass to one sample or drops it.
       def samplesFor(name: String): Int =
-        if (pass == 1) samples
+        if (pass == 1) {
+          if (pass1Trim && refMin.getOrElse(name, 0.0) > slowS) 1
+          else samples
+        }
         else if (degraded == "samples") 1
         else if (best.getOrElse(name, 0.0) > slowS) 1
         else samples
@@ -164,15 +274,7 @@ object Bench {
           if (elapsedS + best.getOrElse(name, 0.0) > budgetS) {
             outOfBudget = true; degraded = "truncated"
           } else {
-            attempted += name
-            val t0 = System.nanoTime()
-            try {
-              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              val dt = (System.nanoTime() - t0) / 1e9
-              best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
-            } catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            }
+            timeOne(name, fn)
             flush()
           }
         }

@@ -854,7 +854,7 @@ ${rows.mkString("\nUNION ALL ")}"""
          |    CAST((CAST(round(1.0 / (1.0 + exp(-(CAST(SUM(a.ew * b.cw)
          |        AS DOUBLE)))), 9) AS DECIMAL(14,9))
          |      - CAST(x.label AS DECIMAL(14,9))) * x.cnt
-         |      AS DECIMAL(14,9)) AS rc
+         |      AS DECIMAL(19,9)) AS rc
          |  FROM exc x
          |  JOIN emb${i - 1} a ON a.node = x.center
          |  JOIN emb${i - 1} b ON b.node = x.context AND b.j = a.j
@@ -919,7 +919,7 @@ ${rows.mkString("\nUNION ALL ")}"""
        |  FROM draws d JOIN ranked r USING (rank)),
        |exc AS MATERIALIZED (
        |  SELECT center, context, label,
-       |         CAST(count(*) AS DECIMAL(5,0)) AS cnt
+       |         CAST(count(*) AS DECIMAL(10,0)) AS cnt
        |  FROM ex GROUP BY 1, 2, 3),
        |vocab2 AS (
        |  SELECT DISTINCT node FROM (

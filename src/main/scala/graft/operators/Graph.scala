@@ -899,7 +899,10 @@ object Graph {
     * or retry (the property an RNG walk fundamentally lacks — and
     * what makes the output replayable as TRAINING DATA and
     * replicable by the DuckDB oracle); different seeds → independent
-    * walk sets, so "n walks per node" is a union over n seeds.
+    * walk sets, so "n walks per node" is a union over n seeds — but
+    * downstream [[walkPairs]] requires ONE walk per start value, so a
+    * multi-seed union must first key each walk uniquely (concat the
+    * seed into the start id); walkPairs fails loudly otherwise.
     * Output: (start, step, node) rows, step 0..steps — one row per
     * walk position; walks at isolated nodes end at step 0.
     *
@@ -1174,11 +1177,16 @@ object Graph {
         : org.apache.spark.sql.Column =
       conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
         .cast("long")
+    // cnt on decimal(10,0): a (center, context, label) group of up to
+    // 10^10 duplicates stays exact — decimal(5,0) silently nulled (and
+    // so dropped from the gradient sum) past 99,999 under non-ANSI
+    // arithmetic, exactly at the scale this operator is pitched for.
+    // rc below widens to decimal(19,9) to hold |σ−label|·cnt < cnt.
     val ex = examples
       .select(col("center"), col("context"),
         col("label").cast("int").as("label"))
       .groupBy(col("center"), col("context"), col("label"))
-      .agg(count(lit(1)).cast("decimal(5,0)").as("cnt"))
+      .agg(count(lit(1)).cast("decimal(10,0)").as("cnt"))
       .truncateLineage(false)
     val vocab = ex.select(col("center").as("node"))
       .union(ex.select(col("context").as("node"))).distinct()
@@ -1209,7 +1217,7 @@ object Graph {
           ((round(lit(1.0) /
               (lit(1.0) + exp(-col("sRaw").cast("double"))), 9)
             .cast("decimal(14,9)") - col("label").cast("decimal(14,9)"))
-            * col("cnt")).cast("decimal(14,9)").as("rc"))
+            * col("cnt")).cast("decimal(19,9)").as("rc"))
       val withVecs = scored
         .join(eRows, Seq("center")).join(cRows, Seq("context", "j"))
       val gE = withVecs
@@ -1247,6 +1255,16 @@ object Graph {
     * (the standard skip-gram corpus; contexts before AND after the
     * center).
     *
+    * One-walk-per-start contract, enforced LOUDLY: a corpus holding
+    * several walks that share a `startCol` value (e.g. n walks per
+    * node unioned without a distinguishing walk id) would silently
+    * merge into one position list with duplicate step values and emit
+    * cross-walk pairs — so the aggregate also counts rows vs distinct
+    * steps per start and a per-row assert fails the job on any
+    * duplicate (start, step). Multi-walk corpora must key each walk
+    * uniquely (e.g. concat the walk index into the start id) before
+    * pairing.
+    *
     * Scale design: ONE shuffle — walks group into their ordered
     * position array (walks are `steps+1` positions, a bounded row) —
     * then pair generation is a pure per-row nested-`transform`
@@ -1259,7 +1277,16 @@ object Graph {
       .groupBy(col(startCol).as("start"))
       .agg(sort_array(collect_list(struct(
         col(stepCol).cast("int").as("step"),
-        col(nodeCol).as("node")))).as("w"))
+        col(nodeCol).as("node")))).as("w"),
+        count(lit(1)).as("__n"),
+        count_distinct(col(stepCol)).as("__nd"))
+      .select(col("start"), col("w"),
+        assert_true(col("__n") === col("__nd"),
+          concat(lit("walk_pairs: duplicate (start, step) rows at " +
+            "start="), col("start").cast("string"),
+            lit(" — one walk per start; key multi-walk corpora by a " +
+              "distinct walk id before pairing"))).as("__ok"))
+      .filter(col("__ok").isNull).drop("__ok")
     grouped
       .select(col("start"), explode(flatten(transform(col("w"),
         c => transform(

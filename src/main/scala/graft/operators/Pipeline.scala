@@ -1665,7 +1665,9 @@ object Pipeline {
 
     // hash-seeded walk-corpus generation (node2vec/DeepWalk shape):
     // deterministic by construction — same seed, same walks; n walks
-    // per node = n steps with different seeds, unioned downstream.
+    // per node = n runs with different seeds, unioned downstream
+    // AFTER keying each walk's start uniquely (walk_pairs enforces
+    // one walk per start and fails loudly on duplicates).
     // With `start_condition` (SQL over the edge frame; matching
     // SOURCE nodes start a walk) the hub-degree-proof bucketed form
     // runs instead — same hash grammar, same positions, per-step

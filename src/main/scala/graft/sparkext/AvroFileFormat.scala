@@ -216,7 +216,11 @@ object AvroFileFormat {
         if (s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis])
           (v: Any) => v.asInstanceOf[Long] * 1000L
         else identity
-      case (_, StringType) =>
+      // only genuinely textual Avro types stringify; anything else
+      // typed as string by a user-supplied read schema falls through
+      // to the loud type-mismatch error below (bytes/fixed would
+      // otherwise toString to 'java.nio.HeapByteBuffer[...]' garbage)
+      case (ASchema.Type.STRING | ASchema.Type.ENUM, StringType) =>
         (v: Any) => UTF8String.fromString(v.toString)
       case (ASchema.Type.BYTES, BinaryType) => (v: Any) => {
         val bb = v.asInstanceOf[java.nio.ByteBuffer]
