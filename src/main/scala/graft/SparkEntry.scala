@@ -90,6 +90,72 @@ object SparkEntry {
         .as("meta"))
   }
 
+  /** Synthetic-but-REAL AVI corpus over the first 200 doc ids — the
+    * video-dedup fixture: genuine RIFF/AVI containers (the operator
+    * really walks LIST-movi chunks) holding four 16×16 top-down 24-bit
+    * grayscale BMP `00db` frames whose pixels follow an integer
+    * grammar (group g = doc_id % 20 shares the base frames, so the
+    * DuckDB oracle replays every pixel, block sum, and hash bit
+    * digit-exact). Each doc perturbs ONE 2×2 block (doc_id % 63) of
+    * ONE frame (doc_id % 4) by +1 mod 256 per pixel — moving at most
+    * two consecutive-block comparisons in that frame's grid-delta
+    * hash, so within-group sequences sit at max-hamming ≤ 4 by
+    * construction. */
+  private def aviAssetsFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+    val assets = ids.map { id =>
+      val g = (id % 20).toInt
+      val pb = (id % 63).toInt // perturbed block
+      val pf = (id % 4).toInt  // perturbed frame
+      val frames = (0 until 4).map { f =>
+        val px = new Array[Byte](54 + 16 * 48)
+        val fb = java.nio.ByteBuffer.wrap(px)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        fb.put('B'.toByte).put('M'.toByte).putInt(54 + 16 * 48)
+          .putInt(0).putInt(54)
+          .putInt(40).putInt(16).putInt(-16) // negative = top-down
+          .putShort(1).putShort(24)
+          .putInt(0).putInt(16 * 48)
+          .putInt(0).putInt(0).putInt(0).putInt(0)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val blk = (y / 2) * 8 + (x / 2)
+            val base = (g * 37 + f * 29 + (x * x + 3 * y) % 97 +
+              (y % 5) * (g % 7)) % 256
+            val v = if (f == pf && blk == pb) (base + 1) % 256 else base
+            val off = 54 + y * 48 + x * 3
+            px(off) = v.toByte       // B
+            px(off + 1) = v.toByte   // G
+            px(off + 2) = v.toByte   // R (grayscale)
+            x += 1
+          }
+          y += 1
+        }
+        px
+      }
+      val moviSz = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + moviSz)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ASCII")).putInt(4 + 8 + moviSz)
+        .put("AVI ".getBytes("ASCII"))
+        .put("LIST".getBytes("ASCII")).putInt(moviSz)
+        .put("movi".getBytes("ASCII"))
+      frames.foreach { f =>
+        bb.put("00db".getBytes("ASCII")).putInt(f.length).put(f)
+        if ((f.length & 1) == 1) bb.put(0.toByte)
+      }
+      (id, bb.array())
+    }.toDF("id", "content")
+    assets.select(col("id"), col("content"),
+      struct(lit("video/avi").as("mime"), lit("synth").as("source"),
+        octet_length(col("content")).cast("long").as("n_bytes"))
+        .as("meta"))
+  }
+
   /** The CDC changeset the apply-changes pair derives from orders:
     * upserts at seq 1 (%3 keys), superseding upserts at seq 2 (%9 —
     * a subset, so latest-wins is exercised), deletes at seq 3 (%5 —
@@ -777,7 +843,9 @@ ${rows.mkString("\nUNION ALL ")}"""
     * BOTH step-0 and the uniform step-1 hop (windows are not allowed
     * in the recursive term, and step 1 has no prev). */
   private def node2vecOracleSql(steps: Int, p: Int, q: Int,
-                                seed: String): String = {
+                                seed: String,
+                                seedSelect: String =
+                                  "SELECT node FROM nodes"): String = {
     def h(parts: String): String =
       s"('0x' || substring(md5($parts), 1, 12))::BIGINT"
     val rPick = h("CAST(w.start AS VARCHAR) || '|' || " +
@@ -814,12 +882,13 @@ ${rows.mkString("\nUNION ALL ")}"""
        |    SUM(w) OVER (PARTITION BY t, v ORDER BY x) - w AS cumb,
        |    SUM(w) OVER (PARTITION BY t, v) AS total
        |  FROM esucc),
+       |seeds AS MATERIALIZED ($seedSelect),
        |walk(start, step, prev, node) AS (
        |  (SELECT node AS start, 0 AS step,
-       |          CAST(NULL AS BIGINT) AS prev, node FROM nodes
+       |          CAST(NULL AS BIGINT) AS prev, node FROM seeds
        |   UNION ALL
        |   SELECT n.node, 1, n.node, a.dst
-       |   FROM nodes n JOIN adj a ON a.src = n.node
+       |   FROM seeds n JOIN adj a ON a.src = n.node
        |    AND a.idx = 1 + (${h("CAST(n.node AS VARCHAR) || '|' || " +
              s"CAST(n.node AS VARCHAR) || '|1|' || '$seed'")} % a.deg))
        |  UNION ALL
@@ -849,16 +918,19 @@ ${rows.mkString("\nUNION ALL ")}"""
         s"'|$tag|' || '$eSeed'), 1, 12))::BIGINT % 2001 - 1000) " +
         "AS DOUBLE) / 10000.0, 9) AS DECIMAL(14,9))"
     val rounds = (1 to iters).map { i =>
-      s"""s$i AS (
-         |  SELECT x.center, x.context,
-         |    CAST((CAST(round(1.0 / (1.0 + exp(-(CAST(SUM(a.ew * b.cw)
-         |        AS DOUBLE)))), 9) AS DECIMAL(14,9))
-         |      - CAST(x.label AS DECIMAL(14,9))) * x.cnt
-         |      AS DECIMAL(19,9)) AS rc
+      s"""sr$i AS MATERIALIZED (
+         |  SELECT x.center, x.context, x.label, x.cnt,
+         |    CAST(round(1.0 / (1.0 + exp(-(CAST(SUM(a.ew * b.cw)
+         |        AS DOUBLE)))), 9) AS DECIMAL(14,9)) AS sig
          |  FROM exc x
          |  JOIN emb${i - 1} a ON a.node = x.center
          |  JOIN emb${i - 1} b ON b.node = x.context AND b.j = a.j
          |  GROUP BY x.center, x.context, x.label, x.cnt),
+         |s$i AS (
+         |  SELECT center, context,
+         |    CAST((sig - CAST(label AS DECIMAL(14,9))) * cnt
+         |      AS DECIMAL(19,9)) AS rc
+         |  FROM sr$i),
          |v$i AS (
          |  SELECT s.center, s.context, s.rc, a.j, a.ew, b.cw
          |  FROM s$i s
@@ -935,6 +1007,23 @@ ${rows.mkString("\nUNION ALL ")}"""
           else s"""SELECT node, j, round(CAST(ew AS DOUBLE), 6) AS e_w,
        |       round(CAST(cw AS DOUBLE), 6) AS c_w
        |FROM emb$iters"""}""".stripMargin
+  }
+
+  /** Loss-readout tail over [[embeddingsOracleSql]]'s sr$i CTEs: the
+    * trainer's per-iteration log-loss — clamped round-9 sigmoid, ln
+    * terms on the 1e-9 integer lattice, duplicate-count weighting in
+    * exact BIGINTs, one final fixed-shape double division (kept
+    * single-line: interpolated lines starting with a pipe would lose
+    * one to the outer template's stripMargin). */
+  private def embedLossTailSql(iters: Int): String = {
+    val clamped = "CAST(least(greatest(sig, CAST(0.000000001 AS " +
+      "DECIMAL(14,9))), CAST(0.999999999 AS DECIMAL(14,9))) AS DOUBLE)"
+    (1 to iters).map { i =>
+      s"SELECT $i AS iter, CAST(SUM(CAST(cnt AS BIGINT) * " +
+        s"CAST(round((CASE WHEN label = 1 THEN -ln($clamped) " +
+        s"ELSE -ln(1.0 - $clamped) END) * 1e9) AS BIGINT)) " +
+        s"AS DOUBLE) / 1e9 AS loss FROM sr$i"
+    }.mkString("\nUNION ALL\n")
   }
 
   private def hitsOracleSql(iters: Int): String = {
@@ -3487,6 +3576,30 @@ $joins"""
         iters = 2, lr = 0.5, seed = "e0")
     }),
 
+    // the trainer's convergence curve: per-iteration full-batch
+    // log-loss over the SAME training run (loss measured on the model
+    // entering each round — iteration 1 is the init) on the 1e-9
+    // integer lattice; the oracle replays both rounds' sigmoids and
+    // ln terms digit-exact
+    "q_graph_embed_loss" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey") + 10000000L).cast("long").as("dst"))
+      val walks = graft.operators.Graph.seededWalks(edges, "src",
+        "dst", edges.filter(col("src") % 17 === 0)
+          .select(col("src").as("node")),
+        "node", steps = 3, seed = "s42", bucketCap = 8)
+      val pairs = graft.operators.Graph.walkPairs(walks, window = 2)
+      val negs = graft.operators.Graph.skipGramNegatives(pairs,
+        k = 2, seed = "n7")
+      val ex = pairs
+        .select(col("center"), col("context"), lit(1).as("label"))
+        .unionByName(negs.select(col("center"),
+          col("negative").as("context"), lit(0).as("label")))
+      graft.operators.Graph.trainNodeEmbeddingsLoss(ex, dim = 4,
+        iters = 2, lr = 0.5, seed = "e0")
+    }),
+
     // node2vec second-order (p=1, q=4 — outward-exploring) biased
     // walks on the same graph: integer-lattice weights {q, pq, p},
     // draw by hash48(start|prev|cur|k|seed) mod total over the
@@ -3498,6 +3611,21 @@ $joins"""
         li.select(col("l_suppkey").cast("long").as("src"),
           (col("l_partkey") + 10000000L).cast("long").as("dst")),
         "src", "dst", steps = 3, p = 1, q = 4, seed = "s42")
+    }),
+
+    // the SEEDED, hub-degree-proof second-order form: (p, q)-biased
+    // walks only from the %17 supplier slice, successor picked from
+    // capped cumulative-weight buckets (cap 8 here so both bucket
+    // splits actually exercise at this SF) — same draw grammar as the
+    // twin, so the oracle replays the identical hops from the slice
+    "q_graph_node2vec_seeded" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey") + 10000000L).cast("long").as("dst"))
+      graft.operators.Graph.node2vecSeededWalks(edges, "src", "dst",
+        edges.filter(col("src") % 17 === 0)
+          .select(col("src").as("node")),
+        "node", steps = 3, p = 1, q = 4, seed = "s42", bucketCap = 8)
     }),
 
     // hash-seeded negative sampling over the pair corpus (2 draws
@@ -4096,6 +4224,19 @@ $joins"""
           frameSize = 32, nFrames = 65),
         hammingMax = 4, chunks = 8)),
 
+    // video near-dup: REAL RIFF/AVI movi walk → per-frame integer
+    // grid-delta hashes → banded aligned-sequence pairing (candidates
+    // from the position-0 hash chunks, exact max-per-position verify
+    // on candidates only). The oracle replays every pixel, block sum,
+    // and hash bit from the fixture's integer grammar and takes
+    // ALL-PAIRS sequence ground truth — so banding recall is itself
+    // under test, exactly like the audio leg
+    "q_multimodal_videodup" -> ((s, dir) =>
+      Multimodal.videoNearDupPairs(
+        Multimodal.videoFingerprints(aviAssetsFixture(s, dir),
+          stride = 1, maxFrames = 8),
+        hammingMax = 4, chunks = 8)),
+
     // ---- relational anchors (agg / join / window at TPC-H shape) ----
 
     // Q1-style grouped aggregate; decimal-cast sums → order-independent
@@ -4425,6 +4566,30 @@ $joins"""
            |  {"op": "select", "params": {"cols":
            |    ["id", "mime", "source", "n_bytes"]}}
            |]""".stripMargin)),
+
+    // the audio dedup chain from config over the same WAV fixture
+    // frame (Pipeline.fromJson over an in-flight asset frame — the
+    // q_pipeline_cfg precedent) — q_multimodal_audiodup's oracle
+    // verbatim
+    "q_pipeline_audiodup" -> ((s, dir) =>
+      graft.operators.Pipeline.fromJson(
+        """[
+          |  {"op": "audio_fingerprints",
+          |   "params": {"frame_size": 32, "n_frames": 65}},
+          |  {"op": "audio_near_dup",
+          |   "params": {"hamming_max": 4, "chunks": 8}}
+          |]""".stripMargin)(wavAssetsFixture(s, dir))),
+
+    // the video dedup chain from config over the same AVI fixture
+    // frame — q_multimodal_videodup's oracle verbatim
+    "q_pipeline_videodup" -> ((s, dir) =>
+      graft.operators.Pipeline.fromJson(
+        """[
+          |  {"op": "video_fingerprints",
+          |   "params": {"stride": 1, "max_frames": 8}},
+          |  {"op": "video_near_dup",
+          |   "params": {"hamming_max": 4, "chunks": 8}}
+          |]""".stripMargin)(aviAssetsFixture(s, dir))),
 
     // the curation chain under data CONTRACTS: expect_columns pins
     // the source schema, expect_condition asserts the gate invariant
@@ -5216,6 +5381,33 @@ $joins"""
            |              "seed": "e0"}}
            |]""".stripMargin)),
 
+    // the convergence readout from config — the same chain, loss
+    // instead of weights; q_graph_embed_loss's oracle verbatim
+    "q_pipeline_embed_loss" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 45"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "random_walks",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "steps": 3, "seed": "s42",
+           |              "start_condition": "src % 17 = 0",
+           |              "bucket_cap": 8}},
+           |  {"op": "walk_pairs", "params": {"window": 2}},
+           |  {"op": "walk_examples", "params": {"k": 2, "seed": "n7"}},
+           |  {"op": "train_node_embeddings_loss",
+           |   "params": {"dim": 4, "iters": 2, "lr": 0.5,
+           |              "seed": "e0"}}
+           |]""".stripMargin)),
+
     // train-then-SERVE from config: the trained embedding matrix
     // assembles into dense vectors and the existing exact-cosine
     // operator reads out each node's nearest neighbors in the
@@ -5267,6 +5459,28 @@ $joins"""
            |  {"op": "node2vec_walks",
            |   "params": {"src_col": "src", "dst_col": "dst",
            |              "steps": 3, "p": 1, "q": 4, "seed": "s42"}}
+           |]""".stripMargin)),
+
+    // seeded second-order walks from config (start_condition picks
+    // the frontier) — q_graph_node2vec_seeded's oracle verbatim
+    "q_pipeline_node2vec_seeded" -> ((s, dir) =>
+      graft.operators.Pipeline.runJson(s,
+        s"""[
+           |  {"op": "read_table", "params": {"dir": "$dir",
+           |    "table": "lineitem"}},
+           |  {"op": "filter", "params": {"condition": "l_quantity > 45"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "src",
+           |              "expr": "cast(l_suppkey as bigint)"}},
+           |  {"op": "with_column",
+           |   "params": {"name": "dst",
+           |              "expr": "cast(l_partkey + 10000000 as bigint)"}},
+           |  {"op": "select", "params": {"cols": ["src", "dst"]}},
+           |  {"op": "node2vec_walks",
+           |   "params": {"src_col": "src", "dst_col": "dst",
+           |              "steps": 3, "p": 1, "q": 4, "seed": "s42",
+           |              "start_condition": "src % 17 = 0",
+           |              "bucket_cap": 8}}
            |]""".stripMargin)),
 
     // the full walk → pairs → negatives training-data chain from
@@ -8886,9 +9100,15 @@ $joins"""
           | AND abs(a.step - b.step) <= 2""".stripMargin,
 
       "q_graph_node2vec" -> node2vecOracleSql(3, 1, 4, "s42"),
+      "q_graph_node2vec_seeded" -> node2vecOracleSql(3, 1, 4, "s42",
+        "SELECT DISTINCT src AS node FROM g0 WHERE src % 17 = 0"),
 
       "q_graph_embeddings" ->
         embeddingsOracleSql(4, 2, 0.5, 2, "n7", "e0"),
+
+      "q_graph_embed_loss" ->
+        embeddingsOracleSql(4, 2, 0.5, 2, "n7", "e0",
+          tailSql = embedLossTailSql(2)),
 
       // serve readout: round-6 display vectors (exactly what the
       // Spark chain assembles), exact cosine, rank ties on id
@@ -10162,6 +10382,44 @@ FROM dm GROUP BY 1, 2"""
           |HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 4"""
           .stripMargin,
 
+      // every pixel → block sum → consecutive-comparison bit of the
+      // fixture grammar replayed, then ALL-PAIRS aligned-sequence
+      // ground truth (per-frame bit mismatches, max over frames)
+      "q_multimodal_videodup" ->
+        """WITH params AS (
+          |  SELECT doc_id::BIGINT AS id, (doc_id % 20)::BIGINT AS g,
+          |         (doc_id % 63)::BIGINT AS pb,
+          |         (doc_id % 4)::BIGINT AS pf
+          |  FROM documents WHERE doc_id < 200),
+          |pix AS (
+          |  SELECT id, f, (y // 2) * 8 + (x // 2) AS k,
+          |    ((g * 37 + f * 29 + (x * x + 3 * y) % 97
+          |      + (y % 5) * (g % 7)
+          |      + CASE WHEN f = pf
+          |             AND (y // 2) * 8 + (x // 2) = pb
+          |        THEN 1 ELSE 0 END) % 256) AS v
+          |  FROM params, LATERAL unnest(range(0, 4)) AS ff(f),
+          |       LATERAL unnest(range(0, 16)) AS yy(y),
+          |       LATERAL unnest(range(0, 16)) AS xx(x)),
+          |blocksum AS MATERIALIZED (
+          |  SELECT id, f, k, SUM(v)::BIGINT AS s
+          |  FROM pix GROUP BY 1, 2, 3),
+          |bits AS MATERIALIZED (
+          |  SELECT a.id, a.f, a.k,
+          |         CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+          |  FROM blocksum a JOIN blocksum b
+          |    ON a.id = b.id AND a.f = b.f AND b.k = a.k + 1),
+          |framed AS (
+          |  SELECT x.id AS id_a, y.id AS id_b, x.f,
+          |         SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+          |           AS fh
+          |  FROM bits x JOIN bits y
+          |    ON x.f = y.f AND x.k = y.k AND x.id < y.id
+          |  GROUP BY 1, 2, 3)
+          |SELECT id_a, id_b, MAX(fh)::BIGINT AS hamming
+          |FROM framed GROUP BY 1, 2
+          |HAVING MAX(fh) <= 4""".stripMargin,
+
       // conformance: cast + typed NULL fill + declared order
       "q_pipeline_conform" ->
         """SELECT doc_id::BIGINT AS doc_id, lang,
@@ -10428,6 +10686,8 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_suppress" -> base("q_stats_kanon_suppress")) +
       ("q_pipeline_psi" -> base("q_stats_psi")) +
       ("q_pipeline_multimodal" -> base("q_multimodal_meta")) +
+      ("q_pipeline_audiodup" -> base("q_multimodal_audiodup")) +
+      ("q_pipeline_videodup" -> base("q_multimodal_videodup")) +
       ("q_pipeline_ttest" -> base("q_stats_ttest")) +
       ("q_pipeline_hits" -> base("q_graph_hits")) +
       ("q_pipeline_contract" -> base("q_pipeline_curate")) +
@@ -10471,6 +10731,9 @@ FROM dm GROUP BY 1, 2"""
       ("q_pipeline_walk_pairs" -> base("q_graph_walk_pairs")) +
       ("q_pipeline_walk_negatives" -> base("q_graph_walk_negatives")) +
       ("q_pipeline_node2vec" -> base("q_graph_node2vec")) +
+      ("q_pipeline_node2vec_seeded" ->
+        base("q_graph_node2vec_seeded")) +
+      ("q_pipeline_embed_loss" -> base("q_graph_embed_loss")) +
       ("q_pipeline_embeddings" -> base("q_graph_embeddings")) +
       ("q_pipeline_avro" -> base("q_source_avro")) +
       ("q_pipeline_closeness" -> base("q_graph_closeness")) +

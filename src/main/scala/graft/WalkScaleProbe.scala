@@ -104,6 +104,112 @@ object WalkScaleProbe {
       println(f"$d,$nWalkers,$steps,$tJoin%.2f,$tBucket%.2f," +
         f"${tJoin / tBucket}%.1f")
     }
+
+    // ---- second-order (p, q) section: per-STEP slope isolation ----
+    // Both second-order forms pay the one-time Σ deg² successor-table
+    // build (node2vec's documented alias price; on a star that is D²
+    // rows, which bounds the probe's feasible D). What the bucketed
+    // form fixes is the PER-STEP cost: the join form materializes
+    // walkers × D rows on every hub draw, the bucketed form does
+    // `walkers` bounded-array lookups. So this section measures the
+    // SLOPE between a 2-step and a 6-step run of the same form (the
+    // shared build subtracts out) and expects the join slope to grow
+    // ~D while the bucketed slope stays FLAT.
+    val (p2, q2, cap2, nWalkers2) = (1, 4, 64, 2048)
+
+    // node2vecWalks' esucc + interval-filter loop verbatim (incl. its
+    // lineage truncation — without it the Σ deg² window chain would
+    // re-evaluate per step and the probe would measure plan blowup,
+    // not the join), started from a seed slice
+    def joinSeeded2(edges: DataFrame, seeds: DataFrame,
+                    steps: Int): DataFrame = {
+      import graft.operators.Checkpoints.TruncateOps
+      val w = org.apache.spark.sql.expressions.Window
+      val oriented = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val e = oriented.filter(col("src") =!= col("dst")).distinct()
+        .truncateLineage(false)
+      val w1 = w.partitionBy(col("src"))
+      val adj = e.select(col("src"), col("dst"),
+        row_number().over(w1.orderBy(col("dst"))).as("idx"),
+        count(lit(1)).over(w1).as("deg"))
+        .truncateLineage(false)
+      val succ0 = e.select(col("src").as("t"), col("dst").as("v"))
+        .join(e.select(col("src").as("v"), col("dst").as("x")),
+          Seq("v"))
+      val flagged = succ0.join(
+          e.select(col("src").as("t"), col("dst").as("x"),
+            lit(true).as("is1")), Seq("t", "x"), "left")
+        .select(col("t"), col("v"), col("x"),
+          when(col("x") === col("t"), lit(q2.toLong))
+            .when(col("is1").isNotNull, lit(p2.toLong * q2.toLong))
+            .otherwise(lit(p2.toLong)).as("w"))
+      val wTv = w.partitionBy(col("t"), col("v"))
+      val esucc = flagged.select(col("t"), col("v"), col("x"),
+        col("w"),
+        (sum(col("w")).over(wTv.orderBy(col("x"))
+          .rowsBetween(w.unboundedPreceding, 0)) - col("w"))
+          .as("cumb"),
+        sum(col("w")).over(wTv).as("total"))
+        .truncateLineage(false)
+      def h48(cols: org.apache.spark.sql.Column*) =
+        conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
+          .cast("long")
+      val starts = seeds.select(col("node").as("start"))
+      var acc = starts.select(col("start"), lit(0).as("step"),
+        col("start").as("node"))
+      val pick1 = pmod(h48(col("node").cast("string"),
+        col("node").cast("string"), lit("1"), lit(seed)),
+        col("deg")) + 1
+      var wk = starts.select(col("start").as("node"))
+        .join(adj, col("node") === adj("src"))
+        .filter(col("idx") === pick1)
+        .select(col("node").as("start"), col("node").as("prev"),
+          col("dst").as("cur"))
+        .truncateLineage(false)
+      acc = acc.union(
+        wk.select(col("start"), lit(1).as("step"), col("cur")))
+      (2 to steps).foreach { k =>
+        val r = pmod(h48(col("start").cast("string"),
+          col("prev").cast("string"), col("cur").cast("string"),
+          lit(k.toString), lit(seed)), col("total"))
+        wk = wk.join(esucc,
+            wk("prev") === esucc("t") && wk("cur") === esucc("v"))
+          .filter(r >= col("cumb") && r < col("cumb") + col("w"))
+          .select(col("start"), col("cur").as("prev"),
+            col("x").as("cur"))
+          .truncateLineage(false)
+        acc = acc.union(
+          wk.select(col("start"), lit(k).as("step"), col("cur")))
+      }
+      acc
+    }
+
+    println("-- second-order (p=1,q=4): per-step slope " +
+      "(t(6 steps) - t(2 steps)) / 4 --")
+    println("hub_degree,walkers,join_slope_s,bucketed_slope_s,ratio")
+    // fixed degrees (args size the FIRST-order section only): the
+    // Σ deg² = D² successor build bounds feasible star sizes here
+    val degrees2 = Seq(1000, 3000, 9000)
+    degrees2.zipWithIndex.foreach { case (d, i) =>
+      val edges = spark.range(1L, d + 1L)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+        .localCheckpoint(true)
+      val seeds = spark.range(1L, nWalkers2 + 1L)
+        .select(col("id").as("node")).localCheckpoint(true)
+      def bucketed(steps: Int) =
+        Graph.node2vecSeededWalks(edges, "src", "dst", seeds, "node",
+          steps, p2, q2, seed, bucketCap = cap2)
+      val (join6, tJ6) = timed(rows(joinSeeded2(edges, seeds, 6)))
+      val (_, tJ2) = timed(rows(joinSeeded2(edges, seeds, 2)))
+      val (bucket6, tB6) = timed(rows(bucketed(6)))
+      val (_, tB2) = timed(rows(bucketed(2)))
+      require(bucket6 == join6,
+        s"second-order bucketed walks diverged from the join form " +
+          s"at D=$d")
+      val (sJ, sB) = ((tJ6 - tJ2) / 4, (tB6 - tB2) / 4)
+      println(f"$d,$nWalkers2,$sJ%.2f,$sB%.2f,${sJ / sB}%.1f")
+    }
     spark.stop()
   }
 }

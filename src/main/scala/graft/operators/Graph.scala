@@ -1142,6 +1142,155 @@ object Graph {
     acc
   }
 
+  /** Seeded, hub-degree-proof SECOND-ORDER walks: [[node2vecWalks]]'
+    * exact (p, q) draw grammar (same seed → bit-identical positions,
+    * spec-pinned) but (a) walking only from a `seeds` slice — the
+    * crawl-frontier shape — and (b) picking the successor from CAPPED
+    * CUMULATIVE-WEIGHT buckets instead of joining every successor of
+    * (prev, cur) and filtering to the one interval containing r.
+    *
+    * Why: the twin's join-filter pick materializes Σ deg(cur) rows
+    * per walker per step — the same hub tax [[seededWalks]] kills for
+    * the first-order kernel (BASELINE.md hub probe: 19.6× at
+    * D = 10⁶). Here the successor table is bucketed ONCE in
+    * cumulative-weight space: bucket b of (t, v) holds every
+    * successor whose interval [cumb, cumb + w) overlaps
+    * [b·cap, (b+1)·cap) — a neighbor spanning a boundary replicates
+    * into each window it touches, so the bucket holding draw r is
+    * EXACTLY r div cap (integer arithmetic on the exact lattice, no
+    * search). Each step is then two 1-row-per-walker equi-joins —
+    * totals for r = hash48 mod total, then the single (t, v, r div
+    * cap) bucket — and one bounded in-array interval scan (≤ cap/min
+    * weight + 1 entries since weights ≥ 1). Per-step cost ∝ walkers,
+    * FLAT in hub degree; the one-time successor-table build keeps
+    * node2vec's documented Σ deg² alias-table price. Step 1 (no
+    * prev) is the twin's uniform pick via [[seededWalks]]' capped
+    * idx-bucket machinery, same hash grammar.
+    *
+    * Seeds absent from the graph emit their step-0 row and end there
+    * (the isolated-node contract); on a DIRECTED graph a walker
+    * reaching a sink node ends, exactly like the twin. Output:
+    * (start, step, node), step 0..steps — for seeds = all nodes,
+    * identical CONTENT to [[node2vecWalks]]. */
+  def node2vecSeededWalks(edges: DataFrame, srcCol: String,
+                          dstCol: String, seeds: DataFrame,
+                          seedCol: String, steps: Int, p: Int, q: Int,
+                          seed: String = "s0",
+                          undirected: Boolean = true,
+                          bucketCap: Int = 1024): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(p >= 1 && q >= 1,
+      "p and q must be positive integers (integer-lattice weights)")
+    require(!seed.contains("|"), "seed must not contain '|'")
+    require(bucketCap >= 1, "bucketCap must be >= 1")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val oriented =
+      if (undirected)
+        fwd.union(edges.select(col(dstCol).as("src"),
+          col(srcCol).as("dst")))
+      else fwd
+    val e = oriented.filter(col("src") =!= col("dst")).distinct()
+      .truncateLineage(false)
+    def h48(cols: org.apache.spark.sql.Column*)
+        : org.apache.spark.sql.Column =
+      conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
+        .cast("long")
+    // ---- step-1 machinery: the twin's first-order sorted-adjacency
+    // index, grouped into seededWalks' capped idx buckets
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val idxed = e.select(col("src"), col("dst"),
+      row_number().over(w1.orderBy(col("dst"))).as("idx"))
+    val adjBuckets = idxed
+      .withColumn("bucket",
+        ((col("idx") - 1) / lit(bucketCap)).cast("long"))
+      .groupBy(col("src"), col("bucket"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("idx"), col("dst")))),
+        x => x("dst")).as("arr"))
+      .truncateLineage(false)
+    val degrees = idxed.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg")).truncateLineage(false)
+    // ---- second-order successor table: identical weights and
+    // sorted-x cumulative intervals to the twin (the equality
+    // contract hinges on it), then fixed-width weight-space buckets
+    val succ0 = e.select(col("src").as("t"), col("dst").as("v"))
+      .join(e.select(col("src").as("v"), col("dst").as("x")), Seq("v"))
+    val flagged = succ0.join(
+        e.select(col("src").as("t"), col("dst").as("x"),
+          lit(true).as("is1")), Seq("t", "x"), "left")
+      .select(col("t"), col("v"), col("x"),
+        when(col("x") === col("t"), lit(q.toLong))
+          .when(col("is1").isNotNull, lit(p.toLong * q.toLong))
+          .otherwise(lit(p.toLong)).as("w"))
+    val wTv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t"), col("v"))
+    val cum = flagged.select(col("t"), col("v"), col("x"), col("w"),
+      (sum(col("w")).over(wTv.orderBy(col("x"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)) - col("w")).as("cumb"))
+    val wBuckets = cum
+      .select(col("t"), col("v"), col("x"), col("w"), col("cumb"),
+        explode(sequence(
+          (col("cumb") / lit(bucketCap)).cast("long"),
+          ((col("cumb") + col("w") - 1) / lit(bucketCap))
+            .cast("long"))).as("bucket"))
+      .groupBy(col("t"), col("v"), col("bucket"))
+      .agg(sort_array(collect_list(
+        struct(col("cumb"), col("w"), col("x")))).as("arr"))
+      .truncateLineage(false)
+    val totals = flagged.groupBy(col("t"), col("v"))
+      .agg(sum(col("w")).as("total")).truncateLineage(false)
+    // ---- step 0 + the twin's uniform step-1 pick from the seeds
+    val starts = seeds.select(col(seedCol).as("start")).distinct()
+      .truncateLineage(false)
+    var acc = starts.select(col("start"), lit(0).as("step"),
+      col("start").as("node"))
+    val picked1 = starts.alias("st")
+      .join(degrees.alias("dg"), col("st.start") === col("dg.src"))
+      .select(col("st.start").as("start"),
+        pmod(h48(col("st.start").cast("string"),
+          col("st.start").cast("string"), lit("1"), lit(seed)),
+          col("dg.deg")).as("pick0"))
+    var walk = picked1.alias("pk")
+      .join(adjBuckets.alias("bk"),
+        col("pk.start") === col("bk.src") &&
+          (col("pk.pick0") / lit(bucketCap)).cast("long") ===
+            col("bk.bucket"))
+      .select(col("pk.start").as("start"), col("pk.start").as("prev"),
+        element_at(col("bk.arr"),
+          (pmod(col("pk.pick0"), lit(bucketCap)) + 1).cast("int"))
+          .as("cur"))
+      .truncateLineage(false)
+    acc = acc.union(
+      walk.select(col("start"), lit(1).as("step"), col("cur")))
+    (2 to steps).foreach { k =>
+      val rr = pmod(h48(col("wk.start").cast("string"),
+        col("wk.prev").cast("string"), col("wk.cur").cast("string"),
+        lit(k.toString), lit(seed)), col("tt.total"))
+      val picked = walk.alias("wk")
+        .join(totals.alias("tt"),
+          col("wk.prev") === col("tt.t") &&
+            col("wk.cur") === col("tt.v"))
+        .select(col("wk.start").as("start"), col("wk.prev").as("prev"),
+          col("wk.cur").as("cur"), rr.as("r"))
+      walk = picked.alias("pk")
+        .join(wBuckets.alias("bk"),
+          col("pk.prev") === col("bk.t") &&
+            col("pk.cur") === col("bk.v") &&
+            (col("pk.r") / lit(bucketCap)).cast("long") ===
+              col("bk.bucket"))
+        .select(col("pk.start").as("start"), col("pk.cur").as("prev"),
+          element_at(filter(col("bk.arr"),
+            el => col("pk.r") >= el("cumb") &&
+              col("pk.r") < el("cumb") + el("w")), 1)("x").as("cur"))
+        .truncateLineage(false)
+      acc = acc.union(
+        walk.select(col("start"), lit(k).as("step"), col("cur")))
+    }
+    acc
+  }
+
   /** In-engine skip-gram embedding training over (center, context,
     * label) examples — the final stage of the node2vec/DeepWalk
     * pipeline (walks → pairs → negatives → THIS), as FULL-BATCH
@@ -1168,7 +1317,36 @@ object Graph {
     * E and C) with lineage truncated per round. Output: (node, j,
     * e_w, c_w) at round-6 display. */
   def trainNodeEmbeddings(examples: DataFrame, dim: Int, iters: Int,
-                          lr: Double, seed: String = "e0"): DataFrame = {
+                          lr: Double, seed: String = "e0"): DataFrame =
+    trainLoop(examples, dim, iters, lr, seed)._1
+
+  /** Convergence readout for [[trainNodeEmbeddings]]: the FULL-BATCH
+    * log-loss the trainer observes at each iteration — one (iter,
+    * loss) row per GD round, loss measured on the model state
+    * ENTERING that round (iteration 1 = the hash-seeded init), so a
+    * decreasing sequence IS the convergence curve a user tunes lr
+    * and iters against. Same examples/dim/lr/seed → the exact run
+    * [[trainNodeEmbeddings]] performs; the scoring pass is shared
+    * with the gradient step, so the readout adds only one bounded
+    * (1-row) aggregate per iteration.
+    *
+    * Exactness contract: per distinct example the loss term is
+    * −ln σ̂ (label 1) / −ln(1−σ̂) (label 0) with σ̂ the trainer's own
+    * round-9 sigmoid clamped to [1e-9, 1−1e-9] (so a saturated
+    * example contributes the lattice fence, never ±∞); terms land on
+    * the 1e-9 INTEGER lattice (round(t·1e9) longs — the house
+    * cross-engine discipline for ln-based scores), weight by the
+    * duplicate count in exact BIGINT arithmetic, and the loss is ONE
+    * final fixed-shape double division — the DuckDB oracle replays
+    * every digit. */
+  def trainNodeEmbeddingsLoss(examples: DataFrame, dim: Int,
+                              iters: Int, lr: Double,
+                              seed: String = "e0"): DataFrame =
+    trainLoop(examples, dim, iters, lr, seed)._2
+
+  private def trainLoop(examples: DataFrame, dim: Int, iters: Int,
+                        lr: Double, seed: String)
+      : (DataFrame, DataFrame) = {
     require(dim >= 1 && dim <= 64, "dim must be in [1, 64]")
     require(iters >= 1, "iters must be >= 1")
     require(lr > 0, "lr must be positive")
@@ -1201,22 +1379,41 @@ object Graph {
         init("E").as("ew"), init("C").as("cw"))
       .truncateLineage(false)
     val zero = lit(0).cast("decimal(14,9)")
-    (1 to iters).foreach { _ =>
+    val losses = collection.mutable.Buffer.empty[DataFrame]
+    (1 to iters).foreach { i =>
       val eRows = emb.select(col("node").as("center"), col("j"),
         col("ew"))
       val cRows = emb.select(col("node").as("context"), col("j"),
         col("cw"))
-      // σ(e·c) per distinct example; rc = (σ − label)·cnt back on the
-      // (14,9) lattice (scale stays 9: the cnt factor is integral)
-      val scored = ex
+      // σ(e·c) per distinct example (round-9, the logreg discipline)
+      val scoredSig = ex
         .join(eRows, Seq("center")).join(cRows, Seq("context", "j"))
         .groupBy(col("center"), col("context"), col("label"),
           col("cnt"))
         .agg(sum(col("ew") * col("cw")).as("sRaw"))
-        .select(col("center"), col("context"),
-          ((round(lit(1.0) /
+        .select(col("center"), col("context"), col("label"),
+          col("cnt"),
+          round(lit(1.0) /
               (lit(1.0) + exp(-col("sRaw").cast("double"))), 9)
-            .cast("decimal(14,9)") - col("label").cast("decimal(14,9)"))
+            .cast("decimal(14,9)").as("sig"))
+      // this round's log-loss (model state ENTERING the round): the
+      // clamped-sigmoid ln terms on the 1e-9 integer lattice, weighted
+      // by the duplicate count in exact longs, ONE final division
+      val sigc = least(
+        greatest(col("sig"), lit("0.000000001").cast("decimal(14,9)")),
+        lit("0.999999999").cast("decimal(14,9)")).cast("double")
+      val term = when(col("label") === 1, -log(sigc))
+        .otherwise(-log(lit(1.0) - sigc))
+      losses += scoredSig
+        .agg(sum(col("cnt").cast("long") *
+          round(term * 1e9).cast("long")).as("u"))
+        .select(lit(i).as("iter"),
+          (col("u").cast("double") / 1e9).as("loss"))
+      // rc = (σ − label)·cnt back on the lattice (scale stays 9: the
+      // cnt factor is integral; precision 19 holds |rc| < cnt)
+      val scored = scoredSig
+        .select(col("center"), col("context"),
+          ((col("sig") - col("label").cast("decimal(14,9)"))
             * col("cnt")).cast("decimal(19,9)").as("rc"))
       val withVecs = scored
         .join(eRows, Seq("center")).join(cRows, Seq("context", "j"))
@@ -1242,9 +1439,10 @@ object Graph {
             .cast("decimal(14,9)").as("cw"))
         .truncateLineage(false)
     }
-    emb.select(col("node"), col("j"),
-      round(col("ew").cast("double"), 6).as("e_w"),
-      round(col("cw").cast("double"), 6).as("c_w"))
+    (emb.select(col("node"), col("j"),
+       round(col("ew").cast("double"), 6).as("e_w"),
+       round(col("cw").cast("double"), 6).as("c_w")),
+     losses.reduce(_ unionByName _))
   }
 
   /** Skip-gram training pairs from a walk corpus — the

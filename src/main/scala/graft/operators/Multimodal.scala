@@ -1318,6 +1318,209 @@ object Multimodal {
       fingerprints.select(col("id"), col("ahash").as("phash")),
       hammingMax, chunks)
 
+  /** Integer grid-delta hash of a decoded frame — the video leg's
+    * per-frame hash: 8×8 block sums of INTEGER luma (299r + 587g +
+    * 114b, exact longs), bit k set iff block k+1 outweighs block k in
+    * row-major order (unequal block areas compare cross-multiplied,
+    * still exact) — [[audioFingerprints]]' Haitsma–Kalker consecutive
+    * comparison applied spatially, i.e. the public dHash family.
+    * Chosen over the DCT pHash for video HERE because every bit is a
+    * pure integer comparison: the oracle replays frame hashes
+    * digit-exact from a fixture's pixel grammar, which float DCT
+    * coefficients cannot offer. */
+  private[graft] def gridDeltaHash64(img: PngImage): Long = {
+    require(img.width > 0 && img.height > 0, "empty image")
+    val s = new Array[Long](64)
+    val area = new Array[Long](64)
+    var by = 0
+    while (by < 8) {
+      val y0 = (by.toLong * img.height / 8).toInt
+      val y1 = math.max(y0 + 1, ((by + 1).toLong * img.height / 8).toInt)
+      var bx = 0
+      while (bx < 8) {
+        val x0 = (bx.toLong * img.width / 8).toInt
+        val x1 = math.max(x0 + 1, ((bx + 1).toLong * img.width / 8).toInt)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val base = (y * img.width + x) * img.channels
+            val r = img.pixels(base) & 0xff
+            val (g, b) =
+              if (img.channels >= 3)
+                (img.pixels(base + 1) & 0xff, img.pixels(base + 2) & 0xff)
+              else (r, r)
+            sum += 299L * r + 587L * g + 114L * b
+            x += 1
+          }
+          y += 1
+        }
+        val k = by * 8 + bx
+        s(k) = sum
+        area(k) = (y1 - y0).toLong * (x1 - x0)
+        bx += 1
+      }
+      by += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < 63) {
+      if (s(k + 1) * area(k) > s(k) * area(k + 1)) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
+
+  /** [[firstAviFrame]]'s RIFF walk, continued past the first frame:
+    * every `##dc`/`##db` movi chunk in container order, keeping
+    * indices 0, stride, 2·stride … up to `maxFrames` — the walk stops
+    * as soon as the budget is met, so cost is bounded regardless of
+    * container length. Same remaining-length bounds discipline. */
+  private[operators] def aviSampledFrames(
+      content: Array[Byte], stride: Int,
+      maxFrames: Int): Option[Vector[Array[Byte]]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    if (content.length < 24) return None
+    val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    if (bb.getInt(0) != 0x46464952 || bb.getInt(8) != 0x20495641)
+      return None // "RIFF" ... "AVI "
+    var pos = 12
+    while (pos + 8 <= content.length) {
+      val ckId = bb.getInt(pos)
+      val ckSz = bb.getInt(pos + 4)
+      if (ckSz < 0 || ckSz > content.length - pos - 8) return None
+      if (ckId == 0x5453494C && ckSz >= 4 &&
+        bb.getInt(pos + 8) == 0x69766F6D) { // LIST ... 'movi'
+        var p = pos + 12
+        val end = pos + 8 + ckSz
+        val out = Vector.newBuilder[Array[Byte]]
+        var idx = 0
+        var kept = 0
+        while (p + 8 <= end && kept < maxFrames) {
+          val id4 = bb.getInt(p)
+          val sz = bb.getInt(p + 4)
+          if (sz < 0 || sz > end - p - 8) return None
+          val b2 = (id4 >>> 16) & 0xff
+          val b3 = (id4 >>> 24) & 0xff
+          if (b2 == 'd' && (b3 == 'c' || b3 == 'b') && sz > 0) {
+            if (idx % stride == 0) {
+              out += java.util.Arrays.copyOfRange(content, p + 8,
+                p + 8 + sz)
+              kept += 1
+            }
+            idx += 1
+          }
+          p += 8 + sz + (sz & 1)
+        }
+        val v = out.result()
+        return if (v.nonEmpty) Some(v) else None
+      }
+      pos += 8 + ckSz + (ckSz & 1)
+    }
+    None
+  }
+
+  /** Frame-sequence fingerprints over `video/avi` assets — the video
+    * leg of the dedup quad (text / image / audio / THIS): frames
+    * sample at a deterministic stride through the movi list (indices
+    * 0, stride, …, ≤ maxFrames), each decodes to pixels (JPEG by SOI
+    * gate — the MJPEG case — else uncompressed-BMP `##db` payload)
+    * and hashes via [[gridDeltaHash64]]. An asset whose SAMPLED
+    * frames don't all decode is OMITTED — a partial sequence would
+    * misalign against its true near-duplicates, aliasing unrelated
+    * videos. Output: (id, pos, fhash, n_frames), one row per sampled
+    * frame.
+    *
+    * Scale design: the same codec-boundary `mapPartitions` shape as
+    * [[perceptualHashes]] — decode runs once per asset, bounded at
+    * `maxFrames` frames; every downstream pass joins on fixed 8-byte
+    * frame hashes. */
+  def videoFingerprints(assets: DataFrame, stride: Int = 2,
+                        maxFrames: Int = 8): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    require(maxFrames >= 1, "maxFrames must be >= 1")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fhash", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    val enc = ExpressionEncoder(schema)
+    assets.select(col("id"), col("content"), col("meta.mime").as("mime"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.getString(2) != "video/avi") Nil
+          else videoFingerprintRows(r.getLong(0),
+            r.getAs[Array[Byte]](1), stride, maxFrames)
+        }
+      }(enc)
+  }
+
+  private def videoFingerprintRows(id: Long, content: Array[Byte],
+                                   stride: Int,
+                                   maxFrames: Int): Seq[Row] = {
+    val frames = scala.util.Try(
+        aviSampledFrames(content, stride, maxFrames))
+      .toOption.flatten.getOrElse(return Nil)
+    val hashes = frames.map { f =>
+      val img =
+        if (f.length >= 2 && (f(0) & 0xff) == 0xff &&
+          (f(1) & 0xff) == 0xd8)
+          scala.util.Try(decodeJpegRaw(f)).toOption.flatten
+        else scala.util.Try(bmpToImage(f)).toOption.flatten
+      img.filter(i => i.width > 0 && i.height > 0).map(gridDeltaHash64)
+    }
+    if (hashes.exists(_.isEmpty)) return Nil
+    val hs = hashes.map(_.get)
+    hs.zipWithIndex.map { case (h, i) => Row(id, i, h, hs.length) }
+  }
+
+  /** Near-duplicate video pairs from a [[videoFingerprints]] frame:
+    * all (id_a < id_b) pairs with EQUAL sampled-frame counts whose
+    * per-position frame-hash Hamming distance never exceeds
+    * `hammingMax` — the aligned-sequence metric (same content
+    * re-encoded keeps every sampled frame close; a cut or insert
+    * breaks alignment and correctly fails the count gate). Output:
+    * (id_a, id_b, hamming) with hamming = the max per-position
+    * distance.
+    *
+    * Scale design: banded, never all-pairs — candidates come from the
+    * POSITION-0 hash through the exact pigeonhole chunk machinery the
+    * image/audio legs use (a qualifying pair has frame-0 distance ≤
+    * hammingMax < chunks, so it must agree on a chunk: full recall),
+    * deduped by the zero-shuffle firstAgreeingChunk expression; only
+    * candidate pairs join their full (≤ maxFrames-row) sequences for
+    * the exact verify. */
+  def videoNearDupPairs(fingerprints: DataFrame, hammingMax: Int = 4,
+                        chunks: Int = 8): DataFrame = {
+    chunkGuards(hammingMax, chunks)
+    val f0 = fingerprints.filter(col("pos") === 0)
+      .select(col("id"), col("fhash").as("phash"))
+    val chunked = chunkedHashes(f0, chunks)
+    val cand = chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .filter(col("a.chunk") ===
+        firstAgreeingChunk(col("a.phash"), col("b.phash"), chunks))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val seq = fingerprints.select(col("id"), col("pos"),
+      col("fhash"), col("n_frames"))
+    cand.join(seq.as("sa"), col("id_a") === col("sa.id"))
+      .join(seq.as("sb"),
+        col("id_b") === col("sb.id") && col("sa.pos") === col("sb.pos"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        max(bit_count(col("sa.fhash").bitwiseXOR(col("sb.fhash")))
+          .cast("long")).as("hamming"),
+        count(lit(1)).as("__m"),
+        max(col("sa.n_frames")).as("__na"),
+        max(col("sb.n_frames")).as("__nb"))
+      .filter(col("__m") === col("__na") &&
+        col("__na") === col("__nb") && col("hamming") <= hammingMax)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** In-place iterative radix-2 Cooley-Tukey FFT (re, im same length,
     * a power of two). Textbook butterfly with a recurrence twiddle —
     * O(n log n), zero allocation beyond the caller's buffers. */

@@ -1710,10 +1710,14 @@ object Pipeline {
 
     // second-order (p, q)-biased walks — node2vec's transition
     // kernel on the integer weight lattice; the in-flight frame is
-    // the edge list
+    // the edge list. With `start_condition` (SQL over the edge
+    // frame; matching SOURCE nodes start a walk) the hub-degree-proof
+    // cumulative-weight-bucketed form runs instead — same draw
+    // grammar, same positions, per-step cost ∝ walkers not
+    // Σ deg(cur); `bucket_cap` sizes the weight-space windows
     "node2vec_walks" -> OpSpec(
       Set("src_col", "dst_col", "steps", "p", "q", "seed"),
-      Set("undirected"),
+      Set("undirected", "start_condition", "bucket_cap"),
       params => {
         val (src, dst) = (params.str("src_col"), params.str("dst_col"))
         val steps = params.int("steps")
@@ -1721,8 +1725,19 @@ object Pipeline {
         val q = params.int("q")
         val seed = params.str("seed")
         val undir = params.bool("undirected", Some(true))
-        df => Graph.node2vecWalks(df, src, dst, steps, p, q, seed,
-          undir)
+        if (params.has("start_condition")) {
+          val cond = parseEagerly(params.str("start_condition"))
+          val cap = params.int("bucket_cap", Some(1024))
+          df => Graph.node2vecSeededWalks(df, src, dst,
+            df.filter(cond).select(col(src).as("node")), "node",
+            steps, p, q, seed, undir, cap)
+        } else {
+          require(!params.has("bucket_cap"),
+            "node2vec_walks: bucket_cap applies only to the seeded " +
+              "(start_condition) form")
+          df => Graph.node2vecWalks(df, src, dst, steps, p, q, seed,
+            undir)
+        }
       }),
 
     // hash-seeded negative sampling over a walk_pairs corpus — the
@@ -1760,6 +1775,20 @@ object Pipeline {
         val lr = p.dbl("lr")
         val seed = p.str("seed")
         df => Graph.trainNodeEmbeddings(df, dim, iters, lr, seed)
+      }),
+
+    // the trainer's convergence curve from config: per-iteration
+    // full-batch log-loss of the SAME run (integer-lattice ln terms)
+    // — a user tunes lr/iters against this readout without writing a
+    // probe query
+    "train_node_embeddings_loss" -> OpSpec(
+      Set("dim", "iters", "lr", "seed"), Set(),
+      p => {
+        val dim = p.int("dim")
+        val iters = p.int("iters")
+        val lr = p.dbl("lr")
+        val seed = p.str("seed")
+        df => Graph.trainNodeEmbeddingsLoss(df, dim, iters, lr, seed)
       }),
 
     "triangle_counts" -> OpSpec(Set("src_col", "dst_col"), Set(),
@@ -2238,6 +2267,49 @@ object Pipeline {
         val c = p.int("chunks", Some(4))
         df => Multimodal.phashNearDupPairs(
           Multimodal.perceptualHashes(df), h, c)
+      }),
+
+    // the audio leg of the dedup family in config form (phash_dedup's
+    // precedent): energy-envelope delta fingerprints over an asset
+    // frame, then banded near-dup pairs — split into two steps so the
+    // fingerprint frame itself is addressable mid-config (persist it,
+    // join it, or feed audio_near_dup directly)
+    "audio_fingerprints" -> OpSpec(Set(),
+      Set("frame_size", "n_frames"),
+      p => {
+        val fs = p.int("frame_size", Some(1024))
+        val nf = p.int("n_frames", Some(65))
+        df => Multimodal.audioFingerprints(df, fs, nf)
+      }),
+
+    // near-dup pairs over an audio_fingerprints frame (the banded
+    // chunk equi-join — never all-pairs)
+    "audio_near_dup" -> OpSpec(Set(), Set("hamming_max", "chunks"),
+      p => {
+        val h = p.int("hamming_max", Some(4))
+        val c = p.int("chunks", Some(8))
+        df => Multimodal.audioNearDupPairs(df, h, c)
+      }),
+
+    // the video leg: frame-sequence fingerprints over an asset frame
+    // (deterministic-stride sample through the AVI movi list, one
+    // grid-delta hash per sampled frame)…
+    "video_fingerprints" -> OpSpec(Set(),
+      Set("stride", "max_frames"),
+      p => {
+        val st = p.int("stride", Some(2))
+        val mf = p.int("max_frames", Some(8))
+        df => Multimodal.videoFingerprints(df, st, mf)
+      }),
+
+    // …and aligned-sequence near-dup pairs over that frame
+    // (position-0 chunk banding for candidates, exact
+    // max-per-position verify — never all-pairs)
+    "video_near_dup" -> OpSpec(Set(), Set("hamming_max", "chunks"),
+      p => {
+        val h = p.int("hamming_max", Some(4))
+        val c = p.int("chunks", Some(8))
+        df => Multimodal.videoNearDupPairs(df, h, c)
       }),
 
     // stateless per-row steps rounding out the crawl/curation chain

@@ -752,6 +752,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(1, 2, 3, "n2v") == firstOrder)
   }
 
+  test("node2vecSeededWalks: the cumulative-weight-bucketed pick is " +
+       "bit-identical to node2vecWalks for any bucket cap; seed " +
+       "slices walk only their own starts; isolated seeds end at " +
+       "step 0") {
+    import spark.implicits._
+    // random multigraph with a hub so both the idx buckets (step 1)
+    // and weight-space buckets (steps >= 2) split at small caps;
+    // p=2 q=3 puts weights {3, 6, 2} so intervals span bucket
+    // boundaries even at cap 16
+    val rnd = new scala.util.Random(29)
+    val edges = ((0 until 400).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)) ++
+      (100L to 160L).map(v => (0L, v))).toDF("src", "dst")
+    val all = graft.operators.Graph.node2vecWalks(
+        edges, "src", "dst", steps = 4, p = 2, q = 3, seed = "sx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val allNodes = all.filter(_._2 == 0).map(_._1).toSeq.toDF("node")
+    Seq(1, 3, 16, 1024).foreach { cap =>
+      val got = graft.operators.Graph.node2vecSeededWalks(edges,
+          "src", "dst", allNodes, "node", steps = 4, p = 2, q = 3,
+          seed = "sx", bucketCap = cap)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      assert(got == all, s"cap $cap diverged from the join form")
+    }
+    // a seed SLICE yields exactly the slice's walks, nothing else
+    val slice = Seq(0L, 7L).toDF("node")
+    val sliced = graft.operators.Graph.node2vecSeededWalks(edges,
+        "src", "dst", slice, "node", steps = 4, p = 2, q = 3,
+        seed = "sx", bucketCap = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(sliced == all.filter(t => t._1 == 0L || t._1 == 7L))
+    // an isolated seed (not in the graph) emits only its step-0 row
+    val lone = graft.operators.Graph.node2vecSeededWalks(edges, "src",
+        "dst", Seq(999L).toDF("node"), "node", steps = 4, p = 2,
+        q = 3, seed = "sx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(lone == Set((999L, 0, 999L)))
+  }
+
   test("trainNodeEmbeddings: full-batch GD on the decimal lattice " +
        "replicates an exact driver-side trainer (BigDecimal dots and " +
        "gradients, round-9 sigmoid and update); duplicates fold into " +
@@ -6055,6 +6098,92 @@ class OperatorsSpec extends AnyFunSuite {
     // stub features are byte-histogram moments, 8 dims summing to ~1
     assert(math.abs(feats(2L).sum - 1.0) < 1e-9)
     assert(math.abs(feats(3L).sum - 1.0) < 1e-9)
+  }
+
+  test("videoFingerprints / videoNearDupPairs: frame-sequence hashes " +
+       "replicate the driver-side grid-delta computation; stride " +
+       "samples deterministically; a broken frame omits the asset; " +
+       "banded pairs equal all-pairs aligned ground truth") {
+    val s = spark
+    import s.implicits._
+    // 16×16 grayscale top-down BMP with pixel v(x, y) from a formula
+    def bmpOf(f: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](54 + 16 * 48)
+      val bb = java.nio.ByteBuffer.wrap(px)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + 16 * 48)
+        .putInt(0).putInt(54).putInt(40).putInt(16).putInt(-16)
+        .putShort(1).putShort(24).putInt(0).putInt(16 * 48)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = f(x, y) & 0xff
+        val off = 54 + y * 48 + x * 3
+        px(off) = v.toByte; px(off + 1) = v.toByte
+        px(off + 2) = v.toByte
+      }
+      px
+    }
+    def dbAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val movi = "movi".getBytes("US-ASCII") ++
+        frames.flatMap(f => riffChunk("00db", f)).toArray
+      val body = "AVI ".getBytes("US-ASCII") ++ riffChunk("LIST", movi)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    def baseV(fr: Int)(x: Int, y: Int): Int =
+      (fr * 29 + x * 11 + y * 7 + (x * y) % 13) % 256
+    // video 1: base; video 2: one 2×2 block of frame 1 nudged (+1) →
+    // per-frame hamming ≤ 2; video 3: unrelated content;
+    // video 4: middle frame corrupt → whole asset omitted
+    val v1 = dbAvi((0 until 3).map(fr => bmpOf(baseV(fr))))
+    val v2 = dbAvi((0 until 3).map { fr =>
+      bmpOf((x, y) => baseV(fr)(x, y) +
+        (if (fr == 1 && x / 2 == 3 && y / 2 == 4) 1 else 0))
+    })
+    val v3 = dbAvi((0 until 3).map(fr =>
+      bmpOf((x, y) => (x * 91 + y * 53 + fr * 17) % 256)))
+    val v4 = dbAvi(Seq(bmpOf(baseV(0)), Array[Byte](1, 2, 3),
+      bmpOf(baseV(2))))
+    val af = Seq((1L, v1), (2L, v2), (3L, v3), (4L, v4))
+      .toDF("id", "content")
+      .select(col("id"), col("content"),
+        struct(lit("video/avi").as("mime"), lit("t").as("source"),
+          octet_length(col("content")).cast("long").as("n_bytes"))
+          .as("meta"))
+    val fps = Multimodal.videoFingerprints(af, stride = 1,
+      maxFrames = 8)
+    val rows = fps.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val want1 = (0 until 3).map { fr =>
+      Multimodal.gridDeltaHash64(
+        Multimodal.bmpToImage(bmpOf(baseV(fr))).get)
+    }
+    assert(rows.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq ==
+      want1)
+    assert(rows.filter(_._1 == 1L).forall(_._4 == 3))
+    assert(!rows.exists(_._1 == 4L)) // broken frame → omitted
+    // stride 2 keeps container frames 0 and 2 as positions 0 and 1
+    val strided = Multimodal.videoFingerprints(af, stride = 2,
+        maxFrames = 8)
+      .filter(col("id") === 1L).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(strided.toSeq == Seq((0, want1(0)), (1, want1(2))))
+    // banded pairs equal driver-side all-pairs aligned ground truth
+    val got = Multimodal.videoNearDupPairs(fps, hammingMax = 4,
+        chunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val seqs = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val want = (for {
+      a <- seqs.keys; b <- seqs.keys
+      if a < b && seqs(a).size == seqs(b).size
+      h = seqs(a).zip(seqs(b))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.max
+      if h <= 4
+    } yield (a, b, h.toLong)).toSet
+    assert(got == want)
+    assert(got.exists(t => t._1 == 1L && t._2 == 2L))
+    assert(!got.exists(t => t._1 == 3L || t._2 == 3L))
   }
 
   // ---- unigram-LM tokenizer (Kudo hard-EM) ----
