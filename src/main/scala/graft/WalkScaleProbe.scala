@@ -105,17 +105,24 @@ object WalkScaleProbe {
         f"${tJoin / tBucket}%.1f")
     }
 
-    // ---- second-order (p, q) section: per-STEP slope isolation ----
-    // Both second-order forms pay the one-time Σ deg² successor-table
-    // build (node2vec's documented alias price; on a star that is D²
-    // rows, which bounds the probe's feasible D). What the bucketed
-    // form fixes is the PER-STEP cost: the join form materializes
-    // walkers × D rows on every hub draw, the bucketed form does
-    // `walkers` bounded-array lookups. So this section measures the
-    // SLOPE between a 2-step and a 6-step run of the same form (the
-    // shared build subtracts out) and expects the join slope to grow
-    // ~D while the bucketed slope stays FLAT.
-    val (p2, q2, cap2, nWalkers2) = (1, 4, 64, 2048)
+    // ---- second-order (p, q) section: the walker-sweep slope ----
+    // Unlike first-order (bucket table O(E/cap + V), so the whole
+    // step is walker-bounded), BOTH second-order forms stream the
+    // Σ deg² alias table every step — the documented second-order
+    // price (on a star, D² entries, which also bounds the probe's
+    // feasible D). What the bucketed pick removes is the OUTPUT
+    // term: the join form materializes walkers × D rows per hub
+    // draw, the bucketed form emits `walkers` rows. So this section
+    // fixes the star and sweeps the FRONTIER: the slope between a
+    // 2-step and a 6-step run isolates per-step cost (the shared
+    // build subtracts out), and the join slope must grow ~linearly
+    // in walkers while the bucketed slope stays FLAT.
+    // Noise discipline: the per-run cost is build-dominated and the
+    // slope is a difference of large numbers, so each configuration
+    // takes the MIN of two samples (suppresses ambient spikes), both
+    // forms get one untimed warmup (codegen/JIT), and the step span
+    // is 2 → 12 so the signal is 10 steps wide.
+    val (p2, q2, cap2, d2) = (1, 4, 64, 2000)
 
     // node2vecWalks' esucc + interval-filter loop verbatim (incl. its
     // lineage truncation — without it the Σ deg² window chain would
@@ -185,30 +192,34 @@ object WalkScaleProbe {
       acc
     }
 
-    println("-- second-order (p=1,q=4): per-step slope " +
-      "(t(6 steps) - t(2 steps)) / 4 --")
+    println(s"-- second-order (p=$p2,q=$q2), star D=$d2: per-step " +
+      "slope (t(12 steps) - t(2 steps)) / 10 vs frontier size --")
     println("hub_degree,walkers,join_slope_s,bucketed_slope_s,ratio")
-    // fixed degrees (args size the FIRST-order section only): the
-    // Σ deg² = D² successor build bounds feasible star sizes here
-    val degrees2 = Seq(1000, 3000, 9000)
-    degrees2.zipWithIndex.foreach { case (d, i) =>
-      val edges = spark.range(1L, d + 1L)
-        .select(lit(0L).as("src"), col("id").as("dst"))
-        .localCheckpoint(true)
-      val seeds = spark.range(1L, nWalkers2 + 1L)
-        .select(col("id").as("node")).localCheckpoint(true)
-      def bucketed(steps: Int) =
-        Graph.node2vecSeededWalks(edges, "src", "dst", seeds, "node",
-          steps, p2, q2, seed, bucketCap = cap2)
-      val (join6, tJ6) = timed(rows(joinSeeded2(edges, seeds, 6)))
-      val (_, tJ2) = timed(rows(joinSeeded2(edges, seeds, 2)))
-      val (bucket6, tB6) = timed(rows(bucketed(6)))
-      val (_, tB2) = timed(rows(bucketed(2)))
-      require(bucket6 == join6,
-        s"second-order bucketed walks diverged from the join form " +
-          s"at D=$d")
-      val (sJ, sB) = ((tJ6 - tJ2) / 4, (tB6 - tB2) / 4)
-      println(f"$d,$nWalkers2,$sJ%.2f,$sB%.2f,${sJ / sB}%.1f")
+    val edges2 = spark.range(1L, d2 + 1L)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+      .localCheckpoint(true)
+    def seedsOf(n: Int) = spark.range(1L, n + 1L)
+      .select(col("id").as("node")).localCheckpoint(true)
+    def bucketed(seeds: DataFrame, steps: Int) =
+      Graph.node2vecSeededWalks(edges2, "src", "dst", seeds, "node",
+        steps, p2, q2, seed, bucketCap = cap2)
+    def minT(f: => Unit): Double =
+      (1 to 2).map(_ => timed(f)._2).min
+    // untimed warmup: both forms' codegen + JIT
+    val wSeeds = seedsOf(64)
+    rows(joinSeeded2(edges2, wSeeds, 2))
+    rows(bucketed(wSeeds, 2))
+    require(rows(bucketed(wSeeds, 12)) ==
+      rows(joinSeeded2(edges2, wSeeds, 12)),
+      "second-order bucketed walks diverged from the join form")
+    Seq(512, 4096).foreach { nw =>
+      val seeds = seedsOf(nw)
+      val tJ12 = minT(rows(joinSeeded2(edges2, seeds, 12)))
+      val tJ2 = minT(rows(joinSeeded2(edges2, seeds, 2)))
+      val tB12 = minT(rows(bucketed(seeds, 12)))
+      val tB2 = minT(rows(bucketed(seeds, 2)))
+      val (sJ, sB) = ((tJ12 - tJ2) / 10, (tB12 - tB2) / 10)
+      println(f"$d2,$nw,$sJ%.2f,$sB%.2f,${sJ / sB}%.1f")
     }
     spark.stop()
   }

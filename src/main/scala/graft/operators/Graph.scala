@@ -1149,21 +1149,30 @@ object Graph {
     * CUMULATIVE-WEIGHT buckets instead of joining every successor of
     * (prev, cur) and filtering to the one interval containing r.
     *
-    * Why: the twin's join-filter pick materializes Σ deg(cur) rows
-    * per walker per step — the same hub tax [[seededWalks]] kills for
-    * the first-order kernel (BASELINE.md hub probe: 19.6× at
-    * D = 10⁶). Here the successor table is bucketed ONCE in
-    * cumulative-weight space: bucket b of (t, v) holds every
-    * successor whose interval [cumb, cumb + w) overlaps
-    * [b·cap, (b+1)·cap) — a neighbor spanning a boundary replicates
-    * into each window it touches, so the bucket holding draw r is
-    * EXACTLY r div cap (integer arithmetic on the exact lattice, no
-    * search). Each step is then two 1-row-per-walker equi-joins —
-    * totals for r = hash48 mod total, then the single (t, v, r div
-    * cap) bucket — and one bounded in-array interval scan (≤ cap/min
-    * weight + 1 entries since weights ≥ 1). Per-step cost ∝ walkers,
-    * FLAT in hub degree; the one-time successor-table build keeps
-    * node2vec's documented Σ deg² alias-table price. Step 1 (no
+    * Why: the twin's join-filter pick MATERIALIZES Σ_walkers deg(cur)
+    * join-output rows per step (every successor of every walker's
+    * position, filtered down to one each) — the hub tax
+    * [[seededWalks]] kills for the first-order kernel. Here the
+    * successor table is bucketed ONCE in cumulative-weight space:
+    * bucket b of (t, v) holds every successor whose interval
+    * [cumb, cumb + w) overlaps [b·cap, (b+1)·cap) — a neighbor
+    * spanning a boundary replicates into each window it touches, so
+    * the bucket holding draw r is EXACTLY r div cap (integer
+    * arithmetic on the exact lattice, no search). Each step is then
+    * two 1-row-per-walker equi-joins — totals for r = hash48 mod
+    * total, then the single (t, v, r div cap) bucket — emitting ONE
+    * row per walker with a bounded primitive-array pick.
+    *
+    * Honest second-order cost model (unlike first-order, where the
+    * bucket table is O(E/cap + V)): the alias table holds Σ deg²
+    * entries, and a Spark join streams the stored side, so EVERY
+    * step — in both forms — pays a scan of that table; that term is
+    * node2vec's documented second-order price and grows with hub
+    * degree squared. What this operator removes is the OUTPUT term:
+    * Σ_walkers deg(cur) rows per step in the twin vs `walkers` rows
+    * here — flat in frontier size and in hub degree, and the term
+    * that dominates whenever frontiers are large or walks long (see
+    * BASELINE.md's second-order walker-sweep probe). Step 1 (no
     * prev) is the twin's uniform pick via [[seededWalks]]' capped
     * idx-bucket machinery, same hash grammar.
     *
@@ -1229,15 +1238,24 @@ object Graph {
       (sum(col("w")).over(wTv.orderBy(col("x"))
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)) - col("w")).as("cumb"))
+    // per-bucket payload as two PRIMITIVE long arrays (cumulative
+    // starts + successors), not array-of-struct: the table is scanned
+    // every step (the alias price), and flat long arrays deserialize
+    // an order of magnitude cheaper than struct rows. Weights need
+    // not be stored at all — intervals are CONTIGUOUS within (t, v),
+    // so the entry containing r is simply the last with cumb ≤ r
     val wBuckets = cum
-      .select(col("t"), col("v"), col("x"), col("w"), col("cumb"),
+      .select(col("t"), col("v"), col("x"), col("cumb"),
         explode(sequence(
           (col("cumb") / lit(bucketCap)).cast("long"),
           ((col("cumb") + col("w") - 1) / lit(bucketCap))
             .cast("long"))).as("bucket"))
       .groupBy(col("t"), col("v"), col("bucket"))
       .agg(sort_array(collect_list(
-        struct(col("cumb"), col("w"), col("x")))).as("arr"))
+        struct(col("cumb"), col("x")))).as("arr0"))
+      .select(col("t"), col("v"), col("bucket"),
+        transform(col("arr0"), e => e("cumb")).as("cumbs"),
+        transform(col("arr0"), e => e("x")).as("xs"))
       .truncateLineage(false)
     val totals = flagged.groupBy(col("t"), col("v"))
       .agg(sum(col("w")).as("total")).truncateLineage(false)
@@ -1274,6 +1292,9 @@ object Graph {
             col("wk.cur") === col("tt.v"))
         .select(col("wk.start").as("start"), col("wk.prev").as("prev"),
           col("wk.cur").as("cur"), rr.as("r"))
+      // contiguous intervals: the successor containing r is the LAST
+      // entry whose cumulative start ≤ r — a counting scan over a
+      // bounded primitive array, no interval arithmetic needed
       walk = picked.alias("pk")
         .join(wBuckets.alias("bk"),
           col("pk.prev") === col("bk.t") &&
@@ -1281,9 +1302,9 @@ object Graph {
             (col("pk.r") / lit(bucketCap)).cast("long") ===
               col("bk.bucket"))
         .select(col("pk.start").as("start"), col("pk.cur").as("prev"),
-          element_at(filter(col("bk.arr"),
-            el => col("pk.r") >= el("cumb") &&
-              col("pk.r") < el("cumb") + el("w")), 1)("x").as("cur"))
+          element_at(col("bk.xs"),
+            size(filter(col("bk.cumbs"), c => c <= col("pk.r"))))
+            .as("cur"))
         .truncateLineage(false)
       acc = acc.union(
         walk.select(col("start"), lit(k).as("step"), col("cur")))
