@@ -322,11 +322,16 @@ object Graph {
       .distinct()
       .truncateLineage(false)
     require(e.limit(1).count() > 0, "hits needs at least one edge")
+    // r16: the mass total stays IN-PLAN as a broadcast scalar
+    // (crossJoin of a 1-row aggregate) instead of a per-phase driver
+    // `.head` action — 2 blocking driver round-trips per iteration
+    // removed, identical exact-long total and rounding
     def normalize(masses: DataFrame, out: String): DataFrame = {
-      val s = masses.agg(sum(col("m"))).head.getLong(0)
-      masses.select(col("node"),
-        round(col("m").cast("double") / lit(s.toDouble) * lit(1e9))
-          .cast("long").as(out))
+      val tot = masses.agg(sum(col("m")).as("__s"))
+      masses.crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(col("m").cast("double") / col("__s").cast("double")
+            * lit(1e9)).cast("long").as(out))
         .truncateLineage(false)
     }
     var hub = nodes.withColumn("hu", lit(1000000000L))
@@ -906,12 +911,12 @@ object Graph {
     * Output: (start, step, node) rows, step 0..steps — one row per
     * walk position; walks at isolated nodes end at step 0.
     *
-    * Scale design: the adjacency index (row_number + count over
-    * src-partitioned windows) is ONE sort-shuffle built once and
-    * lineage-truncated; each step is ONE equi-join on the current
-    * node (the hash-mod pick rides the join as a post-filter on the
-    * sorted index) — work per step ∝ edges incident to the walk
-    * frontier, never all-pairs, nothing on the driver. */
+    * Scale design: the dst-sorted adjacency arrays are ONE
+    * map-side-combined groupBy built once and lineage-truncated;
+    * each step is ONE equi-join on the current node emitting one row
+    * per walker (the hash-mod pick is an element_at into the sorted
+    * array) — work per step ∝ walkers, never all-pairs, nothing on
+    * the driver. */
   def deterministicWalks(edges: DataFrame, srcCol: String,
                          dstCol: String, steps: Int,
                          seed: String = "s0",
@@ -924,15 +929,20 @@ object Graph {
         fwd.union(edges.select(col(dstCol).as("src"),
           col(srcCol).as("dst")))
       else fwd
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src"))
-    val adj = oriented.filter(col("src") =!= col("dst")).distinct()
-      .select(col("src"), col("dst"),
-        row_number().over(w.orderBy(col("dst"))).as("idx"),
-        count(lit(1)).over(w).as("deg"))
+    val e = oriented.filter(col("src") =!= col("dst")).distinct()
       .truncateLineage(false)
-    val nodes = adj.select(col("src").as("node"))
-      .union(adj.select(col("dst").as("node"))).distinct()
+    // sorted adjacency ARRAYS (r16, guide §2.3/§2.4): a groupBy with
+    // map-side partial aggregation replaces the row_number window's
+    // exchange + full sort, and each step emits ONE row per walker
+    // via element_at into the dst-sorted array (identical to the
+    // window's idx pick) instead of deg(node) join rows filtered to
+    // one — the hub tax the seeded form documents, removed from the
+    // all-nodes corpus shape too
+    val adjArr = e.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .truncateLineage(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
     var walk = nodes.select(col("node").as("start"),
       col("node").as("node")).truncateLineage(false)
     var acc = walk.select(col("start"), lit(0).as("step"), col("node"))
@@ -941,10 +951,10 @@ object Graph {
         conv(substring(md5(concat_ws("|",
           col("start").cast("string"), col("node").cast("string"),
           lit(k.toString), lit(seed))), 1, 12), 16, 10).cast("long"),
-        col("deg")) + 1
-      walk = walk.join(adj, walk("node") === adj("src"))
-        .filter(col("idx") === pick)
-        .select(col("start"), col("dst").as("node"))
+        size(col("nbrs")).cast("long")) + 1
+      walk = walk.join(adjArr, walk("node") === adjArr("src"))
+        .select(col("start"),
+          element_at(col("nbrs"), pick.cast("int")).as("node"))
         .truncateLineage(false)
       acc = acc.union(
         walk.select(col("start"), lit(k).as("step"), col("node")))
@@ -1056,10 +1066,11 @@ object Graph {
     *
     * Scale design: the weighted transition table is precomputed ONCE
     * on the DIRECTED-EDGE graph — for each edge (t, v), v's
-    * successor list with integer weight, cumulative weight, and
-    * total (two windows partitioned by (t, v), one sort-shuffle) —
-    * then every step is ONE equi-join of the (start, prev, cur)
-    * frontier against it with the interval filter riding the join.
+    * x-sorted successor and cumulative-weight-start arrays plus the
+    * total (one (t, v)-partitioned sort-shuffle; the array groupBy
+    * reuses that partitioning) — then every step is ONE equi-join of
+    * the (start, prev, cur) frontier against it, emitting one row
+    * per walker with a bounded in-array interval pick.
     * The table holds Σ_v in(v)·out(v) rows (Σ deg² undirected) —
     * node2vec's well-known alias-table footprint, the price of
     * second-order bias (hub-squared; sample or thin hub edges
@@ -1081,11 +1092,12 @@ object Graph {
       else fwd
     val e = oriented.filter(col("src") =!= col("dst")).distinct()
       .truncateLineage(false)
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src"))
-    val adj = e.select(col("src"), col("dst"),
-      row_number().over(w1.orderBy(col("dst"))).as("idx"),
-      count(lit(1)).over(w1).as("deg"))
+    // sorted adjacency ARRAYS (r16, guide §2.3/§2.4): a groupBy with
+    // map-side partial aggregation replaces the row_number window's
+    // exchange + full sort; element_at into the dst-sorted array
+    // reproduces the window's idx pick exactly
+    val adjArr = e.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .truncateLineage(false)
     // directed-edge successor table: (t, v) -> each neighbor x of v
     // with the integer p/q weight; one-hop membership of (t, x) via
@@ -1101,11 +1113,25 @@ object Graph {
           .otherwise(lit(p.toLong)).as("w"))
     val wTv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("t"), col("v"))
+    // r16 (guide §2.3): the per-successor rows collapse into ONE row
+    // per (t, v) carrying the x-sorted successor and cumulative-start
+    // arrays — the groupBy reuses the window's (t, v) hash
+    // partitioning (no new exchange), intervals stay CONTIGUOUS so
+    // the successor containing r is the last with cumb ≤ r, and each
+    // walk step now emits one row per walker instead of deg(cur)
+    // join rows filtered to one (the hub tax named in the header;
+    // same payload bytes, Σ deg² → E row boundaries)
     val esucc = flagged.select(col("t"), col("v"), col("x"), col("w"),
         (sum(col("w")).over(wTv.orderBy(col("x"))
           .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)) - col("w")).as("cumb"),
-        sum(col("w")).over(wTv).as("total"))
+            .unboundedPreceding, 0)) - col("w")).as("cumb"))
+      .groupBy(col("t"), col("v"))
+      .agg(sort_array(collect_list(struct(col("cumb"), col("x"))))
+        .as("arr0"),
+        sum(col("w")).as("total"))
+      .select(col("t"), col("v"), col("total"),
+        transform(col("arr0"), en => en("cumb")).as("cumbs"),
+        transform(col("arr0"), en => en("x")).as("xs"))
       .truncateLineage(false)
     def h48(cols: org.apache.spark.sql.Column*)
         : org.apache.spark.sql.Column =
@@ -1115,26 +1141,28 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
     var acc = nodes.select(col("node").as("start"), lit(0).as("step"),
       col("node"))
-    // step 1: deterministicWalks' uniform pick verbatim
+    // step 1: deterministicWalks' uniform pick verbatim (hash mod
+    // deg indexes the dst-sorted neighbor array)
     val pick1 = pmod(h48(col("node").cast("string"),
       col("node").cast("string"), lit("1"), lit(seed)),
-      col("deg")) + 1
-    var walk = nodes.join(adj, nodes("node") === adj("src"))
-      .filter(col("idx") === pick1)
+      size(col("nbrs")).cast("long")) + 1
+    var walk = nodes.join(adjArr, nodes("node") === adjArr("src"))
       .select(nodes("node").as("start"), nodes("node").as("prev"),
-        col("dst").as("cur"))
+        element_at(col("nbrs"), pick1.cast("int")).as("cur"))
       .truncateLineage(false)
     acc = acc.union(
       walk.select(col("start"), lit(1).as("step"), col("cur")))
     (2 to steps).foreach { k =>
-      val r = pmod(h48(col("start").cast("string"),
-        col("prev").cast("string"), col("cur").cast("string"),
-        lit(k.toString), lit(seed)), col("total"))
-      walk = walk.join(esucc,
+      val stepped = walk.join(esucc,
           walk("prev") === esucc("t") && walk("cur") === esucc("v"))
-        .filter(r >= col("cumb") && r < col("cumb") + col("w"))
+        .select(col("start"), col("cur"), col("xs"), col("cumbs"),
+          pmod(h48(col("start").cast("string"),
+            col("prev").cast("string"), col("cur").cast("string"),
+            lit(k.toString), lit(seed)), col("total")).as("r"))
+      walk = stepped
         .select(col("start"), col("cur").as("prev"),
-          col("x").as("cur"))
+          element_at(col("xs"),
+            size(filter(col("cumbs"), c => c <= col("r")))).as("cur"))
         .truncateLineage(false)
       acc = acc.union(
         walk.select(col("start"), lit(k).as("step"), col("cur")))
@@ -1694,13 +1722,26 @@ object Graph {
 
   /** Shared HyperBall core: per-node ball-estimate units at every
     * radius 0..iters — (node, e0..eiters) with each eK the HLL
-    * estimate of |B_K(v)| on the 1e-6 integer lattice. */
+    * estimate of |B_K(v)| on the 1e-6 integer lattice.
+    *
+    * r16 optimization (guide §2.3, shuffle fewer bytes / fewer rows):
+    * registers travel as ONE packed m-slot int array per node (0 =
+    * absent; real rho ≥ 1) instead of ≤ m (node, bucket, rho) rows.
+    * Each round's merge is a single groupBy(node) of m `max` aggregates
+    * over array slots — partial (map-side) aggregation applies, where
+    * the row form shuffled every register row; and the per-radius
+    * estimate is a narrow per-row expression over the array (exact
+    * integer n_reg / s_present — identical values to the row form,
+    * oracle-pinned), eliminating the second per-round
+    * groupBy(node) shuffle the row form paid for `estFrame`. Measured
+    * at sf0.1 (q_graph_harmonic band): see OPTIMIZATION_r16.md. */
   private def hyperBallEstimates(edges: DataFrame, srcCol: String,
                                  dstCol: String, iters: Int, b: Int,
                                  undirected: Boolean): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(b == 4 || b == 8,
       "b must be 4 or 8 (m = 16 or 256 registers per node)")
+    val m = 1 << b
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val adj = (if (undirected)
         fwd.union(edges.select(col(dstCol).as("src"),
@@ -1711,26 +1752,38 @@ object Graph {
     val nodes = adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node"))).distinct()
 
-    // registers of the singleton ball {v}: the node's own hash
-    def regsOf(frame: DataFrame): DataFrame =
-      Stats.hllRegisterRows(frame, Seq("node"), b,
-        passthrough = Seq("node"))
-        .select(col("node"), col("bucket"), col("rho"))
-    def estFrame(regs: DataFrame, k: Int): DataFrame =
-      regs.groupBy(col("node"))
-        .agg(count(lit(1)).as("n_reg"),
-          sum(expr("shiftleft(cast(1 as bigint), 49 - rho)"))
-            .as("s_present"))
+    // singleton-ball register array {v}: the node's own hash on the
+    // house md5 grammar (same bucket/rho derivation as
+    // Stats.hllRegisterRows), packed one-hot into m slots
+    val hexChars = b / 4
+    val h = md5(col("node").cast("string"))
+    val bucketC = conv(substring(h, 1, hexChars), 16, 10).cast("int")
+    val wC = conv(substring(h, hexChars + 1, 12), 16, 10).cast("long")
+    val rhoC = when(wC === 0L, lit(49))
+      .otherwise(lit(49) - length(bin(wC))).cast("int")
+    // exact-integer estimate inputs from the packed array: present
+    // slots (> 0) count as registers and contribute 2^(49 − rho)
+    val nRegC = expr("size(filter(regs, r -> r > 0))").cast("long")
+    val sPresentC = expr("aggregate(regs, cast(0 as bigint), " +
+      "(acc, r) -> acc + if(r > 0, " +
+      "shiftleft(cast(1 as bigint), 49 - r), cast(0 as bigint)))")
+    def estFrame(regsArr: DataFrame, k: Int): DataFrame =
+      regsArr.select(col("node"), nRegC.as("n_reg"),
+          sPresentC.as("s_present"))
         .select(col("node"), Stats.hllEstimateUnits(b).as(s"e$k"))
 
-    var regs = regsOf(nodes).truncateLineage(false)
+    var regs = nodes.select(col("node"),
+        transform(sequence(lit(0), lit(m - 1)),
+          i => when(i === bucketC, rhoC).otherwise(lit(0))).as("regs"))
+      .truncateLineage(false)
     var balls = estFrame(regs, 0)
     (1 to iters).foreach { k =>
       val received = adj.join(regs, adj("src") === regs("node"))
-        .select(adj("dst").as("node"), col("bucket"), col("rho"))
-      regs = regs.union(received)
-        .groupBy(col("node"), col("bucket"))
-        .agg(max(col("rho")).as("rho"))
+        .select(adj("dst").as("node"), col("regs"))
+      regs = regs.select(col("node"), col("regs")).union(received)
+        .groupBy(col("node"))
+        .agg(array((0 until m).map(i =>
+          max(element_at(col("regs"), i + 1))): _*).as("regs"))
         .truncateLineage(false)
       balls = balls.join(estFrame(regs, k), Seq("node"))
     }
