@@ -437,6 +437,11 @@ object Similarity {
     val centroids = trainCentroids(c, nlist, lloydIters)
     if (centroids.nonEmpty) {
       c.withColumn("cell", assignExpr(col("cvec"), centroids.toSeq))
+        // r16 (guide §6): cluster by cell before the partitioned write —
+        // one file per cell directory instead of one per (scan partition
+        // × cell), so probe-time reads open nlist files, not N·nlist
+        // (appendIvfIndex already wrote this way)
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     } else {
       // an empty corpus must not leave a STALE index behind: a caller
@@ -530,6 +535,7 @@ object Similarity {
         // is always > 0 here
         .withColumn("selfdot", Int8DotProduct(col("codes"), col("codes")))
         .select(col("neighbor_id"), col("codes"), col("selfdot"), col("cell"))
+        .repartition(col("cell")) // r16: one file per cell (guide §6)
         .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     } else {
       val path = new org.apache.hadoop.fs.Path(indexPath)
@@ -813,6 +819,7 @@ object Similarity {
         NearestCentroid(slice(col("qvec"), j * dsub + 1, dsub),
           cbs(j))): _*))
       .select(col("neighbor_id"), col("codes"), col("cell"))
+      .repartition(col("cell")) // r16: one file per cell (guide §6)
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     (centroids.toSeq, cbs)
   }
