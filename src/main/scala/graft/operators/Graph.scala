@@ -1596,11 +1596,16 @@ object Graph {
     val sorted = sizes.toSeq.sortBy(_._1)
     val offsets = sorted.map(_._1)
       .zip(sorted.map(_._2).scanLeft(0L)(_ + _).init).toMap
-    val offExpr = sizes.keys.toSeq.sorted.foldLeft(lit(0L)) { (acc, b) =>
-      when(col("bucket") === b, lit(offsets(b))).otherwise(acc)
-    }
+    // r16: the offsets attach via a broadcast join against the
+    // ≤`buckets`-row table instead of an O(buckets)-deep CASE WHEN
+    // evaluated per vocabulary row (the nested-when tree also made
+    // codegen compile a ~256-level expression per query)
+    val spark0 = pairs.sparkSession
+    import spark0.implicits._
+    val offDf = offsets.toSeq.toDF("bucket", "off")
     val ranked = inBucket
-      .select(col("node"), (col("rn") + offExpr).as("rank"))
+      .join(broadcast(offDf), Seq("bucket"))
+      .select(col("node"), (col("rn") + col("off")).as("rank"))
     val draws = pairs
       .select(col("start"), col("center_step"), col("context_step"),
         col("center"),
