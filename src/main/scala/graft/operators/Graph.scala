@@ -300,8 +300,8 @@ object Graph {
     * normalization is ONE fixed-shape double expression
     * (`round(m / S * 1e9)`) both engines evaluate identically, so the
     * run replicates in SQL round-for-round (q_graph_hits). The L1
-    * norm totals are two node-bounded aggregate scalars per iteration
-    * (the pageRank `n` convention).
+    * norm totals ride IN-PLAN as broadcast 1-row aggregates — no
+    * driver action anywhere in the loop.
     *
     * Scale shape: per iteration, one src-keyed and one dst-keyed
     * shuffle (the contribution aggregates) plus node-keyed left joins
@@ -969,11 +969,10 @@ object Graph {
     * `element_at` into CAPPED PER-BUCKET sorted adjacency arrays
     * instead of joining every neighbor and filtering to one.
     *
-    * Why: the join-filter form materializes Σ deg(frontier) join rows
-    * per step to keep |frontier| — harmless when walking from ALL
-    * nodes (O(E) total, the benched corpus-generation shape), but
-    * quadratic waste when a few walkers sit on a hub (100 walkers ×
-    * a 10⁶-degree hub = 10⁸ rows for 100 picks). Here the adjacency
+    * Why: the twin (since r16) also picks via element_at into sorted
+    * adjacency arrays, but UNCAPPED — a hub's array row is deg-sized,
+    * so a few walkers on a 10⁶-degree hub still drag a 10⁶-entry
+    * payload through every step's join. Here the adjacency
     * is pre-grouped ONCE into (src, bucket, arr) rows of ≤ `bucketCap`
     * sorted neighbors; each step is two 1-row-per-walker equi-joins —
     * degrees to compute `pick = hash48 mod deg`, then the single
@@ -1177,11 +1176,10 @@ object Graph {
     * CUMULATIVE-WEIGHT buckets instead of joining every successor of
     * (prev, cur) and filtering to the one interval containing r.
     *
-    * Why: the twin's join-filter pick MATERIALIZES Σ_walkers deg(cur)
-    * join-output rows per step (every successor of every walker's
-    * position, filtered down to one each) — the hub tax
-    * [[seededWalks]] kills for the first-order kernel. Here the
-    * successor table is bucketed ONCE in cumulative-weight space:
+    * Why: the twin (since r16) also emits one row per walker, but its
+    * per-(t, v) interval arrays are UNCAPPED — a hub's array is
+    * deg-sized and every walker pick scans it. Here the successor
+    * table is bucketed ONCE in cumulative-weight space:
     * bucket b of (t, v) holds every successor whose interval
     * [cumb, cumb + w) overlaps [b·cap, (b+1)·cap) — a neighbor
     * spanning a boundary replicates into each window it touches, so
@@ -1644,9 +1642,11 @@ object Graph {
     * clamp — in SQL).
     *
     * Scale design: per-node state is ≤ m = 2^b registers regardless
-    * of ball size — THE HyperBall property; each round is one
-    * edges⋈registers join (fan-out ≤ m per edge) plus one keyed
-    * max-aggregate, lineage truncated per round. b = 4 (m = 16,
+    * of ball size — THE HyperBall property; registers travel as one
+    * packed m-slot array per node, so each round is one
+    * edges⋈registers join (one array row per edge) plus one keyed
+    * slot-wise max-aggregate with map-side partials, lineage
+    * truncated per round. b = 4 (m = 16,
     * ±26% ball error — ranking-grade) keeps the join fan-out small;
     * b = 8 trades 16× state for ±6.5%. Output: (node,
     * harmonic, ball) with ball = |B_iters(v)| estimate. */
